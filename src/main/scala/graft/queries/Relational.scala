@@ -1,0 +1,395 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.tables.TableOps
+import QueryDef.tbl
+
+/** The relational surface the reference exercises inside node functions
+  * (SURVEY.md §2.3), re-expressed as declarative Spark plans.
+  *
+  * Determinism conventions (the driver hash-compares against DuckDB):
+  *  - money aggregates go through exact DECIMAL accumulation, cast to DOUBLE
+  *    at the end (`dsum`) — immune to float summation-order differences;
+  *  - every query has a total ORDER BY with a unique tiebreaker;
+  *  - timestamps are emitted as epoch BIGINT (events.ts is ns-precision
+  *    parquet, which Spark reads as long via `nanosAsLong` — see
+  *    SURVEY.md §7.4.6).
+  *
+  * Scale notes are per-query; the common rules: dimension joins broadcast,
+  * aggregations rely on map-side partial agg, filters/projections sit
+  * directly on the scan so parquet pushdown + column pruning apply.
+  */
+object Relational {
+
+  /** Exact decimal sum surfaced as double: deterministic under any partition
+    * / summation order, unlike a plain double sum. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  private def dec(c: Column, scale: Int = 2): Column = c.cast(DecimalType(18, scale))
+
+  val NsPerHour = 3600L * 1000000000L
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- aggregation --------------------------------------------------
+    // TPC-H Q1-shaped scan+agg: 2 grouping cols, partial agg map-side, one
+    // shuffle over a tiny key space. At 100 TB this is scan-bound; decimal
+    // accumulation keeps it deterministic.
+    QueryDef(
+      "q01_groupby_sum",
+      (s, dir) => tbl(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |COUNT(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    ),
+
+    // Filter + projection: both reach the parquet scan (PushedFilters +
+    // 4-column ReadSchema) — W3/filter_stream semantics.
+    QueryDef(
+      "q02_filter_project",
+      (s, dir) => TableOps.filterStream(
+          tbl(s, dir, "lineitem"), $"l_quantity" >= 49, $"l_discount" <= 0.01)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+        .orderBy($"l_orderkey", $"l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem WHERE l_quantity >= 49 AND l_discount <= 0.01
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+    ),
+
+    // Equi inner join + agg (the ETF join pattern,
+    // reference examples/pyarrow_concepts.py:64-74). customer is the small
+    // side — broadcast it so orders never shuffles.
+    QueryDef(
+      "q03_join_agg",
+      (s, dir) => tbl(s, dir, "orders")
+        .join(broadcast(tbl(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("order_cnt"), dsum($"o_totalprice").as("total_price"))
+        .orderBy($"c_mktsegment"),
+      Some("""SELECT c_mktsegment, COUNT(*) AS order_cnt,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    ),
+
+    // Star-schema rollup through 3 broadcast dimension joins — the fact
+    // table streams through map-side; single shuffle for the final group.
+    QueryDef(
+      "q04_region_revenue",
+      (s, dir) => tbl(s, dir, "orders")
+        .join(broadcast(tbl(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+        .join(broadcast(tbl(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(tbl(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(dsum($"o_totalprice").as("revenue"), count(lit(1)).as("order_cnt"))
+        .orderBy($"r_name"),
+      Some("""SELECT r_name,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             |COUNT(*) AS order_cnt
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin),
+    ),
+
+    // Left-semi join (reference `pc.is_in` delta pattern,
+    // examples/pyarrow_concepts.py:140-170).
+    QueryDef(
+      "q05_semi_join",
+      (s, dir) => tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_semi")
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("cust_cnt"))
+        .orderBy($"c_nationkey"),
+      Some("""SELECT c_nationkey, COUNT(*) AS cust_cnt FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+    ),
+
+    // Anti join: parts that never appear in a lineitem.
+    QueryDef(
+      "q06_anti_join",
+      (s, dir) => tbl(s, dir, "part")
+        .join(tbl(s, dir, "lineitem"), $"p_partkey" === $"l_partkey", "left_anti")
+        .groupBy($"p_brand").agg(count(lit(1)).as("part_cnt"))
+        .orderBy($"p_brand"),
+      Some("""SELECT p_brand, COUNT(*) AS part_cnt FROM part
+             |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+    ),
+
+    // Full outer join of two keyed aggregates + fillna(0) — the
+    // `join_counts` pattern (reference tests/test_util.py:78-81).
+    QueryDef(
+      "q07_full_outer",
+      (s, dir) => {
+        val cust = tbl(s, dir, "customer").groupBy($"c_nationkey".as("nationkey"))
+          .agg(count(lit(1)).as("cust_cnt"))
+        val supp = tbl(s, dir, "supplier").groupBy($"s_nationkey".as("nationkey"))
+          .agg(count(lit(1)).as("supp_cnt"))
+        cust.join(supp, Seq("nationkey"), "full_outer")
+          .na.fill(0, Seq("cust_cnt", "supp_cnt"))
+          .orderBy($"nationkey")
+      },
+      Some("""SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+             |COALESCE(c.cust_cnt, 0) AS cust_cnt, COALESCE(s.supp_cnt, 0) AS supp_cnt
+             |FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS cust_cnt FROM customer GROUP BY 1) c
+             |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS supp_cnt FROM supplier GROUP BY 1) s
+             |USING (nationkey) ORDER BY nationkey""".stripMargin),
+    ),
+
+    // W4 last-by-key via max_by hash aggregate (no window sort): the
+    // stream->table upsert. ts is ns-precision read as long.
+    QueryDef(
+      "q08_last_by_key",
+      (s, dir) => TableOps.lastByKeys(
+          tbl(s, dir, "events"), Seq("user_id"), Seq("ts", "event_id"))
+        .select($"user_id", $"event_id".as("last_event_id"), $"event_type", $"value")
+        .orderBy($"user_id"),
+      Some("""SELECT user_id, event_id AS last_event_id, event_type, value FROM (
+             |SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin),
+    ),
+
+    // Multi-key variant (reference last_by_keys(["etf","ticker"]) shape).
+    QueryDef(
+      "q09_last_by_key2",
+      (s, dir) => TableOps.lastByKeys(
+          tbl(s, dir, "events"), Seq("user_id", "event_type"), Seq("ts", "event_id"))
+        .select($"user_id", $"event_type", $"value".as("last_value"))
+        .orderBy($"user_id", $"event_type"),
+      Some("""SELECT user_id, event_type, value AS last_value FROM (
+             |SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+             |FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
+    ),
+
+    // Distinct (reference pc.unique / set nodes).
+    QueryDef(
+      "q10_distinct",
+      (s, dir) => tbl(s, dir, "events").select($"event_type").distinct()
+        .orderBy($"event_type"),
+      Some("SELECT DISTINCT event_type FROM events ORDER BY event_type"),
+    ),
+
+    // Top-k = orderBy + limit; Spark plans TakeOrderedAndProject — no full
+    // sort, per-partition heaps then merge. Unique tiebreaker for determinism.
+    QueryDef(
+      "q11_topk",
+      (s, dir) => tbl(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey").limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+    ),
+
+    // Union of two typed streams (W6 concat) then aggregate.
+    QueryDef(
+      "q12_union_agg",
+      (s, dir) => TableOps.concatStreams(
+          tbl(s, dir, "customer").select($"c_nationkey".as("nationkey"), $"c_acctbal".as("acctbal")),
+          tbl(s, dir, "supplier").select($"s_nationkey".as("nationkey"), $"s_acctbal".as("acctbal")))
+        .groupBy($"nationkey")
+        .agg(count(lit(1)).as("cnt"), dsum($"acctbal").as("total_bal"))
+        .orderBy($"nationkey"),
+      Some("""SELECT nationkey, COUNT(*) AS cnt,
+             |CAST(SUM(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+             |FROM (SELECT c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
+             |UNION ALL SELECT s_nationkey, s_acctbal FROM supplier)
+             |GROUP BY nationkey ORDER BY nationkey""".stripMargin),
+    ),
+
+    // Weighted average — the NAV formula (reference examples/etfs.py:70-91):
+    // sum(price*qty)/sum(qty), exact decimal then one double division.
+    QueryDef(
+      "q13_weighted_avg",
+      (s, dir) => tbl(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg((sum(dec($"l_extendedprice") * dec($"l_quantity")).cast("double") /
+              sum(dec($"l_quantity")).cast("double")).as("nav"))
+        .orderBy($"l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             | / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS nav
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
+
+    // Tumbling 1h window over the ns event stream (replay `frequency`
+    // bucketing analog, reference replay.py:254-256). Bucket emitted as
+    // epoch seconds BIGINT so both engines agree on type.
+    QueryDef(
+      "q14_hourly_window",
+      (s, dir) => tbl(s, dir, "events")
+        .groupBy((floor($"ts" / NsPerHour) * 3600L).cast("long").as("bucket_start"))
+        .agg(count(lit(1)).as("event_cnt"), dsum($"value").as("sum_value"))
+        .orderBy($"bucket_start"),
+      Some("""SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_start,
+             |COUNT(*) AS event_cnt,
+             |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY bucket_start""".stripMargin),
+    ),
+
+    // Running (cumulative) sum per key — the Accumulator/GetMax pattern
+    // (reference examples/dag_concepts.py:91-107). Window summation order is
+    // identical in both engines, so doubles match bit-for-bit.
+    QueryDef(
+      "q15_cumulative",
+      (s, dir) => {
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        tbl(s, dir, "events")
+          .select($"event_id", $"user_id",
+            round(sum($"value").over(w), 2).as("running_value"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+             |FROM events ORDER BY event_id""".stripMargin),
+    ),
+
+    // String predicates (reference perspective comparators incl.
+    // begins/contains/ends, perspective_wrapper.py:22-36).
+    QueryDef(
+      "q16_string_filter",
+      (s, dir) => tbl(s, dir, "documents")
+        .select($"doc_id", length($"text").as("len"),
+          $"text".startsWith("the").as("starts_the"),
+          $"text".contains("vector").as("has_vector"),
+          $"text".endsWith("dup").as("ends_dup"))
+        .where($"has_vector" || $"starts_the")
+        .orderBy($"doc_id"),
+      Some("""SELECT doc_id, LENGTH(text) AS len,
+             |(text LIKE 'the%') AS starts_the,
+             |(text LIKE '%vector%') AS has_vector,
+             |(text LIKE '%dup') AS ends_dup
+             |FROM documents WHERE (text LIKE '%vector%') OR (text LIKE 'the%')
+             |ORDER BY doc_id""".stripMargin),
+    ),
+
+    // Date/time parts + bucketing (reference kafka.py start-of-day math,
+    // date_trunc analog).
+    QueryDef(
+      "q17_date_parts",
+      (s, dir) => tbl(s, dir, "orders")
+        .groupBy(year($"o_orderdate").as("o_year"), month($"o_orderdate").as("o_month"))
+        .agg(count(lit(1)).as("order_cnt"), dsum($"o_totalprice").as("total"))
+        .orderBy($"o_year", $"o_month"),
+      Some("""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+             |CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS o_month,
+             |COUNT(*) AS order_cnt,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin),
+    ),
+
+    // JSON wire-format extraction (reference pyarrow_kafka.py:16-34):
+    // from_json with explicit schema — no inference, matching the reference.
+    QueryDef(
+      "q18_json_extract",
+      (s, dir) => tbl(s, dir, "events")
+        .select($"event_type",
+          from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .groupBy($"event_type")
+        .agg(sum($"k").cast("long").as("sum_k"), count(lit(1)).as("cnt"))
+        .orderBy($"event_type"),
+      Some("""SELECT event_type,
+             |CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,
+             |COUNT(*) AS cnt
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+
+    // Conditional aggregation.
+    QueryDef(
+      "q19_conditional_agg",
+      (s, dir) => tbl(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          sum(when($"o_totalprice" > 200000, 1).otherwise(0)).cast("long").as("high_cnt"),
+          sum(when($"o_orderstatus" === "F", 1).otherwise(0)).cast("long").as("f_cnt"),
+          count(lit(1)).as("cnt"))
+        .orderBy($"o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt,
+             |CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+             |COUNT(*) AS cnt
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    ),
+
+    // IN-list filter (reference pc.is_in semi-join pattern).
+    QueryDef(
+      "q20_isin",
+      (s, dir) => tbl(s, dir, "events")
+        .where($"event_type".isin("click", "purchase"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("cnt"), dsum($"value").as("sum_value"))
+        .orderBy($"event_type"),
+      Some("""SELECT event_type, COUNT(*) AS cnt,
+             |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events WHERE event_type IN ('click', 'purchase')
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+
+    // Group + HAVING.
+    QueryDef(
+      "q21_having",
+      (s, dir) => tbl(s, dir, "part")
+        .groupBy($"p_brand").agg(count(lit(1)).as("cnt"))
+        .where($"cnt" > 30)
+        .orderBy($"p_brand"),
+      Some("""SELECT p_brand, COUNT(*) AS cnt FROM part GROUP BY p_brand
+             |HAVING COUNT(*) > 30 ORDER BY p_brand""".stripMargin),
+    ),
+
+    // Word count — the reference's flagship streaming example
+    // (examples/kafka_concepts.py:12-31) as a batch explode+agg.
+    QueryDef(
+      "q22_wordcount",
+      (s, dir) => tbl(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("word"))
+        .groupBy($"word").agg(count(lit(1)).as("cnt"))
+        .orderBy($"word"),
+      Some("""SELECT word, COUNT(*) AS cnt FROM (
+             |SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             |GROUP BY word ORDER BY word""".stripMargin),
+    ),
+
+    // The flagship ETF-NAV dataflow (reference examples/pyarrow_concepts.py:53-117)
+    // mapped onto the star schema: composition=lineitem(etf=orderkey,
+    // ticker=partkey, qty), price=part.retailprice. Broadcast the price dim;
+    // the big composition side never shuffles before the per-etf aggregate.
+    QueryDef(
+      "q23_etf_nav",
+      (s, dir) => tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")), $"l_partkey" === $"p_partkey")
+        .groupBy($"l_orderkey".as("etf"))
+        .agg(
+          sum(dec($"p_retailprice") * dec($"l_quantity")).cast("double").as("value"),
+          (sum(dec($"p_retailprice") * dec($"l_quantity")).cast("double") /
+            sum(dec($"l_quantity")).cast("double")).as("nav"))
+        .orderBy($"etf"),
+      Some("""SELECT l_orderkey AS etf,
+             |CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value,
+             |CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             | / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS nav
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY l_orderkey ORDER BY etf""".stripMargin),
+    ),
+  )
+
+  // Sugar: $"..." without importing spark.implicits per closure.
+  private implicit class Dollar(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}
