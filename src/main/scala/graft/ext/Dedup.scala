@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY.md §2.4): exact, MinHash+LSH banding,
+  * and exact n-gram-Jaccard verification.
+  *
+  * Scale design (the 100 TB story):
+  *  - exact dedup is one hash-shuffle on the dedup key with map-side partial
+  *    aggregation;
+  *  - near-dup avoids the O(n^2) cross join: shingle -> 64 minhashes ->
+  *    band-bucket self-join. Only same-bucket candidates are verified with
+  *    exact Jaccard. Band parameters (r=2 rows, b=32 bands) put the S-curve
+  *    threshold at ~(1/32)^(1/2) ≈ 0.18, so recall at J >= 0.5 is
+  *    1-(1-J^2)^32 >= 0.9999 while far pairs rarely collide. All hashing is
+  *    codegen'd HOF expressions — the only shuffles are the band-bucket join
+  *    and the verify join on doc ids.
+  */
+object Dedup {
+
+  /** Exact-dup groups: surviving (min) id + group size per distinct value. */
+  def exactDedupStats(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+      .select(col("keep_id"), col("dup_cnt"))
+
+  /** Distinct k-token shingle sets: (id, s: array<string>). Rows with fewer
+    * than k tokens are dropped (no shingle exists). */
+  def shingleSets(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("tokens"))
+      .where(size(col("tokens")) >= k)
+      .select(col("doc_id"), array_distinct(expr(
+        s"""transform(sequence(0, size(tokens) - $k),
+           |          i -> concat_ws(' ', ${(0 until k).map(j => s"tokens[i + $j]").mkString(", ")}))"""
+          .stripMargin)).as("s"))
+
+  /** 64-hash MinHash signature of the shingle set (xxhash64 seeded by the
+    * hash index). Engine-internal only — candidates are exactly verified, so
+    * the hash family never leaks into results. */
+  def minhashSignatures(shingles: DataFrame, numHashes: Int = 64): DataFrame =
+    shingles.withColumn("sig", expr(
+      s"""transform(sequence(0, ${numHashes - 1}),
+         |          k -> aggregate(s, 9223372036854775807L,
+         |                         (acc, x) -> least(acc, xxhash64(k, x))))""".stripMargin))
+
+  /** LSH banding: candidate pairs (a_id < b_id) sharing at least one band.
+    * r rows per band; numHashes/r bands. */
+  def lshCandidatePairs(sigs: DataFrame, r: Int = 2, numHashes: Int = 64): DataFrame = {
+    val b = numHashes / r
+    val bandCols = (0 until r).map(j => s"sig[$r * b + $j] as h$j").mkString(", ")
+    val bands = sigs.select(col("doc_id"),
+      explode(expr(s"transform(sequence(0, ${b - 1}), b -> struct(b as band, $bandCols))"))
+        .as("bk"))
+      .select(col("doc_id"), col("bk"))
+    bands.as("l").join(bands.as("r"), col("l.bk") === col("r.bk") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Near-dup pairs with exact Jaccard >= threshold, LSH-pruned: the full
+    * MinHash->band->bucket-join->exact-verify pipeline. Output matches a
+    * brute-force O(n^2) oracle (recall at threshold 0.5 is ~1-1e-4). */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.5, k: Int = 3): DataFrame = {
+    val sh = shingleSets(df, textCol, idCol, k).cache()
+    val candidates = lshCandidatePairs(minhashSignatures(sh))
+    val verified = candidates
+      .join(sh.select(col("doc_id").as("a_id"), col("s").as("sa")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("s").as("sb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+    verified.select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

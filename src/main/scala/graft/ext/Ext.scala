@@ -1,9 +1,200 @@
 package graft.ext
 
+import org.apache.spark.sql.functions._
 import graft.queries.QueryDef
+import graft.queries.QueryDef.tbl
 
-/** North-star extension operators (SURVEY.md §2.4): dedup, similarity
-  * search, text analysis, multimodal plumbing. Populated incrementally. */
+/** North-star extension operators (SURVEY.md §2.4) as verifiable queries:
+  * dedup (exact, MinHash-LSH near-dup, SimHash), similarity search
+  * (brute-force + LSH ANN), text analysis (lang-ID, quality, tokens,
+  * fingerprint), multimodal plumbing. */
 object Ext {
-  def all: Seq[QueryDef] = Seq.empty
+
+  def all: Seq[QueryDef] = Seq(
+
+    // Exact dedup: hash-groupBy on the full value, min-id survivor.
+    QueryDef(
+      "q24_dedup_exact",
+      (s, dir) => Dedup.exactDedupStats(tbl(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("keep_id")),
+      Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt FROM documents
+             |GROUP BY text ORDER BY keep_id""".stripMargin),
+    ),
+
+    // Fingerprint: md5 identical across engines.
+    QueryDef(
+      "q25_fingerprint",
+      (s, dir) => tbl(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+      Some("SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"),
+    ),
+
+    // Near-dup via MinHash-LSH banding + exact 3-shingle Jaccard verify;
+    // oracle is the brute-force O(n^2) pair scan.
+    QueryDef(
+      "q26_jaccard_pairs",
+      (s, dir) => Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
+        .orderBy(col("a_id"), col("b_id")),
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
+             |  WHERE len(tokens) >= 3)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  ROUND(CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 6) AS jaccard
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |      / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5
+             |ORDER BY a_id, b_id""".stripMargin),
+    ),
+
+    // 16-bit SimHash per document (portable md5-derived token hashes).
+    QueryDef(
+      "q27_simhash",
+      (s, dir) => tbl(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.simhash16("text").as("simhash"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  list_sum([CASE WHEN list_sum([CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END
+             |                                FOR h IN hashes]) > 0
+             |            THEN (1::BIGINT << i) ELSE 0 END
+             |            FOR i IN generate_series(0, 15)])::BIGINT AS simhash
+             |FROM (SELECT doc_id,
+             |        [CAST(('0x' || substring(md5(t),1,15)) AS BIGINT)
+             |         FOR t IN list_distinct(string_split(text,' '))] AS hashes
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+    ),
+
+    // Brute-force cosine top-5 for 10 query vectors.
+    QueryDef(
+      "q28_cosine_topk",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), "embedding", "vec_id", 5)
+          .orderBy(col("qid"), col("sim").desc, col("nid"))
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id, embedding,
+             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+             |  FROM embeddings),
+             |sims AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+             |    list_sum([CAST(q.embedding[i] AS DOUBLE)*c.embedding[i]
+             |              FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*c.nrm) AS sim
+             |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id != c.vec_id)
+             |SELECT qid, nid, sim FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+             |  FROM sims) WHERE rk <= 5
+             |ORDER BY qid, sim DESC, nid""".stripMargin),
+    ),
+
+    // Embedding near-dup pairs (cosine >= 0.4).
+    QueryDef(
+      "q29_cosine_neardup",
+      (s, dir) => Similarity.cosineNearDupPairs(
+          tbl(s, dir, "embeddings"), "embedding", "vec_id", 0.4)
+        .orderBy(col("a_id"), col("b_id")),
+      Some("""WITH n AS (
+             |  SELECT vec_id, embedding,
+             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+             |  FROM embeddings)
+             |SELECT a_id, b_id, cos_sim FROM (
+             |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |    list_sum([CAST(a.embedding[i] AS DOUBLE)*b.embedding[i]
+             |              FOR i IN generate_series(1,len(a.embedding))])/(a.nrm*b.nrm) AS cos_sim
+             |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+             |WHERE cos_sim >= 0.4 ORDER BY a_id, b_id""".stripMargin),
+    ),
+
+    // Approximate ANN via random-hyperplane LSH buckets — approximate by
+    // design, driver records rows-only (no oracle).
+    QueryDef(
+      "q30_ann_topk",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.annTopK(emb, emb.where(col("vec_id") < 50), "embedding", "vec_id", 5)
+          .orderBy(col("qid"), col("sim").desc, col("nid"))
+      },
+      None,
+    ),
+
+    // Language-ID heuristic (stopword-hit ratio).
+    QueryDef(
+      "q31_langid",
+      (s, dir) => {
+        val score = TextAnalysis.stopwordRatio(col("text"))
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.langPred(score).as("lang_pred"),
+            round(score, 6).as("en_score"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+              |  CASE WHEN score >= 0.05 THEN 'en' WHEN score > 0 THEN 'mixed'
+              |       ELSE 'other' END AS lang_pred,
+              |  ROUND(score, 6) AS en_score
+              |FROM (SELECT doc_id,
+              |        CAST(len(list_filter(string_split(text,' '),
+              |             w -> w IN (${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+              |        / len(string_split(text,' ')) AS score
+              |      FROM documents)
+              |ORDER BY doc_id""".stripMargin),
+    ),
+
+    // Quality scoring: length/stopword/word-shape composite.
+    QueryDef(
+      "q32_quality",
+      (s, dir) => tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text"), TextAnalysis.tokenCount(col("text"))).as("quality"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, ROUND(
+              |  LEAST(t / 50.0, 1.0) * 0.4 +
+              |  (CAST(len(list_filter(tokens, w -> w IN
+              |     (${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE) / t) * 0.3 +
+              |  CASE WHEN (c - (t - 1)) / CAST(t AS DOUBLE) BETWEEN 3 AND 8 THEN 0.3 ELSE 0.0 END,
+              |  6) AS quality
+              |FROM (SELECT doc_id, string_split(text,' ') AS tokens,
+              |             len(string_split(text,' ')) AS t, LENGTH(text) AS c
+              |      FROM documents)
+              |ORDER BY doc_id""".stripMargin),
+    ),
+
+    // Token counting rolled up per source.
+    QueryDef(
+      "q33_tokens",
+      (s, dir) => tbl(s, dir, "documents")
+        .select(col("source"), TextAnalysis.tokenCount(col("text")).as("t"))
+        .groupBy(col("source"))
+        .agg(sum(col("t")).cast("long").as("total_tokens"),
+          min(col("t")).as("min_tokens"), max(col("t")).as("max_tokens"),
+          (sum(col("t")).cast("double") / count(lit(1))).as("avg_tokens"))
+        .orderBy(col("source")),
+      Some("""SELECT source, CAST(SUM(t) AS BIGINT) AS total_tokens,
+             |  MIN(t) AS min_tokens, MAX(t) AS max_tokens,
+             |  CAST(SUM(t) AS DOUBLE) / COUNT(*) AS avg_tokens
+             |FROM (SELECT source, len(string_split(text,' ')) AS t FROM documents)
+             |GROUP BY source ORDER BY source""".stripMargin),
+    ),
+
+    // Multimodal plumbing: binary payloads -> typed partition-wise decode
+    // (stubbed codec, real Spark shape).
+    QueryDef(
+      "q34_multimodal",
+      (s, dir) => Multimodal.decodeMeta(s,
+          Multimodal.mediaFromDocuments(tbl(s, dir, "documents")))
+        .toDF().orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             |  hex(encode(substring(text, 1, 8))) AS header_hex,
+             |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+             |  CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+             |  3 AS channels
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+  )
 }

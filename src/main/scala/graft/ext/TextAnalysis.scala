@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (SURVEY.md §2.4): language-ID heuristic, quality scoring, token counting,
+  * document fingerprinting.
+  *
+  * Everything is built from codegen'd built-ins / higher-order functions —
+  * no UDFs — so the operators run inside WholeStageCodegen and scale as pure
+  * map work (no shuffle except final aggregates).
+  *
+  * Determinism: scores are rationals of ints (or products of identically
+  * computed doubles), so Spark and the DuckDB oracle agree bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Tiny English-stopword list used by the language-ID n-gram heuristic. */
+  val EnStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+
+  private def stopwordSql = EnStopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Fraction of tokens that are English stopwords — the language-ID score. */
+  def stopwordRatio(text: Column): Column =
+    expr(s"size(filter(split(text, ' '), w -> w IN $stopwordSql))") / size(tokens(text))
+
+  /** Heuristic language ID: stopword-hit ratio thresholding. */
+  def langPred(scoreCol: Column): Column =
+    when(scoreCol >= 0.05, "en").when(scoreCol > 0, "mixed").otherwise("other")
+
+  /** Composite quality score in [0,1]: length credit + stopword ratio +
+    * plausible average word length. All integer-derived arithmetic. */
+  def qualityScore(text: Column, nTokens: Column): Column = {
+    val chars = length(text)
+    val avgWordLen = (chars - (nTokens - 1)).cast("double") / nTokens
+    round(
+      least(nTokens / 50.0, lit(1.0)) * 0.4 +
+        stopwordRatio(text) * 0.3 +
+        when(avgWordLen.between(3, 8), 0.3).otherwise(0.0),
+      6)
+  }
+
+  /** Document fingerprint: md5 of the raw text (identical in DuckDB). */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** 16-bit SimHash over the distinct-token set. Per-token 64-bit hashes are
+    * derived from md5 hex (portable across engines); each bit is a majority
+    * vote over token hashes. Pure HOF expression — map-only at scale. */
+  def simhash16(textCol: String): Column = expr(
+    s"""aggregate(sequence(0, 15), 0L, (acc, i) -> acc + if(
+       |  aggregate(
+       |    transform(array_distinct(split($textCol, ' ')),
+       |              t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
+       |    0L, (a, h) -> a + if((shiftright(h, i) & 1) = 1, 1L, -1L)) > 0,
+       |  shiftleft(cast(1 as bigint), i), 0L))""".stripMargin)
+}

@@ -119,16 +119,17 @@ object Relational {
              |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
     ),
 
-    // Anti join: parts that never appear in a lineitem.
+    // Anti join with a filtered build side: customers with no large order.
     QueryDef(
       "q06_anti_join",
-      (s, dir) => tbl(s, dir, "part")
-        .join(tbl(s, dir, "lineitem"), $"p_partkey" === $"l_partkey", "left_anti")
-        .groupBy($"p_brand").agg(count(lit(1)).as("part_cnt"))
-        .orderBy($"p_brand"),
-      Some("""SELECT p_brand, COUNT(*) AS part_cnt FROM part
-             |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
-             |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+      (s, dir) => tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders").where($"o_totalprice" > 300000),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("cust_cnt"))
+        .orderBy($"c_nationkey"),
+      Some("""SELECT c_nationkey, COUNT(*) AS cust_cnt FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
     ),
 
     // Full outer join of two keyed aggregates + fillna(0) — the
