@@ -1,0 +1,193 @@
+package graft.kafka
+
+import scala.collection.mutable
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Dag, Time}
+import graft.core.Time.Nanos
+
+/** Mock-driven Kafka-layer tests mirroring `/root/reference/tests/test_kafka.py`:
+  * offset-policy resolution, start-of-day math, cross-topic time-aligned
+  * priming with backpressure, and the word-count end-to-end driver. */
+class KafkaSpec extends AnyFunSuite {
+
+  def ts(s: String): Nanos = Time.parse(s)
+  def utf8(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  /** In-memory consumer (reference `MockConsumer`, tests/test_kafka.py:69-163). */
+  class MockConsumer(topicsData: Map[String, Seq[Seq[(Nanos, String)]]]) extends ConsumerClient {
+    val committedOffsets = mutable.Map.empty[TopicPartition, Long]
+    private val cursors = mutable.Map.empty[TopicPartition, Long]
+    val pausedSet = mutable.Set.empty[TopicPartition]
+
+    override def partitions(topic: String): Seq[Int] =
+      topicsData.get(topic).map(_.indices.toSeq).getOrElse(Nil)
+    override def watermarkOffsets(tp: TopicPartition): (Long, Long) =
+      (0L, topicsData(tp.topic)(tp.partition).size.toLong)
+    override def offsetForTime(tp: TopicPartition, timestamp: Nanos): Option[Long] = {
+      val idx = topicsData(tp.topic)(tp.partition).indexWhere(_._1 >= timestamp)
+      if (idx < 0) None else Some(idx.toLong)
+    }
+    override def committed(tps: Seq[TopicPartition]): Map[TopicPartition, Long] =
+      tps.map(tp => tp -> committedOffsets.getOrElse(tp, 0L)).toMap
+    override def assign(offsets: Map[TopicPartition, Long]): Unit =
+      offsets.foreach { case (tp, off) => cursors(tp) = off }
+    override def poll(timeoutMs: Long): Option[KMessage] = {
+      // round-robin over non-paused assigned partitions
+      cursors.toSeq.sortBy(t => (t._1.topic, t._1.partition)).foreach { case (tp, off) =>
+        if (!pausedSet.contains(tp)) {
+          val data = topicsData(tp.topic)(tp.partition)
+          if (off < data.size) {
+            val (t, v) = data(off.toInt)
+            cursors(tp) = off + 1
+            return Some(KMessage(tp, off, t, null, utf8(v)))
+          }
+        }
+      }
+      None
+    }
+    override def pause(tps: Seq[TopicPartition]): Unit = pausedSet ++= tps
+    override def resume(tps: Seq[TopicPartition]): Unit = pausedSet --= tps
+  }
+
+  class MockProducer extends ProducerClient {
+    val produced = mutable.ArrayBuffer.empty[(String, String, String)]
+    private val pending = mutable.ArrayBuffer.empty[Option[Throwable] => Unit]
+    override def produce(topic: String, key: Array[Byte], value: Array[Byte],
+        onDelivery: Option[Throwable] => Unit): Unit = {
+      produced += ((topic, Option(key).map(new String(_, "UTF-8")).orNull, new String(value, "UTF-8")))
+      pending += onDelivery
+    }
+    override def poll(): Unit = { pending.foreach(_(None)); pending.clear() }
+  }
+
+  val noopDeser: MessageDeserializer[List[String]] =
+    (ms: Seq[KMessage]) => ms.map(m => new String(m.value, "UTF-8")).toList
+
+  test("offset resolution per policy (kafka.py:601-652)") {
+    val data = Map("topic" -> Seq(Seq(
+      (ts("2023-01-01T01:00:00Z"), "a"),
+      (ts("2023-01-01T02:00:00Z"), "b"),
+      (ts("2023-01-01T03:00:00Z"), "c"))))
+    val consumer = new MockConsumer(data)
+    val tp = TopicPartition("topic", 0)
+    val now = ts("2023-01-01T04:00:00Z")
+    def resolve(p: OffsetPolicy) =
+      OffsetResolver.resolveTopic(consumer, SourceTopic("topic", noopDeser, p), now)(tp)
+
+    assert(resolve(OffsetPolicy.Latest) == ((3L, 2L)))
+    assert(resolve(OffsetPolicy.Earliest) == ((0L, 2L)))
+    assert(resolve(OffsetPolicy.AbsoluteTime(ts("2023-01-01T02:00:00Z"))) == ((1L, 2L)))
+    assert(resolve(OffsetPolicy.AbsoluteTime(ts("2023-01-01T09:00:00Z"))) == ((3L, 3L))) // past end: live
+    assert(resolve(OffsetPolicy.RelativeTime(2L * 3600L * 1000000000L)) == ((1L, 2L)))
+    consumer.committedOffsets(tp) = 2L
+    assert(resolve(OffsetPolicy.Committed) == ((2L, 2L)))
+  }
+
+  test("previous start-of-day across timezones (kafka.py:655-664)") {
+    val sod = 9L * 3600L * 1000000000L // 09:00
+    // 2023-06-15 16:00 UTC = 12:00 New York (EDT): past 09:00 local -> same day
+    assert(OffsetResolver.previousStartOfDay(
+      ts("2023-06-15T16:00:00Z"), sod, "America/New_York") == ts("2023-06-15T13:00:00Z"))
+    // 2023-06-15 08:00 UTC = 04:00 New York: before 09:00 local -> previous day
+    assert(OffsetResolver.previousStartOfDay(
+      ts("2023-06-15T08:00:00Z"), sod, "America/New_York") == ts("2023-06-14T13:00:00Z"))
+    // plain UTC
+    assert(OffsetResolver.previousStartOfDay(
+      ts("2023-06-15T10:00:00Z"), sod, "UTC") == ts("2023-06-15T09:00:00Z"))
+  }
+
+  test("priming releases cross-topic messages in global time order (kafka.py:298-341)") {
+    // topic a: early messages; topic b: later messages; interleaved ordering
+    val data = Map(
+      "a" -> Seq(Seq((10L, "a1"), (30L, "a2"), (50L, "a3"))),
+      "b" -> Seq(Seq((20L, "b1"), (40L, "b2"), (60L, "b3"))))
+    val consumer = new MockConsumer(data)
+    val topics = Seq(
+      SourceTopic[List[String]]("a", noopDeser, OffsetPolicy.Earliest),
+      SourceTopic[List[String]]("b", noopDeser, OffsetPolicy.Earliest))
+    val manager = ConsumerManager.create(consumer, topics, batchSize = 2, nowNs = () => 1000L)
+    val released = mutable.ArrayBuffer.empty[String]
+    (1 to 10).foreach { _ =>
+      released ++= manager.poll(0).map(m => new String(m.value, "UTF-8"))
+    }
+    // global event-time order despite round-robin consumption
+    assert(released.toList == List("a1", "b1", "a2", "b2", "a3", "b3"))
+    assert(manager.primingWatermark.isEmpty) // both partitions live at the end
+  }
+
+  test("backpressure pauses the partition running ahead (kafka.py:349-381)") {
+    // topic b is far ahead in time and has many messages: with a tiny batch
+    // size its partition must get paused while a catches up
+    val aMsgs = (1 to 20).map(i => (i.toLong * 10L, s"a$i"))
+    val bMsgs = (1 to 20).map(i => (1000000L + i.toLong, s"b$i"))
+    val data = Map("a" -> Seq(aMsgs), "b" -> Seq(bMsgs))
+    val consumer = new MockConsumer(data)
+    val topics = Seq(
+      SourceTopic[List[String]]("a", noopDeser, OffsetPolicy.Earliest),
+      SourceTopic[List[String]]("b", noopDeser, OffsetPolicy.Earliest))
+    val manager = ConsumerManager.create(consumer, topics, batchSize = 2, nowNs = () => 10000000L)
+    var sawPause = false
+    val released = mutable.ArrayBuffer.empty[String]
+    (1 to 40).foreach { _ =>
+      released ++= manager.poll(0).map(m => new String(m.value, "UTF-8"))
+      sawPause ||= consumer.pausedSet.nonEmpty
+    }
+    assert(sawPause, "partition b should have been paused while a replayed")
+    assert(consumer.pausedSet.isEmpty, "paused partitions resume once watermark catches up")
+    // all a messages released before any b message (strict time alignment)
+    val (aIdx, bIdx) = (released.zipWithIndex.filter(_._1.startsWith("a")).map(_._2),
+      released.zipWithIndex.filter(_._1.startsWith("b")).map(_._2))
+    assert(aIdx.nonEmpty && bIdx.nonEmpty && aIdx.max < bIdx.min)
+  }
+
+  test("word-count end-to-end through KafkaDriver (test_kafka.py:474-586)") {
+    val dag = new Dag
+    val messages = dag.sourceStream(List.empty[String], name = "words")
+    val counts = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val state = dag.state(messages) { ws: List[String] =>
+      ws.foreach(w => counts(w) += 1); counts.toMap
+    }
+    val touched = dag.stream(messages)(List.empty[String])(_.distinct.sorted)
+    val records = dag.stream2(touched, state)(Map.empty[String, Long]) { (ks, all) =>
+      ks.map(k => k -> all(k)).toMap
+    }
+    dag.sink("counts", records)
+
+    val data = Map("words" -> Seq(Seq(
+      (ts("2023-01-01T01:00:00Z"), "hello"),
+      (ts("2023-01-01T01:01:00Z"), "world"),
+      (ts("2023-01-01T01:02:00Z"), "hello"))))
+    val consumer = new MockConsumer(data)
+    val producer = new MockProducer
+    val serializer: MessageSerializer[Map[String, Long]] =
+      (m: Map[String, Long]) => m.toSeq.sortBy(_._1).map { case (w, c) =>
+        ProducerMessage("counts_out", utf8(w), utf8(c.toString))
+      }
+    val driver = KafkaDriver.create(
+      dag, consumer, producer,
+      Map("words" -> ((SourceTopic.fromEarliest[List[String]]("words", noopDeser),
+        ((v: Any) => v.asInstanceOf[List[String]].size): Any => Int))),
+      Map("counts" -> serializer),
+      batchSize = 2,
+      nowNs = () => ts("2023-01-01T02:00:00Z"))
+
+    var cycles = 0
+    (1 to 5).foreach { _ => if (driver.runCycle(0)) cycles += 1 }
+    assert(cycles >= 2) // batchSize=2 forces at least two data cycles
+    assert(producer.produced.map(p => (p._1, p._2, p._3)).toList ==
+      List(("counts_out", "hello", "1"), ("counts_out", "world", "1"),
+        ("counts_out", "hello", "2")))
+    val m = driver.flushProducerMetrics()
+    assert(m.producedCount == 3 && m.confirmedCount == 3)
+  }
+
+  test("spark kafka source options per policy") {
+    val t = SourceTopic.fromEarliest[List[String]]("t", noopDeser)
+    assert(SparkKafkaOptions.forTopic(t, 0L) ==
+      Map("subscribe" -> "t", "startingOffsets" -> "earliest"))
+    val abs = SourceTopic.fromAbsoluteTime[List[String]]("t", noopDeser, ts("2023-01-01T00:00:00Z"))
+    assert(SparkKafkaOptions.forTopic(abs, 0L)("startingTimestamp") == "1672531200000")
+  }
+}
