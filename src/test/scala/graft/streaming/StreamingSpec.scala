@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+case class Tick(ticker: String, price: Double, seq: Long)
+
+/** Structured Streaming operator semantics over MemoryStream — the
+  * continuous-query twins of the cycle-driver operators. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.processAllAvailable()
+  }
+
+  test("streamingLastByKeys emits only touched keys per batch (W4 streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val query = Streaming.streamingLastByKeys[Tick, String](
+        input.toDS(), _.ticker, (a, b) => a.seq >= b.seq)
+      .writeStream.format("memory").queryName("last_ticks")
+      .outputMode("update").start()
+    try {
+      input.addData(Tick("A", 1.0, 1), Tick("A", 2.0, 2), Tick("B", 9.0, 1))
+      drain(query)
+      val batch1 = spark.table("last_ticks").as[Tick].collect().toSet
+      assert(batch1 == Set(Tick("A", 2.0, 2), Tick("B", 9.0, 1)))
+
+      input.addData(Tick("A", 3.0, 3)) // only A touched: B not re-emitted
+      drain(query)
+      val all = spark.table("last_ticks").as[Tick].collect().toSeq
+      assert(all.count(_.ticker == "B") == 1)
+      assert(all.filter(_.ticker == "A").map(_.seq).max == 3)
+
+      input.addData(Tick("A", 99.0, 0)) // stale seq: ignored, nothing emitted
+      drain(query)
+      assert(spark.table("last_ticks").as[Tick].collect().toSeq.size == all.size)
+    } finally query.stop()
+  }
+
+  test("running counts in update mode (kafka word-count streaming twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val query = Streaming.runningCounts(input.toDF().withColumnRenamed("value", "word"), "word")
+      .writeStream.format("memory").queryName("wcounts")
+      .outputMode("update").start()
+    try {
+      input.addData("hello", "world", "hello")
+      drain(query)
+      val rows = spark.table("wcounts").as[(String, Long)].collect().toMap
+      assert(rows == Map("hello" -> 2L, "world" -> 1L))
+      input.addData("world")
+      drain(query)
+      // update mode re-emits only the changed key
+      val emitted = spark.table("wcounts").as[(String, Long)].collect().toSeq
+      assert(emitted.sortBy(r => (r._1, r._2)).lastOption.contains(("world", 2L)))
+    } finally query.stop()
+  }
+
+  test("windowed sum with watermark (tumbling frequency bucketing)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val df = input.toDF().toDF("ts", "value")
+    val query = Streaming.windowedSum(df, "ts", "value", "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("wsums")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2023-01-01 01:10:00"), 1.0),
+        (Timestamp.valueOf("2023-01-01 01:40:00"), 2.0),
+        (Timestamp.valueOf("2023-01-01 02:05:00"), 10.0))
+      drain(query)
+      val rows = spark.table("wsums")
+        .select(col("bucket_start").cast("string"), col("event_cnt"), col("sum_value"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows.exists(r => r._1.startsWith("2023-01-01 01:00") && r._2 == 2 && r._3 == 3.0))
+      assert(rows.exists(r => r._1.startsWith("2023-01-01 02:00") && r._2 == 1 && r._3 == 10.0))
+    } finally query.stop()
+  }
+
+  test("streamingCutoff suppresses unchanged values per key (E8 streaming)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val query = Streaming.streamingCutoff[Tick, String, Double](
+        input.toDS(), _.ticker, _.price)
+      .writeStream.format("memory").queryName("cutoff_ticks")
+      .outputMode("update").start()
+    try {
+      input.addData(Tick("A", 1.0, 1), Tick("A", 1.0, 2), Tick("A", 2.0, 3))
+      drain(query)
+      val prices = spark.table("cutoff_ticks").as[Tick].collect().toSeq.map(_.price)
+      assert(prices == Seq(1.0, 2.0)) // the duplicate 1.0 was suppressed
+      input.addData(Tick("A", 2.0, 4)) // unchanged again: nothing emitted
+      drain(query)
+      assert(spark.table("cutoff_ticks").count() == 2)
+    } finally query.stop()
+  }
+}
