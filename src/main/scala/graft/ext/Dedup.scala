@@ -35,14 +35,23 @@ object Dedup {
            |          i -> concat_ws(' ', ${(0 until k).map(j => s"tokens[i + $j]").mkString(", ")}))"""
           .stripMargin)).as("s"))
 
-  /** 64-hash MinHash signature of the shingle set (xxhash64 seeded by the
-    * hash index). Engine-internal only — candidates are exactly verified, so
-    * the hash family never leaks into results. */
-  def minhashSignatures(shingles: DataFrame, numHashes: Int = 64): DataFrame =
-    shingles.withColumn("sig", expr(
-      s"""transform(sequence(0, ${numHashes - 1}),
-         |          k -> aggregate(s, 9223372036854775807L,
-         |                         (acc, x) -> least(acc, xxhash64(k, x))))""".stripMargin))
+  /** 64-hash MinHash signature of the shingle set. Two base hashes per
+    * shingle (Kirsch-Mitzenmacher: h_k = h1 + k*h2) instead of 64
+    * independent ones, computed via explode + 64 codegen'd `min` aggregates
+    * — map-side partial aggregation, one shuffle keyed by doc, no
+    * higher-order-function re-traversals. Engine-internal only — candidates
+    * are exactly verified, so the hash family never leaks into results. */
+  def minhashSignatures(shingles: DataFrame, numHashes: Int = 64): DataFrame = {
+    val exploded = shingles
+      .select(col("doc_id"), explode(col("s")).as("shingle"))
+      .withColumn("h1", xxhash64(col("shingle")))
+      .withColumn("h2", xxhash64(lit(7), col("shingle")))
+    val minCols = (0 until numHashes).map(k => min(col("h1") + lit(k.toLong) * col("h2")).as(s"_m$k"))
+    exploded.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(k => col(s"_m$k")).toIndexedSeq: _*).as("sig"))
+  }
 
   /** LSH banding: candidate pairs (a_id < b_id) sharing at least one band.
     * r rows per band; numHashes/r bands. */
