@@ -12,7 +12,8 @@ import graft.queries.{QueryDef, Relational}
   */
 object SparkEntry {
 
-  def allQueries: Seq[QueryDef] = Relational.all ++ graft.ext.Ext.all
+  def allQueries: Seq[QueryDef] =
+    Relational.all ++ graft.ext.Ext.all ++ graft.queries.DagQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -36,17 +36,22 @@ object Dedup {
           .stripMargin)).as("s"))
 
   /** 64-hash MinHash signature of the shingle set. Two base hashes per
-    * shingle (Kirsch-Mitzenmacher: h_k = h1 + k*h2) instead of 64
-    * independent ones, computed via explode + 64 codegen'd `min` aggregates
-    * — map-side partial aggregation, one shuffle keyed by doc, no
-    * higher-order-function re-traversals. Engine-internal only — candidates
-    * are exactly verified, so the hash family never leaks into results. */
+    * shingle mixed as h_k = h1 XOR rotl64(h2, k) (bitwise: no ANSI overflow)
+    * instead of 64 independent hash calls, computed via explode + 64
+    * codegen'd `min` aggregates — map-side partial aggregation, one shuffle
+    * keyed by doc, no higher-order-function re-traversals. Engine-internal
+    * only — candidates are exactly verified, so the hash family never leaks
+    * into results. */
   def minhashSignatures(shingles: DataFrame, numHashes: Int = 64): DataFrame = {
     val exploded = shingles
       .select(col("doc_id"), explode(col("s")).as("shingle"))
       .withColumn("h1", xxhash64(col("shingle")))
       .withColumn("h2", xxhash64(lit(7), col("shingle")))
-    val minCols = (0 until numHashes).map(k => min(col("h1") + lit(k.toLong) * col("h2")).as(s"_m$k"))
+    def rotl(c: org.apache.spark.sql.Column, k: Int) =
+      if (k % 64 == 0) c
+      else shiftleft(c, k % 64).bitwiseOR(shiftrightunsigned(c, 64 - (k % 64)))
+    val minCols = (0 until numHashes).map(k =>
+      min(col("h1").bitwiseXOR(rotl(col("h2"), k))).as(s"_m$k"))
     exploded.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
