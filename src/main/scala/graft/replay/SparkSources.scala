@@ -94,3 +94,13 @@ final class SparkParquetDataSink(path: String) extends DataSink[DataFrame] {
     if (batches.nonEmpty)
       batches.reduce(_.unionByName(_)).write.mode("overwrite").parquet(path)
 }
+
+/** CSV sink twin (reference CSV sink, `examples/replay_concepts.py:94-108`). */
+final class SparkCsvDataSink(path: String) extends DataSink[DataFrame] {
+  private val batches = mutable.ArrayBuffer.empty[DataFrame]
+  override def append(timestamp: Nanos, data: DataFrame): Unit = batches += data
+  override def close(): Unit =
+    if (batches.nonEmpty)
+      batches.reduce(_.unionByName(_)).coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(path)
+}
