@@ -436,8 +436,12 @@ object KafkaDriver {
   * LATEST/EARLIEST -> `startingOffsets`; time policies ->
   * `startingOffsetsByTimestamp`; COMMITTED -> group offsets. */
 object SparkKafkaOptions {
-  def forTopic(topic: SourceTopic[_], now: Nanos, groupId: Option[String] = None): Map[String, String] = {
-    val base = Map("subscribe" -> topic.name)
+  def forTopic(topic: SourceTopic[_], now: Nanos, groupId: Option[String] = None,
+      batchSize: Option[Long] = None): Map[String, String] = {
+    // batchSize maps to maxOffsetsPerTrigger — the reference's per-cycle cap
+    // (`batch_size=5000`, `beavers/kafka.py:493`) as source-side flow control.
+    val base = Map("subscribe" -> topic.name) ++
+      batchSize.map("maxOffsetsPerTrigger" -> _.toString)
     def atMillis(ts: Nanos) = base + ("startingTimestamp" -> s"${Math.floorDiv(ts, 1000000L)}")
     topic.policy match {
       case OffsetPolicy.Latest => base + ("startingOffsets" -> "latest")
