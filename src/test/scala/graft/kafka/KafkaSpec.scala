@@ -183,6 +183,31 @@ class KafkaSpec extends AnyFunSuite {
     assert(m.producedCount == 3 && m.confirmedCount == 3)
   }
 
+  test("timers force a driver cycle with no messages (kafka.py:574-586)") {
+    val dag = new Dag
+    val src = dag.sourceStream(List.empty[String], name = "t")
+    var fired = 0
+    dag.stream3(src, dag.now(), dag.timerManager())(List.empty[Nanos]) {
+      (entries, now, tm) =>
+        if (entries.nonEmpty) tm.setNextTimer(now + 1000L)
+        if (tm.justTriggered) { fired += 1; List(now) } else Nil
+    }
+    var clock = ts("2023-01-01T00:00:00Z")
+    val consumer = new MockConsumer(Map("t" -> Seq(Seq((clock, "x")))))
+    val driver = KafkaDriver.create(
+      dag, consumer, new MockProducer,
+      Map("t" -> ((SourceTopic.fromEarliest[List[String]]("t", noopDeser),
+        ((v: Any) => v.asInstanceOf[List[String]].size): Any => Int))),
+      Map.empty, batchSize = 10, nowNs = () => clock)
+
+    assert(driver.runCycle(0)) // consumes "x", arms the timer
+    clock += 500L
+    assert(!driver.runCycle(0)) // no messages, timer not due: no cycle
+    clock += 1000L
+    assert(driver.runCycle(0)) // timer due: cycle runs WITHOUT messages
+    assert(fired == 1)
+  }
+
   test("spark kafka source options per policy") {
     val t = SourceTopic.fromEarliest[List[String]]("t", noopDeser)
     assert(SparkKafkaOptions.forTopic(t, 0L) ==
