@@ -46,4 +46,53 @@ object Multimodal {
     * (the testdata has no binary column; the plumbing is what's real). */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** Typed feature vector extracted from a payload. */
+  final case class MediaFeatures(doc_id: Long, features: Array[Float])
+
+  /** STUBBED feature extraction (a real impl would run an image/audio model
+    * over the decoded frames): a deterministic 16-bin byte histogram,
+    * L1-normalized — the batch shape (fixed-width float vector per row,
+    * partition-wise) is exactly what an embedding model bridge produces. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRecord].mapPartitions { it =>
+      // model weights would load once per partition here
+      it.map { r =>
+        val hist = new Array[Float](16)
+        r.payload.foreach(b => hist((b & 0xff) / 16) += 1f)
+        val total = math.max(1f, r.payload.length.toFloat)
+        MediaFeatures(r.doc_id, hist.map(_ / total))
+      }
+    }
+  }
+
+  /** STUBBED resize: byte-stride subsampling standing in for image resize —
+    * keeps every `factor`-th byte. Real impl: codec resize per partition. */
+  def resize(spark: SparkSession, media: DataFrame, factor: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRecord].mapPartitions { it =>
+      it.map(r => MediaRecord(r.doc_id,
+        r.payload.zipWithIndex.collect { case (b, i) if i % factor == 0 => b }))
+    }
+  }
+
+  /** A sampled frame: parent id, frame index, frame bytes. */
+  final case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUBBED frame sampling: fixed-size chunks every `stride` bytes stand in
+    * for video frame extraction — note the 1→N flatMap shape (one video row
+    * fans out to many frame rows), which is the real plumbing a video
+    * pipeline needs (explode happens executor-side, no driver involvement). */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      frameSize: Int, stride: Int): Dataset[MediaFrame] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRecord].flatMap { r =>
+      Iterator.range(0, math.max(0, r.payload.length - frameSize + 1), stride)
+        .zipWithIndex
+        .map { case (off, idx) =>
+          MediaFrame(r.doc_id, idx, r.payload.slice(off, off + frameSize))
+        }
+    }
+  }
 }

@@ -49,6 +49,25 @@ object Streaming {
       .agg(count(lit(1)).as("event_cnt"), sum(col(valueCol)).as("sum_value"))
       .select(col("window.start").as("bucket_start"), col("event_cnt"), col("sum_value"))
 
+  /** Sliding event-time window aggregation (window + slide). */
+  def slidingSum(events: DataFrame, tsCol: String, valueCol: String,
+      window: String, slide: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window, slide))
+      .agg(count(lit(1)).as("event_cnt"), sum(col(valueCol)).as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("event_cnt"), col("sum_value"))
+
+  /** Session windows with an inactivity gap — the built-in counterpart of
+    * [[TransformWithStateOps.inactivitySessions]]. */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("event_cnt"))
+      .select(col(keyCol), col("session_window.start").as("session_start"), col("event_cnt"))
+
   /** Per-key cutoff (E8 as a continuous operator): suppress records whose
     * value is unchanged vs the previous record for the key — changelog
     * suppression via keyed state. */

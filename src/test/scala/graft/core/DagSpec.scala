@@ -337,6 +337,21 @@ class DagSpec extends AnyFunSuite {
     assert(records.getValue == Map.empty[String, Long]) // no input => empty
   }
 
+  test("invalid usage is rejected (test_wrong_usage shapes)") {
+    val dag = new Dag
+    // non-empty `empty` value
+    intercept[IllegalArgumentException](dag.sourceStream(List(1), name = "bad"))
+    // input node from another dag
+    val other = new Dag
+    val foreign = other.sourceStream(List.empty[Int], name = "f")
+    intercept[IllegalArgumentException](dag.stream(foreign)(List.empty[Int])(identity))
+    // sink value read on a non-sink; setStream on a non-source
+    val src = dag.sourceStream(List.empty[Int], name = "ok")
+    val node = dag.stream(src)(List.empty[Int])(identity)
+    intercept[IllegalArgumentException](node.getSinkValue)
+    intercept[IllegalArgumentException](node.setStream(List(1)))
+  }
+
   test("stateAdv honours StateUnchanged and SilentUpdate") {
     val dag = new Dag
     val source = dag.sourceStream(List.empty[Int], name = "s")

@@ -85,6 +85,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("session windows group by inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val df = input.toDF().toDF("key", "ts")
+    val query = Streaming.sessionCounts(df, "ts", "key", "10 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("sessions_sw")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        ("a", Timestamp.valueOf("2023-01-01 01:00:00")),
+        ("a", Timestamp.valueOf("2023-01-01 01:05:00")), // same session
+        ("a", Timestamp.valueOf("2023-01-01 02:00:00")), // new session
+        ("b", Timestamp.valueOf("2023-01-01 01:00:00")))
+      drain(query)
+      val rows = spark.table("sessions_sw")
+        .select(col("key"), col("event_cnt")).as[(String, Long)].collect().toSeq
+      assert(rows.sorted == Seq(("a", 1L), ("a", 2L), ("b", 1L)))
+    } finally query.stop()
+  }
+
   test("streamingCutoff suppresses unchanged values per key (E8 streaming)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Tick]
