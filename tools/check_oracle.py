@@ -13,15 +13,10 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def normalize(rows, cols):
+    # Exact compare (no float rounding): stricter than the driver's hash.
     out = []
     for row in rows:
-        vals = []
-        for c in sorted(cols):
-            v = row[c]
-            if isinstance(v, float):
-                v = round(v, 9)
-            vals.append(repr(v))
-        out.append("|".join(vals))
+        out.append("|".join(repr(row[c]) for c in sorted(cols)))
     return sorted(out)
 
 
