@@ -171,7 +171,8 @@ object Ext {
         .select(col("source"), TextAnalysis.tokenCount(col("text")).as("t"))
         .groupBy(col("source"))
         .agg(sum(col("t")).cast("long").as("total_tokens"),
-          min(col("t")).as("min_tokens"), max(col("t")).as("max_tokens"),
+          min(col("t")).cast("long").as("min_tokens"),
+          max(col("t")).cast("long").as("max_tokens"),
           (sum(col("t")).cast("double") / count(lit(1))).as("avg_tokens"))
         .orderBy(col("source")),
       Some("""SELECT source, CAST(SUM(t) AS BIGINT) AS total_tokens,

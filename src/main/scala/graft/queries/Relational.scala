@@ -265,7 +265,7 @@ object Relational {
     QueryDef(
       "q16_string_filter",
       (s, dir) => tbl(s, dir, "documents")
-        .select($"doc_id", length($"text").as("len"),
+        .select($"doc_id", length($"text").cast("long").as("len"),
           $"text".startsWith("the").as("starts_the"),
           $"text".contains("vector").as("has_vector"),
           $"text".endsWith("dup").as("ends_dup"))
