@@ -40,6 +40,13 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: column mismatch oracle={sorted(wcols)} spark={sorted(gcols)}")
             fail += 1
             continue
+        wtypes = {f.name: str(f.type) for f in con.execute(sql).fetch_arrow_table().schema}
+        gtypes = {f.name: str(f.type) for f in pq.read_table(f"{out_dir}/{name}").schema}
+        tdiffs = {c: (wtypes[c], gtypes.get(c)) for c in wtypes if wtypes.get(c) != gtypes.get(c)}
+        if tdiffs:
+            print(f"FAIL {name}: dtype mismatch {tdiffs}")
+            fail += 1
+            continue
         w, g = normalize(want, wcols or gcols), normalize(got, wcols or gcols)
         if w == g:
             print(f"ok   {name} ({len(g)} rows)")
