@@ -142,6 +142,26 @@ class KafkaSpec extends AnyFunSuite {
     assert(aIdx.nonEmpty && bIdx.nonEmpty && aIdx.max < bIdx.min)
   }
 
+  test("priming tracks the watermark per partition within one topic") {
+    // partition 0 is slow (old timestamps), partition 1 is far ahead
+    val data = Map("t" -> Seq(
+      (1 to 12).map(i => (i.toLong * 10L, s"p0-$i")),
+      (1 to 12).map(i => (100000L + i, s"p1-$i"))))
+    val consumer = new MockConsumer(data)
+    val manager = ConsumerManager.create(
+      consumer,
+      Seq(SourceTopic[List[String]]("t", noopDeser, OffsetPolicy.Earliest)),
+      batchSize = 2, nowNs = () => 10000000L)
+    val released = mutable.ArrayBuffer.empty[String]
+    (1 to 40).foreach(_ => released ++= manager.poll(0).map(m => new String(m.value, "UTF-8")))
+    // all of p0 must be released before any of p1 (global event-time order
+    // enforced across partitions of the same topic)
+    val p0 = released.zipWithIndex.filter(_._1.startsWith("p0")).map(_._2)
+    val p1 = released.zipWithIndex.filter(_._1.startsWith("p1")).map(_._2)
+    assert(p0.size == 12 && p1.size == 12)
+    assert(p0.max < p1.min)
+  }
+
   test("word-count end-to-end through KafkaDriver (test_kafka.py:474-586)") {
     val dag = new Dag
     val messages = dag.sourceStream(List.empty[String], name = "words")
