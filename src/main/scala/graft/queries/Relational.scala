@@ -387,6 +387,39 @@ object Relational {
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |GROUP BY l_orderkey ORDER BY etf""".stripMargin),
     ),
+    // Ranking/analytic window functions over a partitioned order.
+    QueryDef(
+      "q37_rank_lag",
+      (s, dir) => {
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        tbl(s, dir, "events")
+          .select($"event_id", $"user_id",
+            rank().over(w).cast("long").as("rk"),
+            lag($"value", 1).over(w).as("prev_value"),
+            lead($"event_type", 1).over(w).as("next_type"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id,
+             |RANK() OVER w AS rk,
+             |LAG(value, 1) OVER w AS prev_value,
+             |LEAD(event_type, 1) OVER w AS next_type
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id""".stripMargin),
+    ),
+
+    // Rollup audit aggregation (source x lang hierarchies) — the data-audit
+    // shape a training pipeline runs over corpus partitions.
+    QueryDef(
+      "q38_rollup",
+      (s, dir) => tbl(s, dir, "documents")
+        .rollup($"source", $"lang")
+        .agg(count(lit(1)).as("doc_cnt"), sum($"n_chars").cast("long").as("chars"))
+        .orderBy($"source".asc_nulls_first, $"lang".asc_nulls_first),
+      Some("""SELECT source, lang, COUNT(*) AS doc_cnt, CAST(SUM(n_chars) AS BIGINT) AS chars
+             |FROM documents GROUP BY ROLLUP (source, lang)
+             |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin),
+    ),
   )
 
   // Sugar: $"..." without importing spark.implicits per closure.
