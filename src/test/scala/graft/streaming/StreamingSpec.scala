@@ -85,6 +85,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("sliding windows overlap buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val df = input.toDF().toDF("ts", "value")
+    val query = Streaming.slidingSum(df, "ts", "value", "1 hour", "30 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("slide_sums")
+      .outputMode("complete").start()
+    try {
+      input.addData((Timestamp.valueOf("2023-01-01 01:40:00"), 2.0))
+      drain(query)
+      // one event lands in two overlapping hourly windows
+      val starts = spark.table("slide_sums")
+        .select(col("bucket_start").cast("string")).as[String].collect().toSet
+      assert(starts == Set("2023-01-01 01:00:00", "2023-01-01 01:30:00"))
+    } finally query.stop()
+  }
+
   test("session windows group by inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp)]
