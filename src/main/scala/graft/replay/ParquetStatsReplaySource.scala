@@ -1,0 +1,84 @@
+package graft.replay
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.core.Time
+import graft.core.Time.Nanos
+
+/** Replay source whose cursor runs off parquet FOOTER STATISTICS only — the
+  * cluster-scale variant of [[SparkTableDataSource]] (which collects the
+  * timestamp column; fine locally, not at 100 TB).
+  *
+  * Per row group the footer holds min/max of the (long-nanos) timestamp
+  * column; `getNext` is the min over row groups not yet passed. That makes
+  * `getNext` conservative (a scheduled cycle may find 0 rows when the range
+  * is sparse inside a row group) — harmless: the dag's emptiness contract
+  * suppresses the update. `readTo` stays an exact lazy slice; the same
+  * min/max stats drive row-group pruning in the scan, so each cycle reads
+  * only the row groups overlapping its window. No data is ever collected.
+  */
+final class ParquetStatsReplaySource(
+    spark: SparkSession, path: String, tsCol: String,
+) extends DataSource[SparkBatch] {
+
+  // One footer read per file: (rowGroupMinTs, rowGroupMaxTs, rowCount).
+  private val rowGroups: Array[(Long, Long, Long)] = {
+    val conf = new Configuration()
+    val fs = new Path(path).getFileSystem(conf)
+    val files = {
+      val st = fs.getFileStatus(new Path(path))
+      if (st.isDirectory)
+        fs.listStatus(new Path(path)).toSeq
+          .filter(f => f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+      else Seq(st.getPath)
+    }
+    files.flatMap { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        reader.getFooter.getBlocks.asScala.map { block =>
+          val chunk = block.getColumns.asScala
+            .find(_.getPath.toDotString == tsCol)
+            .getOrElse(throw new IllegalArgumentException(
+              s"Column $tsCol not found in $f"))
+          val stats = chunk.getStatistics
+          require(stats != null && stats.hasNonNullValue, s"No stats for $tsCol in $f")
+          (stats.genericGetMin.asInstanceOf[Number].longValue(),
+            stats.genericGetMax.asInstanceOf[Number].longValue(),
+            block.getRowCount)
+        }.toSeq
+      } finally reader.close()
+    }.sortBy(_._1).toArray
+  }
+
+  private val df: DataFrame = spark.read.parquet(path)
+  private var prevTs: Nanos = Long.MinValue
+
+  override def readTo(timestamp: Nanos): SparkBatch = {
+    val from = prevTs
+    // upper bound on rows in range from overlapping row groups — enough for
+    // the >0 emptiness gate; exact emptiness is still enforced by the dag
+    val estRows = rowGroups.iterator
+      .filter { case (mn, mx, _) => mx > from && mn <= timestamp }
+      .map(_._3).sum
+    prevTs = timestamp
+    SparkBatch(
+      df.where(col(tsCol) > from && col(tsCol) <= timestamp), estRows)
+  }
+
+  override def getNext: Nanos = {
+    val remaining = rowGroups.iterator.filter(_._2 > prevTs)
+    if (remaining.isEmpty) Time.UtcMax
+    else remaining.map { case (mn, _, _) => math.max(mn, prevTs + 1) }.min
+  }
+
+  override def length(data: SparkBatch): Int =
+    math.min(data.count, Int.MaxValue).toInt
+}

@@ -40,6 +40,26 @@ object TableOps {
       .select(df.columns.map(c => col(s"_last.$c")).toIndexedSeq: _*)
   }
 
+  /** Skew-resistant [[lastByKeys]]: two-stage aggregation over a salted key.
+    * Stage 1 shuffles on (keys, salt) so a hot key spreads over
+    * `saltBuckets` reducers; stage 2 merges the per-salt survivors (tiny:
+    * saltBuckets rows per hot key). `max_by` is associative, so the result
+    * is identical to the unsalted aggregate. Use when a key can dominate a
+    * partition at scale (the salting-for-skew pattern; AQE skew-join handles
+    * joins, this handles aggregations). */
+  def lastByKeysSalted(df: DataFrame, keys: Seq[String], ordering: Seq[String],
+      saltBuckets: Int = 16): DataFrame = {
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    val ord = struct(ordering.map(col).toIndexedSeq: _*)
+    val salted = df
+      .withColumn("_salt", pmod(hash(ordering.map(col).toIndexedSeq: _*), lit(saltBuckets)))
+      .groupBy((keys.map(col) :+ col("_salt")).toIndexedSeq: _*)
+      .agg(max_by(payload, ord).as("_last"), max(ord).as("_ord"))
+    salted.groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(max_by(col("_last"), col("_ord")).as("_last"))
+      .select(df.columns.map(c => col(s"_last.$c")).toIndexedSeq: _*)
+  }
+
   /** Window-based variant of [[lastByKeys]] — used when the full surviving
     * row AND its rank context are needed; otherwise prefer the `max_by`
     * aggregate (cheaper at scale). */

@@ -28,6 +28,15 @@ class TableOpsSpec extends AnyFunSuite {
     assert(latest.collect().toSeq == Seq(Row(1, "d"), Row(2, "e"), Row(3, "c")))
   }
 
+  test("salted lastByKeys equals the unsalted aggregate (skew path)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val plain = TableOps.lastByKeys(df, Seq("user_id"), Seq("ts", "event_id"))
+      .orderBy("user_id").collect().toSeq
+    val salted = TableOps.lastByKeysSalted(df, Seq("user_id"), Seq("ts", "event_id"), 8)
+      .orderBy("user_id").collect().toSeq
+    assert(salted == plain)
+  }
+
   test("lastByKeys max_by and window variants agree") {
     val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val a = TableOps.lastByKeys(df, Seq("user_id"), Seq("ts", "event_id"))
