@@ -69,6 +69,56 @@ object DagQueries {
       .orderBy("user_id")
   }
 
+  /** Per-user changed-value emissions through HOURLY REPLAY CYCLES: the
+    * engine's batching (hour buckets, last-per-user within a cycle, emit
+    * only on change vs held state) must reproduce the SQL ground truth
+    * (hourly-last + LAG != filter). Exercises ReplayDriver warp cycling,
+    * virtual time (bucket = cycle timestamp), keyed state and the
+    * update-suppression contract end-to-end. Cycle payloads are per-hour
+    * deltas (small by construction) — the held state mirrors the
+    * reference's in-memory node state. */
+  private def dagChanges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.replay._
+    import s.implicits._
+    final case class Ev(ts: Long, eventId: Long, userId: Long, value: Double)
+    val events = tbl(s, dir, "events")
+      .select(col("ts"), col("event_id"), col("user_id"), col("value"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => Ev(r._1, r._2, r._3, r._4))
+    val HourNs = 3600L * 1000000000L
+    val start = (events.map(_.ts).min / HourNs) * HourNs
+    val end = ((events.map(_.ts).max + HourNs - 1) / HourNs) * HourNs
+
+    val dag = new Dag
+    val source = dag.sourceStream(List.empty[Ev], name = "events")
+    val held = scala.collection.mutable.Map.empty[Long, Double]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val changes = dag.stream2(source, dag.now())(List.empty[(Long, Long, Double)]) {
+      (batch, now) =>
+        val lastPerUser = batch.groupBy(_.userId).view
+          .mapValues(_.maxBy(e => (e.ts, e.eventId))).toMap
+        val out = lastPerUser.toList.sortBy(_._1).flatMap { case (u, e) =>
+          if (!held.get(u).contains(e.value)) {
+            held(u) = e.value
+            Some((u, now / 1000000000L, e.value))
+          } else None
+        }
+        out
+    }
+    dag.state(changes) { cs: List[(Long, Long, Double)] => emitted ++= cs; emitted.size }
+    dag.sink("changes", changes)
+
+    val driver = ReplayDriver.create(
+      dag,
+      ReplayContext(start, end, HourNs),
+      Map("events" -> (_ => new ListDataSource[Ev](events.toSeq, _.ts))),
+      Map("changes" -> (_ => new graft.replay.ListDataSink[Any])))
+    driver.run()
+
+    emitted.toSeq.toDF("user_id", "bucket_end", "value")
+      .orderBy(col("user_id"), col("bucket_end"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "q35_dag_wordcount",
@@ -83,6 +133,24 @@ object DagQueries {
       Some("""SELECT user_id, event_id AS last_event_id, event_type, value FROM (
              |SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
              |FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin),
+    ),
+    QueryDef(
+      "q39_dag_changes",
+      dagChanges,
+      Some("""WITH hourly AS (
+             |  SELECT user_id,
+             |    ((epoch_ns(ts) - 1) // 3600000000000 + 1) * 3600 AS bucket_end, value,
+             |    ROW_NUMBER() OVER (
+             |      PARTITION BY user_id, ((epoch_ns(ts) - 1) // 3600000000000 + 1) * 3600
+             |      ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events),
+             |seq AS (
+             |  SELECT user_id, bucket_end, value,
+             |    LAG(value) OVER (PARTITION BY user_id ORDER BY bucket_end) AS prev
+             |  FROM hourly WHERE rn = 1)
+             |SELECT user_id, bucket_end, value FROM seq
+             |WHERE prev IS NULL OR value != prev
+             |ORDER BY user_id, bucket_end""".stripMargin),
     ),
   )
 }
