@@ -337,6 +337,23 @@ class DagSpec extends AnyFunSuite {
     assert(records.getValue == Map.empty[String, Long]) // no input => empty
   }
 
+  test("3- and 4-ary node constructors wire all inputs") {
+    val dag = new Dag
+    val a = dag.sourceStream(List.empty[Int], name = "a")
+    val b = dag.sourceStream(List.empty[Int], name = "b")
+    val c = dag.sourceStream(List.empty[Int], name = "c")
+    val d = dag.sourceStream(List.empty[Int], name = "d")
+    val s4 = dag.stream4(a, b, c, d)(List.empty[Int])((w, x, y, z) => w ++ x ++ y ++ z)
+    val latest = (n: Node[List[Int]]) => dag.state(n)(new GetLatest(0) compose ((l: List[Int]) => l))
+    val la = latest(a); val lb = latest(b); val lc = latest(c); val ld = latest(d)
+    val t3 = dag.state3(la, lb, lc)((x: Int, y: Int, z: Int) => x + y + z)
+    val t4 = dag.state4(la, lb, lc, ld)((w: Int, x: Int, y: Int, z: Int) => w + x + y + z)
+    a.setStream(List(1)); b.setStream(List(2)); c.setStream(List(3)); d.setStream(List(4))
+    dag.execute()
+    assert(s4.getValue == List(1, 2, 3, 4))
+    assert(t3.getValue == 6 && t4.getValue == 10)
+  }
+
   test("invalid usage is rejected (test_wrong_usage shapes)") {
     val dag = new Dag
     // non-empty `empty` value
