@@ -86,18 +86,41 @@ object TableOps {
   def concatStreams(dfs: DataFrame*): DataFrame =
     dfs.reduce(_.unionByName(_))
 
+  /** The perspective view's filter comparators as a typed ADT, compiled to
+    * Catalyst columns (reference `perspective_wrapper.py:22-36` lists the 13
+    * supported comparators). */
+  sealed trait ViewFilter { def toColumn: Column }
+  object ViewFilter {
+    final case class Eq(c: String, v: Any) extends ViewFilter { def toColumn = col(c) === v }
+    final case class Ne(c: String, v: Any) extends ViewFilter { def toColumn = col(c) =!= v }
+    final case class Lt(c: String, v: Any) extends ViewFilter { def toColumn = col(c) < v }
+    final case class Gt(c: String, v: Any) extends ViewFilter { def toColumn = col(c) > v }
+    final case class Le(c: String, v: Any) extends ViewFilter { def toColumn = col(c) <= v }
+    final case class Ge(c: String, v: Any) extends ViewFilter { def toColumn = col(c) >= v }
+    final case class IsNull(c: String) extends ViewFilter { def toColumn = col(c).isNull }
+    final case class NotNull(c: String) extends ViewFilter { def toColumn = col(c).isNotNull }
+    final case class In(c: String, vs: Seq[Any]) extends ViewFilter { def toColumn = col(c).isin(vs: _*) }
+    final case class NotIn(c: String, vs: Seq[Any]) extends ViewFilter { def toColumn = !col(c).isin(vs: _*) }
+    final case class BeginsWith(c: String, v: String) extends ViewFilter { def toColumn = col(c).startsWith(v) }
+    final case class Contains(c: String, v: String) extends ViewFilter { def toColumn = col(c).contains(v) }
+    final case class EndsWith(c: String, v: String) extends ViewFilter { def toColumn = col(c).endsWith(v) }
+  }
+
   /** Declarative live-view spec — sort + filters + limit — re-expressing the
     * perspective table definition (reference
-    * `beavers/perspective_wrapper.py:43-77`; 13 filter comparators `:22-36`).
-    * In Spark the "view" is just a derived DataFrame. */
+    * `beavers/perspective_wrapper.py:43-77`). In Spark the "view" is just a
+    * derived DataFrame; `index`/upsert-key semantics come from
+    * [[lastByKeys]]. */
   final case class ViewSpec(
       sortBy: Seq[(String, Boolean)] = Nil, // (column, ascending)
       filters: Seq[Column] = Nil,
+      viewFilters: Seq[ViewFilter] = Nil,
       limit: Option[Int] = None,
   )
 
   def applyView(df: DataFrame, spec: ViewSpec): DataFrame = {
-    val filtered = spec.filters.foldLeft(df)((d, p) => d.filter(p))
+    val allFilters = spec.filters ++ spec.viewFilters.map(_.toColumn)
+    val filtered = allFilters.foldLeft(df)((d, p) => d.filter(p))
     val sorted =
       if (spec.sortBy.isEmpty) filtered
       else filtered.orderBy(spec.sortBy.map { case (c, asc) =>

@@ -68,6 +68,24 @@ class TableOpsSpec extends AnyFunSuite {
     assert(out.collect().toSeq == Seq(Row(3, "c"), Row(2, "b")))
   }
 
+  test("view filter comparators compile to columns (perspective_wrapper.py:22-36)") {
+    import TableOps.ViewFilter._
+    def ids(f: TableOps.ViewFilter) =
+      TableOps.applyView(batch1, ViewSpec(viewFilters = Seq(f)))
+        .select("col1").as[Int].collect().toSet
+    assert(ids(Eq("col2", "b")) == Set(2))
+    assert(ids(Ne("col2", "b")) == Set(1, 3))
+    assert(ids(Lt("col1", 2)) == Set(1))
+    assert(ids(Ge("col1", 2)) == Set(2, 3))
+    assert(ids(In("col2", Seq("a", "c"))) == Set(1, 3))
+    assert(ids(NotIn("col2", Seq("a", "c"))) == Set(2))
+    assert(ids(NotNull("col2")) == Set(1, 2, 3))
+    assert(ids(IsNull("col2")) == Set())
+    assert(ids(BeginsWith("col2", "a")) == Set(1))
+    assert(ids(Contains("col2", "b")) == Set(2))
+    assert(ids(EndsWith("col2", "c")) == Set(3))
+  }
+
   test("delta-driven ETF recompute with DataFrame state inside dag nodes") {
     // The pyarrow_concepts.py:120-191 pattern: only ETFs touched by a price
     // delta are recomputed, with Spark DataFrames as node values.
