@@ -203,6 +203,43 @@ class KafkaSpec extends AnyFunSuite {
     assert(m.producedCount == 3 && m.confirmedCount == 3)
   }
 
+  test("priming watermark exposed until live; metrics count held/released") {
+    val data = Map("t" -> Seq((1 to 6).map(i => (i.toLong * 100L, s"m$i"))))
+    val consumer = new MockConsumer(data)
+    val manager = ConsumerManager.create(
+      consumer, Seq(SourceTopic[List[String]]("t", noopDeser, OffsetPolicy.Earliest)),
+      batchSize = 2, nowNs = () => 1000000L)
+    val r1 = manager.poll(0)
+    // all 6 consumed into the buffer, 2 released per cycle
+    assert(r1.size == 2)
+    val m1 = manager.flushMetrics()
+    assert(m1.consumedMessageCount == 6 && m1.releasedMessageCount == 2 && m1.heldMessageCount == 4)
+    // partition became live on consumption, so watermark is now wall-time
+    assert(manager.primingWatermark.isEmpty)
+    assert(manager.poll(0).size == 2 && manager.poll(0).size == 2)
+    val m2 = manager.flushMetrics()
+    assert(m2.releasedMessageCount == 4 && m2.heldMessageCount == 0 && m2.consumedMessageCount == 0)
+  }
+
+  test("error messages are counted and skipped by the driver") {
+    val dag = new Dag
+    dag.sourceStream(List.empty[String], name = "t")
+    val tp = TopicPartition("t", 0)
+    val consumer = new MockConsumer(Map("t" -> Seq(Seq((10L, "ok"))))) {
+      private var sentError = false
+      override def poll(timeoutMs: Long): Option[KMessage] = {
+        if (!sentError) { sentError = true
+          Some(KMessage(tp, -1L, 5L, null, Array.emptyByteArray, error = Some("boom")))
+        } else super.poll(timeoutMs)
+      }
+    }
+    val manager = ConsumerManager.create(
+      consumer, Seq(SourceTopic[List[String]]("t", noopDeser, OffsetPolicy.Earliest)),
+      batchSize = 10, nowNs = () => 1000L)
+    manager.poll(0)
+    assert(manager.flushMetrics().errorMessageCount == 1)
+  }
+
   test("timers force a driver cycle with no messages (kafka.py:574-586)") {
     val dag = new Dag
     val src = dag.sourceStream(List.empty[String], name = "t")
