@@ -230,6 +230,17 @@ class DagSpec extends AnyFunSuite {
     assert(s1 eq s2)
   }
 
+  test("multiple sinks may share a name; getSinks groups them (dag.py:644-650)") {
+    val dag = new Dag
+    val src = dag.sourceStream(List.empty[Int], name = "s")
+    val doubled = dag.stream(src)(List.empty[Int])(_.map(_ * 2))
+    dag.sink("out", src)
+    dag.sink("out", doubled)
+    assert(dag.getSinks("out").size == 2)
+    src.setStream(List(1, 2)); dag.execute()
+    assert(dag.getSinks("out").map(_.getSinkValue) == Seq(List(1, 2), List(2, 4)))
+  }
+
   test("diamond inputs evaluated once per cycle (test_dag.py:490-514 shape)") {
     val dag = new Dag
     var calls = 0

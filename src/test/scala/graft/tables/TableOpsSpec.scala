@@ -51,6 +51,30 @@ class TableOpsSpec extends AnyFunSuite {
     assert(out.collect().toSeq == Seq(Row(2, "b")))
   }
 
+  test("filter with a dynamic threshold from another node (pyarrow_wrapper.py:112-125)") {
+    // The reference's filter_stream accepts extra node args (e.g. a live
+    // threshold); here the threshold state feeds the predicate per cycle.
+    val dag = new Dag
+    val rows = dag.sourceStream(SparkBatch(spark.emptyDataFrame, 0), name = "rows")
+    val threshold = dag.sourceStream(List.empty[Int], name = "threshold")
+    val thresholdState = dag.state(threshold)(new GetLatestInt(0))
+    val filtered = dag.stream2(rows, thresholdState)(List.empty[Int]) { (b, t) =>
+      if (b.count == 0) Nil
+      else TableOps.filterStream(b.df, col("col1") > t).select("col1").as[Int].collect().toList
+    }
+    rows.setStream(SparkBatch(batch1, 3)); threshold.setStream(List(1))
+    dag.execute()
+    assert(filtered.getValue == List(2, 3))
+    rows.setStream(SparkBatch(batch1, 3)); threshold.setStream(List(2))
+    dag.execute()
+    assert(filtered.getValue == List(3))
+  }
+
+  class GetLatestInt(default: Int) extends (List[Int] => Int) {
+    private var v = default
+    def apply(xs: List[Int]): Int = { if (xs.nonEmpty) v = xs.last; v }
+  }
+
   test("getColumn and concatStreams (W5/W6/W8)") {
     val c = TableOps.getColumn(batch1, "col2").as[String].collect().toSeq
     assert(c == Seq("a", "b", "c"))
