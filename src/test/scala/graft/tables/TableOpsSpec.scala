@@ -28,6 +28,24 @@ class TableOpsSpec extends AnyFunSuite {
     assert(latest.collect().toSeq == Seq(Row(1, "d"), Row(2, "e"), Row(3, "c")))
   }
 
+  test("incremental upsert is associative: any batching equals global lastByKeys") {
+    // the invariant streaming upsert state relies on (W4 stream->table)
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .limit(300).cache()
+    val global = TableOps.lastByKeys(events, Seq("user_id"), Seq("ts", "event_id"))
+      .orderBy("user_id").collect().toSeq
+    for (batches <- Seq(2, 3, 7)) {
+      var state: org.apache.spark.sql.DataFrame = null
+      for (k <- 0 until batches) {
+        val delta = events.where(pmod(col("event_id"), lit(batches)) === k)
+        val all = if (state == null) delta else state.unionByName(delta)
+        state = TableOps.lastByKeys(all, Seq("user_id"), Seq("ts", "event_id"))
+          .localCheckpoint(eager = true)
+      }
+      assert(state.orderBy("user_id").collect().toSeq == global, s"batches=$batches")
+    }
+  }
+
   test("salted lastByKeys equals the unsalted aggregate (skew path)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val plain = TableOps.lastByKeys(df, Seq("user_id"), Seq("ts", "event_id"))
