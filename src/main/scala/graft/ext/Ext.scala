@@ -182,6 +182,70 @@ object Ext {
              |GROUP BY source ORDER BY source""".stripMargin),
     ),
 
+    // The composed curation pipeline: lang filter -> quality filter ->
+    // exact dedup -> near-dup removal -> per-source corpus stats.
+    QueryDef(
+      "q40_curation",
+      (s, dir) => Curation.curate(tbl(s, dir, "documents"), 0.5, 0.5)
+        .orderBy(col("source")),
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, text, source, string_split(text,' ') AS tokens,
+              |    len(string_split(text,' ')) AS t, LENGTH(text) AS c
+              |  FROM documents),
+              |scored AS (
+              |  SELECT doc_id, text, source, t, tokens,
+              |    CAST(len(list_filter(tokens, w -> w IN (${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)/t AS sr,
+              |    ROUND(LEAST(t/50.0,1.0)*0.4 +
+              |      (CAST(len(list_filter(tokens, w -> w IN (${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)/t)*0.3 +
+              |      CASE WHEN (c-(t-1))/CAST(t AS DOUBLE) BETWEEN 3 AND 8 THEN 0.3 ELSE 0.0 END, 6) AS quality
+              |  FROM base),
+              |filtered AS (
+              |  SELECT * FROM scored WHERE sr >= 0.05 AND quality >= 0.5),
+              |exact_kept AS (
+              |  SELECT * FROM filtered
+              |  WHERE doc_id IN (SELECT MIN(doc_id) FROM filtered GROUP BY text)),
+              |sh AS (
+              |  SELECT doc_id,
+              |    list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+              |                   FOR i IN generate_series(1, len(tokens)-2)]) AS s
+              |  FROM exact_kept WHERE len(tokens) >= 3),
+              |dropped AS (
+              |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+              |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+              |kept AS (SELECT * FROM exact_kept
+              |         WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+              |SELECT source, COUNT(*) AS kept_docs, CAST(SUM(t) AS BIGINT) AS kept_tokens,
+              |  MIN(doc_id) AS first_doc
+              |FROM kept GROUP BY source ORDER BY source""".stripMargin),
+    ),
+
+    // Embedding-space dedup: drop the higher id of every cosine>=0.4 pair,
+    // report per-label survivors.
+    QueryDef(
+      "q41_embedding_dedup",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val pairs = Similarity.cosineNearDupPairs(emb, "embedding", "vec_id", 0.4)
+        emb.join(pairs.select(col("b_id").as("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("kept_vecs"), min(col("vec_id")).as("first_vec"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id, label, embedding,
+             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+             |  FROM embeddings),
+             |dropped AS (
+             |  SELECT DISTINCT b.vec_id FROM n a JOIN n b ON a.vec_id < b.vec_id
+             |  WHERE list_sum([CAST(a.embedding[i] AS DOUBLE)*b.embedding[i]
+             |                  FOR i IN generate_series(1,len(a.embedding))])/(a.nrm*b.nrm) >= 0.4)
+             |SELECT label, COUNT(*) AS kept_vecs, MIN(vec_id) AS first_vec
+             |FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+             |GROUP BY label ORDER BY label""".stripMargin),
+    ),
+
     // Multimodal plumbing: binary payloads -> typed partition-wise decode
     // (stubbed codec, real Spark shape).
     QueryDef(
