@@ -97,7 +97,16 @@ object SourceTopic {
 }
 
 /** Per-partition replay state (reference `_PartitionInfo`,
-  * `beavers/kafka.py:223-232`). */
+  * `beavers/kafka.py:223-232`).
+  *
+  * Delta from the reference: `currentOffset` is the LAST CONSUMED offset,
+  * initialized to `startOffset - 1`. The reference initializes it to the
+  * start offset itself, which marks a partition with exactly one pending
+  * message (start == end-1) as live before anything was consumed — the
+  * priming watermark then ignores it and other topics can be released past
+  * its pending data (caught by `PrimingPropertiesSpec`). `liveOffset` is
+  * uniformly "the last offset that must be consumed before the partition is
+  * live". */
 final class PartitionInfo(var currentOffset: Long, val liveOffset: Long) {
   var timestampNs: Nanos = Time.UtcEpoch
   var paused: Boolean = false
@@ -151,14 +160,16 @@ object OffsetResolver {
     }
   }
 
-  /** reference `_resolve_offset_for_time`, `beavers/kafka.py:691-714`. */
+  /** reference `_resolve_offset_for_time`, `beavers/kafka.py:691-714`.
+    * No-data case returns `(end, end - 1)` — start at the log end, already
+    * live (the (start, lastRequiredOffset) convention of [[PartitionInfo]]). */
   private def forTime(consumer: ConsumerClient,
       watermarks: Map[TopicPartition, (Long, Long)],
       timestamp: Nanos): Map[TopicPartition, (Long, Long)] =
     watermarks.map { case (tp, (_, end)) =>
       consumer.offsetForTime(tp, timestamp) match {
         case Some(off) if off >= 0 => tp -> (off, end - 1)
-        case _ => tp -> (end, end) // nothing at/after ts: start live
+        case _ => tp -> (end, end - 1) // nothing at/after ts: start live
       }
     }
 
@@ -196,7 +207,9 @@ final class ConsumerManager(
 ) {
   private val maxHeldMessages = batchSize * 5
   private val partitionInfo: Map[TopicPartition, PartitionInfo] =
-    partitionOffsets.map { case (tp, (start, end)) => tp -> new PartitionInfo(start, end) }
+    partitionOffsets.map { case (tp, (start, lastRequired)) =>
+      tp -> new PartitionInfo(start - 1, lastRequired)
+    }
   private var heldMessages = Vector.empty[KMessage]
   private var lowWaterMarkNs: Nanos = Time.UtcEpoch
   private var pausedCount = 0
