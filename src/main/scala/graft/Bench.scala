@@ -17,7 +17,11 @@ object Bench {
       .selectExpr("sum(l_quantity)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Write to the noop sink so the MEASURED plan is the VERIFIED plan:
+      // under a bare count() Catalyst prunes projections and drops top-level
+      // sorts (TakeOrderedAndProject, window projections), understating cost.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -188,12 +188,21 @@ final class Dag {
     addNode(new Node[T](_ => StateUnchanged, Nil, None, constValue, 0, callSite(), Plain))
 
   /** Named injectable source stream; clears itself after each read
-    * (reference `beavers/dag.py:426-463`). */
+    * (reference `beavers/dag.py:426-463`). Registering an existing name
+    * returns the existing node only when the empty value agrees (same class,
+    * equal value); otherwise it throws, matching the reference's
+    * "Duplicate source" error (`beavers/dag.py:448-453`) instead of silently
+    * reusing a node of a different type. */
   def sourceStream[T](empty: => T, name: String = "")(implicit hl: HasLength[T]): Node[T] = {
     val factory = () => checkEmpty(empty)(hl)
-    if (name.nonEmpty && sources.contains(name))
-      sources(name).asInstanceOf[Node[T]]
-    else {
+    if (name.nonEmpty && sources.contains(name)) {
+      val existing = sources(name)
+      val existingEmpty = existing.kind.asInstanceOf[SourceStream[_]].emptyFactory()
+      val newEmpty = factory()
+      if (existingEmpty.getClass != newEmpty.getClass || existingEmpty != newEmpty)
+        throw new IllegalArgumentException(s"Duplicate source: $name")
+      existing.asInstanceOf[Node[T]]
+    } else {
       val kind = new SourceStream[T](name, factory)
       val fn: Seq[Any] => Any = { _ =>
         val out = if (kind.pending.asInstanceOf[AnyRef] eq ValueEmpty) factory() else kind.pending

@@ -19,15 +19,15 @@ object TextAnalysis {
   /** Tiny English-stopword list used by the language-ID n-gram heuristic. */
   val EnStopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
 
-  private def stopwordSql = EnStopwords.map(w => s"'$w'").mkString("(", ",", ")")
-
   def tokens(text: Column): Column = split(text, " ")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Fraction of tokens that are English stopwords — the language-ID score. */
+  /** Fraction of tokens that are English stopwords — the language-ID score.
+    * Built from the passed Column (not a hardcoded column name) so it works
+    * for any text expression. */
   def stopwordRatio(text: Column): Column =
-    expr(s"size(filter(split(text, ' '), w -> w IN $stopwordSql))") / size(tokens(text))
+    size(filter(tokens(text), w => w.isInCollection(EnStopwords))) / size(tokens(text))
 
   /** Heuristic language ID: stopword-hit ratio thresholding. */
   def langPred(scoreCol: Column): Column =

@@ -223,7 +223,7 @@ final class ConsumerManager(
       consumedMessageSize = metrics.consumedMessageSize + newMessages.map(_.value.length.toLong).sum,
       errorMessageCount = metrics.errorMessageCount + newMessages.count(_.error.isDefined))
 
-    heldMessages = (heldMessages ++ newMessages).sortBy(_.timestampNs)
+    heldMessages = (heldMessages ++ newMessages).sortBy(effectiveTs)
     updatePartitionInfo(newMessages)
 
     val releaseLimit =
@@ -264,12 +264,20 @@ final class ConsumerManager(
     out.toSeq
   }
 
+  /** Timestamp used for ordering and watermark gating: a message without a
+    * broker timestamp (ts <= 0, the TIMESTAMP_NOT_AVAILABLE case) sorts LAST
+    * and is held until the priming watermark passes — never released out of
+    * global event-time order during replay (reference `_get_message_ns`,
+    * `beavers/kafka.py:683-686`, maps it to UTC_MAX). */
+  private def effectiveTs(m: KMessage): Nanos =
+    if (m.timestampNs <= 0) Time.UtcMax else m.timestampNs
+
   /** First index past the watermark, capped at batchSize
     * (reference `_get_limit`, `beavers/kafka.py:335-341`). */
   private def getLimit(watermark: Nanos): Int = {
     var i = 0
     while (i < heldMessages.size && i < batchSize &&
-      heldMessages(i).timestampNs <= watermark) i += 1
+      effectiveTs(heldMessages(i)) <= watermark) i += 1
     i
   }
 

@@ -19,10 +19,13 @@ import graft.core.Time.Nanos
   * Per row group the footer holds min/max of the (long-nanos) timestamp
   * column; `getNext` is the min over row groups not yet passed. That makes
   * `getNext` conservative (a scheduled cycle may find 0 rows when the range
-  * is sparse inside a row group) — harmless: the dag's emptiness contract
-  * suppresses the update. `readTo` stays an exact lazy slice; the same
-  * min/max stats drive row-group pruning in the scan, so each cycle reads
-  * only the row groups overlapping its window. No data is ever collected.
+  * is sparse inside a row group). `readTo` stays an exact lazy slice; the
+  * same min/max stats drive row-group pruning in the scan, so each cycle
+  * reads only the row groups overlapping its window. No data is ever
+  * collected. The batch `count` is exact about EMPTINESS (0 vs > 0 — the
+  * contract the dag's update suppression relies on) but may overstate the
+  * row count when the window only partially covers a row group; see
+  * [[DataSource.length]].
   */
 final class ParquetStatsReplaySource(
     spark: SparkSession, path: String, tsCol: String,
@@ -63,20 +66,33 @@ final class ParquetStatsReplaySource(
 
   override def readTo(timestamp: Nanos): SparkBatch = {
     val from = prevTs
-    // upper bound on rows in range from overlapping row groups — enough for
-    // the >0 emptiness gate; exact emptiness is still enforced by the dag
-    val estRows = rowGroups.iterator
-      .filter { case (mn, mx, _) => mx > from && mn <= timestamp }
-      .map(_._3).sum
+    val overlapping = rowGroups.filter { case (mn, mx, _) => mx > from && mn <= timestamp }
+    // Row groups FULLY inside (from, timestamp] contribute an exact count;
+    // partially-overlapping groups only an upper bound. The emptiness gate
+    // (count == 0 vs > 0) must be exact — the dag treats an empty batch as
+    // "not updated" — so when only partial groups overlap, probe with a
+    // limit-1 scan (row-group-pruned by the same stats; cheap, metadata-sized
+    // IO) instead of trusting the estimate. `count` may still overstate the
+    // exact row count for partial groups (documented on DataSource.length).
+    val (full, partial) = overlapping.partition { case (mn, mx, _) =>
+      mn > from && mx <= timestamp
+    }
+    val sliced = df.where(col(tsCol) > from && col(tsCol) <= timestamp)
+    val exactFull = full.map(_._3).sum
+    val count =
+      if (exactFull > 0) exactFull + partial.map(_._3).sum
+      else if (partial.nonEmpty && !sliced.isEmpty) partial.map(_._3).sum
+      else 0L
     prevTs = timestamp
-    SparkBatch(
-      df.where(col(tsCol) > from && col(tsCol) <= timestamp), estRows)
+    SparkBatch(sliced, count)
   }
 
   override def getNext: Nanos = {
-    val remaining = rowGroups.iterator.filter(_._2 > prevTs)
+    // materialize before testing emptiness: Iterator.isEmpty invalidates the
+    // iterator, so filter to a strict collection first
+    val remaining = rowGroups.filter(_._2 > prevTs)
     if (remaining.isEmpty) Time.UtcMax
-    else remaining.map { case (mn, _, _) => math.max(mn, prevTs + 1) }.min
+    else remaining.iterator.map { case (mn, _, _) => math.max(mn, prevTs + 1) }.min
   }
 
   override def length(data: SparkBatch): Int =

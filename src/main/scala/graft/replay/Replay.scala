@@ -19,7 +19,11 @@ trait DataSource[T] {
   def readTo(timestamp: Nanos): T
   /** Next timestamp with data, or `Time.UtcMax` when exhausted. */
   def getNext: Nanos
-  /** Record count of a batch returned by [[readTo]]. */
+  /** Record count of a batch returned by [[readTo]]. Lazy (DataFrame-valued)
+    * sources may return an UPPER BOUND to avoid running a job per cycle, but
+    * the emptiness signal must be exact: 0 iff the batch has no rows — the
+    * replay driver uses `length > 0` to decide whether to inject the batch
+    * and the dag's update-suppression contract depends on it. */
   def length(data: T): Int
 }
 

@@ -401,4 +401,17 @@ class DagSpec extends AnyFunSuite {
     source.setStream(List(-3)); dag.execute() // silent: value moves, no notify
     assert(n.getValue == -3 && downstreamTouches.get == base + 1)
   }
+
+  test("duplicate source name: same empty reuses the node, different empty throws (dag.py:448-453)") {
+    val dag = new Dag
+    val a = dag.sourceStream(List.empty[Int], name = "dup")
+    // identical empty value => the existing node is returned
+    assert(dag.sourceStream(List.empty[Int], name = "dup") eq a)
+    // different element type / empty value => build-time error, not a distant
+    // ClassCastException at runtime
+    val err = intercept[IllegalArgumentException] {
+      dag.sourceStream(Set.empty[String], name = "dup")
+    }
+    assert(err.getMessage.contains("Duplicate source: dup"))
+  }
 }

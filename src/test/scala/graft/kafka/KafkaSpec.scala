@@ -120,6 +120,24 @@ class KafkaSpec extends AnyFunSuite {
     assert(manager.primingWatermark.isEmpty) // both partitions live at the end
   }
 
+  test("untimestamped messages sort last and are held until live (kafka.py:683-686)") {
+    // u1 has no broker timestamp (ts = 0 => TIMESTAMP_NOT_AVAILABLE): it must
+    // be released AFTER every timestamped message, never first during priming.
+    val data = Map(
+      "a" -> Seq(Seq((0L, "u1"), (10L, "a1"), (30L, "a2"))),
+      "b" -> Seq(Seq((20L, "b1"))))
+    val consumer = new MockConsumer(data)
+    val topics = Seq(
+      SourceTopic[List[String]]("a", noopDeser, OffsetPolicy.Earliest),
+      SourceTopic[List[String]]("b", noopDeser, OffsetPolicy.Earliest))
+    val manager = ConsumerManager.create(consumer, topics, batchSize = 2, nowNs = () => 1000L)
+    val released = mutable.ArrayBuffer.empty[String]
+    (1 to 10).foreach { _ =>
+      released ++= manager.poll(0).map(m => new String(m.value, "UTF-8"))
+    }
+    assert(released.toList == List("a1", "b1", "a2", "u1"))
+  }
+
   test("backpressure pauses the partition running ahead (kafka.py:349-381)") {
     // topic b is far ahead in time and has many messages: with a tiny batch
     // size its partition must get paused while a catches up
