@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.functions._
+import graft.functions.RhpSig
 import graft.queries.QueryDef
 import graft.queries.QueryDef.tbl
 
@@ -9,6 +10,53 @@ import graft.queries.QueryDef.tbl
   * (brute-force + LSH ANN), text analysis (lang-ID, quality, tokens,
   * fingerprint), multimodal plumbing. */
 object Ext {
+
+  /** RHP-LSH parameters for the embedding near-dup/dedup queries, shared by
+    * the Spark plan AND the DuckDB oracle (the +-1 plane signs are
+    * interpolated into the SQL as literals, so both engines compute the
+    * exact same bucket assignments — the oracle checks the BUCKETED
+    * semantics, not a brute-force approximation of them). */
+  private val LshTables = 32
+  private val LshBits = 5
+  private val EmbDim = 64
+
+  /** `(p, [s1,...,s64])` rows for the oracle's planes relation — generated
+    * from the same [[RhpSig.planeSign]] the codegen expression uses. */
+  private def planesValuesSql: String =
+    (0 until LshTables * LshBits).map { p =>
+      s"($p, [${(0 until EmbDim).map(i => RhpSig.planeSign(p, i)).mkString(",")}])"
+    }.mkString(", ")
+
+  /** Shared oracle CTEs: bucket signatures, distinct within-bucket candidate
+    * pairs, and norms — the SQL replica of
+    * [[Similarity.cosineNearDupPairsLsh]]'s bucketing. */
+  private def lshCtesSql: String =
+    s"""planes(p, s) AS (SELECT * FROM (VALUES $planesValuesSql) v(p, s)),
+       |sig AS (
+       |  SELECT e.vec_id, pl.p // $LshBits AS tbl,
+       |    SUM(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE) * pl.s[i]
+       |                            FOR i IN generate_series(1, len(e.embedding))]) > 0
+       |             THEN (1::BIGINT << (pl.p % $LshBits)) ELSE 0::BIGINT END) AS sig
+       |  FROM embeddings e, planes pl
+       |  GROUP BY e.vec_id, pl.p // $LshBits),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM sig a JOIN sig b
+       |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id),
+       |n AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+       |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+       |  FROM embeddings),
+       |verified AS (
+       |  SELECT a_id, b_id, cos_sim FROM (
+       |    SELECT c.a_id, c.b_id,
+       |      list_sum([CAST(na.embedding[i] AS DOUBLE)*nb.embedding[i]
+       |                FOR i IN generate_series(1,len(na.embedding))])/(na.nrm*nb.nrm) AS cos_sim
+       |    FROM cand c
+       |    JOIN n na ON na.vec_id = c.a_id
+       |    JOIN n nb ON nb.vec_id = c.b_id)
+       |  WHERE cos_sim >= 0.4)""".stripMargin
 
   def all: Seq[QueryDef] = Seq(
 
@@ -92,10 +140,12 @@ object Ext {
              |ORDER BY qid, sim DESC, nid""".stripMargin),
     ),
 
-    // Embedding near-dup pairs (cosine >= 0.4).
+    // Embedding near-dup pairs (cosine >= 0.4) — the EXACT small-n
+    // reference mode (O(n^2) by definition; the scale path is
+    // q42_embedding_neardup_lsh and the LSH-routed q41 pipeline).
     QueryDef(
       "q29_cosine_neardup",
-      (s, dir) => Similarity.cosineNearDupPairs(
+      (s, dir) => Similarity.cosineNearDupPairsExact(
           tbl(s, dir, "embeddings"), "embedding", "vec_id", 0.4)
         .orderBy(col("a_id"), col("b_id")),
       Some("""WITH n AS (
@@ -220,30 +270,40 @@ object Ext {
               |FROM kept GROUP BY source ORDER BY source""".stripMargin),
     ),
 
-    // Embedding-space dedup: drop the higher id of every cosine>=0.4 pair,
-    // report per-label survivors.
+    // Embedding near-dup pairs via RHP-LSH buckets — the scale path: the
+    // exact-verify stage only ever compares within (table, signature)
+    // buckets. The oracle replicates the bucketing bit-for-bit (interpolated
+    // plane literals), so this checks the LSH semantics exactly. Recall vs
+    // the exact pair set: 59/59 at sf0.01, ~0.976 at sf0.1 (RhpSigSpec).
+    QueryDef(
+      "q42_embedding_neardup_lsh",
+      (s, dir) => Similarity.cosineNearDupPairsLsh(
+          tbl(s, dir, "embeddings"), "embedding", "vec_id", 0.4, LshTables, LshBits)
+        .orderBy(col("a_id"), col("b_id")),
+      Some(s"""WITH $lshCtesSql
+              |SELECT a_id, b_id, cos_sim FROM verified
+              |ORDER BY a_id, b_id""".stripMargin),
+    ),
+
+    // Embedding-space dedup, LSH-routed: drop the higher id of every
+    // within-bucket cosine>=0.4 pair, report per-label survivors. No
+    // all-pairs join anywhere in the pipeline.
     QueryDef(
       "q41_embedding_dedup",
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
-        val pairs = Similarity.cosineNearDupPairs(emb, "embedding", "vec_id", 0.4)
+        val pairs = Similarity.cosineNearDupPairsLsh(
+          emb, "embedding", "vec_id", 0.4, LshTables, LshBits)
         emb.join(pairs.select(col("b_id").as("vec_id")).distinct(), Seq("vec_id"), "left_anti")
           .groupBy(col("label"))
           .agg(count(lit(1)).as("kept_vecs"), min(col("vec_id")).as("first_vec"))
           .orderBy(col("label"))
       },
-      Some("""WITH n AS (
-             |  SELECT vec_id, label, embedding,
-             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
-             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
-             |  FROM embeddings),
-             |dropped AS (
-             |  SELECT DISTINCT b.vec_id FROM n a JOIN n b ON a.vec_id < b.vec_id
-             |  WHERE list_sum([CAST(a.embedding[i] AS DOUBLE)*b.embedding[i]
-             |                  FOR i IN generate_series(1,len(a.embedding))])/(a.nrm*b.nrm) >= 0.4)
-             |SELECT label, COUNT(*) AS kept_vecs, MIN(vec_id) AS first_vec
-             |FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
-             |GROUP BY label ORDER BY label""".stripMargin),
+      Some(s"""WITH $lshCtesSql,
+              |dropped AS (SELECT DISTINCT b_id AS vec_id FROM verified)
+              |SELECT label, COUNT(*) AS kept_vecs, MIN(vec_id) AS first_vec
+              |FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+              |GROUP BY label ORDER BY label""".stripMargin),
     ),
 
     // Multimodal plumbing: binary payloads -> typed partition-wise decode

@@ -52,9 +52,11 @@ object Similarity {
     sims.withColumn("rk", row_number().over(w)).where(col("rk") <= k).drop("rk")
   }
 
-  /** All pairs (a < b) with cosine >= threshold — embedding near-dup
-    * detection. Brute-force here; LSH-bucketed at scale (see [[annTopK]]). */
-  def cosineNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
+  /** All pairs (a < b) with cosine >= threshold — the EXACT formulation.
+    * This is a conditional cross product (O(n^2)): it exists as the small-n
+    * reference/oracle mode only; every scale consumer routes through
+    * [[cosineNearDupPairsLsh]] (bucketed, no all-pairs join anywhere). */
+  def cosineNearDupPairsExact(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double): DataFrame = {
     val n = withNorm(df, vecCol)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("nrm"))
@@ -64,32 +66,68 @@ object Similarity {
       .where(col("cos_sim") >= threshold)
   }
 
-  /** Multi-table random-hyperplane LSH signatures: `tables` independent
-    * `bitsPerTable`-bit signatures, exploded to (table, sig) bucket keys.
-    * Hyperplane component (bit j, dim i) is a deterministic ±1 from
-    * xxhash64 — no stored planes, pure codegen. */
-  def rhpBuckets(vecCol: String, tables: Int = 4, bitsPerTable: Int = 8): Column = expr(
-    s"""transform(sequence(0, ${tables - 1}), t -> struct(t as tbl,
-       |  aggregate(sequence(t * $bitsPerTable, t * $bitsPerTable + ${bitsPerTable - 1}),
-       |            0L, (acc, j) -> acc + if(
-       |    aggregate(zip_with($vecCol, sequence(0, size($vecCol) - 1),
-       |                       (x, i) -> cast(x as double) * if((xxhash64(j, i) & 1) = 1, 1.0, -1.0)),
-       |              cast(0.0 as double), (a, y) -> a + y) > 0,
-       |    shiftleft(cast(1 as bigint), j % $bitsPerTable), 0L)) as sig))""".stripMargin)
+  /** Multi-table random-hyperplane LSH signature column — `tables` longs,
+    * one `bits`-bit signature each. Backed by the codegen'd
+    * [[graft.functions.RhpSig]] expression (deterministic +-1 planes from
+    * splitmix64; exactly reproducible by the DuckDB oracle via interpolated
+    * sign literals). */
+  def rhpSig(vec: Column, tables: Int, bits: Int): Column =
+    call_function("graft_rhp_sig", vec, lit(tables), lit(bits))
+
+  /** (id, tbl, sig) bucket rows: one row per (vector, hash table). */
+  private def sigBuckets(df: DataFrame, vecCol: String, idCol: String,
+      tables: Int, bits: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      posexplode(rhpSig(col(vecCol), tables, bits)).as(Seq("tbl", "sig")))
+
+  /** LSH-bucketed near-dup pairs: candidates must share a (table, signature)
+    * bucket in at least one of the `tables` hash tables; survivors are
+    * exactly verified (cosine >= threshold) WITHIN buckets only — no
+    * all-pairs join anywhere. The candidate join carries only (id, tbl, sig);
+    * vectors are joined back by id for the verify stage, so the shuffles are
+    * O(n * tables) id-size rows plus O(candidates) vector lookups.
+    *
+    * Recall bound: a pair at cosine c shares one table's bucket with
+    * probability (1 - arccos(c)/pi)^bits, so
+    * recall(c) = 1 - (1 - (1 - arccos(c)/pi)^bits)^tables.
+    * With the defaults (tables=32, bits=5) recall at c=0.4 is ~0.96
+    * (measured 1.00 at sf0.01, 0.976 at sf0.1 on the test corpus); far
+    * pairs rarely collide. At larger corpus sizes, grow `bits` ~ log2(n)
+    * to keep per-bucket occupancy — and hence the verify cost — flat. */
+  def cosineNearDupPairsLsh(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, tables: Int = 32, bits: Int = 5): DataFrame = {
+    val n = withNorm(df, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("nrm"))
+    val sigs = sigBuckets(df, vecCol, idCol, tables, bits)
+    val candidates = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    candidates
+      .join(n.select(col("id").as("a_id"), col("v").as("va"), col("nrm").as("na")), "a_id")
+      .join(n.select(col("id").as("b_id"), col("v").as("vb"), col("nrm").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
 
   /** LSH-bucketed approximate top-k: candidates share a bucket in at least
     * one of the hash tables; exact cosine re-rank on the (deduplicated)
-    * candidate set. Approximate by design (no oracle) — the scale path for
-    * ANN: bucket join + per-bucket work instead of a corpus scan per query. */
+    * candidate set. Approximate by design — the scale path for ANN: bucket
+    * join + per-bucket work instead of a corpus scan per query. Defaults
+    * measured at recall@5 ~= 0.98 vs [[bruteForceTopK]] on the sf0.01
+    * corpus (see RhpSigSpec). */
   def annTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-      idCol: String, k: Int, tables: Int = 4, bitsPerTable: Int = 8): DataFrame = {
+      idCol: String, k: Int, tables: Int = 32, bitsPerTable: Int = 4): DataFrame = {
     def bucketed(df: DataFrame, id: String) =
       withNorm(df, vecCol)
         .select(col(idCol).as(id), col(vecCol).as(s"v_$id"), col("nrm").as(s"nrm_$id"),
-          explode(rhpBuckets(vecCol, tables, bitsPerTable)).as("bucket"))
+          posexplode(rhpSig(col(vecCol), tables, bitsPerTable)).as(Seq("tbl", "sig")))
     val c = bucketed(corpus, "nid")
     val q = bucketed(queries, "qid")
-    val candidates = c.join(broadcast(q), Seq("bucket"))
+    val candidates = c.join(broadcast(q), Seq("tbl", "sig"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), col("v_qid"), col("v_nid"),
         col("nrm_qid"), col("nrm_nid"))

@@ -94,5 +94,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_vec_dot takes exactly 2 arguments")
         VecDot(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_rhp_sig"),
+      new ExpressionInfo(classOf[RhpSig].getName, "graft_rhp_sig"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3 || children.size == 4,
+          "graft_rhp_sig takes (vec, tables, bits[, dim])")
+        def intLit(e: Expression, what: String): Int = e match {
+          case lit if lit.foldable => lit.eval() match {
+            case i: Int => i
+            case other => throw new IllegalArgumentException(
+              s"graft_rhp_sig: $what must be an int literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            s"graft_rhp_sig: $what must be a literal")
+        }
+        RhpSig(children.head,
+          intLit(children(1), "tables"), intLit(children(2), "bits"),
+          if (children.size == 4) intLit(children(3), "dim") else RhpSig.DefaultDim)
+      }))
   }
 }
