@@ -69,54 +69,79 @@ object DagQueries {
       .orderBy("user_id")
   }
 
-  /** Per-user changed-value emissions through HOURLY REPLAY CYCLES: the
-    * engine's batching (hour buckets, last-per-user within a cycle, emit
-    * only on change vs held state) must reproduce the SQL ground truth
-    * (hourly-last + LAG != filter). Exercises ReplayDriver warp cycling,
-    * virtual time (bucket = cycle timestamp), keyed state and the
-    * update-suppression contract end-to-end. Cycle payloads are per-hour
-    * deltas (small by construction) — the held state mirrors the
-    * reference's in-memory node state. */
+  /** Per-user changed-value emissions through REPLAY CYCLES with NOTHING
+    * materialized on the driver: the fact table streams through
+    * [[graft.replay.ParquetStatsReplaySource]] (footer-stats cursor, lazy
+    * slices), each cycle computes hour buckets + last-per-(user, hour) +
+    * change-vs-held-state as Spark plans, and the held state itself is a
+    * keyed DataFrame upserted per cycle (the reference's in-memory node
+    * state, kept distributed). Must reproduce the SQL ground truth
+    * (hourly-last + LAG != filter).
+    *
+    * Scale shape: cycle payloads are bounded time slices (the replay
+    * cadence), the per-cycle work is two key-shuffles (hour aggregation,
+    * state upsert), and state is one row per user — at 100 TB nothing here
+    * depends on driver memory. The replay cadence is one week per cycle
+    * with the hourly logic expressed WITHIN the cycle's plan (window over
+    * hour buckets seeded by the held state), so cycle count stays O(weeks)
+    * while semantics stay per-hour. */
   private def dagChanges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import graft.replay._
-    import s.implicits._
-    final case class Ev(ts: Long, eventId: Long, userId: Long, value: Double)
-    val events = tbl(s, dir, "events")
-      .select(col("ts"), col("event_id"), col("user_id"), col("value"))
-      .as[(Long, Long, Long, Double)].collect()
-      .map(r => Ev(r._1, r._2, r._3, r._4))
+    import org.apache.spark.sql.expressions.Window
     val HourNs = 3600L * 1000000000L
-    val start = (events.map(_.ts).min / HourNs) * HourNs
-    val end = ((events.map(_.ts).max + HourNs - 1) / HourNs) * HourNs
+    val WeekNs = 7L * 24 * HourNs
+    val eventsSource = new ParquetStatsReplaySource(s, s"$dir/events.parquet", "ts")
+    // Cycle boundaries must be hour-aligned (so no hour bucket is split
+    // across cycles) and the horizon must reach past the last event at the
+    // weekly cadence (the driver advances in ceil-to-frequency steps — an
+    // unaligned end would leave the tail slice unread).
+    val start = ReplayDriver.ceil(eventsSource.minTimestamp, HourNs)
+    val end = ReplayDriver.ceil(eventsSource.maxTimestamp, WeekNs)
 
     val dag = new Dag
-    val source = dag.sourceStream(List.empty[Ev], name = "events")
-    val held = scala.collection.mutable.Map.empty[Long, Double]
-    val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-    val changes = dag.stream2(source, dag.now())(List.empty[(Long, Long, Double)]) {
-      (batch, now) =>
-        val lastPerUser = batch.groupBy(_.userId).view
-          .mapValues(_.maxBy(e => (e.ts, e.eventId))).toMap
-        val out = lastPerUser.toList.sortBy(_._1).flatMap { case (u, e) =>
-          if (!held.get(u).contains(e.value)) {
-            held(u) = e.value
-            Some((u, now / 1000000000L, e.value))
-          } else None
-        }
-        out
+    val source = dag.sourceStream(SparkBatch(s.emptyDataFrame, 0), name = "events")
+    var stateDf: DataFrame = null // (user_id, held) — last hourly value per user
+    var emittedDf: DataFrame = null // accumulated (user_id, bucket_end, value)
+    val state = dag.state(source) { b: SparkBatch =>
+      // hour bucket via integer division (ts exceeds double's exact range)
+      val hourly = graft.tables.TableOps.lastByKeys(
+        b.df.withColumn("bucket_end", expr(s"((ts - 1) div $HourNs + 1) * 3600")),
+        Seq("user_id", "bucket_end"), Seq("ts", "event_id"))
+        .select(col("user_id"), col("bucket_end"), col("value"))
+      val withPrev = hourly.withColumn("prev_c",
+        lag(col("value"), 1).over(Window.partitionBy(col("user_id")).orderBy(col("bucket_end"))))
+      val seeded =
+        if (stateDf == null) withPrev.withColumn("prev", col("prev_c"))
+        else withPrev.join(stateDf, Seq("user_id"), "left_outer")
+          .withColumn("prev", coalesce(col("prev_c"), col("held")))
+      val emit = seeded
+        .where(col("prev").isNull || col("value") =!= col("prev"))
+        .select(col("user_id"), col("bucket_end"), col("value"))
+      // upsert held state: this cycle's last hourly value wins per user
+      val cycleLast = graft.tables.TableOps.lastByKeys(hourly, Seq("user_id"), Seq("bucket_end"))
+        .select(col("user_id"), col("value").as("held"))
+      stateDf =
+        (if (stateDf == null) cycleLast
+         else stateDf.withColumnRenamed("held", "held_old")
+           .join(cycleLast, Seq("user_id"), "full_outer")
+           .select(col("user_id"), coalesce(col("held"), col("held_old")).as("held")))
+          .localCheckpoint(eager = true)
+      // No checkpoint for emissions: the union chain is one level per cycle
+      // (bounded by the weekly cadence) and each level pins only a
+      // checkpointed state + a parquet slice — one final job computes it all.
+      emittedDf = if (emittedDf == null) emit else emittedDf.unionByName(emit)
+      emittedDf
     }
-    dag.state(changes) { cs: List[(Long, Long, Double)] => emitted ++= cs; emitted.size }
-    dag.sink("changes", changes)
+    dag.sink("changes", state)
 
     val driver = ReplayDriver.create(
       dag,
-      ReplayContext(start, end, HourNs),
-      Map("events" -> (_ => new ListDataSource[Ev](events.toSeq, _.ts))),
-      Map("changes" -> (_ => new graft.replay.ListDataSink[Any])))
+      ReplayContext(start, end, WeekNs),
+      Map("events" -> (_ => eventsSource)),
+      Map("changes" -> (_ => new ListDataSink[Any])))
     driver.run()
 
-    emitted.toSeq.toDF("user_id", "bucket_end", "value")
-      .orderBy(col("user_id"), col("bucket_end"))
+    state.getValue.orderBy(col("user_id"), col("bucket_end"))
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -64,6 +64,11 @@ final class ParquetStatsReplaySource(
   private val df: DataFrame = spark.read.parquet(path)
   private var prevTs: Nanos = Long.MinValue
 
+  /** Earliest/latest timestamp in the file, from footer stats only — lets a
+    * replay driver derive its window without scanning data. */
+  def minTimestamp: Nanos = rowGroups.iterator.map(_._1).min
+  def maxTimestamp: Nanos = rowGroups.iterator.map(_._2).max
+
   override def readTo(timestamp: Nanos): SparkBatch = {
     val from = prevTs
     val overlapping = rowGroups.filter { case (mn, mx, _) => mx > from && mn <= timestamp }
