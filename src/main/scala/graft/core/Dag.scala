@@ -160,6 +160,15 @@ private[core] object Node {
   *  - `getCycleId == dag.getCycleId` is the "updated this cycle" test;
   *  - diamond inputs are evaluated once per cycle.
   */
+object Dag {
+  /** Typed positional extractor for [[Dag.streamN]]/[[Dag.stateN]] input
+    * values (the Scala face of the reference's `_NodeInputs`). */
+  final class Inputs private[core] (vs: Seq[Any]) {
+    def size: Int = vs.size
+    def as[A](i: Int): A = vs(i).asInstanceOf[A]
+  }
+}
+
 final class Dag {
   import Node.{Kind, Plain, Sink, SourceStream, NowSource, Timer, ValueEmpty}
 
@@ -232,6 +241,25 @@ final class Dag {
       empty: => T)(f: (A, B, C, D) => T): Node[T] =
     addStream(vs => f(vs(0).asInstanceOf[A], vs(1).asInstanceOf[B], vs(2).asInstanceOf[C],
       vs(3).asInstanceOf[D]), dedup(a, b, c, d), () => empty, callSite(), Plain)
+
+  /** Arbitrary-arity stream transform over a Seq of input nodes — covers the
+    * reference's `map(*nodes, **nodes)` call shapes beyond arity 4
+    * (reference `_NodeInputs`, `beavers/dag.py:179-205`; kwargs wiring
+    * `dag.py:363-374`). Python's keyword wiring maps to Scala named
+    * arguments at the call site; inside the function, read inputs through
+    * the typed [[Dag.Inputs]] extractor. Duplicate input nodes are
+    * deduplicated for notification like every other arity. */
+  def streamN[T: HasLength](inputs: Seq[Node[_]])(empty: => T)(f: Dag.Inputs => T): Node[T] = {
+    require(inputs.nonEmpty, "streamN needs at least one input")
+    addStream(vs => f(new Dag.Inputs(vs)), inputs, () => empty, callSite(), Plain)
+  }
+
+  /** Arbitrary-arity state transform; the function may also return
+    * `SilentUpdate` / `StateUnchanged` (see [[stateAdv]]). */
+  def stateN[T](inputs: Seq[Node[_]])(f: Dag.Inputs => Any): Node[T] = {
+    require(inputs.nonEmpty, "stateN needs at least one input")
+    addState[T](vs => f(new Dag.Inputs(vs)), inputs, callSite())
+  }
 
   /** Stateful transforms: value persists across cycles; the function (usually
     * a stateful closure/class) returns the node's new value

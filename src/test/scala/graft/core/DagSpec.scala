@@ -402,6 +402,45 @@ class DagSpec extends AnyFunSuite {
     assert(n.getValue == -3 && downstreamTouches.get == base + 1)
   }
 
+  test("streamN wires arity > 4 with notify-any and typed extraction (dag.py:179-205,363-374)") {
+    val dag = new Dag
+    val srcs = (0 until 6).map(i => dag.sourceStream(List.empty[Int], name = s"s$i"))
+    var runs = 0
+    val sum = dag.streamN(srcs)(List.empty[Int]) { in =>
+      runs += 1
+      val total = (0 until in.size).flatMap(i => in.as[List[Int]](i)).sum
+      if (total == 0) Nil else List(total)
+    }
+    dag.sink("sum", sum)
+
+    // all six inputs set: one recompute, values from every position
+    srcs.zipWithIndex.foreach { case (s, i) => s.setStream(List(i + 1)) }
+    dag.execute()
+    assert(sum.getValue == List(21) && runs == 1)
+
+    // notify-any: a single updated input recomputes once; others read empty
+    srcs(3).setStream(List(100))
+    dag.execute()
+    assert(sum.getValue == List(100) && runs == 2)
+
+    // no input updated => node does not run, stream resets to empty
+    dag.execute()
+    assert(sum.getValue.isEmpty && runs == 2)
+  }
+
+  test("stateN persists across cycles and honours sentinels at arity > 4") {
+    val dag = new Dag
+    val srcs = (0 until 5).map(i => dag.sourceStream(List.empty[Int], name = s"t$i"))
+    val acc = dag.stateN[Int](srcs) { in =>
+      val total = (0 until in.size).flatMap(i => in.as[List[Int]](i)).sum
+      if (total < 0) StateUnchanged else total
+    }
+    srcs(0).setStream(List(7)); dag.execute()
+    assert(acc.getValue == 7)
+    srcs(4).setStream(List(-1)); dag.execute() // sentinel: keep previous value
+    assert(acc.getValue == 7 && acc.getCycleId < dag.getCycleId)
+  }
+
   test("duplicate source name: same empty reuses the node, different empty throws (dag.py:448-453)") {
     val dag = new Dag
     val a = dag.sourceStream(List.empty[Int], name = "dup")

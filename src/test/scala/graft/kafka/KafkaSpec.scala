@@ -15,52 +15,12 @@ class KafkaSpec extends AnyFunSuite {
   def ts(s: String): Nanos = Time.parse(s)
   def utf8(s: String): Array[Byte] = s.getBytes("UTF-8")
 
-  /** In-memory consumer (reference `MockConsumer`, tests/test_kafka.py:69-163). */
-  class MockConsumer(topicsData: Map[String, Seq[Seq[(Nanos, String)]]]) extends ConsumerClient {
-    val committedOffsets = mutable.Map.empty[TopicPartition, Long]
-    private val cursors = mutable.Map.empty[TopicPartition, Long]
-    val pausedSet = mutable.Set.empty[TopicPartition]
-
-    override def partitions(topic: String): Seq[Int] =
-      topicsData.get(topic).map(_.indices.toSeq).getOrElse(Nil)
-    override def watermarkOffsets(tp: TopicPartition): (Long, Long) =
-      (0L, topicsData(tp.topic)(tp.partition).size.toLong)
-    override def offsetForTime(tp: TopicPartition, timestamp: Nanos): Option[Long] = {
-      val idx = topicsData(tp.topic)(tp.partition).indexWhere(_._1 >= timestamp)
-      if (idx < 0) None else Some(idx.toLong)
-    }
-    override def committed(tps: Seq[TopicPartition]): Map[TopicPartition, Long] =
-      tps.map(tp => tp -> committedOffsets.getOrElse(tp, 0L)).toMap
-    override def assign(offsets: Map[TopicPartition, Long]): Unit =
-      offsets.foreach { case (tp, off) => cursors(tp) = off }
-    override def poll(timeoutMs: Long): Option[KMessage] = {
-      // round-robin over non-paused assigned partitions
-      cursors.toSeq.sortBy(t => (t._1.topic, t._1.partition)).foreach { case (tp, off) =>
-        if (!pausedSet.contains(tp)) {
-          val data = topicsData(tp.topic)(tp.partition)
-          if (off < data.size) {
-            val (t, v) = data(off.toInt)
-            cursors(tp) = off + 1
-            return Some(KMessage(tp, off, t, null, utf8(v)))
-          }
-        }
-      }
-      None
-    }
-    override def pause(tps: Seq[TopicPartition]): Unit = pausedSet ++= tps
-    override def resume(tps: Seq[TopicPartition]): Unit = pausedSet --= tps
-  }
-
-  class MockProducer extends ProducerClient {
-    val produced = mutable.ArrayBuffer.empty[(String, String, String)]
-    private val pending = mutable.ArrayBuffer.empty[Option[Throwable] => Unit]
-    override def produce(topic: String, key: Array[Byte], value: Array[Byte],
-        onDelivery: Option[Throwable] => Unit): Unit = {
-      produced += ((topic, Option(key).map(new String(_, "UTF-8")).orNull, new String(value, "UTF-8")))
-      pending += onDelivery
-    }
-    override def poll(): Unit = { pending.foreach(_(None)); pending.clear() }
-  }
+  // Shared in-memory clients (see MockClients; contract coverage for any
+  // client implementation lives in ClientContractSpec).
+  type MockConsumer = MockClients.MockConsumer
+  type MockProducer = MockClients.MockProducer
+  def MockConsumer(topicsData: Map[String, Seq[Seq[(Nanos, String)]]]): MockConsumer =
+    new MockClients.MockConsumer(topicsData)
 
   val noopDeser: MessageDeserializer[List[String]] =
     (ms: Seq[KMessage]) => ms.map(m => new String(m.value, "UTF-8")).toList
