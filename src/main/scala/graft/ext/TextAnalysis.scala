@@ -50,12 +50,22 @@ object TextAnalysis {
 
   /** 16-bit SimHash over the distinct-token set. Per-token 64-bit hashes are
     * derived from md5 hex (portable across engines); each bit is a majority
-    * vote over token hashes. Pure HOF expression — map-only at scale. */
+    * vote over token hashes. Pure HOF expression — map-only at scale.
+    *
+    * Loop order matters for cost: the hash array is the aggregate's DATA
+    * input (one pass, md5 per distinct token computed once) and the 16
+    * per-bit vote counters are the accumulator — the naive per-bit outer
+    * loop re-hashes every token 16 times and was the slowest operator in
+    * the whole bench. Integer votes, so the result is order-independent
+    * and identical to the per-bit formulation. */
   def simhash16(textCol: String): Column = expr(
-    s"""aggregate(sequence(0, 15), 0L, (acc, i) -> acc + if(
-       |  aggregate(
-       |    transform(array_distinct(split($textCol, ' ')),
-       |              t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
-       |    0L, (a, h) -> a + if((shiftright(h, i) & 1) = 1, 1L, -1L)) > 0,
-       |  shiftleft(cast(1 as bigint), i), 0L))""".stripMargin)
+    s"""aggregate(
+       |  transform(array_distinct(split($textCol, ' ')),
+       |            t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
+       |  array_repeat(0L, 16),
+       |  (acc, h) -> zip_with(acc, sequence(0, 15),
+       |                       (a, i) -> a + if((shiftright(h, i) & 1) = 1, 1L, -1L)),
+       |  acc -> aggregate(zip_with(acc, sequence(0, 15),
+       |                            (a, i) -> if(a > 0, shiftleft(cast(1 as bigint), i), 0L)),
+       |                   0L, (x, y) -> x + y))""".stripMargin)
 }

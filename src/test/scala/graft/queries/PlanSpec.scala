@@ -48,4 +48,17 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q29_cosine_neardup")
     assert(p.contains("graft_vec_dot"))
   }
+
+  test("q42: LSH near-dup has NO cross/all-pairs join — bucket-keyed joins only") {
+    val p = plan("q42_embedding_neardup_lsh")
+    assert(!p.contains("CartesianProduct"), "no cross product anywhere")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no conditional all-pairs join")
+    assert(p.contains("graft_rhp_sig"), "signatures come from the codegen expression")
+    assert(p.contains("graft_vec_dot"), "verify stage uses the codegen dot kernel")
+  }
+
+  test("q41: the LSH-routed dedup pipeline is also free of all-pairs joins") {
+    val p = plan("q41_embedding_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
