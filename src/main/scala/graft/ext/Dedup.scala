@@ -87,6 +87,52 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected edge list `(a_id, b_id)` via
+    * iterated min-label propagation — the scalable CC formulation (each
+    * round is one neighbor-min aggregation + one keyed join; rounds are
+    * bounded by the longest shortest-path inside a component, which for
+    * near-dup clusters is tiny). Labels are checkpointed per round so
+    * lineage stays flat. Returns `(id, root)` for every node that appears
+    * in an edge; `root` is the component's minimum id — the canonical
+    * "keep the oldest" dedup survivor. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("root", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("dst"), col("root").as("nroot")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nroot")).as("min_n"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("root"), coalesce(col("min_n"), col("root"))).as("root"))
+        .localCheckpoint(true)
+      changed = updated
+        .join(labels.withColumnRenamed("root", "old"), "id")
+        .where(col("root") =!= col("old")).count()
+      labels = updated
+    }
+    labels
+  }
+
+  /** Near-dup CLUSTERS (not just pairs): LSH pairs -> connected components
+    * -> one row per multi-member cluster. Pair-wise "drop the higher id"
+    * dedup is not transitive (a~b, b~c with a!~c drops b and c but keeps
+    * only a of the cluster); components give the principled survivor set:
+    * keep each cluster's root, drop the rest. */
+  def nearDupClusters(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.5, k: Int = 3): DataFrame =
+    connectedComponents(jaccardPairs(df, textCol, idCol, threshold, k))
+      .groupBy(col("root").as("root_id"))
+      .agg(count(lit(1)).as("members"))
+
   /** Near-dup pairs with exact Jaccard >= threshold, LSH-pruned: the full
     * MinHash->band->bucket-join->exact-verify pipeline. Output matches a
     * brute-force O(n^2) oracle (recall at threshold 0.5 is ~1-1e-4; the

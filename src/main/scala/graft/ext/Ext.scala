@@ -306,6 +306,124 @@ object Ext {
               |GROUP BY label ORDER BY label""".stripMargin),
     ),
 
+    // IVF-flat ANN: map-side centroid assignment (broadcast), nprobe=2
+    // probing, exact re-rank inside inverted lists. Deterministic given the
+    // centroid set (the 16 lowest-id vectors), so fully oracle-backed —
+    // the oracle recomputes centroids from the data and replicates the
+    // assignment tie-break exactly.
+    QueryDef(
+      "q43_ivf_topk",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), "embedding", "vec_id",
+            k = 3, numCentroids = 16, nprobe = 2)
+          .orderBy(col("qid"), col("sim").desc, col("nid"))
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id, embedding,
+             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+             |  FROM embeddings),
+             |cents AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+             |corpus_assign AS (
+             |  SELECT nid, cid FROM (
+             |    SELECT x.vec_id AS nid, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+             |        (list_sum([CAST(x.embedding[i] AS DOUBLE)*c.cv[i]
+             |                   FOR i IN generate_series(1,len(x.embedding))])/(x.nrm*c.cnrm)) DESC,
+             |        c.cid) AS crk
+             |    FROM n x CROSS JOIN cents c) WHERE crk = 1),
+             |probes AS (
+             |  SELECT qid, cid FROM (
+             |    SELECT q.vec_id AS qid, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             |        (list_sum([CAST(q.embedding[i] AS DOUBLE)*c.cv[i]
+             |                   FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*c.cnrm)) DESC,
+             |        c.cid) AS crk
+             |    FROM n q CROSS JOIN cents c WHERE q.vec_id < 10) WHERE crk <= 2),
+             |cand AS (
+             |  SELECT DISTINCT p.qid, a.nid
+             |  FROM probes p JOIN corpus_assign a ON a.cid = p.cid WHERE p.qid != a.nid),
+             |sims AS (
+             |  SELECT c.qid, c.nid,
+             |    list_sum([CAST(q.embedding[i] AS DOUBLE)*x.embedding[i]
+             |              FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*x.nrm) AS sim
+             |  FROM cand c JOIN n q ON q.vec_id = c.qid JOIN n x ON x.vec_id = c.nid)
+             |SELECT qid, nid, sim FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+             |  FROM sims) WHERE rk <= 3
+             |ORDER BY qid, sim DESC, nid""".stripMargin),
+    ),
+
+    // Near-dup CLUSTERS: LSH pairs -> connected components (min-label
+    // propagation) -> one row per multi-member cluster. The principled
+    // survivor rule (pair-wise drops are not transitive); oracle computes
+    // the same components with a recursive CTE.
+    QueryDef(
+      "q44_neardup_clusters",
+      (s, dir) => Dedup.nearDupClusters(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
+        .orderBy(col("root_id")),
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
+             |  WHERE len(tokens) >= 3),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+             |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+             |          UNION SELECT b_id, a_id FROM pairs),
+             |r(id, m) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.m),
+             |labels AS (SELECT id, MIN(m) AS root_id FROM r GROUP BY id)
+             |SELECT root_id, COUNT(*) AS members FROM labels
+             |GROUP BY root_id ORDER BY root_id""".stripMargin),
+    ),
+
+    // Deterministic train/val/test split audit: membership is a pure
+    // function of a portable content hash — reproducible across engines,
+    // runs and repartitionings (what a dataset release needs).
+    QueryDef(
+      "q45_split_stats",
+      (s, dir) => Sampling.splitStats(tbl(s, dir, "documents"), "doc_id", 80, 10)
+        .orderBy(col("source"), col("split")),
+      Some("""SELECT source, split, COUNT(*) AS docs,
+             |  CAST(SUM(t) AS BIGINT) AS tokens, MIN(doc_id) AS first_doc
+             |FROM (SELECT source, doc_id, len(string_split(text,' ')) AS t,
+             |        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+             |             ELSE 'test' END AS split
+             |      FROM (SELECT *,
+             |              CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS b
+             |            FROM documents))
+             |GROUP BY source, split ORDER BY source, split""".stripMargin),
+    ),
+
+    // BPE-ish subword token estimate vs whitespace tokens, per source.
+    QueryDef(
+      "q46_subword_tokens",
+      (s, dir) => tbl(s, dir, "documents")
+        .select(col("source"),
+          TextAnalysis.subwordTokenCount(col("text")).cast("long").as("st"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("wt"))
+        .groupBy(col("source"))
+        .agg(sum(col("st")).cast("long").as("subword_tokens"),
+          sum(col("wt")).cast("long").as("ws_tokens"),
+          (sum(col("st")).cast("double") / sum(col("wt"))).as("ratio"))
+        .orderBy(col("source")),
+      Some(s"""SELECT source, CAST(SUM(st) AS BIGINT) AS subword_tokens,
+              |  CAST(SUM(wt) AS BIGINT) AS ws_tokens,
+              |  CAST(SUM(st) AS DOUBLE)/SUM(wt) AS ratio
+              |FROM (SELECT source,
+              |        len(regexp_extract_all(text, '${TextAnalysis.SubwordPattern}')) AS st,
+              |        len(string_split(text,' ')) AS wt
+              |      FROM documents)
+              |GROUP BY source ORDER BY source""".stripMargin),
+    ),
+
     // Multimodal plumbing: binary payloads -> typed partition-wise decode
     // (stubbed codec, real Spark shape).
     QueryDef(

@@ -113,6 +113,44 @@ object Similarity {
       .where(col("cos_sim") >= threshold)
   }
 
+  /** IVF-flat approximate top-k — the other standard ANN scale path next to
+    * LSH: corpus vectors are assigned to their nearest coarse centroid in
+    * ONE map-side pass (centroids broadcast), queries probe their `nprobe`
+    * nearest centroids, and the exact cosine re-rank runs only inside the
+    * probed inverted lists. Fully deterministic given the centroid set, so
+    * the DuckDB oracle reproduces it exactly — centroids are data rows
+    * (the `numCentroids` lowest-id vectors), recomputable oracle-side;
+    * assignment ties break on centroid id. Centroid TRAINING (k-means) is
+    * orthogonal: any fixed centroid set gives the same machinery, and a
+    * trained one only improves recall.
+    *
+    * Scale shape: assignment is map-only; the candidate join is keyed by
+    * centroid id (inverted lists), so cost ~ corpus/numCentroids * nprobe
+    * per query instead of a full scan. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, numCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
+    val cents = withNorm(corpus.where(col(idCol) < numCentroids), vecCol)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("nrm").as("cnrm"))
+    def assign(df: DataFrame, id: String, topn: Int) = {
+      val n = withNorm(df, vecCol)
+        .select(col(idCol).as(id), col(vecCol).as(s"v_$id"), col("nrm").as(s"nrm_$id"))
+      val scored = n.crossJoin(broadcast(cents))
+        .withColumn("csim", dot(col(s"v_$id"), col("cv")) / (col(s"nrm_$id") * col("cnrm")))
+      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cid"))
+      scored.withColumn("crk", row_number().over(w)).where(col("crk") <= topn)
+        .select(col(id), col(s"v_$id"), col(s"nrm_$id"), col("cid"))
+    }
+    val invertedLists = assign(corpus, "nid", 1)
+    val probes = assign(queries, "qid", nprobe)
+    val candidates = invertedLists.join(broadcast(probes), Seq("cid"))
+      .where(col("qid") =!= col("nid"))
+      .dropDuplicates("qid", "nid")
+    val sims = candidates.select(col("qid"), col("nid"),
+      (dot(col("v_qid"), col("v_nid")) / (col("nrm_qid") * col("nrm_nid"))).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    sims.withColumn("rk", row_number().over(w)).where(col("rk") <= k).drop("rk")
+  }
+
   /** LSH-bucketed approximate top-k: candidates share a bucket in at least
     * one of the hash tables; exact cosine re-rank on the (deduplicated)
     * candidate set. Approximate by design — the scale path for ANN: bucket

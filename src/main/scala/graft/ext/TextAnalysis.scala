@@ -45,6 +45,18 @@ object TextAnalysis {
       6)
   }
 
+  /** BPE-ish subword tokenization estimate: alpha runs, digit runs, and
+    * individual non-alphanumeric symbols each count as one token — the
+    * standard cheap proxy for byte-pair-encoded token counts when the real
+    * tokenizer isn't available data-side. Regex runs inside codegen;
+    * map-only. */
+  val SubwordPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def subwordTokens(text: Column): Column =
+    regexp_extract_all(text, lit(SubwordPattern), lit(0))
+
+  def subwordTokenCount(text: Column): Column = size(subwordTokens(text))
+
   /** Document fingerprint: md5 of the raw text (identical in DuckDB). */
   def fingerprint(text: Column): Column = md5(text)
 
