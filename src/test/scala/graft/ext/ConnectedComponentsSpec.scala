@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Connected-components units (q44's clustering engine). Min-label
+  * propagation must converge across MULTI-HOP structures — one round of
+  * neighbor-min is not enough for a chain, so these pin the iteration. */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def cc(edges: (Long, Long)*): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("a chain collapses to the minimum id regardless of edge direction") {
+    // 2-1, 2-3, 3-4, 4-5 — label 1 must travel four hops.
+    val labels = cc((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("disjoint components keep distinct roots") {
+    val labels = cc((1L, 2L), (10L, 11L), (11L, 12L), (20L, 21L))
+    assert(labels(1L) == 1L && labels(2L) == 1L)
+    assert(Set(10L, 11L, 12L).map(labels) == Set(10L))
+    assert(Set(20L, 21L).map(labels) == Set(20L))
+  }
+
+  test("a cycle converges (no infinite loop) to one root") {
+    val labels = cc((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L))
+    assert(labels.values.toSet == Set(1L))
+  }
+
+  test("nearDupClusters groups transitively, not pairwise") {
+    import spark.implicits._
+    // 3-shingle Jaccard: doc1~doc2 = 6/10 = 0.60, doc2~doc3 = 5/11 = 0.45,
+    // doc1~doc3 = 3/13 = 0.23. At threshold 0.4 the edges form a chain
+    // 1-2-3 with no 1-3 edge — pairwise dropping would be ambiguous;
+    // components put all three in one cluster of size 3.
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "P Q c d e f g h i j"),
+      (3L, "P Q c d e f g T U V"),
+      (9L, "totally different words here entirely")).toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(docs, "text", "doc_id", 0.4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.keySet == Set(1L))
+    assert(clusters(1L) == 3L)
+  }
+}

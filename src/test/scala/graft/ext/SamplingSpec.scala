@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Deterministic-sampling units. The oracle-backed q45 checks the split
+  * stats bit-exactly against DuckDB; these pin the PROPERTIES the design
+  * exists for: assignment is a pure function of the id (repartition- and
+  * run-invariant) and sample sets grow monotonically with the fraction. */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ids(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i => s"doc_$i").toDF("id")
+  }
+
+  test("split assignment is invariant under repartitioning") {
+    val df = ids(500)
+    val base = df.select(col("id"), Sampling.splitColumn(col("id"), 80, 10).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val repart = df.repartition(17)
+      .select(col("id"), Sampling.splitColumn(col("id"), 80, 10).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(base == repart)
+  }
+
+  test("split fractions land near the requested percentages") {
+    val counts = ids(2000)
+      .groupBy(Sampling.splitColumn(col("id"), 80, 10).as("s"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L)
+    assert(math.abs(counts("train") - 1600L) < 100)
+    assert(math.abs(counts("val") - 200L) < 60)
+    assert(math.abs(counts("test") - 200L) < 60)
+  }
+
+  test("deterministicSample is monotone in the kept fraction") {
+    import spark.implicits._
+    val df = ids(1000)
+    val one = Sampling.deterministicSample(df, "id", 1, 4).as[String].collect().toSet
+    val two = Sampling.deterministicSample(df, "id", 2, 4).as[String].collect().toSet
+    val all = Sampling.deterministicSample(df, "id", 4, 4).as[String].collect().toSet
+    assert(one.subsetOf(two))
+    assert(two.subsetOf(all))
+    assert(all.size == 1000)
+  }
+
+  test("every row lands in exactly one split") {
+    val df = ids(300).select(Sampling.splitColumn(col("id"), 80, 10).as("s"))
+    assert(df.where(!col("s").isin("train", "val", "test")).count() == 0L)
+  }
+}

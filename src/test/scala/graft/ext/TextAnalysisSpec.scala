@@ -24,6 +24,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(derived == List(0.6, 1.0 / 3.0))
   }
 
+  test("subwordTokenCount: runs and symbols, empty-safe") {
+    import spark.implicits._
+    val got = Seq("", "  ", "a1b2", "don't stop", "x!!!")
+      .toDF("t")
+      .select(TextAnalysis.subwordTokenCount(col("t")).as("n"))
+      .as[Int].collect().toList
+    // "a1b2" -> a,1,b,2; "don't stop" -> don,',t,stop; "x!!!" -> x,!,!,!
+    assert(got == List(0, 0, 4, 4, 4))
+  }
+
   test("qualityScore works on a column of any name") {
     import spark.implicits._
     val df = Seq("the quick brown fox jumps over the lazy dog").toDF("payload")
