@@ -129,24 +129,39 @@ object Similarity {
     * per query instead of a full scan. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, numCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
-    val cents = withNorm(corpus.where(col(idCol) < numCentroids), vecCol)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"), col("nrm").as("cnrm"))
-    def assign(df: DataFrame, id: String, topn: Int) = {
-      val n = withNorm(df, vecCol)
-        .select(col(idCol).as(id), col(vecCol).as(s"v_$id"), col("nrm").as(s"nrm_$id"))
-      val scored = n.crossJoin(broadcast(cents))
-        .withColumn("csim", dot(col(s"v_$id"), col("cv")) / (col(s"nrm_$id") * col("cnrm")))
-      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cid"))
-      scored.withColumn("crk", row_number().over(w)).where(col("crk") <= topn)
-        .select(col(id), col(s"v_$id"), col(s"nrm_$id"), col("cid"))
-    }
+    // Centroids are MODEL STATE, not data: collect the tiny set driver-side
+    // once and embed it as literals, so assignment is a pure per-row array
+    // expression — zero shuffle, no window, the whole corpus pass stays
+    // inside one codegen stage. (A window-based formulation would shuffle
+    // every corpus vector by id just to rank 16 centroid sims.)
+    val cents: Array[(Long, Seq[Float], Double)] =
+      withNorm(corpus.where(col(idCol) < numCentroids), vecCol)
+        .select(col(idCol).cast("long"), col(vecCol), col("nrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+        .sortBy(_._1)
+    // struct(csim, -cid): array_max / descending sort then break ties to the
+    // LOWEST centroid id, matching the oracle's ORDER BY csim DESC, cid.
+    def centSims(nrmCol: Column): Column = array(cents.map { case (cid, cv, cnrm) =>
+      struct((dot(col(vecCol), typedLit(cv)) / (nrmCol * lit(cnrm))).as("csim"),
+        lit(-cid).as("negcid"))
+    }: _*)
+    def assign(df: DataFrame, id: String, topn: Int) =
+      withNorm(df, vecCol)
+        .withColumn("probe",
+          explode(slice(reverse(array_sort(centSims(col("nrm")))), 1, topn)))
+        .select(col(idCol).as(id), col(vecCol).as(s"v_$id"), col("nrm").as(s"nrm_$id"),
+          (-col("probe.negcid")).as("cid"))
     val invertedLists = assign(corpus, "nid", 1)
     val probes = assign(queries, "qid", nprobe)
-    val candidates = invertedLists.join(broadcast(probes), Seq("cid"))
+    // Inverted lists PARTITION the corpus (each vector lives in exactly one
+    // list) and a query's probes have distinct cids, so (qid, nid) is
+    // already unique — no dedup needed; project the sim immediately so
+    // nothing after the broadcast join carries vector payloads.
+    val sims = invertedLists.join(broadcast(probes), Seq("cid"))
       .where(col("qid") =!= col("nid"))
-      .dropDuplicates("qid", "nid")
-    val sims = candidates.select(col("qid"), col("nid"),
-      (dot(col("v_qid"), col("v_nid")) / (col("nrm_qid") * col("nrm_nid"))).as("sim"))
+      .select(col("qid"), col("nid"),
+        (dot(col("v_qid"), col("v_nid")) / (col("nrm_qid") * col("nrm_nid"))).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     sims.withColumn("rk", row_number().over(w)).where(col("rk") <= k).drop("rk")
   }
