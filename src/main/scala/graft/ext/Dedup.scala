@@ -133,6 +133,28 @@ object Dedup {
       .groupBy(col("root").as("root_id"))
       .agg(count(lit(1)).as("members"))
 
+  /** Benchmark decontamination: training docs that share at least one word
+    * n-gram with the (small) benchmark corpus, with the matching-gram count.
+    * The standard pre-training hygiene pass — eval-set n-grams must not
+    * leak into training data.
+    *
+    * Scale shape: the benchmark side is distinct n-grams BROADCAST to the
+    * executors, so the training corpus is filtered map-side inside the
+    * join — the only shuffle is the final per-doc count of matched grams
+    * (longs). The training corpus is never shuffled by n-gram. */
+  def contaminatedDocs(train: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), n))).as("g"))
+      .distinct()
+    train
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), n))).as("g"))
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("matched_ngrams"))
+  }
+
   /** Near-dup pairs with exact Jaccard >= threshold, LSH-pruned: the full
     * MinHash->band->bucket-join->exact-verify pipeline. Output matches a
     * brute-force O(n^2) oracle (recall at threshold 0.5 is ~1-1e-4; the

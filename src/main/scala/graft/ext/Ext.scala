@@ -424,6 +424,75 @@ object Ext {
               |GROUP BY source ORDER BY source""".stripMargin),
     ),
 
+    // Within-doc repetition ratio (duplicate 3-gram fraction) — the
+    // Gopher-style boilerplate/spam signal. Map-only integer rationals.
+    QueryDef(
+      "q47_repetition",
+      (s, dir) => {
+        val g = TextAnalysis.wordNgrams(col("text"), 3)
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            size(g).cast("long").as("total_ngrams"),
+            size(array_distinct(g)).cast("long").as("distinct_ngrams"),
+            TextAnalysis.repetitionRatio(col("text"), 3).as("rep_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, len(g) AS total_ngrams,
+             |  len(list_distinct(g)) AS distinct_ngrams,
+             |  CASE WHEN len(g) > 0
+             |       THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE)/len(g)
+             |       ELSE 0.0 END AS rep_ratio
+             |FROM (SELECT doc_id,
+             |        [t[i]||' '||t[i+1]||' '||t[i+2]
+             |         FOR i IN generate_series(1, len(t)-2)] AS g
+             |      FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents))
+             |ORDER BY doc_id""".stripMargin),
+    ),
+
+    // Benchmark decontamination: training docs sharing any 3-gram with the
+    // src0 "benchmark" slice. Benchmark n-grams broadcast; training corpus
+    // filtered map-side — no shuffle of text payloads.
+    QueryDef(
+      "q48_decontaminate",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        Dedup.contaminatedDocs(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"),
+          "text", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, source,
+             |    list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+             |                   FOR i IN generate_series(1, len(t)-2)]) AS gs
+             |  FROM (SELECT doc_id, source, string_split(text,' ') AS t FROM documents)),
+             |b AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE source = 'src0'),
+             |t AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE source != 'src0')
+             |SELECT doc_id, COUNT(*) AS matched_ngrams
+             |FROM t JOIN b USING (gram)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
+
+    // Exact per-source token-count quantiles via rank positions — integer
+    // decisions only, so bit-exact across engines (percentile_cont-style
+    // interpolation is not).
+    QueryDef(
+      "q49_token_quantiles",
+      (s, dir) => CorpusStats.exactQuantiles(tbl(s, dir, "documents"), "source",
+          TextAnalysis.tokenCount(col("text")), Seq(0.5, 0.9, 0.99))
+        .orderBy(col("source")),
+      Some("""WITH x AS (SELECT source, len(string_split(text,' ')) AS v FROM documents),
+             |r AS (SELECT source, v,
+             |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rn,
+             |        COUNT(*) OVER (PARTITION BY source) AS n FROM x)
+             |SELECT source, MAX(n) AS n,
+             |  MAX(CASE WHEN rn = ceil(0.5*n) THEN v END) AS p50,
+             |  MAX(CASE WHEN rn = ceil(0.9*n) THEN v END) AS p90,
+             |  MAX(CASE WHEN rn = ceil(0.99*n) THEN v END) AS p99
+             |FROM r GROUP BY source ORDER BY source""".stripMargin),
+    ),
+
     // Multimodal plumbing: binary payloads -> typed partition-wise decode
     // (stubbed codec, real Spark shape).
     QueryDef(

@@ -57,6 +57,28 @@ object TextAnalysis {
 
   def subwordTokenCount(text: Column): Column = size(subwordTokens(text))
 
+  /** Word n-grams as space-joined strings. Guarded for short docs: fewer
+    * than `n` tokens yields an empty array (an unguarded
+    * `sequence(0, size-n)` would DESCEND for negative spans and then
+    * out-of-range `element_at` throws under ANSI). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Within-document repetition: fraction of word n-grams that are
+    * duplicates of an earlier one (the Gopher-style quality signal — high
+    * values flag boilerplate/spam). Integer-count rational, map-only. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val g = wordNgrams(text, n)
+    when(size(g) > 0,
+      lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+      .otherwise(0.0)
+  }
+
   /** Document fingerprint: md5 of the raw text (identical in DuckDB). */
   def fingerprint(text: Column): Column = md5(text)
 

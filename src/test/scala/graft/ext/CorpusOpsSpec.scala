@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Units for the corpus-hygiene operators behind q47–q49: repetition
+  * ratio, decontamination, exact quantiles. */
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("repetitionRatio: duplicates counted, short docs are 0") {
+    import spark.implicits._
+    val got = Seq(
+      "a b c a b c a b",      // grams: abc,bca,cab,abc,bca,cab -> 3/6 dup
+      "x y z w",              // 2 grams, both distinct -> 0.0
+      "one two",              // < 3 tokens -> 0.0 (guarded)
+      "")                     // empty -> 0.0
+      .toDF("t")
+      .select(TextAnalysis.repetitionRatio(col("t"), 3).as("r"))
+      .as[Double].collect().toList
+    assert(got == List(0.5, 0.0, 0.0, 0.0))
+  }
+
+  test("wordNgrams descends gracefully for any n") {
+    import spark.implicits._
+    val df = Seq("a b c d").toDF("t")
+    assert(df.select(size(TextAnalysis.wordNgrams(col("t"), 2))).as[Int].head() == 3)
+    assert(df.select(size(TextAnalysis.wordNgrams(col("t"), 4))).as[Int].head() == 1)
+    assert(df.select(size(TextAnalysis.wordNgrams(col("t"), 5))).as[Int].head() == 0)
+  }
+
+  test("contaminatedDocs finds overlap and counts distinct shared grams") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "saw the quick brown fox yesterday"), // shares "the quick brown", "quick brown fox"
+      (2L, "completely unrelated text entirely"),
+      (3L, "brown fox jumps high today"))        // shares "brown fox jumps"
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminatedDocs(train, bench, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("exactQuantiles picks rank-position values per group") {
+    import spark.implicits._
+    // group g: values 1..10 -> p50 = rank ceil(5)=5, p90 = rank 9, p99 = rank 10
+    val df = (1 to 10).map(v => ("g", v)).toDF("src", "v")
+    val row = CorpusStats.exactQuantiles(df, "src", col("v"), Seq(0.5, 0.9, 0.99))
+      .collect().head
+    assert(row.getLong(1) == 10L) // n
+    assert(row.getLong(2) == 5L)  // p50
+    assert(row.getLong(3) == 9L)  // p90
+    assert(row.getLong(4) == 10L) // p99
+  }
+
+  test("exactQuantiles is stable under duplicate values") {
+    import spark.implicits._
+    val df = Seq(3, 3, 3, 3, 7).map(v => ("g", v)).toDF("src", "v")
+    val row = CorpusStats.exactQuantiles(df, "src", col("v"), Seq(0.5, 0.99))
+      .collect().head
+    assert(row.getLong(2) == 3L)
+    assert(row.getLong(3) == 7L)
+  }
+}
