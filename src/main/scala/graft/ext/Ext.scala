@@ -493,6 +493,50 @@ object Ext {
              |FROM r GROUP BY source ORDER BY source""".stripMargin),
     ),
 
+    // Sequence chunking: docs split into 16-token training chunks, content
+    // fingerprinted. Pure map work (HOF explode, no shuffle).
+    QueryDef(
+      "q50_chunking",
+      (s, dir) => Packing.chunkTokens(tbl(s, dir, "documents"), "text", "doc_id", 16)
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+             |e AS (SELECT doc_id, t,
+             |        unnest(generate_series(1, (len(t)+15)//16)) AS i
+             |      FROM d WHERE len(t) > 0)
+             |SELECT doc_id, i-1 AS chunk_id,
+             |  LEAST(len(t) - (i-1)*16, 16) AS chunk_tokens,
+             |  md5(array_to_string(t[(i-1)*16+1 : LEAST(len(t), i*16)], ' ')) AS chunk_md5
+             |FROM e ORDER BY doc_id, chunk_id""".stripMargin),
+    ),
+
+    // Greedy in-order sequence packing: chunks fill 64-token bins per
+    // source; bin = floor(running tokens before / budget) — deterministic,
+    // one (source,int)-keyed shuffle.
+    QueryDef(
+      "q51_packing",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val chunks = Packing.chunkTokens(docs, "text", "doc_id", 16)
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        Packing.packBins(chunks, col("source"), 64)
+          .orderBy(col("grp"), col("bin_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, string_split(text,' ') AS t FROM documents),
+             |e AS (SELECT doc_id, source, t,
+             |        unnest(generate_series(1, (len(t)+15)//16)) AS i
+             |      FROM d WHERE len(t) > 0),
+             |c AS (
+             |  SELECT source, doc_id, i-1 AS chunk_id,
+             |    LEAST(len(t) - (i-1)*16, 16) AS chunk_tokens
+             |  FROM e),
+             |r AS (SELECT source, chunk_tokens,
+             |        SUM(chunk_tokens) OVER (PARTITION BY source
+             |          ORDER BY doc_id, chunk_id) AS cum FROM c)
+             |SELECT source AS grp, CAST((cum - chunk_tokens) // 64 AS BIGINT) AS bin_id,
+             |  COUNT(*) AS n_chunks, CAST(SUM(chunk_tokens) AS BIGINT) AS bin_tokens
+             |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    ),
+
     // Multimodal plumbing: binary payloads -> typed partition-wise decode
     // (stubbed codec, real Spark shape).
     QueryDef(

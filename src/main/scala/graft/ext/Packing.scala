@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence chunking + packing for training-data pipelines: split documents
+  * into fixed-token-budget chunks (what a trainer's max sequence length
+  * imposes), then assign chunks to contiguous bins per source — the
+  * deterministic, distributed approximation of greedy sequence packing.
+  *
+  * Chunking is pure map work (HOF explode, no shuffle). Packing needs a
+  * running token total per group — one shuffle keyed by the group column
+  * carrying (group, ids, int) only; bin assignment is
+  * `floor(tokens_before / budget)`, a pure function of the running sum, so
+  * chunks never reorder and results are engine-independent.
+  */
+object Packing {
+
+  /** One row per chunk: (doc_id, chunk_id, chunk_tokens, chunk_md5).
+    * Chunks are consecutive `maxTokens`-sized token windows; the md5 of the
+    * re-joined chunk text makes content equality checkable without
+    * shipping the text. Empty docs produce zero chunks (guarded — an
+    * unguarded sequence would descend). */
+  def chunkTokens(docs: DataFrame, textCol: String, idCol: String,
+      maxTokens: Int): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // integer ceil-div (Column./ is double division, which sequence rejects)
+    val nChunks = expr(s"(size(split($textCol, ' ')) + ${maxTokens - 1}) div $maxTokens")
+      .cast("int")
+    val chunks = when(size(toks) > 0,
+      transform(sequence(lit(0), nChunks - 1), i => struct(
+        i.as("chunk_id"),
+        least(size(toks) - i * maxTokens, lit(maxTokens)).as("chunk_tokens"),
+        md5(concat_ws(" ", slice(toks, i * maxTokens + 1, lit(maxTokens)))).as("chunk_md5"))))
+      .otherwise(array().cast("array<struct<chunk_id:int,chunk_tokens:int,chunk_md5:string>>"))
+    docs
+      .select(col(idCol).as("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").cast("long").as("chunk_id"),
+        col("c.chunk_tokens").cast("long").as("chunk_tokens"), col("c.chunk_md5"))
+  }
+
+  /** Greedy in-order packing: chunks fill bins of `budget` tokens per
+    * group, in (doc_id, chunk_id) order; a chunk's bin is
+    * `floor(tokens_before_it / budget)`. Returns per-bin stats. */
+  def packBins(chunks: DataFrame, groupCol: Column, budget: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col("doc_id"), col("chunk_id"))
+    chunks
+      .withColumn("cum", sum(col("chunk_tokens")).over(w))
+      // integer `div`, not `/`: Spark's / is double division and a running
+      // token total at corpus scale would lose integer precision past 2^53
+      .withColumn("bin_id", expr(s"(cum - chunk_tokens) div $budget"))
+      .groupBy(groupCol.as("grp"), col("bin_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens")).cast("long").as("bin_tokens"))
+  }
+}
