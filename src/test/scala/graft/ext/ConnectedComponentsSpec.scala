@@ -34,6 +34,34 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(labels.values.toSet == Set(1L))
   }
 
+  test("property: agrees with driver-side union-find on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = Gen.listOfN(25, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+      .map(_.filter { case (a, b) => a != b })
+      .suchThat(_.nonEmpty)
+    (0 until 12).foreach { i =>
+      edgeGen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { edges =>
+        // reference: plain union-find with path compression
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        // canonicalise to min-id per component
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = nodes.groupBy(find).flatMap { case (_, ns) =>
+          val root = ns.min; ns.map(_ -> root)
+        }.toMap
+        assert(cc(edges: _*) == want, s"seed $i, edges $edges")
+      }
+    }
+  }
+
   test("nearDupClusters groups transitively, not pairwise") {
     import spark.implicits._
     // 3-shingle Jaccard: doc1~doc2 = 6/10 = 0.60, doc2~doc3 = 5/11 = 0.45,
