@@ -85,6 +85,36 @@ object Streaming {
           out.result().iterator
       }
 
+  /** Streaming exact dedup: first occurrence of each content fingerprint
+    * passes, later duplicates are dropped — the continuous twin of
+    * `ext.Dedup.exactDedupStats`' survivor selection. State = one entry per
+    * distinct fingerprint, partitioned by the dedup key (RocksDB at
+    * scale). Unbounded retention: use [[streamingDedupBounded]] when a
+    * lateness horizon applies. */
+  def streamingDedup(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("fp", md5(col(textCol))).dropDuplicates("fp")
+
+  /** Watermark-bounded streaming dedup: duplicates are only suppressed
+    * within the lateness horizon, so state is dropped once the watermark
+    * passes — the 100 TB-curation shape (state size is bounded by the
+    * horizon, not the corpus). */
+  def streamingDedupBounded(docs: DataFrame, textCol: String, tsCol: String,
+      lateness: String): DataFrame =
+    docs.withColumn("fp", md5(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Streaming curation filter: the ext quality/language scores are pure
+    * Column expressions, so they run unchanged on a stream — map-only,
+    * stateless, full codegen. */
+  def streamingQualityFilter(docs: DataFrame, textCol: String,
+      minQuality: Double): DataFrame = {
+    val t = graft.ext.TextAnalysis
+    docs.withColumn("quality",
+        t.qualityScore(col(textCol), t.tokenCount(col(textCol))))
+      .where(col("quality") >= minQuality)
+  }
+
   /** Event-time timer via `GroupState` timeouts (E7 as a continuous
     * operator): for each key, emit a wakeup record when no event arrives for
     * `timeoutMs` — the TimerManager pattern on streaming state. */

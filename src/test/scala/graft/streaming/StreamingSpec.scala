@@ -139,4 +139,65 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("cutoff_ticks").count() == 2)
     } finally query.stop()
   }
+
+  test("streamingDedup passes first occurrence, drops cross-batch duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val query = Streaming.streamingDedup(
+        input.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("dedup_docs")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "alpha text"), (2L, "beta text"), (3L, "alpha text"))
+      drain(query)
+      val ids1 = spark.table("dedup_docs").select("doc_id").as[Long].collect().toSet
+      assert(ids1 == Set(1L, 2L)) // in-batch duplicate dropped
+      input.addData((4L, "beta text"), (5L, "gamma text")) // cross-batch dup dropped
+      drain(query)
+      val ids2 = spark.table("dedup_docs").select("doc_id").as[Long].collect().toSet
+      assert(ids2 == Set(1L, 2L, 5L))
+    } finally query.stop()
+  }
+
+  test("streamingDedupBounded re-admits content after the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val query = Streaming.streamingDedupBounded(
+        input.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_bounded")
+      .outputMode("append").start()
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    try {
+      input.addData((1L, ts(0), "alpha"), (2L, ts(1), "alpha"))
+      drain(query)
+      // exactly ONE of the in-batch duplicates survives (which one is a
+      // partition-order artifact, deliberately unasserted)
+      assert(spark.table("dedup_bounded").count() == 1)
+      // push the watermark far past the horizon, then the same content again
+      input.addData((3L, ts(120), "beta"))
+      drain(query)
+      input.addData((4L, ts(121), "alpha")) // old alpha state expired -> re-admitted
+      drain(query)
+      val ids = spark.table("dedup_bounded").select("doc_id").as[Long].collect().toSet
+      assert(ids.contains(4L), s"expired duplicate must be re-admitted (got $ids)")
+      assert(ids.size == 3)
+    } finally query.stop()
+  }
+
+  test("streamingQualityFilter curates a stream with the batch scoring exprs") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val query = Streaming.streamingQualityFilter(
+        input.toDF().toDF("doc_id", "text"), "text", 0.3)
+      .writeStream.format("memory").queryName("curated_docs")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog and runs on"),
+        (2L, "zz"))
+      drain(query)
+      val rows = spark.table("curated_docs").select("doc_id").as[Long].collect().toSet
+      assert(rows == Set(1L)) // the low-quality doc is filtered out
+    } finally query.stop()
+  }
 }
