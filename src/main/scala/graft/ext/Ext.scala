@@ -537,6 +537,34 @@ object Ext {
              |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     ),
 
+    // Symmetric int8 embedding quantization audit (range / checksum /
+    // reconstruction error). Map-only; both engines do the identical
+    // double arithmetic.
+    QueryDef(
+      "q52_quantize",
+      (s, dir) => Quantization.quantizationStats(tbl(s, dir, "embeddings"),
+          "embedding", "vec_id")
+        .orderBy(col("vec_id")),
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding,
+             |    list_max([abs(x) FOR x IN embedding]) AS mx
+             |  FROM embeddings),
+             |s AS (SELECT vec_id, embedding,
+             |        CASE WHEN mx > 0 THEN 127.0 / CAST(mx AS DOUBLE) ELSE 0.0 END AS scale
+             |      FROM e),
+             |q AS (SELECT vec_id, scale, embedding,
+             |        [CAST(round(CAST(x AS DOUBLE) * scale) AS INTEGER) FOR x IN embedding] AS qv
+             |      FROM s)
+             |SELECT vec_id,
+             |  list_min(qv) AS q_min, list_max(qv) AS q_max,
+             |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+             |  round(list_max([CASE WHEN scale > 0
+             |                    THEN abs(CAST(qv[i] AS DOUBLE)/scale - CAST(embedding[i] AS DOUBLE))
+             |                    ELSE 0.0 END
+             |                  FOR i IN generate_series(1, len(qv))]), 9) AS max_err
+             |FROM q ORDER BY vec_id""".stripMargin),
+    ),
+
     // Multimodal plumbing: binary payloads -> typed partition-wise decode
     // (stubbed codec, real Spark shape).
     QueryDef(
