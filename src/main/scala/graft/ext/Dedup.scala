@@ -144,12 +144,14 @@ object Dedup {
     * (longs). The training corpus is never shuffled by n-gram. */
   def contaminatedDocs(train: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 3): DataFrame = {
-    val benchGrams = benchmark
-      .select(explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), n))).as("g"))
-      .distinct()
-    train
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), n))).as("g"))
+    // tokens hoisted to a named column first — n-gram lambdas over a bound
+    // attribute, not a captured split() (see TextAnalysis.ngramsFromTokens)
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.ngramsFromTokens("t", n))).as("g"))
+    val benchGrams = grams(benchmark).select(col("g")).distinct()
+    grams(train)
       .join(broadcast(benchGrams), Seq("g"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("matched_ngrams"))

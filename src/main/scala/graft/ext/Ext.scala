@@ -428,15 +428,16 @@ object Ext {
     // Gopher-style boilerplate/spam signal. Map-only integer rationals.
     QueryDef(
       "q47_repetition",
-      (s, dir) => {
-        val g = TextAnalysis.wordNgrams(col("text"), 3)
-        tbl(s, dir, "documents")
-          .select(col("doc_id"),
-            size(g).cast("long").as("total_ngrams"),
-            size(array_distinct(g)).cast("long").as("distinct_ngrams"),
-            TextAnalysis.repetitionRatio(col("text"), 3).as("rep_ratio"))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) => tbl(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), TextAnalysis.ngramsFromTokens("t", 3).as("g"))
+        .select(col("doc_id"),
+          size(col("g")).cast("long").as("total_ngrams"),
+          size(array_distinct(col("g"))).cast("long").as("distinct_ngrams"),
+          when(size(col("g")) > 0,
+            lit(1.0) - size(array_distinct(col("g"))).cast("double") / size(col("g")))
+            .otherwise(0.0).as("rep_ratio"))
+        .orderBy(col("doc_id")),
       Some("""SELECT doc_id, len(g) AS total_ngrams,
              |  len(list_distinct(g)) AS distinct_ngrams,
              |  CASE WHEN len(g) > 0

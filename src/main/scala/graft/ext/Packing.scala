@@ -24,10 +24,12 @@ object Packing {
     * unguarded sequence would descend). */
   def chunkTokens(docs: DataFrame, textCol: String, idCol: String,
       maxTokens: Int): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
+    // tokens hoisted to a named column: HOF lambdas are interpreted and
+    // re-evaluate captured outer expressions per element — an inlined
+    // split() here costs O(tokens * chunks) per doc instead of O(tokens)
+    val toks = col("t")
     // integer ceil-div (Column./ is double division, which sequence rejects)
-    val nChunks = expr(s"(size(split($textCol, ' ')) + ${maxTokens - 1}) div $maxTokens")
-      .cast("int")
+    val nChunks = expr(s"(size(t) + ${maxTokens - 1}) div $maxTokens").cast("int")
     val chunks = when(size(toks) > 0,
       transform(sequence(lit(0), nChunks - 1), i => struct(
         i.as("chunk_id"),
@@ -35,7 +37,8 @@ object Packing {
         md5(concat_ws(" ", slice(toks, i * maxTokens + 1, lit(maxTokens)))).as("chunk_md5"))))
       .otherwise(array().cast("array<struct<chunk_id:int,chunk_tokens:int,chunk_md5:string>>"))
     docs
-      .select(col(idCol).as("doc_id"), explode(chunks).as("c"))
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+      .select(col("doc_id"), explode(chunks).as("c"))
       .select(col("doc_id"), col("c.chunk_id").cast("long").as("chunk_id"),
         col("c.chunk_tokens").cast("long").as("chunk_tokens"), col("c.chunk_md5"))
   }

@@ -26,20 +26,27 @@ object Quantization {
     transform(vec, x => round(x.cast("double") * scale).cast("int"))
 
   /** Per-vector quantization audit: value range, checksum, and the max
-    * absolute reconstruction error (|q/scale - x|). */
+    * absolute reconstruction error (|q/scale - x|).
+    *
+    * `scale` and the quantized array are hoisted into named columns before
+    * any lambda references them: HOF lambdas are interpreted and re-evaluate
+    * captured expressions per element — an inlined scale would cost O(d²)
+    * per vector (measured 6.5 s -> ~1 s on q52 at sf0.1). */
   def quantizationStats(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
-    val scale = int8Scale(col(vecCol))
-    val q = quantizeInt8(col(vecCol), scale)
     // zero vector -> scale 0: quantizes to zeros with zero error (ANSI
     // division would throw on the unguarded q/scale)
-    val recon = zip_with(q, col(vecCol),
-      (qi, x) => when(scale > 0.0,
-        abs(qi.cast("double") / scale - x.cast("double"))).otherwise(0.0))
-    df.select(
-      col(idCol),
-      array_min(q).as("q_min"),
-      array_max(q).as("q_max"),
-      aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
-      round(array_max(recon), 9).as("max_err"))
+    val recon = zip_with(col("q"), col("v"),
+      (qi, x) => when(col("scale") > 0.0,
+        abs(qi.cast("double") / col("scale") - x.cast("double"))).otherwise(0.0))
+    df
+      .select(col(idCol), col(vecCol).as("v"))
+      .withColumn("scale", int8Scale(col("v")))
+      .withColumn("q", quantizeInt8(col("v"), col("scale")))
+      .select(
+        col(idCol),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        round(array_max(recon), 9).as("max_err"))
   }
 }
