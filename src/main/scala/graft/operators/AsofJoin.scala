@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable AS-OF join — "each left row picks the latest right row with
+  * right.ts <= left.ts per key" — the canonical time-series enrichment
+  * (trade -> prevailing quote) that Spark has no native operator for.
+  *
+  * Formulation: UNION both sides tagged (right=0, left=1), ONE shuffle
+  * keyed by the join key, ONE per-key sort on (ts, side), then
+  * `last(value, ignoreNulls)` over an unbounded-preceding row window
+  * carries each right value forward to every later left row. At equal
+  * timestamps the right row sorts first, so matches are inclusive
+  * (ts_right <= ts_left). Left rows with no prior right row keep NULL —
+  * left-join semantics.
+  *
+  * Scale: cost is exactly a sort-merge join's — shuffle both inputs once
+  * by key, sort within key. No per-row range probe, no broadcast, no
+  * O(left × right) expansion; skewed keys behave like any sort-merge key
+  * (AQE skew handling applies). This beats the naive
+  * `left JOIN right ON key AND r.ts <= l.ts` + max-filter, which
+  * materialises every (left, earlier-right) pair.
+  *
+  * Right rows duplicated at the same (key, ts) are resolved BEFORE the
+  * union (keep the one with the highest tiebreaker), making the match
+  * deterministic — the same convention DuckDB's native ASOF JOIN needs to
+  * be well-defined, which is what the oracle uses. */
+object AsofJoin {
+
+  /** @param left       probe side (e.g. trades)
+    * @param right      reference side (e.g. quotes)
+    * @param keyCol     equi-join key
+    * @param tsCol      ordering column (any integral/comparable type)
+    * @param valueCol   right-side column carried to left rows
+    * @param tieCol     right-side tiebreaker for duplicate (key, ts)
+    * @return left rows + `asof_<valueCol>` (+ `asof_ts` of the match) */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, valueCol: String, tieCol: String): DataFrame = {
+    val dedupRight = right
+      .groupBy(col(keyCol), col(tsCol).as("r_ts"))
+      .agg(max_by(col(valueCol), col(tieCol)).as("r_val"))
+    val leftCols = left.columns
+    val taggedLeft = left
+      .withColumn("side", lit(1))
+      .withColumn("r_ts_in", lit(null).cast(dedupRight.schema("r_ts").dataType))
+      .withColumn("r_val_in", lit(null).cast(dedupRight.schema("r_val").dataType))
+    val taggedRight = dedupRight
+      .select(Seq(col(keyCol), col("r_ts").as(tsCol), lit(0).as("side"),
+        col("r_ts").as("r_ts_in"), col("r_val").as("r_val_in")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val unioned = taggedLeft.unionByName(taggedRight)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("asof_ts", last(col("r_ts_in"), ignoreNulls = true).over(w))
+      .withColumn(s"asof_$valueCol", last(col("r_val_in"), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(leftCols.map(col) :+ col("asof_ts") :+ col(s"asof_$valueCol"): _*)
+  }
+}

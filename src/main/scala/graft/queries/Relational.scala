@@ -408,6 +408,36 @@ object Relational {
              |ORDER BY event_id""".stripMargin),
     ),
 
+    // AS-OF join: each purchase picks the prevailing (latest at-or-before)
+    // view value per user — union + one keyed sort + last-ignoreNulls, the
+    // sort-merge-cost formulation. Oracle = DuckDB's NATIVE ASOF JOIN.
+    QueryDef(
+      "q53_asof_join",
+      (s, dir) => {
+        val ev = tbl(s, dir, "events")
+        val trades = ev.where($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts", $"value")
+        val quotes = ev.where($"event_type" === "view")
+        graft.operators.AsofJoin
+          .asofJoin(trades, quotes, "user_id", "ts", "value", "event_id")
+          // epoch MICROS out: DuckDB reads the ns parquet as a us TIMESTAMP
+          .select($"event_id", $"user_id", expr("ts div 1000").as("ts_us"),
+            $"value", expr("asof_ts div 1000").as("asof_ts_us"), $"asof_value")
+          .orderBy($"event_id")
+      },
+      Some("""WITH quotes AS (
+             |  SELECT user_id, ts, max_by(value, event_id) AS r_val
+             |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+             |trades AS (
+             |  SELECT event_id, user_id, ts, value
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT t.event_id, t.user_id, epoch_us(t.ts) AS ts_us, t.value,
+             |  epoch_us(q.ts) AS asof_ts_us, q.r_val AS asof_value
+             |FROM trades t ASOF LEFT JOIN quotes q
+             |  ON t.user_id = q.user_id AND t.ts >= q.ts
+             |ORDER BY t.event_id""".stripMargin),
+    ),
+
     // Rollup audit aggregation (source x lang hierarchies) — the data-audit
     // shape a training pipeline runs over corpus partitions.
     QueryDef(

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** AS-OF join semantics (q53's operator). */
+class AsofJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def run(trades: Seq[(Long, Long, Long, Double)],
+      quotes: Seq[(Long, Long, Long, Double)]): Map[Long, (Option[Long], Option[Double])] = {
+    import spark.implicits._
+    val t = trades.toDF("event_id", "k", "ts", "value")
+    val q = quotes.toDF("event_id", "k", "ts", "value")
+    AsofJoin.asofJoin(t, q, "k", "ts", "value", "event_id")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))
+      .toMap
+  }
+
+  test("picks the latest quote at-or-before each trade; inclusive at equal ts") {
+    val out = run(
+      trades = Seq((1L, 7L, 100L, 1.0), (2L, 7L, 205L, 1.0), (3L, 7L, 300L, 1.0)),
+      quotes = Seq((10L, 7L, 100L, 5.0), (11L, 7L, 200L, 6.0), (12L, 7L, 301L, 7.0)))
+    assert(out(1L) == (Some(100L), Some(5.0))) // equal ts matches (inclusive)
+    assert(out(2L) == (Some(200L), Some(6.0)))
+    assert(out(3L) == (Some(200L), Some(6.0))) // 301 is in the future
+  }
+
+  test("no prior quote -> null columns; keys never cross") {
+    val out = run(
+      trades = Seq((1L, 7L, 50L, 1.0), (2L, 8L, 500L, 1.0)),
+      quotes = Seq((10L, 7L, 100L, 5.0)))
+    assert(out(1L) == (None, None))  // quote is later
+    assert(out(2L) == (None, None))  // quote is for another key
+  }
+
+  test("duplicate (key, ts) quotes resolve to the highest tiebreaker") {
+    val out = run(
+      trades = Seq((1L, 7L, 100L, 1.0)),
+      quotes = Seq((10L, 7L, 100L, 5.0), (11L, 7L, 100L, 9.0)))
+    assert(out(1L) == (Some(100L), Some(9.0)))
+  }
+
+  test("agrees with the naive O(T*Q) formulation on the events table") {
+    import spark.implicits._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val trades = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val quotes = ev.where(col("event_type") === "view")
+    val fast = AsofJoin.asofJoin(trades, quotes, "user_id", "ts", "value", "event_id")
+      .select(col("event_id"), col("asof_value"))
+    val naive = trades.as("t")
+      .join(quotes.as("q"),
+        col("t.user_id") === col("q.user_id") && col("q.ts") <= col("t.ts"), "left")
+      .groupBy(col("t.event_id").as("event_id"))
+      .agg(max_by(col("q.value"), struct(col("q.ts"), col("q.event_id"))).as("naive_value"))
+    val diff = fast.join(naive, Seq("event_id"))
+      .where(!(col("asof_value") <=> col("naive_value")))
+    assert(diff.count() == 0)
+    assert(fast.count() == trades.count())
+  }
+}
