@@ -438,6 +438,40 @@ object Relational {
              |ORDER BY t.event_id""".stripMargin),
     ),
 
+    // Bucketed range join: views landing in each purchase's trailing hour,
+    // per user — equi-join on (key, time bucket) + residual BETWEEN, not a
+    // nested loop. Oracle = DuckDB's plain range join.
+    QueryDef(
+      "q54_range_join",
+      (s, dir) => {
+        val hourNs = 3600L * 1000000000L
+        val ev = tbl(s, dir, "events")
+        val views = ev.where($"event_type" === "view")
+          .select($"user_id", $"ts", $"event_id".as("view_id"))
+        // trailing 24h window, 6h buckets: each window explodes into <= 5
+        // buckets (amplification = len/width + 1 — the knob the operator doc
+        // describes)
+        val windows = ev.where($"event_type" === "purchase")
+          .select($"event_id".as("purchase_id"), $"user_id",
+            ($"ts" - 24L * hourNs).as("lo"), $"ts".as("hi"))
+        graft.operators.RangeJoin
+          .rangeJoin(views, windows, "user_id", "ts", "lo", "hi", 6L * hourNs)
+          .groupBy($"purchase_id")
+          .agg(count(lit(1)).as("views_1h"),
+            min($"view_id").as("first_view"), max($"view_id").as("last_view"))
+          .orderBy($"purchase_id")
+      },
+      Some("""WITH v AS (SELECT user_id, ts, event_id AS view_id FROM events
+             |           WHERE event_type = 'view'),
+             |p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+             |      WHERE event_type = 'purchase')
+             |SELECT p.purchase_id, COUNT(*) AS views_1h,
+             |  MIN(v.view_id) AS first_view, MAX(v.view_id) AS last_view
+             |FROM p JOIN v ON v.user_id = p.user_id
+             |  AND v.ts BETWEEN p.ts - INTERVAL 24 HOUR AND p.ts
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+
     // Rollup audit aggregation (source x lang hierarchies) — the data-audit
     // shape a training pipeline runs over corpus partitions.
     QueryDef(
