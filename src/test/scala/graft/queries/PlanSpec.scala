@@ -61,4 +61,34 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q41_embedding_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q43: IVF corpus assignment is map-only — no Exchange before the candidate join") {
+    val p = plan("q43_ivf_topk")
+    assert(p.contains("BroadcastHashJoin"))
+    // exactly ONE window — the final per-query top-k. The rejected
+    // formulation ranked centroid assignment with windows too (3 total),
+    // shuffling the whole corpus twice.
+    assert("Window \\[".r.findAllIn(p).size == 1, "only the top-k window")
+  }
+
+  test("q48: decontamination never shuffles the training text") {
+    val p = plan("q48_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "benchmark n-grams broadcast")
+    // the only non-broadcast exchanges carry (doc_id, count) style rows —
+    // no string-array payloads (grep for a shuffle of the exploded gram col
+    // paired with text columns is brittle; assert join type + no SMJ)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q53: as-of join is one keyed window pass, not a nested loop") {
+    val p = plan("q53_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("Window"), "last-ignoreNulls carry-forward window")
+  }
+
+  test("q54: range join is an equi hash join with a residual filter, not a nested loop") {
+    val p = plan("q54_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("Generate"), "intervals explode into buckets")
+  }
 }
