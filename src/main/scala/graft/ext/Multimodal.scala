@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   * ride as opaque `binary` columns with typed metadata; decode / feature
   * extraction runs as a partition-wise typed transform.
   *
-  * The DECODE STEP IS A STUB — media codecs aren't in this container — a
-  * deterministic fake derives metadata from the bytes. Everything around it
-  * is the real Spark plumbing: binary columns, case-class encoders,
-  * `mapPartitions` batch shape (one decoder init per partition, the same
-  * shape a JNI/FFmpeg bridge needs), and column pruning up front.
+  * Decode is REAL for the formats the JDK itself ships codecs for —
+  * PNG/BMP/GIF via `javax.imageio` ([[decodeImages]], [[resizeImages]]) and
+  * WAV/PCM via a RIFF header parse ([[decodeWav]]) — both headless-safe and
+  * dependency-free. Only formats the JVM lacks (video containers, modern
+  * image codecs) keep the deterministic STUB ([[decodeMeta]]); everything
+  * around it is the real Spark plumbing either way: binary columns,
+  * case-class encoders, `mapPartitions` batch shape (one decoder init per
+  * partition, the same shape a JNI/FFmpeg bridge needs), and column pruning
+  * up front.
   */
 object Multimodal {
 
@@ -46,6 +50,87 @@ object Multimodal {
     * (the testdata has no binary column; the plumbing is what's real). */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** Real image metadata (formats with a JDK codec: PNG, BMP, GIF, JPEG). */
+  final case class ImageMeta(doc_id: Long, decoded: Boolean, width: Int,
+      height: Int, channels: Int)
+
+  /** REAL image decode via the JDK's own codecs — `ImageIO.read` is
+    * headless-safe and needs no external libraries. Non-image payloads
+    * yield `decoded = false` rather than failing the partition. */
+  def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: Exception => null }
+        if (img == null) ImageMeta(r.doc_id, decoded = false, -1, -1, -1)
+        else ImageMeta(r.doc_id, decoded = true, img.getWidth, img.getHeight,
+          img.getColorModel.getNumComponents)
+      }
+    }
+  }
+
+  /** REAL image resize: decode, scale with Graphics2D, re-encode PNG —
+    * all JDK, all headless. Undecodable payloads pass through unchanged. */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+      width: Int, height: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: Exception => null }
+        if (img == null) r
+        else {
+          val out = new java.awt.image.BufferedImage(width, height,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.drawImage(img, 0, 0, width, height, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          MediaRecord(r.doc_id, bos.toByteArray)
+        }
+      }
+    }
+  }
+
+  /** Real WAV/PCM metadata from the RIFF header (pure byte parsing). */
+  final case class WavMeta(doc_id: Long, decoded: Boolean, channels: Int,
+      sample_rate: Int, bits_per_sample: Int, n_frames: Long)
+
+  /** REAL WAV decode: RIFF/WAVE header walk — fmt chunk for channel/rate/
+    * depth, data chunk for the frame count. No library involved at all. */
+  def decodeWav(spark: SparkSession, media: DataFrame): Dataset[WavMeta] = {
+    import spark.implicits._
+    def le16(b: Array[Byte], o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le32(b: Array[Byte], o: Int) =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def ascii(b: Array[Byte], o: Int) = new String(b, o, 4, "US-ASCII")
+    media.select(col("doc_id"), col("payload")).as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val b = r.payload
+        val bad = WavMeta(r.doc_id, decoded = false, -1, -1, -1, -1L)
+        if (b.length < 44 || ascii(b, 0) != "RIFF" || ascii(b, 8) != "WAVE") bad
+        else {
+          var off = 12
+          var channels = -1; var rate = -1; var bits = -1; var block = -1
+          var frames = -1L
+          while (off + 8 <= b.length) {
+            val id = ascii(b, off); val sz = le32(b, off + 4)
+            if (id == "fmt " && off + 24 <= b.length) {
+              channels = le16(b, off + 10); rate = le32(b, off + 12)
+              block = le16(b, off + 20); bits = le16(b, off + 22)
+            } else if (id == "data" && block > 0) frames = sz.toLong / block
+            off += 8 + sz + (sz & 1) // chunks are word-aligned
+          }
+          if (channels > 0 && frames >= 0)
+            WavMeta(r.doc_id, decoded = true, channels, rate, bits, frames)
+          else bad
+        }
+      }
+    }
+  }
 
   /** Typed feature vector extracted from a payload. */
   final case class MediaFeatures(doc_id: Long, features: Array[Float])

@@ -32,6 +32,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resized.forall(r => r.payload.length == (original(r.doc_id) + 3) / 4))
   }
 
+  test("decodeImages REALLY decodes JDK-codec formats; garbage stays undecoded") {
+    import spark.implicits._
+    def png(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 31 + y * 17 + seed) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val payloads = Seq(
+      (1L, png(20, 10, 0)), (2L, png(7, 33, 99)),
+      (3L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10)))
+      .toDF("doc_id", "payload")
+    val metas = Multimodal.decodeImages(spark, payloads).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(metas(1L).decoded && metas(1L).width == 20 && metas(1L).height == 10
+      && metas(1L).channels == 3)
+    assert(metas(2L).decoded && metas(2L).width == 7 && metas(2L).height == 33)
+    assert(!metas(3L).decoded)
+  }
+
+  test("resizeImages re-encodes to the target dimensions, verified by re-decode") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(64, 48,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("doc_id", "payload")
+    val resized = Multimodal.resizeImages(spark, df, 16, 12)
+    val meta = Multimodal.decodeImages(spark, resized.toDF()).collect().head
+    assert(meta.decoded && meta.width == 16 && meta.height == 12)
+  }
+
+  test("decodeWav parses a real PCM RIFF header") {
+    import spark.implicits._
+    // handcraft a 16-bit stereo 8kHz WAV with 100 frames
+    val channels = 2; val rate = 8000; val bits = 16
+    val block = channels * bits / 8
+    val dataSize = 100 * block
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * block).putShort(block.toShort).putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    val df = Seq((1L, bb.array()), (2L, "not audio at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val metas = Multimodal.decodeWav(spark, df).collect().map(m => m.doc_id -> m).toMap
+    assert(metas(1L).decoded && metas(1L).channels == 2
+      && metas(1L).sample_rate == 8000 && metas(1L).bits_per_sample == 16
+      && metas(1L).n_frames == 100L)
+    assert(!metas(2L).decoded)
+  }
+
   test("sampleFrames fans one payload out to many fixed-size frames") {
     val frames = Multimodal.sampleFrames(spark, media, frameSize = 32, stride = 64).collect()
     assert(frames.nonEmpty)
