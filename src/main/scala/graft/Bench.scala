@@ -11,17 +11,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up codegen/JIT/IO paths so the first measured query isn't paying
-    // session start-up costs.
+    // session start-up costs. Resilient: a broken environment should still
+    // reach the per-query loop, whose failures are reported individually.
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .selectExpr("sum(l_quantity)").collect()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup read failed: ${e.getMessage}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Write to the noop sink so the MEASURED plan is the VERIFIED plan:
       // under a bare count() Catalyst prunes projections and drops top-level
       // sorts (TakeOrderedAndProject, window projections), understating cost.
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        // a failed query must be VISIBLE in driver logs, not a silent ~0s
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
