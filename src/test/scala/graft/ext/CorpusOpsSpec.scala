@@ -56,6 +56,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(row.getLong(4) == 10L) // p99
   }
 
+  test("approx_percentile (the huge-group scale path) tracks exactQuantiles") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val exact = CorpusStats.exactQuantiles(docs, "source",
+        TextAnalysis.tokenCount(col("text")), Seq(0.5, 0.9))
+      .select(col("source"), col("p50"), col("p90"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = docs
+      .select(col("source"), TextAnalysis.tokenCount(col("text")).cast("long").as("v"))
+      .groupBy("source")
+      .agg(percentile_approx(col("v"), array(lit(0.5), lit(0.9)), lit(1000)).as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    exact.foreach { case (src, (p50, p90)) =>
+      assert(math.abs(approx(src)(0) - p50) <= 2, s"$src p50")
+      assert(math.abs(approx(src)(1) - p90) <= 4, s"$src p90")
+    }
+  }
+
   test("exactQuantiles is stable under duplicate values") {
     import spark.implicits._
     val df = Seq(3, 3, 3, 3, 7).map(v => ("g", v)).toDF("src", "v")
