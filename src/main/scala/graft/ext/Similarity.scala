@@ -140,6 +140,14 @@ object Similarity {
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
         .sortBy(_._1)
+    ivfTopKWith(cents, corpus, queries, vecCol, idCol, k, nprobe)
+  }
+
+  /** [[ivfTopK]] over an EXPLICIT centroid set (e.g. from
+    * [[trainCentroids]]) — the machinery is centroid-agnostic. */
+  def ivfTopKWith(cents: Seq[(Long, Seq[Float], Double)], corpus: DataFrame,
+      queries: DataFrame, vecCol: String, idCol: String, k: Int,
+      nprobe: Int): DataFrame = {
     // struct(csim, -cid): array_max / descending sort then break ties to the
     // LOWEST centroid id, matching the oracle's ORDER BY csim DESC, cid.
     def centSims(nrmCol: Column): Column = array(cents.map { case (cid, cv, cnrm) =>
@@ -164,6 +172,68 @@ object Similarity {
         (dot(col("v_qid"), col("v_nid")) / (col("nrm_qid") * col("nrm_nid"))).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     sims.withColumn("rk", row_number().over(w)).where(col("rk") <= k).drop("rk")
+  }
+
+  /** Spherical k-means centroid training for IVF: Lloyd iterations with
+    * cosine assignment and normalized per-dimension means. Every heavy step
+    * is distributed — assignment is the same literal-centroid map-only
+    * expression [[ivfTopKWith]] uses; re-estimation is one
+    * posexplode + (cid, dim) aggregate whose output is k×d rows (tiny) —
+    * the only driver traffic per iteration is the k×d means collect, i.e.
+    * the model itself. Deterministic: init = lowest-id vectors, ties break
+    * to the lowest centroid id, and means use Spark's fixed fp reduction
+    * per (cid, dim) group (sum order can vary — training is model fitting,
+    * not an oracle surface; SERVING with any fixed centroid set stays
+    * bit-deterministic).
+    *
+    * Returns (cid, centroid, norm) ready for [[ivfTopKWith]]. Empty
+    * clusters keep their previous centroid. */
+  def trainCentroids(corpus: DataFrame, vecCol: String, k: Int,
+      iters: Int = 5): Seq[(Long, Seq[Float], Double)] = {
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    var cents: Seq[(Long, Seq[Float], Double)] = withNorm(corpus, vecCol)
+      .select(col(vecCol), col("nrm")).limit(k).collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](0), r.getDouble(1)) }
+    for (_ <- 1 to iters) {
+      val centSims = array(cents.map { case (cid, cv, cnrm) =>
+        struct((dot(col(vecCol), typedLit(cv)) / (col("nrm") * lit(cnrm))).as("csim"),
+          lit(-cid).as("negcid"))
+      }: _*)
+      val assigned = withNorm(corpus, vecCol)
+        .withColumn("cid", -array_max(centSims).getField("negcid"))
+      val means = assigned
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          val v = new Array[Float](dim)
+          rows.foreach(r => v(r.getInt(1)) = r.getDouble(2).toFloat)
+          cid -> v.toSeq
+        }
+      cents = cents.map { case (cid, oldV, oldN) =>
+        means.get(cid) match {
+          case Some(v) =>
+            val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x)).max(1e-12)
+            (cid, v, n)
+          case None => (cid, oldV, oldN) // empty cluster: keep previous
+        }
+      }
+    }
+    cents
+  }
+
+  /** Average cosine of each corpus vector to its assigned centroid — the
+    * spherical-k-means objective, for convergence monitoring/tests. */
+  def assignmentQuality(corpus: DataFrame, vecCol: String,
+      cents: Seq[(Long, Seq[Float], Double)]): Double = {
+    val centSims = array(cents.map { case (_, cv, cnrm) =>
+      dot(col(vecCol), typedLit(cv)) / (col("nrm") * lit(cnrm))
+    }: _*)
+    withNorm(corpus, vecCol)
+      .select(array_max(centSims).as("best"))
+      .agg(avg(col("best"))).head.getDouble(0)
   }
 
   /** LSH-bucketed approximate top-k: candidates share a bucket in at least

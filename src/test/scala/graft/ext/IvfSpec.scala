@@ -46,6 +46,25 @@ class IvfSpec extends AnyFunSuite {
     assert(full == brute, "nprobe == numCentroids must scan every list")
   }
 
+  test("trainCentroids improves the spherical objective and serves through ivfTopKWith") {
+    import org.apache.spark.sql.DataFrame
+    val e = emb("sf0.001")
+    val init = Similarity.trainCentroids(e, "embedding", k = 8, iters = 0)
+    val trained = Similarity.trainCentroids(e, "embedding", k = 8, iters = 4)
+    val q0 = Similarity.assignmentQuality(e, "embedding", init)
+    val q4 = Similarity.assignmentQuality(e, "embedding", trained)
+    info(f"avg cosine to assigned centroid: init $q0%.4f -> trained $q4%.4f")
+    assert(q4 >= q0 - 1e-9, "Lloyd iterations must not worsen the objective")
+    // trained centroids serve: full-probe IVF over them is exact
+    val queries = e.where(col("vec_id") < 10)
+    def topSet(df: DataFrame) =
+      df.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = topSet(Similarity.bruteForceTopK(e, queries, "embedding", "vec_id", 3))
+    val served = topSet(Similarity.ivfTopKWith(trained, e, queries, "embedding",
+      "vec_id", k = 3, nprobe = 8))
+    assert(served == brute)
+  }
+
   test("degenerate parameters: nprobe > centroids and k > corpus do not fail") {
     val e = emb("sf0.001")
     val out = Similarity.ivfTopK(e, e.where(col("vec_id") < 2), "embedding",
