@@ -21,6 +21,34 @@ import org.apache.spark.sql.functions._
   */
 object CorpusStats {
 
+  /** Per-token document frequency: (w, df) — in how many docs each token
+    * appears. One explode + one (token)-keyed distinct+count. */
+  def tokenDocFrequency(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+
+  /** Lexical commonness: per doc, the average corpus document-frequency of
+    * its tokens (every occurrence counts) — low values flag rare-token /
+    * jargon / garbage docs, the rational-arithmetic cousin of a unigram
+    * surprisal score (no transcendentals, so bit-exact cross-engine).
+    *
+    * Scale shape: the classic TF-DF pattern — one token-keyed shuffle to
+    * build df, one token-keyed join (df side is vocabulary-sized; broadcast
+    * when it fits), one doc-keyed aggregate of longs. */
+  def commonnessScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val total = docs.count()
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("w"))
+    tok
+      .join(tokenDocFrequency(docs, textCol, idCol), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("df")).as("df_sum"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("df_sum"), col("n_tokens"),
+        (col("df_sum").cast("double") / (col("n_tokens") * total)).as("commonness"))
+  }
+
   /** One row per group: n plus the exact p-quantiles of `valueCol`
     * (discrete, value at rank ceil(p*n)), output columns `p{percent}`. */
   def exactQuantiles(df: DataFrame, groupCol: String, valueCol: Column,

@@ -538,6 +538,24 @@ object Ext {
              |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     ),
 
+    // Lexical commonness: per-doc average token document-frequency (the
+    // rational-arithmetic cousin of unigram surprisal — rare-token/garbage
+    // docs score low). TF-DF join shape: token-keyed df + doc-keyed rollup.
+    QueryDef(
+      "q55_commonness",
+      (s, dir) => CorpusStats.commonnessScore(tbl(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+             |            FROM documents),
+             |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+             |n AS (SELECT COUNT(*) AS total FROM documents)
+             |SELECT doc_id, CAST(SUM(df) AS BIGINT) AS df_sum,
+             |  COUNT(*) AS n_tokens,
+             |  CAST(SUM(df) AS DOUBLE)/(COUNT(*)*(SELECT total FROM n)) AS commonness
+             |FROM tok JOIN df USING (w)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
+
     // Symmetric int8 embedding quantization audit (range / checksum /
     // reconstruction error). Map-only; both engines do the identical
     // double arithmetic.

@@ -74,6 +74,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("commonnessScore ranks common-token docs above rare-token docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the"),        // 'the' in docs 1,2 -> df 2
+      (2L, "the unique"),         // mixed
+      (3L, "zzz qqq rrr"))        // singletons -> df 1
+      .toDF("doc_id", "text")
+    val got = CorpusStats.commonnessScore(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((6L, 3L, 6.0 / 9)))   // 3 tokens x df 2, N=3
+    assert(got(2L) == ((3L, 2L, 3.0 / 6)))   // df 2 + df 1
+    assert(got(3L) == ((3L, 3L, 3.0 / 9)))
+    assert(got(1L)._3 > got(2L)._3 && got(2L)._3 > got(3L)._3)
+  }
+
   test("exactQuantiles is stable under duplicate values") {
     import spark.implicits._
     val df = Seq(3, 3, 3, 3, 7).map(v => ("g", v)).toDF("src", "v")
