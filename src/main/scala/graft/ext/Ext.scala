@@ -538,6 +538,37 @@ object Ext {
              |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     ),
 
+    // Corpus mixture: stratified downsampling (src0 keeps 40%, src1 60%)
+    // composed with integer upsampling weights (src2 x3, src3 x2) — the
+    // deterministic data-mixing op. All counts integer; membership is the
+    // portable hash, replicated exactly oracle-side.
+    QueryDef(
+      "q56_mixture",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val sampled = Sampling.stratifiedSample(docs, "doc_id", "source",
+          Map("src0" -> 40, "src1" -> 60))
+        Sampling.upsample(sampled, "source", Map("src2" -> 3, "src3" -> 2))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("rows_out"),
+            countDistinct(col("doc_id")).as("docs_kept"),
+            sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("tokens_out"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH kept AS (
+             |  SELECT * FROM documents
+             |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100
+             |        < CASE source WHEN 'src0' THEN 40 WHEN 'src1' THEN 60 ELSE 100 END),
+             |up AS (
+             |  SELECT *, unnest(generate_series(1,
+             |    CASE source WHEN 'src2' THEN 3 WHEN 'src3' THEN 2 ELSE 1 END)) AS copy
+             |  FROM kept)
+             |SELECT source, COUNT(*) AS rows_out,
+             |  COUNT(DISTINCT doc_id) AS docs_kept,
+             |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS tokens_out
+             |FROM up GROUP BY source ORDER BY source""".stripMargin),
+    ),
+
     // Lexical commonness: per-doc average token document-frequency (the
     // rational-arithmetic cousin of unigram surprisal — rare-token/garbage
     // docs score low). TF-DF join shape: token-keyed df + doc-keyed rollup.

@@ -37,6 +37,34 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** Per-group deterministic downsampling at different rates — stratified
+    * corpus rebalancing. `keepPct` maps group value -> percentage kept
+    * (groups absent from the map keep 100%). Membership is the same
+    * portable-hash function as [[deterministicSample]]: reproducible
+    * across engines, runs, and partitionings. Map-only. */
+  def stratifiedSample(df: DataFrame, idCol: String, groupCol: String,
+      keepPct: Map[String, Int]): DataFrame = {
+    val pct = keepPct.foldLeft(lit(100)) { case (acc, (g, p)) =>
+      when(col(groupCol) === g, p).otherwise(acc)
+    }
+    df.where(pmod(portableHash(col(idCol)), lit(100)) < pct)
+  }
+
+  /** Integer upsampling by per-group repeat weights — the "data mixture"
+    * op (epochs-per-source): each row is replicated `weight(group)` times
+    * with a `copy` index (0-based). Explode happens executor-side; output
+    * size = sum(weight_g * n_g). Weights absent from the map default 1. */
+  def upsample(df: DataFrame, groupCol: String, weights: Map[String, Int]): DataFrame = {
+    val w = weights.foldLeft(lit(1)) { case (acc, (g, n)) =>
+      when(col(groupCol) === g, n).otherwise(acc)
+    }
+    // weight 0 EXCLUDES the group (explode of an empty array drops the
+    // row); an unguarded sequence(0, -1) would DESCEND and duplicate it
+    df.withColumn("copy",
+      explode(when(w > 0, sequence(lit(0), w - 1))
+        .otherwise(array().cast("array<int>"))))
+  }
+
   /** Per-(source, split) corpus stats — the audit table a dataset release
     * ships with. */
   def splitStats(docs: DataFrame, idCol: String, trainPct: Int, valPct: Int): DataFrame =

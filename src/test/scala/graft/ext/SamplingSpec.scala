@@ -48,6 +48,41 @@ class SamplingSpec extends AnyFunSuite {
     assert(all.size == 1000)
   }
 
+  test("stratifiedSample keeps ~pct per group, 100% for unmapped groups") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => (s"id_$i", if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val kept = Sampling.stratifiedSample(df, "id", "grp", Map("a" -> 25))
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(kept("b") == 200L)                       // unmapped: all kept
+    assert(math.abs(kept("a") - 50L) < 25)          // ~25% of 200
+    // subset of the full data, deterministic
+    val again = Sampling.stratifiedSample(df.repartition(7), "id", "grp", Map("a" -> 25))
+      .select("id").as[String].collect().toSet
+    val first = Sampling.stratifiedSample(df, "id", "grp", Map("a" -> 25))
+      .select("id").as[String].collect().toSet
+    assert(again == first)
+  }
+
+  test("upsample replicates by group weight with 0-based copy ids") {
+    import spark.implicits._
+    val df = Seq(("x", "hot"), ("y", "hot"), ("z", "cold")).toDF("id", "grp")
+    val up = Sampling.upsample(df, "grp", Map("hot" -> 3))
+      .collect().map(r => (r.getString(0), r.getInt(2)))
+    assert(up.count(_._1 == "x") == 3)
+    assert(up.filter(_._1 == "x").map(_._2).sorted.toSeq == Seq(0, 1, 2))
+    assert(up.count(_._1 == "z") == 1)
+    assert(up.filter(_._1 == "z").map(_._2).toSeq == Seq(0))
+  }
+
+  test("upsample weight 0 excludes the group entirely") {
+    import spark.implicits._
+    val df = Seq(("x", "drop"), ("y", "keep")).toDF("id", "grp")
+    val up = Sampling.upsample(df, "grp", Map("drop" -> 0))
+      .select("id").as[String].collect().toSeq
+    assert(up == Seq("y"))
+  }
+
   test("every row lands in exactly one split") {
     val df = ids(300).select(Sampling.splitColumn(col("id"), 80, 10).as("s"))
     assert(df.where(!col("s").isin("train", "val", "test")).count() == 0L)
