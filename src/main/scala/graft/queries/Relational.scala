@@ -472,6 +472,44 @@ object Relational {
              |GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
 
+    // Batch sessionization (gaps-and-islands): session = maximal run of
+    // per-user events with < 30 min between neighbors. One keyed sort +
+    // two windows — the batch twin of Streaming.sessionCounts.
+    QueryDef(
+      "q57_sessionize",
+      (s, dir) => {
+        val gapNs = 30L * 60L * 1000000000L
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        tbl(s, dir, "events")
+          .withColumn("new_session",
+            when(($"ts" - lag($"ts", 1).over(w)) > gapNs || lag($"ts", 1).over(w).isNull, 1)
+              .otherwise(0))
+          .withColumn("session_id",
+            sum($"new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("n_events"),
+            expr("min(ts) div 1000").as("first_us"),
+            expr("max(ts) div 1000").as("last_us"))
+          .orderBy($"user_id", $"session_id")
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM marked)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |  COUNT(*) AS n_events,
+             |  MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+             |FROM sess GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin),
+    ),
+
     // Rollup audit aggregation (source x lang hierarchies) — the data-audit
     // shape a training pipeline runs over corpus partitions.
     QueryDef(
