@@ -46,6 +46,34 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out(1L) == (Some(100L), Some(9.0)))
   }
 
+  test("property: agrees with the naive formulation on adversarial random data") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // tiny key/ts domains force equal-ts ties, duplicate quotes, empty keys
+    val rowGen = Gen.listOfN(18, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 9L),
+      Gen.choose(0, 99).map(_.toDouble)))
+    (0 until 10).foreach { i =>
+      Gen.zip(rowGen, rowGen).apply(Gen.Parameters.default, Seed(i.toLong)).foreach {
+        case (ts0, qs0) =>
+          val trades = ts0.zipWithIndex.map { case ((k, ts, v), j) => (j.toLong, k, ts, v) }
+            .toDF("event_id", "k", "ts", "value")
+          val quotes = qs0.zipWithIndex.map { case ((k, ts, v), j) => (100L + j, k, ts, v) }
+            .toDF("event_id", "k", "ts", "value")
+          val fast = AsofJoin.asofJoin(trades, quotes, "k", "ts", "value", "event_id")
+            .select(col("event_id"), col("asof_value")).collect()
+            .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+          val naive = trades.as("t")
+            .join(quotes.as("q"),
+              col("t.k") === col("q.k") && col("q.ts") <= col("t.ts"), "left")
+            .groupBy(col("t.event_id").as("event_id"))
+            .agg(max_by(col("q.value"), struct(col("q.ts"), col("q.event_id"))).as("nv"))
+            .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+          assert(fast == naive, s"seed $i")
+      }
+    }
+  }
+
   test("agrees with the naive O(T*Q) formulation on the events table") {
     import spark.implicits._
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
