@@ -35,6 +35,32 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got.length == 1)
   }
 
+  test("property: agrees with the naive theta join on random data across bucket widths") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val ptGen = Gen.listOfN(15, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 50L)))
+    val ivGen = Gen.listOfN(10, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 50L),
+      Gen.choose(0L, 30L)))
+    (0 until 8).foreach { i =>
+      Gen.zip(ptGen, ivGen).apply(Gen.Parameters.default, Seed(i.toLong)).foreach {
+        case (ps, is) =>
+          val points = pts(ps.zipWithIndex.map { case ((k, ts), j) => (j.toLong, k, ts) }: _*)
+          val intervals = ivs(is.zipWithIndex.map { case ((k, lo, len), j) =>
+            (100L + j, k, lo, lo + len) }: _*)
+          val naive = points.as("p").join(intervals.as("i"),
+              org.apache.spark.sql.functions.col("p.k") === org.apache.spark.sql.functions.col("i.k") &&
+                org.apache.spark.sql.functions.col("p.ts")
+                  .between(org.apache.spark.sql.functions.col("i.lo"),
+                    org.apache.spark.sql.functions.col("i.hi")))
+            .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          // widths smaller, equal, and larger than typical interval length
+          Seq(1L, 7L, 64L).foreach { w =>
+            assert(pairs(points, intervals, w) == naive, s"seed $i width $w")
+          }
+      }
+    }
+  }
+
   test("agrees with the naive theta join on the events table") {
     val hourNs = 3600L * 1000000000L
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
