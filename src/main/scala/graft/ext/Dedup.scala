@@ -157,6 +157,27 @@ object Dedup {
       .agg(count(lit(1)).as("matched_ngrams"))
   }
 
+  /** [[contaminatedDocs]] with n-grams hashed to int64 before the
+    * broadcast/join — for LONG n-grams (decontamination typically uses
+    * 8–13-grams) the hashed benchmark set is ~10x smaller to broadcast and
+    * the exploded training grams are 8-byte longs instead of strings.
+    * Same 2^-64 per-pair collision argument as [[hashedShingleSets]];
+    * results are identical to the string form in practice (asserted on the
+    * corpus in `CorpusOpsSpec`). */
+  def contaminatedDocsHashed(train: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          TextAnalysis.ngramsFromTokens("t", n), g => xxhash64(g)))).as("g"))
+    val benchGrams = grams(benchmark).select(col("g")).distinct()
+    grams(train)
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("matched_ngrams"))
+  }
+
   /** Near-dup pairs with exact Jaccard >= threshold, LSH-pruned: the full
     * MinHash->band->bucket-join->exact-verify pipeline. Output matches a
     * brute-force O(n^2) oracle (recall at threshold 0.5 is ~1-1e-4; the

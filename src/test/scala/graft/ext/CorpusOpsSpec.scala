@@ -44,6 +44,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("hashed decontamination equals the string form on the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val bench = docs.where(col("source") === "src0")
+    val train = docs.where(col("source") =!= "src0")
+    def toMapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val strings = toMapOf(Dedup.contaminatedDocs(train, bench, "text", "doc_id", 5))
+    val hashed = toMapOf(Dedup.contaminatedDocsHashed(train, bench, "text", "doc_id", 5))
+    assert(strings.nonEmpty)
+    assert(hashed == strings)
+  }
+
   test("exactQuantiles picks rank-position values per group") {
     import spark.implicits._
     // group g: values 1..10 -> p50 = rank ceil(5)=5, p90 = rank 9, p99 = rank 10
