@@ -587,6 +587,35 @@ object Ext {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
 
+    // Embedding outlier signal: cosine to the corpus centroid (decimal-
+    // accumulated per-dim means — partitioning-independent), flagged at a
+    // fixed threshold. Map-only scan against a literal centroid.
+    QueryDef(
+      "q58_embedding_outliers",
+      (s, dir) => Similarity.centroidCosine(tbl(s, dir, "embeddings"), "embedding", "vec_id")
+        .withColumn("is_outlier", col("cos_centroid") < 0.0)
+        .orderBy(col("vec_id")),
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             |px AS (SELECT vec_id, embedding,
+             |         unnest(generate_series(1, len(embedding))) AS i FROM e),
+             |m AS (SELECT i,
+             |        CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1099511627776) AS BIGINT)) AS DOUBLE)
+             |               / (COUNT(*) * 1099511627776) AS mu
+             |      FROM px GROUP BY i),
+             |mv AS (SELECT list(mu ORDER BY i) AS m FROM m),
+             |mn AS (SELECT sqrt(list_sum([x*x FOR x IN m])) AS mnorm FROM mv)
+             |SELECT vec_id,
+             |  list_sum([CAST(embedding[i] AS DOUBLE)*m[i]
+             |            FOR i IN generate_series(1, len(embedding))])
+             |  / (sqrt(list_sum([CAST(x AS DOUBLE)*x FOR x IN embedding])) * mnorm)
+             |    AS cos_centroid,
+             |  (list_sum([CAST(embedding[i] AS DOUBLE)*m[i]
+             |             FOR i IN generate_series(1, len(embedding))])
+             |   / (sqrt(list_sum([CAST(x AS DOUBLE)*x FOR x IN embedding])) * mnorm)) < 0.0
+             |    AS is_outlier
+             |FROM e, mv, mn ORDER BY vec_id""".stripMargin),
+    ),
+
     // Symmetric int8 embedding quantization audit (range / checksum /
     // reconstruction error). Map-only; both engines do the identical
     // double arithmetic.

@@ -174,6 +174,38 @@ object Similarity {
     sims.withColumn("rk", row_number().over(w)).where(col("rk") <= k).drop("rk")
   }
 
+  /** Cosine of every vector to the CORPUS CENTROID — the cheap
+    * embedding-outlier signal (corrupt/degenerate embeddings point away
+    * from the bulk). Per-dimension means accumulate in DECIMAL so the
+    * centroid is identical under any partitioning/engine (a plain double
+    * avg would be summation-order dependent — the dsum rule applied to
+    * vectors); the centroid is then literal-embedded and the scan is
+    * map-only. */
+  /** Fixed-point quantum for the centroid accumulation: elements quantized
+    * to a 2^-40 grid (~1e-12, below float precision) sum EXACTLY as longs —
+    * decimal accumulation is not enough here because decimal->double
+    * conversion rounds differently across engines (DuckDB scales int128 in
+    * fp; the JVM rounds the exact value), and the centroid must be
+    * bit-identical for the oracle. */
+  private val CentroidQuantum = 1L << 40
+
+  def centroidCosine(corpus: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    val mu: Seq[Double] = corpus
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg((sum(round(col("x").cast("double") * CentroidQuantum).cast("long"))
+        .cast("double") / (count(lit(1)) * lit(CentroidQuantum))).as("m"))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1)).toSeq
+    require(mu.length == dim)
+    val muNorm = math.sqrt(mu.foldLeft(0.0)((a, x) => a + x * x))
+    val muF = typedLit(mu)
+    withNorm(corpus, vecCol)
+      .select(col(idCol),
+        (dot(col(vecCol).cast("array<double>"), muF) / (col("nrm") * lit(muNorm)))
+          .as("cos_centroid"))
+  }
+
   /** Spherical k-means centroid training for IVF: Lloyd iterations with
     * cosine assignment and normalized per-dimension means. Every heavy step
     * is distributed — assignment is the same literal-centroid map-only
