@@ -49,6 +49,23 @@ object CorpusStats {
         (col("df_sum").cast("double") / (col("n_tokens") * total)).as("commonness"))
   }
 
+  /** Per-doc lexical diversity: type-token ratio (distinct/total tokens)
+    * and hapax ratio (tokens occurring exactly once / total) — low TTR
+    * flags repetitive text, high hapax flags noise/gibberish. Integer
+    * rationals via one (doc, token)-keyed count + one doc-keyed rollup. */
+  def lexicalDiversity(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        (col("n_hapax").cast("double") / col("n_tokens")).as("hapax_ratio"))
+
   /** One row per group: n plus the exact p-quantiles of `valueCol`
     * (discrete, value at rank ceil(p*n)), output columns `p{percent}`. */
   def exactQuantiles(df: DataFrame, groupCol: String, valueCol: Column,

@@ -587,6 +587,24 @@ object Ext {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
 
+    // Per-doc lexical diversity (type-token + hapax ratios) — the
+    // remaining standard text-quality signal. Integer rationals.
+    QueryDef(
+      "q59_lexical_diversity",
+      (s, dir) => CorpusStats.lexicalDiversity(tbl(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id")),
+      Some("""WITH tf AS (
+             |  SELECT doc_id, w, COUNT(*) AS c
+             |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+             |  GROUP BY doc_id, w)
+             |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |  COUNT(*) AS n_types,
+             |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+             |  CAST(COUNT(*) AS DOUBLE)/SUM(c) AS ttr,
+             |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)/SUM(c) AS hapax_ratio
+             |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
+
     // Embedding outlier signal: cosine to the corpus centroid (decimal-
     // accumulated per-dim means — partitioning-independent), flagged at a
     // fixed threshold. Map-only scan against a literal centroid.

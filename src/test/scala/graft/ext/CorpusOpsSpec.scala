@@ -44,6 +44,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("lexicalDiversity: hand-computed TTR and hapax on known docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a c a b"),   // 6 tokens, 3 types (a:3,b:2,c:1), 1 hapax
+      (2L, "x y z"))         // all hapax
+      .toDF("doc_id", "text")
+    val got = CorpusStats.lexicalDiversity(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got(1L) == ((6L, 3L, 1L, 0.5, 1.0 / 6)))
+    assert(got(2L) == ((3L, 3L, 3L, 1.0, 1.0)))
+  }
+
   test("hashed decontamination equals the string form on the corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val bench = docs.where(col("source") === "src0")
