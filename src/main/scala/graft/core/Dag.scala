@@ -208,7 +208,14 @@ final class Dag {
       val existing = sources(name)
       val existingEmpty = existing.kind.asInstanceOf[SourceStream[_]].emptyFactory()
       val newEmpty = factory()
-      if (existingEmpty.getClass != newEmpty.getClass || existingEmpty != newEmpty)
+      // Two empties of the same runtime class are equivalent registrations
+      // even under reference equality (Array.empty, SparkBatch wrapping a
+      // DataFrame): checkEmpty already proved newEmpty has length 0, so a
+      // same-class empty with length 0 is the same source type — the
+      // reference compares empty factories, not values (dag.py:448-453).
+      val sameClass = existingEmpty.getClass == newEmpty.getClass
+      val bothEmpty = sameClass && hl.length(existingEmpty.asInstanceOf[T]) == 0
+      if (!sameClass || (existingEmpty != newEmpty && !bothEmpty))
         throw new IllegalArgumentException(s"Duplicate source: $name")
       existing.asInstanceOf[Node[T]]
     } else {

@@ -618,7 +618,7 @@ object Ext {
              |         unnest(generate_series(1, len(embedding))) AS i FROM e),
              |m AS (SELECT i,
              |        CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1099511627776) AS BIGINT)) AS DOUBLE)
-             |               / (COUNT(*) * 1099511627776) AS mu
+             |               / COUNT(*) / 1099511627776 AS mu
              |      FROM px GROUP BY i),
              |mv AS (SELECT list(mu ORDER BY i) AS m FROM m),
              |mn AS (SELECT sqrt(list_sum([x*x FOR x IN m])) AS mnorm FROM mv)

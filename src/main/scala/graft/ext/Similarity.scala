@@ -194,8 +194,10 @@ object Similarity {
     val mu: Seq[Double] = corpus
       .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy(col("pos"))
+      // two-step division: count*quantum as a long product overflows past
+      // 2^23 rows; double/long, then /quantum keeps both engines bit-equal
       .agg((sum(round(col("x").cast("double") * CentroidQuantum).cast("long"))
-        .cast("double") / (count(lit(1)) * lit(CentroidQuantum))).as("m"))
+        .cast("double") / count(lit(1)) / lit(CentroidQuantum.toDouble)).as("m"))
       .collect().sortBy(_.getInt(0)).map(_.getDouble(1)).toSeq
     require(mu.length == dim)
     val muNorm = math.sqrt(mu.foldLeft(0.0)((a, x) => a + x * x))
@@ -221,10 +223,13 @@ object Similarity {
     * Returns (cid, centroid, norm) ready for [[ivfTopKWith]]. Empty
     * clusters keep their previous centroid. */
   def trainCentroids(corpus: DataFrame, vecCol: String, k: Int,
-      iters: Int = 5): Seq[(Long, Seq[Float], Double)] = {
+      iters: Int = 5, idCol: String = "vec_id"): Seq[(Long, Seq[Float], Double)] = {
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    // orderBy before limit: a bare limit(k) is partition-order dependent,
+    // so the init (and the trained model) would vary across repartitionings
     var cents: Seq[(Long, Seq[Float], Double)] = withNorm(corpus, vecCol)
-      .select(col(vecCol), col("nrm")).limit(k).collect().zipWithIndex
+      .orderBy(col(idCol)).select(col(vecCol), col("nrm")).limit(k)
+      .collect().zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Float](0), r.getDouble(1)) }
     for (_ <- 1 to iters) {
       val centSims = array(cents.map { case (cid, cv, cnrm) =>

@@ -38,17 +38,27 @@ object AsofJoin {
     * @return left rows + `asof_<valueCol>` (+ `asof_ts` of the match) */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, valueCol: String, tieCol: String): DataFrame = {
+    val leftCols = left.columns
+    val reserved = Seq("side", "r_in", "asof_ts", s"asof_$valueCol")
+    require(!leftCols.exists(reserved.contains),
+      s"left input must not contain operator-internal columns ${reserved.mkString(", ")}")
     val dedupRight = right
       .groupBy(col(keyCol), col(tsCol).as("r_ts"))
       .agg(max_by(col(valueCol), col(tieCol)).as("r_val"))
-    val leftCols = left.columns
+    // The matched (ts, value) pair rides in ONE struct through ONE
+    // last(ignoreNulls) window, so both always come from the same matched
+    // right row — a right row with a NULL value still matches and yields
+    // (its ts, NULL), exactly DuckDB ASOF JOIN semantics. Two independent
+    // last() windows would pair the newest ts with an older non-null value.
+    val rInType = new org.apache.spark.sql.types.StructType()
+      .add("r_ts", dedupRight.schema("r_ts").dataType)
+      .add("r_val", dedupRight.schema("r_val").dataType)
     val taggedLeft = left
       .withColumn("side", lit(1))
-      .withColumn("r_ts_in", lit(null).cast(dedupRight.schema("r_ts").dataType))
-      .withColumn("r_val_in", lit(null).cast(dedupRight.schema("r_val").dataType))
+      .withColumn("r_in", lit(null).cast(rInType))
     val taggedRight = dedupRight
       .select(Seq(col(keyCol), col("r_ts").as(tsCol), lit(0).as("side"),
-        col("r_ts").as("r_ts_in"), col("r_val").as("r_val_in")) ++
+        struct(col("r_ts"), col("r_val")).as("r_in")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val unioned = taggedLeft.unionByName(taggedRight)
@@ -56,9 +66,10 @@ object AsofJoin {
       .orderBy(col(tsCol), col("side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn("asof_ts", last(col("r_ts_in"), ignoreNulls = true).over(w))
-      .withColumn(s"asof_$valueCol", last(col("r_val_in"), ignoreNulls = true).over(w))
+      .withColumn("r_in", last(col("r_in"), ignoreNulls = true).over(w))
       .where(col("side") === 1)
-      .select(leftCols.map(col) :+ col("asof_ts") :+ col(s"asof_$valueCol"): _*)
+      .select(leftCols.map(col) :+
+        col("r_in.r_ts").as("asof_ts") :+
+        col("r_in.r_val").as(s"asof_$valueCol"): _*)
   }
 }

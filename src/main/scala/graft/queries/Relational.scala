@@ -457,7 +457,7 @@ object Relational {
         graft.operators.RangeJoin
           .rangeJoin(views, windows, "user_id", "ts", "lo", "hi", 6L * hourNs)
           .groupBy($"purchase_id")
-          .agg(count(lit(1)).as("views_1h"),
+          .agg(count(lit(1)).as("views_24h"),
             min($"view_id").as("first_view"), max($"view_id").as("last_view"))
           .orderBy($"purchase_id")
       },
@@ -465,7 +465,7 @@ object Relational {
              |           WHERE event_type = 'view'),
              |p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
              |      WHERE event_type = 'purchase')
-             |SELECT p.purchase_id, COUNT(*) AS views_1h,
+             |SELECT p.purchase_id, COUNT(*) AS views_24h,
              |  MIN(v.view_id) AS first_view, MAX(v.view_id) AS last_view
              |FROM p JOIN v ON v.user_id = p.user_id
              |  AND v.ts BETWEEN p.ts - INTERVAL 24 HOUR AND p.ts

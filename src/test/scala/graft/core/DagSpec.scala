@@ -453,4 +453,18 @@ class DagSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("Duplicate source: dup"))
   }
+
+  test("duplicate source name: reference-unequal empties of the same class reuse the node") {
+    // Array equality is reference equality — two Array.empty calls are !=
+    // but are the same registration; the reference compares empty FACTORIES,
+    // not values (dag.py:448-453)
+    val dag = new Dag
+    val a = dag.sourceStream(Array.empty[Int], name = "arr")
+    assert(dag.sourceStream(Array.empty[Int], name = "arr") eq a)
+    // a different array element class still throws
+    val err = intercept[IllegalArgumentException] {
+      dag.sourceStream(Array.empty[String], name = "arr")
+    }
+    assert(err.getMessage.contains("Duplicate source: arr"))
+  }
 }

@@ -39,6 +39,30 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out(2L) == (None, None))  // quote is for another key
   }
 
+  test("a matched right row with NULL value yields (its ts, NULL), not an older value") {
+    import spark.implicits._
+    // quote at ts=200 has a NULL value; the trade at 205 must see
+    // (200, NULL) — the matched row's NULL — not (200, 5.0) stitched from
+    // two different rows (DuckDB ASOF JOIN returns the matched row's NULL)
+    val trades = Seq((1L, 7L, 205L, 1.0)).toDF("event_id", "k", "ts", "value")
+    val quotes = Seq((10L, 7L, 100L, Some(5.0)), (11L, 7L, 200L, Option.empty[Double]))
+      .toDF("event_id", "k", "ts", "value")
+    val r = AsofJoin.asofJoin(trades, quotes, "k", "ts", "value", "event_id").collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(4) == 200L)   // asof_ts from the matched row
+    assert(r(0).isNullAt(5))          // asof_value is that row's NULL
+  }
+
+  test("left inputs colliding with operator-internal column names are rejected at build time") {
+    import spark.implicits._
+    val t = Seq((1L, 7L, 205L, 1.0)).toDF("event_id", "k", "ts", "side")
+    val q = Seq((10L, 7L, 100L, 5.0)).toDF("event_id", "k", "ts", "value")
+    val err = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(t, q, "k", "ts", "value", "event_id")
+    }
+    assert(err.getMessage.contains("side"))
+  }
+
   test("duplicate (key, ts) quotes resolve to the highest tiebreaker") {
     val out = run(
       trades = Seq((1L, 7L, 100L, 1.0)),
