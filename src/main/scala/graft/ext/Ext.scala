@@ -662,6 +662,78 @@ object Ext {
              |FROM q ORDER BY vec_id""".stripMargin),
     ),
 
+    // KMV distinct-count sketch over per-lang 3-gram vocabulary: the
+    // deterministic (partitioning- and engine-independent) alternative to
+    // approx_count_distinct, so the ESTIMATOR itself is oracle-checked.
+    // One group-keyed shuffle with bounded O(k) map-side partials; the
+    // exact countDistinct column is the accuracy audit.
+    QueryDef(
+      "q60_kmv_distinct",
+      (s, dir) => {
+        val grams = tbl(s, dir, "documents")
+          .select(col("lang"), split(col("text"), " ").as("toks"))
+          .select(col("lang"), explode(TextAnalysis.ngramsFromTokens("toks", 3)).as("g"))
+        Sketches.kmvDistinct(grams, "lang", col("g"), 512).orderBy(col("lang"))
+      },
+      Some("""WITH tok AS (SELECT lang, string_split(text,' ') AS t FROM documents),
+             |g AS (SELECT lang, unnest([t[i]||' '||t[i+1]||' '||t[i+2]
+             |                           FOR i IN generate_series(1, len(t)-2)]) AS g
+             |      FROM tok WHERE len(t) >= 3),
+             |h AS (SELECT DISTINCT lang,
+             |        CAST(('0x' || substring(md5(g),1,15)) AS BIGINT) AS h FROM g),
+             |r AS (SELECT lang, h,
+             |        row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
+             |a AS (SELECT lang, COUNT(*) AS n_exact FROM h GROUP BY lang),
+             |kth AS (SELECT lang, MAX(h) FILTER (WHERE rn = 512) AS kth_hash,
+             |               LEAST(COUNT(*), 512) AS n_sketch
+             |        FROM r WHERE rn <= 512 GROUP BY lang)
+             |SELECT a.lang, a.n_exact, kth.n_sketch, kth.kth_hash,
+             |  CASE WHEN kth.kth_hash IS NOT NULL
+             |       THEN 511.0 * 1152921504606846976.0 / kth.kth_hash
+             |       ELSE CAST(kth.n_sketch AS DOUBLE) END AS est_distinct
+             |FROM a JOIN kth USING (lang) ORDER BY lang""".stripMargin),
+    ),
+
+    // Per-group exact top-k (heavy hitters): most frequent tokens per
+    // language. The rank window runs over the (group, token) COUNT table
+    // (vocabulary-sized), never the raw token stream — the shape that
+    // survives 100 TB; deterministic tiebreak on the token itself.
+    QueryDef(
+      "q61_group_topk",
+      (s, dir) => {
+        val counts = tbl(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("c").desc, col("w").asc)
+        counts.withColumn("rk", row_number().over(win).cast("long"))
+          .where(col("rk") <= 5)
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""WITH tok AS (SELECT lang, unnest(string_split(text,' ')) AS w FROM documents),
+             |c AS (SELECT lang, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+             |r AS (SELECT lang, w, c,
+             |        row_number() OVER (PARTITION BY lang ORDER BY c DESC, w ASC) AS rk
+             |      FROM c)
+             |SELECT lang, w, c, rk FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin),
+    ),
+
+    // PII redaction audit: mask numeric identifiers in a free-text field,
+    // count hits, pseudonymize the key via the portable content hash.
+    // Pure map work inside WholeStageCodegen — a 100 TB sweep is one scan.
+    QueryDef(
+      "q62_pii_redact",
+      (s, dir) => Privacy.redactionAudit(tbl(s, dir, "customer"),
+          "c_custkey", "c_name", Privacy.NumericIdPattern, "[ID]")
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey,
+             |  CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)),1,15)) AS BIGINT)
+             |    AS pseudo_id,
+             |  regexp_replace(c_name, '[0-9]{3,}', '[ID]', 'g') AS redacted,
+             |  CAST(len(regexp_extract_all(c_name, '[0-9]{3,}')) AS BIGINT) AS n_hits
+             |FROM customer ORDER BY c_custkey""".stripMargin),
+    ),
+
     // Multimodal plumbing: binary payloads -> typed partition-wise decode
     // (stubbed codec, real Spark shape).
     QueryDef(
