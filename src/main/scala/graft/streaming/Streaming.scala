@@ -4,6 +4,17 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSe
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** Tagged input row for [[Streaming.streamingAsofJoin]]: `side` 0 =
+  * reference (quote), 1 = probe (trade). Top-level for Encoder derivation. */
+final case class AsofEvent(k: Long, ts: Long, side: Int, id: Long, value: Double)
+
+/** Held reference state per key: the latest (ts, value) seen. */
+final case class AsofHeld(ts: Long, value: Double)
+
+/** Probe row enriched with the prevailing reference value. */
+final case class AsofMatch(id: Long, k: Long, ts: Long,
+    asofTs: Option[Long], asofValue: Option[Double])
+
 /** Structured Streaming mappings for the engine's stateful operators
   * (SURVEY.md §2.1 E3/E7/W4): the production path when a query runs as one
   * continuous stream instead of driver-orchestrated cycles.
@@ -113,6 +124,50 @@ object Streaming {
     docs.withColumn("quality",
         t.qualityScore(col(textCol), t.tokenCount(col(textCol))))
       .where(col("quality") >= minQuality)
+  }
+
+  /** Streaming AS-OF join — the continuous twin of
+    * [[graft.operators.AsofJoin]]: each probe row is enriched with the
+    * latest reference row at-or-before its timestamp for the key. Both
+    * streams arrive unioned as tagged [[AsofEvent]]s; state per key is ONE
+    * [[AsofHeld]] (the newest reference seen), so state size = distinct
+    * keys, not history length.
+    *
+    * Within a micro-batch, rows are ordered by (ts, side, id) — reference
+    * before probe at equal ts, so matches are inclusive like the batch
+    * operator. ACROSS batches the operator is forward-looking: a reference
+    * row arriving in a later batch than a probe it would have matched does
+    * not retro-correct the already-emitted probe (the same contract as the
+    * reference engine's lookup-join on keyed state,
+    * `examples/etfs.py:124-131` — enrichment uses state as of processing
+    * time). Out-of-ORDER reference rows are ignored if older than the held
+    * one, keeping the held value monotone in ts; the deterministic batch
+    * operator remains the replay/backfill semantics. */
+  def streamingAsofJoin(in: Dataset[AsofEvent]): Dataset[AsofMatch] = {
+    implicit val heldEnc: Encoder[AsofHeld] = Encoders.product[AsofHeld]
+    implicit val outEnc: Encoder[AsofMatch] = Encoders.product[AsofMatch]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    in.groupByKey(_.k)
+      .flatMapGroupsWithState[AsofHeld, AsofMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: Long, rows: Iterator[AsofEvent], state: GroupState[AsofHeld]) =>
+          var held = state.getOption
+          val out = Seq.newBuilder[AsofMatch]
+          rows.toSeq.sortBy(r => (r.ts, r.side, r.id)).foreach { r =>
+            if (r.side == 0) {
+              if (held.forall(_.ts <= r.ts)) held = Some(AsofHeld(r.ts, r.value))
+            } else {
+              // held is always <= r.ts here for same-batch references
+              // (sorted order); cross-batch held values may be newer — the
+              // documented forward-looking contract matches only when the
+              // held reference is not in the probe's future
+              val m = held.filter(_.ts <= r.ts)
+              out += AsofMatch(r.id, k, r.ts, m.map(_.ts), m.map(_.value))
+            }
+          }
+          held.foreach(state.update)
+          out.result().iterator
+      }
   }
 
   /** Event-time timer via `GroupState` timeouts (E7 as a continuous

@@ -200,4 +200,65 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows == Set(1L)) // the low-quality doc is filtered out
     } finally query.stop()
   }
+
+  test("streamingAsofJoin enriches probes with the prevailing reference per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[AsofEvent]
+    val query = Streaming.streamingAsofJoin(input.toDS())
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: quote@100=5.0, trade@100 (inclusive), trade@205 after quote@200
+      input.addData(
+        AsofEvent(7L, 100L, 0, 10L, 5.0), AsofEvent(7L, 100L, 1, 1L, 0.0),
+        AsofEvent(7L, 200L, 0, 11L, 6.0), AsofEvent(7L, 205L, 1, 2L, 0.0),
+        AsofEvent(8L, 500L, 1, 3L, 0.0)) // no quote for key 8
+      drain(query)
+      val out1 = spark.table("asof_out").as[AsofMatch].collect().map(m => m.id -> m).toMap
+      assert(out1(1L).asofTs.contains(100L) && out1(1L).asofValue.contains(5.0))
+      assert(out1(2L).asofTs.contains(200L) && out1(2L).asofValue.contains(6.0))
+      assert(out1(3L).asofTs.isEmpty && out1(3L).asofValue.isEmpty)
+
+      // batch 2: state carried across batches; stale out-of-order quote ignored
+      input.addData(
+        AsofEvent(7L, 150L, 0, 12L, 9.9), // older than held quote@200: ignored
+        AsofEvent(7L, 300L, 1, 4L, 0.0))
+      drain(query)
+      val out2 = spark.table("asof_out").as[AsofMatch].collect().map(m => m.id -> m).toMap
+      assert(out2(4L).asofTs.contains(200L) && out2(4L).asofValue.contains(6.0))
+    } finally query.stop()
+  }
+
+  test("streamingAsofJoin agrees with the batch AsofJoin under in-order arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    // adversarial ties: tiny key/ts domains, quotes and trades interleaved
+    val rng = new scala.util.Random(42)
+    val events = (0 until 60).map { i =>
+      AsofEvent(k = rng.nextInt(3).toLong, ts = rng.nextInt(20).toLong * 10,
+        side = rng.nextInt(2), id = i.toLong, value = rng.nextInt(100).toDouble)
+    }.sortBy(e => (e.ts, e.side, e.id)) // in-order arrival (replay order)
+    val input = MemoryStream[AsofEvent]
+    val query = Streaming.streamingAsofJoin(input.toDS())
+      .writeStream.format("memory").queryName("asof_agree")
+      .outputMode("append").start()
+    try {
+      events.grouped(13).foreach { batch => input.addData(batch: _*); drain(query) }
+      val streamed = spark.table("asof_agree").as[AsofMatch].collect()
+        .map(m => m.id -> ((m.asofTs, m.asofValue))).toMap
+      val trades = events.filter(_.side == 1)
+        .map(e => (e.id, e.k, e.ts)).toDF("event_id", "k", "ts")
+      val quotes = events.filter(_.side == 0)
+        .map(e => (e.id, e.k, e.ts, e.value)).toDF("event_id", "k", "ts", "value")
+      val batch = graft.operators.AsofJoin
+        .asofJoin(trades, quotes, "k", "ts", "value", "event_id")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+            Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+      assert(streamed.keySet == batch.keySet)
+      // batch dedups equal-(key,ts) quotes by max tiebreaker; the stream holds
+      // the LAST in sorted order = max id = same row, so results agree exactly
+      streamed.foreach { case (id, got) => assert(got == batch(id), s"trade $id") }
+    } finally query.stop()
+  }
 }
