@@ -66,6 +66,31 @@ object CorpusStats {
         (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
         (col("n_hapax").cast("double") / col("n_tokens")).as("hapax_ratio"))
 
+  /** Per-doc out-of-vocabulary rate against a frequency-derived vocabulary
+    * (tokens with corpus count >= `minCount`): the cheap tokenizer-coverage
+    * signal — docs full of OOV tokens are noise, wrong-language, or will
+    * fragment into long byte sequences under a real tokenizer.
+    *
+    * Scale shape: vocabulary is a corpus-frequency aggregate (one
+    * token-keyed shuffle, vocabulary-sized output) BROADCAST into a
+    * map-side membership probe of the exploded token stream; the only
+    * other shuffle is the doc-keyed rollup of long counts. Integer
+    * rationals — bit-exact cross-engine. */
+  def oovRate(docs: DataFrame, textCol: String, idCol: String,
+      minCount: Long): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("w"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= minCount).select(col("w"), lit(1).as("in_vocab"))
+    tok
+      .join(broadcast(vocab), Seq("w"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
   /** One row per group: n plus the exact p-quantiles of `valueCol`
     * (discrete, value at rank ceil(p*n)), output columns `p{percent}`. */
   def exactQuantiles(df: DataFrame, groupCol: String, valueCol: Column,

@@ -734,6 +734,70 @@ object Ext {
              |FROM customer ORDER BY c_custkey""".stripMargin),
     ),
 
+    // SimHash near-dup pairs in hamming space: 60-bit signatures, 4-band
+    // blocking (recall 1.0 for dist <= 3 by pigeonhole, so the brute-force
+    // oracle matches EXACTLY), bit_count verify. The hamming-space sibling
+    // of q26's MinHash-LSH — one signature scan, one (band, slice)-keyed
+    // self-join, no all-pairs anywhere.
+    QueryDef(
+      "q63_simhash_neardup",
+      (s, dir) => Dedup.simhashNearDupPairs(tbl(s, dir, "documents"),
+          "text", "doc_id", bits = 60, bands = 4, maxDist = 3)
+        .orderBy(col("a_id"), col("b_id")),
+      Some("""WITH sig AS (
+             |  SELECT doc_id,
+             |    list_sum([CASE WHEN list_sum([CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END
+             |                                  FOR h IN hashes]) > 0
+             |              THEN (1::BIGINT << i) ELSE 0 END
+             |              FOR i IN generate_series(0, 59)])::BIGINT AS sig
+             |  FROM (SELECT doc_id,
+             |          [CAST(('0x' || substring(md5(t),1,15)) AS BIGINT)
+             |           FOR t IN list_distinct(string_split(text,' '))] AS hashes
+             |        FROM documents))
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+             |ORDER BY a_id, b_id""".stripMargin),
+    ),
+
+    // Deterministic k-per-group sample: "random" by hash uniformity, yet a
+    // pure function of the ids — the reproducible alternative to reservoir
+    // sampling whose output survives re-partitioning and re-processing.
+    QueryDef(
+      "q64_group_sample",
+      (s, dir) => Sampling.groupSample(tbl(s, dir, "documents"), "lang", "doc_id", 20)
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy(col("lang"), col("rk")),
+      Some("""WITH r AS (
+             |  SELECT lang, doc_id,
+             |    row_number() OVER (PARTITION BY lang ORDER BY
+             |      CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT),
+             |      doc_id) AS rk
+             |  FROM documents)
+             |SELECT lang, doc_id, rk FROM r WHERE rk <= 20
+             |ORDER BY lang, rk""".stripMargin),
+    ),
+
+    // Out-of-vocabulary rate per doc vs a corpus-frequency vocabulary:
+    // tokenizer-coverage signal; vocab aggregate broadcast into a map-side
+    // membership probe (the corpus never shuffles by token for the probe).
+    QueryDef(
+      "q65_oov_rate",
+      (s, dir) => CorpusStats.oovRate(tbl(s, dir, "documents"),
+          "text", "doc_id", minCount = 100L)
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+             |             FROM documents),
+             |v AS (SELECT w FROM tok GROUP BY w HAVING COUNT(*) >= 100)
+             |SELECT tok.doc_id, COUNT(*) AS n_tokens,
+             |  CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             |  CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             |    AS oov_rate
+             |FROM tok LEFT JOIN v ON tok.w = v.w
+             |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin),
+    ),
+
     // Multimodal plumbing: binary payloads -> typed partition-wise decode
     // (stubbed codec, real Spark shape).
     QueryDef(

@@ -65,6 +65,21 @@ object Sampling {
         .otherwise(array().cast("array<int>"))))
   }
 
+  /** Deterministic k-per-group sample: each group's k members with the
+    * smallest portable content hash — "random" by hash uniformity yet a
+    * pure function of the ids, so the sample is identical across engines,
+    * runs, and partitionings (reservoir sampling without the order
+    * dependence). The rank window runs per group; at scale swap in the
+    * bounded [[graft.functions.TopKAggregator]] shape (O(k) per-group
+    * traffic) — semantics identical, both deterministic. */
+  def groupSample(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(portableHash(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("rk", row_number().over(win).cast("long"))
+      .where(col("rk") <= k)
+  }
+
   /** Per-(source, split) corpus stats — the audit table a dataset release
     * ships with. */
   def splitStats(docs: DataFrame, idCol: String, trainPct: Int, valPct: Int): DataFrame =

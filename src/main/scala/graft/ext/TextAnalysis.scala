@@ -109,14 +109,25 @@ object TextAnalysis {
     * loop re-hashes every token 16 times and was the slowest operator in
     * the whole bench. Integer votes, so the result is order-independent
     * and identical to the per-bit formulation. */
-  def simhash16(textCol: String): Column = expr(
-    s"""aggregate(
-       |  transform(array_distinct(split($textCol, ' ')),
-       |            t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
-       |  array_repeat(0L, 16),
-       |  (acc, h) -> zip_with(acc, sequence(0, 15),
-       |                       (a, i) -> a + if((shiftright(h, i) & 1) = 1, 1L, -1L)),
-       |  acc -> aggregate(zip_with(acc, sequence(0, 15),
-       |                            (a, i) -> if(a > 0, shiftleft(cast(1 as bigint), i), 0L)),
-       |                   0L, (x, y) -> x + y))""".stripMargin)
+  def simhash16(textCol: String): Column = simhashN(textCol, 16)
+
+  /** N-bit SimHash (N <= 60 — the md5-derived hash provides 60 usable
+    * bits). 16 bits is the compact fingerprint; 60 bits is what hamming
+    * near-dup blocking needs at corpus scale — with B bands of N/B bits,
+    * bucket sizes shrink exponentially in bits-per-band, so the band
+    * self-join stays sparse where a 16-bit signature would degenerate into
+    * huge buckets (2^4 values per band over 10^9 docs). */
+  def simhashN(textCol: String, bits: Int): Column = {
+    require(bits >= 1 && bits <= 60, s"simhash bits must be in [1,60], got $bits")
+    expr(
+      s"""aggregate(
+         |  transform(array_distinct(split($textCol, ' ')),
+         |            t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
+         |  array_repeat(0L, $bits),
+         |  (acc, h) -> zip_with(acc, sequence(0, ${bits - 1}),
+         |                       (a, i) -> a + if((shiftright(h, i) & 1) = 1, 1L, -1L)),
+         |  acc -> aggregate(zip_with(acc, sequence(0, ${bits - 1}),
+         |                            (a, i) -> if(a > 0, shiftleft(cast(1 as bigint), i), 0L)),
+         |                   0L, (x, y) -> x + y))""".stripMargin)
+  }
 }

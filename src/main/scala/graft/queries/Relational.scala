@@ -522,6 +522,70 @@ object Relational {
              |FROM documents GROUP BY ROLLUP (source, lang)
              |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin),
     ),
+
+    // Conversion funnel: per user, purchases preceded by a view within 1h —
+    // built on the AS-OF operator (one sort-merge-shaped pass), NOT a range
+    // self-join, so the probe side streams through once at any scale.
+    QueryDef(
+      "q66_funnel",
+      (s, dir) => {
+        val ev = tbl(s, dir, "events")
+        val views = ev.where($"event_type" === "view")
+          .select($"event_id", $"user_id", $"ts")
+        val purchases = ev.where($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts")
+        graft.operators.AsofJoin
+          .asofJoin(purchases, views, "user_id", "ts", "event_id", "event_id")
+          .withColumn("converted",
+            $"asof_ts".isNotNull && ($"ts" - $"asof_ts") <= NsPerHour)
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(when($"converted", 1L).otherwise(0L)).as("n_converted"),
+            min(when($"converted", $"event_id")).as("first_conv_purchase"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, ts, max_by(event_id, event_id) AS v_id
+             |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+             |p AS (SELECT event_id, user_id, ts FROM events
+             |      WHERE event_type = 'purchase'),
+             |m AS (
+             |  SELECT p.user_id, p.event_id,
+             |    v.ts IS NOT NULL
+             |      AND epoch_ns(p.ts) - epoch_ns(v.ts) <= 3600000000000 AS conv
+             |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts)
+             |SELECT user_id, COUNT(*) AS n_purchases,
+             |  CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+             |  MIN(CASE WHEN conv THEN event_id END) AS first_conv_purchase
+             |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+
+    // Cohort retention: users bucketed by first-activity day, activity
+    // counted per week offset. Two shuffles (user-keyed min, then the tiny
+    // cohort-week rollup); the user->cohort join shuffles by user_id like
+    // any fact-to-derived-dim join and AQE handles skewed users.
+    QueryDef(
+      "q67_cohorts",
+      (s, dir) => {
+        val dayNs = 86400L * 1000000000L
+        val ev = tbl(s, dir, "events")
+          .select($"user_id", expr(s"ts div $dayNs").as("day"))
+        val cohorts = ev.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+        ev.join(cohorts, Seq("user_id"))
+          .select($"cohort_day", expr("(day - cohort_day) div 7").as("week_offset"),
+            $"user_id")
+          .groupBy($"cohort_day", $"week_offset")
+          .agg(countDistinct($"user_id").as("active_users"))
+          .orderBy($"cohort_day", $"week_offset")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+             |c AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+             |SELECT c.cohort_day, (e.day - c.cohort_day) // 7 AS week_offset,
+             |  COUNT(DISTINCT e.user_id) AS active_users
+             |FROM e JOIN c USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    ),
   )
 
   // Sugar: $"..." without importing spark.implicits per closure.

@@ -122,4 +122,55 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(row.getLong(2) == 3L)
     assert(row.getLong(3) == 7L)
   }
+
+  test("oovRate: hand-computed rates against a frequency vocabulary") {
+    import spark.implicits._
+    // "common" appears 3x (in vocab at minCount=2); each doc's rare tokens are OOV
+    val docs = Seq(
+      (1L, "common common rare1"),
+      (2L, "common rare2 rare3 rare2"),
+      (3L, "common")).toDF("doc_id", "text")
+    // rare2 appears twice -> in vocab too at minCount=2
+    val got = CorpusStats.oovRate(docs, "text", "doc_id", minCount = 2L)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got(0) == ((1L, 3L, 1L, 1.0 / 3)))  // rare1 OOV
+    assert(got(1) == ((2L, 4L, 1L, 0.25)))     // rare3 OOV; rare2 made the vocab
+    assert(got(2) == ((3L, 1L, 0L, 0.0)))
+  }
+
+  test("simhashNearDupPairs: recall 1.0 vs brute force for dist <= bands-1") {
+    import spark.implicits._
+    // near-identical docs differ by one token; unrelated docs share none
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"), // near-dup of 1
+      (3L, "one two three four five six seven"),
+      (4L, "alpha beta gamma delta epsilon zeta")) // exact dup of 1
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashNearDupPairs(docs, "text", "doc_id",
+        bits = 60, bands = 4, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the same signatures
+    val sigs = docs.select(col("doc_id"), TextAnalysis.simhashN("text", 60).as("sig"))
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("d"))
+      .where(col("d") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 4L, 0L))) // exact dup at distance 0
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc never pairs
+  }
+
+  test("simhashNearDupPairs rejects parameters that break the recall guarantee") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(docs, "text", "doc_id", bits = 60, bands = 4, maxDist = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(docs, "text", "doc_id", bits = 60, bands = 7)
+    }
+  }
 }

@@ -17,6 +17,23 @@ class SamplingSpec extends AnyFunSuite {
     (1 to n).map(i => s"doc_$i").toDF("id")
   }
 
+  test("groupSample: exactly k per group, deterministic under repartitioning") {
+    import spark.implicits._
+    val df = (for (g <- Seq("a", "b"); i <- 1 to 50) yield (g, s"${g}_$i")).toDF("grp", "id")
+    val s1 = Sampling.groupSample(df.repartition(1), "grp", "id", 7)
+      .select(col("grp"), col("id")).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val s2 = Sampling.groupSample(df.repartition(13), "grp", "id", 7)
+      .select(col("grp"), col("id")).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(s1 == s2)
+    assert(s1.count(_._1 == "a") == 7 && s1.count(_._1 == "b") == 7)
+  }
+
+  test("groupSample with k >= group size returns the whole group") {
+    import spark.implicits._
+    val df = Seq(("a", "x"), ("a", "y")).toDF("grp", "id")
+    assert(Sampling.groupSample(df, "grp", "id", 10).count() == 2)
+  }
+
   test("split assignment is invariant under repartitioning") {
     val df = ids(500)
     val base = df.select(col("id"), Sampling.splitColumn(col("id"), 80, 10).as("s"))
