@@ -91,4 +91,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     assert(p.contains("Generate"), "intervals explode into buckets")
   }
+
+  test("q60: KMV sketch aggregates with bounded map-side partials") {
+    val p = plan("q60_kmv_distinct")
+    // the MinK udaf runs as an ObjectHashAggregate with a partial stage, so
+    // per-group traffic over the exchange is <= k longs per partition
+    assert(p.contains("ObjectHashAggregate"))
+    assert(p.contains("partial_mink") || p.contains("partial_MinK")
+      || "partial".r.findAllIn(p).nonEmpty)
+  }
+
+  test("q62: PII redaction is a single scan — no shuffle at all before the sort") {
+    val p = plan("q62_pii_redact")
+    // one Exchange only: the final rangepartitioning for ORDER BY
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected only the sort exchange")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+  }
+
+  test("q63: simhash near-dup joins on (band, slice) — no all-pairs join") {
+    val p = plan("q63_simhash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q65: OOV vocabulary probe broadcasts — the corpus never shuffles by token") {
+    val p = plan("q65_oov_rate")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q66: funnel rides the as-of operator — no range self-join blow-up") {
+    val p = plan("q66_funnel")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("Window"), "as-of carry-forward window")
+  }
 }
