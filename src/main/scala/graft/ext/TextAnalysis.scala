@@ -116,8 +116,19 @@ object TextAnalysis {
     * near-dup blocking needs at corpus scale — with B bands of N/B bits,
     * bucket sizes shrink exponentially in bits-per-band, so the band
     * self-join stays sparse where a 16-bit signature would degenerate into
-    * huge buckets (2^4 values per band over 10^9 docs). */
+    * huge buckets (2^4 values per band over 10^9 docs).
+    *
+    * Runs as the codegen'd `graft_simhash` expression (one primitive loop
+    * per row inside WholeStageCodegen); [[simhashNHof]] is the interpreted
+    * reference formulation the cross-check test compares against. */
   def simhashN(textCol: String, bits: Int): Column = {
+    require(bits >= 1 && bits <= 60, s"simhash bits must be in [1,60], got $bits")
+    expr(s"graft_simhash(array_distinct(split($textCol, ' ')), $bits)")
+  }
+
+  /** Interpreted HOF reference of [[simhashN]] — kept for the
+    * codegen-vs-reference agreement test (the VecDot pattern). */
+  def simhashNHof(textCol: String, bits: Int): Column = {
     require(bits >= 1 && bits <= 60, s"simhash bits must be in [1,60], got $bits")
     expr(
       s"""aggregate(

@@ -113,5 +113,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(children(1), "tables"), intLit(children(2), "bits"),
           if (children.size == 4) intLit(children(3), "dim") else RhpSig.DefaultDim)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashSig].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_simhash takes (tokens, bits)")
+        val bits = children(1) match {
+          case lit if lit.foldable => lit.eval() match {
+            case i: Int => i
+            case other => throw new IllegalArgumentException(
+              s"graft_simhash: bits must be an int literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException("graft_simhash: bits must be a literal")
+        }
+        SimhashSig(children.head, bits)
+      }))
   }
 }
