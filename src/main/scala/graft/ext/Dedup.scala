@@ -49,28 +49,17 @@ object Dedup {
       .select(col("doc_id"),
         array_distinct(transform(col("s"), x => xxhash64(x))).as("s"))
 
-  /** 64-hash MinHash signature of the shingle set. Two base hashes per
-    * shingle mixed as h_k = h1 XOR rotl64(h2, k) (bitwise: no ANSI overflow)
-    * instead of 64 independent hash calls, computed via explode + 64
-    * codegen'd `min` aggregates — map-side partial aggregation, one shuffle
-    * keyed by doc, no higher-order-function re-traversals. Engine-internal
-    * only — candidates are exactly verified, so the hash family never leaks
-    * into results. */
-  def minhashSignatures(shingles: DataFrame, numHashes: Int = 64): DataFrame = {
-    val exploded = shingles
-      .select(col("doc_id"), explode(col("s")).as("shingle"))
-      .withColumn("h1", xxhash64(col("shingle")))
-      .withColumn("h2", xxhash64(lit(7), col("shingle")))
-    def rotl(c: org.apache.spark.sql.Column, k: Int) =
-      if (k % 64 == 0) c
-      else shiftleft(c, k % 64).bitwiseOR(shiftrightunsigned(c, 64 - (k % 64)))
-    val minCols = (0 until numHashes).map(k =>
-      min(col("h1").bitwiseXOR(rotl(col("h2"), k))).as(s"_m$k"))
-    exploded.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(k => col(s"_m$k")).toIndexedSeq: _*).as("sig"))
-  }
+  /** MinHash signature of the hashed shingle set via the codegen'd
+    * `graft_minhash` expression: two base mixes per shingle combined as
+    * h_k = h1 XOR rotl64(h2, k), all `numHashes` minima in one primitive
+    * pass per row — MAP-ONLY. The previous explode + N-min-aggregates
+    * formulation shuffled every (doc, shingle) row to aggregate minima;
+    * now no shuffle happens until the band join, and only 8×N-byte
+    * signatures ever move. Engine-internal only — candidates are exactly
+    * verified, so the hash family never leaks into results. */
+  def minhashSignatures(shingles: DataFrame, numHashes: Int = 64): DataFrame =
+    shingles.select(col("doc_id"),
+      expr(s"graft_minhash(s, $numHashes)").as("sig"))
 
   /** LSH banding: candidate pairs (a_id < b_id) sharing at least one band.
     * r rows per band; numHashes/r bands. */

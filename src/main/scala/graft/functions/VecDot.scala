@@ -114,6 +114,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           if (children.size == 4) intLit(children(3), "dim") else RhpSig.DefaultDim)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_minhash takes (hashed_shingles, num_hashes)")
+        val n = children(1) match {
+          case lit if lit.foldable => lit.eval() match {
+            case i: Int => i
+            case other => throw new IllegalArgumentException(
+              s"graft_minhash: num_hashes must be an int literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException("graft_minhash: num_hashes must be a literal")
+        }
+        MinhashSig(children.head, n)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashSig].getName, "graft_simhash"),
       (children: Seq[Expression]) => {
