@@ -10,12 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up codegen/JIT/IO paths so the first measured query isn't paying
-    // session start-up costs. Resilient: a broken environment should still
-    // reach the per-query loop, whose failures are reported individually.
-    spark.range(1000000L).selectExpr("sum(id)").collect()
+    // Warm up codegen/JIT/IO paths — including the noop writer and decimal
+    // aggregation, which the measured queries all use — so the first
+    // measured query isn't paying session start-up costs. Resilient: a
+    // broken environment should still reach the per-query loop, whose
+    // failures are reported individually.
+    spark.range(1000000L).selectExpr("sum(id) as s")
+      .write.format("noop").mode("overwrite").save()
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .selectExpr("sum(l_quantity)").collect()
+      .selectExpr("sum(cast(l_quantity as decimal(18,2))) as s")
+      .write.format("noop").mode("overwrite").save()
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup read failed: ${e.getMessage}")
     }
