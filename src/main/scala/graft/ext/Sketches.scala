@@ -45,33 +45,16 @@ object Sketches {
     * stream. In-place mutation is safe: Aggregator buffers are owned by
     * the aggregation operator between serializations. */
   final class MinK(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
-    override def zero: Array[Long] = new Array[Long](k + 1) // buf(0) = count
+    override def zero: Array[Long] = newBuffer(k)
 
-    override def reduce(buf: Array[Long], x: Long): Array[Long] = insert(buf, x)
+    override def reduce(buf: Array[Long], x: Long): Array[Long] = insertMinK(buf, x, k)
 
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
       var i = 1
       val n = b(0).toInt
       var acc = a
-      while (i <= n) { acc = insert(acc, b(i)); i += 1 }
+      while (i <= n) { acc = insertMinK(acc, b(i), k); i += 1 }
       acc
-    }
-
-    private def insert(buf: Array[Long], x: Long): Array[Long] = {
-      val n = buf(0).toInt
-      if (n >= k && buf(n) < x) return buf // common fast path: not a min
-      // binary search over buf(1..n)
-      var lo = 1; var hi = n + 1
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (buf(mid) < x) lo = mid + 1 else hi = mid
-      }
-      if (lo <= n && buf(lo) == x) return buf // distinct: drop duplicate
-      val keep = math.min(n + 1, k)
-      System.arraycopy(buf, lo, buf, lo + 1, keep - lo) // shift right, tail drops
-      buf(lo) = x
-      buf(0) = keep
-      buf
     }
 
     override def finish(r: Array[Long]): Seq[Long] =
@@ -81,6 +64,35 @@ object Sketches {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     override def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Fresh KMV buffer: slot 0 = fill count, capacity k values. */
+  def newBuffer(k: Int): Array[Long] = new Array[Long](k + 1)
+
+  /** In-place KMV insert — shared by the batch aggregator and the
+    * streaming sketch state. Returns the (mutated) buffer. */
+  def insertMinK(buf: Array[Long], x: Long, k: Int): Array[Long] = {
+    val n = buf(0).toInt
+    if (n >= k && buf(n) < x) return buf // common fast path: not a min
+    // binary search over buf(1..n)
+    var lo = 1; var hi = n + 1
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (buf(mid) < x) lo = mid + 1 else hi = mid
+    }
+    if (lo <= n && buf(lo) == x) return buf // distinct: drop duplicate
+    val keep = math.min(n + 1, k)
+    System.arraycopy(buf, lo, buf, lo + 1, keep - lo) // shift right, tail drops
+    buf(lo) = x
+    buf(0) = keep
+    buf
+  }
+
+  /** Distinct-count estimate from a KMV buffer: exact below k, the
+    * Bar-Yossef estimator at k. */
+  def estimate(buf: Array[Long], k: Int): Double = {
+    val n = buf(0).toInt
+    if (n < k) n.toDouble else (k - 1).toDouble * HashSpace / buf(k)
   }
 
   /** Column form: `kMinValues(k)(hashCol)` in `groupBy.agg` — returns the

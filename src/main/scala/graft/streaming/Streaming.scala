@@ -170,6 +170,33 @@ object Streaming {
       }
   }
 
+  /** Continuous distinct-count monitoring — the streaming twin of
+    * `ext.Sketches.kmvDistinct` (q60): per key, a bounded KMV sketch
+    * (k smallest distinct portable hashes) updated per micro-batch,
+    * emitting (key, n_sketch, est_distinct) for keys touched by the batch.
+    * State per key is ONE Array[k+1] of longs regardless of stream length —
+    * cardinality tracking over an unbounded stream in fixed memory — and
+    * the sketch state after any prefix equals the batch sketch of the same
+    * input SET (the same insert function, associative + commutative), so
+    * stream and batch estimates agree exactly. Inputs are (key, hash)
+    * pairs — hash with `Sampling.portableHash` upstream. */
+  def streamingKmvDistinct(pairs: Dataset[(String, Long)], k: Int): Dataset[(String, Long, Double)] = {
+    implicit val bufEnc: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    implicit val outEnc: Encoder[(String, Long, Double)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    pairs.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (String, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[Array[Long]]) =>
+          val buf = state.getOption.getOrElse(graft.ext.Sketches.newBuffer(k))
+          rows.foreach(r => graft.ext.Sketches.insertMinK(buf, r._2, k))
+          state.update(buf)
+          Iterator.single((key, buf(0), graft.ext.Sketches.estimate(buf, k)))
+      }
+  }
+
   /** Event-time timer via `GroupState` timeouts (E7 as a continuous
     * operator): for each key, emit a wakeup record when no event arrives for
     * `timeoutMs` — the TimerManager pattern on streaming state. */

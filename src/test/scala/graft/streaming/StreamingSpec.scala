@@ -201,6 +201,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streamingKmvDistinct matches the batch sketch on the same input set") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 16
+    val input = MemoryStream[(String, String)] // (key, item)
+    val hashed = input.toDS().toDF("grp", "item")
+      .select(col("grp"), graft.ext.Sampling.portableHash(col("item")).as("h"))
+      .as[(String, Long)]
+    val query = Streaming.streamingKmvDistinct(hashed, k)
+      .toDF("grp", "n_sketch", "est")
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("update").start()
+    try {
+      val items = (0 until 120).map(i => ("g", s"item-${i % 57}")) // 57 distinct
+      items.grouped(40).foreach { b => input.addData(b: _*); drain(query) }
+      // last update row carries the final sketch state
+      val last = spark.table("kmv_stream").orderBy(col("n_sketch").desc).head
+      val batch = graft.ext.Sketches.kmvDistinct(
+          items.toDF("grp", "item"), "grp", col("item"), k).head
+      assert(last.getLong(1) == batch.getAs[Long]("n_sketch"))
+      assert(last.getDouble(2) == batch.getAs[Double]("est_distinct"))
+    } finally query.stop()
+  }
+
   test("streamingAsofJoin enriches probes with the prevailing reference per key") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[AsofEvent]
