@@ -61,19 +61,52 @@ object Dedup {
     shingles.select(col("doc_id"),
       expr(s"graft_minhash(s, $numHashes)").as("sig"))
 
-  /** LSH banding: candidate pairs (a_id < b_id) sharing at least one band.
-    * r rows per band; numHashes/r bands. */
-  def lshCandidatePairs(sigs: DataFrame, r: Int = 2, numHashes: Int = 64): DataFrame = {
+  /** Per-doc band keys for LSH banding: one (doc_id, bk) row per band,
+    * bk = struct(band index, the band's r signature rows). */
+  private def bandKeys(sigs: DataFrame, r: Int, numHashes: Int): DataFrame = {
     val b = numHashes / r
     val bandCols = (0 until r).map(j => s"sig[$r * b + $j] as h$j").mkString(", ")
-    val bands = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
       explode(expr(s"transform(sequence(0, ${b - 1}), b -> struct(b as band, $bandCols))"))
         .as("bk"))
       .select(col("doc_id"), col("bk"))
+  }
+
+  /** LSH banding: candidate pairs (a_id < b_id) sharing at least one band.
+    * r rows per band; numHashes/r bands. */
+  def lshCandidatePairs(sigs: DataFrame, r: Int = 2, numHashes: Int = 64): DataFrame = {
+    val bands = bandKeys(sigs, r, numHashes)
     bands.as("l").join(bands.as("r"), col("l.bk") === col("r.bk") &&
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
       .distinct()
+  }
+
+  /** INCREMENTAL near-dup: new docs that duplicate an EXISTING corpus —
+    * the nightly-ingest shape (today's crawl vs the deduplicated index).
+    * Same MinHash/band machinery as [[jaccardPairs]], but the band join is
+    * new × corpus instead of a self-join, so cost scales with |new| × the
+    * band collision rate, never |corpus|² — and the corpus side's
+    * signatures/shingles are exactly the artifacts a production index
+    * would precompute and store. Output: (new_id, corpus_id, jaccard)
+    * for exact Jaccard >= threshold. */
+  def incrementalNearDups(newDocs: DataFrame, corpus: DataFrame, textCol: String,
+      idCol: String, threshold: Double = 0.5, k: Int = 3): DataFrame = {
+    val shNew = hashedShingleSets(newDocs, textCol, idCol, k)
+    val shCorp = hashedShingleSets(corpus, textCol, idCol, k)
+    val candidates = bandKeys(minhashSignatures(shNew), 2, 64).as("n")
+      .join(bandKeys(minhashSignatures(shCorp), 2, 64).as("c"),
+        col("n.bk") === col("c.bk"))
+      .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+    candidates
+      .join(shNew.select(col("doc_id").as("new_id"), col("s").as("sa")), "new_id")
+      .join(shCorp.select(col("doc_id").as("corpus_id"), col("s").as("sb")), "corpus_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Sketch-only near-dup pairs: Jaccard ESTIMATED as the fraction of

@@ -798,6 +798,79 @@ object Ext {
              |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin),
     ),
 
+    // Matryoshka-truncated retrieval: exact top-5 over the first 16 of 64
+    // embedding dims — the MRL cheap first stage (map-only truncation, then
+    // the q28 shape at a quarter of the dot-product cost).
+    QueryDef(
+      "q68_matryoshka_topk",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.truncatedTopK(emb, emb.where(col("vec_id") < 10),
+            "embedding", "vec_id", dims = 16, k = 5)
+          .orderBy(col("qid"), col("sim").desc, col("nid"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding[1:16] AS embedding FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, embedding,
+             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+             |  FROM t),
+             |sims AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+             |    list_sum([CAST(q.embedding[i] AS DOUBLE)*c.embedding[i]
+             |              FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*c.nrm) AS sim
+             |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id != c.vec_id)
+             |SELECT qid, nid, sim FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+             |  FROM sims) WHERE rk <= 5
+             |ORDER BY qid, sim DESC, nid""".stripMargin),
+    ),
+
+    // The SKEW-SAFE last-by-key (two-stage salted aggregation) as a
+    // first-class query: same oracle as the plain path — salting must be
+    // invisible in results. A hot key's rows split across salt buckets
+    // map-side, so no single reducer sees the whole key.
+    QueryDef(
+      "q69_lastby_salted",
+      (s, dir) => graft.tables.TableOps.lastByKeysSalted(
+          tbl(s, dir, "events"), Seq("user_id"), Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type"), col("value"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, event_id AS last_event_id, event_type, value FROM (
+             |SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin),
+    ),
+
+    // Incremental near-dup: new docs (source != src0) vs the existing
+    // corpus (src0) — the nightly-ingest dedup shape. Band join is
+    // new x corpus, never corpus x corpus; oracle is the brute-force
+    // cross scan.
+    QueryDef(
+      "q70_incremental_neardup",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        Dedup.incrementalNearDups(
+            docs.where(col("source") =!= "src0"),
+            docs.where(col("source") === "src0"),
+            "text", "doc_id", 0.5)
+          .orderBy(col("new_id"), col("corpus_id"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, source,
+             |    list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+             |                   FOR i IN generate_series(1, len(tokens)-2)]) AS s
+             |  FROM (SELECT doc_id, source, string_split(text,' ') AS tokens FROM documents)
+             |  WHERE len(tokens) >= 3)
+             |SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+             |  ROUND(CAST(len(list_intersect(n.s,c.s)) AS DOUBLE)
+             |        / (len(n.s)+len(c.s)-len(list_intersect(n.s,c.s))), 6) AS jaccard
+             |FROM sh n JOIN sh c ON n.source != 'src0' AND c.source = 'src0'
+             |WHERE CAST(len(list_intersect(n.s,c.s)) AS DOUBLE)
+             |      / (len(n.s)+len(c.s)-len(list_intersect(n.s,c.s))) >= 0.5
+             |ORDER BY new_id, corpus_id""".stripMargin),
+    ),
+
     // Multimodal plumbing: binary payloads -> typed partition-wise decode
     // (stubbed codec, real Spark shape).
     QueryDef(

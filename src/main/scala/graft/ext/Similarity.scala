@@ -52,6 +52,21 @@ object Similarity {
     sims.withColumn("rk", row_number().over(w)).where(col("rk") <= k).drop("rk")
   }
 
+  /** Matryoshka-truncated retrieval: exact top-k over the FIRST `dims`
+    * components of each embedding (the MRL serving trick — prefix
+    * sub-vectors of nested-trained embeddings retain most retrieval
+    * quality at a fraction of the dot-product and memory cost). Truncation
+    * is a map-only `slice`; everything downstream is [[bruteForceTopK]]
+    * over `dims`-wide vectors, so the scan costs dims/fullDim of the full
+    * pass — the standard cheap first-stage before full-dim re-rank.
+    * Deterministic: same left-to-right fold as every other cosine here. */
+  def truncatedTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, dims: Int, k: Int): DataFrame = {
+    require(dims >= 1, "dims must be positive")
+    def trunc(df: DataFrame) = df.withColumn(vecCol, slice(col(vecCol), 1, dims))
+    bruteForceTopK(trunc(corpus), trunc(queries), vecCol, idCol, k)
+  }
+
   /** All pairs (a < b) with cosine >= threshold — the EXACT formulation.
     * This is a conditional cross product (O(n^2)): it exists as the small-n
     * reference/oracle mode only; every scale consumer routes through
