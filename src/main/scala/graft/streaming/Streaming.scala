@@ -170,6 +170,49 @@ object Streaming {
       }
   }
 
+  /** STREAM-STATIC incremental near-dup: a stream of new documents checked
+    * against a static, precomputed corpus index — the continuous twin of
+    * `ext.Dedup.incrementalNearDups` (q70) and the nightly-ingest dedup
+    * run as a continuous query.
+    *
+    * Every stream-side stage is map-only (hashed shingles, the codegen'd
+    * `graft_minhash` signature, band-key explode), so it runs on an
+    * unbounded stream without stateful aggregation; the corpus side is a
+    * STATIC DataFrame joined per micro-batch (Spark's stream-static inner
+    * join — at scale the corpus band-key table is a bucketed/broadcast
+    * artifact the index build precomputes). `dropDuplicates` keeps one
+    * emission per (new_id, corpus_id) across band collisions AND across
+    * batches; its state is one entry per MATCHED pair (bounded by true-dup
+    * volume, not stream length).
+    *
+    * @param newDocs streaming (idCol, textCol) documents
+    * @param corpus  static corpus documents */
+  def streamingIncrementalNearDups(newDocs: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String, threshold: Double = 0.5,
+      k: Int = 3): DataFrame = {
+    import graft.ext.Dedup
+    // sig + band explode in ONE projection chain per side (joining the
+    // signature stream back to the shingle stream would be a stream-stream
+    // self-join needing watermarks; carrying `s` through keeps both sides
+    // single-pass)
+    def bands(docs: DataFrame, idOut: String, sOut: String) =
+      Dedup.hashedShingleSets(docs, textCol, idCol, k)
+        .withColumn("sig", expr("graft_minhash(s, 64)"))
+        .select(col("doc_id").as(idOut), col("s").as(sOut), explode(expr(
+          "transform(sequence(0, 31), b -> struct(b as band, sig[2*b] as h0, sig[2*b+1] as h1))"))
+          .as("bk"))
+    val newBands = bands(newDocs, "new_id", "sa")
+    val corpBands = bands(corpus, "corpus_id", "sb")
+    newBands
+      .join(corpBands, "bk") // stream-static inner join
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+      .dropDuplicates("new_id", "corpus_id")
+  }
+
   /** Continuous distinct-count monitoring — the streaming twin of
     * `ext.Sketches.kmvDistinct` (q60): per key, a bounded KMV sketch
     * (k smallest distinct portable hashes) updated per micro-batch,

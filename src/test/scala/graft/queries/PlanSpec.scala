@@ -124,4 +124,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     assert(p.contains("Window"), "as-of carry-forward window")
   }
+
+  test("q69: salted last-by-key is two hash aggregates, never a window sort") {
+    val p = plan("q69_lastby_salted")
+    assert(p.contains("partial_max_by"))
+    assert(!p.contains("Window"))
+  }
+
+  test("q70: incremental near-dup joins band keys — no all-pairs join") {
+    val p = plan("q70_incremental_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("graft_minhash"), "signatures from the codegen expression")
+  }
 }

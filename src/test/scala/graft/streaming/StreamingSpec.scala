@@ -201,6 +201,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streamingIncrementalNearDups: stream-static join matches the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (11L, "nine ten eleven twelve thirteen fourteen"),
+      (12L, "one two three four five six seven eight")) // exact dup of 2
+    val input = MemoryStream[(Long, String)]
+    val query = Streaming.streamingIncrementalNearDups(
+        input.toDF().toDF("doc_id", "text"), corpus, "text", "doc_id")
+      .writeStream.format("memory").queryName("inc_dedup")
+      .outputMode("append").start()
+    try {
+      fresh.grouped(2).foreach { b => input.addData(b: _*); drain(query) }
+      // re-sending a doc must NOT re-emit its matches (cross-batch dedup state)
+      input.addData(fresh.head); drain(query)
+      val streamed = spark.table("inc_dedup")
+        .select("new_id", "corpus_id").as[(Long, Long)].collect().toSeq
+      val batch = graft.ext.Dedup.incrementalNearDups(
+          fresh.toDF("doc_id", "text"), corpus, "text", "doc_id")
+        .select("new_id", "corpus_id").as[(Long, Long)].collect().toSeq
+      assert(streamed.sorted == batch.sorted) // same matches, emitted exactly once
+      assert(streamed.toSet == Set((10L, 1L), (12L, 2L)))
+    } finally query.stop()
+  }
+
   test("streamingKmvDistinct matches the batch sketch on the same input set") {
     implicit val sqlCtx = spark.sqlContext
     val k = 16
