@@ -198,10 +198,11 @@ final class Dag {
 
   /** Named injectable source stream; clears itself after each read
     * (reference `beavers/dag.py:426-463`). Registering an existing name
-    * returns the existing node only when the empty value agrees (same class,
-    * equal value); otherwise it throws, matching the reference's
-    * "Duplicate source" error (`beavers/dag.py:448-453`) instead of silently
-    * reusing a node of a different type. */
+    * returns the existing node only when the empty values are COMPATIBLE:
+    * same runtime class (both are length-0 by construction), and for
+    * Datasets also the same schema; otherwise it throws, matching the
+    * reference's "Duplicate source" error (`beavers/dag.py:448-453`)
+    * instead of silently reusing a node of a different type. */
   def sourceStream[T](empty: => T, name: String = "")(implicit hl: HasLength[T]): Node[T] = {
     val factory = () => checkEmpty(empty)(hl)
     if (name.nonEmpty && sources.contains(name)) {
@@ -209,13 +210,19 @@ final class Dag {
       val existingEmpty = existing.kind.asInstanceOf[SourceStream[_]].emptyFactory()
       val newEmpty = factory()
       // Two empties of the same runtime class are equivalent registrations
-      // even under reference equality (Array.empty, SparkBatch wrapping a
-      // DataFrame): checkEmpty already proved newEmpty has length 0, so a
-      // same-class empty with length 0 is the same source type — the
-      // reference compares empty factories, not values (dag.py:448-453).
-      val sameClass = existingEmpty.getClass == newEmpty.getClass
-      val bothEmpty = sameClass && hl.length(existingEmpty.asInstanceOf[T]) == 0
-      if (!sameClass || (existingEmpty != newEmpty && !bothEmpty))
+      // even under reference equality (Array.empty, a fresh empty Dataset):
+      // checkEmpty already proved both have length 0, so same-class empties
+      // are the same source type — the reference compares empty factories,
+      // not values (dag.py:448-453). Datasets additionally compare SCHEMAS:
+      // Dataset[A] and Dataset[B] share a runtime class, and silently
+      // reusing the A-typed node for B-typed injections would surface as a
+      // distant ClassCastException instead of a build-site error.
+      val compatible = (existingEmpty, newEmpty) match {
+        case (a: org.apache.spark.sql.Dataset[_], b: org.apache.spark.sql.Dataset[_]) =>
+          a.schema == b.schema
+        case (a, b) => a.getClass == b.getClass
+      }
+      if (!compatible)
         throw new IllegalArgumentException(s"Duplicate source: $name")
       existing.asInstanceOf[Node[T]]
     } else {

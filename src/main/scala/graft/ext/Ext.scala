@@ -683,7 +683,7 @@ object Ext {
              |        CAST(('0x' || substring(md5(g),1,15)) AS BIGINT) AS h FROM g),
              |r AS (SELECT lang, h,
              |        row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
-             |a AS (SELECT lang, COUNT(*) AS n_exact FROM h GROUP BY lang),
+             |a AS (SELECT lang, COUNT(DISTINCT g) AS n_exact FROM g GROUP BY lang),
              |kth AS (SELECT lang, MAX(h) FILTER (WHERE rn = 512) AS kth_hash,
              |               LEAST(COUNT(*), 512) AS n_sketch
              |        FROM r WHERE rn <= 512 GROUP BY lang)

@@ -38,17 +38,25 @@ case class MinhashSig(child: Expression, numHashes: Int) extends UnaryExpression
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val out = Array.fill(numHashes)(Long.MaxValue)
+    val blocks = (numHashes + 63) / 64
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val v = arr.getLong(i)
-        val h1 = MinhashSig.mix64(v, 0x9E3779B97F4A7C15L)
-        val h2 = MinhashSig.mix64(v, 0xC2B2AE3D27D4EB4FL)
-        var j = 0
-        while (j < numHashes) {
-          val m = h1 ^ java.lang.Long.rotateLeft(h2, j)
-          if (m < out(j)) out(j) = m
-          j += 1
+        // rotl has period 64: re-seed the base mixes per 64-position block
+        // so positions >= 64 stay independent of their j-64 mirrors
+        var b = 0
+        while (b < blocks) {
+          val h1 = MinhashSig.mix64(v, 0x9E3779B97F4A7C15L + b)
+          val h2 = MinhashSig.mix64(v, 0xC2B2AE3D27D4EB4FL + b)
+          var j = b * 64
+          val end = math.min(j + 64, numHashes)
+          while (j < end) {
+            val m = h1 ^ java.lang.Long.rotateLeft(h2, j)
+            if (m < out(j)) out(j) = m
+            j += 1
+          }
+          b += 1
         }
       }
       i += 1
@@ -63,9 +71,12 @@ case class MinhashSig(child: Expression, numHashes: Int) extends UnaryExpression
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val v = ctx.freshName("v")
+      val b = ctx.freshName("b")
       val h1 = ctx.freshName("h1")
       val h2 = ctx.freshName("h2")
       val m = ctx.freshName("m")
+      val end = ctx.freshName("end")
+      val blocks = (numHashes + 63) / 64
       s"""
          |int $n = $c.numElements();
          |long[] $out = new long[$numHashes];
@@ -73,11 +84,15 @@ case class MinhashSig(child: Expression, numHashes: Int) extends UnaryExpression
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$c.isNullAt($i)) {
          |    long $v = $c.getLong($i);
-         |    long $h1 = graft.functions.MinhashSig.mix64($v, -7046029254386353131L);
-         |    long $h2 = graft.functions.MinhashSig.mix64($v, -4417276706812531889L);
-         |    for (int $j = 0; $j < $numHashes; $j++) {
-         |      long $m = $h1 ^ Long.rotateLeft($h2, $j);
-         |      if ($m < $out[$j]) $out[$j] = $m;
+         |    // rotl has period 64: re-seed per 64-position block
+         |    for (int $b = 0; $b < $blocks; $b++) {
+         |      long $h1 = graft.functions.MinhashSig.mix64($v, -7046029254386353131L + $b);
+         |      long $h2 = graft.functions.MinhashSig.mix64($v, -4417276706812531889L + $b);
+         |      int $end = java.lang.Math.min($b * 64 + 64, $numHashes);
+         |      for (int $j = $b * 64; $j < $end; $j++) {
+         |        long $m = $h1 ^ Long.rotateLeft($h2, $j);
+         |        if ($m < $out[$j]) $out[$j] = $m;
+         |      }
          |    }
          |  }
          |}

@@ -467,4 +467,19 @@ class DagSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("Duplicate source: arr"))
   }
+
+  test("duplicate source name: same-class Datasets with different schemas throw") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val dag = new Dag
+    val a = dag.sourceStream(Seq.empty[(Long, String)].toDS(), name = "ds")
+    // identical schema: reuse (two toDS() calls are reference-unequal)
+    assert(dag.sourceStream(Seq.empty[(Long, String)].toDS(), name = "ds") eq a)
+    // same runtime class, DIFFERENT schema: must be a build-site error, not
+    // a distant ClassCastException on the first injected batch
+    val err = intercept[IllegalArgumentException] {
+      dag.sourceStream(Seq.empty[(Double, Double, Double)].toDS(), name = "ds")
+    }
+    assert(err.getMessage.contains("Duplicate source: ds"))
+  }
 }

@@ -32,6 +32,17 @@ class MinhashSigSpec extends AnyFunSuite {
     assert(agree <= 8, s"disjoint sets agreed on $agree/64 positions")
   }
 
+  test("positions >= 64 are independent of their j-64 mirrors (block re-seeding)") {
+    import spark.implicits._
+    val df = Seq(Tuple1((1L to 40L).toSeq)).toDF("s")
+    val sig = df.select(expr("graft_minhash(s, 128)")).head.getSeq[Long](0)
+    val (first, second) = (sig.take(64), sig.drop(64))
+    // before block re-seeding the halves were bit-identical (rotl period 64)
+    assert(first != second)
+    val agree = first.zip(second).count { case (a, b) => a == b }
+    assert(agree <= 8, s"mirror positions agreed on $agree/64")
+  }
+
   test("interpreted eval equals the codegen path") {
     import spark.implicits._
     val df = Seq(Tuple1(Seq(5L, 17L, 99L, -3L))).toDF("s")

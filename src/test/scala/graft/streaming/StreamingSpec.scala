@@ -244,8 +244,10 @@ class StreamingSpec extends AnyFunSuite {
     try {
       val items = (0 until 120).map(i => ("g", s"item-${i % 57}")) // 57 distinct
       items.grouped(40).foreach { b => input.addData(b: _*); drain(query) }
-      // last update row carries the final sketch state
-      val last = spark.table("kmv_stream").orderBy(col("n_sketch").desc).head
+      // the KMV estimate is MONOTONE NONDECREASING across batches (more
+      // distinct values can only lower the kth min), so the max-est row IS
+      // the final sketch state — n_sketch saturates at k and would tie
+      val last = spark.table("kmv_stream").orderBy(col("est").desc).head
       val batch = graft.ext.Sketches.kmvDistinct(
           items.toDF("grp", "item"), "grp", col("item"), k).head
       assert(last.getLong(1) == batch.getAs[Long]("n_sketch"))
