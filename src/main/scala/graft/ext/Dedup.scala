@@ -176,6 +176,24 @@ object Dedup {
       .groupBy(col("root").as("root_id"))
       .agg(count(lit(1)).as("members"))
 
+  /** Near-dup cluster SURVIVOR selection with a pluggable preference —
+    * "keep the oldest" (min id) is rarely what a curation pipeline wants;
+    * production picks the longest / highest-quality member. `preference`
+    * is any orderable Column evaluated per doc (bigger wins; include a
+    * unique tiebreaker for determinism, e.g.
+    * `struct(col("n_chars"), -col("doc_id"))` = longest-then-lowest-id).
+    * One max_by per cluster on top of [[connectedComponents]] — the
+    * preference never changes the clustering, only the survivor. */
+  def clusterSurvivors(docs: DataFrame, textCol: String, idCol: String,
+      preference: org.apache.spark.sql.Column, threshold: Double = 0.5,
+      k: Int = 3): DataFrame = {
+    val cc = connectedComponents(jaccardPairs(docs, textCol, idCol, threshold, k))
+    cc.join(docs.select(col(idCol).as("id"), preference.as("_pref")), "id")
+      .groupBy(col("root").as("root_id"))
+      .agg(max_by(col("id"), col("_pref")).as("survivor_id"),
+        count(lit(1)).as("members"))
+  }
+
   /** Benchmark decontamination: training docs that share at least one word
     * n-gram with the (small) benchmark corpus, with the matching-gram count.
     * The standard pre-training hygiene pass — eval-set n-grams must not

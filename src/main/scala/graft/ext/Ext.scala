@@ -871,6 +871,69 @@ object Ext {
              |ORDER BY new_id, corpus_id""".stripMargin),
     ),
 
+    // Windowed cardinality monitoring: daily distinct users via the KMV
+    // sketch (estimate oracle-checked bit-for-bit) next to the exact count.
+    QueryDef(
+      "q71_daily_distinct",
+      (s, dir) => {
+        val dayNs = 86400L * 1000000000L
+        val ev = tbl(s, dir, "events")
+          .select(expr(s"ts div $dayNs").as("day"), col("user_id"))
+        Sketches.kmvDistinct(ev, "day", col("user_id"), 64).orderBy(col("day"))
+      },
+      Some("""WITH e AS (
+             |  SELECT epoch_ns(ts) // 86400000000000 AS day, user_id FROM events),
+             |h AS (SELECT DISTINCT day,
+             |        CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+             |      FROM e),
+             |r AS (SELECT day, h,
+             |        row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM h),
+             |a AS (SELECT day, COUNT(DISTINCT user_id) AS n_exact FROM e GROUP BY day),
+             |kth AS (SELECT day, MAX(h) FILTER (WHERE rn = 64) AS kth_hash,
+             |               LEAST(COUNT(*), 64) AS n_sketch
+             |        FROM r WHERE rn <= 64 GROUP BY day)
+             |SELECT a.day, a.n_exact, kth.n_sketch, kth.kth_hash,
+             |  CASE WHEN kth.kth_hash IS NOT NULL
+             |       THEN 63.0 * 1152921504606846976.0 / kth.kth_hash
+             |       ELSE CAST(kth.n_sketch AS DOUBLE) END AS est_distinct
+             |FROM a JOIN kth USING (day) ORDER BY day""".stripMargin),
+    ),
+
+    // Survivor selection per near-dup cluster with a production preference:
+    // keep the LONGEST member (tiebreak lowest id) instead of min-id —
+    // the preference changes only the survivor, never the clustering.
+    QueryDef(
+      "q72_cluster_survivors",
+      (s, dir) => Dedup.clusterSurvivors(tbl(s, dir, "documents"), "text", "doc_id",
+          struct(col("n_chars"), (-col("doc_id")).as("nid")), 0.5)
+        .orderBy(col("root_id")),
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
+             |  WHERE len(tokens) >= 3),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+             |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+             |          UNION SELECT b_id, a_id FROM pairs),
+             |r(id, m) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.m),
+             |labels AS (SELECT id, MIN(m) AS root_id FROM r GROUP BY id),
+             |surv AS (
+             |  SELECT l.root_id, d.doc_id,
+             |    row_number() OVER (PARTITION BY l.root_id
+             |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+             |  FROM labels l JOIN documents d ON d.doc_id = l.id)
+             |SELECT root_id, MAX(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+             |  COUNT(*) AS members
+             |FROM surv GROUP BY root_id ORDER BY root_id""".stripMargin),
+    ),
+
     // Multimodal plumbing: binary payloads -> typed partition-wise decode
     // (stubbed codec, real Spark shape).
     QueryDef(

@@ -46,6 +46,25 @@ class IncrementalOpsSpec extends AnyFunSuite {
     assert(got == Set((10L, 1L), (10L, 2L)))
   }
 
+  test("clusterSurvivors: preference picks the survivor without changing the clustering") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", 30L),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", 50L), // longest in cluster
+      (3L, "alpha beta gamma delta epsilon zeta", 30L),
+      (4L, "one two three four five six", 25L)) // singleton, no edges -> absent
+      .toDF("doc_id", "text", "n_chars")
+    val longest = Dedup.clusterSurvivors(docs, "text", "doc_id",
+        struct(col("n_chars"), (-col("doc_id")).as("nid")), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(longest.toSeq == Seq((1L, 2L, 3L))) // root=min id, survivor=longest
+    // min-id preference reproduces the classic keep-oldest survivor
+    val oldest = Dedup.clusterSurvivors(docs, "text", "doc_id",
+        (-col("doc_id")).as("p"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(oldest.toSeq == Seq((1L, 1L, 3L)))
+  }
+
   test("incrementalNearDups agrees with the brute-force cross scan on the corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val fresh = docs.where(col("source") =!= "src0")
