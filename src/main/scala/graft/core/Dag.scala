@@ -11,6 +11,12 @@ import graft.core.Time.Nanos
   */
 trait HasLength[T] { def length(value: T): Int }
 
+/** Optional marker for source-stream value types that carry a schema:
+  * lets [[Dag.sourceStream]]'s duplicate-name check compare STRUCTURE for
+  * wrapper types (e.g. a DataFrame-carrying batch) whose runtime class is
+  * the same for every schema. */
+trait HasSourceSchema { def sourceSchema: Any }
+
 object HasLength {
   implicit def iterableHasLength[T <: Iterable[_]]: HasLength[T] =
     (value: T) => value.size
@@ -213,13 +219,18 @@ final class Dag {
       // even under reference equality (Array.empty, a fresh empty Dataset):
       // checkEmpty already proved both have length 0, so same-class empties
       // are the same source type — the reference compares empty factories,
-      // not values (dag.py:448-453). Datasets additionally compare SCHEMAS:
-      // Dataset[A] and Dataset[B] share a runtime class, and silently
-      // reusing the A-typed node for B-typed injections would surface as a
-      // distant ClassCastException instead of a build-site error.
+      // not values (dag.py:448-453). Schema-carrying values (Datasets,
+      // [[HasSourceSchema]] wrappers like SparkBatch) additionally compare
+      // SCHEMAS: they share a runtime class for every schema, and silently
+      // reusing the node would surface as a distant analysis error instead
+      // of a build-site one. KNOWN LIMIT: two case classes with identical
+      // schemas but different encoders are indistinguishable through the
+      // public Dataset API — schema equality is the strongest public signal.
       val compatible = (existingEmpty, newEmpty) match {
         case (a: org.apache.spark.sql.Dataset[_], b: org.apache.spark.sql.Dataset[_]) =>
           a.schema == b.schema
+        case (a: HasSourceSchema, b: HasSourceSchema) =>
+          a.getClass == b.getClass && a.sourceSchema == b.sourceSchema
         case (a, b) => a.getClass == b.getClass
       }
       if (!compatible)

@@ -172,9 +172,9 @@ object Dedup {
     * keep each cluster's root, drop the rest. */
   def nearDupClusters(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5, k: Int = 3): DataFrame =
-    connectedComponents(jaccardPairs(df, textCol, idCol, threshold, k))
-      .groupBy(col("root").as("root_id"))
-      .agg(count(lit(1)).as("members"))
+    // min-id preference: the survivor IS the root — the classic keep-oldest
+    clusterSurvivors(df, textCol, idCol, (-col(idCol)).as("_p"), threshold, k)
+      .select(col("root_id"), col("members"))
 
   /** Near-dup cluster SURVIVOR selection with a pluggable preference —
     * "keep the oldest" (min id) is rarely what a curation pipeline wants;

@@ -66,8 +66,13 @@ object SparkTableDataSource {
 
 /** A replayed micro-batch: a lazy DataFrame slice plus its known row count,
   * so dag emptiness checks (`HasLength`) never trigger a Spark job. This is
-  * the recommended value type for DataFrame-carrying dag streams. */
-final case class SparkBatch(df: DataFrame, count: Long)
+  * the recommended value type for DataFrame-carrying dag streams.
+  * Exposes the wrapped schema so duplicate source-name registration can
+  * compare structure at build time (every SparkBatch shares one runtime
+  * class regardless of schema). */
+final case class SparkBatch(df: DataFrame, count: Long) extends graft.core.HasSourceSchema {
+  override def sourceSchema: Any = df.schema
+}
 
 object SparkBatch {
   implicit val hasLength: graft.core.HasLength[SparkBatch] =

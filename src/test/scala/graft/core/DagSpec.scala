@@ -468,6 +468,25 @@ class DagSpec extends AnyFunSuite {
     assert(err.getMessage.contains("Duplicate source: arr"))
   }
 
+  test("duplicate source name: SparkBatch empties compare wrapped schemas") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    import graft.replay.SparkBatch
+    val dag = new Dag
+    val a = dag.sourceStream(
+      SparkBatch(Seq.empty[(Long, String)].toDF("id", "name"), 0), name = "sb")
+    // same wrapped schema: reuse
+    assert(dag.sourceStream(
+      SparkBatch(Seq.empty[(Long, String)].toDF("id", "name"), 0), name = "sb") eq a)
+    // different wrapped schema: build-site error (SparkBatch shares one
+    // runtime class for every schema, so the class check alone can't see it)
+    val err = intercept[IllegalArgumentException] {
+      dag.sourceStream(
+        SparkBatch(Seq.empty[(Double, Double)].toDF("x", "y"), 0), name = "sb")
+    }
+    assert(err.getMessage.contains("Duplicate source: sb"))
+  }
+
   test("duplicate source name: same-class Datasets with different schemas throw") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._

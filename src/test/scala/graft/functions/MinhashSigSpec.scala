@@ -43,15 +43,17 @@ class MinhashSigSpec extends AnyFunSuite {
     assert(agree <= 8, s"mirror positions agreed on $agree/64")
   }
 
-  test("interpreted eval equals the codegen path") {
+  test("interpreted eval equals the codegen path, incl. the multi-block (>64) loop") {
     import spark.implicits._
-    val df = Seq(Tuple1(Seq(5L, 17L, 99L, -3L))).toDF("s")
-    val viaCodegen = df.select(expr("graft_minhash(s, 32)")).head.getSeq[Long](0)
-    val e = MinhashSig(org.apache.spark.sql.catalyst.expressions.Literal.create(
-      Seq(5L, 17L, 99L, -3L),
-      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)), 32)
-    val viaEval = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      .toLongArray().toSeq
-    assert(viaCodegen == viaEval)
+    for (numHashes <- Seq(32, 128)) {
+      val df = Seq(Tuple1(Seq(5L, 17L, 99L, -3L))).toDF("s")
+      val viaCodegen = df.select(expr(s"graft_minhash(s, $numHashes)")).head.getSeq[Long](0)
+      val e = MinhashSig(org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(5L, 17L, 99L, -3L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)), numHashes)
+      val viaEval = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      assert(viaCodegen == viaEval, s"numHashes=$numHashes")
+    }
   }
 }
