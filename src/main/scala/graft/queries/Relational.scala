@@ -586,6 +586,44 @@ object Relational {
              |FROM e JOIN c USING (user_id)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     ),
+
+    // RFM segmentation: per-user recency/frequency/monetary over purchase
+    // events, quintile-scored with ntile (deterministic: the ntile input
+    // ordering carries user_id as a unique tiebreaker). One user-keyed
+    // aggregate, then three windows over the per-user ROLLUP (not the fact
+    // table). SCALE NOTE: an unpartitioned ntile is a single-reducer sort
+    // of the rollup — exact and fine up to ~10^8 users; past that swap the
+    // scoring to approx_percentile cut points (computed map-side
+    // combinable, then a map-only bucket lookup) and accept boundary-tie
+    // divergence from exact quintiles. The ntile form is the exact
+    // reference semantics the oracle can replicate.
+    QueryDef(
+      "q73_rfm",
+      (s, dir) => {
+        val p = tbl(s, dir, "events").where($"event_type" === "purchase")
+        val rollup = p.groupBy($"user_id")
+          .agg(max($"ts").as("last_ts"), count(lit(1)).as("frequency"),
+            dsum($"value").as("monetary"))
+        def score(c: String, asc: Boolean) = ntile(5).over(
+          Window.orderBy(if (asc) col(c).asc else col(c).desc, $"user_id"))
+        rollup
+          .withColumn("r_score", score("last_ts", asc = false).cast("long"))
+          .withColumn("f_score", score("frequency", asc = false).cast("long"))
+          .withColumn("m_score", score("monetary", asc = false).cast("long"))
+          .select($"user_id", expr("last_ts div 1000").as("last_us"),
+            $"frequency", $"monetary", $"r_score", $"f_score", $"m_score")
+          .orderBy($"user_id")
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
+             |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+             |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+             |SELECT user_id, epoch_us(last_ts) AS last_us, frequency, monetary,
+             |  CAST(ntile(5) OVER (ORDER BY last_ts DESC, user_id) AS BIGINT) AS r_score,
+             |  CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_score,
+             |  CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_score
+             |FROM r ORDER BY user_id""".stripMargin),
+    ),
   )
 
   // Sugar: $"..." without importing spark.implicits per closure.
