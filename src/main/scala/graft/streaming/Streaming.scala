@@ -240,6 +240,27 @@ object Streaming {
       }
   }
 
+  /** Event-time WINDOWED distinct-count estimation on a stream: the KMV
+    * sketch as a windowed streaming aggregation (the continuous twin of
+    * q71's daily-distinct). The `MinK` udaf is merge-order independent, so
+    * incremental state-store merges across micro-batches give exactly the
+    * batch sketch of each window's input set; the watermark bounds window
+    * state. Per-window state is one <= k-long buffer — distinct-per-hour
+    * dashboards over unbounded streams in fixed memory per window. */
+  def streamingWindowedKmvDistinct(events: DataFrame, tsCol: String,
+      itemCol: org.apache.spark.sql.Column, window: String, lateness: String,
+      k: Int): DataFrame = {
+    val numer = (k - 1).toDouble * graft.ext.Sketches.HashSpace
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(graft.ext.Sketches.kMinValues(k)(graft.ext.Sampling.portableHash(itemCol)).as("hs"))
+      .select(col("window.start").as("bucket_start"),
+        size(col("hs")).cast("long").as("n_sketch"),
+        when(size(col("hs")) === k, lit(numer) / element_at(col("hs"), k))
+          .otherwise(size(col("hs")).cast("double")).as("est_distinct"))
+  }
+
   /** Event-time timer via `GroupState` timeouts (E7 as a continuous
     * operator): for each key, emit a wakeup record when no event arrives for
     * `timeoutMs` — the TimerManager pattern on streaming state. */

@@ -255,6 +255,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streamingWindowedKmvDistinct: windowed sketch equals the batch sketch per window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val k = 8
+    val input = MemoryStream[(Timestamp, String)]
+    val query = Streaming.streamingWindowedKmvDistinct(
+        input.toDF().toDF("ts", "item"), "ts", col("item"), "1 hour", "0 seconds", k)
+      .writeStream.format("memory").queryName("wkmv")
+      .outputMode("update").start()
+    try {
+      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // hour 10: 12 distinct items (> k, estimator); hour 11: 3 distinct (exact)
+      val h10 = (0 until 12).map(i => (t(10, i % 60), s"u$i"))
+      val h11 = Seq((t(11, 0), "a"), (t(11, 1), "b"), (t(11, 2), "a"), (t(11, 3), "c"))
+      (h10 ++ h11).grouped(5).foreach { b => input.addData(b: _*); drain(query) }
+      val rows = spark.table("wkmv")
+        .groupBy(col("bucket_start").cast("string").as("b"))
+        .agg(max(col("n_sketch")).as("n"), max(col("est_distinct")).as("est"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      // batch equivalent per window
+      val batch = graft.ext.Sketches.kmvDistinct(
+          (h10 ++ h11).toDF("ts", "item")
+            .withColumn("h", date_trunc("hour", col("ts")).cast("string")),
+          "h", col("item"), k)
+        .collect().map(r => r.getString(0) -> ((r.getAs[Long]("n_sketch"),
+          r.getAs[Double]("est_distinct")))).toMap
+      assert(rows.keySet == batch.keySet)
+      rows.foreach { case (w, got) => assert(got == batch(w), s"window $w") }
+      assert(rows("2024-01-01 10:00:00")._1 == k)  // estimator branch exercised
+      assert(rows("2024-01-01 11:00:00") == ((3L, 3.0)))
+    } finally query.stop()
+  }
+
   test("streamingAsofJoin enriches probes with the prevailing reference per key") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[AsofEvent]
