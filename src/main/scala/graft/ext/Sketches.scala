@@ -112,11 +112,18 @@ object Sketches {
   def kmvDistinct(items: DataFrame, groupCol: String, itemCol: Column,
       k: Int): DataFrame = {
     val numer = (k - 1).toDouble * HashSpace // small-int × 2^60: exact double
-    items
+    // The sketch and the exact audit aggregate SEPARATELY and join on the
+    // (tiny) group key: combining countDistinct into the same agg makes
+    // Spark run every other aggregate's partial stage keyed by
+    // (group, item) — one MinK buffer PER DISTINCT ITEM instead of per
+    // group (~1000x the buffer churn; measured ~2x on q60).
+    val sketch = items
       .groupBy(col(groupCol))
-      .agg(
-        kMinValues(k)(Sampling.portableHash(itemCol)).as("hs"),
-        countDistinct(itemCol).as("n_exact"))
+      .agg(kMinValues(k)(Sampling.portableHash(itemCol)).as("hs"))
+    val exact = items
+      .groupBy(col(groupCol))
+      .agg(countDistinct(itemCol).as("n_exact"))
+    sketch.join(exact, groupCol)
       .select(
         col(groupCol),
         col("n_exact"),
