@@ -61,16 +61,20 @@ object Dedup {
     shingles.select(col("doc_id"),
       expr(s"graft_minhash(s, $numHashes)").as("sig"))
 
-  /** Per-doc band keys for LSH banding: one (doc_id, bk) row per band,
-    * bk = struct(band index, the band's r signature rows). */
-  private def bandKeys(sigs: DataFrame, r: Int, numHashes: Int): DataFrame = {
+  /** Band-key struct-array expression over a `sig` column — ONE definition
+    * of the banding layout, shared by the batch pipelines and the
+    * streaming twin (hardcoding the slice arithmetic twice would let the
+    * two silently diverge). */
+  def bandKeysExpr(r: Int, numHashes: Int): org.apache.spark.sql.Column = {
     val b = numHashes / r
     val bandCols = (0 until r).map(j => s"sig[$r * b + $j] as h$j").mkString(", ")
-    sigs.select(col("doc_id"),
-      explode(expr(s"transform(sequence(0, ${b - 1}), b -> struct(b as band, $bandCols))"))
-        .as("bk"))
-      .select(col("doc_id"), col("bk"))
+    expr(s"transform(sequence(0, ${b - 1}), b -> struct(b as band, $bandCols))")
   }
+
+  /** Per-doc band keys for LSH banding: one (doc_id, bk) row per band,
+    * bk = struct(band index, the band's r signature rows). */
+  def bandKeys(sigs: DataFrame, r: Int, numHashes: Int): DataFrame =
+    sigs.select(col("doc_id"), explode(bandKeysExpr(r, numHashes)).as("bk"))
 
   /** LSH banding: candidate pairs (a_id < b_id) sharing at least one band.
     * r rows per band; numHashes/r bands. */

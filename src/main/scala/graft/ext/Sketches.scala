@@ -95,6 +95,20 @@ object Sketches {
     if (n < k) n.toDouble else (k - 1).toDouble * HashSpace / buf(k)
   }
 
+  /** Column form of [[estimate]] over a k-min-values ARRAY column — the
+    * single definition both the batch query and the windowed streaming
+    * twin use (three independent encodings of the estimator would drift). */
+  def estimateCol(hs: Column, k: Int): Column = {
+    val numer = (k - 1).toDouble * HashSpace // small-int × 2^60: exact double
+    when(size(hs) === k, lit(numer) / element_at(hs, k))
+      .otherwise(size(hs).cast("double"))
+  }
+
+  /** [[estimateCol]]'s companion: the k-th hash when the sketch is full
+    * (NULL below k — the estimate is exact there). */
+  def kthHashCol(hs: Column, k: Int): Column =
+    when(size(hs) === k, element_at(hs, k))
+
   /** Column form: `kMinValues(k)(hashCol)` in `groupBy.agg` — returns the
     * ascending array of the group's ≤ k smallest distinct hash values. */
   def kMinValues(k: Int): Column => Column = {
@@ -111,25 +125,29 @@ object Sketches {
     * than k distinct items. */
   def kmvDistinct(items: DataFrame, groupCol: String, itemCol: Column,
       k: Int): DataFrame = {
-    val numer = (k - 1).toDouble * HashSpace // small-int × 2^60: exact double
+    // Null items are skipped (matching countDistinct's null handling —
+    // without the filter a null hash kills the primitive-Long udaf input
+    // encoder at runtime).
+    val rows = items.where(itemCol.isNotNull)
     // The sketch and the exact audit aggregate SEPARATELY and join on the
     // (tiny) group key: combining countDistinct into the same agg makes
     // Spark run every other aggregate's partial stage keyed by
     // (group, item) — one MinK buffer PER DISTINCT ITEM instead of per
-    // group (~1000x the buffer churn; measured ~2x on q60).
-    val sketch = items
+    // group (~1000x the buffer churn; measured ~2x on q60). The join is
+    // NULL-SAFE so a null group key is reported, not silently dropped.
+    val sketch = rows
       .groupBy(col(groupCol))
       .agg(kMinValues(k)(Sampling.portableHash(itemCol)).as("hs"))
-    val exact = items
+    val exact = rows
       .groupBy(col(groupCol))
       .agg(countDistinct(itemCol).as("n_exact"))
-    sketch.join(exact, groupCol)
+    sketch.as("s").join(exact.as("e"),
+        col(s"s.$groupCol") <=> col(s"e.$groupCol"))
       .select(
-        col(groupCol),
+        col(s"e.$groupCol").as(groupCol),
         col("n_exact"),
         size(col("hs")).cast("long").as("n_sketch"),
-        when(size(col("hs")) === k, element_at(col("hs"), k)).as("kth_hash"),
-        when(size(col("hs")) === k, lit(numer) / element_at(col("hs"), k))
-          .otherwise(size(col("hs")).cast("double")).as("est_distinct"))
+        kthHashCol(col("hs"), k).as("kth_hash"),
+        estimateCol(col("hs"), k).as("est_distinct"))
   }
 }

@@ -86,6 +86,18 @@ case class VecDot(left: Expression, right: Expression)
   * `SparkSessionExtensions` integration point (enable with
   * `spark.sql.extensions=graft.functions.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Extract an Int from a foldable literal argument — shared by every
+    * parameterized function registration below. */
+  private def intLit(e: Expression, fn: String, what: String): Int = e match {
+    case lit if lit.foldable => lit.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an int literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(s"$fn: $what must be a literal")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_vec_dot"),
@@ -100,48 +112,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 3 || children.size == 4,
           "graft_rhp_sig takes (vec, tables, bits[, dim])")
-        def intLit(e: Expression, what: String): Int = e match {
-          case lit if lit.foldable => lit.eval() match {
-            case i: Int => i
-            case other => throw new IllegalArgumentException(
-              s"graft_rhp_sig: $what must be an int literal, got $other")
-          }
-          case _ => throw new IllegalArgumentException(
-            s"graft_rhp_sig: $what must be a literal")
-        }
         RhpSig(children.head,
-          intLit(children(1), "tables"), intLit(children(2), "bits"),
-          if (children.size == 4) intLit(children(3), "dim") else RhpSig.DefaultDim)
+          intLit(children(1), "graft_rhp_sig", "tables"),
+          intLit(children(2), "graft_rhp_sig", "bits"),
+          if (children.size == 4) intLit(children(3), "graft_rhp_sig", "dim")
+          else RhpSig.DefaultDim)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinhashSig].getName, "graft_minhash"),
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_minhash takes (hashed_shingles, num_hashes)")
-        val n = children(1) match {
-          case lit if lit.foldable => lit.eval() match {
-            case i: Int => i
-            case other => throw new IllegalArgumentException(
-              s"graft_minhash: num_hashes must be an int literal, got $other")
-          }
-          case _ => throw new IllegalArgumentException("graft_minhash: num_hashes must be a literal")
-        }
-        MinhashSig(children.head, n)
+        MinhashSig(children.head, intLit(children(1), "graft_minhash", "num_hashes"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashSig].getName, "graft_simhash"),
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_simhash takes (tokens, bits)")
-        val bits = children(1) match {
-          case lit if lit.foldable => lit.eval() match {
-            case i: Int => i
-            case other => throw new IllegalArgumentException(
-              s"graft_simhash: bits must be an int literal, got $other")
-          }
-          case _ => throw new IllegalArgumentException("graft_simhash: bits must be a literal")
-        }
-        SimhashSig(children.head, bits)
+        SimhashSig(children.head, intLit(children(1), "graft_simhash", "bits"))
       }))
   }
 }

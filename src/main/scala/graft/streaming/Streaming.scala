@@ -191,20 +191,26 @@ object Streaming {
       textCol: String, idCol: String, threshold: Double = 0.5,
       k: Int = 3): DataFrame = {
     import graft.ext.Dedup
-    // sig + band explode in ONE projection chain per side (joining the
-    // signature stream back to the shingle stream would be a stream-stream
-    // self-join needing watermarks; carrying `s` through keeps both sides
-    // single-pass)
-    def bands(docs: DataFrame, idOut: String, sOut: String) =
-      Dedup.hashedShingleSets(docs, textCol, idCol, k)
-        .withColumn("sig", expr("graft_minhash(s, 64)"))
-        .select(col("doc_id").as(idOut), col("s").as(sOut), explode(expr(
-          "transform(sequence(0, 31), b -> struct(b as band, sig[2*b] as h0, sig[2*b+1] as h1))"))
-          .as("bk"))
-    val newBands = bands(newDocs, "new_id", "sa")
-    val corpBands = bands(corpus, "corpus_id", "sb")
+    // STREAM side: sig + band explode in ONE projection chain, carrying
+    // the shingle set through (joining the signature stream back to the
+    // shingle stream would be a stream-stream self-join needing
+    // watermarks). The band layout comes from Dedup.bandKeysExpr — the
+    // same definition the batch operator uses, so the two cannot diverge.
+    val newBands = Dedup.hashedShingleSets(newDocs, textCol, idCol, k)
+      .withColumn("sig", expr("graft_minhash(s, 64)"))
+      .select(col("doc_id").as("new_id"), col("s").as("sa"),
+        explode(Dedup.bandKeysExpr(2, 64)).as("bk"))
+    // STATIC side: band keys WITHOUT the shingle payload (the batch
+    // operator's shape) — shingles join back per CANDIDATE after the band
+    // join, so the dominant join input carries (corpus_id, bk) only
+    // instead of duplicating each corpus doc's array 32x per band.
+    val shCorp = Dedup.hashedShingleSets(corpus, textCol, idCol, k)
+    val corpBands = Dedup.bandKeys(Dedup.minhashSignatures(shCorp), 2, 64)
+      .select(col("doc_id").as("corpus_id"), col("bk"))
     newBands
-      .join(corpBands, "bk") // stream-static inner join
+      .join(corpBands, "bk") // stream-static inner join on band keys
+      .join(shCorp.select(col("doc_id").as("corpus_id"), col("s").as("sb")),
+        "corpus_id") // stream-static again: shingles per candidate only
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", col("inter").cast("double")
         / (size(col("sa")) + size(col("sb")) - col("inter")))
@@ -249,17 +255,15 @@ object Streaming {
     * dashboards over unbounded streams in fixed memory per window. */
   def streamingWindowedKmvDistinct(events: DataFrame, tsCol: String,
       itemCol: org.apache.spark.sql.Column, window: String, lateness: String,
-      k: Int): DataFrame = {
-    val numer = (k - 1).toDouble * graft.ext.Sketches.HashSpace
+      k: Int): DataFrame =
     events
+      .where(itemCol.isNotNull) // match kmvDistinct's null handling
       .withWatermark(tsCol, lateness)
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window))
       .agg(graft.ext.Sketches.kMinValues(k)(graft.ext.Sampling.portableHash(itemCol)).as("hs"))
       .select(col("window.start").as("bucket_start"),
         size(col("hs")).cast("long").as("n_sketch"),
-        when(size(col("hs")) === k, lit(numer) / element_at(col("hs"), k))
-          .otherwise(size(col("hs")).cast("double")).as("est_distinct"))
-  }
+        graft.ext.Sketches.estimateCol(col("hs"), k).as("est_distinct"))
 
   /** Event-time timer via `GroupState` timeouts (E7 as a continuous
     * operator): for each key, emit a wakeup record when no event arrives for
