@@ -43,6 +43,19 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(est - 10000.0) / 10000.0 < 0.15, s"est $est")
   }
 
+  test("null items are skipped and a null group key is reported, not dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("g"), Some("a")), (Some("g"), None), // null item: skipped like countDistinct
+      (None, Some("x")), (None, Some("y")))      // null GROUP: must still be reported
+      .toDF("grp", "v")
+    val rows = Sketches.kmvDistinct(df, "grp", col("v"), k = 8)
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_sketch")))).toMap
+    assert(rows(Some("g")) == ((1L, 1L))) // the null item did not kill the udaf
+    assert(rows(None) == ((2L, 2L)))      // null-safe join kept the null group
+  }
+
   test("estimate is invariant under repartitioning (determinism contract)") {
     import spark.implicits._
     val df = (0 until 5000).map(i => ("g", s"x$i")).toDF("grp", "v")
