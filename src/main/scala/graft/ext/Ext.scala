@@ -934,6 +934,81 @@ object Ext {
              |FROM surv GROUP BY root_id ORDER BY root_id""".stripMargin),
     ),
 
+    // Split-balance audit: does each hash split preserve the corpus's
+    // language mix? Emits per-(split, lang) doc counts plus both shares
+    // scaled to exact integer rationals (ppm) — no float division until
+    // the final fixed denominator, so both engines agree bit-for-bit.
+    QueryDef(
+      "q74_split_balance",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .withColumn("split", Sampling.splitColumn(col("doc_id"), 80, 10))
+        val total = docs.count()
+        val corpus = docs.groupBy(col("lang")).agg(count(lit(1)).as("corpus_docs"))
+        docs.groupBy(col("split"), col("lang")).agg(count(lit(1)).as("docs"))
+          .withColumn("split_total",
+            sum(col("docs")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("split"))))
+          .join(corpus, "lang")
+          .select(col("split"), col("lang"), col("docs"),
+            expr("docs * 1000000 div split_total").as("share_ppm"),
+            // integer div in BOTH engines: double-div + cast would round in
+            // DuckDB but truncate in Spark
+            expr(s"(corpus_docs * 1000000) div ${total}L").as("corpus_ppm"))
+          .orderBy(col("split"), col("lang"))
+      },
+      Some("""WITH d AS (
+             |  SELECT lang,
+             |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM (SELECT lang,
+             |          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS b
+             |        FROM documents)),
+             |c AS (SELECT lang, COUNT(*) AS corpus_docs FROM documents GROUP BY lang),
+             |t AS (SELECT COUNT(*) AS total FROM documents),
+             |g AS (SELECT split, lang, COUNT(*) AS docs FROM d GROUP BY split, lang),
+             |st AS (SELECT split, SUM(docs) AS split_total FROM g GROUP BY split)
+             |SELECT g.split, g.lang, g.docs,
+             |  CAST(g.docs * 1000000 // st.split_total AS BIGINT) AS share_ppm,
+             |  c.corpus_docs * 1000000 // t.total AS corpus_ppm
+             |FROM g JOIN st USING (split) JOIN c USING (lang), t
+             |ORDER BY g.split, g.lang""".stripMargin),
+    ),
+
+    // Cross-source duplication matrix: near-dup pairs rolled up by source
+    // pair — which crawls duplicate which. One tiny join of the pair list
+    // back to the (id, source) projection per side.
+    QueryDef(
+      "q75_source_dup_matrix",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val src = docs.select(col("doc_id"), col("source"))
+        Dedup.jaccardPairs(docs, "text", "doc_id", 0.5)
+          .join(src.select(col("doc_id").as("a_id"), col("source").as("source_a")), "a_id")
+          .join(src.select(col("doc_id").as("b_id"), col("source").as("source_b")), "b_id")
+          // normalize the pair orientation so (src0, src1) == (src1, src0)
+          .select(least(col("source_a"), col("source_b")).as("src_lo"),
+            greatest(col("source_a"), col("source_b")).as("src_hi"))
+          .groupBy(col("src_lo"), col("src_hi"))
+          .agg(count(lit(1)).as("dup_pairs"))
+          .orderBy(col("src_lo"), col("src_hi"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, source,
+             |    list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+             |                   FOR i IN generate_series(1, len(tokens)-2)]) AS s
+             |  FROM (SELECT doc_id, source, string_split(text,' ') AS tokens FROM documents)
+             |  WHERE len(tokens) >= 3),
+             |p AS (
+             |  SELECT LEAST(a.source, b.source) AS src_lo,
+             |         GREATEST(a.source, b.source) AS src_hi
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5)
+             |SELECT src_lo, src_hi, COUNT(*) AS dup_pairs
+             |FROM p GROUP BY src_lo, src_hi ORDER BY src_lo, src_hi""".stripMargin),
+    ),
+
     // Multimodal plumbing: binary payloads -> typed partition-wise decode
     // (stubbed codec, real Spark shape).
     QueryDef(
