@@ -24,6 +24,23 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: MinK equals sorted-distinct-take-k under random data, splits, and merge order") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val agg = new Sketches.MinK(6)
+    val gen = Gen.listOfN(40, Gen.choose(-20L, 20L)) // small domain forces duplicates
+    (0 until 200).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { xs =>
+        val expected = xs.distinct.sorted.take(6)
+        val cut = i % (xs.length + 1)
+        val (l, r) = xs.splitAt(cut)
+        val merged = agg.merge(
+          l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+        assert(agg.finish(merged) == expected, s"seed $i cut $cut")
+      }
+    }
+  }
+
   test("fewer than k distinct values: sketch IS the exact distinct set") {
     import spark.implicits._
     val df = Seq(("g", "a"), ("g", "b"), ("g", "a")).toDF("grp", "v")
