@@ -943,8 +943,12 @@ object Ext {
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
           .withColumn("split", Sampling.splitColumn(col("doc_id"), 80, 10))
-        val total = docs.count()
+        // total derived lazily as a global window over the lang rollup
+        // (lang-cardinality rows) — no eager driver action at build time
         val corpus = docs.groupBy(col("lang")).agg(count(lit(1)).as("corpus_docs"))
+          .withColumn("total",
+            sum(col("corpus_docs")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy()))
         docs.groupBy(col("split"), col("lang")).agg(count(lit(1)).as("docs"))
           .withColumn("split_total",
             sum(col("docs")).over(org.apache.spark.sql.expressions.Window
@@ -954,7 +958,7 @@ object Ext {
             expr("docs * 1000000 div split_total").as("share_ppm"),
             // integer div in BOTH engines: double-div + cast would round in
             // DuckDB but truncate in Spark
-            expr(s"(corpus_docs * 1000000) div ${total}L").as("corpus_ppm"))
+            expr("(corpus_docs * 1000000) div total").as("corpus_ppm"))
           .orderBy(col("split"), col("lang"))
       },
       Some("""WITH d AS (
@@ -977,7 +981,11 @@ object Ext {
 
     // Cross-source duplication matrix: near-dup pairs rolled up by source
     // pair — which crawls duplicate which. One tiny join of the pair list
-    // back to the (id, source) projection per side.
+    // back to the (id, source) projection per side. Oracle note: like q26,
+    // the oracle is the brute-force exact pair scan and the Spark side is
+    // LSH-pruned — recall at J >= 0.5 with r=2/b=32 banding is
+    // 1-(1-J^2)^32 >= 0.9999 (see Dedup.jaccardPairs), so agreement relies
+    // on that bound rather than a bucketed-oracle replication.
     QueryDef(
       "q75_source_dup_matrix",
       (s, dir) => {

@@ -125,29 +125,30 @@ object Sketches {
     * than k distinct items. */
   def kmvDistinct(items: DataFrame, groupCol: String, itemCol: Column,
       k: Int): DataFrame = {
-    // Null items are skipped (matching countDistinct's null handling —
-    // without the filter a null hash kills the primitive-Long udaf input
-    // encoder at runtime).
-    val rows = items.where(itemCol.isNotNull)
     // The sketch and the exact audit aggregate SEPARATELY and join on the
     // (tiny) group key: combining countDistinct into the same agg makes
     // Spark run every other aggregate's partial stage keyed by
     // (group, item) — one MinK buffer PER DISTINCT ITEM instead of per
-    // group (~1000x the buffer churn; measured ~2x on q60). The join is
-    // NULL-SAFE so a null group key is reported, not silently dropped.
-    val sketch = rows
+    // group (~1000x the buffer churn; measured ~2x on q60). Exact
+    // countDistinct semantics throughout: null ITEMS are skipped (they
+    // would kill the udaf's primitive-Long input encoder) but every group
+    // still reports — the exact side sees all rows, the sketch side left-
+    // joins back null-safely (so null GROUP keys and all-null-item groups
+    // both appear, with an empty sketch for the latter).
+    val sketch = items.where(itemCol.isNotNull)
       .groupBy(col(groupCol))
       .agg(kMinValues(k)(Sampling.portableHash(itemCol)).as("hs"))
-    val exact = rows
+    val exact = items
       .groupBy(col(groupCol))
       .agg(countDistinct(itemCol).as("n_exact"))
-    sketch.as("s").join(exact.as("e"),
-        col(s"s.$groupCol") <=> col(s"e.$groupCol"))
+    val hs = coalesce(col("s.hs"), array().cast("array<bigint>"))
+    exact.as("e").join(sketch.as("s"),
+        col(s"e.$groupCol") <=> col(s"s.$groupCol"), "left_outer")
       .select(
         col(s"e.$groupCol").as(groupCol),
         col("n_exact"),
-        size(col("hs")).cast("long").as("n_sketch"),
-        kthHashCol(col("hs"), k).as("kth_hash"),
-        estimateCol(col("hs"), k).as("est_distinct"))
+        size(hs).cast("long").as("n_sketch"),
+        kthHashCol(hs, k).as("kth_hash"),
+        estimateCol(hs, k).as("est_distinct"))
   }
 }

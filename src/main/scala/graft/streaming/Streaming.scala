@@ -204,7 +204,10 @@ object Streaming {
     // operator's shape) — shingles join back per CANDIDATE after the band
     // join, so the dominant join input carries (corpus_id, bk) only
     // instead of duplicating each corpus doc's array 32x per band.
-    val shCorp = Dedup.hashedShingleSets(corpus, textCol, idCol, k)
+    // cached: the corpus side is re-evaluated EVERY micro-batch and feeds
+    // two branches (band keys + the per-candidate shingle join) — without
+    // the cache each batch tokenizes/hashes the whole static corpus twice
+    val shCorp = Dedup.hashedShingleSets(corpus, textCol, idCol, k).cache()
     val corpBands = Dedup.bandKeys(Dedup.minhashSignatures(shCorp), 2, 64)
       .select(col("doc_id").as("corpus_id"), col("bk"))
     newBands

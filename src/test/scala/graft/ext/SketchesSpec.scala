@@ -73,6 +73,17 @@ class SketchesSpec extends AnyFunSuite {
     assert(rows(None) == ((2L, 2L)))      // null-safe join kept the null group
   }
 
+  test("a group whose items are ALL null reports n_exact=0 (countDistinct semantics)") {
+    import spark.implicits._
+    val df = Seq((("g1"), Option.empty[String]), ("g2", Some("a"))).toDF("grp", "v")
+    val rows = Sketches.kmvDistinct(df, "grp", col("v"), k = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_sketch"), r.getAs[Double]("est_distinct"))))
+      .toMap
+    assert(rows("g1") == ((0L, 0L, 0.0))) // group reported, empty sketch
+    assert(rows("g2") == ((1L, 1L, 1.0)))
+  }
+
   test("estimate is invariant under repartitioning (determinism contract)") {
     import spark.implicits._
     val df = (0 until 5000).map(i => ("g", s"x$i")).toDF("grp", "v")
