@@ -151,4 +151,57 @@ object Sketches {
         kthHashCol(hs, k).as("kth_hash"),
         estimateCol(hs, k).as("est_distinct"))
   }
+
+  // --- Count-Min sketch (frequency estimation) ---------------------------
+  //
+  // Same determinism argument as KMV: each of the depth×width counters is a
+  // plain SUM over rows selected by the portable hash, so the sketch state
+  // and every estimate are pure functions of the input multiset —
+  // independent of partitioning and engine, hence oracle-checkable
+  // bit-for-bit (where approx sketches with engine-private hashing are not).
+  // Guarantees: estimate >= true count always (counters only over-count on
+  // collisions); with width w the expected overcount is N/w per row, and
+  // taking the MIN over `depth` independent rows drives the error of any
+  // single collision-heavy row down exponentially (Cormode & Muthukrishnan
+  // 2005).
+
+  /** Per-(row, bucket) hash for the CM sketch: the portable 60-bit hash of
+    * `"j:item"` — depth independent hash functions from one md5 family,
+    * reproducible in DuckDB as
+    * `CAST(('0x'||substring(md5(j||':'||item),1,15)) AS BIGINT) % width`. */
+  def cmsBucket(rowIdx: Column, item: Column, width: Int): Column =
+    pmod(Sampling.portableHash(concat_ws(":", rowIdx, item)), lit(width))
+
+  /** Count-Min counter table over an item column: `(j, bucket, c)` with
+    * exactly depth×width rows (absent combinations count 0).
+    *
+    * Scale shape: one map-side explode (×depth) then a single aggregation
+    * keyed by (j, bucket) — partial aggregation collapses every partition
+    * to ≤ depth×width counters before the exchange, so shuffle traffic is
+    * O(depth×width) per partition regardless of row count. The result is a
+    * bounded table (e.g. 4×1024 rows) that downstream estimation
+    * BROADCASTS — at 100 TB the counters still fit in one executor page. */
+  def cmsCounters(items: DataFrame, itemCol: Column, depth: Int, width: Int): DataFrame =
+    items.select(itemCol.as("item"))
+      .where(col("item").isNotNull)
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("j"), col("item"))
+      .groupBy(col("j"), cmsBucket(col("j"), col("item"), width).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Point-frequency estimates for `candidates(itemCol)` from a
+    * [[cmsCounters]] table: min over the depth counters each candidate
+    * hashes to. The counter table is broadcast (bounded size), so the
+    * probe is a map-side join + a per-candidate min — candidates never
+    * shuffle by bucket. */
+  def cmsEstimate(candidates: DataFrame, counters: DataFrame, itemCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val probes = candidates
+      .select(col(itemCol), explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("bucket", cmsBucket(col("j"), col(itemCol), width))
+    // left join: a probed bucket absent from the counter table means no row
+    // ever hashed there — the estimate for such a candidate is exactly 0
+    probes.join(broadcast(counters), Seq("j", "bucket"), "left_outer")
+      .groupBy(col(itemCol))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
+  }
 }

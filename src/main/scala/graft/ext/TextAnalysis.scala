@@ -99,6 +99,16 @@ object TextAnalysis {
   /** Document fingerprint: md5 of the raw text (identical in DuckDB). */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Canonical text normalization for dedup: lowercase, non-alphanumerics
+    * to spaces, whitespace runs collapsed, trimmed. The standard pass
+    * before exact dedup so that trivially-reformatted copies (case,
+    * punctuation, spacing) hash identically. Pure codegen'd map work —
+    * regex and string ops inside WholeStageCodegen, no shuffle. The regex
+    * is RE2-safe (plain character classes, no backtracking constructs) and
+    * evaluates identically in Spark (Java regex) and DuckDB (RE2). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** 16-bit SimHash over the distinct-token set. Per-token 64-bit hashes are
     * derived from md5 hex (portable across engines); each bit is a majority
     * vote over token hashes. Pure HOF expression — map-only at scale.
