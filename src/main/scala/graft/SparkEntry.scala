@@ -13,7 +13,8 @@ import graft.queries.{QueryDef, Relational}
 object SparkEntry {
 
   def allQueries: Seq[QueryDef] =
-    Relational.all ++ graft.ext.Ext.all ++ graft.queries.DagQueries.all
+    Relational.all ++ graft.ext.Ext.all ++ graft.ext.CorpusMining.queries ++
+      graft.queries.DagQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,269 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDef
+import graft.queries.QueryDef.tbl
+
+/** Corpus-mining operators for training-data pipelines: cross-document
+  * repeated-span rate, tf-idf keyword extraction, collocation mining,
+  * event-rate anomaly flagging, and per-group inequality (Gini) stats.
+  *
+  * Determinism rules (DEVNOTES #3/#4): every score is either an integer
+  * rational (exact in both engines) or a fixed-order double expression
+  * whose operations are all IEEE correctly-rounded (one multiply, one
+  * divide, `sqrt`) — no transcendentals, so results hash bit-exact against
+  * the DuckDB oracle.
+  */
+object CorpusMining {
+
+  /** Portable 60-bit hash of a string — identical in Spark
+    * (`conv(substring(md5(x),1,15),16,10)`) and DuckDB
+    * (`CAST(('0x'||substring(md5(x),1,15)) AS BIGINT)`). */
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Cross-document repeated n-gram rate (the RefinedWeb/Gopher-style
+    * corpus-dedup signal): for each document, the fraction of its word
+    * n-gram spans whose gram occurs in >= 2 distinct documents.
+    *
+    * Scale shape: grams are hashed to int64 BEFORE any shuffle (the q26
+    * lesson — shuffle longs, not strings): one gram-keyed aggregate for
+    * distinct-doc counts, one gram-keyed join back, one doc-keyed rollup
+    * of longs. All aggregates are map-side combinable; nothing is
+    * collected. Docs shorter than n tokens have no spans and drop out
+    * (both engines). */
+  def repeatedNgramRate(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+    val grams = toks
+      .select(col("doc_id"),
+        explode(TextAnalysis.ngramsFromTokens("toks", n)).as("g"))
+      .select(col("doc_id"), hash60(col("g")).as("h"))
+    val docFreq = grams.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+    grams
+      .join(docFreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+        (col("dup_spans").cast("double") / col("n_spans")).as("dup_frac"))
+  }
+
+  /** Per-document top-k keywords by rational tf-idf: score
+    * = tf * N / df as one integer product then one double division (the
+    * log-free idf variant, so ordering is cross-engine exact). Ties break
+    * on the term. The classic TF-DF shape: one (doc,term)-keyed count,
+    * one term-keyed document-frequency aggregate, one term-keyed join
+    * (vocabulary-sized build side — broadcastable when it fits), one
+    * per-doc top-k window. */
+  def tfidfKeywords(docs: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("w"))
+    val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.distinct().groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val total = docs.groupBy().agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(dfreq, "w")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("w"), col("tf"), col("df"),
+        ((col("tf") * col("n_docs")).cast("double") / col("df")).as("score"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("w"))))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("w"),
+        col("tf"), col("df"), col("score"))
+  }
+
+  /** Corpus-level bigram collocations ranked by lift
+    * = n_xy * T / (n_x * n_y) — the log-free PMI analog (exact integer
+    * products, one double division). `minCount` keeps the candidate set
+    * sparse; at 100 TB the BIGINT products need a DECIMAL(38,0) upgrade
+    * (documented, not hit at bench scale).
+    *
+    * Shape: one bigram-keyed count, one token-keyed count (joined twice —
+    * vocabulary-sized, broadcastable), top-k via a single final sort of
+    * the filtered candidates. */
+  def collocations(docs: DataFrame, textCol: String, idCol: String,
+      minCount: Long, k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = uni.groupBy().agg(sum(col("c")).as("t"))
+    val bi = toks
+      .select(explode(TextAnalysis.ngramsFromTokens("toks", 2)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n_xy"))
+      .where(col("n_xy") >= minCount)
+      .select(col("b"), element_at(split(col("b"), " "), 1).as("w1"),
+        element_at(split(col("b"), " "), 2).as("w2"), col("n_xy"))
+    bi
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("n_x"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("n_y"))), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("b"), col("n_xy"), col("n_x"), col("n_y"),
+        ((col("n_xy") * col("t")).cast("double") / (col("n_x") * col("n_y")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("b"))
+      .limit(k)
+  }
+
+  /** Hourly event-rate anomalies per event type: z-score of each hour's
+    * count against the type's own hourly distribution. The anomaly FLAG is
+    * decided in pure integer arithmetic — |n - S/H| > 2*sigma is
+    * equivalent to (H*n - S)^2 > 4*(H*Q - S^2) with S = sum n, Q = sum n^2
+    * over the type's H hours — so the cut is bit-exact cross-engine; the
+    * reported z = (H*n - S)/sqrt(H*Q - S^2) is one subtraction, one sqrt,
+    * one division (all correctly rounded). Constant series (zero variance)
+    * report z = 0. BIGINT products hold to ~3e9 events/type-hour;
+    * DECIMAL(38,0) is the 100 TB upgrade.
+    *
+    * Shape: one (type,hour)-keyed count, one type-keyed 3-long rollup
+    * (tiny — one row per type, broadcast join back). */
+  def hourlyAnomalies(events: DataFrame, typeCol: String,
+      tsNanosCol: String): DataFrame = {
+    val hc = events
+      .select(col(typeCol).as("event_type"),
+        expr(s"$tsNanosCol div 3600000000000").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+    val st = hc.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("h"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("q"))
+    hc
+      .join(broadcast(st), "event_type")
+      .select(col("event_type"), col("hr"), col("n"),
+        when(col("h") * col("q") - col("s") * col("s") === 0, lit(0.0))
+          .otherwise((col("h") * col("n") - col("s")).cast("double") /
+            sqrt((col("h") * col("q") - col("s") * col("s")).cast("double")))
+          .as("z"),
+        when((col("h") * col("n") - col("s")) * (col("h") * col("n") - col("s"))
+          > lit(4L) * (col("h") * col("q") - col("s") * col("s")), 1L)
+          .otherwise(0L).as("is_anomaly"))
+  }
+
+  /** Per-group Gini coefficient of a per-row integer measure (token
+    * counts): with group rows sorted ascending and 1-based rank i,
+    * gini = (2*sum(i*x_i) - (n+1)*sum(x_i)) / (n*sum(x_i)) — integer
+    * numerator/denominator, one double division. Equal values commute in
+    * sum(i*x_i), so the tiebreaker only fixes determinism of the plan,
+    * not the result. One group-keyed sort (rank window) + one group-keyed
+    * rollup of longs. */
+  def giniByGroup(df: DataFrame, groupCol: String, valueCol: Column,
+      tieCol: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"), valueCol.cast("long").as("x"),
+      tieCol.as("tie"))
+    val ranked = base.withColumn("i",
+      row_number().over(Window.partitionBy(col("grp"))
+        .orderBy(col("x"), col("tie"))).cast("long"))
+    ranked
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("sum_x"),
+        sum(col("i") * col("x")).as("rank_wsum"))
+      .select(col("grp"), col("n_docs"), col("sum_x"),
+        ((lit(2L) * col("rank_wsum") - (col("n_docs") + 1) * col("sum_x"))
+          .cast("double") / (col("n_docs") * col("sum_x"))).as("gini"))
+  }
+
+  def queries: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q76_repeated_ngrams",
+      (s, dir) => repeatedNgramRate(tbl(s, dir, "documents"), "text", "doc_id", 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    CAST(('0x'||substring(md5(array_to_string(t[i:i+7],' ')),1,15)) AS BIGINT) AS h
+             |  FROM toks, unnest(generate_series(1, len(t)-7)) AS u(i)
+             |  WHERE len(t) >= 8),
+             |dfq AS (SELECT h, COUNT(*) AS ndocs
+             |        FROM (SELECT DISTINCT doc_id, h FROM g) GROUP BY h)
+             |SELECT g.doc_id, COUNT(*) AS n_spans,
+             |  CAST(SUM(CASE WHEN dfq.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+             |  CAST(SUM(CASE WHEN dfq.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*) AS dup_frac
+             |FROM g JOIN dfq USING (h) GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin),
+    ),
+
+    QueryDef(
+      "q77_tfidf_keywords",
+      (s, dir) => tfidfKeywords(tbl(s, dir, "documents"), "text", "doc_id", 3)
+        .orderBy(col("doc_id"), col("rk")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+             |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1,2),
+             |dfq AS (SELECT w, COUNT(*) AS df
+             |        FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY w),
+             |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT doc_id, w, tf, df, CAST(tf*n_docs AS DOUBLE)/df AS score
+             |  FROM tf JOIN dfq USING (w), n),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rk
+             |       FROM scored)
+             |SELECT doc_id, rk, w, tf, df, score FROM rk WHERE rk <= 3
+             |ORDER BY doc_id, rk""".stripMargin),
+    ),
+
+    QueryDef(
+      "q78_collocations",
+      (s, dir) => collocations(tbl(s, dir, "documents"), "text", "doc_id", 20L, 50),
+      Some("""WITH toks AS (SELECT string_split(text,' ') AS t FROM documents),
+             |uni AS (SELECT unnest(t) AS w FROM toks),
+             |uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+             |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uc),
+             |bi AS (
+             |  SELECT t[i]||' '||t[i+1] AS b
+             |  FROM toks, unnest(generate_series(1, len(t)-1)) AS u(i)
+             |  WHERE len(t) >= 2),
+             |bc AS (SELECT b, COUNT(*) AS n_xy FROM bi GROUP BY b HAVING COUNT(*) >= 20)
+             |SELECT b, n_xy, x.c AS n_x, y.c AS n_y,
+             |  CAST(n_xy*tot.t AS DOUBLE)/(x.c*y.c) AS lift
+             |FROM bc, tot
+             |JOIN uc x ON x.w = string_split(b,' ')[1]
+             |JOIN uc y ON y.w = string_split(b,' ')[2]
+             |ORDER BY lift DESC, b LIMIT 50""".stripMargin),
+    ),
+
+    QueryDef(
+      "q79_event_anomaly",
+      (s, dir) => hourlyAnomalies(tbl(s, dir, "events"), "event_type", "ts")
+        .orderBy(col("event_type"), col("hr")),
+      Some("""WITH hc AS (
+             |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr, COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |st AS (SELECT event_type, COUNT(*) AS h, CAST(SUM(n) AS BIGINT) AS s,
+             |              CAST(SUM(n*n) AS BIGINT) AS q FROM hc GROUP BY 1)
+             |SELECT hc.event_type, hr, n,
+             |  CASE WHEN h*q - s*s = 0 THEN 0.0
+             |       ELSE CAST(h*n - s AS DOUBLE)/sqrt(CAST(h*q - s*s AS DOUBLE)) END AS z,
+             |  CAST(CASE WHEN (h*n - s)*(h*n - s) > 4*(h*q - s*s) THEN 1 ELSE 0 END AS BIGINT)
+             |    AS is_anomaly
+             |FROM hc JOIN st USING (event_type) ORDER BY event_type, hr""".stripMargin),
+    ),
+
+    QueryDef(
+      "q80_source_gini",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        giniByGroup(docs, "source",
+          size(split(col("text"), " ")).cast("long"), col("doc_id"))
+          .withColumnRenamed("grp", "source")
+          .orderBy(col("source"))
+      },
+      Some("""WITH base AS (
+             |  SELECT source AS grp, CAST(len(string_split(text,' ')) AS BIGINT) AS x, doc_id
+             |  FROM documents),
+             |ranked AS (
+             |  SELECT grp, x, row_number() OVER (PARTITION BY grp ORDER BY x, doc_id) AS i
+             |  FROM base)
+             |SELECT grp AS source, COUNT(*) AS n_docs, CAST(SUM(x) AS BIGINT) AS sum_x,
+             |  CAST(2*SUM(i*x) - (COUNT(*)+1)*SUM(x) AS DOUBLE)/(COUNT(*)*SUM(x)) AS gini
+             |FROM ranked GROUP BY grp ORDER BY source""".stripMargin),
+    ),
+  )
+}
