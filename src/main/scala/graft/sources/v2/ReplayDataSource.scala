@@ -1,0 +1,313 @@
+package graft.sources.v2
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.ParquetReadOptions
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.schema.{GroupType, MessageType, PrimitiveType}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-replay` — a DataSourceV2 batch connector purpose-built for the
+  * replay cursor pattern (reference `replay.py:47-83` read_to/get_next over
+  * historic files): a driver that advances a time cursor issues one bounded
+  * time-slice scan per cycle, hundreds of times per run.
+  *
+  * Why not just `spark.read.parquet(...).where(...)` (which the other replay
+  * sources use)? The built-in source re-lists files and re-reads footers on
+  * every cycle's plan. This connector builds the (file, row-group, tsMin,
+  * tsMax, rows) index ONCE, caches it in the driver keyed by
+  * (path, mtime), and serves every subsequent cycle's planning from memory:
+  * `planInputPartitions` is a pure in-memory filter of the index by the
+  * pushed timestamp bounds — O(overlapping row groups) per cycle instead of
+  * O(files) metadata IO. At 100 TB / 1000 cycles that is the difference
+  * between per-cycle planning being free and being a storage-metadata storm.
+  *
+  * Pushdown contract: timestamp-column range predicates
+  * (>, >=, <, <=, =) prune row groups via the cached footer stats; ALL
+  * filters are also returned as residual so Spark re-evaluates them
+  * row-by-row — pruning is a performance fast path, never a correctness
+  * dependency. Column pruning is honored by reading only the requested
+  * parquet columns (`ColumnIOFactory` projection). Row-group row counts
+  * feed `estimateStatistics`.
+  *
+  * Supported schemas: flat columns of BOOLEAN / INT32 / INT64 (incl.
+  * TIMESTAMP(NANOS), surfaced as plain LongType nanos — the engine-wide
+  * convention, DEVNOTES #2) / FLOAT / DOUBLE / BINARY(String). Nested
+  * fields fail fast at `inferSchema`. The row materialization is the
+  * parquet example Group assembly (row-by-row, not vectorized) — right for
+  * cursor slices, which are small by construction; full-corpus scans should
+  * keep using the built-in vectorized parquet source.
+  */
+final class ReplayDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-replay"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ReplayDataSource.sparkSchema(
+      ReplayDataSource.index(ReplayDataSource.pathOf(options)).schema)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ReplayTable(ReplayDataSource.pathOf(opts),
+      Option(opts.get("tscol")).getOrElse("ts"))
+  }
+}
+
+object ReplayDataSource {
+
+  final case class RowGroupMeta(
+      file: String, startPos: Long, compressedBytes: Long, rows: Long,
+      tsMin: Option[Long], tsMax: Option[Long])
+
+  /** The once-per-path metadata: parquet schema + per-row-group footer
+    * index. */
+  final case class PathIndex(schema: MessageType, groups: Array[RowGroupMeta])
+
+  private val cache = new ConcurrentHashMap[String, (Long, PathIndex)]()
+
+  def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft-replay requires a path option")
+    p
+  }
+
+  private def listParquetFiles(path: String, conf: Configuration): Seq[(Path, Long)] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory)
+      fs.listStatus(p).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+        .map(f => (f.getPath, f.getModificationTime))
+    else Seq((st.getPath, st.getModificationTime))
+  }
+
+  /** Footer index for `path`, cached by latest file modification time so
+    * repeated cursor scans never re-read metadata. */
+  def index(path: String, tsCol: String = "ts"): PathIndex = {
+    val conf = new Configuration()
+    val files = listParquetFiles(path, conf)
+    val version = files.map(_._2).maxOption.getOrElse(0L) ^ files.length.toLong
+    val cached = cache.get(path)
+    if (cached != null && cached._1 == version) return cached._2
+
+    var schema: MessageType = null
+    val groups = files.flatMap { case (f, _) =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        if (schema == null) schema = reader.getFooter.getFileMetaData.getSchema
+        reader.getFooter.getBlocks.asScala.map { block =>
+          val stats = block.getColumns.asScala
+            .find(_.getPath.toDotString == tsCol)
+            .map(_.getStatistics)
+            .filter(s => s != null && s.hasNonNullValue)
+          RowGroupMeta(f.toString, block.getStartingPos, block.getCompressedSize,
+            block.getRowCount,
+            stats.map(_.genericGetMin.asInstanceOf[Number].longValue()),
+            stats.map(_.genericGetMax.asInstanceOf[Number].longValue()))
+        }.toSeq
+      } finally reader.close()
+    }.toArray
+    require(schema != null, s"No parquet files under $path")
+    val idx = PathIndex(schema, groups)
+    cache.put(path, (version, idx))
+    idx
+  }
+
+  def sparkSchema(schema: MessageType): StructType = StructType(
+    schema.getFields.asScala.map { f =>
+      require(f.isPrimitive,
+        s"graft-replay supports flat primitive schemas only; got ${f.getName}")
+      val p = f.asPrimitiveType()
+      val dt = p.getPrimitiveTypeName match {
+        case BOOLEAN => BooleanType
+        case INT32 => IntegerType
+        case INT64 => LongType // incl. TIMESTAMP(NANOS): long nanos by convention
+        case FLOAT => FloatType
+        case DOUBLE => DoubleType
+        case BINARY if p.getLogicalTypeAnnotation != null &&
+          p.getLogicalTypeAnnotation.toString == "STRING" => StringType
+        case other =>
+          throw new IllegalArgumentException(s"Unsupported parquet type $other (${f.getName})")
+      }
+      StructField(f.getName, dt, nullable = true)
+    }.toSeq)
+}
+
+final class ReplayTable(path: String, tsCol: String) extends Table with SupportsRead {
+  private lazy val idx = ReplayDataSource.index(path, tsCol)
+
+  override def name(): String = s"graft-replay($path)"
+  override def schema(): StructType = ReplayDataSource.sparkSchema(idx.schema)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ReplayScanBuilder(path, tsCol, schema())
+}
+
+/** Extracts timestamp bounds from pushed filters; everything stays residual
+  * (see connector doc — pruning is a fast path, not a correctness
+  * dependency). */
+final class ReplayScanBuilder(path: String, tsCol: String, fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var accepted: Array[Filter] = Array.empty
+  private var lower: Long = Long.MinValue // exclusive
+  private var upper: Long = Long.MaxValue // inclusive
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.flatMap(collectBounds)
+    filters // all residual: Spark re-applies every predicate row-wise
+  }
+
+  private def collectBounds(f: Filter): Option[Filter] = f match {
+    case GreaterThan(c, v: Long) if c == tsCol =>
+      lower = math.max(lower, v); Some(f)
+    case GreaterThanOrEqual(c, v: Long) if c == tsCol =>
+      if (v != Long.MinValue) lower = math.max(lower, v - 1); Some(f)
+    case LessThan(c, v: Long) if c == tsCol =>
+      upper = math.min(upper, v - 1); Some(f)
+    case LessThanOrEqual(c, v: Long) if c == tsCol =>
+      upper = math.min(upper, v); Some(f)
+    case EqualTo(c, v: Long) if c == tsCol =>
+      lower = math.max(lower, v - 1); upper = math.min(upper, v); Some(f)
+    case And(l, r) =>
+      val hit = Seq(collectBounds(l), collectBounds(r)).flatten
+      if (hit.nonEmpty) Some(f) else None
+    case _ => None
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new ReplayScan(path, tsCol, required, lower, upper, accepted.length)
+}
+
+final class ReplayScan(path: String, tsCol: String, required: StructType,
+    lower: Long, upper: Long, nPushed: Int)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  private lazy val pruned: Array[ReplayDataSource.RowGroupMeta] =
+    ReplayDataSource.index(path, tsCol).groups.filter { g =>
+      // keep a group unless its stats PROVE it lies outside (lower, upper];
+      // groups without stats are always kept
+      (g.tsMax, g.tsMin) match {
+        case (Some(mx), Some(mn)) => mx > lower && mn <= upper
+        case _ => true
+      }
+    }
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft-replay $path tsRange=($lower,$upper] pushed=$nPushed " +
+      s"rowGroups=${pruned.length}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    pruned.map(g => RowGroupPartition(g.file, g.startPos, g.compressedBytes, g.rows)
+      .asInstanceOf[InputPartition])
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ReplayReaderFactory(required.fields.map(_.name))
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = pruned.map(_.rows).sum
+    override def sizeInBytes(): util.OptionalLong =
+      util.OptionalLong.of(pruned.map(_.compressedBytes).sum)
+    override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+  }
+}
+
+final case class RowGroupPartition(file: String, startPos: Long,
+    compressedBytes: Long, rows: Long) extends InputPartition
+
+/** Reads exactly one row group, assembling only the requested columns via
+  * the parquet example Group API. Row-by-row — sized for cursor slices. */
+final class ReplayReaderFactory(requiredCols: Array[String])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RowGroupPartition]
+    new PartitionReader[InternalRow] {
+      private val conf = new Configuration()
+      // parquet selects row groups whose byte MIDPOINT falls in the range,
+      // so the range must span this block's compressed extent
+      private val options = ParquetReadOptions.builder()
+        .withRange(p.startPos, p.startPos + p.compressedBytes)
+        .build()
+      private val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(p.file), conf), options)
+      private val fileSchema = reader.getFooter.getFileMetaData.getSchema
+      private val projection: MessageType = new MessageType(
+        fileSchema.getName,
+        requiredCols.map(c => (fileSchema: GroupType).getType(c)): _*)
+      private val pages = reader.readNextRowGroup()
+      require(pages != null, s"Row group at ${p.startPos} not found in ${p.file}")
+      private val recordReader = new ColumnIOFactory()
+        .getColumnIO(projection, fileSchema)
+        .getRecordReader(pages, new GroupRecordConverter(projection))
+      private val total = pages.getRowCount
+      private var read = 0L
+      private var current: InternalRow = _
+
+      // precomputed per-field extraction metadata
+      private val fieldTypes: Array[PrimitiveType.PrimitiveTypeName] =
+        requiredCols.map(c =>
+          (fileSchema: GroupType).getType(c).asPrimitiveType().getPrimitiveTypeName)
+
+      override def next(): Boolean = {
+        if (read >= total) return false
+        val g: Group = recordReader.read()
+        read += 1
+        val row = new GenericInternalRow(requiredCols.length)
+        var i = 0
+        while (i < requiredCols.length) {
+          if (g.getFieldRepetitionCount(i) == 0) row.setNullAt(i)
+          else fieldTypes(i) match {
+            case BOOLEAN => row.setBoolean(i, g.getBoolean(i, 0))
+            case INT32 => row.setInt(i, g.getInteger(i, 0))
+            case INT64 => row.setLong(i, g.getLong(i, 0))
+            case FLOAT => row.setFloat(i, g.getFloat(i, 0))
+            case DOUBLE => row.setDouble(i, g.getDouble(i, 0))
+            case _ => row.update(i, UTF8String.fromBytes(g.getBinary(i, 0).getBytes))
+          }
+          i += 1
+        }
+        current = row
+        true
+      }
+
+      override def get(): InternalRow = current
+      override def close(): Unit = reader.close()
+    }
+  }
+}
