@@ -135,4 +135,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("graft_minhash"), "signatures from the codegen expression")
   }
+
+  test("q76: repeated-ngram join shuffles hashed longs, not gram strings") {
+    val p = plan("q76_repeated_ngrams")
+    // the gram string column must be projected away before any Exchange:
+    // every exchange key set is (h) or (doc_id ...), never g
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(l => !l.contains("g#")),
+      s"gram strings must not be shuffle keys:\n${exchanges.mkString("\n")}")
+    assert(p.contains("partial_count"), "doc-frequency agg has a map-side stage")
+  }
+
+  test("q77/q78: vocabulary-sized sides broadcast — corpus never sort-merge joins") {
+    Seq("q77_tfidf_keywords", "q78_collocations").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q should broadcast the small side")
+    }
+    // q78 top-k is a TakeOrderedAndProject, not a global sort
+    assert(plan("q78_collocations").contains("TakeOrderedAndProject"))
+  }
+
+  test("q79: per-type stats join broadcasts (one row per type)") {
+    val p = plan("q79_event_anomaly")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q81: scan goes through graft-replay with pushed ts range") {
+    val p = plan("q81_v2_replay_hourly")
+    assert(p.contains("graft-replay"), "scan must be the V2 connector")
+    assert(p.contains("tsRange=(1704672000000000000,1705276800000000000]"),
+      "literal bounds pushed into the scan for row-group pruning")
+    assert(p.contains("partial_count"), "hourly agg keeps map-side partials")
+  }
 }
