@@ -173,6 +173,45 @@ object CorpusMining {
 
   def queries: Seq[QueryDef] = Seq(
 
+    // Count-Min heavy-hitter audit (the Sketches.cms* operators): exact
+    // top-20 tokens probed against a 4x1024 CM sketch of the full token
+    // stream. The estimator is a pure function of the input multiset
+    // (portable md5 bucket hashing), so even the APPROXIMATE estimates are
+    // oracle-checked bit-for-bit (the q60 pattern). cms_est >= n_exact
+    // always — the CM one-sided error guarantee, visible in the output.
+    QueryDef(
+      "q82_cms_heavyhitters",
+      (s, dir) => {
+        val depth = 4; val width = 1024
+        val tok = tbl(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("item"))
+        val exact = tok.groupBy(col("item")).agg(count(lit(1)).as("n_exact"))
+        val top = exact.orderBy(col("n_exact").desc, col("item")).limit(20)
+        val counters = Sketches.cmsCounters(tok, col("item"), depth, width)
+        Sketches.cmsEstimate(top.select(col("item")), counters, "item", depth, width)
+          .join(top, "item")
+          .select(col("item").as("token"), col("n_exact"), col("cms_est"),
+            (col("cms_est") - col("n_exact")).as("overcount"))
+          .orderBy(col("n_exact").desc, col("token"))
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split(text,' ')) AS item FROM documents),
+             |cnt AS (SELECT item, COUNT(*) AS n_exact FROM tok GROUP BY item),
+             |top AS (SELECT item, n_exact FROM cnt ORDER BY n_exact DESC, item LIMIT 20),
+             |counters AS (
+             |  SELECT j, CAST(('0x'||substring(md5(j||':'||item),1,15)) AS BIGINT) % 1024 AS bucket,
+             |         COUNT(*) AS c
+             |  FROM tok, unnest([0,1,2,3]) AS u(j) GROUP BY 1, 2),
+             |probes AS (
+             |  SELECT t.item, t.n_exact, j,
+             |    CAST(('0x'||substring(md5(j||':'||t.item),1,15)) AS BIGINT) % 1024 AS bucket
+             |  FROM top t, unnest([0,1,2,3]) AS u(j))
+             |SELECT p.item AS token, p.n_exact,
+             |  CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS cms_est,
+             |  CAST(MIN(COALESCE(c, 0)) - p.n_exact AS BIGINT) AS overcount
+             |FROM probes p LEFT JOIN counters USING (j, bucket)
+             |GROUP BY 1, 2 ORDER BY n_exact DESC, token""".stripMargin),
+    ),
+
     QueryDef(
       "q76_repeated_ngrams",
       (s, dir) => repeatedNgramRate(tbl(s, dir, "documents"), "text", "doc_id", 8)

@@ -92,4 +92,47 @@ class SketchesSpec extends AnyFunSuite {
     assert(a.getAs[Double]("est_distinct") == b.getAs[Double]("est_distinct"))
     assert(a.getAs[Long]("kth_hash") == b.getAs[Long]("kth_hash"))
   }
+
+  // --- Count-Min sketch (q82's operator) ---
+
+  test("CMS: estimate >= exact for EVERY item (one-sided error guarantee)") {
+    import spark.implicits._
+    // zipf-ish multiset with heavy collisions: width 16 << 200 distinct
+    val rows = (0 until 200).flatMap(i => Seq.fill(1 + (i % 7))(s"tok$i")).toDF("item")
+    val counters = Sketches.cmsCounters(rows, col("item"), 4, 16)
+    val exact = rows.groupBy("item").agg(count(lit(1)).as("n"))
+    val est = Sketches.cmsEstimate(exact.select("item"), counters, "item", 4, 16)
+    val joined = est.join(exact, "item")
+      .select(col("item"), col("cms_est"), col("n")).collect()
+    assert(joined.length == 200)
+    joined.foreach(r => assert(r.getLong(1) >= r.getLong(2), r.toString))
+  }
+
+  test("CMS: counter table is bounded by depth x width and sums to depth x rows") {
+    import spark.implicits._
+    val rows = (0 until 1000).map(i => s"t${i % 300}").toDF("item")
+    val counters = Sketches.cmsCounters(rows, col("item"), 4, 16).collect()
+    assert(counters.length <= 4 * 16)
+    assert(counters.map(_.getAs[Long]("c")).sum == 4L * 1000)
+  }
+
+  test("CMS: estimates invariant under repartitioning; unseen item probes its collision floor") {
+    import spark.implicits._
+    val data = (0 until 500).map(i => s"w${i % 50}")
+    val a = Sketches.cmsEstimate(
+      Seq("w0", "w7").toDF("item"),
+      Sketches.cmsCounters(data.toDF("item").repartition(1), col("item"), 4, 64), "item", 4, 64)
+      .orderBy("item").collect().map(_.getLong(1)).toSeq
+    val b = Sketches.cmsEstimate(
+      Seq("w0", "w7").toDF("item"),
+      Sketches.cmsCounters(data.toDF("item").repartition(13), col("item"), 4, 64), "item", 4, 64)
+      .orderBy("item").collect().map(_.getLong(1)).toSeq
+    assert(a == b && a.forall(_ >= 10L)) // every w% key appears 10x
+    // an item never inserted can only read collision mass (>= 0, never negative)
+    val unseen = Sketches.cmsEstimate(
+      Seq("never-seen").toDF("item"),
+      Sketches.cmsCounters(data.toDF("item"), col("item"), 4, 64), "item", 4, 64)
+      .collect()(0).getLong(1)
+    assert(unseen >= 0L)
+  }
 }
