@@ -53,6 +53,43 @@ object CorpusMining {
         (col("dup_spans").cast("double") / col("n_spans")).as("dup_frac"))
   }
 
+  /** Exact-substring span dedup (the "exact substring deduplication"
+    * transform of training-data pipelines, done at word-span granularity):
+    * remove every token covered by a length-`n` span whose gram occurs in
+    * >= 2 DISTINCT documents. Within-document self-repetition alone never
+    * triggers removal (cross-doc criterion — documented delta from
+    * suffix-array tools that also collapse self-repeats).
+    *
+    * Output per doc: token counts before/after and the md5 fingerprint of
+    * the cleaned text (the text itself stays distributed).
+    *
+    * Scale shape: gram hashes (int64, never strings) carry one gram-keyed
+    * distinct+count shuffle and one semi-join; dup span starts return to
+    * their doc via one doc-keyed aggregate whose payload is bounded by the
+    * doc's own length; the rebuild is a map-only HOF pass. */
+  def removeRepeatedSpans(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("t"))
+    val g = toks
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.ngramsFromTokens("t", n)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("i"),
+        hash60(col("g")).as("h"))
+    val dup = g.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select(col("h"))
+    val starts = g.join(dup, "h")
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("i"))).as("starts"))
+    toks.join(starts, Seq("doc_id"), "left_outer")
+      .withColumn("ds", coalesce(col("starts"), array().cast("array<long>")))
+      .withColumn("k", expr(
+        s"filter(t, (tok, j0) -> NOT exists(ds, s -> s <= j0 + 1 AND j0 + 1 <= s + ${n - 1}))"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("k"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", col("k"))).as("cleaned_fp"))
+  }
+
   /** Per-document top-k keywords by rational tf-idf: score
     * = tf * N / df as one integer product then one double division (the
     * log-free idf variant, so ordering is cross-engine exact). Ties break
@@ -283,6 +320,31 @@ object CorpusMining {
              |  CAST(CASE WHEN (h*n - s)*(h*n - s) > 4*(h*q - s*s) THEN 1 ELSE 0 END AS BIGINT)
              |    AS is_anomaly
              |FROM hc JOIN st USING (event_type) ORDER BY event_type, hr""".stripMargin),
+    ),
+
+    QueryDef(
+      "q83_span_dedup",
+      (s, dir) => removeRepeatedSpans(tbl(s, dir, "documents"), "text", "doc_id", 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+             |g AS (SELECT doc_id, i,
+             |        CAST(('0x'||substring(md5(array_to_string(t[i:i+7],' ')),1,15)) AS BIGINT) AS h
+             |      FROM toks, unnest(generate_series(1, len(t)-7)) AS u(i)
+             |      WHERE len(t) >= 8),
+             |dfq AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM g)
+             |        GROUP BY h HAVING COUNT(*) >= 2),
+             |ds AS (SELECT doc_id, list_sort(list(i)) AS starts
+             |       FROM g JOIN dfq USING (h) GROUP BY doc_id),
+             |kept AS (
+             |  SELECT toks.doc_id, t,
+             |    [t[j] FOR j IN generate_series(1, len(t))
+             |          IF len(list_filter(COALESCE(starts, CAST([] AS BIGINT[])),
+             |                             s -> s <= j AND j <= s + 7)) = 0] AS k
+             |  FROM toks LEFT JOIN ds USING (doc_id))
+             |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             |  CAST(len(t) - len(k) AS BIGINT) AS n_removed,
+             |  md5(COALESCE(array_to_string(k, ' '), '')) AS cleaned_fp
+             |FROM kept ORDER BY doc_id""".stripMargin),
     ),
 
     QueryDef(

@@ -34,6 +34,44 @@ class CorpusMiningSpec extends AnyFunSuite {
     assert(out.select("doc_id").as[Long].collect().toSet == Set(2L))
   }
 
+  test("removeRepeatedSpans: shared span removed from both docs, short/unique docs intact") {
+    import spark.implicits._
+    // docs 1/2 share the 3-gram "a b c" at different positions; doc 3 is
+    // unique; doc 4 is shorter than n and must pass through untouched.
+    val docs = Seq(
+      (1L, "a b c x y"),
+      (2L, "q a b c z"),
+      (3L, "p q r s t"),
+      (4L, "u v"),
+    ).toDF("doc_id", "text")
+    val out = CorpusMining.removeRepeatedSpans(docs, "text", "doc_id", 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1L, 5L, 3L), (2L, 5L, 3L), (3L, 5L, 0L), (4L, 2L, 0L)))
+    // doc 1 keeps "x y", doc 2 keeps "q z" — fingerprints of the rebuilt text
+    val md5xy = java.security.MessageDigest.getInstance("MD5")
+      .digest("x y".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0)._4 == md5xy)
+  }
+
+  test("removeRepeatedSpans: within-doc self-repetition does NOT trigger removal") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a b c a b c"), (2L, "x y z w v u")).toDF("doc_id", "text")
+    val out = CorpusMining.removeRepeatedSpans(docs, "text", "doc_id", 3)
+      .orderBy("doc_id").collect()
+    assert(out.forall(_.getLong(2) == 0L), "cross-doc criterion: no removal")
+  }
+
+  test("removeRepeatedSpans: identical docs empty out, fingerprint is md5 of empty string") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = CorpusMining.removeRepeatedSpans(docs, "text", "doc_id", 3)
+      .orderBy("doc_id").collect()
+    assert(out.forall(r => r.getLong(2) == 4L))
+    assert(out.forall(_.getString(3) == "d41d8cd98f00b204e9800998ecf8427e"))
+  }
+
   test("tfidfKeywords: rarer term outranks commoner term at equal tf") {
     import spark.implicits._
     // in doc 1: "rare" df=1 (score 3/1=3), "filler" df=2 (score 3/2=1.5),
