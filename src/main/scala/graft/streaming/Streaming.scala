@@ -15,6 +15,29 @@ final case class AsofHeld(ts: Long, value: Double)
 final case class AsofMatch(id: Long, k: Long, ts: Long,
     asofTs: Option[Long], asofValue: Option[Double])
 
+/** Per-key state for [[Streaming.streamingHourlyAnomalies]]: integer
+  * moments over closed hours plus the open (hour, count). Top-level for
+  * Encoder derivation. */
+final case class AnomalyMoments(h: Long, s: Long, q: Long, openHr: Long, openN: Long)
+
+object AnomalyMoments {
+  /** Close the open hour: fold its count into the moments, then decide the
+    * flag with the batch operator's integer cut and z formula. */
+  def close(key: String, st: AnomalyMoments): (HourFlag, AnomalyMoments) = {
+    val n = st.openN
+    val h = st.h + 1; val s = st.s + n; val q = st.q + n * n
+    val num = h * n - s
+    val den = h * q - s * s
+    val z = if (den == 0) 0.0 else num.toDouble / math.sqrt(den.toDouble)
+    val flag = if (num * num > 4 * den) 1L else 0L
+    (HourFlag(key, st.openHr, n, z, flag), AnomalyMoments(h, s, q, st.openHr, 0L))
+  }
+}
+
+/** Closed-hour anomaly decision emitted by
+  * [[Streaming.streamingHourlyAnomalies]]. */
+final case class HourFlag(eventType: String, hr: Long, n: Long, z: Double, isAnomaly: Long)
+
 /** Structured Streaming mappings for the engine's stateful operators
   * (SURVEY.md §2.1 E3/E7/W4): the production path when a query runs as one
   * continuous stream instead of driver-orchestrated cycles.
@@ -267,6 +290,50 @@ object Streaming {
       .select(col("window.start").as("bucket_start"),
         size(col("hs")).cast("long").as("n_sketch"),
         graft.ext.Sketches.estimateCol(col("hs"), k).as("est_distinct"))
+
+  /** ONLINE hourly anomaly flags per key — the streaming twin of
+    * [[graft.ext.CorpusMining.hourlyAnomalies]]. State per event type =
+    * integer moments over CLOSED hours (H, S=Σn, Q=Σn²) plus the open
+    * (hour, count). An hour closes when a later hour arrives for the key;
+    * its count first joins the moments, then the flag is decided by the
+    * SAME pure-integer cut as the batch operator — (H·n − S)² > 4(H·Q − S²)
+    * — against the moments as of close time (the online difference from
+    * the batch op's full-history stats, documented, tested). The final
+    * open hour stays pending — a stream has no last hour.
+    *
+    * Assumes per-key nondecreasing hours (replay/event-time order within
+    * key) — late hours are folded into the stats but flagged only if the
+    * open hour regresses is not supported; the dag replay drivers feed
+    * time-ordered cycles, matching this contract. State is 5 longs per
+    * key. */
+  def streamingHourlyAnomalies(ev: Dataset[(String, Long)]): Dataset[HourFlag] = {
+    implicit val stEnc: Encoder[AnomalyMoments] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[AnomalyMoments]()
+    implicit val outEnc: Encoder[HourFlag] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[HourFlag]()
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[AnomalyMoments, HourFlag](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[AnomalyMoments]) =>
+          var st = state.getOption.getOrElse(AnomalyMoments(0L, 0L, 0L, -1L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[HourFlag]
+          rows.toSeq.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (hr, batch) =>
+            val cnt = batch.size.toLong
+            if (st.openHr < 0 || hr == st.openHr)
+              st = st.copy(openHr = hr, openN = st.openN + cnt)
+            else { // hr > openHr: close the open hour
+              require(hr > st.openHr,
+                s"out-of-order hour $hr after ${st.openHr} for key $key (unsupported)")
+              val (flagged, closed) = AnomalyMoments.close(key, st)
+              out += flagged
+              st = closed.copy(openHr = hr, openN = cnt)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 
   /** Event-time timer via `GroupState` timeouts (E7 as a continuous
     * operator): for each key, emit a wakeup record when no event arrives for

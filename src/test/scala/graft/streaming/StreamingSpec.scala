@@ -348,4 +348,44 @@ class StreamingSpec extends AnyFunSuite {
       streamed.foreach { case (id, got) => assert(got == batch(id), s"trade $id") }
     } finally query.stop()
   }
+
+  test("streamingHourlyAnomalies: online flags match a single-pass reference across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // two keys; "spiky" has a 40x hour at hr=6. Events as (key, hr) pairs.
+    val events: Seq[(String, Long)] =
+      (0 until 10).flatMap(h => Seq.fill(3)(("flat", h.toLong))) ++
+        (0 until 9).flatMap(h => Seq.fill(2 + h % 3)(("spiky", h.toLong))) ++
+        Seq.fill(80)(("spiky", 6L)) // arrives in-hour-order after sort below
+    val ordered = events.sortBy(_._2)
+
+    // single-pass reference: same moments + cut, computed in plain Scala
+    def reference(seq: Seq[(String, Long)]): Map[(String, Long), (Long, Long)] = {
+      val byKey = seq.groupBy(_._1)
+      byKey.flatMap { case (k, evs) =>
+        val counts = evs.groupBy(_._2).toSeq.sortBy(_._1).map { case (hr, b) => (hr, b.size.toLong) }
+        var (h, s, q) = (0L, 0L, 0L)
+        counts.dropRight(1).map { case (hr, n) => // last hour stays open
+          h += 1; s += n; q += n * n
+          val num = h * n - s; val den = h * q - s * s
+          ((k, hr), (n, if (num * num > 4 * den) 1L else 0L))
+        }
+      }
+    }
+    val want = reference(ordered)
+
+    val input = MemoryStream[(String, Long)]
+    val query = Streaming.streamingHourlyAnomalies(input.toDS())
+      .writeStream.format("memory").queryName("anom_stream")
+      .outputMode("update").start()
+    try {
+      // split mid-hour AND mid-key: state must carry moments across batches
+      ordered.grouped(37).foreach { b => input.addData(b: _*); drain(query) }
+      val got = spark.table("anom_stream")
+        .collect().map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(4)))).toMap
+      assert(got == want)
+      assert(got.exists { case ((k, hr), (_, f)) => k == "spiky" && hr == 6L && f == 1L },
+        "the 40x hour must be flagged once closed")
+    } finally query.stop()
+  }
 }
