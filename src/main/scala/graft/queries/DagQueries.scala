@@ -90,7 +90,12 @@ object DagQueries {
     import org.apache.spark.sql.expressions.Window
     val HourNs = 3600L * 1000000000L
     val WeekNs = 7L * 24 * HourNs
-    val eventsSource = new ParquetStatsReplaySource(s, s"$dir/events.parquet", "ts")
+    // V2ReplaySource: same footer-stats cursor contract as
+    // ParquetStatsReplaySource (agreement-tested), but slices plan through
+    // the graft-replay connector — the footer index is read once and every
+    // weekly cycle's planning is in-memory row-group filtering with the ts
+    // bounds pushed into the scan.
+    val eventsSource = new V2ReplaySource(s, s"$dir/events.parquet", "ts")
     // Cycle boundaries must be hour-aligned (so no hour bucket is split
     // across cycles) and the horizon must reach past the last event at the
     // weekly cadence (the driver advances in ceil-to-frequency steps — an
