@@ -347,6 +347,54 @@ object CorpusMining {
              |FROM kept ORDER BY doc_id""".stripMargin),
     ),
 
+    // Cross-modal consistency mining: pairs whose TEXTS are near-dups
+    // (3-gram Jaccard >= 0.5 via the MinHash-LSH pipeline) but whose
+    // EMBEDDINGS disagree (cosine < 0.5) — the standard label-noise /
+    // stale-embedding audit before training on paired corpora. One tiny
+    // pair list joined twice against the embedding table; cosine via the
+    // codegen graft_vec_dot. Oracle = brute-force exact pair scan (q26's
+    // recall bound applies: 1-(1-J^2)^32 >= 0.9999 at J >= 0.5).
+    QueryDef(
+      "q84_modal_mismatch",
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
+        val n = Similarity.withNorm(tbl(s, dir, "embeddings"), "embedding")
+        val ea = n.select(col("vec_id").as("a_id"), col("embedding").as("va"), col("nrm").as("na"))
+        val eb = n.select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("nrm").as("nb"))
+        pairs.join(ea, "a_id").join(eb, "b_id")
+          .withColumn("cos_sim", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .select(col("a_id"), col("b_id"), col("jaccard"), col("cos_sim"),
+            when(col("cos_sim") < 0.5, 1L).otherwise(0L).as("modal_mismatch"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
+             |  WHERE len(tokens) >= 3),
+             |p AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    ROUND(CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |          / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 6) AS jaccard
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+             |n AS (
+             |  SELECT vec_id, embedding,
+             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+             |  FROM embeddings)
+             |SELECT p.a_id, p.b_id, p.jaccard,
+             |  list_sum([CAST(na.embedding[i] AS DOUBLE)*nb.embedding[i]
+             |            FOR i IN generate_series(1,len(na.embedding))])/(na.nrm*nb.nrm) AS cos_sim,
+             |  CAST(CASE WHEN list_sum([CAST(na.embedding[i] AS DOUBLE)*nb.embedding[i]
+             |                           FOR i IN generate_series(1,len(na.embedding))])/(na.nrm*nb.nrm) < 0.5
+             |       THEN 1 ELSE 0 END AS BIGINT) AS modal_mismatch
+             |FROM p JOIN n na ON na.vec_id = p.a_id
+             |       JOIN n nb ON nb.vec_id = p.b_id
+             |ORDER BY a_id, b_id""".stripMargin),
+    ),
+
     QueryDef(
       "q80_source_gini",
       (s, dir) => {
