@@ -23,17 +23,28 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup read failed: ${e.getMessage}")
     }
+    // min-of-REPS per query: this VM shows multi-second ambient-load spikes
+    // that land on random queries (measured: the same query 1.2 s and
+    // 12.5 s across back-to-back runs); the min is the reproducible cost.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // Write to the noop sink so the MEASURED plan is the VERIFIED plan:
-      // under a bare count() Catalyst prunes projections and drops top-level
-      // sorts (TakeOrderedAndProject, window projections), understating cost.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable =>
-        // a failed query must be VISIBLE in driver logs, not a silent ~0s
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val times = (0 until reps).map { _ =>
+        // reps stay independent/cold: operators that cache internally
+        // (e.g. the LSH shingle sets) must not hand rep 2 a warm cache
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        // Write to the noop sink so the MEASURED plan is the VERIFIED plan:
+        // under a bare count() Catalyst prunes projections and drops
+        // top-level sorts (TakeOrderedAndProject, window projections),
+        // understating cost.
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case e: Throwable =>
+          // a failed query must be VISIBLE in driver logs, not a silent ~0s
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -291,6 +291,21 @@ object Streaming {
         size(col("hs")).cast("long").as("n_sketch"),
         graft.ext.Sketches.estimateCol(col("hs"), k).as("est_distinct"))
 
+  /** Streaming Count-Min counters — the continuous twin of
+    * [[graft.ext.Sketches.cmsCounters]]: the same explode-by-depth + keyed
+    * count, run as a streaming aggregation in Update mode. Because every
+    * counter is a plain SUM over the portable bucket hash, the state-store
+    * merge across micro-batches gives EXACTLY the batch counter table of
+    * the union of all batches — frequency monitoring over unbounded
+    * streams in depth×width fixed state. */
+  def streamingCmsCounters(items: DataFrame, itemCol: org.apache.spark.sql.Column,
+      depth: Int, width: Int): DataFrame =
+    items.select(itemCol.as("item"))
+      .where(col("item").isNotNull)
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("j"), col("item"))
+      .groupBy(col("j"), graft.ext.Sketches.cmsBucket(col("j"), col("item"), width).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+
   /** ONLINE hourly anomaly flags per key — the streaming twin of
     * [[graft.ext.CorpusMining.hourlyAnomalies]]. State per event type =
     * integer moments over CLOSED hours (H, S=Σn, Q=Σn²) plus the open

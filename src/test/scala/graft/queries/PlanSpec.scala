@@ -162,6 +162,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q82: the CMS counter table broadcasts into the probe join") {
+    val p = plan("q82_cms_heavyhitters")
+    assert(p.contains("BroadcastHashJoin"), "bounded counter table must broadcast")
+    assert(p.contains("partial_count"), "counters aggregate with map-side partials")
+  }
+
+  test("q83: span-dedup shuffles hashed longs, not gram strings; no all-pairs join") {
+    val p = plan("q83_span_dedup")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(l => !l.contains("g#")),
+      s"gram strings must not be shuffle keys:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q84: cross-modal audit uses the codegen dot kernel, no all-pairs join") {
+    val p = plan("q84_modal_mismatch")
+    assert(p.contains("graft_vec_dot"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q81: scan goes through graft-replay with pushed ts range") {
     val p = plan("q81_v2_replay_hourly")
     assert(p.contains("graft-replay"), "scan must be the V2 connector")

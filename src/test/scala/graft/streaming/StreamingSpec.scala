@@ -349,6 +349,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streamingCmsCounters: state-store merge equals the batch counter table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val query = Streaming.streamingCmsCounters(input.toDF().toDF("item"), col("item"), 4, 16)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      val items = (0 until 300).map(i => s"w${i % 45}")
+      items.grouped(100).foreach { b => input.addData(b: _*); drain(query) }
+      val streamed = spark.table("cms_stream")
+        .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      val batch = graft.ext.Sketches.cmsCounters(items.toDF("item"), col("item"), 4, 16)
+        .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("streamingHourlyAnomalies: online flags match a single-pass reference across batch splits") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
