@@ -185,6 +185,53 @@ object CorpusMining {
           .otherwise(0L).as("is_anomaly"))
   }
 
+  /** Per-source boilerplate detection: the top-k most-repeated word
+    * n-grams within each source (crawl template text shows up as the same
+    * span occurring across a source's documents). Counting and ranking run
+    * entirely on int64 gram hashes (ties break on the hash — portable);
+    * the winning hashes (a k×sources-bounded set) broadcast back into one
+    * map-side pass over the gram stream to recover display strings —
+    * gram STRINGS never shuffle. Hash collisions resolve to min(gram) in
+    * both engines. */
+  def boilerplate(docs: DataFrame, textCol: String, srcCol: String, n: Int,
+      minCount: Long, k: Int): DataFrame = {
+    val toks = docs.select(col(srcCol).as("source"),
+      split(col(textCol), " ").as("toks"))
+    val grams = toks.select(col("source"),
+      explode(TextAnalysis.ngramsFromTokens("toks", n)).as("g"))
+    val hashed = grams.select(col("source"), hash60(col("g")).as("h"), col("g"))
+    val top = hashed
+      .groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("cnt").desc, col("h"))))
+      .where(col("rk") <= k)
+    hashed
+      .join(broadcast(top), Seq("source", "h"))
+      .groupBy(col("source"), col("h"))
+      .agg(max(col("rk")).as("rk0"), max(col("cnt")).as("cnt"), min(col("g")).as("gram"))
+      .select(col("source"), col("rk0").cast("long").as("rk"), col("gram"), col("cnt"))
+  }
+
+  /** Market-basket co-occurrence mining (support counting over orders):
+    * pairs of parts appearing in the same order, with support >= minCount,
+    * top-k by support. The self-join is keyed by order — fan-out is
+    * bounded by the per-order basket size (<= ~13 parts in this schema),
+    * so cost is O(orders × basket²), never all-pairs over the catalog. */
+  def copurchasePairs(lineitem: DataFrame, orderCol: String, partCol: String,
+      minCount: Long, k: Int): DataFrame = {
+    val lp = lineitem.select(col(orderCol).as("o"), col(partCol).as("p")).distinct()
+    lp.as("a").join(lp.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("p1"), col("b.p").as("p2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minCount)
+      .orderBy(col("support").desc, col("p1"), col("p2"))
+      .limit(k)
+  }
+
   /** Per-group Gini coefficient of a per-row integer measure (token
     * counts): with group rows sorted ascending and 1-based rank i,
     * gini = (2*sum(i*x_i) - (n+1)*sum(x_i)) / (n*sum(x_i)) — integer
@@ -393,6 +440,33 @@ object CorpusMining {
              |FROM p JOIN n na ON na.vec_id = p.a_id
              |       JOIN n nb ON nb.vec_id = p.b_id
              |ORDER BY a_id, b_id""".stripMargin),
+    ),
+
+    QueryDef(
+      "q85_boilerplate",
+      (s, dir) => boilerplate(tbl(s, dir, "documents"), "text", "source", 4, 2L, 3)
+        .orderBy(col("source"), col("rk")),
+      Some("""WITH toks AS (SELECT source, string_split(text,' ') AS t FROM documents),
+             |g AS (SELECT source, array_to_string(t[i:i+3],' ') AS g,
+             |        CAST(('0x'||substring(md5(array_to_string(t[i:i+3],' ')),1,15)) AS BIGINT) AS h
+             |      FROM toks, unnest(generate_series(1, len(t)-3)) AS u(i)
+             |      WHERE len(t) >= 4),
+             |c AS (SELECT source, h, min(g) AS gram, COUNT(*) AS cnt
+             |      FROM g GROUP BY source, h HAVING COUNT(*) >= 2),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY cnt DESC, h) AS rk
+             |       FROM c)
+             |SELECT source, rk, gram, cnt FROM rk WHERE rk <= 3
+             |ORDER BY source, rk""".stripMargin),
+    ),
+
+    QueryDef(
+      "q86_copurchase",
+      (s, dir) => copurchasePairs(tbl(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2L, 50),
+      Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+             |SELECT a.p AS p1, b.p AS p2, COUNT(*) AS support
+             |FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+             |ORDER BY support DESC, p1, p2 LIMIT 50""".stripMargin),
     ),
 
     QueryDef(

@@ -122,6 +122,35 @@ class CorpusMiningSpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate: repeated template span tops its source; strings recovered from hashes") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "header foo bar tail one"),
+      ("s1", "header foo bar tail two"),
+      ("s1", "header foo bar tail three"),
+      ("s1", "x y z w v"),
+      ("s2", "unique a b c d"),
+    ).toDF("source", "text")
+    val out = CorpusMining.boilerplate(docs, "text", "source", 4, 2L, 3)
+      .orderBy("source", "rk").collect()
+    // "header foo bar tail" occurs 3x in s1 and ranks first; "foo bar tail one"
+    // etc. occur once each; s2 has no repeats -> absent
+    assert(out.map(_.getString(0)).toSet == Set("s1"))
+    assert(out(0).getString(2) == "header foo bar tail" && out(0).getLong(3) == 3L)
+  }
+
+  test("copurchasePairs: support counted per order with duplicates collapsed") {
+    import spark.implicits._
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (1L, 20L), // dup line: same part twice in order 1
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 30L),
+    ).toDF("l_orderkey", "l_partkey")
+    val out = CorpusMining.copurchasePairs(li, "l_orderkey", "l_partkey", 2L, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((10L, 20L, 2L))) // (10,30) has support 1 -> filtered
+  }
+
   test("giniByGroup: equal values -> 0; extreme concentration -> (n-1)/n") {
     import spark.implicits._
     val df = (
