@@ -83,12 +83,20 @@ object CorpusMining {
       .groupBy(col("doc_id")).agg(sort_array(collect_list(col("i"))).as("starts"))
     toks.join(starts, Seq("doc_id"), "left_outer")
       .withColumn("ds", coalesce(col("starts"), array().cast("array<long>")))
-      .withColumn("k", expr(
-        s"filter(t, (tok, j0) -> NOT exists(ds, s -> s <= j0 + 1 AND j0 + 1 <= s + ${n - 1}))"))
+      // codegen two-pointer sweep, O(tokens + starts) per doc; the HOF
+      // reference formulation lives in [[spanFilterHof]] (cross-check test)
+      .withColumn("k", expr(s"graft_span_filter(t, ds, $n)"))
       .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
         (size(col("t")) - size(col("k"))).cast("long").as("n_removed"),
         md5(concat_ws(" ", col("k"))).as("cleaned_fp"))
   }
+
+  /** Interpreted HOF reference of the `graft_span_filter` expression —
+    * O(tokens × starts), kept for the codegen-vs-reference agreement test
+    * (the VecDot pattern). `tokCol`/`startsCol` must be plain column names. */
+  def spanFilterHof(tokCol: String, startsCol: String, n: Int): Column =
+    expr(s"filter($tokCol, (tok, j0) -> NOT exists($startsCol, " +
+      s"s -> s <= j0 + 1 AND j0 + 1 <= s + ${n - 1}))")
 
   /** Per-document top-k keywords by rational tf-idf: score
     * = tf * N / df as one integer product then one double division (the

@@ -132,5 +132,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_simhash takes (tokens, bits)")
         SimhashSig(children.head, intLit(children(1), "graft_simhash", "bits"))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_span_filter"),
+      new ExpressionInfo(classOf[SpanFilter].getName, "graft_span_filter"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_span_filter takes (tokens, sorted_starts, span_len)")
+        SpanFilter(children.head, children(1),
+          intLit(children(2), "graft_span_filter", "span_len"))
+      }))
   }
 }
