@@ -467,6 +467,44 @@ object CorpusMining {
              |ORDER BY source, rk""".stripMargin),
     ),
 
+    // Dedup-threshold retention sweep: how aggressive would near-dup
+    // removal be at each Jaccard cut? One LSH pair list at the loosest
+    // threshold, swept over tighter cuts with a literal-array explode —
+    // pairs surviving each cut plus docs flagged for removal under min-id
+    // survivorship. The tuning curve every dedup rollout wants before
+    // committing a threshold; costs one extra row per (pair, threshold).
+    QueryDef(
+      "q87_dedup_sweep",
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
+        pairs
+          .select(col("jaccard"), col("b_id"),
+            explode(array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*)).as("threshold"))
+          .where(col("jaccard") >= col("threshold"))
+          .groupBy(col("threshold"))
+          .agg(count(lit(1)).as("pairs"),
+            countDistinct(col("b_id")).as("docs_flagged"))
+          .orderBy(col("threshold"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
+             |  WHERE len(tokens) >= 3),
+             |p AS (
+             |  SELECT b.doc_id AS b_id,
+             |    ROUND(CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |          / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 6) AS jaccard
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5)
+             |SELECT CAST(t.threshold AS DOUBLE) AS threshold, COUNT(*) AS pairs,
+             |  COUNT(DISTINCT b_id) AS docs_flagged
+             |FROM p, unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS t(threshold)
+             |WHERE p.jaccard >= CAST(t.threshold AS DOUBLE)
+             |GROUP BY 1 ORDER BY threshold""".stripMargin),
+    ),
+
     QueryDef(
       "q86_copurchase",
       (s, dir) => copurchasePairs(tbl(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2L, 50),
