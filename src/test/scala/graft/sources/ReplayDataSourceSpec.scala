@@ -81,6 +81,32 @@ class ReplayDataSourceSpec extends AnyFunSuite {
     assert(full.rdd.getNumPartitions == idx.groups.length)
   }
 
+  test("nested schemas fail fast at inferSchema (embeddings: list<float>)") {
+    val e = intercept[Exception] {
+      viaConnector(s"$sfDir/embeddings.parquet").schema
+    }
+    assert(e.getMessage.contains("flat primitive schemas"), e.getMessage)
+  }
+
+  test("multi-file directory: rows union across files, pruning spans files") {
+    import spark.implicits._
+    val dir = s"/tmp/graft_v2_multifile_${System.nanoTime()}"
+    // three non-overlapping time-sliced files (the daily-partition replay shape)
+    (0 until 3).foreach { d =>
+      (0L until 1000L).map(i => (d * 1000L + i, s"d$d-$i"))
+        .toDF("ts", "payload").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val idx = ReplayDataSource.index(dir)
+    assert(idx.groups.length == 3)
+    val all = viaConnector(dir)
+    assert(all.count() == 3000L)
+    // a slice inside file 1's range plans only that file's row group
+    val sliced = all.where(col("ts") > 1100L && col("ts") <= 1200L)
+    assert(sliced.rdd.getNumPartitions == 1)
+    assert(sliced.count() == 100L)
+  }
+
   test("footer index is cached across scans (same driver-side object)") {
     val i1 = ReplayDataSource.index(s"$sfDir/events.parquet")
     val i2 = ReplayDataSource.index(s"$sfDir/events.parquet")
