@@ -149,6 +149,49 @@ object DagQueries {
     state.getValue.orderBy(col("user_id"), col("bucket_end"))
   }
 
+  /** The curation pipeline run INCREMENTALLY through dag cycles: each cycle
+    * quality-gates its batch, dedups within the batch (min doc_id per text
+    * fingerprint), anti-joins the fingerprints against the kept state, and
+    * upserts survivors. Batches ascend by doc_id, so greedy first-seen
+    * survivorship equals the global min-id-per-fingerprint rule — the final
+    * state is ORDER-INDEPENDENT and verifiable against one batch SQL oracle
+    * (the q35/q36 pattern applied to the §2.4 curation stack).
+    *
+    * Scale shape: per-cycle work is one fingerprint aggregate + one
+    * fingerprint anti-join; state is one row per kept doc, distributed,
+    * checkpointed per cycle — nothing driver-side but cycle orchestration. */
+  private def dagCuration(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import graft.ext.TextAnalysis
+    val docs = tbl(s, dir, "documents")
+    val dag = new Dag
+    val source = dag.sourceStream(SparkBatch(s.emptyDataFrame, 0), name = "docs")
+    var stateDf: DataFrame = null // (fp, doc_id) kept survivors
+    val state = dag.state(source) { b: SparkBatch =>
+      val passed = b.df
+        .where(TextAnalysis.stopwordRatio(col("text")) >= 0.05 &&
+          TextAnalysis.qualityScore(col("text"), TextAnalysis.tokenCount(col("text"))) >= 0.5)
+        .select(md5(col("text")).as("fp"), col("doc_id"))
+      val batchKept = passed.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      val newKept =
+        if (stateDf == null) batchKept
+        else batchKept.join(stateDf.select(col("fp")), Seq("fp"), "left_anti")
+      stateDf = (if (stateDf == null) newKept else stateDf.unionByName(newKept))
+        .localCheckpoint(eager = true)
+      stateDf
+    }
+    dag.sink("kept", state)
+
+    val batches = 5
+    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val span = maxId / batches + 1
+    for (k <- 0 until batches) { // ascending ranges: greedy == global min-id
+      source.setStream(SparkBatch(
+        docs.where(col("doc_id") >= k * span && col("doc_id") < (k + 1) * span), 1))
+      dag.execute()
+    }
+    state.getValue.select(col("doc_id"), col("fp")).orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "q35_dag_wordcount",
@@ -164,6 +207,26 @@ object DagQueries {
              |SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
              |FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin),
     ),
+    QueryDef(
+      "q88_dag_curation",
+      dagCuration,
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, text, string_split(text,' ') AS tokens,
+              |    len(string_split(text,' ')) AS t, LENGTH(text) AS c
+              |  FROM documents),
+              |scored AS (
+              |  SELECT doc_id, text,
+              |    CAST(len(list_filter(tokens, w -> w IN (${graft.ext.TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)/t AS sr,
+              |    ROUND(LEAST(t/50.0,1.0)*0.4 +
+              |      (CAST(len(list_filter(tokens, w -> w IN (${graft.ext.TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)/t)*0.3 +
+              |      CASE WHEN (c-(t-1))/CAST(t AS DOUBLE) BETWEEN 3 AND 8 THEN 0.3 ELSE 0.0 END, 6) AS quality
+              |  FROM base),
+              |filtered AS (SELECT doc_id, text FROM scored WHERE sr >= 0.05 AND quality >= 0.5)
+              |SELECT doc_id, md5(text) AS fp FROM filtered
+              |WHERE doc_id IN (SELECT MIN(doc_id) FROM filtered GROUP BY text)
+              |ORDER BY doc_id""".stripMargin),
+    ),
+
     QueryDef(
       "q39_dag_changes",
       dagChanges,
