@@ -624,6 +624,30 @@ object Relational {
              |  CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_score
              |FROM r ORDER BY user_id""".stripMargin),
     ),
+
+    // Stream × dimension enrichment: the events fact joined through the
+    // TPC-H customer/nation dims (both broadcast — the fact never shuffles
+    // before the final per-nation rollup). The mixed-domain shape every
+    // activity dashboard needs: behavioral stream, relational dimensions.
+    QueryDef(
+      "q89_user_nation_activity",
+      (s, dir) => tbl(s, dir, "events")
+        .join(broadcast(tbl(s, dir, "customer")), $"user_id" === $"c_custkey")
+        .join(broadcast(tbl(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("events"),
+          countDistinct($"user_id").as("users"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("purchases"),
+          dsum($"value").as("sum_value"))
+        .orderBy($"n_name"),
+      Some("""SELECT n_name, COUNT(*) AS events,
+             |  COUNT(DISTINCT user_id) AS users,
+             |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events JOIN customer ON user_id = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin),
+    ),
   )
 
   // Sugar: $"..." without importing spark.implicits per closure.
