@@ -505,6 +505,46 @@ object CorpusMining {
              |GROUP BY 1 ORDER BY threshold""".stripMargin),
     ),
 
+    // Per-user inter-event gap statistics — the stream-health /
+    // sessionization-tuning metric: exact integer MICROS (lag diffs; micros
+    // not nanos because DuckDB 1.0 truncates ns parquet to us timestamps —
+    // the q53 lesson), so min/median/max are bit-exact cross-engine
+    // (discrete rank quantile, the q49 pattern). One keyed window pass +
+    // one keyed rollup.
+    QueryDef(
+      "q90_event_gaps",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val us = expr("ts div 1000")
+        val gaps = tbl(s, dir, "events")
+          .select(col("user_id"), (us - lag(us, 1).over(w)).as("gap"))
+          .where(col("gap").isNotNull)
+        gaps
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("user_id")).orderBy(col("gap"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+          .groupBy(col("user_id"))
+          .agg(max(col("n")).as("n_gaps"),
+            min(col("gap")).as("min_gap"),
+            max(when(col("rn") === ceil(lit(0.5) * col("n")), col("gap"))).as("p50_gap"),
+            max(col("gap")).as("max_gap"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id,
+             |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+             |  FROM events),
+             |x AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+             |r AS (SELECT user_id, gap,
+             |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap) AS rn,
+             |        COUNT(*) OVER (PARTITION BY user_id) AS n FROM x)
+             |SELECT user_id, MAX(n) AS n_gaps, MIN(gap) AS min_gap,
+             |  MAX(CASE WHEN rn = ceil(0.5*n) THEN gap END) AS p50_gap,
+             |  MAX(gap) AS max_gap
+             |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin),
+    ),
+
     QueryDef(
       "q86_copurchase",
       (s, dir) => copurchasePairs(tbl(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2L, 50),
