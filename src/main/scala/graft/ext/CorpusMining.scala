@@ -240,6 +240,29 @@ object CorpusMining {
       .limit(k)
   }
 
+  /** Pearson correlation of two INTEGER-valued columns via exact integer
+    * moments: r = (n·Σxy − Σx·Σy) / (sqrt(n·Σx² − (Σx)²) · sqrt(n·Σy² −
+    * (Σy)²)) — the moments are BIGINT-exact, and the final expression is
+    * two correctly-rounded sqrts, one multiply, one divide, so r matches
+    * the DuckDB oracle bit-for-bit (built-in corr() implementations use
+    * engine-specific streaming updates and do not). Callers quantize
+    * non-integer measures onto a grid first (the q58 lesson). Degenerate
+    * (zero-variance) inputs report r = 0. One map pass + a 5-long global
+    * rollup. */
+  def pearsonIntGrid(df: DataFrame, x: Column, y: Column): DataFrame =
+    df.select(x.cast("long").as("x"), y.cast("long").as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0 ||
+          col("n") * col("syy") - col("sy") * col("sy") === 0, lit(0.0))
+          .otherwise(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("r"))
+
   /** Per-group Gini coefficient of a per-row integer measure (token
     * counts): with group rows sorted ascending and 1-based rank i,
     * gini = (2*sum(i*x_i) - (n+1)*sum(x_i)) / (n*sum(x_i)) — integer
@@ -553,6 +576,39 @@ object CorpusMining {
              |FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
              |GROUP BY 1, 2 HAVING COUNT(*) >= 2
              |ORDER BY support DESC, p1, p2 LIMIT 50""".stripMargin),
+    ),
+
+    // Corpus diagnostic: does document length predict the quality score?
+    // Exact Pearson r with quality quantized to a 1/1000 grid (integer
+    // moments stay inside BIGINT at 10^8+ docs; grid rounding is HALF_UP
+    // in both engines for positives).
+    QueryDef(
+      "q91_corr_length_quality",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .withColumn("q1000", round(
+            TextAnalysis.qualityScore(col("text"), TextAnalysis.tokenCount(col("text"))) * 1000, 0))
+        pearsonIntGrid(docs, TextAnalysis.tokenCount(col("text")).cast("long"), col("q1000"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT len(string_split(text,' ')) AS t, LENGTH(text) AS c,
+              |    string_split(text,' ') AS tokens
+              |  FROM documents),
+              |g AS (
+              |  SELECT CAST(t AS BIGINT) AS x,
+              |    CAST(round(ROUND(LEAST(t/50.0,1.0)*0.4 +
+              |      (CAST(len(list_filter(tokens, w -> w IN (${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)/t)*0.3 +
+              |      CASE WHEN (c-(t-1))/CAST(t AS DOUBLE) BETWEEN 3 AND 8 THEN 0.3 ELSE 0.0 END, 6) * 1000, 0) AS BIGINT) AS y
+              |  FROM base),
+              |m AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+              |        CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+              |        CAST(SUM(x*y) AS BIGINT) AS sxy FROM g)
+              |SELECT n,
+              |  CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN 0.0
+              |       ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+              |            / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+              |  END AS r
+              |FROM m""".stripMargin),
     ),
 
     QueryDef(

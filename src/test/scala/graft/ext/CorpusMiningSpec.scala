@@ -151,6 +151,18 @@ class CorpusMiningSpec extends AnyFunSuite {
     assert(out == Seq((10L, 20L, 2L))) // (10,30) has support 1 -> filtered
   }
 
+  test("pearsonIntGrid: perfect linear -> 1, anti -> -1, zero variance -> 0") {
+    import spark.implicits._
+    def r(pairs: Seq[(Long, Long)]): Double =
+      CorpusMining.pearsonIntGrid(pairs.toDF("a", "b"), col("a"), col("b"))
+        .collect()(0).getDouble(1)
+    assert(r((1L to 10L).map(i => (i, 2 * i + 3))) == 1.0)
+    assert(r((1L to 10L).map(i => (i, -i))) == -1.0)
+    assert(r((1L to 10L).map(i => (i, 7L))) == 0.0)
+    val mixed = r(Seq((1L, 1L), (2L, 5L), (3L, 2L), (4L, 8L)))
+    assert(mixed > 0.0 && mixed < 1.0)
+  }
+
   test("giniByGroup: equal values -> 0; extreme concentration -> (n-1)/n") {
     import spark.implicits._
     val df = (
