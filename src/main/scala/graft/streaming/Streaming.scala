@@ -350,6 +350,31 @@ object Streaming {
       }
   }
 
+  /** ONLINE inter-event gaps per key — the streaming twin of q90's batch
+    * lag: state is the key's last timestamp (one long), each event emits
+    * its gap to the predecessor (first event per key emits none). Under
+    * in-order arrival per key the emitted gap multiset equals the batch
+    * `ts - lag(ts)` exactly (tested). Feeding the emitted gaps into a
+    * windowed aggregation gives continuous stream-health quantiles. */
+  def streamingEventGaps[K: Encoder](ev: Dataset[(K, Long)]): Dataset[(K, Long)] = {
+    implicit val stEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val outEnc: Encoder[(K, Long)] =
+      Encoders.tuple(implicitly[Encoder[K]], Encoders.scalaLong)
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (K, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: K, rows: Iterator[(K, Long)], state: GroupState[Long]) =>
+          var last = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[(K, Long)]
+          rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
+            last.foreach(prev => out += ((key, ts - prev)))
+            last = Some(ts)
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Event-time timer via `GroupState` timeouts (E7 as a continuous
     * operator): for each key, emit a wakeup record when no event arrives for
     * `timeoutMs` — the TimerManager pattern on streaming state. */

@@ -349,6 +349,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streamingEventGaps: emitted gaps equal the batch lag multiset across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events: Seq[(String, Long)] =
+      (1 to 40).map(i => ("u1", i * 137L)) ++ (1 to 25).map(i => ("u2", i * i * 11L))
+    val ordered = events.sortBy(_._2)
+    val input = MemoryStream[(String, Long)]
+    val query = Streaming.streamingEventGaps(input.toDS())
+      .toDF("k", "gap")
+      .writeStream.format("memory").queryName("gaps_stream")
+      .outputMode("update").start()
+    try {
+      ordered.grouped(17).foreach { b => input.addData(b: _*); drain(query) }
+      val streamed = spark.table("gaps_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val batch = events.groupBy(_._1).view.mapValues { evs =>
+        val ts = evs.map(_._2).sorted
+        ts.zip(ts.tail).map { case (a, b) => b - a }.sorted
+      }.toMap
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("streamingCmsCounters: state-store merge equals the batch counter table") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
