@@ -578,6 +578,40 @@ object CorpusMining {
              |ORDER BY support DESC, p1, p2 LIMIT 50""".stripMargin),
     ),
 
+    // Length-weighted deterministic sampling (P(keep) = tokens/512) with a
+    // per-source audit: kept docs/tokens vs corpus, token share in exact
+    // integer ppm. The mixture-balancing primitive — doc-uniform sampling
+    // skews short; token-proportional keeps the token mix representative.
+    QueryDef(
+      "q92_weighted_sample",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .withColumn("t", TextAnalysis.tokenCount(col("text")).cast("long"))
+        val kept = Sampling.weightedSample(docs, "doc_id", col("t"), 512)
+        val corpus = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("corpus_docs"), sum(col("t")).as("corpus_tokens"))
+        kept.groupBy(col("source"))
+          .agg(count(lit(1)).as("kept_docs"), sum(col("t")).as("kept_tokens"))
+          .join(broadcast(corpus), "source")
+          .select(col("source"), col("kept_docs"), col("kept_tokens"),
+            col("corpus_docs"), col("corpus_tokens"),
+            expr("kept_tokens * 1000000 div corpus_tokens").as("kept_token_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (
+             |  SELECT source, doc_id, len(string_split(text,' ')) AS t FROM documents),
+             |kept AS (
+             |  SELECT * FROM d
+             |  WHERE CAST(('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 512 < t),
+             |c AS (SELECT source, COUNT(*) AS corpus_docs, CAST(SUM(t) AS BIGINT) AS corpus_tokens
+             |      FROM d GROUP BY source)
+             |SELECT source, COUNT(*) AS kept_docs, CAST(SUM(kept.t) AS BIGINT) AS kept_tokens,
+             |  corpus_docs, corpus_tokens,
+             |  CAST(SUM(kept.t) * 1000000 // corpus_tokens AS BIGINT) AS kept_token_ppm
+             |FROM kept JOIN c USING (source)
+             |GROUP BY source, corpus_docs, corpus_tokens ORDER BY source""".stripMargin),
+    ),
+
     // Corpus diagnostic: does document length predict the quality score?
     // Exact Pearson r with quality quantized to a 1/1000 grid (integer
     // moments stay inside BIGINT at 10^8+ docs; grid rounding is HALF_UP

@@ -80,6 +80,18 @@ object Sampling {
       .where(col("rk") <= k)
   }
 
+  /** WEIGHT-proportional deterministic sampling: keep a row with
+    * probability `weight/cap` by testing `hash(id) mod cap < weight`
+    * (weights above `cap` keep always). The length-weighted variant —
+    * weight = token count — is the mixture-balancing primitive: sampling
+    * documents proportionally to their token mass keeps the TOKEN
+    * distribution representative where uniform doc sampling skews it
+    * toward short docs. Same portable hash as every sampler here:
+    * reproducible across engines, runs, partitionings; map-only. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      cap: Int): DataFrame =
+    df.where(pmod(portableHash(col(idCol)), lit(cap)) < weight)
+
   /** Per-(source, split) corpus stats — the audit table a dataset release
     * ships with. */
   def splitStats(docs: DataFrame, idCol: String, trainPct: Int, valPct: Int): DataFrame =

@@ -81,6 +81,34 @@ class CorpusMiningPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: |pearson r| <= 1 on random integer pairs; invariant under repartition") {
+    import spark.implicits._
+    val pairsGen = Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 300L), Gen.chooseNum(0L, 1000L)))
+    forAll(pairsGen) { xs =>
+      val df = xs.toDF("a", "b")
+      val r = CorpusMining.pearsonIntGrid(df, col("a"), col("b")).collect()(0).getDouble(1)
+      assert(r >= -1.0 && r <= 1.0, s"r=$r")
+      val r2 = CorpusMining.pearsonIntGrid(df.repartition(7), col("a"), col("b"))
+        .collect()(0).getDouble(1)
+      assert(r == r2, "integer moments are partition-invariant")
+    }
+  }
+
+  test("property: weightedSample keeps weight-0 rows never, weight>=cap rows always; repartition-invariant") {
+    import spark.implicits._
+    forAll(Gen.listOfN(30, Gen.chooseNum(0L, 600L)), runs = 4) { ws =>
+      val df = ws.zipWithIndex.map { case (w, i) => (s"id$i", w) }.toDF("id", "w")
+      val kept = Sampling.weightedSample(df, "id", col("w"), 512)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(kept.forall(_._2 > 0L))
+      val always = ws.zipWithIndex.filter(_._1 >= 512).map { case (_, i) => s"id$i" }.toSet
+      assert(always.subsetOf(kept.map(_._1).toSet))
+      val kept2 = Sampling.weightedSample(df.repartition(5), "id", col("w"), 512)
+        .collect().map(_.getString(0)).toSet
+      assert(kept2 == kept.map(_._1).toSet)
+    }
+  }
+
   test("property: tf-idf top-k rank is dense from 1 and scores nonincreasing per doc") {
     import spark.implicits._
     forAll(corpusGen, runs = 4) { texts =>
