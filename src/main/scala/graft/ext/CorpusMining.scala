@@ -578,6 +578,45 @@ object CorpusMining {
              |ORDER BY support DESC, p1, p2 LIMIT 50""".stripMargin),
     ),
 
+    // Hierarchical KMV merge — the distributed-sketch rollup pattern at
+    // 100 TB (per-partition/per-day sketches merged upward, raw data read
+    // once): per-SOURCE trigram sketches re-aggregated into one global
+    // sketch. KMV mergeability is exact — the k smallest of the union of
+    // per-source k-smallest IS the k smallest of all distinct values — so
+    // the merged estimate equals the direct global sketch bit-for-bit and
+    // the oracle simply computes the direct sketch.
+    QueryDef(
+      "q93_kmv_merge",
+      (s, dir) => {
+        val k = 512
+        val grams = tbl(s, dir, "documents")
+          .select(col("source"), split(col("text"), " ").as("toks"))
+          .select(col("source"), explode(TextAnalysis.ngramsFromTokens("toks", 3)).as("g"))
+        val perSource = grams
+          .groupBy(col("source"))
+          .agg(Sketches.kMinValues(k)(Sampling.portableHash(col("g"))).as("hs"))
+        val merged = perSource
+          .select(explode(col("hs")).as("h"))
+          .agg(Sketches.kMinValues(k)(col("h")).as("hs"))
+        merged.select(
+          size(col("hs")).cast("long").as("n_sketch"),
+          Sketches.kthHashCol(col("hs"), k).as("kth_hash"),
+          Sketches.estimateCol(col("hs"), k).as("est_distinct"))
+      },
+      Some("""WITH tok AS (SELECT string_split(text,' ') AS t FROM documents),
+             |g AS (SELECT unnest([t[i]||' '||t[i+1]||' '||t[i+2]
+             |                     FOR i IN generate_series(1, len(t)-2)]) AS g
+             |      FROM tok WHERE len(t) >= 3),
+             |h AS (SELECT DISTINCT CAST(('0x' || substring(md5(g),1,15)) AS BIGINT) AS h FROM g),
+             |r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h)
+             |SELECT LEAST(COUNT(*), 512) AS n_sketch,
+             |  MAX(h) FILTER (WHERE rn = 512) AS kth_hash,
+             |  CASE WHEN MAX(h) FILTER (WHERE rn = 512) IS NOT NULL
+             |       THEN 511.0 * 1152921504606846976.0 / MAX(h) FILTER (WHERE rn = 512)
+             |       ELSE CAST(LEAST(COUNT(*), 512) AS DOUBLE) END AS est_distinct
+             |FROM r WHERE rn <= 512""".stripMargin),
+    ),
+
     // Length-weighted deterministic sampling (P(keep) = tokens/512) with a
     // per-source audit: kept docs/tokens vs corpus, token share in exact
     // integer ppm. The mixture-balancing primitive — doc-uniform sampling
