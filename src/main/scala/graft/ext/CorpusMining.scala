@@ -578,6 +578,37 @@ object CorpusMining {
              |ORDER BY support DESC, p1, p2 LIMIT 50""".stripMargin),
     ),
 
+    // Chunk-level exact dedup — the paragraph-dedup analog on fixed token
+    // windows (dedup at a granularity between whole-doc q24 and span q83):
+    // 16-token chunks fingerprinted (q50's operator), grouped by content,
+    // duplicated chunks reported with min-(doc,chunk) survivorship. One
+    // fingerprint-keyed shuffle of (fp, doc, idx) longs+hash — chunk TEXT
+    // never shuffles.
+    QueryDef(
+      "q94_chunk_dedup",
+      (s, dir) => Packing.chunkTokens(tbl(s, dir, "documents"), "text", "doc_id", 16)
+        .groupBy(col("chunk_md5"))
+        .agg(count(lit(1)).as("copies"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("keep_doc"),
+          min(struct(col("doc_id"), col("chunk_id"))).getField("chunk_id").as("keep_chunk"))
+        .where(col("copies") >= 2)
+        .orderBy(col("chunk_md5")),
+      Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+             |e AS (SELECT doc_id, t,
+             |        unnest(generate_series(1, (len(t)+15)//16)) AS i
+             |      FROM d WHERE len(t) > 0),
+             |c AS (SELECT doc_id, i-1 AS chunk_id,
+             |        md5(array_to_string(t[(i-1)*16+1 : LEAST(len(t), i*16)], ' ')) AS chunk_md5
+             |      FROM e)
+             |SELECT chunk_md5, COUNT(*) AS copies,
+             |  COUNT(DISTINCT doc_id) AS n_docs,
+             |  MIN(doc_id) AS keep_doc,
+             |  CAST(MIN(ROW(doc_id, chunk_id))[2] AS BIGINT) AS keep_chunk
+             |FROM c GROUP BY chunk_md5 HAVING COUNT(*) >= 2
+             |ORDER BY chunk_md5""".stripMargin),
+    ),
+
     // Hierarchical KMV merge — the distributed-sketch rollup pattern at
     // 100 TB (per-partition/per-day sketches merged upward, raw data read
     // once): per-SOURCE trigram sketches re-aggregated into one global
