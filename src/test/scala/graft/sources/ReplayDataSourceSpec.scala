@@ -132,6 +132,28 @@ class ReplayDataSourceSpec extends AnyFunSuite {
     assert(v2.readTo(v2.maxTimestamp + 1).df.isEmpty)
   }
 
+  test("property: random ts slices agree with the built-in source (ids and counts)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val path = s"$sfDir/events.parquet"
+    val builtin = spark.read.parquet(path)
+    val bounds = builtin.agg(min(col("ts")), max(col("ts"))).collect()(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val sliceGen = for {
+      a <- Gen.chooseNum(lo - 1, hi)
+      len <- Gen.chooseNum(0L, (hi - lo) / 3)
+    } yield (a, math.min(a + len, hi))
+    (0 until 10).foreach { i =>
+      sliceGen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { case (a, b) =>
+        val got = viaConnector(path).where(col("ts") > a && col("ts") <= b)
+          .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+        val want = builtin.where(col("ts") > a && col("ts") <= b)
+          .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+        assert(got == want, s"slice ($a,$b]")
+      }
+    }
+  }
+
   test("repeated cursor advances see disjoint, exhaustive slices") {
     val all = spark.read.parquet(s"$sfDir/events.parquet")
     val bounds = all.agg(min(col("ts")), max(col("ts"))).collect()(0)
