@@ -578,6 +578,38 @@ object CorpusMining {
              |ORDER BY support DESC, p1, p2 LIMIT 50""".stripMargin),
     ),
 
+    // Week-over-week change per event type: weekly counts, previous week
+    // via LAG, integer delta + one double division for the rate — the
+    // trend line every event dashboard ships. One (type,week) count + one
+    // type-keyed window pass over the tiny weekly table.
+    QueryDef(
+      "q95_wow_change",
+      (s, dir) => {
+        val wk = tbl(s, dir, "events")
+          .select(col("event_type"), expr("ts div 604800000000000").as("week"))
+          .groupBy(col("event_type"), col("week"))
+          .agg(count(lit(1)).as("n"))
+        wk
+          .withColumn("prev", lag(col("n"), 1).over(
+            Window.partitionBy(col("event_type")).orderBy(col("week"))))
+          .select(col("event_type"), col("week"), col("n"),
+            (col("n") - col("prev")).as("delta"),
+            when(col("prev").isNotNull,
+              (col("n") - col("prev")).cast("double") / col("prev")).as("wow_rate"))
+          .orderBy(col("event_type"), col("week"))
+      },
+      Some("""WITH wk AS (
+             |  SELECT event_type, epoch_ns(ts) // 604800000000000 AS week, COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |l AS (SELECT event_type, week, n,
+             |        LAG(n) OVER (PARTITION BY event_type ORDER BY week) AS prev
+             |      FROM wk)
+             |SELECT event_type, week, n,
+             |  CAST(n - prev AS BIGINT) AS delta,
+             |  CASE WHEN prev IS NOT NULL THEN CAST(n - prev AS DOUBLE)/prev END AS wow_rate
+             |FROM l ORDER BY event_type, week""".stripMargin),
+    ),
+
     // Chunk-level exact dedup — the paragraph-dedup analog on fixed token
     // windows (dedup at a granularity between whole-doc q24 and span q83):
     // 16-token chunks fingerprinted (q50's operator), grouped by content,

@@ -176,6 +176,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q86: co-purchase self-join is order-keyed, never a nested loop") {
+    val p = plan("q86_copurchase")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject"), "top-k without a global sort")
+  }
+
   test("q84: cross-modal audit uses the codegen dot kernel, no all-pairs join") {
     val p = plan("q84_modal_mismatch")
     assert(p.contains("graft_vec_dot"))
