@@ -21,6 +21,14 @@ final class V2ReplaySource(
 
   private def groups = ReplayDataSource.index(path, tsCol).groups
 
+  // The cursor's exhaustion test (getNext) and slice counts are driven by
+  // row-group stats; a stat-less group would be scanned by the connector
+  // (it keeps such groups) but never scheduled by the cursor. Fail fast at
+  // construction instead — same contract as ParquetStatsReplaySource.
+  require(groups.forall(g => g.tsMin.isDefined && g.tsMax.isDefined),
+    s"V2ReplaySource requires $tsCol min/max statistics in every row group " +
+      s"under $path; rewrite the files with stats or use SparkTableDataSource")
+
   private val df: DataFrame =
     spark.read.format("graft-replay").option("tsCol", tsCol).load(path)
 

@@ -64,13 +64,13 @@ final class ReplayDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ReplayDataSource.sparkSchema(
-      ReplayDataSource.index(ReplayDataSource.pathOf(options)).schema)
+      ReplayDataSource.index(ReplayDataSource.pathOf(options),
+        ReplayDataSource.tsColOf(options)).schema)
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new ReplayTable(ReplayDataSource.pathOf(opts),
-      Option(opts.get("tscol")).getOrElse("ts"))
+    new ReplayTable(ReplayDataSource.pathOf(opts), ReplayDataSource.tsColOf(opts))
   }
 }
 
@@ -84,7 +84,7 @@ object ReplayDataSource {
     * index. */
   final case class PathIndex(schema: MessageType, groups: Array[RowGroupMeta])
 
-  private val cache = new ConcurrentHashMap[String, (Long, PathIndex)]()
+  private val cache = new ConcurrentHashMap[(String, String), (Long, PathIndex)]()
 
   def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -92,7 +92,17 @@ object ReplayDataSource {
     p
   }
 
-  private def listParquetFiles(path: String, conf: Configuration): Seq[(Path, Long)] = {
+  def tsColOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("tscol")).getOrElse("ts")
+
+  /** Hadoop conf honoring the active session's `spark.hadoop.*` settings
+    * (S3/HDFS credentials etc.); bare defaults only when no session exists. */
+  private[v2] def sessionHadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def listParquetFiles(path: String, conf: Configuration): Seq[(Path, Long, Long)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
@@ -100,21 +110,35 @@ object ReplayDataSource {
       fs.listStatus(p).toSeq
         .filter(_.getPath.getName.endsWith(".parquet"))
         .sortBy(_.getPath.getName)
-        .map(f => (f.getPath, f.getModificationTime))
-    else Seq((st.getPath, st.getModificationTime))
+        .map(f => (f.getPath, f.getModificationTime, f.getLen))
+    else Seq((st.getPath, st.getModificationTime, st.getLen))
   }
 
-  /** Footer index for `path`, cached by latest file modification time so
-    * repeated cursor scans never re-read metadata. */
+  /** Cache version covering every file's (name, mtime, length) so renames,
+    * additions, and in-place rewrites that change size all invalidate; a
+    * same-length same-mtime in-place rewrite is indistinguishable without
+    * reading content (as with Spark's own file index). */
+  private def fileSetVersion(files: Seq[(Path, Long, Long)]): Long =
+    files.foldLeft(files.length.toLong) { case (acc, (p, mtime, len)) =>
+      var h = acc * 1000003L ^ p.toString.hashCode.toLong
+      h = h * 1000003L ^ mtime
+      h * 1000003L ^ len
+    }
+
+  /** Footer index for `(path, tsCol)`, cached by the file set's
+    * (name, mtime, length) fingerprint so repeated cursor scans never
+    * re-read metadata. Keyed by tsCol too: the stored min/max stats are
+    * that column's. */
   def index(path: String, tsCol: String = "ts"): PathIndex = {
-    val conf = new Configuration()
+    val conf = sessionHadoopConf()
     val files = listParquetFiles(path, conf)
-    val version = files.map(_._2).maxOption.getOrElse(0L) ^ files.length.toLong
-    val cached = cache.get(path)
+    val version = fileSetVersion(files)
+    val key = (path, tsCol)
+    val cached = cache.get(key)
     if (cached != null && cached._1 == version) return cached._2
 
     var schema: MessageType = null
-    val groups = files.flatMap { case (f, _) =>
+    val groups = files.flatMap { case (f, _, _) =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try {
         if (schema == null) schema = reader.getFooter.getFileMetaData.getSchema
@@ -132,7 +156,7 @@ object ReplayDataSource {
     }.toArray
     require(schema != null, s"No parquet files under $path")
     val idx = PathIndex(schema, groups)
-    cache.put(path, (version, idx))
+    cache.put(key, (version, idx))
     idx
   }
 
@@ -194,7 +218,9 @@ final class ReplayScanBuilder(path: String, tsCol: String, fullSchema: StructTyp
     case LessThanOrEqual(c, v: Long) if c == tsCol =>
       upper = math.min(upper, v); Some(f)
     case EqualTo(c, v: Long) if c == tsCol =>
-      lower = math.max(lower, v - 1); upper = math.min(upper, v); Some(f)
+      // v - 1 underflows at Long.MinValue (would prune every group)
+      if (v != Long.MinValue) lower = math.max(lower, v - 1)
+      upper = math.min(upper, v); Some(f)
     case And(l, r) =>
       val hit = Seq(collectBounds(l), collectBounds(r)).flatten
       if (hit.nonEmpty) Some(f) else None
@@ -237,7 +263,9 @@ final class ReplayScan(path: String, tsCol: String, required: StructType,
       .asInstanceOf[InputPartition])
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ReplayReaderFactory(required.fields.map(_.name))
+    new ReplayReaderFactory(required.fields.map(_.name),
+      new org.apache.spark.util.SerializableConfiguration(
+        ReplayDataSource.sessionHadoopConf()))
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val rows = pruned.map(_.rows).sum
@@ -252,13 +280,14 @@ final case class RowGroupPartition(file: String, startPos: Long,
 
 /** Reads exactly one row group, assembling only the requested columns via
   * the parquet example Group API. Row-by-row — sized for cursor slices. */
-final class ReplayReaderFactory(requiredCols: Array[String])
+final class ReplayReaderFactory(requiredCols: Array[String],
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RowGroupPartition]
     new PartitionReader[InternalRow] {
-      private val conf = new Configuration()
+      private val conf = hadoopConf.value
       // parquet selects row groups whose byte MIDPOINT falls in the range,
       // so the range must span this block's compressed extent
       private val options = ParquetReadOptions.builder()

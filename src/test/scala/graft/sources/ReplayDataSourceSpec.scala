@@ -113,6 +113,53 @@ class ReplayDataSourceSpec extends AnyFunSuite {
     assert(i1 eq i2)
   }
 
+  test("footer index cache is keyed by tsCol (stats follow the column)") {
+    import spark.implicits._
+    val path = s"/tmp/graft_v2_tscol_${System.nanoTime()}"
+    // two long columns with DIFFERENT ranges: ts in [0,2000), event_id in
+    // [1_000_000, 1_002_000). A cache keyed by path only would serve ts
+    // stats to an event_id-cursored scan and prune every group.
+    (0L until 2000L).map(i => (i, 1000000L + i, s"p$i"))
+      .toDF("ts", "event_id", "payload").coalesce(1)
+      .write.option("parquet.block.size", "65536").parquet(path)
+
+    val byTs = ReplayDataSource.index(path, "ts")
+    val byId = ReplayDataSource.index(path, "event_id")
+    assert(byTs.groups.flatMap(_.tsMin).min == 0L)
+    assert(byId.groups.flatMap(_.tsMin).min == 1000000L)
+
+    // scan cursored on event_id AFTER an inferSchema/scan on default ts
+    // must still see its rows (regression: wrong-column stats pruned them)
+    val n = spark.read.format("graft-replay").option("tsCol", "event_id")
+      .load(path)
+      .where(col("event_id") > 1000999L && col("event_id") <= 1001099L)
+      .count()
+    assert(n == 100L)
+  }
+
+  test("equality filter at Long.MinValue does not prune matching rows") {
+    import spark.implicits._
+    val path = s"/tmp/graft_v2_minval_${System.nanoTime()}"
+    Seq((Long.MinValue, 1L), (0L, 2L), (5L, 3L))
+      .toDF("ts", "v").coalesce(1).write.parquet(path)
+    val got = viaConnector(path).where(col("ts") === Long.MinValue)
+      .select("v").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("index cache invalidates when a file is rewritten in place") {
+    import spark.implicits._
+    val path = s"/tmp/graft_v2_rewrite_${System.nanoTime()}"
+    (0L until 100L).map(i => (i, i)).toDF("ts", "v").coalesce(1)
+      .write.parquet(path)
+    val i1 = ReplayDataSource.index(path)
+    (0L until 250L).map(i => (i, i)).toDF("ts", "v").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    val i2 = ReplayDataSource.index(path)
+    assert(!(i1 eq i2))
+    assert(i2.groups.map(_.rows).sum == 250L)
+  }
+
   test("V2ReplaySource cursor agrees with ParquetStatsReplaySource") {
     import graft.replay.{ParquetStatsReplaySource, V2ReplaySource}
     val path = s"$sfDir/events.parquet"
