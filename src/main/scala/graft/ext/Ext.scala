@@ -18,12 +18,17 @@ object Ext {
     * semantics, not a brute-force approximation of them). */
   private val LshTables = 32
   private val LshBits = 5
+  /** q30 ANN parameters (annTopK defaults): fewer bits per table than the
+    * near-dup queries — ANN wants higher recall per table at the cost of
+    * bigger buckets, the re-rank is per-query top-k, not all pairs. */
+  private val AnnTables = 32
+  private val AnnBits = 4
   private val EmbDim = 64
 
   /** `(p, [s1,...,s64])` rows for the oracle's planes relation — generated
     * from the same [[RhpSig.planeSign]] the codegen expression uses. */
-  private def planesValuesSql: String =
-    (0 until LshTables * LshBits).map { p =>
+  private def planesValuesSql(nPlanes: Int): String =
+    (0 until nPlanes).map { p =>
       s"($p, [${(0 until EmbDim).map(i => RhpSig.planeSign(p, i)).mkString(",")}])"
     }.mkString(", ")
 
@@ -31,7 +36,7 @@ object Ext {
     * pairs, and norms — the SQL replica of
     * [[Similarity.cosineNearDupPairsLsh]]'s bucketing. */
   private def lshCtesSql: String =
-    s"""planes(p, s) AS (SELECT * FROM (VALUES $planesValuesSql) v(p, s)),
+    s"""planes(p, s) AS (SELECT * FROM (VALUES ${planesValuesSql(LshTables * LshBits)}) v(p, s)),
        |sig AS (
        |  SELECT e.vec_id, pl.p // $LshBits AS tbl,
        |    SUM(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE) * pl.s[i]
@@ -161,16 +166,48 @@ object Ext {
              |WHERE cos_sim >= 0.4 ORDER BY a_id, b_id""".stripMargin),
     ),
 
-    // Approximate ANN via random-hyperplane LSH buckets — approximate by
-    // design, driver records rows-only (no oracle).
+    // Approximate ANN via random-hyperplane LSH buckets. Approximate vs the
+    // exact answer (recall@5 gated >= 0.9 in RhpSigSpec, measured 0.984) —
+    // but DETERMINISTIC given the planes, so the oracle replicates the
+    // bucket assignment + re-rank bit-for-bit (the q42 pattern): plane sign
+    // literals interpolated into the SQL, candidates = within-bucket only,
+    // exact cosine re-rank with the same (sim DESC, nid) tie-break.
     QueryDef(
       "q30_ann_topk",
       (s, dir) => {
         val emb = tbl(s, dir, "embeddings")
-        Similarity.annTopK(emb, emb.where(col("vec_id") < 50), "embedding", "vec_id", 5)
+        Similarity.annTopK(emb, emb.where(col("vec_id") < 50), "embedding", "vec_id", 5,
+            tables = AnnTables, bitsPerTable = AnnBits)
           .orderBy(col("qid"), col("sim").desc, col("nid"))
       },
-      None,
+      Some(s"""WITH planes(p, s) AS (SELECT * FROM (VALUES ${planesValuesSql(AnnTables * AnnBits)}) v(p, s)),
+              |sig AS (
+              |  SELECT e.vec_id, pl.p // $AnnBits AS tbl,
+              |    SUM(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE) * pl.s[i]
+              |                            FOR i IN generate_series(1, len(e.embedding))]) > 0
+              |             THEN (1::BIGINT << (pl.p % $AnnBits)) ELSE 0::BIGINT END) AS sig
+              |  FROM embeddings e, planes pl
+              |  GROUP BY e.vec_id, pl.p // $AnnBits),
+              |n AS (
+              |  SELECT vec_id, embedding,
+              |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+              |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+              |  FROM embeddings),
+              |cand AS (
+              |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+              |  FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.sig = c.sig
+              |  WHERE q.vec_id < 50 AND q.vec_id != c.vec_id),
+              |sims AS (
+              |  SELECT cand.qid, cand.nid,
+              |    list_sum([CAST(nq.embedding[i] AS DOUBLE)*nc.embedding[i]
+              |              FOR i IN generate_series(1,len(nq.embedding))])/(nq.nrm*nc.nrm) AS sim
+              |  FROM cand
+              |  JOIN n nq ON nq.vec_id = cand.qid
+              |  JOIN n nc ON nc.vec_id = cand.nid)
+              |SELECT qid, nid, sim FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+              |  FROM sims) WHERE rk <= 5
+              |ORDER BY qid, sim DESC, nid""".stripMargin),
     ),
 
     // Language-ID heuristic (stopword-hit ratio).
