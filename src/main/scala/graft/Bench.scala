@@ -27,7 +27,11 @@ object Bench {
     // that land on random queries (measured: the same query 1.2 s and
     // 12.5 s across back-to-back runs); the min is the reproducible cost.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional local-iteration filter: comma-separated query-name substrings
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+    val results = selected.map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
         // reps stay independent/cold: operators that cache internally
         // (e.g. the LSH shingle sets) must not hand rep 2 a warm cache
@@ -46,10 +50,15 @@ object Bench {
       }
       name -> times.min
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ONE compact line: seconds at millisecond precision (full double repr
+    // made the 95-query line ~5 KB — past the driver's capture, so every
+    // round's BENCH_r0N.json ended up truncated and unparseable)
+    def s3(v: Double): String = f"$v%.3f"
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -76,15 +76,78 @@ object Dedup {
   def bandKeys(sigs: DataFrame, r: Int, numHashes: Int): DataFrame =
     sigs.select(col("doc_id"), explode(bandKeysExpr(r, numHashes)).as("bk"))
 
-  /** LSH banding: candidate pairs (a_id < b_id) sharing at least one band.
-    * r rows per band; numHashes/r bands. */
-  def lshCandidatePairs(sigs: DataFrame, r: Int = 2, numHashes: Int = 64): DataFrame = {
-    val bands = bandKeys(sigs, r, numHashes)
-    bands.as("l").join(bands.as("r"), col("l.bk") === col("r.bk") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
+  /** Hot-bucket guard threshold for the LSH band self-joins. A bucket of m
+    * members emits m(m-1)/2 candidate pairs, so ONE boilerplate-heavy
+    * bucket (every page sharing a cookie banner; a constant spam template)
+    * turns the candidate join quadratic inside a single key — the classic
+    * LSH failure at corpus scale. Measured occupancy on the test corpus at
+    * sf0.1: max 13 (minhash bands), max 120 (RHP tables) — 4096 is far
+    * above anything a healthy corpus produces (worst case ~8M pairs from
+    * one bucket, seconds of work) while bounding the adversarial case. */
+  val DefaultMaxBucketSize: Int = 4096
+
+  /** Within-bucket candidate pairs (a_id < b_id) with a hot-bucket skew
+    * guard. `buckets` has one row per (member, bucket); buckets with at
+    * most `maxBucketSize` members self-join into ALL within-bucket pairs
+    * (exact LSH semantics); oversized buckets degrade to HUB pairs — every
+    * member paired with the bucket's minimum id — m-1 pairs instead of
+    * m(m-1)/2, so total candidates are O(n * maxBucketSize) per band, never
+    * quadratic.
+    *
+    * Semantics of the degraded mode: connectivity within the bucket is
+    * preserved (all members reach the hub), so CLUSTERING consumers
+    * (connected components / dedup survivors) see the same components
+    * whenever member~hub pairs pass downstream verification — exactly the
+    * boilerplate/constant-document case that creates giant buckets. PAIR
+    * LISTING consumers lose within-bucket pairs not involving the hub that
+    * share no other (small) bucket; that loss is inherent — an oversized
+    * bucket's full pair list is itself quadratic output. NOT SILENT: audit
+    * the split with [[oversizedBuckets]] (same inputs → the affected
+    * buckets, their sizes and hubs).
+    *
+    * Plan shape: ONE join, same as the unguarded self-join. The LEFT side
+    * is window-annotated (occupancy + hub over the bucket key) and filtered
+    * to "all members of small buckets, plus only the hub of oversized
+    * ones"; the RIGHT side is the plain bucket rows. In a small bucket
+    * every member survives on the left → all (a < b) pairs, exact LSH
+    * semantics; in an oversized bucket only the hub (= min id) survives →
+    * hub-member pairs only, m-1 joined rows. So the guard costs one window
+    * over the left side's bucket-key exchange and nothing else — the right
+    * side stays broadcastable, and there is no extra pass over the
+    * signature pipeline. */
+  def guardedBucketPairs(buckets: DataFrame, bucketCols: Seq[String],
+      idCol: String, maxBucketSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+    val left = buckets
+      .withColumn("_cnt", count(lit(1)).over(w))
+      .withColumn("_hub", min(col(idCol)).over(w))
+      .where(col("_cnt") <= maxBucketSize || col(idCol) === col("_hub"))
+      .select((bucketCols :+ idCol).map(col): _*)
+    val joinCond = bucketCols.map(c => col(s"l.$c") === col(s"r.$c"))
+      .reduce(_ && _) && col(s"l.$idCol") < col(s"r.$idCol")
+    left.as("l").join(buckets.as("r"), joinCond)
+      .select(col(s"l.$idCol").as("a_id"), col(s"r.$idCol").as("b_id"))
       .distinct()
   }
+
+  /** Audit companion of [[guardedBucketPairs]]: the buckets the guard
+    * star-splits at `maxBucketSize`, with size and hub id — run this
+    * whenever the guard might have fired (a capped pipeline is never
+    * silently lossy; this query names exactly what was degraded). */
+  def oversizedBuckets(buckets: DataFrame, bucketCols: Seq[String],
+      idCol: String, maxBucketSize: Int): DataFrame =
+    buckets.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_size"), min(col(idCol)).as("hub_id"))
+      .where(col("bucket_size") > maxBucketSize)
+
+  /** LSH banding: candidate pairs (a_id < b_id) sharing at least one band.
+    * r rows per band; numHashes/r bands. Oversized buckets (>
+    * `maxBucketSize` members) are star-split — see [[guardedBucketPairs]]
+    * for the exact semantics and [[oversizedBuckets]] for the audit. */
+  def lshCandidatePairs(sigs: DataFrame, r: Int = 2, numHashes: Int = 64,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    guardedBucketPairs(bandKeys(sigs, r, numHashes), Seq("bk"), "doc_id", maxBucketSize)
 
   /** INCREMENTAL near-dup: new docs that duplicate an EXISTING corpus —
     * the nightly-ingest shape (today's crawl vs the deduplicated index).
@@ -288,11 +351,13 @@ object Dedup {
     * int64 shingle hashing adds a ~2^-64 per-pair collision bound — see
     * [[hashedShingleSets]]). */
   def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.5, k: Int = 3): DataFrame = {
+      threshold: Double = 0.5, k: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     // Hashed (int64) shingle sets everywhere: minhash reads them exploded,
     // the verify join shuffles them as compact long arrays.
     val sh = hashedShingleSets(df, textCol, idCol, k).cache()
-    val candidates = lshCandidatePairs(minhashSignatures(sh))
+    val candidates = lshCandidatePairs(minhashSignatures(sh),
+      maxBucketSize = maxBucketSize)
     val verified = candidates
       .join(sh.select(col("doc_id").as("a_id"), col("s").as("sa")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("s").as("sb")), "b_id")

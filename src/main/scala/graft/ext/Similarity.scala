@@ -108,18 +108,21 @@ object Similarity {
     * With the defaults (tables=32, bits=5) recall at c=0.4 is ~0.96
     * (measured 1.00 at sf0.01, 0.976 at sf0.1 on the test corpus); far
     * pairs rarely collide. At larger corpus sizes, grow `bits` ~ log2(n)
-    * to keep per-bucket occupancy — and hence the verify cost — flat. */
+    * to keep per-bucket occupancy — and hence the verify cost — flat.
+    *
+    * Buckets over `maxBucketSize` members (an embedding-space boilerplate
+    * cluster; a constant-vector corpus) are star-split instead of
+    * self-joined — sub-quadratic by construction; see
+    * [[Dedup.guardedBucketPairs]] for semantics and
+    * [[Dedup.oversizedBuckets]] for the audit. */
   def cosineNearDupPairsLsh(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double, tables: Int = 32, bits: Int = 5): DataFrame = {
+      threshold: Double, tables: Int = 32, bits: Int = 5,
+      maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
     val n = withNorm(df, vecCol)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("nrm"))
     val sigs = sigBuckets(df, vecCol, idCol, tables, bits)
-    val candidates = sigs.as("a")
-      .join(sigs.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .distinct()
+    val candidates = Dedup.guardedBucketPairs(sigs, Seq("tbl", "sig"), "id",
+      maxBucketSize)
     candidates
       .join(n.select(col("id").as("a_id"), col("v").as("va"), col("nrm").as("na")), "a_id")
       .join(n.select(col("id").as("b_id"), col("v").as("vb"), col("nrm").as("nb")), "b_id")
