@@ -252,20 +252,20 @@ final class Dag {
   /** Stateless micro-batch transforms; empty result => "not updated"
     * (reference `Dag.stream().map()`, `beavers/dag.py:465-499`). */
   def stream[A, T: HasLength](a: Node[A])(empty: => T)(f: A => T): Node[T] =
-    addStream(vs => f(vs(0).asInstanceOf[A]), dedup(a), () => empty, callSite(), Plain)
+    addStream(vs => f(vs(0).asInstanceOf[A]), Seq(a), () => empty, callSite(), Plain)
 
   def stream2[A, B, T: HasLength](a: Node[A], b: Node[B])(empty: => T)(f: (A, B) => T): Node[T] =
-    addStream(vs => f(vs(0).asInstanceOf[A], vs(1).asInstanceOf[B]), dedup(a, b), () => empty, callSite(), Plain)
+    addStream(vs => f(vs(0).asInstanceOf[A], vs(1).asInstanceOf[B]), Seq(a, b), () => empty, callSite(), Plain)
 
   def stream3[A, B, C, T: HasLength](a: Node[A], b: Node[B], c: Node[C])(empty: => T)(
       f: (A, B, C) => T): Node[T] =
     addStream(vs => f(vs(0).asInstanceOf[A], vs(1).asInstanceOf[B], vs(2).asInstanceOf[C]),
-      dedup(a, b, c), () => empty, callSite(), Plain)
+      Seq(a, b, c), () => empty, callSite(), Plain)
 
   def stream4[A, B, C, D, T: HasLength](a: Node[A], b: Node[B], c: Node[C], d: Node[D])(
       empty: => T)(f: (A, B, C, D) => T): Node[T] =
     addStream(vs => f(vs(0).asInstanceOf[A], vs(1).asInstanceOf[B], vs(2).asInstanceOf[C],
-      vs(3).asInstanceOf[D]), dedup(a, b, c, d), () => empty, callSite(), Plain)
+      vs(3).asInstanceOf[D]), Seq(a, b, c, d), () => empty, callSite(), Plain)
 
   /** Arbitrary-arity stream transform over a Seq of input nodes — covers the
     * reference's `map(*nodes, **nodes)` call shapes beyond arity 4
@@ -290,27 +290,27 @@ final class Dag {
     * a stateful closure/class) returns the node's new value
     * (reference `Dag.state().map()`, `beavers/dag.py:501-518`). */
   def state[A, T](a: Node[A])(f: A => T): Node[T] =
-    addState(vs => f(vs(0).asInstanceOf[A]), dedup(a), callSite())
+    addState(vs => f(vs(0).asInstanceOf[A]), Seq(a), callSite())
 
   def state2[A, B, T](a: Node[A], b: Node[B])(f: (A, B) => T): Node[T] =
-    addState(vs => f(vs(0).asInstanceOf[A], vs(1).asInstanceOf[B]), dedup(a, b), callSite())
+    addState(vs => f(vs(0).asInstanceOf[A], vs(1).asInstanceOf[B]), Seq(a, b), callSite())
 
   def state3[A, B, C, T](a: Node[A], b: Node[B], c: Node[C])(f: (A, B, C) => T): Node[T] =
     addState(vs => f(vs(0).asInstanceOf[A], vs(1).asInstanceOf[B], vs(2).asInstanceOf[C]),
-      dedup(a, b, c), callSite())
+      Seq(a, b, c), callSite())
 
   def state4[A, B, C, D, T](a: Node[A], b: Node[B], c: Node[C], d: Node[D])(
       f: (A, B, C, D) => T): Node[T] =
     addState(vs => f(vs(0).asInstanceOf[A], vs(1).asInstanceOf[B], vs(2).asInstanceOf[C],
-      vs(3).asInstanceOf[D]), dedup(a, b, c, d), callSite())
+      vs(3).asInstanceOf[D]), Seq(a, b, c, d), callSite())
 
   /** State variants whose function may return `SilentUpdate` / `StateUnchanged`
     * directly (they are honoured for any node kind, as in the reference). */
   def stateAdv[A, T](a: Node[A])(f: A => Any): Node[T] =
-    addState[T](vs => f(vs(0).asInstanceOf[A]), dedup(a), callSite())
+    addState[T](vs => f(vs(0).asInstanceOf[A]), Seq(a), callSite())
 
   def stateAdv2[A, B, T](a: Node[A], b: Node[B])(f: (A, B) => Any): Node[T] =
-    addState[T](vs => f(vs(0).asInstanceOf[A], vs(1).asInstanceOf[B]), dedup(a, b), callSite())
+    addState[T](vs => f(vs(0).asInstanceOf[A], vs(1).asInstanceOf[B]), Seq(a, b), callSite())
 
   /** Named terminal capture; multiple sinks may share a name
     * (reference `beavers/dag.py:520-539`). */
@@ -424,7 +424,6 @@ final class Dag {
       fired
     }
 
-  private def dedup(ns: Node[_]*): Seq[Node[_]] = ns
 
   // New stream/state nodes start stained (notifications=1) so they compute on
   // their first cycle — matches the reference default (`Node._create`,

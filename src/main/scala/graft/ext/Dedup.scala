@@ -190,9 +190,12 @@ object Dedup {
     lshCandidatePairs(sigs, numHashes = numHashes)
       .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
       .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
+      // signature agreement via the codegen'd kernel (one primitive loop
+      // per pair; the HOF zip_with/aggregate form runs interpreted, per
+      // element — see SigAgree and DEVNOTES rule 10)
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("sa"), col("sb"), (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+        call_function("graft_sig_agree", col("sa"), col("sb"))
+          .cast("double") / numHashes)
       .where(col("est_jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("est_jaccard"))
   }
@@ -215,18 +218,29 @@ object Dedup {
       .withColumn("root", col("id"))
       .localCheckpoint(true)
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      round += 1
       val neighborMin = sym
         .join(labels.select(col("id").as("dst"), col("root").as("nroot")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nroot")).as("min_n"))
+      // Convergence detection rides the SAME action that materializes the
+      // round: the changed-count is an observed metric of the checkpoint
+      // job (the update join already computes old and new root side by
+      // side). The previous formulation ran a second per-round job that
+      // re-JOINED the new and old label sets — a full extra shuffle per
+      // round, pure overhead at scale.
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$round")
       val updated = labels
         .join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"),
+        .select(col("id"), col("root").as("_old"),
           least(col("root"), coalesce(col("min_n"), col("root"))).as("root"))
+        .observe(obs,
+          coalesce(sum(when(col("root") =!= col("_old"), 1L).otherwise(0L)), lit(0L))
+            .as("changed"))
+        .select(col("id"), col("root"))
         .localCheckpoint(true)
-      changed = updated
-        .join(labels.withColumnRenamed("root", "old"), "id")
-        .where(col("root") =!= col("old")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = updated
     }
     labels

@@ -133,6 +133,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimhashSig(children.head, intLit(children(1), "graft_simhash", "bits"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_sig_agree"),
+      new ExpressionInfo(classOf[SigAgree].getName, "graft_sig_agree"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_sig_agree takes exactly 2 arguments")
+        SigAgree(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_span_filter"),
       new ExpressionInfo(classOf[SpanFilter].getName, "graft_span_filter"),
       (children: Seq[Expression]) => {

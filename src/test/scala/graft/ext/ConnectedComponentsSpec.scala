@@ -62,6 +62,60 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("convergence detection rides the checkpoint job (no per-round count action)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a 9-hop chain forces many propagation rounds, amplifying per-round cost
+    val edges = (1L to 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+
+    def countJobs(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(): Unit }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; Thread.sleep(500) } // let queued listener events drain
+      finally spark.sparkContext.removeSparkListener(listener)
+      jobs.get()
+    }
+
+    val jobsNew = countJobs {
+      assert(Dedup.connectedComponents(edges).collect()
+        .forall(_.getLong(1) == 1L))
+    }
+
+    // the round-3 formulation: an extra join+count action per round
+    val jobsOld = countJobs {
+      val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .distinct().localCheckpoint(true)
+      var labels = sym.select(col("src").as("id")).distinct()
+        .withColumn("root", col("id")).localCheckpoint(true)
+      var changed = 1L
+      while (changed > 0) {
+        val neighborMin = sym
+          .join(labels.select(col("id").as("dst"), col("root").as("nroot")), "dst")
+          .groupBy(col("src").as("id")).agg(min(col("nroot")).as("min_n"))
+        val updated = labels.join(neighborMin, Seq("id"), "left_outer")
+          .select(col("id"),
+            least(col("root"), coalesce(col("min_n"), col("root"))).as("root"))
+          .localCheckpoint(true)
+        changed = updated.join(labels.withColumnRenamed("root", "old"), "id")
+          .where(col("root") =!= col("old")).count()
+        labels = updated
+      }
+      assert(labels.collect().forall(_.getLong(1) == 1L))
+    }
+
+    info(s"jobs: observed-metric impl $jobsNew vs per-round-count impl $jobsOld")
+    // the count action was itself a multi-stage join job under AQE; folding
+    // it into the checkpoint's observed metrics must cut total jobs hard
+    assert(jobsNew < jobsOld,
+      s"expected fewer jobs than the per-round-count formulation ($jobsNew vs $jobsOld)")
+    assert(jobsNew <= jobsOld * 3 / 4, s"expected a substantial cut ($jobsNew vs $jobsOld)")
+  }
+
   test("nearDupClusters groups transitively, not pairwise") {
     import spark.implicits._
     // 3-shingle Jaccard: doc1~doc2 = 6/10 = 0.60, doc2~doc3 = 5/11 = 0.45,
