@@ -24,6 +24,11 @@ object Ext {
   private val AnnTables = 32
   private val AnnBits = 4
   private val EmbDim = 64
+  /** q96/q97 hot-bucket cap, chosen to FIRE on the test corpus (RHP bits=5
+    * buckets average |corpus|/32 ≈ 15 members at sf0.01) so the guard's
+    * degraded semantics are exercised under oracle — production uses
+    * [[Dedup.DefaultMaxBucketSize]]. */
+  private val GuardCap = 20
 
   /** `(p, [s1,...,s64])` rows for the oracle's planes relation — generated
     * from the same [[RhpSig.planeSign]] the codegen expression uses. */
@@ -32,10 +37,10 @@ object Ext {
       s"($p, [${(0 until EmbDim).map(i => RhpSig.planeSign(p, i)).mkString(",")}])"
     }.mkString(", ")
 
-  /** Shared oracle CTEs: bucket signatures, distinct within-bucket candidate
-    * pairs, and norms — the SQL replica of
-    * [[Similarity.cosineNearDupPairsLsh]]'s bucketing. */
-  private def lshCtesSql: String =
+  /** Oracle CTEs `planes` + `sig`: the (tbl, sig) RHP bucket assignment of
+    * every embedding, replicating [[Similarity.rhpBuckets]] bit-for-bit
+    * (interpolated plane sign literals, LshTables × LshBits family). */
+  private def sigCtesSql: String =
     s"""planes(p, s) AS (SELECT * FROM (VALUES ${planesValuesSql(LshTables * LshBits)}) v(p, s)),
        |sig AS (
        |  SELECT e.vec_id, pl.p // $LshBits AS tbl,
@@ -43,12 +48,12 @@ object Ext {
        |                            FOR i IN generate_series(1, len(e.embedding))]) > 0
        |             THEN (1::BIGINT << (pl.p % $LshBits)) ELSE 0::BIGINT END) AS sig
        |  FROM embeddings e, planes pl
-       |  GROUP BY e.vec_id, pl.p // $LshBits),
-       |cand AS (
-       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-       |  FROM sig a JOIN sig b
-       |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id),
-       |n AS (
+       |  GROUP BY e.vec_id, pl.p // $LshBits)""".stripMargin
+
+  /** Oracle CTEs `n` + `verified`: exact-cosine verification (>= 0.4) over
+    * whatever `cand(a_id, b_id)` CTE precedes them. */
+  private def verifyCtesSql: String =
+    s"""n AS (
        |  SELECT vec_id, label, embedding,
        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
        |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
@@ -62,6 +67,17 @@ object Ext {
        |    JOIN n na ON na.vec_id = c.a_id
        |    JOIN n nb ON nb.vec_id = c.b_id)
        |  WHERE cos_sim >= 0.4)""".stripMargin
+
+  /** Shared oracle CTEs: bucket signatures, distinct within-bucket candidate
+    * pairs, and exact verification — the SQL replica of
+    * [[Similarity.cosineNearDupPairsLsh]]'s (unguarded) bucketing. */
+  private def lshCtesSql: String =
+    s"""$sigCtesSql,
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM sig a JOIN sig b
+       |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id),
+       |$verifyCtesSql""".stripMargin
 
   def all: Seq[QueryDef] = Seq(
 
@@ -1068,6 +1084,50 @@ object Ext {
              |  CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
              |  3 AS channels
              |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+
+    // The hot-bucket guard's AUDIT surface as a first-class query: RHP
+    // bucket occupancy above the cap (size, hub). Fully deterministic
+    // (plane literals), so the skew diagnosis itself is oracle-checked.
+    QueryDef(
+      "q96_lsh_bucket_audit",
+      (s, dir) => Dedup.oversizedBuckets(
+          Similarity.rhpBuckets(tbl(s, dir, "embeddings"), "embedding", "vec_id",
+            LshTables, LshBits),
+          Seq("tbl", "sig"), "id", GuardCap)
+        .orderBy(col("tbl"), col("sig")),
+      Some(s"""WITH $sigCtesSql
+              |SELECT CAST(tbl AS INTEGER) AS tbl, CAST(sig AS BIGINT) AS sig,
+              |  COUNT(*) AS bucket_size, MIN(vec_id) AS hub_id
+              |FROM sig GROUP BY tbl, sig HAVING COUNT(*) > $GuardCap
+              |ORDER BY tbl, sig""".stripMargin),
+    ),
+
+    // The guard's DEGRADED SEMANTICS under oracle: near-dup pairs with a
+    // cap that actually fires on this corpus (RHP bits=5 buckets hold
+    // ~|corpus|/32 vectors per table). The oracle replicates the hub rule
+    // exactly — members of small buckets pair freely, oversized buckets
+    // contribute only (hub, member) pairs — proving the guarded pipeline
+    // is deterministic and engine-independent, not a Spark-side heuristic.
+    QueryDef(
+      "q97_guarded_neardup",
+      (s, dir) => Similarity.cosineNearDupPairsLsh(
+          tbl(s, dir, "embeddings"), "embedding", "vec_id", 0.4,
+          LshTables, LshBits, maxBucketSize = GuardCap)
+        .orderBy(col("a_id"), col("b_id")),
+      Some(s"""WITH $sigCtesSql,
+              |bstat AS (
+              |  SELECT tbl, sig, COUNT(*) AS cnt, MIN(vec_id) AS hub
+              |  FROM sig GROUP BY tbl, sig),
+              |cand AS (
+              |  SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id
+              |  FROM sig l
+              |  JOIN bstat s ON l.tbl = s.tbl AND l.sig = s.sig
+              |  JOIN sig r ON r.tbl = l.tbl AND r.sig = l.sig AND l.vec_id < r.vec_id
+              |  WHERE s.cnt <= $GuardCap OR l.vec_id = s.hub),
+              |$verifyCtesSql
+              |SELECT a_id, b_id, cos_sim FROM verified
+              |ORDER BY a_id, b_id""".stripMargin),
     ),
   )
 }

@@ -89,8 +89,9 @@ object Similarity {
   def rhpSig(vec: Column, tables: Int, bits: Int): Column =
     call_function("graft_rhp_sig", vec, lit(tables), lit(bits))
 
-  /** (id, tbl, sig) bucket rows: one row per (vector, hash table). */
-  private def sigBuckets(df: DataFrame, vecCol: String, idCol: String,
+  /** (id, tbl, sig) bucket rows: one row per (vector, hash table). Public:
+    * feed these to [[Dedup.oversizedBuckets]] to audit RHP bucket skew. */
+  def rhpBuckets(df: DataFrame, vecCol: String, idCol: String,
       tables: Int, bits: Int): DataFrame =
     df.select(col(idCol).as("id"),
       posexplode(rhpSig(col(vecCol), tables, bits)).as(Seq("tbl", "sig")))
@@ -120,7 +121,7 @@ object Similarity {
       maxBucketSize: Int = Dedup.DefaultMaxBucketSize): DataFrame = {
     val n = withNorm(df, vecCol)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("nrm"))
-    val sigs = sigBuckets(df, vecCol, idCol, tables, bits)
+    val sigs = rhpBuckets(df, vecCol, idCol, tables, bits)
     val candidates = Dedup.guardedBucketPairs(sigs, Seq("tbl", "sig"), "id",
       maxBucketSize)
     candidates
