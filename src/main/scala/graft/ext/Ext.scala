@@ -1129,5 +1129,27 @@ object Ext {
               |SELECT a_id, b_id, cos_sim FROM verified
               |ORDER BY a_id, b_id""".stripMargin),
     ),
+
+    // Guaranteed heavy hitters via a Misra-Gries candidate sketch + bounded
+    // exact recount (Sketches.guaranteedHeavyHitters). The sketch itself is
+    // order-dependent (no bit-exact oracle exists for its state), but its
+    // G3 guarantee makes the OPERATOR deterministic: the output is exactly
+    // {token : f(token)*(k+1) > n} with exact counts — which the oracle
+    // computes directly. Discovery without shuffling the vocabulary: the
+    // exchange moves <= k counters per partition, then <= k candidates
+    // broadcast back for the recount.
+    QueryDef(
+      "q98_guaranteed_heavyhitters",
+      (s, dir) => Sketches.guaranteedHeavyHitters(
+          tbl(s, dir, "documents").select(explode(split(col("text"), " ")).as("item")),
+          col("item"), k = 64)
+        .orderBy(col("n_exact").desc, col("item")),
+      Some("""WITH tok AS (SELECT unnest(string_split(text,' ')) AS item FROM documents),
+             |n AS (SELECT COUNT(*) AS n_total FROM tok)
+             |SELECT item, COUNT(*) AS n_exact, n.n_total
+             |FROM tok, n GROUP BY item, n.n_total
+             |HAVING COUNT(*) * 65 > n.n_total
+             |ORDER BY n_exact DESC, item""".stripMargin),
+    ),
   )
 }

@@ -29,6 +29,10 @@ import org.apache.spark.sql.functions._
   * `countDistinct` companion column in [[kmvDistinct]] is the accuracy
   * audit, costing a distinct expand — drop it in production use.)
   */
+/** Bounded Misra-Gries buffer: total row count + at most k item counters.
+  * Top-level so Spark's `ExpressionEncoder` accepts it (DEVNOTES rule 8). */
+final case class FreqBuf(n: Long, counts: Map[String, Long])
+
 object Sketches {
 
   /** Hash-space size for [[Sampling.portableHash]]: 15 hex digits = 2^60. */
@@ -203,5 +207,95 @@ object Sketches {
     probes.join(broadcast(counters), Seq("j", "bucket"), "left_outer")
       .groupBy(col(itemCol))
       .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
+  }
+
+  // --- Misra-Gries frequent-items summary (heavy-hitter candidates) ------
+  //
+  // The third sketch family: where KMV answers "how many distinct?" and CM
+  // answers "how often is THIS item?", Misra-Gries answers "WHICH items are
+  // frequent?" without knowing them in advance — the top-k discovery
+  // problem CM cannot solve (it can only probe known candidates, q82).
+  //
+  // The summary is k counters. Unlike KMV/CM its STATE is order- and
+  // partitioning-dependent, so there is no bit-exact oracle for the raw
+  // sketch; what IS deterministic are its guarantees (Misra & Gries 1982;
+  // merge soundness: Agarwal et al., "Mergeable Summaries", PODS 2012):
+  //   G1  c(x) <= f(x)                          (never over-counts)
+  //   G2  f(x) - c(x) <= (n - S) / (k + 1)      (S = sum of kept counters)
+  //   G3  every x with f(x) > n/(k+1) is tracked (from G2: its counter > 0)
+  // [[guaranteedHeavyHitters]] turns G3 into an oracle-checkable operator:
+  // the sketch proposes <= k candidates, a bounded exact recount keeps
+  // exactly {x : f(x)*(k+1) > n} — a deterministic set with exact counts,
+  // independent of how the sketch arrived at its candidates.
+
+  /** Misra-Gries aggregator with k counters. Per-row cost O(1) map ops;
+    * the decrement-all step on a full buffer is O(k) but each such step
+    * retires k+1 units of count mass, so total work is O(rows + rows/k · k)
+    * = O(rows) amortized. Merge (sum counters, subtract the (k+1)-th
+    * largest, drop non-positive) preserves G1/G2, so Spark may combine
+    * partials in any order and the GUARANTEES hold — the VALUES may differ
+    * by partitioning, which is why downstream consumers must recount
+    * (see [[guaranteedHeavyHitters]]). */
+  final class FreqItems(k: Int) extends Aggregator[String, FreqBuf, FreqBuf] {
+    override def zero: FreqBuf = FreqBuf(0L, Map.empty)
+
+    override def reduce(b: FreqBuf, x: String): FreqBuf = b.counts.get(x) match {
+      case Some(c) => FreqBuf(b.n + 1, b.counts.updated(x, c + 1))
+      case None if b.counts.size < k => FreqBuf(b.n + 1, b.counts.updated(x, 1L))
+      case None => // decrement-all: retires one unit of x and of every counter
+        FreqBuf(b.n + 1, b.counts.collect { case (i, c) if c > 1 => i -> (c - 1) })
+    }
+
+    override def merge(a: FreqBuf, b: FreqBuf): FreqBuf = {
+      val sum = b.counts.foldLeft(a.counts) { case (m, (x, c)) =>
+        m.updated(x, m.getOrElse(x, 0L) + c)
+      }
+      val pruned =
+        if (sum.size <= k) sum
+        else {
+          // subtract the (k+1)-th largest count from all; at most k survive
+          val delta = sum.valuesIterator.toArray.sortInPlace()(Ordering[Long].reverse)(k)
+          sum.collect { case (i, c) if c > delta => i -> (c - delta) }
+        }
+      FreqBuf(a.n + b.n, pruned)
+    }
+
+    override def finish(r: FreqBuf): FreqBuf = r
+
+    override def bufferEncoder: Encoder[FreqBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[FreqBuf]()
+    override def outputEncoder: Encoder[FreqBuf] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[FreqBuf]()
+  }
+
+  /** Column form: `freqItems(k)(itemCol)` in `agg` — returns a struct
+    * `(n, counts)` with at most k candidate counters. */
+  def freqItems(k: Int): Column => Column = {
+    val agg = udaf(new FreqItems(k), Encoders.STRING)
+    (item: Column) => agg(item)
+  }
+
+  /** The deterministic heavy-hitter operator: exactly
+    * `{x : f(x) * (k+1) > n}` with exact counts, found WITHOUT an exact
+    * group-by over the full item domain.
+    *
+    * Two passes: (1) one Misra-Gries aggregation — map-side partials are
+    * bounded at k counters per partition, the exchange moves O(k) per
+    * partition, never the vocabulary; (2) the <= k candidates broadcast
+    * back over the stream for an exact recount (map-side semi-probe +
+    * one bounded aggregation), and the integer-exact cut
+    * `n_exact * (k+1) > n` keeps precisely the true heavy hitters that G3
+    * proves are all among the candidates. At 100 TB the vocabulary never
+    * shuffles — only 2 scans, k counters per partition, and k recount
+    * rows move. */
+  def guaranteedHeavyHitters(items: DataFrame, itemCol: Column, k: Int): DataFrame = {
+    val tok = items.select(itemCol.as("item")).where(col("item").isNotNull)
+    val sk = tok.agg(freqItems(k)(col("item")).as("sk"), count(lit(1)).as("n_total"))
+    val cand = sk.select(explode(map_keys(col("sk.counts"))).as("item"), col("n_total"))
+    tok.join(broadcast(cand), Seq("item"))
+      .groupBy(col("item"), col("n_total"))
+      .agg(count(lit(1)).as("n_exact"))
+      .where(col("n_exact") * (k + 1) > col("n_total"))
+      .select(col("item"), col("n_exact"), col("n_total"))
   }
 }

@@ -57,4 +57,50 @@ object TransformWithStateOps {
       .transformWithState(new InactivitySessionProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Update())
   }
+
+  final case class GroupToken(grp: String, w: String)
+  final case class GroupTopK(grp: String, w: String, c: Long, rk: Long)
+
+  /** Continuous per-group top-k (q61's streaming twin): exact token counts
+    * in `MapState` keyed by group, refreshed top-k emitted for every group
+    * a micro-batch touches (untouched groups emit nothing — the
+    * reference's only-changed-keys propagation contract).
+    *
+    * State shape at scale: one map per group, sized by that group's
+    * vocabulary — the same asymptotics as the batch counts table q61
+    * aggregates, but sharded by group key across the state store (RocksDB)
+    * instead of materialized per query. Per batch, cost is
+    * O(vocab log vocab) for TOUCHED groups only; the input stream itself
+    * never re-aggregates. Production variants can swap the exact map for
+    * the bounded Misra-Gries summary ([[graft.ext.Sketches.FreqItems]])
+    * when per-group vocabularies are unbounded. */
+  final class GroupTopKProcessor(k: Int)
+      extends StatefulProcessor[String, GroupToken, GroupTopK] {
+
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[GroupToken],
+        timerValues: TimerValues): Iterator[GroupTopK] = {
+      rows.foreach { r =>
+        val prev = if (counts.containsKey(r.w)) counts.getValue(r.w) else 0L
+        counts.updateValue(r.w, prev + 1L)
+      }
+      // q61's ordering exactly: count desc, token asc, rank 1..k
+      counts.iterator().toArray
+        .sortBy { case (w, c) => (-c, w) }
+        .take(k).iterator.zipWithIndex
+        .map { case ((w, c), i) => GroupTopK(key, w, c, i + 1L) }
+    }
+  }
+
+  def groupTopK(ds: Dataset[GroupToken], k: Int): Dataset[GroupTopK] = {
+    implicit val outEnc: Encoder[GroupTopK] = Encoders.product[GroupTopK]
+    ds.groupByKey(_.grp)(Encoders.STRING)
+      .transformWithState(new GroupTopKProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

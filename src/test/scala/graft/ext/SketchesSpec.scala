@@ -135,4 +135,85 @@ class SketchesSpec extends AnyFunSuite {
       .collect()(0).getLong(1)
     assert(unseen >= 0L)
   }
+
+  // --- Misra-Gries frequent items (q98's operator) ---
+
+  /** Asserts G1-G3 for a summary against the true frequency map. */
+  private def assertMgGuarantees(buf: FreqBuf, truth: Map[String, Long],
+      k: Int, ctx: String): Unit = {
+    val n = truth.values.sum
+    assert(buf.n == n, s"$ctx: n")
+    assert(buf.counts.size <= k, s"$ctx: size")
+    val s = buf.counts.values.sum
+    val bound = (n - s).toDouble / (k + 1)
+    buf.counts.foreach { case (x, c) =>
+      val f = truth.getOrElse(x, 0L)
+      assert(c <= f, s"$ctx: G1 over-count on $x ($c > $f)") // G1
+      assert(f - c <= bound, s"$ctx: G2 error on $x")        // G2
+    }
+    truth.foreach { case (x, f) => // G3: heavy item must be tracked
+      if (f * (k + 1L) > n)
+        assert(buf.counts.contains(x), s"$ctx: G3 missing heavy $x")
+    }
+  }
+
+  test("property: Misra-Gries G1/G2/G3 hold under random streams, splits, and merge order") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val k = 4
+    val agg = new Sketches.FreqItems(k)
+    // zipf-ish small domain: item i drawn with weight ~ 1/(i+1)
+    val itemGen = Gen.frequency((1 to 12).map(i => (13 - i, Gen.const(s"t$i"))): _*)
+    val gen = Gen.listOfN(120, itemGen)
+    (0 until 200).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { xs =>
+        val truth = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val direct = xs.foldLeft(agg.zero)(agg.reduce)
+        assertMgGuarantees(direct, truth, k, s"seed $i direct")
+        // split at a rotating cut, merge both ways — guarantees must survive
+        val cut = i % (xs.length + 1)
+        val (l, r) = xs.splitAt(cut)
+        val lb = l.foldLeft(agg.zero)(agg.reduce)
+        val rb = r.foldLeft(agg.zero)(agg.reduce)
+        assertMgGuarantees(agg.merge(lb, rb), truth, k, s"seed $i merge")
+        assertMgGuarantees(agg.merge(rb, lb), truth, k, s"seed $i merge-swap")
+      }
+    }
+  }
+
+  test("Misra-Gries multiway merge keeps guarantees (simulates many partitions)") {
+    val k = 8
+    val agg = new Sketches.FreqItems(k)
+    val xs = (0 until 5000).map(i => s"w${i % (if (i % 3 == 0) 5 else 400)}")
+    val truth = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val merged = xs.grouped(137)
+      .map(_.foldLeft(agg.zero)(agg.reduce))
+      .reduce(agg.merge)
+    assertMgGuarantees(merged, truth, k, "multiway")
+  }
+
+  test("guaranteedHeavyHitters = exact {x : f(x)*(k+1) > n}, invariant under repartitioning") {
+    import spark.implicits._
+    // 3 heavy items (400/3000 = 2/15 share each, strictly > 1/9) in a
+    // 200-item tail
+    val rows = ((0 until 1200).map(_ % 3).map(i => s"heavy$i") ++
+      (0 until 1800).map(i => s"tail${i % 200}")).toDF("item")
+    val k = 8
+    val expected = rows.groupBy("item").count()
+      .where(col("count") * (k + 1) > lit(3000L))
+      .orderBy("item").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    for (parts <- Seq(1, 13)) {
+      val got = Sketches.guaranteedHeavyHitters(rows.repartition(parts), col("item"), k)
+        .orderBy("item").collect()
+        .map(r => (r.getString(0), r.getAs[Long]("n_exact"))).toSeq
+      assert(got == expected, s"parts=$parts")
+      assert(got.map(_._1) == Seq("heavy0", "heavy1", "heavy2"))
+    }
+  }
+
+  test("guaranteedHeavyHitters: empty result when nothing exceeds n/(k+1)") {
+    import spark.implicits._
+    val rows = (0 until 1000).map(i => s"u$i").toDF("item") // all-distinct stream
+    assert(Sketches.guaranteedHeavyHitters(rows, col("item"), 8).count() == 0L)
+  }
 }

@@ -201,6 +201,47 @@ class ReplayDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("columnar path is the default plan; vectorized=false agrees row-for-row") {
+    val path = s"$sfDir/events.parquet"
+    val colDf = viaConnector(path) // default: vectorized
+    // DSv2 inserts ColumnarToRow above a scan whose factory reports
+    // columnar support — its presence proves batches flow
+    val plan = colDf.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), plan)
+    val rowDf = spark.read.format("graft-replay")
+      .option("tsCol", "ts").option("vectorized", "false").load(path)
+    assert(!rowDf.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val a = colDf.orderBy("event_id").collect().toSeq
+    val b = rowDf.orderBy("event_id").collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("columnar and row paths agree on a ts-sliced, projected scan (all types)") {
+    import spark.implicits._
+    val path = s"/tmp/graft_v2_coltypes_${System.nanoTime()}"
+    // every supported primitive, with nulls in each nullable column
+    (0L until 5000L).map { i =>
+      (i, if (i % 7 == 0) None else Some(i % 2 == 0),
+        if (i % 5 == 0) None else Some(i.toInt * 3),
+        if (i % 11 == 0) None else Some(s"s$i"),
+        if (i % 3 == 0) None else Some(i.toFloat / 7f),
+        if (i % 13 == 0) None else Some(i.toDouble / 11d))
+    }.toDF("ts", "b", "i", "s", "f", "d").coalesce(1)
+      .write.option("parquet.block.size", "65536").parquet(path)
+    def read(vec: Boolean) = spark.read.format("graft-replay")
+      .option("tsCol", "ts").option("vectorized", vec.toString).load(path)
+      .where(col("ts") > 500L && col("ts") <= 3500L)
+      .select("ts", "b", "s", "d") // projected subset
+    val a = read(true).orderBy("ts").collect().toSeq
+    val b = read(false).orderBy("ts").collect().toSeq
+    assert(a.size == 3000 && a == b)
+  }
+
+  test("bare count(*) works (zero-column projection stays on the row path)") {
+    val n = viaConnector(s"$sfDir/events.parquet").count()
+    assert(n == spark.read.parquet(s"$sfDir/events.parquet").count())
+  }
+
   test("repeated cursor advances see disjoint, exhaustive slices") {
     val all = spark.read.parquet(s"$sfDir/events.parquet")
     val bounds = all.agg(min(col("ts")), max(col("ts"))).collect()(0)

@@ -45,4 +45,46 @@ class TransformWithStateSpec extends AnyFunSuite {
       } finally query.stop()
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("groupTopK: final emission per group equals the batch q61 top-k across batch splits") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{GroupToken, GroupTopK}
+      // two groups with interleaved skewed vocabularies; ties exercised
+      val toks: Seq[GroupToken] =
+        (0 until 300).map(i => GroupToken("en", s"w${i % (3 + i % 7)}")) ++
+          (0 until 200).map(i => GroupToken("fr", s"m${i % 11}"))
+      val k = 5
+
+      // latest emission per group, captured batch-by-batch (update mode
+      // re-emits a group's full top-k whenever the batch touches it)
+      val latest = scala.collection.mutable.Map[String, Seq[GroupTopK]]()
+      val input = MemoryStream[GroupToken]
+      val query = TransformWithStateOps.groupTopK(input.toDS(), k)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[GroupTopK], _: Long) =>
+          df.collect().groupBy(_.grp).foreach { case (g, rows) =>
+            latest(g) = rows.toSeq.sortBy(_.rk)
+          }
+        }.start()
+      try {
+        toks.grouped(120).foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      } finally query.stop()
+
+      // batch reference: q61's exact shape on the same rows
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy(col("grp")).orderBy(col("c").desc, col("w").asc)
+      val expected = toks.toDF("grp", "w")
+        .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(win).cast("long"))
+        .where(col("rk") <= k)
+        .as[GroupTopK].collect().groupBy(_.grp)
+        .map { case (g, rows) => g -> rows.toSeq.sortBy(_.rk) }
+
+      assert(latest.keySet == Set("en", "fr"))
+      expected.foreach { case (g, want) => assert(latest(g) == want, s"group $g") }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
