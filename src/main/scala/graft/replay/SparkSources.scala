@@ -100,6 +100,19 @@ final class SparkParquetDataSink(path: String) extends DataSink[DataFrame] {
       batches.reduce(_.unionByName(_)).write.mode("overwrite").parquet(path)
 }
 
+/** Per-cycle append sink on the `graft-replay` V2 write path: every cycle's
+  * batch lands as its own task-committed parquet slice, immediately visible
+  * to (and row-group-prunable by) a downstream replay reader cursoring the
+  * same directory — the replay-LOG shape, where [[SparkParquetDataSink]] is
+  * the replay-SNAPSHOT shape (one write at close, reference semantics).
+  * Use this one when cycles are many or the run may be interrupted: no
+  * driver-side batch buffer, nothing lost on a crash mid-run. */
+final class ReplayAppendDataSink(path: String) extends DataSink[DataFrame] {
+  override def append(timestamp: Nanos, data: DataFrame): Unit =
+    data.write.format("graft-replay").mode("append").save(path)
+  override def close(): Unit = ()
+}
+
 /** CSV sink twin (reference CSV sink, `examples/replay_concepts.py:94-108`). */
 final class SparkCsvDataSink(path: String) extends DataSink[DataFrame] {
   private val batches = mutable.ArrayBuffer.empty[DataFrame]

@@ -48,6 +48,25 @@ class SparkIoSpec extends AnyFunSuite {
     assert(spark.read.option("header", "true").csv(s"$out/csv").count() == 2)
   }
 
+  test("ReplayAppendDataSink: each cycle lands as a prunable slice, crash loses nothing") {
+    val out = Files.createTempDirectory("graft_sink").toFile
+    val path = s"$out/log"
+    val sink = new ReplayAppendDataSink(path)
+    sink.append(0L, Seq((100L, "a"), (150L, "b")).toDF("ts", "v").coalesce(1))
+    // visible BEFORE close — the log shape (a crash here loses nothing)
+    assert(spark.read.format("graft-replay").load(path).count() == 2)
+    sink.append(1L, Seq((200L, "c")).toDF("ts", "v").coalesce(1))
+    sink.close()
+    val all = spark.read.format("graft-replay").load(path)
+    assert(all.count() == 3)
+    // two appends = two files = two row groups, each with ts stats
+    val idx = graft.sources.v2.ReplayDataSource.index(path)
+    assert(idx.groups.length == 2)
+    assert(idx.groups.forall(_.tsMin.isDefined))
+    // a slice over the second append's range prunes the first file
+    assert(all.where(col("ts") > 150L && col("ts") <= 200L).rdd.getNumPartitions == 1)
+  }
+
   test("JSON serde round-trip with explicit schema (pyarrow_kafka.py)") {
     val schema = org.apache.spark.sql.types.StructType.fromDDL("ticker STRING, price DOUBLE")
     val deser = JsonSerde.deserializer(spark, schema)
