@@ -263,6 +263,35 @@ object CorpusMining {
                 sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
           .as("r"))
 
+  /** Exact phrase search: documents containing `phrase` as a token
+    * subsequence, with the occurrence count (all positions, overlapping
+    * included).
+    *
+    * Scale shape: ONE map-only pass — the token array is hoisted into a
+    * named column (DEVNOTES rule 10) and every candidate position does a
+    * bounded m-token slice comparison against the phrase literal; no
+    * shuffle, no join, nothing collected. At 100 TB a phrase query is a
+    * single scan, embarrassingly parallel. (For high-QPS repeated
+    * queries, build a gram inverted index once — the q76 hashed-gram
+    * machinery — and turn each query into an index equality lookup; the
+    * scan below is the verify stage of that design and the whole of the
+    * one-off design.) Docs shorter than the phrase have no candidate
+    * positions (the `when` guard also keeps `sequence` off descending
+    * bounds — DEVNOTES rule 11). */
+  def phraseOccurrences(docs: DataFrame, textCol: String, idCol: String,
+      phrase: String): DataFrame = {
+    val pts = phrase.split(" ").toSeq
+    val m = pts.length
+    require(m >= 1, "phrase must have at least one token")
+    docs.select(col(idCol), split(col(textCol), " ").as("t"))
+      .select(col(idCol),
+        when(size(col("t")) >= m,
+          size(filter(sequence(lit(1), size(col("t")) - (m - 1)),
+            i => slice(col("t"), i, lit(m)) === typedLit(pts))))
+          .otherwise(0).cast("long").as("n_occ"))
+      .where(col("n_occ") > 0)
+  }
+
   /** Per-group Gini coefficient of a per-row integer measure (token
     * counts): with group rows sorted ascending and 1-based rank i,
     * gini = (2*sum(i*x_i) - (n+1)*sum(x_i)) / (n*sum(x_i)) — integer
@@ -765,6 +794,22 @@ object CorpusMining {
              |SELECT grp AS source, COUNT(*) AS n_docs, CAST(SUM(x) AS BIGINT) AS sum_x,
              |  CAST(2*SUM(i*x) - (COUNT(*)+1)*SUM(x) AS DOUBLE)/(COUNT(*)*SUM(x)) AS gini
              |FROM ranked GROUP BY grp ORDER BY source""".stripMargin),
+    ),
+
+    // Exact phrase search as one map-only scan (phraseOccurrences): docs
+    // containing the 3-token phrase, with overlapping-inclusive occurrence
+    // counts. The oracle does the identical token-slice comparison.
+    QueryDef(
+      "q99_phrase_search",
+      (s, dir) => phraseOccurrences(tbl(s, dir, "documents"), "text", "doc_id",
+          "big order scan")
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+             |o AS (SELECT doc_id,
+             |        CAST(len([i FOR i IN generate_series(1, len(t)-2)
+             |                  IF t[i:i+2] = ['big','order','scan']]) AS BIGINT) AS n_occ
+             |      FROM t WHERE len(t) >= 3)
+             |SELECT doc_id, n_occ FROM o WHERE n_occ > 0 ORDER BY doc_id""".stripMargin),
     ),
   )
 }

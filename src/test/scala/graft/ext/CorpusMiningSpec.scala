@@ -183,4 +183,28 @@ class CorpusMiningSpec extends AnyFunSuite {
     val gb = CorpusMining.giniByGroup(b, "grp", col("x"), col("id")).collect()(0).getDouble(3)
     assert(ga == gb)
   }
+
+  test("phraseOccurrences: overlaps counted, boundaries hit, short/no-match docs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),   // "a b" at positions 1,3,5
+      (2L, "a a a a"),       // "a a" overlapping would be 3 — different phrase here
+      (3L, "x y a b"),       // match at the end boundary
+      (4L, "a b x y"),       // match at the start boundary
+      (5L, "a"),             // shorter than the phrase: no candidate positions
+      (6L, "b a x"),         // tokens present but never adjacent in order
+      (7L, "ab ba"))         // substring of a token must NOT match
+      .toDF("doc_id", "text")
+    val got = CorpusMining.phraseOccurrences(docs, "text", "doc_id", "a b")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 3L), (3L, 1L), (4L, 1L)))
+    // overlapping occurrences all count
+    val overlap = CorpusMining.phraseOccurrences(docs, "text", "doc_id", "a a")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(overlap == Seq((2L, 3L)))
+    // phrase of one token = token frequency
+    val single = CorpusMining.phraseOccurrences(docs, "text", "doc_id", "a")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(single == Seq((1L, 3L), (2L, 4L), (3L, 1L), (4L, 1L), (5L, 1L), (6L, 1L)))
+  }
 }

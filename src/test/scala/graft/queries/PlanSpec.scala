@@ -194,5 +194,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("tsRange=(1704672000000000000,1705276800000000000]"),
       "literal bounds pushed into the scan for row-group pruning")
     assert(p.contains("partial_count"), "hourly agg keeps map-side partials")
+    // AQE inserts columnar transitions per query stage at materialization,
+    // so the vectorized-decode proof needs the FINAL plan
+    val df = graft.SparkEntry.queries("q81_v2_replay_hourly")(spark, dir)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "connector decodes through the vectorized columnar path")
+  }
+
+  test("q98: MG sketch aggregates with map-side partials; recount join broadcasts") {
+    val p = plan("q98_guaranteed_heavyhitters")
+    // partial ObjectHashAggregate: each partition reduces to <= k counters
+    // BEFORE the exchange — the vocabulary never shuffles
+    assert(p.contains("partial_freqitems") ||
+      ("ObjectHashAggregate".r.findAllIn(p).size >= 2 && p.contains("freqitems")),
+      s"sketch must keep a map-side partial stage:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the <= k candidates broadcast back over the stream")
+    assert(!p.contains("SortMergeJoin"), "recount must not shuffle the token stream by item")
   }
 }
