@@ -103,4 +103,64 @@ object TransformWithStateOps {
       .transformWithState(new GroupTopKProcessor(k),
         TimeMode.None(), OutputMode.Update())
   }
+
+  final case class SourceGram(src: String, g: String)
+  final case class BoilerCand(source: String, gram: String, lb: Long, n: Long)
+
+  /** Continuous per-source boilerplate candidates — the streaming twin of
+    * [[graft.ext.CorpusMining.boilerplate]], closing the one gap that kept
+    * the batch op batch-only: a crawl's per-source gram vocabulary is
+    * UNBOUNDED, so exact `MapState` counting (the [[GroupTopKProcessor]]
+    * shape) would grow state without limit. Instead each source keeps ONE
+    * Misra-Gries summary ([[graft.ext.Sketches.FreqItems]]) of its n-gram
+    * stream in `ValueState`: k counters + a total, fixed size forever.
+    * The processor calls the batch aggregator's own `reduce` — the two
+    * paths share transition functions, so the sketch guarantees (G1
+    * counters never overcount beyond the shared bound; G3 every gram with
+    * f·(k+1) > n is tracked) hold verbatim; `TransformWithStateSpec`
+    * asserts both against an exact recount across batch splits.
+    *
+    * Every micro-batch re-emits the full candidate list for TOUCHED
+    * sources only (the reference's only-changed-keys propagation
+    * contract), ordered by counter desc then gram, with the counter as
+    * the count lower bound and the source's running gram total `n`.
+    * Downstream consumers needing exact counts recount the ≤ k candidates
+    * (the q98 `guaranteedHeavyHitters` pattern) — candidates are bounded,
+    * so the recount broadcast-probes. */
+  final class BoilerplateProcessor(k: Int)
+      extends StatefulProcessor[String, SourceGram, BoilerCand] {
+
+    private val mg = new graft.ext.Sketches.FreqItems(k)
+    @transient private var sk: ValueState[graft.ext.FreqBuf] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sk = getHandle.getValueState[graft.ext.FreqBuf](
+        "sk", Encoders.product[graft.ext.FreqBuf], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[SourceGram],
+        timerValues: TimerValues): Iterator[BoilerCand] = {
+      var buf = if (sk.exists()) sk.get() else mg.zero
+      rows.foreach(r => buf = mg.reduce(buf, r.g))
+      sk.update(buf)
+      buf.counts.toArray.sortBy { case (g, c) => (-c, g) }.iterator
+        .map { case (g, c) => BoilerCand(key, g, c, buf.n) }
+    }
+  }
+
+  /** Wire [[BoilerplateProcessor]] over a streaming `documents` frame:
+    * split → n-gram explode (map-only, the batch op's exact gram
+    * definition via [[graft.ext.TextAnalysis.ngramsFromTokens]]) → keyed
+    * summary update. */
+  def streamingBoilerplate(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      srcCol: String, n: Int, k: Int): Dataset[BoilerCand] = {
+    import org.apache.spark.sql.functions._
+    implicit val inEnc: Encoder[SourceGram] = Encoders.product[SourceGram]
+    implicit val outEnc: Encoder[BoilerCand] = Encoders.product[BoilerCand]
+    docs.select(col(srcCol).as("src"), split(col(textCol), " ").as("toks"))
+      .select(col("src"), explode(graft.ext.TextAnalysis.ngramsFromTokens("toks", n)).as("g"))
+      .as[SourceGram]
+      .groupByKey(_.src)(Encoders.STRING)
+      .transformWithState(new BoilerplateProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -87,4 +87,60 @@ class TransformWithStateSpec extends AnyFunSuite {
       expected.foreach { case (g, want) => assert(latest(g) == want, s"group $g") }
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streamingBoilerplate: MG guarantees hold across batch splits; recount == exact guarantee set") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.BoilerCand
+      // planted per-source template phrases over unique filler vocabulary
+      val docs: Seq[(String, String)] =
+        (0 until 40).map(i => ("en", s"cookie policy accepted u$i v$i")) ++
+          (0 until 30).map(i => ("fr", s"offre speciale ici w$i"))
+      val k = 8
+
+      val latest = scala.collection.mutable.Map[String, Seq[BoilerCand]]()
+      val input = MemoryStream[(String, String)]
+      val query = TransformWithStateOps
+        .streamingBoilerplate(input.toDF().toDF("source", "text"), "text", "source", 2, k)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[BoilerCand], _: Long) =>
+          df.collect().groupBy(_.source).foreach { case (s, rows) =>
+            latest(s) = rows.toSeq.sortBy(c => (-c.lb, c.gram))
+          }
+        }.start()
+      try {
+        docs.grouped(25).foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      } finally query.stop()
+
+      // exact per-source bigram counts (the ground truth MG approximates)
+      val exact: Map[String, Map[String, Long]] = docs
+        .flatMap { case (s, t) =>
+          val w = t.split(" "); w.indices.dropRight(1).map(i => (s, s"${w(i)} ${w(i + 1)}"))
+        }
+        .groupBy(_._1)
+        .map { case (s, gs) =>
+          s -> gs.groupBy(_._2).map { case (g, xs) => g -> xs.size.toLong }
+        }
+
+      assert(latest.keySet == Set("en", "fr"))
+      for (src <- Seq("en", "fr")) {
+        val cands = latest(src)
+        val counts = exact(src)
+        val n = counts.values.sum
+        assert(cands.forall(_.n == n), s"$src: running total must equal the gram count")
+        assert(cands.size <= k, s"$src: bounded state emits <= k candidates")
+        // G1: the emitted counter is a lower bound on the true count
+        cands.foreach(c => assert(c.lb <= counts(c.gram), s"$src/${c.gram} overcounts"))
+        // G3: every true heavy gram (f*(k+1) > n) is among the candidates
+        val guarantee = counts.collect { case (g, c) if c * (k + 1) > n => g }.toSet
+        assert(guarantee.nonEmpty && guarantee.subsetOf(cands.map(_.gram).toSet),
+          s"$src: guarantee set $guarantee must survive batching")
+        // the q98 consumer pattern: exact recount of the <= k candidates + cut
+        val recount = cands.map(_.gram).filter(g => counts(g) * (k + 1) > n).toSet
+        assert(recount == guarantee, s"$src: recounted candidates == guarantee set")
+      }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
