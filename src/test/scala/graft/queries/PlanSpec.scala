@@ -202,6 +202,16 @@ class PlanSpec extends AnyFunSuite {
       "connector decodes through the vectorized columnar path")
   }
 
+  test("q100: z-order stats are one map-only pass + one combinable aggregate") {
+    val p = plan("q100_zorder_stats")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "pure integer bit math needs no join and no window")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      "bucket stats keep map-side partials")
+    assert("Exchange".r.findAllIn(p).size <= 2, // one for the agg, one for the sort
+      s"only the aggregate and final sort may shuffle:\n$p")
+  }
+
   test("q98: MG sketch aggregates with map-side partials; recount join broadcasts") {
     val p = plan("q98_guaranteed_heavyhitters")
     // partial ObjectHashAggregate: each partition reduces to <= k counters
