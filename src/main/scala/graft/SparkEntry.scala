@@ -14,7 +14,8 @@ object SparkEntry {
 
   def allQueries: Seq[QueryDef] =
     Relational.all ++ graft.ext.Ext.all ++ graft.ext.CorpusMining.queries ++
-      graft.ext.Layout.queries ++
+      graft.ext.Layout.queries ++ graft.ext.Histogram.queries ++
+      graft.operators.BloomJoin.queries ++
       graft.sources.v2.ReplayQueries.queries ++ graft.queries.DagQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

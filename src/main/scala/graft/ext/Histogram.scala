@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryDef
+import graft.queries.QueryDef.tbl
+
+/** Fixed-grid histogram quantiles: per-group distribution summaries whose
+  * state is BOUNDED and whose answers are exactly reproducible across
+  * engines — the 100 TB alternative to both a full sort (exact quantiles,
+  * q49's shape: one global sort per group) and order-dependent mergeable
+  * sketches (t-digest/KLL, whose state depends on merge order and is
+  * therefore not oracle-checkable).
+  *
+  * The trick making a DOUBLE column deterministic to bin: the grid scale
+  * is a power of two, so `floor(value * scale)` is computed exactly —
+  * multiplying a double by 2^k only shifts its exponent (no rounding),
+  * and floor of an exact product is exact. Every engine with IEEE-754
+  * doubles produces the identical bin id; the quantile answer (a bin's
+  * lower bound, `bin / scale` — again exact) is then a pure integer
+  * function of the bin counts. Accuracy is ±1/scale absolute, chosen by
+  * the caller against the value domain.
+  *
+  * Scale shape: one shuffle keyed by (group, bin) with map-side partial
+  * counts — per-partition traffic is bounded by the OCCUPIED bin count,
+  * not the row count; then a per-group pass over ≤ B bins (window over
+  * the bin axis) where B = domain × scale. Quantile extraction is a
+  * conditional aggregate over those bins. Nothing is collected; the
+  * per-group state never exceeds B counters, the property that also makes
+  * the streaming twin trivial (bin-count maps merge by addition).
+  */
+object Histogram {
+
+  /** Per-group exact bin counts on the power-of-two grid. */
+  def gridBins(df: DataFrame, group: Column, value: Column, scale: Int): DataFrame = {
+    require(scale >= 1 && (scale & (scale - 1)) == 0, "scale must be a power of two")
+    df.groupBy(group.as("grp"), floor(value * scale).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-group n plus lower-bound quantile values at the given percents
+    * (ceil-rank convention: the q-quantile is the smallest bin whose
+    * cumulative count reaches ceil(q·n/100)). */
+  def gridQuantiles(df: DataFrame, group: Column, value: Column, scale: Int,
+      percents: Seq[Int]): DataFrame = {
+    val bins = gridBins(df, group, value, scale)
+    val byBin = Window.partitionBy(col("grp")).orderBy(col("bin"))
+    val whole = Window.partitionBy(col("grp"))
+    val cum = bins
+      .withColumn("cum", sum(col("cnt")).over(byBin))
+      .withColumn("n", sum(col("cnt")).over(whole))
+    val qCols = percents.map { p =>
+      // target rank ceil(p*n/100) in pure integer math (ANSI-safe: n*p
+      // stays far below Long.Max for any real corpus)
+      (min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col("bin")))
+        / lit(scale.toDouble)).as(s"p$p")
+    }
+    val aggs = max(col("n")).as("n") +: qCols
+    cum.groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+    // Per-event-type value quantiles on the 1/16 grid. The oracle rebuilds
+    // the identical bins (floor(value*16) is exact in IEEE-754) and the
+    // identical ceil-rank picks — approximate-in-value yet bit-exact
+    // across engines.
+    QueryDef(
+      "q103_grid_quantiles",
+      (s, dir) => Histogram.gridQuantiles(
+          tbl(s, dir, "events"), col("event_type"), col("value"), 16,
+          Seq(50, 90, 99))
+        .withColumnRenamed("grp", "event_type")
+        .orderBy(col("event_type")),
+      Some("""WITH b AS (
+             |  SELECT event_type, CAST(floor(value * 16) AS BIGINT) AS bin,
+             |    COUNT(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |c AS (
+             |  SELECT event_type, bin, cnt,
+             |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+             |  FROM b)
+             |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             |  MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END) / 16.0 AS p50,
+             |  MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bin END) / 16.0 AS p90,
+             |  MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) / 16.0 AS p99
+             |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+  )
+}

@@ -147,6 +147,65 @@ object TransformWithStateOps {
     }
   }
 
+  final case class GroupValue(grp: String, v: Double)
+  final case class QuantileRow(grp: String, n: Long, pct: Long, value: Double)
+
+  /** Continuous per-group grid quantiles — the streaming twin of
+    * [[graft.ext.Histogram.gridQuantiles]] (q103). State per group is the
+    * bin-count map on the power-of-two grid: bounded by the OCCUPIED bin
+    * count (≤ domain × scale), never by the row count, so it is fixed-size
+    * on an unbounded stream the same way the batch operator's shuffle is.
+    * Bins merge by addition (the map IS a mergeable sketch), and the bin
+    * id `floor(v · scale)` is the exact same IEEE-754-exact computation
+    * the batch path and the DuckDB oracle use — so the final emission
+    * equals the batch answer on the same rows regardless of how the
+    * stream was batched (asserted in `TransformWithStateSpec`).
+    *
+    * Emits refreshed quantile rows (one per requested percent, ceil-rank
+    * convention) for TOUCHED groups only — the reference's
+    * only-changed-keys propagation contract. */
+  final class GridQuantilesProcessor(scale: Int, percents: Seq[Int])
+      extends StatefulProcessor[String, GroupValue, QuantileRow] {
+
+    @transient private var bins: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      bins = getHandle.getMapState[Long, Long](
+        "bins", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[GroupValue],
+        timerValues: TimerValues): Iterator[QuantileRow] = {
+      rows.foreach { r =>
+        val b = math.floor(r.v * scale).toLong // exact: scale is 2^k
+        val prev = if (bins.containsKey(b)) bins.getValue(b) else 0L
+        bins.updateValue(b, prev + 1L)
+      }
+      val sorted = bins.iterator().toArray.sortBy(_._1)
+      val n = sorted.iterator.map(_._2).sum
+      percents.iterator.map { p =>
+        val target = (n * p + 99) / 100
+        var cum = 0L
+        var i = 0
+        var hit = Long.MinValue
+        while (i < sorted.length && hit == Long.MinValue) {
+          cum += sorted(i)._2
+          if (cum >= target) hit = sorted(i)._1
+          i += 1
+        }
+        QuantileRow(key, n, p.toLong, hit / scale.toDouble)
+      }
+    }
+  }
+
+  def streamingGridQuantiles(ds: Dataset[GroupValue], scale: Int,
+      percents: Seq[Int]): Dataset[QuantileRow] = {
+    require(scale >= 1 && (scale & (scale - 1)) == 0, "scale must be a power of two")
+    implicit val outEnc: Encoder[QuantileRow] = Encoders.product[QuantileRow]
+    ds.groupByKey(_.grp)(Encoders.STRING)
+      .transformWithState(new GridQuantilesProcessor(scale, percents),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Wire [[BoilerplateProcessor]] over a streaming `documents` frame:
     * split → n-gram explode (map-only, the batch op's exact gram
     * definition via [[graft.ext.TextAnalysis.ngramsFromTokens]]) → keyed

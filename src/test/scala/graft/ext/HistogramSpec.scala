@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class HistogramSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Independent single-pass reference: exact bin from scaled floor, then a
+    * linear scan for the ceil-rank pick. */
+  private def ref(values: Seq[Double], scale: Int, p: Int): Double = {
+    val bins = values.groupBy(v => math.floor(v * scale).toLong)
+      .view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    val n = values.size.toLong
+    val target = (n * p + 99) / 100
+    var cum = 0L
+    for ((bin, cnt) <- bins) {
+      cum += cnt
+      if (cum >= target) return bin / scale.toDouble
+    }
+    Double.NaN
+  }
+
+  test("gridQuantiles matches the independent reference on random data") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(4000) { i =>
+      (s"g${i % 3}", rnd.nextDouble() * 500 - 100) // negatives included
+    }
+    val got = Histogram.gridQuantiles(rows.toDF("g", "v"), col("g"), col("v"),
+        16, Seq(50, 90, 99))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+
+    for (g <- Seq("g0", "g1", "g2")) {
+      val vs = rows.filter(_._1 == g).map(_._2)
+      val (n, p50, p90, p99) = got(g)
+      assert(n == vs.size)
+      assert(p50 == ref(vs, 16, 50), s"$g p50")
+      assert(p90 == ref(vs, 16, 90), s"$g p90")
+      assert(p99 == ref(vs, 16, 99), s"$g p99")
+    }
+  }
+
+  test("quantile error is bounded by the grid pitch; results repartition-invariant") {
+    val vs = Seq.tabulate(977)(i => (i * 37 % 977) * 0.251)
+    val df = vs.map(("k", _)).toDF("g", "v")
+    val q50 = Histogram.gridQuantiles(df, col("g"), col("v"), 64, Seq(50))
+      .collect().head.getDouble(2)
+    val exact = vs.sorted.apply((vs.size + 1) / 2 - 1) // ceil-rank exact median
+    assert(math.abs(q50 - exact) <= 1.0 / 64, s"pitch bound: $q50 vs $exact")
+
+    val a = Histogram.gridQuantiles(df.repartition(13), col("g"), col("v"), 64,
+      Seq(50, 99)).collect().map(_.toSeq).toSeq
+    val b = Histogram.gridQuantiles(df.repartition(2), col("g"), col("v"), 64,
+      Seq(50, 99)).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("power-of-two scaling is exact: bin ids agree with BigDecimal floor") {
+    val rnd = new scala.util.Random(5)
+    val vs = Seq.fill(500)(rnd.nextDouble() * 1e6 - 5e5)
+    val got = Histogram.gridBins(vs.map(("k", _)).toDF("g", "v"), col("g"),
+        col("v"), 16)
+      .select(col("bin")).as[Long].collect().toSet
+    val want = vs.map(v => new java.math.BigDecimal(v)
+      .multiply(new java.math.BigDecimal(16))
+      .setScale(0, java.math.RoundingMode.FLOOR).longValueExact()).toSet
+    assert(got == want)
+  }
+}

@@ -223,4 +223,17 @@ class PlanSpec extends AnyFunSuite {
       "the <= k candidates broadcast back over the stream")
     assert(!p.contains("SortMergeJoin"), "recount must not shuffle the token stream by item")
   }
+
+  test("q101: Bloom prefilter sits on the fact scan BELOW the semi join") {
+    val p = plan("q101_bloom_semijoin")
+    assert(p.contains("LeftSemi"), "exact semi join present")
+    assert(p.contains("element_at"), "bloom bitset probe present")
+    // the executedPlan string prints top-down: the join (above) must appear
+    // before the probe filter (below) — i.e. the filter runs pre-shuffle
+    val join = p.indexOf("LeftSemi")
+    val probe = p.indexOf("element_at")
+    assert(join >= 0 && probe > join,
+      s"prefilter must be under the join, cutting exchange volume:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }

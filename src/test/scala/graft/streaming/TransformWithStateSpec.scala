@@ -88,6 +88,44 @@ class TransformWithStateSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streamingGridQuantiles: final emission equals batch gridQuantiles across batch splits") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{GroupValue, QuantileRow}
+      val rnd = new scala.util.Random(23)
+      val rows: Seq[GroupValue] = Seq.tabulate(900)(i =>
+        GroupValue(s"g${i % 3}", rnd.nextDouble() * 300 - 50))
+      val percents = Seq(50, 90, 99)
+
+      val latest = scala.collection.mutable.Map[(String, Long), QuantileRow]()
+      val input = MemoryStream[GroupValue]
+      val query = TransformWithStateOps.streamingGridQuantiles(input.toDS(), 16, percents)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[QuantileRow], _: Long) =>
+          df.collect().foreach(r => latest((r.grp, r.pct)) = r)
+        }.start()
+      try {
+        rows.grouped(250).foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      } finally query.stop()
+
+      // batch reference: the q103 operator on the same rows
+      val batch = graft.ext.Histogram.gridQuantiles(
+          rows.toDF("grp", "v"), col("grp"), col("v"), 16, percents)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+
+      assert(latest.keySet.map(_._1) == Set("g0", "g1", "g2"))
+      for (g <- Seq("g0", "g1", "g2")) {
+        val (n, p50, p90, p99) = batch(g)
+        assert(latest((g, 50L)) == QuantileRow(g, n, 50L, p50), s"$g p50")
+        assert(latest((g, 90L)) == QuantileRow(g, n, 90L, p90), s"$g p90")
+        assert(latest((g, 99L)) == QuantileRow(g, n, 99L, p99), s"$g p99")
+      }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streamingBoilerplate: MG guarantees hold across batch splits; recount == exact guarantee set") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
