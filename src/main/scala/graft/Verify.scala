@@ -14,7 +14,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration filter (same contract as Bench); the driver sets no
+    // env, so its runs always dump the full surface
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+    selected.foreach { case (name, fn) =>
       // Drop any previous output first: a failed query must leave NO stale
       // result behind for the comparer to pick up.
       val target = new java.io.File(s"$outDir/$name")
@@ -43,6 +48,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.exists(k.contains)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

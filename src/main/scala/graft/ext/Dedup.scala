@@ -381,4 +381,75 @@ object Dedup {
       .where(col("jaccard") >= threshold)
     verified.select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin family): every pair with token-set Jaccard >=
+    * `threshold`, ZERO false negatives — the complement to [[jaccardPairs]]
+    * (whose LSH candidates trade a ~1e-4 miss rate for cost) when the
+    * pipeline needs a provably complete pair list (contracts, eval-set
+    * hygiene audits).
+    *
+    * The filter: order all tokens by (global frequency, hash) — rarest
+    * first — and index only each set's PREFIX of length
+    * n - ceil(t*n) + 1. For any pair with J >= t the required overlap
+    * alpha = ceil(t/(1+t) * (|a|+|b|)) >= ceil(t*max(|a|,|b|))
+    * (since J >= t forces min >= t*max), and by the standard prefix
+    * lemma two sets overlapping in >= alpha elements must share a token
+    * inside both (n - alpha + 1)-prefixes — ours are at least that long.
+    * So the candidate join is keyed by prefix tokens only: each doc
+    * exposes ~(1-t)*n + 1 of its RAREST tokens, which is what keeps
+    * buckets small on a healthy corpus (frequent tokens never become join
+    * keys). A length filter (min >= t*max — also implied by J >= t)
+    * prunes inside the join condition before the exact verify.
+    *
+    * Scale shape: token frequencies are one vocabulary-sized aggregate;
+    * the frequency annotation joins back by token (AQE broadcasts the
+    * vocab side when small); per-doc ordering is a map-side array_sort of
+    * (cnt, tok64) structs; candidates shuffle 8-byte hashed tokens; the
+    * verify join ships long arrays by doc id, exactly like
+    * [[jaccardPairs]]. Worst case remains output-bound: a cluster of m
+    * identical docs IS m(m-1)/2 true result pairs — inherent to exact
+    * pair LISTING; route clustering consumers through
+    * [[clusterSurvivors]] instead.
+    *
+    * Tokens are int64-hashed throughout ([[hashedShingleSets]]'s ~2^-64
+    * per-pair collision argument); the ordering tie-break uses the hash,
+    * which is as valid a total order as the lexicographic one. */
+  def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val toks = df
+      .select(col(idCol).as("doc_id"),
+        array_distinct(transform(split(col(textCol), " "), t => xxhash64(t))).as("toks"))
+      .where(size(col("toks")) >= 1)
+    val tf = toks.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // rarest-first total order: (frequency, token hash) is unique per token
+    val sorted = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(tf, "tok")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("cnt"), col("tok")))).as("st"))
+      .select(col("doc_id"),
+        transform(col("st"), s => s.getField("tok")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    val prefixes = sorted
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("toks"), lit(1),
+          (col("n") - ceil(col("n") * threshold).cast("int") + 1))).as("tok"))
+    val candidates = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+            greatest(col("a.n"), col("b.n")) * threshold)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    candidates
+      .join(toks.select(col("doc_id").as("a_id"), col("toks").as("sa")), "a_id")
+      .join(toks.select(col("doc_id").as("b_id"), col("toks").as("sb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
 }

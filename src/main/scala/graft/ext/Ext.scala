@@ -1151,5 +1151,28 @@ object Ext {
              |HAVING COUNT(*) * 65 > n.n_total
              |ORDER BY n_exact DESC, item""".stripMargin),
     ),
+
+    // EXACT set-similarity join via prefix filtering (AllPairs/PPJoin
+    // family): provably complete pair list — no LSH miss rate — with
+    // candidates generated only from each doc's rarest-token prefix. The
+    // oracle is the brute-force O(n^2) scan; unlike q26 (whose agreement
+    // leans on the 1-(1-J^2)^32 recall bound) agreement here is exact by
+    // construction (the prefix lemma), so any mismatch is a bug, not bad
+    // luck.
+    QueryDef(
+      "q104_prefix_jaccard_join",
+      (s, dir) => Dedup.prefixJaccardPairs(
+          tbl(s, dir, "documents"), "text", "doc_id", 0.9)
+        .orderBy(col("a_id"), col("b_id")),
+      Some("""WITH s AS (
+             |  SELECT doc_id, list_distinct(string_split(text,' ')) AS s
+             |  FROM documents)
+             |SELECT a_id, b_id, ROUND(j, 6) AS jaccard FROM (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |      / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) AS j
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+             |WHERE j >= 0.9 ORDER BY a_id, b_id""".stripMargin),
+    ),
   )
 }

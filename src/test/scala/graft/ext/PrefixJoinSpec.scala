@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Exactness of the prefix-filtered set-similarity join: unlike the LSH
+  * pipelines (probabilistic recall), prefixJaccardPairs claims a COMPLETE
+  * pair list — so the reference here is a brute-force all-pairs scan and
+  * any missing pair is a bug. */
+class PrefixJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Independent in-memory brute force over string token sets. */
+  private def brute(docs: Seq[(Long, String)], t: Double): Set[(Long, Long)] = {
+    val sets = docs.map { case (id, s) => id -> s.split(" ").toSet }
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= t
+    } yield (a, b)).toSet
+  }
+
+  private def run(docs: Seq[(Long, String)], t: Double): Set[(Long, Long)] =
+    Dedup.prefixJaccardPairs(docs.toDF("doc_id", "text"), "text", "doc_id", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("complete vs brute force on a random templated corpus, several thresholds") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector.tabulate(60)(i => s"w$i")
+    // templated docs with mutations — dense near-dup structure like the
+    // driver corpus, plus unrelated docs
+    val base = Seq.tabulate(12)(_ => Seq.fill(8 + rnd.nextInt(10))(
+      vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val docs: Seq[(Long, String)] = Seq.tabulate(150) { i =>
+      val txt =
+        if (i % 3 == 0) base(rnd.nextInt(base.size))
+        else {
+          val b = base(rnd.nextInt(base.size)).split(" ").toBuffer
+          if (b.nonEmpty && rnd.nextBoolean()) b(rnd.nextInt(b.size)) = vocab(rnd.nextInt(vocab.size))
+          if (rnd.nextBoolean()) b += vocab(rnd.nextInt(vocab.size))
+          b.mkString(" ")
+        }
+      (i.toLong, txt)
+    }
+    for (t <- Seq(0.5, 0.7, 0.9, 1.0)) {
+      assert(run(docs, t) == brute(docs, t), s"threshold $t")
+    }
+  }
+
+  test("identical docs, single-token docs, and threshold 1.0 corners") {
+    val docs: Seq[(Long, String)] = Seq(
+      (1L, "a b c"), (2L, "c b a"), (3L, "a"), (4L, "a"), (5L, "x y"),
+      (6L, "a b c d"), (7L, "b c a a a")) // dup tokens collapse to the set
+    val got = run(docs, 1.0)
+    assert(got == Set((1L, 2L), (1L, 7L), (2L, 7L), (3L, 4L)))
+    // threshold low enough to catch the subset pair {a,b,c} vs {a,b,c,d}
+    assert(run(docs, 0.75).contains((1L, 6L)))
+  }
+
+  test("jaccard values match the exact division") {
+    val docs: Seq[(Long, String)] = Seq((1L, "a b c d"), (2L, "a b c e"))
+    val rows = Dedup.prefixJaccardPairs(docs.toDF("doc_id", "text"), "text",
+      "doc_id", 0.5).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getDouble(2) == 0.6) // 3/5
+  }
+}

@@ -236,4 +236,11 @@ class PlanSpec extends AnyFunSuite {
       s"prefilter must be under the join, cutting exchange volume:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q104: prefix-filter join is token-keyed — no all-pairs join anywhere") {
+    val p = plan("q104_prefix_jaccard_join")
+    assert(!p.contains("CartesianProduct"), "no cross product anywhere")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no conditional all-pairs join")
+    assert(p.contains("xxhash64"), "tokens are int64-hashed before any shuffle")
+  }
 }
