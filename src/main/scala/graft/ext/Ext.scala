@@ -1174,5 +1174,49 @@ object Ext {
              |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
              |WHERE j >= 0.9 ORDER BY a_id, b_id""".stripMargin),
     ),
+
+    // Unigram-LM surprisal (CCNet-style perplexity filter) in quarter-bit
+    // INTEGER log2 — no libm log anywhere, so even the "approximate"
+    // surprisal is bit-exact across engines (the integer-grid rule applied
+    // to logarithms). The oracle recomputes the identical quarterLog2
+    // formula in SQL.
+    QueryDef(
+      "q105_lm_surprisal",
+      (s, dir) => TextAnalysis.unigramSurprisal(
+          tbl(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+             |tf AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+             |tfq AS (
+             |  SELECT w, CASE WHEN length(bin(cnt)) - 1 <= 14
+             |    THEN length(bin(cnt*cnt*cnt*cnt)) - 1
+             |    ELSE 4 * (length(bin(cnt)) - 15) +
+             |         length(bin((cnt >> (length(bin(cnt)) - 15))
+             |                   *(cnt >> (length(bin(cnt)) - 15))
+             |                   *(cnt >> (length(bin(cnt)) - 15))
+             |                   *(cnt >> (length(bin(cnt)) - 15)))) - 1 END AS ql
+             |  FROM tf),
+             |nq AS (
+             |  SELECT CASE WHEN length(bin(nt)) - 1 <= 14
+             |    THEN length(bin(nt*nt*nt*nt)) - 1
+             |    ELSE 4 * (length(bin(nt)) - 15) +
+             |         length(bin((nt >> (length(bin(nt)) - 15))
+             |                   *(nt >> (length(bin(nt)) - 15))
+             |                   *(nt >> (length(bin(nt)) - 15))
+             |                   *(nt >> (length(bin(nt)) - 15)))) - 1 END AS qn
+             |  FROM (SELECT COUNT(*) AS nt FROM tok))
+             |SELECT doc_id, n_tokens, bits_q4,
+             |  CAST(bits_q4 AS DOUBLE) / (n_tokens * 4) AS bits_per_token,
+             |  CASE WHEN bits_q4 * 1000 < n_tokens * 19052 THEN 'common'
+             |       WHEN bits_q4 * 1000 > n_tokens * 19100 THEN 'rare'
+             |       ELSE 'mid' END AS band
+             |FROM (
+             |  SELECT t.doc_id, COUNT(*) AS n_tokens,
+             |    CAST(SUM(nq.qn - f.ql) AS BIGINT) AS bits_q4
+             |  FROM tok t JOIN tfq f USING (w), nq
+             |  GROUP BY t.doc_id)
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

@@ -136,6 +136,65 @@ object TextAnalysis {
     expr(s"graft_simhash(array_distinct(split($textCol, ' ')), $bits)")
   }
 
+  /** floor-ish(4·log2(x)) for positive longs in PURE integer math —
+    * quarter-bit log2 resolution with zero floating point, so Spark and
+    * any SQL oracle produce the identical integer (the engine-wide
+    * integer-grid rule applied to logarithms; a libm `log` differs by
+    * ulps across engines and would break hash-exact compares).
+    *
+    * Construction: floor(log2 x) = length(bin(x)) - 1 exactly; quarter
+    * bits come from floor(log2(x^4)). x^4 overflows past 2^15, so larger
+    * x are first truncated to their top 15 bits (t = x >> (m-14), t^4 <
+    * 2^60 — ANSI-safe) and the shifted-out magnitude is added back as
+    * 4·(m-14). The truncation under-reads log2 by < 2^-13 — a
+    * DETERMINISTIC approximation, identical wherever the formula runs.
+    * Both CASE branches are lazy (Spark CaseWhen and DuckDB CASE), so the
+    * small-x branch's x^4 never evaluates for large x. */
+  def quarterLog2(x: Column): Column = {
+    val m = length(bin(x)) - 1
+    val t = call_function("shiftright", x, m - 14)
+    when(m <= 14, length(bin(x * x * x * x)) - 1)
+      .otherwise((m - 14) * 4 + length(bin(t * t * t * t)) - 1)
+      .cast("long")
+  }
+
+  /** Unigram-LM surprisal scoring — the CCNet-style perplexity filter: fit
+    * the cheapest possible LM (unigram counts over the corpus itself) and
+    * score every document by its average per-token surprisal
+    * -log2 p(w) = log2 N - log2 cnt(w), measured in [[quarterLog2]]
+    * quarter-bits so the whole statistic is integer-exact cross-engine
+    * (one final double division for the human-readable bits/token).
+    * Low surprisal = template/boilerplate mass; high = rare-token noise;
+    * production keeps the middle of the curve.
+    *
+    * `band` demonstrates the integer-cut pattern on ABSOLUTE thresholds
+    * (bits_q4·1000 vs cut·n — no doubles in the decision); a production
+    * pipeline would cut at per-language QUANTILES of bits_per_token —
+    * compose with [[Histogram.gridQuantiles]] for exactly that.
+    *
+    * Scale shape: one vocabulary aggregate (map-side partials), one
+    * token-keyed annotation join (AQE broadcasts the vocab side when
+    * small and skew-splits hot stopword keys otherwise), one per-doc
+    * aggregate; the 1-row corpus total broadcasts. Nothing shuffles but
+    * (token, count) pairs and per-doc partial sums. */
+  def unigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("w"))
+    val tf = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("w"), quarterLog2(col("cnt")).as("ql"))
+    val nq = tok.agg(count(lit(1)).as("nt"))
+      .select(quarterLog2(col("nt")).as("qn"))
+    tok.join(tf, "w")
+      .crossJoin(broadcast(nq))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("qn") - col("ql")).as("bits_q4"))
+      .select(col("doc_id"), col("n_tokens"), col("bits_q4"),
+        (col("bits_q4").cast("double") / (col("n_tokens") * 4)).as("bits_per_token"),
+        when(col("bits_q4") * 1000 < col("n_tokens") * 19052, "common")
+          .when(col("bits_q4") * 1000 > col("n_tokens") * 19100, "rare")
+          .otherwise("mid").as("band"))
+  }
+
   /** Interpreted HOF reference of [[simhashN]] — kept for the
     * codegen-vs-reference agreement test (the VecDot pattern). */
   def simhashNHof(textCol: String, bits: Int): Column = {
