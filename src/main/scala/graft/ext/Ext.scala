@@ -1218,5 +1218,47 @@ object Ext {
              |  GROUP BY t.doc_id)
              |ORDER BY doc_id""".stripMargin),
     ),
+
+    // SemDeDup: cluster embeddings (deterministic lowest-id centroids, the
+    // q43 machinery), drop within-cluster near-duplicates keeping the
+    // member farthest from its centroid. Fully deterministic given the
+    // centroid set, so the oracle replicates assignment (argmax + cid
+    // tie-break), keep order, and the dominance rule exactly.
+    QueryDef(
+      "q106_semdedup",
+      (s, dir) => Similarity.semDeDup(
+          tbl(s, dir, "embeddings"), "embedding", "vec_id", eps = 0.4,
+          numCentroids = 16)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id")),
+      Some("""WITH n AS (
+             |  SELECT vec_id, embedding,
+             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+             |  FROM embeddings),
+             |cents AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+             |assign AS (
+             |  SELECT vec_id, cid, csim AS ccos FROM (
+             |    SELECT x.vec_id, c.cid,
+             |      (list_sum([CAST(x.embedding[i] AS DOUBLE)*c.cv[i]
+             |                 FOR i IN generate_series(1,len(x.embedding))])/(x.nrm*c.cnrm)) AS csim,
+             |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+             |        (list_sum([CAST(x.embedding[i] AS DOUBLE)*c.cv[i]
+             |                   FOR i IN generate_series(1,len(x.embedding))])/(x.nrm*c.cnrm)) DESC,
+             |        c.cid) AS crk
+             |    FROM n x CROSS JOIN cents c) WHERE crk = 1),
+             |rem AS (
+             |  SELECT DISTINCT ax.vec_id
+             |  FROM assign ax
+             |  JOIN n x ON x.vec_id = ax.vec_id
+             |  JOIN assign ay ON ay.cid = ax.cid AND ay.vec_id != ax.vec_id
+             |  JOIN n y ON y.vec_id = ay.vec_id
+             |  WHERE (ay.ccos < ax.ccos OR (ay.ccos = ax.ccos AND ay.vec_id < ax.vec_id))
+             |    AND list_sum([CAST(x.embedding[i] AS DOUBLE)*y.embedding[i]
+             |                  FOR i IN generate_series(1,len(x.embedding))])/(x.nrm*y.nrm) >= 0.4)
+             |SELECT a.vec_id, a.cid, a.ccos,
+             |  a.vec_id NOT IN (SELECT vec_id FROM rem) AS kept
+             |FROM assign a ORDER BY a.vec_id""".stripMargin),
+    ),
   )
 }

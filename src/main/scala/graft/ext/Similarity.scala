@@ -292,6 +292,69 @@ object Similarity {
       .agg(avg(col("best"))).head.getDouble(0)
   }
 
+  /** SemDeDup — semantic deduplication via embedding clusters (the
+    * pretraining-corpus recipe: cluster embeddings with k-means, then
+    * drop near-duplicates WITHIN clusters only, so the pair scan never
+    * crosses cluster boundaries). This composes the IVF machinery:
+    * centroids are the same deterministic lowest-id set (swap in
+    * [[trainCentroids]] output via [[semDeDupWith]] for trained ones),
+    * assignment is the same literal-centroid map-only argmax.
+    *
+    * Dedup rule (declarative SemDeDup): x is REMOVED iff some same-cluster
+    * y with cos(x,y) >= eps precedes it in keep order — keep order is
+    * ascending (centroid cosine, id), i.e. the member FARTHEST from its
+    * centroid survives its duplicate pair (SemDeDup's keep-the-outlier
+    * choice, which preserves diversity; the id breaks exact ties). The
+    * pairwise-dominance form replaces the paper's sequential greedy scan
+    * with one cluster-keyed semi join — deterministic, order-free, and
+    * slightly more aggressive (a chain a~b~c removes b and c even when
+    * cos(a,c) < eps; for near-dup graphs at eps this is the standard
+    * approximation — route through [[Dedup.connectedComponents]] when
+    * exact component-level survivorship is required).
+    *
+    * Scale shape: assignment map-only (k×d literals); the dominance join
+    * is an equi join ON cid — per-cluster work is bounded by cluster
+    * size² in the worst case, the inherent SemDeDup cost (pick k ~ n/
+    * target-cluster-size; audit skew with [[Dedup.oversizedBuckets]] on
+    * the (cid, id) assignment). Output is one row per vector. */
+  def semDeDup(corpus: DataFrame, vecCol: String, idCol: String,
+      eps: Double, numCentroids: Int = 16): DataFrame = {
+    val cents: Array[(Long, Seq[Float], Double)] =
+      withNorm(corpus.where(col(idCol) < numCentroids), vecCol)
+        .select(col(idCol).cast("long"), col(vecCol), col("nrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+        .sortBy(_._1)
+    semDeDupWith(cents, corpus, vecCol, idCol, eps)
+  }
+
+  /** [[semDeDup]] over an explicit centroid set. */
+  def semDeDupWith(cents: Seq[(Long, Seq[Float], Double)], corpus: DataFrame,
+      vecCol: String, idCol: String, eps: Double): DataFrame = {
+    val centSims = array(cents.map { case (cid, cv, cnrm) =>
+      struct((dot(col(vecCol), typedLit(cv)) / (col("nrm") * lit(cnrm))).as("csim"),
+        lit(-cid).as("negcid"))
+    }: _*)
+    val assigned = withNorm(corpus, vecCol)
+      .withColumn("best", array_max(centSims))
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("nrm"),
+        (-col("best").getField("negcid")).as("cid"),
+        col("best").getField("csim").as("ccos"))
+    val x = assigned.select(col("id"), col("cid"), col("v"), col("nrm"), col("ccos"))
+    val y = assigned.select(col("id").as("y_id"), col("cid").as("y_cid"),
+      col("v").as("y_v"), col("nrm").as("y_nrm"), col("ccos").as("y_ccos"))
+    val removed = x.join(y,
+        col("cid") === col("y_cid") && col("id") =!= col("y_id") &&
+          (col("y_ccos") < col("ccos") ||
+            (col("y_ccos") === col("ccos") && col("y_id") < col("id"))) &&
+          dot(col("v"), col("y_v")) / (col("nrm") * col("y_nrm")) >= eps,
+        "left_semi")
+      .select(col("id"))
+    assigned
+      .join(removed.select(col("id"), lit(true).as("_rm")).distinct(), Seq("id"), "left_outer")
+      .select(col("id"), col("cid"), col("ccos"), col("_rm").isNull.as("kept"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates share a bucket in at least
     * one of the hash tables; exact cosine re-rank on the (deduplicated)
     * candidate set. Approximate by design — the scale path for ANN: bucket

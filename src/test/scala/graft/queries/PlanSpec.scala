@@ -237,6 +237,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q106: SemDeDup dominance join is cid-keyed with literal-centroid assignment") {
+    val p = plan("q106_semdedup")
+    assert(!p.contains("CartesianProduct"), "no cross product anywhere")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "pair scan must stay within clusters")
+    assert(p.contains("graft_vec_dot"), "assignment + verify use the codegen dot kernel")
+  }
+
   test("q104: prefix-filter join is token-keyed — no all-pairs join anywhere") {
     val p = plan("q104_prefix_jaccard_join")
     assert(!p.contains("CartesianProduct"), "no cross product anywhere")
