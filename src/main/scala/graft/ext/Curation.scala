@@ -41,4 +41,40 @@ object Curation {
         sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("kept_tokens"),
         min(col("doc_id")).as("first_doc"))
   }
+
+  /** CCNet's actual keep rule composed from this engine's operators:
+    * score every doc with the unigram-LM surprisal
+    * ([[TextAnalysis.unigramSurprisal]]) and keep, PER SOURCE, the middle
+    * of the distribution — docs between the loPct and hiPct surprisal
+    * quantiles (head = boilerplate/template mass, tail = rare-token
+    * noise). Quantiles run on an INTEGER surprisal grid:
+    * bin = (bits_q4·64) div (4·n) is 1/16-bit resolution in pure integer
+    * division, then the same ceil-rank extraction as
+    * [[Histogram.gridQuantiles]] — so the cut, and hence every keep
+    * decision, is bit-exact across engines (absolute-threshold banding in
+    * `unigramSurprisal.band` is corpus-size sensitive; this quantile form
+    * is the production shape).
+    *
+    * Scale: the surprisal stages as in [[TextAnalysis.unigramSurprisal]];
+    * the quantile pass is one (source, bin) aggregate — per-source state
+    * is the occupied-bin count, never the doc count — and the per-source
+    * cut table is tiny (broadcast back). */
+  def surprisalBandFilter(docs: DataFrame, textCol: String, idCol: String,
+      srcCol: String, loPct: Int = 25, hiPct: Int = 75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = TextAnalysis.unigramSurprisal(docs, textCol, idCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(srcCol).as("source")), "doc_id")
+      .withColumn("bin", expr("(bits_q4 * 64) div (n_tokens * 4)"))
+    val byBin = Window.partitionBy(col("source")).orderBy(col("bin"))
+    val whole = Window.partitionBy(col("source"))
+    val cum = s.groupBy(col("source"), col("bin")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byBin))
+      .withColumn("n", sum(col("cnt")).over(whole))
+    val cuts = cum.groupBy(col("source")).agg(
+      min(when(col("cum") >= expr(s"(n * $loPct + 99) div 100"), col("bin"))).as("b_lo"),
+      min(when(col("cum") >= expr(s"(n * $hiPct + 99) div 100"), col("bin"))).as("b_hi"))
+    s.join(broadcast(cuts), "source")
+      .select(col("doc_id"), col("source"), col("bin"),
+        col("bin").between(col("b_lo"), col("b_hi")).as("keep"))
+  }
 }

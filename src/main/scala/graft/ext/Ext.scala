@@ -1260,5 +1260,58 @@ object Ext {
              |  a.vec_id NOT IN (SELECT vec_id FROM rem) AS kept
              |FROM assign a ORDER BY a.vec_id""".stripMargin),
     ),
+
+    // CCNet's keep rule as a composition: per-SOURCE quantile cut of the
+    // q105 surprisal, on a 1/16-bit integer grid (integer division + the
+    // q103 ceil-rank extraction) — head and tail of each source's
+    // distribution dropped, decisions bit-exact across engines.
+    QueryDef(
+      "q107_ccnet_band_filter",
+      (s, dir) => Curation.surprisalBandFilter(
+          tbl(s, dir, "documents"), "text", "doc_id", "source")
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+             |tf AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+             |tfq AS (
+             |  SELECT w, CASE WHEN length(bin(cnt)) - 1 <= 14
+             |    THEN length(bin(cnt*cnt*cnt*cnt)) - 1
+             |    ELSE 4 * (length(bin(cnt)) - 15) +
+             |         length(bin((cnt >> (length(bin(cnt)) - 15))
+             |                   *(cnt >> (length(bin(cnt)) - 15))
+             |                   *(cnt >> (length(bin(cnt)) - 15))
+             |                   *(cnt >> (length(bin(cnt)) - 15)))) - 1 END AS ql
+             |  FROM tf),
+             |nq AS (
+             |  SELECT CASE WHEN length(bin(nt)) - 1 <= 14
+             |    THEN length(bin(nt*nt*nt*nt)) - 1
+             |    ELSE 4 * (length(bin(nt)) - 15) +
+             |         length(bin((nt >> (length(bin(nt)) - 15))
+             |                   *(nt >> (length(bin(nt)) - 15))
+             |                   *(nt >> (length(bin(nt)) - 15))
+             |                   *(nt >> (length(bin(nt)) - 15)))) - 1 END AS qn
+             |  FROM (SELECT COUNT(*) AS nt FROM tok)),
+             |d AS (
+             |  SELECT t.doc_id, COUNT(*) AS n,
+             |    CAST(SUM(nq.qn - f.ql) AS BIGINT) AS bits_q4
+             |  FROM tok t JOIN tfq f USING (w), nq GROUP BY t.doc_id),
+             |s AS (
+             |  SELECT d.doc_id, doc.source, (bits_q4 * 64) // (n * 4) AS bin
+             |  FROM d JOIN documents doc USING (doc_id)),
+             |b AS (SELECT source, bin, COUNT(*) AS cnt FROM s GROUP BY 1, 2),
+             |c AS (
+             |  SELECT source, bin, cnt,
+             |    SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+             |    SUM(cnt) OVER (PARTITION BY source) AS n
+             |  FROM b),
+             |cuts AS (
+             |  SELECT source,
+             |    MIN(CASE WHEN cum >= (n * 25 + 99) // 100 THEN bin END) AS b_lo,
+             |    MIN(CASE WHEN cum >= (n * 75 + 99) // 100 THEN bin END) AS b_hi
+             |  FROM c GROUP BY source)
+             |SELECT s.doc_id, s.source, s.bin,
+             |  s.bin BETWEEN cuts.b_lo AND cuts.b_hi AS keep
+             |FROM s JOIN cuts USING (source) ORDER BY s.doc_id""".stripMargin),
+    ),
   )
 }
