@@ -418,20 +418,7 @@ object Dedup {
   def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
-    val toks = df
-      .select(col(idCol).as("doc_id"),
-        array_distinct(transform(split(col(textCol), " "), t => xxhash64(t))).as("toks"))
-      .where(size(col("toks")) >= 1)
-    val tf = toks.select(explode(col("toks")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    // rarest-first total order: (frequency, token hash) is unique per token
-    val sorted = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .join(tf, "tok")
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("cnt"), col("tok")))).as("st"))
-      .select(col("doc_id"),
-        transform(col("st"), s => s.getField("tok")).as("toks"))
-      .withColumn("n", size(col("toks")))
+    val sorted = rarestFirstTokenSets(df, textCol, idCol)
     val prefixes = sorted
       .select(col("doc_id"), col("n"),
         explode(slice(col("toks"), lit(1),
@@ -444,12 +431,76 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     candidates
-      .join(toks.select(col("doc_id").as("a_id"), col("toks").as("sa")), "a_id")
-      .join(toks.select(col("doc_id").as("b_id"), col("toks").as("sb")), "b_id")
+      .join(sorted.select(col("doc_id").as("a_id"), col("toks").as("sa")), "a_id")
+      .join(sorted.select(col("doc_id").as("b_id"), col("toks").as("sb")), "b_id")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Distinct int64-hashed token sets sorted RAREST-FIRST under the global
+    * (frequency, token hash) total order — the shared substrate of the
+    * prefix-filter joins ([[prefixJaccardPairs]], [[containmentPairs]]).
+    * Output: (doc_id, toks, n). One vocabulary aggregate + one token-keyed
+    * annotation join + a map-side array_sort. */
+  def rarestFirstTokenSets(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc_id"),
+        array_distinct(transform(split(col(textCol), " "), t => xxhash64(t))).as("toks"))
+      .where(size(col("toks")) >= 1)
+    val tf = toks.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(tf, "tok")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("cnt"), col("tok")))).as("st"))
+      .select(col("doc_id"),
+        transform(col("st"), s => s.getField("tok")).as("toks"))
+      .withColumn("n", size(col("toks")))
+  }
+
+  /** ASYMMETRIC containment join: pairs (a, b), a != b, with
+    * |A∩B|/|A| >= `threshold` — "B contains (most of) A". The pair shape
+    * Jaccard MISSES by construction: a short doc fully quoted inside a
+    * long one has tiny Jaccard but containment 1.0, and quote/subset
+    * duplication is exactly what eval-set leakage and license screening
+    * must catch.
+    *
+    * Prefix filter, containment flavor: |A∩B| >= ceil(t·|A|) means A's
+    * shared tokens cannot all hide in its last ceil(t·|A|)-1 rarest-first
+    * positions, so A's prefix of length |A| - ceil(t·|A|) + 1 shares a
+    * token with B — but B's matching token can sit ANYWHERE in B, so the
+    * B side indexes ALL its tokens (the inverted-index side of the join).
+    * At t = 1.0 (exact subset) A's prefix is its single RAREST token.
+    * Bucket skew stays bounded for the same reason as the Jaccard join:
+    * a token globally common (big B-side bucket) is by construction
+    * almost never any doc's rarest-prefix token (tiny A-side bucket), so
+    * the per-key product stays small. A length filter |B| >= ceil(t·|A|)
+    * prunes in the join condition. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val sorted = rarestFirstTokenSets(df, textCol, idCol)
+    val prefixes = sorted
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("toks"), lit(1),
+          (col("n") - ceil(col("n") * threshold).cast("int") + 1))).as("tok"))
+    val full = sorted
+      .select(col("doc_id").as("b_id"), col("n").as("bn"), explode(col("toks")).as("tok"))
+    val candidates = prefixes.as("a")
+      .join(full.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.b_id") &&
+          col("b.bn").cast("double") >= ceil(col("a.n") * threshold))
+      .select(col("a.doc_id").as("a_id"), col("b.b_id").as("b_id"))
+      .distinct()
+    candidates
+      .join(sorted.select(col("doc_id").as("a_id"), col("toks").as("sa")), "a_id")
+      .join(sorted.select(col("doc_id").as("b_id"), col("toks").as("sb")), "b_id")
+      .withColumn("containment",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") / size(col("sa")))
+      .where(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("containment"), 6).as("containment"))
   }
 }

@@ -1313,5 +1313,85 @@ object Ext {
              |  s.bin BETWEEN cuts.b_lo AND cuts.b_hi AS keep
              |FROM s JOIN cuts USING (source) ORDER BY s.doc_id""".stripMargin),
     ),
+
+    // kNN label-noise audit: every vector's own label vs the majority label
+    // of its 5 IVF-candidate nearest neighbors (corpus-scale self-kNN — the
+    // inverted-list join, probes NOT broadcast). All tie-breaks pinned
+    // (assignment -> lowest cid, top-k -> lowest nid, vote -> lowest
+    // label), so the oracle replicates every decision.
+    QueryDef(
+      "q108_knn_label_audit",
+      (s, dir) => Similarity.knnLabelAudit(
+          tbl(s, dir, "embeddings"), "embedding", "vec_id", "label",
+          k = 5, numCentroids = 16, nprobe = 2)
+        .orderBy(col("vec_id")),
+      Some("""WITH n AS (
+             |  SELECT vec_id, label, embedding,
+             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+             |  FROM embeddings),
+             |cents AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+             |corpus_assign AS (
+             |  SELECT nid, cid FROM (
+             |    SELECT x.vec_id AS nid, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+             |        (list_sum([CAST(x.embedding[i] AS DOUBLE)*c.cv[i]
+             |                   FOR i IN generate_series(1,len(x.embedding))])/(x.nrm*c.cnrm)) DESC,
+             |        c.cid) AS crk
+             |    FROM n x CROSS JOIN cents c) WHERE crk = 1),
+             |probes AS (
+             |  SELECT qid, cid FROM (
+             |    SELECT q.vec_id AS qid, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             |        (list_sum([CAST(q.embedding[i] AS DOUBLE)*c.cv[i]
+             |                   FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*c.cnrm)) DESC,
+             |        c.cid) AS crk
+             |    FROM n q CROSS JOIN cents c) WHERE crk <= 2),
+             |cand AS (
+             |  SELECT DISTINCT p.qid, a.nid
+             |  FROM probes p JOIN corpus_assign a ON a.cid = p.cid WHERE p.qid != a.nid),
+             |sims AS (
+             |  SELECT c.qid, c.nid,
+             |    list_sum([CAST(q.embedding[i] AS DOUBLE)*x.embedding[i]
+             |              FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*x.nrm) AS sim
+             |  FROM cand c JOIN n q ON q.vec_id = c.qid JOIN n x ON x.vec_id = c.nid),
+             |top AS (
+             |  SELECT qid, nid FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+             |    FROM sims) WHERE rk <= 5),
+             |vote AS (
+             |  SELECT t.qid, eq.label AS label, en.label AS nlab, COUNT(*) AS c
+             |  FROM top t
+             |  JOIN embeddings eq ON eq.vec_id = t.qid
+             |  JOIN embeddings en ON en.vec_id = t.nid
+             |  GROUP BY 1, 2, 3)
+             |SELECT vec_id, label, knn_label, votes, label = knn_label AS agree
+             |FROM (
+             |  SELECT qid AS vec_id, label, nlab AS knn_label,
+             |    CAST(c AS BIGINT) AS votes,
+             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nlab) AS rk
+             |  FROM vote) WHERE rk = 1
+             |ORDER BY vec_id""".stripMargin),
+    ),
+
+    // Exact subset-containment pairs (|A∩B|/|A| = 1.0): the asymmetric
+    // duplication Jaccard misses — a short doc fully quoted inside a long
+    // one. Candidates = share A's single rarest token (the t=1.0 prefix);
+    // the oracle is the brute-force asymmetric scan, agreement exact by
+    // the prefix lemma.
+    QueryDef(
+      "q109_subset_containment",
+      (s, dir) => Dedup.containmentPairs(
+          tbl(s, dir, "documents"), "text", "doc_id", 1.0)
+        .orderBy(col("a_id"), col("b_id")),
+      Some("""WITH s AS (
+             |  SELECT doc_id, list_distinct(string_split(text,' ')) AS s
+             |  FROM documents)
+             |SELECT a_id, b_id, ROUND(c, 6) AS containment FROM (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)/len(a.s) AS c
+             |  FROM s a JOIN s b ON a.doc_id != b.doc_id)
+             |WHERE c >= 1.0 ORDER BY a_id, b_id""".stripMargin),
+    ),
   )
 }

@@ -163,10 +163,15 @@ object Similarity {
   }
 
   /** [[ivfTopK]] over an EXPLICIT centroid set (e.g. from
-    * [[trainCentroids]]) — the machinery is centroid-agnostic. */
+    * [[trainCentroids]]) — the machinery is centroid-agnostic.
+    * `broadcastProbes` fits the query-set shape: true (default) for the
+    * serving case (small query set against a big corpus — probes ship to
+    * every task); false for corpus-scale query sets (self-kNN audits),
+    * where both sides shuffle by centroid id instead — the inverted-list
+    * co-partitioned join. */
   def ivfTopKWith(cents: Seq[(Long, Seq[Float], Double)], corpus: DataFrame,
       queries: DataFrame, vecCol: String, idCol: String, k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, broadcastProbes: Boolean = true): DataFrame = {
     // struct(csim, -cid): array_max / descending sort then break ties to the
     // LOWEST centroid id, matching the oracle's ORDER BY csim DESC, cid.
     def centSims(nrmCol: Column): Column = array(cents.map { case (cid, cv, cnrm) =>
@@ -185,12 +190,48 @@ object Similarity {
     // list) and a query's probes have distinct cids, so (qid, nid) is
     // already unique — no dedup needed; project the sim immediately so
     // nothing after the broadcast join carries vector payloads.
-    val sims = invertedLists.join(broadcast(probes), Seq("cid"))
+    val probeSide = if (broadcastProbes) broadcast(probes) else probes
+    val sims = invertedLists.join(probeSide, Seq("cid"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         (dot(col("v_qid"), col("v_nid")) / (col("nrm_qid") * col("nrm_nid"))).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     sims.withColumn("rk", row_number().over(w)).where(col("rk") <= k).drop("rk")
+  }
+
+  /** kNN label-noise audit (confident-learning's cheap cousin): for every
+    * vector, the majority label among its k approximate nearest neighbors
+    * vs its OWN label — disagreements are the mislabeled-example review
+    * queue every labeled-dataset pipeline needs. Routed through the IVF
+    * machinery (never a brute-force scan): candidates come from each
+    * vector's `nprobe` nearest inverted lists with `broadcastProbes =
+    * false` (corpus-scale query set — both sides shuffle by centroid id).
+    * Fully deterministic: IVF assignment ties break to the lowest
+    * centroid id, the top-k to the lowest neighbor id, and the vote to
+    * the LOWEST label on count ties — so the oracle replicates every
+    * decision. Output: (vec_id, label, knn_label, votes, agree). */
+  def knnLabelAudit(corpus: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, k: Int = 5, numCentroids: Int = 16,
+      nprobe: Int = 2): DataFrame = {
+    val cents: Array[(Long, Seq[Float], Double)] =
+      withNorm(corpus.where(col(idCol) < numCentroids), vecCol)
+        .select(col(idCol).cast("long"), col(vecCol), col("nrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+        .sortBy(_._1)
+    val top = ivfTopKWith(cents, corpus, corpus, vecCol, idCol, k, nprobe,
+      broadcastProbes = false)
+    val labels = corpus.select(col(idCol).as("id"), col(labelCol).as("lab"))
+    top
+      .join(labels.select(col("id").as("qid"), col("lab").as("label")), "qid")
+      .join(labels.select(col("id").as("nid"), col("lab").as("nlab")), "nid")
+      .groupBy(col("qid"), col("label"), col("nlab"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("qid").as("vec_id"), col("label"))
+      .agg(max_by(col("nlab"), struct(col("c"), -col("nlab"))).as("knn_label"),
+        max(col("c")).as("votes"))
+      .select(col("vec_id"), col("label"), col("knn_label"), col("votes"),
+        (col("label") === col("knn_label")).as("agree"))
   }
 
   /** Cosine of every vector to the CORPUS CENTROID — the cheap

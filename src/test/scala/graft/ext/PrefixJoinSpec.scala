@@ -67,4 +67,37 @@ class PrefixJoinSpec extends AnyFunSuite {
     assert(rows.length == 1)
     assert(rows.head.getDouble(2) == 0.6) // 3/5
   }
+
+  /** Asymmetric brute force for containment |A∩B|/|A| >= t, a != b. */
+  private def bruteContain(docs: Seq[(Long, String)], t: Double): Set[(Long, Long)] = {
+    val sets = docs.map { case (id, s) => id -> s.split(" ").toSet }
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      if (sa & sb).size.toDouble / sa.size >= t
+    } yield (a, b)).toSet
+  }
+
+  test("containmentPairs: complete vs brute force; catches the quote pair Jaccard misses") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector.tabulate(50)(i => s"w$i")
+    val docs: Seq[(Long, String)] = Seq.tabulate(120) { i =>
+      val n = 3 + rnd.nextInt(12)
+      val body = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      // every 5th doc quotes a short fragment of the previous doc inside
+      // fresh padding — containment-1.0 pairs with low Jaccard
+      (i.toLong, body.mkString(" "))
+    } ++ Seq((200L, "w1 w2 w3"), (201L, "w1 w2 w3 " + Vector.tabulate(20)(i => s"p$i").mkString(" ")))
+    for (t <- Seq(0.8, 1.0)) {
+      val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"), "text", "doc_id", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == bruteContain(docs, t), s"threshold $t")
+    }
+    // the planted quote pair is found in the asymmetric direction only
+    val got1 = Dedup.containmentPairs(docs.toDF("doc_id", "text"), "text", "doc_id", 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got1.contains((200L, 201L)) && !got1.contains((201L, 200L)))
+    // ... and its Jaccard (3/23) is far below any near-dup threshold
+    assert(!Dedup.prefixJaccardPairs(docs.toDF("doc_id", "text"), "text", "doc_id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet.contains((200L, 201L)))
+  }
 }

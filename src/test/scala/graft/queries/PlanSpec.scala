@@ -250,4 +250,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "no conditional all-pairs join")
     assert(p.contains("xxhash64"), "tokens are int64-hashed before any shuffle")
   }
+
+  test("q109: containment join is token-keyed — no all-pairs join anywhere") {
+    val p = plan("q109_subset_containment")
+    assert(!p.contains("CartesianProduct"), "no cross product anywhere")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no conditional all-pairs join")
+  }
 }
