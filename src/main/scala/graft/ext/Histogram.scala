@@ -61,6 +61,46 @@ object Histogram {
     cum.groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Kolmogorov–Smirnov drift audit on the grid: for every group, the KS
+    * distance between ITS value distribution and the REST of the corpus —
+    * sup over grid bins of |F_grp(b) - F_rest(b)|. The drift detector a
+    * corpus pipeline runs between crawl snapshots / sources before mixing;
+    * here grid-quantized (±1/scale in the value axis) which makes it
+    * integer-exact: the sup is computed on |cum_g·n_rest - cum_rest·n_g|
+    * (pure BIGINT cross-multiplication; safe while total rows < ~3·10^9 —
+    * products stay under 2^63; switch the two products to decimal(38,0)
+    * beyond), with ONE double division at the end.
+    *
+    * The CDFs are evaluated on the union of occupied bins (a group's CDF
+    * is flat where it has no mass but the rest may jump — skipping those
+    * bins would under-read the sup), via a groups × occupied-bins dense
+    * fill. That cross join is METADATA-sized by construction (#groups ×
+    * #occupied bins, both bounded regardless of row count — the same
+    * argument as [[gridBins]]' state bound), not a data cross join. */
+  def ksDrift(df: DataFrame, group: Column, value: Column, scale: Int): DataFrame = {
+    val bins = gridBins(df, group, value, scale)
+    val dense = bins.select(col("grp")).distinct()
+      .crossJoin(bins.select(col("bin")).distinct())
+      .join(bins, Seq("grp", "bin"), "left_outer")
+      .na.fill(0L, Seq("cnt"))
+    val byBin = Window.partitionBy(col("grp")).orderBy(col("bin"))
+    val cum = dense
+      .withColumn("cum", sum(col("cnt")).over(byBin))
+      .withColumn("gcum", sum(col("cum")).over(Window.partitionBy(col("bin"))))
+      .withColumn("n_g", sum(col("cnt")).over(Window.partitionBy(col("grp"))))
+      .withColumn("n_all", sum(col("cnt")).over(Window.partitionBy()))
+    cum
+      .withColumn("scaled", abs(
+        col("cum") * (col("n_all") - col("n_g")) -
+          (col("gcum") - col("cum")) * col("n_g")))
+      .groupBy(col("grp"))
+      .agg(max(col("n_g")).as("n"), max(col("n_all")).as("n_total"),
+        max(col("scaled")).as("ks_scaled"))
+      .select(col("grp"), col("n"), col("ks_scaled"),
+        (col("ks_scaled").cast("double") /
+          (col("n") * (col("n_total") - col("n")))).as("ks"))
+  }
+
   val queries: Seq[QueryDef] = Seq(
     // Per-event-type value quantiles on the 1/16 grid. The oracle rebuilds
     // the identical bins (floor(value*16) is exact in IEEE-754) and the
@@ -87,6 +127,39 @@ object Histogram {
              |  MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bin END) / 16.0 AS p90,
              |  MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) / 16.0 AS p99
              |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+
+    // Distribution drift per event type: grid-KS distance of each type's
+    // value distribution vs the rest of the corpus. Integer cross-
+    // multiplication up to the single final division — bit-exact across
+    // engines despite being a "statistical" measure.
+    QueryDef(
+      "q110_ks_drift",
+      (s, dir) => Histogram.ksDrift(
+          tbl(s, dir, "events"), col("event_type"), col("value"), 16)
+        .withColumnRenamed("grp", "event_type")
+        .orderBy(col("event_type")),
+      Some("""WITH b AS (
+             |  SELECT event_type AS grp, CAST(floor(value * 16) AS BIGINT) AS bin,
+             |    COUNT(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |dense AS (
+             |  SELECT g.grp, a.bin, COALESCE(b.cnt, 0) AS cnt
+             |  FROM (SELECT DISTINCT grp FROM b) g
+             |  CROSS JOIN (SELECT DISTINCT bin FROM b) a
+             |  LEFT JOIN b ON b.grp = g.grp AND b.bin = a.bin),
+             |c AS (
+             |  SELECT grp, bin, cnt,
+             |    SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+             |    SUM(cnt) OVER (PARTITION BY grp) AS n_g,
+             |    SUM(cnt) OVER () AS n_all
+             |  FROM dense),
+             |c2 AS (SELECT *, SUM(cum) OVER (PARTITION BY bin) AS gcum FROM c)
+             |SELECT grp AS event_type, CAST(MAX(n_g) AS BIGINT) AS n,
+             |  CAST(MAX(abs(cum*(n_all-n_g) - (gcum-cum)*n_g)) AS BIGINT) AS ks_scaled,
+             |  CAST(MAX(abs(cum*(n_all-n_g) - (gcum-cum)*n_g)) AS DOUBLE)
+             |    / (MAX(n_g) * (MAX(n_all) - MAX(n_g))) AS ks
+             |FROM c2 GROUP BY grp ORDER BY event_type""".stripMargin),
     ),
   )
 }

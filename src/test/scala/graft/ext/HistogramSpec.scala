@@ -59,6 +59,41 @@ class HistogramSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("ksDrift matches the independent reference and ranks the planted drifter first") {
+    val rnd = new scala.util.Random(31)
+    // g0/g1 same distribution, g2 shifted — drift must rank g2 highest
+    val rows = Seq.tabulate(3000) { i =>
+      val g = i % 3
+      val v = if (g == 2) rnd.nextDouble() * 40 + 12 else rnd.nextDouble() * 40
+      (s"g$g", v)
+    }
+    val got = Histogram.ksDrift(rows.toDF("g", "v"), col("g"), col("v"), 16)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+
+    // independent reference on the union of occupied bins
+    val binned = rows.map { case (g, v) => (g, math.floor(v * 16).toLong) }
+    val allBins = binned.map(_._2).distinct.sorted
+    val perGrp = binned.groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap
+    val nTot = rows.size.toLong
+    for ((g, cnts) <- perGrp) {
+      val nG = cnts.values.sum
+      val nRest = nTot - nG
+      var cumG = 0L; var cumAll = 0L; var best = 0L
+      for (b <- allBins) {
+        cumG += cnts.getOrElse(b, 0L)
+        cumAll += perGrp.valuesIterator.map(_.getOrElse(b, 0L)).sum
+        best = math.max(best, math.abs(cumG * nRest - (cumAll - cumG) * nG))
+      }
+      assert(got(g) == ((nG, best, best.toDouble / (nG * nRest))), s"group $g")
+    }
+    // g2 is the planted drifter; g0/g1's one-vs-rest KS is nonzero only
+    // because g2 contaminates their "rest"
+    assert(got("g2")._3 > 1.5 * got("g0")._3 && got("g2")._3 > 1.5 * got("g1")._3)
+    assert(got("g2")._3 > 0.2)
+  }
+
   test("power-of-two scaling is exact: bin ids agree with BigDecimal floor") {
     val rnd = new scala.util.Random(5)
     val vs = Seq.fill(500)(rnd.nextDouble() * 1e6 - 5e5)
