@@ -52,6 +52,23 @@ object BloomJoin {
     java.lang.Integer.numberOfTrailingZeros(m)
   }
 
+  /** JVM mirror of [[positions]] for per-row streaming state code
+    * ([[graft.streaming.TransformWithStateOps.BloomDedupProcessor]]):
+    * same md5-derived hash ([[Sampling.portableHash]]'s exact definition —
+    * first 15 hex chars base-16), same double-hash layout, so a bitset
+    * built row-side is interchangeable with one built by the aggregate.
+    * Pinned equal to the Column form in `BloomJoinSpec`. */
+  def positionsJvm(key: String, m: Int, j: Int): Array[Long] = {
+    val log2m = require2(m)
+    val mask = (m - 1).toLong
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val h1 = h & mask
+    val h2 = ((h >> log2m) & mask) | 1L
+    Array.tabulate(j)(i => (h1 + i.toLong * h2) & mask)
+  }
+
   /** The j probe positions of `key` in a Bloom filter of `m` bits (m a
     * power of two), as long Columns in [0, m). */
   private def positions(key: Column, m: Int, j: Int): Seq[Column] = {

@@ -147,6 +147,57 @@ object TransformWithStateOps {
     }
   }
 
+  final case class ShardedKey(shard: Int, key: String)
+  final case class SeenFlag(key: String, dup: Boolean)
+
+  /** Streaming "seen before?" dedup with FIXED state on an unbounded
+    * stream — the Bloom tradeoff moved into the state store: exact
+    * streaming dedup ([[Streaming.streamingDedup]]-style keyed state)
+    * grows with the distinct-key count forever, while this holds m bits
+    * per shard regardless of stream length, never misses a true repeat
+    * (no false negatives), and flags a bounded false-positive fraction of
+    * first-sights as dups (~(1-e^{-jn/m})^j). The bit layout is EXACTLY
+    * [[graft.operators.BloomJoin]]'s (md5 double-hash via
+    * `positionsJvm`, pinned equal to the Column form in its spec), so a
+    * filter primed by the batch aggregate and one built row-by-row here
+    * are interchangeable. State is a SPARSE word map (occupied words
+    * only, <= m/64 entries) — the [[GridQuantilesProcessor]] bound style.
+    * Shard keys ([[ShardedKey.shard]] = any stable hash of the key) to
+    * spread the filters across the state store. */
+  final class BloomDedupProcessor(m: Int, j: Int)
+      extends StatefulProcessor[Int, ShardedKey, SeenFlag] {
+
+    @transient private var words: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      words = getHandle.getMapState[Long, Long](
+        "words", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[ShardedKey],
+        timerValues: TimerValues): Iterator[SeenFlag] = {
+      rows.map { r =>
+        val pos = graft.operators.BloomJoin.positionsJvm(r.key, m, j)
+        var dup = true
+        var i = 0
+        while (i < pos.length) {
+          val w = pos(i) >> 6
+          val bit = 1L << (pos(i) & 63L).toInt
+          val cur = if (words.containsKey(w)) words.getValue(w) else 0L
+          if ((cur & bit) == 0L) { dup = false; words.updateValue(w, cur | bit) }
+          i += 1
+        }
+        SeenFlag(r.key, dup)
+      }
+    }
+  }
+
+  def streamingBloomDedup(ds: Dataset[ShardedKey], m: Int, j: Int): Dataset[SeenFlag] = {
+    implicit val outEnc: Encoder[SeenFlag] = Encoders.product[SeenFlag]
+    ds.groupByKey(_.shard)(Encoders.scalaInt)
+      .transformWithState(new BloomDedupProcessor(m, j),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class GroupValue(grp: String, v: Double)
   final case class QuantileRow(grp: String, n: Long, pct: Long, value: Double)
 

@@ -63,6 +63,17 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(fp < 0.05, s"false-positive rate $fp")
   }
 
+  test("positionsJvm is interchangeable with the Column path: same bitset from either side") {
+    val keys = (0L until 250L).map(k => k * 91 % 700)
+    val colWords = BloomJoin.bloomWords(keys.toDF("k"), col("k"), m, j)
+    val jvmWords = new Array[Long](m / 64)
+    keys.distinct.foreach { k =>
+      BloomJoin.positionsJvm(k.toString, m, j)
+        .foreach(p => jvmWords((p >> 6).toInt) |= 1L << (p & 63))
+    }
+    assert(colWords.toSeq == jvmWords.toSeq)
+  }
+
   test("bloomSemiJoin == plain semi join (exactness), and the prefilter actually prunes") {
     val dir = "/root/testdata/sf0.001"
     val orders = spark.read.parquet(s"$dir/orders.parquet")

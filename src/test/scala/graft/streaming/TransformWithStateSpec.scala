@@ -88,6 +88,49 @@ class TransformWithStateSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streamingBloomDedup: repeats always flagged; per-key flag multisets match the seen-set model") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{SeenFlag, ShardedKey}
+      val m = 1 << 16
+      val j = 4
+      val rnd = new scala.util.Random(41)
+      // 3 batches with repeats inside and across batches
+      val keys: Seq[String] = Seq.tabulate(300)(_ => s"k${rnd.nextInt(80)}")
+      val rows = keys.map(k => ShardedKey(math.abs(k.hashCode) % 4, k))
+
+      // at this load factor the Bloom state must be FP-free: verify with the
+      // same bit math the processor uses, so the seen-set model is exact
+      val words = new Array[Long](m / 64)
+      keys.distinct.foreach { k =>
+        val pos = graft.operators.BloomJoin.positionsJvm(k, m, j)
+        assert(!pos.forall(p => ((words((p >> 6).toInt) >> (p & 63)) & 1L) == 1L),
+          s"false positive for first-sight $k — the seen-set model would not be exact")
+        pos.foreach(p => words((p >> 6).toInt) |= 1L << (p & 63))
+      }
+
+      val got = scala.collection.mutable.ArrayBuffer[SeenFlag]()
+      val input = MemoryStream[ShardedKey]
+      val query = TransformWithStateOps.streamingBloomDedup(input.toDS(), m, j)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[SeenFlag], _: Long) =>
+          got ++= df.collect(); ()
+        }.start()
+      try {
+        rows.grouped(100).foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      } finally query.stop()
+
+      // per-key flag multiset: exactly one first-sight false, repeats true
+      val gotByKey = got.groupBy(_.key).view
+        .mapValues(_.map(_.dup).sorted.toSeq).toMap
+      val wantByKey = keys.groupBy(identity).view
+        .mapValues(occ => (false +: Seq.fill(occ.size - 1)(true)).sorted).toMap
+      assert(gotByKey == wantByKey)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streamingGridQuantiles: final emission equals batch gridQuantiles across batch splits") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
