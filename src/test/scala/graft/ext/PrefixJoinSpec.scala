@@ -100,4 +100,19 @@ class PrefixJoinSpec extends AnyFunSuite {
     assert(!Dedup.prefixJaccardPairs(docs.toDF("doc_id", "text"), "text", "doc_id", 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet.contains((200L, 201L)))
   }
+
+  test("both joins are repartition-invariant (deterministic result sets)") {
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector.tabulate(40)(i => s"w$i")
+    val docs = Seq.tabulate(100)(i =>
+      (i.toLong, Seq.fill(4 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    def rows(parts: Int) = {
+      val df = docs.toDF("doc_id", "text").repartition(parts)
+      (Dedup.prefixJaccardPairs(df, "text", "doc_id", 0.7)
+         .collect().map(_.toSeq).toSet,
+       Dedup.containmentPairs(df, "text", "doc_id", 0.9)
+         .collect().map(_.toSeq).toSet)
+    }
+    assert(rows(2) == rows(13))
+  }
 }
