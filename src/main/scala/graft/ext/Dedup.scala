@@ -415,10 +415,17 @@ object Dedup {
     * Tokens are int64-hashed throughout ([[hashedShingleSets]]'s ~2^-64
     * per-pair collision argument); the ordering tie-break uses the hash,
     * which is as valid a total order as the lexicographic one. */
+  /** Set granularity: k = 1 dedups on unigram token sets; k >= 2 on
+    * k-shingle sets ([[hashedShingleSets]]) — the near-dup granularity
+    * (q26's), where the pair list is sparse on real corpora because
+    * shingles, unlike tokens, rarely collide across unrelated docs. */
   def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, k: Int = 1): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
-    val sorted = rarestFirstTokenSets(df, textCol, idCol)
+    // cached: referenced by both prefix sides AND both verify joins — the
+    // shingle+sort pipeline must not run four times (the q26 sh.cache()
+    // lesson)
+    val sorted = rarestFirstSets(elementSets(df, textCol, idCol, k)).cache()
     val prefixes = sorted
       .select(col("doc_id"), col("n"),
         explode(slice(col("toks"), lit(1),
@@ -440,55 +447,81 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Distinct int64-hashed token sets sorted RAREST-FIRST under the global
-    * (frequency, token hash) total order — the shared substrate of the
-    * prefix-filter joins ([[prefixJaccardPairs]], [[containmentPairs]]).
-    * Output: (doc_id, toks, n). One vocabulary aggregate + one token-keyed
-    * annotation join + a map-side array_sort. */
-  def rarestFirstTokenSets(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df
-      .select(col(idCol).as("doc_id"),
-        array_distinct(transform(split(col(textCol), " "), t => xxhash64(t))).as("toks"))
-      .where(size(col("toks")) >= 1)
-    val tf = toks.select(explode(col("toks")).as("tok"))
+  /** Distinct int64-hashed element sets at the chosen granularity:
+    * (doc_id, s). k = 1 → unigram tokens, k >= 2 → k-shingles. */
+  def elementSets(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    if (k <= 1)
+      df.select(col(idCol).as("doc_id"),
+          array_distinct(transform(split(col(textCol), " "), t => xxhash64(t))).as("s"))
+        .where(size(col("s")) >= 1)
+    else hashedShingleSets(df, textCol, idCol, k)
+
+  /** Element frequencies over a sets frame: (tok, cnt). */
+  def elementFrequencies(sets: DataFrame): DataFrame =
+    sets.select(explode(col("s")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    toks.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .join(tf, "tok")
+
+  /** Sets re-sorted RAREST-FIRST under the (frequency, element hash) total
+    * order given by `tf` — the shared substrate of the prefix-filter joins
+    * ([[prefixJaccardPairs]], [[containmentPairs]]). Elements absent from
+    * `tf` count as frequency 0 (rarest of all) — exactly right for
+    * probe-vs-corpus containment, where a probe element unseen in the
+    * corpus guarantees zero matches and should dominate the prefix.
+    * Output: (doc_id, toks, n). One annotation join + a map-side
+    * array_sort. */
+  def rarestFirstSets(sets: DataFrame, tf: DataFrame): DataFrame =
+    sets.select(col("doc_id"), explode(col("s")).as("tok"))
+      .join(tf, Seq("tok"), "left_outer")
+      .na.fill(0L, Seq("cnt"))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("cnt"), col("tok")))).as("st"))
       .select(col("doc_id"),
         transform(col("st"), s => s.getField("tok")).as("toks"))
       .withColumn("n", size(col("toks")))
-  }
 
-  /** ASYMMETRIC containment join: pairs (a, b), a != b, with
-    * |A∩B|/|A| >= `threshold` — "B contains (most of) A". The pair shape
-    * Jaccard MISSES by construction: a short doc fully quoted inside a
-    * long one has tiny Jaccard but containment 1.0, and quote/subset
-    * duplication is exactly what eval-set leakage and license screening
-    * must catch.
+  /** [[rarestFirstSets]] under the sets' own frequencies (self-join use). */
+  def rarestFirstSets(sets: DataFrame): DataFrame =
+    rarestFirstSets(sets, elementFrequencies(sets))
+
+  /** ASYMMETRIC containment join: pairs (a in `probe`, b in `corpus`),
+    * a != b, with |A∩B|/|A| >= `threshold` — "some corpus doc contains
+    * (most of) probe doc a". The pair shape Jaccard MISSES by
+    * construction: a short doc fully quoted inside a long one has tiny
+    * Jaccard but containment 1.0 — and the probe-vs-corpus signature IS
+    * the production shape (is any BENCHMARK/licensed doc contained in the
+    * training corpus?): cost scales with |probe| × collision rate, never
+    * corpus², the same asymmetry as [[incrementalNearDups]]. Pass the
+    * corpus as both sides for the (output-bound — a template corpus's
+    * containment list is inherently quadratic) self-audit.
     *
     * Prefix filter, containment flavor: |A∩B| >= ceil(t·|A|) means A's
     * shared tokens cannot all hide in its last ceil(t·|A|)-1 rarest-first
     * positions, so A's prefix of length |A| - ceil(t·|A|) + 1 shares a
     * token with B — but B's matching token can sit ANYWHERE in B, so the
-    * B side indexes ALL its tokens (the inverted-index side of the join).
-    * At t = 1.0 (exact subset) A's prefix is its single RAREST token.
-    * Bucket skew stays bounded for the same reason as the Jaccard join:
-    * a token globally common (big B-side bucket) is by construction
-    * almost never any doc's rarest-prefix token (tiny A-side bucket), so
-    * the per-key product stays small. A length filter |B| >= ceil(t·|A|)
-    * prunes in the join condition. */
-  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double): DataFrame = {
+    * CORPUS side indexes ALL its tokens (the inverted-index side). At
+    * t = 1.0 (exact subset) A's prefix is its single rarest token. Ranks
+    * come from CORPUS frequencies; a probe token absent from the corpus
+    * ranks rarest of all (frequency 0), which is optimal: it proves zero
+    * matches at t = 1 and the candidate join emits nothing. Bucket skew
+    * stays bounded because a globally common token (big corpus bucket) is
+    * almost never any probe doc's rarest-prefix token (tiny probe
+    * bucket). A length filter |B| >= ceil(t·|A|) prunes in the join
+    * condition. */
+  def containmentPairs(probe: DataFrame, corpus: DataFrame, textCol: String,
+      idCol: String, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
-    val sorted = rarestFirstTokenSets(df, textCol, idCol)
-    val prefixes = sorted
+    // corpus sets feed frequencies, the inverted index, and the verify
+    // join; probe sets feed prefixes and verify — cache both (q26 lesson)
+    val corpusSets = elementSets(corpus, textCol, idCol, 1).cache()
+    val sortedProbe = rarestFirstSets(elementSets(probe, textCol, idCol, 1),
+      elementFrequencies(corpusSets)).cache()
+    val prefixes = sortedProbe
       .select(col("doc_id"), col("n"),
         explode(slice(col("toks"), lit(1),
           (col("n") - ceil(col("n") * threshold).cast("int") + 1))).as("tok"))
-    val full = sorted
-      .select(col("doc_id").as("b_id"), col("n").as("bn"), explode(col("toks")).as("tok"))
+    val full = corpusSets
+      .select(col("doc_id").as("b_id"), size(col("s")).as("bn"),
+        explode(col("s")).as("tok"))
     val candidates = prefixes.as("a")
       .join(full.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") =!= col("b.b_id") &&
@@ -496,8 +529,8 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.b_id").as("b_id"))
       .distinct()
     candidates
-      .join(sorted.select(col("doc_id").as("a_id"), col("toks").as("sa")), "a_id")
-      .join(sorted.select(col("doc_id").as("b_id"), col("toks").as("sb")), "b_id")
+      .join(sortedProbe.select(col("doc_id").as("a_id"), col("toks").as("sa")), "a_id")
+      .join(corpusSets.select(col("doc_id").as("b_id"), col("s").as("sb")), "b_id")
       .withColumn("containment",
         size(array_intersect(col("sa"), col("sb"))).cast("double") / size(col("sa")))
       .where(col("containment") >= threshold)

@@ -1153,26 +1153,30 @@ object Ext {
     ),
 
     // EXACT set-similarity join via prefix filtering (AllPairs/PPJoin
-    // family): provably complete pair list — no LSH miss rate — with
-    // candidates generated only from each doc's rarest-token prefix. The
-    // oracle is the brute-force O(n^2) scan; unlike q26 (whose agreement
-    // leans on the 1-(1-J^2)^32 recall bound) agreement here is exact by
-    // construction (the prefix lemma), so any mismatch is a bug, not bad
-    // luck.
+    // family): q26's pair list with provably NO miss rate — same 3-shingle
+    // sets, same threshold, but candidates come from each doc's
+    // rarest-shingle prefix instead of LSH bands, so completeness is the
+    // prefix lemma, not a 1-(1-J^2)^32 recall bound. Any oracle mismatch
+    // is a bug, not bad luck. (Shingle granularity keeps the pair list
+    // sparse; token-set granularity on this template corpus is
+    // output-quadratic — see containmentPairs' doc.)
     QueryDef(
       "q104_prefix_jaccard_join",
       (s, dir) => Dedup.prefixJaccardPairs(
-          tbl(s, dir, "documents"), "text", "doc_id", 0.9)
+          tbl(s, dir, "documents"), "text", "doc_id", 0.5, k = 3)
         .orderBy(col("a_id"), col("b_id")),
-      Some("""WITH s AS (
-             |  SELECT doc_id, list_distinct(string_split(text,' ')) AS s
-             |  FROM documents)
-             |SELECT a_id, b_id, ROUND(j, 6) AS jaccard FROM (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             |    CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-             |      / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) AS j
-             |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
-             |WHERE j >= 0.9 ORDER BY a_id, b_id""".stripMargin),
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
+             |  WHERE len(tokens) >= 3)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  ROUND(CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 6) AS jaccard
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |      / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5
+             |ORDER BY a_id, b_id""".stripMargin),
     ),
 
     // Unigram-LM surprisal (CCNet-style perplexity filter) in quarter-bit
@@ -1374,23 +1378,27 @@ object Ext {
              |ORDER BY vec_id""".stripMargin),
     ),
 
-    // Exact subset-containment pairs (|A∩B|/|A| = 1.0): the asymmetric
-    // duplication Jaccard misses — a short doc fully quoted inside a long
-    // one. Candidates = share A's single rarest token (the t=1.0 prefix);
-    // the oracle is the brute-force asymmetric scan, agreement exact by
-    // the prefix lemma.
+    // Exact subset-containment (|A∩B|/|A| = 1.0), probe-vs-corpus: is any
+    // "benchmark" doc (every 50th) token-contained in a corpus doc — the
+    // asymmetric leak Jaccard misses. Candidates = share the probe doc's
+    // single rarest token under CORPUS frequencies (the t=1.0 prefix);
+    // oracle = brute-force asymmetric scan, exact by the prefix lemma.
     QueryDef(
       "q109_subset_containment",
-      (s, dir) => Dedup.containmentPairs(
-          tbl(s, dir, "documents"), "text", "doc_id", 1.0)
-        .orderBy(col("a_id"), col("b_id")),
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        Dedup.containmentPairs(
+            docs.where(col("doc_id") % 50 === 0), docs, "text", "doc_id", 1.0)
+          .orderBy(col("a_id"), col("b_id"))
+      },
       Some("""WITH s AS (
              |  SELECT doc_id, list_distinct(string_split(text,' ')) AS s
              |  FROM documents)
              |SELECT a_id, b_id, ROUND(c, 6) AS containment FROM (
              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              |    CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)/len(a.s) AS c
-             |  FROM s a JOIN s b ON a.doc_id != b.doc_id)
+             |  FROM s a JOIN s b ON a.doc_id != b.doc_id
+             |  WHERE a.doc_id % 50 = 0)
              |WHERE c >= 1.0 ORDER BY a_id, b_id""".stripMargin),
     ),
   )

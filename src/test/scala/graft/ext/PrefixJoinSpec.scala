@@ -83,22 +83,58 @@ class PrefixJoinSpec extends AnyFunSuite {
     val docs: Seq[(Long, String)] = Seq.tabulate(120) { i =>
       val n = 3 + rnd.nextInt(12)
       val body = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
-      // every 5th doc quotes a short fragment of the previous doc inside
-      // fresh padding — containment-1.0 pairs with low Jaccard
       (i.toLong, body.mkString(" "))
     } ++ Seq((200L, "w1 w2 w3"), (201L, "w1 w2 w3 " + Vector.tabulate(20)(i => s"p$i").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
     for (t <- Seq(0.8, 1.0)) {
-      val got = Dedup.containmentPairs(docs.toDF("doc_id", "text"), "text", "doc_id", t)
+      val got = Dedup.containmentPairs(df, df, "text", "doc_id", t)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == bruteContain(docs, t), s"threshold $t")
     }
     // the planted quote pair is found in the asymmetric direction only
-    val got1 = Dedup.containmentPairs(docs.toDF("doc_id", "text"), "text", "doc_id", 1.0)
+    val got1 = Dedup.containmentPairs(df, df, "text", "doc_id", 1.0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got1.contains((200L, 201L)) && !got1.contains((201L, 200L)))
     // ... and its Jaccard (3/23) is far below any near-dup threshold
-    assert(!Dedup.prefixJaccardPairs(docs.toDF("doc_id", "text"), "text", "doc_id", 0.5)
+    assert(!Dedup.prefixJaccardPairs(df, "text", "doc_id", 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet.contains((200L, 201L)))
+  }
+
+  test("probe-vs-corpus containment restricts the A side and matches the filtered brute force") {
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector.tabulate(40)(i => s"w$i")
+    val docs: Seq[(Long, String)] = Seq.tabulate(90)(i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val probeIds = docs.map(_._1).filter(_ % 10 == 0).toSet
+    val got = Dedup.containmentPairs(
+        df.where($"doc_id" % 10 === 0), df, "text", "doc_id", 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == bruteContain(docs, 1.0).filter(p => probeIds(p._1)))
+    // a probe token absent from the corpus: zero matches, no error
+    val alien = Seq((500L, "zz1 zz2")).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(alien, df, "text", "doc_id", 1.0).count() == 0)
+  }
+
+  test("shingle granularity (k=3) matches the LSH pipeline's verified pair list") {
+    // q104's claim: same pairs as jaccardPairs (q26) wherever LSH recall
+    // didn't get lucky — on this small corpus both must be the exact set
+    val rnd = new scala.util.Random(53)
+    val vocab = Vector.tabulate(30)(i => s"w$i")
+    val base = Seq.tabulate(8)(_ => Seq.fill(10 + rnd.nextInt(8))(
+      vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val docs = Seq.tabulate(80) { i =>
+      val b = base(i % base.size).split(" ").toBuffer
+      if (rnd.nextBoolean()) b(rnd.nextInt(b.size)) = vocab(rnd.nextInt(vocab.size))
+      (i.toLong, b.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val exact = Dedup.prefixJaccardPairs(df, "text", "doc_id", 0.5, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.jaccardPairs(df, "text", "doc_id", 0.5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh.subsetOf(exact), "exact list must contain every LSH-found pair")
+    assert(exact == lsh, "at this size LSH recall is ~1; any gap would be suspicious")
   }
 
   test("both joins are repartition-invariant (deterministic result sets)") {
@@ -110,7 +146,7 @@ class PrefixJoinSpec extends AnyFunSuite {
       val df = docs.toDF("doc_id", "text").repartition(parts)
       (Dedup.prefixJaccardPairs(df, "text", "doc_id", 0.7)
          .collect().map(_.toSeq).toSet,
-       Dedup.containmentPairs(df, "text", "doc_id", 0.9)
+       Dedup.containmentPairs(df, df, "text", "doc_id", 0.9)
          .collect().map(_.toSeq).toSet)
     }
     assert(rows(2) == rows(13))
