@@ -101,6 +101,53 @@ object Histogram {
           (col("n") * (col("n_total") - col("n")))).as("ks"))
   }
 
+  /** WEEK-OVER-WEEK drift: for every (group, week), the grid-KS distance
+    * of this week's value distribution vs the SAME group's previous week —
+    * the temporal twin of [[ksDrift]] and the monitor a production
+    * pipeline actually alerts on (yesterday's crawl vs today's). Weeks are
+    * integer nano-epochs div 7 days (no calendar/timezone surface). Each
+    * (group, week) comparison runs on the union of the two weeks' occupied
+    * bins (same dense-fill argument as [[ksDrift]]); all arithmetic
+    * integer until the final division. Weeks with no previous-week data
+    * are omitted (nothing to compare). */
+  def weeklyKsDrift(df: DataFrame, group: Column, value: Column,
+      tsNanosCol: String, scale: Int): DataFrame = {
+    require(scale >= 1 && (scale & (scale - 1)) == 0, "scale must be a power of two")
+    val weekNs = 7L * 24 * 3600 * 1000000000L
+    // integer div (Column./ is DOUBLE division and ts nanos exceed 2^53)
+    val b = df
+      .groupBy(group.as("grp"), expr(s"$tsNanosCol div ${weekNs}L").as("wk"),
+        floor(value * scale).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    // bins relevant to the (wk-1 -> wk) comparison: this week's plus the
+    // previous week's (shifted forward)
+    val keys = b.select(col("grp"), col("wk"), col("bin"))
+      .unionByName(b.select(col("grp"), (col("wk") + 1).as("wk"), col("bin")))
+      .distinct()
+    val cur = b.select(col("grp"), col("wk"), col("bin"), col("cnt").as("c_cur"))
+    val prev = b.select(col("grp"), (col("wk") + 1).as("wk"), col("bin"),
+      col("cnt").as("c_prev"))
+    val dense = keys
+      .join(cur, Seq("grp", "wk", "bin"), "left_outer")
+      .join(prev, Seq("grp", "wk", "bin"), "left_outer")
+      .na.fill(0L, Seq("c_cur", "c_prev"))
+    val byBin = Window.partitionBy(col("grp"), col("wk")).orderBy(col("bin"))
+    val whole = Window.partitionBy(col("grp"), col("wk"))
+    dense
+      .withColumn("cum_cur", sum(col("c_cur")).over(byBin))
+      .withColumn("cum_prev", sum(col("c_prev")).over(byBin))
+      .withColumn("n_cur", sum(col("c_cur")).over(whole))
+      .withColumn("n_prev", sum(col("c_prev")).over(whole))
+      .where(col("n_cur") > 0 && col("n_prev") > 0)
+      .withColumn("scaled",
+        abs(col("cum_cur") * col("n_prev") - col("cum_prev") * col("n_cur")))
+      .groupBy(col("grp"), col("wk"))
+      .agg(max(col("n_cur")).as("n_cur"), max(col("n_prev")).as("n_prev"),
+        max(col("scaled")).as("ks_scaled"))
+      .select(col("grp"), col("wk"), col("n_cur"), col("n_prev"), col("ks_scaled"),
+        (col("ks_scaled").cast("double") / (col("n_cur") * col("n_prev"))).as("ks"))
+  }
+
   val queries: Seq[QueryDef] = Seq(
     // Per-event-type value quantiles on the 1/16 grid. The oracle rebuilds
     // the identical bins (floor(value*16) is exact in IEEE-754) and the
@@ -160,6 +207,48 @@ object Histogram {
              |  CAST(MAX(abs(cum*(n_all-n_g) - (gcum-cum)*n_g)) AS DOUBLE)
              |    / (MAX(n_g) * (MAX(n_all) - MAX(n_g))) AS ks
              |FROM c2 GROUP BY grp ORDER BY event_type""".stripMargin),
+    ),
+
+    // Week-over-week drift per event type: grid-KS of each week's value
+    // distribution vs the same type's previous week — the temporal
+    // monitoring twin of q110, integer-exact the same way. DuckDB sees
+    // the ns parquet as TIMESTAMP_NS; epoch_ns(ts) == the long Spark
+    // reads under nanosAsLong.
+    QueryDef(
+      "q111_weekly_drift",
+      (s, dir) => Histogram.weeklyKsDrift(
+          tbl(s, dir, "events"), col("event_type"), col("value"), "ts", 16)
+        .withColumnRenamed("grp", "event_type")
+        .orderBy(col("event_type"), col("wk")),
+      Some("""WITH b AS (
+             |  SELECT event_type AS grp, epoch_ns(ts) // 604800000000000 AS wk,
+             |    CAST(floor(value * 16) AS BIGINT) AS bin, COUNT(*) AS cnt
+             |  FROM events GROUP BY 1, 2, 3),
+             |keys AS (
+             |  SELECT grp, wk, bin FROM b
+             |  UNION
+             |  SELECT grp, wk + 1 AS wk, bin FROM b),
+             |dense AS (
+             |  SELECT k.grp, k.wk, k.bin,
+             |    COALESCE(c.cnt, 0) AS c_cur, COALESCE(p.cnt, 0) AS c_prev
+             |  FROM keys k
+             |  LEFT JOIN b c ON c.grp = k.grp AND c.wk = k.wk AND c.bin = k.bin
+             |  LEFT JOIN b p ON p.grp = k.grp AND p.wk + 1 = k.wk AND p.bin = k.bin),
+             |c AS (
+             |  SELECT grp, wk, bin,
+             |    SUM(c_cur) OVER (PARTITION BY grp, wk ORDER BY bin) AS cum_cur,
+             |    SUM(c_prev) OVER (PARTITION BY grp, wk ORDER BY bin) AS cum_prev,
+             |    SUM(c_cur) OVER (PARTITION BY grp, wk) AS n_cur,
+             |    SUM(c_prev) OVER (PARTITION BY grp, wk) AS n_prev
+             |  FROM dense)
+             |SELECT grp AS event_type, wk,
+             |  CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+             |  CAST(MAX(n_prev) AS BIGINT) AS n_prev,
+             |  CAST(MAX(abs(cum_cur*n_prev - cum_prev*n_cur)) AS BIGINT) AS ks_scaled,
+             |  CAST(MAX(abs(cum_cur*n_prev - cum_prev*n_cur)) AS DOUBLE)
+             |    / (MAX(n_cur) * MAX(n_prev)) AS ks
+             |FROM c WHERE n_cur > 0 AND n_prev > 0
+             |GROUP BY grp, wk ORDER BY event_type, wk""".stripMargin),
     ),
   )
 }

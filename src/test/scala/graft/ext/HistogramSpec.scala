@@ -94,6 +94,24 @@ class HistogramSpec extends AnyFunSuite {
     assert(got("g2")._3 > 0.2)
   }
 
+  test("weeklyKsDrift pairs consecutive weeks only; identical weeks score 0, a shifted week spikes") {
+    val weekNs = 7L * 24 * 3600 * 1000000000L
+    val rnd = new scala.util.Random(13)
+    val base = Seq.fill(400)(rnd.nextDouble() * 30)
+    // weeks 0,1 identical; week 2 shifted; week 4 present but week 3 missing
+    val rows =
+      base.map(v => ("a", v, 0L * weekNs + 5)) ++
+      base.map(v => ("a", v, 1L * weekNs + 5)) ++
+      base.map(v => ("a", v + 9, 2L * weekNs + 5)) ++
+      base.map(v => ("a", v, 4L * weekNs + 5))
+    val got = Histogram.weeklyKsDrift(rows.toDF("g", "v", "ts"), col("g"),
+        col("v"), "ts", 16)
+      .collect().map(r => r.getLong(1) -> r.getDouble(5)).toMap
+    assert(got.keySet == Set(1L, 2L), "only weeks with a previous week qualify")
+    assert(got(1L) == 0.0, "identical consecutive weeks have zero drift")
+    assert(got(2L) > 0.25, "the shifted week must spike")
+  }
+
   test("power-of-two scaling is exact: bin ids agree with BigDecimal floor") {
     val rnd = new scala.util.Random(5)
     val vs = Seq.fill(500)(rnd.nextDouble() * 1e6 - 5e5)
