@@ -30,6 +30,18 @@ object Ext {
     * [[Dedup.DefaultMaxBucketSize]]. */
   private val GuardCap = 20
 
+  /** DuckDB SQL replica of [[TextAnalysis.quarterLog2]] over an integer
+    * sub-expression `c` (token for token with the Column form; see q105's
+    * oracle for the inline original). */
+  private def qlog4Sql(c: String): String =
+    s"""CASE WHEN length(bin($c)) - 1 <= 14
+       |    THEN length(bin(($c)*($c)*($c)*($c))) - 1
+       |    ELSE 4 * (length(bin($c)) - 15) +
+       |         length(bin((($c) >> (length(bin($c)) - 15))
+       |                   *(($c) >> (length(bin($c)) - 15))
+       |                   *(($c) >> (length(bin($c)) - 15))
+       |                   *(($c) >> (length(bin($c)) - 15)))) - 1 END""".stripMargin
+
   /** `(p, [s1,...,s64])` rows for the oracle's planes relation — generated
     * from the same [[RhpSig.planeSign]] the codegen expression uses. */
   private def planesValuesSql(nPlanes: Int): String =
@@ -1400,6 +1412,61 @@ object Ext {
              |  FROM s a JOIN s b ON a.doc_id != b.doc_id
              |  WHERE a.doc_id % 50 = 0)
              |WHERE c >= 1.0 ORDER BY a_id, b_id""".stripMargin),
+    ),
+
+    // Per-source token-distribution Shannon entropy in integer quarter-bits
+    // (vocabulary-collapse / generated-spam detector). Σ cnt·(q4(N)−q4(cnt))
+    // stays BIGINT; one final division.
+    QueryDef(
+      "q112_source_entropy",
+      (s, dir) => TextAnalysis.tokenEntropy(
+          tbl(s, dir, "documents"), "source", "text")
+        .withColumnRenamed("grp", "source")
+        .orderBy(col("source")),
+      Some(s"""WITH tok AS (
+              |  SELECT source, unnest(string_split(text,' ')) AS w FROM documents),
+              |tf AS (SELECT source, w, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+              |g AS (
+              |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+              |    COUNT(*) AS vocab,
+              |    CAST(SUM(cnt * (${qlog4Sql("cnt")})) AS BIGINT) AS sum_cq4
+              |  FROM tf GROUP BY source)
+              |SELECT source, n_tokens, vocab,
+              |  n_tokens * (${qlog4Sql("n_tokens")}) - sum_cq4 AS ent_q4,
+              |  CAST(n_tokens * (${qlog4Sql("n_tokens")}) - sum_cq4 AS DOUBLE)
+              |    / (n_tokens * 4) AS entropy_bits
+              |FROM g ORDER BY source""".stripMargin),
+    ),
+
+    // Gopher quality rules: five integer-decided heuristic flags + the
+    // conjunction, per doc — the audit-friendly form (WHY was it dropped,
+    // not just that it was). Splits non-degenerately on this corpus
+    // (226/500 keep at sf0.01).
+    QueryDef(
+      "q113_gopher_rules",
+      (s, dir) => TextAnalysis.gopherRules(
+          tbl(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text,' ') AS toks,
+             |    length(text) AS chars FROM documents),
+             |f AS (
+             |  SELECT doc_id, len(toks) AS wc,
+             |    chars - (len(toks) - 1) AS cw,
+             |    len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha,
+             |    len(list_distinct(toks)) AS vocab,
+             |    len(list_filter(list_distinct(toks),
+             |        w -> w IN ('the','a','and','of','to','in','is','for','on','with'))) AS sw
+             |  FROM t)
+             |SELECT doc_id, CAST(wc AS BIGINT) AS wc,
+             |  wc BETWEEN 50 AND 100000 AS wc_ok,
+             |  cw >= 3*wc AND cw <= 10*wc AS wordlen_ok,
+             |  alpha*5 > wc*4 AS alpha_ok,
+             |  sw >= 2 AS stopword_ok,
+             |  vocab*10 >= wc*3 AS ttr_ok,
+             |  (wc BETWEEN 50 AND 100000) AND cw >= 3*wc AND cw <= 10*wc
+             |    AND alpha*5 > wc*4 AND sw >= 2 AND vocab*10 >= wc*3 AS keep
+             |FROM f ORDER BY doc_id""".stripMargin),
     ),
   )
 }

@@ -195,6 +195,57 @@ object TextAnalysis {
           .otherwise("mid").as("band"))
   }
 
+  /** Shannon entropy of each group's TOKEN distribution, in
+    * [[quarterLog2]] quarter-bits — H = Σ p(w)·log2(1/p(w)) computed as
+    * the pure-integer Σ cnt·(q4(N) - q4(cnt)) with ONE double division at
+    * the end. The vocabulary-collapse detector: template/model-generated
+    * spam has low token entropy, organic text sits near log2(vocab)
+    * (weighted); pairs with [[unigramSurprisal]] (which scores DOCS
+    * against the corpus LM; this scores SOURCES by their own
+    * distribution). Scale shape: one (group, token) aggregate with
+    * map-side partials, one group-level reduction — per-group state is
+    * the occupied vocabulary. */
+  def tokenEntropy(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(groupCol).as("grp"),
+      explode(split(col(textCol), " ")).as("w"))
+    val tf = tok.groupBy(col("grp"), col("w")).agg(count(lit(1)).as("cnt"))
+    tf.groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(col("cnt") * quarterLog2(col("cnt"))).as("sum_cq4"))
+      .select(col("grp"), col("n_tokens"), col("vocab"),
+        (col("n_tokens") * quarterLog2(col("n_tokens")) - col("sum_cq4")).as("ent_q4"),
+        ((col("n_tokens") * quarterLog2(col("n_tokens")) - col("sum_cq4")).cast("double")
+          / (col("n_tokens") * 4)).as("entropy_bits"))
+  }
+
+  /** Gopher-style quality rule flags — the standard heuristic filter set
+    * (word-count bounds, mean-word-length band, alphabetic-word fraction,
+    * stopword presence, type-token repetition floor), each decided by a
+    * PURE INTEGER comparison (counts cross-multiplied against rational
+    * thresholds — no doubles anywhere, so every flag is bit-exact
+    * cross-engine). Map-only over a hoisted token array (DEVNOTES rule
+    * 10); emits per-rule flags plus the conjunction so downstream can
+    * both filter and audit WHY a doc was dropped. */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"),
+      length(col(textCol)).as("chars"))
+    val f = t.select(col("doc_id"), size(col("toks")).as("wc"),
+      (col("chars") - (size(col("toks")) - 1)).as("cw"),
+      size(filter(col("toks"), w => w.rlike("[A-Za-z]"))).as("alpha"),
+      size(array_distinct(col("toks"))).as("vocab"),
+      size(filter(array_distinct(col("toks")),
+        w => w.isInCollection(EnStopwords))).as("sw"))
+    f.select(col("doc_id"), col("wc").cast("long").as("wc"),
+      col("wc").between(50, 100000).as("wc_ok"),
+      (col("cw") >= col("wc") * 3 && col("cw") <= col("wc") * 10).as("wordlen_ok"),
+      (col("alpha") * 5 > col("wc") * 4).as("alpha_ok"),
+      (col("sw") >= 2).as("stopword_ok"),
+      (col("vocab") * 10 >= col("wc") * 3).as("ttr_ok"))
+      .withColumn("keep",
+        col("wc_ok") && col("wordlen_ok") && col("alpha_ok") &&
+          col("stopword_ok") && col("ttr_ok"))
+  }
+
   /** Interpreted HOF reference of [[simhashN]] — kept for the
     * codegen-vs-reference agreement test (the VecDot pattern). */
   def simhashNHof(textCol: String, bits: Int): Column = {

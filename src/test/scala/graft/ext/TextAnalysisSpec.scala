@@ -42,6 +42,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(q > 0.0 && q <= 1.0)
   }
 
+  test("tokenEntropy: uniform distribution hits log2(vocab) exactly; constant text scores 0") {
+    import spark.implicits._
+    // 8 distinct tokens, each exactly 4 times -> H = 3 bits, representable
+    // exactly on the quarter-bit grid (powers of two are exact in quarterLog2)
+    val uniform = (0 until 4).map(_ => (0 until 8).map(i => s"t$i").mkString(" "))
+    val constant = Seq.fill(5)("x x x x")
+    val df = (uniform.map(("u", _)) ++ constant.map(("c", _))).toDF("src", "text")
+    val got = TextAnalysis.tokenEntropy(df, "src", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4)))
+      .toMap
+    assert(got("u") == ((32L, 8L, 3.0)))
+    assert(got("c") == ((20L, 1L, 0.0)))
+  }
+
+  test("gopherRules: each rule flips on its own hand-built violation") {
+    import spark.implicits._
+    val good = ("the of" +: (1 to 58).map(i => s"word$i")).mkString(" ")
+    val docs = Seq(
+      (1L, good), // passes all
+      (2L, "short doc the of"), // wc_ok fails
+      (3L, (1 to 60).map(_ => "ab").mkString(" ")), // wordlen + stopwords fail (len 2)
+      (4L, (1 to 60).map(i => s"$i${i}99").mkString(" ") + " the of"), // alpha fails
+      (5L, Seq.fill(60)("the").mkString(" ") + " of") // ttr fails
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+          r.getBoolean(6), r.getBoolean(7))).toMap
+    assert(got(1L)._6, "doc 1 keeps")
+    assert(!got(2L)._1 && !got(2L)._6, "doc 2 fails word count")
+    assert(!got(3L)._2, "doc 3 fails mean word length")
+    assert(!got(4L)._3 && !got(4L)._6, "doc 4 fails alpha fraction")
+    assert(!got(5L)._5 && !got(5L)._6, "doc 5 fails TTR floor")
+  }
+
   test("quarterLog2: exact floor(log2(x^4)) below 2^15; bounded + monotone above") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
