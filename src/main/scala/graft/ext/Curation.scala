@@ -77,4 +77,47 @@ object Curation {
       .select(col("doc_id"), col("source"), col("bin"),
         col("bin").between(col("b_lo"), col("b_hi")).as("keep"))
   }
+
+  /** The composed pretraining-curation FUNNEL with per-stage attrition
+    * accounting — the report a data team actually reviews: for every
+    * source, how many docs each gate dropped (Gopher heuristics
+    * [[TextAnalysis.gopherRules]], CCNet surprisal band
+    * [[surprisalBandFilter]], exact dedup) and the final doc/token yield.
+    * Gates are evaluated independently on the full corpus (so attrition
+    * attribution is stable), dedup runs on the doubly-kept pool with the
+    * min-id survivor rule. Every stage is one of the §2.4 operators;
+    * everything stays declarative — the two gate frames join back by
+    * doc id and the summary is one per-source aggregate. */
+  def curationFunnel(docs: DataFrame, textCol: String, idCol: String,
+      srcCol: String): DataFrame = {
+    val gopher = TextAnalysis.gopherRules(docs, textCol, idCol)
+      .select(col("doc_id"), col("keep").as("g_keep"))
+    val band = surprisalBandFilter(docs, textCol, idCol, srcCol)
+      .select(col("doc_id"), col("keep").as("b_keep"))
+    val staged = docs
+      .select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        col(textCol).as("text"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .join(gopher, "doc_id")
+      .join(band, "doc_id")
+    val pool = staged.where(col("g_keep") && col("b_keep"))
+    val poolFlag = pool
+      .join(pool.groupBy(col("text").as("t")).agg(min(col("doc_id")).as("keep_id")),
+        col("text") === col("t"))
+      .withColumn("is_surv", col("doc_id") === col("keep_id"))
+    val gates = staged.groupBy(col("source")).agg(
+      count(lit(1)).as("total_docs"),
+      sum(when(!col("g_keep"), 1L).otherwise(0L)).as("dropped_gopher"),
+      sum(when(col("g_keep") && !col("b_keep"), 1L).otherwise(0L)).as("dropped_band"))
+    val yields = poolFlag.groupBy(col("source")).agg(
+      count(lit(1)).as("pool_docs"),
+      sum(when(col("is_surv"), 1L).otherwise(0L)).as("kept_docs"),
+      sum(when(col("is_surv"), col("n_tok")).otherwise(0L)).as("kept_tokens"))
+    gates.join(yields, Seq("source"), "left_outer")
+      .na.fill(0L, Seq("pool_docs", "kept_docs", "kept_tokens"))
+      .select(col("source"), col("total_docs"), col("dropped_gopher"),
+        col("dropped_band"),
+        (col("pool_docs") - col("kept_docs")).as("dropped_dup"),
+        col("kept_docs"), col("kept_tokens"))
+  }
 }

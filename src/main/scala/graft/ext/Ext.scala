@@ -1468,5 +1468,99 @@ object Ext {
              |    AND alpha*5 > wc*4 AND sw >= 2 AND vocab*10 >= wc*3 AS keep
              |FROM f ORDER BY doc_id""".stripMargin),
     ),
+
+    // The composed curation FUNNEL (q113 Gopher gates ∘ q107 CCNet band ∘
+    // exact dedup) with per-stage per-source attrition accounting — the
+    // report a data team reviews before a training run. One oracle checks
+    // the whole composition end-to-end.
+    QueryDef(
+      "q114_curation_funnel",
+      (s, dir) => Curation.curationFunnel(
+          tbl(s, dir, "documents"), "text", "doc_id", "source")
+        .orderBy(col("source")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+             |tf AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+             |tfq AS (
+             |  SELECT w, CASE WHEN length(bin(cnt)) - 1 <= 14
+             |    THEN length(bin(cnt*cnt*cnt*cnt)) - 1
+             |    ELSE 4 * (length(bin(cnt)) - 15) +
+             |         length(bin((cnt >> (length(bin(cnt)) - 15))
+             |                   *(cnt >> (length(bin(cnt)) - 15))
+             |                   *(cnt >> (length(bin(cnt)) - 15))
+             |                   *(cnt >> (length(bin(cnt)) - 15)))) - 1 END AS ql
+             |  FROM tf),
+             |nq AS (
+             |  SELECT CASE WHEN length(bin(nt)) - 1 <= 14
+             |    THEN length(bin(nt*nt*nt*nt)) - 1
+             |    ELSE 4 * (length(bin(nt)) - 15) +
+             |         length(bin((nt >> (length(bin(nt)) - 15))
+             |                   *(nt >> (length(bin(nt)) - 15))
+             |                   *(nt >> (length(bin(nt)) - 15))
+             |                   *(nt >> (length(bin(nt)) - 15)))) - 1 END AS qn
+             |  FROM (SELECT COUNT(*) AS nt FROM tok)),
+             |d AS (
+             |  SELECT t.doc_id, COUNT(*) AS n,
+             |    CAST(SUM(nq.qn - f.ql) AS BIGINT) AS bits_q4
+             |  FROM tok t JOIN tfq f USING (w), nq GROUP BY t.doc_id),
+             |sbin AS (
+             |  SELECT d.doc_id, doc.source, (bits_q4 * 64) // (n * 4) AS bin
+             |  FROM d JOIN documents doc USING (doc_id)),
+             |bb AS (SELECT source, bin, COUNT(*) AS cnt FROM sbin GROUP BY 1, 2),
+             |cc AS (
+             |  SELECT source, bin, cnt,
+             |    SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+             |    SUM(cnt) OVER (PARTITION BY source) AS n
+             |  FROM bb),
+             |cuts AS (
+             |  SELECT source,
+             |    MIN(CASE WHEN cum >= (n * 25 + 99) // 100 THEN bin END) AS b_lo,
+             |    MIN(CASE WHEN cum >= (n * 75 + 99) // 100 THEN bin END) AS b_hi
+             |  FROM cc GROUP BY source),
+             |band AS (
+             |  SELECT sbin.doc_id, sbin.bin BETWEEN cuts.b_lo AND cuts.b_hi AS b_keep
+             |  FROM sbin JOIN cuts USING (source)),
+             |gt AS (
+             |  SELECT doc_id, string_split(text,' ') AS toks,
+             |    length(text) AS chars FROM documents),
+             |gf AS (
+             |  SELECT doc_id, len(toks) AS wc, chars - (len(toks) - 1) AS cw,
+             |    len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha,
+             |    len(list_distinct(toks)) AS vocab,
+             |    len(list_filter(list_distinct(toks),
+             |        w -> w IN ('the','a','and','of','to','in','is','for','on','with'))) AS sw
+             |  FROM gt),
+             |g AS (
+             |  SELECT doc_id,
+             |    (wc BETWEEN 50 AND 100000) AND cw >= 3*wc AND cw <= 10*wc
+             |      AND alpha*5 > wc*4 AND sw >= 2 AND vocab*10 >= wc*3 AS g_keep
+             |  FROM gf),
+             |staged AS (
+             |  SELECT doc.doc_id, doc.source, doc.text,
+             |    CAST(len(string_split(doc.text,' ')) AS BIGINT) AS n_tok,
+             |    g.g_keep, band.b_keep
+             |  FROM documents doc JOIN g USING (doc_id) JOIN band USING (doc_id)),
+             |pool AS (SELECT * FROM staged WHERE g_keep AND b_keep),
+             |mins AS (SELECT text AS t, MIN(doc_id) AS keep_id FROM pool GROUP BY text),
+             |pf AS (
+             |  SELECT p.*, p.doc_id = m.keep_id AS is_surv
+             |  FROM pool p JOIN mins m ON p.text = m.t),
+             |gates AS (
+             |  SELECT source, COUNT(*) AS total_docs,
+             |    CAST(SUM(CASE WHEN NOT g_keep THEN 1 ELSE 0 END) AS BIGINT) AS dropped_gopher,
+             |    CAST(SUM(CASE WHEN g_keep AND NOT b_keep THEN 1 ELSE 0 END) AS BIGINT) AS dropped_band
+             |  FROM staged GROUP BY source),
+             |y AS (
+             |  SELECT source, COUNT(*) AS pool_docs,
+             |    CAST(SUM(CASE WHEN is_surv THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+             |    CAST(SUM(CASE WHEN is_surv THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+             |  FROM pf GROUP BY source)
+             |SELECT gates.source, gates.total_docs, gates.dropped_gopher,
+             |  gates.dropped_band,
+             |  COALESCE(y.pool_docs, 0) - COALESCE(y.kept_docs, 0) AS dropped_dup,
+             |  COALESCE(y.kept_docs, 0) AS kept_docs,
+             |  COALESCE(y.kept_tokens, 0) AS kept_tokens
+             |FROM gates LEFT JOIN y USING (source) ORDER BY source""".stripMargin),
+    ),
   )
 }

@@ -256,4 +256,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no cross product anywhere")
     assert(!p.contains("BroadcastNestedLoopJoin"), "no conditional all-pairs join")
   }
+
+  test("q113: Gopher rules are one map-only scan — no shuffle before the sort") {
+    val p = plan("q113_gopher_rules")
+    // exactly the output sort's exchange; the flags themselves add none
+    assert("Exchange".r.findAllIn(p).size == 1, s"one exchange (the sort):\n$p")
+    assert(!p.contains("Join"), "no join anywhere")
+  }
+
+  test("q105/q112: integer-log scoring keeps aggregates partial (map-side combine)") {
+    assert(plan("q105_lm_surprisal").contains("partial_count"))
+    val p112 = plan("q112_source_entropy")
+    assert(p112.contains("partial_count") || p112.contains("partial_sum"))
+    assert(!p112.contains("CartesianProduct"))
+  }
 }
