@@ -246,6 +246,27 @@ object TextAnalysis {
           col("stopword_ok") && col("ttr_ok"))
   }
 
+  /** JVM mirror of [[gopherRules]]' keep decision for per-row streaming
+    * state code — same tokenization (split keeps trailing empties, like
+    * Spark's `split`), same ASCII-letter test as `rlike("[A-Za-z]")`,
+    * same integer comparisons. Pinned equal to the Column form in
+    * `TransformWithStateSpec` (stream counters == batch flags). */
+  def gopherKeepJvm(text: String): Boolean = {
+    val toks = text.split(" ", -1)
+    val wc = toks.length
+    val cw = text.length - (wc - 1)
+    val alpha = toks.count(_.exists(c =>
+      (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')))
+    val distinct = toks.distinct
+    val vocab = distinct.length
+    val sw = distinct.count(EnStopwords.contains)
+    wc >= 50 && wc <= 100000 &&
+      cw >= 3 * wc && cw <= 10 * wc &&
+      alpha * 5 > wc * 4 &&
+      sw >= 2 &&
+      vocab * 10 >= wc * 3
+  }
+
   /** Interpreted HOF reference of [[simhashN]] — kept for the
     * codegen-vs-reference agreement test (the VecDot pattern). */
   def simhashNHof(textCol: String, bits: Int): Column = {

@@ -198,6 +198,46 @@ object TransformWithStateOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class SourceDoc(source: String, text: String)
+  final case class FunnelCounts(source: String, total: Long, dropped: Long, kept: Long)
+
+  /** Live per-source Gopher-gate attrition counters — the streaming half
+    * of the batch curation funnel (q113/q114): as documents stream in,
+    * each source's (total, dropped, kept) counters update via the JVM
+    * mirror of the EXACT integer rules the batch operator applies
+    * ([[graft.ext.TextAnalysis.gopherKeepJvm]], pinned equal in the
+    * spec), so a dashboard watches gate attrition in real time and the
+    * nightly batch report reconciles to the same numbers. State: two
+    * longs per source. Emits refreshed counters for touched sources only
+    * (the only-changed-keys contract). */
+  final class GopherFunnelProcessor
+      extends StatefulProcessor[String, SourceDoc, FunnelCounts] {
+
+    @transient private var counts: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getValueState[(Long, Long)](
+        "counts", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[SourceDoc],
+        timerValues: TimerValues): Iterator[FunnelCounts] = {
+      var (total, kept) = if (counts.exists()) counts.get() else (0L, 0L)
+      rows.foreach { r =>
+        total += 1
+        if (graft.ext.TextAnalysis.gopherKeepJvm(r.text)) kept += 1
+      }
+      counts.update((total, kept))
+      Iterator.single(FunnelCounts(key, total, total - kept, kept))
+    }
+  }
+
+  def streamingGopherFunnel(ds: Dataset[SourceDoc]): Dataset[FunnelCounts] = {
+    implicit val outEnc: Encoder[FunnelCounts] = Encoders.product[FunnelCounts]
+    ds.groupByKey(_.source)(Encoders.STRING)
+      .transformWithState(new GopherFunnelProcessor(),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class GroupValue(grp: String, v: Double)
   final case class QuantileRow(grp: String, n: Long, pct: Long, value: Double)
 

@@ -131,6 +131,45 @@ class TransformWithStateSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streamingGopherFunnel: final counters equal the batch gopherRules aggregation (real corpus)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{FunnelCounts, SourceDoc}
+      // REAL driver corpus: any tokenization/rule drift between the JVM
+      // mirror and the Column form shows up here
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("source"), col("text"), col("doc_id"))
+      val rows = docs.orderBy(col("doc_id")).collect()
+        .map(r => SourceDoc(r.getString(0), r.getString(1))).toSeq
+
+      val latest = scala.collection.mutable.Map[String, FunnelCounts]()
+      val input = MemoryStream[SourceDoc]
+      val query = TransformWithStateOps.streamingGopherFunnel(input.toDS())
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[FunnelCounts], _: Long) =>
+          df.collect().foreach(r => latest(r.source) = r); ()
+        }.start()
+      try {
+        rows.grouped(120).foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      } finally query.stop()
+
+      val batch = graft.ext.TextAnalysis.gopherRules(docs, "text", "doc_id")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+      assert(latest.keySet == batch.keySet)
+      for ((src, (total, kept)) <- batch)
+        assert(latest(src) == FunnelCounts(src, total, total - kept, kept), src)
+      // non-degenerate: both outcomes occur somewhere on this corpus
+      assert(latest.values.exists(_.dropped > 0) && latest.values.exists(_.kept > 0))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streamingGridQuantiles: final emission equals batch gridQuantiles across batch splits") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
