@@ -1469,6 +1469,41 @@ object Ext {
              |FROM f ORDER BY doc_id""".stripMargin),
     ),
 
+    // Token-budget mixture planner: per-source sampling rates + expected
+    // yield for a 20k-token budget under a skewed target mixture (5 heavy
+    // sources at 12% each, 15 light at ~2.7%), with oversubscription
+    // flags. One weight map drives BOTH engines (interpolated as VALUES).
+    {
+      val mixWeights: Seq[(String, Long)] =
+        (0 until 20).map(i => s"src$i" -> (if (i < 5) 120000L else 26666L))
+      val budget = 20000L
+      val valuesSql = mixWeights
+        .map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+      QueryDef(
+        "q115_mixture_plan",
+        (s, dir) => Sampling.mixturePlan(
+            tbl(s, dir, "documents"), "text", "source", budget, mixWeights.toMap)
+          .orderBy(col("source")),
+        Some(s"""WITH w(source, weight_ppm) AS (SELECT * FROM (VALUES $valuesSql)),
+                |t AS (
+                |  SELECT source, COUNT(*) AS docs,
+                |    CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS tokens
+                |  FROM documents GROUP BY source)
+                |SELECT t.source, t.docs, t.tokens,
+                |  CAST(COALESCE(w.weight_ppm, 0) AS BIGINT) AS weight_ppm,
+                |  (CAST($budget AS BIGINT) * COALESCE(w.weight_ppm, 0)) // 1000000 AS target_tokens,
+                |  LEAST(1000000,
+                |    (((CAST($budget AS BIGINT) * COALESCE(w.weight_ppm, 0)) // 1000000) * 1000000)
+                |      // t.tokens) AS rate_ppm,
+                |  (t.tokens * LEAST(1000000,
+                |    (((CAST($budget AS BIGINT) * COALESCE(w.weight_ppm, 0)) // 1000000) * 1000000)
+                |      // t.tokens)) // 1000000 AS expected_tokens,
+                |  (CAST($budget AS BIGINT) * COALESCE(w.weight_ppm, 0)) // 1000000 > t.tokens
+                |    AS oversubscribed
+                |FROM t LEFT JOIN w USING (source) ORDER BY t.source""".stripMargin),
+      )
+    },
+
     // The composed curation FUNNEL (q113 Gopher gates ∘ q107 CCNet band ∘
     // exact dedup) with per-stage per-source attrition accounting — the
     // report a data team reviews before a training run. One oracle checks

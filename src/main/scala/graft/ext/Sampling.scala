@@ -94,6 +94,31 @@ object Sampling {
 
   /** Per-(source, split) corpus stats — the audit table a dataset release
     * ships with. */
+  /** Token-budget mixture PLANNER: given a global token budget and
+    * per-source target weights (ppm, summing to ~1e6), compute each
+    * source's deterministic sampling rate and expected yield — the
+    * planning report that precedes an actual mixture job ([[upsample]] /
+    * [[stratifiedSample]] execute it; q56's shape). All integer: target
+    * tokens via ppm products, rate as ppm with integer division, capped
+    * at 1e6 with an `oversubscribed` flag when a source has FEWER tokens
+    * than its target (the signal to upsample/epoch that source instead).
+    * One per-source aggregate; the weight table is a literal map. */
+  def mixturePlan(docs: DataFrame, textCol: String, srcCol: String,
+      budgetTokens: Long, weightsPpm: Map[String, Long]): DataFrame = {
+    val w = typedLit(weightsPpm)
+    docs
+      .groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("tokens"))
+      .withColumn("weight_ppm", coalesce(w(col("source")), lit(0L)))
+      .withColumn("target_tokens",
+        expr(s"(${budgetTokens}L * weight_ppm) div 1000000"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("(target_tokens * 1000000) div tokens")))
+      .withColumn("expected_tokens", expr("(tokens * rate_ppm) div 1000000"))
+      .withColumn("oversubscribed", col("target_tokens") > col("tokens"))
+  }
+
   def splitStats(docs: DataFrame, idCol: String, trainPct: Int, valPct: Int): DataFrame =
     docs
       .withColumn("split", splitColumn(col(idCol), trainPct, valPct))
