@@ -270,4 +270,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p112.contains("partial_count") || p112.contains("partial_sum"))
     assert(!p112.contains("CartesianProduct"))
   }
+
+  test("q114: the composed funnel stays join-keyed — no cross product; shared frames cached") {
+    val p = plan("q114_curation_funnel")
+    assert(!p.contains("CartesianProduct"), "no cross product anywhere")
+    // The only BroadcastNestedLoopJoin allowed is unigramSurprisal's
+    // ONE-ROW corpus-total attach (crossJoin(broadcast(1 row)) plans as
+    // BNLJ); the plan STRING repeats it per reference to the cached
+    // frame, so assert the cache is in place rather than a brittle count.
+    assert(p.contains("InMemoryTableScan"),
+      "staged/pool must be cached so gate pipelines run once")
+  }
 }
