@@ -34,7 +34,9 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
         // reps stay independent/cold: operators that cache internally
-        // (e.g. the LSH shingle sets) must not hand rep 2 a warm cache
+        // (e.g. the LSH shingle sets) must not hand rep 2 a warm cache;
+        // releaseAll also clears the pinned-frame registry
+        graft.ext.PinnedCache.releaseAll()
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         // Write to the noop sink so the MEASURED plan is the VERIFIED plan:
@@ -50,15 +52,20 @@ object Bench {
       }
       name -> times.min
     }.toMap
-    // ONE compact line: seconds at millisecond precision (full double repr
-    // made the 95-query line ~5 KB — past the driver's capture, so every
-    // round's BENCH_r0N.json ended up truncated and unparseable)
+    // ONE compact line. Two rounds of BENCH_r0N.json ended "parsed": null
+    // with a front-truncated tail because the line exceeded the driver's
+    // capture window (r3 fix to 3-decimal seconds was not enough at 115
+    // queries). Per-query entries are now MILLISECOND INTEGERS keyed by the
+    // short query id (the `qNN` prefix before the first underscore — unique
+    // by construction), ~12 bytes per query -> ~1.4 KB for 115. `qunit`
+    // makes the millisecond encoding self-describing.
     def s3(v: Double): String = f"$v%.3f"
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + s3(v) }
+      .map { case (k, v) => "\"" + shortKey(k) + "\":" + Math.round(v * 1000) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","qunit":"ms","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,6 +34,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop operator-internal pinned caches between queries — 115 queries
+      // of accumulated blocks would otherwise spill for the whole run
+      graft.ext.PinnedCache.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

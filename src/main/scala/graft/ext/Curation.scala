@@ -94,17 +94,18 @@ object Curation {
       .select(col("doc_id"), col("keep").as("g_keep"))
     val band = surprisalBandFilter(docs, textCol, idCol, srcCol)
       .select(col("doc_id"), col("keep").as("b_keep"))
-    // cached: the gate pipelines (notably the surprisal subtree inside
-    // `band`) feed gates, pool, and the dedup self-join — without the
-    // cache the whole scoring pipeline re-executes per consumer
-    val staged = docs
+    // pinned-cached: the gate pipelines (notably the surprisal subtree
+    // inside `band`) feed gates, pool, and the dedup self-join — without
+    // the cache the whole scoring pipeline re-executes per consumer.
+    // PinnedCache scopes the blocks: long-lived sessions release via
+    // PinnedCache.releaseAll() between pipeline invocations.
+    val staged = PinnedCache.pin(docs
       .select(col(idCol).as("doc_id"), col(srcCol).as("source"),
         col(textCol).as("text"),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"))
       .join(gopher, "doc_id")
-      .join(band, "doc_id")
-      .cache()
-    val pool = staged.where(col("g_keep") && col("b_keep")).cache()
+      .join(band, "doc_id"))
+    val pool = PinnedCache.pin(staged.where(col("g_keep") && col("b_keep")))
     val poolFlag = pool
       .join(pool.groupBy(col("text").as("t")).agg(min(col("doc_id")).as("keep_id")),
         col("text") === col("t"))

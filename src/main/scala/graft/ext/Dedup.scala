@@ -369,7 +369,7 @@ object Dedup {
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     // Hashed (int64) shingle sets everywhere: minhash reads them exploded,
     // the verify join shuffles them as compact long arrays.
-    val sh = hashedShingleSets(df, textCol, idCol, k).cache()
+    val sh = PinnedCache.pin(hashedShingleSets(df, textCol, idCol, k))
     val candidates = lshCandidatePairs(minhashSignatures(sh),
       maxBucketSize = maxBucketSize)
     val verified = candidates
@@ -425,7 +425,7 @@ object Dedup {
     // cached: referenced by both prefix sides AND both verify joins — the
     // shingle+sort pipeline must not run four times (the q26 sh.cache()
     // lesson)
-    val sorted = rarestFirstSets(elementSets(df, textCol, idCol, k)).cache()
+    val sorted = PinnedCache.pin(rarestFirstSets(elementSets(df, textCol, idCol, k)))
     val prefixes = sorted
       .select(col("doc_id"), col("n"),
         explode(slice(col("toks"), lit(1),
@@ -512,9 +512,9 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     // corpus sets feed frequencies, the inverted index, and the verify
     // join; probe sets feed prefixes and verify — cache both (q26 lesson)
-    val corpusSets = elementSets(corpus, textCol, idCol, 1).cache()
-    val sortedProbe = rarestFirstSets(elementSets(probe, textCol, idCol, 1),
-      elementFrequencies(corpusSets)).cache()
+    val corpusSets = PinnedCache.pin(elementSets(corpus, textCol, idCol, 1))
+    val sortedProbe = PinnedCache.pin(rarestFirstSets(
+      elementSets(probe, textCol, idCol, 1), elementFrequencies(corpusSets)))
     val prefixes = sortedProbe
       .select(col("doc_id"), col("n"),
         explode(slice(col("toks"), lit(1),

@@ -97,8 +97,11 @@ object Histogram {
       .agg(max(col("n_g")).as("n"), max(col("n_all")).as("n_total"),
         max(col("scaled")).as("ks_scaled"))
       .select(col("grp"), col("n"), col("ks_scaled"),
-        (col("ks_scaled").cast("double") /
-          (col("n") * (col("n_total") - col("n")))).as("ks"))
+        // single-group input: n_rest = 0 makes the divisor 0 — emit null
+        // rather than NaN/Infinity (the weeklyKsDrift guard, kept row-stable)
+        when(col("n_total") > col("n"),
+          col("ks_scaled").cast("double") /
+            (col("n") * (col("n_total") - col("n")))).as("ks"))
   }
 
   /** WEEK-OVER-WEEK drift: for every (group, week), the grid-KS distance

@@ -376,14 +376,14 @@ object Similarity {
       struct((dot(col(vecCol), typedLit(cv)) / (col("nrm") * lit(cnrm))).as("csim"),
         lit(-cid).as("negcid"))
     }: _*)
-    // cached: both dominance sides and the output join read it — the k×d
-    // literal-centroid assignment pass should run once, not three times
-    val assigned = withNorm(corpus, vecCol)
+    // pinned-cached: both dominance sides and the output join read it —
+    // the k×d literal-centroid assignment pass should run once, not three
+    // times (release via PinnedCache.releaseAll() in long-lived sessions)
+    val assigned = PinnedCache.pin(withNorm(corpus, vecCol)
       .withColumn("best", array_max(centSims))
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("nrm"),
         (-col("best").getField("negcid")).as("cid"),
-        col("best").getField("csim").as("ccos"))
-      .cache()
+        col("best").getField("csim").as("ccos")))
     val x = assigned.select(col("id"), col("cid"), col("v"), col("nrm"), col("ccos"))
     val y = assigned.select(col("id").as("y_id"), col("cid").as("y_cid"),
       col("v").as("y_v"), col("nrm").as("y_nrm"), col("ccos").as("y_ccos"))

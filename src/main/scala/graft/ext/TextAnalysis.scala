@@ -254,7 +254,9 @@ object TextAnalysis {
   def gopherKeepJvm(text: String): Boolean = {
     val toks = text.split(" ", -1)
     val wc = toks.length
-    val cw = text.length - (wc - 1)
+    // code POINTS, not UTF-16 units: Spark's length() counts code points, so
+    // any non-BMP char (emoji, CJK-ext) would make String.length diverge
+    val cw = text.codePointCount(0, text.length) - (wc - 1)
     val alpha = toks.count(_.exists(c =>
       (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')))
     val distinct = toks.distinct

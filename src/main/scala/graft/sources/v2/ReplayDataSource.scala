@@ -200,11 +200,20 @@ final class ReplayTable(path: String, tsCol: String,
   override def name(): String = s"graft-replay($path)"
 
   /** Footer schema when the path exists; otherwise the schema Spark passed
-    * (a fresh path being created by a write). */
+    * (a fresh path being created by a write). Only the two MISSING-path
+    * shapes fall back — a nonexistent path (FileNotFoundException) or a
+    * listed-but-empty one ("No parquet files"). Footer-parse/IO errors on an
+    * existing path rethrow here rather than silently reporting the external
+    * schema and deferring a confusing failure to scan planning. */
   override def schema(): StructType =
     try ReplayDataSource.sparkSchema(idx.schema)
     catch {
-      case e: Exception if externalSchema.fields.nonEmpty => externalSchema
+      case _: java.io.FileNotFoundException if externalSchema.fields.nonEmpty =>
+        externalSchema
+      case e: IllegalArgumentException
+          if externalSchema.fields.nonEmpty &&
+            e.getMessage != null && e.getMessage.startsWith("No parquet files") =>
+        externalSchema
     }
 
   override def capabilities(): util.Set[TableCapability] =

@@ -229,7 +229,9 @@ object Streaming {
     // instead of duplicating each corpus doc's array 32x per band.
     // cached: the corpus side is re-evaluated EVERY micro-batch and feeds
     // two branches (band keys + the per-candidate shingle join) — without
-    // the cache each batch tokenizes/hashes the whole static corpus twice
+    // the cache each batch tokenizes/hashes the whole static corpus twice.
+    // Deliberately a bare .cache(), NOT PinnedCache: the blocks must live
+    // as long as the query runs; release is stopping the stream.
     val shCorp = Dedup.hashedShingleSets(corpus, textCol, idCol, k).cache()
     val corpBands = Dedup.bandKeys(Dedup.minhashSignatures(shCorp), 2, 64)
       .select(col("doc_id").as("corpus_id"), col("bk"))
