@@ -336,13 +336,22 @@ object Dedup {
     * at larger corpora the same operator widens to more bits (the
     * signature fold is O(bits), not O(2^bits)). */
   def simhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-      bits: Int = 60, bands: Int = 4, maxDist: Int = 3): DataFrame = {
+      bits: Int = 60, bands: Int = 4, maxDist: Int = 3): DataFrame =
+    hammingNearDupPairsFromSigs(
+      df.select(col(idCol).as("doc_id"), TextAnalysis.simhashN(textCol, bits).as("sig")),
+      bits, bands, maxDist)
+
+  /** Band-blocked hamming near-dup pairs over PRECOMPUTED `(doc_id, sig)`
+    * signatures — the blocking stage of [[simhashNearDupPairs]] factored
+    * out so any N-bit signature family rides it (simhash over tokens,
+    * perceptual image hashes, ...). Same pigeonhole recall guarantee:
+    * exact for `maxDist <= bands - 1`. */
+  def hammingNearDupPairsFromSigs(sigs: DataFrame,
+      bits: Int, bands: Int, maxDist: Int): DataFrame = {
     require(bits % bands == 0, "bits must divide evenly into bands")
     require(maxDist <= bands - 1, "blocking recall is 1.0 only for maxDist <= bands-1")
     val sliceBits = bits / bands
     val mask = (1L << sliceBits) - 1
-    val sigs = df
-      .select(col(idCol).as("doc_id"), TextAnalysis.simhashN(textCol, bits).as("sig"))
     val bands_ = sigs.select(col("doc_id"), col("sig"),
       explode(expr(
         s"""transform(sequence(0, ${bands - 1}),

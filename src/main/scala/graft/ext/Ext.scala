@@ -1098,6 +1098,41 @@ object Ext {
              |FROM documents ORDER BY doc_id""".stripMargin),
     ),
 
+    // Image perceptual-hash near-dup: docs render to REAL 9x8 grayscale
+    // PNGs (deterministic pixels from token hashes), the pipeline decodes
+    // them with the actual JDK codec, dHashes in pure integer math, and
+    // band-blocks hamming pairs (4x15-bit slices — recall 1.0 for
+    // dist <= 3 by pigeonhole, so the brute-force oracle matches EXACTLY).
+    // PNG being lossless makes the decoded grays a pure function of the
+    // text, so DuckDB replicates pixel gen + dHash + pair scan bit-exactly
+    // (the q42 replicate-the-approximation pattern) while the Spark side
+    // exercises the real encode->decode->hash->block pipeline an image
+    // corpus needs.
+    QueryDef(
+      "q116_image_neardup",
+      (s, dir) => Dedup.hammingNearDupPairsFromSigs(
+          Multimodal.imageDHash(s,
+            Multimodal.renderDocImages(s, tbl(s, dir, "documents")).toDF())
+            .toDF().select(col("doc_id"), col("sig")),
+          bits = 60, bands = 4, maxDist = 3)
+        .orderBy(col("a_id"), col("b_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+             |px AS (SELECT doc_id,
+             |  [CAST(('0x' || substring(md5(t[(p % greatest(len(t),1)) + 1]),1,15)) AS BIGINT) & 255
+             |   FOR p IN generate_series(0, 71)] AS g
+             |  FROM toks),
+             |sig AS (SELECT doc_id,
+             |  CAST(list_sum([CASE WHEN g[(i // 8) * 9 + (i % 8) + 1] < g[(i // 8) * 9 + (i % 8) + 2]
+             |                 THEN (1::BIGINT << i) ELSE 0 END
+             |                 FOR i IN generate_series(0, 59)]) AS BIGINT) AS sig
+             |  FROM px)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+             |ORDER BY a_id, b_id""".stripMargin),
+    ),
+
     // The hot-bucket guard's AUDIT surface as a first-class query: RHP
     // bucket occupancy above the cap (size, hub). Fully deterministic
     // (plane literals), so the skew diagnosis itself is oracle-checked.

@@ -95,6 +95,129 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Perceptual image hashing (dHash) + the deterministic doc->image fixture
+  // ---------------------------------------------------------------------
+
+  /** dHash grid: 9 columns x 8 rows of gray cells -> 60-bit signature
+    * (adjacent-column comparisons, first 60 of the 64 — 60 keeps shift
+    * math portable to the DuckDB oracle, where `1 << 63` overflows, and
+    * matches the engine-wide 60-bit signature conventions). */
+  val DHashCols = 9
+  val DHashRows = 8
+  val DHashBits = 60
+
+  /** Luma in pure integer math: (77 R + 150 G + 29 B) >> 8. Coefficients
+    * sum to 256, so a gray pixel (R=G=B=v) maps to exactly v — that
+    * exactness is what lets a lossless PNG round-trip feed a bit-exact
+    * oracle. */
+  def grayOf(rgb: Int): Int =
+    (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8
+
+  /** Deterministic box-average downsample of a decoded image to the 9x8
+    * dHash grid (row-major, 72 values). Integer bounds `c*W/9 .. (c+1)*W/9`
+    * and integer-division averages — no float resampling, so equal inputs
+    * give equal grids on any JVM, and an exact k-times pixel replication
+    * (each source pixel duplicated kxk) averages back to the source gray
+    * exactly. */
+  def grayGrid(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Int](DHashCols * DHashRows)
+    var r = 0
+    while (r < DHashRows) {
+      val y0 = r * h / DHashRows
+      val y1 = math.max(y0 + 1, (r + 1) * h / DHashRows)
+      var c = 0
+      while (c < DHashCols) {
+        val x0 = c * w / DHashCols
+        val x1 = math.max(x0 + 1, (c + 1) * w / DHashCols)
+        var sum = 0L; var n = 0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            sum += grayOf(img.getRGB(x, y)); n += 1; x += 1
+          }
+          y += 1
+        }
+        out(r * DHashCols + c) = if (n == 0) 0 else (sum / n).toInt
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** 60-bit dHash from a 9x8 gray grid: bit i (i in 0..59, r = i/8,
+    * c = i%8) is set iff grid[r][c] < grid[r][c+1]. */
+  def dhash60(grid: Array[Int]): Long = {
+    require(grid.length == DHashCols * DHashRows, "grid must be 9x8 row-major")
+    var sig = 0L
+    var i = 0
+    while (i < DHashBits) {
+      val r = i / 8; val c = i % 8
+      if (grid(r * DHashCols + c) < grid(r * DHashCols + c + 1)) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  /** A 64-bit-capable perceptual hash result. */
+  final case class ImageHash(doc_id: Long, decoded: Boolean, sig: Long)
+
+  /** REAL perceptual hash over a binary image column: ImageIO decode (the
+    * actual JDK codec), deterministic box-downsample, integer dHash.
+    * Undecodable payloads yield `decoded = false, sig = 0`. */
+  def imageDHash(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: Exception => null }
+        if (img == null) ImageHash(r.doc_id, decoded = false, 0L)
+        else ImageHash(r.doc_id, decoded = true, dhash60(grayGrid(img)))
+      }
+    }
+  }
+
+  /** Gray level a token contributes to the doc-image fixture: low byte of
+    * the engine's portable 60-bit content hash, so the DuckDB oracle can
+    * recompute it (`CAST(('0x' || substring(md5(t),1,15)) AS BIGINT) & 255`). */
+  def tokenGray(tok: String): Int =
+    (graft.functions.SimhashSig.hash60(
+      org.apache.spark.unsafe.types.UTF8String.fromString(tok)) & 255L).toInt
+
+  /** Deterministic documents-as-images fixture: each doc renders to a REAL
+    * 9x8 grayscale PNG whose pixel (r, c) is [[tokenGray]] of token
+    * `(r*9+c) mod n` — similar texts give similar images (shared tokens at
+    * shared positions), so the corpus' near-dup structure carries into
+    * pixel space. PNG is lossless, which makes the decoded pixels (and
+    * everything computed from them) a pure function of the text that an
+    * external oracle can replicate; the codec round-trip itself stays
+    * real (`ImageIO` encode here, decode in [[imageDHash]]). */
+  def renderDocImages(spark: SparkSession, docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)].mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val n = math.max(toks.length, 1)
+          val img = new java.awt.image.BufferedImage(DHashCols, DHashRows,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var p = 0
+          while (p < DHashCols * DHashRows) {
+            val g = if (toks.isEmpty) tokenGray("") else tokenGray(toks(p % n))
+            img.setRGB(p % DHashCols, p / DHashCols, (g << 16) | (g << 8) | g)
+            p += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRecord(id, bos.toByteArray)
+        }
+      }
+  }
+
   /** Real WAV/PCM metadata from the RIFF header (pure byte parsing). */
   final case class WavMeta(doc_id: Long, decoded: Boolean, channels: Int,
       sample_rate: Int, bits_per_sample: Int, n_frames: Long)

@@ -90,6 +90,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!metas(2L).decoded)
   }
 
+  test("imageDHash: PNG render->decode->hash equals the direct grid computation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(50)
+    val viaCodec = Multimodal.imageDHash(spark,
+      Multimodal.renderDocImages(spark, docs).toDF())
+      .collect().map(h => h.doc_id -> h).toMap
+    val direct = docs.collect().map { r =>
+      val toks = r.getString(1).split(" ", -1)
+      val n = math.max(toks.length, 1)
+      val grid = Array.tabulate(72)(p => Multimodal.tokenGray(toks(p % n)))
+      r.getLong(0) -> Multimodal.dhash60(grid)
+    }.toMap
+    assert(viaCodec.keySet == direct.keySet)
+    viaCodec.foreach { case (id, h) =>
+      assert(h.decoded, s"doc $id failed to decode its own PNG")
+      assert(h.sig == direct(id), s"codec-path hash mismatch for doc $id")
+    }
+  }
+
+  test("imageDHash is invariant to exact pixel replication (kx upscale)") {
+    import spark.implicits._
+    def pngOf(grid: Array[Int], k: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(9 * k, 8 * k,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8 * k; x <- 0 until 9 * k) {
+        val g = grid((y / k) * 9 + (x / k))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rnd = new scala.util.Random(42)
+    val grid = Array.fill(72)(rnd.nextInt(256))
+    val df = Seq((1L, pngOf(grid, 1)), (2L, pngOf(grid, 2)), (3L, pngOf(grid, 5)))
+      .toDF("doc_id", "payload")
+    val sigs = Multimodal.imageDHash(spark, df).collect().map(h => h.sig).toSet
+    assert(sigs.size == 1, "upscaled replicas must hash identically")
+    assert(sigs.head == Multimodal.dhash60(grid))
+  }
+
+  test("imageDHash flags undecodable payloads instead of failing") {
+    import spark.implicits._
+    val df = Seq((1L, "definitely not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val h = Multimodal.imageDHash(spark, df).collect().head
+    assert(!h.decoded && h.sig == 0L)
+  }
+
   test("sampleFrames fans one payload out to many fixed-size frames") {
     val frames = Multimodal.sampleFrames(spark, media, frameSize = 32, stride = 64).collect()
     assert(frames.nonEmpty)
