@@ -489,6 +489,20 @@ object Ext {
               |GROUP BY source ORDER BY source""".stripMargin),
     ),
 
+    // EXACT subword tokenization (greedy longest-match over a merges
+    // vocabulary — WordPiece inference with single-char fallback), the
+    // precise counterpart to q46's regex ESTIMATOR for token-budget math.
+    // Map-only with the merges as closure-held model state; the oracle
+    // replays the same greedy loop as a recursive CTE over the same
+    // vocabulary literals (the RhpSig interpolate-the-model pattern).
+    QueryDef(
+      "q117_wordpiece_counts",
+      (s, dir) => Tokenize.wordpieceCounts(s, tbl(s, dir, "documents"),
+          "text", "doc_id")
+        .toDF().orderBy(col("doc_id")),
+      Some(Tokenize.oracleSqlFor(Tokenize.DefaultMerges)),
+    ),
+
     // Within-doc repetition ratio (duplicate 3-gram fraction) — the
     // Gopher-style boilerplate/spam signal. Map-only integer rationals.
     QueryDef(
@@ -1536,6 +1550,60 @@ object Ext {
                 |  (CAST($budget AS BIGINT) * COALESCE(w.weight_ppm, 0)) // 1000000 > t.tokens
                 |    AS oversubscribed
                 |FROM t LEFT JOIN w USING (source) ORDER BY t.source""".stripMargin),
+      )
+    },
+
+    // The mixture planner on EXACT tokens: q115's integer ppm math fed by
+    // q117's greedy wordpiece counts instead of the whitespace estimate —
+    // budgets stop being estimates. The oracle composes the recursive
+    // greedy-loop CTE with the planner arithmetic end-to-end.
+    {
+      val mixWeights: Seq[(String, Long)] =
+        (0 until 20).map(i => s"src$i" -> (if (i < 5) 120000L else 26666L))
+      val budget = 60000L
+      val valuesSql = mixWeights
+        .map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+      QueryDef(
+        "q118_mixture_exact_tokens",
+        (s, dir) => Sampling.mixturePlanFromCounts(
+            tbl(s, dir, "documents").select(col("doc_id"), col("source"))
+              .join(Tokenize.wordpieceCounts(s, tbl(s, dir, "documents"),
+                  "text", "doc_id")
+                .toDF().select(col("doc_id"), col("n_subwords").as("n_tok")),
+                "doc_id"),
+            budget, mixWeights.toMap)
+          .orderBy(col("source")),
+        Some(s"""WITH RECURSIVE w AS (
+                |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+                |steps AS (
+                |  SELECT doc_id, w, 1 AS pos, 0 AS n FROM w
+                |  UNION ALL
+                |  SELECT doc_id, w,
+                |    pos + CASE
+                |${Tokenize.greedyCaseWhens(Tokenize.DefaultMerges)}
+                |      ELSE 1 END,
+                |    n + 1
+                |  FROM steps WHERE pos <= len(w)),
+                |cnt AS (
+                |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tok
+                |  FROM steps WHERE pos > len(w) GROUP BY doc_id),
+                |wt(source, weight_ppm) AS (SELECT * FROM (VALUES $valuesSql)),
+                |t AS (
+                |  SELECT d.source, COUNT(*) AS docs,
+                |    CAST(SUM(c.n_tok) AS BIGINT) AS tokens
+                |  FROM documents d JOIN cnt c USING (doc_id) GROUP BY d.source)
+                |SELECT t.source, t.docs, t.tokens,
+                |  CAST(COALESCE(wt.weight_ppm, 0) AS BIGINT) AS weight_ppm,
+                |  (CAST($budget AS BIGINT) * COALESCE(wt.weight_ppm, 0)) // 1000000 AS target_tokens,
+                |  LEAST(1000000,
+                |    (((CAST($budget AS BIGINT) * COALESCE(wt.weight_ppm, 0)) // 1000000) * 1000000)
+                |      // t.tokens) AS rate_ppm,
+                |  (t.tokens * LEAST(1000000,
+                |    (((CAST($budget AS BIGINT) * COALESCE(wt.weight_ppm, 0)) // 1000000) * 1000000)
+                |      // t.tokens)) // 1000000 AS expected_tokens,
+                |  (CAST($budget AS BIGINT) * COALESCE(wt.weight_ppm, 0)) // 1000000 > t.tokens
+                |    AS oversubscribed
+                |FROM t LEFT JOIN wt USING (source) ORDER BY t.source""".stripMargin),
       )
     },
 

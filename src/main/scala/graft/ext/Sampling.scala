@@ -104,12 +104,23 @@ object Sampling {
     * than its target (the signal to upsample/epoch that source instead).
     * One per-source aggregate; the weight table is a literal map. */
   def mixturePlan(docs: DataFrame, textCol: String, srcCol: String,
+      budgetTokens: Long, weightsPpm: Map[String, Long]): DataFrame =
+    mixturePlanFromCounts(
+      docs.select(col(srcCol).as("source"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok")),
+      budgetTokens, weightsPpm)
+
+  /** [[mixturePlan]] over PRECOMPUTED per-doc token counts
+    * `(source, n_tok)` — so the budget math can ride an exact tokenizer
+    * ([[Tokenize.wordpieceCounts]]) instead of the whitespace estimate,
+    * or any other counting scheme, without re-deriving the planner. */
+  def mixturePlanFromCounts(counts: DataFrame,
       budgetTokens: Long, weightsPpm: Map[String, Long]): DataFrame = {
     val w = typedLit(weightsPpm)
-    docs
-      .groupBy(col(srcCol).as("source"))
+    counts
+      .groupBy(col("source"))
       .agg(count(lit(1)).as("docs"),
-        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("tokens"))
+        sum(col("n_tok")).as("tokens"))
       .withColumn("weight_ppm", coalesce(w(col("source")), lit(0L)))
       .withColumn("target_tokens",
         expr(s"(${budgetTokens}L * weight_ppm) div 1000000"))

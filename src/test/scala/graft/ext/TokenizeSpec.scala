@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class TokenizeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** Independent reference: recursive formulation of greedy longest-match
+    * (the operator's loop is iterative/allocation-free). */
+  def refPieces(word: String, merges: Seq[String]): List[String] =
+    if (word.isEmpty) Nil
+    else {
+      val maxLen = (merges.map(_.length) :+ 1).max
+      val take = (math.min(maxLen, word.length) to 2 by -1)
+        .find(l => merges.contains(word.substring(0, l)))
+        .getOrElse(1)
+      word.substring(0, take) :: refPieces(word.substring(take), merges)
+    }
+
+  test("hand-verified greedy longest-match examples") {
+    // "there": 'ther' wins over 'the' (longest match), then 'e' falls back
+    assert(Tokenize.pieces("there") == Seq("ther", "e"))
+    assert(Tokenize.pieces("the") == Seq("the"))
+    // longest-match is greedy, not globally optimal: 'atio' before 'n'
+    assert(Tokenize.pieces("information") == Seq("in", "for", "ma", "tion"))
+    assert(Tokenize.pieces("xyzzy") == Seq("x", "y", "z", "z", "y"))
+    assert(Tokenize.pieces("") == Seq())
+    // pieces always reassemble the word
+    assert(Tokenize.pieces("straightforward").mkString == "straightforward")
+  }
+
+  test("operator agrees with the independent recursive reference on random words") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789!."
+    val words = (1 to 300).map(_ =>
+      (0 until rnd.nextInt(18)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    words.foreach { w =>
+      val got = Tokenize.pieces(w)
+      val want = refPieces(w, Tokenize.DefaultMerges)
+      assert(got == want, s"mismatch on '$w'")
+      assert(got.mkString == w)
+      assert(Tokenize.pieceCount(w,
+        Tokenize.byLength(Tokenize.DefaultMerges)._1,
+        Tokenize.byLength(Tokenize.DefaultMerges)._2) == want.length)
+    }
+  }
+
+  test("wordpieceCounts: per-doc counts equal the word-by-word reference") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(60)
+    val got = Tokenize.wordpieceCounts(spark, docs, "text", "doc_id")
+      .collect().map(c => c.doc_id -> ((c.n_words, c.n_subwords))).toMap
+    docs.collect().foreach { r =>
+      val words = r.getString(1).split(" ", -1)
+      val want = (words.length.toLong,
+        words.map(w => refPieces(w, Tokenize.DefaultMerges).length.toLong).sum)
+      assert(got(r.getLong(0)) == want, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("custom merges vocabulary is honored; empty merges = char count") {
+    assert(Tokenize.pieces("banana", Seq("ban", "na")) == Seq("ban", "a", "na"))
+    assert(Tokenize.pieces("banana", Seq.empty) == "banana".map(_.toString))
+    intercept[IllegalArgumentException] {
+      Tokenize.pieces("x", Seq("a")) // single-char merges are the implicit fallback
+    }
+  }
+}
