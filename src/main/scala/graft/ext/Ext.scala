@@ -1607,6 +1607,62 @@ object Ext {
       )
     },
 
+    // URL canonicalization audit: every doc's messy fixture URL (scheme
+    // case, www., default ports, tracking params, fragments, trailing
+    // slashes) against its canonical form + host — the normalization a
+    // crawl corpus needs before URL/host-level dedup. Pure split_part/
+    // substr/LIKE string work (no regex dialects), map-only, oracle checks
+    // every row of the canonicalizer.
+    QueryDef(
+      "q119_url_canonicalize",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+        val url = Web.fixtureUrl(col("doc_id"), col("source"), col("lang"))
+        d.select(col("doc_id"), url.as("url"),
+            Web.canonicalizeUrl(url).as("curl"), Web.hostOf(url).as("host"))
+          .orderBy(col("doc_id"))
+      },
+      // plain concatenation: the interpolated SQL fragments contain `||`
+      // at line starts, which an outer stripMargin would corrupt to `|`
+      Some("WITH u AS (SELECT doc_id, " + Web.fixtureUrlSql +
+        " AS url FROM documents),\n" + Web.canonicalizeSql +
+        "\nSELECT doc_id, url, curl, host FROM c ORDER BY doc_id"),
+    ),
+
+    // Host-level dedup rollup: per canonical host, doc counts and the
+    // share of docs that are exact-dup LOSERS corpus-wide (q24's min-id
+    // survivor rule) — the "which hosts ship boilerplate" report joined
+    // from the canonicalizer. One host-keyed aggregate after the dup flag
+    // join; at 100 TB the text-min join is the q24 shuffle, the host
+    // rollup is metadata-sized.
+    QueryDef(
+      "q120_host_dedup_rollup",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+        val hosts = d.select(col("doc_id"), col("text"),
+          Web.hostOf(Web.fixtureUrl(col("doc_id"), col("source"), col("lang"))).as("host"))
+        val survivors = d.groupBy(col("text")).agg(min(col("doc_id")).as("keep_id"))
+        hosts.join(survivors, "text")
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("docs"),
+            sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L)).as("dup_docs"),
+            (sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L)).cast("double") /
+              count(lit(1))).as("dup_share"))
+          .orderBy(col("host"))
+      },
+      Some("WITH u AS (SELECT doc_id, " + Web.fixtureUrlSql +
+        " AS url FROM documents),\n" + Web.canonicalizeSql + ",\n" +
+        """d AS (SELECT c.doc_id, c.host, doc.text
+          |      FROM c JOIN documents doc ON c.doc_id = doc.doc_id),
+          |m AS (SELECT text, MIN(doc_id) AS keep_id FROM documents GROUP BY text)
+          |SELECT d.host, COUNT(*) AS docs,
+          |  CAST(SUM(CASE WHEN d.doc_id <> m.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+          |  CAST(SUM(CASE WHEN d.doc_id <> m.keep_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+          |    AS dup_share
+          |FROM d JOIN m ON d.text = m.text
+          |GROUP BY d.host ORDER BY d.host""".stripMargin),
+    ),
+
     // The composed curation FUNNEL (q113 Gopher gates ∘ q107 CCNet band ∘
     // exact dedup) with per-stage per-source attrition accounting — the
     // report a data team reviews before a training run. One oracle checks
