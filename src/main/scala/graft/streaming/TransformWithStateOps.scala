@@ -297,6 +297,139 @@ object TransformWithStateOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class GroupWeekBin(grp: String, wk: Long, bin: Long)
+  final case class WeeklyDrift(grp: String, wk: Long, n_cur: Long, n_prev: Long,
+      ks_scaled: Long, ks: Double)
+
+  /** Continuous week-over-week grid-KS drift — the streaming twin of
+    * [[graft.ext.Histogram.weeklyKsDrift]] (q111). State per group is the
+    * `(week, bin) -> count` map: bounded by weeks x occupied grid bins
+    * (the gridBins state-bound argument), never by row count. Bin ids and
+    * week ids are computed by the SAME expressions as the batch operator
+    * (`floor(v*scale)` exact on the power-of-two grid; `ts div weekNs`),
+    * and the KS recomputation is the same integer cross-multiplication up
+    * to one final correctly-rounded division — so every emission equals
+    * the batch operator run over the rows seen so far, regardless of how
+    * the stream was batched (asserted in `TransformWithStateSpec`).
+    *
+    * Each micro-batch re-emits the (wk-1 -> wk) comparison rows AFFECTED
+    * by that batch — weeks touched as the current side and weeks whose
+    * successor is present (touched as the previous side) — for touched
+    * groups only; pairs missing either side stay silent (the batch
+    * operator's n_cur > 0 AND n_prev > 0 guard). In production the week
+    * map is pruned by retention (drop weeks below the watermark week);
+    * kept unbounded here to reconcile with the full-history batch op. */
+  final class WeeklyKsDriftProcessor
+      extends StatefulProcessor[String, GroupWeekBin, WeeklyDrift] {
+
+    @transient private var counts: MapState[(Long, Long), Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[(Long, Long), Long](
+        "counts", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[GroupWeekBin],
+        timerValues: TimerValues): Iterator[WeeklyDrift] = {
+      val touched = scala.collection.mutable.Set.empty[Long]
+      rows.foreach { r =>
+        val k = (r.wk, r.bin)
+        val prev = if (counts.containsKey(k)) counts.getValue(k) else 0L
+        counts.updateValue(k, prev + 1L)
+        touched += r.wk
+      }
+      // weeks whose (wk-1 -> wk) comparison this batch may have changed
+      val state = counts.iterator().toArray
+      val weeks = state.iterator.map(_._1._1).toSet
+      val affected = (touched.iterator ++ touched.iterator.map(_ + 1L)).toSeq
+        .distinct.sorted
+        .filter(w => weeks.contains(w) && weeks.contains(w - 1L))
+      affected.iterator.map { w =>
+        val cur = state.iterator.filter(_._1._1 == w)
+          .map { case ((_, b), c) => b -> c }.toMap
+        val prev = state.iterator.filter(_._1._1 == w - 1L)
+          .map { case ((_, b), c) => b -> c }.toMap
+        val nCur = cur.valuesIterator.sum
+        val nPrev = prev.valuesIterator.sum
+        val bins = (cur.keySet ++ prev.keySet).toArray.sorted
+        var cumCur = 0L; var cumPrev = 0L; var best = 0L
+        bins.foreach { b =>
+          cumCur += cur.getOrElse(b, 0L)
+          cumPrev += prev.getOrElse(b, 0L)
+          val scaled = math.abs(cumCur * nPrev - cumPrev * nCur)
+          if (scaled > best) best = scaled
+        }
+        WeeklyDrift(key, w, nCur, nPrev, best,
+          best.toDouble / (nCur * nPrev))
+      }
+    }
+  }
+
+  /** Wire [[WeeklyKsDriftProcessor]] over a streaming frame carrying the
+    * group/value/ts columns — week and bin derivation use the batch
+    * operator's exact expressions. */
+  def streamingWeeklyKsDrift(df: org.apache.spark.sql.DataFrame,
+      group: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column,
+      tsNanosCol: String, scale: Int): Dataset[WeeklyDrift] = {
+    require(scale >= 1 && (scale & (scale - 1)) == 0, "scale must be a power of two")
+    import org.apache.spark.sql.functions._
+    val weekNs = 7L * 24 * 3600 * 1000000000L
+    implicit val inEnc: Encoder[GroupWeekBin] = Encoders.product[GroupWeekBin]
+    implicit val outEnc: Encoder[WeeklyDrift] = Encoders.product[WeeklyDrift]
+    df.select(group.as("grp"), expr(s"$tsNanosCol div ${weekNs}L").as("wk"),
+        floor(value * scale).cast("long").as("bin"))
+      .as[GroupWeekBin]
+      .groupByKey(_.grp)(Encoders.STRING)
+      .transformWithState(new WeeklyKsDriftProcessor(),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  final case class SourceTokens(source: String, n_tok: Long)
+  final case class MixtureRow(source: String, docs: Long, tokens: Long,
+      weight_ppm: Long, target_tokens: Long, rate_ppm: Long,
+      expected_tokens: Long, oversubscribed: Boolean)
+
+  /** Live token-budget mixture attrition — the streaming twin of
+    * [[graft.ext.Sampling.mixturePlanFromCounts]] (q115/q118): as docs
+    * stream in, each source's (docs, tokens) counters update and the
+    * refreshed plan row re-derives with the SAME integer ppm arithmetic
+    * (targets from ppm products, rate as capped integer division,
+    * oversubscription flag) — the dashboard view of "which sources have
+    * already met their budget share". State: two longs per source. Emits
+    * touched sources only. Zero-token sources emit rate 1,000,000 (take
+    * everything — vacuously met; the batch form's ANSI division guards
+    * this corner by construction since a counted doc implies a row). */
+  final class MixturePlanProcessor(budgetTokens: Long, weightsPpm: Map[String, Long])
+      extends StatefulProcessor[String, SourceTokens, MixtureRow] {
+
+    @transient private var counts: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getValueState[(Long, Long)](
+        "counts", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[SourceTokens],
+        timerValues: TimerValues): Iterator[MixtureRow] = {
+      var (docs, tokens) = if (counts.exists()) counts.get() else (0L, 0L)
+      rows.foreach { r => docs += 1; tokens += r.n_tok }
+      counts.update((docs, tokens))
+      val w = weightsPpm.getOrElse(key, 0L)
+      val target = budgetTokens * w / 1000000L
+      val rate = if (tokens > 0) math.min(1000000L, target * 1000000L / tokens)
+        else 1000000L
+      Iterator.single(MixtureRow(key, docs, tokens, w, target, rate,
+        tokens * rate / 1000000L, target > tokens))
+    }
+  }
+
+  def streamingMixturePlan(ds: Dataset[SourceTokens], budgetTokens: Long,
+      weightsPpm: Map[String, Long]): Dataset[MixtureRow] = {
+    implicit val outEnc: Encoder[MixtureRow] = Encoders.product[MixtureRow]
+    ds.groupByKey(_.source)(Encoders.STRING)
+      .transformWithState(new MixturePlanProcessor(budgetTokens, weightsPpm),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Wire [[BoilerplateProcessor]] over a streaming `documents` frame:
     * split → n-gram explode (map-only, the batch op's exact gram
     * definition via [[graft.ext.TextAnalysis.ngramsFromTokens]]) → keyed

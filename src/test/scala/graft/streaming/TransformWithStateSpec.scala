@@ -263,4 +263,79 @@ class TransformWithStateSpec extends AnyFunSuite {
       }
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streamingWeeklyKsDrift: final emission equals batch weeklyKsDrift across batch splits") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.WeeklyDrift
+      // real events (ns ts as long) — three types, four weeks of data
+      val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(col("event_type").as("grp"), col("value").as("v"), col("ts"))
+        .as[(String, Double, Long)].collect().toSeq
+
+      val latest = scala.collection.mutable.Map[(String, Long), WeeklyDrift]()
+      val input = MemoryStream[(String, Double, Long)]
+      val query = TransformWithStateOps.streamingWeeklyKsDrift(
+          input.toDF().toDF("grp", "v", "ts"), col("grp"), col("v"), "ts", 16)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[WeeklyDrift], _: Long) =>
+          df.collect().foreach(r => latest((r.grp, r.wk)) = r); ()
+        }.start()
+      try {
+        events.grouped(events.length / 3 + 1).foreach { b =>
+          input.addData(b: _*); query.processAllAvailable()
+        }
+      } finally query.stop()
+
+      val batch = graft.ext.Histogram.weeklyKsDrift(
+          spark.read.parquet("/root/testdata/sf0.001/events.parquet"),
+          col("event_type"), col("value"), "ts", 16)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          WeeklyDrift(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getDouble(5))).toMap
+      assert(batch.nonEmpty && latest.keySet == batch.keySet)
+      batch.foreach { case (k, want) => assert(latest(k) == want, s"pair $k") }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("streamingMixturePlan: final emission equals batch mixturePlanFromCounts across splits") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{MixtureRow, SourceTokens}
+      val weights = (0 until 20).map(i =>
+        s"src$i" -> (if (i < 5) 120000L else 26666L)).toMap
+      val budget = 20000L
+      // real per-doc exact wordpiece counts as the stream
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val counts = docs.select(col("doc_id"), col("source"))
+        .join(graft.ext.Tokenize.wordpieceCounts(spark, docs, "text", "doc_id")
+          .toDF().select(col("doc_id"), col("n_subwords").as("n_tok")), "doc_id")
+        .select(col("source"), col("n_tok")).as[SourceTokens].collect().toSeq
+
+      val latest = scala.collection.mutable.Map[String, MixtureRow]()
+      val input = MemoryStream[SourceTokens]
+      val query = TransformWithStateOps.streamingMixturePlan(input.toDS(), budget, weights)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[MixtureRow], _: Long) =>
+          df.collect().foreach(r => latest(r.source) = r); ()
+        }.start()
+      try {
+        counts.grouped(counts.length / 4 + 1).foreach { b =>
+          input.addData(b: _*); query.processAllAvailable()
+        }
+      } finally query.stop()
+
+      val batch = graft.ext.Sampling.mixturePlanFromCounts(
+          counts.toDF("source", "n_tok"), budget, weights)
+        .collect().map(r => r.getString(0) ->
+          MixtureRow(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7))).toMap
+      assert(batch.size == 20 && latest.keySet == batch.keySet)
+      batch.foreach { case (s, want) => assert(latest(s) == want, s"source $s") }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
