@@ -315,6 +315,59 @@ object CorpusMining {
           .cast("double") / (col("n_docs") * col("sum_x"))).as("gini"))
   }
 
+  /** BM25-shaped ranked retrieval over the corpus for a fixed term list:
+    * classic term-frequency saturation and length normalization with
+    * k1 = 6/5 and b = 3/4, exact-integer cross-multiplied so each term
+    * contributes ONE double division —
+    * `score_t = (2N-2df+1)·22·T·tf / ((2df+1)·(10·T·tf + 3T + 9·dl·N))`
+    * (derivation: multiply BM25's tf·(k1+1)/(tf + k1(1-b+b·dl/avgdl))
+    * through by 10T with avgdl = T/N, then apply the q77 log-free
+    * rational idf (2N-2df+1)/(2df+1) in place of ln-idf — monotone in the
+    * same direction, portable). Term scores add LEFT-TO-RIGHT in the
+    * given term order (fixed-order double fold, DEVNOTES #4). Products
+    * stay under 2^63 for corpora to ~10^9 tokens per the factors'
+    * magnitudes; beyond that switch the numerators to decimal(38).
+    *
+    * Scale shape: corpus stats (N, T, per-term df) are one map-side
+    * combinable aggregate broadcast back; tf/scoring is map-only; the
+    * top-k is orderBy+limit (TakeOrderedAndProject — no global sort);
+    * ranks are assigned on the k survivors only. */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val d = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+      .withColumn("dl", size(col("t")).cast("long"))
+    val statAggs = count(lit(1)).cast("long").as("n") +:
+      sum(col("dl")).as("tt") +:
+      terms.zipWithIndex.map { case (term, i) =>
+        sum(when(array_contains(col("t"), term), 1L).otherwise(0L)).as(s"df$i")
+      }
+    val stats = d.agg(statAggs.head, statAggs.tail: _*)
+    val f = d.select(col("doc_id") +: col("dl") +:
+      terms.zipWithIndex.map { case (term, i) =>
+        size(filter(col("t"), x => x === term)).cast("long").as(s"tf$i")
+      }: _*)
+    val termScores = terms.indices.map { i =>
+      val tf = col(s"tf$i"); val df = col(s"df$i")
+      when(tf > 0,
+        ((lit(2L) * col("n") - lit(2L) * df + lit(1L)) * lit(22L) * col("tt") * tf)
+          .cast("double") /
+          ((lit(2L) * df + lit(1L)) *
+            (lit(10L) * col("tt") * tf + lit(3L) * col("tt") +
+              lit(9L) * col("dl") * col("n"))).cast("double"))
+        .otherwise(lit(0.0))
+    }
+    val top = f.crossJoin(broadcast(stats))
+      .withColumn("score", termScores.reduce(_ + _))
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    // rank over the k survivors only — the window never sees the corpus
+    top.withColumn("rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("score"), col("rank"))
+  }
+
   def queries: Seq[QueryDef] = Seq(
 
     // Count-Min heavy-hitter audit (the Sketches.cms* operators): exact
@@ -794,6 +847,59 @@ object CorpusMining {
              |SELECT grp AS source, COUNT(*) AS n_docs, CAST(SUM(x) AS BIGINT) AS sum_x,
              |  CAST(2*SUM(i*x) - (COUNT(*)+1)*SUM(x) AS DOUBLE)/(COUNT(*)*SUM(x)) AS gini
              |FROM ranked GROUP BY grp ORDER BY source""".stripMargin),
+    ),
+
+    // BM25-shaped ranked retrieval: top-k docs for a multi-term query.
+    // Classic BM25 term saturation/length normalization (k1 = 6/5,
+    // b = 3/4) in EXACT integer cross-multiplication — per term one
+    // BIGINT numerator, one BIGINT denominator, ONE double division —
+    // with the q77 log-free rational idf standing in for ln-idf
+    // (monotone-equivalent, engine-portable). Terms sum left-to-right in
+    // a FIXED literal order so the double sum is bit-identical across
+    // engines (DEVNOTES #4); ranking ties break on doc_id. Scale: corpus
+    // stats are one map-combinable aggregate broadcast back; scoring is
+    // map-only; top-k is TakeOrderedAndProject.
+    QueryDef(
+      "q123_bm25_search",
+      (s, dir) => bm25TopK(tbl(s, dir, "documents"), "text", "doc_id",
+          Seq("vector", "merge", "window"), 10)
+        .orderBy(col("rank")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text,' ') AS t,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS dl
+             |  FROM documents),
+             |s AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tt,
+             |    CAST(SUM(CASE WHEN list_contains(t,'vector') THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+             |    CAST(SUM(CASE WHEN list_contains(t,'merge') THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             |    CAST(SUM(CASE WHEN list_contains(t,'window') THEN 1 ELSE 0 END) AS BIGINT) AS df2
+             |  FROM d),
+             |f AS (
+             |  SELECT doc_id, dl,
+             |    CAST(len(list_filter(t, x -> x = 'vector')) AS BIGINT) AS tf0,
+             |    CAST(len(list_filter(t, x -> x = 'merge')) AS BIGINT) AS tf1,
+             |    CAST(len(list_filter(t, x -> x = 'window')) AS BIGINT) AS tf2
+             |  FROM d),
+             |sc AS (
+             |  SELECT doc_id,
+             |    (CASE WHEN tf0 > 0 THEN
+             |       CAST((2*n - 2*df0 + 1) * 22 * tt * tf0 AS DOUBLE)
+             |       / CAST((2*df0 + 1) * (10*tt*tf0 + 3*tt + 9*dl*n) AS DOUBLE)
+             |     ELSE 0.0 END
+             |    + CASE WHEN tf1 > 0 THEN
+             |       CAST((2*n - 2*df1 + 1) * 22 * tt * tf1 AS DOUBLE)
+             |       / CAST((2*df1 + 1) * (10*tt*tf1 + 3*tt + 9*dl*n) AS DOUBLE)
+             |     ELSE 0.0 END)
+             |    + CASE WHEN tf2 > 0 THEN
+             |       CAST((2*n - 2*df2 + 1) * 22 * tt * tf2 AS DOUBLE)
+             |       / CAST((2*df2 + 1) * (10*tt*tf2 + 3*tt + 9*dl*n) AS DOUBLE)
+             |     ELSE 0.0 END AS score
+             |  FROM f, s),
+             |r AS (
+             |  SELECT doc_id, score,
+             |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+             |  FROM sc WHERE score > 0)
+             |SELECT doc_id, score, rank FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin),
     ),
 
     // Exact phrase search as one map-only scan (phraseOccurrences): docs

@@ -42,6 +42,31 @@ object Curation {
         min(col("doc_id")).as("first_doc"))
   }
 
+  /** Linear (fastText-style) quality-classifier INFERENCE: integer token
+    * weights + bias, margin = bias + Σ weight(token) over the doc's tokens
+    * (with multiplicity), keep iff margin > 0. This is the quality-filter
+    * shape modern curation stacks run at corpus scale (a trained linear
+    * model over bag-of-words features); weights here are MODEL STATE —
+    * kilobytes for real vocabularies — carried as a literal map column, so
+    * scoring is one map-only pass with zero shuffles and zero joins (the
+    * fold is O(|vocab_entry_scan|) per token on a literal map; at real
+    * 50k-token vocabularies swap the literal for a broadcast join on an
+    * exploded token frame — same semantics, same integer margin).
+    * All-integer arithmetic keeps every keep decision bit-exact across
+    * engines (the oracle re-derives margins with a VALUES weight table). */
+  def linearGate(docs: DataFrame, textCol: String, idCol: String,
+      weights: Map[String, Long], bias: Long): DataFrame = {
+    val wmap = typedLit(weights)
+    // hoist the token array into a named column (interpreted-HOF rule:
+    // never re-split per element)
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"),
+        (lit(bias) + aggregate(col("toks"), lit(0L),
+          (acc, t) => acc + coalesce(element_at(wmap, t), lit(0L)))).as("margin"))
+      .withColumn("keep", col("margin") > 0)
+  }
+
   /** CCNet's actual keep rule composed from this engine's operators:
     * score every doc with the unigram-LM surprisal
     * ([[TextAnalysis.unigramSurprisal]]) and keep, PER SOURCE, the middle

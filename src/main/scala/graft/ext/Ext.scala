@@ -1147,6 +1147,48 @@ object Ext {
              |ORDER BY a_id, b_id""".stripMargin),
     ),
 
+    // Image near-dup CLUSTERS: q116's perceptual-hash pairs composed with
+    // the single-job connected-components machinery (q44's) — the full
+    // image-dedup story an multimodal corpus needs: decode -> dHash ->
+    // banded hamming pairs -> clusters. Oracle: the q116 pixel/dHash
+    // replica feeding q44's recursive-CTE components.
+    QueryDef(
+      "q121_image_clusters",
+      (s, dir) => Dedup.connectedComponents(
+          Dedup.hammingNearDupPairsFromSigs(
+            Multimodal.imageDHash(s,
+              Multimodal.renderDocImages(s, tbl(s, dir, "documents")).toDF())
+              .toDF().select(col("doc_id"), col("sig")),
+            bits = 60, bands = 4, maxDist = 3))
+        .groupBy(col("root").as("root_id"))
+        .agg(count(lit(1)).as("members"))
+        .orderBy(col("root_id")),
+      Some("""WITH RECURSIVE toks AS (
+             |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
+             |px AS (SELECT doc_id,
+             |  [CAST(('0x' || substring(md5(t[(p % greatest(len(t),1)) + 1]),1,15)) AS BIGINT) & 255
+             |   FOR p IN generate_series(0, 71)] AS g
+             |  FROM toks),
+             |sig AS (SELECT doc_id,
+             |  CAST(list_sum([CASE WHEN g[(i // 8) * 9 + (i % 8) + 1] < g[(i // 8) * 9 + (i % 8) + 2]
+             |                 THEN (1::BIGINT << i) ELSE 0 END
+             |                 FOR i IN generate_series(0, 59)]) AS BIGINT) AS sig
+             |  FROM px),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+             |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+             |          UNION SELECT b_id, a_id FROM pairs),
+             |r(id, m) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.m),
+             |labels AS (SELECT id, MIN(m) AS root_id FROM r GROUP BY id)
+             |SELECT root_id, COUNT(*) AS members FROM labels
+             |GROUP BY root_id ORDER BY root_id""".stripMargin),
+    ),
+
     // The hot-bucket guard's AUDIT surface as a first-class query: RHP
     // bucket occupancy above the cap (size, hub). Fully deterministic
     // (plane literals), so the skew diagnosis itself is oracle-checked.
@@ -1604,6 +1646,35 @@ object Ext {
                 |  (CAST($budget AS BIGINT) * COALESCE(wt.weight_ppm, 0)) // 1000000 > t.tokens
                 |    AS oversubscribed
                 |FROM t LEFT JOIN wt USING (source) ORDER BY t.source""".stripMargin),
+      )
+    },
+
+    // Linear quality-classifier inference (the fastText-filter shape):
+    // integer token weights + bias, margin summed over tokens with
+    // multiplicity, keep iff margin > 0 — map-only model scoring whose
+    // every decision is bit-exact (the oracle re-derives margins from the
+    // same VALUES weight table).
+    {
+      val weights: Seq[(String, Long)] = Seq(
+        "fast" -> 3L, "merge" -> 2L, "vector" -> 2L, "stream" -> 2L,
+        "query" -> 1L, "table" -> 1L, "hash" -> 1L, "key" -> 1L,
+        "slow" -> -4L, "scan" -> -2L, "row" -> -1L, "a" -> -1L,
+        "big" -> -2L, "the" -> 1L, "spark" -> 2L)
+      val bias = -2L
+      val valuesSql = weights.map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+      QueryDef(
+        "q122_quality_classifier",
+        (s, dir) => Curation.linearGate(tbl(s, dir, "documents"),
+            "text", "doc_id", weights.toMap, bias)
+          .orderBy(col("doc_id")),
+        Some(s"""WITH w(tok, wt) AS (SELECT * FROM (VALUES $valuesSql)),
+                |t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+                |      FROM documents),
+                |m AS (SELECT t.doc_id,
+                |        CAST($bias + COALESCE(SUM(w.wt), 0) AS BIGINT) AS margin
+                |      FROM t LEFT JOIN w USING (tok) GROUP BY t.doc_id)
+                |SELECT doc_id, margin, margin > 0 AS keep
+                |FROM m ORDER BY doc_id""".stripMargin),
       )
     },
 
