@@ -281,4 +281,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"),
       "staged/pool must be cached so gate pipelines run once")
   }
+
+  test("q116/q121: image near-dup joins band keys — no all-pairs join") {
+    for (q <- Seq("q116_image_neardup", "q121_image_clusters")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: no cross product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: no all-pairs join")
+    }
+  }
+
+  test("q117/q119/q122: tokenizer, canonicalizer, classifier are map-only scans") {
+    for (q <- Seq("q117_wordpiece_counts", "q119_url_canonicalize",
+        "q122_quality_classifier")) {
+      val p = plan(q)
+      // exactly the output sort's exchange; the operator itself adds none
+      assert("Exchange".r.findAllIn(p).size == 1, s"$q: one exchange (the sort):\n$p")
+      assert(!p.contains("Join"), s"$q: no join anywhere")
+    }
+  }
+
+  test("q123: BM25 broadcasts the one-row stats and plans top-k without a global sort") {
+    val p = plan("q123_bm25_search")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort the corpus")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), "the stats attach must broadcast")
+  }
+
+  test("q120: host rollup aggregates with map-side partials") {
+    val p = plan("q120_host_dedup_rollup")
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
