@@ -67,6 +67,16 @@ object Curation {
       .withColumn("keep", col("margin") > 0)
   }
 
+  /** JVM mirror of [[linearGate]]'s margin for per-row streaming state
+    * code — same tokenization (`split(" ", -1)` == Spark `split` on a
+    * space), same integer sum. Pinned equal to the Column form in
+    * `TransformWithStateSpec`. */
+  def linearMarginJvm(text: String, weights: Map[String, Long], bias: Long): Long = {
+    var m = bias
+    text.split(" ", -1).foreach(t => m += weights.getOrElse(t, 0L))
+    m
+  }
+
   /** CCNet's actual keep rule composed from this engine's operators:
     * score every doc with the unigram-LM surprisal
     * ([[TextAnalysis.unigramSurprisal]]) and keep, PER SOURCE, the middle

@@ -297,6 +297,40 @@ object TransformWithStateOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Live per-source attrition counters for the LINEAR quality classifier
+    * (q122's streaming half, the [[GopherFunnelProcessor]] shape with the
+    * model swapped in): margins via the JVM mirror of the exact integer
+    * rule ([[graft.ext.Curation.linearMarginJvm]], pinned equal to the
+    * Column form), two longs of state per source, touched sources only. */
+  final class QualityGateProcessor(weights: Map[String, Long], bias: Long)
+      extends StatefulProcessor[String, SourceDoc, FunnelCounts] {
+
+    @transient private var counts: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getValueState[(Long, Long)](
+        "counts", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[SourceDoc],
+        timerValues: TimerValues): Iterator[FunnelCounts] = {
+      var (total, kept) = if (counts.exists()) counts.get() else (0L, 0L)
+      rows.foreach { r =>
+        total += 1
+        if (graft.ext.Curation.linearMarginJvm(r.text, weights, bias) > 0L) kept += 1
+      }
+      counts.update((total, kept))
+      Iterator.single(FunnelCounts(key, total, total - kept, kept))
+    }
+  }
+
+  def streamingQualityGate(ds: Dataset[SourceDoc], weights: Map[String, Long],
+      bias: Long): Dataset[FunnelCounts] = {
+    implicit val outEnc: Encoder[FunnelCounts] = Encoders.product[FunnelCounts]
+    ds.groupByKey(_.source)(Encoders.STRING)
+      .transformWithState(new QualityGateProcessor(weights, bias),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class GroupWeekBin(grp: String, wk: Long, bin: Long)
   final case class WeeklyDrift(grp: String, wk: Long, n_cur: Long, n_prev: Long,
       ks_scaled: Long, ks: Double)

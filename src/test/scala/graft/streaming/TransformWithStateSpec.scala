@@ -264,6 +264,46 @@ class TransformWithStateSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streamingQualityGate: counters equal the batch linearGate aggregation (real corpus)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{FunnelCounts, SourceDoc}
+      val weights = Map("fast" -> 3L, "slow" -> -4L, "table" -> 1L,
+        "vector" -> 2L, "big" -> -2L, "the" -> 1L)
+      val bias = -1L
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("source"), col("text")).as[SourceDoc].collect().toSeq
+
+      val latest = scala.collection.mutable.Map[String, FunnelCounts]()
+      val input = MemoryStream[SourceDoc]
+      val query = TransformWithStateOps.streamingQualityGate(input.toDS(), weights, bias)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[FunnelCounts], _: Long) =>
+          df.collect().foreach(r => latest(r.source) = r); ()
+        }.start()
+      try {
+        docs.grouped(docs.length / 3 + 1).foreach { b =>
+          input.addData(b: _*); query.processAllAvailable()
+        }
+      } finally query.stop()
+
+      // batch reference: the q122 operator (Column-form margins) per source
+      val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val batch = graft.ext.Curation.linearGate(d, "text", "doc_id", weights, bias)
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(batch.size == 20 && latest.keySet == batch.keySet)
+      batch.foreach { case (s, (total, kept)) =>
+        assert(latest(s) == FunnelCounts(s, total, total - kept, kept), s)
+      }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streamingWeeklyKsDrift: final emission equals batch weeklyKsDrift across batch splits") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
