@@ -113,6 +113,40 @@ object Curation {
         col("bin").between(col("b_lo"), col("b_hi")).as("keep"))
   }
 
+  /** Eval-set DECONTAMINATION report — the pre-training step that screens
+    * the corpus against held-out benchmarks before anything trains on it:
+    * for every corpus doc, how many of its distinct k-gram shingles appear
+    * anywhere in the eval set, the overlap fraction in integer ppm, and
+    * the contamination flag at `thresholdPpm`. The n-gram-overlap rule is
+    * the standard published decontamination scheme (exact-match n-grams
+    * against benchmark text), here at the same shingle granularity as the
+    * dedup family so one gram representation serves both.
+    *
+    * 100 TB shape: grams hash to int64 BEFORE any join ([[Dedup.
+    * hashedShingleSets]] — gram strings never shuffle), the eval side is
+    * benchmark-sized (thousands of docs, not corpus-sized) so its distinct
+    * gram set BROADCASTS — the probe is a map-side broadcast hash join on
+    * the exploded corpus grams with no corpus shuffle, and the per-doc
+    * rollup's exchange moves one partial row per (doc, partition) thanks
+    * to partial aggregation (a doc's grams are co-located by explode).
+    * Docs with fewer than k tokens carry no grams and are out of scope,
+    * matching the dedup family's convention. */
+  def evalContamination(corpus: DataFrame, evalDocs: DataFrame,
+      textCol: String, idCol: String, k: Int = 3,
+      thresholdPpm: Long = 500000L): DataFrame = {
+    val evalGrams = Dedup.hashedShingleSets(evalDocs, textCol, idCol, k)
+      .select(explode(col("s")).as("g")).distinct()
+      .withColumn("hit", lit(1L))
+    Dedup.hashedShingleSets(corpus, textCol, idCol, k)
+      .select(col("doc_id"), explode(col("s")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("overlap_ppm", expr("(n_hit * 1000000) div n_grams"))
+      .withColumn("contaminated", col("overlap_ppm") >= lit(thresholdPpm))
+  }
+
   /** The composed pretraining-curation FUNNEL with per-stage attrition
     * accounting — the report a data team actually reviews: for every
     * source, how many docs each gate dropped (Gopher heuristics

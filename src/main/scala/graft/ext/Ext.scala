@@ -1189,6 +1189,114 @@ object Ext {
              |GROUP BY root_id ORDER BY root_id""".stripMargin),
     ),
 
+    // Audio acoustic-fingerprint near-dup — the third modality's dedup
+    // (text: q24/q26/q63; image: q116/q121; audio: this). Docs render to
+    // REAL RIFF/WAVE payloads (deterministic PCM16 samples from token
+    // hashes), the pipeline parses them with the real RIFF/PCM decoder,
+    // computes an integer delta-energy fingerprint (bit i = frame i+1
+    // louder than frame i — the volume-tolerant acoustic-fingerprint
+    // shape), and band-blocks hamming pairs exactly like q116. PCM being
+    // lossless makes the decoded samples a pure function of the text, so
+    // DuckDB replicates sample gen + frame energies + signature + pair
+    // scan bit-exactly while the Spark side exercises the real
+    // encode->parse->fingerprint->block pipeline an audio corpus needs.
+    QueryDef(
+      "q124_audio_neardup",
+      (s, dir) => Dedup.hammingNearDupPairsFromSigs(
+          Multimodal.audioFingerprint(s,
+            Multimodal.renderDocWavs(s, tbl(s, dir, "documents")).toDF())
+            .toDF().select(col("doc_id"), col("sig")),
+          bits = 60, bands = 4, maxDist = 3)
+        .orderBy(col("a_id"), col("b_id")),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+             |sm AS (SELECT doc_id,
+             |  [(CAST(('0x' || substring(md5(t[(p % greatest(len(t),1)) + 1]),1,15)) AS BIGINT) & 255) - 128
+             |   FOR p IN generate_series(0, 243)] AS v
+             |  FROM toks),
+             |en AS (SELECT doc_id,
+             |  [list_sum([v[k+1]*256*v[k+1]*256 FOR k IN generate_series(j*4, j*4+3)])
+             |   FOR j IN generate_series(0, 60)] AS e
+             |  FROM sm),
+             |sig AS (SELECT doc_id,
+             |  CAST(list_sum([CASE WHEN e[i+2] > e[i+1] THEN (1::BIGINT << i) ELSE 0 END
+             |                 FOR i IN generate_series(0, 59)]) AS BIGINT) AS sig
+             |  FROM en)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+             |ORDER BY a_id, b_id""".stripMargin),
+    ),
+
+    // Eval-set decontamination: per-doc benchmark n-gram overlap + the
+    // contamination flag — the screen every pretraining corpus runs
+    // against its held-out evals. Eval set = docs with doc_id % 29 == 0
+    // (deterministic, benchmark-sized); corpus = the rest. Engine probes
+    // int64 gram hashes against a BROADCAST eval gram set (map-side BHJ,
+    // no corpus shuffle); the oracle recomputes the same overlap on gram
+    // strings (counts agree modulo the documented 2^-64 collision bound,
+    // as q24/q26).
+    QueryDef(
+      "q125_decontamination",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        Curation.evalContamination(
+          docs.where(col("doc_id") % 29 =!= 0),
+          docs.where(col("doc_id") % 29 === 0),
+          "text", "doc_id", k = 3, thresholdPpm = 500000L)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
+             |  WHERE len(tokens) >= 3),
+             |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 29 = 0),
+             |dg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 29 <> 0),
+             |agg AS (
+             |  SELECT dg.doc_id, COUNT(*) AS n_grams,
+             |    CAST(SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+             |  FROM dg LEFT JOIN ev ON dg.g = ev.g
+             |  GROUP BY dg.doc_id)
+             |SELECT doc_id, n_grams, n_hit,
+             |  (n_hit * 1000000) // n_grams AS overlap_ppm,
+             |  (n_hit * 1000000) // n_grams >= 500000 AS contaminated
+             |FROM agg ORDER BY doc_id""".stripMargin),
+    ),
+
+    // Temperature-scaled (alpha = 1/2) mixture plan: weights derived from
+    // the data as sqrt(source tokens) instead of a hand-picked map — the
+    // multilingual-pretraining smoothing rule, composed with q115's ppm
+    // planner arithmetic. The exact integer sqrt (double seed + two
+    // integer corrections) keeps every ppm bit-exact across engines no
+    // matter how either rounds sqrt().
+    {
+      val budget = 26000L // between 20*min and 20*max source tokens, so both flags occur
+      QueryDef(
+        "q126_alpha_mixture_plan",
+        (s, dir) => Sampling.alphaMixturePlan(
+            tbl(s, dir, "documents"), "text", "source", budget)
+          .orderBy(col("source")),
+        Some(s"""WITH c AS (
+                |  SELECT source, COUNT(*) AS docs,
+                |    CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS tokens
+                |  FROM documents GROUP BY source),
+                |s0 AS (SELECT c.*, CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS a FROM c),
+                |s1 AS (SELECT s0.*, CASE WHEN a*a > tokens THEN a-1 ELSE a END AS b FROM s0),
+                |ws AS (SELECT source, docs, tokens,
+                |         CASE WHEN (b+1)*(b+1) <= tokens THEN b+1 ELSE b END AS w_sqrt FROM s1),
+                |t AS (SELECT ws.*, CAST(SUM(w_sqrt) OVER () AS BIGINT) AS sum_sqrt FROM ws),
+                |w AS (SELECT source, docs, tokens, w_sqrt,
+                |        (w_sqrt * 1000000) // sum_sqrt AS weight_ppm FROM t),
+                |g AS (SELECT w.*, (CAST($budget AS BIGINT) * weight_ppm) // 1000000 AS target_tokens FROM w),
+                |r AS (SELECT g.*, LEAST(1000000, (target_tokens * 1000000) // tokens) AS rate_ppm FROM g)
+                |SELECT source, docs, tokens, w_sqrt, weight_ppm, target_tokens, rate_ppm,
+                |  (tokens * rate_ppm) // 1000000 AS expected_tokens,
+                |  target_tokens > tokens AS oversubscribed
+                |FROM r ORDER BY source""".stripMargin),
+      )
+    },
+
     // The hot-bucket guard's AUDIT surface as a first-class query: RHP
     // bucket occupancy above the cap (size, hub). Fully deterministic
     // (plane literals), so the skew diagnosis itself is oracle-checked.

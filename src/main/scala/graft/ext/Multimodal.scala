@@ -255,6 +255,141 @@ object Multimodal {
     }
   }
 
+  /** Audio fingerprint layout: `AudioFrames` frame energies give
+    * `AudioFrames - 1` delta bits — 61 frames for the house 60-bit
+    * signature width, so the fingerprint rides the same banded hamming
+    * join as simhash (q63) and the image dHash (q116). */
+  val AudioFrames = 61
+  /** Samples per fixture frame (the fingerprint itself splits whatever
+    * sample count it gets into `AudioFrames` even spans). */
+  val AudioFixtureFrameLen = 4
+  val AudioFixtureSamples: Int = AudioFrames * AudioFixtureFrameLen
+
+  /** PCM16 sample a token contributes to the doc-audio fixture: the
+    * [[tokenGray]] byte re-centered and scaled to 16-bit
+    * (`(g - 128) * 256`, range [-32768, 32512]) — same portable-hash
+    * provenance, so the DuckDB oracle recomputes it from `md5`. */
+  def tokenSample(tok: String): Int = (tokenGray(tok) - 128) * 256
+
+  /** Deterministic documents-as-audio fixture: each doc renders to a REAL
+    * little-endian RIFF/WAVE payload (PCM16 mono 8 kHz, canonical 44-byte
+    * header) whose sample `p` is [[tokenSample]] of token `p mod n` —
+    * similar texts give similar waveforms, so the corpus' near-dup
+    * structure carries into sample space. PCM is lossless, which makes the
+    * decoded samples (and the fingerprint computed from them) a pure
+    * function of the text that an external oracle can replicate; the codec
+    * round-trip itself stays real (RIFF encode here, the RIFF/PCM parse in
+    * [[audioFingerprint]]). */
+  def renderDocWavs(spark: SparkSession, docs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)].mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val n = math.max(toks.length, 1)
+          val dataBytes = AudioFixtureSamples * 2
+          val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+            .put("WAVE".getBytes("US-ASCII"))
+          buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1) // PCM
+            .putShort(1) // mono
+            .putInt(8000).putInt(16000) // rate, byte rate
+            .putShort(2).putShort(16)   // block align, bits
+          buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+          var p = 0
+          while (p < AudioFixtureSamples) {
+            buf.putShort(tokenSample(toks(p % n)).toShort)
+            p += 1
+          }
+          MediaRecord(id, buf.array())
+        }
+      }
+  }
+
+  /** 60-bit delta-energy fingerprint over PCM16 frame energies: bit `i` is
+    * set iff `E(i+1) > E(i)`, where `E(j)` is the exact integer sum of
+    * squared samples over the j-th of [[AudioFrames]] even spans
+    * (`[j*n/F, (j+1)*n/F)`). Comparing CONSECUTIVE frame energies (not
+    * absolute levels) makes the signature volume-shift tolerant in the
+    * same way dHash is brightness tolerant — the standard acoustic-
+    * fingerprint trick, in pure integer math. Energy fits a Long to
+    * ~8.5e9 samples per frame (n/F * 2^30). */
+  def deltaEnergySig(samples: Array[Int]): Long = {
+    val n = samples.length
+    val e = new Array[Long](AudioFrames)
+    var j = 0
+    while (j < AudioFrames) {
+      var i = j * n / AudioFrames
+      val hi = (j + 1) * n / AudioFrames
+      var sum = 0L
+      while (i < hi) { val s = samples(i).toLong; sum += s * s; i += 1 }
+      e(j) = sum
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < AudioFrames - 1) {
+      if (e(i + 1) > e(i)) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  /** An audio fingerprint result (60-bit signature). */
+  final case class AudioHash(doc_id: Long, decoded: Boolean, sig: Long)
+
+  /** REAL acoustic fingerprint over a binary audio column: RIFF/WAVE parse
+    * (the same chunk walk as [[decodeWav]]), PCM16 sample extraction
+    * (first channel), integer delta-energy signature. Payloads that are
+    * not 16-bit PCM RIFF yield `decoded = false, sig = 0`. */
+  def audioFingerprint(spark: SparkSession, media: DataFrame): Dataset[AudioHash] = {
+    import spark.implicits._
+    def le16(b: Array[Byte], o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le32(b: Array[Byte], o: Int) =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def ascii(b: Array[Byte], o: Int) = new String(b, o, 4, "US-ASCII")
+    media.select(col("doc_id"), col("payload")).as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val b = r.payload
+        val bad = AudioHash(r.doc_id, decoded = false, 0L)
+        if (b.length < 44 || ascii(b, 0) != "RIFF" || ascii(b, 8) != "WAVE") bad
+        else {
+          var off = 12
+          var channels = -1; var bits = -1; var block = -1
+          var dataOff = -1; var dataLen = -1
+          while (off + 8 <= b.length) {
+            val id = ascii(b, off); val sz = le32(b, off + 4)
+            if (id == "fmt " && off + 24 <= b.length) {
+              channels = le16(b, off + 10); block = le16(b, off + 20)
+              bits = le16(b, off + 22)
+            } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+            off += 8 + sz + (sz & 1) // chunks are word-aligned
+          }
+          if (channels < 1 || bits != 16 || block != channels * 2 ||
+              dataOff < 0 || dataOff + dataLen > b.length) bad
+          else {
+            val nFrames = dataLen / block
+            if (nFrames < AudioFrames) bad
+            else {
+              // first channel only: sample i sits at dataOff + i*block
+              val samples = new Array[Int](nFrames)
+              var i = 0
+              while (i < nFrames) {
+                val o = dataOff + i * block
+                samples(i) = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toInt
+                i += 1
+              }
+              AudioHash(r.doc_id, decoded = true, deltaEnergySig(samples))
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** Typed feature vector extracted from a payload. */
   final case class MediaFeatures(doc_id: Long, features: Array[Float])
 

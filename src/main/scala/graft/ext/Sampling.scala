@@ -130,6 +130,48 @@ object Sampling {
       .withColumn("oversubscribed", col("target_tokens") > col("tokens"))
   }
 
+  /** EXACT integer square root as a Column: floor(sqrt(n)) seeded from the
+    * double sqrt, then corrected by two exact integer comparisons — double
+    * rounding can land one off in either direction near perfect squares,
+    * and both engines' float behavior stops mattering once the corrections
+    * run (exact for any n < 2^62). */
+  def isqrt(n: Column): Column = {
+    val s0 = floor(sqrt(n.cast("double"))).cast("long")
+    val s1 = when(s0 * s0 > n, s0 - 1).otherwise(s0)
+    when((s1 + 1) * (s1 + 1) <= n, s1 + 1).otherwise(s1)
+  }
+
+  /** Temperature-scaled mixture plan (alpha = 1/2): instead of hand-picked
+    * target weights, each source's weight is proportional to
+    * sqrt(its token count) — the standard smoothing that upsamples small
+    * sources and damps head sources (multilingual-pretraining style
+    * p_i ∝ p_i^alpha at the usual alpha = 0.5). Weights derive from the
+    * data IN-PLAN via [[isqrt]] (exact integer sqrt, so the whole plan
+    * stays bit-exact across engines), then the q115 planner arithmetic
+    * (integer ppm rates, cap at 1.0, oversubscription flags) applies
+    * unchanged. The windowed total runs on the per-source aggregate —
+    * a sources-sized frame, so the single-partition window is metadata
+    * math, not a data shuffle (same invariant as Histogram.ksDrift). */
+  def alphaMixturePlan(docs: DataFrame, textCol: String, srcCol: String,
+      budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col(srcCol).as("source"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tok")).as("tokens"))
+      .withColumn("w_sqrt", isqrt(col("tokens")))
+      .withColumn("sum_sqrt", sum(col("w_sqrt")).over(Window.partitionBy()))
+      .withColumn("weight_ppm", expr("(w_sqrt * 1000000) div sum_sqrt"))
+      .withColumn("target_tokens",
+        expr(s"(${budgetTokens}L * weight_ppm) div 1000000"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("(target_tokens * 1000000) div tokens")))
+      .withColumn("expected_tokens", expr("(tokens * rate_ppm) div 1000000"))
+      .withColumn("oversubscribed", col("target_tokens") > col("tokens"))
+      .drop("sum_sqrt")
+  }
+
   def splitStats(docs: DataFrame, idCol: String, trainPct: Int, valPct: Int): DataFrame =
     docs
       .withColumn("split", splitColumn(col(idCol), trainPct, valPct))

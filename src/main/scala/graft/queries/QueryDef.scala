@@ -13,7 +13,10 @@ final case class QueryDef(
 )
 
 object QueryDef {
-  /** Load one of the driver-generated tables (`TESTDATA.md`). */
+  /** Load one of the driver-generated tables (`TESTDATA.md`), with the
+    * event-time column normalized to the engine-wide long-nanos convention
+    * ([[graft.replay.TsNanos.normalize]] — the driver has shipped `ts` as
+    * both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds). */
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.replay.TsNanos.normalize(spark.read.parquet(s"$dir/$name.parquet"))
 }

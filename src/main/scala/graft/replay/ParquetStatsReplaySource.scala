@@ -46,6 +46,9 @@ final class ParquetStatsReplaySource(
     files.flatMap { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try {
+        // raw footer values scale to nanos by the column's timestamp unit
+        val mult = TsNanos.unitMultiplier(
+          reader.getFooter.getFileMetaData.getSchema, tsCol)
         reader.getFooter.getBlocks.asScala.map { block =>
           val chunk = block.getColumns.asScala
             .find(_.getPath.toDotString == tsCol)
@@ -53,15 +56,15 @@ final class ParquetStatsReplaySource(
               s"Column $tsCol not found in $f"))
           val stats = chunk.getStatistics
           require(stats != null && stats.hasNonNullValue, s"No stats for $tsCol in $f")
-          (stats.genericGetMin.asInstanceOf[Number].longValue(),
-            stats.genericGetMax.asInstanceOf[Number].longValue(),
+          (stats.genericGetMin.asInstanceOf[Number].longValue() * mult,
+            stats.genericGetMax.asInstanceOf[Number].longValue() * mult,
             block.getRowCount)
         }.toSeq
       } finally reader.close()
     }.sortBy(_._1).toArray
   }
 
-  private val df: DataFrame = spark.read.parquet(path)
+  private val dfRaw: DataFrame = spark.read.parquet(path)
   private var prevTs: Nanos = Long.MinValue
 
   /** Earliest/latest timestamp in the file, from footer stats only — lets a
@@ -82,7 +85,9 @@ final class ParquetStatsReplaySource(
     val (full, partial) = overlapping.partition { case (mn, mx, _) =>
       mn > from && mx <= timestamp
     }
-    val sliced = df.where(col(tsCol) > from && col(tsCol) <= timestamp)
+    // predicate on the raw column (pushdown + row-group pruning), output
+    // normalized to long nanos
+    val sliced = TsNanos.slice(dfRaw, tsCol, from, timestamp)
     val exactFull = full.map(_._3).sum
     val count =
       if (exactFull > 0) exactFull + partial.map(_._3).sum

@@ -49,10 +49,10 @@ final class SparkTableDataSource(
 }
 
 object SparkTableDataSource {
-  /** Parquet-file replay source; `tsCol` must be a long-nanos column (the
-    * testdata `events.ts` reads as long via `nanosAsLong`). */
+  /** Parquet-file replay source; `tsCol` surfaces as long nanos whatever
+    * the file's timestamp encoding ([[TsNanos.normalize]]). */
   def parquet(spark: SparkSession, path: String, tsCol: String): SparkTableDataSource =
-    new SparkTableDataSource(spark.read.parquet(path), tsCol)
+    new SparkTableDataSource(TsNanos.normalize(spark.read.parquet(path), tsCol), tsCol)
 
   /** CSV replay source with an explicit schema (reference CSV replay,
     * `examples/replay_concepts.py:78-91`); `tsCol` is a TimestampType column

@@ -151,7 +151,11 @@ object ReplayDataSource {
     val groups = files.flatMap { case (f, _, _) =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try {
-        if (schema == null) schema = reader.getFooter.getFileMetaData.getSchema
+        val fileSchema = reader.getFooter.getFileMetaData.getSchema
+        if (schema == null) schema = fileSchema
+        // stats scale to the engine's long-nanos convention by the ts
+        // column's timestamp unit (TIMESTAMP(MICROS) footers hold micros)
+        val mult = graft.replay.TsNanos.unitMultiplier(fileSchema, tsCol)
         reader.getFooter.getBlocks.asScala.map { block =>
           val stats = block.getColumns.asScala
             .find(_.getPath.toDotString == tsCol)
@@ -159,8 +163,8 @@ object ReplayDataSource {
             .filter(s => s != null && s.hasNonNullValue)
           RowGroupMeta(f.toString, block.getStartingPos, block.getCompressedSize,
             block.getRowCount,
-            stats.map(_.genericGetMin.asInstanceOf[Number].longValue()),
-            stats.map(_.genericGetMax.asInstanceOf[Number].longValue()))
+            stats.map(_.genericGetMin.asInstanceOf[Number].longValue() * mult),
+            stats.map(_.genericGetMax.asInstanceOf[Number].longValue() * mult))
         }.toSeq
       } finally reader.close()
     }.toArray
@@ -178,7 +182,9 @@ object ReplayDataSource {
       val dt = p.getPrimitiveTypeName match {
         case BOOLEAN => BooleanType
         case INT32 => IntegerType
-        case INT64 => LongType // incl. TIMESTAMP(NANOS): long nanos by convention
+        // incl. TIMESTAMP(any unit): long nanos by convention — values are
+        // scaled to nanos by the readers (TsNanos.unitMultiplier)
+        case INT64 => LongType
         case FLOAT => FloatType
         case DOUBLE => DoubleType
         case BINARY if p.getLogicalTypeAnnotation != null &&
@@ -309,7 +315,7 @@ final class ReplayScan(path: String, tsCol: String, required: StructType,
     // converter flags. Set them here once; readers only deserialize.
     conf.set("parquet.read.support.class",
       "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
-    conf.set("org.apache.spark.sql.parquet.row.requested_schema", required.json)
+    // (requested_schema is set below, after timestamp-unit adjustment)
     // Every key ParquetToSparkSchemaConverter(conf) reads must be present
     // (it does a raw conf.get(...).toBoolean for several) — mirror the
     // session's values via the compiled SQLConf entries so names can't
@@ -324,12 +330,25 @@ final class ReplayScan(path: String, tsCol: String, required: StructType,
       conf.setBoolean(LEGACY_PARQUET_NANOS_AS_LONG.key, true)
       conf.setBoolean(PARQUET_FIELD_ID_READ_ENABLED.key, sc.parquetFieldIdReadEnabled)
     }
+    conf.set("org.apache.spark.sql.parquet.row.requested_schema", required.json)
+    // Columns with a timestamp unit (TIMESTAMP(MICROS/MILLIS)) surface as
+    // long NANOS via the ROW path's per-field unit multipliers — Spark's
+    // vectorized reader can't hand back a long vector for an annotated
+    // timestamp column (and its dictionary decode path NPEs when driven
+    // outside its own scan exec), so external timestamp-unit parquet takes
+    // Group assembly. The engine's own write path emits plain INT64, so
+    // replay-log scans — the hot cursor workload this connector exists
+    // for — keep the full columnar path; external corpora are normalized
+    // into engine logs at ingest anyway (ReplayAppendDataSink).
+    val fileSchema = ReplayDataSource.index(path, tsCol).schema
+    val anyScaled = required.fields.exists(f =>
+      graft.replay.TsNanos.unitMultiplier(fileSchema, f.name) != 1L)
     new ReplayReaderFactory(required.fields.map(_.name), required,
       new org.apache.spark.util.SerializableConfiguration(conf),
       // zero-column projections (bare count(*)) stay on the row path —
       // the Group assembly handles them; a zero-column vectorized batch
       // has no value anyway
-      vectorized && required.fields.nonEmpty)
+      vectorized && required.fields.nonEmpty && !anyScaled)
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -422,6 +441,9 @@ final class ReplayReaderFactory(requiredCols: Array[String], required: StructTyp
       private val fieldTypes: Array[PrimitiveType.PrimitiveTypeName] =
         requiredCols.map(c =>
           (fileSchema: GroupType).getType(c).asPrimitiveType().getPrimitiveTypeName)
+      // raw-value → nanos unit multipliers (1 for non-timestamp columns)
+      private val fieldMults: Array[Long] =
+        requiredCols.map(c => graft.replay.TsNanos.unitMultiplier(fileSchema, c))
 
       override def next(): Boolean = {
         if (read >= total) return false
@@ -434,7 +456,7 @@ final class ReplayReaderFactory(requiredCols: Array[String], required: StructTyp
           else fieldTypes(i) match {
             case BOOLEAN => row.setBoolean(i, g.getBoolean(i, 0))
             case INT32 => row.setInt(i, g.getInteger(i, 0))
-            case INT64 => row.setLong(i, g.getLong(i, 0))
+            case INT64 => row.setLong(i, g.getLong(i, 0) * fieldMults(i))
             case FLOAT => row.setFloat(i, g.getFloat(i, 0))
             case DOUBLE => row.setDouble(i, g.getDouble(i, 0))
             case _ => row.update(i, UTF8String.fromBytes(g.getBinary(i, 0).getBytes))

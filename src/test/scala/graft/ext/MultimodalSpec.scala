@@ -139,6 +139,80 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!h.decoded && h.sig == 0L)
   }
 
+  test("renderDocWavs emits real RIFF payloads the WAV decoder accepts") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(20)
+    val metas = Multimodal.decodeWav(spark,
+      Multimodal.renderDocWavs(spark, docs).toDF()).collect()
+    assert(metas.length == 20)
+    assert(metas.forall(m => m.decoded && m.channels == 1 && m.sample_rate == 8000
+      && m.bits_per_sample == 16 && m.n_frames == Multimodal.AudioFixtureSamples.toLong))
+  }
+
+  test("audioFingerprint: WAV render->parse->fingerprint equals the direct computation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(50)
+    val viaCodec = Multimodal.audioFingerprint(spark,
+      Multimodal.renderDocWavs(spark, docs).toDF())
+      .collect().map(h => h.doc_id -> h).toMap
+    val direct = docs.collect().map { r =>
+      val toks = r.getString(1).split(" ", -1)
+      val n = math.max(toks.length, 1)
+      val samples = Array.tabulate(Multimodal.AudioFixtureSamples)(
+        p => Multimodal.tokenSample(toks(p % n)))
+      r.getLong(0) -> Multimodal.deltaEnergySig(samples)
+    }.toMap
+    assert(viaCodec.keySet == direct.keySet)
+    viaCodec.foreach { case (id, h) =>
+      assert(h.decoded, s"doc $id failed to parse its own WAV")
+      assert(h.sig == direct(id), s"codec-path fingerprint mismatch for doc $id")
+    }
+  }
+
+  test("audioFingerprint reads the first channel of interleaved stereo") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val ch0 = Array.fill(Multimodal.AudioFixtureSamples)(rnd.nextInt(65536) - 32768)
+    def wav(channels: Int, junkOther: Boolean): Array[Byte] = {
+      val block = channels * 2
+      val dataSize = ch0.length * block
+      val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(8000)
+        .putInt(8000 * block).putShort(block.toShort).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataSize)
+      ch0.foreach { s =>
+        bb.putShort(s.toShort)
+        (1 until channels).foreach(c => bb.putShort(
+          if (junkOther) rnd.nextInt(65536).toShort else 0))
+      }
+      bb.array()
+    }
+    val df = Seq((1L, wav(1, junkOther = false)), (2L, wav(2, junkOther = true)))
+      .toDF("doc_id", "payload")
+    val sigs = Multimodal.audioFingerprint(spark, df).collect()
+      .map(h => h.doc_id -> h).toMap
+    assert(sigs(1L).decoded && sigs(2L).decoded)
+    assert(sigs(1L).sig == Multimodal.deltaEnergySig(ch0))
+    assert(sigs(2L).sig == sigs(1L).sig, "stereo junk channel must not leak in")
+  }
+
+  test("delta-energy fingerprint is volume-scale invariant; rejects non-PCM16") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val quiet = Array.fill(Multimodal.AudioFixtureSamples)(rnd.nextInt(2000) - 1000)
+    val loud = quiet.map(_ * 4)
+    assert(Multimodal.deltaEnergySig(quiet) == Multimodal.deltaEnergySig(loud),
+      "uniform gain must not change the fingerprint")
+    val df = Seq((1L, "definitely not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val h = Multimodal.audioFingerprint(spark, df).collect().head
+    assert(!h.decoded && h.sig == 0L)
+  }
+
   test("sampleFrames fans one payload out to many fixed-size frames") {
     val frames = Multimodal.sampleFrames(spark, media, frameSize = 32, stride = 64).collect()
     assert(frames.nonEmpty)

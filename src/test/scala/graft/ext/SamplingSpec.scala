@@ -104,4 +104,52 @@ class SamplingSpec extends AnyFunSuite {
     val df = ids(300).select(Sampling.splitColumn(col("id"), 80, 10).as("s"))
     assert(df.where(!col("s").isin("train", "val", "test")).count() == 0L)
   }
+
+  test("isqrt is the exact integer square root (perfect squares and off-by-one traps)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // adversarial values: n = s^2 - 1, s^2, s^2 + 1 for random s, plus
+    // huge values where double sqrt rounding actually bites
+    val ns = (Seq(0L, 1L, 2L, 3L, 4L) ++
+      (1 to 200).flatMap { _ =>
+        val s = math.abs(rnd.nextLong() % 2000000000L) + 1
+        Seq(s * s - 1, s * s, s * s + 1)
+      }).filter(_ >= 0)
+    val got = ns.toDF("n").select(col("n"), Sampling.isqrt(col("n")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ns.foreach { n =>
+      val s = got(n)
+      assert(s * s <= n && (s + 1) * (s + 1) > n, s"isqrt($n) = $s")
+    }
+  }
+
+  test("alphaMixturePlan: sqrt weights, ppm near 1e6, oversubscription iff target > tokens") {
+    import spark.implicits._
+    val docs = Seq.tabulate(300) { i =>
+      val src = s"s${i % 3}"
+      // s0 tiny, s1 medium, s2 big
+      val words = (i % 3 + 1) * (i % 3 + 1) * 4
+      (i.toLong, src, Seq.fill(words)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val plan = Sampling.alphaMixturePlan(docs, "text", "source", budgetTokens = 4000L)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val wsum = plan.values.map(_.getAs[Long]("weight_ppm")).sum
+    assert(wsum > 999000L && wsum <= 1000000L, s"ppm sum $wsum (floor-division slack only)")
+    plan.values.foreach { r =>
+      val t = r.getAs[Long]("tokens"); val w = r.getAs[Long]("w_sqrt")
+      assert(w * w <= t && (w + 1) * (w + 1) > t, "w_sqrt must be isqrt(tokens)")
+      assert(r.getAs[Boolean]("oversubscribed") ==
+        (r.getAs[Long]("target_tokens") > t))
+      assert(r.getAs[Long]("expected_tokens") <= t)
+    }
+    // smoothing upweights the small source relative to its raw share
+    val small = plan("s0"); val big = plan("s2")
+    val rawShare = small.getAs[Long]("tokens").toDouble /
+      plan.values.map(_.getAs[Long]("tokens")).sum
+    val smoothShare = small.getAs[Long]("weight_ppm").toDouble / 1000000.0
+    assert(smoothShare > rawShare, "alpha=1/2 must upsample the small source")
+    assert(big.getAs[Long]("weight_ppm") < (big.getAs[Long]("tokens").toDouble /
+      plan.values.map(_.getAs[Long]("tokens")).sum * 1000000).toLong,
+      "and damp the head source")
+  }
 }

@@ -63,7 +63,8 @@ class RangeJoinSpec extends AnyFunSuite {
 
   test("agrees with the naive theta join on the events table") {
     val hourNs = 3600L * 1000000000L
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.replay.TsNanos.normalize(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     val views = ev.where(col("event_type") === "view")
       .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
     val windows = ev.where(col("event_type") === "purchase")

@@ -17,38 +17,45 @@ class ReplayDataSourceSpec extends AnyFunSuite {
   private def viaConnector(path: String) =
     spark.read.format("graft-replay").option("tsCol", "ts").load(path)
 
+  /** The built-in source under the engine's long-nanos convention — the
+    * reference the connector must agree with whatever timestamp unit the
+    * file carries. */
+  private def builtin(path: String) =
+    graft.replay.TsNanos.normalize(spark.read.parquet(path))
+
   test("full-table read agrees with the built-in parquet source") {
     val a = viaConnector(s"$sfDir/events.parquet")
       .orderBy("event_id").collect().toSeq
-    val b = spark.read.parquet(s"$sfDir/events.parquet")
+    val b = builtin(s"$sfDir/events.parquet")
       .orderBy("event_id").collect().toSeq
     assert(a.size == b.size && a == b)
   }
 
-  test("schema matches the built-in reader (ns timestamps as long)") {
+  test("schema matches the built-in reader (timestamps as long nanos)") {
     val a = viaConnector(s"$sfDir/events.parquet").schema
-    val b = spark.read.parquet(s"$sfDir/events.parquet").schema
-    assert(a == b)
+    val b = builtin(s"$sfDir/events.parquet").schema
+    assert(a.fields.map(f => (f.name, f.dataType)).toSeq ==
+      b.fields.map(f => (f.name, f.dataType)).toSeq)
   }
 
   test("column pruning: projected read returns correct values") {
     val got = viaConnector(s"$sfDir/events.parquet")
       .select("event_id", "event_type").orderBy("event_id").limit(5)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    val want = spark.read.parquet(s"$sfDir/events.parquet")
+    val want = builtin(s"$sfDir/events.parquet")
       .select("event_id", "event_type").orderBy("event_id").limit(5)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == want)
   }
 
   test("ts-range filter agrees with built-in source (cursor slice)") {
-    val bounds = spark.read.parquet(s"$sfDir/events.parquet")
+    val bounds = builtin(s"$sfDir/events.parquet")
       .agg(min(col("ts")), max(col("ts"))).collect()(0)
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val mid = lo + (hi - lo) / 2
     val a = viaConnector(s"$sfDir/events.parquet")
       .where(col("ts") > lo && col("ts") <= mid).orderBy("event_id").collect().toSeq
-    val b = spark.read.parquet(s"$sfDir/events.parquet")
+    val b = builtin(s"$sfDir/events.parquet")
       .where(col("ts") > lo && col("ts") <= mid).orderBy("event_id").collect().toSeq
     assert(a.nonEmpty && a == b)
   }
@@ -183,7 +190,7 @@ class ReplayDataSourceSpec extends AnyFunSuite {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
     val path = s"$sfDir/events.parquet"
-    val builtin = spark.read.parquet(path)
+    val builtin = this.builtin(path)
     val bounds = builtin.agg(min(col("ts")), max(col("ts"))).collect()(0)
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val sliceGen = for {
@@ -202,7 +209,12 @@ class ReplayDataSourceSpec extends AnyFunSuite {
   }
 
   test("columnar path is the default plan; vectorized=false agrees row-for-row") {
-    val path = s"$sfDir/events.parquet"
+    import spark.implicits._
+    // plain-INT64 fixture (the engine's own write-path shape): columnar
+    // eligible. Timestamp-annotated files take the row path (next test).
+    val path = s"/tmp/graft_v2_colpath_${System.nanoTime()}"
+    (0L until 20000L).map(i => (i, i * 3L, s"p$i")).toDF("ts", "event_id", "payload")
+      .coalesce(1).write.parquet(path)
     val colDf = viaConnector(path) // default: vectorized
     // DSv2 inserts ColumnarToRow above a scan whose factory reports
     // columnar support — its presence proves batches flow
@@ -214,6 +226,27 @@ class ReplayDataSourceSpec extends AnyFunSuite {
     val a = colDf.orderBy("event_id").collect().toSeq
     val b = rowDf.orderBy("event_id").collect().toSeq
     assert(a.nonEmpty && a == b)
+  }
+
+  test("timestamp-unit files (micros) surface long nanos on BOTH paths") {
+    val path = s"$sfDir/events.parquet"
+    val df = viaConnector(path)
+    // unit scaling routes to the row path (the vectorized reader cannot
+    // hand back long vectors for annotated timestamp columns); the
+    // engine's own plain-INT64 logs keep columnar (previous test)
+    assert(!df.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val a = df.select("event_id", "ts").orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = builtin(path).select("event_id", "ts").orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a.nonEmpty && a == b)
+    assert(a.forall(_._2 % 1000L == 0L), "micros data must land on the nanos grid")
+    // the row path applies the same unit multiplier at Group assembly
+    val row = spark.read.format("graft-replay")
+      .option("tsCol", "ts").option("vectorized", "false").load(path)
+      .select("event_id", "ts").orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(row == a)
   }
 
   test("columnar and row paths agree on a ts-sliced, projected scan (all types)") {
@@ -243,7 +276,7 @@ class ReplayDataSourceSpec extends AnyFunSuite {
   }
 
   test("repeated cursor advances see disjoint, exhaustive slices") {
-    val all = spark.read.parquet(s"$sfDir/events.parquet")
+    val all = builtin(s"$sfDir/events.parquet")
     val bounds = all.agg(min(col("ts")), max(col("ts"))).collect()(0)
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val step = math.max(1L, (hi - lo) / 4)

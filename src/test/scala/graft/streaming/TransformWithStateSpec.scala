@@ -311,7 +311,8 @@ class TransformWithStateSpec extends AnyFunSuite {
       implicit val sqlCtx = spark.sqlContext
       import TransformWithStateOps.WeeklyDrift
       // real events (ns ts as long) — three types, four weeks of data
-      val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      val events = graft.replay.TsNanos.normalize(
+          spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
         .select(col("event_type").as("grp"), col("value").as("v"), col("ts"))
         .as[(String, Double, Long)].collect().toSeq
 
@@ -330,7 +331,8 @@ class TransformWithStateSpec extends AnyFunSuite {
       } finally query.stop()
 
       val batch = graft.ext.Histogram.weeklyKsDrift(
-          spark.read.parquet("/root/testdata/sf0.001/events.parquet"),
+          graft.replay.TsNanos.normalize(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")),
           col("event_type"), col("value"), "ts", 16)
         .collect().map(r => (r.getString(0), r.getLong(1)) ->
           WeeklyDrift(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
