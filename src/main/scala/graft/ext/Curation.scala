@@ -147,6 +147,36 @@ object Curation {
       .withColumn("contaminated", col("overlap_ppm") >= lit(thresholdPpm))
   }
 
+  /** JVM mirror of the k-gram int64 hashing the batch [[evalContamination]]
+    * path computes with Columns (split -> k-gram concat -> xxhash64 seed
+    * 42): the same token split (trailing empties kept), the same space
+    * joining, the same hash function via Spark's own `XxHash64Function` —
+    * pinned equal to the Column path in `TransformWithStateSpec` so the
+    * streaming gate and the batch report count the same grams. */
+  def gramHashesJvm(text: String, k: Int): Set[Long] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < k) Set.empty
+    else (0 to toks.length - k).iterator.map { i =>
+      val g = toks.slice(i, i + k).mkString(" ")
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(g),
+        org.apache.spark.sql.types.StringType, 42L)
+    }.toSet
+  }
+
+  /** Per-doc contamination decision in JVM terms: `(n_grams, n_hit,
+    * contaminated)`, or None for docs with fewer than k tokens (out of
+    * scope, same convention as the batch operator). */
+  def contaminationJvm(text: String, evalGrams: Set[Long], k: Int,
+      thresholdPpm: Long): Option[(Long, Long, Boolean)] = {
+    val gs = gramHashesJvm(text, k)
+    if (gs.isEmpty) None
+    else {
+      val hits = gs.count(evalGrams.contains).toLong
+      Some((gs.size.toLong, hits, hits * 1000000L / gs.size >= thresholdPpm))
+    }
+  }
+
   /** The composed pretraining-curation FUNNEL with per-stage attrition
     * accounting — the report a data team actually reviews: for every
     * source, how many docs each gate dropped (Gopher heuristics

@@ -238,6 +238,54 @@ object TransformWithStateOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class ContamCounts(source: String, docs: Long,
+      contaminated: Long, gram_hits: Long)
+
+  /** Live per-source decontamination counters — the streaming half of the
+    * batch eval-overlap screen (q125): as documents stream in, each
+    * source's (docs-with-grams, contaminated, total-gram-hits) counters
+    * update via the JVM mirror of the batch gram hashing
+    * ([[graft.ext.Curation.gramHashesJvm]], pinned equal in the spec), so
+    * a live crawl dashboard shows benchmark leakage per source and the
+    * nightly q125 report reconciles exactly. The eval gram set is MODEL
+    * STATE carried in the processor (benchmark-sized — the same
+    * broadcast-shape as the batch probe; swap for the Bloom layout at
+    * very large eval suites). Keyed state: three longs per source.
+    * Emits refreshed counters for touched sources only. */
+  final class DecontaminationProcessor(evalGrams: Set[Long], k: Int,
+      thresholdPpm: Long)
+      extends StatefulProcessor[String, SourceDoc, ContamCounts] {
+
+    @transient private var counts: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getValueState[(Long, Long, Long)](
+        "counts",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[SourceDoc],
+        timerValues: TimerValues): Iterator[ContamCounts] = {
+      var (docs, contam, hits) = if (counts.exists()) counts.get() else (0L, 0L, 0L)
+      rows.foreach { r =>
+        graft.ext.Curation.contaminationJvm(r.text, evalGrams, k, thresholdPpm)
+          .foreach { case (_, nHit, flag) =>
+            docs += 1; hits += nHit; if (flag) contam += 1
+          }
+      }
+      counts.update((docs, contam, hits))
+      Iterator.single(ContamCounts(key, docs, contam, hits))
+    }
+  }
+
+  def streamingDecontamination(ds: Dataset[SourceDoc], evalGrams: Set[Long],
+      k: Int = 3, thresholdPpm: Long = 500000L): Dataset[ContamCounts] = {
+    implicit val outEnc: Encoder[ContamCounts] = Encoders.product[ContamCounts]
+    ds.groupByKey(_.source)(Encoders.STRING)
+      .transformWithState(new DecontaminationProcessor(evalGrams, k, thresholdPpm),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class GroupValue(grp: String, v: Double)
   final case class QuantileRow(grp: String, n: Long, pct: Long, value: Double)
 

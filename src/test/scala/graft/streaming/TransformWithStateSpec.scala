@@ -170,6 +170,69 @@ class TransformWithStateSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streamingDecontamination: final counters equal the batch evalContamination rollup (real corpus)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{ContamCounts, SourceDoc}
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("source"), col("text"), col("doc_id"))
+      val evalDocs = docs.where(col("doc_id") % 29 === 0)
+      val corpus = docs.where(col("doc_id") % 29 =!= 0)
+
+      // the eval gram model state, built by the BATCH hashing path — any
+      // JVM/Column hash drift breaks the per-doc parity assertions below
+      val evalGrams = graft.ext.Dedup.hashedShingleSets(evalDocs, "text", "doc_id")
+        .select(explode(col("s")).as("g")).distinct()
+        .collect().map(_.getLong(0)).toSet
+
+      // JVM mirror == Column path, doc by doc (n_grams AND n_hit)
+      val perDoc = graft.ext.Curation
+        .evalContamination(corpus, evalDocs, "text", "doc_id")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"))).toMap
+      corpus.select(col("doc_id"), col("text")).collect().foreach { r =>
+        val jvm = graft.ext.Curation.contaminationJvm(
+          r.getString(1), evalGrams, 3, 500000L)
+        perDoc.get(r.getLong(0)) match {
+          case Some((ng, nh)) =>
+            assert(jvm.exists(v => v._1 == ng && v._2 == nh), s"doc ${r.getLong(0)}")
+          case None => assert(jvm.isEmpty, s"doc ${r.getLong(0)} out of scope")
+        }
+      }
+
+      val rows = corpus.orderBy(col("doc_id")).collect()
+        .map(r => SourceDoc(r.getString(0), r.getString(1))).toSeq
+      val latest = scala.collection.mutable.Map[String, ContamCounts]()
+      val input = MemoryStream[SourceDoc]
+      val query = TransformWithStateOps.streamingDecontamination(
+          input.toDS(), evalGrams)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[ContamCounts], _: Long) =>
+          df.collect().foreach(r => latest(r.source) = r); ()
+        }.start()
+      try {
+        rows.grouped(110).foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      } finally query.stop()
+
+      val batch = graft.ext.Curation
+        .evalContamination(corpus, evalDocs, "text", "doc_id")
+        .join(corpus.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("contaminated"), 1L).otherwise(0L)).as("contaminated"),
+          sum(col("n_hit")).as("gram_hits"))
+        .collect().map(r => r.getString(0) ->
+          ContamCounts(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+      assert(latest.keySet == batch.keySet)
+      batch.foreach { case (src, want) => assert(latest(src) == want, src) }
+      // non-degenerate: hits exist somewhere on this corpus
+      assert(latest.values.map(_.gram_hits).sum > 0)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streamingGridQuantiles: final emission equals batch gridQuantiles across batch splits") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
