@@ -545,4 +545,74 @@ object Dedup {
       .where(col("containment") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("containment"), 6).as("containment"))
   }
+
+  /** Exact repeated-span profile (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): every k-token sliding span is
+    * fingerprinted; a span occurring >= 2 times anywhere in the corpus
+    * (same doc or another) is "duplicated"; per doc the duplicated spans
+    * are merged into maximal contiguous regions and the covered-token
+    * count reported. This is the span-LEVEL sibling of the doc-level
+    * dedup family (q24 exact / q26 minhash): it finds boilerplate
+    * passages embedded inside otherwise-unique documents, which doc-level
+    * dedup cannot see.
+    *
+    * Scale design: span generation is MAP-ONLY (the token array is
+    * projected once and the k-gram hashes come from one `transform` over
+    * it — the hoisted-lambda rule, DEVNOTES #10). The only shuffles are
+    * (1) the groupBy on the 8-byte span hash with map-side partial
+    * aggregation — at 100 TB this moves (hash, partial count) pairs, not
+    * text; (2) a semi join of spans against the duplicated-hash set;
+    * (3) the per-doc window for region merging, bounded by tokens-per-doc.
+    * No all-pairs stage exists at any scale. Span identity uses the
+    * portable 60-bit md5 hash ([[Sampling.portableHash]]) so the DuckDB
+    * oracle replicates the grouping bit-exactly (the q24/q25 convention).
+    *
+    * Region merge: spans are [pos, pos+k-1]; a new region starts when the
+    * gap from the previous flagged span exceeds k (pos - prev > k leaves
+    * an uncovered token between the two intervals). Equal-length
+    * intervals make the running-max-end formulation collapse to a lag
+    * comparison. Returns one row per input doc (zero-filled when nothing
+    * is duplicated): (doc_id, n_tokens, dup_spans, dup_regions,
+    * dup_tokens, dup_frac). */
+  def spanDupProfile(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"span length must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val spanHash = (0 until k).map(j => s"toks[i + $j]").mkString(", ")
+    val docs = df.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+    val spans = docs
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(toks) - $k),
+           |  i -> cast(conv(substring(md5(concat_ws(' ', $spanHash)), 1, 15),
+           |                 16, 10) as bigint))""".stripMargin))
+        .as(Seq("pos", "h")))
+    val spansC = PinnedCache.pin(spans)
+    val dupHashes = spansC.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2).select(col("h"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val regions = spansC.join(dupHashes, Seq("h"), "left_semi")
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= k, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("rid", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("rid"))
+      .agg(count(lit(1)).as("spans"),
+        (max(col("pos")) - min(col("pos")) + k).cast("long").as("covered"))
+    val perDoc = regions.groupBy(col("doc_id"))
+      .agg(sum(col("spans")).as("dup_spans"),
+        count(lit(1)).as("dup_regions"),
+        sum(col("covered")).as("dup_tokens"))
+    df.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_regions"), lit(0L)).as("dup_regions"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens")).as("dup_frac"))
+  }
 }

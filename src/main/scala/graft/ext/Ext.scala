@@ -1935,5 +1935,48 @@ object Ext {
              |  COALESCE(y.kept_tokens, 0) AS kept_tokens
              |FROM gates LEFT JOIN y USING (source) ORDER BY source""".stripMargin),
     ),
+
+    // Exact repeated-SPAN dedup profile (Lee et al. 2022): every 8-token
+    // sliding span fingerprinted, spans occurring >= 2x corpus-wide
+    // flagged, per-doc maximal duplicated regions merged and their token
+    // coverage reported. Catches boilerplate passages inside otherwise
+    // unique docs — invisible to the doc-level family (q24/q26/q63).
+    // Map-only span generation; shuffles are the span-hash groupBy
+    // (partial-agg), one semi join, one per-doc window. Oracle replicates
+    // the portable md5-60bit span hash so grouping is bit-identical.
+    QueryDef(
+      "q127_span_dedup",
+      (s, dir) => Dedup.spanDupProfile(tbl(s, dir, "documents"),
+          "text", "doc_id", k = 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |s AS (SELECT doc_id, unnest(generate_series(1, len(toks)-8+1)) AS pos, toks
+             |      FROM t WHERE len(toks) >= 8),
+             |sp AS (SELECT doc_id, pos - 1 AS pos,
+             |         CAST(('0x' || substring(md5(array_to_string(toks[pos:pos+7],' ')),1,15)) AS BIGINT) AS h
+             |       FROM s),
+             |dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) >= 2),
+             |f AS (SELECT doc_id, pos FROM sp SEMI JOIN dup USING (h)),
+             |g AS (SELECT doc_id, pos,
+             |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+             |             THEN 0 ELSE 1 END AS brk
+             |      FROM f),
+             |r AS (SELECT doc_id, pos,
+             |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+             |      FROM g),
+             |reg AS (SELECT doc_id, rid, COUNT(*) AS spans, MAX(pos) - MIN(pos) + 8 AS covered
+             |        FROM r GROUP BY doc_id, rid),
+             |agg AS (SELECT doc_id, CAST(SUM(spans) AS BIGINT) AS dup_spans,
+             |          CAST(COUNT(*) AS BIGINT) AS dup_regions,
+             |          CAST(SUM(covered) AS BIGINT) AS dup_tokens
+             |        FROM reg GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
+             |  COALESCE(a.dup_spans, 0) AS dup_spans,
+             |  COALESCE(a.dup_regions, 0) AS dup_regions,
+             |  COALESCE(a.dup_tokens, 0) AS dup_tokens,
+             |  CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / len(string_split(d.text,' ')) AS dup_frac
+             |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+    ),
   )
 }

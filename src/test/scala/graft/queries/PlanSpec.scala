@@ -333,4 +333,14 @@ class PlanSpec extends AnyFunSuite {
       "source aggregate keeps map-side partials")
     assert(!p.contains("Join"), "weights derive in-plan; no join anywhere")
   }
+
+  test("q127: span dedup partial-aggs the hash groupBy and never goes all-pairs") {
+    val p = plan("q127_span_dedup")
+    assert(p.contains("partial_count"),
+      "duplicated-hash detection must combine map-side — only (hash, count) shuffles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no all-pairs stage at any scale")
+    assert(p.contains("InMemoryTableScan"),
+      "the span frame feeds both the dup-hash agg and the semi join — must be pinned")
+  }
 }
