@@ -1978,5 +1978,28 @@ object Ext {
              |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
              |ORDER BY d.doc_id""".stripMargin),
     ),
+
+    // PassJoin-blocked Levenshtein similarity self-join on part names —
+    // the exact fuzzy-matching primitive for entity resolution. Runs on
+    // the exact-dedup'd DISTINCT strings with group counts (2000 rows ->
+    // 64 names here; the realistic shape at any scale), generates
+    // candidates via d+1-segment blocking (complete by pigeonhole — see
+    // EditDistance's exactness argument + brute-force spec), verifies
+    // with codegen'd levenshtein. The oracle IS the brute force: any
+    // missing pair is a blocking bug.
+    QueryDef(
+      "q128_lev_join",
+      (s, dir) => EditDistance.levSimilarityJoin(tbl(s, dir, "part"), "p_name", d = 2)
+        .orderBy(col("a_name"), col("b_name")),
+      Some("""WITH names AS (
+             |  SELECT p_name AS name, COUNT(*) AS cnt FROM part
+             |  WHERE len(p_name) >= 3 GROUP BY 1)
+             |SELECT a.name AS a_name, b.name AS b_name,
+             |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+             |  a.cnt AS a_cnt, b.cnt AS b_cnt
+             |FROM names a JOIN names b ON a.name < b.name
+             |WHERE levenshtein(a.name, b.name) <= 2
+             |ORDER BY a_name, b_name""".stripMargin),
+    ),
   )
 }

@@ -343,4 +343,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"),
       "the span frame feeds both the dup-hash agg and the semi join — must be pinned")
   }
+
+  test("q128: lev join blocks on segment equi-keys — no all-pairs anywhere") {
+    val p = plan("q128_lev_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "PassJoin candidates come from an equi-join on (length, segment, substring)")
+    assert(p.contains("partial_count"),
+      "the distinct-name dedup must combine map-side — costs scale with distinct strings")
+    assert(p.contains("InMemoryTableScan"),
+      "the names frame feeds index, probe, and both count attaches — must be pinned")
+  }
 }
