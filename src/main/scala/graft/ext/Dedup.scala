@@ -574,21 +574,26 @@ object Dedup {
     * comparison. Returns one row per input doc (zero-filled when nothing
     * is duplicated): (doc_id, n_tokens, dup_spans, dup_regions,
     * dup_tokens, dup_frac). */
-  def spanDupProfile(df: DataFrame, textCol: String, idCol: String,
-      k: Int = 8): DataFrame = {
+  /** (doc_id, pos, h): every k-token sliding span of every doc, as the
+    * portable 60-bit md5 hash — MAP-ONLY (token array projected once, one
+    * `transform` over it; the hoisted-lambda rule, DEVNOTES #10). Docs
+    * shorter than k emit nothing. */
+  def spanFrame(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     require(k >= 2, s"span length must be >= 2, got $k")
-    import org.apache.spark.sql.expressions.Window
     val spanHash = (0 until k).map(j => s"toks[i + $j]").mkString(", ")
-    val docs = df.select(col(idCol).as("doc_id"),
-      split(col(textCol), " ").as("toks"))
-    val spans = docs
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
       .where(size(col("toks")) >= k)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, size(toks) - $k),
            |  i -> cast(conv(substring(md5(concat_ws(' ', $spanHash)), 1, 15),
            |                 16, 10) as bigint))""".stripMargin))
         .as(Seq("pos", "h")))
-    val spansC = PinnedCache.pin(spans)
+  }
+
+  def spanDupProfile(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spansC = PinnedCache.pin(spanFrame(df, textCol, idCol, k))
     val dupHashes = spansC.groupBy(col("h"))
       .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2).select(col("h"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -614,5 +619,35 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
           col("n_tokens")).as("dup_frac"))
+  }
+
+  /** Span NOVELTY in corpus order — the keep/drop side of span dedup: a
+    * span occurrence is novel iff no equal span occurred earlier in
+    * (doc_id, pos) order (Lee et al. keep-first-occurrence semantics,
+    * where [[spanDupProfile]] only flags that duplication EXISTS). Per
+    * doc: total spans, novel spans, and spans already seen. The streaming
+    * twin ([[graft.streaming.TransformWithStateOps.streamingSpanNovelty]])
+    * maintains the same first-occurrence rule incrementally and
+    * reconciles exactly.
+    *
+    * The ranking is one window over the span-hash partitions — a shuffle
+    * by 8-byte hash with per-partition groups bounded by a span's
+    * occurrence count, never a global sort. */
+  def spanNoveltyProfile(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rn = row_number().over(
+      Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos")))
+    val perDoc = spanFrame(df, textCol, idCol, k)
+      .withColumn("novel", (rn === 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("novel")).as("novel_spans"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("novel_spans"), lit(0L)).as("novel_spans"),
+        (coalesce(col("n_spans"), lit(0L)) -
+          coalesce(col("novel_spans"), lit(0L))).as("seen_before"))
   }
 }

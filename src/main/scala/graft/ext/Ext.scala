@@ -2001,5 +2001,34 @@ object Ext {
              |WHERE levenshtein(a.name, b.name) <= 2
              |ORDER BY a_name, b_name""".stripMargin),
     ),
+
+    // Span NOVELTY in corpus order — q127's keep/drop side: a span is
+    // novel iff no equal span occurred earlier in (doc_id, pos) order
+    // (Lee et al. keep-first-occurrence). One window over span-hash
+    // partitions (groups bounded by occurrence counts, no global sort);
+    // the transformWithState twin reconciles exactly.
+    QueryDef(
+      "q129_span_novelty",
+      (s, dir) => Dedup.spanNoveltyProfile(tbl(s, dir, "documents"),
+          "text", "doc_id", k = 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |s AS (SELECT doc_id, unnest(generate_series(1, len(toks)-8+1)) AS pos, toks
+             |      FROM t WHERE len(toks) >= 8),
+             |sp AS (SELECT doc_id, pos - 1 AS pos,
+             |         CAST(('0x' || substring(md5(array_to_string(toks[pos:pos+7],' ')),1,15)) AS BIGINT) AS h
+             |       FROM s),
+             |rn AS (SELECT doc_id,
+             |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+             |       FROM sp),
+             |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             |          CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_spans
+             |        FROM rn GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(a.n_spans, 0) AS n_spans,
+             |  COALESCE(a.novel_spans, 0) AS novel_spans,
+             |  COALESCE(a.n_spans, 0) - COALESCE(a.novel_spans, 0) AS seen_before
+             |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+             |ORDER BY d.doc_id""".stripMargin),
+    ),
   )
 }

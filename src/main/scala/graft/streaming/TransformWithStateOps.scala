@@ -528,4 +528,62 @@ object TransformWithStateOps {
       .transformWithState(new BoilerplateProcessor(k),
         TimeMode.None(), OutputMode.Update())
   }
+
+  final case class SpanOcc(h: Long, docId: Long, pos: Long)
+  final case class SpanNovel(docId: Long, pos: Long, novel: Boolean)
+
+  /** Streaming first-occurrence span novelty — the incremental twin of
+    * [[graft.ext.Dedup.spanNoveltyProfile]] (Lee et al.
+    * keep-first-occurrence span dedup): spans stream in keyed by their
+    * 60-bit hash; the FIRST occurrence of a hash is novel, every later
+    * one is a dup. Within one micro-batch the winner among same-hash rows
+    * is the minimal (docId, pos) — exactly the batch window's
+    * `row_number() ... ORDER BY doc_id, pos` — so the decision is
+    * ORDER-INDEPENDENT of iterator/arrival order inside a batch, and for
+    * any corpus-order-preserving split into micro-batches (doc i's spans
+    * never arrive after doc j's, i < j) the final streamed counts
+    * reconcile bit-for-bit with the batch profile (pinned in the spec).
+    *
+    * State: one boolean per DISTINCT span hash — the exact-novelty cost
+    * (unbounded like any exact streaming dedup; [[streamingBloomDedup]]
+    * is the fixed-memory alternative when a false-positive fraction is
+    * acceptable). Keying by the span hash itself spreads state uniformly
+    * across the store's key space. */
+  final class SpanNoveltyProcessor
+      extends StatefulProcessor[Long, SpanOcc, SpanNovel] {
+
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean](
+        "seen", Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SpanOcc],
+        timerValues: TimerValues): Iterator[SpanNovel] = {
+      val batch = rows.toVector
+      val already = seen.exists()
+      if (!already) seen.update(true)
+      val winner =
+        if (already) None
+        else Some(batch.minBy(r => (r.docId, r.pos)))
+      batch.iterator.map(r =>
+        SpanNovel(r.docId, r.pos, winner.contains(r)))
+    }
+  }
+
+  /** Wire [[SpanNoveltyProcessor]] over a streaming `documents` frame:
+    * the batch op's exact span definition ([[graft.ext.Dedup.spanFrame]],
+    * map-only) keyed by span hash. */
+  def streamingSpanNovelty(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, k: Int): Dataset[SpanNovel] = {
+    implicit val inEnc: Encoder[SpanOcc] = Encoders.product[SpanOcc]
+    implicit val outEnc: Encoder[SpanNovel] = Encoders.product[SpanNovel]
+    graft.ext.Dedup.spanFrame(docs, textCol, idCol, k)
+      .toDF("docId", "pos", "h")
+      .selectExpr("h", "docId", "cast(pos as long) as pos")
+      .as[SpanOcc]
+      .groupByKey(_.h)(Encoders.scalaLong)
+      .transformWithState(new SpanNoveltyProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -353,4 +353,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"),
       "the names frame feeds index, probe, and both count attaches — must be pinned")
   }
+
+  test("q129: span novelty ranks inside span-hash partitions, never a global window") {
+    val p = plan("q129_span_novelty")
+    assert(p.contains("hashpartitioning(h"),
+      "the ranking window must shuffle by span hash — groups bounded by occurrence count")
+    assert(!p.contains("SinglePartition"), "no all-rows-to-one-partition stage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -443,4 +443,48 @@ class TransformWithStateSpec extends AnyFunSuite {
       batch.foreach { case (s, want) => assert(latest(s) == want, s"source $s") }
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("spanNovelty: streamed first-occurrence counts reconcile with batch q129 " +
+      "across prefix splits, order-scrambled within batches") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val rnd = new scala.util.Random(23)
+      val vocab = Vector.tabulate(12)(i => s"w$i")
+      val base = Seq.tabulate(5)(_ => Seq.fill(6 + rnd.nextInt(6))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val docs: Seq[(Long, String)] = Seq.tabulate(90) { i =>
+        val txt =
+          if (i % 3 == 0) base(rnd.nextInt(base.size))
+          else Seq.fill(2 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        (i.toLong, txt)
+      }
+
+      val input = MemoryStream[(Long, String)]
+      val stream = TransformWithStateOps.streamingSpanNovelty(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id", k = 3)
+      val query = stream.writeStream.format("memory").queryName("span_novelty")
+        .outputMode("update").start()
+      try {
+        // prefix splits (cross-batch doc order preserved), scrambled inside
+        docs.grouped(25).foreach { b =>
+          input.addData(rnd.shuffle(b): _*); query.processAllAvailable()
+        }
+      } finally query.stop()
+
+      val streamed = spark.table("span_novelty")
+        .groupBy(col("docId")).agg(
+          count(lit(1)).as("n"), sum(col("novel").cast("long")).as("novel"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val batch = graft.ext.Dedup.spanNoveltyProfile(
+          docs.toDF("doc_id", "text"), "text", "doc_id", k = 3)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // batch zero-fills docs with no spans; the stream never sees them
+      batch.filter(_._2._1 > 0).foreach { case (id, want) =>
+        assert(streamed(id) == want, s"doc $id")
+      }
+      assert(streamed.keySet == batch.filter(_._2._1 > 0).keySet)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
