@@ -2030,5 +2030,86 @@ object Ext {
              |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
              |ORDER BY d.doc_id""".stripMargin),
     ),
+
+    // BPE TRAINING statistic (q117 is the inference side): corpus-wide
+    // adjacent-character pair counts weighted by word frequency — the
+    // quantity each merge step maximizes. Pair explosion runs over
+    // DISTINCT words (vocabulary-bounded, not corpus-bounded); both
+    // rollups partial-agg; top-k is TakeOrderedAndProject.
+    QueryDef(
+      "q130_bpe_pairs",
+      (s, dir) => Tokenize.bpePairCounts(tbl(s, dir, "documents"), "text", topK = 20),
+      Some("""WITH w AS (SELECT unnest(string_split(text,' ')) AS word FROM documents),
+             |wc AS (SELECT word, COUNT(*) AS cnt FROM w WHERE len(word) >= 2 GROUP BY word),
+             |p AS (SELECT substring(word, i, 1) || ' ' || substring(word, i+1, 1) AS pair, cnt
+             |      FROM (SELECT word, cnt, unnest(generate_series(1, len(word)-1)) AS i FROM wc)),
+             |a AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS cnt FROM p GROUP BY pair)
+             |SELECT pair, cnt FROM a ORDER BY cnt DESC, pair LIMIT 20""".stripMargin),
+    ),
+
+    // Two-stage conversion funnel with time-to-convert: first signup per
+    // user, earliest purchase within 6h of it. Anchor and ttc are both
+    // map-side-combinable mins; the attach is a user-keyed equi-join with
+    // the window bounds as join predicates — no global sort, no window
+    // function, partitions by user at any scale.
+    QueryDef(
+      "q131_event_funnel",
+      (s, dir) => EventFunnel.conversionFunnel(tbl(s, dir, "events"),
+          "signup", "purchase", windowNs = 21600000000000L)
+        .orderBy(col("user_id")),
+      Some("""WITH s AS (
+             |  SELECT user_id, MIN(epoch_ns(ts)) AS s_ts FROM events
+             |  WHERE event_type = 'signup' GROUP BY user_id),
+             |j AS (
+             |  SELECT s.user_id, s.s_ts, MIN(epoch_ns(e.ts) - s.s_ts) AS ttc_ns
+             |  FROM s LEFT JOIN events e ON e.user_id = s.user_id
+             |    AND e.event_type = 'purchase'
+             |    AND epoch_ns(e.ts) > s.s_ts
+             |    AND epoch_ns(e.ts) <= s.s_ts + 21600000000000
+             |  GROUP BY s.user_id, s.s_ts)
+             |SELECT user_id, s_ts, ttc_ns IS NOT NULL AS converted, ttc_ns
+             |FROM j ORDER BY user_id""".stripMargin),
+    ),
+
+    // Supplier authority via integer-exact PageRank on the symmetrized
+    // customer-supplier bipartite graph (edges = distinct (o_custkey,
+    // l_suppkey) from orders x lineitem; namespaces split as 2k / 2k+1).
+    // Fixed 4 iterations, all arithmetic floor-division on longs — the
+    // oracle replays the identical recurrence as 4 chained CTEs. The
+    // iterative sibling of q44's connected components: one rank join +
+    // one partial-agg sum per iteration, Pregel-shaped at any scale.
+    QueryDef(
+      "q132_pagerank",
+      (s, dir) => {
+        val e = tbl(s, dir, "orders").join(tbl(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+          .distinct()
+        val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        Graphs.integerPageRank(sym, iters = 4)
+          .where(col("node") % 2 === 1)
+          .select(expr("(node - 1) div 2").cast("long").as("s_suppkey"),
+            col("r").as("rank"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some({
+        val m = 1000000000000L
+        val iterCte = (0 until 4).map(i =>
+          s"""r${i + 1} AS (
+             |  SELECT sym.dst AS node, (SELECT base FROM c) + (85 * SUM(r$i.r // deg.deg)) // 100 AS r
+             |  FROM r$i JOIN sym ON r$i.node = sym.src JOIN deg ON sym.src = deg.src
+             |  GROUP BY sym.dst)""".stripMargin).mkString(",\n")
+        s"""WITH e AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+           |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+           |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+           |c AS (SELECT (15 * ($m // COUNT(*))) // 100 AS base, $m // COUNT(*) AS r0 FROM deg),
+           |r0 AS (SELECT src AS node, (SELECT r0 FROM c) AS r FROM deg),
+           |""".stripMargin + iterCte + """
+           |SELECT CAST((node - 1) // 2 AS BIGINT) AS s_suppkey, CAST(r AS BIGINT) AS rank
+           |FROM r4 WHERE node % 2 = 1 ORDER BY s_suppkey""".stripMargin
+      }),
+    ),
   )
 }

@@ -144,4 +144,29 @@ object Tokenize {
        |FROM steps WHERE pos > len(w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** The TRAINING side of BPE ([[wordpieceCounts]] is inference with a
+    * given vocabulary): corpus-wide adjacent-symbol pair counts weighted
+    * by word frequency — the statistic each BPE merge step maximizes
+    * (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+    * with Subword Units"). Top `topK` candidate merges with a
+    * deterministic (count desc, pair) tiebreak.
+    *
+    * Scale design: the word-frequency rollup is one map-side-combinable
+    * shuffle; pair explosion runs over DISTINCT words only, so its cost
+    * scales with the VOCABULARY (bounded) rather than the corpus; the
+    * pair rollup is again partial-agg'd; top-k plans
+    * TakeOrderedAndProject — per-partition heaps, never a global sort. */
+  def bpePairCounts(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val words = df.select(explode(split(col(textCol), " ")).as("word"))
+      .where(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    words.select(col("cnt"), explode(expr(
+        """transform(sequence(1, length(word) - 1),
+          |  i -> concat(substring(word, i, 1), ' ', substring(word, i + 1, 1)))"""
+          .stripMargin)).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(topK)
+      .select(col("pair"), col("cnt"))
+  }
 }

@@ -571,6 +571,57 @@ object TransformWithStateOps {
     }
   }
 
+  final case class UserEvent(userId: Long, eventType: String, ts: Long)
+  final case class FunnelState(userId: Long, sTs: Long, converted: Boolean, ttcNs: Long)
+
+  /** Live two-stage conversion funnel — the streaming twin of
+    * [[graft.ext.EventFunnel.conversionFunnel]] (batch q131): per user,
+    * anchor at the FIRST `startType` event, convert on the earliest
+    * `convType` event inside (anchor, anchor + windowNs]. State is two
+    * longs per user (anchor ts, best time-to-convert; -1 = unset) — no
+    * event buffering, which is exact under the per-user ts-ordered
+    * arrival the replay/Kafka sources guarantee (an anchor always
+    * precedes the conversions it can claim; cross-user interleaving is
+    * free). Emits the refreshed row for each touched user that has
+    * anchored; the final emission per user reconciles bit-for-bit with
+    * the batch funnel (pinned in the spec). ttcNs = -1 until converted
+    * (the Dataset row stays non-null; the batch op's null maps to it). */
+  final class FunnelProcessor(startType: String, convType: String, windowNs: Long)
+      extends StatefulProcessor[Long, UserEvent, FunnelState] {
+
+    @transient private var st: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)](
+        "st", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[FunnelState] = {
+      var (sTs, ttc) = if (st.exists()) st.get() else (-1L, -1L)
+      // within one micro-batch rows may interleave arbitrarily; process in
+      // ts order so the batch == stream contract holds per micro-batch too
+      rows.toVector.sortBy(r => (r.ts, r.eventType)).foreach { r =>
+        if (r.eventType == startType && (sTs < 0 || r.ts < sTs)) sTs = r.ts
+        else if (r.eventType == convType && sTs >= 0 &&
+            r.ts > sTs && r.ts <= sTs + windowNs) {
+          val d = r.ts - sTs
+          if (ttc < 0 || d < ttc) ttc = d
+        }
+      }
+      st.update((sTs, ttc))
+      if (sTs >= 0) Iterator.single(FunnelState(key, sTs, ttc >= 0, ttc))
+      else Iterator.empty
+    }
+  }
+
+  def streamingFunnel(ds: Dataset[UserEvent], startType: String, convType: String,
+      windowNs: Long): Dataset[FunnelState] = {
+    implicit val outEnc: Encoder[FunnelState] = Encoders.product[FunnelState]
+    ds.groupByKey(_.userId)(Encoders.scalaLong)
+      .transformWithState(new FunnelProcessor(startType, convType, windowNs),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Wire [[SpanNoveltyProcessor]] over a streaming `documents` frame:
     * the batch op's exact span definition ([[graft.ext.Dedup.spanFrame]],
     * map-only) keyed by span hash. */

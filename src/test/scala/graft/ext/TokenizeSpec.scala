@@ -67,4 +67,18 @@ class TokenizeSpec extends AnyFunSuite {
       Tokenize.pieces("x", Seq("a")) // single-char merges are the implicit fallback
     }
   }
+
+  test("bpePairCounts: frequency-weighted adjacent pairs match brute force, ordered") {
+    import spark.implicits._
+    val docs = Seq("aa ab aa", "ab ba x", "aa aa b").map(Tuple1(_))
+    val brute = docs.flatMap(_._1.split(" ")).filter(_.length >= 2)
+      .flatMap(w => w.sliding(2).map(p => s"${p(0)} ${p(1)}"))
+      .groupBy(identity).map { case (p, o) => (p, o.size.toLong) }
+    val want = brute.toSeq.sortBy { case (p, c) => (-c, p) }
+    val got = Tokenize.bpePairCounts(docs.toDF("text"), "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want.take(10))
+    // "a a" dominates: aa appears 4x + sliding inside nothing else
+    assert(got.head == (("a a", 4L)))
+  }
 }

@@ -361,4 +361,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), "no all-rows-to-one-partition stage")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q130: BPE pair counts partial-agg both rollups and top-k without a global sort") {
+    val p = plan("q130_bpe_pairs")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      "word and pair rollups must combine map-side")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort the pairs")
+  }
+
+  test("q131: funnel joins by user with window bounds as join predicates") {
+    val p = plan("q131_event_funnel")
+    assert(p.contains("partial_min"), "anchor and ttc mins must combine map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window"), "no window function — per-user groups only")
+  }
+
+  test("q132: pagerank iterations reuse the pinned out-edge list, no all-pairs") {
+    // the registered query checkpoints each round (final plan = RDD scan),
+    // so audit one lazy iteration directly
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(s"$dir/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).cast("long").as("src"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      .distinct()
+    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val p = graft.ext.Graphs.integerPageRank(sym, iters = 1, eager = false)
+      .queryExecution.executedPlan.toString
+    graft.ext.PinnedCache.releaseAll()
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "the degree-annotated edge list feeds every iteration — must be pinned")
+    assert(p.contains("partial_sum"), "per-node contribution sum combines map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }

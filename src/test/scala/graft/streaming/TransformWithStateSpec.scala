@@ -487,4 +487,39 @@ class TransformWithStateSpec extends AnyFunSuite {
       assert(streamed.keySet == batch.filter(_._2._1 > 0).keySet)
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("funnel: final streamed state reconciles with batch q131 on the real events table") {
+    import TransformWithStateOps.{UserEvent, FunnelState}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val w = 21600000000000L
+      val events = graft.queries.QueryDef.tbl(spark, "/root/testdata/sf0.001", "events")
+      val rows = events.select(col("user_id"), col("event_type"), col("ts"))
+        .collect().map(r => UserEvent(r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_.ts) // global ts order => per-user ts order in every split
+
+      val latest = scala.collection.mutable.Map[Long, FunnelState]()
+      val input = MemoryStream[UserEvent]
+      val query = TransformWithStateOps.streamingFunnel(input.toDS(), "signup", "purchase", w)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[FunnelState], _: Long) =>
+          df.collect().foreach(r => latest(r.userId) = r); ()
+        }.start()
+      try {
+        rows.grouped(rows.length / 5 + 1).foreach { b =>
+          input.addData(b.toSeq: _*); query.processAllAvailable()
+        }
+      } finally query.stop()
+
+      val batch = graft.ext.EventFunnel.conversionFunnel(events, "signup", "purchase", w)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+      assert(latest.keySet == batch.keySet, "every anchored user emitted")
+      batch.foreach { case (u, (sTs, conv, ttc)) =>
+        assert(latest(u) == FunnelState(u, sTs, conv, ttc), s"user $u")
+      }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
