@@ -2111,5 +2111,54 @@ object Ext {
            |FROM r4 WHERE node % 2 = 1 ORDER BY s_suppkey""".stripMargin
       }),
     ),
+
+    // HyperLogLog distinct-order counts per return flag + a merged
+    // __all__ rollup (element-wise register max — the lossless
+    // hierarchical merge KMV lacks). Registers, dyadic sum, and the one
+    // double division are all bit-exact cross-engine (see Sketches.scala);
+    // est_distinct is NULL outside the raw regime (v_zero > 0), where KMV
+    // is the right sketch. n_exact is the accuracy audit.
+    QueryDef(
+      "q133_hll_distinct",
+      (s, dir) => Sketches.hllDistinct(tbl(s, dir, "lineitem"),
+          "l_returnflag", col("l_orderkey"))
+        .orderBy(col("grp")),
+      Some("""WITH h AS (
+             |  SELECT l_returnflag AS grp,
+             |    CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)),1,15)) AS BIGINT) AS h
+             |  FROM lineitem),
+             |r AS (
+             |  SELECT grp, h % 64 AS bucket,
+             |    CASE WHEN h >> 6 = 0 THEN 55 ELSE 55 - length(bin(h >> 6)) END AS rho
+             |  FROM h),
+             |regs AS (SELECT grp, bucket, MAX(rho) AS m FROM r GROUP BY grp, bucket),
+             |allregs AS (
+             |  SELECT grp, bucket, m FROM regs
+             |  UNION ALL
+             |  SELECT '__all__' AS grp, bucket, MAX(m) AS m FROM regs GROUP BY bucket),
+             |grps AS (SELECT DISTINCT grp FROM allregs),
+             |dense AS (
+             |  SELECT g.grp, s.b AS bucket, COALESCE(a.m, 0) AS m
+             |  FROM grps g CROSS JOIN (SELECT unnest(generate_series(0,63)) AS b) s
+             |  LEFT JOIN allregs a ON a.grp = g.grp AND a.bucket = s.b),
+             |agg AS (
+             |  SELECT grp,
+             |    CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+             |    CAST(SUM(1::BIGINT << (55 - m)) AS BIGINT) AS s_sum
+             |  FROM dense GROUP BY grp),
+             |ex AS (
+             |  SELECT l_returnflag AS grp, COUNT(DISTINCT l_orderkey) AS n_exact
+             |  FROM lineitem GROUP BY 1
+             |  UNION ALL
+             |  SELECT '__all__', COUNT(DISTINCT l_orderkey) FROM lineitem)
+             |SELECT a.grp, a.v_zero, a.s_sum,
+             |  CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0 / CAST(a.s_sum AS DOUBLE) AS raw_est,
+             |  CASE WHEN a.v_zero = 0
+             |       THEN CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0 / CAST(a.s_sum AS DOUBLE)
+             |       END AS est_distinct,
+             |  CAST(ex.n_exact AS BIGINT) AS n_exact
+             |FROM agg a JOIN ex ON a.grp = ex.grp
+             |ORDER BY a.grp""".stripMargin),
+    ),
   )
 }

@@ -298,4 +298,98 @@ object Sketches {
       .where(col("n_exact") * (k + 1) > col("n_total"))
       .select(col("item"), col("n_exact"), col("n_total"))
   }
+
+  // --- HyperLogLog registers (mergeable distinct-count rollups) ----------
+  //
+  // The fourth sketch family. KMV (above) already answers "how many
+  // distinct?" with O(k) state; HLL answers it with O(m) FIXED state
+  // (m=64 six-bit registers here) and — the property KMV lacks — a
+  // register array that rolls up by plain element-wise MAX: per-source
+  // sketches merge into per-day, per-day into global, losslessly, with no
+  // re-scan (Flajolet et al. 2007, "HyperLogLog: the analysis of a
+  // near-optimal cardinality estimation algorithm"). Over the portable
+  // 60-bit hash every register value M_j = max over the group's DISTINCT
+  // hash set of rho(h) is a pure function of the input SET — independent
+  // of partitioning, merge order, and engine — so the whole register
+  // table AND the estimate are oracle-checkable bit-for-bit (the q60/q93
+  // determinism argument, extended to HLL).
+  //
+  // Register split of the 60-bit hash: bucket = h mod 64 (low 6 bits),
+  // remainder v = h >> 6 (54 bits), rho = 55 - bitlength(v) (v=0 -> 55):
+  // the 1-based position of the first set bit scanning from the top of
+  // the 54-bit field. bitlength via length(bin(v)) — `bin` exists with
+  // identical no-leading-zeros semantics in Spark and DuckDB.
+  //
+  // Estimator: raw = alpha_64 * m^2 / sum_j 2^(-M_j). The sum of dyadics
+  // is EXACT as one BIGINT: S = sum_j 2^(55 - M_j) (max 64 * 2^55 < 2^62,
+  // and shifts stay <= 55 — DuckDB throws on 1<<63), so
+  // raw = alpha_64 * 4096 * 2^55 / S with ONE double division — every op
+  // correctly rounded, bit-exact cross-engine (no libm). The small-range
+  // regime (zero registers present, raw <= 2.5m) calls for linear
+  // counting m*ln(m/V); ln is libm, so this operator reports est_distinct
+  // only in the raw regime (V=0) and NULL otherwise, with v_zero exposed
+  // so consumers see which regime they are in. At pipeline scale
+  // (distinct >> 160) V=0 always holds; below that the KMV sketch is the
+  // right tool anyway (exact under k).
+
+  /** Number of HLL registers (2^6). */
+  val HllM = 64
+
+  /** rho(h): 1-based first-set-bit position of the 54-bit remainder field,
+    * counted from the top; 55 when the field is all zeros. */
+  def hllRho(h: Column): Column = {
+    val v = shiftright(h, 6)
+    when(v === 0L, lit(55)).otherwise(lit(55) - length(bin(v)))
+  }
+
+  /** Sparse per-group HLL registers over `itemCol`'s portable hash:
+    * `grp | bucket | m` for OCCUPIED buckets (absent buckets are 0).
+    *
+    * Scale shape: one aggregation keyed by (grp, bucket) with map-side
+    * partial MAX — every partition collapses to <= 64 rows per group
+    * before the exchange; per-group state is 64 small ints forever. */
+  def hllRegisters(items: DataFrame, groupCol: Column, itemCol: Column): DataFrame =
+    items.where(itemCol.isNotNull)
+      .select(groupCol.as("grp"), Sampling.portableHash(itemCol).as("h"))
+      .groupBy(col("grp"), pmod(col("h"), lit(HllM.toLong)).as("bucket"))
+      .agg(max(hllRho(col("h"))).as("m"))
+
+  /** Per-group HLL distinct-count report with a merged `__all__` rollup
+    * row proving register mergeability (element-wise max), plus the exact
+    * distinct count as the accuracy audit (drop it in production — it
+    * costs the distinct expand this sketch exists to avoid).
+    *
+    * Output: grp | v_zero | s_sum | raw_est | est_distinct | n_exact. */
+  def hllDistinct(items: DataFrame, groupCol: String, itemCol: Column): DataFrame = {
+    val regs = hllRegisters(items, col(groupCol), itemCol)
+    // rollup = element-wise max of the per-group registers: the merge is
+    // ANOTHER max aggregation over the bounded register table, never a
+    // re-scan of the data.
+    val allRegs = regs.unionByName(
+      regs.groupBy(col("bucket")).agg(max(col("m")).as("m"))
+        .select(lit("__all__").as("grp"), col("bucket"), col("m")))
+    // dense fill: groups x 64 buckets is metadata-sized by construction
+    val dense = allRegs.select(col("grp")).distinct()
+      .select(col("grp"), explode(sequence(lit(0L), lit(HllM - 1L))).as("bucket"))
+      .join(allRegs, Seq("grp", "bucket"), "left_outer")
+      .select(col("grp"), coalesce(col("m"), lit(0)).as("m"))
+    val agg = dense.groupBy(col("grp"))
+      .agg(
+        sum(when(col("m") === 0, 1L).otherwise(0L)).as("v_zero"),
+        sum(expr("shiftleft(1L, 55 - m)")).as("s_sum"))
+    val exact = items
+      .groupBy(col(groupCol).as("grp"))
+      .agg(countDistinct(itemCol).as("n_exact"))
+      .unionByName(items.agg(countDistinct(itemCol).as("n_exact"))
+        .select(lit("__all__").as("grp"), col("n_exact")))
+    // alpha_64 * m^2 * 2^55, folded left-to-right in doubles — identical
+    // literal tree in the DuckDB oracle, so the one division bit-matches
+    val rawEst = lit(0.709) * lit(4096.0) * lit(3.6028797018963968e16) /
+      col("s_sum").cast("double")
+    agg.join(exact, Seq("grp"))
+      .select(col("grp"), col("v_zero"), col("s_sum"),
+        rawEst.as("raw_est"),
+        when(col("v_zero") === 0, rawEst).as("est_distinct"),
+        col("n_exact"))
+  }
 }

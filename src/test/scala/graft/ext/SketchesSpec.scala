@@ -216,4 +216,56 @@ class SketchesSpec extends AnyFunSuite {
     val rows = (0 until 1000).map(i => s"u$i").toDF("item") // all-distinct stream
     assert(Sketches.guaranteedHeavyHitters(rows, col("item"), 8).count() == 0L)
   }
+
+  test("HLL: registers are a pure set function — duplication and repartitioning change nothing") {
+    import spark.implicits._
+    val base = (0 until 500).map(i => ("g", s"item-$i"))
+    val dup = (base ++ base ++ base).toDF("grp", "v").repartition(13)
+    val one = base.toDF("grp", "v").repartition(3)
+    val a = Sketches.hllRegisters(one, col("grp"), col("v"))
+      .orderBy("grp", "bucket").collect().toSeq
+    val b = Sketches.hllRegisters(dup, col("grp"), col("v"))
+      .orderBy("grp", "bucket").collect().toSeq
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+  }
+
+  test("HLL: __all__ rollup register equals the sketch built over the union (lossless merge)") {
+    import spark.implicits._
+    val df = (0 until 400).map(i => (s"g${i % 3}", s"x-$i")).toDF("grp", "v")
+    val merged = Sketches.hllDistinct(df, "grp", col("v"))
+      .where(col("grp") === "__all__").collect()(0)
+    val direct = Sketches.hllDistinct(df.withColumn("grp", lit("g")), "grp", col("v"))
+      .where(col("grp") === "g").collect()(0)
+    for (f <- Seq("v_zero", "s_sum"))
+      assert(merged.getAs[Long](f) == direct.getAs[Long](f), f)
+    assert(merged.getAs[Double]("raw_est") == direct.getAs[Double]("raw_est"))
+  }
+
+  test("HLL: raw-regime estimate within 30% at m=64 (stderr ~13%); small groups report NULL") {
+    import spark.implicits._
+    val df = ((0 until 20000).map(i => ("big", s"d-${i % 5000}")) ++
+      (0 until 40).map(i => ("tiny", s"t-${i % 10}"))).toDF("grp", "v")
+    val rows = Sketches.hllDistinct(df, "grp", col("v")).collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    val big = rows("big")
+    assert(big.getAs[Long]("v_zero") == 0L)
+    val est = big.getAs[Double]("est_distinct")
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.30, s"est $est")
+    val tiny = rows("tiny")
+    assert(tiny.getAs[Long]("v_zero") > 0L)
+    assert(tiny.isNullAt(tiny.fieldIndex("est_distinct")))
+    assert(tiny.getAs[Long]("n_exact") == 10L)
+  }
+
+  test("HLL: rho matches a JVM reference on the hash split") {
+    import spark.implicits._
+    val hs = Seq(0L, 1L, 63L, 64L, 65L, 1L << 59, (1L << 60) - 1, 12345678901L)
+    val got = hs.toDF("h").select(col("h"), Sketches.hllRho(col("h")).as("rho"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    hs.foreach { h =>
+      val v = h >>> 6
+      val expected = if (v == 0) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(v))
+      assert(got(h) == expected, s"h=$h")
+    }
+  }
 }
