@@ -2160,5 +2160,18 @@ object Ext {
              |FROM agg a JOIN ex ON a.grp = ex.grp
              |ORDER BY a.grp""".stripMargin),
     ),
+
+    // Exact BPE ENCODING under a ranked merge table — the GPT-2-family
+    // tokenizer loop (q130 = the training statistic, q117 = longest-match
+    // inference; this is ranked-merge inference where merge ORDER decides
+    // the split). The merge loop runs once per DISTINCT word; the oracle
+    // replays the identical recurrence as a recursive CTE with the rank
+    // list interpolated as a literal (single model source of truth).
+    QueryDef(
+      "q134_bpe_encode",
+      (s, dir) => Tokenize.bpeCounts(s, tbl(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id")),
+      Some(Tokenize.bpeOracleSql(Tokenize.DefaultRankedMerges)),
+    ),
   )
 }

@@ -169,4 +169,125 @@ object Tokenize {
       .orderBy(col("cnt").desc, col("pair")).limit(topK)
       .select(col("pair"), col("cnt"))
   }
+
+  // --- BPE ENCODING with a ranked merge table ---------------------------
+  //
+  // The third leg of the tokenizer story: q130 computes the training
+  // statistic (pair counts), wordpieceCounts does longest-match inference,
+  // and this does RANKED-MERGE inference — the actual BPE encode loop
+  // (Sennrich et al. 2016; the GPT-2 tokenizer family): repeatedly merge
+  // the occurrence of the LOWEST-RANKED adjacent symbol pair (leftmost on
+  // rank ties) until no ranked pair remains. Exact and deterministic;
+  // unlike longest-match, merge ORDER matters ("s t" ranking above "r e"
+  // decides how 'stream' splits). Semantics note at the variant level:
+  // merging one leftmost occurrence per step and re-evaluating is the
+  // fixed recurrence both engines replay (for same-pair runs it equals the
+  // merge-all-occurrences step; when a merge creates a better-ranked pair
+  // the re-evaluation sees it immediately — documented, deterministic).
+
+  /** Ranked merges fixture: cascading merges over the corpus alphabet,
+    * exercising rank priority (('s','t') outranks ('r','e'), deciding
+    * 'stream'), multi-level cascades ('t a'→'ta b'→'tab l'→'tabl e'), and
+    * merged-symbol pairs ('sc'+'an'). A stand-in for a trained merges.txt
+    * — the operator takes any ranked list; real vocabs are ~50k rows of
+    * MODEL STATE (kilobytes, broadcast). */
+  val DefaultRankedMerges: Seq[(String, String)] = Seq(
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("e", "r"), ("o", "r"), ("a", "n"),
+    ("s", "c"), ("sc", "an"),
+    ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e"),
+    ("or", "d"), ("ord", "er"),
+    ("r", "o"), ("ro", "w"),
+    ("s", "t"), ("st", "re"), ("r", "e"),
+    ("a", "g"), ("ag", "g"),
+    ("k", "e"), ("ke", "y"))
+
+  /** One word's BPE symbols under the ranked merge recurrence — the JVM
+    * reference both the distributed operator and the oracle replicate. */
+  def bpeSymbols(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = Vector(word.map(_.toString): _*)
+    var done = word.isEmpty
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestPos = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestPos = i } // strict: leftmost wins ties
+        i += 1
+      }
+      if (bestPos < 0) done = true
+      else syms = syms.patch(bestPos, Seq(syms(bestPos) + syms(bestPos + 1)), 2)
+    }
+    syms
+  }
+
+  final case class BpeWord(word: String, n_bpe: Long)
+
+  /** Per-doc exact BPE token counts.
+    *
+    * Scale shape: the merge loop runs once per DISTINCT word (cost scales
+    * with the vocabulary, not the corpus — the exploded occurrence join
+    * carries only (word, n_bpe) longs back), the per-word frame joins the
+    * exploded docs on the word key (auto-broadcast at realistic vocab
+    * sizes), and the rollup is one partial-agg'd sum per doc. */
+  def bpeCounts(spark: SparkSession, df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)] = DefaultRankedMerges): DataFrame = {
+    import spark.implicits._
+    val ranks = merges.zipWithIndex.toMap
+    val words = df.select(explode(split(col(textCol), " ", -1)).as("word"))
+      .distinct().as[String]
+      .mapPartitions(_.map(w => BpeWord(w, bpeSymbols(w, ranks).length.toLong)))
+    df.select(col(idCol).as("doc_id"), explode(split(col(textCol), " ", -1)).as("word"))
+      .join(words.toDF(), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum(col("n_bpe")).as("n_bpe_tokens"))
+  }
+
+  /** The ranked merge list as a DuckDB list literal of 'left right' keys,
+    * in rank order (the interpolate-the-model pattern). */
+  def rankListSql(merges: Seq[(String, String)]): String =
+    merges.map { case (a, b) => s"'$a $b'" }.mkString("[", ",", "]")
+
+  /** DuckDB replica of the BPE recurrence: a recursive CTE over DISTINCT
+    * words, one merge per iteration — best pair = argmin of
+    * (rank*1000 + position) via list comprehensions over the interpolated
+    * rank-list literal (list_position is 1-based and returns 0, not NULL,
+    * on a miss — hence the `> 0` guards). */
+  def bpeOracleSql(merges: Seq[(String, String)]): String = {
+    val rl = rankListSql(merges)
+    s"""WITH RECURSIVE wc AS (
+       |  SELECT DISTINCT unnest(string_split(text,' ')) AS word FROM documents),
+       |st AS (
+       |  SELECT word, array_to_string([substring(word,i,1) FOR i IN generate_series(1,len(word))],' ') AS s
+       |  FROM wc
+       |  UNION ALL
+       |  SELECT word,
+       |    array_to_string(list_concat(list_concat(syms[1:bp-1], [syms[bp] || syms[bp+1]]), syms[bp+2:]), ' ') AS s
+       |  FROM (
+       |    SELECT word, syms, CAST(k % 1000 AS INT) AS bp FROM (
+       |      SELECT word, syms,
+       |        list_min(list_transform(
+       |          list_filter(generate_series(1, len(syms)-1),
+       |            i -> list_position($rl, syms[i] || ' ' || syms[i+1]) > 0),
+       |          i -> (list_position($rl, syms[i] || ' ' || syms[i+1]) - 1) * 1000 + i)) AS k
+       |      FROM (SELECT word, string_split(s,' ') AS syms FROM st)
+       |    ) WHERE k IS NOT NULL
+       |  )
+       |),
+       |fin AS (
+       |  SELECT word, CAST(len(string_split(s,' ')) AS BIGINT) AS n_bpe
+       |  FROM (SELECT word, s, string_split(s,' ') AS syms FROM st)
+       |  WHERE len(list_filter(generate_series(1, len(syms)-1),
+       |      i -> list_position($rl, syms[i] || ' ' || syms[i+1]) > 0)) = 0
+       |),
+       |w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents)
+       |SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(len(w.word)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(f.n_bpe) AS BIGINT) AS n_bpe_tokens
+       |FROM w JOIN fin f ON w.word = f.word
+       |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+  }
 }

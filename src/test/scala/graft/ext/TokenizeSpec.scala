@@ -81,4 +81,42 @@ class TokenizeSpec extends AnyFunSuite {
     // "a a" dominates: aa appears 4x + sliding inside nothing else
     assert(got.head == (("a a", 4L)))
   }
+
+  test("bpeSymbols: ranked-merge recurrence on cascades, rank priority, and misses") {
+    val ranks = Tokenize.DefaultRankedMerges.zipWithIndex.toMap
+    assert(Tokenize.bpeSymbols("table", ranks) == Vector("table")) // 4-level cascade
+    assert(Tokenize.bpeSymbols("order", ranks) == Vector("order")) // uses merged 'er'
+    assert(Tokenize.bpeSymbols("scan", ranks) == Vector("scan"))   // merged-symbol pair sc+an
+    // rank order decides: ('s','t') rank 17 beats ('r','e') rank 19, so
+    // 'st' forms first and 'st'+'re' (rank 18) completes 'stre'
+    assert(Tokenize.bpeSymbols("stream", ranks) == Vector("stre", "a", "m"))
+    assert(Tokenize.bpeSymbols("zzz", ranks) == Vector("z", "z", "z")) // no merges apply
+    assert(Tokenize.bpeSymbols("", ranks) == Vector.empty)
+    assert(Tokenize.bpeSymbols("a", ranks) == Vector("a"))
+  }
+
+  test("bpeSymbols: leftmost occurrence merges first on same-pair runs") {
+    val ranks = Map(("a", "a") -> 0)
+    // merge-all-non-overlapping-leftmost semantics fall out of the recurrence
+    assert(Tokenize.bpeSymbols("aaa", ranks) == Vector("aa", "a"))
+    assert(Tokenize.bpeSymbols("aaaa", ranks) == Vector("aa", "aa"))
+  }
+
+  test("bpeCounts: per-doc totals match the JVM loop applied per word; repartition-invariant") {
+    import spark.implicits._
+    val ranks = Tokenize.DefaultRankedMerges.zipWithIndex.toMap
+    val docs = Seq((1L, "table stream key"), (2L, "order order zz"), (3L, "a"))
+    val expected = docs.map { case (id, text) =>
+      val ws = text.split(" ", -1)
+      (id, ws.length.toLong, ws.map(_.length.toLong).sum,
+        ws.map(w => Tokenize.bpeSymbols(w, ranks).length.toLong).sum)
+    }
+    val df = docs.toDF("doc_id", "text")
+    for (parts <- Seq(1, 7)) {
+      val got = Tokenize.bpeCounts(spark, df.repartition(parts), "text", "doc_id")
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == expected, s"parts=$parts")
+    }
+  }
 }
