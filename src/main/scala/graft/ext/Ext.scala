@@ -2173,5 +2173,55 @@ object Ext {
         .orderBy(col("doc_id")),
       Some(Tokenize.bpeOracleSql(Tokenize.DefaultRankedMerges)),
     ),
+
+    // SEMANTIC eval-set decontamination: corpus vectors cosine-close to any
+    // benchmark vector (vec_id % 17 == 0 plays the eval set), via the
+    // asymmetric RHP-bucket probe — eval signatures broadcast, cost =
+    // corpus x collision rate. The embedding sibling of q125's n-gram
+    // probe (paraphrased leakage shares no n-grams). Oracle replicates the
+    // bucketed semantics exactly (interpolated plane literals).
+    QueryDef(
+      "q135_semantic_decontamination",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.semanticContamination(
+            emb.where(col("vec_id") % 17 =!= 0),
+            emb.where(col("vec_id") % 17 === 0),
+            "embedding", "vec_id", 0.4, LshTables, LshBits)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $sigCtesSql,
+              |cand AS (
+              |  SELECT DISTINCT c.vec_id AS a_id, e.vec_id AS b_id
+              |  FROM sig c JOIN sig e ON c.tbl = e.tbl AND c.sig = e.sig
+              |  WHERE c.vec_id % 17 != 0 AND e.vec_id % 17 = 0),
+              |n AS (
+              |  SELECT vec_id, embedding,
+              |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+              |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+              |  FROM embeddings),
+              |sims AS (
+              |  SELECT c.a_id, c.b_id,
+              |    list_sum([CAST(na.embedding[i] AS DOUBLE)*nb.embedding[i]
+              |              FOR i IN generate_series(1,len(na.embedding))])/(na.nrm*nb.nrm) AS cos_sim
+              |  FROM cand c JOIN n na ON na.vec_id = c.a_id JOIN n nb ON nb.vec_id = c.b_id),
+              |agg AS (
+              |  SELECT a_id, CAST(COUNT(*) AS BIGINT) AS n_cand,
+              |    CAST(SUM(CASE WHEN cos_sim >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+              |    MAX(cos_sim) AS max_cos
+              |  FROM sims GROUP BY a_id),
+              |best AS (
+              |  SELECT a_id, b_id AS best_eval FROM (
+              |    SELECT a_id, b_id,
+              |      row_number() OVER (PARTITION BY a_id ORDER BY cos_sim DESC, b_id) AS rk
+              |    FROM sims) WHERE rk = 1)
+              |SELECT v.vec_id, COALESCE(a.n_cand, 0) AS n_cand,
+              |  COALESCE(a.n_match, 0) AS n_match, a.max_cos, b.best_eval,
+              |  COALESCE(a.n_match, 0) > 0 AS contaminated
+              |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 17 != 0) v
+              |LEFT JOIN agg a ON v.vec_id = a.a_id
+              |LEFT JOIN best b ON v.vec_id = b.a_id
+              |ORDER BY v.vec_id""".stripMargin),
+    ),
   )
 }

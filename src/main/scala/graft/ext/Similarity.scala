@@ -423,4 +423,49 @@ object Similarity {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     sims.withColumn("rk", row_number().over(w)).where(col("rk") <= k).drop("rk")
   }
+
+  /** SEMANTIC eval-set decontamination — the embedding-space sibling of the
+    * n-gram overlap probe (q125): flag every corpus vector whose cosine to
+    * ANY benchmark/eval vector reaches `threshold`, with the evidence
+    * (candidate count, match count, best-matching eval item). Paraphrased
+    * leakage has no shared n-grams; this is the screen that catches it.
+    *
+    * Scale shape — the q109 asymmetric-probe rule applied to embeddings:
+    * the eval set is tiny MODEL-SIDE state (its signature rows broadcast);
+    * corpus signatures are map-only codegen; the candidate join is keyed
+    * by (table, signature) so cost is corpus x collision rate, never
+    * corpus^2 and never eval x corpus. The per-corpus-vector window ranks
+    * only that vector's candidates (bounded by the collision count).
+    * Approximate by the RHP recall bound (see [[cosineNearDupPairsLsh]]);
+    * the oracle replicates the BUCKETED semantics bit-for-bit. */
+  def semanticContamination(corpus: DataFrame, evalSet: DataFrame, vecCol: String,
+      idCol: String, threshold: Double, tables: Int = 32, bits: Int = 5): DataFrame = {
+    val cand = rhpBuckets(corpus, vecCol, idCol, tables, bits)
+      .withColumnRenamed("id", "a_id")
+      .join(broadcast(rhpBuckets(evalSet, vecCol, idCol, tables, bits)
+        .withColumnRenamed("id", "b_id")), Seq("tbl", "sig"))
+      .select(col("a_id"), col("b_id")).dropDuplicates("a_id", "b_id")
+    val cn = withNorm(corpus, vecCol)
+      .select(col(idCol).as("a_id"), col(vecCol).as("va"), col("nrm").as("na"))
+    val en = withNorm(evalSet, vecCol)
+      .select(col(idCol).as("b_id"), col(vecCol).as("vb"), col("nrm").as("nb"))
+    val sims = cand.join(cn, "a_id").join(broadcast(en), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
+    val agg = sims.groupBy(col("a_id")).agg(
+      count(lit(1)).as("n_cand"),
+      sum(when(col("cos_sim") >= threshold, 1L).otherwise(0L)).as("n_match"),
+      max(col("cos_sim")).as("max_cos"))
+    val w = Window.partitionBy(col("a_id")).orderBy(col("cos_sim").desc, col("b_id"))
+    val best = sims.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("a_id"), col("b_id").as("best_eval"))
+    corpus.select(col(idCol).as("vec_id"))
+      .join(agg.withColumnRenamed("a_id", "vec_id"), Seq("vec_id"), "left_outer")
+      .join(best.withColumnRenamed("a_id", "vec_id"), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        col("max_cos"), col("best_eval"),
+        (coalesce(col("n_match"), lit(0L)) > 0).as("contaminated"))
+  }
 }

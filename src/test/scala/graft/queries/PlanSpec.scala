@@ -395,4 +395,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "per-node contribution sum combines map-side")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q133: HLL registers aggregate with map-side partial max; no all-pairs") {
+    val p = plan("q133_hll_distinct")
+    assert(p.contains("partial_max"), "register max must combine map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q134: BPE encode loops over DISTINCT words; occurrence join is word-keyed") {
+    val p = plan("q134_bpe_encode")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-doc rollup combines map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q135: semantic decontamination broadcasts the eval side, bucket-keyed only") {
+    val p = plan("q135_semantic_decontamination")
+    assert(!p.contains("CartesianProduct"), "no cross product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no all-pairs join")
+    assert(p.contains("graft_rhp_sig"), "signatures come from the codegen expression")
+    assert(p.contains("graft_vec_dot"), "verify stage uses the codegen dot kernel")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "eval signatures and eval vectors broadcast to the corpus side")
+  }
 }
