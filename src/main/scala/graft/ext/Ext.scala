@@ -2223,5 +2223,65 @@ object Ext {
               |LEFT JOIN best b ON v.vec_id = b.a_id
               |ORDER BY v.vec_id""".stripMargin),
     ),
+
+    // HTML main-content extraction (boilerplate removal by link density —
+    // the jusText/Arc90 core rule): docs render to deterministic flat HTML
+    // (hash-chosen p/nav/script blocks, hash-chosen <a> links — the q116
+    // render-then-decode pattern), the operator strips markup and keeps
+    // paragraph blocks with 2*link_chars < text_chars. Map-only; the
+    // oracle replicates generation AND extraction bit-for-bit.
+    QueryDef(
+      "q136_html_main_content",
+      (s, dir) => Web.mainContent(
+          Web.syntheticHtml(tbl(s, dir, "documents"), "doc_id", "text"),
+          "doc_id", "html")
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |runs AS (
+             |  SELECT doc_id, toks,
+             |    [toks[j*4+1 : j*4+4] FOR j IN generate_series(0, (len(toks)+3)//4 - 1)] AS rws
+             |  FROM t),
+             |blocks AS (
+             |  SELECT doc_id,
+             |    [ '<' ||
+             |      CASE (CAST(('0x'||substring(md5(doc_id || ':' || (j-1)),1,15)) AS BIGINT) % 5)
+             |        WHEN 3 THEN 'nav' WHEN 4 THEN 'script' ELSE 'p' END
+             |      || '>' ||
+             |      array_to_string(
+             |        [ CASE WHEN (CAST(('0x'||substring(md5(doc_id || ':' || (j-1) || ':' || (k-1)),1,15)) AS BIGINT) % 4) = 0
+             |               THEN '<a>' || rws[j][k] || '</a>' ELSE rws[j][k] END
+             |          FOR k IN generate_series(1, len(rws[j])) ], ' ')
+             |      || '</' ||
+             |      CASE (CAST(('0x'||substring(md5(doc_id || ':' || (j-1)),1,15)) AS BIGINT) % 5)
+             |        WHEN 3 THEN 'nav' WHEN 4 THEN 'script' ELSE 'p' END
+             |      || '>'
+             |      FOR j IN generate_series(1, len(rws)) ] AS bl
+             |  FROM runs),
+             |html AS (
+             |  SELECT doc_id, '<html><body>' || array_to_string(bl, '') || '</body></html>' AS html
+             |  FROM blocks),
+             |bx AS (
+             |  SELECT doc_id,
+             |    regexp_extract_all(html, '<(?:p|nav|script)>.*?</(?:p|nav|script)>') AS blks
+             |  FROM html),
+             |bs AS (
+             |  SELECT doc_id, blks,
+             |    [regexp_extract(b, '^<([a-z]+)>', 1) FOR b IN blks] AS tags,
+             |    [regexp_replace(regexp_extract(b, '^<[a-z]+>(.*)</[a-z]+>$', 1), '</?a>', '', 'g') FOR b IN blks] AS stripped,
+             |    [CAST(COALESCE(list_sum(list_transform(regexp_extract_all(b, '<a>(.*?)</a>', 1), x -> len(x))), 0) AS BIGINT) FOR b IN blks] AS linkchars
+             |  FROM bx),
+             |kept AS (
+             |  SELECT doc_id,
+             |    CAST(len(blks) AS BIGINT) AS n_blocks,
+             |    CAST(len([i FOR i IN generate_series(1, len(blks)) IF tags[i] = 'p' AND 2*linkchars[i] < len(stripped[i])]) AS BIGINT) AS n_kept,
+             |    CAST(COALESCE(list_sum(linkchars), 0) AS BIGINT) AS link_chars,
+             |    CAST(COALESCE(list_sum([len(stripped[i]) FOR i IN generate_series(1, len(blks))]), 0) AS BIGINT) AS text_chars,
+             |    COALESCE(array_to_string([stripped[i] FOR i IN generate_series(1, len(blks)) IF tags[i] = 'p' AND 2*linkchars[i] < len(stripped[i])], ' '), '') AS main_text
+             |  FROM bs)
+             |SELECT doc_id, n_blocks, n_kept, link_chars, text_chars,
+             |  CAST(len(main_text) AS BIGINT) AS main_chars,
+             |  md5(main_text) AS main_md5
+             |FROM kept ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

@@ -172,4 +172,79 @@ object Web {
       |    || cpath
       |    || (CASE WHEN cquery = '' THEN '' ELSE '?' || cquery END) AS curl
       |  FROM canon)""".stripMargin
+
+  // --- HTML main-content extraction (boilerplate removal) ----------------
+  //
+  // The step BETWEEN crawling and every text operator above: raw pages are
+  // markup + navigation + scripts; training corpora keep only the main
+  // content. The rule here is the jusText/Arc90 family's core signal, link
+  // density: a block survives iff it is a paragraph block AND its anchor
+  // text is under half its text (2*link_chars < text_chars — integer, no
+  // division). Real pipelines add language models and DOM heuristics on
+  // top; the block-classify-join shape is identical.
+  //
+  // Scale shape: map-only — regex extraction and per-block classification
+  // run inside one scan projection; no shuffle until the caller's rollup.
+  // The HOF lambdas are interpreted (DEVNOTES rule 10), so each derived
+  // array is projected ONCE as a named column and referenced as a bound
+  // attribute — no capture re-evaluates a regex per element.
+  //
+  // Fixture: [[syntheticHtml]] renders each document's tokens into flat
+  // HTML deterministically (tag and link choices = portable-hash bits of
+  // (doc_id, run, word) — the q116 render-then-decode pattern), so the
+  // DuckDB oracle replicates generation AND extraction bit-for-bit while
+  // the Spark side exercises the real operator.
+
+  /** Portable-hash SQL-expression fragment (Spark dialect) for use inside
+    * `expr(...)` lambdas. */
+  private def hashExprSql(parts: String): String =
+    s"cast(conv(substring(md5($parts), 1, 15), 16, 10) as bigint)"
+
+  /** Deterministic flat-HTML rendering of a token list: runs of 4 tokens
+    * become `<p>/<nav>/<script>` blocks (hash of (doc_id, run) mod 5: 3 ->
+    * nav, 4 -> script, else p); each word becomes an `<a>` link when hash
+    * of (doc_id, run, word) mod 4 = 0. */
+  def syntheticHtml(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tagCase = (j: String) =>
+      s"""case ${hashExprSql(s"concat(cast(doc_id as string), ':', cast($j as string))")} % 5
+         |  when 3 then 'nav' when 4 then 'script' else 'p' end""".stripMargin
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .withColumn("bl", expr(
+        s"""transform(sequence(0, (size(toks) + 3) div 4 - 1), j ->
+           |  concat('<', ${tagCase("j")}, '>',
+           |    array_join(transform(slice(toks, j * 4 + 1, 4), (w, k) ->
+           |      case when ${hashExprSql(
+                   "concat(cast(doc_id as string), ':', cast(j as string), ':', cast(k as string))")} % 4 = 0
+           |        then concat('<a>', w, '</a>') else w end), ' '),
+           |    '</', ${tagCase("j")}, '>'))""".stripMargin))
+      .select(col("doc_id"),
+        concat(lit("<html><body>"), array_join(col("bl"), ""), lit("</body></html>"))
+          .as("html"))
+  }
+
+  /** Block-level boilerplate removal over an HTML column: per-doc block
+    * counts, link/text char totals, and the surviving main text (reported
+    * as md5 + length so row size stays bounded). */
+  def mainContent(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        expr(s"regexp_extract_all($htmlCol, '<(?:p|nav|script)>.*?</(?:p|nav|script)>', 0)")
+          .as("blks"))
+      .withColumn("tags", expr("transform(blks, b -> regexp_extract(b, '^<([a-z]+)>', 1))"))
+      .withColumn("stripped", expr(
+        "transform(blks, b -> regexp_replace(regexp_extract(b, '^<[a-z]+>(.*)</[a-z]+>$', 1), '</?a>', ''))"))
+      .withColumn("linkchars", expr(
+        "transform(blks, b -> aggregate(regexp_extract_all(b, '<a>(.*?)</a>', 1), 0L, (acc, x) -> acc + length(x)))"))
+      .withColumn("main_text", expr(
+        """array_join(filter(stripped, (s, i) ->
+          |  element_at(tags, i + 1) = 'p' AND 2 * element_at(linkchars, i + 1) < length(s)), ' ')"""
+          .stripMargin))
+      .select(col("doc_id"),
+        size(col("blks")).cast("long").as("n_blocks"),
+        expr("""cast(size(filter(stripped, (s, i) ->
+                element_at(tags, i + 1) = 'p' AND 2 * element_at(linkchars, i + 1) < length(s))) as long)""")
+          .as("n_kept"),
+        expr("aggregate(linkchars, 0L, (acc, x) -> acc + x)").as("link_chars"),
+        expr("aggregate(stripped, 0L, (acc, x) -> acc + length(x))").as("text_chars"),
+        length(col("main_text")).cast("long").as("main_chars"),
+        md5(col("main_text")).as("main_md5"))
 }

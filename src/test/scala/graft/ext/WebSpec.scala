@@ -65,4 +65,39 @@ class WebSpec extends AnyFunSuite {
       && c.startsWith("http")))
     assert(canons.exists(_.contains(":8080"))) // real ports survive
   }
+
+  test("mainContent: hand-built page — nav/script dropped, link-heavy p dropped, rest kept") {
+    import spark.implicits._
+    val html = "<html><body>" +
+      "<p>keep this plain text</p>" +
+      "<nav><a>home</a> <a>about</a></nav>" +
+      "<p><a>spam</a> <a>links</a> x</p>" + // link chars 9 vs text 12: 18 >= 12 -> dropped
+      "<script>var x = 1</script>" +
+      "<p>second kept <a>ok</a> block</p>" + // link chars 2 vs text 21: kept
+      "</body></html>"
+    val r = Web.mainContent(Seq((7L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .collect()(0)
+    assert(r.getAs[Long]("n_blocks") == 5L)
+    assert(r.getAs[Long]("n_kept") == 2L)
+    val expectedMain = "keep this plain text second kept ok block"
+    assert(r.getAs[Long]("main_chars") == expectedMain.length.toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(expectedMain.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getAs[String]("main_md5") == md)
+  }
+
+  test("syntheticHtml is deterministic and parses back to its own token count") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "one two three")).toDF("doc_id", "text")
+    val h1 = Web.syntheticHtml(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(_.getString(1)).toSeq
+    val h2 = Web.syntheticHtml(docs.repartition(5), "doc_id", "text").orderBy("doc_id")
+      .collect().map(_.getString(1)).toSeq
+    assert(h1 == h2, "rendering is a pure function of (doc_id, text)")
+    // total text chars across blocks == original text minus spaces at run
+    // boundaries: strip ALL markup and compare word multisets
+    val words1 = h1.head.replaceAll("<[^>]+>", " ").trim.split("\\s+").toSeq.sorted
+    assert(words1 == "alpha beta gamma delta epsilon zeta eta theta iota".split(" ").toSeq.sorted)
+  }
 }

@@ -418,4 +418,10 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       "eval signatures and eval vectors broadcast to the corpus side")
   }
+
+  test("q136: HTML extraction is one map-only scan — no join, one exchange (the sort)") {
+    val p = plan("q136_html_main_content")
+    assert(!p.contains("Join"), "no join anywhere")
+    assert("Exchange".r.findAllIn(p).size == 1, s"one exchange (the sort):\n$p")
+  }
 }
