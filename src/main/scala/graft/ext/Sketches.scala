@@ -342,6 +342,18 @@ object Sketches {
     when(v === 0L, lit(55)).otherwise(lit(55) - length(bin(v)))
   }
 
+  /** JVM mirror of [[hllRho]] (pinned equal in SketchesSpec) — the
+    * streaming twin's per-row path. */
+  def hllRhoJvm(h: Long): Int = {
+    val v = h >>> 6
+    if (v == 0L) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(v))
+  }
+
+  /** JVM mirror of the raw-estimate expression in [[hllDistinct]]: the
+    * identical literal fold, so stream and batch estimates bit-match. */
+  def hllRawEstimate(sSum: Long): Double =
+    0.709 * 4096.0 * 3.6028797018963968e16 / sSum.toDouble
+
   /** Sparse per-group HLL registers over `itemCol`'s portable hash:
     * `grp | bucket | m` for OCCUPIED buckets (absent buckets are 0).
     *

@@ -637,4 +637,56 @@ object TransformWithStateOps {
       .transformWithState(new SpanNoveltyProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  final case class GroupHash(grp: String, h: Long)
+  final case class HllReport(grp: String, v_zero: Long, s_sum: Long,
+      raw_est: Double, est_distinct: Option[Double])
+
+  /** Continuous per-group HyperLogLog — the streaming twin of
+    * [[graft.ext.Sketches.hllDistinct]] (q133). State per group is the
+    * sparse register map (bucket -> max rho): at most 64 entries forever,
+    * the canonical fixed-memory cardinality sketch on an unbounded
+    * stream. Register update is MAX — associative, commutative,
+    * idempotent — so the state after any prefix equals the batch sketch
+    * of the same input SET regardless of batching, and the emission
+    * (dyadic sum + the identical literal fold, [[graft.ext.Sketches
+    * .hllRawEstimate]]) bit-matches the batch report (asserted in
+    * TransformWithStateSpec). Inputs are (group, hash) pairs — hash with
+    * `Sampling.portableHash` upstream, exactly like the batch path. */
+  final class HllProcessor extends StatefulProcessor[String, GroupHash, HllReport] {
+
+    @transient private var regs: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      regs = getHandle.getMapState[Long, Long](
+        "regs", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[GroupHash],
+        timerValues: TimerValues): Iterator[HllReport] = {
+      rows.foreach { r =>
+        val b = r.h % 64
+        val rho = graft.ext.Sketches.hllRhoJvm(r.h).toLong
+        val cur = if (regs.containsKey(b)) regs.getValue(b) else 0L
+        if (rho > cur) regs.updateValue(b, rho)
+      }
+      var vZero = 0L
+      var sSum = 0L
+      var b = 0L
+      while (b < 64) {
+        val m = if (regs.containsKey(b)) regs.getValue(b) else 0L
+        if (m == 0L) vZero += 1
+        sSum += 1L << (55 - m)
+        b += 1
+      }
+      val raw = graft.ext.Sketches.hllRawEstimate(sSum)
+      Iterator.single(HllReport(key, vZero, sSum, raw,
+        if (vZero == 0) Some(raw) else None))
+    }
+  }
+
+  def streamingHllDistinct(ds: Dataset[GroupHash]): Dataset[HllReport] = {
+    implicit val outEnc: Encoder[HllReport] = Encoders.product[HllReport]
+    ds.groupByKey(_.grp)(Encoders.STRING)
+      .transformWithState(new HllProcessor, TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -266,6 +266,7 @@ class SketchesSpec extends AnyFunSuite {
       val v = h >>> 6
       val expected = if (v == 0) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(v))
       assert(got(h) == expected, s"h=$h")
+      assert(Sketches.hllRhoJvm(h) == expected, s"JVM mirror h=$h")
     }
   }
 }

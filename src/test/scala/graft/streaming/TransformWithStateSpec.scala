@@ -522,4 +522,49 @@ class TransformWithStateSpec extends AnyFunSuite {
       }
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streamingHllDistinct: final emission bit-matches batch q133 across batch splits") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{GroupHash, HllReport}
+      import spark.implicits._
+      // 'big' lands in the raw regime (est_distinct set), 'tiny' below it (NULL)
+      val items = (0 until 6000).map(i => ("big", s"d-${i % 2000}")) ++
+        (0 until 30).map(i => ("tiny", s"t-${i % 9}"))
+      val hashed = items.toDF("grp", "v")
+        .select(col("grp"), graft.ext.Sampling.portableHash(col("v")).as("h"))
+        .as[GroupHash].collect().toSeq
+
+      val latest = scala.collection.mutable.Map[String, HllReport]()
+      val input = MemoryStream[GroupHash]
+      val query = TransformWithStateOps.streamingHllDistinct(input.toDS())
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[HllReport], _: Long) =>
+          df.collect().foreach(r => latest(r.grp) = r); ()
+        }.start()
+      try {
+        // scrambled order + uneven splits: register max is order-independent
+        scala.util.Random.shuffle(hashed).grouped(1700).foreach { b =>
+          input.addData(b: _*); query.processAllAvailable()
+        }
+      } finally query.stop()
+
+      val batch = graft.ext.Sketches.hllDistinct(items.toDF("grp", "v"), "grp", col("v"))
+        .where(col("grp") =!= "__all__")
+        .collect().map(r => r.getString(0) -> r).toMap
+      assert(latest.keySet == Set("big", "tiny"))
+      for (g <- Seq("big", "tiny")) {
+        val b = batch(g)
+        assert(latest(g).v_zero == b.getAs[Long]("v_zero"), s"$g v_zero")
+        assert(latest(g).s_sum == b.getAs[Long]("s_sum"), s"$g s_sum")
+        assert(latest(g).raw_est == b.getAs[Double]("raw_est"), s"$g raw_est")
+        val bEst = if (b.isNullAt(b.fieldIndex("est_distinct"))) None
+          else Some(b.getAs[Double]("est_distinct"))
+        assert(latest(g).est_distinct == bEst, s"$g est_distinct")
+      }
+      assert(latest("big").est_distinct.isDefined && latest("tiny").est_distinct.isEmpty)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
