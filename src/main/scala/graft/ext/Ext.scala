@@ -2283,5 +2283,61 @@ object Ext {
              |  md5(main_text) AS main_md5
              |FROM kept ORDER BY doc_id""".stripMargin),
     ),
+
+    // DBSCAN-style density clustering on embeddings: core (>= 3 neighbors
+    // at cos >= 0.35 within RHP buckets) / border (min core-neighbor
+    // root) / noise, components over the CORE subgraph only. The oracle
+    // replicates the bucketed epsilon graph exactly and replays the
+    // components as a recursive CTE (q44 pattern at the embedding layer).
+    QueryDef(
+      "q137_dbscan_clusters",
+      (s, dir) => Similarity.dbscanClusters(tbl(s, dir, "embeddings"),
+          "embedding", "vec_id", eps = 0.35, minPts = 3, LshTables, LshBits)
+        .orderBy(col("vec_id")),
+      Some(s"""WITH RECURSIVE $sigCtesSql,
+              |cand AS (
+              |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+              |  FROM sig a JOIN sig b
+              |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id),
+              |n AS (
+              |  SELECT vec_id, embedding,
+              |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+              |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+              |  FROM embeddings),
+              |verified AS (
+              |  SELECT a_id, b_id FROM (
+              |    SELECT c.a_id, c.b_id,
+              |      list_sum([CAST(na.embedding[i] AS DOUBLE)*nb.embedding[i]
+              |                FOR i IN generate_series(1,len(na.embedding))])/(na.nrm*nb.nrm) AS cos_sim
+              |    FROM cand c
+              |    JOIN n na ON na.vec_id = c.a_id
+              |    JOIN n nb ON nb.vec_id = c.b_id)
+              |  WHERE cos_sim >= 0.35),
+              |sym AS (SELECT a_id AS src, b_id AS dst FROM verified
+              |        UNION SELECT b_id, a_id FROM verified),
+              |core AS (SELECT src AS id FROM sym GROUP BY src HAVING COUNT(*) >= 3),
+              |ce AS (SELECT src, dst FROM sym
+              |       WHERE src IN (SELECT id FROM core) AND dst IN (SELECT id FROM core)),
+              |r(id, m) AS (
+              |  SELECT src, src FROM ce
+              |  UNION
+              |  SELECT r.id, e.dst FROM r JOIN ce e ON e.src = r.m),
+              |ccl AS (SELECT id, MIN(m) AS root FROM r GROUP BY id),
+              |coreroot AS (
+              |  SELECT c.id, COALESCE(l.root, c.id) AS root
+              |  FROM core c LEFT JOIN ccl l ON c.id = l.id),
+              |borderroot AS (
+              |  SELECT s.src AS id, MIN(cr.root) AS root
+              |  FROM sym s JOIN coreroot cr ON s.dst = cr.id
+              |  WHERE s.src NOT IN (SELECT id FROM core) GROUP BY s.src)
+              |SELECT e.vec_id,
+              |  CASE WHEN cr.id IS NOT NULL THEN 'core'
+              |       WHEN br.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+              |  COALESCE(cr.root, br.root) AS root
+              |FROM embeddings e
+              |LEFT JOIN coreroot cr ON e.vec_id = cr.id
+              |LEFT JOIN borderroot br ON e.vec_id = br.id
+              |ORDER BY e.vec_id""".stripMargin),
+    ),
   )
 }

@@ -424,6 +424,53 @@ object Similarity {
     sims.withColumn("rk", row_number().over(w)).where(col("rk") <= k).drop("rk")
   }
 
+  /** DBSCAN-style density clustering over an embedding column — the
+    * topic/near-dup GROUPING operator where the pairwise threshold alone
+    * is too weak (q41/q42 drop pairs; this finds dense regions and labels
+    * every vector): a vector with >= `minPts` neighbors at cosine >= `eps`
+    * is CORE; clusters are connected components over core-core edges;
+    * non-core vectors adjacent to a core are BORDER (assigned the MIN
+    * root among their core neighbors — the deterministic tie rule);
+    * everything else is NOISE (Ester et al. 1996, DBSCAN). `minPts`
+    * counts NEIGHBORS (not the point itself).
+    *
+    * Scale shape: the neighbor graph comes from the guarded RHP bucket
+    * join (never all-pairs); degrees/roles are one partial-agg'd count;
+    * components run on the CORE subgraph only (dense regions — the small
+    * side); border attachment is one edge-keyed join + min. The epsilon
+    * graph is LSH-approximate with the usual recall bound; the oracle
+    * replicates the bucketed semantics exactly. */
+  def dbscanClusters(df: DataFrame, vecCol: String, idCol: String, eps: Double,
+      minPts: Int, tables: Int = 32, bits: Int = 5): DataFrame = {
+    val pairs = cosineNearDupPairsLsh(df, vecCol, idCol, eps, tables, bits)
+      .select(col("a_id"), col("b_id"))
+    val sym = pairs.unionByName(
+      pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    val core = sym.groupBy(col("a_id").as("id")).agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= minPts).select(col("id"))
+    val coreEdges = sym
+      .join(core.withColumnRenamed("id", "a_id"), "a_id")
+      .join(core.withColumnRenamed("id", "b_id"), "b_id")
+    val cc = graft.ext.Dedup.connectedComponents(coreEdges)
+    // cores isolated from other cores still head their own 1-core cluster
+    val coreRoot = core.join(cc, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("root"), col("id")).as("root"))
+    val borderRoot = sym
+      .join(core.withColumnRenamed("id", "a_id"), Seq("a_id"), "left_anti")
+      .join(coreRoot.select(col("id").as("b_id"), col("root")), "b_id")
+      .groupBy(col("a_id").as("id")).agg(min(col("root")).as("root"))
+    df.select(col(idCol).as("vec_id"))
+      .join(coreRoot.select(col("id").as("vec_id"), col("root").as("c_root")),
+        Seq("vec_id"), "left_outer")
+      .join(borderRoot.select(col("id").as("vec_id"), col("root").as("b_root")),
+        Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        when(col("c_root").isNotNull, "core")
+          .when(col("b_root").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("c_root"), col("b_root")).as("root"))
+  }
+
   /** SEMANTIC eval-set decontamination — the embedding-space sibling of the
     * n-gram overlap probe (q125): flag every corpus vector whose cosine to
     * ANY benchmark/eval vector reaches `threshold`, with the evidence

@@ -424,4 +424,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "no join anywhere")
     assert("Exchange".r.findAllIn(p).size == 1, s"one exchange (the sort):\n$p")
   }
+
+  test("q137: DBSCAN epsilon graph is bucket-keyed — no all-pairs join") {
+    val p = plan("q137_dbscan_clusters")
+    graft.ext.PinnedCache.releaseAll()
+    assert(!p.contains("CartesianProduct"), "no cross product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no all-pairs join")
+  }
 }
