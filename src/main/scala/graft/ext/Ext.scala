@@ -2339,5 +2339,41 @@ object Ext {
               |LEFT JOIN borderroot br ON e.vec_id = br.id
               |ORDER BY e.vec_id""".stripMargin),
     ),
+
+    // Dominant principal direction of the embedding corpus via INTEGER
+    // power iteration on the quantized Gram matrix (6 fixed steps, shift
+    // renormalization) + per-vector projections — drift-axis monitoring,
+    // bit-exact cross-engine. The oracle replays the identical recurrence
+    // as 6 chained CTE triples over the same BIGINT Gram cells.
+    QueryDef(
+      "q138_top_pc",
+      (s, dir) => Similarity.topPcProjections(tbl(s, dir, "embeddings"),
+          "embedding", "vec_id", dims = 64, iters = 6)
+        .orderBy(col("vec_id")),
+      Some({
+        val iterCtes = (1 to 6).map { t =>
+          s"""w$t AS (
+             |  SELECT c.i, CAST(SUM(c.c * v.v) AS BIGINT) AS w
+             |  FROM cells c JOIN v${t - 1} v ON c.j = v.i GROUP BY c.i),
+             |k$t AS (SELECT GREATEST(length(bin(MAX(abs(w)))) - 20, 0) AS s FROM w$t),
+             |v$t AS (SELECT i, w >> (SELECT s FROM k$t) AS v FROM w$t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH qv AS (
+           |  SELECT vec_id,
+           |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024.0) AS BIGINT)
+           |     FOR i IN generate_series(1, len(embedding))] AS q
+           |  FROM embeddings),
+           |cells AS (
+           |  SELECT t1.i, t2.j, CAST(SUM(q[t1.i] * q[t2.j]) AS BIGINT) AS c
+           |  FROM qv, unnest(generate_series(1,64)) t1(i), unnest(generate_series(1,64)) t2(j)
+           |  GROUP BY t1.i, t2.j),
+           |v0 AS (SELECT i, 1024::BIGINT AS v FROM unnest(generate_series(1,64)) t(i)),
+           |""".stripMargin + iterCtes + """,
+           |vlist AS (SELECT list(v ORDER BY i) AS vv FROM v6)
+           |SELECT vec_id,
+           |  CAST(list_sum([q[i] * vv[i] FOR i IN generate_series(1,64)]) AS BIGINT) AS proj
+           |FROM qv, vlist ORDER BY vec_id""".stripMargin
+      }),
+    ),
   )
 }

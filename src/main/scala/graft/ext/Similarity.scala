@@ -424,6 +424,75 @@ object Similarity {
     sims.withColumn("rk", row_number().over(w)).where(col("rk") <= k).drop("rk")
   }
 
+  /** Dominant principal direction of the embedding corpus (uncentered
+    * Gram-matrix power iteration) + per-vector projections — the
+    * drift-axis / spectral-outlier primitive (what "did the embedding
+    * distribution move?" monitors project onto).
+    *
+    * Every step is INTEGER arithmetic so the whole computation is
+    * bit-exact cross-engine (the q132 fixed-recurrence pattern at the
+    * linear-algebra layer): embeddings quantize to a 2^10 grid
+    * (floor(x*1024) — floor, not cast: cross-engine rounding), the d x d
+    * Gram matrix accumulates as BIGINT sums, and `iters` power-iteration
+    * steps renormalize by an arithmetic RIGHT SHIFT to ~2^20 (shift =
+    * floor-division-by-2^k in Spark AND DuckDB, where `div`-vs-`//`
+    * semantics on negatives would diverge). The Gram matrix is PSD, so
+    * the iteration converges monotonically toward the top eigenvector;
+    * the OPERATOR's contract is the exact result of `iters` steps from
+    * v0 = (1024,...) — deterministic, not "the eigenvector".
+    *
+    * Scale shape: the Gram cells are ONE map-side-combinable aggregate
+    * over d^2 keys (d=64 -> 4096 cells — bounded state, the q110 grid
+    * argument); the iteration runs driver-side on the collected cells
+    * (d x d MODEL STATE, like k-means centroids); projections are one
+    * map-only pass with the eigenvector as a literal. Overflow bound:
+    * cell <= rows * (2^13)^2 — safe to ~2^36 rows at |x|<=8, then raise
+    * the shift or switch cells to decimal(38). */
+  def topPcProjections(df: DataFrame, vecCol: String, idCol: String,
+      dims: Int, iters: Int = 6): DataFrame = {
+    val v = topPcVector(df, vecCol, dims, iters)
+    val vLit = array(v.map(lit): _*)
+    df.select(col(idCol).as("vec_id"),
+        expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1024.0) as bigint))")
+          .as("q"))
+      .withColumn("vv", vLit)
+      .select(col("vec_id"),
+        expr("aggregate(zip_with(q, vv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+          .as("proj"))
+  }
+
+  /** The shift-normalized integer power iteration itself (driver-side on
+    * the collected Gram cells — see [[topPcProjections]]). */
+  def topPcVector(df: DataFrame, vecCol: String, dims: Int, iters: Int): Array[Long] = {
+    val cells = gramCells(df, vecCol)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val c = Array.tabulate(dims, dims)((i, j) => cells.getOrElse((i + 1, j + 1), 0L))
+    var v = Array.fill(dims)(1024L)
+    for (_ <- 0 until iters) {
+      val w = Array.tabulate(dims) { i =>
+        var s = 0L
+        var j = 0
+        while (j < dims) { s += c(i)(j) * v(j); j += 1 }
+        s
+      }
+      val maxAbs = w.iterator.map(math.abs).max
+      val binLen = if (maxAbs == 0L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(maxAbs)
+      val k = math.max(binLen - 20, 0)
+      v = w.map(_ >> k)
+    }
+    v
+  }
+
+  /** BIGINT Gram cells of the 2^10-quantized embeddings: `(i, j, c)`,
+    * 1-based dims, one partial-agg'd aggregate over d^2 keys. */
+  def gramCells(df: DataFrame, vecCol: String): DataFrame =
+    df.select(expr(s"transform($vecCol, x -> cast(floor(cast(x as double) * 1024.0) as bigint))")
+        .as("q"))
+      .select(posexplode(col("q")).as(Seq("i0", "qi")), col("q"))
+      .select(col("i0"), col("qi"), posexplode(col("q")).as(Seq("j0", "qj")))
+      .groupBy((col("i0") + 1).as("i"), (col("j0") + 1).as("j"))
+      .agg(sum(col("qi") * col("qj")).as("c"))
+
   /** DBSCAN-style density clustering over an embedding column — the
     * topic/near-dup GROUPING operator where the pairwise threshold alone
     * is too weak (q41/q42 drop pairs; this finds dense regions and labels
