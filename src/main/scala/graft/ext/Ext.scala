@@ -2375,5 +2375,47 @@ object Ext {
            |FROM qv, vlist ORDER BY vec_id""".stripMargin
       }),
     ),
+
+    // Exact triangle counts + local clustering coefficients over the part
+    // co-purchase graph (parts sharing an order), via degree-ordered edge
+    // orientation — O(m^1.5) wedge bound instead of Σdeg². The oracle
+    // enumerates each triangle once by id order (a<b<c); orientation order
+    // differs but the triangle SET is identical, so per-node counts match
+    // exactly. lcc in integer ppm (no float division anywhere).
+    QueryDef(
+      "q139_triangle_count",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+        Graphs.triangleCounts(edges).orderBy(col("node"))
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |deg AS (
+             |  SELECT node, COUNT(*) AS deg
+             |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+             |  GROUP BY node),
+             |t AS (
+             |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+             |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+             |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |tc AS (
+             |  SELECT node, COUNT(*) AS tri
+             |  FROM (SELECT u AS node FROM t
+             |        UNION ALL SELECT v FROM t
+             |        UNION ALL SELECT w FROM t)
+             |  GROUP BY node)
+             |SELECT d.node, d.deg, COALESCE(tc.tri, 0) AS tri,
+             |  CASE WHEN d.deg >= 2
+             |    THEN (COALESCE(tc.tri, 0) * 2000000) // (d.deg * (d.deg - 1))
+             |    ELSE 0 END AS lcc_ppm
+             |FROM deg d LEFT JOIN tc ON d.node = tc.node
+             |ORDER BY d.node""".stripMargin),
+    ),
   )
 }

@@ -47,4 +47,46 @@ class GraphsSpec extends AnyFunSuite {
     assert(got.values.sum <= mass && got.values.sum > mass * 9 / 10,
       "total mass conserved up to floor leakage")
   }
+
+  // --- triangleCounts: oriented enumeration vs brute-force triple scan ---
+
+  private def bruteTriangles(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (n, es) => n -> es.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val triPerNode = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      (a, b) <- edges
+      c <- adj(a) if c > b && adj(b).contains(c)
+    } { triPerNode(a) += 1; triPerNode(b) += 1; triPerNode(c) += 1 }
+    nodes.map(n => n -> (adj(n).size.toLong, triPerNode(n))).toMap
+  }
+
+  test("triangleCounts matches brute force on a random graph, incl. lcc_ppm") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(400)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(e => e._1 < e._2).distinct
+    val got = Graphs.triangleCounts(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val want = bruteTriangles(edges)
+    assert(got.keySet == want.keySet, "node sets differ")
+    for ((n, (deg, tri)) <- want) {
+      val (gd, gt, glcc) = got(n)
+      assert(gd == deg, s"deg($n)")
+      assert(gt == tri, s"tri($n)")
+      val wantLcc = if (deg >= 2) (tri * 2000000L) / (deg * (deg - 1)) else 0L
+      assert(glcc == wantLcc, s"lcc_ppm($n)")
+    }
+  }
+
+  test("triangleCounts: triangle-free and complete graphs hit the lcc bounds") {
+    // 4-cycle: 0 triangles everywhere
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L))
+    val c = Graphs.triangleCounts(cyc.toDF("a", "b")).collect()
+    assert(c.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
+    // K5: every node in C(4,2)=6 triangles, lcc exactly 1.0 (10^6 ppm)
+    val k5 = for { i <- 0L to 4L; j <- (i + 1) to 4L } yield (i, j)
+    val k = Graphs.triangleCounts(k5.toDF("a", "b")).collect()
+    assert(k.forall(r => r.getLong(1) == 4L && r.getLong(2) == 6L && r.getLong(3) == 1000000L))
+  }
 }
