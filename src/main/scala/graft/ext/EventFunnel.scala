@@ -33,4 +33,45 @@ object EventFunnel {
       .select(col("user_id"), col("s_ts"),
         col("ttc_ns").isNotNull.as("converted"), col("ttc_ns"))
   }
+
+  /** SCD-type-2 interval compaction (change-data-capture history build):
+    * collapse each key's event sequence into validity intervals of its
+    * tracked attribute — one row per maximal run of consecutive equal
+    * values. Returns (user_id, event_type, valid_from, valid_to, n_events,
+    * is_current): `valid_from` = first event nanos of the run, `valid_to` =
+    * start of the NEXT run (null on the open, current run).
+    *
+    * The islands construction: a run boundary is `attr != lag(attr)`; the
+    * running sum of boundary flags numbers the islands; one groupBy
+    * collapses each island; a second window attaches the successor's start.
+    * Both windows partition by the key and the island agg is a plain
+    * hash aggregate — nothing global, per-key group size is that key's
+    * event count, so the op scales horizontally over user_id exactly like
+    * [[conversionFunnel]]. Ties in ts break on event_id (unique), making
+    * the compaction deterministic under any partitioning.
+    *
+    * Training-data use: entity-state history tables (user plan, document
+    * license, crawl status) distilled from append-only logs — the "latest
+    * consistent snapshot + full history" input that incremental curation
+    * (license filtering, takedown audits) joins against. */
+  def scdIntervals(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = flagged.groupBy(col("user_id"), col("island"))
+      .agg(first(col("event_type")).as("event_type"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wi = Window.partitionBy(col("user_id")).orderBy(col("island"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wi))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("n_events"), col("valid_to").isNull.as("is_current"))
+  }
 }

@@ -2417,5 +2417,37 @@ object Ext {
              |FROM deg d LEFT JOIN tc ON d.node = tc.node
              |ORDER BY d.node""".stripMargin),
     ),
+
+    // SCD-type-2 history build from the append-only event log: one row per
+    // maximal run of consecutive equal event_type per user, with validity
+    // interval [valid_from, valid_to) in nanos (valid_to null on the open
+    // run). Islands-and-gaps with both windows partitioned by user — the
+    // CDC compaction shape. (user_id, ts) is unique in this corpus, so
+    // (user_id, valid_from) totally orders the output.
+    QueryDef(
+      "q140_scd_intervals",
+      (s, dir) => EventFunnel.scdIntervals(tbl(s, dir, "events"))
+        .orderBy(col("user_id"), col("valid_from")),
+      Some("""WITH o AS (
+             |  SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id,
+             |    CASE WHEN lag(event_type) OVER w IS NULL
+             |           OR lag(event_type) OVER w <> event_type
+             |         THEN 1 ELSE 0 END AS chg
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+             |i AS (
+             |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM o),
+             |r AS (
+             |  SELECT user_id, island, MIN(event_type) AS event_type,
+             |    MIN(ts) AS valid_from, COUNT(*) AS n_events
+             |  FROM i GROUP BY user_id, island)
+             |SELECT user_id, event_type, valid_from,
+             |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) AS valid_to,
+             |  n_events,
+             |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) IS NULL AS is_current
+             |FROM r ORDER BY user_id, valid_from""".stripMargin),
+    ),
   )
 }

@@ -689,4 +689,63 @@ object TransformWithStateOps {
     ds.groupByKey(_.grp)(Encoders.STRING)
       .transformWithState(new HllProcessor, TimeMode.None(), OutputMode.Update())
   }
+
+  final case class TimedEvent(user_id: Long, event_type: String, ts: Long,
+      event_id: Long)
+  final case class ScdRow(user_id: Long, event_type: String, valid_from: Long,
+      valid_to: Option[Long], n_events: Long, is_current: Boolean)
+
+  /** Streaming twin of [[graft.ext.EventFunnel.scdIntervals]] (q140) —
+    * continuous SCD-type-2 history build. State per user is ONLY the open
+    * run (event_type, valid_from, n_events): a closed interval is emitted
+    * exactly once, at the moment the attribute changes, and never touched
+    * again; the open run is re-emitted every batch it grows (Update-mode
+    * upsert keyed by (user_id, valid_from) — a later "closed" row for the
+    * same run supersedes its earlier "open" emissions). So the reconciled
+    * view (all closed rows + the latest row per open run) equals the batch
+    * compaction of the same prefix, for ANY batch split, provided each
+    * user's events arrive in (ts, event_id) order — the replay/Kafka
+    * priming contract; within a batch the processor sorts per key.
+    * Bounded state: 3 scalars per user, independent of history length. */
+  final class ScdIntervalProcessor
+      extends StatefulProcessor[Long, TimedEvent, ScdRow] {
+
+    @transient private var open: ValueState[(String, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[(String, Long, Long)]("open",
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
+        timerValues: TimerValues): Iterator[ScdRow] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts, e.event_id))
+      val out = Seq.newBuilder[ScdRow]
+      var cur: Option[(String, Long, Long)] =
+        if (open.exists()) Some(open.get()) else None
+      sorted.foreach { e =>
+        cur match {
+          case Some((t, from, n)) if t == e.event_type =>
+            cur = Some((t, from, n + 1))
+          case Some((t, from, n)) =>
+            out += ScdRow(key, t, from, Some(e.ts), n, is_current = false)
+            cur = Some((e.event_type, e.ts, 1L))
+          case None =>
+            cur = Some((e.event_type, e.ts, 1L))
+        }
+      }
+      cur.foreach { c =>
+        open.update(c)
+        out += ScdRow(key, c._1, c._2, None, c._3, is_current = true)
+      }
+      out.result().iterator
+    }
+  }
+
+  def streamingScdIntervals(ds: Dataset[TimedEvent]): Dataset[ScdRow] = {
+    implicit val outEnc: Encoder[ScdRow] = Encoders.product[ScdRow]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new ScdIntervalProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

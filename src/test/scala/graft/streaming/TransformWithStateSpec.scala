@@ -567,4 +567,48 @@ class TransformWithStateSpec extends AnyFunSuite {
       assert(latest("big").est_distinct.isDefined && latest("tiny").est_distinct.isEmpty)
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streamingScdIntervals: reconciled runs equal batch scdIntervals across batch splits (real corpus)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{ScdRow, TimedEvent}
+      val events = graft.queries.QueryDef.tbl(spark, "/root/testdata/sf0.001", "events")
+      // global ts order preserves each user's (ts, event_id) order — the
+      // replay/Kafka priming contract the twin assumes
+      val rows = events.orderBy(col("ts"), col("event_id"))
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .collect()
+        .map(r => TimedEvent(r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+
+      // upsert by (user_id, valid_from): closed rows supersede their
+      // earlier open emissions; open runs keep their latest growth
+      val latest = scala.collection.mutable.Map[(Long, Long), ScdRow]()
+      val input = MemoryStream[TimedEvent]
+      val query = TransformWithStateOps.streamingScdIntervals(input.toDS())
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[ScdRow], _: Long) =>
+          df.collect().foreach(r => latest((r.user_id, r.valid_from)) = r); ()
+        }.start()
+      try {
+        rows.grouped(217).foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      } finally query.stop()
+
+      val batch = graft.ext.EventFunnel.scdIntervals(events)
+        .collect()
+        .map { r =>
+          ScdRow(r.getLong(0), r.getString(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            r.getLong(4), r.getBoolean(5))
+        }
+        .map(r => (r.user_id, r.valid_from) -> r).toMap
+
+      assert(latest.size == batch.size, "run counts differ")
+      batch.foreach { case (k, want) => assert(latest(k) == want, s"run $k") }
+      // non-degenerate: closed and open runs both occur
+      assert(latest.values.exists(!_.is_current) && latest.values.exists(_.is_current))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
