@@ -108,4 +108,43 @@ object CorpusStats {
             .as(s"p${(p * 100).round}")
         }: _*)
   }
+
+  /** Pairwise EXACT Jaccard similarity between corpus sources over their
+    * distinct k-shingle sets — the crawl-overlap matrix a dedup pipeline
+    * consults BEFORE the doc-level pass (which source pairs duplicate each
+    * other decides what to dedup against what, and in which order).
+    * Returns the complete upper-triangle matrix (src_a < src_b), zero
+    * intersections included: (src_a, src_b, n_a, n_b, inter, jaccard_ppm)
+    * with jaccard_ppm = floor(10^6 · |A∩B| / |A∪B|) — integer, engine-
+    * portable.
+    *
+    * Scale shape: per-source distinct gram sets come from one map-side
+    * shingle pass + one (source, gram)-keyed distinct — grams are int64
+    * hashes, never strings, on the shuffle ([[Dedup.hashedShingleSets]]).
+    * Intersections are a gram-keyed self-join: per-gram cost is
+    * (#sources sharing the gram)², bounded by S² per gram with S = source
+    * count — fine while S is organizationally small (hundreds). The
+    * S-only frames (sizes, the pair skeleton) are metadata-sized. For
+    * S in the millions (per-HOST matrices), swap the exact sets for
+    * per-source KMV sketches ([[Sketches]], q93's mergeability) and keep
+    * this exact operator for the shortlisted pairs. */
+  def sourceSimilarityMatrix(docs: DataFrame, textCol: String, srcCol: String,
+      k: Int = 3): DataFrame = {
+    val g = PinnedCache.pin(
+      Dedup.hashedShingleSets(docs, textCol, srcCol, k)
+        .select(col("doc_id").as("source"), explode(col("s")).as("h"))
+        .distinct())
+    val sz = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val co = g.as("a")
+      .join(g.as("b"), col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    val pairs = sz.as("x").join(sz.as("y"), col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+    pairs.join(co, Seq("src_a", "src_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("jaccard_ppm",
+        expr("(inter * 1000000) div (n_a + n_b - inter)"))
+  }
 }

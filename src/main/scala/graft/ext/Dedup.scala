@@ -456,6 +456,51 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Empirical recall audit of a MinHash band configuration against the
+    * EXACT pair list — the tuning operator a 100 TB dedup run consults
+    * before committing to (numHashes, r): per Jaccard decile, how many
+    * true pairs >= `threshold` would the banded LSH candidate stage
+    * actually surface? Returns (decile, n_pairs, n_found, recall_ppm),
+    * decile = min(9, floor(10·J)).
+    *
+    * Runs on an audit SAMPLE (exact pairs via [[prefixJaccardPairs]] are
+    * affordable there); the measured per-decile recall transfers to the
+    * production corpus because banded min-wise recall depends only on J
+    * and the band shape (1-(1-J^r)^b), not corpus size. The signatures
+    * here use the PORTABLE md5 hash family ([[Sampling.portableHash]] per
+    * (shingle, seed)) rather than the codegen xxhash64 family
+    * ([[minhashSignatures]]) so the audit itself is oracle-checkable
+    * bit-for-bit; both are min-wise families with identical collision
+    * statistics, which is all the recall estimate depends on. 16×md5 per
+    * shingle is why this is the audit path, not the production path. */
+  def lshRecallAudit(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, k: Int = 3, numHashes: Int = 16, r: Int = 2): DataFrame = {
+    require(numHashes % r == 0, "numHashes must be a multiple of r")
+    val exact = prefixJaccardPairs(df, textCol, idCol, threshold, k)
+    val sh = shingleSets(df, textCol, idCol, k)
+    val sigs = sh.select(col("doc_id") +: (0 until numHashes).map(i =>
+      array_min(transform(col("s"),
+        g => Sampling.portableHash(concat(g, lit(":" + i))))).as(s"m$i")): _*)
+    val bands = numHashes / r
+    val bandArr = array((0 until bands).map(b =>
+      struct((0 until r).map(j => col(s"m${b * r + j}").as(s"v$j")): _*)): _*)
+    val keyed = sigs.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "key")))
+    val cand = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    exact
+      .join(cand.withColumn("found", lit(true)), Seq("a_id", "b_id"), "left")
+      .withColumn("found", coalesce(col("found"), lit(false)))
+      .withColumn("decile", least(lit(9L), floor(col("jaccard") * 10)))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("found"), 1L).otherwise(0L)).as("n_found"))
+      .withColumn("recall_ppm", expr("(n_found * 1000000) div n_pairs"))
+  }
+
   /** Distinct int64-hashed element sets at the chosen granularity:
     * (doc_id, s). k = 1 → unigram tokens, k >= 2 → k-shingles. */
   def elementSets(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =

@@ -2449,5 +2449,112 @@ object Ext {
              |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) IS NULL AS is_current
              |FROM r ORDER BY user_id, valid_from""".stripMargin),
     ),
+
+    // Crawl-overlap matrix: exact pairwise Jaccard between SOURCES over
+    // their distinct 3-shingle sets (complete upper triangle, zero
+    // intersections included) — the before-any-doc-dedup planning rollup.
+    // Spark shuffles int64 gram hashes; the oracle recomputes on string
+    // shingles (the hashedShingleSets collision argument). jaccard in
+    // integer ppm.
+    QueryDef(
+      "q141_source_similarity",
+      (s, dir) => CorpusStats.sourceSimilarityMatrix(
+          tbl(s, dir, "documents"), "text", "source")
+        .orderBy(col("src_a"), col("src_b")),
+      Some("""WITH t AS (
+             |  SELECT source, string_split(text,' ') AS tokens FROM documents),
+             |g AS (
+             |  SELECT DISTINCT source,
+             |    tokens[i]||' '||tokens[i+1]||' '||tokens[i+2] AS gram
+             |  FROM (SELECT source, tokens,
+             |          unnest(generate_series(1, len(tokens)-2)) AS i
+             |        FROM t WHERE len(tokens) >= 3)),
+             |sz AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+             |co AS (
+             |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+             |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+             |  GROUP BY a.source, b.source),
+             |pairs AS (
+             |  SELECT x.source AS src_a, y.source AS src_b, x.n AS n_a, y.n AS n_b
+             |  FROM sz x JOIN sz y ON x.source < y.source)
+             |SELECT p.src_a, p.src_b, p.n_a, p.n_b,
+             |  CAST(COALESCE(co.inter, 0) AS BIGINT) AS inter,
+             |  (CAST(COALESCE(co.inter, 0) AS BIGINT) * 1000000)
+             |    // (p.n_a + p.n_b - COALESCE(co.inter, 0)) AS jaccard_ppm
+             |FROM pairs p LEFT JOIN co ON p.src_a = co.src_a AND p.src_b = co.src_b
+             |ORDER BY p.src_a, p.src_b""".stripMargin),
+    ),
+
+    // Deterministic epoch shard plan: (shard, pos, token offset) per doc
+    // as a pure function of (doc_id, seed) — the map-only replacement for
+    // a global training shuffle; next epoch = next seed, no data movement.
+    // Everything keys off the portable md5 hash, so the oracle recomputes
+    // the identical assignment.
+    QueryDef(
+      "q142_shard_plan",
+      (s, dir) => Sampling.shardPlan(tbl(s, dir, "documents"),
+          "doc_id", "text", numShards = 8, seed = 7)
+        .orderBy(col("shard"), col("pos")),
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'),1,15))
+             |         AS BIGINT) AS hv,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents)
+             |SELECT doc_id, hv % 8 AS shard,
+             |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS pos, n_tokens,
+             |  CAST(SUM(n_tokens) OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id
+             |                           ROWS UNBOUNDED PRECEDING) - n_tokens
+             |       AS BIGINT) AS tok_offset
+             |FROM h
+             |WINDOW w AS (PARTITION BY hv % 8 ORDER BY hv, doc_id)
+             |ORDER BY shard, pos""".stripMargin),
+    ),
+
+    // MinHash band-config recall audit: per Jaccard decile, the fraction
+    // of TRUE >=0.5 token-set pairs the (16 hashes, r=2) banded candidate
+    // stage surfaces — measured against the exact prefix-filter pair list
+    // on the audit corpus. Non-degenerate here (recall climbs 0.89 -> 1.0
+    // across deciles 5..9, tracking 1-(1-J^2)^8). Portable md5 minhash
+    // family so the oracle replays candidate generation bit-for-bit;
+    // decile/recall arithmetic is integer.
+    QueryDef(
+      "q143_lsh_recall_audit",
+      (s, dir) => Dedup.lshRecallAudit(tbl(s, dir, "documents"),
+          "text", "doc_id", threshold = 0.5, k = 1, numHashes = 16, r = 2)
+        .orderBy(col("decile")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS tokens FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(tokens) AS s FROM t WHERE len(tokens) >= 1),
+             |exact AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    ROUND(CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |          / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 6) AS jaccard
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+             |gs AS (SELECT doc_id, unnest(s) AS g FROM sh),
+             |m AS (
+             |  SELECT doc_id, i,
+             |    MIN(CAST(('0x' || substring(md5(g || ':' || i),1,15)) AS BIGINT)) AS mh
+             |  FROM gs, unnest(generate_series(0, 15)) t(i)
+             |  GROUP BY doc_id, i),
+             |bk AS (
+             |  SELECT a.doc_id, a.i // 2 AS band, a.mh AS m1, b.mh AS m2
+             |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND b.i = a.i + 1 AND a.i % 2 = 0),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+             |  FROM bk x JOIN bk y
+             |    ON x.band = y.band AND x.m1 = y.m1 AND x.m2 = y.m2
+             |    AND x.doc_id < y.doc_id),
+             |j AS (
+             |  SELECT e.jaccard, (c.a_id IS NOT NULL) AS found
+             |  FROM exact e LEFT JOIN cand c ON e.a_id = c.a_id AND e.b_id = c.b_id)
+             |SELECT LEAST(9, CAST(floor(jaccard*10) AS BIGINT)) AS decile,
+             |  COUNT(*) AS n_pairs,
+             |  CAST(SUM(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+             |  (CAST(SUM(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+             |    // COUNT(*) AS recall_ppm
+             |FROM j GROUP BY 1 ORDER BY decile""".stripMargin),
+    ),
   )
 }

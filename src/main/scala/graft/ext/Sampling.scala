@@ -180,4 +180,37 @@ object Sampling {
         count(lit(1)).as("docs"),
         sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("tokens"),
         min(col(idCol)).as("first_doc"))
+
+  /** Deterministic training-order shard plan: assign every document a
+    * (shard, position, token offset) for one training epoch, as a pure
+    * function of (doc id, seed) — the global-shuffle replacement. A real
+    * shuffle of 100 TB is a full-corpus sort; this is a map-only hash
+    * assignment plus one per-shard sort, and re-shuffling for the next
+    * epoch is just a new seed — no data moves until the shard writer runs.
+    *
+    * shard = portable_hash(id ':' seed) mod numShards; within a shard,
+    * docs are ordered by (hash, id) — pseudo-random, reproducible across
+    * engines/runs/partitionings (the [[portableHash]] contract);
+    * `tok_offset` is the running token count before each doc, i.e. where
+    * the doc starts in its packed shard file. The per-shard window is the
+    * scale shape a shard writer needs anyway (one partition per output
+    * shard); nothing global anywhere. */
+  def shardPlan(docs: DataFrame, idCol: String, textCol: String,
+      numShards: Int, seed: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val hv = portableHash(concat(col(idCol).cast("string"), lit(":" + seed)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("hv"), col("doc_id"))
+    docs
+      .select(col(idCol).as("doc_id"), hv.as("hv"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(col("hv"), lit(numShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("tok_offset",
+        sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("n_tokens"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),
+        col("tok_offset"))
+  }
 }

@@ -152,4 +152,32 @@ class SamplingSpec extends AnyFunSuite {
       plan.values.map(_.getAs[Long]("tokens")).sum * 1000000).toLong,
       "and damp the head source")
   }
+
+  test("shardPlan: deterministic under repartition; seeds reshuffle; offsets are prefix sums") {
+    import spark.implicits._
+    val docs = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(i % 7 + 1)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    def runPlan(df: org.apache.spark.sql.DataFrame, seed: Int) =
+      Sampling.shardPlan(df, "doc_id", "text", numShards = 4, seed = seed)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+    val a = runPlan(docs, 1)
+    val b = runPlan(docs.repartition(13), 1)
+    assert(a == b, "assignment must not depend on physical partitioning")
+    val c = runPlan(docs, 2)
+    assert(a != c, "a new seed must produce a different epoch order")
+    assert(a.keySet == c.keySet, "every doc assigned in every epoch")
+    // per shard: positions are 1..n and tok_offset is the prefix sum
+    a.groupBy(_._2._1).foreach { case (shard, rows) =>
+      val ordered = rows.values.toSeq.sortBy(_._2)
+      assert(ordered.map(_._2) == (1L to ordered.size), s"shard $shard positions")
+      var off = 0L
+      ordered.foreach { case (_, _, nTok, tokOff) =>
+        assert(tokOff == off, s"shard $shard offset")
+        off += nTok
+      }
+    }
+  }
 }
