@@ -2556,5 +2556,90 @@ object Ext {
              |    // COUNT(*) AS recall_ppm
              |FROM j GROUP BY 1 ORDER BY decile""".stripMargin),
     ),
+
+    // Shuffle-skew audit + salting plan on the event-type key: hot keys
+    // (>= 1% of rows) with the salt factor that caps per-task load at
+    // 1000 rows — the pre-shuffle planning query. One partial-agg count +
+    // a 1-row total broadcast; integer ppm/ceil math throughout.
+    QueryDef(
+      "q144_skew_audit",
+      (s, dir) => Skew.skewAudit(tbl(s, dir, "events"), "event_type",
+          targetPerTask = 1000L, thresholdPpm = 10000L)
+        .orderBy(col("cnt").desc, col("key")),
+      Some("""WITH c AS (
+             |  SELECT event_type AS key, COUNT(*) AS cnt FROM events GROUP BY event_type),
+             |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+             |SELECT key, cnt, (cnt * 1000000) // t.total AS share_ppm,
+             |  (cnt + 999) // 1000 AS salt
+             |FROM c, t
+             |WHERE (cnt * 1000000) // t.total >= 10000
+             |ORDER BY cnt DESC, key""".stripMargin),
+    ),
+
+    // MMR diversified retrieval: per query, greedy k=4 selection from the
+    // brute top-8 pool maximizing lam*rel - (1-lam)*max-sim-to-selected —
+    // redundancy-aware serving over a near-dup-heavy corpus. The oracle
+    // replays the greedy rounds as chained CTEs with the IDENTICAL double
+    // literals (including the IEEE value of 1-0.7) and tie order.
+    QueryDef(
+      "q145_mmr_topk",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.mmrTopK(emb, emb.where(col("vec_id") < 10),
+            "embedding", "vec_id", m = 8, k = 4, lam = 0.7)
+          .orderBy(col("qid"), col("step"))
+      },
+      Some({
+        val lam = 0.7
+        val simExpr = (av: String, bv: String, an: String, bn: String) =>
+          s"""list_sum([CAST($av[i] AS DOUBLE)*$bv[i]
+             |              FOR i IN generate_series(1,len($av))])/($an*$bn)""".stripMargin
+        val steps = (2 to 4).map { st =>
+          s"""pick$st AS (
+             |  SELECT qid, nid, CAST($st AS BIGINT) AS step, rel FROM (
+             |    SELECT c.qid, c.nid, c.rel,
+             |      ROW_NUMBER() OVER (PARTITION BY c.qid
+             |        ORDER BY ($lam*c.rel - ${1 - lam}*ms.msim) DESC, c.nid) AS rk
+             |    FROM cand c
+             |    JOIN (SELECT p.qid, p.a_id, MAX(p.csim) AS msim
+             |          FROM psim p JOIN sel${st - 1} s ON p.qid = s.qid AND p.b_id = s.nid
+             |          GROUP BY p.qid, p.a_id) ms
+             |      ON ms.qid = c.qid AND ms.a_id = c.nid
+             |    WHERE NOT EXISTS (SELECT 1 FROM sel${st - 1} s
+             |                      WHERE s.qid = c.qid AND s.nid = c.nid))
+             |  WHERE rk = 1),
+             |sel$st AS (SELECT * FROM sel${st - 1} UNION ALL SELECT * FROM pick$st)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH n AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+           |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS qid, embedding AS vq, nrm AS nq FROM n WHERE vec_id < 10),
+           |cand AS (
+           |  SELECT qid, nid, rel FROM (
+           |    SELECT q.qid, c.vec_id AS nid,
+           |      ${simExpr("q.vq", "c.embedding", "q.nq", "c.nrm")} AS rel,
+           |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+           |        (${simExpr("q.vq", "c.embedding", "q.nq", "c.nrm")}) DESC,
+           |        c.vec_id) AS rk
+           |    FROM q CROSS JOIN n c WHERE c.vec_id <> q.qid)
+           |  WHERE rk <= 8),
+           |cv AS (SELECT cand.qid, cand.nid, cand.rel, n.embedding AS v, n.nrm
+           |       FROM cand JOIN n ON n.vec_id = cand.nid),
+           |psim AS (
+           |  SELECT a.qid, a.nid AS a_id, b.nid AS b_id,
+           |    ${simExpr("a.v", "b.v", "a.nrm", "b.nrm")} AS csim
+           |  FROM cv a JOIN cv b ON a.qid = b.qid AND a.nid <> b.nid),
+           |sel1 AS (
+           |  SELECT qid, nid, CAST(1 AS BIGINT) AS step, rel FROM (
+           |    SELECT qid, nid, rel,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rk
+           |    FROM cand) WHERE rk = 1),
+           |""".stripMargin + steps + """
+           |SELECT qid, nid, step, rel FROM sel4 ORDER BY qid, step""".stripMargin
+      }),
+    ),
   )
 }

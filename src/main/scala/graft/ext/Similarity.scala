@@ -67,6 +67,64 @@ object Similarity {
     bruteForceTopK(trunc(corpus), trunc(queries), vecCol, idCol, k)
   }
 
+  /** Maximal-marginal-relevance (MMR) diversified top-k: per query, pick k
+    * results greedily, each step maximizing
+    * `lam·rel(c) − (1−lam)·max_{s∈selected} cos(c, s)` — relevance minus
+    * redundancy, the near-dup-aware serving-side complement to the
+    * corpus-side dedup operators (a retrieval pool full of near-identical
+    * docs returns one of them plus genuinely different material).
+    * Returns (qid, nid, step, rel), step = 1..k in selection order.
+    *
+    * Shape: stage 1 is any top-m candidate generator (brute here —
+    * swap [[ivfTopK]] at scale; m bounds everything downstream); the m²
+    * within-pool similarity matrix and the k greedy rounds are all keyed
+    * by qid, so per-query work is m²·k with NO cross-query interaction —
+    * embarrassingly parallel over queries. The k rounds are k chained
+    * qid-partitioned windows (greedy selection is inherently sequential
+    * IN k, not in queries or candidates).
+    *
+    * Determinism: rel and csim use the engine-wide left-to-right fold
+    * convention; the score combines them with the SAME double literals the
+    * oracle interpolates (including the IEEE value of 1−lam), and ties
+    * break on (score desc, nid) — bit-reproducible cross-engine. */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, m: Int, k: Int, lam: Double = 0.7): DataFrame = {
+    require(m >= k && k >= 1, "need m >= k >= 1")
+    val cands = graft.ext.PinnedCache.pin(
+      bruteForceTopK(corpus, queries, vecCol, idCol, m)
+        .select(col("qid"), col("nid"), col("sim").as("rel")))
+    val vecs = withNorm(corpus, vecCol)
+      .select(col(idCol).as("nid"), col(vecCol).as("v"), col("nrm"))
+    val withVec = cands.join(vecs, "nid")
+    val pairSims = graft.ext.PinnedCache.pin(withVec.as("a")
+      .join(withVec.as("b"),
+        col("a.qid") === col("b.qid") && col("a.nid") =!= col("b.nid"))
+      .select(col("a.qid").as("qid"), col("a.nid").as("a_id"),
+        col("b.nid").as("b_id"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("csim")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    var selected = cands.withColumn("score", col("rel"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("qid"), col("nid"), lit(1L).as("step"), col("rel"))
+    var remaining = cands
+      .join(selected.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
+    for (step <- 2 to k) {
+      val maxSim = pairSims
+        .join(selected.select(col("qid"), col("nid").as("b_id")), Seq("qid", "b_id"))
+        .groupBy(col("qid"), col("a_id"))
+        .agg(max(col("csim")).as("msim"))
+        .select(col("qid"), col("a_id").as("nid"), col("msim"))
+      val pick = remaining.join(maxSim, Seq("qid", "nid"))
+        .withColumn("score", lit(lam) * col("rel") - lit(1 - lam) * col("msim"))
+        .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("qid"), col("nid"), lit(step.toLong).as("step"), col("rel"))
+      selected = selected.unionByName(pick)
+      remaining = remaining
+        .join(pick.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
+    }
+    selected
+  }
+
   /** All pairs (a < b) with cosine >= threshold — the EXACT formulation.
     * This is a conditional cross product (O(n^2)): it exists as the small-n
     * reference/oracle mode only; every scale consumer routes through
