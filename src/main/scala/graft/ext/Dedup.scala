@@ -473,11 +473,20 @@ object Dedup {
     * bit-for-bit; both are min-wise families with identical collision
     * statistics, which is all the recall estimate depends on. 16×md5 per
     * shingle is why this is the audit path, not the production path. */
+  /** `sampleDenom`: audit on the deterministic hash(id) mod denom < num
+    * subset ([[Sampling.deterministicSample]]) — exact ground truth is
+    * quadratic in the sample, so the sample bounds the cost while the
+    * per-decile recall estimate stays unbiased (pair inclusion is
+    * independent of J). */
   def lshRecallAudit(df: DataFrame, textCol: String, idCol: String,
-      threshold: Double, k: Int = 3, numHashes: Int = 16, r: Int = 2): DataFrame = {
+      threshold: Double, k: Int = 3, numHashes: Int = 16, r: Int = 2,
+      sampleNum: Int = 1, sampleDenom: Int = 1): DataFrame = {
     require(numHashes % r == 0, "numHashes must be a multiple of r")
-    val exact = prefixJaccardPairs(df, textCol, idCol, threshold, k)
-    val sh = shingleSets(df, textCol, idCol, k)
+    val audit =
+      if (sampleDenom <= 1) df
+      else Sampling.deterministicSample(df, idCol, sampleNum, sampleDenom)
+    val exact = prefixJaccardPairs(audit, textCol, idCol, threshold, k)
+    val sh = shingleSets(audit, textCol, idCol, k)
     val sigs = sh.select(col("doc_id") +: (0 until numHashes).map(i =>
       array_min(transform(col("s"),
         g => Sampling.portableHash(concat(g, lit(":" + i))))).as(s"m$i")): _*)

@@ -2521,9 +2521,13 @@ object Ext {
     QueryDef(
       "q143_lsh_recall_audit",
       (s, dir) => Dedup.lshRecallAudit(tbl(s, dir, "documents"),
-          "text", "doc_id", threshold = 0.5, k = 1, numHashes = 16, r = 2)
+          "text", "doc_id", threshold = 0.5, k = 1, numHashes = 16, r = 2,
+          sampleNum = 1, sampleDenom = 10)
         .orderBy(col("decile")),
-      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS tokens FROM documents),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text,' ') AS tokens FROM documents
+             |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
+             |             AS BIGINT) % 10 < 1),
              |sh AS (SELECT doc_id, list_distinct(tokens) AS s FROM t WHERE len(tokens) >= 1),
              |exact AS (
              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
