@@ -2645,5 +2645,68 @@ object Ext {
            |SELECT qid, nid, step, rel FROM sel4 ORDER BY qid, step""".stripMargin
       }),
     ),
+
+    // Multi-probe RHP-LSH top-k: 4 tables x 4 bits, each query probing its
+    // own bucket + 3 lowest-|margin| single-bit flips — annTopK recall
+    // with an 8x smaller corpus-side index (probing is query-side work).
+    // The oracle replays plane margins, probe schedule, and buckets
+    // bit-for-bit from the same interpolated +-1 literals.
+    QueryDef(
+      "q146_multiprobe_topk",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.multiProbeTopK(emb, emb.where(col("vec_id") < 10),
+            "embedding", "vec_id", k = 3, tables = 4, bits = 4, nprobe = 4)
+          .orderBy(col("qid"), col("sim").desc, col("nid"))
+      },
+      Some(s"""WITH planes(p, s) AS (SELECT * FROM (VALUES ${planesValuesSql(16)}) v(p, s)),
+              |n AS (
+              |  SELECT vec_id, embedding,
+              |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+              |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+              |  FROM embeddings),
+              |csig AS (
+              |  SELECT e.vec_id AS nid, pl.p // 4 AS tbl,
+              |    CAST(SUM(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE) * pl.s[i]
+              |                                 FOR i IN generate_series(1, len(e.embedding))]) > 0
+              |             THEN 1 << (pl.p % 4) ELSE 0 END) AS BIGINT) AS sig
+              |  FROM embeddings e CROSS JOIN planes pl
+              |  GROUP BY e.vec_id, pl.p // 4),
+              |q AS (SELECT vec_id AS qid, embedding AS vq, nrm AS nq FROM n WHERE vec_id < 10),
+              |qm AS (
+              |  SELECT q.qid, pl.p,
+              |    list_sum([CAST(q.vq[i] AS DOUBLE) * pl.s[i]
+              |              FOR i IN generate_series(1, len(q.vq))]) AS m
+              |  FROM q CROSS JOIN planes pl),
+              |qsig AS (
+              |  SELECT qid, p // 4 AS tbl,
+              |    CAST(SUM(CASE WHEN m > 0 THEN 1 << (p % 4) ELSE 0 END) AS BIGINT) AS sig
+              |  FROM qm GROUP BY qid, p // 4),
+              |qrank AS (
+              |  SELECT qid, p // 4 AS tbl, p % 4 AS j,
+              |    ROW_NUMBER() OVER (PARTITION BY qid, p // 4 ORDER BY abs(m), p % 4) AS rk
+              |  FROM qm),
+              |qprobe AS (
+              |  SELECT qid, tbl, sig FROM qsig
+              |  UNION ALL
+              |  SELECT r.qid, r.tbl, xor(s.sig, CAST(1 << r.j AS BIGINT)) AS sig
+              |  FROM qrank r JOIN qsig s ON r.qid = s.qid AND r.tbl = s.tbl
+              |  WHERE r.rk <= 3),
+              |cand AS (
+              |  SELECT DISTINCT p.qid, c.nid
+              |  FROM qprobe p JOIN csig c ON p.tbl = c.tbl AND p.sig = c.sig
+              |  WHERE c.nid <> p.qid),
+              |sims AS (
+              |  SELECT cand.qid, cand.nid,
+              |    list_sum([CAST(q.vq[i] AS DOUBLE) * e.embedding[i]
+              |              FOR i IN generate_series(1, len(q.vq))])/(q.nq * e.nrm) AS sim
+              |  FROM cand JOIN q ON q.qid = cand.qid JOIN n e ON e.vec_id = cand.nid),
+              |topk AS (
+              |  SELECT qid, nid, sim,
+              |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+              |  FROM sims)
+              |SELECT qid, nid, sim FROM topk WHERE rk <= 3
+              |ORDER BY qid, sim DESC, nid""".stripMargin),
+    ),
   )
 }

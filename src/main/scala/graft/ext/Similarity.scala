@@ -482,6 +482,68 @@ object Similarity {
     sims.withColumn("rk", row_number().over(w)).where(col("rk") <= k).drop("rk")
   }
 
+  /** Multi-probe RHP-LSH top-k: each query probes its own bucket PLUS the
+    * `nprobe − 1` neighbor buckets reached by flipping its lowest-|margin|
+    * signature bits — the bits whose hyperplane the query sits closest to,
+    * i.e. the buckets its true neighbors most likely fell into. The
+    * standard memory trade: comparable recall to [[annTopK]] with FAR
+    * fewer tables (probing is per-QUERY work; tables are per-CORPUS index
+    * state — at 100 TB the corpus-side index dominates, so trading probe
+    * fan-out for table count is the right direction).
+    *
+    * The corpus side is the unchanged codegen signature pass
+    * ([[rhpBuckets]]); the query side recomputes its per-plane margins as
+    * Column dot products against the SAME ±1 plane literals
+    * ([[graft.functions.RhpSig.planeSign]]), so query bits (margin > 0)
+    * agree with the codegen bits exactly, and the probe schedule
+    * (|margin| asc, bit asc) is deterministic and oracle-replicable.
+    * Queries broadcast; candidates are verified exactly within probed
+    * buckets; no all-pairs join. */
+  def multiProbeTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, tables: Int = 4, bits: Int = 4,
+      nprobe: Int = 4, dim: Int = 64): DataFrame = {
+    require(nprobe >= 1 && nprobe <= bits + 1,
+      "nprobe-1 single-bit flips need nprobe <= bits+1")
+    import graft.functions.RhpSig.planeSign
+    val powers = typedLit((0 until bits).map(1L << _))
+    val qBase = withNorm(queries, vecCol)
+      .select(col(idCol).as("qid"), col(vecCol).as("v_q"), col("nrm").as("nrm_q"))
+    val mCols = (0 until tables * bits).map { p =>
+      dot(col("v_q"),
+        typedLit((0 until dim).map(i => planeSign(p, i).toFloat))).as(s"m$p")
+    }
+    val withMargins = qBase.select(
+      (Seq(col("qid"), col("v_q"), col("nrm_q")) ++ mCols): _*)
+    val probeStructs = (0 until tables).flatMap { t =>
+      val sig = (0 until bits).map(j =>
+        when(col(s"m${t * bits + j}") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val ranked = array_sort(array((0 until bits).map(j =>
+        struct(abs(col(s"m${t * bits + j}")).as("am"), lit(j).as("j"))): _*))
+      struct(lit(t).as("tbl"), sig.as("sig")) +:
+        (1 until nprobe).map { p =>
+          val flipBit = element_at(ranked, p).getField("j")
+          struct(lit(t).as("tbl"),
+            sig.bitwiseXOR(element_at(powers, flipBit + 1)).as("sig"))
+        }
+    }
+    val qProbes = withMargins
+      .select(col("qid"), col("v_q"), col("nrm_q"),
+        explode(array(probeStructs: _*)).as("probe"))
+      .select(col("qid"), col("v_q"), col("nrm_q"),
+        col("probe.tbl").as("tbl"), col("probe.sig").as("sig"))
+    val c = withNorm(corpus, vecCol)
+      .select(col(idCol).as("nid"), col(vecCol).as("v_n"), col("nrm").as("nrm_n"),
+        posexplode(rhpSig(col(vecCol), tables, bits)).as(Seq("tbl", "sig")))
+    val candidates = c.join(broadcast(qProbes), Seq("tbl", "sig"))
+      .where(col("qid") =!= col("nid"))
+      .dropDuplicates("qid", "nid")
+    val sims = candidates.select(col("qid"), col("nid"),
+      (dot(col("v_q"), col("v_n")) / (col("nrm_q") * col("nrm_n"))).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    sims.withColumn("rk", row_number().over(w)).where(col("rk") <= k).drop("rk")
+  }
+
   /** Dominant principal direction of the embedding corpus (uncentered
     * Gram-matrix power iteration) + per-vector projections — the
     * drift-axis / spectral-outlier primitive (what "did the embedding
