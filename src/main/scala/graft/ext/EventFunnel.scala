@@ -34,6 +34,39 @@ object EventFunnel {
         col("ttc_ns").isNotNull.as("converted"), col("ttc_ns"))
   }
 
+  /** N-stage ordered funnel: anchor at the user's FIRST `stages(0)` event,
+    * then for each later stage the earliest event of that type strictly
+    * after the previous stage's time, all within `windowNs` of the anchor.
+    * One output row per anchored user: (user_id, t1..tN nullable stage
+    * nanos, stages_reached incl. the anchor). Nulls cascade — a user who
+    * never reached stage i has t_i..t_N null.
+    *
+    * Same scale shape as [[conversionFunnel]], once per stage: the
+    * attach is an equi-join on user_id with the time bounds in the join
+    * predicate (no window function, no global sort), and each stage's min
+    * is partial-aggregated. N-1 user-keyed shuffles total; at 100 TB all
+    * of them co-partition on user_id, so AQE collapses them into one
+    * exchange lineage. */
+  def stagedFunnel(events: DataFrame, stages: Seq[String],
+      windowNs: Long): DataFrame = {
+    require(stages.size >= 2, "need at least 2 stages")
+    require(windowNs > 0, "window must be positive")
+    var cur = events.where(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    stages.zipWithIndex.tail.foreach { case (st, i) =>
+      val ev = events.where(col("event_type") === st)
+        .select(col("user_id").as("u"), col("ts").as("ets"))
+      cur = cur.join(ev,
+          col("user_id") === col("u") && col("ets") > col(s"t$i") &&
+            col("ets") <= col("t1") + windowNs, "left")
+        .groupBy(cur.columns.map(col): _*)
+        .agg(min(col("ets")).as(s"t${i + 1}"))
+    }
+    cur.withColumn("stages_reached",
+      (2 to stages.size).map(i =>
+        when(col(s"t$i").isNotNull, 1L).otherwise(0L)).reduce(_ + _) + 1)
+  }
+
   /** SCD-type-2 interval compaction (change-data-capture history build):
     * collapse each key's event sequence into validity intervals of its
     * tracked attribute — one row per maximal run of consecutive equal

@@ -2708,5 +2708,109 @@ object Ext {
               |SELECT qid, nid, sim FROM topk WHERE rk <= 3
               |ORDER BY qid, sim DESC, nid""".stripMargin),
     ),
+
+    // Fixed-round k-core peel (k=85, 4 rounds) on the part co-purchase
+    // graph: dense-subgraph pre-filter, the iterative sibling of q139's
+    // triangles. The oracle replays the identical peels as chained CTEs;
+    // survivor degrees after round 4 are the contract (convergence not
+    // required, q132's fixed-iteration pattern).
+    QueryDef(
+      "q148_kcore_peel",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+        Graphs.kCorePeel(edges, k = 85, rounds = 4).orderBy(col("node"))
+      },
+      Some({
+        val roundCtes = (1 to 4).map { r =>
+          s"""k$r AS MATERIALIZED (
+             |  SELECT node FROM (SELECT a AS node FROM e${r - 1}
+             |                    UNION ALL SELECT b FROM e${r - 1})
+             |  GROUP BY node HAVING COUNT(*) >= 85),
+             |e$r AS MATERIALIZED (
+             |  SELECT a, b FROM e${r - 1}
+             |  WHERE a IN (SELECT node FROM k$r) AND b IN (SELECT node FROM k$r))"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS MATERIALIZED (
+           |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+           |  FROM lineitem a JOIN lineitem b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+           |""".stripMargin + roundCtes + """
+           |SELECT node, COUNT(*) AS deg
+           |FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
+           |GROUP BY node ORDER BY node""".stripMargin
+      }),
+    ),
+
+    // Four-stage ordered funnel signup -> view -> click -> purchase inside
+    // a 24h window from the anchor: per anchored user, each stage's first
+    // qualifying nanos (nulls cascade) + stages_reached. Each stage is one
+    // user-keyed left join + partial-agg min — q131's shape, iterated.
+    QueryDef(
+      "q149_staged_funnel",
+      (s, dir) => EventFunnel.stagedFunnel(tbl(s, dir, "events"),
+          Seq("signup", "view", "click", "purchase"), windowNs = 86400000000000L)
+        .orderBy(col("user_id")),
+      Some("""WITH s1 AS (
+             |  SELECT user_id, MIN(epoch_ns(ts)) AS t1 FROM events
+             |  WHERE event_type = 'signup' GROUP BY user_id),
+             |s2 AS (
+             |  SELECT s1.user_id, s1.t1, MIN(epoch_ns(e.ts)) AS t2
+             |  FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
+             |    AND e.event_type = 'view' AND epoch_ns(e.ts) > s1.t1
+             |    AND epoch_ns(e.ts) <= s1.t1 + 86400000000000
+             |  GROUP BY s1.user_id, s1.t1),
+             |s3 AS (
+             |  SELECT s2.user_id, s2.t1, s2.t2, MIN(epoch_ns(e.ts)) AS t3
+             |  FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id
+             |    AND e.event_type = 'click' AND epoch_ns(e.ts) > s2.t2
+             |    AND epoch_ns(e.ts) <= s2.t1 + 86400000000000
+             |  GROUP BY s2.user_id, s2.t1, s2.t2),
+             |s4 AS (
+             |  SELECT s3.user_id, s3.t1, s3.t2, s3.t3, MIN(epoch_ns(e.ts)) AS t4
+             |  FROM s3 LEFT JOIN events e ON e.user_id = s3.user_id
+             |    AND e.event_type = 'purchase' AND epoch_ns(e.ts) > s3.t3
+             |    AND epoch_ns(e.ts) <= s3.t1 + 86400000000000
+             |  GROUP BY s3.user_id, s3.t1, s3.t2, s3.t3)
+             |SELECT user_id, t1, t2, t3, t4,
+             |  CAST(1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+             |         + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)
+             |         + (CASE WHEN t4 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS stages_reached
+             |FROM s4 ORDER BY user_id""".stripMargin),
+    ),
+
+    // Vocabulary-shift monitor: per-token Laplace-smoothed log-odds of
+    // src0 vs the rest of the corpus in quarter-bit integer log2 — which
+    // words this source over/under-uses, bit-exact cross-engine (the q105
+    // integer-log discipline on relative frequency).
+    QueryDef(
+      "q150_token_logodds",
+      (s, dir) => TextAnalysis.tokenLogOdds(
+          tbl(s, dir, "documents"), "text", "source", "src0")
+        .orderBy(col("lor_q").desc, col("w")),
+      Some({
+        val a = "(c.cnt_a + 1) * (t.tot_b + t.v)"
+        val b = "(c.cnt_b + 1) * (t.tot_a + t.v)"
+        s"""WITH tok AS (
+           |  SELECT (source = 'src0') AS is_a, unnest(string_split(text,' ')) AS w
+           |  FROM documents),
+           |c AS (
+           |  SELECT w,
+           |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+           |    CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+           |  FROM tok GROUP BY w),
+           |t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a,
+           |             CAST(SUM(cnt_b) AS BIGINT) AS tot_b,
+           |             COUNT(*) AS v FROM c)
+           |SELECT c.w, c.cnt_a, c.cnt_b,
+           |  CAST((${qlog4Sql(a)}) - (${qlog4Sql(b)}) AS BIGINT) AS lor_q
+           |FROM c, t ORDER BY lor_q DESC, w""".stripMargin
+      }),
+    ),
   )
 }

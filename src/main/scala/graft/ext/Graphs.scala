@@ -81,6 +81,39 @@ object Graphs {
     * transitive false-positive merges; dense true-dup clusters sit near
     * lcc = 10^6. Also the market-basket / co-occurrence shape (q139 runs
     * it over part co-purchases). */
+  /** Fixed-round k-core peeling over an undirected edge list `(a, b)`
+    * (a < b, deduplicated): `rounds` iterations of "drop every node whose
+    * current degree is < k, and all its edges". Returns the surviving
+    * subgraph's (node, deg). The contract is the exact result of `rounds`
+    * peels (the [[integerPageRank]] fixed-iteration pattern — run enough
+    * rounds and it IS the k-core, but determinism never depends on
+    * convergence detection).
+    *
+    * Each round is one map-side-combinable degree count + two semi-joins —
+    * Pregel-shaped, `localCheckpoint` keeps lineage flat. Dense-subgraph
+    * mining over dup/co-occurrence graphs: the k-core is the standard
+    * pre-filter before clique-ish analysis (triangles, [[triangleCounts]])
+    * because it provably contains every subgraph of min-degree k while
+    * being computable in linear rounds. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int,
+      eager: Boolean = true): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 50, "k >= 1, rounds in [1,50]")
+    def flatten(df: DataFrame): DataFrame =
+      if (eager) df.localCheckpoint(true) else df
+    var e = edges.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    def degrees(df: DataFrame): DataFrame =
+      df.select(col("a").as("node")).unionAll(df.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).where(col("deg") >= k).select(col("node"))
+      e = flatten(e
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi"))
+    }
+    degrees(e)
+  }
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     val e = edges.toDF("a", "b")
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))

@@ -60,6 +60,39 @@ object Layout {
       .repartitionByRange(numPartitions, col("z"))
       .sortWithinPartitions(col("z"))
 
+  /** Exact equi-depth range bounds: split a (pre-quantized, integer)
+    * value column into `buckets` contiguous ranges of near-equal row
+    * count — the range-partitioner / sorted-writer planning primitive
+    * (`repartitionByRange` SAMPLES its bounds; a deterministic layout
+    * contract, e.g. a bucketed table spec or a cross-run-stable file
+    * split, needs exact ones). Each distinct value v lands in bucket
+    * `(rows_below_v · buckets) div n + 1`, so ties never straddle a
+    * boundary; returns (bucket, lo, hi, n_rows).
+    *
+    * Scale shape: one map-side-combinable count per DISTINCT value, then
+    * a running sum over the distinct-value table — vocabulary-sized, NOT
+    * row-sized (prices in cents, grid-quantized doubles: ~10^5-10^7
+    * distinct; the single-partition window is the q110 metadata-frame
+    * argument and holds only (value, count) pairs). For genuinely
+    * unbounded domains, grid-quantize first ([[Histogram]]'s binning) —
+    * same invariant the KS operators rely on. */
+  def equiDepthBounds(df: DataFrame, value: Column, buckets: Int): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(value.cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n"))
+    val cum = counts.crossJoin(broadcast(total))
+      .withColumn("cb", coalesce(
+        sum(col("cnt")).over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    cum
+      .withColumn("bucket", expr(s"(cb * $buckets) div n + 1"))
+      .groupBy(col("bucket"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        sum(col("cnt")).as("n_rows"))
+  }
+
   val queries: Seq[QueryDef] = Seq(
     // Z-order locality audit over events on (user_id, hour-of-corpus):
     // bucket = the top 6 z-bits = a cell of the space-filling curve; the
@@ -93,6 +126,28 @@ object Layout {
            |  MIN(hr) AS min_hr, MAX(hr) AS max_hr
            |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
       },
+    ),
+
+    // Exact equi-depth range bounds over lineitem price cents (8 buckets):
+    // the deterministic range-partitioner plan. floor(price*100) is the
+    // cross-engine double quantization (identical IEEE ops); all bucket
+    // math is integer on the distinct-value table.
+    QueryDef(
+      "q147_range_bounds",
+      (s, dir) => Layout.equiDepthBounds(tbl(s, dir, "lineitem"),
+          floor(col("l_extendedprice") * 100), buckets = 8)
+        .orderBy(col("bucket")),
+      Some("""WITH c AS (
+             |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v, COUNT(*) AS cnt
+             |  FROM lineitem GROUP BY 1),
+             |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
+             |b AS (
+             |  SELECT v, cnt, COALESCE(SUM(cnt) OVER (ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+             |  FROM c)
+             |SELECT CAST((cb * 8) // t.n + 1 AS BIGINT) AS bucket,
+             |  MIN(v) AS lo, MAX(v) AS hi, CAST(SUM(cnt) AS BIGINT) AS n_rows
+             |FROM b, t GROUP BY 1 ORDER BY bucket""".stripMargin),
     ),
   )
 }

@@ -158,6 +158,36 @@ object TextAnalysis {
       .cast("long")
   }
 
+  /** Per-token log-odds ratio of the `target` source vs the rest of the
+    * corpus, in [[quarterLog2]] quarter-bits — the vocabulary-shift
+    * monitor (which words does this crawl/source/week over- or
+    * under-use?). Laplace-smoothed:
+    * lor = qlog2((cnt_a+1)·(tot_b+V)) − qlog2((cnt_b+1)·(tot_a+V)) —
+    * positive = overrepresented in the target. Integer end to end: no
+    * libm, bit-exact cross-engine (the q105 discipline applied to
+    * relative frequency instead of surprisal).
+    *
+    * One token-keyed partial-agg count + a 1-row totals broadcast —
+    * vocabulary-sized output, row-sized nothing. Overflow bound:
+    * (cnt+1)·(tot+V) < 2^63 needs cnt·tot < 9e18 — fine to ~3e9 tokens;
+    * past that, count in per-shard partials and feed
+    * [[quarterLog2]] the top-15-bit truncation explicitly. */
+  def tokenLogOdds(docs: DataFrame, textCol: String, srcCol: String,
+      target: String): DataFrame = {
+    val tok = docs.select((col(srcCol) === target).as("is_a"),
+      explode(tokens(col(textCol))).as("w"))
+    val counts = tok.groupBy(col("w")).agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("cnt_a"),
+      sum(when(col("is_a"), 0L).otherwise(1L)).as("cnt_b"))
+    val totals = counts.agg(sum(col("cnt_a")).as("tot_a"),
+      sum(col("cnt_b")).as("tot_b"), count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("lor_q",
+        quarterLog2((col("cnt_a") + 1) * (col("tot_b") + col("v"))) -
+          quarterLog2((col("cnt_b") + 1) * (col("tot_a") + col("v"))))
+      .select(col("w"), col("cnt_a"), col("cnt_b"), col("lor_q"))
+  }
+
   /** Unigram-LM surprisal scoring — the CCNet-style perplexity filter: fit
     * the cheapest possible LM (unigram counts over the corpus itself) and
     * score every document by its average per-token surprisal

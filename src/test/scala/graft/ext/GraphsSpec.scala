@@ -79,6 +79,33 @@ class GraphsSpec extends AnyFunSuite {
     }
   }
 
+  test("kCorePeel matches an in-memory peel; cliques survive, tendrils die") {
+    def brutePeel(edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] = {
+      var e = edges
+      for (_ <- 1 to rounds) {
+        val deg = (e ++ e.map(_.swap)).groupBy(_._1).map { case (n, xs) => n -> xs.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        e = e.filter(x => keep(x._1) && keep(x._2))
+      }
+      (e ++ e.map(_.swap)).groupBy(_._1).map { case (n, xs) => n -> xs.size.toLong }
+    }
+    val rnd = new scala.util.Random(11)
+    val edges = (Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 < e._2) ++
+      // a K6 on 100..105 hanging off a degree-1 tendril 106-107-108
+      (for { i <- 100L to 105L; j <- (i + 1) to 105L } yield (i, j)) ++
+      Seq((105L, 106L), (106L, 107L), (107L, 108L))).distinct
+    for (k <- Seq(3, 5); rounds <- Seq(1, 3)) {
+      val got = Graphs.kCorePeel(edges.toDF("a", "b"), k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == brutePeel(edges, k, rounds), s"k=$k rounds=$rounds")
+    }
+    val core5 = Graphs.kCorePeel(edges.toDF("a", "b"), 5, 4)
+      .collect().map(_.getLong(0)).toSet
+    assert((100L to 105L).forall(core5), "the K6 must survive any 5-core peel")
+    assert(Seq(106L, 107L, 108L).forall(!core5.contains(_)), "tendril peeled")
+  }
+
   test("triangleCounts: triangle-free and complete graphs hit the lcc bounds") {
     // 4-cycle: 0 triangles everywhere
     val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L))
