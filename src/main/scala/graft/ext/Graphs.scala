@@ -31,8 +31,11 @@ object Graphs {
   def integerPageRank(edges: DataFrame, iters: Int,
       mass: Long = 1000000000000L, eager: Boolean = true): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iterations must be in [1,50], got $iters")
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val withDeg = PinnedCache.pin(edges.join(deg, "src"))
+    // pin the caller's edge frame: deg and withDeg both consume it, and
+    // callers often pass a join+distinct pipeline that must not run twice
+    val e = PinnedCache.pin(edges)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = PinnedCache.pin(e.join(deg, "src"))
     val n = deg.count()
     require(n > 0, "empty graph")
     val r0 = mass / n
@@ -100,8 +103,10 @@ object Graphs {
     require(k >= 1 && rounds >= 1 && rounds <= 50, "k >= 1, rounds in [1,50]")
     def flatten(df: DataFrame): DataFrame =
       if (eager) df.localCheckpoint(true) else df
-    var e = edges.toDF("a", "b")
-      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    // materialize the input once: round 1 reads it three times (degree
+    // count + both semi-joins), and callers pass join+distinct pipelines
+    var e = flatten(edges.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b")))
     def degrees(df: DataFrame): DataFrame =
       df.select(col("a").as("node")).unionAll(df.select(col("b").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -115,11 +120,14 @@ object Graphs {
   }
 
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges.toDF("a", "b")
-      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-    val deg = e.select(col("a").as("node"))
+    // pinned: consumed by deg AND the orientation join; deg pinned too
+    // (ord + the final coefficient join) — without these the caller's
+    // edge-generation pipeline executes three times
+    val e = PinnedCache.pin(edges.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b")))
+    val deg = PinnedCache.pin(e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg")))
     val ord = deg.select(col("node"),
       (col("deg") * 4294967296L + col("node")).as("ord"))
     val oriented = PinnedCache.pin(e
