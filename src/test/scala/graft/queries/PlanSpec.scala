@@ -431,4 +431,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no cross product")
     assert(!p.contains("BroadcastNestedLoopJoin"), "no all-pairs join")
   }
+
+  test("q139: triangle wedge join is node-keyed; shared subtrees are cached") {
+    val p = plan("q139_triangle_count")
+    graft.ext.PinnedCache.releaseAll()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "wedges come from equi-joins, never cross products")
+    assert(p.contains("InMemoryTableScan"),
+      "edge/degree/orientation frames must be cached, not recomputed per reference")
+  }
+
+  test("q142: shard plan is map-only until the per-shard window — no join") {
+    val p = plan("q142_shard_plan")
+    assert(!p.contains("Join"), "pure-function assignment needs no join")
+    assert(p.contains("Window"), "per-shard position/offset window present")
+  }
+
+  test("q144: skew audit aggregates map-side and broadcasts the 1-row total") {
+    val p = plan("q144_skew_audit")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-key count combines map-side")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row total joins via broadcast, never a shuffle")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q146: multi-probe candidates are bucket-keyed; probes broadcast") {
+    val p = plan("q146_multiprobe_topk")
+    assert(!p.contains("CartesianProduct"), "no cross product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no all-pairs join")
+    assert(p.contains("graft_rhp_sig"), "corpus signatures from the codegen expression")
+    assert(p.contains("BroadcastHashJoin"), "query probe table broadcasts")
+  }
+
+  test("q147: equi-depth bounds aggregate per distinct value map-side first") {
+    val p = plan("q147_range_bounds")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "distinct-value counts combine map-side before the vocabulary window")
+    assert(!p.contains("SortMergeJoin"), "the 1-row total broadcasts")
+  }
 }
