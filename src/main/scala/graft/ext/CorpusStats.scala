@@ -109,6 +109,37 @@ object CorpusStats {
         }: _*)
   }
 
+  /** Robust per-source length outliers via MAD (median absolute
+    * deviation): a doc is an outlier when |x − median| exceeds
+    * 3·1.4826·MAD, tested as the cross-multiplied INTEGER inequality
+    * dev·10^4 > MAD·44478 — no floats, bit-exact cross-engine. Median
+    * and MAD both use [[exactQuantiles]]' discrete convention (value at
+    * rank ceil(n/2)), so the whole statistic is integer end to end.
+    * Unlike mean/stddev z-scores, the MAD gate itself is immune to the
+    * outliers it hunts — the standard robust screen for length-based
+    * corpus anomalies (truncated docs, concatenation bugs, spam walls).
+    *
+    * Three source-partitioned passes (median rank, deviation median
+    * rank, flag count) — each a per-group sort of (source, long) pairs,
+    * nothing global. Returns (source, n_docs, med, mad, n_outliers). */
+  def madOutliers(docs: DataFrame, textCol: String, srcCol: String,
+      thrBp: Long = 44478L): DataFrame = {
+    val base = PinnedCache.pin(docs.select(col(srcCol).as("source"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("x")))
+    val med = exactQuantiles(base, "source", col("x"), Seq(0.5))
+      .select(col("source"), col("p50").as("med"))
+    val withDev = PinnedCache.pin(base.join(med, "source")
+      .withColumn("dev", abs(col("x") - col("med"))))
+    val mad = exactQuantiles(withDev, "source", col("dev"), Seq(0.5))
+      .select(col("source"), col("p50").as("mad"))
+    withDev.join(mad, "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("dev") * 10000 > col("mad") * thrBp, 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** Pairwise EXACT Jaccard similarity between corpus sources over their
     * distinct k-shingle sets — the crawl-overlap matrix a dedup pipeline
     * consults BEFORE the doc-level pass (which source pairs duplicate each

@@ -510,6 +510,49 @@ object Dedup {
       .withColumn("recall_ppm", expr("(n_found * 1000000) div n_pairs"))
   }
 
+  /** IDF-weighted exact Jaccard pairs: similarity that DOWN-WEIGHTS
+    * boilerplate — wJ(A,B) = Σ_{t∈A∩B} idf(t) / Σ_{t∈A∪B} idf(t) with
+    * idf(t) = qlog2(N) − qlog2(df(t)) + 1 in [[TextAnalysis.quarterLog2]]
+    * quarter-bits, so the whole similarity (and the ppm threshold test)
+    * is INTEGER — no float anywhere, bit-exact cross-engine. On a
+    * template-heavy corpus plain token Jaccard saturates (every pair
+    * shares the scaffolding); idf weighting makes shared RARE tokens
+    * dominate, which is what content-level near-dup actually wants.
+    *
+    * Exact ground truth is pair-quadratic in principle, so the operator
+    * runs on the deterministic hash sample (the q143 audit discipline);
+    * the candidate stage is the inverted-index token join (cost
+    * Σ_t df(t)² over the sample, bounded by sampling). Returns
+    * (a_id, b_id, inter_w, union_w, wj_ppm), wj_ppm >= thresholdPpm. */
+  def idfWeightedJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      thresholdPpm: Long, sampleNum: Int = 1, sampleDenom: Int = 1): DataFrame = {
+    require(thresholdPpm >= 1 && thresholdPpm <= 1000000, "threshold in ppm")
+    val audit =
+      if (sampleDenom <= 1) df
+      else Sampling.deterministicSample(df, idCol, sampleNum, sampleDenom)
+    val tok = audit.select(col(idCol).as("doc_id"),
+      explode(array_distinct(split(col(textCol), " "))).as("w"))
+    val nd = audit.agg(count(lit(1)).as("nd"))
+    val idf = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .withColumn("idf",
+        TextAnalysis.quarterLog2(col("nd")) - TextAnalysis.quarterLog2(col("df")) + 1)
+      .select(col("w"), col("idf"))
+    val wtok = PinnedCache.pin(tok.join(idf, "w"))
+    val docw = wtok.groupBy(col("doc_id")).agg(sum(col("idf")).as("wt"))
+    val inter = wtok.as("a")
+      .join(wtok.as("b"), col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(sum(col("a.idf")).as("inter_w"))
+    inter
+      .join(docw.select(col("doc_id").as("a_id"), col("wt").as("wa")), "a_id")
+      .join(docw.select(col("doc_id").as("b_id"), col("wt").as("wb")), "b_id")
+      .withColumn("union_w", col("wa") + col("wb") - col("inter_w"))
+      .withColumn("wj_ppm", expr("(inter_w * 1000000) div union_w"))
+      .where(col("wj_ppm") >= thresholdPpm)
+      .select(col("a_id"), col("b_id"), col("inter_w"), col("union_w"), col("wj_ppm"))
+  }
+
   /** Distinct int64-hashed element sets at the chosen granularity:
     * (doc_id, s). k = 1 → unigram tokens, k >= 2 → k-shingles. */
   def elementSets(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =

@@ -67,6 +67,33 @@ object EventFunnel {
         when(col(s"t$i").isNotNull, 1L).otherwise(0L)).reduce(_ + _) + 1)
   }
 
+  /** Hourly burst detection per event type: an hour is a burst when its
+    * event rate exceeds `factor`× the trailing-24h mean —
+    * n·24 > trail·factor in pure integers (cross-multiplied, no division,
+    * no floats). The trailing sum is a RANGE window over hour VALUES
+    * (24 PRECEDING..1 PRECEDING), so hours with zero events — absent from
+    * the counts frame — still shorten the baseline correctly; the first
+    * 24 hours of each type never flag (no full baseline yet).
+    *
+    * Scale shape: one (type, hour) partial-agg count, then windows
+    * partitioned by type over hour-count rows — state is hours×types, not
+    * events. The rate-anomaly monitor for ingest pipelines. */
+  def hourlyBursts(events: DataFrame, epochNs: Long, factor: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(factor >= 1, "factor must be positive")
+    val counts = events
+      .select(col("event_type"), expr(s"(ts - ${epochNs}L) div 3600000000000L").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n"))
+    val trail = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rangeBetween(-24, -1)
+    counts
+      .withColumn("trail", coalesce(sum(col("n")).over(trail), lit(0L)))
+      .withColumn("first_hr", min(col("hr")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("burst",
+        col("hr") >= col("first_hr") + 24 && col("n") * 24 > col("trail") * factor)
+      .select(col("event_type"), col("hr"), col("n"), col("trail"), col("burst"))
+  }
+
   /** SCD-type-2 interval compaction (change-data-capture history build):
     * collapse each key's event sequence into validity intervals of its
     * tracked attribute — one row per maximal run of consecutive equal

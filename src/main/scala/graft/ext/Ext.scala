@@ -2812,5 +2812,107 @@ object Ext {
            |FROM c, t ORDER BY lor_q DESC, w""".stripMargin
       }),
     ),
+
+    // IDF-weighted exact Jaccard pairs (>= 0.8 weighted) on the 10% audit
+    // sample: boilerplate-down-weighted near-dup where shared RARE tokens
+    // dominate — integer quarter-bit idf, integer ppm threshold, zero
+    // float. Candidates via the inverted-index token join, cost bounded
+    // by the sample.
+    QueryDef(
+      "q151_weighted_jaccard",
+      (s, dir) => Dedup.idfWeightedJaccardPairs(tbl(s, dir, "documents"),
+          "text", "doc_id", thresholdPpm = 800000L, sampleNum = 1, sampleDenom = 10)
+        .orderBy(col("a_id"), col("b_id")),
+      Some({
+        val qn = qlog4Sql("n.nd")
+        val qd = qlog4Sql("dfc.df")
+        s"""WITH d AS (
+           |  SELECT doc_id, text FROM documents
+           |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
+           |             AS BIGINT) % 10 < 1),
+           |tok AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w FROM d),
+           |n AS (SELECT COUNT(*) AS nd FROM d),
+           |dfc AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY w),
+           |idf AS (SELECT w, CAST(($qn) - ($qd) + 1 AS BIGINT) AS idf FROM dfc, n),
+           |wtok AS (SELECT t.doc_id, t.w, i.idf FROM tok t JOIN idf i ON t.w = i.w),
+           |docw AS (SELECT doc_id, CAST(SUM(idf) AS BIGINT) AS wt FROM wtok GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(SUM(a.idf) AS BIGINT) AS inter_w
+           |  FROM wtok a JOIN wtok b ON a.w = b.w AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |j AS (
+           |  SELECT i.a_id, i.b_id, i.inter_w, wa.wt + wb.wt - i.inter_w AS union_w
+           |  FROM inter i JOIN docw wa ON wa.doc_id = i.a_id
+           |  JOIN docw wb ON wb.doc_id = i.b_id)
+           |SELECT a_id, b_id, inter_w, union_w,
+           |  (inter_w * 1000000) // union_w AS wj_ppm
+           |FROM j WHERE (inter_w * 1000000) // union_w >= 800000
+           |ORDER BY a_id, b_id""".stripMargin
+      }),
+    ),
+
+    // Hourly rate-burst monitor per event type: n*24 > 3*trailing-24h-sum
+    // in cross-multiplied integers; RANGE window over hour values so
+    // silent hours shorten the baseline; first 24h never flag. The ingest
+    // anomaly monitor.
+    QueryDef(
+      "q152_hourly_bursts",
+      (s, dir) => EventFunnel.hourlyBursts(tbl(s, dir, "events"),
+          epochNs = 1704067200000000000L, factor = 3)
+        .orderBy(col("event_type"), col("hr")),
+      Some("""WITH c AS (
+             |  SELECT event_type,
+             |    (epoch_ns(ts) - 1704067200000000000) // 3600000000000 AS hr,
+             |    COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |w AS (
+             |  SELECT event_type, hr, n,
+             |    COALESCE(SUM(n) OVER (PARTITION BY event_type ORDER BY hr
+             |      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS trail,
+             |    MIN(hr) OVER (PARTITION BY event_type) AS fh
+             |  FROM c)
+             |SELECT event_type, hr, n, CAST(trail AS BIGINT) AS trail,
+             |  (hr >= fh + 24 AND n * 24 > trail * 3) AS burst
+             |FROM w ORDER BY event_type, hr""".stripMargin),
+    ),
+
+    // Robust per-source length outliers via MAD: dev*10^4 > MAD*22239
+    // (1.5 * 1.4826 cross-multiplied to integers — this corpus's length
+    // spread sits inside the classic 3-sigma gate) over exact discrete
+    // medians — the outlier gate that outliers can't skew, zero floats.
+    QueryDef(
+      "q153_mad_outliers",
+      (s, dir) => CorpusStats.madOutliers(tbl(s, dir, "documents"),
+          "text", "source", thrBp = 22239L)
+        .orderBy(col("source")),
+      Some("""WITH b AS (
+             |  SELECT source, CAST(len(string_split(text,' ')) AS BIGINT) AS x
+             |  FROM documents),
+             |r AS (
+             |  SELECT source, x, ROW_NUMBER() OVER (PARTITION BY source ORDER BY x) AS rn,
+             |    COUNT(*) OVER (PARTITION BY source) AS n
+             |  FROM b),
+             |med AS (
+             |  SELECT source, MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+             |                     THEN x END) AS med
+             |  FROM r GROUP BY source),
+             |d AS (
+             |  SELECT b.source, b.x, abs(b.x - m.med) AS dev, m.med
+             |  FROM b JOIN med m ON b.source = m.source),
+             |r2 AS (
+             |  SELECT source, dev, ROW_NUMBER() OVER (PARTITION BY source ORDER BY dev) AS rn,
+             |    COUNT(*) OVER (PARTITION BY source) AS n
+             |  FROM d),
+             |mad AS (
+             |  SELECT source, MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+             |                     THEN dev END) AS mad
+             |  FROM r2 GROUP BY source)
+             |SELECT d.source, COUNT(*) AS n_docs, MAX(d.med) AS med,
+             |  MAX(mad.mad) AS mad,
+             |  CAST(SUM(CASE WHEN d.dev * 10000 > mad.mad * 22239 THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n_outliers
+             |FROM d JOIN mad ON d.source = mad.source
+             |GROUP BY d.source ORDER BY d.source""".stripMargin),
+    ),
   )
 }

@@ -45,4 +45,23 @@ class EventFunnelSpec extends AnyFunSuite {
       4L -> ((4000L, false, None)),
     ))
   }
+
+  test("hourlyBursts: RANGE baseline skips silent hours; first 24h never flag") {
+    val hrNs = 3600000000000L
+    // type A: steady 10/hour for hours 0..24, then a 31-event hour 25
+    // (10*24=240 trailing, 31*24=744 > 720) and a 30-event hour 49 after a
+    // 23-hour silence (baseline = ONLY hour 25's 31 events -> 30*24 > 93)
+    val rows: Seq[(Long, String, Long)] =
+      (for (h <- 0 to 24; i <- 0 until 10) yield (h.toLong, "A", h * hrNs + i)) ++
+        (0 until 31).map(i => (25L, "A", 25L * hrNs + i)) ++
+        (0 until 30).map(i => (49L, "A", 49L * hrNs + i))
+    val df = rows.map { case (_, t, ts) => (t, ts, 0L) }.toDF("event_type", "ts", "event_id")
+    val got = EventFunnel.hourlyBursts(df, epochNs = 0L, factor = 3)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got(10L) == ((10L, 100L, false)), "steady rate never flags")
+    assert(got(0L)._3 == false && got(23L)._3 == false, "no full baseline yet")
+    assert(got(25L) == ((31L, 240L, true)), "31*24 > 3*240")
+    assert(got(49L) == ((30L, 31L, true)),
+      "silent hours drop out of the RANGE baseline — only hour 25 remains")
+  }
 }
