@@ -748,4 +748,68 @@ object TransformWithStateOps {
       .transformWithState(new ScdIntervalProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  final case class TypedHour(event_type: String, hr: Long)
+  final case class BurstRow(event_type: String, hr: Long, n: Long, trail: Long,
+      burst: Boolean)
+
+  /** Streaming twin of [[graft.ext.EventFunnel.hourlyBursts]] (q152) —
+    * continuous rate-anomaly monitoring. State per event type: the sparse
+    * hour→count map PRUNED to the trailing ~26 hours (older hours can
+    * never contribute to a future baseline under event-time-ordered
+    * arrival — the replay/Kafka priming contract) plus the type's first
+    * hour; bounded forever regardless of stream length. Each batch
+    * re-emits the refreshed row for every touched (type, hour) — trails
+    * are computed AFTER absorbing the whole batch and BEFORE pruning, so
+    * upsert-by-(type, hr) reconciles exactly with the batch RANGE window
+    * (asserted in TransformWithStateSpec). */
+  final class BurstProcessor(factor: Int)
+      extends StatefulProcessor[String, TypedHour, BurstRow] {
+
+    @transient private var counts: MapState[Long, Long] = _
+    @transient private var firstHr: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[Long, Long](
+        "counts", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      firstHr = getHandle.getValueState[Long]("firstHr", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[TypedHour],
+        timerValues: TimerValues): Iterator[BurstRow] = {
+      val touched = scala.collection.mutable.SortedSet[Long]()
+      var fh = if (firstHr.exists()) firstHr.get() else Long.MaxValue
+      rows.foreach { r =>
+        val c = if (counts.containsKey(r.hr)) counts.getValue(r.hr) else 0L
+        counts.updateValue(r.hr, c + 1L)
+        touched += r.hr
+        if (r.hr < fh) fh = r.hr
+      }
+      if (touched.isEmpty) return Iterator.empty
+      firstHr.update(fh)
+      val out = touched.toSeq.map { h =>
+        var trail = 0L
+        var i = h - 24
+        while (i <= h - 1) {
+          if (counts.containsKey(i)) trail += counts.getValue(i)
+          i += 1
+        }
+        val n = counts.getValue(h)
+        BurstRow(key, h, n, trail, h >= fh + 24 && n * 24 > trail * factor)
+      }
+      val cutoff = touched.max - 25
+      counts.iterator().toArray.foreach { case (h, _) =>
+        if (h < cutoff) counts.removeKey(h)
+      }
+      out.iterator
+    }
+  }
+
+  def streamingHourlyBursts(ds: Dataset[TypedHour], factor: Int): Dataset[BurstRow] = {
+    implicit val outEnc: Encoder[BurstRow] = Encoders.product[BurstRow]
+    ds.groupByKey(_.event_type)(Encoders.STRING)
+      .transformWithState(new BurstProcessor(factor),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

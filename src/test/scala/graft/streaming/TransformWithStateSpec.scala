@@ -611,4 +611,38 @@ class TransformWithStateSpec extends AnyFunSuite {
       assert(latest.values.exists(!_.is_current) && latest.values.exists(_.is_current))
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streamingHourlyBursts: reconciled rows equal batch hourlyBursts across batch splits") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{BurstRow, TypedHour}
+      val epoch = 1704067200000000000L
+      val events = graft.queries.QueryDef.tbl(spark, "/root/testdata/sf0.001", "events")
+      val rows = events.orderBy(col("ts"), col("event_id"))
+        .select(col("event_type"), expr(s"(ts - ${epoch}L) div 3600000000000L").as("hr"))
+        .collect().map(r => TypedHour(r.getString(0), r.getLong(1))).toSeq
+
+      val latest = scala.collection.mutable.Map[(String, Long), BurstRow]()
+      val input = MemoryStream[TypedHour]
+      val query = TransformWithStateOps.streamingHourlyBursts(input.toDS(), factor = 3)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[BurstRow], _: Long) =>
+          df.collect().foreach(r => latest((r.event_type, r.hr)) = r); ()
+        }.start()
+      try {
+        rows.grouped(311).foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      } finally query.stop()
+
+      val batch = graft.ext.EventFunnel.hourlyBursts(events, epoch, factor = 3)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          BurstRow(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+        .toMap
+      assert(latest.size == batch.size, "(type, hour) row counts differ")
+      batch.foreach { case (k, want) => assert(latest(k) == want, s"row $k") }
+      assert(latest.values.exists(_.burst) || !batch.values.exists(_.burst))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
