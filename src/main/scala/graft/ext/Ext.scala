@@ -2914,5 +2914,43 @@ object Ext {
              |FROM d JOIN mad ON d.source = mad.source
              |GROUP BY d.source ORDER BY d.source""".stripMargin),
     ),
+
+    // CMS join-cardinality estimation (the AMS inner-product estimator):
+    // size |orders JOIN lineitem ON orderkey| from two depth*width counter
+    // tables — per-row overestimates, min across rows; exact count audited
+    // alongside. The cost-based-planning primitive, all integer. Width
+    // 2^16: the collision bias is ~|A|*|B|/width, so 15k x 60k keys need
+    // width >> 2^8 for the estimate to be informative (~74k vs 60k exact
+    // at sf0.01; 256 gave a useless 3.5M).
+    QueryDef(
+      "q154_join_size_estimate",
+      (s, dir) => {
+        val est = Sketches.cmsJoinSizeEstimate(
+          tbl(s, dir, "orders"), col("o_orderkey"),
+          tbl(s, dir, "lineitem"), col("l_orderkey"), depth = 4, width = 65536)
+        val exact = tbl(s, dir, "orders").join(tbl(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .agg(count(lit(1)).as("exact"))
+        est.crossJoin(broadcast(exact)).orderBy(col("j"))
+      },
+      Some("""WITH a AS (SELECT o_orderkey AS item FROM orders),
+             |b AS (SELECT l_orderkey AS item FROM lineitem),
+             |ca AS (
+             |  SELECT j, CAST(('0x' || substring(md5(j || ':' || item),1,15))
+             |            AS BIGINT) % 65536 AS bucket, COUNT(*) AS ca
+             |  FROM a, unnest(generate_series(0, 3)) t(j) GROUP BY 1, 2),
+             |cb AS (
+             |  SELECT j, CAST(('0x' || substring(md5(j || ':' || item),1,15))
+             |            AS BIGINT) % 65536 AS bucket, COUNT(*) AS cb
+             |  FROM b, unnest(generate_series(0, 3)) t(j) GROUP BY 1, 2),
+             |e AS (
+             |  SELECT ca.j, CAST(SUM(ca.ca * cb.cb) AS BIGINT) AS est
+             |  FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket
+             |  GROUP BY ca.j),
+             |x AS (SELECT COUNT(*) AS exact FROM orders
+             |      JOIN lineitem ON o_orderkey = l_orderkey)
+             |SELECT e.j, e.est, MIN(e.est) OVER () AS est_min, x.exact
+             |FROM e, x ORDER BY e.j""".stripMargin),
+    ),
   )
 }

@@ -192,6 +192,35 @@ object Sketches {
       .groupBy(col("j"), cmsBucket(col("j"), col("item"), width).as("bucket"))
       .agg(count(lit(1)).as("c"))
 
+  /** Equi-join cardinality estimation from two Count-Min tables — the
+    * AMS/CMS inner-product estimator (Alon-Matias-Szegedy second moments;
+    * Cormode & Muthukrishnan's CM sketch paper, §4.2): the true join size
+    * |A ⋈ B on key| is the frequency-vector inner product Σ_v fA(v)·fB(v);
+    * each depth row estimates it as Σ_w a[j][w]·b[j][w], which
+    * OVER-estimates (hash collisions add non-negative cross terms), so the
+    * per-row MIN is the estimate. The cost-based-planning primitive: size
+    * a prospective shuffle join from two bounded sketches instead of
+    * scanning either side twice.
+    *
+    * Returns one row per depth row: (j, est, joint min over rows as
+    * est_min) — all integer (counter products summed as BIGINT; bound:
+    * Σ ca·cb ≤ max_f · N < 2^63 for N < ~3e9 heavy-side rows). Both
+    * counter tables are depth×width aggregates (the [[cmsCounters]] scale
+    * argument); the estimator join is keyed by (j, bucket) — counter-table
+    * sized, metadata at any corpus scale. */
+  def cmsJoinSizeEstimate(a: DataFrame, aCol: Column, b: DataFrame, bCol: Column,
+      depth: Int, width: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ca = cmsCounters(a, aCol, depth, width)
+      .select(col("j"), col("bucket"), col("c").as("ca"))
+    val cb = cmsCounters(b, bCol, depth, width)
+      .select(col("j"), col("bucket"), col("c").as("cb"))
+    ca.join(cb, Seq("j", "bucket"))
+      .groupBy(col("j").cast("long").as("j"))
+      .agg(sum(col("ca") * col("cb")).as("est"))
+      .withColumn("est_min", min(col("est")).over(Window.partitionBy()))
+  }
+
   /** Point-frequency estimates for `candidates(itemCol)` from a
     * [[cmsCounters]] table: min over the depth counters each candidate
     * hashes to. The counter table is broadcast (bounded size), so the

@@ -269,4 +269,22 @@ class SketchesSpec extends AnyFunSuite {
       assert(Sketches.hllRhoJvm(h) == expected, s"JVM mirror h=$h")
     }
   }
+
+  test("cmsJoinSizeEstimate: every depth row overestimates; min is tight at low load") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val a = Seq.fill(2000)(rnd.nextInt(300).toLong).toDF("k")
+    val b = Seq.fill(3000)(rnd.nextInt(300).toLong).toDF("k")
+    val exact = a.join(b, "k").count()
+    val est = Sketches.cmsJoinSizeEstimate(a, col("k"), b, col("k"),
+        depth = 4, width = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(est.map(_._1).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    est.foreach { case (j, e, m) =>
+      assert(e >= exact, s"row $j must overestimate (cross terms are non-negative)")
+      assert(m == est.map(_._2).min, "est_min is the row minimum")
+    }
+    // 300 keys in 4096 buckets: collision bias is a few percent, not integer factors
+    assert(est.map(_._2).min < exact * 2, "estimate informative at this load factor")
+  }
 }
