@@ -631,12 +631,19 @@ object Similarity {
     * replicates the bucketed semantics exactly. */
   def dbscanClusters(df: DataFrame, vecCol: String, idCol: String, eps: Double,
       minPts: Int, tables: Int = 32, bits: Int = 5): DataFrame = {
-    val pairs = cosineNearDupPairsLsh(df, vecCol, idCol, eps, tables, bits)
-      .select(col("a_id"), col("b_id"))
+    // pinned: the LSH-verify pair pipeline feeds the degree count, the
+    // core-edge join, and the border attach — cache it rather than run it
+    // three times (the dominant sf0.1 cost remains the dense epsilon
+    // graph itself: pair volume grows ~quadratically in corpus density
+    // at a loose eps, which is inherent to DBSCAN's neighborhood graph)
+    val pairs = PinnedCache.pin(
+      cosineNearDupPairsLsh(df, vecCol, idCol, eps, tables, bits)
+        .select(col("a_id"), col("b_id")))
     val sym = pairs.unionByName(
       pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-    val core = sym.groupBy(col("a_id").as("id")).agg(count(lit(1)).as("deg"))
-      .where(col("deg") >= minPts).select(col("id"))
+    val core = PinnedCache.pin(
+      sym.groupBy(col("a_id").as("id")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= minPts).select(col("id")))
     val coreEdges = sym
       .join(core.withColumnRenamed("id", "a_id"), "a_id")
       .join(core.withColumnRenamed("id", "b_id"), "b_id")
