@@ -2952,5 +2952,89 @@ object Ext {
              |SELECT e.j, e.est, MIN(e.est) OVER () AS est_min, x.exact
              |FROM e, x ORDER BY e.j""".stripMargin),
     ),
+
+    // ANN retrieval-quality audit: recall@10 + reciprocal rank of the
+    // true nearest neighbor for the q146 multi-probe config, measured
+    // against exact brute-force ground truth on the query sample — the
+    // rollout gate for approximate indexes. All rankings tie-break on
+    // (sim desc, nid); metrics integer ppm. Oracle replays both rankings.
+    QueryDef(
+      "q155_ann_quality",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.annQualityAudit(emb, emb.where(col("vec_id") < 10),
+            "embedding", "vec_id", k = 10, tables = 4, bits = 4, nprobe = 4)
+          .orderBy(col("qid"))
+      },
+      Some(s"""WITH planes(p, s) AS (SELECT * FROM (VALUES ${planesValuesSql(16)}) v(p, s)),
+              |n AS (
+              |  SELECT vec_id, embedding,
+              |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+              |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+              |  FROM embeddings),
+              |csig AS (
+              |  SELECT e.vec_id AS nid, pl.p // 4 AS tbl,
+              |    CAST(SUM(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE) * pl.s[i]
+              |                                 FOR i IN generate_series(1, len(e.embedding))]) > 0
+              |             THEN 1 << (pl.p % 4) ELSE 0 END) AS BIGINT) AS sig
+              |  FROM embeddings e CROSS JOIN planes pl
+              |  GROUP BY e.vec_id, pl.p // 4),
+              |q AS (SELECT vec_id AS qid, embedding AS vq, nrm AS nq FROM n WHERE vec_id < 10),
+              |qm AS (
+              |  SELECT q.qid, pl.p,
+              |    list_sum([CAST(q.vq[i] AS DOUBLE) * pl.s[i]
+              |              FOR i IN generate_series(1, len(q.vq))]) AS m
+              |  FROM q CROSS JOIN planes pl),
+              |qsig AS (
+              |  SELECT qid, p // 4 AS tbl,
+              |    CAST(SUM(CASE WHEN m > 0 THEN 1 << (p % 4) ELSE 0 END) AS BIGINT) AS sig
+              |  FROM qm GROUP BY qid, p // 4),
+              |qrank AS (
+              |  SELECT qid, p // 4 AS tbl, p % 4 AS j,
+              |    ROW_NUMBER() OVER (PARTITION BY qid, p // 4 ORDER BY abs(m), p % 4) AS rk
+              |  FROM qm),
+              |qprobe AS (
+              |  SELECT qid, tbl, sig FROM qsig
+              |  UNION ALL
+              |  SELECT r.qid, r.tbl, xor(s.sig, CAST(1 << r.j AS BIGINT)) AS sig
+              |  FROM qrank r JOIN qsig s ON r.qid = s.qid AND r.tbl = s.tbl
+              |  WHERE r.rk <= 3),
+              |cand AS (
+              |  SELECT DISTINCT p.qid, c.nid
+              |  FROM qprobe p JOIN csig c ON p.tbl = c.tbl AND p.sig = c.sig
+              |  WHERE c.nid <> p.qid),
+              |sims AS (
+              |  SELECT cand.qid, cand.nid,
+              |    list_sum([CAST(q.vq[i] AS DOUBLE) * e.embedding[i]
+              |              FOR i IN generate_series(1, len(q.vq))])/(q.nq * e.nrm) AS sim
+              |  FROM cand JOIN q ON q.qid = cand.qid JOIN n e ON e.vec_id = cand.nid),
+              |annr AS (
+              |  SELECT qid, nid, ark FROM (
+              |    SELECT qid, nid,
+              |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS ark
+              |    FROM sims)
+              |  WHERE ark <= 10),
+              |brute AS (
+              |  SELECT qid, nid, rk FROM (
+              |    SELECT q.qid, c.vec_id AS nid,
+              |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+              |        (list_sum([CAST(q.vq[i] AS DOUBLE)*c.embedding[i]
+              |                   FOR i IN generate_series(1,len(q.vq))])/(q.nq*c.nrm)) DESC,
+              |        c.vec_id) AS rk
+              |    FROM q CROSS JOIN n c WHERE c.vec_id <> q.qid)
+              |  WHERE rk <= 10),
+              |j AS (
+              |  SELECT b.qid, b.rk, a.ark
+              |  FROM brute b LEFT JOIN annr a ON a.qid = b.qid AND a.nid = b.nid)
+              |SELECT qid, COUNT(*) AS n_true,
+              |  CAST(SUM(CASE WHEN ark IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+              |  CAST(MAX(CASE WHEN rk = 1 THEN COALESCE(ark, 0) END) AS BIGINT) AS true1_rank,
+              |  (CAST(SUM(CASE WHEN ark IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+              |    // COUNT(*) AS recall_ppm,
+              |  CASE WHEN MAX(CASE WHEN rk = 1 THEN COALESCE(ark, 0) END) > 0
+              |    THEN 1000000 // MAX(CASE WHEN rk = 1 THEN COALESCE(ark, 0) END)
+              |    ELSE 0 END AS rr_ppm
+              |FROM j GROUP BY qid ORDER BY qid""".stripMargin),
+    ),
   )
 }

@@ -544,6 +544,39 @@ object Similarity {
     sims.withColumn("rk", row_number().over(w)).where(col("rk") <= k).drop("rk")
   }
 
+  /** Retrieval-quality audit of an ANN configuration against exact ground
+    * truth: per query, recall@k of the multi-probe result vs the brute
+    * top-k, plus the rank the ANN list assigns the TRUE nearest neighbor
+    * (reciprocal rank in integer ppm; 0 = missed). The eval harness an
+    * index rollout gates on — approximate retrieval without a measured
+    * recall/MRR is a silent-degradation risk at any scale.
+    *
+    * Runs the audit on a query SAMPLE (queries are the cheap side; the
+    * brute-force ground truth is one broadcast-queries scan of the
+    * corpus, affordable per audit). All ranking ties break on (sim desc,
+    * nid) — both rankings deterministic, metrics pure integers. */
+  def annQualityAudit(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, tables: Int = 4, bits: Int = 4,
+      nprobe: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    val truth = PinnedCache.pin(
+      bruteForceTopK(corpus, queries, vecCol, idCol, k)
+        .withColumn("rk", row_number().over(w)))
+    val ann = multiProbeTopK(corpus, queries, vecCol, idCol, k,
+        tables, bits, nprobe)
+      .withColumn("ark", row_number().over(w))
+    val found = truth.join(ann.select(col("qid"), col("nid"), col("ark")),
+        Seq("qid", "nid"), "left")
+    found.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("ark").isNotNull, 1L).otherwise(0L)).as("n_found"),
+        max(when(col("rk") === 1, coalesce(col("ark"), lit(0L)))).as("true1_rank"))
+      .withColumn("recall_ppm", expr("(n_found * 1000000) div n_true"))
+      .withColumn("rr_ppm",
+        when(col("true1_rank") > 0, expr("1000000 div true1_rank"))
+          .otherwise(lit(0L)))
+  }
+
   /** Dominant principal direction of the embedding corpus (uncentered
     * Gram-matrix power iteration) + per-vector projections — the
     * drift-axis / spectral-outlier primitive (what "did the embedding
