@@ -3036,5 +3036,28 @@ object Ext {
               |    ELSE 0 END AS rr_ppm
               |FROM j GROUP BY qid ORDER BY qid""".stripMargin),
     ),
+
+    // Overlapping sliding-window chunks (window 32, stride 24 — 25%
+    // overlap): the RAG windowing convention; every token covered, no
+    // fully-redundant tail. Map-only; md5 fingerprints make content
+    // checkable without shipping text.
+    QueryDef(
+      "q156_stride_chunks",
+      (s, dir) => Packing.strideChunks(tbl(s, dir, "documents"),
+          "text", "doc_id", window = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |c AS (
+             |  SELECT doc_id, toks, len(toks) AS n,
+             |    CASE WHEN len(toks) <= 32 THEN 1
+             |         ELSE (len(toks) - 32 + 23) // 24 + 1 END AS n_chunks
+             |  FROM t WHERE len(toks) > 0)
+             |SELECT doc_id, i AS chunk_id, i * 24 AS start,
+             |  LEAST(n - i * 24, 32) AS chunk_tokens,
+             |  md5(array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ')) AS chunk_md5
+             |FROM c, unnest(generate_series(0, n_chunks - 1)) u(i)
+             |ORDER BY doc_id, chunk_id""".stripMargin),
+    ),
   )
 }

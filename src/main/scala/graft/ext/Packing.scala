@@ -43,6 +43,39 @@ object Packing {
         col("c.chunk_tokens").cast("long").as("chunk_tokens"), col("c.chunk_md5"))
   }
 
+  /** Overlapping sliding-window chunks — the RAG/retrieval windowing
+    * convention (context preserved across chunk boundaries), vs
+    * [[chunkTokens]]' disjoint trainer windows. Starts at 0, stride,
+    * 2·stride, …; chunk i covers tokens [i·stride, i·stride + window);
+    * the chunk count is 1 for docs ≤ window tokens, else
+    * ceil((n − window)/stride) + 1 — every token covered, no tail window
+    * fully contained in its predecessor. Returns (doc_id, chunk_id,
+    * start, chunk_tokens, chunk_md5); map-only (the hoisted-tokens HOF
+    * discipline), content equality via md5 without shipping text. */
+  def strideChunks(docs: DataFrame, textCol: String, idCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window")
+    val toks = col("t")
+    val nChunks = expr(
+      s"case when size(t) <= $window then 1 else ((size(t) - $window + ${stride - 1}) div $stride) + 1 end")
+      .cast("int")
+    val chunks = when(size(toks) > 0,
+      transform(sequence(lit(0), nChunks - 1), i => struct(
+        i.as("chunk_id"),
+        (i * stride).as("start"),
+        least(size(toks) - i * stride, lit(window)).as("chunk_tokens"),
+        md5(concat_ws(" ", slice(toks, i * stride + 1, lit(window)))).as("chunk_md5"))))
+      .otherwise(array().cast(
+        "array<struct<chunk_id:int,start:int,chunk_tokens:int,chunk_md5:string>>"))
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+      .select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").cast("long").as("chunk_id"),
+        col("c.start").cast("long").as("start"),
+        col("c.chunk_tokens").cast("long").as("chunk_tokens"), col("c.chunk_md5"))
+  }
+
   /** Greedy in-order packing: chunks fill bins of `budget` tokens per
     * group, in (doc_id, chunk_id) order; a chunk's bin is
     * `floor(tokens_before_it / budget)`. Returns per-bin stats. */

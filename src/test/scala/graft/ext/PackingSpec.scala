@@ -54,4 +54,40 @@ class PackingSpec extends AnyFunSuite {
     val total = bins.filter(_._1 == "a").map(_._4).sum
     assert(total == 12L)
   }
+
+  test("strideChunks: full coverage, fixed overlap, no redundant tail") {
+    import spark.implicits._
+    // lengths straddling the boundary cases: < window, == window,
+    // == window+1 (forces a short but non-contained tail), long
+    val docs = Seq(
+      (1L, (1 to 5).map(i => s"w$i").mkString(" ")),    // n=5  <= w -> 1 chunk
+      (2L, (1 to 8).map(i => s"w$i").mkString(" ")),    // n=8  == w -> 1 chunk
+      (3L, (1 to 9).map(i => s"w$i").mkString(" ")),    // n=9 -> starts 0,6
+      (4L, (1 to 25).map(i => s"w$i").mkString(" "))    // n=25 -> 0,6,12,18
+    ).toDF("doc_id", "text")
+    val w = 8; val st = 6
+    val got = Packing.strideChunks(docs, "text", "doc_id", w, st)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val lens = Map(1L -> 5, 2L -> 8, 3L -> 9, 4L -> 25)
+    lens.foreach { case (id, n) =>
+      val cs = got(id).sortBy(_._2)
+      val expected = if (n <= w) 1 else (n - w + st - 1) / st + 1
+      assert(cs.length == expected, s"doc $id chunk count")
+      cs.zipWithIndex.foreach { case ((_, cid, start, ct), i) =>
+        assert(cid == i && start == i.toLong * st, s"doc $id chunk $i start")
+        assert(ct == math.min(w, n - start), s"doc $id chunk $i len")
+      }
+      // coverage: last chunk reaches the final token
+      val (_, _, ls, lt) = cs.last
+      assert(ls + lt == n, s"doc $id tail coverage")
+      // no chunk fully contained in its predecessor
+      cs.toSeq.sliding(2).foreach {
+        case Seq((_, _, s1, t1), (_, _, s2, t2)) =>
+          assert(s2 + t2 > s1 + t1, s"doc $id redundant tail")
+        case _ =>
+      }
+    }
+  }
 }
