@@ -140,6 +140,25 @@ object CorpusStats {
           .as("n_outliers"))
   }
 
+  /** Winsorized per-source mean length: clamp every doc's token count to
+    * its source's exact discrete [p10, p90] before averaging — the robust
+    * central-tendency companion to [[madOutliers]] (that flags tails;
+    * this reports a mean the tails cannot drag). Mean emitted as integer
+    * ppm (clamped sum ·10^6 div n) — no float accumulation. Same
+    * source-partitioned rank-window shape as [[exactQuantiles]]. */
+  def winsorizedMean(docs: DataFrame, textCol: String, srcCol: String): DataFrame = {
+    val base = PinnedCache.pin(docs.select(col(srcCol).as("source"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("x")))
+    val cuts = exactQuantiles(base, "source", col("x"), Seq(0.1, 0.9))
+      .select(col("source"), col("p10"), col("p90"))
+    base.join(cuts, "source")
+      .withColumn("w", greatest(col("p10"), least(col("p90"), col("x"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), max(col("p10")).as("p10"),
+        max(col("p90")).as("p90"), sum(col("w")).as("wsum"))
+      .withColumn("wmean_ppm", expr("(wsum * 1000000) div n_docs"))
+  }
+
   /** Pairwise EXACT Jaccard similarity between corpus sources over their
     * distinct k-shingle sets — the crawl-overlap matrix a dedup pipeline
     * consults BEFORE the doc-level pass (which source pairs duplicate each

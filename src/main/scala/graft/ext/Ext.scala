@@ -3059,5 +3059,73 @@ object Ext {
              |FROM c, unnest(generate_series(0, n_chunks - 1)) u(i)
              |ORDER BY doc_id, chunk_id""".stripMargin),
     ),
+
+    // Winsorized per-source mean length: token counts clamped to the exact
+    // discrete [p10, p90] before averaging — the robust mean that tails
+    // can't drag, integer ppm, ceil-rank quantile convention.
+    QueryDef(
+      "q157_winsorized_mean",
+      (s, dir) => CorpusStats.winsorizedMean(tbl(s, dir, "documents"),
+          "text", "source")
+        .orderBy(col("source")),
+      Some("""WITH b AS (
+             |  SELECT source, CAST(len(string_split(text,' ')) AS BIGINT) AS x
+             |  FROM documents),
+             |r AS (
+             |  SELECT source, x, ROW_NUMBER() OVER (PARTITION BY source ORDER BY x) AS rn,
+             |    COUNT(*) OVER (PARTITION BY source) AS n
+             |  FROM b),
+             |cuts AS (
+             |  SELECT source,
+             |    MAX(CASE WHEN rn = CAST(ceil(0.1 * n) AS BIGINT) THEN x END) AS p10,
+             |    MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN x END) AS p90
+             |  FROM r GROUP BY source)
+             |SELECT b.source, COUNT(*) AS n_docs, MAX(c.p10) AS p10, MAX(c.p90) AS p90,
+             |  CAST(SUM(GREATEST(c.p10, LEAST(c.p90, b.x))) AS BIGINT) AS wsum,
+             |  (CAST(SUM(GREATEST(c.p10, LEAST(c.p90, b.x))) AS BIGINT) * 1000000)
+             |    // COUNT(*) AS wmean_ppm
+             |FROM b JOIN cuts c ON b.source = c.source
+             |GROUP BY b.source ORDER BY b.source""".stripMargin),
+    ),
+
+    // Vocabulary KL drift per source vs the rest: one integer quarter-bit
+    // drift scalar per source (the magnitude rollup over q150's per-token
+    // log-odds), Laplace-smoothed over the sources x vocab dense frame.
+    // Clamped-at-zero before the ppm division (Spark div truncates,
+    // DuckDB // floors — negatives would diverge).
+    QueryDef(
+      "q158_vocab_kl_drift",
+      (s, dir) => TextAnalysis.vocabKlDrift(
+          tbl(s, dir, "documents"), "text", "source")
+        .orderBy(col("source")),
+      Some({
+        val qa = qlog4Sql("(d.ca + 1) * st.nb")
+        val qb = qlog4Sql("(d.cb + 1) * st.na")
+        s"""WITH tok AS (
+           |  SELECT source, unnest(string_split(text,' ')) AS w FROM documents),
+           |c AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w),
+           |tot AS (SELECT w, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY w),
+           |d AS (
+           |  SELECT s.source, tot.w, tot.t,
+           |    CAST(COALESCE(c.c, 0) AS BIGINT) AS ca,
+           |    CAST(tot.t - COALESCE(c.c, 0) AS BIGINT) AS cb
+           |  FROM (SELECT DISTINCT source FROM c) s
+           |  CROSS JOIN tot
+           |  LEFT JOIN c ON c.source = s.source AND c.w = tot.w),
+           |st AS (
+           |  SELECT source, CAST(SUM(ca) AS BIGINT) AS n_tokens,
+           |    COUNT(*) AS vocab,
+           |    CAST(SUM(ca + 1) AS BIGINT) AS na,
+           |    CAST(SUM(cb + 1) AS BIGINT) AS nb
+           |  FROM d GROUP BY source)
+           |SELECT d.source, st.n_tokens, st.vocab,
+           |  CAST(SUM((d.ca + 1) * (($qa) - ($qb))) AS BIGINT) AS kl_q4,
+           |  (GREATEST(CAST(SUM((d.ca + 1) * (($qa) - ($qb))) AS BIGINT), 0) * 1000)
+           |    // st.na AS kl_mq4
+           |FROM d JOIN st ON d.source = st.source
+           |GROUP BY d.source, st.n_tokens, st.vocab, st.na
+           |ORDER BY d.source""".stripMargin
+      }),
+    ),
   )
 }

@@ -172,6 +172,49 @@ object TextAnalysis {
     * (cnt+1)·(tot+V) < 2^63 needs cnt·tot < 9e18 — fine to ~3e9 tokens;
     * past that, count in per-shard partials and feed
     * [[quarterLog2]] the top-15-bit truncation explicitly. */
+  /** Per-source vocabulary KL divergence vs the rest of the corpus —
+    * ONE drift scalar per source (the magnitude summary over
+    * [[tokenLogOdds]]' per-token detail): KL(P_s ‖ P_rest) with Laplace
+    * smoothing, every term in [[quarterLog2]] integer quarter-bits scaled
+    * by the smoothed count — term_w = (c_w+1)·(q4((c_w+1)·N_rest) −
+    * q4((r_w+1)·N_s)); `kl_mq4` normalizes by the smoothed source total
+    * (milli-quarter-bits/token). Zero libm; the floor approximation can
+    * leave small negative totals for near-identical distributions —
+    * deterministic, and the RANKING (which source drifted most) is the
+    * contract.
+    *
+    * Shape: one (source, token) count aggregate, then the
+    * sources × vocabulary dense frame for the smoothing — bounded when
+    * the monitoring vocabulary is (top-k tokens via [[Sketches.FreqItems]]
+    * at open vocabularies, the standard drift-monitor practice); this is
+    * the q110 metadata-frame argument at the (source, vocab) grain. */
+  def vocabKlDrift(docs: DataFrame, textCol: String, srcCol: String): DataFrame = {
+    val tok = docs.select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("w"))
+    val counts = tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy(col("w")).agg(sum(col("c")).as("t"))
+    val dense = counts.select(col("source")).distinct()
+      .crossJoin(broadcast(tot))
+      .join(counts, Seq("source", "w"), "left")
+      .withColumn("ca", coalesce(col("c"), lit(0L)))
+      .withColumn("cb", col("t") - col("ca"))
+    val stot = dense.groupBy(col("source"))
+      .agg(sum(col("ca")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(col("ca") + 1).as("na"), sum(col("cb") + 1).as("nb"))
+    dense.join(stot, "source")
+      .withColumn("term", (col("ca") + 1) *
+        (quarterLog2((col("ca") + 1) * col("nb")) -
+          quarterLog2((col("cb") + 1) * col("na"))))
+      .groupBy(col("source"))
+      .agg(max(col("n_tokens")).as("n_tokens"), max(col("vocab")).as("vocab"),
+        sum(col("term")).as("kl_q4"), max(col("na")).as("na"))
+      // clamp before dividing: true KL >= 0 (negatives are quarter-bit
+      // floor artifacts), and Spark `div` truncates while DuckDB `//`
+      // floors — they disagree exactly on negative dividends
+      .withColumn("kl_mq4", expr("(greatest(kl_q4, 0L) * 1000) div na"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("kl_q4"),
+        col("kl_mq4"))
+  }
+
   def tokenLogOdds(docs: DataFrame, textCol: String, srcCol: String,
       target: String): DataFrame = {
     val tok = docs.select((col(srcCol) === target).as("is_a"),
