@@ -94,6 +94,29 @@ object EventFunnel {
       .select(col("event_type"), col("hr"), col("n"), col("trail"), col("burst"))
   }
 
+  /** User-journey path mining: the most frequent length-`n` event-type
+    * sequences across users' time-ordered event streams (overlapping
+    * windows, ties on (ts, event_id)) — which paths users actually take,
+    * the sequence-level complement to [[stagedFunnel]]'s fixed hypothesis.
+    * One user-partitioned window pass builds the n-grams (lead×(n−1) —
+    * no self-joins), then a count + top-k; per-user work is that user's
+    * event count, the path vocabulary is |types|^n-bounded. */
+  def pathCounts(events: DataFrame, n: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2 && n <= 5, "path length in [2,5]")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withLeads = events.select(col("user_id"), col("event_type"), col("ts"),
+      col("event_id"))
+      .select(col("user_id") +: col("event_type").as("t0") +:
+        (1 until n).map(i => lead(col("event_type"), i).over(w).as(s"t$i")): _*)
+      .where((1 until n).map(i => col(s"t$i").isNotNull).reduce(_ && _))
+    withLeads
+      .groupBy(concat_ws(" > ", (0 until n).map(i => col(s"t$i")): _*).as("path"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path"))
+      .limit(topK)
+  }
+
   /** SCD-type-2 interval compaction (change-data-capture history build):
     * collapse each key's event sequence into validity intervals of its
     * tracked attribute — one row per maximal run of consecutive equal
@@ -114,6 +137,52 @@ object EventFunnel {
     * license, crawl status) distilled from append-only logs — the "latest
     * consistent snapshot + full history" input that incremental curation
     * (license filtering, takedown audits) joins against. */
+  /** Incremental SCD-2 merge: combine a compacted interval history `prev`
+    * with the compaction `next` of a LATER event slice (every event in
+    * `next` is at or after every `prev` event of the same user — the
+    * ts-sliced replay/ingest guarantee). Closed intervals are immutable;
+    * per user only the open run interacts with the slice's FIRST run:
+    * same attribute → the runs merge (counts add, the open start is
+    * kept); different → the open run closes at the first run's start.
+    * Exactly the streaming twin's transition ([[graft.streaming
+    * .TransformWithStateOps.ScdIntervalProcessor]]) expressed as
+    * DataFrame joins, so nightly incremental compaction and the
+    * continuous pipeline produce identical histories. All joins key on
+    * user_id; per-cycle cost is the SLICE's compaction plus one
+    * open-run-sized full-outer join — never the history size. */
+  def mergeScdIntervals(prev: DataFrame, next: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    val closedPrev = prev.where(col("valid_to").isNotNull)
+    val openPrev = prev.where(col("valid_to").isNull)
+      .select(col("user_id"), col("event_type").as("o_type"),
+        col("valid_from").as("o_from"), col("n_events").as("o_n"))
+    val ranked = next.withColumn("rn", row_number().over(w))
+    val first = ranked.where(col("rn") === 1).drop("rn")
+    val rest = ranked.where(col("rn") > 1).drop("rn")
+    val fj = first.join(openPrev, Seq("user_id"), "full_outer")
+    val outCols = Seq(col("user_id"), col("event_type"), col("valid_from"),
+      col("valid_to"), col("n_events"), col("is_current"))
+    val oOnly = fj.where(col("event_type").isNull)
+      .select(col("user_id"), col("o_type").as("event_type"),
+        col("o_from").as("valid_from"), lit(null).cast("long").as("valid_to"),
+        col("o_n").as("n_events"), lit(true).as("is_current"))
+    val fOnly = fj.where(col("o_type").isNull).select(outCols: _*)
+    val same = fj.where(col("o_type").isNotNull && col("event_type") === col("o_type"))
+      .select(col("user_id"), col("event_type"), col("o_from").as("valid_from"),
+        col("valid_to"), (col("o_n") + col("n_events")).as("n_events"),
+        col("is_current"))
+    val diff = fj.where(col("o_type").isNotNull && col("event_type").isNotNull &&
+      col("event_type") =!= col("o_type"))
+    val diffClosed = diff
+      .select(col("user_id"), col("o_type").as("event_type"),
+        col("o_from").as("valid_from"), col("valid_from").as("valid_to"),
+        col("o_n").as("n_events"), lit(false).as("is_current"))
+    val diffNew = diff.select(outCols: _*)
+    closedPrev.unionByName(oOnly).unionByName(fOnly).unionByName(same)
+      .unionByName(diffClosed).unionByName(diffNew).unionByName(rest)
+  }
+
   def scdIntervals(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

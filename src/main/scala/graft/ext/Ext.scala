@@ -3127,5 +3127,22 @@ object Ext {
            |ORDER BY d.source""".stripMargin
       }),
     ),
+
+    // User-journey path mining: top-20 event-type trigram sequences over
+    // per-user time-ordered streams (overlapping windows, lead-based — no
+    // self-join). The sequence-level complement to q149's fixed funnel.
+    QueryDef(
+      "q159_path_mining",
+      (s, dir) => EventFunnel.pathCounts(tbl(s, dir, "events"), n = 3, topK = 20),
+      Some("""WITH o AS (
+             |  SELECT user_id, event_type AS t0,
+             |    LEAD(event_type, 1) OVER w AS t1,
+             |    LEAD(event_type, 2) OVER w AS t2
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
+             |SELECT t0 || ' > ' || t1 || ' > ' || t2 AS path, COUNT(*) AS n_paths
+             |FROM o WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+             |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20""".stripMargin),
+    ),
   )
 }

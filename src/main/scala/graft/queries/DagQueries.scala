@@ -192,6 +192,36 @@ object DagQueries {
     state.getValue.select(col("doc_id"), col("fp")).orderBy(col("doc_id"))
   }
 
+  /** SCD-2 history build as INCREMENTAL view maintenance through dag
+    * cycles: each cycle compacts one bounded ts slice
+    * ([[graft.ext.EventFunnel.scdIntervals]]) and merges it into the held
+    * interval state ([[graft.ext.EventFunnel.mergeScdIntervals]] — the
+    * streaming twin's transition as DataFrame joins). Four 180-hour
+    * slices cover the corpus; the final state must equal the one-shot
+    * batch compaction (q140's oracle re-used verbatim). Per-cycle cost is
+    * slice-sized + an open-runs join — never the accumulated history. */
+  private def dagScd(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val events = tbl(s, dir, "events")
+    val dag = new Dag
+    val source = dag.sourceStream(SparkBatch(s.emptyDataFrame, 0), name = "events")
+    var stateDf: DataFrame = null
+    val state = dag.state(source) { b: SparkBatch =>
+      val sliceRuns = graft.ext.EventFunnel.scdIntervals(b.df)
+      stateDf = (if (stateDf == null) sliceRuns
+        else graft.ext.EventFunnel.mergeScdIntervals(stateDf, sliceRuns))
+        .localCheckpoint(eager = true)
+      stateDf
+    }
+    dag.sink("history", state)
+    val hr = expr("(ts - 1704067200000000000L) div 3600000000000L")
+    for (k <- 0 until 4) {
+      source.setStream(SparkBatch(
+        events.where(hr >= k * 180 && hr < (k + 1) * 180), 1))
+      dag.execute()
+    }
+    state.getValue.orderBy(col("user_id"), col("valid_from"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "q35_dag_wordcount",
@@ -206,6 +236,32 @@ object DagQueries {
       Some("""SELECT user_id, event_id AS last_event_id, event_type, value FROM (
              |SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
              |FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin),
+    ),
+    QueryDef(
+      "q160_dag_scd",
+      dagScd,
+      // q140's one-shot oracle verbatim: the incremental merge must be
+      // indistinguishable from recompacting all history
+      Some("""WITH o AS (
+             |  SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id,
+             |    CASE WHEN lag(event_type) OVER w IS NULL
+             |           OR lag(event_type) OVER w <> event_type
+             |         THEN 1 ELSE 0 END AS chg
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+             |i AS (
+             |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM o),
+             |r AS (
+             |  SELECT user_id, island, MIN(event_type) AS event_type,
+             |    MIN(ts) AS valid_from, COUNT(*) AS n_events
+             |  FROM i GROUP BY user_id, island)
+             |SELECT user_id, event_type, valid_from,
+             |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) AS valid_to,
+             |  n_events,
+             |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) IS NULL AS is_current
+             |FROM r ORDER BY user_id, valid_from""".stripMargin),
     ),
     QueryDef(
       "q88_dag_curation",

@@ -64,4 +64,28 @@ class EventFunnelSpec extends AnyFunSuite {
     assert(got(49L) == ((30L, 31L, true)),
       "silent hours drop out of the RANGE baseline — only hour 25 remains")
   }
+
+  test("mergeScdIntervals: folding ts-sliced compactions equals the one-shot compaction") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val events = (0 until 600).map { i =>
+      (rnd.nextInt(12).toLong, Seq("a", "b", "c")(rnd.nextInt(3)), i.toLong * 100, i.toLong)
+    }
+    val df = events.toDF("user_id", "event_type", "ts", "event_id")
+    val batch = graft.ext.EventFunnel.scdIntervals(df)
+      .collect().map(_.toSeq).toSet
+    for (cuts <- Seq(Seq(20000L), Seq(11100L, 30000L, 45000L))) {
+      val bounds: Seq[Long] = (0L +: cuts) :+ Long.MaxValue
+      val slices = bounds.sliding(2).collect { case Seq(lo, hi) =>
+        df.where(org.apache.spark.sql.functions.col("ts") >= lo &&
+          org.apache.spark.sql.functions.col("ts") < hi)
+      }.toSeq
+      val merged = slices.tail.foldLeft(
+        graft.ext.EventFunnel.scdIntervals(slices.head)) { (acc, sl) =>
+        graft.ext.EventFunnel.mergeScdIntervals(acc,
+          graft.ext.EventFunnel.scdIntervals(sl))
+      }
+      assert(merged.collect().map(_.toSeq).toSet == batch, s"cuts $cuts")
+    }
+  }
 }
