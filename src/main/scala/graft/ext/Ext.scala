@@ -3144,5 +3144,46 @@ object Ext {
              |FROM o WHERE t1 IS NOT NULL AND t2 IS NOT NULL
              |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20""".stripMargin),
     ),
+
+    // Curriculum-ordered shard plan: 4 equal-count quality phases (exact
+    // equi-depth cuts over the ppm-quantized q32 score) x 4 hash shards,
+    // deterministic within-cell order — quality-staged training order as
+    // a pure function of (doc, seed). Oracle replays score, cuts, hash,
+    // and positions.
+    QueryDef(
+      "q161_curriculum_order",
+      (s, dir) => Sampling.curriculumShardPlan(tbl(s, dir, "documents"),
+          "text", "doc_id", phases = 4, shards = 4, seed = 3)
+        .orderBy(col("phase"), col("shard"), col("pos")),
+      Some(s"""WITH sc AS (
+              |  SELECT doc_id, CAST(floor(ROUND(
+              |    LEAST(t / 50.0, 1.0) * 0.4 +
+              |    (CAST(len(list_filter(tokens, w -> w IN
+              |       (${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE) / t) * 0.3 +
+              |    CASE WHEN (c - (t - 1)) / CAST(t AS DOUBLE) BETWEEN 3 AND 8 THEN 0.3 ELSE 0.0 END,
+              |    6) * 1000000) AS BIGINT) AS q
+              |  FROM (SELECT doc_id, string_split(text,' ') AS tokens,
+              |               len(string_split(text,' ')) AS t, LENGTH(text) AS c
+              |        FROM documents)),
+              |c AS (SELECT q AS v, COUNT(*) AS cnt FROM sc GROUP BY q),
+              |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
+              |b AS (
+              |  SELECT v, cnt, COALESCE(SUM(cnt) OVER (ORDER BY v
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+              |  FROM c),
+              |bounds AS (
+              |  SELECT CAST((cb * 4) // t.n + 1 AS BIGINT) AS phase,
+              |    MIN(v) AS lo, MAX(v) AS hi
+              |  FROM b, t GROUP BY 1),
+              |h AS (
+              |  SELECT sc.doc_id, sc.q, bo.phase,
+              |    CAST(('0x' || substring(md5(CAST(sc.doc_id AS VARCHAR) || ':3'),1,15))
+              |         AS BIGINT) AS hv
+              |  FROM sc JOIN bounds bo ON sc.q >= bo.lo AND sc.q <= bo.hi)
+              |SELECT doc_id, q, phase, hv % 4 AS shard,
+              |  CAST(ROW_NUMBER() OVER (PARTITION BY phase, hv % 4
+              |                          ORDER BY hv, doc_id) AS BIGINT) AS pos
+              |FROM h ORDER BY phase, shard, pos""".stripMargin),
+    ),
   )
 }

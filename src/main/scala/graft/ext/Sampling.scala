@@ -195,6 +195,39 @@ object Sampling {
     * the doc starts in its packed shard file. The per-shard window is the
     * scale shape a shard writer needs anyway (one partition per output
     * shard); nothing global anywhere. */
+  /** Curriculum-ordered shard plan: [[shardPlan]] with a quality-phase
+    * axis — docs are bucketed into `phases` equal-count quality tiers
+    * (exact equi-depth bounds over the ppm-quantized q32 score,
+    * [[Layout.equiDepthBounds]]) and deterministically ordered within
+    * each (phase, shard) cell by the seeded portable hash. A curriculum
+    * trainer consumes phases in order; within a phase the order is an
+    * unbiased reproducible shuffle; re-phasing an epoch = new seed, no
+    * data movement. Returns (doc_id, q, phase, shard, pos).
+    *
+    * Scale: scoring + hashing are map-only; the phase cut table is
+    * `phases` rows (broadcast); positions come from (phase, shard)-
+    * partitioned windows — phases × shards cells, each the per-writer
+    * sort the shard writer needs anyway. */
+  def curriculumShardPlan(docs: DataFrame, textCol: String, idCol: String,
+      phases: Int, shards: Int, seed: Int): DataFrame = {
+    require(phases >= 2 && shards >= 1, "need phases >= 2, shards >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val scored = PinnedCache.pin(docs.select(col(idCol).as("doc_id"),
+      floor(TextAnalysis.qualityScore(col(textCol),
+        TextAnalysis.tokenCount(col(textCol))) * 1000000).cast("long").as("q")))
+    val bounds = Layout.equiDepthBounds(scored, col("q"), phases)
+      .select(col("bucket").as("phase"), col("lo"), col("hi"))
+    val hv = portableHash(concat(col("doc_id").cast("string"), lit(":" + seed)))
+    val w = Window.partitionBy(col("phase"), col("shard"))
+      .orderBy(col("hv"), col("doc_id"))
+    scored
+      .join(broadcast(bounds), col("q") >= col("lo") && col("q") <= col("hi"))
+      .withColumn("hv", hv)
+      .withColumn("shard", pmod(col("hv"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("q"), col("phase"), col("shard"), col("pos"))
+  }
+
   def shardPlan(docs: DataFrame, idCol: String, textCol: String,
       numShards: Int, seed: Int): DataFrame = {
     require(numShards > 0, "numShards must be positive")
