@@ -812,4 +812,46 @@ object TransformWithStateOps {
       .transformWithState(new BurstProcessor(factor),
         TimeMode.None(), OutputMode.Update())
   }
+
+  final case class PathInstance(user_id: Long, path: String)
+
+  /** Streaming twin of [[graft.ext.EventFunnel.pathCounts]]' n-gram
+    * EXTRACTION stage: per user, hold only the last n−1 event types (one
+    * tiny ValueState string), emit one completed length-n path per event
+    * once the window fills. The multiset of emitted paths equals the
+    * batch lead-window n-grams under per-user (ts, event_id)-ordered
+    * arrival (within a batch the processor sorts), so any downstream
+    * count — batch rollup or a keyed counting stage — reconciles exactly.
+    * State is O(n) per user forever; emission is append-only. */
+  final class PathProcessor(n: Int)
+      extends StatefulProcessor[Long, TimedEvent, PathInstance] {
+
+    @transient private var recent: ValueState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getValueState[String]("recent", Encoders.STRING,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
+        timerValues: TimerValues): Iterator[PathInstance] = {
+      var held: Vector[String] =
+        if (recent.exists() && recent.get().nonEmpty)
+          recent.get().split('\u0001').toVector
+        else Vector.empty
+      val out = Seq.newBuilder[PathInstance]
+      rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+        held = (held :+ e.event_type).takeRight(n)
+        if (held.length == n) out += PathInstance(key, held.mkString(" > "))
+      }
+      recent.update(held.mkString("\u0001"))
+      out.result().iterator
+    }
+  }
+
+  def streamingPathInstances(ds: Dataset[TimedEvent], n: Int): Dataset[PathInstance] = {
+    implicit val outEnc: Encoder[PathInstance] = Encoders.product[PathInstance]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new PathProcessor(n),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

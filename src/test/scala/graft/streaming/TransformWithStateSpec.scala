@@ -645,4 +645,36 @@ class TransformWithStateSpec extends AnyFunSuite {
       assert(latest.values.exists(_.burst) || !batch.values.exists(_.burst))
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streamingPathInstances: emitted path multiset equals the batch lead-window n-grams") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{PathInstance, TimedEvent}
+      val events = graft.queries.QueryDef.tbl(spark, "/root/testdata/sf0.001", "events")
+      val rows = events.orderBy(col("ts"), col("event_id"))
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .collect()
+        .map(r => TimedEvent(r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+
+      val got = scala.collection.mutable.ArrayBuffer[PathInstance]()
+      val input = MemoryStream[TimedEvent]
+      val query = TransformWithStateOps.streamingPathInstances(input.toDS(), n = 3)
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[PathInstance], _: Long) =>
+          got ++= df.collect(); ()
+        }.start()
+      try {
+        rows.grouped(271).foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      } finally query.stop()
+
+      val batchPaths = graft.ext.EventFunnel.pathCounts(events, n = 3, topK = Int.MaxValue)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val gotCounts = got.groupBy(_.path).view.mapValues(_.size.toLong).toMap
+      assert(gotCounts == batchPaths, "path multisets diverge")
+      assert(gotCounts.values.sum > 900, "non-degenerate corpus")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
