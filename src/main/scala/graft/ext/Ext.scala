@@ -3145,6 +3145,44 @@ object Ext {
              |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20""".stripMargin),
     ),
 
+    // Crawl-budget allocation per HOST: the alpha=1/2 mixture planner
+    // (q126) keyed by canonicalized host (q119/q120's derivation) — how
+    // many tokens to take from each host under a global budget, sqrt-
+    // smoothed so megahosts don't monopolize it. Pure composition of two
+    // oracle-proven operators at a new granularity.
+    QueryDef(
+      "q162_host_budget",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+        val withHost = d.select(col("text"),
+          Web.hostOf(Web.fixtureUrl(col("doc_id"), col("source"), col("lang")))
+            .as("host"))
+        Sampling.alphaMixturePlan(withHost, "text", "host", budgetTokens = 15000L)
+          .withColumnRenamed("source", "host")
+          .orderBy(col("host"))
+      },
+      Some("WITH u AS (SELECT doc_id, " + Web.fixtureUrlSql +
+        " AS url FROM documents),\n" + Web.canonicalizeSql + ",\n" +
+        """hc AS (
+          |  SELECT c.host, COUNT(*) AS docs,
+          |    CAST(SUM(len(string_split(doc.text,' '))) AS BIGINT) AS tokens
+          |  FROM c JOIN documents doc ON c.doc_id = doc.doc_id
+          |  GROUP BY c.host),
+          |s0 AS (SELECT hc.*, CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS a FROM hc),
+          |s1 AS (SELECT s0.*, CASE WHEN a*a > tokens THEN a-1 ELSE a END AS b FROM s0),
+          |ws AS (SELECT host, docs, tokens,
+          |         CASE WHEN (b+1)*(b+1) <= tokens THEN b+1 ELSE b END AS w_sqrt FROM s1),
+          |t AS (SELECT ws.*, CAST(SUM(w_sqrt) OVER () AS BIGINT) AS sum_sqrt FROM ws),
+          |w AS (SELECT host, docs, tokens, w_sqrt,
+          |        (w_sqrt * 1000000) // sum_sqrt AS weight_ppm FROM t),
+          |g AS (SELECT w.*, (CAST(15000 AS BIGINT) * weight_ppm) // 1000000 AS target_tokens FROM w),
+          |r AS (SELECT g.*, LEAST(1000000, (target_tokens * 1000000) // tokens) AS rate_ppm FROM g)
+          |SELECT host, docs, tokens, w_sqrt, weight_ppm, target_tokens, rate_ppm,
+          |  (tokens * rate_ppm) // 1000000 AS expected_tokens,
+          |  target_tokens > tokens AS oversubscribed
+          |FROM r ORDER BY host""".stripMargin),
+    ),
+
     // Curriculum-ordered shard plan: 4 equal-count quality phases (exact
     // equi-depth cuts over the ppm-quantized q32 score) x 4 hash shards,
     // deterministic within-cell order — quality-staged training order as
