@@ -190,7 +190,10 @@ object TextAnalysis {
     * the q110 metadata-frame argument at the (source, vocab) grain. */
   def vocabKlDrift(docs: DataFrame, textCol: String, srcCol: String): DataFrame = {
     val tok = docs.select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("w"))
-    val counts = tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    // pinned: the token-count pipeline feeds the source list, the totals,
+    // and the dense left join — one explode pass, not three
+    val counts = PinnedCache.pin(
+      tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c")))
     val tot = counts.groupBy(col("w")).agg(sum(col("c")).as("t"))
     val dense = counts.select(col("source")).distinct()
       .crossJoin(broadcast(tot))

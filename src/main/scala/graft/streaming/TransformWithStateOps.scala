@@ -822,7 +822,9 @@ object TransformWithStateOps {
     * batch lead-window n-grams under per-user (ts, event_id)-ordered
     * arrival (within a batch the processor sorts), so any downstream
     * count — batch rollup or a keyed counting stage — reconciles exactly.
-    * State is O(n) per user forever; emission is append-only. */
+    * State is O(n) per user forever (the held types join on \u0001 —
+    * event-type values must not contain that control char); emission is
+    * append-only. */
   final class PathProcessor(n: Int)
       extends StatefulProcessor[Long, TimedEvent, PathInstance] {
 
