@@ -3145,6 +3145,49 @@ object Ext {
              |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20""".stripMargin),
     ),
 
+    // Split-distribution identity audit: grid-KS distance of each hash
+    // split's token-count distribution vs the rest — the release gate
+    // that train/val/test are DISTRIBUTIONALLY identical, not just
+    // share-balanced (q74 checks shares; this checks shapes). Composes
+    // the portable split assignment with the q110 integer KS machinery.
+    QueryDef(
+      "q163_split_drift",
+      (s, dir) => Histogram.ksDrift(
+          tbl(s, dir, "documents")
+            .select(Sampling.splitColumn(col("doc_id"), 80, 10).as("split"),
+              TextAnalysis.tokenCount(col("text")).cast("double").as("v")),
+          col("split"), col("v"), 1)
+        .withColumnRenamed("grp", "split")
+        .orderBy(col("split")),
+      Some("""WITH d AS (
+             |  SELECT CASE
+             |    WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
+             |         AS BIGINT) % 100 < 80 THEN 'train'
+             |    WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
+             |         AS BIGINT) % 100 < 90 THEN 'val'
+             |    ELSE 'test' END AS grp,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS bin
+             |  FROM documents),
+             |b AS (SELECT grp, bin, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+             |dense AS (
+             |  SELECT g.grp, a.bin, COALESCE(b.cnt, 0) AS cnt
+             |  FROM (SELECT DISTINCT grp FROM b) g
+             |  CROSS JOIN (SELECT DISTINCT bin FROM b) a
+             |  LEFT JOIN b ON b.grp = g.grp AND b.bin = a.bin),
+             |c AS (
+             |  SELECT grp, bin, cnt,
+             |    SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+             |    SUM(cnt) OVER (PARTITION BY grp) AS n_g,
+             |    SUM(cnt) OVER () AS n_all
+             |  FROM dense),
+             |c2 AS (SELECT *, SUM(cum) OVER (PARTITION BY bin) AS gcum FROM c)
+             |SELECT grp AS split, CAST(MAX(n_g) AS BIGINT) AS n,
+             |  CAST(MAX(abs(cum*(n_all-n_g) - (gcum-cum)*n_g)) AS BIGINT) AS ks_scaled,
+             |  CAST(MAX(abs(cum*(n_all-n_g) - (gcum-cum)*n_g)) AS DOUBLE)
+             |    / (MAX(n_g) * (MAX(n_all) - MAX(n_g))) AS ks
+             |FROM c2 GROUP BY grp ORDER BY split""".stripMargin),
+    ),
+
     // Crawl-budget allocation per HOST: the alpha=1/2 mixture planner
     // (q126) keyed by canonicalized host (q119/q120's derivation) — how
     // many tokens to take from each host under a global budget, sqrt-
