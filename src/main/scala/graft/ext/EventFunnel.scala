@@ -82,7 +82,11 @@ object EventFunnel {
     import org.apache.spark.sql.expressions.Window
     require(factor >= 1, "factor must be positive")
     val counts = events
-      .select(col("event_type"), expr(s"(ts - ${epochNs}L) div 3600000000000L").as("hr"))
+      // floor division (pmod keeps the remainder non-negative), matching
+      // DuckDB's `//` for ts < epochNs too — `div` alone truncates toward
+      // zero and would merge hours -0.x and +0.x into hour 0
+      .select(col("event_type"), expr(
+        s"((ts - ${epochNs}L) - pmod(ts - ${epochNs}L, 3600000000000L)) div 3600000000000L").as("hr"))
       .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n"))
     val trail = Window.partitionBy(col("event_type")).orderBy(col("hr"))
       .rangeBetween(-24, -1)

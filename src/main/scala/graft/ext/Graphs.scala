@@ -56,34 +56,6 @@ object Graphs {
     ranks
   }
 
-  /** Exact per-node triangle counts + local clustering coefficients over an
-    * undirected edge list `(a, b)` (one row per edge, `a < b`, no
-    * duplicates). Returns `(node, deg, tri, lcc_ppm)` where `lcc_ppm` is
-    * the local clustering coefficient 2·tri / (deg·(deg−1)) in EXACT
-    * integer ppm (floor of ×10^6) — no float division, engine-portable.
-    *
-    * Algorithm: degree-ordered edge orientation ("compact-forward" /
-    * node-iterator++). Every edge points from its lower endpoint to its
-    * higher endpoint in the total order (deg(v), v); a triangle {u,v,w}
-    * with u <_T v <_T w is enumerated exactly once as the wedge
-    * (u→v, u→w) closed by the oriented edge v→w. Orientation bounds every
-    * node's out-degree by O(√m), so the wedge join generates O(m^{3/2})
-    * candidates worst-case — the standard scalable bound — instead of the
-    * Σ deg² of naive wedge counting; a hub with degree 10^6 in a 100 TB
-    * similarity graph contributes only its out-degree² ≈ m wedges, not
-    * 10^12. All shuffles key on node ids; the closing probe is an equi
-    * semi-join on (v, w). No driver-side state.
-    *
-    * The order key packs (deg, node) into one long — `deg·2^32 + node` —
-    * so the wedge inequality is a single long comparison; requires
-    * node < 2^32 and deg < 2^30 (any id space can be dense-ranked into
-    * this range first).
-    *
-    * Training-pipeline use: dup-graph densification audit. A near-dup pair
-    * list (q26/q104) with chain-shaped components (low lcc) signals
-    * transitive false-positive merges; dense true-dup clusters sit near
-    * lcc = 10^6. Also the market-basket / co-occurrence shape (q139 runs
-    * it over part co-purchases). */
   /** Fixed-round k-core peeling over an undirected edge list `(a, b)`
     * (a < b, deduplicated): `rounds` iterations of "drop every node whose
     * current degree is < k, and all its edges". Returns the surviving
@@ -119,18 +91,69 @@ object Graphs {
     degrees(e)
   }
 
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  /** Exact per-node triangle counts + local clustering coefficients over an
+    * undirected edge list `(a, b)` (one row per edge, `a < b`, no
+    * duplicates). Returns `(node, deg, tri, lcc_ppm)` where `lcc_ppm` is
+    * the local clustering coefficient 2·tri / (deg·(deg−1)) in EXACT
+    * integer ppm (floor of ×10^6) — no float division, engine-portable.
+    *
+    * Algorithm: degree-ordered edge orientation ("compact-forward" /
+    * node-iterator++). Every edge points from its lower endpoint to its
+    * higher endpoint in the total order (deg(v), v); a triangle {u,v,w}
+    * with u <_T v <_T w is enumerated exactly once as the wedge
+    * (u→v, u→w) closed by the oriented edge v→w. Orientation bounds every
+    * node's out-degree by O(√m), so the wedge join generates O(m^{3/2})
+    * candidates worst-case — the standard scalable bound — instead of the
+    * Σ deg² of naive wedge counting; a hub with degree 10^6 in a 100 TB
+    * similarity graph contributes only its out-degree² ≈ m wedges, not
+    * 10^12. All shuffles key on node ids; the closing probe is an equi
+    * semi-join on (v, w). No driver-side state.
+    *
+    * The order key packs (deg, node) into one long — `deg·2^32 + node` —
+    * so the wedge inequality is a single long comparison; requires
+    * node < 2^32 and deg < 2^30 (any id space can be dense-ranked into
+    * this range first).
+    *
+    * Training-pipeline use: dup-graph densification audit. A near-dup pair
+    * list (q26/q104) with chain-shaped components (low lcc) signals
+    * transitive false-positive merges; dense true-dup clusters sit near
+    * lcc = 10^6. Also the market-basket / co-occurrence shape (q139 runs
+    * it over part co-purchases). */
+  def triangleCounts(edges: DataFrame, peelRounds: Int = 0): DataFrame = {
+    require(peelRounds >= 0 && peelRounds <= 10, "peelRounds in [0,10]")
     // pinned: consumed by deg AND the orientation join; deg pinned too
     // (ord + the final coefficient join) — without these the caller's
     // edge-generation pipeline executes three times
     val e = PinnedCache.pin(edges.toDF("a", "b")
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b")))
-    val deg = PinnedCache.pin(e.select(col("a").as("node"))
-      .unionAll(e.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg")))
-    val ord = deg.select(col("node"),
+    def degrees(df: DataFrame): DataFrame =
+      df.select(col("a").as("node")).unionAll(df.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val deg = PinnedCache.pin(degrees(e))
+    // Optional k=2 pre-peel before orientation: a degree-1 node can't
+    // close a wedge, and every triangle vertex keeps degree >= 2 inside
+    // its own triangle, so any number of peel rounds preserves the
+    // triangle set EXACTLY (GraphsSpec pins rounds 0 == 2 bit-identical).
+    // Output degrees/lcc stay on the ORIGINAL graph; peeled nodes fall
+    // out of perNode and coalesce to tri = 0. Default 0: each round costs
+    // a degree count + two semi-joins + a checkpoint (~2 s on q139's
+    // 1.2M-edge graph, measured), which only pays on graphs with a real
+    // degree-1 tail — q139's co-purchase graph has ZERO degree-1 nodes at
+    // sf0.1, so the query keeps the peel off; dup-graphs with tendrils
+    // should pass peelRounds = 2.
+    var pe = e
+    for (_ <- 1 to peelRounds) {
+      val keep = degrees(pe).where(col("deg") >= 2).select(col("node"))
+      pe = pe
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+    }
+    // orientation order uses the PEELED degrees (any total order is
+    // correct; the peeled one gives the tighter O(sqrt(m)) out-degree)
+    val ord = degrees(pe).select(col("node"),
       (col("deg") * 4294967296L + col("node")).as("ord"))
-    val oriented = PinnedCache.pin(e
+    val oriented = PinnedCache.pin(pe
       .join(ord.select(col("node").as("a"), col("ord").as("oa")), "a")
       .join(ord.select(col("node").as("b"), col("ord").as("ob")), "b")
       .select(

@@ -504,6 +504,15 @@ object Similarity {
       nprobe: Int = 4, dim: Int = 64): DataFrame = {
     require(nprobe >= 1 && nprobe <= bits + 1,
       "nprobe-1 single-bit flips need nprobe <= bits+1")
+    // the query-side margin literals are length-`dim` plane vectors while
+    // the corpus-side codegen signature reads the actual embedding length;
+    // a mismatch would silently diverge the bits and collapse recall, so
+    // check the first row of each side (one-row scalar probe each)
+    for ((side, name) <- Seq((queries, "queries"), (corpus, "corpus")))
+      side.select(size(col(vecCol))).head(1).foreach { r =>
+        require(r.getInt(0) == dim,
+          s"multiProbeTopK: $name.$vecCol has length ${r.getInt(0)} but dim=$dim")
+      }
     import graft.functions.RhpSig.planeSign
     val powers = typedLit((0 until bits).map(1L << _))
     val qBase = withNorm(queries, vecCol)

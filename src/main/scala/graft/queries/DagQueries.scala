@@ -214,9 +214,15 @@ object DagQueries {
     }
     dag.sink("history", state)
     val hr = expr("(ts - 1704067200000000000L) div 3600000000000L")
+    // derive the 4 slice bounds from the actual hour span (scalar min/max
+    // agg — two longs to the driver) so a corpus outside [0, 720h) is
+    // still fully covered instead of silently excluded
+    val bounds = events.agg(min(hr).as("lo"), max(hr).as("hi")).head
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (hi - lo) / 4 + 1)
     for (k <- 0 until 4) {
       source.setStream(SparkBatch(
-        events.where(hr >= k * 180 && hr < (k + 1) * 180), 1))
+        events.where(hr >= lo + k * width && hr < lo + (k + 1) * width), 1))
       dag.execute()
     }
     state.getValue.orderBy(col("user_id"), col("valid_from"))

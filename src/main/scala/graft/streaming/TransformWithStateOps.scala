@@ -845,7 +845,10 @@ object TransformWithStateOps {
         held = (held :+ e.event_type).takeRight(n)
         if (held.length == n) out += PathInstance(key, held.mkString(" > "))
       }
-      recent.update(held.mkString("\u0001"))
+      // persist only the last n-1 types: the oldest held entry is dropped
+      // by the next append anyway, so this keeps the documented O(n-1)
+      // state bound with identical emissions
+      recent.update(held.takeRight(math.max(n - 1, 0)).mkString("\u0001"))
       out.result().iterator
     }
   }

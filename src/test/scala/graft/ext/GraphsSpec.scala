@@ -106,6 +106,25 @@ class GraphsSpec extends AnyFunSuite {
     assert(Seq(106L, 107L, 108L).forall(!core5.contains(_)), "tendril peeled")
   }
 
+  test("k=2 pre-peel is invisible in the output: peelRounds 0 == 2 on a tendril-heavy graph") {
+    // a random core plus long degree-1 chains hanging off it — exactly the
+    // shape the pre-peel sheds; counts, degrees, and lcc must not move
+    val rnd = new scala.util.Random(13)
+    val core = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 < e._2).distinct
+    val chains = (0 until 5).flatMap { c =>
+      val base = 100L + c * 10
+      (0 until 4).map(i => (base + i, base + i + 1)) :+ (c.toLong, base)
+    }
+    val edges = (core ++ chains).distinct
+    def rows(pr: Int) = Graphs.triangleCounts(edges.toDF("a", "b"), peelRounds = pr)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows(2) == rows(0), "pre-peel changed the result")
+    // chain interiors are present with their original degree and tri = 0
+    val got = rows(2).map(t => t._1 -> t).toMap
+    assert(got(102L) == ((102L, 2L, 0L, 0L)), "peeled chain node must keep deg, tri=0")
+  }
+
   test("triangleCounts: triangle-free and complete graphs hit the lcc bounds") {
     // 4-cycle: 0 triangles everywhere
     val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L))
