@@ -246,6 +246,49 @@ object Dedup {
     labels
   }
 
+  /** INCREMENTAL connected components — dup-graph maintenance for the
+    * nightly-crawl shape: given the previous run's `(id, root)` labels and
+    * a batch of NEW edges, produce labels identical to re-running
+    * [[connectedComponents]] over the full accumulated edge set, at a cost
+    * bounded by the TOUCHED components plus the delta — never the
+    * accumulated graph.
+    *
+    * Correctness rests on the contraction property: a component's
+    * `(member, root)` star is CC-equivalent to the original component's
+    * edges (same node set, same connectivity), so CC(stars ∪ delta) has
+    * exactly the merged components; and only components containing a delta
+    * endpoint can change, so untouched labels pass through verbatim. Roots
+    * stay canonical (component min id): each old root is the min of its
+    * members, and the min over a merged component is the min over its old
+    * roots ∪ new nodes — what CC recomputes. Star graphs have diameter 2,
+    * so the inner label propagation converges in ~2 + merge-chain rounds
+    * regardless of how deep the accumulated history is.
+    *
+    * Scale shape: one endpoint→root probe join, two semi/anti joins
+    * splitting prev by touched root, then [[connectedComponents]] on a
+    * (touched members + delta)-sized graph. Reconciliation with the batch
+    * result is oracle-checked (q164) and dag-cycle-checked
+    * (IncrementalCcSpec, the q160 pattern). */
+  def incrementalConnectedComponents(prevRoots: DataFrame,
+      deltaEdges: DataFrame): DataFrame = {
+    val prev = PinnedCache.pin(prevRoots.select(col("id"), col("root")))
+    val delta = PinnedCache.pin(
+      deltaEdges.select(col("a_id"), col("b_id")).distinct())
+    val touchedRoots = delta.select(col("a_id").as("id"))
+      .unionAll(delta.select(col("b_id").as("id"))).distinct()
+      .join(prev, Seq("id")) // inner: brand-new nodes carry no old root
+      .select(col("root")).distinct()
+    val untouched = prev.join(touchedRoots, Seq("root"), "left_anti")
+    val stars = prev.join(touchedRoots, Seq("root"), "left_semi")
+      .where(col("id") =!= col("root"))
+      .select(col("id").as("a_id"), col("root").as("b_id"))
+    // touched singleton roots appear in delta by construction (they were
+    // touched through one of their own endpoints), so stars ∪ delta covers
+    // every node whose label can change
+    val merged = connectedComponents(stars.unionByName(delta))
+    untouched.select(col("id"), col("root")).unionByName(merged)
+  }
+
   /** Near-dup CLUSTERS (not just pairs): LSH pairs -> connected components
     * -> one row per multi-member cluster. Pair-wise "drop the higher id"
     * dedup is not transitive (a~b, b~c with a!~c drops b and c but keeps

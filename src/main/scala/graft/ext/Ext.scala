@@ -3188,6 +3188,45 @@ object Ext {
              |FROM c2 GROUP BY grp ORDER BY split""".stripMargin),
     ),
 
+    // INCREMENTAL connected components over the near-dup graph: the edge
+    // list splits into a base wave and a delta wave (parity of the pair
+    // sum — any deterministic split works); the delta is folded into the
+    // base labels via star-contraction + CC on the touched-plus-delta
+    // subgraph only. The oracle is ONE-SHOT batch CC over all pairs
+    // (q44's recursive CTE emitting labels), so a pass proves the
+    // incremental maintenance is indistinguishable from recomputation —
+    // the nightly-crawl dup-graph contract (IncrementalCcSpec adds the
+    // dag-cycle and merge/new-node cases).
+    QueryDef(
+      "q164_incremental_cc",
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
+          .select(col("a_id"), col("b_id"))
+        val base = pairs.where((col("a_id") + col("b_id")) % 2 === 0)
+        val delta = pairs.where((col("a_id") + col("b_id")) % 2 === 1)
+        Dedup.incrementalConnectedComponents(
+            Dedup.connectedComponents(base), delta)
+          .orderBy(col("id"))
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
+             |  WHERE len(tokens) >= 3),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+             |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+             |          UNION SELECT b_id, a_id FROM pairs),
+             |r(id, m) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.m)
+             |SELECT id, MIN(m) AS root FROM r GROUP BY id ORDER BY id""".stripMargin),
+    ),
+
     // Crawl-budget allocation per HOST: the alpha=1/2 mixture planner
     // (q126) keyed by canonicalized host (q119/q120's derivation) — how
     // many tokens to take from each host under a global budget, sqrt-

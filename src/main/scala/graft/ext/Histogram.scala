@@ -68,8 +68,9 @@ object Histogram {
     * here grid-quantized (±1/scale in the value axis) which makes it
     * integer-exact: the sup is computed on |cum_g·n_rest - cum_rest·n_g|
     * (pure BIGINT cross-multiplication; safe while total rows < ~3·10^9 —
-    * products stay under 2^63; switch the two products to decimal(38,0)
-    * beyond), with ONE double division at the end.
+    * products stay under 2^63; `bigGrid = true` is the tested decimal(38,0)
+    * switch beyond, see [[ksDriftFromBins]]), with ONE double division at
+    * the end.
     *
     * The CDFs are evaluated on the union of occupied bins (a group's CDF
     * is flat where it has no mass but the rest may jump — skipping those
@@ -77,12 +78,29 @@ object Histogram {
     * fill. That cross join is METADATA-sized by construction (#groups ×
     * #occupied bins, both bounded regardless of row count — the same
     * argument as [[gridBins]]' state bound), not a data cross join. */
-  def ksDrift(df: DataFrame, group: Column, value: Column, scale: Int): DataFrame = {
-    val bins = gridBins(df, group, value, scale)
+  def ksDrift(df: DataFrame, group: Column, value: Column, scale: Int,
+      bigGrid: Boolean = false): DataFrame =
+    ksDriftFromBins(gridBins(df, group, value, scale), bigGrid)
+
+  /** [[ksDrift]] on a pre-built `(grp, bin, cnt)` frame. `bigGrid = true`
+    * switches the cumulative sums and cross-multiplications to
+    * decimal(38,0) — the escape hatch for total rows beyond ~3·10^9,
+    * where cum·n products (and even n_all itself) leave the BIGINT range.
+    * Two longs' product always fits decimal(38,0) (2^126 < 10^38), so the
+    * wide path is exact wherever counts are; HistogramBigGridSpec pins
+    * (a) bit-agreement of both paths under the boundary and (b) the wide
+    * path against BigInt brute force on counts straddling 2^63, where the
+    * long path overflows (ANSI: throws). */
+  def ksDriftFromBins(bins0: DataFrame, bigGrid: Boolean = false): DataFrame = {
+    val bins =
+      if (bigGrid) bins0.withColumn("cnt", col("cnt").cast("decimal(38,0)"))
+      else bins0
+    // typed zero (na.fill(Long) skips decimal columns in the wide path)
+    val zero = lit(0L).cast(if (bigGrid) "decimal(38,0)" else "long")
     val dense = bins.select(col("grp")).distinct()
       .crossJoin(bins.select(col("bin")).distinct())
       .join(bins, Seq("grp", "bin"), "left_outer")
-      .na.fill(0L, Seq("cnt"))
+      .withColumn("cnt", coalesce(col("cnt"), zero))
     val byBin = Window.partitionBy(col("grp")).orderBy(col("bin"))
     val cum = dense
       .withColumn("cum", sum(col("cnt")).over(byBin))
@@ -112,9 +130,10 @@ object Histogram {
     * (group, week) comparison runs on the union of the two weeks' occupied
     * bins (same dense-fill argument as [[ksDrift]]); all arithmetic
     * integer until the final division. Weeks with no previous-week data
-    * are omitted (nothing to compare). */
+    * are omitted (nothing to compare). `bigGrid` widens counts to
+    * decimal(38,0), same contract as [[ksDriftFromBins]]. */
   def weeklyKsDrift(df: DataFrame, group: Column, value: Column,
-      tsNanosCol: String, scale: Int): DataFrame = {
+      tsNanosCol: String, scale: Int, bigGrid: Boolean = false): DataFrame = {
     require(scale >= 1 && (scale & (scale - 1)) == 0, "scale must be a power of two")
     val weekNs = 7L * 24 * 3600 * 1000000000L
     // integer div (Column./ is DOUBLE division and ts nanos exceed 2^53)
@@ -122,6 +141,9 @@ object Histogram {
       .groupBy(group.as("grp"), expr(s"$tsNanosCol div ${weekNs}L").as("wk"),
         floor(value * scale).cast("long").as("bin"))
       .agg(count(lit(1)).as("cnt"))
+      .withColumn("cnt",
+        if (bigGrid) col("cnt").cast("decimal(38,0)") else col("cnt"))
+    val zero = lit(0L).cast(if (bigGrid) "decimal(38,0)" else "long")
     // bins relevant to the (wk-1 -> wk) comparison: this week's plus the
     // previous week's (shifted forward)
     val keys = b.select(col("grp"), col("wk"), col("bin"))
@@ -133,7 +155,8 @@ object Histogram {
     val dense = keys
       .join(cur, Seq("grp", "wk", "bin"), "left_outer")
       .join(prev, Seq("grp", "wk", "bin"), "left_outer")
-      .na.fill(0L, Seq("c_cur", "c_prev"))
+      .withColumn("c_cur", coalesce(col("c_cur"), zero))
+      .withColumn("c_prev", coalesce(col("c_prev"), zero))
     val byBin = Window.partitionBy(col("grp"), col("wk")).orderBy(col("bin"))
     val whole = Window.partitionBy(col("grp"), col("wk"))
     dense

@@ -1,0 +1,104 @@
+package graft.audit
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestSession}
+
+/** Listener-ASSERTED scale budgets: the way PlanSpec pins plan shapes,
+  * this pins what the plans actually move — shuffle bytes, spill, and
+  * per-task memory peaks from real TaskMetrics, per operator family, on
+  * the sf0.01 tables. A regression that silently de-optimizes a family
+  * (loses map-side combine, breaks a broadcast into a shuffle join,
+  * shuffles raw shingle sets instead of fixed-width signatures, starts
+  * spilling under the default heap) trips a ceiling here even when the
+  * result stays correct and the wall-clock noise hides it.
+  *
+  * Ceilings are ~4× the measured values (recorded in SCALE.md) so AQE
+  * task-count wiggle and metadata growth don't flap them, while an
+  * order-of-magnitude structural regression cannot pass. */
+class ScaleBudgetSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  private def measure(q: String): BudgetSnapshot = {
+    graft.ext.PinnedCache.releaseAll()
+    spark.catalog.clearCache()
+    val (_, b) = TaskBudgetListener.measure(spark) {
+      SparkEntry.queries(q)(spark, sf).write.format("noop").mode("overwrite").save()
+    }
+    info(s"$q: ${b.pretty}")
+    b
+  }
+
+  private val MB = 1048576L
+
+  test("q01 group-by-sum: map-side partial agg keeps the shuffle to group-row partials") {
+    val b = measure("q01_groupby_sum")
+    // a handful of groups × 32-ish map partials; raw-row shuffling would
+    // move the whole lineitem scan (~MBs) through the exchange
+    assert(b.shuffleWriteBytes < 64 * 1024,
+      s"partial agg lost: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "agg spilled")
+  }
+
+  test("q03 join+agg: the dimension side broadcasts — no join-side shuffle of the fact table") {
+    val b = measure("q03_join_agg")
+    // only agg partials cross the wire; a regressed sort-merge join would
+    // shuffle the joined fact rows (input-sized, MBs)
+    assert(b.shuffleWriteBytes < 1 * MB,
+      s"broadcast join regressed to a shuffle join: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "join spilled")
+  }
+
+  test("q11 top-k: TakeOrderedAndProject ships k rows per partition, not a global sort") {
+    val b = measure("q11_topk")
+    assert(b.shuffleWriteBytes < 256 * 1024,
+      s"top-k shuffled more than per-partition heads: shufW=${b.shuffleWriteBytes}")
+  }
+
+  test("q24 exact dedup: hash-groupBy shuffles digests, not documents") {
+    val b = measure("q24_dedup_exact")
+    // the exchange carries (digest, id) pairs — document text (~1.5 MB at
+    // sf0.01) must be pruned before the shuffle
+    assert(b.shuffleWriteBytes < 2 * MB,
+      s"dedup shuffled document payloads: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "dedup spilled")
+  }
+
+  test("q26 MinHash LSH: fixed-width signatures cross the wire, not shingle sets") {
+    val b = measure("q26_jaccard_pairs")
+    // sigs are B band-longs per doc + bucket-join traffic; shuffling raw
+    // shingle sets would be input-sized or larger
+    assert(b.shuffleWriteBytes < 4 * MB,
+      s"LSH shuffled shingle payloads: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "LSH spilled")
+  }
+
+  test("q133 HyperLogLog: register-array-bounded state, sketch-sized shuffle") {
+    val b = measure("q133_hll_distinct")
+    // 2^p byte-ish registers per (group, partition) partial — constant in
+    // row count; an exact-distinct regression shuffles every distinct key
+    assert(b.shuffleWriteBytes < 2 * MB,
+      s"HLL shuffle not sketch-bounded: shufW=${b.shuffleWriteBytes}")
+  }
+
+  test("q139 exact triangles: oriented wedge volume stays near O(m^1.5), zero spill") {
+    val b = measure("q139_triangle_count")
+    // sf0.01 co-purchase graph ~119k edges; orientation bounds the
+    // wedge-join exchange to a few MB — naive Σdeg² wedges would be 10-100×
+    assert(b.shuffleWriteBytes < 16 * MB,
+      s"wedge exchange blew past the orientation bound: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "triangles spilled")
+  }
+
+  test("per-task peak execution memory stays executor-slot-sized across the pinned families") {
+    // at 100 TB an executor slot has ~1-4 GB of execution memory; a task
+    // peaking far above that on sf0.01 inputs signals driver-ish state
+    // hiding inside an operator. 256 MB is ~4x the worst measured peak.
+    for (q <- Seq("q01_groupby_sum", "q03_join_agg", "q24_dedup_exact",
+        "q26_jaccard_pairs", "q139_triangle_count")) {
+      val b = measure(q)
+      assert(b.peakExecMem < 256 * MB, s"$q peakTaskMem=${b.peakExecMem}")
+    }
+  }
+}
