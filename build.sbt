@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked run inherits this process's stdout/stderr directly: the bench
+// metrics JSON reaches the driver's capture as a BARE line instead of
+// being re-logged behind sbt's `[info] ` prefix (r5 verdict: the driver's
+// parser never matched the prefixed line)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -65,7 +65,24 @@ object Bench {
       .map { case (k, v) => "\"" + shortKey(k) + "\":" + Math.round(v * 1000) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","qunit":"ms","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","qunit":"ms","queries":$qs,"sf":"$sfDir"}"""
+    // three redundancy layers for the driver's tail capture, whose r4/r5
+    // parses came back null even with the line present:
+    // (1) persist the JSON to a file (durable regardless of capture),
+    // (2) print it now, (3) re-print it from a shutdown hook so the LAST
+    // lines this JVM emits are the bare JSON and the file path — after
+    // sbt's log wrapper has nothing left to interleave. run/outputStrategy
+    // in build.sbt is StdoutOutput so none of these carry an sbt prefix.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    println(line)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      System.out.println(line)
+      System.out.flush()
+    }))
     spark.stop()
   }
 }

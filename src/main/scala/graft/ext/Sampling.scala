@@ -135,6 +135,14 @@ object Sampling {
     * rounding can land one off in either direction near perfect squares,
     * and both engines' float behavior stops mattering once the corrections
     * run (exact for any n < 2^62). */
+  /** JVM replica of [[isqrt]], pinned bit-equal to the Column form
+    * (JvmKernelParitySpec); used by the streaming alpha-mixture twin. */
+  def isqrtJvm(n: Long): Long = {
+    val s0 = math.floor(math.sqrt(n.toDouble)).toLong
+    val s1 = if (s0 * s0 > n) s0 - 1 else s0
+    if ((s1 + 1) * (s1 + 1) <= n) s1 + 1 else s1
+  }
+
   def isqrt(n: Column): Column = {
     val s0 = floor(sqrt(n.cast("double"))).cast("long")
     val s1 = when(s0 * s0 > n, s0 - 1).otherwise(s0)

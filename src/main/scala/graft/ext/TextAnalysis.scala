@@ -150,6 +150,21 @@ object TextAnalysis {
     * DETERMINISTIC approximation, identical wherever the formula runs.
     * Both CASE branches are lazy (Spark CaseWhen and DuckDB CASE), so the
     * small-x branch's x^4 never evaluates for large x. */
+  /** JVM replica of [[quarterLog2]], pinned bit-equal to the Column form
+    * (JvmKernelParitySpec) — the streaming KL twin recomputes terms
+    * driver-free inside a StatefulProcessor (the BloomJoin.positionsJvm
+    * discipline: one formula, two runtimes, a parity test). */
+  def quarterLog2Jvm(x: Long): Long = {
+    // length(bin(v)) - 1: bin() prints no leading zeros; bin(0) = "0"
+    def m(v: Long): Long = if (v == 0L) 0L else 63L - java.lang.Long.numberOfLeadingZeros(v)
+    val mm = m(x)
+    if (mm <= 14) m(x * x * x * x)
+    else {
+      val t = x >> (mm - 14)
+      (mm - 14) * 4 + m(t * t * t * t)
+    }
+  }
+
   def quarterLog2(x: Column): Column = {
     val m = length(bin(x)) - 1
     val t = call_function("shiftright", x, m - 14)

@@ -859,4 +859,145 @@ object TransformWithStateOps {
       .transformWithState(new PathProcessor(n),
         TimeMode.None(), OutputMode.Append())
   }
+
+  final case class SourceToken(source: String, w: String)
+  final case class KlDriftRow(source: String, n_tokens: Long, vocab: Long,
+      kl_q4: Long, kl_mq4: Long)
+
+  /** Streaming twin of [[graft.ext.TextAnalysis.vocabKlDrift]] (q158) —
+    * continuous vocabulary-drift monitoring. KL(P_s ‖ P_rest) couples
+    * every source through the rest-of-corpus margin AND the global
+    * vocabulary (a new token reshapes every source's smoothed dense
+    * frame), so the reduction is inherently one global grid: the state is
+    * the (source, token) → count map — the exact sources × vocabulary
+    * metadata frame the batch operator materializes, bounded by the
+    * monitoring vocabulary, never by row count — and the processor runs
+    * single-keyed (the token-count EXPLODE upstream is still parallel;
+    * only the vocabulary-sized reduction is one task, same as the batch
+    * plan's final sources-sized rollup). Every batch re-emits ALL
+    * sources' refreshed rows (any update moves every source's rest
+    * margin); each emission equals the batch operator over the rows seen
+    * so far regardless of batching (TransformWithStateSpec), via the
+    * [[graft.ext.TextAnalysis.quarterLog2Jvm]] pinned kernel. */
+  final class VocabKlDriftProcessor
+      extends StatefulProcessor[Int, SourceToken, KlDriftRow] {
+
+    @transient private var counts: MapState[(String, String), Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[(String, String), Long]("counts",
+        Encoders.tuple(Encoders.STRING, Encoders.STRING),
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[SourceToken],
+        timerValues: TimerValues): Iterator[KlDriftRow] = {
+      var any = false
+      rows.foreach { r =>
+        val k = (r.source, r.w)
+        val c = if (counts.containsKey(k)) counts.getValue(k) else 0L
+        counts.updateValue(k, c + 1L)
+        any = true
+      }
+      if (!any) return Iterator.empty
+      import graft.ext.TextAnalysis.quarterLog2Jvm
+      val state = counts.iterator().toArray
+      val tot = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      state.foreach { case ((_, w), c) => tot(w) += c }
+      val vocab = tot.keys.toArray
+      val totAll = tot.valuesIterator.sum
+      val v = vocab.length.toLong
+      val bySource = state.groupBy(_._1._1)
+      bySource.keys.toArray.sorted.iterator.map { s =>
+        val ca = bySource(s).map { case ((_, w), c) => w -> c }.toMap
+          .withDefaultValue(0L)
+        val nTokens = ca.valuesIterator.sum
+        val na = nTokens + v
+        val nb = (totAll - nTokens) + v
+        var kl = 0L
+        vocab.foreach { w =>
+          val a = ca(w); val b = tot(w) - a
+          kl += (a + 1) * (quarterLog2Jvm((a + 1) * nb) - quarterLog2Jvm((b + 1) * na))
+        }
+        KlDriftRow(s, nTokens, v, kl, math.max(kl, 0L) * 1000L / na)
+      }
+    }
+  }
+
+  /** Wire [[VocabKlDriftProcessor]] over a streaming `documents` frame —
+    * tokenization is the batch operator's exact expression (map-side,
+    * parallel); the single-key grouping feeds the global reduction. */
+  def streamingVocabKlDrift(docs: org.apache.spark.sql.DataFrame,
+      textCol: String, srcCol: String): Dataset[KlDriftRow] = {
+    import org.apache.spark.sql.functions._
+    implicit val inEnc: Encoder[SourceToken] = Encoders.product[SourceToken]
+    implicit val outEnc: Encoder[KlDriftRow] = Encoders.product[KlDriftRow]
+    docs.select(col(srcCol).as("source"),
+        explode(graft.ext.TextAnalysis.tokens(col(textCol))).as("w"))
+      .as[SourceToken]
+      .groupByKey(_ => 0)(Encoders.scalaInt)
+      .transformWithState(new VocabKlDriftProcessor(),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  final case class AlphaMixtureRow(source: String, docs: Long, tokens: Long,
+      w_sqrt: Long, weight_ppm: Long, target_tokens: Long, rate_ppm: Long,
+      expected_tokens: Long, oversubscribed: Boolean)
+
+  /** Streaming twin of [[graft.ext.Sampling.alphaMixturePlan]] keyed the
+    * q162 way (per canonicalized HOST) — the live crawl-budget allocator.
+    * Unlike [[MixturePlanProcessor]] (fixed externally-supplied weights),
+    * the alpha = 1/2 weights DERIVE from the accumulating per-host token
+    * totals, and the sqrt-sum normalizer couples every host — so the
+    * state is the host → (docs, tokens) map (host-cardinality-bounded,
+    * two longs each) under a single key, and every batch re-emits the
+    * whole refreshed plan (any host's growth re-divides the budget; the
+    * emission IS the plan table, so its size equals the batch output).
+    * Arithmetic is the batch planner's exact integer ppm chain on the
+    * [[graft.ext.Sampling.isqrtJvm]] pinned kernel; every emission equals
+    * the batch operator over rows seen so far (TransformWithStateSpec). */
+  final class AlphaMixtureProcessor(budgetTokens: Long)
+      extends StatefulProcessor[Int, SourceTokens, AlphaMixtureRow] {
+
+    @transient private var counts: MapState[String, (Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, (Long, Long)]("counts",
+        Encoders.STRING, Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[SourceTokens],
+        timerValues: TimerValues): Iterator[AlphaMixtureRow] = {
+      var any = false
+      rows.foreach { r =>
+        val (d, t) = if (counts.containsKey(r.source)) counts.getValue(r.source)
+          else (0L, 0L)
+        counts.updateValue(r.source, (d + 1L, t + r.n_tok))
+        any = true
+      }
+      if (!any) return Iterator.empty
+      import graft.ext.Sampling.isqrtJvm
+      val state = counts.iterator().toArray
+      val sumSqrt = state.iterator.map { case (_, (_, t)) => isqrtJvm(t) }.sum
+      state.sortBy(_._1).iterator.map { case (host, (docs, tokens)) =>
+        val w = isqrtJvm(tokens)
+        val wp = w * 1000000L / sumSqrt
+        val target = budgetTokens * wp / 1000000L
+        // tokens = 0: take everything (vacuously met) — the batch form
+        // never divides there because a counted doc implies a row
+        val rate = if (tokens > 0) math.min(1000000L, target * 1000000L / tokens)
+          else 1000000L
+        AlphaMixtureRow(host, docs, tokens, w, wp, target, rate,
+          tokens * rate / 1000000L, target > tokens)
+      }
+    }
+  }
+
+  def streamingAlphaMixturePlan(ds: Dataset[SourceTokens],
+      budgetTokens: Long): Dataset[AlphaMixtureRow] = {
+    implicit val outEnc: Encoder[AlphaMixtureRow] = Encoders.product[AlphaMixtureRow]
+    ds.groupByKey(_ => 0)(Encoders.scalaInt)
+      .transformWithState(new AlphaMixtureProcessor(budgetTokens),
+        TimeMode.None(), OutputMode.Update())
+  }
 }
+

@@ -677,4 +677,80 @@ class TransformWithStateSpec extends AnyFunSuite {
       assert(gotCounts.values.sum > 900, "non-degenerate corpus")
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streamingVocabKlDrift: every emission equals batch vocabKlDrift over rows seen so far") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.KlDriftRow
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("source"), col("text"))
+        .as[(String, String)].collect().toSeq
+
+      val latest = scala.collection.mutable.Map[String, KlDriftRow]()
+      val input = MemoryStream[(String, String)]
+      val query = TransformWithStateOps.streamingVocabKlDrift(
+          input.toDF().toDF("source", "text"), "text", "source")
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[KlDriftRow], _: Long) =>
+          df.collect().foreach(r => latest(r.source) = r); ()
+        }.start()
+      val waves = docs.grouped(docs.length / 3 + 1).toSeq
+      try {
+        var seen = Seq.empty[(String, String)]
+        waves.foreach { b =>
+          input.addData(b: _*); query.processAllAvailable()
+          seen = seen ++ b
+          // reconcile MID-STREAM too: the rest margin and vocab are global,
+          // so every prefix must match its batch run exactly
+          val batch = graft.ext.TextAnalysis.vocabKlDrift(
+              seen.toDF("source", "text"), "text", "source")
+            .collect().map(r => r.getString(0) -> KlDriftRow(r.getString(0),
+              r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+          assert(batch.nonEmpty && latest.toMap == batch, s"after ${seen.size} docs")
+        }
+      } finally query.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("streamingAlphaMixturePlan: host-keyed emissions equal batch alphaMixturePlan (q162)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{AlphaMixtureRow, SourceTokens}
+      val budget = 15000L
+      // the q162 derivation exactly: canonicalized host + whitespace tokens
+      val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val perDoc = d.select(
+          graft.ext.Web.hostOf(graft.ext.Web.fixtureUrl(
+            col("doc_id"), col("source"), col("lang"))).as("source"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+        .as[SourceTokens].collect().toSeq
+
+      val latest = scala.collection.mutable.Map[String, AlphaMixtureRow]()
+      val input = MemoryStream[SourceTokens]
+      val query = TransformWithStateOps.streamingAlphaMixturePlan(input.toDS(), budget)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[AlphaMixtureRow], _: Long) =>
+          df.collect().foreach(r => latest(r.source) = r); ()
+        }.start()
+      try {
+        perDoc.grouped(perDoc.length / 4 + 1).foreach { b =>
+          input.addData(b: _*); query.processAllAvailable()
+        }
+      } finally query.stop()
+
+      val withHost = d.select(col("text"),
+        graft.ext.Web.hostOf(graft.ext.Web.fixtureUrl(
+          col("doc_id"), col("source"), col("lang"))).as("host"))
+      val batch = graft.ext.Sampling.alphaMixturePlan(withHost, "text", "host", budget)
+        .collect().map(r => r.getString(0) -> AlphaMixtureRow(r.getString(0),
+          r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getBoolean(8))).toMap
+      assert(batch.nonEmpty && latest.keySet == batch.keySet)
+      batch.foreach { case (h, want) => assert(latest(h) == want, s"host $h") }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
