@@ -368,6 +368,58 @@ object CorpusMining {
       .select(col("doc_id"), col("score"), col("rank"))
   }
 
+  /** Integer-idf term-overlap retrieval: score = Σ_{matched terms}
+    * n·10^6 div df — the second lexical system for hybrid fusion
+    * ([[rrfFuse]]): rare matched terms dominate, pure integers, zero
+    * length normalization (deliberately DIFFERENT ranking behavior from
+    * [[bm25TopK]], which is what makes fusing them informative). Same
+    * scale shape as BM25: one stats row broadcast, map-side term probes,
+    * top-k cut before any window. */
+  def idfOverlapTopK(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "idfOverlapTopK needs at least one query term")
+    val d = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+    val statAggs = count(lit(1)).cast("long").as("n") +:
+      terms.zipWithIndex.map { case (term, i) =>
+        sum(when(array_contains(col("t"), term), 1L).otherwise(0L)).as(s"df$i")
+      }
+    val stats = d.agg(statAggs.head, statAggs.tail: _*)
+    val scored = d.crossJoin(broadcast(stats))
+      .withColumn("score_ppm", terms.zipWithIndex.map { case (term, i) =>
+        when(array_contains(col("t"), term) && col(s"df$i") > 0,
+          expr(s"(n * 1000000) div (df$i)")).otherwise(lit(0L))
+      }.reduce(_ + _))
+      .where(col("score_ppm") > 0)
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(k)
+    scored.withColumn("rank", row_number()
+        .over(Window.orderBy(col("score_ppm").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("score_ppm"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion of named rankings (each `(doc_id, rank)`):
+    * rrf_ppm = Σ_systems 10^6 div (c + rank) over the systems that ranked
+    * the doc — the standard hybrid-retrieval combiner (lexical + semantic,
+    * or BM25 + idf-overlap), integer end to end so the fused order is
+    * bit-exact cross-engine. Absent ranks contribute 0 (the classic RRF
+    * convention) and surface as rank_<system> = 0. The union of top-k
+    * lists is k·systems rows — the global fusion window is bounded by the
+    * cut that already happened inside each system. */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val tagged = rankings.map { case (name, df) =>
+      df.select(col("doc_id"), col("rank"), lit(name).as("sys"))
+    }.reduce(_ unionByName _)
+    val aggs = sum(expr(s"1000000 div ($c + rank)")).as("rrf_ppm") +:
+      rankings.map { case (name, _) =>
+        coalesce(max(when(col("sys") === name, col("rank"))), lit(0L))
+          .as(s"rank_$name")
+      }
+    tagged.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .withColumn("fused_rank", row_number()
+        .over(Window.orderBy(col("rrf_ppm").desc, col("doc_id"))).cast("long"))
+  }
+
   def queries: Seq[QueryDef] = Seq(
 
     // Count-Min heavy-hitter audit (the Sketches.cms* operators): exact
@@ -900,6 +952,80 @@ object CorpusMining {
              |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
              |  FROM sc WHERE score > 0)
              |SELECT doc_id, score, rank FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin),
+    ),
+
+    // Hybrid retrieval via reciprocal-rank fusion: BM25 (q123's system)
+    // fused with the integer-idf overlap ranker over the same terms —
+    // rrf_ppm = Σ 10^6 // (60 + rank), the standard lexical+X combiner,
+    // integer end to end. The fusion window sees only the union of two
+    // top-10 lists.
+    QueryDef(
+      "q169_rrf_hybrid",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val terms = Seq("vector", "merge", "window")
+        rrfFuse(Seq(
+            "bm25" -> bm25TopK(docs, "text", "doc_id", terms, 10)
+              .select(col("doc_id"), col("rank")),
+            "idf" -> idfOverlapTopK(docs, "text", "doc_id", terms, 10)
+              .select(col("doc_id"), col("rank"))))
+          .orderBy(col("fused_rank"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text,' ') AS t,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS dl
+             |  FROM documents),
+             |s AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS tt,
+             |    CAST(SUM(CASE WHEN list_contains(t,'vector') THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+             |    CAST(SUM(CASE WHEN list_contains(t,'merge') THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             |    CAST(SUM(CASE WHEN list_contains(t,'window') THEN 1 ELSE 0 END) AS BIGINT) AS df2
+             |  FROM d),
+             |f AS (
+             |  SELECT doc_id, dl,
+             |    CAST(len(list_filter(t, x -> x = 'vector')) AS BIGINT) AS tf0,
+             |    CAST(len(list_filter(t, x -> x = 'merge')) AS BIGINT) AS tf1,
+             |    CAST(len(list_filter(t, x -> x = 'window')) AS BIGINT) AS tf2
+             |  FROM d),
+             |sc AS (
+             |  SELECT doc_id,
+             |    (CASE WHEN tf0 > 0 THEN
+             |       CAST((2*n - 2*df0 + 1) * 22 * tt * tf0 AS DOUBLE)
+             |       / CAST((2*df0 + 1) * (10*tt*tf0 + 3*tt + 9*dl*n) AS DOUBLE)
+             |     ELSE 0.0 END
+             |    + CASE WHEN tf1 > 0 THEN
+             |       CAST((2*n - 2*df1 + 1) * 22 * tt * tf1 AS DOUBLE)
+             |       / CAST((2*df1 + 1) * (10*tt*tf1 + 3*tt + 9*dl*n) AS DOUBLE)
+             |     ELSE 0.0 END)
+             |    + CASE WHEN tf2 > 0 THEN
+             |       CAST((2*n - 2*df2 + 1) * 22 * tt * tf2 AS DOUBLE)
+             |       / CAST((2*df2 + 1) * (10*tt*tf2 + 3*tt + 9*dl*n) AS DOUBLE)
+             |     ELSE 0.0 END AS score
+             |  FROM f, s),
+             |bm AS (
+             |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+             |  FROM sc WHERE score > 0),
+             |io AS (
+             |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank
+             |  FROM (
+             |    SELECT doc_id,
+             |      (CASE WHEN list_contains(t,'vector') AND df0 > 0 THEN (n*1000000)//df0 ELSE 0 END
+             |      + CASE WHEN list_contains(t,'merge') AND df1 > 0 THEN (n*1000000)//df1 ELSE 0 END
+             |      + CASE WHEN list_contains(t,'window') AND df2 > 0 THEN (n*1000000)//df2 ELSE 0 END) AS score_ppm
+             |    FROM d, s)
+             |  WHERE score_ppm > 0),
+             |u AS (
+             |  SELECT doc_id, rank, 'bm25' AS sys FROM bm WHERE rank <= 10
+             |  UNION ALL
+             |  SELECT doc_id, rank, 'idf' FROM io WHERE rank <= 10),
+             |fused AS (
+             |  SELECT doc_id, CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+             |    CAST(COALESCE(MAX(CASE WHEN sys = 'bm25' THEN rank END), 0) AS BIGINT) AS rank_bm25,
+             |    CAST(COALESCE(MAX(CASE WHEN sys = 'idf' THEN rank END), 0) AS BIGINT) AS rank_idf
+             |  FROM u GROUP BY doc_id)
+             |SELECT doc_id, rrf_ppm, rank_bm25, rank_idf,
+             |  CAST(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS fused_rank
+             |FROM fused ORDER BY fused_rank""".stripMargin),
     ),
 
     // Exact phrase search as one map-only scan (phraseOccurrences): docs

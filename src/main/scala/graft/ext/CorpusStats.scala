@@ -197,4 +197,115 @@ object CorpusStats {
       .withColumn("jaccard_ppm",
         expr("(inter * 1000000) div (n_a + n_b - inter)"))
   }
+
+  /** Vocabulary growth curve per source — the Heaps-law saturation audit:
+    * at checkpoints of every `step` docs (in deterministic doc-id order),
+    * how many tokens and how many DISTINCT token types the source has
+    * accumulated. A flattening types curve says more crawl from that
+    * source buys no new vocabulary (diminishing data value); a
+    * still-linear curve says the source is far from mined out. Returns
+    * (source, checkpoint, docs_seen, tokens_seen, vocab_seen), one row
+    * per occupied step bucket, checkpoint = the last doc rank in the
+    * bucket.
+    *
+    * Scale shape: ranks are a per-source window (doc-count rows of
+    * (id, n_tok) longs, never text); type novelty reduces to ONE
+    * (source, token)-keyed min-rank aggregate — first occurrence is a
+    * min, so no per-checkpoint distinct counting and no token multiset
+    * re-scans; the cumulative sums then run over source x buckets rows —
+    * metadata-sized (the Histogram.gridBins state-bound argument). */
+  def vocabGrowth(docs: DataFrame, textCol: String, srcCol: String,
+      idCol: String, step: Int): DataFrame = {
+    require(step >= 1, "step must be positive")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val ranked = PinnedCache.pin(docs
+      .select(col(srcCol).as("source"), col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("toks"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_tok", size(col("toks")).cast("long")))
+    val bkt = expr(s"(rnk + $step - 1) div $step")
+    val perBucket = ranked.groupBy(col("source"), bkt.as("bkt"))
+      .agg(max(col("rnk")).as("docs_partial"), sum(col("n_tok")).as("tok_partial"))
+    val firstRank = ranked
+      .select(col("source"), col("rnk"), explode(col("toks")).as("w"))
+      .groupBy(col("source"), col("w")).agg(min(col("rnk")).as("fr"))
+    val newTypes = firstRank
+      .groupBy(col("source"), expr(s"(fr + $step - 1) div $step").as("bkt"))
+      .agg(count(lit(1)).as("new_types"))
+    val byBkt = Window.partitionBy(col("source")).orderBy(col("bkt"))
+    perBucket
+      // every occupied first-rank bucket has docs, so the left join is total
+      .join(newTypes, Seq("source", "bkt"), "left_outer")
+      .withColumn("nt", coalesce(col("new_types"), lit(0L)))
+      .select(col("source"), (col("bkt") * step).as("checkpoint"),
+        col("docs_partial").as("docs_seen"),
+        sum(col("tok_partial")).over(byBkt).as("tokens_seen"),
+        sum(col("nt")).over(byBkt).as("vocab_seen"))
+  }
+
+  /** Per-doc CORPUS-hapax share: the fraction of a doc's token
+    * occurrences that are corpus-wide hapax legomena (count == 1 across
+    * ALL docs) — the cross-document novelty/noise score, complementing
+    * [[lexicalDiversity]]'s WITHIN-doc hapax ratio. High share flags
+    * gibberish, OCR noise, or genuinely novel vocabulary worth keeping —
+    * either way the docs a curation pass must look at. Integer ppm.
+    *
+    * Scale shape: one token-keyed count (vocabulary-sized), one
+    * token-keyed join back (corpus-count side broadcastable under a
+    * frequency floor), one doc-keyed rollup of longs. */
+  def corpusHapaxShare(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = PinnedCache.pin(docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("w")))
+    val cc = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    tok.join(cc, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("hapax_ppm", expr("(n_hapax * 1000000) div n_tokens"))
+  }
+
+  /** Deterministic m-out-of-n (half-sample) bootstrap CI for the per-source
+    * mean token count: doc d enters resample r iff
+    * portableHash(d ':' r) mod 2 = 0 — no RNG state, so the resamples are
+    * reproducible across engines, runs, and partitionings (the split-column
+    * discipline applied to uncertainty quantification). Returns per source
+    * the full-sample mean plus the exact rank-5%/95% quantiles of the `b`
+    * resample means, all integer ppm. Half-sampling is the m = n/2
+    * subsample bootstrap — CI widths are conservative by ~√2 vs the n-out-
+    * of-n bootstrap, the standard trade for determinism without multiset
+    * draws.
+    *
+    * Scale shape: the explode is b× on (source, n_tok) LONGS (never text),
+    * immediately crushed by a (source, r) partial agg — map-side
+    * combinable; quantile extraction runs over source × b metadata rows. */
+  def bootstrapMeanCI(docs: DataFrame, textCol: String, srcCol: String,
+      idCol: String, b: Int = 32): DataFrame = {
+    require(b >= 4 && b <= 1024, "resample count in [4,1024]")
+    val base = PinnedCache.pin(docs.select(col(srcCol).as("source"),
+      col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("n_tok")))
+    val res = base
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0), lit(b - 1))).as("r"))
+      .where(pmod(Sampling.portableHash(
+        concat(col("doc_id").cast("string"), lit(":"), col("r").cast("string"))),
+        lit(2)) === 0)
+      .groupBy(col("source"), col("r"))
+      .agg(count(lit(1)).as("m"), sum(col("n_tok")).as("s"))
+      .withColumn("mean_ppm", expr("(s * 1000000) div m"))
+    val byMean = Window.partitionBy(col("source")).orderBy(col("mean_ppm"))
+    val ranked = res
+      .withColumn("rn", row_number().over(byMean).cast("long"))
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy(col("source"))))
+    val ci = ranked.groupBy(col("source")).agg(
+      max(when(col("rn") === expr("cast(ceil(0.05 * nb) as bigint)"),
+        col("mean_ppm"))).as("boot_lo_ppm"),
+      max(when(col("rn") === expr("cast(ceil(0.95 * nb) as bigint)"),
+        col("mean_ppm"))).as("boot_hi_ppm"),
+      max(col("nb")).as("n_resamples"))
+    base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("(sum(n_tok) * 1000000) div count(1)").as("mean_ppm"))
+      .join(ci, "source")
+  }
 }

@@ -3227,6 +3227,159 @@ object Ext {
              |SELECT id, MIN(m) AS root FROM r GROUP BY id ORDER BY id""".stripMargin),
     ),
 
+    // Vocabulary growth curve per source (Heaps-law saturation audit):
+    // token and TYPE accumulation at every-64-docs checkpoints in
+    // deterministic doc order — a flattening types curve says the source
+    // is mined out. Type novelty is ONE (source, token) min-rank
+    // aggregate; cumulative sums run over source x bucket metadata rows.
+    QueryDef(
+      "q165_vocab_growth",
+      (s, dir) => CorpusStats.vocabGrowth(tbl(s, dir, "documents"),
+          "text", "source", "doc_id", step = 64)
+        .orderBy(col("source"), col("checkpoint")),
+      Some("""WITH r AS (
+             |  SELECT source, doc_id, string_split(text,' ') AS toks,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rnk
+             |  FROM documents),
+             |pb AS (
+             |  SELECT source, (rnk + 63) // 64 AS bkt, MAX(rnk) AS docs_partial,
+             |    CAST(SUM(len(toks)) AS BIGINT) AS tok_partial
+             |  FROM r GROUP BY 1, 2),
+             |fr AS (
+             |  SELECT source, w, MIN(rnk) AS fr
+             |  FROM (SELECT source, rnk, unnest(toks) AS w FROM r) GROUP BY 1, 2),
+             |nt AS (
+             |  SELECT source, (fr + 63) // 64 AS bkt, COUNT(*) AS new_types
+             |  FROM fr GROUP BY 1, 2)
+             |SELECT pb.source, pb.bkt * 64 AS checkpoint,
+             |  docs_partial AS docs_seen,
+             |  CAST(SUM(tok_partial) OVER (PARTITION BY pb.source ORDER BY pb.bkt) AS BIGINT) AS tokens_seen,
+             |  CAST(SUM(COALESCE(new_types, 0)) OVER (PARTITION BY pb.source ORDER BY pb.bkt) AS BIGINT) AS vocab_seen
+             |FROM pb LEFT JOIN nt ON nt.source = pb.source AND nt.bkt = pb.bkt
+             |ORDER BY pb.source, checkpoint""".stripMargin),
+    ),
+
+    // Per-doc CORPUS-hapax share: fraction of a doc's tokens that occur
+    // exactly once across ALL docs — cross-document novelty/noise, the
+    // complement of q59's within-doc hapax ratio. Integer ppm.
+    QueryDef(
+      "q166_corpus_hapax",
+      (s, dir) => CorpusStats.corpusHapaxShare(tbl(s, dir, "documents"),
+          "text", "doc_id")
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+             |cc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+             |  (CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+             |    // COUNT(*) AS hapax_ppm
+             |FROM tok JOIN cc USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
+
+    // Cross-document repeated chunks: q156's stride-chunk fingerprints
+    // rolled up to the chunks appearing 2+ times — the RAG-index dedup
+    // pass (don't embed the same boilerplate chunk 40 times) at chunk
+    // rather than span granularity (q83's complement on the retrieval
+    // side). Digest-keyed rollup; text never reshuffles.
+    QueryDef(
+      "q167_repeated_chunks",
+      (s, dir) => Packing.strideChunks(tbl(s, dir, "documents"),
+          "text", "doc_id", window = 32, stride = 24)
+        .groupBy(col("chunk_md5"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"), min(col("doc_id")).as("first_doc"))
+        .where(col("n_occ") >= 2)
+        .orderBy(col("chunk_md5")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |c AS (
+             |  SELECT doc_id, toks, len(toks) AS n,
+             |    CASE WHEN len(toks) <= 32 THEN 1
+             |         ELSE (len(toks) - 32 + 23) // 24 + 1 END AS n_chunks
+             |  FROM t WHERE len(toks) > 0),
+             |ch AS (
+             |  SELECT doc_id, md5(array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ')) AS chunk_md5
+             |  FROM c, unnest(generate_series(0, n_chunks - 1)) u(i))
+             |SELECT chunk_md5, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  COUNT(*) AS n_occ, MIN(doc_id) AS first_doc
+             |FROM ch GROUP BY chunk_md5 HAVING COUNT(*) >= 2
+             |ORDER BY chunk_md5""".stripMargin),
+    ),
+
+    // Train->test SPLIT contamination audit: which test-split docs share a
+    // 3-gram with the train split — eval hygiene of the release's OWN
+    // split (q48/q125 audit against an EXTERNAL eval set). Composes the
+    // portable hash split with the broadcast gram probe.
+    QueryDef(
+      "q168_split_contamination",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+          .withColumn("split", Sampling.splitColumn(col("doc_id"), 80, 10))
+        Dedup.contaminatedDocs(
+            d.where(col("split") === "test"),
+            d.where(col("split") === "train"), "text", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sp AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
+             |              AS BIGINT) % 100 < 80 THEN 'train'
+             |         WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
+             |              AS BIGINT) % 100 < 90 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, split,
+             |    list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+             |                   FOR i IN generate_series(1, len(t)-2)]) AS gs
+             |  FROM (SELECT doc_id, split, string_split(text,' ') AS t FROM sp)),
+             |b AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE split = 'train'),
+             |t AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE split = 'test')
+             |SELECT doc_id, COUNT(*) AS matched_ngrams
+             |FROM t JOIN b USING (gram)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
+
+    // Deterministic half-sample bootstrap CI for per-source mean tokens:
+    // 32 hash-membership resamples (no RNG state — reproducible across
+    // engines/runs/partitionings), exact rank-5%/95% quantiles of the
+    // resample means, integer ppm. Uncertainty quantification as a pure
+    // function of the data.
+    QueryDef(
+      "q170_bootstrap_ci",
+      (s, dir) => CorpusStats.bootstrapMeanCI(tbl(s, dir, "documents"),
+          "text", "source", "doc_id", b = 32)
+        .orderBy(col("source")),
+      Some("""WITH base AS (
+             |  SELECT source, doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |res AS (
+             |  SELECT source, r, COUNT(*) AS m, CAST(SUM(n_tok) AS BIGINT) AS s
+             |  FROM base, unnest(generate_series(0, 31)) u(r)
+             |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+             |    CAST(r AS VARCHAR)),1,15)) AS BIGINT) % 2 = 0
+             |  GROUP BY source, r),
+             |rm AS (SELECT source, (s * 1000000) // m AS mean_ppm FROM res),
+             |rk AS (
+             |  SELECT source, mean_ppm,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY mean_ppm) AS BIGINT) AS rn,
+             |    COUNT(*) OVER (PARTITION BY source) AS nb
+             |  FROM rm),
+             |ci AS (
+             |  SELECT source,
+             |    MAX(CASE WHEN rn = CAST(ceil(0.05 * nb) AS BIGINT) THEN mean_ppm END) AS boot_lo_ppm,
+             |    MAX(CASE WHEN rn = CAST(ceil(0.95 * nb) AS BIGINT) THEN mean_ppm END) AS boot_hi_ppm,
+             |    CAST(MAX(nb) AS BIGINT) AS n_resamples
+             |  FROM rk GROUP BY source),
+             |f AS (
+             |  SELECT source, COUNT(*) AS n_docs,
+             |    (CAST(SUM(n_tok) AS BIGINT) * 1000000) // COUNT(*) AS mean_ppm
+             |  FROM base GROUP BY source)
+             |SELECT f.source, n_docs, mean_ppm, boot_lo_ppm, boot_hi_ppm, n_resamples
+             |FROM f JOIN ci USING (source) ORDER BY f.source""".stripMargin),
+    ),
+
     // Crawl-budget allocation per HOST: the alpha=1/2 mixture planner
     // (q126) keyed by canonicalized host (q119/q120's derivation) — how
     // many tokens to take from each host under a global budget, sqrt-
