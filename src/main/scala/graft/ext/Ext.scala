@@ -3341,6 +3341,102 @@ object Ext {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
 
+    // Host-level link graph from HTML: deterministic href fixture
+    // (syntheticHtmlLinks) -> real regex extraction (extractLinks) ->
+    // (src_host from the doc's canonical URL, dst_host from the href)
+    // edge counts. The crawl-frontier / authority-graph feeder; the
+    // oracle re-derives targets straight from tokens (same hash bits) so
+    // Spark's extraction path is what's under test. Map-only until the
+    // (host, host) rollup.
+    QueryDef(
+      "q171_link_graph",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+        val links = Web.extractLinks(
+          Web.syntheticHtmlLinks(d, "doc_id", "text"), "doc_id", "html")
+        val srcH = d.select(col("doc_id"),
+          Web.hostOf(Web.fixtureUrl(col("doc_id"), col("source"), col("lang")))
+            .as("src_host"))
+        links.join(srcH, "doc_id")
+          .select(col("src_host"), Web.hostOf(col("url")).as("dst_host"))
+          .groupBy(col("src_host"), col("dst_host"))
+          .agg(count(lit(1)).as("n_links"))
+          .orderBy(col("src_host"), col("dst_host"))
+      },
+      Some("WITH u AS (SELECT doc_id, " + Web.fixtureUrlSql +
+        " AS url FROM documents),\n" + Web.canonicalizeSql + ",\n" +
+        """t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+          |x AS (
+          |  SELECT doc_id,
+          |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)||':'||CAST(j AS VARCHAR)
+          |      ||':'||CAST(k AS VARCHAR)||':href'),1,15)) AS BIGINT) AS h2
+          |  FROM t,
+          |    unnest(generate_series(0, (len(toks)+3)//4 - 1)) uj(j),
+          |    unnest(generate_series(0, LEAST(4, len(toks) - j*4) - 1)) uk(k)
+          |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)||':'||CAST(j AS VARCHAR)
+          |    ||':'||CAST(k AS VARCHAR)),1,15)) AS BIGINT) % 4 = 0),
+          |e AS (
+          |  SELECT c.host AS src_host,
+          |    'h' || CAST(x.h2 % 20 AS VARCHAR) || '.example.org' AS dst_host
+          |  FROM x JOIN c ON c.doc_id = x.doc_id)
+          |SELECT src_host, dst_host, COUNT(*) AS n_links
+          |FROM e GROUP BY 1, 2 ORDER BY src_host, dst_host""".stripMargin),
+    ),
+
+    // Host authority: integer PageRank (q132's bit-exact recurrence) over
+    // the symmetrized q171 link graph — which hosts sit central in the
+    // crawl's citation structure, composed from two oracle-proven
+    // operators (link extraction feeds graph analytics with STRING node
+    // ids — the group/join keys never needed to be dense ints).
+    QueryDef(
+      "q172_host_authority",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+        val links = Web.extractLinks(
+          Web.syntheticHtmlLinks(d, "doc_id", "text"), "doc_id", "html")
+        val srcH = d.select(col("doc_id"),
+          Web.hostOf(Web.fixtureUrl(col("doc_id"), col("source"), col("lang")))
+            .as("src"))
+        val e = links.join(srcH, "doc_id")
+          .select(col("src"), Web.hostOf(col("url")).as("dst")).distinct()
+        val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+        Graphs.integerPageRank(sym, iters = 4)
+          .withColumnRenamed("node", "host").withColumnRenamed("r", "rank")
+          .orderBy(col("host"))
+      },
+      Some({
+        val m = 1000000000000L
+        val iterCte = (0 until 4).map(i =>
+          s"""r${i + 1} AS (
+             |  SELECT sym.dst AS node, (SELECT base FROM cst) + (85 * SUM(r$i.r // deg.deg)) // 100 AS r
+             |  FROM r$i JOIN sym ON r$i.node = sym.src JOIN deg ON sym.src = deg.src
+             |  GROUP BY sym.dst)""".stripMargin).mkString(",\n")
+        "WITH u AS (SELECT doc_id, " + Web.fixtureUrlSql +
+          " AS url FROM documents),\n" + Web.canonicalizeSql + ",\n" +
+          s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |x AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)||':'||CAST(j AS VARCHAR)
+             |      ||':'||CAST(k AS VARCHAR)||':href'),1,15)) AS BIGINT) AS h2
+             |  FROM t,
+             |    unnest(generate_series(0, (len(toks)+3)//4 - 1)) uj(j),
+             |    unnest(generate_series(0, LEAST(4, len(toks) - j*4) - 1)) uk(k)
+             |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)||':'||CAST(j AS VARCHAR)
+             |    ||':'||CAST(k AS VARCHAR)),1,15)) AS BIGINT) % 4 = 0),
+             |e AS (
+             |  SELECT DISTINCT c.host AS src,
+             |    'h' || CAST(x.h2 % 20 AS VARCHAR) || '.example.org' AS dst
+             |  FROM x JOIN c ON c.doc_id = x.doc_id),
+             |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+             |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+             |cst AS (SELECT (15 * ($m // COUNT(*))) // 100 AS base, $m // COUNT(*) AS r0 FROM deg),
+             |r0 AS (SELECT src AS node, (SELECT r0 FROM cst) AS r FROM deg),
+             |""".stripMargin + iterCte + """
+             |SELECT node AS host, CAST(r AS BIGINT) AS rank FROM r4 ORDER BY host""".stripMargin
+      }),
+    ),
+
     // Deterministic half-sample bootstrap CI for per-source mean tokens:
     // 32 hash-membership resamples (no RNG state — reproducible across
     // engines/runs/partitionings), exact rank-5%/95% quantiles of the

@@ -222,6 +222,44 @@ object Web {
           .as("html"))
   }
 
+  /** [[syntheticHtml]] with link TARGETS: each `<a>` word (same hash-bit
+    * selection) carries an href to a deterministic synthetic host,
+    * `https://h{H}.example.org/p{P}` with H/P = portable-hash bits of
+    * (doc_id, run, word, 'href') — so a host-level link graph is a pure
+    * function of the corpus (the q116/q136 render-then-extract pattern:
+    * the oracle re-derives targets from tokens while Spark exercises the
+    * real regex extraction). */
+  def syntheticHtmlLinks(df: DataFrame, idCol: String, textCol: String,
+      nHosts: Int = 20): DataFrame = {
+    val tagCase = (j: String) =>
+      s"""case ${hashExprSql(s"concat(cast(doc_id as string), ':', cast($j as string))")} % 5
+         |  when 3 then 'nav' when 4 then 'script' else 'p' end""".stripMargin
+    val hrefHash = hashExprSql(
+      "concat(cast(doc_id as string), ':', cast(j as string), ':', cast(k as string), ':href')")
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .withColumn("bl", expr(
+        s"""transform(sequence(0, (size(toks) + 3) div 4 - 1), j ->
+           |  concat('<', ${tagCase("j")}, '>',
+           |    array_join(transform(slice(toks, j * 4 + 1, 4), (w, k) ->
+           |      case when ${hashExprSql(
+                   "concat(cast(doc_id as string), ':', cast(j as string), ':', cast(k as string))")} % 4 = 0
+           |        then concat('<a href="https://h', cast($hrefHash % $nHosts as string),
+           |                    '.example.org/p', cast($hrefHash % 1000 as string), '">', w, '</a>')
+           |        else w end), ' '),
+           |    '</', ${tagCase("j")}, '>'))""".stripMargin))
+      .select(col("doc_id"),
+        concat(lit("<html><body>"), array_join(col("bl"), ""), lit("</body></html>"))
+          .as("html"))
+  }
+
+  /** Outbound links from an HTML column: one `(doc_id, url)` row per
+    * href attribute. Map-only regex extraction — the crawl-frontier /
+    * link-graph feeder. */
+  def extractLinks(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      explode(expr(s"""regexp_extract_all($htmlCol, 'href="([^"]*)"', 1)"""))
+        .as("url"))
+
   /** Block-level boilerplate removal over an HTML column: per-doc block
     * counts, link/text char totals, and the surviving main text (reported
     * as md5 + length so row size stays bounded). */
