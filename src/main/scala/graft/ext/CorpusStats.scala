@@ -308,4 +308,29 @@ object CorpusStats {
         expr("(sum(n_tok) * 1000000) div count(1)").as("mean_ppm"))
       .join(ci, "source")
   }
+
+  /** Percentile-rank score calibration across heterogeneous sources: a
+    * raw quality score is not comparable between a clean and a noisy
+    * source (the same 0.6 is top-decile in one, median in the other);
+    * the standard fix is each doc's WITHIN-SOURCE percentile rank —
+    * rank_ppm = (rank−1)·10^6 div (n−1) with SQL rank() so ties share a
+    * value (a pure function of the score multiset, no tie-break needed;
+    * single-doc sources pin to 0). Downstream mixture/curation gates
+    * then cut at calibrated ranks, not raw scores.
+    *
+    * Scale shape: scoring is map-only; the window is a per-source sort of
+    * (id, score) longs — the q49 exact-quantile shape. */
+  def rankNormalizeScores(docs: DataFrame, textCol: String, srcCol: String,
+      idCol: String): DataFrame = {
+    val scored = docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+      TextAnalysis.qualityScore(col(textCol),
+        TextAnalysis.tokenCount(col(textCol))).as("quality"))
+    val bySrc = Window.partitionBy(col("source"))
+    scored
+      .withColumn("rk", rank().over(bySrc.orderBy(col("quality"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(bySrc))
+      .withColumn("rank_ppm",
+        expr("case when n > 1 then ((rk - 1) * 1000000) div (n - 1) else 0 end"))
+      .select(col("doc_id"), col("source"), col("quality"), col("rank_ppm"))
+  }
 }

@@ -207,4 +207,30 @@ object EventFunnel {
       .select(col("user_id"), col("event_type"), col("valid_from"),
         col("valid_to"), col("n_events"), col("valid_to").isNull.as("is_current"))
   }
+
+  /** Point-in-time state snapshots from the SCD-2 history — the feature-
+    * store "time travel" materialization: for every (user, week boundary
+    * present in the data), the user's state as of that instant, derived
+    * by an as-of backward join of the snapshot grid against
+    * [[scdIntervals]]' valid_from axis (contiguous intervals make
+    * "latest valid_from <= t" exactly "the interval containing t").
+    * Users with no state yet at a boundary are absent (ASOF inner
+    * semantics). The PIT-correctness discipline: training features must
+    * join state AS OF the label's time, never current state.
+    *
+    * Scale shape: the grid is distinct-users × distinct-week-boundaries
+    * (both rollups, never event-sized beyond their aggs); the as-of join
+    * is [[graft.operators.AsofJoin]]'s union-window plan — one
+    * (user)-keyed sort window, no per-row probes. */
+  def scdSnapshots(events: DataFrame, weekNs: Long = 604800000000000L): DataFrame = {
+    val iv = scdIntervals(events)
+      .select(col("user_id"), col("valid_from").as("ts"), col("event_type"))
+    val snaps = events.select(expr(s"(ts div ${weekNs}L) * ${weekNs}L").as("ts")).distinct()
+    val grid = events.select(col("user_id")).distinct().crossJoin(snaps)
+    graft.operators.AsofJoin
+      .asofJoin(grid, iv, "user_id", "ts", "event_type", "event_type")
+      .where(col("asof_event_type").isNotNull)
+      .select(col("user_id"), col("ts").as("snap_ts"),
+        col("asof_event_type").as("state"))
+  }
 }

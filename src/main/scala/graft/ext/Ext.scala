@@ -3341,6 +3341,129 @@ object Ext {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
 
+    // Point-in-time state snapshots from SCD-2 history: per (user, week
+    // boundary), the state AS OF that instant, via an as-of backward join
+    // of the snapshot grid against q140's valid_from axis — the feature-
+    // store time-travel / PIT-correctness materialization. Oracle uses
+    // DuckDB's native ASOF JOIN against the same interval CTE.
+    QueryDef(
+      "q173_scd_snapshots",
+      (s, dir) => EventFunnel.scdSnapshots(tbl(s, dir, "events"))
+        .orderBy(col("user_id"), col("snap_ts")),
+      Some("""WITH o AS (
+             |  SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id,
+             |    CASE WHEN lag(event_type) OVER w IS NULL
+             |           OR lag(event_type) OVER w <> event_type
+             |         THEN 1 ELSE 0 END AS chg
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
+             |i AS (
+             |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                           ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM o),
+             |iv AS (
+             |  SELECT user_id, MIN(event_type) AS event_type,
+             |    MIN(ts) AS valid_from
+             |  FROM i GROUP BY user_id, island),
+             |wks AS (
+             |  SELECT DISTINCT (epoch_ns(ts) // 604800000000000) * 604800000000000 AS snap_ts
+             |  FROM events),
+             |grid AS (
+             |  SELECT u.user_id, w.snap_ts
+             |  FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN wks w)
+             |SELECT g.user_id, g.snap_ts, iv.event_type AS state
+             |FROM grid g ASOF JOIN iv
+             |  ON g.user_id = iv.user_id AND g.snap_ts >= iv.valid_from
+             |ORDER BY g.user_id, g.snap_ts""".stripMargin),
+    ),
+
+    // Percentile-rank quality calibration across sources: each doc's
+    // WITHIN-SOURCE rank ppm of its q32 quality score (SQL rank() — ties
+    // share a value, no tie-break), so heterogeneous sources become
+    // comparable before mixture/curation cuts.
+    QueryDef(
+      "q174_rank_normalize",
+      (s, dir) => CorpusStats.rankNormalizeScores(tbl(s, dir, "documents"),
+          "text", "source", "doc_id")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH q AS (
+              |  SELECT doc_id, source, ROUND(
+              |    LEAST(t / 50.0, 1.0) * 0.4 +
+              |    (CAST(len(list_filter(tokens, w -> w IN
+              |       (${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE) / t) * 0.3 +
+              |    CASE WHEN (c - (t - 1)) / CAST(t AS DOUBLE) BETWEEN 3 AND 8 THEN 0.3 ELSE 0.0 END,
+              |    6) AS quality
+              |  FROM (SELECT doc_id, source, string_split(text,' ') AS tokens,
+              |               len(string_split(text,' ')) AS t, LENGTH(text) AS c
+              |        FROM documents)),
+              |r AS (
+              |  SELECT doc_id, source, quality,
+              |    CAST(RANK() OVER (PARTITION BY source ORDER BY quality) AS BIGINT) AS rk,
+              |    COUNT(*) OVER (PARTITION BY source) AS n
+              |  FROM q)
+              |SELECT doc_id, source, quality,
+              |  CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1) ELSE 0 END AS rank_ppm
+              |FROM r ORDER BY doc_id""".stripMargin),
+    ),
+
+    // KMV set algebra between event types: sketch-estimated user-set
+    // union/intersection per type pair from mergeable k-min-values state
+    // alone (Beyer et al. inclusion–exclusion) — the "how much do these
+    // crawls overlap" answer that never re-touches the item stream; exact
+    // intersection rides along as the audit. Estimates are pure functions
+    // of the input multiset, so even they are oracle-checked bit-exact.
+    QueryDef(
+      "q175_kmv_set_algebra",
+      (s, dir) => Sketches.kmvSetAlgebra(tbl(s, dir, "events"),
+          "event_type", col("user_id"), 256)
+        .orderBy(col("grp_a"), col("grp_b")),
+      Some("""WITH h AS (
+             |  SELECT DISTINCT event_type AS grp,
+             |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+             |  FROM events),
+             |sk AS (
+             |  SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn,
+             |    COUNT(*) OVER (PARTITION BY grp) AS nh
+             |  FROM h),
+             |est AS (
+             |  SELECT grp,
+             |    CASE WHEN MAX(nh) >= 256
+             |      THEN 255.0 * 1152921504606846976.0 / MAX(CASE WHEN rn = 256 THEN h END)
+             |      ELSE CAST(MAX(nh) AS DOUBLE) END AS e
+             |  FROM sk GROUP BY grp),
+             |pairs AS (
+             |  SELECT a.grp AS grp_a, b.grp AS grp_b
+             |  FROM (SELECT DISTINCT grp FROM h) a
+             |  JOIN (SELECT DISTINCT grp FROM h) b ON a.grp < b.grp),
+             |uh AS (
+             |  SELECT DISTINCT p.grp_a, p.grp_b, h.h
+             |  FROM pairs p JOIN h ON h.grp IN (p.grp_a, p.grp_b)),
+             |urn AS (
+             |  SELECT grp_a, grp_b, h,
+             |    ROW_NUMBER() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS rn,
+             |    COUNT(*) OVER (PARTITION BY grp_a, grp_b) AS nh
+             |  FROM uh),
+             |uest AS (
+             |  SELECT grp_a, grp_b,
+             |    CASE WHEN MAX(nh) >= 256
+             |      THEN 255.0 * 1152921504606846976.0 / MAX(CASE WHEN rn = 256 THEN h END)
+             |      ELSE CAST(MAX(nh) AS DOUBLE) END AS est_union
+             |  FROM urn GROUP BY grp_a, grp_b),
+             |inter AS (
+             |  SELECT a.grp AS grp_a, b.grp AS grp_b, COUNT(*) AS n_inter_exact
+             |  FROM h a JOIN h b ON a.h = b.h AND a.grp < b.grp
+             |  GROUP BY 1, 2)
+             |SELECT p.grp_a, p.grp_b, ea.e AS est_a, eb.e AS est_b, u.est_union,
+             |  GREATEST(ea.e + eb.e - u.est_union, 0.0) AS est_inter,
+             |  CAST(COALESCE(i.n_inter_exact, 0) AS BIGINT) AS n_inter_exact
+             |FROM pairs p
+             |JOIN est ea ON ea.grp = p.grp_a
+             |JOIN est eb ON eb.grp = p.grp_b
+             |JOIN uest u ON u.grp_a = p.grp_a AND u.grp_b = p.grp_b
+             |LEFT JOIN inter i ON i.grp_a = p.grp_a AND i.grp_b = p.grp_b
+             |ORDER BY p.grp_a, p.grp_b""".stripMargin),
+    ),
+
     // Host-level link graph from HTML: deterministic href fixture
     // (syntheticHtmlLinks) -> real regex extraction (extractLinks) ->
     // (src_host from the doc's canonical URL, dst_host from the href)

@@ -433,4 +433,45 @@ object Sketches {
         when(col("v_zero") === 0, rawEst).as("est_distinct"),
         col("n_exact"))
   }
+
+  /** KMV SET ALGEBRA between groups: for every group pair (a < b), the
+    * sketch-estimated union, intersection, and Jaccard of their distinct
+    * item sets, from the SAME k-min-values sketches [[kmvDistinct]]
+    * builds — the mergeability KMV has that exact distinct counts lack
+    * (union sketch = k smallest of the pooled hash sets; intersection by
+    * inclusion–exclusion; Beyer et al. 2007). Everything downstream of
+    * the per-group sketch is a groups²-sized frame of k-long arrays —
+    * pair math never touches the item stream, which is why this is the
+    * 100 TB shape for "how much do these N crawls overlap" (q141's exact
+    * matrix re-scans shingles; this answers from sketch state alone).
+    * The exact intersection count rides along as the accuracy audit
+    * (group-pair cardinality is small by construction; the estimator is
+    * a pure function of the input multiset, so even estimates are
+    * oracle-checkable bit-for-bit — the q60 discipline). */
+  def kmvSetAlgebra(items: DataFrame, groupCol: String, itemCol: Column,
+      k: Int): DataFrame = {
+    val hashed = graft.ext.PinnedCache.pin(items.where(itemCol.isNotNull)
+      .select(col(groupCol).as("grp"), Sampling.portableHash(itemCol).as("h"))
+      .distinct())
+    val sk = hashed.groupBy(col("grp")).agg(kMinValues(k)(col("h")).as("hs"))
+    val pairs = sk.select(col("grp").as("grp_a"), col("hs").as("ha"))
+      .join(sk.select(col("grp").as("grp_b"), col("hs").as("hb")),
+        col("grp_a") < col("grp_b"))
+    val unionHs = slice(array_sort(array_distinct(concat(col("ha"), col("hb")))), 1, k)
+    val exactInter = hashed.select(col("grp").as("grp_a"), col("h"))
+      .join(hashed.select(col("grp").as("grp_b"), col("h")), Seq("h"))
+      .where(col("grp_a") < col("grp_b"))
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("n_inter_exact"))
+    pairs
+      .withColumn("est_a", estimateCol(col("ha"), k))
+      .withColumn("est_b", estimateCol(col("hb"), k))
+      .withColumn("est_union", estimateCol(unionHs, k))
+      .withColumn("est_inter",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0)))
+      .join(exactInter, Seq("grp_a", "grp_b"), "left_outer")
+      .select(col("grp_a"), col("grp_b"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_inter"),
+        coalesce(col("n_inter_exact"), lit(0L)).as("n_inter_exact"))
+  }
 }
