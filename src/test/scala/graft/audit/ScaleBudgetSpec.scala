@@ -91,6 +91,34 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "triangles spilled")
   }
 
+  test("q132 integer PageRank: per-iteration rank join + combinable sum, bounded exchange") {
+    val b = measure("q132_pagerank")
+    // 4 Pregel rounds over a ~120k-edge graph move ~0.9 MB of (node, long)
+    // partials; a lost map-side combine would shuffle edge-sized frames
+    assert(b.shuffleWriteBytes < 8 * MB,
+      s"PageRank exchange not partial-agg bounded: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "pagerank spilled")
+  }
+
+  test("q164 incremental CC: only the stars-plus-delta subgraph shuffles") {
+    val b = measure("q164_incremental_cc")
+    // measured 1.2 MB: base CC + star contraction + merged CC — a
+    // regression to full-history recomputation re-shuffles the whole
+    // accumulated pair pipeline every wave
+    assert(b.shuffleWriteBytes < 8 * MB,
+      s"incremental CC shuffled beyond the touched subgraph: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "incremental CC spilled")
+  }
+
+  test("q171 link extraction: map-only until the host-pair rollup") {
+    val b = measure("q171_link_graph")
+    // HTML render + regex extraction stay inside the scan projection; the
+    // only exchange is the (host, host) count rollup (~0.1 MB)
+    assert(b.shuffleWriteBytes < 2 * MB,
+      s"link extraction shuffled page payloads: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "link graph spilled")
+  }
+
   test("per-task peak execution memory stays executor-slot-sized across the pinned families") {
     // at 100 TB an executor slot has ~1-4 GB of execution memory; a task
     // peaking far above that on sf0.01 inputs signals driver-ish state
