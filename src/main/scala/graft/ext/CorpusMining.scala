@@ -368,6 +368,80 @@ object CorpusMining {
       .select(col("doc_id"), col("score"), col("rank"))
   }
 
+  /** Frequent 3-itemsets over (basket, item) rows via A-priori pruning —
+    * distributed market-basket mining one level above [[q86]]'s pair
+    * affinity. The candidate space is the downward-closure bound: a
+    * triple can only be frequent if all three of its pairs are, so
+    * per-basket pairs are SEMI-JOINED against the frequent-pair set
+    * before triples are ever enumerated (candidate volume ∝ frequent-pair
+    * fan-out, never Σ C(basket,3) — the property that makes basket mining
+    * survive a mega-basket skew at 100 TB). Exactness is oracle-proven:
+    * the DuckDB oracle brute-enumerates all triples and must match
+    * bit-for-bit, i.e. the pruning provably loses nothing.
+    *
+    * Returns (p1 < p2 < p3, support) with support >= minSup. */
+  def frequentTriples(baskets: DataFrame, basketCol: String, itemCol: String,
+      minSup: Long): DataFrame = {
+    require(minSup >= 2, "minSup >= 2 (1 would emit every basket triple)")
+    val b = PinnedCache.pin(baskets
+      .select(col(basketCol).as("ok"), col(itemCol).as("pk")).distinct())
+    val orderPairs = PinnedCache.pin(b.as("x").join(b.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.ok").as("ok"), col("x.pk").as("p1"), col("y.pk").as("p2")))
+    val fpairs = PinnedCache.pin(orderPairs.groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= minSup)
+      .select(col("p1"), col("p2")))
+    // only pairs that are globally frequent survive into triple assembly
+    val fop = orderPairs.join(fpairs, Seq("p1", "p2"), "left_semi")
+    fop.as("a")
+      .join(fop.as("c"),
+        col("a.ok") === col("c.ok") && col("a.p2") === col("c.p1"))
+      .select(col("a.ok").as("ok"), col("a.p1").as("p1"),
+        col("a.p2").as("p2"), col("c.p2").as("p3"))
+      .join(fpairs.select(col("p1"), col("p2").as("p3")), Seq("p1", "p3"),
+        "left_semi")
+      .groupBy(col("p1"), col("p2"), col("p3"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSup)
+  }
+
+  /** Association rules (pair ⇒ item) from the frequent triples: for each
+    * frequent triple and each of its three pair-antecedents,
+    * confidence_ppm = sup(triple)·10^6 div sup(pair) and
+    * lift_ppm = sup(triple)·N·10^6 div (sup(pair)·sup(item)) — the
+    * recommendation-rule layer over [[frequentTriples]], pure integer
+    * ratios. All inputs are support TABLES (itemset-cardinality-sized);
+    * the raw basket stream is touched only by the support counts
+    * themselves. Overflow bound: sup·N·10^6 < 2^63 up to ~10^9 baskets
+    * with 10^3 support — past that, pre-divide N or go decimal. */
+  def associationRules(baskets: DataFrame, basketCol: String, itemCol: String,
+      minSup: Long): DataFrame = {
+    val b = PinnedCache.pin(baskets
+      .select(col(basketCol).as("ok"), col(itemCol).as("pk")).distinct())
+    val nBaskets = b.select(col("ok")).distinct().count()
+    val itemSup = b.groupBy(col("pk")).agg(count(lit(1)).as("cs"))
+    val pairSup = PinnedCache.pin(b.as("x").join(b.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("p1"), col("y.pk").as("p2"))
+      .agg(count(lit(1)).as("ps")).where(col("ps") >= minSup))
+    val triples = PinnedCache.pin(
+      frequentTriples(baskets, basketCol, itemCol, minSup))
+    val rules = Seq(
+      triples.select(col("p1").as("a1"), col("p2").as("a2"), col("p3").as("c"),
+        col("support")),
+      triples.select(col("p1").as("a1"), col("p3").as("a2"), col("p2").as("c"),
+        col("support")),
+      triples.select(col("p2").as("a1"), col("p3").as("a2"), col("p1").as("c"),
+        col("support"))).reduce(_ unionByName _)
+    rules
+      .join(pairSup.select(col("p1").as("a1"), col("p2").as("a2"), col("ps")),
+        Seq("a1", "a2"))
+      .join(itemSup.select(col("pk").as("c"), col("cs")), Seq("c"))
+      .select(col("a1"), col("a2"), col("c"), col("support"),
+        expr("(support * 1000000) div ps").as("conf_ppm"),
+        expr(s"(support * ${nBaskets}L * 1000000) div (ps * cs)").as("lift_ppm"))
+  }
+
   /** Integer-idf term-overlap retrieval: score = Σ_{matched terms}
     * n·10^6 div df — the second lexical system for hybrid fusion
     * ([[rrfFuse]]): rare matched terms dominate, pure integers, zero
@@ -952,6 +1026,62 @@ object CorpusMining {
              |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
              |  FROM sc WHERE score > 0)
              |SELECT doc_id, score, rank FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin),
+    ),
+
+    // Frequent 3-itemsets with A-priori pruning: triples assemble only
+    // from globally-frequent pairs (downward closure), then exact support
+    // count — the oracle brute-enumerates ALL triples, so a pass proves
+    // the pruning lost nothing.
+    QueryDef(
+      "q176_frequent_triples",
+      (s, dir) => frequentTriples(tbl(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSup = 2)
+        .orderBy(col("p1"), col("p2"), col("p3")),
+      Some("""WITH b AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |t AS (
+             |  SELECT a.pk AS p1, bb.pk AS p2, c.pk AS p3
+             |  FROM b a
+             |  JOIN b bb ON a.ok = bb.ok AND a.pk < bb.pk
+             |  JOIN b c ON a.ok = c.ok AND bb.pk < c.pk)
+             |SELECT p1, p2, p3, COUNT(*) AS support
+             |FROM t GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+             |ORDER BY p1, p2, p3""".stripMargin),
+    ),
+
+    // Association rules (pair => item) over the frequent triples:
+    // integer-ppm confidence and lift from itemset-sized support tables.
+    QueryDef(
+      "q177_association_rules",
+      (s, dir) => associationRules(tbl(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSup = 2)
+        .orderBy(col("a1"), col("a2"), col("c")),
+      Some("""WITH b AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |nb AS (SELECT COUNT(DISTINCT ok) AS n FROM b),
+             |itsup AS (SELECT pk, COUNT(*) AS cs FROM b GROUP BY pk),
+             |ps AS (
+             |  SELECT a.pk AS p1, bb.pk AS p2, COUNT(*) AS ps
+             |  FROM b a JOIN b bb ON a.ok = bb.ok AND a.pk < bb.pk
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |t AS (
+             |  SELECT a.pk AS p1, bb.pk AS p2, c.pk AS p3, COUNT(*) AS support
+             |  FROM b a
+             |  JOIN b bb ON a.ok = bb.ok AND a.pk < bb.pk
+             |  JOIN b c ON a.ok = c.ok AND bb.pk < c.pk
+             |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+             |r AS (
+             |  SELECT p1 AS a1, p2 AS a2, p3 AS c, support FROM t
+             |  UNION ALL SELECT p1, p3, p2, support FROM t
+             |  UNION ALL SELECT p2, p3, p1, support FROM t)
+             |SELECT r.a1, r.a2, r.c, r.support,
+             |  (r.support * 1000000) // p.ps AS conf_ppm,
+             |  (r.support * nb.n * 1000000) // (p.ps * i.cs) AS lift_ppm
+             |FROM r
+             |JOIN ps p ON p.p1 = r.a1 AND p.p2 = r.a2
+             |JOIN itsup i ON i.pk = r.c
+             |CROSS JOIN nb
+             |ORDER BY r.a1, r.a2, r.c""".stripMargin),
     ),
 
     // Hybrid retrieval via reciprocal-rank fusion: BM25 (q123's system)
