@@ -3341,6 +3341,69 @@ object Ext {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
 
+    // Padding-waste audit: arrival-order vs length-sorted batches at
+    // B = 8 — how much trainer compute pad tokens burn, and how much
+    // sorted batching recovers. Integer ppm; tail batch pads to its own
+    // size.
+    QueryDef(
+      "q178_padding_waste",
+      (s, dir) => Packing.paddingWaste(tbl(s, dir, "documents"),
+          "text", "doc_id", batchSize = 8)
+        .orderBy(col("strategy")),
+      Some("""WITH base AS (
+             |  SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS len
+             |  FROM documents),
+             |a AS (
+             |  SELECT len, (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 8 AS batch
+             |  FROM base),
+             |ab AS (SELECT batch, COUNT(*) AS bn, MAX(len) AS mx,
+             |         CAST(SUM(len) AS BIGINT) AS sm FROM a GROUP BY batch),
+             |ar AS (SELECT 'arrival' AS strategy, COUNT(*) AS n_batches,
+             |         CAST(SUM(sm) AS BIGINT) AS tokens,
+             |         CAST(SUM(bn * mx) AS BIGINT) AS padded_slots FROM ab),
+             |s AS (
+             |  SELECT len, (ROW_NUMBER() OVER (ORDER BY len, doc_id) - 1) // 8 AS batch
+             |  FROM base),
+             |sb AS (SELECT batch, COUNT(*) AS bn, MAX(len) AS mx,
+             |         CAST(SUM(len) AS BIGINT) AS sm FROM s GROUP BY batch),
+             |sr AS (SELECT 'sorted' AS strategy, COUNT(*) AS n_batches,
+             |         CAST(SUM(sm) AS BIGINT) AS tokens,
+             |         CAST(SUM(bn * mx) AS BIGINT) AS padded_slots FROM sb)
+             |SELECT strategy, n_batches, tokens, padded_slots,
+             |  ((padded_slots - tokens) * 1000000) // padded_slots AS waste_ppm
+             |FROM (SELECT * FROM ar UNION ALL SELECT * FROM sr)
+             |ORDER BY strategy""".stripMargin),
+    ),
+
+    // Neyman optimal stratified allocation: per-source sample counts
+    // proportional to N_h*sigma_h = isqrt(N_h*sum(x^2) - sum(x)^2) —
+    // exact integers end to end (the variance-minimizing design at fixed
+    // budget); ppm shares, floor allocations capped at N_h.
+    QueryDef(
+      "q179_neyman_allocation",
+      (s, dir) => Sampling.neymanAllocation(tbl(s, dir, "documents"),
+          "text", "source", sampleBudget = 200L)
+        .orderBy(col("source")),
+      Some("""WITH b AS (
+             |  SELECT source, CAST(len(string_split(text,' ')) AS BIGINT) AS x
+             |  FROM documents),
+             |st AS (
+             |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(x) AS BIGINT) AS sx,
+             |    CAST(SUM(x*x) AS BIGINT) AS sxx
+             |  FROM b GROUP BY source),
+             |s0 AS (SELECT st.*, n_docs*sxx - sx*sx AS rad,
+             |         CAST(floor(sqrt(CAST(n_docs*sxx - sx*sx AS DOUBLE))) AS BIGINT) AS a
+             |       FROM st),
+             |s1 AS (SELECT s0.*, CASE WHEN a*a > rad THEN a-1 ELSE a END AS b2 FROM s0),
+             |ws AS (SELECT source, n_docs,
+             |         CASE WHEN (b2+1)*(b2+1) <= rad THEN b2+1 ELSE b2 END AS w
+             |       FROM s1),
+             |t AS (SELECT ws.*, CAST(SUM(w) OVER () AS BIGINT) AS sum_w FROM ws)
+             |SELECT source, n_docs, w, (w * 1000000) // sum_w AS weight_ppm,
+             |  LEAST((200 * w) // sum_w, n_docs) AS alloc
+             |FROM t ORDER BY source""".stripMargin),
+    ),
+
     // Point-in-time state snapshots from SCD-2 history: per (user, week
     // boundary), the state AS OF that instant, via an as-of backward join
     // of the snapshot grid against q140's valid_from axis — the feature-

@@ -90,4 +90,39 @@ object Packing {
       .agg(count(lit(1)).as("n_chunks"),
         sum(col("chunk_tokens")).cast("long").as("bin_tokens"))
   }
+
+  /** Padding-waste audit for fixed-size training batches: with batch
+    * size B, every sequence in a batch pads to the batch max, so
+    * waste = Σ_batches (B·max − Σ len) — and the whole point of
+    * length-sorted batching is how much that drops vs arrival order.
+    * Returns one row per strategy ('arrival' = doc-id order, 'sorted' =
+    * (len, doc-id) order): n_batches, tokens, padded_slots, waste_ppm —
+    * the % of compute a trainer burns on pad tokens, integer ppm.
+    * (The tail batch pads to its own size·max, not B·max — no phantom
+    * rows.)
+    *
+    * Scale note: the global row_number here is the audit-sized
+    * formulation (doc-count rows of longs); a production packing run
+    * batches per shard ([[graft.ext.Sampling.curriculumShardPlan]]'s
+    * per-(phase, shard) windows), where the same waste math applies
+    * within each writer partition. */
+  def paddingWaste(docs: DataFrame, textCol: String, idCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 2, "batchSize >= 2")
+    val base = PinnedCache.pin(docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("len")))
+    def audit(strategy: String): DataFrame = {
+      base
+        .withColumn("batch", expr(s"(row_number() over (order by ${
+          if (strategy == "arrival") "doc_id" else "len, doc_id"}) - 1) div $batchSize"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("bn"), max(col("len")).as("mx"), sum(col("len")).as("sm"))
+        .agg(count(lit(1)).as("n_batches"), sum(col("sm")).as("tokens"),
+          sum(col("bn") * col("mx")).as("padded_slots"))
+        .select(lit(strategy).as("strategy"), col("n_batches"), col("tokens"),
+          col("padded_slots"),
+          expr("((padded_slots - tokens) * 1000000) div padded_slots").as("waste_ppm"))
+    }
+    audit("arrival").unionByName(audit("sorted"))
+  }
 }

@@ -254,4 +254,36 @@ object Sampling {
       .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),
         col("tok_offset"))
   }
+
+  /** Neyman (optimal stratified) sample allocation: given a total doc
+    * budget, allocate per source ∝ N_h·σ_h — high-variance strata get
+    * proportionally more samples, the design that minimizes the sampled
+    * mean's variance at fixed cost. The whole computation is EXACT
+    * integers: N_h·σ_h = sqrt(N_h·Σx² − (Σx)²) by definition, so one
+    * [[isqrt]] on the integer radicand gives the weight with no floats
+    * anywhere; allocations are floor-div ppm shares capped at N_h.
+    * Overflow bound: N_h·Σx² < 2^63 holds to ~10^9 docs × 10^3 tokens per
+    * stratum; past that, pre-scale x or go decimal(38).
+    *
+    * Scale shape: one per-source partial agg of (count, Σx, Σx²) longs;
+    * everything after runs on the sources-sized rollup (the q162
+    * metadata-window argument). */
+  def neymanAllocation(docs: DataFrame, textCol: String, srcCol: String,
+      sampleBudget: Long): DataFrame = {
+    require(sampleBudget >= 1, "sampleBudget >= 1")
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col(srcCol).as("source"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("x"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("w", isqrt(col("n_docs") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("sum_w", sum(col("w")).over(Window.partitionBy()))
+      .withColumn("weight_ppm", expr("(w * 1000000) div sum_w"))
+      .withColumn("alloc",
+        least(expr(s"(${sampleBudget}L * w) div sum_w"), col("n_docs")))
+      .select(col("source"), col("n_docs"), col("w"), col("weight_ppm"),
+        col("alloc"))
+  }
 }
