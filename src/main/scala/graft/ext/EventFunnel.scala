@@ -233,4 +233,43 @@ object EventFunnel {
       .select(col("user_id"), col("ts").as("snap_ts"),
         col("asof_event_type").as("state"))
   }
+
+  /** Integer EWMA rate baseline + burst flags per event type, week
+    * grain: s_t = (3·s_{t−1} + n_t) div 4 (rational alpha = 1/4, pure
+    * integer floor — engine-exact, unlike float EWMA whose accumulation
+    * order drifts), seeded s_1 = n_1; week t flags when
+    * n_t > factor·s_{t−1} (no baseline — no flag on the first week).
+    * The temporal-smoothing complement to [[hourlyBursts]]' trailing
+    * window: EWMA remembers the full history at O(1) state, which is
+    * also exactly the streaming-state shape.
+    *
+    * Scale shape: one (type, week) partial-agg count, then the recursion
+    * runs INSIDE a weeks-sized array per type (sort_array + one
+    * interpreted aggregate() over a metadata-sized rollup — the
+    * gridBins state-bound argument; the raw event stream never sees a
+    * window). */
+  def ewmaBursts(events: DataFrame, factor: Int,
+      weekNs: Long = 604800000000000L): DataFrame = {
+    require(factor >= 1, "factor >= 1")
+    val counts = events
+      .groupBy(col("event_type"), expr(s"ts div ${weekNs}L").as("wk"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("wk"), col("n")))).as("ws"))
+      // prefix recursion via an array accumulator: each step appends
+      // (wk, n, prev_s, s) with s = (3*prev_s + n) div 4, seed s = n
+      .withColumn("rs", expr(
+        """aggregate(ws,
+          |  cast(array() as array<struct<wk:bigint,n:bigint,prev_s:bigint,s:bigint>>),
+          |  (acc, x) -> concat(acc, array(named_struct(
+          |    'wk', x.wk, 'n', x.n,
+          |    'prev_s', if(size(acc) = 0, cast(null as bigint), element_at(acc, -1).s),
+          |    's', if(size(acc) = 0, x.n,
+          |            (3 * element_at(acc, -1).s + x.n) div 4)))))""".stripMargin))
+      .select(col("event_type"), explode(col("rs")).as("r"))
+      .select(col("event_type"), col("r.wk").as("wk"), col("r.n").as("n"),
+        col("r.s").as("ewma"),
+        coalesce(col("r.n") > col("r.prev_s") * factor, lit(false)).as("burst"))
+  }
 }

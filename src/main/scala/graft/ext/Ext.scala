@@ -3341,6 +3341,68 @@ object Ext {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
 
+    // Closed-loop split repair: q168's contamination audit as an ACTION —
+    // contaminated test docs move to train (one round), reported as the
+    // (orig, final) migration rollup. Broadcast gram probe + doc-keyed
+    // left join + bounded rollup.
+    QueryDef(
+      "q180_split_repair",
+      (s, dir) => Sampling.repairSplitContamination(tbl(s, dir, "documents"),
+          "text", "doc_id", 80, 10)
+        .orderBy(col("split_orig"), col("split_final")),
+      Some("""WITH sp AS (
+             |  SELECT doc_id, text,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+             |    CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
+             |              AS BIGINT) % 100 < 80 THEN 'train'
+             |         WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
+             |              AS BIGINT) % 100 < 90 THEN 'val'
+             |         ELSE 'test' END AS split_orig
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, split_orig,
+             |    list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+             |                   FOR i IN generate_series(1, len(t)-2)]) AS gs
+             |  FROM (SELECT doc_id, split_orig, string_split(text,' ') AS t FROM sp)),
+             |b AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE split_orig = 'train'),
+             |mv AS (
+             |  SELECT DISTINCT t.doc_id
+             |  FROM (SELECT doc_id, unnest(gs) AS gram FROM g WHERE split_orig = 'test') t
+             |  JOIN b USING (gram))
+             |SELECT sp.split_orig,
+             |  CASE WHEN mv.doc_id IS NOT NULL THEN 'train' ELSE sp.split_orig END AS split_final,
+             |  COUNT(*) AS n_docs, CAST(SUM(sp.n_tok) AS BIGINT) AS tokens
+             |FROM sp LEFT JOIN mv ON mv.doc_id = sp.doc_id
+             |GROUP BY 1, 2 ORDER BY split_orig, split_final""".stripMargin),
+    ),
+
+    // Integer EWMA baseline + burst flags per event type at week grain:
+    // s_t = (3*s_{t-1} + n_t) div 4 run inside a weeks-sized array per
+    // type (metadata rollup, no event-stream window); week t flags when
+    // n_t > 2*s_{t-1}. The O(1)-state temporal smoother — also the
+    // streaming-state shape.
+    QueryDef(
+      "q181_ewma_bursts",
+      (s, dir) => EventFunnel.ewmaBursts(tbl(s, dir, "events"), factor = 2)
+        .orderBy(col("event_type"), col("wk")),
+      Some("""WITH RECURSIVE c AS (
+             |  SELECT event_type, epoch_ns(ts) // 604800000000000 AS wk, COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |w AS (
+             |  SELECT event_type, wk, n,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY wk) AS rn
+             |  FROM c),
+             |r(event_type, rn, wk, n, s) AS (
+             |  SELECT event_type, rn, wk, n, n FROM w WHERE rn = 1
+             |  UNION ALL
+             |  SELECT w.event_type, w.rn, w.wk, w.n, (3 * r.s + w.n) // 4
+             |  FROM r JOIN w ON w.event_type = r.event_type AND w.rn = r.rn + 1)
+             |SELECT event_type, wk, n, s AS ewma,
+             |  COALESCE(n > 2 * lag(s) OVER (PARTITION BY event_type ORDER BY rn),
+             |           FALSE) AS burst
+             |FROM r ORDER BY event_type, wk""".stripMargin),
+    ),
+
     // Padding-waste audit: arrival-order vs length-sorted batches at
     // B = 8 — how much trainer compute pad tokens burn, and how much
     // sorted batching recovers. Integer ppm; tail batch pads to its own

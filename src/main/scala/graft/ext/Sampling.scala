@@ -286,4 +286,33 @@ object Sampling {
       .select(col("source"), col("n_docs"), col("w"), col("weight_ppm"),
         col("alloc"))
   }
+
+  /** Closed-loop split repair: q168's audit turned into the ACTION — any
+    * test-split doc sharing a 3-gram with the train split moves to train
+    * (never the reverse: train may absorb anything, test must stay
+    * clean), one repair round, reported as the (split_orig, split_final)
+    * migration rollup with doc and token counts. Moving a doc to train
+    * can only create NEW test contamination through grams that doc
+    * carries — rerunning the audit-repair loop to a fixed point is the
+    * production recipe; one round is the oracle-checkable unit.
+    *
+    * Scale shape: the audit is [[graft.ext.Dedup.contaminatedDocs]]'
+    * broadcast gram probe; the repair is a doc-keyed left join + map-side
+    * CASE; the report is a 3x2-bounded rollup. */
+  def repairSplitContamination(docs: DataFrame, textCol: String,
+      idCol: String, trainPct: Int, valPct: Int): DataFrame = {
+    val d = PinnedCache.pin(docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"),
+      splitColumn(col(idCol), trainPct, valPct).as("split_orig")))
+    val moved = graft.ext.Dedup.contaminatedDocs(
+        d.where(col("split_orig") === "test"),
+        d.where(col("split_orig") === "train"), "text", "doc_id")
+      .select(col("doc_id"), lit(true).as("mv"))
+    d.join(moved, Seq("doc_id"), "left_outer")
+      .withColumn("split_final",
+        when(col("mv").isNotNull, "train").otherwise(col("split_orig")))
+      .groupBy(col("split_orig"), col("split_final"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+  }
 }
