@@ -999,5 +999,64 @@ object TransformWithStateOps {
       .transformWithState(new AlphaMixtureProcessor(budgetTokens),
         TimeMode.None(), OutputMode.Update())
   }
-}
 
+  final case class TypedWeek(event_type: String, wk: Long)
+  final case class EwmaRow(event_type: String, wk: Long, n: Long, ewma: Long,
+      burst: Boolean)
+
+  /** Streaming twin of [[graft.ext.EventFunnel.ewmaBursts]] (q181) — the
+    * O(1)-state temporal smoother running AS actual keyed state: per
+    * event type, (current week, its count so far, the EWMA of the
+    * previous occupied week). Under event-time-ordered arrival (the
+    * replay/Kafka priming contract) a week folds into the baseline when
+    * a later week first appears — exactly the batch recursion over
+    * occupied weeks — and the current week re-emits a provisional row
+    * each batch (its fold-so-far), so upsert-by-(type, wk) reconciles
+    * with the batch operator over the rows seen so far
+    * (TransformWithStateSpec). Weeks with zero events occupy no state
+    * and no recursion step, matching the batch rollup. */
+  final class EwmaBurstProcessor(factor: Int)
+      extends StatefulProcessor[String, TypedWeek, EwmaRow] {
+
+    // (wk, n, prevS); prevS = -1 encodes "no previous occupied week"
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("st",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    private def fold(prevS: Long, n: Long): Long =
+      if (prevS < 0) n else (3 * prevS + n) / 4
+
+    override def handleInputRows(key: String, rows: Iterator[TypedWeek],
+        timerValues: TimerValues): Iterator[EwmaRow] = {
+      var (wk, n, prevS) =
+        if (st.exists()) st.get() else (Long.MinValue, 0L, -1L)
+      val out = scala.collection.mutable.LinkedHashMap.empty[Long, EwmaRow]
+      def emit(): Unit = if (wk != Long.MinValue)
+        out(wk) = EwmaRow(key, wk, n, fold(prevS, n),
+          prevS >= 0 && n > prevS * factor)
+      rows.toArray.sortBy(_.wk).foreach { r =>
+        if (r.wk == wk || wk == Long.MinValue) {
+          if (wk == Long.MinValue) wk = r.wk
+          n += 1
+        } else {
+          require(r.wk > wk, s"out-of-order week ${r.wk} after $wk")
+          emit() // close the finished week with its final count
+          prevS = fold(prevS, n); wk = r.wk; n = 1
+        }
+      }
+      emit() // provisional row for the still-open week
+      st.update((wk, n, prevS))
+      out.valuesIterator.toSeq.iterator
+    }
+  }
+
+  def streamingEwmaBursts(ds: Dataset[TypedWeek], factor: Int): Dataset[EwmaRow] = {
+    implicit val outEnc: Encoder[EwmaRow] = Encoders.product[EwmaRow]
+    ds.groupByKey(_.event_type)(Encoders.STRING)
+      .transformWithState(new EwmaBurstProcessor(factor),
+        TimeMode.None(), OutputMode.Update())
+  }
+}

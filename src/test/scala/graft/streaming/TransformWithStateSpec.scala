@@ -753,4 +753,44 @@ class TransformWithStateSpec extends AnyFunSuite {
       batch.foreach { case (h, want) => assert(latest(h) == want, s"host $h") }
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streamingEwmaBursts: upsert-by-(type, wk) equals batch ewmaBursts across splits") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{EwmaRow, TypedWeek}
+      val weekNs = 604800000000000L
+      // event-time-ordered arrival (the priming contract)
+      val rows = graft.replay.TsNanos.normalize(
+          spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+        .select(col("event_type"), expr(s"ts div ${weekNs}L").as("wk"))
+        .orderBy(col("wk"))
+        .as[(String, Long)].collect().toSeq.map(t => TypedWeek(t._1, t._2))
+
+      val latest = scala.collection.mutable.Map[(String, Long), EwmaRow]()
+      val input = MemoryStream[TypedWeek]
+      val query = TransformWithStateOps.streamingEwmaBursts(input.toDS(), factor = 2)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[EwmaRow], _: Long) =>
+          df.collect().foreach(r => latest((r.event_type, r.wk)) = r); ()
+        }.start()
+      try {
+        // deliberately NOT week-aligned splits: provisional rows for the
+        // open week must be superseded by its final emission
+        rows.grouped(rows.length / 5 + 1).foreach { b =>
+          input.addData(b: _*); query.processAllAvailable()
+        }
+      } finally query.stop()
+
+      val batch = graft.ext.EventFunnel.ewmaBursts(
+          graft.replay.TsNanos.normalize(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")), factor = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          EwmaRow(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getBoolean(4))).toMap
+      assert(batch.nonEmpty && latest.keySet == batch.keySet)
+      batch.foreach { case (k, want) => assert(latest(k) == want, s"row $k") }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
