@@ -3341,6 +3341,56 @@ object Ext {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
 
+    // Sliding-window HLL: trailing-4-week distinct users per event type
+    // at every occupied week, by register fan-out + per-bucket MAX — the
+    // rolling-distinct dashboard shape exact counting can't sustain;
+    // exact trailing distincts audit alongside, estimates bit-exact.
+    QueryDef(
+      "q182_sliding_hll",
+      (s, dir) => Sketches.slidingHllDistinct(tbl(s, dir, "events"),
+          "event_type", col("user_id"), "ts", windowWeeks = 4)
+        .orderBy(col("grp"), col("wk")),
+      Some("""WITH h AS (
+             |  SELECT event_type AS grp, epoch_ns(ts) // 604800000000000 AS wk,
+             |    user_id AS it,
+             |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+             |  FROM events),
+             |occ AS (SELECT DISTINCT grp, wk FROM h),
+             |r AS (
+             |  SELECT grp, wk, h % 64 AS bucket,
+             |    CASE WHEN h >> 6 = 0 THEN 55 ELSE 55 - length(bin(h >> 6)) END AS rho
+             |  FROM h),
+             |regs AS (SELECT grp, wk, bucket, MAX(rho) AS m FROM r GROUP BY 1, 2, 3),
+             |sh AS (
+             |  SELECT regs.grp, w2 AS wk, bucket, m
+             |  FROM regs, unnest(generate_series(wk, wk + 3)) u(w2)
+             |  WHERE EXISTS (SELECT 1 FROM occ o WHERE o.grp = regs.grp AND o.wk = w2)),
+             |mg AS (SELECT grp, wk, bucket, MAX(m) AS m FROM sh GROUP BY 1, 2, 3),
+             |dense AS (
+             |  SELECT o.grp, o.wk, s.b AS bucket, COALESCE(mg.m, 0) AS m
+             |  FROM occ o CROSS JOIN (SELECT unnest(generate_series(0,63)) AS b) s
+             |  LEFT JOIN mg ON mg.grp = o.grp AND mg.wk = o.wk AND mg.bucket = s.b),
+             |agg AS (
+             |  SELECT grp, wk,
+             |    CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+             |    CAST(SUM(1::BIGINT << (55 - m)) AS BIGINT) AS s_sum
+             |  FROM dense GROUP BY 1, 2),
+             |du AS (SELECT DISTINCT grp, wk, it FROM h),
+             |exsh AS (
+             |  SELECT du.grp, w2 AS wk, it
+             |  FROM du, unnest(generate_series(wk, wk + 3)) u(w2)
+             |  WHERE EXISTS (SELECT 1 FROM occ o WHERE o.grp = du.grp AND o.wk = w2)),
+             |ex AS (SELECT grp, wk, COUNT(DISTINCT it) AS n_exact FROM exsh GROUP BY 1, 2)
+             |SELECT a.grp, a.wk, a.v_zero, a.s_sum,
+             |  CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0 / CAST(a.s_sum AS DOUBLE) AS raw_est,
+             |  CASE WHEN a.v_zero = 0
+             |       THEN CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0 / CAST(a.s_sum AS DOUBLE)
+             |       END AS est_distinct,
+             |  CAST(ex.n_exact AS BIGINT) AS n_exact
+             |FROM agg a JOIN ex ON ex.grp = a.grp AND ex.wk = a.wk
+             |ORDER BY a.grp, a.wk""".stripMargin),
+    ),
+
     // Closed-loop split repair: q168's contamination audit as an ACTION —
     // contaminated test docs move to train (one round), reported as the
     // (orig, final) migration rollup. Broadcast gram probe + doc-keyed

@@ -474,4 +474,55 @@ object Sketches {
         col("est_union"), col("est_inter"),
         coalesce(col("n_inter_exact"), lit(0L)).as("n_inter_exact"))
   }
+
+  /** SLIDING-WINDOW HLL: per (group, occupied week), the distinct-count
+    * estimate over the trailing `windowWeeks` weeks — the "distinct users
+    * in the last 28 days, every day" shape that exact distincts cannot
+    * sustain at scale (every window re-expands the stream) but register
+    * merge gets for free: week registers are built ONCE, then each
+    * register row fans out to the <= windowWeeks window ends it serves
+    * and merges by per-bucket MAX — pure rollup-table math, the
+    * [[hllDistinct]] mergeability argument applied along time. Exact
+    * trailing distincts ride along as the audit (drop in production).
+    * Only weeks the group actually occupies report (a silent week has no
+    * window end here; emit-all-weeks is a dense-fill away). */
+  def slidingHllDistinct(events: DataFrame, groupCol: String, itemCol: Column,
+      tsNanosCol: String, windowWeeks: Int,
+      weekNs: Long = 604800000000000L): DataFrame = {
+    require(windowWeeks >= 1 && windowWeeks <= 64, "windowWeeks in [1,64]")
+    val base = graft.ext.PinnedCache.pin(events.where(itemCol.isNotNull)
+      .select(col(groupCol).as("grp"), expr(s"$tsNanosCol div ${weekNs}L").as("wk"),
+        itemCol.as("it"), Sampling.portableHash(itemCol).as("h")))
+    val occupied = base.select(col("grp"), col("wk")).distinct()
+    val regs = base
+      .groupBy(col("grp"), col("wk"), pmod(col("h"), lit(HllM.toLong)).as("bucket"))
+      .agg(max(hllRho(col("h"))).as("m"))
+    val merged = regs
+      .select(col("grp"),
+        explode(sequence(col("wk"), col("wk") + (windowWeeks - 1))).as("wk"),
+        col("bucket"), col("m"))
+      .join(occupied, Seq("grp", "wk"), "left_semi")
+      .groupBy(col("grp"), col("wk"), col("bucket")).agg(max(col("m")).as("m"))
+    val dense = occupied
+      .select(col("grp"), col("wk"),
+        explode(sequence(lit(0L), lit(HllM - 1L))).as("bucket"))
+      .join(merged, Seq("grp", "wk", "bucket"), "left_outer")
+      .select(col("grp"), col("wk"), coalesce(col("m"), lit(0)).as("m"))
+    val agg = dense.groupBy(col("grp"), col("wk"))
+      .agg(sum(when(col("m") === 0, 1L).otherwise(0L)).as("v_zero"),
+        sum(expr("shiftleft(1L, 55 - m)")).as("s_sum"))
+    val exact = base.select(col("grp"), col("wk"), col("it")).distinct()
+      .select(col("grp"),
+        explode(sequence(col("wk"), col("wk") + (windowWeeks - 1))).as("wk"),
+        col("it"))
+      .join(occupied, Seq("grp", "wk"), "left_semi")
+      .groupBy(col("grp"), col("wk")).agg(countDistinct(col("it")).as("n_exact"))
+    val rawEst = lit(0.709) * lit(4096.0) * lit(3.6028797018963968e16) /
+      col("s_sum").cast("double")
+    agg.join(exact, Seq("grp", "wk"))
+      .select(col("grp"), col("wk"), col("v_zero"), col("s_sum"),
+        rawEst.as("raw_est"),
+        when(col("v_zero") === 0, rawEst).as("est_distinct"),
+        col("n_exact"))
+  }
 }
