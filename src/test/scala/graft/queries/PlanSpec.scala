@@ -470,4 +470,43 @@ class PlanSpec extends AnyFunSuite {
       "distinct-value counts combine map-side before the vocabulary window")
     assert(!p.contains("SortMergeJoin"), "the 1-row total broadcasts")
   }
+
+  test("q168: split contamination — the train gram set broadcasts, test text never shuffles by gram") {
+    val p = plan("q168_split_contamination")
+    assert(p.contains("BroadcastHashJoin"), "gram probe must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no text-side shuffle join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q169: RRF fusion window runs over the unioned top-k lists only") {
+    val p = plan("q169_rrf_hybrid")
+    assert(p.contains("TakeOrderedAndProject"),
+      "each system's top-k cut happens before fusion (no global sort of the corpus)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q171: link extraction is map-only — no exchange before the host-pair rollup") {
+    val p = plan("q171_link_graph")
+    // one partial agg + one exchange for the rollup and one for the sort;
+    // the render+regex pipeline itself must not shuffle
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "host-pair counts combine map-side")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      "the doc->src_host attach must not degrade to a sort-merge join without broadcast")
+  }
+
+  test("q176: A-priori triples assemble through semi-joins on frequent pairs") {
+    val p = plan("q176_frequent_triples")
+    assert(p.contains("LeftSemi"), "downward-closure pruning must survive as semi joins")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q182: sliding HLL never re-expands the stream — window merge runs on register rollups") {
+    val p = plan("q182_sliding_hll")
+    assert(p.contains("partial_max") || p.contains("max("),
+      "register build is a map-side-combinable max")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin") || p.contains("LeftSemi"),
+      "occupied-week filter stays a semi join")
+  }
 }
