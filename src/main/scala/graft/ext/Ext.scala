@@ -3341,6 +3341,74 @@ object Ext {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
 
+    // Label-propagation communities (3 synchronous rounds, ties to the
+    // smallest label — fully deterministic) over the co-purchase graph:
+    // the mesoscale grouping layer between CC (connectivity) and
+    // triangles/k-core (cohesion/density).
+    QueryDef(
+      "q183_lpa_communities",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+        Graphs.labelPropagation(edges, rounds = 3)
+          .withColumnRenamed("lab", "label")
+          .orderBy(col("node"))
+      },
+      Some({
+        val round = (i: Int) =>
+          s"""n$i AS (
+             |  SELECT sym.b AS node, l${i - 1}.lab, COUNT(*) AS c
+             |  FROM l${i - 1} JOIN sym ON sym.a = l${i - 1}.node GROUP BY 1, 2),
+             |l$i AS (
+             |  SELECT node, lab FROM (
+             |    SELECT node, lab,
+             |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+             |    FROM n$i) WHERE rn = 1)""".stripMargin
+        s"""WITH e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+           |           FROM lineitem a JOIN lineitem b
+           |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+           |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+           |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
+           |${(1 to 3).map(round).mkString(",\n")}
+           |SELECT node, lab AS label FROM l3 ORDER BY node""".stripMargin
+      }),
+    ),
+
+    // Directional cross-entropy transfer matrix: H(a -> b) = each
+    // source's tokens scored under every OTHER source's Laplace-smoothed
+    // unigram LM, quarter-bit integers — low H(a -> b) means b already
+    // models a (transfer value / redundancy). Terms only where ca > 0,
+    // so the frame is counts x sources, no dense fill.
+    QueryDef(
+      "q184_cross_entropy",
+      (s, dir) => TextAnalysis.crossEntropyMatrix(
+          tbl(s, dir, "documents"), "text", "source")
+        .orderBy(col("src_a"), col("src_b")),
+      Some({
+        val qn = qlog4Sql("sb.n + v.v")
+        val qc = qlog4Sql("COALESCE(cb.c, 0) + 1")
+        s"""WITH tok AS (
+           |  SELECT source, unnest(string_split(text,' ')) AS w FROM documents),
+           |c AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+           |v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM c),
+           |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY source)
+           |SELECT a.source AS src_a, sb.source AS src_b,
+           |  CAST(SUM(a.c) AS BIGINT) AS n_tokens_a,
+           |  CAST(SUM(a.c * (($qn) - ($qc))) AS BIGINT) AS ce_q4,
+           |  (CAST(SUM(a.c * (($qn) - ($qc))) AS BIGINT) * 1000)
+           |    // CAST(SUM(a.c) AS BIGINT) AS ce_mq4
+           |FROM c a
+           |JOIN st sb ON sb.source <> a.source
+           |LEFT JOIN c cb ON cb.source = sb.source AND cb.w = a.w
+           |CROSS JOIN v
+           |GROUP BY a.source, sb.source
+           |ORDER BY src_a, src_b""".stripMargin
+      }),
+    ),
+
     // Sliding-window HLL: trailing-4-week distinct users per event type
     // at every occupied week, by register fan-out + per-bucket MAX — the
     // rolling-distinct dashboard shape exact counting can't sustain;

@@ -176,4 +176,38 @@ object Graphs {
         when(col("deg") >= 2,
           expr("(tri * 2000000) div (deg * (deg - 1))")).otherwise(lit(0L)))
   }
+
+  /** Synchronous label propagation (fixed rounds) — community detection
+    * over an undirected edge list `(a, b)` (a < b, deduplicated): labels
+    * start as node ids; each round every node adopts the most frequent
+    * label among its NEIGHBORS, ties to the smallest label — a total
+    * order, so the whole run is deterministic and engine-replayable (the
+    * [[integerPageRank]] fixed-iteration contract; convergence detection
+    * never decides results). Communities complement the other graph
+    * tiers: CC finds connectivity, k-core density, triangles cohesion —
+    * LPA finds the mesoscale grouping dedup/source analysis wants.
+    *
+    * Per round: one label join onto the symmetric edges + one
+    * (node, label) partial-agg count + one argmin-struct pick per node —
+    * all node-keyed shuffles, lineage flattened per round. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, "rounds in [1,20]")
+    val e = edges.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("lab", col("node")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.select(col("node").as("a"), col("lab")), "a")
+        .groupBy(col("b").as("node"), col("lab")).agg(count(lit(1)).as("cnt"))
+        // argmax by (count desc, label asc) as one struct-min: total order
+        .groupBy(col("node"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lab").as("lab"))).as("s"))
+        .select(col("node"), col("s.lab").as("lab"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
 }

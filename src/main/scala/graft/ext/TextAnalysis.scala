@@ -375,4 +375,32 @@ object TextAnalysis {
          |                            (a, i) -> if(a > 0, shiftleft(cast(1 as bigint), i), 0L)),
          |                   0L, (x, y) -> x + y))""".stripMargin)
   }
+
+  /** Directional cross-entropy transfer matrix between sources:
+    * H(a → b) = Σ_w ca_w · (q4(N_b + V) − q4(cb_w + 1)) in quarter-bits —
+    * the surprisal of source a's tokens under source b's Laplace-smoothed
+    * unigram LM. Low H(a → b) means b's data already models a (transfer
+    * value / redundancy); the directional complement of [[vocabKlDrift]]'s
+    * vs-rest divergence. Only (a, w) rows with ca_w > 0 carry terms, so
+    * no dense fill: the frame is counts × sources, bounded by the
+    * monitoring vocabulary. `ce_mq4` normalizes per a-token
+    * (milli-quarter-bits). Zero libm, bit-exact cross-engine. */
+  def crossEntropyMatrix(docs: DataFrame, textCol: String,
+      srcCol: String): DataFrame = {
+    val counts = graft.ext.PinnedCache.pin(
+      docs.select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c")))
+    val v = counts.select(col("w")).distinct().count()
+    val srcTot = counts.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    counts.select(col("source").as("src_a"), col("w"), col("c").as("ca"))
+      .join(srcTot.select(col("source").as("src_b"), col("n").as("nb")),
+        col("src_a") =!= col("src_b"))
+      .join(counts.select(col("source").as("src_b"), col("w"),
+        col("c").as("cb")), Seq("src_b", "w"), "left_outer")
+      .withColumn("term", col("ca") *
+        (quarterLog2(col("nb") + v) - quarterLog2(coalesce(col("cb"), lit(0L)) + 1)))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("ca")).as("n_tokens_a"), sum(col("term")).as("ce_q4"))
+      .withColumn("ce_mq4", expr("(ce_q4 * 1000) div n_tokens_a"))
+  }
 }
