@@ -272,4 +272,29 @@ object EventFunnel {
         col("r.s").as("ewma"),
         coalesce(col("r.n") > col("r.prev_s") * factor, lit(false)).as("burst"))
   }
+
+  /** Watermark-lateness audit: per event type, how far events arrive
+    * behind the stream's running max event time (arrival order =
+    * event_id, the ingest sequence) — the empirical basis for choosing a
+    * streaming watermark delay: n_late_1h / n_late_1d count events a
+    * 1-hour / 1-day watermark would drop, max_late_ns bounds the worst
+    * straggler. Deterministic (event_id is a total arrival order).
+    *
+    * Scale shape: one running-max window per type over (event_id, ts)
+    * longs (the q49 per-group sort shape; at 100 TB the arrival log is
+    * already time-bucketed, so the window runs within buckets), then a
+    * partial-agg rollup. */
+  def latenessAudit(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("event_type"), col("event_id"), col("ts"))
+      .withColumn("late", max(col("ts")).over(w) - col("ts"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late") > 3600000000000L, 1L).otherwise(0L)).as("n_late_1h"),
+        sum(when(col("late") > 86400000000000L, 1L).otherwise(0L)).as("n_late_1d"),
+        max(col("late")).as("max_late_ns"))
+  }
 }

@@ -3341,6 +3341,76 @@ object Ext {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
 
+    // Watermark-lateness audit: per type, events behind the running max
+    // event time in arrival (event_id) order — the empirical basis for a
+    // streaming watermark delay (what would a 1h/1d watermark drop?).
+    QueryDef(
+      "q185_lateness_audit",
+      (s, dir) => EventFunnel.latenessAudit(tbl(s, dir, "events"))
+        .orderBy(col("event_type")),
+      Some("""WITH l AS (
+             |  SELECT event_type,
+             |    MAX(epoch_ns(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+             |      ROWS UNBOUNDED PRECEDING) - epoch_ns(ts) AS late
+             |  FROM events)
+             |SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CASE WHEN late > 3600000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1h,
+             |  CAST(SUM(CASE WHEN late > 86400000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1d,
+             |  CAST(MAX(late) AS BIGINT) AS max_late_ns
+             |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+
+    // Cascade delete-propagation audit (the GDPR/right-to-be-forgotten
+    // shape): a deterministic hash-sampled customer delete list cascades
+    // through the FK chain customer -> orders -> lineitem; per-table
+    // before/deleted/after row counts. Semi-join cascades, count-only
+    // rollups — the plan a compliance pipeline runs before executing.
+    QueryDef(
+      "q186_delete_cascade",
+      (s, dir) => {
+        val cust = tbl(s, dir, "customer")
+        val orders = tbl(s, dir, "orders")
+        val li = tbl(s, dir, "lineitem")
+        val delC = cust.where(
+          pmod(Sampling.portableHash(col("c_custkey")), lit(20)) === 0)
+          .select(col("c_custkey"))
+        val delO = orders.join(delC.select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"), "left_semi")
+        val delL = li.join(delO.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_semi")
+        def row(name: String, all: org.apache.spark.sql.DataFrame,
+            del: org.apache.spark.sql.DataFrame) =
+          all.agg(count(lit(1)).as("n_before")).crossJoin(
+            del.agg(count(lit(1)).as("n_deleted")))
+            .select(lit(name).as("table"), col("n_before"), col("n_deleted"),
+              (col("n_before") - col("n_deleted")).as("n_after"))
+        row("customer", cust, delC)
+          .unionByName(row("lineitem", li, delL))
+          .unionByName(row("orders", orders, delO))
+          .orderBy(col("table"))
+      },
+      Some("""WITH delc AS (
+             |  SELECT c_custkey FROM customer
+             |  WHERE CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)),1,15))
+             |        AS BIGINT) % 20 = 0),
+             |delo AS (SELECT o_orderkey FROM orders
+             |         WHERE o_custkey IN (SELECT c_custkey FROM delc)),
+             |dell AS (SELECT 1 FROM lineitem
+             |         WHERE l_orderkey IN (SELECT o_orderkey FROM delo))
+             |SELECT 'customer' AS "table", (SELECT COUNT(*) FROM customer) AS n_before,
+             |  (SELECT COUNT(*) FROM delc) AS n_deleted,
+             |  (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM delc) AS n_after
+             |UNION ALL
+             |SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem),
+             |  (SELECT COUNT(*) FROM dell),
+             |  (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM dell)
+             |UNION ALL
+             |SELECT 'orders', (SELECT COUNT(*) FROM orders),
+             |  (SELECT COUNT(*) FROM delo),
+             |  (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM delo)
+             |ORDER BY "table"""".stripMargin),
+    ),
+
     // Label-propagation communities (3 synchronous rounds, ties to the
     // smallest label — fully deterministic) over the co-purchase graph:
     // the mesoscale grouping layer between CC (connectivity) and
