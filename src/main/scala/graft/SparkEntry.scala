@@ -16,7 +16,8 @@ object SparkEntry {
     Relational.all ++ graft.ext.Ext.all ++ graft.ext.CorpusMining.queries ++
       graft.ext.Layout.queries ++ graft.ext.Histogram.queries ++
       graft.operators.BloomJoin.queries ++
-      graft.sources.v2.ReplayQueries.queries ++ graft.queries.DagQueries.all
+      graft.sources.v2.ReplayQueries.queries ++ graft.queries.DagQueries.all ++
+      graft.ext.ExtraQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

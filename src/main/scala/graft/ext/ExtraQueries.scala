@@ -1,0 +1,281 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDef
+import graft.queries.QueryDef.tbl
+
+/** Round-6 tail of the query surface (q187+): graph traversal /
+  * seeded authority over the host link graph, relational pivot, greedy
+  * corpus selection, seasonal baselines, mutual-kNN, and cluster-quality
+  * audits — each with its independent DuckDB oracle derivation
+  * (`/root/reference` has no counterpart for these; they are the
+  * north-star LLM-pipeline tier of SURVEY.md §2.4). */
+object ExtraQueries {
+
+  /** Symmetrized host-level link graph (q171/q172's derivation): the
+    * deterministic href fixture rendered per doc, REAL regex link
+    * extraction, src host from the doc's canonicalized fixture URL, dst
+    * host from the href — distinct (src, dst) edges plus their mirror.
+    * Map-only until the distinct; node ids are strings (group/join keys
+    * never need dense ints). */
+  private def hostLinkGraph(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+    val links = Web.extractLinks(
+      Web.syntheticHtmlLinks(d, "doc_id", "text"), "doc_id", "html")
+    val srcH = d.select(col("doc_id"),
+      Web.hostOf(Web.fixtureUrl(col("doc_id"), col("source"), col("lang")))
+        .as("src"))
+    val e = links.join(srcH, "doc_id")
+      .select(col("src"), Web.hostOf(col("url")).as("dst")).distinct()
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  /** DuckDB replica of [[hostLinkGraph]]: CTE chain ending in `sym`
+    * (src, dst) and `deg` (src, deg) — the q172 derivation, shared by the
+    * graph-tier oracles below. */
+  private val hostGraphSql: String =
+    "WITH u AS (SELECT doc_id, " + Web.fixtureUrlSql +
+      " AS url FROM documents),\n" + Web.canonicalizeSql + ",\n" +
+      """t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |x AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)||':'||CAST(j AS VARCHAR)
+        |      ||':'||CAST(k AS VARCHAR)||':href'),1,15)) AS BIGINT) AS h2
+        |  FROM t,
+        |    unnest(generate_series(0, (len(toks)+3)//4 - 1)) uj(j),
+        |    unnest(generate_series(0, LEAST(4, len(toks) - j*4) - 1)) uk(k)
+        |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)||':'||CAST(j AS VARCHAR)
+        |    ||':'||CAST(k AS VARCHAR)),1,15)) AS BIGINT) % 4 = 0),
+        |e AS (
+        |  SELECT DISTINCT c.host AS src,
+        |    'h' || CAST(x.h2 % 20 AS VARCHAR) || '.example.org' AS dst
+        |  FROM x JOIN c ON c.doc_id = x.doc_id),
+        |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src)""".stripMargin
+
+  /** Seed hosts for the traversal/trust queries: two synthetic hub hosts
+    * from the href fixture's 20-host target space. */
+  private val SeedHosts = Seq("h0.example.org", "h1.example.org")
+  private val seedValuesSql: String =
+    "(VALUES " + SeedHosts.map(h => s"('$h')").mkString(", ") + ") v(node)"
+
+  def queries: Seq[QueryDef] = Seq(
+
+    // Crawl-frontier distance: exact min-hop BFS distance of every host
+    // from a trusted seed set over the symmetrized link graph, 4 rounds
+    // (unreached hosts absent). Delta-frontier Pregel expansion — per
+    // round one frontier⋈edges join + one node-keyed min, O(m) total.
+    QueryDef(
+      "q187_bfs_frontier",
+      (s, dir) => {
+        import s.implicits._
+        Graphs.bfsDistances(hostLinkGraph(s, dir),
+            SeedHosts.toDF("node"), rounds = 4)
+          .select(col("node").as("host"), col("d").as("dist"))
+          .orderBy(col("host"))
+      },
+      Some {
+        val rounds = (1 to 4).map(i =>
+          s"""d$i AS (
+             |  SELECT node, MIN(d) AS d FROM (
+             |    SELECT node, d FROM d${i - 1}
+             |    UNION ALL
+             |    SELECT sym.dst, d${i - 1}.d + 1
+             |    FROM d${i - 1} JOIN sym ON d${i - 1}.node = sym.src) z
+             |  GROUP BY node)""".stripMargin).mkString(",\n")
+        hostGraphSql +
+          s""",
+             |d0 AS (SELECT node, 0 AS d FROM $seedValuesSql),
+             |$rounds
+             |SELECT node AS host, CAST(d AS BIGINT) AS dist
+             |FROM d4 ORDER BY host""".stripMargin
+      },
+    ),
+
+    // Seeded authority (TrustRank shape): personalized integer PageRank
+    // with the teleport vector on the seed hosts — authority relative to
+    // a trusted core, the crawl-curation counterpart of q172's global
+    // authority. Bit-exact integer recurrence, 4 iterations; zero-rank
+    // tail dropped (state ∝ reached set).
+    QueryDef(
+      "q188_trust_rank",
+      (s, dir) => {
+        import s.implicits._
+        Graphs.personalizedPageRank(hostLinkGraph(s, dir),
+            SeedHosts.toDF("node"), iters = 4)
+          .select(col("node").as("host"), col("r").as("rank"))
+          .orderBy(col("host"))
+      },
+      Some {
+        val m = 1000000000000L
+        val iters = (1 to 4).map(i =>
+          s"""p$i AS (
+             |  SELECT node, SUM(r) AS r FROM (
+             |    SELECT sym.dst AS node,
+             |      (85 * SUM(p${i - 1}.r // deg.deg)) // 100 AS r
+             |    FROM p${i - 1}
+             |    JOIN sym ON p${i - 1}.node = sym.src
+             |    JOIN deg ON sym.src = deg.src
+             |    GROUP BY sym.dst
+             |    UNION ALL
+             |    SELECT node, (SELECT tel FROM cst) FROM sv) z
+             |  GROUP BY node HAVING SUM(r) > 0)""".stripMargin).mkString(",\n")
+        hostGraphSql +
+          s""",
+             |sv AS (SELECT node FROM $seedValuesSql),
+             |cst AS (SELECT (15 * ($m // ${SeedHosts.size})) // 100 AS tel),
+             |p0 AS (SELECT node, $m // ${SeedHosts.size} AS r FROM sv),
+             |$iters
+             |SELECT node AS host, CAST(r AS BIGINT) AS rank
+             |FROM p4 ORDER BY host""".stripMargin
+      },
+    ),
+
+    // Weekly × event-type PIVOT matrix: the wide-format activity report —
+    // Spark's relational pivot operator (groupBy().pivot() with an
+    // explicit value list, so no discovery job and a fixed schema) over
+    // the week bucket. Map-side partial counts; one (wk)-keyed shuffle.
+    QueryDef(
+      "q189_pivot_matrix",
+      (s, dir) => tbl(s, dir, "events")
+        .select(expr("ts div 604800000000000").as("wk"), col("event_type"))
+        .groupBy(col("wk"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("wk"), col("click"), col("error"), col("purchase"),
+          col("signup"), col("view"),
+          (col("click") + col("error") + col("purchase") + col("signup") +
+            col("view")).as("total"))
+        .orderBy(col("wk")),
+      Some("""SELECT epoch_ns(ts) // 604800000000000 AS wk,
+             |  CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+             |  CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+             |  CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+             |  CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+             |  CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+             |  CAST(COUNT(*) AS BIGINT) AS total
+             |FROM events GROUP BY 1 ORDER BY wk""".stripMargin),
+    ),
+
+    // Greedy set-cover corpus selection over per-doc distinct BIGRAMS:
+    // up to 8 picks, each the doc covering the most uncovered bigrams
+    // (ties to smallest doc_id). The oracle replays the same greedy run
+    // as a recursive CTE carrying the covered set.
+    QueryDef(
+      "q190_set_cover",
+      (s, dir) => Selection.greedyCover(s,
+          Selection.docBigrams(tbl(s, dir, "documents"), "doc_id", "text"),
+          maxRounds = 8)
+        .orderBy(col("round")),
+      Some("""WITH RECURSIVE dt AS (
+             |  SELECT doc_id, list_sort(list_distinct(
+             |    [t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t)-1)])) AS toks
+             |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)),
+             |sel(r, doc_id, gain, covered) AS (
+             |  SELECT 1, doc_id, CAST(len(toks) AS BIGINT), toks FROM (
+             |    SELECT doc_id, toks FROM dt ORDER BY len(toks) DESC, doc_id LIMIT 1)
+             |  UNION ALL
+             |  SELECT s.r + 1, d.doc_id,
+             |    CAST(len(list_filter(d.toks, t -> NOT list_contains(s.covered, t))) AS BIGINT),
+             |    list_sort(list_distinct(flatten([s.covered, d.toks])))
+             |  FROM sel s CROSS JOIN dt d
+             |  WHERE s.r < 8
+             |  QUALIFY ROW_NUMBER() OVER (ORDER BY
+             |      len(list_filter(d.toks, t -> NOT list_contains(s.covered, t))) DESC,
+             |      d.doc_id) = 1
+             |    AND len(list_filter(d.toks, t -> NOT list_contains(s.covered, t))) > 0)
+             |SELECT CAST(r AS BIGINT) AS round, CAST(doc_id AS BIGINT) AS doc_id, gain
+             |FROM sel ORDER BY round""".stripMargin),
+    ),
+
+    // Seasonal weekday-slot baseline anomaly: per (event_type, day-of-week
+    // slot, hour), the all-weeks total is the baseline; a concrete
+    // (day, hour) cell is anomalous when its count exceeds 2× the
+    // baseline's per-day average — tested as the cross-multiplied INTEGER
+    // inequality cnt·n_days > 2·total (no float rates). Day slot =
+    // epoch-day mod 7: pure integer calendar both engines share.
+    QueryDef(
+      "q191_weekday_anomaly",
+      (s, dir) => {
+        val cells = tbl(s, dir, "events")
+          .select(col("event_type"),
+            expr("ts div 86400000000000").as("day"),
+            expr("(ts div 3600000000000) % 24").as("hr"))
+          .groupBy(col("event_type"), col("day"), col("hr"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("slot", col("day") % 7)
+        val base = cells.groupBy(col("event_type"), col("slot"), col("hr"))
+          .agg(sum(col("cnt")).as("total"))
+        val nDays = tbl(s, dir, "events")
+          .select(expr("ts div 86400000000000").as("day")).distinct()
+          .withColumn("slot", col("day") % 7)
+          .groupBy(col("slot")).agg(count(lit(1)).as("n_days"))
+        cells.join(base, Seq("event_type", "slot", "hr"))
+          .join(broadcast(nDays), Seq("slot"))
+          .where(col("cnt") * col("n_days") > col("total") * 2)
+          .select(col("event_type"), col("day"), col("hr"), col("cnt"),
+            col("total"), col("n_days"))
+          .orderBy(col("event_type"), col("day"), col("hr"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+             |    (epoch_ns(ts) // 3600000000000) % 24 AS hr, COUNT(*) AS cnt
+             |  FROM events GROUP BY 1, 2, 3),
+             |c2 AS (SELECT *, day % 7 AS slot FROM cells),
+             |base AS (
+             |  SELECT event_type, slot, hr, SUM(cnt) AS total
+             |  FROM c2 GROUP BY 1, 2, 3),
+             |nd AS (
+             |  SELECT day % 7 AS slot, COUNT(*) AS n_days FROM (
+             |    SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day FROM events)
+             |  GROUP BY 1)
+             |SELECT event_type, day, hr, CAST(cnt AS BIGINT) AS cnt,
+             |  CAST(total AS BIGINT) AS total, CAST(n_days AS BIGINT) AS n_days
+             |FROM c2 JOIN base USING (event_type, slot, hr) JOIN nd USING (slot)
+             |WHERE cnt * n_days > total * 2
+             |ORDER BY event_type, day, hr""".stripMargin),
+    ),
+
+    // Mutual nearest-neighbor pairs: (a, b) where each is the other's
+    // exact cosine top-1 — the high-precision pairing used for alignment
+    // / translation mining (reciprocal best match kills asymmetric hub
+    // matches that plain top-1 keeps). Brute top-1 here is the reference
+    // semantics; at scale the candidate stage swaps to annTopK /
+    // multiProbeTopK (q30/q146) exactly as in q145's MMR.
+    QueryDef(
+      "q192_mutual_knn",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val top1 = Similarity.bruteForceTopK(emb, emb, "embedding", "vec_id", 1)
+        top1.as("x").join(top1.as("y"),
+            col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid") &&
+              col("x.qid") < col("x.nid"))
+          .select(col("x.qid").as("a_id"), col("x.nid").as("b_id"),
+            col("x.sim").as("cos_sim"))
+          .orderBy(col("a_id"))
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id, embedding,
+             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+             |  FROM embeddings),
+             |t1 AS (
+             |  SELECT qid, nid, sim FROM (
+             |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+             |      list_sum([CAST(q.embedding[i] AS DOUBLE)*c.embedding[i]
+             |                FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*c.nrm) AS sim,
+             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             |        list_sum([CAST(q.embedding[i] AS DOUBLE)*c.embedding[i]
+             |                  FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*c.nrm) DESC,
+             |        c.vec_id) AS rk
+             |    FROM n q JOIN n c ON q.vec_id != c.vec_id)
+             |  WHERE rk = 1)
+             |SELECT x.qid AS a_id, x.nid AS b_id, x.sim AS cos_sim
+             |FROM t1 x JOIN t1 y ON x.qid = y.nid AND x.nid = y.qid AND x.qid < x.nid
+             |ORDER BY a_id""".stripMargin),
+    ),
+  )
+}

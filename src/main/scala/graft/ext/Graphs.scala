@@ -177,6 +177,74 @@ object Graphs {
           expr("(tri * 2000000) div (deg * (deg - 1))")).otherwise(lit(0L)))
   }
 
+  /** Multi-source BFS over a directed edge list `(src, dst)`: exact
+    * min-hop distance from a seed set, after `rounds` expansion rounds
+    * (nodes further than `rounds` hops are absent — the fixed-iteration
+    * contract of [[integerPageRank]]; a crawl-frontier "distance from the
+    * trusted core" is naturally hop-bounded anyway). Node ids are opaque
+    * (string hosts work — the [[integerPageRank]]/q172 convention).
+    *
+    * Delta-frontier expansion: round r only expands nodes first reached
+    * at distance r−1 (any shorter path would have found them earlier), so
+    * per-round cost is one edges⋈frontier join + one node-keyed min — the
+    * Pregel BFS plan, total work O(Σ frontier out-degree) = O(m) across
+    * all rounds, not O(m·rounds). Lineage flattened per round. */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 50, "rounds in [1,50]")
+    val e = PinnedCache.pin(edges.toDF("src", "dst"))
+    var dist = seeds.toDF("node").distinct()
+      .withColumn("d", lit(0L)).localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val frontier = dist.where(col("d") === (r - 1))
+      dist = dist.unionByName(
+        e.join(frontier.select(col("node").as("src"), col("d")), "src")
+          .select(col("dst").as("node"), (col("d") + 1).as("d")))
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** Personalized PageRank: [[integerPageRank]]'s exact-integer recurrence
+    * with the teleport vector concentrated on a seed set instead of
+    * uniform — the "authority relative to a trusted core" ranking
+    * (TrustRank-style crawl curation: seeds = vetted hosts, low PPR =
+    * far from anything trusted).
+    *
+    * r_0(v) = [v ∈ S]·(M div |S|);
+    * r_{t+1}(v) = [v ∈ S]·(15·(M div |S|)) div 100
+    *   + (85 · Σ_{u→v} (r_t(u) div deg(u))) div 100.
+    * Every division floors non-negative longs → engine-order independent;
+    * 85·Σ ≤ 85·M < 2^63. Rows with r = 0 are dropped (rank mass is sparse
+    * around the seeds; the zero tail is the unreached graph), so state
+    * stays proportional to the reached set, not the node universe. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      mass: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iterations must be in [1,50], got $iters")
+    val e = PinnedCache.pin(edges.toDF("src", "dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = PinnedCache.pin(e.join(deg, "src"))
+    val sd = PinnedCache.pin(seeds.toDF("node").distinct())
+    val nSeeds = sd.count()
+    require(nSeeds > 0, "empty seed set")
+    val r0 = mass / nSeeds
+    val tel = (15L * r0) / 100L
+    var ranks = sd.withColumn("r", lit(r0)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(ranks.select(col("node").as("src"), col("r")), "src")
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy(col("node")).agg(expr("(85 * sum(c)) div 100").as("c"))
+      ranks = contrib
+        .join(sd.withColumn("tel", lit(tel)), Seq("node"), "full_outer")
+        .select(col("node"),
+          (coalesce(col("c"), lit(0L)) + coalesce(col("tel"), lit(0L))).as("r"))
+        .where(col("r") > 0)
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Synchronous label propagation (fixed rounds) — community detection
     * over an undirected edge list `(a, b)` (a < b, deduplicated): labels
     * start as node ids; each round every node adopts the most frequent

@@ -135,4 +135,76 @@ class GraphsSpec extends AnyFunSuite {
     val k = Graphs.triangleCounts(k5.toDF("a", "b")).collect()
     assert(k.forall(r => r.getLong(1) == 4L && r.getLong(2) == 6L && r.getLong(3) == 1000000L))
   }
+
+  test("bfsDistances: exact min-hop distances vs in-memory BFS; hop bound respected") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    val adj = sym.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val seeds = Seq(0L, 1L)
+    // in-memory BFS, capped at 4 hops
+    var dist = seeds.map(_ -> 0L).toMap
+    for (r <- 1 to 4) {
+      val frontier = dist.filter(_._2 == r - 1).keys
+      val next = frontier.flatMap(u => adj.getOrElse(u, Nil)).filterNot(dist.contains)
+      dist = dist ++ next.map(_ -> r.toLong)
+    }
+    val got = Graphs.bfsDistances(sym.toDF("src", "dst"), seeds.toDF("node"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == dist)
+  }
+
+  test("bfsDistances: disconnected nodes absent; seed distance is 0 even with incoming edges") {
+    val sym = Seq((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L), (5L, 0L), (0L, 5L))
+    val got = Graphs.bfsDistances(sym.toDF("src", "dst"), Seq(0L).toDF("node"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 5L -> 1L), "component {2,3} must be absent")
+  }
+
+  test("personalizedPageRank matches the in-memory recurrence exactly") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(250)((rnd.nextInt(35).toLong, rnd.nextInt(35).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val sym = (edges ++ edges.map(_.swap)).distinct
+    val seeds = Seq(3L, 4L, 5L)
+    val mass = 1000000000000L
+    val deg = sym.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val r0 = mass / seeds.size
+    val tel = (15L * r0) / 100L
+    var ranks = seeds.map(_ -> r0).toMap
+    for (iters <- Seq(1, 3, 5)) {
+      ranks = seeds.map(_ -> r0).toMap
+      for (_ <- 1 to iters) {
+        val in = sym.groupBy(_._2)
+        val contrib = in.map { case (v, es) =>
+          v -> (85L * es.map { case (u, _) =>
+            ranks.getOrElse(u, 0L) / deg(u) }.sum) / 100L
+        }
+        ranks = (contrib.keySet ++ seeds)
+          .map(v => v -> (contrib.getOrElse(v, 0L) +
+            (if (seeds.contains(v)) tel else 0L)))
+          .filter(_._2 > 0).toMap
+      }
+      val got = Graphs.personalizedPageRank(
+          sym.toDF("src", "dst"), seeds.toDF("node"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ranks, s"iters=$iters")
+    }
+  }
+
+  test("personalizedPageRank: mass decays with distance from the seed") {
+    // path 0-1-2-3-4-5, seed at 0. A path is BIPARTITE, so a fixed
+    // iteration count oscillates between parity layers (the seed's whole
+    // mass flows to its only neighbor each round) — per-node monotonicity
+    // does NOT hold. Summing adjacent distance pairs cancels the parity:
+    // mass near the seed must strictly dominate each farther pair.
+    val path = (0L to 4L).map(i => (i, i + 1))
+    val sym = (path ++ path.map(_.swap)).distinct
+    val got = Graphs.personalizedPageRank(sym.toDF("src", "dst"),
+        Seq(0L).toDF("node"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def pair(a: Long, b: Long) = got.getOrElse(a, 0L) + got.getOrElse(b, 0L)
+    assert(pair(0L, 1L) > pair(2L, 3L) && pair(2L, 3L) > pair(4L, 5L))
+  }
 }
