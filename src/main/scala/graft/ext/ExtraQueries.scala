@@ -277,5 +277,132 @@ object ExtraQueries {
              |FROM t1 x JOIN t1 y ON x.qid = y.nid AND x.nid = y.qid AND x.qid < x.nid
              |ORDER BY a_id""".stripMargin),
     ),
+
+    // Fano-factor burstiness: per event type, the index of dispersion of
+    // hourly counts over the type's own hour span (zero hours included —
+    // they contribute nothing to the sums but widen n). Exact integer:
+    // D = var/mean = (n·Σc² − (Σc)²) / (n·Σc), emitted as floor ppm;
+    // > 10^6 = overdispersed (bursty), < 10^6 = more regular than
+    // Poisson. Cross-multiplied products stay < 2^63 up to ~3·10⁹ events
+    // per type (the q110 bound; decimal(38) is the documented switch).
+    QueryDef(
+      "q193_fano_dispersion",
+      (s, dir) => tbl(s, dir, "events")
+        .select(col("event_type"), expr("ts div 3600000000000").as("hr"))
+        .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg((max(col("hr")) - min(col("hr")) + 1).as("n_hours"),
+          sum(col("c")).as("total"), sum(col("c") * col("c")).as("s2"))
+        .select(col("event_type"), col("n_hours"), col("total"),
+          expr("((n_hours * s2 - total * total) * 1000000) div (n_hours * total)")
+            .as("fano_ppm"))
+        .orderBy(col("event_type")),
+      Some("""WITH h AS (
+             |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type,
+             |  MAX(hr) - MIN(hr) + 1 AS n_hours,
+             |  CAST(SUM(c) AS BIGINT) AS total,
+             |  CAST(((MAX(hr) - MIN(hr) + 1) * CAST(SUM(c*c) AS BIGINT)
+             |    - CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)) * 1000000
+             |    // ((MAX(hr) - MIN(hr) + 1) * CAST(SUM(c) AS BIGINT)) AS BIGINT) AS fano_ppm
+             |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+
+    // Inter-event gap spectrum: per type, consecutive-event gaps (arrival
+    // order = (ts, event_id)) binned by quarter-bit log2 of the gap in ns
+    // — the integer-exact latency/cadence histogram (quarterLog2: zero
+    // libm, bit-exact cross-engine). One window pass + one rollup.
+    QueryDef(
+      "q194_gap_spectrum",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        tbl(s, dir, "events")
+          .select(col("event_type"), col("ts"), col("event_id"))
+          .withColumn("gap", col("ts") - lag(col("ts"), 1).over(w))
+          .where(col("gap").isNotNull)
+          .select(col("event_type"),
+            TextAnalysis.quarterLog2(col("gap") + 1).as("bin"))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("event_type"), col("bin"))
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type,
+             |    epoch_ns(ts) - LAG(epoch_ns(ts)) OVER (
+             |      PARTITION BY event_type ORDER BY epoch_ns(ts), event_id) + 1 AS gp
+             |  FROM events)
+             |SELECT event_type,
+             |  CAST(CASE WHEN length(bin(gp)) - 1 <= 14
+             |    THEN length(bin(gp*gp*gp*gp)) - 1
+             |    ELSE 4 * (length(bin(gp)) - 15) +
+             |         length(bin((gp >> (length(bin(gp)) - 15))
+             |                   *(gp >> (length(bin(gp)) - 15))
+             |                   *(gp >> (length(bin(gp)) - 15))
+             |                   *(gp >> (length(bin(gp)) - 15)))) - 1 END AS BIGINT) AS bin,
+             |  COUNT(*) AS n
+             |FROM g WHERE gp IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin),
+    ),
+
+    // Dup-cluster cohesion audit: for each near-dup connected component,
+    // how many of its possible member pairs actually cleared the Jaccard
+    // threshold (edge coverage), and how weak the weakest edge is. Low
+    // coverage / low min flags CHAIN-shaped clusters built by transitive
+    // merges — the known failure mode of CC over pairwise near-dup (the
+    // q139 lcc audit's set-similarity counterpart). Reuses the
+    // oracle-proven q26 pairs + q44 components; per-cluster rollups only.
+    QueryDef(
+      "q195_cluster_cohesion",
+      (s, dir) => {
+        val pairs = PinnedCache.pin(
+          Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5))
+        val cc = Dedup.connectedComponents(pairs)
+        val sizes = cc.groupBy(col("root")).agg(count(lit(1)).as("size"))
+        val edges = pairs
+          .join(cc.select(col("id").as("a_id"), col("root")), "a_id")
+          .groupBy(col("root"))
+          .agg(count(lit(1)).as("n_edges"),
+            floor(min(col("jaccard")) * 1000000).cast("long").as("min_j_ppm"))
+        sizes.join(edges, "root")
+          .select(col("root").as("root_id"), col("size"), col("n_edges"),
+            expr("size * (size - 1) div 2").as("n_possible"),
+            expr("(n_edges * 1000000) div (size * (size - 1) div 2)")
+              .as("coverage_ppm"),
+            col("min_j_ppm"))
+          .orderBy(col("root_id"))
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
+             |  WHERE len(tokens) >= 3),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    ROUND(CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |          /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 6) AS j
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+             |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+             |          UNION SELECT b_id, a_id FROM pairs),
+             |r(id, m) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.m),
+             |labels AS (SELECT id, MIN(m) AS root FROM r GROUP BY id),
+             |sizes AS (SELECT root, COUNT(*) AS size FROM labels GROUP BY root),
+             |ed AS (
+             |  SELECT l.root, COUNT(*) AS n_edges,
+             |    CAST(floor(MIN(p.j) * 1000000) AS BIGINT) AS min_j_ppm
+             |  FROM pairs p JOIN labels l ON l.id = p.a_id GROUP BY l.root)
+             |SELECT root AS root_id, CAST(size AS BIGINT) AS size,
+             |  n_edges, size * (size - 1) // 2 AS n_possible,
+             |  (n_edges * 1000000) // (size * (size - 1) // 2) AS coverage_ppm,
+             |  min_j_ppm
+             |FROM sizes JOIN ed USING (root) ORDER BY root_id""".stripMargin),
+    ),
   )
 }
