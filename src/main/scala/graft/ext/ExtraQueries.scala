@@ -404,5 +404,125 @@ object ExtraQueries {
              |  min_j_ppm
              |FROM sizes JOIN ed USING (root) ORDER BY root_id""".stripMargin),
     ),
+
+    // Inter-label centroid distance matrix over int8-QUANTIZED embeddings:
+    // label-pair separation audit on exact integers (quantized sums are
+    // order-independent, unlike float centroids — the trick that makes a
+    // centroid geometry oracle-checkable at all). dist_num =
+    // Σ_d (s_a·c_b − s_b·c_a)² = (c_a·c_b)²·L2²(mean_a, mean_b); the
+    // normalized double is one division at the end. Cross-multiplied
+    // products stay < 2^63 while 127·n_a·n_b < ~3·10⁹ (n per label
+    // ≲ 150k; beyond, decimal(38) — the q110 convention). Model-state
+    // shape: d-per-label sums, labels² pairs — dimension-bounded.
+    QueryDef(
+      "q196_centroid_matrix",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val q = emb.select(col("label").cast("long").as("label"),
+          Quantization.quantizeInt8(col("embedding"),
+            Quantization.int8Scale(col("embedding"))).as("q"))
+        val ex = q.select(col("label"), posexplode(col("q")))
+        val sums = PinnedCache.pin(ex.groupBy(col("label"), col("pos"))
+          .agg(sum(col("col")).as("s")))
+        val cnt = PinnedCache.pin(
+          q.groupBy(col("label")).agg(count(lit(1)).as("c")))
+        sums.as("a")
+          .join(sums.as("b"),
+            col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+          .join(broadcast(cnt.select(col("label").as("la"), col("c").as("ca"))),
+            col("a.label") === col("la"))
+          .join(broadcast(cnt.select(col("label").as("lb"), col("c").as("cb"))),
+            col("b.label") === col("lb"))
+          .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+            col("ca"), col("cb"),
+            (col("a.s") * col("cb") - col("b.s") * col("ca")).as("t"))
+          .groupBy(col("label_a"), col("label_b"), col("ca"), col("cb"))
+          .agg(sum(col("t") * col("t")).as("dist_num"))
+          .select(col("label_a"), col("label_b"), col("ca").as("n_a"),
+            col("cb").as("n_b"), col("dist_num"),
+            (col("dist_num").cast("double") /
+              ((col("ca") * col("cb")) * (col("ca") * col("cb"))).cast("double"))
+              .as("l2_sq"))
+          .orderBy(col("label_a"), col("label_b"))
+      },
+      Some("""WITH e AS (
+             |  SELECT label, embedding,
+             |    list_max([abs(x) FOR x IN embedding]) AS mx
+             |  FROM embeddings),
+             |sc AS (SELECT label, embedding,
+             |         CASE WHEN mx > 0 THEN 127.0 / CAST(mx AS DOUBLE) ELSE 0.0 END AS scale
+             |       FROM e),
+             |q AS (SELECT label, [CAST(round(CAST(x AS DOUBLE) * scale) AS INTEGER)
+             |                     FOR x IN embedding] AS qv
+             |      FROM sc),
+             |ex AS (SELECT label, i - 1 AS pos, qv[i] AS v
+             |       FROM q, unnest(generate_series(1, len(qv))) u(i)),
+             |sums AS (SELECT label, pos, CAST(SUM(v) AS BIGINT) AS s
+             |         FROM ex GROUP BY 1, 2),
+             |cnt AS (SELECT label, COUNT(*) AS c FROM q GROUP BY 1),
+             |t AS (
+             |  SELECT a.label AS label_a, b.label AS label_b, ca.c AS ca, cb.c AS cb,
+             |    a.s * cb.c - b.s * ca.c AS t
+             |  FROM sums a
+             |  JOIN sums b ON a.pos = b.pos AND a.label < b.label
+             |  JOIN cnt ca ON ca.label = a.label
+             |  JOIN cnt cb ON cb.label = b.label)
+             |SELECT CAST(label_a AS BIGINT) AS label_a,
+             |  CAST(label_b AS BIGINT) AS label_b,
+             |  CAST(ca AS BIGINT) AS n_a, CAST(cb AS BIGINT) AS n_b,
+             |  CAST(SUM(t * t) AS BIGINT) AS dist_num,
+             |  CAST(CAST(SUM(t * t) AS BIGINT) AS DOUBLE)
+             |    / CAST((ca * cb) * (ca * cb) AS DOUBLE) AS l2_sq
+             |FROM t GROUP BY label_a, label_b, ca, cb
+             |ORDER BY label_a, label_b""".stripMargin),
+    ),
+
+    // HITS hubs and authorities over the DIRECTED host link graph: doc
+    // hosts point (hub side), synthetic target hosts are pointed at
+    // (authority side) — integer max-rescaled half-steps, 2 iterations,
+    // bit-exact (q172's PageRank discipline applied to the two-sided
+    // centrality).
+    QueryDef(
+      "q197_hits",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+        val links = Web.extractLinks(
+          Web.syntheticHtmlLinks(d, "doc_id", "text"), "doc_id", "html")
+        val srcH = d.select(col("doc_id"),
+          Web.hostOf(Web.fixtureUrl(col("doc_id"), col("source"), col("lang")))
+            .as("src"))
+        val e = links.join(srcH, "doc_id")
+          .select(col("src"), Web.hostOf(col("url")).as("dst")).distinct()
+        Graphs.integerHits(e, iters = 2)
+          .withColumnRenamed("node", "host")
+          .orderBy(col("host"))
+      },
+      Some {
+        val iters = (1 to 2).map { i =>
+          val (hp, ap) = (s"h${i - 1}", s"a$i")
+          s"""a${i}r AS (
+             |  SELECT e.dst AS node, SUM($hp.h) AS a
+             |  FROM $hp JOIN e ON e.src = $hp.node GROUP BY e.dst),
+             |a$i AS (
+             |  SELECT node, (a * 1000000) // (SELECT MAX(a) FROM a${i}r) AS a
+             |  FROM a${i}r),
+             |h${i}r AS (
+             |  SELECT e.src AS node, SUM($ap.a) AS h
+             |  FROM $ap JOIN e ON e.dst = $ap.node GROUP BY e.src),
+             |h$i AS (
+             |  SELECT node, (h * 1000000) // (SELECT MAX(h) FROM h${i}r) AS h
+             |  FROM h${i}r)""".stripMargin
+        }.mkString(",\n")
+        hostGraphSql +
+          s""",
+             |h0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS h FROM e),
+             |$iters
+             |SELECT COALESCE(h2.node, a2.node) AS host,
+             |  CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub,
+             |  CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth
+             |FROM h2 FULL OUTER JOIN a2 ON h2.node = a2.node
+             |ORDER BY host""".stripMargin
+      },
+    ),
   )
 }

@@ -177,6 +177,47 @@ object Graphs {
           expr("(tri * 2000000) div (deg * (deg - 1))")).otherwise(lit(0L)))
   }
 
+  /** HITS hubs-and-authorities in exact integer arithmetic over a
+    * DIRECTED edge list `(src, dst)`: the complementary centrality to
+    * [[integerPageRank]] (good hubs point at good authorities; good
+    * authorities are pointed at by good hubs — the right split for
+    * crawl/link graphs where pointing and being-pointed-at mean different
+    * things). Classical HITS L2-normalizes each half-step; the integer
+    * formulation rescales by the MAX instead — a ← (a·S) div max(a) —
+    * which preserves the ranking ORDER exactly (monotone transform),
+    * keeps every value in [0, S], and makes the fixed-iteration result
+    * bit-identical across engines (floor divisions on non-negative
+    * longs). Overflow bound: S·maxInDegree per sum, < 2^63 for any
+    * realistic graph at S = 10^6.
+    *
+    * Per iteration: two shuffle joins + two map-side-combinable sums +
+    * two scalar-max broadcasts (1-row crossJoin — dimension-bounded, the
+    * house model-state pattern). Returns (node, hub, auth) with 0 for a
+    * side the node doesn't participate in. */
+  def integerHits(edges: DataFrame, iters: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iterations must be in [1,50], got $iters")
+    val e = PinnedCache.pin(edges.toDF("src", "dst").distinct())
+    var hub = e.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(scale)).localCheckpoint(true)
+    var auth = e.sparkSession.emptyDataFrame
+    for (_ <- 1 to iters) {
+      val a0 = e.join(hub.select(col("node").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
+      auth = a0.crossJoin(broadcast(a0.agg(max(col("a")).as("mx"))))
+        .select(col("node"), expr(s"(a * ${scale}L) div mx").as("a"))
+        .localCheckpoint(true)
+      val h0 = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
+      hub = h0.crossJoin(broadcast(h0.agg(max(col("h")).as("mx"))))
+        .select(col("node"), expr(s"(h * ${scale}L) div mx").as("h"))
+        .localCheckpoint(true)
+    }
+    hub.select(col("node"), col("h").as("hub"))
+      .join(auth.select(col("node"), col("a").as("auth")), Seq("node"), "full_outer")
+      .na.fill(0L, Seq("hub", "auth"))
+  }
+
   /** Multi-source BFS over a directed edge list `(src, dst)`: exact
     * min-hop distance from a seed set, after `rounds` expansion rounds
     * (nodes further than `rounds` hops are absent — the fixed-iteration

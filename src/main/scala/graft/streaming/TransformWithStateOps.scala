@@ -1059,4 +1059,135 @@ object TransformWithStateOps {
       .transformWithState(new EwmaBurstProcessor(factor),
         TimeMode.None(), OutputMode.Update())
   }
+
+  final case class ArrivalEvent(event_type: String, event_id: Long, ts: Long)
+  final case class LatenessRow(event_type: String, n_events: Long,
+      n_late_1h: Long, n_late_1d: Long, max_late_ns: Long)
+
+  /** Streaming twin of [[graft.ext.EventFunnel.latenessAudit]] (q185) —
+    * the live watermark-delay dashboard: per type, how far behind the
+    * running max event time arrivals land (what would a 1h/1d watermark
+    * drop?). The batch window max(ts) OVER (... ORDER BY event_id) folds
+    * into FIVE longs of per-type state (running max ts + four counters):
+    * late = max(maxTs − ts, 0) since the window max includes the current
+    * row. Arrival order = event_id — per type, batches must split the
+    * event_id order (the replay/Kafka priming contract; within a batch
+    * the processor sorts). Update-mode upsert by type reconciles with the
+    * batch rollup after any prefix. */
+  final class LatenessProcessor
+      extends StatefulProcessor[String, ArrivalEvent, LatenessRow] {
+
+    private val H = 3600000000000L
+    private val D = 86400000000000L
+
+    @transient private var st: ValueState[(Long, Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long, Long)]("st",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[ArrivalEvent],
+        timerValues: TimerValues): Iterator[LatenessRow] = {
+      var (maxTs, n, n1h, n1d, maxLate) =
+        if (st.exists()) st.get() else (Long.MinValue, 0L, 0L, 0L, 0L)
+      rows.toArray.sortBy(_.event_id).foreach { e =>
+        val late = if (maxTs == Long.MinValue) 0L else math.max(maxTs - e.ts, 0L)
+        n += 1
+        if (late > H) n1h += 1
+        if (late > D) n1d += 1
+        if (late > maxLate) maxLate = late
+        if (e.ts > maxTs || maxTs == Long.MinValue) maxTs = e.ts
+      }
+      st.update((maxTs, n, n1h, n1d, maxLate))
+      Iterator.single(LatenessRow(key, n, n1h, n1d, maxLate))
+    }
+  }
+
+  def streamingLatenessAudit(ds: Dataset[ArrivalEvent]): Dataset[LatenessRow] = {
+    implicit val outEnc: Encoder[LatenessRow] = Encoders.product[LatenessRow]
+    ds.groupByKey(_.event_type)(Encoders.STRING)
+      .transformWithState(new LatenessProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  final case class WeekHash(grp: String, wk: Long, h: Long)
+  final case class SlidingHllRow(grp: String, wk: Long, v_zero: Long,
+      s_sum: Long, raw_est: Double, est_distinct: Option[Double])
+
+  /** Streaming twin of [[graft.ext.Sketches.slidingHllDistinct]]'s sketch
+    * half (q182) — continuous trailing-`windowWeeks` distinct-count
+    * monitoring. State per group: the sparse ((week, bucket) → max rho)
+    * register map PRUNED to the trailing `windowWeeks` weeks (under
+    * event-time-ordered arrival across batches — the replay/Kafka priming
+    * contract — an older week can never feed a future trailing window),
+    * i.e. ≤ windowWeeks·64 small longs per group forever. Each batch
+    * absorbs its rows, re-emits the refreshed report for every OCCUPIED
+    * target week the batch can have changed (weeks in [min batch week,
+    * max seen week] — a trailing window only takes registers from weeks
+    * ≤ its own), then prunes. Upsert by (grp, wk) reconciles bit-exactly
+    * with the batch operator's sketch columns; the batch form's exact
+    * `n_exact` audit column is deliberately NOT mirrored — carrying exact
+    * distincts would defeat the fixed-memory sketch. */
+  final class SlidingHllProcessor(windowWeeks: Int)
+      extends StatefulProcessor[String, WeekHash, SlidingHllRow] {
+
+    @transient private var regs: MapState[(Long, Long), Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      regs = getHandle.getMapState[(Long, Long), Long]("regs",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[WeekHash],
+        timerValues: TimerValues): Iterator[SlidingHllRow] = {
+      var minB = Long.MaxValue
+      rows.foreach { r =>
+        val k = (r.wk, r.h % 64)
+        val rho = graft.ext.Sketches.hllRhoJvm(r.h).toLong
+        val cur = if (regs.containsKey(k)) regs.getValue(k) else 0L
+        if (rho > cur) regs.updateValue(k, rho)
+        if (r.wk < minB) minB = r.wk
+      }
+      if (minB == Long.MaxValue) return Iterator.empty
+      val state = regs.iterator().toArray
+      val weeks = state.iterator.map(_._1._1).toSet
+      val maxW = weeks.max
+      val out = weeks.toArray.sorted.iterator
+        .filter(w => w >= minB && w <= maxW)
+        .map { w =>
+          var vZero = 0L
+          var sSum = 0L
+          var b = 0L
+          while (b < 64) {
+            var m = 0L
+            state.foreach { case ((sw, sb), sm) =>
+              if (sb == b && sw <= w && sw > w - windowWeeks && sm > m) m = sm
+            }
+            if (m == 0L) vZero += 1
+            sSum += 1L << (55 - m)
+            b += 1
+          }
+          val raw = graft.ext.Sketches.hllRawEstimate(sSum)
+          SlidingHllRow(key, w, vZero, sSum, raw,
+            if (vZero == 0) Some(raw) else None)
+        }.toArray
+      // prune: weeks below maxW - (windowWeeks-1) can't feed any window
+      // a future (event-time-ordered) batch will emit
+      state.foreach { case (k @ (sw, _), _) =>
+        if (sw <= maxW - windowWeeks) regs.removeKey(k)
+      }
+      out.iterator
+    }
+  }
+
+  def streamingSlidingHll(ds: Dataset[WeekHash],
+      windowWeeks: Int): Dataset[SlidingHllRow] = {
+    require(windowWeeks >= 1 && windowWeeks <= 64, "windowWeeks in [1,64]")
+    implicit val outEnc: Encoder[SlidingHllRow] = Encoders.product[SlidingHllRow]
+    ds.groupByKey(_.grp)(Encoders.STRING)
+      .transformWithState(new SlidingHllProcessor(windowWeeks),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

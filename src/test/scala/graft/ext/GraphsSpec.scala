@@ -136,6 +136,33 @@ class GraphsSpec extends AnyFunSuite {
     assert(k.forall(r => r.getLong(1) == 4L && r.getLong(2) == 6L && r.getLong(3) == 1000000L))
   }
 
+  test("integerHits matches the in-memory recurrence; hubs/auths land on the right sides") {
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(180)((rnd.nextInt(20).toLong, 100L + rnd.nextInt(15))).distinct
+    val scale = 1000000L
+    // in-memory replay of the max-rescaled half-steps
+    var hub = edges.map(_._1).distinct.map(_ -> scale).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      val a0 = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => hub(e._1)).sum }
+      val amx = a0.values.max
+      auth = a0.map { case (d, a) => d -> (a * scale) / amx }
+      val h0 = edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(e => auth(e._2)).sum }
+      val hmx = h0.values.max
+      hub = h0.map { case (s, h) => s -> (h * scale) / hmx }
+    }
+    val got = Graphs.integerHits(edges.toDF("src", "dst"), iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = (hub.keySet ++ auth.keySet).map(n =>
+      n -> ((hub.getOrElse(n, 0L), auth.getOrElse(n, 0L)))).toMap
+    assert(got == want)
+    // bipartite fixture: sources are pure hubs, targets pure authorities
+    assert(got.filter(_._1 < 100L).forall { case (_, (h, a)) => h > 0 && a == 0 })
+    assert(got.filter(_._1 >= 100L).forall { case (_, (h, a)) => h == 0 && a > 0 })
+  }
+
   test("bfsDistances: exact min-hop distances vs in-memory BFS; hop bound respected") {
     val rnd = new scala.util.Random(11)
     val edges = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))

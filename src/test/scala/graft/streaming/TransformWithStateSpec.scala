@@ -793,4 +793,88 @@ class TransformWithStateSpec extends AnyFunSuite {
       batch.foreach { case (k, want) => assert(latest(k) == want, s"row $k") }
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streamingLatenessAudit: per-type rollup equals batch latenessAudit across splits") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{ArrivalEvent, LatenessRow}
+      // arrival order = event_id (the batch window's ORDER BY)
+      val rows = graft.replay.TsNanos.normalize(
+          spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+        .select(col("event_type"), col("event_id"), col("ts"))
+        .orderBy(col("event_id"))
+        .as[(String, Long, Long)].collect().toSeq
+        .map(t => ArrivalEvent(t._1, t._2, t._3))
+
+      val latest = scala.collection.mutable.Map[String, LatenessRow]()
+      val input = MemoryStream[ArrivalEvent]
+      val query = TransformWithStateOps.streamingLatenessAudit(input.toDS())
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[LatenessRow], _: Long) =>
+          df.collect().foreach(r => latest(r.event_type) = r); ()
+        }.start()
+      try {
+        rows.grouped(rows.length / 7 + 1).foreach { b =>
+          input.addData(b: _*); query.processAllAvailable()
+        }
+      } finally query.stop()
+
+      val batch = graft.ext.EventFunnel.latenessAudit(
+          graft.replay.TsNanos.normalize(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")))
+        .collect().map(r => r.getString(0) ->
+          LatenessRow(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4))).toMap
+      assert(batch.nonEmpty && latest.keySet == batch.keySet)
+      batch.foreach { case (k, want) => assert(latest(k) == want, s"type $k") }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("streamingSlidingHll: upsert-by-(grp, wk) sketch equals batch slidingHllDistinct") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{SlidingHllRow, WeekHash}
+      val weekNs = 604800000000000L
+      // event-time-ordered arrival (the priming contract); splits are
+      // deliberately NOT week-aligned
+      val rows = graft.replay.TsNanos.normalize(
+          spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+        .select(col("event_type"), expr(s"ts div ${weekNs}L").as("wk"),
+          graft.ext.Sampling.portableHash(col("user_id")).as("h"))
+        .orderBy(col("wk"))
+        .as[(String, Long, Long)].collect().toSeq
+        .map(t => WeekHash(t._1, t._2, t._3))
+
+      val latest = scala.collection.mutable.Map[(String, Long), SlidingHllRow]()
+      val input = MemoryStream[WeekHash]
+      val query = TransformWithStateOps.streamingSlidingHll(input.toDS(), 4)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[SlidingHllRow], _: Long) =>
+          df.collect().foreach(r => latest((r.grp, r.wk)) = r); ()
+        }.start()
+      try {
+        rows.grouped(rows.length / 6 + 1).foreach { b =>
+          input.addData(b: _*); query.processAllAvailable()
+        }
+      } finally query.stop()
+
+      val batch = graft.ext.Sketches.slidingHllDistinct(
+          graft.replay.TsNanos.normalize(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")),
+          "event_type", col("user_id"), "ts", windowWeeks = 4)
+        .collect().map { r =>
+          val est = if (r.isNullAt(r.fieldIndex("est_distinct"))) None
+            else Some(r.getAs[Double]("est_distinct"))
+          (r.getString(0), r.getLong(1)) -> SlidingHllRow(r.getString(0),
+            r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getAs[Double]("raw_est"), est)
+        }.toMap
+      assert(batch.nonEmpty && latest.keySet == batch.keySet)
+      batch.foreach { case (k, want) => assert(latest(k) == want, s"row $k") }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
