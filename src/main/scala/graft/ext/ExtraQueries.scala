@@ -524,5 +524,214 @@ object ExtraQueries {
              |ORDER BY host""".stripMargin
       },
     ),
+
+    // Growth accounting: per week, every active user classified as NEW
+    // (first-ever week), RETAINED (active last week too) or RESURRECTED
+    // (active before, but not last week); churned = last week's actives
+    // who vanished. The product-analytics decomposition (q67's cohort
+    // matrix collapsed into per-week flows). Two user-keyed windows over
+    // the (user, week) distinct rollup, then a week rollup — all counts.
+    QueryDef(
+      "q198_growth_accounting",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val uw = tbl(s, dir, "events")
+          .select(col("user_id"), expr("ts div 604800000000000").as("wk"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+        val flagged = uw
+          .withColumn("prev_wk", lag(col("wk"), 1).over(w))
+          .withColumn("cls",
+            when(col("prev_wk").isNull, lit("new"))
+              .when(col("prev_wk") === col("wk") - 1, lit("retained"))
+              .otherwise(lit("resurrected")))
+        val flows = flagged.groupBy(col("wk"))
+          .agg(count(lit(1)).as("active"),
+            sum(when(col("cls") === "new", 1L).otherwise(0L)).as("new_users"),
+            sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("retained"),
+            sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+              .as("resurrected"))
+        // churned(w) = active(w-1) - retained(w): last week's actives who
+        // didn't return — derived from the rollup, no third window
+        flows.as("a")
+          .join(flows.select(col("wk") + 1 as "wk", col("active").as("prev_active"))
+            .as("b"), Seq("wk"), "left_outer")
+          .select(col("wk"), col("active"), col("new_users"), col("retained"),
+            col("resurrected"),
+            coalesce(col("prev_active") - col("retained"), lit(0L)).as("churned"))
+          .orderBy(col("wk"))
+      },
+      Some("""WITH uw AS (
+             |  SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS wk
+             |  FROM events),
+             |f AS (
+             |  SELECT wk,
+             |    CASE WHEN LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) IS NULL
+             |           THEN 'new'
+             |         WHEN LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) = wk - 1
+             |           THEN 'retained'
+             |         ELSE 'resurrected' END AS cls
+             |  FROM uw),
+             |flows AS (
+             |  SELECT wk, COUNT(*) AS active,
+             |    CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+             |    CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+             |    CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+             |  FROM f GROUP BY wk)
+             |SELECT a.wk, a.active, a.new_users, a.retained, a.resurrected,
+             |  COALESCE(b.active - a.retained, 0) AS churned
+             |FROM flows a LEFT JOIN flows b ON b.wk = a.wk - 1
+             |ORDER BY a.wk""".stripMargin),
+    ),
+
+    // Zipf exponent audit: integer least-squares slope of the bigram
+    // rank-frequency relation in quarter-bit log space (x = qlog2(rank),
+    // y = qlog2(count), both ×4). All moments are exact integer sums;
+    // the only doubles are the final two divisions — no libm, no
+    // truncate-vs-floor hazard (nothing integer-divides). A healthy
+    // natural-language corpus slopes near −1; flat slopes flag templated
+    // or synthetic text. Vocabulary-sized input (the corpus rollup),
+    // single-row output.
+    QueryDef(
+      "q199_zipf_slope",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = tbl(s, dir, "documents")
+          .select(split(col("text"), " ").as("t"))
+          .select(explode(when(size(col("t")) >= 2, expr(
+            "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+            .otherwise(array().cast("array<string>"))).as("g"))
+          .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+        val ranked = d.withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("g"))).cast("long"))
+        val pts = ranked.select(
+          TextAnalysis.quarterLog2(col("rank")).as("x"),
+          TextAnalysis.quarterLog2(col("cnt")).as("y"))
+        pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+          .select(col("n"), col("slope_num"), col("slope_den"),
+            (col("slope_num").cast("double") / col("slope_den").cast("double"))
+              .as("slope"))
+      },
+      Some("""WITH g AS (
+             |  SELECT t[i] || ' ' || t[i+1] AS g
+             |  FROM (SELECT string_split(text,' ') AS t FROM documents),
+             |    unnest(generate_series(1, len(t) - 1)) u(i)),
+             |c AS (SELECT g, COUNT(*) AS cnt FROM g GROUP BY g),
+             |r AS (SELECT cnt,
+             |        CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, g) AS BIGINT) AS rank
+             |      FROM c),
+             |p AS (
+             |  SELECT
+             |    CAST(CASE WHEN length(bin(rank)) - 1 <= 14
+             |      THEN length(bin(rank*rank*rank*rank)) - 1
+             |      ELSE 4 * (length(bin(rank)) - 15) +
+             |           length(bin((rank >> (length(bin(rank)) - 15))
+             |                     *(rank >> (length(bin(rank)) - 15))
+             |                     *(rank >> (length(bin(rank)) - 15))
+             |                     *(rank >> (length(bin(rank)) - 15)))) - 1 END AS BIGINT) AS x,
+             |    CAST(CASE WHEN length(bin(cnt)) - 1 <= 14
+             |      THEN length(bin(cnt*cnt*cnt*cnt)) - 1
+             |      ELSE 4 * (length(bin(cnt)) - 15) +
+             |           length(bin((cnt >> (length(bin(cnt)) - 15))
+             |                     *(cnt >> (length(bin(cnt)) - 15))
+             |                     *(cnt >> (length(bin(cnt)) - 15))
+             |                     *(cnt >> (length(bin(cnt)) - 15)))) - 1 END AS BIGINT) AS y
+             |  FROM r),
+             |m AS (
+             |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+             |    CAST(SUM(x*x) AS BIGINT) AS sxx
+             |  FROM p)
+             |SELECT n, n * sxy - sx * sy AS slope_num,
+             |  n * sxx - sx * sx AS slope_den,
+             |  CAST(n * sxy - sx * sy AS DOUBLE)
+             |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+             |FROM m""".stripMargin),
+    ),
+
+    // Integer CUSUM change detection over hourly event rates: the
+    // sequential max(0, S + deviation) recursion re-expressed as the
+    // WINDOW-CLOSED form S_h = P_h − least(min_{j≤h} P_j, 0) (P = prefix
+    // sum of the cross-multiplied deviation d_h = c_h·n − total), so the
+    // whole detector is two window passes — no sequential fold, no UDF.
+    // Dense hour grid per type (zero hours pull the statistic down, as
+    // CUSUM requires). Report per type: the peak statistic, the first
+    // hour attaining it, and how many hours breach 10·total (the
+    // observed sf0.01 peaks sit at 14–17×, so the alarm fires on the
+    // sustained-drift region, not the whole trace). All integer.
+    QueryDef(
+      "q200_cusum_drift",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val occ = tbl(s, dir, "events")
+          .select(col("event_type"), expr("ts div 3600000000000").as("hr"))
+          .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("c"))
+        val spans = occ.groupBy(col("event_type"))
+          .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"),
+            (max(col("hr")) - min(col("hr")) + 1).as("n"), sum(col("c")).as("total"))
+        val dense = spans
+          .select(col("event_type"), col("n"), col("total"),
+            explode(sequence(col("h0"), col("h1"))).as("hr"))
+          .join(occ, Seq("event_type", "hr"), "left_outer")
+          .select(col("event_type"), col("hr"), col("n"), col("total"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dense
+          .withColumn("p", sum(col("c") * col("n") - col("total")).over(w))
+          .withColumn("s", col("p") - least(min(col("p")).over(w), lit(0L)))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n_hours"), max(col("total")).as("total"),
+            max(col("s")).as("max_s"),
+            // (−s, hr) struct-min = first hour attaining the max statistic
+            min(struct((-col("s")).as("ns"), col("hr").as("hr")))("hr")
+              .as("peak_hr"),
+            sum(when(col("s") > col("total") * 10, 1L).otherwise(0L))
+              .as("n_alarm_hours"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH occ AS (
+             |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |spans AS (
+             |  SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1,
+             |    MAX(hr) - MIN(hr) + 1 AS n, CAST(SUM(c) AS BIGINT) AS total
+             |  FROM occ GROUP BY event_type),
+             |grid AS (
+             |  SELECT event_type, n, total, unnest(generate_series(h0, h1)) AS hr
+             |  FROM spans),
+             |dense AS (
+             |  SELECT g.event_type, g.hr, g.n, g.total, COALESCE(o.c, 0) AS c
+             |  FROM grid g
+             |  LEFT JOIN occ o ON o.event_type = g.event_type AND o.hr = g.hr),
+             |pp AS (
+             |  SELECT *, CAST(SUM(c * n - total) OVER (
+             |      PARTITION BY event_type ORDER BY hr
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+             |  FROM dense),
+             |ss AS (
+             |  SELECT *, p - LEAST(CAST(MIN(p) OVER (
+             |      PARTITION BY event_type ORDER BY hr
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT), 0) AS s
+             |  FROM pp),
+             |m AS (
+             |  SELECT event_type, MAX(n) AS n_hours, MAX(total) AS total,
+             |    MAX(s) AS max_s,
+             |    CAST(SUM(CASE WHEN s > total * 10 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_alarm_hours
+             |  FROM ss GROUP BY event_type),
+             |pk AS (
+             |  SELECT ss.event_type, MIN(ss.hr) AS peak_hr
+             |  FROM ss JOIN m ON m.event_type = ss.event_type AND ss.s = m.max_s
+             |  GROUP BY ss.event_type)
+             |SELECT event_type, n_hours, total, max_s, peak_hr, n_alarm_hours
+             |FROM m JOIN pk USING (event_type)
+             |ORDER BY event_type""".stripMargin),
+    ),
   )
 }
