@@ -509,4 +509,58 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") || p.contains("LeftSemi"),
       "occupied-week filter stays a semi join")
   }
+
+  test("q193: Fano dispersion is two pure rollups — no window, partial aggs") {
+    val p = plan("q193_fano_dispersion")
+    assert(!p.contains("Window"), "dispersion needs no window pass")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "hour cells combine map-side")
+  }
+
+  test("q194: gap spectrum is exactly one window pass then a rollup") {
+    val p = plan("q194_gap_spectrum")
+    assert("Window".r.findAllIn(p).size == 1, "one lag window only")
+    assert(p.contains("partial_count"), "bin counts combine map-side")
+  }
+
+  test("q195: cluster cohesion inherits the bucket-keyed pair pipeline — no all-pairs") {
+    val p = plan("q195_cluster_cohesion")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q196: centroid matrix broadcasts the label-count dim; sums combine map-side") {
+    val p = plan("q196_centroid_matrix")
+    assert(p.contains("BroadcastHashJoin"), "label counts must broadcast")
+    assert(p.contains("partial_sum"), "per-dim sums combine map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q198: growth accounting runs ONE user-keyed window over the distinct rollup") {
+    val p = plan("q198_growth_accounting")
+    assert("Window".r.findAllIn(p).size == 1,
+      "classification is a single lag window; flows join adds none")
+  }
+
+  test("q199: Zipf slope windows the vocabulary ROLLUP only, moments aggregate map-side") {
+    val p = plan("q199_zipf_slope")
+    assert("Window".r.findAllIn(p).size == 1, "one global rank window (vocab-sized)")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "gram counts and moments combine map-side")
+  }
+
+  test("q200: CUSUM's two window steps share one partitioning — no exchange between them") {
+    // min-prefix(P) consumes P, so they can't fuse into one Window exec —
+    // but both use the same (event_type, hr) spec, so the second must ride
+    // the first's exchange+sort, not add its own.
+    val p = plan("q200_cusum_drift")
+    val lines = p.split('\n')
+    val wIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Window") => i
+    }
+    assert(wIdx.length == 2, s"expected 2 window steps, got ${wIdx.length}")
+    val between = lines.slice(wIdx.min + 1, wIdx.max)
+    assert(!between.exists(l => l.contains("Exchange") || l.contains("Sort")),
+      "second window pass must reuse the first's exchange and sort")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
