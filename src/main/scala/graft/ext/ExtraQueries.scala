@@ -733,5 +733,125 @@ object ExtraQueries {
              |FROM m JOIN pk USING (event_type)
              |ORDER BY event_type""".stripMargin),
     ),
+
+    // Within-label dispersion on int8-quantized embeddings — q196's
+    // complement (between-centroid distances there, within-cluster spread
+    // here; the two together are the integer Calinski-Harabasz
+    // separation story). Σ_i Σ_d (v·c − s)² = c²·SS_within exactly;
+    // within_msq = that / (c³·64) is the per-(vector,dim) mean square,
+    // one double division. Broadcast model state (labels×64 sums).
+    QueryDef(
+      "q201_cluster_spread",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val q = emb.select(col("label").cast("long").as("label"),
+          Quantization.quantizeInt8(col("embedding"),
+            Quantization.int8Scale(col("embedding"))).as("q"))
+        val ex = q.select(col("label"), posexplode(col("q")))
+        val sums = PinnedCache.pin(ex.groupBy(col("label"), col("pos"))
+          .agg(sum(col("col")).as("s")))
+        val cnt = PinnedCache.pin(
+          q.groupBy(col("label")).agg(count(lit(1)).as("c")))
+        ex.join(broadcast(sums), Seq("label", "pos"))
+          .join(broadcast(cnt), Seq("label"))
+          .select(col("label"),
+            ((col("col") * col("c") - col("s")) *
+              (col("col") * col("c") - col("s"))).as("t2"))
+          .groupBy(col("label")).agg(sum(col("t2")).as("within_num"))
+          .join(broadcast(cnt), Seq("label"))
+          .select(col("label"), col("c").as("n"), col("within_num"),
+            (col("within_num").cast("double") /
+              (col("c") * col("c") * col("c") * lit(64L)).cast("double"))
+              .as("within_msq"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH e AS (
+             |  SELECT label, embedding,
+             |    list_max([abs(x) FOR x IN embedding]) AS mx
+             |  FROM embeddings),
+             |sc AS (SELECT label, embedding,
+             |         CASE WHEN mx > 0 THEN 127.0 / CAST(mx AS DOUBLE) ELSE 0.0 END AS scale
+             |       FROM e),
+             |q AS (SELECT label, [CAST(round(CAST(x AS DOUBLE) * scale) AS INTEGER)
+             |                     FOR x IN embedding] AS qv
+             |      FROM sc),
+             |ex AS (SELECT label, i - 1 AS pos, qv[i] AS v
+             |       FROM q, unnest(generate_series(1, len(qv))) u(i)),
+             |sums AS (SELECT label, pos, CAST(SUM(v) AS BIGINT) AS s
+             |         FROM ex GROUP BY 1, 2),
+             |cnt AS (SELECT label, COUNT(*) AS c FROM q GROUP BY 1),
+             |w AS (
+             |  SELECT ex.label,
+             |    CAST(SUM((ex.v * cnt.c - sums.s) * (ex.v * cnt.c - sums.s)) AS BIGINT)
+             |      AS within_num
+             |  FROM ex
+             |  JOIN sums ON sums.label = ex.label AND sums.pos = ex.pos
+             |  JOIN cnt ON cnt.label = ex.label
+             |  GROUP BY ex.label)
+             |SELECT CAST(w.label AS BIGINT) AS label, CAST(cnt.c AS BIGINT) AS n,
+             |  within_num,
+             |  CAST(within_num AS DOUBLE)
+             |    / CAST(cnt.c * cnt.c * cnt.c * 64 AS DOUBLE) AS within_msq
+             |FROM w JOIN cnt ON cnt.label = w.label
+             |ORDER BY label""".stripMargin),
+    ),
+
+    // Detector disagreement audit: the SimHash hamming screen (q63's
+    // banded exact pairs, maxDist 3) vs exact 3-shingle Jaccard (q26's
+    // threshold 0.5) on the SAME corpus — pairs found by both, by SimHash
+    // only (its false positives w.r.t. the Jaccard truth), and by Jaccard
+    // only (its misses). The calibration table that justifies using the
+    // cheap bitwise screen as a prefilter. Full-outer join of two
+    // bucket-generated pair lists + a 3-row rollup; the oracle
+    // brute-forces both measures per pair.
+    QueryDef(
+      "q202_detector_audit",
+      (s, dir) => {
+        val d = PinnedCache.pin(tbl(s, dir, "documents"))
+        val sim = Dedup.simhashNearDupPairs(d, "text", "doc_id",
+          bits = 60, bands = 4, maxDist = 3)
+          .select(col("a_id"), col("b_id"), lit(1).as("ham"))
+        val jac = Dedup.jaccardPairs(d, "text", "doc_id", 0.5)
+          .select(col("a_id"), col("b_id"), lit(1).as("jac"))
+        sim.join(jac, Seq("a_id", "b_id"), "full_outer")
+          .select(when(col("ham").isNotNull && col("jac").isNotNull, "both")
+            .when(col("ham").isNotNull, "simhash_only")
+            .otherwise("jaccard_only").as("category"))
+          .groupBy(col("category")).agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("category"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+             |sh AS (
+             |  SELECT doc_id, list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+             |                                FOR i IN generate_series(1, len(t)-2)]) AS s
+             |  FROM tok WHERE len(t) >= 3),
+             |sig AS (
+             |  SELECT doc_id,
+             |    list_sum([CASE WHEN list_sum([CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END
+             |                                  FOR h IN hashes]) > 0
+             |              THEN (1::BIGINT << i) ELSE 0 END
+             |              FOR i IN generate_series(0, 59)])::BIGINT AS sig
+             |  FROM (SELECT doc_id,
+             |          [CAST(('0x' || substring(md5(t),1,15)) AS BIGINT)
+             |           FOR t IN list_distinct(string_split(text,' '))] AS hashes
+             |        FROM documents)),
+             |hp AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+             |jp AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+             |cat AS (
+             |  SELECT CASE WHEN hp.a_id IS NOT NULL AND jp.a_id IS NOT NULL THEN 'both'
+             |              WHEN hp.a_id IS NOT NULL THEN 'simhash_only'
+             |              ELSE 'jaccard_only' END AS category
+             |  FROM hp FULL OUTER JOIN jp
+             |    ON hp.a_id = jp.a_id AND hp.b_id = jp.b_id)
+             |SELECT category, COUNT(*) AS n_pairs
+             |FROM cat GROUP BY category ORDER BY category""".stripMargin),
+    ),
   )
 }
