@@ -853,5 +853,122 @@ object ExtraQueries {
              |SELECT category, COUNT(*) AS n_pairs
              |FROM cat GROUP BY category ORDER BY category""".stripMargin),
     ),
+
+    // CUBE grouping sets: all four aggregation granularities of
+    // (event_type, week) in one pass — the completion of q38's ROLLUP
+    // row. grouping_id disambiguates the null-as-total rows exactly as
+    // the SQL standard does; Spark plans one Expand + one aggregate
+    // (rows ×4 map-side, partial-agg combinable).
+    QueryDef(
+      "q203_cube",
+      (s, dir) => tbl(s, dir, "events")
+        .select(col("event_type"), expr("ts div 604800000000000").as("wk"))
+        .cube(col("event_type"), col("wk"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(col("gid"), col("event_type"), col("wk")),
+      Some("""SELECT event_type, epoch_ns(ts) // 604800000000000 AS wk,
+             |  COUNT(*) AS n,
+             |  CAST(GROUPING(event_type, epoch_ns(ts) // 604800000000000) AS BIGINT) AS gid
+             |FROM events
+             |GROUP BY CUBE (event_type, epoch_ns(ts) // 604800000000000)
+             |ORDER BY gid, event_type NULLS FIRST, wk NULLS FIRST""".stripMargin),
+    ),
+
+    // Debounce / deduplicate-within-interval: drop events closer than
+    // 60 s to the previous KEPT event of the same (user, type) — the
+    // double-click / retry-storm filter every ingestion pipeline needs.
+    // Because gaps chain (B dropped for following A can't shield C), the
+    // kept set is NOT a plain lag filter: an event survives iff its gap
+    // to the previous SURVIVOR exceeds the interval. Same window-closed
+    // trick family as q200: survivors are exactly the events whose
+    // running-max ts among "far-enough" predecessors… in practice the
+    // chain collapses because ts gaps are what they are — here the
+    // debounce uses the plain lag contract (gap to previous RAW event),
+    // the industry-standard approximation that IS window-expressible; the
+    // exact-chain variant is the q70 incremental dedup shape. Per-type
+    // kept/dropped rollup.
+    QueryDef(
+      "q204_debounce",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        tbl(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("gap", col("ts") - lag(col("ts"), 1).over(w))
+          .select(col("event_type"),
+            when(col("gap").isNull || col("gap") > 60000000000L, 1L)
+              .otherwise(0L).as("keep"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum(col("keep")).as("n_kept"),
+            (count(lit(1)) - sum(col("keep"))).as("n_dropped"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type,
+             |    epoch_ns(ts) - LAG(epoch_ns(ts)) OVER (
+             |      PARTITION BY user_id, event_type
+             |      ORDER BY epoch_ns(ts), event_id) AS gap
+             |  FROM events)
+             |SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(CASE WHEN gap IS NULL OR gap > 60000000000 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_kept,
+             |  CAST(SUM(CASE WHEN gap IS NULL OR gap > 60000000000 THEN 0 ELSE 1 END)
+             |    AS BIGINT) AS n_dropped
+             |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+
+    // Last-touch attribution: each purchase credited to the latest
+    // preceding non-purchase event of the same user within 24 h (ties on
+    // ts broken by event_id — a total order). One user-keyed window with
+    // IGNORE NULLS last_value over the preceding frame — no self-join,
+    // no as-of machinery needed when the credit source and the
+    // conversion live in one stream. Per-channel conversion rollup with
+    // integer ppm share.
+    QueryDef(
+      "q205_attribution",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ev = tbl(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        val credited = ev
+          .withColumn("prev", last(
+            when(col("event_type") =!= "purchase",
+              struct(col("ts").as("pts"), col("event_type").as("ptype"))),
+            ignoreNulls = true).over(w))
+          .where(col("event_type") === "purchase")
+          .select(
+            when(col("prev").isNotNull &&
+                col("ts") - col("prev.pts") <= 86400000000000L,
+              col("prev.ptype")).otherwise(lit("organic")).as("channel"))
+        val rolled = credited.groupBy(col("channel"))
+          .agg(count(lit(1)).as("purchases"))
+        rolled
+          .crossJoin(broadcast(rolled.agg(sum(col("purchases")).as("tot"))))
+          .select(col("channel"), col("purchases"),
+            expr("(purchases * 1000000) div tot").as("share_ppm"))
+          .orderBy(col("channel"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id,
+             |    LAST_VALUE(CASE WHEN event_type <> 'purchase'
+             |                 THEN struct_pack(pts := epoch_ns(ts), ptype := event_type)
+             |               END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+             |  FROM events),
+             |cr AS (
+             |  SELECT CASE WHEN prev IS NOT NULL AND ts - prev.pts <= 86400000000000
+             |              THEN prev.ptype ELSE 'organic' END AS channel
+             |  FROM c WHERE event_type = 'purchase'),
+             |r AS (SELECT channel, COUNT(*) AS purchases FROM cr GROUP BY channel)
+             |SELECT channel, purchases,
+             |  CAST((purchases * 1000000) // (SELECT SUM(purchases) FROM r) AS BIGINT)
+             |    AS share_ppm
+             |FROM r ORDER BY channel""".stripMargin),
+    ),
   )
 }
