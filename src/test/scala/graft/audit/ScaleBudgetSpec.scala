@@ -119,6 +119,48 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "link graph spilled")
   }
 
+  test("q187 BFS: frontier joins ship (node, dist) pairs, never the corpus") {
+    val b = measure("q187_bfs_frontier")
+    // measured 0.2 MB total across 4 delta-frontier rounds on the host
+    // graph; a regression to full-set re-expansion or an unpinned edge
+    // pipeline re-running the HTML render would blow through this
+    assert(b.shuffleWriteBytes < 1 * MB,
+      s"BFS shuffled beyond frontier state: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "BFS spilled")
+  }
+
+  test("q196 centroid matrix: only the labels×dims model state crosses the wire") {
+    val b = measure("q196_centroid_matrix")
+    // per-dim sums are 10 labels × 64 dims of longs; shuffling the
+    // exploded vector stream instead would be input-sized (MBs)
+    assert(b.shuffleWriteBytes < 256 * 1024,
+      s"centroid sums lost map-side combine: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0)
+  }
+
+  test("q198 growth accounting: windows run over the (user, week) distinct rollup") {
+    val b = measure("q198_growth_accounting")
+    assert(b.shuffleWriteBytes < 512 * 1024,
+      s"growth accounting shuffled the raw event stream: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0)
+  }
+
+  test("q200 CUSUM: dense hour grid stays rollup-sized; single-partition window bounded") {
+    val b = measure("q200_cusum_drift")
+    // types × span-hours cells (~3.6k rows); the two window passes share
+    // one exchange (PlanSpec) so bytes stay one-grid-sized
+    assert(b.shuffleWriteBytes < 512 * 1024,
+      s"CUSUM shuffled more than the hour grid: shufW=${b.shuffleWriteBytes}")
+    assert(b.peakExecMem < 512 * MB, s"peakTaskMem=${b.peakExecMem}")
+  }
+
+  test("q204 debounce: one (user,type)-keyed window, gap flags only") {
+    val b = measure("q204_debounce")
+    assert(b.shuffleWriteBytes < 2 * MB,
+      s"debounce shuffled beyond the keyed window: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "debounce spilled")
+  }
+
   test("per-task peak execution memory stays executor-slot-sized across the pinned families") {
     // at 100 TB an executor slot has ~1-4 GB of execution memory; a task
     // peaking far above that on sf0.01 inputs signals driver-ish state
