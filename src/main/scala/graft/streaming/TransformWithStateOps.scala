@@ -1112,6 +1112,101 @@ object TransformWithStateOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class KeyedArrival(user_id: Long, event_type: String, ts: Long,
+      event_id: Long)
+  final case class DebounceRow(user_id: Long, event_type: String,
+      n_events: Long, n_kept: Long, n_dropped: Long)
+
+  /** Streaming twin of q204's debounce rollup — live retry-storm
+    * monitoring. State per (user, type): ONE long (the previous raw
+    * event's ts — the batch lag contract) plus the three counters,
+    * merged downstream per type by the caller; here the processor keys
+    * on (user, type) and emits per-key counter rows each batch, which
+    * upsert-reconcile to the batch rollup after summing per type
+    * (asserted in TransformWithStateSpec). Requires per-(user, type)
+    * (ts, event_id)-ordered arrival across batches — the priming
+    * contract; within a batch the processor sorts. */
+  final class DebounceProcessor(intervalNs: Long)
+      extends StatefulProcessor[(Long, String), KeyedArrival, DebounceRow] {
+
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("st",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, String),
+        rows: Iterator[KeyedArrival],
+        timerValues: TimerValues): Iterator[DebounceRow] = {
+      var (prevTs, n, kept) =
+        if (st.exists()) st.get() else (Long.MinValue, 0L, 0L)
+      rows.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+        n += 1
+        if (prevTs == Long.MinValue || e.ts - prevTs > intervalNs) kept += 1
+        prevTs = e.ts
+      }
+      st.update((prevTs, n, kept))
+      Iterator.single(DebounceRow(key._1, key._2, n, kept, n - kept))
+    }
+  }
+
+  def streamingDebounce(ds: Dataset[KeyedArrival],
+      intervalNs: Long): Dataset[DebounceRow] = {
+    implicit val outEnc: Encoder[DebounceRow] = Encoders.product[DebounceRow]
+    ds.groupByKey(e => (e.user_id, e.event_type))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .transformWithState(new DebounceProcessor(intervalNs),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  final case class UserWeek(user_id: Long, wk: Long)
+  final case class GrowthEvent(user_id: Long, wk: Long, cls: String)
+
+  /** Streaming half of q198's growth accounting: per-user classification
+    * of each newly active week as new / retained / resurrected, from TWO
+    * longs of state (first week seen flag via lastWk sentinel, last
+    * active week). Each (user, week) first-activation emits exactly one
+    * immutable classification row (append semantics); the per-week flow
+    * rollup is a downstream aggregation of these emissions, equal to the
+    * batch flows for any prefix ending on a week boundary. Requires
+    * per-user week-ordered arrival (priming contract); within a batch
+    * the processor sorts and dedups weeks. */
+  final class GrowthProcessor
+      extends StatefulProcessor[Long, UserWeek, GrowthEvent] {
+
+    @transient private var last: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[Long]("last", Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserWeek],
+        timerValues: TimerValues): Iterator[GrowthEvent] = {
+      val out = Seq.newBuilder[GrowthEvent]
+      var lastWk = if (last.exists()) last.get() else Long.MinValue
+      rows.toArray.map(_.wk).distinct.sorted.foreach { wk =>
+        if (wk > lastWk) {
+          val cls =
+            if (lastWk == Long.MinValue) "new"
+            else if (lastWk == wk - 1) "retained"
+            else "resurrected"
+          out += GrowthEvent(key, wk, cls)
+          lastWk = wk
+        }
+      }
+      last.update(lastWk)
+      out.result().iterator
+    }
+  }
+
+  def streamingGrowthEvents(ds: Dataset[UserWeek]): Dataset[GrowthEvent] = {
+    implicit val outEnc: Encoder[GrowthEvent] = Encoders.product[GrowthEvent]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new GrowthProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   final case class WeekHash(grp: String, wk: Long, h: Long)
   final case class SlidingHllRow(grp: String, wk: Long, v_zero: Long,
       s_sum: Long, raw_est: Double, est_distinct: Option[Double])

@@ -832,6 +832,86 @@ class TransformWithStateSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streamingDebounce: per-type sums of the latest (user,type) rows equal batch q204") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{DebounceRow, KeyedArrival}
+      val rows = graft.replay.TsNanos.normalize(
+          spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .as[(Long, String, Long, Long)].collect().toSeq
+        .map(t => KeyedArrival(t._1, t._2, t._3, t._4))
+
+      val latest = scala.collection.mutable.Map[(Long, String), DebounceRow]()
+      val input = MemoryStream[KeyedArrival]
+      val query = TransformWithStateOps.streamingDebounce(input.toDS(), 60000000000L)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[DebounceRow], _: Long) =>
+          df.collect().foreach(r => latest((r.user_id, r.event_type)) = r); ()
+        }.start()
+      try {
+        rows.grouped(rows.length / 5 + 1).foreach { b =>
+          input.addData(b: _*); query.processAllAvailable()
+        }
+      } finally query.stop()
+
+      val got = latest.values.groupBy(_.event_type).map { case (t, rs) =>
+        t -> ((rs.map(_.n_events).sum, rs.map(_.n_kept).sum, rs.map(_.n_dropped).sum))
+      }
+      val batch = graft.SparkEntry.queries("q204_debounce")(
+          spark, "/root/testdata/sf0.001")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(batch.nonEmpty && got.keySet == batch.keySet)
+      batch.foreach { case (t, want) => assert(got(t) == want, s"type $t") }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("streamingGrowthEvents: classification rollup equals batch q198 flows") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{GrowthEvent, UserWeek}
+      val rows = graft.replay.TsNanos.normalize(
+          spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+        .select(col("user_id"), expr("ts div 604800000000000").as("wk"))
+        .orderBy(col("wk"))
+        .as[(Long, Long)].collect().toSeq.map(t => UserWeek(t._1, t._2))
+
+      val events = scala.collection.mutable.ArrayBuffer[GrowthEvent]()
+      val input = MemoryStream[UserWeek]
+      val query = TransformWithStateOps.streamingGrowthEvents(input.toDS())
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[GrowthEvent], _: Long) =>
+          events ++= df.collect(); ()
+        }.start()
+      try {
+        rows.grouped(rows.length / 6 + 1).foreach { b =>
+          input.addData(b: _*); query.processAllAvailable()
+        }
+      } finally query.stop()
+
+      // append semantics: each (user, wk) classified exactly once
+      assert(events.map(e => (e.user_id, e.wk)).distinct.size == events.size)
+      val got = events.groupBy(_.wk).map { case (wk, es) =>
+        wk -> ((es.size.toLong,
+          es.count(_.cls == "new").toLong,
+          es.count(_.cls == "retained").toLong,
+          es.count(_.cls == "resurrected").toLong))
+      }
+      val batch = graft.SparkEntry.queries("q198_growth_accounting")(
+          spark, "/root/testdata/sf0.001")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(batch.nonEmpty && got.keySet == batch.keySet)
+      batch.foreach { case (wk, want) => assert(got(wk) == want, s"week $wk") }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streamingSlidingHll: upsert-by-(grp, wk) sketch equals batch slidingHllDistinct") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
