@@ -970,5 +970,125 @@ object ExtraQueries {
              |    AS share_ppm
              |FROM r ORDER BY channel""".stripMargin),
     ),
+
+    // Inter-arrival SLO report: exact discrete p50/p90/p99 of the
+    // per-type event gaps (q194's lag pass fed into the rank-position
+    // quantile convention of CorpusStats.exactQuantiles — value at rank
+    // ceil(p·n), bit-exact cross-engine unlike interpolating
+    // percentile_cont). The latency-budget table a pipeline SLO review
+    // reads.
+    QueryDef(
+      "q206_gap_slo",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val gaps = tbl(s, dir, "events")
+          .select(col("event_type"), col("ts"), col("event_id"))
+          .withColumn("gap", col("ts") - lag(col("ts"), 1).over(w))
+          .where(col("gap").isNotNull)
+        CorpusStats.exactQuantiles(gaps, "event_type", col("gap"),
+            Seq(0.5, 0.9, 0.99))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type,
+             |    epoch_ns(ts) - LAG(epoch_ns(ts)) OVER (
+             |      PARTITION BY event_type ORDER BY epoch_ns(ts), event_id) AS gap
+             |  FROM events),
+             |r AS (
+             |  SELECT event_type, gap,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap) AS BIGINT) AS rn,
+             |    COUNT(*) OVER (PARTITION BY event_type) AS n
+             |  FROM g WHERE gap IS NOT NULL)
+             |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             |  MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN gap END) AS p50,
+             |  MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN gap END) AS p90,
+             |  MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN gap END) AS p99
+             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin),
+    ),
+
+    // DAU/WAU stickiness: per week, the summed daily distinct users over
+    // the week's distinct users, as the integer ppm
+    // (Σ_day dau · 10⁶) div (n_days · wau) — "how many of the week's
+    // actives show up on an average day". Two distinct rollups, no
+    // window. (Σdau counts each user once per active day, so the ratio
+    // is avg-DAU / WAU exactly.)
+    QueryDef(
+      "q207_stickiness",
+      (s, dir) => {
+        val ud = tbl(s, dir, "events")
+          .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+          .distinct()
+          .withColumn("wk", expr("day div 7"))
+        val daily = ud.groupBy(col("wk"), col("day"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+          .groupBy(col("wk"))
+          .agg(sum(col("dau")).as("sum_dau"), count(lit(1)).as("n_days"))
+        val weekly = ud.groupBy(col("wk"))
+          .agg(countDistinct(col("user_id")).as("wau"))
+        daily.join(weekly, Seq("wk"))
+          .select(col("wk"), col("n_days"), col("sum_dau"), col("wau"),
+            expr("(sum_dau * 1000000) div (n_days * wau)").as("stickiness_ppm"))
+          .orderBy(col("wk"))
+      },
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+             |  FROM events),
+             |u2 AS (SELECT user_id, day, day // 7 AS wk FROM ud),
+             |d AS (
+             |  SELECT wk, CAST(SUM(dau) AS BIGINT) AS sum_dau, COUNT(*) AS n_days
+             |  FROM (SELECT wk, day, COUNT(DISTINCT user_id) AS dau
+             |        FROM u2 GROUP BY wk, day)
+             |  GROUP BY wk),
+             |w AS (SELECT wk, COUNT(DISTINCT user_id) AS wau FROM u2 GROUP BY wk)
+             |SELECT wk, CAST(n_days AS BIGINT) AS n_days, sum_dau,
+             |  CAST(wau AS BIGINT) AS wau,
+             |  CAST((sum_dau * 1000000) // (n_days * wau) AS BIGINT) AS stickiness_ppm
+             |FROM d JOIN w USING (wk) ORDER BY wk""".stripMargin),
+    ),
+
+    // (type × hour-of-day) independence anomaly: lift of each cell vs
+    // the product of its margins, the integer cross-multiplied
+    // chi-square cousin — lift_ppm = (obs·total·10⁶) div (row·col).
+    // Cells far from 10⁶ are schedule-coupled behavior (cron-driven
+    // errors, business-hours purchases). Margins are broadcast-sized;
+    // one (type, hour) rollup, all integer.
+    QueryDef(
+      "q208_hour_lift",
+      (s, dir) => {
+        val cells = PinnedCache.pin(tbl(s, dir, "events")
+          .select(col("event_type"),
+            expr("(ts div 3600000000000) % 24").as("hod"))
+          .groupBy(col("event_type"), col("hod"))
+          .agg(count(lit(1)).as("obs")))
+        val rowM = cells.groupBy(col("event_type")).agg(sum(col("obs")).as("row_n"))
+        val colM = cells.groupBy(col("hod")).agg(sum(col("obs")).as("col_n"))
+        val tot = cells.agg(sum(col("obs")).as("total"))
+        cells
+          .join(broadcast(rowM), Seq("event_type"))
+          .join(broadcast(colM), Seq("hod"))
+          .crossJoin(broadcast(tot))
+          .select(col("event_type"), col("hod"), col("obs"),
+            expr("(obs * total * 1000000) div (row_n * col_n)").as("lift_ppm"))
+          .where(expr("abs(lift_ppm - 1000000) > 200000"))
+          .orderBy(col("event_type"), col("hod"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT event_type, (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+             |    COUNT(*) AS obs
+             |  FROM events GROUP BY 1, 2),
+             |rm AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS row_n
+             |       FROM cells GROUP BY 1),
+             |cm AS (SELECT hod, CAST(SUM(obs) AS BIGINT) AS col_n
+             |       FROM cells GROUP BY 1),
+             |t AS (SELECT CAST(SUM(obs) AS BIGINT) AS total FROM cells)
+             |SELECT event_type, hod, CAST(obs AS BIGINT) AS obs,
+             |  CAST((obs * total * 1000000) // (row_n * col_n) AS BIGINT) AS lift_ppm
+             |FROM cells JOIN rm USING (event_type) JOIN cm USING (hod) CROSS JOIN t
+             |WHERE abs(CAST((obs * total * 1000000) // (row_n * col_n) AS BIGINT)
+             |          - 1000000) > 200000
+             |ORDER BY event_type, hod""".stripMargin),
+    ),
   )
 }
