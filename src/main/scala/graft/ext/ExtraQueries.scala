@@ -1090,5 +1090,112 @@ object ExtraQueries {
              |          - 1000000) > 200000
              |ORDER BY event_type, hod""".stripMargin),
     ),
+
+    // Stationary distribution of the user-journey Markov chain: row-
+    // normalized transition mass iterated 4 times in exact integers —
+    // π' (v) = Σ_u (π(u)·cnt(u,v)) div rowsum(u), every term a floor on
+    // non-negative longs (product before division keeps precision; the
+    // π·cnt product bounds the contract at cnt < ~9·10⁶ per edge at
+    // M = 10¹² — normalize cnt to ppm first past that). The long-run
+    // "where do journeys spend time" ranking; complements q184's
+    // per-transition view. Transition matrix is |types|² — model-state
+    // sized; the only data-sized pass is the lag window building it.
+    QueryDef(
+      "q209_stationary_dist",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val trans = tbl(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("u", lag(col("event_type"), 1).over(w))
+          .where(col("u").isNotNull)
+          .groupBy(col("u"), col("event_type").as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        val rowsum = trans.groupBy(col("u")).agg(sum(col("cnt")).as("rs"))
+        val tm = PinnedCache.pin(trans.join(rowsum, "u"))
+        val states = tm.select(col("u").as("node")).distinct()
+        val m = 1000000000000L
+        val n = states.count()
+        var pi = states.withColumn("p", lit(m / n)).localCheckpoint(true)
+        for (_ <- 1 to 4) {
+          pi = tm.join(pi.select(col("node").as("u"), col("p")), "u")
+            .select(col("v").as("node"), expr("(p * cnt) div rs").as("c"))
+            .groupBy(col("node")).agg(sum(col("c")).as("p"))
+            .localCheckpoint(true)
+        }
+        pi.select(col("node").as("event_type"), col("p").as("pi"))
+          .orderBy(col("event_type"))
+      },
+      Some {
+        val iters = (1 to 4).map(i =>
+          s"""p$i AS (
+             |  SELECT c.v AS node, CAST(SUM((p${i - 1}.p * c.cnt) // rs.rs) AS BIGINT) AS p
+             |  FROM p${i - 1}
+             |  JOIN c ON c.u = p${i - 1}.node
+             |  JOIN rs ON rs.u = c.u
+             |  GROUP BY c.v)""".stripMargin).mkString(",\n")
+        s"""WITH tr AS (
+           |  SELECT event_type AS v,
+           |    LAG(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY epoch_ns(ts), event_id) AS u
+           |  FROM events),
+           |c AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cnt
+           |      FROM tr WHERE u IS NOT NULL GROUP BY u, v),
+           |rs AS (SELECT u, CAST(SUM(cnt) AS BIGINT) AS rs FROM c GROUP BY u),
+           |st AS (SELECT DISTINCT u AS node FROM c),
+           |p0 AS (SELECT node,
+           |         1000000000000 // (SELECT COUNT(*) FROM st) AS p FROM st),
+           |$iters
+           |SELECT node AS event_type, CAST(p AS BIGINT) AS pi
+           |FROM p4 ORDER BY event_type""".stripMargin
+      },
+    ),
+
+    // Global temporal correlation (incident forensics): purchases within
+    // ±5 min of ANY error — no user key, so the range join's blocking
+    // bucket IS the time axis (RangeJoin with a constant key: the
+    // (k, bucket) join key degenerates to the bucket, i.e. a
+    // time-partitioned join — each 10-min bucket meets only its own
+    // ±window neighbors, never O(L×R)). One summary row: pair volume,
+    // share of errors with a nearby purchase.
+    QueryDef(
+      "q210_incident_correlation",
+      (s, dir) => {
+        val ev = PinnedCache.pin(tbl(s, dir, "events"))
+        val errs = ev.where(col("event_type") === "error")
+          .select(lit(0).as("k"), col("event_id").as("err_id"), col("ts"))
+        val wins = ev.where(col("event_type") === "purchase")
+          .select(lit(0).as("k"), col("event_id").as("p_id"),
+            (col("ts") - 300000000000L).as("lo"),
+            (col("ts") + 300000000000L).as("hi"))
+        val pairs = graft.operators.RangeJoin
+          .rangeJoin(errs, wins, "k", "ts", "lo", "hi", 600000000000L)
+        pairs
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("err_id")).as("n_correlated_errors"),
+            countDistinct(col("p_id")).as("n_correlated_purchases"))
+          .crossJoin(broadcast(
+            ev.where(col("event_type") === "error")
+              .agg(count(lit(1)).as("n_errors"))))
+          .select(col("n_errors"), col("n_pairs"), col("n_correlated_errors"),
+            col("n_correlated_purchases"),
+            expr("(n_correlated_errors * 1000000) div n_errors")
+              .as("correlated_ppm"))
+      },
+      Some("""WITH e AS (SELECT event_id AS err_id, epoch_ns(ts) AS ts FROM events
+             |           WHERE event_type = 'error'),
+             |p AS (SELECT event_id AS p_id, epoch_ns(ts) AS ts FROM events
+             |      WHERE event_type = 'purchase'),
+             |pr AS (
+             |  SELECT e.err_id, p.p_id FROM e JOIN p
+             |  ON e.ts BETWEEN p.ts - 300000000000 AND p.ts + 300000000000)
+             |SELECT (SELECT COUNT(*) FROM e) AS n_errors,
+             |  (SELECT COUNT(*) FROM pr) AS n_pairs,
+             |  (SELECT COUNT(DISTINCT err_id) FROM pr) AS n_correlated_errors,
+             |  (SELECT COUNT(DISTINCT p_id) FROM pr) AS n_correlated_purchases,
+             |  CAST(((SELECT COUNT(DISTINCT err_id) FROM pr) * 1000000)
+             |    // (SELECT COUNT(*) FROM e) AS BIGINT) AS correlated_ppm""".stripMargin),
+    ),
   )
 }
