@@ -548,6 +548,24 @@ class PlanSpec extends AnyFunSuite {
       "gram counts and moments combine map-side")
   }
 
+  test("q208: lift margins broadcast — the cells never shuffle for the join") {
+    val p = plan("q208_hour_lift")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "row/col margins must broadcast onto the cells")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q210: keyless range join is bucket-keyed — no nested-loop pair scan") {
+    val p = plan("q210_incident_correlation")
+    // the only nested-loop is the deliberate 1-row totals crossJoin; the
+    // interval join itself must be the bucket equi-join with the BETWEEN
+    // residual, never a pair scan
+    assert(p.contains("bucket"), "range join must key on the time bucket")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      "only the 1-row totals crossJoin may be nested-loop")
+  }
+
   test("q200: CUSUM's two window steps share one partitioning — no exchange between them") {
     // min-prefix(P) consumes P, so they can't fuse into one Window exec —
     // but both use the same (event_type, hr) spec, so the second must ride
