@@ -1197,5 +1197,108 @@ object ExtraQueries {
              |  CAST(((SELECT COUNT(DISTINCT err_id) FROM pr) * 1000000)
              |    // (SELECT COUNT(*) FROM e) AS BIGINT) AS correlated_ppm""".stripMargin),
     ),
+
+    // FORWARD as-of join: each error picks the user's NEXT purchase
+    // (ts >= error ts) — "recovery time after an error", the mirror of
+    // q53's backward enrichment. Same single-shuffle union+window plan,
+    // traversed descending. Unrecovered errors keep NULLs.
+    QueryDef(
+      "q211_asof_forward",
+      (s, dir) => {
+        val ev = PinnedCache.pin(tbl(s, dir, "events"))
+        val errs = ev.where(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("event_id").as("err_id"))
+        val buys = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        graft.operators.AsofJoin
+          .asofJoinForward(errs, buys, "user_id", "ts", "event_id", "event_id")
+          .select(col("err_id"), col("user_id"), col("ts"), col("asof_ts"),
+            col("asof_event_id").as("next_purchase_id"),
+            (col("asof_ts") - col("ts")).as("recovery_ns"))
+          .orderBy(col("err_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id AS err_id
+             |           FROM events WHERE event_type = 'error'),
+             |dr AS (
+             |  SELECT user_id, epoch_ns(ts) AS r_ts, MAX(event_id) AS val
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |sel AS (
+             |  SELECT e.err_id, e.user_id, e.ts,
+             |    (SELECT MIN(d.r_ts) FROM dr d
+             |     WHERE d.user_id = e.user_id AND d.r_ts >= e.ts) AS asof_ts
+             |  FROM e)
+             |SELECT s.err_id, s.user_id, s.ts, s.asof_ts,
+             |  d.val AS next_purchase_id, s.asof_ts - s.ts AS recovery_ns
+             |FROM sel s LEFT JOIN dr d
+             |  ON d.user_id = s.user_id AND d.r_ts = s.asof_ts
+             |ORDER BY err_id""".stripMargin),
+    ),
+
+    // Peak session concurrency: 30-min-gap sessionization, then the
+    // classic +1/−1 boundary sweep — cumulative sum over session starts
+    // and (exclusive) ends, global max and its first time. Capacity
+    // planning's load-peak question answered in three window passes over
+    // session-rollup-sized data (starts sort before ends at a tie, so
+    // touching sessions count as concurrent — matched in the oracle).
+    QueryDef(
+      "q212_peak_concurrency",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val uw = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val sessions = tbl(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("gap", col("ts") - lag(col("ts"), 1).over(uw))
+          .withColumn("new_s",
+            when(col("gap").isNull || col("gap") > 1800000000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("new_s")).over(uw))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+        val bounds = sessions
+          .select(col("s_start").as("t"), lit(1L).as("delta"))
+          .unionByName(sessions.select(col("s_end").as("t"), lit(-1L).as("delta")))
+        val sweep = Window.orderBy(col("t"), col("delta").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val run = bounds.withColumn("conc", sum(col("delta")).over(sweep))
+        run
+          .agg(max(col("conc")).as("peak_concurrent"),
+            min(struct((-col("conc")).as("nc"), col("t").as("t")))("t")
+              .as("peak_ts"))
+          .crossJoin(broadcast(sessions.agg(count(lit(1)).as("n_sessions"))))
+          .select(col("n_sessions"), col("peak_concurrent"), col("peak_ts"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, epoch_ns(ts) AS ts,
+             |    CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER (
+             |        PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+             |      IS NULL THEN 1
+             |      WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER (
+             |        PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+             |      > 1800000000000 THEN 1 ELSE 0 END AS new_s,
+             |    event_id
+             |  FROM events),
+             |sid AS (
+             |  SELECT user_id, ts,
+             |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g),
+             |sess AS (
+             |  SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end
+             |  FROM sid GROUP BY 1, 2),
+             |b AS (
+             |  SELECT s_start AS t, CAST(1 AS BIGINT) AS delta FROM sess
+             |  UNION ALL
+             |  SELECT s_end, CAST(-1 AS BIGINT) FROM sess),
+             |run AS (
+             |  SELECT t, CAST(SUM(delta) OVER (ORDER BY t, delta DESC
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+             |  FROM b),
+             |m AS (SELECT MAX(conc) AS peak_concurrent FROM run)
+             |SELECT (SELECT COUNT(*) FROM sess) AS n_sessions,
+             |  m.peak_concurrent,
+             |  (SELECT MIN(t) FROM run WHERE conc = m.peak_concurrent) AS peak_ts
+             |FROM m""".stripMargin),
+    ),
   )
 }

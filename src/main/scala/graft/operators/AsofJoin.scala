@@ -72,4 +72,44 @@ object AsofJoin {
         col("r_in.r_ts").as("asof_ts") :+
         col("r_in.r_val").as(s"asof_$valueCol"): _*)
   }
+
+  /** FORWARD as-of: each left row picks the EARLIEST right row with
+    * right.ts >= left.ts per key — "next event after" enrichment
+    * (error → next deploy, signup → first purchase). Identical plan to
+    * [[asofJoin]] (one union, one shuffle, one per-key sort window), just
+    * traversed in descending time so the carried struct is the nearest
+    * FUTURE right row; equal timestamps still match (the right row sorts
+    * first at its ts in the descending order too). Same
+    * dedup-right-by-(key, ts) determinism contract. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, valueCol: String, tieCol: String): DataFrame = {
+    val leftCols = left.columns
+    val reserved = Seq("side", "r_in", "asof_ts", s"asof_$valueCol")
+    require(!leftCols.exists(reserved.contains),
+      s"left input must not contain operator-internal columns ${reserved.mkString(", ")}")
+    val dedupRight = right
+      .groupBy(col(keyCol), col(tsCol).as("r_ts"))
+      .agg(max_by(col(valueCol), col(tieCol)).as("r_val"))
+    val rInType = new org.apache.spark.sql.types.StructType()
+      .add("r_ts", dedupRight.schema("r_ts").dataType)
+      .add("r_val", dedupRight.schema("r_val").dataType)
+    val taggedLeft = left
+      .withColumn("side", lit(1))
+      .withColumn("r_in", lit(null).cast(rInType))
+    val taggedRight = dedupRight
+      .select(Seq(col(keyCol), col("r_ts").as(tsCol), lit(0).as("side"),
+        struct(col("r_ts"), col("r_val")).as("r_in")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val unioned = taggedLeft.unionByName(taggedRight)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("r_in", last(col("r_in"), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(leftCols.map(col) :+
+        col("r_in.r_ts").as("asof_ts") :+
+        col("r_in.r_val").as(s"asof_$valueCol"): _*)
+  }
 }

@@ -70,6 +70,52 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out(1L) == (Some(100L), Some(9.0)))
   }
 
+  test("forward: picks the earliest quote at-or-after; inclusive at equal ts; no future -> null") {
+    import spark.implicits._
+    val t = Seq((1L, 7L, 100L, 1.0), (2L, 7L, 205L, 1.0), (3L, 7L, 400L, 1.0))
+      .toDF("event_id", "k", "ts", "value")
+    val q = Seq((10L, 7L, 100L, 5.0), (11L, 7L, 200L, 6.0), (12L, 7L, 301L, 7.0))
+      .toDF("event_id", "k", "ts", "value")
+    val out = AsofJoin.asofJoinForward(t, q, "k", "ts", "value", "event_id")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(4)).map(_.asInstanceOf[Long]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out(1L) == ((Some(100L), Some(5.0)))) // equal ts matches (inclusive)
+    assert(out(2L) == ((Some(301L), Some(7.0))))
+    assert(out(3L) == ((None, None))) // nothing in the future
+  }
+
+  test("forward property: agrees with the naive min-future formulation on adversarial data") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val rowGen = Gen.listOfN(18, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 9L),
+      Gen.choose(0, 99).map(_.toDouble)))
+    (0 until 10).foreach { i =>
+      Gen.zip(rowGen, rowGen).apply(Gen.Parameters.default, Seed(i.toLong)).foreach {
+        case (ts0, qs0) =>
+          val trades = ts0.zipWithIndex.map { case ((k, ts, v), j) => (j.toLong, k, ts, v) }
+            .toDF("event_id", "k", "ts", "value")
+          val quotes = qs0.zipWithIndex.map { case ((k, ts, v), j) => (100L + j, k, ts, v) }
+            .toDF("event_id", "k", "ts", "value")
+          val fast = AsofJoin.asofJoinForward(trades, quotes, "k", "ts", "value", "event_id")
+            .select(col("event_id"), col("asof_value")).collect()
+            .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+          // naive: min future ts, then the max-event_id quote at that ts
+          val naive = trades.as("t")
+            .join(quotes.as("q"),
+              col("t.k") === col("q.k") && col("q.ts") >= col("t.ts"), "left")
+            .groupBy(col("t.event_id").as("event_id"))
+            .agg(max_by(col("q.value"),
+              struct((-col("q.ts")).as("nt"), col("q.event_id"))).as("nv"))
+            .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+          assert(fast == naive, s"seed $i")
+      }
+    }
+  }
+
   test("property: agrees with the naive formulation on adversarial random data") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
