@@ -241,12 +241,76 @@ final class ReplayTable(path: String, tsCol: String,
   * dependency). */
 final class ReplayScanBuilder(path: String, tsCol: String, fullSchema: StructType,
     vectorized: Boolean = true)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var accepted: Array[Filter] = Array.empty
   private var lower: Long = Long.MinValue // exclusive
   private var upper: Long = Long.MaxValue // inclusive
+  private var pushedAgg: Option[
+    org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None
+
+  // ---- aggregate pushdown: COUNT(*) / MIN(ts) / MAX(ts) from footers ----
+  //
+  // An ungrouped count/min/max over the replay log never needs to touch a
+  // data page: row counts and the ts column's min/max are already in the
+  // row-group footers the cursor index caches. At 100 TB this turns the
+  // "how big is the log / what's its time span" probe every replay driver
+  // issues from a full scan into a metadata lookup. Only pushed when NO
+  // filters were pushed (Spark won't offer aggregates past residual
+  // filters, and our filters are always residual — the two paths can't
+  // mix) and only for stats that are PROVABLY exact: CountStar from row
+  // counts (null-safe by definition), min/max of the indexed ts column
+  // when every row group carries stats (a stats-less group refuses the
+  // pushdown rather than risking a wrong extreme).
+
+  private def minMaxCol(
+      f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc)
+      : Option[String] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Max, Min}
+    f match {
+      case m: Min => m.column match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          Some(nr.fieldNames()(0))
+        case _ => None
+      }
+      case m: Max => m.column match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          Some(nr.fieldNames()(0))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  private def canPushAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (agg.groupByExpressions.nonEmpty) return false
+    if (accepted.nonEmpty || lower != Long.MinValue || upper != Long.MaxValue)
+      return false
+    val groups = ReplayDataSource.index(path, tsCol).groups
+    if (groups.isEmpty) return false
+    agg.aggregateExpressions.forall {
+      case _: CountStar => true
+      case f @ (_: Min | _: Max) =>
+        minMaxCol(f).contains(tsCol) &&
+          groups.forall(g => g.tsMin.isDefined && g.tsMax.isDefined)
+      case _ => false
+    }
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = canPushAgg(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    if (canPushAgg(agg)) { pushedAgg = Some(agg); true } else false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     accepted = filters.flatMap(collectBounds)
@@ -277,8 +341,70 @@ final class ReplayScanBuilder(path: String, tsCol: String, fullSchema: StructTyp
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new ReplayScan(path, tsCol, required, lower, upper, accepted.length, vectorized)
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new ReplayAggScan(path, tsCol, agg)
+    case None =>
+      new ReplayScan(path, tsCol, required, lower, upper, accepted.length, vectorized)
+  }
+}
+
+/** Metadata-only scan for a completely-pushed ungrouped aggregation: the
+  * answer is computed on the DRIVER from the cached footer index and
+  * shipped as one single-row partition — zero data pages read, zero
+  * shuffle. `supportCompletePushDown` returned true, so Spark consumes
+  * these values as final results. */
+final class ReplayAggScan(path: String, tsCol: String,
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    extends Scan with Batch {
+
+  import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+
+  private lazy val groups = ReplayDataSource.index(path, tsCol).groups
+
+  private lazy val values: Array[Long] = agg.aggregateExpressions.map {
+    case _: CountStar => groups.map(_.rows).sum
+    case _: Min => groups.flatMap(_.tsMin).min
+    case _: Max => groups.flatMap(_.tsMax).max
+    case f => throw new IllegalStateException(s"unpushable aggregate $f")
+  }
+
+  override def readSchema(): StructType =
+    StructType(agg.aggregateExpressions.zipWithIndex.map {
+      case (_: CountStar, i) =>
+        org.apache.spark.sql.types.StructField(s"count_star_$i",
+          org.apache.spark.sql.types.LongType, nullable = false)
+      case (_, i) =>
+        org.apache.spark.sql.types.StructField(s"agg_${tsCol}_$i",
+          org.apache.spark.sql.types.LongType, nullable = false)
+    })
+
+  override def description(): String =
+    s"graft-replay-agg $path METADATA-ONLY aggs=${agg.aggregateExpressions.length} " +
+      s"rowGroups=${groups.length}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(AggResultPartition(values))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AggResultReaderFactory
+}
+
+final case class AggResultPartition(values: Array[Long]) extends InputPartition
+
+final class AggResultReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val vs = partition.asInstanceOf[AggResultPartition].values
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          vs.map(_.asInstanceOf[Any]))
+      override def close(): Unit = {}
+    }
+  }
 }
 
 final class ReplayScan(path: String, tsCol: String, required: StructType,

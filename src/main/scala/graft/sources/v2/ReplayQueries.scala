@@ -39,5 +39,21 @@ object ReplayQueries {
               |WHERE epoch_ns(ts) > ${FromNs} AND epoch_ns(ts) <= ${ToNs}
               |GROUP BY 1 ORDER BY bucket_start""".stripMargin),
     ),
+
+    // V2 aggregate pushdown: ungrouped COUNT(*)/MIN(ts)/MAX(ts) answered
+    // ENTIRELY from the cached row-group footer index — the executed plan
+    // is a bare Project over a single-row metadata-only BatchScan (no
+    // aggregate exec, zero data pages read; ReplaySourceSpec +
+    // PlanSpec pin the shape). The "how big is the log, what span does
+    // it cover" probe every replay driver issues, at footer cost.
+    QueryDef(
+      "q213_v2_agg_pushdown",
+      (s, dir) => s.read.format("graft-replay").option("tsCol", "ts")
+        .load(s"$dir/events.parquet")
+        .agg(count(lit(1)).as("n_rows"), min(col("ts")).as("min_ts"),
+          max(col("ts")).as("max_ts")),
+      Some("""SELECT COUNT(*) AS n_rows, MIN(epoch_ns(ts)) AS min_ts,
+             |  MAX(epoch_ns(ts)) AS max_ts FROM events""".stripMargin),
+    ),
   )
 }

@@ -275,6 +275,43 @@ class ReplayDataSourceSpec extends AnyFunSuite {
     assert(n == spark.read.parquet(s"$sfDir/events.parquet").count())
   }
 
+  test("aggregate pushdown: ungrouped count/min/max plan METADATA-ONLY, values exact") {
+    val df = viaConnector(s"$sfDir/events.parquet")
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("METADATA-ONLY"), "aggregation must push into the scan")
+    assert(!plan.contains("HashAggregate"), "no aggregate exec may remain")
+    val got = df.collect()(0)
+    val want = builtin(s"$sfDir/events.parquet")
+      .agg(count(lit(1)), min(col("ts")), max(col("ts"))).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      ((want.getLong(0), want.getLong(1), want.getLong(2))))
+  }
+
+  test("aggregate pushdown refuses: filters present, grouping, non-ts min/max, count(col)") {
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // a pushed ts filter stays residual -> aggregates must NOT push past it
+    val filtered = viaConnector(s"$sfDir/events.parquet")
+      .where(col("ts") > 0L).agg(count(lit(1)))
+    assert(!plan(filtered).contains("METADATA-ONLY") &&
+      plan(filtered).contains("HashAggregate"))
+    assert(filtered.collect()(0).getLong(0) ==
+      builtin(s"$sfDir/events.parquet").where(col("ts") > 0L).count())
+    // grouped aggregation reads data
+    val grouped = viaConnector(s"$sfDir/events.parquet")
+      .groupBy(col("event_type")).agg(count(lit(1)))
+    assert(!plan(grouped).contains("METADATA-ONLY"))
+    // min of a non-indexed column has no footer stats in the index
+    val other = viaConnector(s"$sfDir/events.parquet").agg(min(col("user_id")))
+    assert(!plan(other).contains("METADATA-ONLY"))
+    assert(other.collect()(0).getLong(0) ==
+      builtin(s"$sfDir/events.parquet").agg(min(col("user_id"))).collect()(0).getLong(0))
+    // count(col) must count non-nulls -> not answerable from row counts
+    val countCol = viaConnector(s"$sfDir/events.parquet").agg(count(col("event_type")))
+    assert(!plan(countCol).contains("METADATA-ONLY"))
+  }
+
   test("repeated cursor advances see disjoint, exhaustive slices") {
     val all = builtin(s"$sfDir/events.parquet")
     val bounds = all.agg(min(col("ts")), max(col("ts"))).collect()(0)
