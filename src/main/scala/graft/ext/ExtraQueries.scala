@@ -1300,5 +1300,77 @@ object ExtraQueries {
              |  (SELECT MIN(t) FROM run WHERE conc = m.peak_concurrent) AS peak_ts
              |FROM m""".stripMargin),
     ),
+
+    // Dataset card: the one-row-per-source release summary every corpus
+    // ships with — volume (docs/tokens/chars), exact-dup burden
+    // (non-survivor docs under the q24 keep-min-id rule), language mix
+    // (distinct langs + dominant lang share), density (mean tokens ppm).
+    // All integer; each piece is an already-proven operator, composed
+    // into the single materialized report a consumer reads first.
+    QueryDef(
+      "q214_dataset_card",
+      (s, dir) => {
+        val d = PinnedCache.pin(tbl(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"),
+            col("text")))
+        val base = d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+            sum(col("n_chars")).as("n_chars"),
+            countDistinct(col("lang")).as("n_langs"))
+        // non-survivors: docs sharing a text with a smaller doc_id
+        val nonSurv = d.as("a")
+          .join(d.select(col("text").as("t2"), col("doc_id").as("id2")).as("b"),
+            col("a.text") === col("t2") && col("a.doc_id") > col("id2"), "left_semi")
+          .groupBy(col("source")).agg(count(lit(1)).as("dup_docs"))
+        val langTop = d.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("lc"))
+          .groupBy(col("source"))
+          .agg(min(struct((-col("lc")).as("nc"), col("lang").as("lang"))).as("t"))
+          .select(col("source"), col("t.lang").as("top_lang"),
+            (-col("t.nc")).as("top_lang_docs"))
+        base
+          .join(nonSurv, Seq("source"), "left_outer")
+          .join(langTop, Seq("source"))
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+            coalesce(col("dup_docs"), lit(0L)).as("dup_docs"),
+            col("n_langs"), col("top_lang"),
+            expr("(top_lang_docs * 1000000) div n_docs").as("top_lang_ppm"),
+            expr("(n_tokens * 1000000) div n_docs").as("mean_tokens_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, lang, n_chars,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok, text
+             |  FROM documents),
+             |base AS (
+             |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+             |  FROM d GROUP BY source),
+             |ns AS (
+             |  SELECT a.source, COUNT(*) AS dup_docs
+             |  FROM d a WHERE EXISTS (
+             |    SELECT 1 FROM d b WHERE b.text = a.text AND b.doc_id < a.doc_id)
+             |  GROUP BY a.source),
+             |lt AS (
+             |  SELECT source, lang AS top_lang, lc AS top_lang_docs FROM (
+             |    SELECT source, lang, COUNT(*) AS lc,
+             |      ROW_NUMBER() OVER (PARTITION BY source
+             |        ORDER BY COUNT(*) DESC, lang) AS rk
+             |    FROM d GROUP BY source, lang)
+             |  WHERE rk = 1)
+             |SELECT base.source, base.n_docs, base.n_tokens, base.n_chars,
+             |  COALESCE(ns.dup_docs, 0) AS dup_docs, base.n_langs,
+             |  lt.top_lang,
+             |  CAST((lt.top_lang_docs * 1000000) // base.n_docs AS BIGINT)
+             |    AS top_lang_ppm,
+             |  CAST((base.n_tokens * 1000000) // base.n_docs AS BIGINT)
+             |    AS mean_tokens_ppm
+             |FROM base
+             |LEFT JOIN ns ON ns.source = base.source
+             |JOIN lt ON lt.source = base.source
+             |ORDER BY base.source""".stripMargin),
+    ),
   )
 }
