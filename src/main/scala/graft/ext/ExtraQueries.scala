@@ -1372,5 +1372,187 @@ object ExtraQueries {
              |JOIN lt ON lt.source = base.source
              |ORDER BY base.source""".stripMargin),
     ),
+
+    // Cross-modal purity audit: do text near-dup clusters (q44's CC over
+    // the q26 pairs) agree with the embedding labels? Per cluster: size,
+    // distinct labels, majority label + its ppm share. Low purity flags
+    // text-vs-embedding disagreement — exactly where a curation pipeline
+    // should look before trusting either signal. (The testdata's vec_id
+    // aligns 1:1 with doc_id — the cross-modal join key.)
+    QueryDef(
+      "q215_crossmodal_purity",
+      (s, dir) => {
+        val cc = Dedup.connectedComponents(
+          Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5))
+        val emb = tbl(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("label").cast("long").as("label"))
+        cc.join(emb, "id")
+          .groupBy(col("root"), col("label")).agg(count(lit(1)).as("lc"))
+          .groupBy(col("root"))
+          .agg(sum(col("lc")).as("size"), count(lit(1)).as("n_labels"),
+            min(struct((-col("lc")).as("nc"), col("label").as("label"))).as("t"))
+          .select(col("root").as("root_id"), col("size"), col("n_labels"),
+            col("t.label").as("top_label"),
+            expr("((-t.nc) * 1000000) div size").as("purity_ppm"))
+          .orderBy(col("root_id"))
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
+             |  WHERE len(tokens) >= 3),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+             |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+             |          UNION SELECT b_id, a_id FROM pairs),
+             |r(id, m) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.m),
+             |labels AS (SELECT id, MIN(m) AS root FROM r GROUP BY id),
+             |lj AS (
+             |  SELECT l.root, e.label, COUNT(*) AS lc
+             |  FROM labels l JOIN embeddings e ON e.vec_id = l.id
+             |  GROUP BY 1, 2),
+             |top AS (
+             |  SELECT root, label AS top_label, lc FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY root
+             |      ORDER BY lc DESC, label) AS rk FROM lj)
+             |  WHERE rk = 1)
+             |SELECT lj.root AS root_id, CAST(SUM(lj.lc) AS BIGINT) AS size,
+             |  CAST(COUNT(*) AS BIGINT) AS n_labels,
+             |  CAST(MAX(top.top_label) AS BIGINT) AS top_label,
+             |  CAST((MAX(top.lc) * 1000000) // SUM(lj.lc) AS BIGINT) AS purity_ppm
+             |FROM lj JOIN top ON top.root = lj.root
+             |GROUP BY lj.root ORDER BY root_id""".stripMargin),
+    ),
+
+    // Cohort conversion + time-to-convert: per signup-cohort week, how
+    // many signups, how many converted (first purchase at-or-after the
+    // first signup), the conversion ppm and the exact-rank median
+    // time-to-convert — survival analysis's first table. Two user-keyed
+    // aggregates + one cohort-keyed rank window over converters only.
+    QueryDef(
+      "q216_cohort_conversion",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = PinnedCache.pin(tbl(s, dir, "events"))
+        val s0 = ev.where(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+        val conv = s0
+          .join(ev.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("pts")), Seq("user_id"), "left_outer")
+          .groupBy(col("user_id"))
+          .agg(min(col("s_ts")).as("s_ts"),
+            min(when(col("pts") >= col("s_ts"), col("pts"))).as("first_p"))
+          .withColumn("cohort_wk", expr("s_ts div 604800000000000"))
+          .withColumn("ttc", col("first_p") - col("s_ts"))
+        val w = Window.partitionBy(col("cohort_wk")).orderBy(col("ttc"))
+        val ranked = conv.where(col("ttc").isNotNull)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("nc", count(lit(1)).over(Window.partitionBy(col("cohort_wk"))))
+        val med = ranked
+          .where(col("rn") === ceil(col("nc") / lit(2.0)).cast("int"))
+          .select(col("cohort_wk"), col("ttc").as("median_ttc_ns"))
+        conv.groupBy(col("cohort_wk"))
+          .agg(count(lit(1)).as("n_signups"),
+            sum(when(col("first_p").isNotNull, 1L).otherwise(0L)).as("n_converted"))
+          .join(med, Seq("cohort_wk"), "left_outer")
+          .select(col("cohort_wk"), col("n_signups"), col("n_converted"),
+            expr("(n_converted * 1000000) div n_signups").as("conversion_ppm"),
+            col("median_ttc_ns"))
+          .orderBy(col("cohort_wk"))
+      },
+      Some("""WITH s0 AS (
+             |  SELECT user_id, MIN(epoch_ns(ts)) AS s_ts FROM events
+             |  WHERE event_type = 'signup' GROUP BY user_id),
+             |conv AS (
+             |  SELECT s0.user_id, s0.s_ts,
+             |    MIN(CASE WHEN epoch_ns(e.ts) >= s0.s_ts THEN epoch_ns(e.ts) END)
+             |      AS first_p
+             |  FROM s0 LEFT JOIN events e
+             |    ON e.user_id = s0.user_id AND e.event_type = 'purchase'
+             |  GROUP BY 1, 2),
+             |c2 AS (SELECT *, s_ts // 604800000000000 AS cohort_wk,
+             |         first_p - s_ts AS ttc FROM conv),
+             |rk AS (
+             |  SELECT cohort_wk, ttc,
+             |    ROW_NUMBER() OVER (PARTITION BY cohort_wk ORDER BY ttc) AS rn,
+             |    COUNT(*) OVER (PARTITION BY cohort_wk) AS nc
+             |  FROM c2 WHERE ttc IS NOT NULL),
+             |med AS (
+             |  SELECT cohort_wk, ttc AS median_ttc_ns FROM rk
+             |  WHERE rn = CAST(ceil(nc / 2.0) AS INTEGER)),
+             |agg AS (
+             |  SELECT cohort_wk, COUNT(*) AS n_signups,
+             |    CAST(SUM(CASE WHEN first_p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_converted
+             |  FROM c2 GROUP BY cohort_wk)
+             |SELECT agg.cohort_wk, agg.n_signups, agg.n_converted,
+             |  CAST((agg.n_converted * 1000000) // agg.n_signups AS BIGINT)
+             |    AS conversion_ppm,
+             |  med.median_ttc_ns
+             |FROM agg LEFT JOIN med USING (cohort_wk)
+             |ORDER BY cohort_wk""".stripMargin),
+    ),
+
+    // Token-WEIGHTED length quantiles: the doc length at which half (and
+    // 90%) of the corpus TOKENS sit in shorter-or-equal docs — the
+    // distribution that matters for packing/training (a token drawn at
+    // random comes from a long doc far more often than doc-count
+    // percentiles suggest). Cumulative-weight rank with the integer
+    // threshold test 100·cumW ≥ p·W; ties broken by doc_id so the picked
+    // row is unique cross-engine.
+    QueryDef(
+      "q217_weighted_quantiles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = tbl(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_tok"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = d
+          .withColumn("cumw", sum(col("n_tok")).over(w))
+          .withColumn("tw", sum(col("n_tok"))
+            .over(Window.partitionBy(col("source"))))
+        def pick(p: Int) = cum
+          .where(col("cumw") * 100 >= col("tw") * p)
+          .groupBy(col("source"))
+          .agg(min(struct(col("n_tok").as("v"), col("doc_id").as("d")))("v")
+            .as(s"wp$p"))
+        cum.groupBy(col("source")).agg(max(col("tw")).as("total_tokens"))
+          .join(pick(50), Seq("source"))
+          .join(pick(90), Seq("source"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (
+             |  SELECT source, doc_id,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |c AS (
+             |  SELECT *, CAST(SUM(n_tok) OVER (PARTITION BY source
+             |      ORDER BY n_tok, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+             |    CAST(SUM(n_tok) OVER (PARTITION BY source) AS BIGINT) AS tw
+             |  FROM d),
+             |p50 AS (
+             |  SELECT source, MIN(n_tok) AS wp50 FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY n_tok, doc_id) AS rk
+             |    FROM c WHERE cumw * 100 >= tw * 50) WHERE rk = 1 GROUP BY source),
+             |p90 AS (
+             |  SELECT source, MIN(n_tok) AS wp90 FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY n_tok, doc_id) AS rk
+             |    FROM c WHERE cumw * 100 >= tw * 90) WHERE rk = 1 GROUP BY source)
+             |SELECT source, MAX(tw) AS total_tokens, MAX(wp50) AS wp50,
+             |  MAX(wp90) AS wp90
+             |FROM c JOIN p50 USING (source) JOIN p90 USING (source)
+             |GROUP BY source ORDER BY source""".stripMargin),
+    ),
   )
 }
