@@ -102,6 +102,43 @@ object Streaming {
       .agg(count(lit(1)).as("event_cnt"))
       .select(col(keyCol), col("session_window.start").as("session_start"), col("event_cnt"))
 
+  /** Native stream-stream INTERVAL join — q210's incident correlation as
+    * a continuous query: two event STREAMS joined on a ± time-range
+    * condition, both sides watermarked so Spark bounds the buffered state
+    * (each side retains only rows inside watermark + window; inner-join
+    * matches emit as they arrive, the watermark only gates eviction).
+    * This is the one streaming join shape the stream-static
+    * ([[streamingIncrementalNearDups]]) and keyed-state as-of
+    * ([[streamingAsofJoin]]) twins can't express: both sides unbounded,
+    * correlation purely temporal. Columns must be TimestampType (the
+    * engine's long-nanos convention truncates to micros at this
+    * boundary — Spark's event-time machinery is microsecond-grained). */
+  def streamingIntervalJoin(left: DataFrame, right: DataFrame,
+      leftTs: String, rightTs: String, windowSec: Long,
+      lateness: String): DataFrame = {
+    require(windowSec >= 1, "window must be at least one second")
+    // Spark requires an EQUALITY predicate in stream-stream joins — the
+    // RangeJoin blocking trick supplies one: bucket width = the window,
+    // the left row explodes into its bucket ± 1, the right row keeps its
+    // single bucket, so every ±window pair meets in EXACTLY one bucket
+    // (the right row's) and no dedup is needed. State stays bounded by
+    // watermark + window per bucket; matches emit as they arrive.
+    val wUs = windowSec * 1000000L
+    val l = left
+      .withColumn("_b0", expr(s"floor(unix_micros($leftTs) / ${wUs}L)"))
+      .withColumn("_lb", explode(expr("array(_b0 - 1, _b0, _b0 + 1)")))
+      .drop("_b0")
+      .withWatermark(leftTs, lateness)
+    val r = right
+      .withColumn("_rb", expr(s"floor(unix_micros($rightTs) / ${wUs}L)"))
+      .withWatermark(rightTs, lateness)
+    l.join(r,
+        col("_lb") === col("_rb") &&
+          expr(s"unix_micros($rightTs) >= unix_micros($leftTs) - ${wUs}L") &&
+          expr(s"unix_micros($rightTs) <= unix_micros($leftTs) + ${wUs}L"))
+      .drop("_lb", "_rb")
+  }
+
   /** Per-key cutoff (E8 as a continuous operator): suppress records whose
     * value is unchanged vs the previous record for the key — changelog
     * suppression via keyed state. */

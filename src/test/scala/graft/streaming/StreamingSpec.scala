@@ -430,4 +430,50 @@ class StreamingSpec extends AnyFunSuite {
         "the 40x hour must be flagged once closed")
     } finally query.stop()
   }
+
+  test("streamingIntervalJoin: stream-stream pairs equal the batch +-window correlation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // real events at micro precision (Spark event time is micro-grained)
+    val raw = graft.replay.TsNanos.normalize(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .select(col("event_type"), col("event_id"), expr("ts div 1000").as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def tsOf(us: Long) = {
+      val t = new Timestamp(us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    val errs = raw.filter(_._1 == "error").map(r => (r._2, tsOf(r._3))).toSeq
+    val buys = raw.filter(_._1 == "purchase").map(r => (r._2, tsOf(r._3))).toSeq
+
+    val eIn = MemoryStream[(Long, Timestamp)]
+    val pIn = MemoryStream[(Long, Timestamp)]
+    val joined = Streaming.streamingIntervalJoin(
+      eIn.toDF().toDF("err_id", "e_ts"), pIn.toDF().toDF("p_id", "p_ts"),
+      "e_ts", "p_ts", 300L, "10 minutes")
+      .select(col("err_id"), col("p_id"))
+    val query = joined.writeStream.format("memory").queryName("sjoin")
+      .outputMode("append").start()
+    try {
+      // interleaved multi-batch arrival
+      (errs.grouped(errs.size / 3 + 1).toSeq
+        .zipAll(buys.grouped(buys.size / 3 + 1).toSeq, Seq.empty, Seq.empty))
+        .foreach { case (eb, pb) =>
+          if (eb.nonEmpty) eIn.addData(eb: _*)
+          if (pb.nonEmpty) pIn.addData(pb: _*)
+          drain(query)
+        }
+      val got = spark.table("sjoin").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = 300000000L // 5 min in micros
+      val eUs = raw.filter(_._1 == "error").map(r => r._2 -> r._3)
+      val pUs = raw.filter(_._1 == "purchase").map(r => r._2 -> r._3)
+      val want = (for {
+        (ei, et) <- eUs; (pi, pt) <- pUs
+        if pt >= et - w && pt <= et + w
+      } yield (ei, pi)).toSet
+      assert(want.nonEmpty && got == want)
+    } finally query.stop()
+  }
 }
