@@ -1554,5 +1554,104 @@ object ExtraQueries {
              |FROM c JOIN p50 USING (source) JOIN p90 USING (source)
              |GROUP BY source ORDER BY source""".stripMargin),
     ),
+
+    // Unresolved incidents: q210's complement — errors with NO purchase
+    // within ±5 min, as a left-ANTI range join (same time-bucket
+    // blocking, then subtract the matched error set). Per-day rollup of
+    // unresolved counts + share — the "what never recovered" report.
+    QueryDef(
+      "q218_unresolved_incidents",
+      (s, dir) => {
+        val ev = PinnedCache.pin(tbl(s, dir, "events"))
+        val errs = ev.where(col("event_type") === "error")
+          .select(lit(0).as("k"), col("event_id").as("err_id"), col("ts"))
+        val wins = ev.where(col("event_type") === "purchase")
+          .select(lit(0).as("k"), (col("ts") - 300000000000L).as("lo"),
+            (col("ts") + 300000000000L).as("hi"))
+        val matched = graft.operators.RangeJoin
+          .rangeJoin(errs, wins, "k", "ts", "lo", "hi", 600000000000L)
+          .select(col("err_id")).distinct()
+        errs.join(matched, Seq("err_id"), "left_anti")
+          .groupBy(expr("ts div 86400000000000").as("day"))
+          .agg(count(lit(1)).as("n_unresolved"))
+          .join(errs.groupBy(expr("ts div 86400000000000").as("day"))
+            .agg(count(lit(1)).as("n_errors")), Seq("day"))
+          .select(col("day"), col("n_errors"), col("n_unresolved"),
+            expr("(n_unresolved * 1000000) div n_errors").as("unresolved_ppm"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH e AS (SELECT event_id AS err_id, epoch_ns(ts) AS ts FROM events
+             |           WHERE event_type = 'error'),
+             |p AS (SELECT epoch_ns(ts) AS ts FROM events
+             |      WHERE event_type = 'purchase'),
+             |unres AS (
+             |  SELECT err_id, ts FROM e
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM p
+             |    WHERE p.ts BETWEEN e.ts - 300000000000 AND e.ts + 300000000000)),
+             |ud AS (SELECT ts // 86400000000000 AS day, COUNT(*) AS n_unresolved
+             |       FROM unres GROUP BY 1),
+             |ed AS (SELECT ts // 86400000000000 AS day, COUNT(*) AS n_errors
+             |       FROM e GROUP BY 1)
+             |SELECT day, n_errors, n_unresolved,
+             |  CAST((n_unresolved * 1000000) // n_errors AS BIGINT) AS unresolved_ppm
+             |FROM ud JOIN ed USING (day) ORDER BY day""".stripMargin),
+    ),
+
+    // D1/D7/D30 retention: per first-activity cohort DAY, the share of
+    // users active exactly N days later (N ∈ {1, 7}; the 30-day span of
+    // the corpus makes D30 degenerate, so D14 stands in as the long
+    // horizon) — the compact industry triple next to q67's full matrix.
+    // One (user, day) distinct rollup + three semi-join probes.
+    QueryDef(
+      "q219_dn_retention",
+      (s, dir) => {
+        val ud = PinnedCache.pin(tbl(s, dir, "events")
+          .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+          .distinct())
+        val cohort = PinnedCache.pin(
+          ud.groupBy(col("user_id")).agg(min(col("day")).as("c_day")))
+        def active(n: Int) = cohort
+          .join(ud.select(col("user_id"),
+            (col("day") - n).as("c_day")), Seq("user_id", "c_day"), "left_semi")
+          .groupBy(col("c_day")).agg(count(lit(1)).as(s"d$n"))
+        cohort.groupBy(col("c_day")).agg(count(lit(1)).as("n_users"))
+          .join(active(1), Seq("c_day"), "left_outer")
+          .join(active(7), Seq("c_day"), "left_outer")
+          .join(active(14), Seq("c_day"), "left_outer")
+          .select(col("c_day").as("cohort_day"), col("n_users"),
+            coalesce(col("d1"), lit(0L)).as("d1"),
+            coalesce(col("d7"), lit(0L)).as("d7"),
+            coalesce(col("d14"), lit(0L)).as("d14"),
+            expr("(coalesce(d1, 0L) * 1000000) div n_users").as("d1_ppm"),
+            expr("(coalesce(d7, 0L) * 1000000) div n_users").as("d7_ppm"),
+            expr("(coalesce(d14, 0L) * 1000000) div n_users").as("d14_ppm"))
+          .orderBy(col("cohort_day"))
+      },
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+             |  FROM events),
+             |c AS (SELECT user_id, MIN(day) AS c_day FROM ud GROUP BY user_id),
+             |a1 AS (SELECT c.c_day, COUNT(*) AS d1 FROM c
+             |       WHERE EXISTS (SELECT 1 FROM ud WHERE ud.user_id = c.user_id
+             |                     AND ud.day = c.c_day + 1) GROUP BY 1),
+             |a7 AS (SELECT c.c_day, COUNT(*) AS d7 FROM c
+             |       WHERE EXISTS (SELECT 1 FROM ud WHERE ud.user_id = c.user_id
+             |                     AND ud.day = c.c_day + 7) GROUP BY 1),
+             |a14 AS (SELECT c.c_day, COUNT(*) AS d14 FROM c
+             |        WHERE EXISTS (SELECT 1 FROM ud WHERE ud.user_id = c.user_id
+             |                      AND ud.day = c.c_day + 14) GROUP BY 1),
+             |n AS (SELECT c_day, COUNT(*) AS n_users FROM c GROUP BY 1)
+             |SELECT n.c_day AS cohort_day, n.n_users,
+             |  COALESCE(a1.d1, 0) AS d1, COALESCE(a7.d7, 0) AS d7,
+             |  COALESCE(a14.d14, 0) AS d14,
+             |  CAST((COALESCE(a1.d1, 0) * 1000000) // n.n_users AS BIGINT) AS d1_ppm,
+             |  CAST((COALESCE(a7.d7, 0) * 1000000) // n.n_users AS BIGINT) AS d7_ppm,
+             |  CAST((COALESCE(a14.d14, 0) * 1000000) // n.n_users AS BIGINT) AS d14_ppm
+             |FROM n
+             |LEFT JOIN a1 USING (c_day) LEFT JOIN a7 USING (c_day)
+             |LEFT JOIN a14 USING (c_day)
+             |ORDER BY cohort_day""".stripMargin),
+    ),
   )
 }
