@@ -161,6 +161,32 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "debounce spilled")
   }
 
+  test("q183 label propagation: per-round label joins stay graph-sized, zero spill") {
+    val b = measure("q183_lpa_communities")
+    // measured 13 MB across 3 sync rounds on the co-purchase graph; a
+    // lost checkpoint re-running the edge pipeline per round would
+    // multiply this out
+    assert(b.shuffleWriteBytes < 64 * MB,
+      s"LPA shuffled beyond per-round label state: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "LPA spilled")
+  }
+
+  test("q209 stationary distribution: transition matrix stays model-state sized") {
+    val b = measure("q209_stationary_dist")
+    // |types|² transition cells through 4 iterations — ~KBs; shuffling the
+    // raw event stream instead would be MBs
+    assert(b.shuffleWriteBytes < 2 * MB,
+      s"stationary iteration shuffled the stream: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0)
+  }
+
+  test("q212 peak concurrency: boundary sweep runs over the session rollup only") {
+    val b = measure("q212_peak_concurrency")
+    assert(b.shuffleWriteBytes < 4 * MB,
+      s"sweep shuffled beyond session boundaries: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0)
+  }
+
   test("per-task peak execution memory stays executor-slot-sized across the pinned families") {
     // at 100 TB an executor slot has ~1-4 GB of execution memory; a task
     // peaking far above that on sf0.01 inputs signals driver-ish state
