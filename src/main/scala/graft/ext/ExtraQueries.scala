@@ -48,12 +48,12 @@ object ExtraQueries {
         |    unnest(generate_series(0, LEAST(4, len(toks) - j*4) - 1)) uk(k)
         |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)||':'||CAST(j AS VARCHAR)
         |    ||':'||CAST(k AS VARCHAR)),1,15)) AS BIGINT) % 4 = 0),
-        |e AS (
+        |e AS MATERIALIZED (
         |  SELECT DISTINCT c.host AS src,
         |    'h' || CAST(x.h2 % 20 AS VARCHAR) || '.example.org' AS dst
         |  FROM x JOIN c ON c.doc_id = x.doc_id),
-        |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-        |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src)""".stripMargin
+        |sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src)""".stripMargin
 
   /** Seed hosts for the traversal/trust queries: two synthetic hub hosts
     * from the href fixture's 20-host target space. */
@@ -78,7 +78,7 @@ object ExtraQueries {
       },
       Some {
         val rounds = (1 to 4).map(i =>
-          s"""d$i AS (
+          s"""d$i AS MATERIALIZED (
              |  SELECT node, MIN(d) AS d FROM (
              |    SELECT node, d FROM d${i - 1}
              |    UNION ALL
@@ -111,7 +111,7 @@ object ExtraQueries {
       Some {
         val m = 1000000000000L
         val iters = (1 to 4).map(i =>
-          s"""p$i AS (
+          s"""p$i AS MATERIALIZED (
              |  SELECT node, SUM(r) AS r FROM (
              |    SELECT sym.dst AS node,
              |      (85 * SUM(p${i - 1}.r // deg.deg)) // 100 AS r
@@ -500,13 +500,13 @@ object ExtraQueries {
       Some {
         val iters = (1 to 2).map { i =>
           val (hp, ap) = (s"h${i - 1}", s"a$i")
-          s"""a${i}r AS (
+          s"""a${i}r AS MATERIALIZED (
              |  SELECT e.dst AS node, SUM($hp.h) AS a
              |  FROM $hp JOIN e ON e.src = $hp.node GROUP BY e.dst),
              |a$i AS (
              |  SELECT node, (a * 1000000) // (SELECT MAX(a) FROM a${i}r) AS a
              |  FROM a${i}r),
-             |h${i}r AS (
+             |h${i}r AS MATERIALIZED (
              |  SELECT e.src AS node, SUM($ap.a) AS h
              |  FROM $ap JOIN e ON e.dst = $ap.node GROUP BY e.src),
              |h$i AS (
@@ -1649,9 +1649,86 @@ object ExtraQueries {
              |  CAST((COALESCE(a7.d7, 0) * 1000000) // n.n_users AS BIGINT) AS d7_ppm,
              |  CAST((COALESCE(a14.d14, 0) * 1000000) // n.n_users AS BIGINT) AS d14_ppm
              |FROM n
-             |LEFT JOIN a1 USING (c_day) LEFT JOIN a7 USING (c_day)
-             |LEFT JOIN a14 USING (c_day)
+             |LEFT JOIN a1 USING (c_day) LEFT JOIN a14 USING (c_day)
+             |LEFT JOIN a7 USING (c_day)
              |ORDER BY cohort_day""".stripMargin),
+    ),
+
+    // Near-dup cluster RADIUS: hop distance of the farthest member from
+    // its cluster's canonical root (min id) over the q26 pair graph —
+    // the q195 coverage audit's depth dimension. A radius-k member is
+    // only a near-dup of the survivor through k transitive steps; large
+    // radii are exactly where aggressive cluster-collapse dedup loses
+    // non-duplicates. Multi-source BFS with ALL roots as seeds (each
+    // component contains exactly its own root, so "distance from nearest
+    // root" IS the within-cluster distance), 4-round horizon (dense
+    // near-dup clusters rarely exceed radius 2; the horizon is the
+    // documented contract, as in q187).
+    QueryDef(
+      "q220_cluster_radius",
+      (s, dir) => {
+        val pairs = PinnedCache.pin(
+          Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5))
+        val cc = PinnedCache.pin(Dedup.connectedComponents(pairs))
+        val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+          .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        val dist = Graphs.bfsDistances(sym,
+          cc.select(col("root").as("node")).distinct(), rounds = 4)
+        val byDist = dist
+          .join(cc.select(col("id").as("node"), col("root")), "node")
+          .groupBy(col("root"), col("d")).agg(count(lit(1)).as("c"))
+        byDist.groupBy(col("root"))
+          .agg(sum(col("c")).as("size"), max(col("d")).as("radius"))
+          .join(byDist.select(col("root"), col("d").as("radius"),
+            col("c").as("n_at_radius")), Seq("root", "radius"))
+          .select(col("root").as("root_id"), col("size"), col("radius"),
+            col("n_at_radius"))
+          .orderBy(col("root_id"))
+      },
+      Some {
+        // chained CTEs that reference their predecessor twice INLINE
+        // exponentially in DuckDB — MATERIALIZED pins each round (and the
+        // expensive pair graph) to one evaluation
+        val rounds = (1 to 4).map(i =>
+          s"""d$i AS MATERIALIZED (
+             |  SELECT node, MIN(d) AS d FROM (
+             |    SELECT node, d FROM d${i - 1}
+             |    UNION ALL
+             |    SELECT sym.dst, d${i - 1}.d + 1
+             |    FROM d${i - 1} JOIN sym ON d${i - 1}.node = sym.src) z
+             |  GROUP BY node)""".stripMargin).mkString(",\n")
+        s"""WITH RECURSIVE sh AS (
+           |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+           |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
+           |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
+           |  WHERE len(tokens) >= 3),
+           |pairs AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+           |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+           |sym AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM pairs
+           |        UNION ALL SELECT b_id, a_id FROM pairs),
+           |r(id, m) AS (
+           |  SELECT src, src FROM sym
+           |  UNION
+           |  SELECT r.id, e.dst FROM r JOIN sym e ON e.src = r.m),
+           |labels AS MATERIALIZED (SELECT id, MIN(m) AS root FROM r GROUP BY id),
+           |d0 AS (SELECT DISTINCT root AS node, 0 AS d FROM labels),
+           |$rounds,
+           |bd AS MATERIALIZED (
+           |  SELECT l.root, d4.d, COUNT(*) AS c
+           |  FROM d4 JOIN labels l ON l.id = d4.node
+           |  GROUP BY 1, 2),
+           |agg AS (
+           |  SELECT root, CAST(SUM(c) AS BIGINT) AS size,
+           |    CAST(MAX(d) AS BIGINT) AS radius
+           |  FROM bd GROUP BY root)
+           |SELECT agg.root AS root_id, agg.size, agg.radius,
+           |  CAST(bd.c AS BIGINT) AS n_at_radius
+           |FROM agg JOIN bd ON bd.root = agg.root AND bd.d = agg.radius
+           |ORDER BY root_id""".stripMargin
+      },
     ),
   )
 }
