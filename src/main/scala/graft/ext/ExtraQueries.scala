@@ -1730,5 +1730,115 @@ object ExtraQueries {
            |ORDER BY root_id""".stripMargin
       },
     ),
+
+    // Link-graph reciprocity: share of DIRECTED host edges whose reverse
+    // edge also exists — high reciprocity = mutual-citation cliques (link
+    // farms), low = hierarchical citation. One self-semi-join on the
+    // swapped key over the distinct edge list.
+    QueryDef(
+      "q221_link_reciprocity",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+        val links = Web.extractLinks(
+          Web.syntheticHtmlLinks(d, "doc_id", "text"), "doc_id", "html")
+        val srcH = d.select(col("doc_id"),
+          Web.hostOf(Web.fixtureUrl(col("doc_id"), col("source"), col("lang")))
+            .as("src"))
+        val e = PinnedCache.pin(links.join(srcH, "doc_id")
+          .select(col("src"), Web.hostOf(col("url")).as("dst")).distinct()
+          .where(col("src") =!= col("dst")))
+        val recip = e.join(
+          e.select(col("dst").as("src"), col("src").as("dst")),
+          Seq("src", "dst"), "left_semi")
+        e.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_reciprocal"))))
+          .select(col("n_edges"), col("n_reciprocal"),
+            expr("(n_reciprocal * 1000000) div n_edges").as("reciprocity_ppm"))
+      },
+      Some(hostGraphSql +
+        """,
+          |ee AS MATERIALIZED (SELECT src, dst FROM e WHERE src <> dst),
+          |r AS (SELECT a.src, a.dst FROM ee a
+          |      WHERE EXISTS (SELECT 1 FROM ee b
+          |                    WHERE b.src = a.dst AND b.dst = a.src))
+          |SELECT (SELECT COUNT(*) FROM ee) AS n_edges,
+          |  (SELECT COUNT(*) FROM r) AS n_reciprocal,
+          |  CAST(((SELECT COUNT(*) FROM r) * 1000000)
+          |    // (SELECT COUNT(*) FROM ee) AS BIGINT) AS reciprocity_ppm"""
+          .stripMargin),
+    ),
+
+    // Degree spectrum: quarter-bit log-log histogram of host degrees over
+    // the symmetrized link graph — the scale-free-or-not audit (a
+    // straight line here is the graph-side Zipf of q199). Degree rollup
+    // then a bin rollup; all integer.
+    QueryDef(
+      "q222_degree_spectrum",
+      (s, dir) => hostLinkGraph(s, dir)
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(TextAnalysis.quarterLog2(col("deg")).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n_hosts"))
+        .orderBy(col("bin")),
+      Some(hostGraphSql +
+        """,
+          |b AS (
+          |  SELECT CAST(CASE WHEN length(bin(deg)) - 1 <= 14
+          |    THEN length(bin(deg*deg*deg*deg)) - 1
+          |    ELSE 4 * (length(bin(deg)) - 15) +
+          |         length(bin((deg >> (length(bin(deg)) - 15))
+          |                   *(deg >> (length(bin(deg)) - 15))
+          |                   *(deg >> (length(bin(deg)) - 15))
+          |                   *(deg >> (length(bin(deg)) - 15)))) - 1 END AS BIGINT)
+          |    AS bin
+          |  FROM deg)
+          |SELECT bin, COUNT(*) AS n_hosts FROM b
+          |GROUP BY bin ORDER BY bin""".stripMargin),
+    ),
+
+    // Degree assortativity: do high-degree hosts link to high-degree
+    // hosts? Pearson correlation of endpoint degrees over the symmetric
+    // edge list in the q199 integer-moment form — num/den exact longs,
+    // one double division. Negative = hub-and-spoke (typical web), near
+    // zero = random, positive = core-periphery mixing.
+    QueryDef(
+      "q223_assortativity",
+      (s, dir) => {
+        val sym = PinnedCache.pin(hostLinkGraph(s, dir))
+        val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val xy = sym
+          .join(deg.select(col("src"), col("deg").as("x")), "src")
+          .join(deg.select(col("src").as("dst"), col("deg").as("y")), "dst")
+        xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x"),
+            (col("n") * col("syy") - col("sy") * col("sy")).as("var_y"))
+          .select(col("n"), col("cov_num"), col("var_x"), col("var_y"),
+            (col("cov_num").cast("double") /
+              sqrt(col("var_x").cast("double") * col("var_y").cast("double")))
+              .as("assortativity"))
+      },
+      Some(hostGraphSql +
+        """,
+          |xy AS (
+          |  SELECT dx.deg AS x, dy.deg AS y
+          |  FROM sym
+          |  JOIN deg dx ON dx.src = sym.src
+          |  JOIN deg dy ON dy.src = sym.dst),
+          |m AS (
+          |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+          |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+          |    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+          |  FROM xy)
+          |SELECT n, n * sxy - sx * sy AS cov_num,
+          |  n * sxx - sx * sx AS var_x, n * syy - sy * sy AS var_y,
+          |  CAST(n * sxy - sx * sy AS DOUBLE)
+          |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+          |           * CAST(n * syy - sy * sy AS DOUBLE)) AS assortativity
+          |FROM m""".stripMargin),
+    ),
   )
 }
