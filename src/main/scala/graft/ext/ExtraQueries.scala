@@ -1840,5 +1840,147 @@ object ExtraQueries {
           |           * CAST(n * syy - sy * sy AS DOUBLE)) AS assortativity
           |FROM m""".stripMargin),
     ),
+
+    // k-anonymity audit over the quasi-identifier pair (nation, market
+    // segment): equivalence classes smaller than k = 8 are
+    // re-identification risks — report each risky class and the overall
+    // share of exposed customers. The release-gate check that runs
+    // BEFORE q62's value-level redaction (suppressing PII inside a row
+    // doesn't help if the row's attribute combination is unique).
+    QueryDef(
+      "q224_k_anonymity",
+      (s, dir) => {
+        val cells = PinnedCache.pin(tbl(s, dir, "customer")
+          .groupBy(col("c_nationkey").cast("long").as("nationkey"),
+            col("c_mktsegment").as("mktsegment"))
+          .agg(count(lit(1)).as("class_size")))
+        val tot = cells.agg(sum(col("class_size")).as("n_customers"),
+          sum(when(col("class_size") < 8, col("class_size")).otherwise(0L))
+            .as("n_exposed"))
+        cells.where(col("class_size") < 8)
+          .crossJoin(broadcast(tot))
+          .select(col("nationkey"), col("mktsegment"), col("class_size"),
+            col("n_customers"),
+            expr("(n_exposed * 1000000) div n_customers").as("exposed_ppm"))
+          .orderBy(col("nationkey"), col("mktsegment"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment AS mktsegment,
+             |    COUNT(*) AS class_size
+             |  FROM customer GROUP BY 1, 2),
+             |t AS (
+             |  SELECT CAST(SUM(class_size) AS BIGINT) AS n_customers,
+             |    CAST(SUM(CASE WHEN class_size < 8 THEN class_size ELSE 0 END) AS BIGINT)
+             |      AS n_exposed
+             |  FROM cells)
+             |SELECT nationkey, mktsegment, class_size, t.n_customers,
+             |  CAST((t.n_exposed * 1000000) // t.n_customers AS BIGINT) AS exposed_ppm
+             |FROM cells CROSS JOIN t
+             |WHERE class_size < 8
+             |ORDER BY nationkey, mktsegment""".stripMargin),
+    ),
+
+    // Largest-gap 1-D segmentation (Jenks-style breaks without the
+    // quadratic DP): the k−1 biggest gaps in the sorted distinct value
+    // axis cut it into k natural clusters — here the account-balance
+    // axis into 4 segments, reported as (segment, span, members). Ties
+    // on gap size break on position; everything integer (balances scaled
+    // to cents).
+    QueryDef(
+      "q225_jenks_segments",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val v = tbl(s, dir, "customer")
+          .select(round(col("c_acctbal") * 100).cast("long").as("cents"))
+          .distinct()
+        val w = Window.orderBy(col("cents"))
+        val gaps = v
+          .withColumn("prev", lag(col("cents"), 1).over(w))
+          .where(col("prev").isNotNull)
+          .select(col("cents").as("break_at"),
+            (col("cents") - col("prev")).as("gap"))
+        val breaks = gaps.orderBy(col("gap").desc, col("break_at")).limit(3)
+          .select(col("break_at"))
+        val seg = tbl(s, dir, "customer")
+          .select(round(col("c_acctbal") * 100).cast("long").as("cents"))
+          .crossJoin(broadcast(breaks.agg(
+            sort_array(collect_list(col("break_at"))).as("bks"))))
+          .select(col("cents"), expr(
+            "aggregate(bks, 0L, (acc, b) -> acc + if(cents >= b, 1L, 0L))")
+            .as("segment"))
+        seg.groupBy(col("segment"))
+          .agg(count(lit(1)).as("members"), min(col("cents")).as("lo_cents"),
+            max(col("cents")).as("hi_cents"))
+          .orderBy(col("segment"))
+      },
+      Some("""WITH v AS (
+             |  SELECT DISTINCT CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+             |  FROM customer),
+             |g AS (
+             |  SELECT cents AS break_at,
+             |    cents - LAG(cents) OVER (ORDER BY cents) AS gap
+             |  FROM v),
+             |bks AS (
+             |  SELECT break_at FROM g WHERE gap IS NOT NULL
+             |  ORDER BY gap DESC, break_at LIMIT 3),
+             |seg AS (
+             |  SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+             |    (SELECT COUNT(*) FROM bks
+             |     WHERE CAST(round(c_acctbal * 100) AS BIGINT) >= bks.break_at) AS segment
+             |  FROM customer)
+             |SELECT CAST(segment AS BIGINT) AS segment, COUNT(*) AS members,
+             |  MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+             |FROM seg GROUP BY segment ORDER BY segment""".stripMargin),
+    ),
+
+    // Conversion-window sensitivity sweep: q131's signup→purchase funnel
+    // at 1 h / 1 d / 7 d attribution windows in ONE query — how much
+    // "conversion" is an artifact of the window choice (the q97
+    // threshold-sweep discipline applied to funnels). Three conditional
+    // aggregates over one as-of-style pairing; no per-window rescan.
+    QueryDef(
+      "q226_window_sweep",
+      (s, dir) => {
+        val ev = PinnedCache.pin(tbl(s, dir, "events"))
+        val s0 = ev.where(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+        val first = s0
+          .join(ev.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("pts")), Seq("user_id"), "left_outer")
+          .groupBy(col("user_id"))
+          .agg(min(col("s_ts")).as("s_ts"),
+            min(when(col("pts") >= col("s_ts"), col("pts"))).as("first_p"))
+          .withColumn("ttc", col("first_p") - col("s_ts"))
+        first.agg(count(lit(1)).as("n_signups"),
+            sum(when(col("ttc") <= 3600000000000L, 1L).otherwise(0L)).as("conv_1h"),
+            sum(when(col("ttc") <= 86400000000000L, 1L).otherwise(0L)).as("conv_1d"),
+            sum(when(col("ttc") <= 604800000000000L, 1L).otherwise(0L)).as("conv_7d"))
+          .select(col("n_signups"), col("conv_1h"), col("conv_1d"), col("conv_7d"),
+            expr("(conv_1h * 1000000) div n_signups").as("ppm_1h"),
+            expr("(conv_1d * 1000000) div n_signups").as("ppm_1d"),
+            expr("(conv_7d * 1000000) div n_signups").as("ppm_7d"))
+      },
+      Some("""WITH s0 AS (
+             |  SELECT user_id, MIN(epoch_ns(ts)) AS s_ts FROM events
+             |  WHERE event_type = 'signup' GROUP BY user_id),
+             |f AS (
+             |  SELECT s0.user_id,
+             |    MIN(CASE WHEN epoch_ns(e.ts) >= s0.s_ts THEN epoch_ns(e.ts) END)
+             |      - MIN(s0.s_ts) AS ttc
+             |  FROM s0 LEFT JOIN events e
+             |    ON e.user_id = s0.user_id AND e.event_type = 'purchase'
+             |  GROUP BY s0.user_id)
+             |SELECT COUNT(*) AS n_signups,
+             |  CAST(SUM(CASE WHEN ttc <= 3600000000000 THEN 1 ELSE 0 END) AS BIGINT) AS conv_1h,
+             |  CAST(SUM(CASE WHEN ttc <= 86400000000000 THEN 1 ELSE 0 END) AS BIGINT) AS conv_1d,
+             |  CAST(SUM(CASE WHEN ttc <= 604800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS conv_7d,
+             |  CAST((SUM(CASE WHEN ttc <= 3600000000000 THEN 1 ELSE 0 END) * 1000000)
+             |    // COUNT(*) AS BIGINT) AS ppm_1h,
+             |  CAST((SUM(CASE WHEN ttc <= 86400000000000 THEN 1 ELSE 0 END) * 1000000)
+             |    // COUNT(*) AS BIGINT) AS ppm_1d,
+             |  CAST((SUM(CASE WHEN ttc <= 604800000000000 THEN 1 ELSE 0 END) * 1000000)
+             |    // COUNT(*) AS BIGINT) AS ppm_7d
+             |FROM f""".stripMargin),
+    ),
   )
 }
