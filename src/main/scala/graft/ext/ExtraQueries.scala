@@ -1982,5 +1982,90 @@ object ExtraQueries {
              |    // COUNT(*) AS BIGINT) AS ppm_7d
              |FROM f""".stripMargin),
     ),
+
+    // Corpus snapshot diff (release provenance): two deterministic
+    // hash-derived views of the corpus — v1 drops hash%10==0 docs, v2
+    // drops hash%13==0 and mutates hash%7==0 texts — diffed by doc_id
+    // with md5 content comparison into the added/removed/changed/
+    // unchanged report per source. The "what changed between dataset
+    // v1.1 and v1.2" table every release pipeline publishes; one
+    // full-outer join on ids, content equality by digest.
+    QueryDef(
+      "q227_snapshot_diff",
+      (s, dir) => {
+        val d = PinnedCache.pin(tbl(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"),
+            Sampling.portableHash(col("doc_id")).as("h")))
+        val v1 = d.where(pmod(col("h"), lit(10)) =!= 0)
+          .select(col("doc_id"), col("source"), md5(col("text")).as("d1"))
+        val v2 = d.where(pmod(col("h"), lit(13)) =!= 0)
+          .select(col("doc_id"), col("source").as("source2"),
+            md5(when(pmod(col("h"), lit(7)) === 0,
+              concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+              .as("d2"))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .select(coalesce(col("source"), col("source2")).as("source"),
+            when(col("d1").isNull, "added")
+              .when(col("d2").isNull, "removed")
+              .when(col("d1") =!= col("d2"), "changed")
+              .otherwise("unchanged").as("status"))
+          .groupBy(col("source"), col("status"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("source"), col("status"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, text,
+             |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+             |  FROM documents),
+             |v1 AS (SELECT doc_id, source, md5(text) AS d1 FROM d WHERE h % 10 <> 0),
+             |v2 AS (SELECT doc_id, source AS source2,
+             |         md5(CASE WHEN h % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS d2
+             |       FROM d WHERE h % 13 <> 0)
+             |SELECT COALESCE(v1.source, v2.source2) AS source,
+             |  CASE WHEN v1.d1 IS NULL THEN 'added'
+             |       WHEN v2.d2 IS NULL THEN 'removed'
+             |       WHEN v1.d1 <> v2.d2 THEN 'changed'
+             |       ELSE 'unchanged' END AS status,
+             |  COUNT(*) AS n_docs
+             |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+             |GROUP BY 1, 2 ORDER BY source, status""".stripMargin),
+    ),
+
+    // Revenue concentration (HHI): per-nation revenue shares squared and
+    // summed — the market-concentration scalar in exact-integer ppm-of-
+    // ppm form (shares floored to ppm first, so the statistic is a pure
+    // function of the integer shares both engines hold; the floor is the
+    // documented convention, not noise). One star join + two rollups.
+    QueryDef(
+      "q228_revenue_hhi",
+      (s, dir) => {
+        val rev = tbl(s, dir, "orders")
+          .join(tbl(s, dir, "customer")
+            .select(col("c_custkey").as("o_custkey"),
+              col("c_nationkey").cast("long").as("nationkey")), Seq("o_custkey"))
+          .groupBy(col("nationkey"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+        rev.crossJoin(broadcast(rev.agg(sum(col("rev_c")).as("tot"))))
+          .select(col("nationkey"),
+            expr("(rev_c * 1000000) div tot").as("share_ppm"))
+          .agg(count(lit(1)).as("n_nations"),
+            sum(expr("share_ppm * share_ppm")).as("hhi_ppm2"),
+            max(col("share_ppm")).as("top_share_ppm"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+             |    CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+             |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+             |  GROUP BY 1),
+             |sh AS (
+             |  SELECT nationkey,
+             |    CAST((rev_c * 1000000) // (SELECT SUM(rev_c) FROM rev) AS BIGINT)
+             |      AS share_ppm
+             |  FROM rev)
+             |SELECT COUNT(*) AS n_nations,
+             |  CAST(SUM(share_ppm * share_ppm) AS BIGINT) AS hhi_ppm2,
+             |  MAX(share_ppm) AS top_share_ppm
+             |FROM sh""".stripMargin),
+    ),
   )
 }
