@@ -2067,5 +2067,70 @@ object ExtraQueries {
              |  MAX(share_ppm) AS top_share_ppm
              |FROM sh""".stripMargin),
     ),
+
+    // Does duplication correlate with quality? Docs stratified by
+    // NEAR-dup status (unique = in no q26 pair; survivor = its cluster's
+    // min id; duplicate = other members), each stratum profiled with
+    // integer quality proxies: mean tokens (ppm) and mean type-token
+    // ratio (per-doc ppm floored, then the stratum mean of those ints —
+    // deterministic end to end). The curation question behind every
+    // dedup decision: is what we're deleting worse, better, or the same?
+    QueryDef(
+      "q229_dup_quality",
+      (s, dir) => {
+        val d = PinnedCache.pin(tbl(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"),
+            size(array_distinct(split(col("text"), " "))).cast("long")
+              .as("n_types")))
+        val cc = Dedup.connectedComponents(
+          Dedup.jaccardPairs(d, "text", "doc_id", 0.5))
+        d.join(cc.select(col("id").as("doc_id"), col("root")),
+            Seq("doc_id"), "left_outer")
+          .select(
+            when(col("root").isNull, "unique")
+              .when(col("doc_id") === col("root"), "survivor")
+              .otherwise("duplicate").as("status"),
+            col("n_tok"),
+            expr("(n_types * 1000000) div n_tok").as("ttr_ppm"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_docs"),
+            expr("(sum(n_tok) * 1000000) div count(1)").as("mean_tokens_ppm"),
+            expr("sum(ttr_ppm) div count(1)").as("mean_ttr_ppm"))
+          .orderBy(col("status"))
+      },
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT doc_id, text,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+             |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_types
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
+             |  WHERE len(tokens) >= 3),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+             |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+             |          UNION SELECT b_id, a_id FROM pairs),
+             |r(id, m) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.m),
+             |labels AS (SELECT id, MIN(m) AS root FROM r GROUP BY id),
+             |st AS (
+             |  SELECT CASE WHEN l.root IS NULL THEN 'unique'
+             |              WHEN d.doc_id = l.root THEN 'survivor'
+             |              ELSE 'duplicate' END AS status,
+             |    d.n_tok, (d.n_types * 1000000) // d.n_tok AS ttr_ppm
+             |  FROM d LEFT JOIN labels l ON l.id = d.doc_id)
+             |SELECT status, COUNT(*) AS n_docs,
+             |  CAST((SUM(n_tok) * 1000000) // COUNT(*) AS BIGINT) AS mean_tokens_ppm,
+             |  CAST(SUM(ttr_ppm) // COUNT(*) AS BIGINT) AS mean_ttr_ppm
+             |FROM st GROUP BY status ORDER BY status""".stripMargin),
+    ),
   )
 }
