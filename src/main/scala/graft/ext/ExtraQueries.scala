@@ -2132,5 +2132,42 @@ object ExtraQueries {
              |  CAST(SUM(ttr_ppm) // COUNT(*) AS BIGINT) AS mean_ttr_ppm
              |FROM st GROUP BY status ORDER BY status""".stripMargin),
     ),
+
+    // Language confusion matrix: declared `lang` column × q31's detected
+    // language, with per-cell counts and the per-declared-language
+    // agreement share — the metadata-trust audit (mislabeled language is
+    // a leading cause of filter misfires in multilingual corpora). One
+    // map-only detection pass + a cells rollup with a broadcast margin.
+    QueryDef(
+      "q230_lang_confusion",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+          .select(col("lang"),
+            TextAnalysis.langPred(TextAnalysis.stopwordRatio(col("text")))
+              .as("detected"))
+        val cells = PinnedCache.pin(d.groupBy(col("lang"), col("detected"))
+          .agg(count(lit(1)).as("n")))
+        val margins = cells.groupBy(col("lang")).agg(sum(col("n")).as("row_n"))
+        cells.join(broadcast(margins), Seq("lang"))
+          .select(col("lang"), col("detected"), col("n"),
+            expr("(n * 1000000) div row_n").as("cell_ppm"))
+          .orderBy(col("lang"), col("detected"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT lang,
+              |    CASE WHEN score >= 0.05 THEN 'en' WHEN score > 0 THEN 'mixed'
+              |         ELSE 'other' END AS detected
+              |  FROM (SELECT lang,
+              |          CAST(len(list_filter(string_split(text,' '),
+              |               w -> w IN (${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+              |          / len(string_split(text,' ')) AS score
+              |        FROM documents)),
+              |cells AS (SELECT lang, detected, COUNT(*) AS n FROM d GROUP BY 1, 2),
+              |m AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS row_n FROM cells GROUP BY 1)
+              |SELECT cells.lang, detected, CAST(n AS BIGINT) AS n,
+              |  CAST((n * 1000000) // row_n AS BIGINT) AS cell_ppm
+              |FROM cells JOIN m ON m.lang = cells.lang
+              |ORDER BY cells.lang, detected""".stripMargin),
+    ),
   )
 }
