@@ -2169,5 +2169,134 @@ object ExtraQueries {
               |FROM cells JOIN m ON m.lang = cells.lang
               |ORDER BY cells.lang, detected""".stripMargin),
     ),
+
+    // Near-dup SPLIT LEAKAGE: clusters whose members land in different
+    // hash splits — a near-duplicate of a training doc sitting in test
+    // is contamination the doc-id-hash splitter cannot see (the known
+    // pitfall dedup-aware splitting exists to fix; q168 checks n-gram
+    // overlap, this checks the cluster structure itself). Per leaky
+    // cluster: size, splits touched, members outside the majority split.
+    QueryDef(
+      "q231_leaky_clusters",
+      (s, dir) => {
+        val cc = Dedup.connectedComponents(
+          Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5))
+        val bySplit = cc
+          .select(col("root"), col("id"),
+            Sampling.splitColumn(col("id"), 80, 10).as("split"))
+          .groupBy(col("root"), col("split")).agg(count(lit(1)).as("n"))
+        bySplit.groupBy(col("root"))
+          .agg(sum(col("n")).as("size"), count(lit(1)).as("n_splits"),
+            max(col("n")).as("majority_n"))
+          .where(col("n_splits") > 1)
+          .select(col("root").as("root_id"), col("size"), col("n_splits"),
+            (col("size") - col("majority_n")).as("n_leaked"))
+          .orderBy(col("root_id"))
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
+             |  WHERE len(tokens) >= 3),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+             |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+             |          UNION SELECT b_id, a_id FROM pairs),
+             |r(id, m) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.m),
+             |labels AS (SELECT id, MIN(m) AS root FROM r GROUP BY id),
+             |bs AS (
+             |  SELECT root,
+             |    CASE WHEN CAST(('0x' || substring(md5(CAST(id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 80
+             |           THEN 'train'
+             |         WHEN CAST(('0x' || substring(md5(CAST(id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 90
+             |           THEN 'val'
+             |         ELSE 'test' END AS split,
+             |    COUNT(*) AS n
+             |  FROM labels GROUP BY 1, 2)
+             |SELECT root AS root_id, CAST(SUM(n) AS BIGINT) AS size,
+             |  CAST(COUNT(*) AS BIGINT) AS n_splits,
+             |  CAST(SUM(n) - MAX(n) AS BIGINT) AS n_leaked
+             |FROM bs GROUP BY root HAVING COUNT(*) > 1
+             |ORDER BY root_id""".stripMargin),
+    ),
+
+    // Orthography profile per source: share of uppercase-initial,
+    // all-caps, numeric, and punctuation-bearing tokens — the cheap
+    // style fingerprint separating prose from listings/code/shouting.
+    // Map-only regex counts, integer ppm.
+    QueryDef(
+      "q232_orthography",
+      (s, dir) => tbl(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("w").rlike("^[A-Z]"), 1L).otherwise(0L)).as("n_cap"),
+          sum(when(col("w").rlike("^[A-Z0-9]+$"), 1L).otherwise(0L)).as("n_allcaps"),
+          sum(when(col("w").rlike("^[0-9]+$"), 1L).otherwise(0L)).as("n_numeric"),
+          sum(when(col("w").rlike("[^A-Za-z0-9]"), 1L).otherwise(0L)).as("n_punct"))
+        .select(col("source"), col("n_tokens"),
+          expr("(n_cap * 1000000) div n_tokens").as("cap_ppm"),
+          expr("(n_allcaps * 1000000) div n_tokens").as("allcaps_ppm"),
+          expr("(n_numeric * 1000000) div n_tokens").as("numeric_ppm"),
+          expr("(n_punct * 1000000) div n_tokens").as("punct_ppm"))
+        .orderBy(col("source")),
+      Some("""WITH t AS (
+             |  SELECT source, unnest(string_split(text,' ')) AS w FROM documents),
+             |a AS (
+             |  SELECT source, COUNT(*) AS n_tokens,
+             |    CAST(SUM(CASE WHEN regexp_matches(w, '^[A-Z]') THEN 1 ELSE 0 END) AS BIGINT) AS n_cap,
+             |    CAST(SUM(CASE WHEN regexp_matches(w, '^[A-Z0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_allcaps,
+             |    CAST(SUM(CASE WHEN regexp_matches(w, '^[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
+             |    CAST(SUM(CASE WHEN regexp_matches(w, '[^A-Za-z0-9]') THEN 1 ELSE 0 END) AS BIGINT) AS n_punct
+             |  FROM t GROUP BY source)
+             |SELECT source, n_tokens,
+             |  CAST((n_cap * 1000000) // n_tokens AS BIGINT) AS cap_ppm,
+             |  CAST((n_allcaps * 1000000) // n_tokens AS BIGINT) AS allcaps_ppm,
+             |  CAST((n_numeric * 1000000) // n_tokens AS BIGINT) AS numeric_ppm,
+             |  CAST((n_punct * 1000000) // n_tokens AS BIGINT) AS punct_ppm
+             |FROM a ORDER BY source""".stripMargin),
+    ),
+
+    // Embedding hygiene: zero/degenerate vectors and the quarter-bit
+    // spectrum of vector norms on the q58 integer grid (norm² quantized
+    // to round(x·2^20) before binning, so the histogram is a pure
+    // function of the grid ints — no cross-engine float-binning edge).
+    // The pre-index sanity check every vector store needs.
+    QueryDef(
+      "q233_embedding_hygiene",
+      (s, dir) => {
+        val n2 = expr(
+          "aggregate(embedding, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")
+        tbl(s, dir, "embeddings")
+          .select(round(n2 * 1048576.0).cast("long").as("q"))
+          .select(when(col("q") === 0, lit(-1L))
+            .otherwise(TextAnalysis.quarterLog2(col("q"))).as("bin"))
+          .groupBy(col("bin")).agg(count(lit(1)).as("n_vectors"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH q AS (
+             |  SELECT CAST(round(list_sum([CAST(x AS DOUBLE)*x FOR x IN embedding])
+             |    * 1048576.0) AS BIGINT) AS q
+             |  FROM embeddings),
+             |b AS (
+             |  SELECT CASE WHEN q = 0 THEN -1
+             |    ELSE CAST(CASE WHEN length(bin(q)) - 1 <= 14
+             |      THEN length(bin(q*q*q*q)) - 1
+             |      ELSE 4 * (length(bin(q)) - 15) +
+             |           length(bin((q >> (length(bin(q)) - 15))
+             |                     *(q >> (length(bin(q)) - 15))
+             |                     *(q >> (length(bin(q)) - 15))
+             |                     *(q >> (length(bin(q)) - 15)))) - 1 END AS BIGINT)
+             |    END AS bin
+             |  FROM q)
+             |SELECT bin, COUNT(*) AS n_vectors FROM b
+             |GROUP BY bin ORDER BY bin""".stripMargin),
+    ),
   )
 }
