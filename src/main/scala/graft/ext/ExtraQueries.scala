@@ -2298,5 +2298,139 @@ object ExtraQueries {
              |SELECT bin, COUNT(*) AS n_vectors FROM b
              |GROUP BY bin ORDER BY bin""".stripMargin),
     ),
+
+    // Dedup-aware split REPAIR: q231's audit as an ACTION (the q180
+    // closed-loop pattern) — every leaky cluster's members move to the
+    // cluster's majority split (ties to the alphabetically first split),
+    // reported as the (from, to) migration rollup. After this repair no
+    // near-dup pair crosses a split boundary, by construction.
+    QueryDef(
+      "q234_split_repair_dedup",
+      (s, dir) => {
+        val cc = PinnedCache.pin(Dedup.connectedComponents(
+          Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)))
+        val withSplit = PinnedCache.pin(cc.select(col("root"), col("id"),
+          Sampling.splitColumn(col("id"), 80, 10).as("split")))
+        val majority = withSplit.groupBy(col("root"), col("split"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("root"))
+          .agg(min(struct((-col("n")).as("nn"), col("split").as("split")))("split")
+            .as("to_split"))
+        withSplit.join(majority, "root")
+          .where(col("split") =!= col("to_split"))
+          .groupBy(col("split").as("from_split"), col("to_split"))
+          .agg(count(lit(1)).as("n_moved"))
+          .orderBy(col("from_split"), col("to_split"))
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
+             |  WHERE len(tokens) >= 3),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+             |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+             |          UNION SELECT b_id, a_id FROM pairs),
+             |r(id, m) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.m),
+             |labels AS MATERIALIZED (SELECT id, MIN(m) AS root FROM r GROUP BY id),
+             |ws AS MATERIALIZED (
+             |  SELECT root, id,
+             |    CASE WHEN CAST(('0x' || substring(md5(CAST(id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 80
+             |           THEN 'train'
+             |         WHEN CAST(('0x' || substring(md5(CAST(id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 90
+             |           THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM labels),
+             |mj AS (
+             |  SELECT root, split AS to_split FROM (
+             |    SELECT root, split,
+             |      ROW_NUMBER() OVER (PARTITION BY root
+             |        ORDER BY COUNT(*) DESC, split) AS rk
+             |    FROM ws GROUP BY root, split)
+             |  WHERE rk = 1)
+             |SELECT ws.split AS from_split, mj.to_split, COUNT(*) AS n_moved
+             |FROM ws JOIN mj USING (root)
+             |WHERE ws.split <> mj.to_split
+             |GROUP BY 1, 2 ORDER BY from_split, to_split""".stripMargin),
+    ),
+
+    // Greedy crawl knapsack: hosts ranked by authority-per-token
+    // (q172's integer PageRank over q171's link graph ÷ the host's token
+    // mass), taken in ratio order until half the corpus token budget is
+    // spent — the "what to crawl first under a budget" plan as one
+    // cumulative-sum window over the host rollup. All integer (ratio in
+    // ppm, floor).
+    QueryDef(
+      "q235_crawl_knapsack",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = tbl(s, dir, "documents")
+        val hostTok = d.select(
+            Web.hostOf(Web.fixtureUrl(col("doc_id"), col("source"), col("lang")))
+              .as("host"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .groupBy(col("host")).agg(sum(col("n_tok")).as("tokens"))
+        val rank = {
+          val links = Web.extractLinks(
+            Web.syntheticHtmlLinks(d, "doc_id", "text"), "doc_id", "html")
+          val srcH = d.select(col("doc_id"),
+            Web.hostOf(Web.fixtureUrl(col("doc_id"), col("source"), col("lang")))
+              .as("src"))
+          val e = links.join(srcH, "doc_id")
+            .select(col("src"), Web.hostOf(col("url")).as("dst")).distinct()
+          val sym = e.unionByName(
+            e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+          Graphs.integerPageRank(sym, iters = 4)
+            .withColumnRenamed("node", "host").withColumnRenamed("r", "rank")
+        }
+        val scored = hostTok.join(rank, "host")
+          .select(col("host"), col("tokens"), col("rank"),
+            expr("(rank * 1000000) div tokens").as("ratio_ppm"))
+        val w = Window.orderBy(col("ratio_ppm").desc, col("host"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        scored
+          .withColumn("cum_tokens", sum(col("tokens")).over(w))
+          .crossJoin(broadcast(hostTok.agg(
+            expr("sum(tokens) div 2").as("budget"))))
+          .where(col("cum_tokens") <= col("budget"))
+          .select(col("host"), col("tokens"), col("rank"), col("ratio_ppm"),
+            col("cum_tokens"))
+          .orderBy(col("ratio_ppm").desc, col("host"))
+      },
+      Some(hostGraphSql +
+        s""",
+           |ht AS (
+           |  SELECT c.host, CAST(SUM(len(string_split(d.text,' '))) AS BIGINT) AS tokens
+           |  FROM documents d JOIN c ON c.doc_id = d.doc_id
+           |  GROUP BY c.host),
+           |cst AS (SELECT (15 * (1000000000000 // COUNT(*))) // 100 AS base,
+           |          1000000000000 // COUNT(*) AS r0 FROM deg),
+           |r0 AS (SELECT src AS node, (SELECT r0 FROM cst) AS r FROM deg),
+           |${(1 to 4).map(i =>
+              s"""r$i AS MATERIALIZED (
+                 |  SELECT sym.dst AS node,
+                 |    (SELECT base FROM cst) + (85 * SUM(r${i - 1}.r // deg.deg)) // 100 AS r
+                 |  FROM r${i - 1} JOIN sym ON r${i - 1}.node = sym.src
+                 |  JOIN deg ON sym.src = deg.src
+                 |  GROUP BY sym.dst)""".stripMargin).mkString(",\n")},
+           |sc AS (
+           |  SELECT ht.host, ht.tokens, CAST(r4.r AS BIGINT) AS rank,
+           |    CAST((r4.r * 1000000) // ht.tokens AS BIGINT) AS ratio_ppm
+           |  FROM ht JOIN r4 ON r4.node = ht.host),
+           |cum AS (
+           |  SELECT *, CAST(SUM(tokens) OVER (ORDER BY ratio_ppm DESC, host
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           |  FROM sc)
+           |SELECT host, tokens, rank, ratio_ppm, cum_tokens
+           |FROM cum
+           |WHERE cum_tokens <= (SELECT CAST(SUM(tokens) // 2 AS BIGINT) FROM ht)
+           |ORDER BY ratio_ppm DESC, host""".stripMargin),
+    ),
   )
 }
