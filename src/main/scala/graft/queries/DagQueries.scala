@@ -228,6 +228,53 @@ object DagQueries {
     state.getValue.orderBy(col("user_id"), col("valid_from"))
   }
 
+  /** Incremental dataset card (q214's shape minus the dup column, which
+    * this corpus makes degenerate) maintained through dag cycles: per
+    * cycle the state node merges the slice's (source, lang) counters and
+    * (source) token/char sums — pure decomposable aggregates, so the
+    * held state is rollup-sized regardless of corpus size and the final
+    * derivation (distinct langs, majority lang, ppm means) runs over
+    * counters only. Must be bit-identical to the one-shot card. */
+  private def dagCard(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val dag = new Dag
+    val source = dag.sourceStream(SparkBatch(s.emptyDataFrame, 0), name = "docs")
+    var counters: DataFrame = null // (source, lang, n_docs, n_tokens, n_chars)
+    val state = dag.state(source) { b: SparkBatch =>
+      val slice = b.df.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+      counters = (if (counters == null) slice
+        else counters.unionByName(slice)
+          .groupBy(col("source"), col("lang"))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"), sum(col("n_chars")).as("n_chars")))
+        .localCheckpoint(eager = true)
+      counters
+    }
+    dag.sink("card", state)
+    val bounds = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (hi - lo) / 4 + 1)
+    for (k <- 0 until 4) {
+      source.setStream(SparkBatch(
+        docs.where(col("doc_id") >= lo + k * width &&
+          col("doc_id") < lo + (k + 1) * width), 1))
+      dag.execute()
+    }
+    val c = state.getValue
+    val base = c.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"), count(lit(1)).as("n_langs"),
+        min(struct((-col("n_docs")).as("nd"), col("lang").as("lang"))).as("t"))
+    base.select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs"), col("t.lang").as("top_lang"),
+        expr("((-t.nd) * 1000000) div n_docs").as("top_lang_ppm"),
+        expr("(n_tokens * 1000000) div n_docs").as("mean_tokens_ppm"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "q35_dag_wordcount",
@@ -242,6 +289,33 @@ object DagQueries {
       Some("""SELECT user_id, event_id AS last_event_id, event_type, value FROM (
              |SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
              |FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin),
+    ),
+    QueryDef(
+      "q236_dag_card",
+      dagCard,
+      // one-shot derivation over the raw table: the 4-cycle incremental
+      // counter merge must be indistinguishable from it
+      Some("""WITH c AS (
+             |  SELECT source, lang, COUNT(*) AS n_docs,
+             |    CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
+             |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+             |  FROM documents GROUP BY 1, 2),
+             |lt AS (
+             |  SELECT source, lang AS top_lang, n_docs AS top_docs FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY n_docs DESC, lang) AS rk FROM c)
+             |  WHERE rk = 1),
+             |b AS (
+             |  SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             |    CAST(COUNT(*) AS BIGINT) AS n_langs
+             |  FROM c GROUP BY source)
+             |SELECT b.source, b.n_docs, b.n_tokens, b.n_chars, b.n_langs,
+             |  lt.top_lang,
+             |  CAST((lt.top_docs * 1000000) // b.n_docs AS BIGINT) AS top_lang_ppm,
+             |  CAST((b.n_tokens * 1000000) // b.n_docs AS BIGINT) AS mean_tokens_ppm
+             |FROM b JOIN lt USING (source) ORDER BY b.source""".stripMargin),
     ),
     QueryDef(
       "q160_dag_scd",
