@@ -2432,5 +2432,115 @@ object ExtraQueries {
            |WHERE cum_tokens <= (SELECT CAST(SUM(tokens) // 2 AS BIGINT) FROM ht)
            |ORDER BY ratio_ppm DESC, host""".stripMargin),
     ),
+
+    // Per-source self-redundancy: how much of each source is near-dup of
+    // ITSELF (both pair members in the source) vs cross-source overlap
+    // (q141's matrix diagonal, as a per-source curation signal) — the
+    // "is this crawl scraping the same template repeatedly" report.
+    QueryDef(
+      "q237_source_redundancy",
+      (s, dir) => {
+        val d = PinnedCache.pin(tbl(s, dir, "documents"))
+        val pairs = PinnedCache.pin(
+          Dedup.jaccardPairs(d, "text", "doc_id", 0.5))
+        val src = d.select(col("doc_id"), col("source"))
+        val tagged = pairs
+          .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+          .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
+        val intra = tagged.where(col("sa") === col("sb"))
+          .groupBy(col("sa").as("source"))
+          .agg(count(lit(1)).as("n_intra_pairs"))
+        val involved = tagged.where(col("sa") === col("sb"))
+          .select(col("sa").as("source"), explode(array(col("a_id"), col("b_id")))
+            .as("doc_id")).distinct()
+          .groupBy(col("source")).agg(count(lit(1)).as("docs_in_pairs"))
+        d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .join(intra, Seq("source"), "left_outer")
+          .join(involved, Seq("source"), "left_outer")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_intra_pairs"), lit(0L)).as("n_intra_pairs"),
+            coalesce(col("docs_in_pairs"), lit(0L)).as("docs_in_pairs"),
+            expr("(coalesce(docs_in_pairs, 0L) * 1000000) div n_docs")
+              .as("redundancy_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
+             |  WHERE len(tokens) >= 3),
+             |pairs AS MATERIALIZED (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+             |tg AS MATERIALIZED (
+             |  SELECT p.a_id, p.b_id, da.source AS sa, db.source AS sb
+             |  FROM pairs p
+             |  JOIN documents da ON da.doc_id = p.a_id
+             |  JOIN documents db ON db.doc_id = p.b_id),
+             |ip AS (SELECT sa AS source, COUNT(*) AS n_intra_pairs
+             |       FROM tg WHERE sa = sb GROUP BY 1),
+             |iv AS (
+             |  SELECT source, COUNT(*) AS docs_in_pairs FROM (
+             |    SELECT DISTINCT sa AS source, u.d AS doc_id
+             |    FROM tg, unnest([a_id, b_id]) u(d) WHERE sa = sb)
+             |  GROUP BY source),
+             |n AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+             |SELECT n.source, n.n_docs,
+             |  COALESCE(ip.n_intra_pairs, 0) AS n_intra_pairs,
+             |  COALESCE(iv.docs_in_pairs, 0) AS docs_in_pairs,
+             |  CAST((COALESCE(iv.docs_in_pairs, 0) * 1000000) // n.n_docs AS BIGINT)
+             |    AS redundancy_ppm
+             |FROM n
+             |LEFT JOIN ip ON ip.source = n.source
+             |LEFT JOIN iv ON iv.source = n.source
+             |ORDER BY n.source""".stripMargin),
+    ),
+
+    // Takedown-impact what-if: if the three token-heaviest hosts vanish
+    // (legal takedown, robots change, dead site), how much of each
+    // source's token mass goes with them? Broadcast top-k host set
+    // against the per-(source, host) rollup — the resilience report a
+    // crawl-dependent corpus needs before it happens.
+    QueryDef(
+      "q238_takedown_impact",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+        val byHost = PinnedCache.pin(d.select(col("source"),
+            Web.hostOf(Web.fixtureUrl(col("doc_id"), col("source"), col("lang")))
+              .as("host"),
+            size(split(col("text"), " ")).cast("long").as("n_tok")))
+        val top = byHost.groupBy(col("host")).agg(sum(col("n_tok")).as("ht"))
+          .orderBy(col("ht").desc, col("host")).limit(3)
+          .select(col("host"), lit(1).as("hit"))
+        byHost.join(broadcast(top), Seq("host"), "left_outer")
+          .groupBy(col("source"))
+          .agg(sum(col("n_tok")).as("tokens"),
+            sum(when(col("hit").isNotNull, col("n_tok")).otherwise(0L))
+              .as("tokens_lost"))
+          .select(col("source"), col("tokens"), col("tokens_lost"),
+            expr("(tokens_lost * 1000000) div tokens").as("lost_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("WITH u AS (SELECT doc_id, " + Web.fixtureUrlSql +
+        " AS url FROM documents),\n" + Web.canonicalizeSql + ",\n" +
+        """bh AS MATERIALIZED (
+          |  SELECT d.source, c.host,
+          |    CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tok
+          |  FROM documents d JOIN c ON c.doc_id = d.doc_id),
+          |top AS (
+          |  SELECT host FROM (
+          |    SELECT host, SUM(n_tok) AS ht FROM bh GROUP BY host
+          |    ORDER BY ht DESC, host LIMIT 3)),
+          |a AS (
+          |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tokens,
+          |    CAST(SUM(CASE WHEN host IN (SELECT host FROM top)
+          |                  THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_lost
+          |  FROM bh GROUP BY source)
+          |SELECT source, tokens, tokens_lost,
+          |  CAST((tokens_lost * 1000000) // tokens AS BIGINT) AS lost_ppm
+          |FROM a ORDER BY source""".stripMargin),
+    ),
   )
 }
