@@ -2542,5 +2542,103 @@ object ExtraQueries {
           |  CAST((tokens_lost * 1000000) // tokens AS BIGINT) AS lost_ppm
           |FROM a ORDER BY source""".stripMargin),
     ),
+
+    // Rate periodicity: raw autocorrelation of hourly counts at the
+    // daily (24 h) and weekly (168 h) lags, as exact integer
+    // cross-products over the occupied-cell self-join (zero hours
+    // contribute zero products, so the dense grid is never built) —
+    // ρ(lag) = Σ c_h·c_{h+lag} / Σ c_h², the two doubles at the end.
+    // High ρ(24) = diurnal schedule; ρ(168) ≫ ρ(24) = weekly batch jobs.
+    QueryDef(
+      "q239_periodicity",
+      (s, dir) => {
+        val occ = PinnedCache.pin(tbl(s, dir, "events")
+          .select(col("event_type"), expr("ts div 3600000000000").as("hr"))
+          .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("c")))
+        def lagSum(lag: Int) = occ.as("a")
+          .join(occ.select(col("event_type"),
+            (col("hr") - lag).as("hr"), col("c").as("c2")).as("b"),
+            Seq("event_type", "hr"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("c") * col("c2")).as(s"s$lag"))
+        occ.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_hours"), sum(col("c") * col("c")).as("s0"))
+          .join(lagSum(24), Seq("event_type"), "left_outer")
+          .join(lagSum(168), Seq("event_type"), "left_outer")
+          .select(col("event_type"), col("n_hours"), col("s0"),
+            coalesce(col("s24"), lit(0L)).as("s24"),
+            coalesce(col("s168"), lit(0L)).as("s168"))
+          .select(col("event_type"), col("n_hours"), col("s0"), col("s24"),
+            col("s168"),
+            (col("s24").cast("double") / col("s0").cast("double")).as("rho_24"),
+            (col("s168").cast("double") / col("s0").cast("double")).as("rho_168"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH occ AS MATERIALIZED (
+             |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |l24 AS (
+             |  SELECT a.event_type, CAST(SUM(a.c * b.c) AS BIGINT) AS s24
+             |  FROM occ a JOIN occ b
+             |    ON b.event_type = a.event_type AND b.hr = a.hr + 24
+             |  GROUP BY 1),
+             |l168 AS (
+             |  SELECT a.event_type, CAST(SUM(a.c * b.c) AS BIGINT) AS s168
+             |  FROM occ a JOIN occ b
+             |    ON b.event_type = a.event_type AND b.hr = a.hr + 168
+             |  GROUP BY 1),
+             |base AS (
+             |  SELECT event_type, COUNT(*) AS n_hours,
+             |    CAST(SUM(c * c) AS BIGINT) AS s0
+             |  FROM occ GROUP BY 1)
+             |SELECT base.event_type, base.n_hours, base.s0,
+             |  COALESCE(l24.s24, 0) AS s24, COALESCE(l168.s168, 0) AS s168,
+             |  CAST(COALESCE(l24.s24, 0) AS DOUBLE) / CAST(base.s0 AS DOUBLE) AS rho_24,
+             |  CAST(COALESCE(l168.s168, 0) AS DOUBLE) / CAST(base.s0 AS DOUBLE) AS rho_168
+             |FROM base
+             |LEFT JOIN l24 ON l24.event_type = base.event_type
+             |LEFT JOIN l168 ON l168.event_type = base.event_type
+             |ORDER BY base.event_type""".stripMargin),
+    ),
+
+    // Trending tokens: each token's hottest week vs its own all-time
+    // rate — spike_ppm = (max weekly count · n_weeks · 10⁶) div total
+    // (10⁶ = flat usage; ≫ 10⁶ = a spike week). Top 20 by (spike, count
+    // desc, token) among tokens seen ≥ 20 times, ties totally ordered.
+    // The event-props trend mirror of q150's corpus drift.
+    QueryDef(
+      "q240_trending_tokens",
+      (s, dir) => {
+        // documents carry no timestamp: the "week" is the doc_id stripe
+        // (stable, deterministic) — the operator shape is what matters
+        val toks = tbl(s, dir, "documents")
+          .select(expr("doc_id div 100").as("stripe"),
+            explode(split(col("text"), " ")).as("w"))
+        val cells = PinnedCache.pin(toks.groupBy(col("w"), col("stripe"))
+          .agg(count(lit(1)).as("c")))
+        val tot = cells.groupBy(col("w"))
+          .agg(sum(col("c")).as("total"), count(lit(1)).as("n_stripes_seen"),
+            max(col("c")).as("max_c"))
+        val nStripes = toks.select(col("stripe")).distinct().count()
+        tot.where(col("total") >= 20)
+          .select(col("w"), col("total"), col("max_c"),
+            expr(s"(max_c * ${nStripes}L * 1000000) div total").as("spike_ppm"))
+          .orderBy(col("spike_ppm").desc, col("total").desc, col("w"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id // 100 AS stripe, unnest(string_split(text,' ')) AS w
+             |  FROM documents),
+             |cells AS (SELECT w, stripe, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+             |ns AS (SELECT COUNT(DISTINCT stripe) AS n FROM toks),
+             |t AS (
+             |  SELECT w, CAST(SUM(c) AS BIGINT) AS total, MAX(c) AS max_c
+             |  FROM cells GROUP BY w)
+             |SELECT w, total, CAST(max_c AS BIGINT) AS max_c,
+             |  CAST((max_c * (SELECT n FROM ns) * 1000000) // total AS BIGINT)
+             |    AS spike_ppm
+             |FROM t WHERE total >= 20
+             |ORDER BY spike_ppm DESC, total DESC, w LIMIT 20""".stripMargin),
+    ),
   )
 }
