@@ -1207,6 +1207,56 @@ object TransformWithStateOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  final case class DocMeta(source: String, lang: String, n_tok: Long,
+      n_chars: Long)
+  final case class CardRow(source: String, n_docs: Long, n_tokens: Long,
+      n_chars: Long, n_langs: Long, top_lang: String, top_lang_ppm: Long,
+      mean_tokens_ppm: Long)
+
+  /** Streaming twin of the q236 dataset card: per-source counters (three
+    * longs) plus the (lang → doc count) map — language-cardinality-
+    * bounded state — re-derive the full card row every batch the source
+    * is touched. Majority lang ties break to the smallest lang (the
+    * batch struct-min convention). Update-mode upsert by source equals
+    * the batch card over any prefix. */
+  final class CardProcessor
+      extends StatefulProcessor[String, DocMeta, CardRow] {
+
+    @transient private var sums: ValueState[(Long, Long, Long)] = _
+    @transient private var langs: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sums = getHandle.getValueState[(Long, Long, Long)]("sums",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+      langs = getHandle.getMapState[String, Long]("langs",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[DocMeta],
+        timerValues: TimerValues): Iterator[CardRow] = {
+      var (nDocs, nTok, nCh) =
+        if (sums.exists()) sums.get() else (0L, 0L, 0L)
+      rows.foreach { d =>
+        nDocs += 1; nTok += d.n_tok; nCh += d.n_chars
+        val c = if (langs.containsKey(d.lang)) langs.getValue(d.lang) else 0L
+        langs.updateValue(d.lang, c + 1)
+      }
+      sums.update((nDocs, nTok, nCh))
+      val lm = langs.iterator().toArray
+      val (topLang, topN) = lm.minBy { case (l, c) => (-c, l) }
+      Iterator.single(CardRow(key, nDocs, nTok, nCh, lm.length.toLong,
+        topLang, (topN * 1000000L) / nDocs, (nTok * 1000000L) / nDocs))
+    }
+  }
+
+  def streamingCard(ds: Dataset[DocMeta]): Dataset[CardRow] = {
+    implicit val outEnc: Encoder[CardRow] = Encoders.product[CardRow]
+    ds.groupByKey(_.source)(Encoders.STRING)
+      .transformWithState(new CardProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class WeekHash(grp: String, wk: Long, h: Long)
   final case class SlidingHllRow(grp: String, wk: Long, v_zero: Long,
       s_sum: Long, raw_est: Double, est_distinct: Option[Double])

@@ -912,6 +912,42 @@ class TransformWithStateSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streamingCard: per-source card rows equal the batch q236 card across splits") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{CardRow, DocMeta}
+      val rows = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("source"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          col("n_chars"))
+        .as[(String, String, Long, Long)].collect().toSeq
+        .map(t => DocMeta(t._1, t._2, t._3, t._4))
+
+      val latest = scala.collection.mutable.Map[String, CardRow]()
+      val input = MemoryStream[DocMeta]
+      val query = TransformWithStateOps.streamingCard(input.toDS())
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[CardRow], _: Long) =>
+          df.collect().foreach(r => latest(r.source) = r); ()
+        }.start()
+      try {
+        scala.util.Random.shuffle(rows).grouped(rows.length / 5 + 1).foreach { b =>
+          input.addData(b: _*); query.processAllAvailable()
+        }
+      } finally query.stop()
+
+      val batch = graft.SparkEntry.queries("q236_dag_card")(
+          spark, "/root/testdata/sf0.001")
+        .collect().map(r => r.getString(0) ->
+          CardRow(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getString(5), r.getLong(6), r.getLong(7))).toMap
+      assert(batch.nonEmpty && latest.keySet == batch.keySet)
+      batch.foreach { case (k, want) => assert(latest(k) == want, s"source $k") }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streamingSlidingHll: upsert-by-(grp, wk) sketch equals batch slidingHllDistinct") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
