@@ -2640,5 +2640,96 @@ object ExtraQueries {
              |FROM t WHERE total >= 20
              |ORDER BY spike_ppm DESC, total DESC, w LIMIT 20""".stripMargin),
     ),
+
+    // Vocabulary turnover between consecutive corpus stripes: exact
+    // Jaccard of adjacent stripes' vocabularies (intersection via one
+    // token-keyed self-join of the distinct (stripe, token) rollup) —
+    // the corpus-evolution dial: low turnover = stable domain, cliffs =
+    // a source/topic boundary. All integer (sizes + ppm).
+    QueryDef(
+      "q241_vocab_turnover",
+      (s, dir) => {
+        val sv = PinnedCache.pin(tbl(s, dir, "documents")
+          .select(expr("doc_id div 100").as("stripe"),
+            explode(split(col("text"), " ")).as("w")).distinct())
+        val sizes = sv.groupBy(col("stripe")).agg(count(lit(1)).as("vocab"))
+        val inter = sv.as("a")
+          .join(sv.select((col("stripe") - 1).as("stripe"), col("w")).as("b"),
+            Seq("stripe", "w"))
+          .groupBy(col("stripe")).agg(count(lit(1)).as("inter"))
+        sizes.as("s1")
+          .join(sizes.select((col("stripe") - 1).as("stripe"),
+            col("vocab").as("vocab_next")).as("s2"), Seq("stripe"))
+          .join(inter, Seq("stripe"), "left_outer")
+          .select(col("stripe"), col("vocab"), col("vocab_next"),
+            coalesce(col("inter"), lit(0L)).as("inter"),
+            expr("(coalesce(inter, 0L) * 1000000) div (vocab + vocab_next - coalesce(inter, 0L))")
+              .as("jaccard_ppm"))
+          .orderBy(col("stripe"))
+      },
+      Some("""WITH sv AS MATERIALIZED (
+             |  SELECT DISTINCT doc_id // 100 AS stripe,
+             |    unnest(string_split(text,' ')) AS w
+             |  FROM documents),
+             |sz AS (SELECT stripe, COUNT(*) AS vocab FROM sv GROUP BY 1),
+             |iv AS (
+             |  SELECT a.stripe, COUNT(*) AS inter
+             |  FROM sv a JOIN sv b ON b.stripe = a.stripe + 1 AND b.w = a.w
+             |  GROUP BY a.stripe)
+             |SELECT s1.stripe, s1.vocab, s2.vocab AS vocab_next,
+             |  COALESCE(iv.inter, 0) AS inter,
+             |  CAST((COALESCE(iv.inter, 0) * 1000000)
+             |    // (s1.vocab + s2.vocab - COALESCE(iv.inter, 0)) AS BIGINT)
+             |    AS jaccard_ppm
+             |FROM sz s1
+             |JOIN sz s2 ON s2.stripe = s1.stripe + 1
+             |LEFT JOIN iv ON iv.stripe = s1.stripe
+             |ORDER BY s1.stripe""".stripMargin),
+    ),
+
+    // Biggest-mover tokens between the corpus halves: frequency rank in
+    // the first doc_id half vs the second, top 15 by absolute rank shift
+    // (ties totally ordered) among tokens present in both — the
+    // discrete, rank-space cousin of q150's log-odds drift.
+    QueryDef(
+      "q242_rank_movers",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = PinnedCache.pin(tbl(s, dir, "documents"))
+        val mid = d.agg(expr("(min(doc_id) + max(doc_id)) div 2").as("m")).head.getLong(0)
+        val cnt = d
+          .select(when(col("doc_id") <= mid, "h1").otherwise("h2").as("half"),
+            explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("half"), col("w")).agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("half"))
+          .orderBy(col("c").desc, col("w"))
+        val ranked = cnt.withColumn("rk", row_number().over(w).cast("long"))
+        ranked.where(col("half") === "h1")
+          .select(col("w"), col("rk").as("rank_h1"))
+          .join(ranked.where(col("half") === "h2")
+            .select(col("w"), col("rk").as("rank_h2")), Seq("w"))
+          .select(col("w"), col("rank_h1"), col("rank_h2"),
+            abs(col("rank_h1") - col("rank_h2")).as("shift"))
+          .orderBy(col("shift").desc, col("rank_h1"), col("w"))
+          .limit(15)
+      },
+      Some("""WITH mid AS (
+             |  SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m FROM documents),
+             |cnt AS (
+             |  SELECT CASE WHEN doc_id <= (SELECT m FROM mid) THEN 'h1'
+             |              ELSE 'h2' END AS half,
+             |    unnest(string_split(text,' ')) AS w
+             |  FROM documents),
+             |c2 AS (SELECT half, w, COUNT(*) AS c FROM cnt GROUP BY 1, 2),
+             |rk AS (
+             |  SELECT half, w,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY half
+             |      ORDER BY c DESC, w) AS BIGINT) AS rk
+             |  FROM c2)
+             |SELECT a.w, a.rk AS rank_h1, b.rk AS rank_h2,
+             |  abs(a.rk - b.rk) AS shift
+             |FROM rk a JOIN rk b ON b.w = a.w AND a.half = 'h1' AND b.half = 'h2'
+             |ORDER BY shift DESC, rank_h1, a.w LIMIT 15""".stripMargin),
+    ),
   )
 }
