@@ -2731,5 +2731,52 @@ object ExtraQueries {
              |FROM rk a JOIN rk b ON b.w = a.w AND a.half = 'h1' AND b.half = 'h2'
              |ORDER BY shift DESC, rank_h1, a.w LIMIT 15""".stripMargin),
     ),
+
+    // Tokenizer fertility by source: exact wordpiece subwords per word
+    // (q117's greedy longest-match inference rolled up per source) — the
+    // "how expensive is this source under our tokenizer" planning number
+    // (high fertility = rare/OOV-heavy text fragmenting into chars).
+    // Integer ppm; the oracle replays the same greedy loop as a
+    // recursive CTE and rolls it up.
+    QueryDef(
+      "q243_bpe_fertility",
+      (s, dir) => {
+        val per = Tokenize.wordpieceCounts(s, tbl(s, dir, "documents"),
+          "text", "doc_id").toDF()
+        per.join(tbl(s, dir, "documents").select(col("doc_id"), col("source")),
+            "doc_id")
+          .groupBy(col("source"))
+          .agg(sum(col("n_words")).as("n_words"),
+            sum(col("n_subwords")).as("n_subwords"))
+          .select(col("source"), col("n_words"), col("n_subwords"),
+            expr("(n_subwords * 1000000) div n_words").as("fertility_ppm"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val whens = Tokenize.greedyCaseWhens(Tokenize.DefaultMerges)
+        s"""WITH RECURSIVE w AS (
+           |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+           |steps AS (
+           |  SELECT doc_id, w, 1 AS pos, 0 AS n FROM w
+           |  UNION ALL
+           |  SELECT doc_id, w,
+           |    pos + CASE
+           |$whens
+           |      ELSE 1 END,
+           |    n + 1
+           |  FROM steps WHERE pos <= len(w)),
+           |perdoc AS (
+           |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           |    CAST(SUM(n) AS BIGINT) AS n_subwords
+           |  FROM steps WHERE pos > len(w)
+           |  GROUP BY doc_id)
+           |SELECT d.source, CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+           |  CAST(SUM(p.n_subwords) AS BIGINT) AS n_subwords,
+           |  CAST((SUM(p.n_subwords) * 1000000) // SUM(p.n_words) AS BIGINT)
+           |    AS fertility_ppm
+           |FROM perdoc p JOIN documents d USING (doc_id)
+           |GROUP BY d.source ORDER BY d.source""".stripMargin
+      },
+    ),
   )
 }
