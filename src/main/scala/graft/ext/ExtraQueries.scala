@@ -2778,5 +2778,104 @@ object ExtraQueries {
            |GROUP BY d.source ORDER BY d.source""".stripMargin
       },
     ),
+
+    // Dedup storage-savings projection: bytes (chars) reclaimed per
+    // source if near-dup clusters collapse to their survivors — the
+    // capacity-planning number that justifies running dedup at all.
+    // Non-survivors from the q44 components; per-source char rollup
+    // against the total.
+    QueryDef(
+      "q244_dedup_savings",
+      (s, dir) => {
+        val d = PinnedCache.pin(tbl(s, dir, "documents"))
+        val cc = Dedup.connectedComponents(
+          Dedup.jaccardPairs(d, "text", "doc_id", 0.5))
+        val nonSurv = cc.where(col("id") =!= col("root"))
+          .select(col("id").as("doc_id"))
+        val saved = d.join(nonSurv, Seq("doc_id"), "left_semi")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("docs_removed"),
+            sum(col("n_chars")).as("chars_saved"))
+        d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+          .join(saved, Seq("source"), "left_outer")
+          .select(col("source"), col("n_docs"), col("n_chars"),
+            coalesce(col("docs_removed"), lit(0L)).as("docs_removed"),
+            coalesce(col("chars_saved"), lit(0L)).as("chars_saved"),
+            expr("(coalesce(chars_saved, 0L) * 1000000) div n_chars")
+              .as("saved_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
+             |  WHERE len(tokens) >= 3),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+             |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+             |          UNION SELECT b_id, a_id FROM pairs),
+             |r(id, m) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.m),
+             |labels AS MATERIALIZED (SELECT id, MIN(m) AS root FROM r GROUP BY id),
+             |sv AS (
+             |  SELECT d.source, COUNT(*) AS docs_removed,
+             |    CAST(SUM(d.n_chars) AS BIGINT) AS chars_saved
+             |  FROM labels l JOIN documents d ON d.doc_id = l.id
+             |  WHERE l.id <> l.root GROUP BY d.source),
+             |n AS (SELECT source, COUNT(*) AS n_docs,
+             |        CAST(SUM(n_chars) AS BIGINT) AS n_chars
+             |      FROM documents GROUP BY source)
+             |SELECT n.source, n.n_docs, n.n_chars,
+             |  COALESCE(sv.docs_removed, 0) AS docs_removed,
+             |  COALESCE(sv.chars_saved, 0) AS chars_saved,
+             |  CAST((COALESCE(sv.chars_saved, 0) * 1000000) // n.n_chars AS BIGINT)
+             |    AS saved_ppm
+             |FROM n LEFT JOIN sv ON sv.source = n.source
+             |ORDER BY n.source""".stripMargin),
+    ),
+
+    // Activity concentration: share of all events generated by the top
+    // decile of users — the workload-skew scalar behind every "will this
+    // key distribution break my partitioning" conversation (q144 plans
+    // the salting; this measures the phenomenon). Exact rank cutoff
+    // ceil(n/10), cross-multiplied integer threshold.
+    QueryDef(
+      "q245_activity_concentration",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val per = tbl(s, dir, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        val w = Window.orderBy(col("c").desc, col("user_id"))
+        per
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .withColumn("n_users", count(lit(1)).over(Window.partitionBy()))
+          .agg(max(col("n_users")).as("n_users"), sum(col("c")).as("n_events"),
+            sum(when(col("rk") * 10 <= col("n_users"), col("c")).otherwise(0L))
+              .as("top_decile_events"))
+          .select(col("n_users"), col("n_events"), col("top_decile_events"),
+            expr("(top_decile_events * 1000000) div n_events")
+              .as("concentration_ppm"))
+      },
+      Some("""WITH per AS (
+             |  SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+             |rk AS (
+             |  SELECT c,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS BIGINT) AS rk,
+             |    COUNT(*) OVER () AS n_users
+             |  FROM per)
+             |SELECT CAST(MAX(n_users) AS BIGINT) AS n_users,
+             |  CAST(SUM(c) AS BIGINT) AS n_events,
+             |  CAST(SUM(CASE WHEN rk * 10 <= n_users THEN c ELSE 0 END) AS BIGINT)
+             |    AS top_decile_events,
+             |  CAST((SUM(CASE WHEN rk * 10 <= n_users THEN c ELSE 0 END) * 1000000)
+             |    // SUM(c) AS BIGINT) AS concentration_ppm
+             |FROM rk""".stripMargin),
+    ),
   )
 }
