@@ -2877,5 +2877,82 @@ object ExtraQueries {
              |    // SUM(c) AS BIGINT) AS concentration_ppm
              |FROM rk""".stripMargin),
     ),
+
+    // Sorted-neighborhood dedup (SNM): the THIRD blocking family beside
+    // LSH (q26) and prefix filtering (q104) — sort docs by a cheap key
+    // (first two tokens), compare only within a window of w = 5 sorted
+    // neighbors, verify with exact 3-shingle Jaccard. Classic
+    // record-linkage blocking. Scale shape: the global rank is TWO-LEVEL
+    // (per-key row_number — a partitioned window — plus a cumulative
+    // offset whose global window runs only over the distinct-sort-key
+    // ROLLUP, the house global-window rule), and the w-neighbor candidate
+    // step is an EQUALITY hash join (each doc explodes its 5 successor
+    // ranks; no rank-range nested loop). Emits verified pairs — missed
+    // pairs are the method's documented trade-off (the oracle replicates
+    // the SAME windowed semantics).
+    QueryDef(
+      "q246_sorted_neighborhood",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = tbl(s, dir, "documents")
+        val keyed = d.select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 2), " ").as("sk"))
+        val offsets = keyed.groupBy("sk").agg(count(lit(1)).as("c"))
+          .withColumn("off", coalesce(
+            sum(col("c")).over(Window.orderBy(col("sk"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("sk", "off")
+        val ranked = PinnedCache.pin(keyed.join(offsets, "sk")
+          .select(col("doc_id"), (col("off") + row_number()
+            .over(Window.partitionBy(col("sk")).orderBy(col("doc_id")))
+            .cast("long")).as("rk")))
+        val cand = ranked
+          .select(col("doc_id").as("a_id"),
+            explode(sequence(col("rk") + 1, col("rk") + 5)).as("rkb"))
+          .join(ranked.select(col("doc_id").as("b_id"), col("rk").as("rkb")), "rkb")
+          .select(col("a_id"), col("b_id"))
+        val sh = Dedup.hashedShingleSets(d, "text", "doc_id")
+          .select(col("doc_id"), col("s"))
+        cand
+          .join(sh.select(col("doc_id").as("a_id"), col("s").as("sa")), "a_id")
+          .join(sh.select(col("doc_id").as("b_id"), col("s").as("sb")), "b_id")
+          .select(col("a_id"), col("b_id"),
+            expr("size(array_intersect(sa, sb))").cast("long").as("inter"),
+            expr("size(sa) + size(sb) - size(array_intersect(sa, sb))")
+              .cast("long").as("uni"))
+          .where(col("inter") * 2 >= col("uni"))
+          .select(least(col("a_id"), col("b_id")).as("a_id"),
+            greatest(col("a_id"), col("b_id")).as("b_id"),
+            expr("(inter * 1000000) div uni").as("jaccard_ppm"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH k AS (
+             |  SELECT doc_id,
+             |    array_to_string(string_split(text,' ')[1:2], ' ') AS sk
+             |  FROM documents),
+             |rk AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY sk, doc_id) AS BIGINT) AS rk
+             |  FROM k),
+             |cand AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM rk a JOIN rk b ON b.rk > a.rk AND b.rk <= a.rk + 5),
+             |sh AS MATERIALIZED (
+             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
+             |  WHERE len(tokens) >= 3),
+             |v AS (
+             |  SELECT c.a_id, c.b_id,
+             |    CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+             |    CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS BIGINT) AS uni
+             |  FROM cand c
+             |  JOIN sh sa ON sa.doc_id = c.a_id
+             |  JOIN sh sb ON sb.doc_id = c.b_id)
+             |SELECT LEAST(a_id, b_id) AS a_id, GREATEST(a_id, b_id) AS b_id,
+             |  CAST((inter * 1000000) // uni AS BIGINT) AS jaccard_ppm
+             |FROM v WHERE inter * 2 >= uni
+             |ORDER BY a_id, b_id""".stripMargin),
+    ),
   )
 }
