@@ -2954,5 +2954,75 @@ object ExtraQueries {
              |FROM v WHERE inter * 2 >= uni
              |ORDER BY a_id, b_id""".stripMargin),
     ),
+
+    // TF-IDF weighted-cosine re-rank of the near-dup pairs: set-level
+    // Jaccard (q26's pipeline) finds the pairs; this scores each with a
+    // WEIGHTED vector measure — integer tf-idf weights wt = tf·(N div df)
+    // (the q77 log-free idf, floored to keep both engines integer-exact),
+    // reported as cos²·10⁶ so no sqrt is needed: cos²_ppm
+    // = dot²·10⁶ div (‖a‖²·‖b‖²). The squared products ride decimal(38,0)
+    // (HUGEINT in the oracle); exact while per-doc ‖·‖² < 10^16 — holds at
+    // every gate sf, decimal-everywhere documented past it. Shape: one
+    // (doc,term) count, one vocab-sized df join, pair-keyed dot products
+    // over the CANDIDATE pairs only (never corpus²). Scales.
+    QueryDef(
+      "q247_tfidf_cosine_rerank",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+        val pairs = Dedup.jaccardPairs(d, "text", "doc_id", 0.5)
+          .select(col("a_id"), col("b_id"))
+        val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val dfreq = tok.distinct().groupBy("w").agg(count(lit(1)).as("df"))
+        val total = d.groupBy().agg(count(lit(1)).as("n_docs"))
+        val wts = PinnedCache.pin(tf.join(dfreq, "w").crossJoin(broadcast(total))
+          .select(col("doc_id"), col("w"),
+            (col("tf") * expr("n_docs div df")).as("wt")))
+        val norms = wts.groupBy("doc_id").agg(sum(col("wt") * col("wt")).as("n2"))
+        val dots = pairs
+          .join(wts.select(col("doc_id").as("a_id"), col("w"), col("wt").as("wa")), "a_id")
+          .join(wts.select(col("doc_id").as("b_id"), col("w"), col("wt").as("wb")),
+            Seq("b_id", "w"))
+          .groupBy("a_id", "b_id").agg(sum(col("wa") * col("wb")).as("dot"))
+        dots
+          .join(norms.select(col("doc_id").as("a_id"), col("n2").as("na")), "a_id")
+          .join(norms.select(col("doc_id").as("b_id"), col("n2").as("nb")), "b_id")
+          .select(col("a_id"), col("b_id"),
+            expr("cast((cast(dot as decimal(38,0)) * dot * 1000000) div " +
+              "(cast(na as decimal(38,0)) * nb) as bigint)").as("cos2_ppm"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH sh AS MATERIALIZED (
+             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
+             |  WHERE len(tokens) >= 3),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+             |tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+             |tf AS (SELECT doc_id, w, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1,2),
+             |dfreq AS (SELECT w, COUNT(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+             |n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+             |wts AS MATERIALIZED (
+             |  SELECT doc_id, w, tf * (n_docs // df) AS wt
+             |  FROM tf JOIN dfreq USING (w) CROSS JOIN n),
+             |norms AS (SELECT doc_id, CAST(SUM(wt*wt) AS BIGINT) AS n2
+             |          FROM wts GROUP BY 1),
+             |dots AS (SELECT p.a_id, p.b_id, CAST(SUM(wa.wt * wb.wt) AS BIGINT) AS dot
+             |         FROM pairs p
+             |         JOIN wts wa ON wa.doc_id = p.a_id
+             |         JOIN wts wb ON wb.doc_id = p.b_id AND wb.w = wa.w
+             |         GROUP BY 1,2)
+             |SELECT d.a_id, d.b_id,
+             |  CAST((d.dot::HUGEINT * d.dot * 1000000) // (na.n2::HUGEINT * nb.n2)
+             |       AS BIGINT) AS cos2_ppm
+             |FROM dots d
+             |JOIN norms na ON na.doc_id = d.a_id
+             |JOIN norms nb ON nb.doc_id = d.b_id
+             |ORDER BY a_id, b_id""".stripMargin),
+    ),
   )
 }
