@@ -790,4 +790,66 @@ object Dedup {
         (coalesce(col("n_spans"), lit(0L)) -
           coalesce(col("novel_spans"), lit(0L))).as("seen_before"))
   }
+
+  /** MOSS-style winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003):
+    * per document, hash every word `k`-gram, slide a window of `w`
+    * consecutive hashes, and select each window's minimum — ties broken
+    * toward the RIGHTMOST position (the robust-winnowing rule). The
+    * selected (hash, pos) set is the document's fingerprint; the guarantee
+    * is that any shared run of >= w + k - 1 words produces at least one
+    * shared fingerprint, while density stays ~2/(w+1).
+    *
+    * Portability: hashes are the 60-bit md5-derived [[Sampling.portableHash]]
+    * reduced mod 2^40, and the rightmost-min tie rule rides ONE integer key
+    * c = h40·2^20 + (2^20 − 1 − pos), so a single MIN is the whole
+    * selection rule in both engines. Requires < 2^20 k-grams per document
+    * (a 1 M-word doc; corpus scale is doc COUNT, not doc length).
+    * Documents with fewer than w k-grams yield no fingerprints
+    * (documented; they are shorter than the guarantee window).
+    *
+    * Shape: map-only gram+hash, one (doc)-partitioned ordered window for
+    * the sliding min, one distinct — no joins, no global sort. Scales. */
+  def winnowingFingerprints(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.ngramsFromTokens("toks", k)).as(Seq("j", "g")))
+    val hashed = grams.select(col("doc_id"), col("j"),
+      (pmod(Sampling.portableHash(col("g")), lit(1L << 40)) * (1L << 20)
+        + (lit((1L << 20) - 1) - col("j"))).as("c"))
+    val sel = hashed
+      .withColumn("gc", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("cmin", min(col("c")).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("j"))
+          .rowsBetween(0, w - 1)))
+      .where(col("j") <= col("gc") - w)
+      .select(col("doc_id"), col("cmin")).distinct()
+    sel.select(col("doc_id"),
+      expr("cmin div 1048576").as("fp"),
+      (lit((1L << 20) - 1) - pmod(col("cmin"), lit(1L << 20))).as("pos"))
+  }
+
+  /** Document pairs sharing >= `minShared` winnowing fingerprints — the
+    * plagiarism/boilerplate-overlap detector over
+    * [[winnowingFingerprints]]. Fingerprints appearing in more than
+    * `maxDocFreq` documents are dropped first (the standard
+    * common-fingerprint stoplist: boilerplate that frequent is not
+    * discriminative), which also BOUNDS the self-join fan-out at
+    * maxDocFreq² rows per fingerprint — the scale guard, and unlike a
+    * star-split it keeps the shared-count exact. */
+  def winnowingOverlapPairs(fps: DataFrame, maxDocFreq: Int,
+      minShared: Long): DataFrame = {
+    val sets = fps.select(col("doc_id"), col("fp")).distinct()
+    val keep = sets.groupBy(col("fp")).agg(count(lit(1)).as("d"))
+      .where(col("d") <= maxDocFreq).select(col("fp"))
+    val f = sets.join(keep, "fp")
+    f.as("a")
+      .join(f.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
 }

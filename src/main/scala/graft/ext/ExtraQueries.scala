@@ -3024,5 +3024,46 @@ object ExtraQueries {
              |JOIN norms nb ON nb.doc_id = d.b_id
              |ORDER BY a_id, b_id""".stripMargin),
     ),
+
+    // Winnowing fingerprint overlap (MOSS): the FOURTH candidate-blocking
+    // family beside LSH (q26), prefix filtering (q104) and sorted
+    // neighborhoods (q246) — and the only one with a positional-coverage
+    // guarantee (any shared run of >= w+k-1 words yields a shared
+    // fingerprint). See Dedup.winnowingFingerprints for the
+    // rightmost-min-as-one-integer-MIN encoding; the >50-doc fingerprint
+    // stoplist bounds join fan-out while keeping shared counts exact.
+    QueryDef(
+      "q248_winnowing_overlap",
+      (s, dir) => {
+        val fps = Dedup.winnowingFingerprints(
+          tbl(s, dir, "documents"), "text", "doc_id", k = 4, w = 4)
+        Dedup.winnowingOverlapPairs(fps, maxDocFreq = 50, minShared = 2L)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+             |grams AS (
+             |  SELECT doc_id, i - 1 AS j, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3] AS g
+             |  FROM toks, unnest(generate_series(1, len(t) - 3)) u(i)),
+             |hashed AS (
+             |  SELECT doc_id, j,
+             |    (CAST(('0x'||substring(md5(g),1,15)) AS BIGINT) % 1099511627776)
+             |      * 1048576 + (1048575 - j) AS c
+             |  FROM grams),
+             |selraw AS (
+             |  SELECT doc_id, j,
+             |    MIN(c) OVER (PARTITION BY doc_id ORDER BY j
+             |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cmin,
+             |    COUNT(*) OVER (PARTITION BY doc_id) AS gc
+             |  FROM hashed),
+             |fps AS (
+             |  SELECT DISTINCT doc_id, cmin // 1048576 AS fp
+             |  FROM selraw WHERE j <= gc - 4),
+             |keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50),
+             |f AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp))
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*)::BIGINT AS shared
+             |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+             |ORDER BY a_id, b_id""".stripMargin),
+    ),
   )
 }
