@@ -3065,5 +3065,107 @@ object ExtraQueries {
              |GROUP BY 1, 2 HAVING COUNT(*) >= 2
              |ORDER BY a_id, b_id""".stripMargin),
     ),
+
+    // Lexical-complexity (readability) profile per (source, lang): the
+    // syllable-side terms of Flesch/FOG with the classic vowel-group
+    // heuristic (a syllable ≈ one maximal [aeiouy]+ run), all integer —
+    // pooled syllables-per-word ppk, FOG complex-word (>= 3 vowel groups)
+    // ppm, and the Flesch syllable term 84600·syl div words in milli
+    // units. (The corpus has no sentence punctuation — verified — so the
+    // words-per-sentence term is degenerate and deliberately excluded.)
+    // Map-only per-doc counting + one small-keyed rollup. Scales.
+    QueryDef(
+      "q249_readability_profile",
+      (s, dir) => {
+        val per = tbl(s, dir, "documents").select(col("source"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("w"),
+          size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+            .cast("long").as("y"),
+          expr("cast(size(filter(split(text, ' '), " +
+            "wd -> size(regexp_extract_all(lower(wd), '[aeiouy]+', 0)) >= 3)) as bigint)")
+            .as("cx"))
+        per.groupBy("source", "lang")
+          .agg(count(lit(1)).as("docs"), sum(col("w")).as("words"),
+            sum(col("y")).as("syllables"), sum(col("cx")).as("complex_words"))
+          .select(col("source"), col("lang"), col("docs"), col("words"),
+            col("syllables"), col("complex_words"),
+            expr("(syllables * 1000) div words").as("spw_ppk"),
+            expr("(complex_words * 1000000) div words").as("complex_ppm"),
+            expr("(84600 * syllables) div words").as("flesch_syll_milli"))
+          .orderBy(col("source"), col("lang"))
+      },
+      Some("""WITH per AS (
+             |  SELECT source, lang,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      wd -> len(regexp_extract_all(lower(wd), '[aeiouy]+')) >= 3)) AS BIGINT) AS cx
+             |  FROM documents)
+             |SELECT source, lang, COUNT(*)::BIGINT AS docs,
+             |  CAST(SUM(w) AS BIGINT) AS words,
+             |  CAST(SUM(y) AS BIGINT) AS syllables,
+             |  CAST(SUM(cx) AS BIGINT) AS complex_words,
+             |  CAST((SUM(y) * 1000) // SUM(w) AS BIGINT) AS spw_ppk,
+             |  CAST((SUM(cx) * 1000000) // SUM(w) AS BIGINT) AS complex_ppm,
+             |  CAST((84600 * SUM(y)) // SUM(w) AS BIGINT) AS flesch_syll_milli
+             |FROM per GROUP BY source, lang
+             |ORDER BY source, lang""".stripMargin),
+    ),
+
+    // Audience-overlap matrix via KMV theta-sketch intersection: for every
+    // event-type pair, the sketch-estimated shared-user count next to the
+    // exact intersection and the realized error — the "how big would this
+    // join/campaign overlap be" planning primitive, with its accuracy
+    // audit built in (house rule: a sketch query always carries its exact
+    // companion). k=128 so the sketch path (not the exact-below-k
+    // degenerate case) is exercised at the gate sfs. Every value is a
+    // pure function of the input multiset — deterministic cross-engine.
+    QueryDef(
+      "q250_kmv_overlap",
+      (s, dir) => Sketches.kmvIntersection(
+          tbl(s, dir, "events"), "event_type", col("user_id"), 128)
+        .orderBy(col("ga"), col("gb")),
+      Some("""WITH dh AS (
+             |  SELECT DISTINCT event_type AS g,
+             |    CAST(('0x'||substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+             |  FROM events WHERE user_id IS NOT NULL),
+             |km AS MATERIALIZED (
+             |  SELECT g, h FROM dh
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) <= 128),
+             |th AS (
+             |  SELECT g, CASE WHEN COUNT(*) = 128 THEN MAX(h)
+             |                 ELSE 1152921504606846976 END AS theta
+             |  FROM km GROUP BY g),
+             |pairs AS (
+             |  SELECT a.g AS ga, b.g AS gb, LEAST(a.theta, b.theta) AS theta
+             |  FROM th a JOIN th b ON a.g < b.g),
+             |sc AS (
+             |  SELECT p.ga, p.gb, COUNT(*)::BIGINT AS s_cnt
+             |  FROM pairs p
+             |  JOIN km x ON x.g = p.ga
+             |  JOIN km y ON y.g = p.gb AND y.h = x.h
+             |  WHERE x.h < p.theta GROUP BY 1, 2),
+             |ex AS (
+             |  SELECT x.g AS ga, y.g AS gb, COUNT(*)::BIGINT AS n_exact
+             |  FROM (SELECT DISTINCT event_type AS g, user_id FROM events
+             |        WHERE user_id IS NOT NULL) x
+             |  JOIN (SELECT DISTINCT event_type AS g, user_id FROM events
+             |        WHERE user_id IS NOT NULL) y
+             |    ON x.user_id = y.user_id AND x.g < y.g
+             |  GROUP BY 1, 2),
+             |fin AS (
+             |  SELECT p.ga, p.gb,
+             |    CAST((COALESCE(s.s_cnt, 0)::HUGEINT * 1152921504606846976 * 1000)
+             |         // p.theta AS BIGINT) AS est_milli,
+             |    COALESCE(e.n_exact, 0) AS n_exact
+             |  FROM pairs p
+             |  LEFT JOIN sc s ON s.ga = p.ga AND s.gb = p.gb
+             |  LEFT JOIN ex e ON e.ga = p.ga AND e.gb = p.gb)
+             |SELECT ga, gb, est_milli, n_exact,
+             |  CASE WHEN n_exact > 0
+             |       THEN CAST(ABS(est_milli // 1000 - n_exact) * 1000000 // n_exact AS BIGINT)
+             |  END AS err_ppm
+             |FROM fin ORDER BY ga, gb""".stripMargin),
+    ),
   )
 }

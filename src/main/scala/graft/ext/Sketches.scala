@@ -156,6 +156,51 @@ object Sketches {
         estimateCol(hs, k).as("est_distinct"))
   }
 
+  /** Pairwise audience OVERLAP between groups via theta-sketch
+    * intersection over the KMV sketches (Dasgupta et al.'s theta-sketch
+    * framework restricted to KMV): for groups a < b,
+    * theta = min(theta_a, theta_b) (a full sketch's k-th hash, else the
+    * whole 2^60 hash space), S = shared sketch hashes below theta, and
+    * |A ∩ B| ≈ |S| / (theta / 2^60) — reported as `est_milli` through one
+    * decimal(38) product (|S| ≤ k, so |S|·2^60·1000 < 10^26). Exact when
+    * both sketches are below k. The exact intersection rides along as
+    * `n_exact` with `err_ppm`, the accuracy audit (same contract as
+    * [[kmvDistinct]]).
+    *
+    * Scale shape: one KMV aggregation per group (bounded buffers), a
+    * groups² sketch cross — groups is a small dimension by contract — and
+    * the exact audit's item-keyed self-join, whose fan-out per item is
+    * bounded by groups². Every estimate is a pure function of the input
+    * multiset: deterministic, engine-portable, oracle-checkable. */
+  def kmvIntersection(items: DataFrame, groupCol: String, itemCol: Column,
+      k: Int): DataFrame = {
+    val H = 1L << 60
+    val sk = items.where(itemCol.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(kMinValues(k)(Sampling.portableHash(itemCol)).as("hs"))
+      .select(col(groupCol).as("g"), col("hs"),
+        coalesce(kthHashCol(col("hs"), k), lit(H)).as("theta"))
+    val theta = least(col("a.theta"), col("b.theta"))
+    val pairs = sk.as("a").join(sk.as("b"), col("a.g") < col("b.g"))
+      .select(col("a.g").as("ga"), col("b.g").as("gb"), theta.as("theta"),
+        size(filter(array_intersect(col("a.hs"), col("b.hs")),
+          h => h < theta)).cast("long").as("s_cnt"))
+    val di = items.where(itemCol.isNotNull)
+      .select(col(groupCol).as("g"), itemCol.as("item")).distinct()
+    val exact = di.as("x")
+      .join(di.as("y"), col("x.item") === col("y.item") && col("x.g") < col("y.g"))
+      .groupBy(col("x.g").as("ga"), col("y.g").as("gb"))
+      .agg(count(lit(1)).as("n_exact"))
+    pairs.join(exact, Seq("ga", "gb"), "left_outer")
+      .select(col("ga"), col("gb"),
+        expr(s"cast((cast(s_cnt as decimal(38,0)) * $H * 1000) div theta as bigint)")
+          .as("est_milli"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+      .withColumn("err_ppm",
+        when(col("n_exact") > 0,
+          expr("abs(est_milli div 1000 - n_exact) * 1000000 div n_exact")))
+  }
+
   // --- Count-Min sketch (frequency estimation) ---------------------------
   //
   // Same determinism argument as KMV: each of the depth×width counters is a

@@ -287,4 +287,33 @@ class SketchesSpec extends AnyFunSuite {
     // 300 keys in 4096 buckets: collision bias is a few percent, not integer factors
     assert(est.map(_._2).min < exact * 2, "estimate informative at this load factor")
   }
+
+  test("kmvIntersection: exact (err 0) below k; informative with full sketches") {
+    import spark.implicits._
+    // 3 groups over a 0..59 item universe with known overlaps
+    val items = ((0 until 40).map(i => ("a", i.toLong)) ++
+      (20 until 60).map(i => ("b", i.toLong)) ++
+      (0 until 60 by 2).map(i => ("c", i.toLong)) ++
+      (0 until 40).map(i => ("a", i.toLong))) // dup rows must not matter
+      .toDF("g", "item")
+
+    // k above every group's cardinality: theta = 2^60, estimate EXACT
+    val below = Sketches.kmvIntersection(items, "g", col("item"), k = 128)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(below(("a", "b")) == ((20000L, 20L, 0L)))
+    assert(below(("a", "c")) == ((20000L, 20L, 0L)))
+    assert(below(("b", "c")) == ((20000L, 20L, 0L)))
+
+    // k below the cardinalities: sketch path — estimate within 2x on this
+    // tiny universe and the err_ppm column is the realized |est-exact| rate
+    val full = Sketches.kmvIntersection(items, "g", col("item"), k = 16)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    full.foreach { case (pair, (estMilli, exact, errPpm)) =>
+      assert(exact == 20L, s"$pair exact")
+      assert(estMilli >= 0L && estMilli / 1000 <= 60, s"$pair estimate bounded by universe")
+      assert(errPpm == math.abs(estMilli / 1000 - exact) * 1000000 / exact, s"$pair audit")
+    }
+  }
 }
