@@ -297,4 +297,46 @@ object EventFunnel {
         sum(when(col("late") > 86400000000000L, 1L).otherwise(0L)).as("n_late_1d"),
         max(col("late")).as("max_late_ns"))
   }
+
+  /** Multi-window multi-burn SLO alerting (the Google SRE workbook
+    * pattern): per hour, the `errType` share of events over a SHORT and a
+    * LONG trailing window; an alert fires only when BOTH windows burn
+    * above their thresholds — the short window gives fast detection, the
+    * long window vetoes blips. All integer: share in ppm, burn rate in
+    * centi-multiples of the ppm error budget
+    * (burn_centi = share_ppm·100 div budgetPpm).
+    *
+    * Trailing RANGE windows over hour VALUES, so silent hours shorten the
+    * denominator rather than padding it (same contract as
+    * [[hourlyBursts]]); `tot` >= 1 at every emitted row by construction.
+    * Shape: one hourly partial-agg rollup, then unpartitioned windows over
+    * that ROLLUP only (hours-cardinality — the house global-window rule).
+    * Scales. */
+  def sloBurnRate(events: DataFrame, epochNs: Long, errType: String,
+      budgetPpm: Long, shortW: Int, longW: Int,
+      fastCenti: Long, slowCenti: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetPpm > 0 && shortW >= 1 && longW >= shortW)
+    val hourly = events
+      .select(expr(s"((ts - ${epochNs}L) - pmod(ts - ${epochNs}L, 3600000000000L))" +
+          " div 3600000000000L").as("hr"),
+        (col("event_type") === errType).cast("long").as("e"))
+      .groupBy(col("hr"))
+      .agg(sum(col("e")).as("err"), count(lit(1)).as("tot"))
+    val ws = Window.orderBy(col("hr")).rangeBetween(-(shortW - 1), 0)
+    val wl = Window.orderBy(col("hr")).rangeBetween(-(longW - 1), 0)
+    hourly
+      .withColumn("err_s", sum(col("err")).over(ws))
+      .withColumn("tot_s", sum(col("tot")).over(ws))
+      .withColumn("err_l", sum(col("err")).over(wl))
+      .withColumn("tot_l", sum(col("tot")).over(wl))
+      .withColumn("share_s_ppm", expr("(err_s * 1000000) div tot_s"))
+      .withColumn("share_l_ppm", expr("(err_l * 1000000) div tot_l"))
+      .withColumn("burn_s_centi", expr(s"(share_s_ppm * 100) div $budgetPpm"))
+      .withColumn("burn_l_centi", expr(s"(share_l_ppm * 100) div $budgetPpm"))
+      .withColumn("alert",
+        col("burn_s_centi") >= fastCenti && col("burn_l_centi") >= slowCenti)
+      .select(col("hr"), col("err"), col("tot"), col("share_s_ppm"),
+        col("share_l_ppm"), col("burn_s_centi"), col("burn_l_centi"), col("alert"))
+  }
 }

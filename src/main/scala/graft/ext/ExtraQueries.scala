@@ -3167,5 +3167,88 @@ object ExtraQueries {
              |  END AS err_ppm
              |FROM fin ORDER BY ga, gb""".stripMargin),
     ),
+
+    // Multi-window multi-burn SLO alerting (SRE workbook): error share
+    // over 6h and 24h trailing windows; alert only when the short window
+    // burns >= 1.10x AND the long window >= 1.03x of the 20% error
+    // budget — fast detection with a blip veto. Windows run over the
+    // hourly ROLLUP only. See EventFunnel.sloBurnRate.
+    QueryDef(
+      "q251_slo_burn_rate",
+      (s, dir) => EventFunnel.sloBurnRate(tbl(s, dir, "events"),
+          epochNs = 1704067200000000000L, errType = "error",
+          budgetPpm = 200000L, shortW = 6, longW = 24,
+          fastCenti = 110L, slowCenti = 103L)
+        .orderBy(col("hr")),
+      Some("""WITH c AS (
+             |  SELECT (epoch_ns(ts) - 1704067200000000000) // 3600000000000 AS hr,
+             |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err,
+             |    COUNT(*)::BIGINT AS tot
+             |  FROM events GROUP BY 1),
+             |w AS (
+             |  SELECT hr, err, tot,
+             |    CAST(SUM(err) OVER (ORDER BY hr RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS err_s,
+             |    CAST(SUM(tot) OVER (ORDER BY hr RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS tot_s,
+             |    CAST(SUM(err) OVER (ORDER BY hr RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT) AS err_l,
+             |    CAST(SUM(tot) OVER (ORDER BY hr RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT) AS tot_l
+             |  FROM c),
+             |f AS (
+             |  SELECT hr, err, tot,
+             |    (err_s * 1000000) // tot_s AS share_s_ppm,
+             |    (err_l * 1000000) // tot_l AS share_l_ppm
+             |  FROM w)
+             |SELECT hr, err, tot, share_s_ppm, share_l_ppm,
+             |  (share_s_ppm * 100) // 200000 AS burn_s_centi,
+             |  (share_l_ppm * 100) // 200000 AS burn_l_centi,
+             |  ((share_s_ppm * 100) // 200000 >= 110
+             |   AND (share_l_ppm * 100) // 200000 >= 103) AS alert
+             |FROM f ORDER BY hr""".stripMargin),
+    ),
+
+    // Neyman-optimal audit-sampling plan: split a 1000-doc quality-audit
+    // budget across sources proportionally to N_h·sigma_h of document
+    // length — exact integer sigma via isqrt(N·Σy² − (Σy)²), floors
+    // topped up to EXACTLY the budget by the largest-remainder rule.
+    // The n_alloc <= N_h cap fires at sf0.001 (500 docs < 2x budget) and
+    // not at sf0.01 — both branches gate-exercised.
+    QueryDef(
+      "q252_neyman_allocation",
+      (s, dir) => Sampling.neymanAllocation(tbl(s, dir, "documents"),
+          "source", size(split(col("text"), " ")), budget = 1000L)
+        .orderBy(col("source")),
+      Some("""WITH b AS (
+             |  SELECT source AS g, CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+             |  FROM documents),
+             |a AS (
+             |  SELECT g, COUNT(*)::BIGINT AS n_rows,
+             |    CAST(SUM(y) AS BIGINT) AS s1, CAST(SUM(y*y) AS BIGINT) AS s2
+             |  FROM b GROUP BY 1),
+             |v AS (SELECT g, n_rows, n_rows * s2 - s1 * s1 AS vv FROM a),
+             |r AS (
+             |  SELECT g, n_rows,
+             |    CASE WHEN (CASE WHEN s0*s0 > vv THEN s0-1 ELSE s0 END + 1)
+             |              * (CASE WHEN s0*s0 > vv THEN s0-1 ELSE s0 END + 1) <= vv
+             |         THEN CASE WHEN s0*s0 > vv THEN s0-1 ELSE s0 END + 1
+             |         ELSE CASE WHEN s0*s0 > vv THEN s0-1 ELSE s0 END END AS w
+             |  FROM (SELECT g, n_rows, vv,
+             |          CAST(floor(sqrt(CAST(vv AS DOUBLE))) AS BIGINT) AS s0 FROM v)),
+             |al AS (
+             |  SELECT g, n_rows, w,
+             |    CAST(SUM(w) OVER () AS BIGINT) AS w_sum,
+             |    (1000 * w) // CAST(SUM(w) OVER () AS BIGINT) AS n_floor,
+             |    (1000 * w) % CAST(SUM(w) OVER () AS BIGINT) AS rem
+             |  FROM r),
+             |fin AS (
+             |  SELECT g, n_rows, w, n_floor,
+             |    CAST(SUM(n_floor) OVER () AS BIGINT) AS floor_sum,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, g) AS BIGINT) AS rem_rank
+             |  FROM al)
+             |SELECT g AS source, n_rows, w AS n_sigma,
+             |  LEAST(n_floor + CASE WHEN rem_rank <= 1000 - floor_sum THEN 1 ELSE 0 END,
+             |        n_rows) AS n_alloc,
+             |  (n_floor + CASE WHEN rem_rank <= 1000 - floor_sum THEN 1 ELSE 0 END)
+             |    > n_rows AS capped
+             |FROM fin ORDER BY source""".stripMargin),
+    ),
   )
 }

@@ -315,4 +315,52 @@ object Sampling {
       .groupBy(col("split_orig"), col("split_final"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
   }
+
+  /** Neyman-optimal stratified sampling allocation: split a sampling
+    * `budget` across strata proportionally to N_h·sigma_h (the allocation
+    * minimizing the estimator variance for a fixed budget, Neyman 1934) —
+    * here strata are `groupCol` groups and the audited variable is
+    * `valueCol`. All integer: N_h·sigma_h = sqrt(N_h·Σy² − (Σy)²) exactly
+    * (population sigma, cross-multiplied under one [[isqrt]]), and the
+    * floored shares are topped up to EXACTLY `budget` by the
+    * largest-remainder (Hamilton) rule with ties on the group key —
+    * deterministic, no float apportionment drift. Groups with zero
+    * variance still get their remainder-rank shot (N_h·sigma_h = 0 means
+    * one sample suffices statistically, but the method stays total).
+    *
+    * Caps: n_h <= N_h (can't sample more than the stratum holds); capped
+    * surplus is NOT redistributed (one-round contract, like
+    * [[repairSplitContamination]] — iterate to fixed point in production).
+    * Requires N_h·Σy² < 2^62 (isqrt domain; ~10^9 rows of y ~ 10^3 —
+    * decimal-everywhere documented past it).
+    *
+    * Shape: one group rollup, windows over the GROUPS rollup only, no
+    * joins. Scales. */
+  def neymanAllocation(df: DataFrame, groupCol: String, valueCol: Column,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0)
+    val g = df.select(col(groupCol).as("g"), valueCol.cast("long").as("y"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("y")).as("s1"),
+        sum(col("y") * col("y")).as("s2"))
+      .withColumn("w", isqrt(col("n_rows") * col("s2") - col("s1") * col("s1")))
+    val tot = Window.orderBy(lit(1)).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val alloc = g
+      .withColumn("w_sum", sum(col("w")).over(tot))
+      .withColumn("n_floor",
+        when(col("w_sum") > 0, expr(s"($budget * w) div w_sum")).otherwise(lit(0L)))
+      .withColumn("rem",
+        when(col("w_sum") > 0, expr(s"($budget * w) % w_sum")).otherwise(lit(0L)))
+      .withColumn("floor_sum", sum(col("n_floor")).over(tot))
+      .withColumn("rem_rank", row_number().over(
+        Window.orderBy(col("rem").desc, col("g"))).cast("long"))
+      .withColumn("n_alloc",
+        col("n_floor") + when(col("rem_rank") <= lit(budget) - col("floor_sum"), 1L)
+          .otherwise(0L))
+    alloc.select(col("g").as(groupCol), col("n_rows"), col("w").as("n_sigma"),
+      least(col("n_alloc"), col("n_rows")).as("n_alloc"),
+      (col("n_alloc") > col("n_rows")).as("capped"))
+  }
 }
