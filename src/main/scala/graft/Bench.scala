@@ -52,20 +52,40 @@ object Bench {
       }
       name -> times.min
     }.toMap
-    // ONE compact line. Two rounds of BENCH_r0N.json ended "parsed": null
-    // with a front-truncated tail because the line exceeded the driver's
-    // capture window (r3 fix to 3-decimal seconds was not enough at 115
-    // queries). Per-query entries are now MILLISECOND INTEGERS keyed by the
-    // short query id (the `qNN` prefix before the first underscore — unique
-    // by construction), ~12 bytes per query -> ~1.4 KB for 115. `qunit`
-    // makes the millisecond encoding self-describing.
+    // ONE compact line that MUST fit the driver's ~2000-char tail capture.
+    // Four rounds of BENCH_r0N.json ended "parsed": null; by r6 the cause
+    // was pure size (252 queries x ~12 bytes ≈ 3 KB front-truncated the
+    // line). The final line is now SELF-LIMITING: summary fields plus the
+    // slowest-K per-query entries (millisecond integers keyed by the `qNN`
+    // short id), where K is chosen so the whole line stays under a hard
+    // byte budget. The COMPLETE per-query dict goes to BENCH_local.json
+    // (committed every round) — `file` points there and `n` records how
+    // many queries the total covers.
     def s3(v: Double): String = f"$v%.3f"
     def shortKey(name: String): String = name.takeWhile(_ != '_')
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + shortKey(k) + "\":" + Math.round(v * 1000) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","qunit":"ms","queries":$qs,"sf":"$sfDir"}"""
+    val entries = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + shortKey(k) + "\":" + Math.round(v * 1000) }
+    val fullQs = entries.mkString("{", ",", "}")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    def mkLine(qs: String, n: Int): String =
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":$n,"qunit":"ms","queries":$qs,"file":"$outFile","sf":"$sfDir"}"""
+    val fullLine = mkLine(fullQs, results.size)
+    // tail line: slowest-first entries until the byte budget is hit; sbt's
+    // own trailing "[success] Total time..." line costs ~90 chars of window.
+    val budget = sys.env.getOrElse("SPARK_GRAFT_LINE_BUDGET", "1700").toInt
+    val bySlow = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + shortKey(k) + "\":" + Math.round(v * 1000) }
+    val fixedLen = mkLine("{}", results.size).length
+    val keep = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = fixedLen
+    bySlow.foreach { e =>
+      val add = e.length + (if (keep.isEmpty) 0 else 1)
+      if (used + add <= budget) { keep += e; used += add }
+    }
+    val line =
+      if (fullLine.length <= budget) fullLine
+      else mkLine(keep.mkString("{", ",", "}"), results.size)
     // three redundancy layers for the driver's tail capture, whose r4/r5
     // parses came back null even with the line present:
     // (1) persist the JSON to a file (durable regardless of capture),
@@ -73,8 +93,7 @@ object Bench {
     // lines this JVM emits are the bare JSON and the file path — after
     // sbt's log wrapper has nothing left to interleave. run/outputStrategy
     // in build.sbt is StdoutOutput so none of these carry an sbt prefix.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullLine + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }

@@ -3200,8 +3200,13 @@ object Ext {
     QueryDef(
       "q164_incremental_cc",
       (s, dir) => {
-        val pairs = Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
-          .select(col("a_id"), col("b_id"))
+        // Pin the shared LSH pair pipeline BEFORE the base/delta split:
+        // both branches (and connectedComponents' internal checkpoint on
+        // the base side only) would otherwise each re-run jaccardPairs —
+        // the exact shared-subtree hazard PinnedCache exists for.
+        val pairs = PinnedCache.pin(
+          Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
+            .select(col("a_id"), col("b_id")))
         val base = pairs.where((col("a_id") + col("b_id")) % 2 === 0)
         val delta = pairs.where((col("a_id") + col("b_id")) % 2 === 1)
         Dedup.incrementalConnectedComponents(
@@ -3762,9 +3767,10 @@ object Ext {
              |      THEN 255.0 * 1152921504606846976.0 / MAX(CASE WHEN rn = 256 THEN h END)
              |      ELSE CAST(MAX(nh) AS DOUBLE) END AS est_union
              |  FROM urn GROUP BY grp_a, grp_b),
+             |it AS (SELECT DISTINCT event_type AS grp, user_id AS it FROM events),
              |inter AS (
              |  SELECT a.grp AS grp_a, b.grp AS grp_b, COUNT(*) AS n_inter_exact
-             |  FROM h a JOIN h b ON a.h = b.h AND a.grp < b.grp
+             |  FROM it a JOIN it b ON a.it = b.it AND a.grp < b.grp
              |  GROUP BY 1, 2)
              |SELECT p.grp_a, p.grp_b, ea.e AS est_a, eb.e AS est_b, u.est_union,
              |  GREATEST(ea.e + eb.e - u.est_union, 0.0) AS est_inter,

@@ -242,21 +242,16 @@ object ExtraQueries {
     // Mutual nearest-neighbor pairs: (a, b) where each is the other's
     // exact cosine top-1 — the high-precision pairing used for alignment
     // / translation mining (reciprocal best match kills asymmetric hub
-    // matches that plain top-1 keeps). Brute top-1 here is the reference
-    // semantics; at scale the candidate stage swaps to annTopK /
-    // multiProbeTopK (q30/q146) exactly as in q145's MMR.
+    // matches that plain top-1 keeps). candidates = "brute" is the
+    // reference semantics the oracle replicates; the ivf/multiprobe scale
+    // paths are the SAME executed operator (Similarity.mutualKnn via the
+    // topKCandidates seam), pinned equal to brute at the gate sfs and
+    // recall-gated at sf0.1 by AnnSeamSpec.
     QueryDef(
       "q192_mutual_knn",
-      (s, dir) => {
-        val emb = tbl(s, dir, "embeddings")
-        val top1 = Similarity.bruteForceTopK(emb, emb, "embedding", "vec_id", 1)
-        top1.as("x").join(top1.as("y"),
-            col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid") &&
-              col("x.qid") < col("x.nid"))
-          .select(col("x.qid").as("a_id"), col("x.nid").as("b_id"),
-            col("x.sim").as("cos_sim"))
-          .orderBy(col("a_id"))
-      },
+      (s, dir) => Similarity.mutualKnn(tbl(s, dir, "embeddings"),
+          "embedding", "vec_id", candidates = "brute")
+        .orderBy(col("a_id")),
       Some("""WITH n AS (
              |  SELECT vec_id, embedding,
              |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]

@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** ANN configuration for the [[topKCandidates]] seam. `tables`/`bits`/
+    * `nprobe` drive the multiprobe path (and `nprobe` the IVF probe
+    * count); `numCentroids` the IVF list count. The defaults are the
+    * measured cost/recall trade; AnnSeamSpec pins a configuration
+    * (tables=8, bits=4, nprobe=5) whose candidate sets provably contain
+    * the true top-1 on the template corpus at the gate sfs. */
+  final case class AnnParams(tables: Int = 4, bits: Int = 4, nprobe: Int = 4,
+      numCentroids: Int = 16)
+
   /** Sequential double fold of sum(a[i]*b[i]) — matches the oracle exactly.
     * Backed by the codegen'd [[graft.functions.VecDot]] expression (same
     * left-to-right double accumulation, ~30x less per-pair overhead than the
@@ -52,6 +61,64 @@ object Similarity {
     sims.withColumn("rk", row_number().over(w)).where(col("rk") <= k).drop("rk")
   }
 
+  /** Unified top-k CANDIDATE stage — the seam every consumer of "find my
+    * nearest neighbors" routes through so the brute/ANN trade is a
+    * PARAMETER, not a rewrite: `brute` is the exact reference scan
+    * ([[bruteForceTopK]]); `ivf` probes inverted lists
+    * ([[ivfTopK]] / [[ivfTopKWith]] — `selfSet = true` switches to the
+    * co-partitioned inverted-list join for corpus-scale query sets, the
+    * q192/knnLabelAudit shape, instead of broadcasting a corpus-sized
+    * probe set); `multiprobe` is the few-tables RHP-LSH path
+    * ([[multiProbeTopK]]). All three rank with the same
+    * (sim desc, nid) tie rule, so when the candidate set contains the
+    * true top-k the OUTPUT is bit-identical to brute — the property
+    * AnnSeamSpec asserts at the gate sfs, with the recall gate bounding
+    * the sf0.1 behavior. */
+  def topKCandidates(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, candidates: String = "brute",
+      selfSet: Boolean = false, ann: AnnParams = AnnParams()): DataFrame =
+    candidates match {
+      case "brute" => bruteForceTopK(corpus, queries, vecCol, idCol, k)
+      case "ivf" =>
+        if (!selfSet)
+          ivfTopK(corpus, queries, vecCol, idCol, k, ann.numCentroids, ann.nprobe)
+        else {
+          val cents: Array[(Long, Seq[Float], Double)] =
+            withNorm(corpus.where(col(idCol) < ann.numCentroids), vecCol)
+              .select(col(idCol).cast("long"), col(vecCol), col("nrm"))
+              .collect()
+              .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+              .sortBy(_._1)
+          ivfTopKWith(cents, corpus, queries, vecCol, idCol, k, ann.nprobe,
+            broadcastProbes = false)
+        }
+      case "multiprobe" =>
+        multiProbeTopK(corpus, queries, vecCol, idCol, k, ann.tables, ann.bits,
+          ann.nprobe)
+      case other => throw new IllegalArgumentException(
+        s"candidates must be brute|ivf|multiprobe, got '$other'")
+    }
+
+  /** Mutual nearest-neighbor pairs (q192's operator form): (a, b) where
+    * each is the other's top-1 under the chosen candidate stage —
+    * reciprocal best match kills the asymmetric hub matches plain top-1
+    * keeps. `candidates = "brute"` is the exact reference semantics the
+    * oracle replicates; `ivf` / `multiprobe` are the EXECUTED scale paths
+    * (self-set shape: both sides corpus-scale, so the ivf branch uses the
+    * co-partitioned inverted-list join, never a corpus-sized broadcast).
+    * AnnSeamSpec pins ANN == brute on the template corpus at the gate sfs
+    * and gates recall at sf0.1. */
+  def mutualKnn(emb: DataFrame, vecCol: String, idCol: String,
+      candidates: String = "brute", ann: AnnParams = AnnParams()): DataFrame = {
+    val top1 = PinnedCache.pin(
+      topKCandidates(emb, emb, vecCol, idCol, 1, candidates, selfSet = true, ann))
+    top1.as("x").join(top1.as("y"),
+        col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid") &&
+          col("x.qid") < col("x.nid"))
+      .select(col("x.qid").as("a_id"), col("x.nid").as("b_id"),
+        col("x.sim").as("cos_sim"))
+  }
+
   /** Matryoshka-truncated retrieval: exact top-k over the FIRST `dims`
     * components of each embedding (the MRL serving trick — prefix
     * sub-vectors of nested-trained embeddings retain most retrieval
@@ -75,8 +142,9 @@ object Similarity {
     * docs returns one of them plus genuinely different material).
     * Returns (qid, nid, step, rel), step = 1..k in selection order.
     *
-    * Shape: stage 1 is any top-m candidate generator (brute here —
-    * swap [[ivfTopK]] at scale; m bounds everything downstream); the m²
+    * Shape: stage 1 is the [[topKCandidates]] seam (`candidates` picks
+    * brute for the exact reference semantics, ivf/multiprobe as the
+    * executed scale paths; m bounds everything downstream); the m²
     * within-pool similarity matrix and the k greedy rounds are all keyed
     * by qid, so per-query work is m²·k with NO cross-query interaction —
     * embarrassingly parallel over queries. The k rounds are k chained
@@ -88,10 +156,11 @@ object Similarity {
     * oracle interpolates (including the IEEE value of 1−lam), and ties
     * break on (score desc, nid) — bit-reproducible cross-engine. */
   def mmrTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-      idCol: String, m: Int, k: Int, lam: Double = 0.7): DataFrame = {
+      idCol: String, m: Int, k: Int, lam: Double = 0.7,
+      candidates: String = "brute", ann: AnnParams = AnnParams()): DataFrame = {
     require(m >= k && k >= 1, "need m >= k >= 1")
     val cands = graft.ext.PinnedCache.pin(
-      bruteForceTopK(corpus, queries, vecCol, idCol, m)
+      topKCandidates(corpus, queries, vecCol, idCol, m, candidates, ann = ann)
         .select(col("qid"), col("nid"), col("sim").as("rel")))
     val vecs = withNorm(corpus, vecCol)
       .select(col(idCol).as("nid"), col(vecCol).as("v"), col("nrm"))

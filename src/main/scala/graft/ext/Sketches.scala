@@ -495,16 +495,24 @@ object Sketches {
     * oracle-checkable bit-for-bit — the q60 discipline). */
   def kmvSetAlgebra(items: DataFrame, groupCol: String, itemCol: Column,
       k: Int): DataFrame = {
-    val hashed = graft.ext.PinnedCache.pin(items.where(itemCol.isNotNull)
-      .select(col(groupCol).as("grp"), Sampling.portableHash(itemCol).as("h"))
-      .distinct())
+    // distinct (grp, item) is the ground set; the sketch path further
+    // dedups to (grp, h) so a (vanishingly unlikely) 60-bit collision
+    // between two items of one group can't duplicate a sketch entry,
+    // while the EXACT audit joins on the REAL item value — a cross-group
+    // hash collision must not inflate the count the docs present as the
+    // accuracy oracle (the kmvIntersection discipline).
+    val ground = graft.ext.PinnedCache.pin(items.where(itemCol.isNotNull)
+      .select(col(groupCol).as("grp"), itemCol.as("it"))
+      .distinct()
+      .withColumn("h", Sampling.portableHash(col("it"))))
+    val hashed = ground.select(col("grp"), col("h")).distinct()
     val sk = hashed.groupBy(col("grp")).agg(kMinValues(k)(col("h")).as("hs"))
     val pairs = sk.select(col("grp").as("grp_a"), col("hs").as("ha"))
       .join(sk.select(col("grp").as("grp_b"), col("hs").as("hb")),
         col("grp_a") < col("grp_b"))
     val unionHs = slice(array_sort(array_distinct(concat(col("ha"), col("hb")))), 1, k)
-    val exactInter = hashed.select(col("grp").as("grp_a"), col("h"))
-      .join(hashed.select(col("grp").as("grp_b"), col("h")), Seq("h"))
+    val exactInter = ground.select(col("grp").as("grp_a"), col("it"))
+      .join(ground.select(col("grp").as("grp_b"), col("it")), Seq("it"))
       .where(col("grp_a") < col("grp_b"))
       .groupBy(col("grp_a"), col("grp_b"))
       .agg(count(lit(1)).as("n_inter_exact"))

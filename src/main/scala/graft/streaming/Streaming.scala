@@ -132,10 +132,19 @@ object Streaming {
     val r = right
       .withColumn("_rb", expr(s"floor(unix_micros($rightTs) / ${wUs}L)"))
       .withWatermark(rightTs, lateness)
+    // The range condition is expressed DIRECTLY on the watermarked
+    // timestamp columns with interval arithmetic: Spark's
+    // StreamingJoinHelper only derives state-eviction watermarks from
+    // Cast/Add/Subtract/Multiply/TimestampAdd-shaped terms over watermarked
+    // attributes — a `unix_micros(ts)` form is opaque to it, so with the
+    // earlier encoding neither side's join state was ever evicted (output
+    // correct, state unbounded). With `r.ts >= l.ts - W && r.ts <= l.ts + W`
+    // both sides get a state watermark = input watermark − W and buffered
+    // rows age out. StreamingSpec asserts numRowsTotal stabilizes.
     l.join(r,
         col("_lb") === col("_rb") &&
-          expr(s"unix_micros($rightTs) >= unix_micros($leftTs) - ${wUs}L") &&
-          expr(s"unix_micros($rightTs) <= unix_micros($leftTs) + ${wUs}L"))
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $windowSec SECONDS") &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $windowSec SECONDS"))
       .drop("_lb", "_rb")
   }
 

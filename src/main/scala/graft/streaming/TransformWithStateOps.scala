@@ -980,7 +980,11 @@ object TransformWithStateOps {
       val sumSqrt = state.iterator.map { case (_, (_, t)) => isqrtJvm(t) }.sum
       state.sortBy(_._1).iterator.map { case (host, (docs, tokens)) =>
         val w = isqrtJvm(tokens)
-        val wp = w * 1000000L / sumSqrt
+        // sumSqrt == 0 (every host total still 0, e.g. a first batch of
+        // empty-text docs) would divide by zero; w is 0 for every host
+        // then, so weight 0 is the correct limit — mirrors the tokens == 0
+        // rate guard below, which already yields rate = 1e6 (take all).
+        val wp = if (sumSqrt > 0) w * 1000000L / sumSqrt else 0L
         val target = budgetTokens * wp / 1000000L
         // tokens = 0: take everything (vacuously met) — the batch form
         // never divides there because a counted doc implies a row

@@ -474,6 +474,19 @@ class StreamingSpec extends AnyFunSuite {
         if pt >= et - w && pt <= et + w
       } yield (ei, pi)).toSet
       assert(want.nonEmpty && got == want)
+      // State EVICTION: the range condition is interval arithmetic directly
+      // on the watermarked timestamp columns, so StreamingJoinHelper derives
+      // a state watermark and buffered rows age out (a unix_micros() form is
+      // opaque to it and state grows unboundedly — the round-6 advisor
+      // finding). One more batch at the stream tail re-evaluates the
+      // watermark; the surviving join state must then be a ~15-minute
+      // suffix of the month-long input, not the whole history.
+      val totalIn = errs.size + buys.size
+      val maxTs = tsOf(raw.map(_._3).max)
+      eIn.addData((-1L, maxTs)); pIn.addData((-2L, maxTs)); drain(query)
+      val stateRows = query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows < totalIn / 2,
+        s"join state must be evicted by the watermark: $stateRows rows buffered vs $totalIn input rows")
     } finally query.stop()
   }
 }
