@@ -17,12 +17,21 @@ final case class BudgetSnapshot(
     shuffleWriteBytes: Long,
     memorySpillBytes: Long,
     diskSpillBytes: Long,
-    peakExecMem: Long) {
+    peakExecMem: Long,
+    maxTaskShuffleRead: Long = 0L) {
+  /** Share of ALL shuffle-read bytes consumed by the single hungriest
+    * task — the straggler/skew signal: a balanced stage sits near
+    * 1/parallelism, a hot-key stage near the hot key's row share
+    * (SkewRehearsalSpec asserts on this under Zipf input). */
+  def maxTaskShuffleShare: Double =
+    if (shuffleReadBytes == 0) 0.0
+    else maxTaskShuffleRead.toDouble / shuffleReadBytes
   def pretty: String = {
     def mb(b: Long): String = f"${b / 1048576.0}%.1fMB"
     s"tasks=$tasks input=${mb(inputBytes)} shufR=${mb(shuffleReadBytes)} " +
       s"shufW=${mb(shuffleWriteBytes)} spillMem=${mb(memorySpillBytes)} " +
-      s"spillDisk=${mb(diskSpillBytes)} peakTaskMem=${mb(peakExecMem)}"
+      s"spillDisk=${mb(diskSpillBytes)} peakTaskMem=${mb(peakExecMem)} " +
+      f"maxTaskShufR=${mb(maxTaskShuffleRead)} (${maxTaskShuffleShare}%.2f)"
   }
 }
 
@@ -43,6 +52,7 @@ final class TaskBudgetListener extends SparkListener {
   private val memSpill = new AtomicLong
   private val diskSpill = new AtomicLong
   private val peak = new AtomicLong
+  private val maxShufR = new AtomicLong
 
   override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
     val m = t.taskMetrics
@@ -54,18 +64,19 @@ final class TaskBudgetListener extends SparkListener {
       memSpill.addAndGet(m.memoryBytesSpilled)
       diskSpill.addAndGet(m.diskBytesSpilled)
       peak.getAndAccumulate(m.peakExecutionMemory, math.max(_, _))
+      maxShufR.getAndAccumulate(m.shuffleReadMetrics.totalBytesRead, math.max(_, _))
       ()
     }
   }
 
   def reset(): Unit = {
     quiesce() // drop straggler events from the previous window first
-    Seq(tasks, input, shufR, shufW, memSpill, diskSpill, peak)
+    Seq(tasks, input, shufR, shufW, memSpill, diskSpill, peak, maxShufR)
       .foreach(_.set(0L))
   }
 
   def snapshot(): BudgetSnapshot = BudgetSnapshot(tasks.get, input.get,
-    shufR.get, shufW.get, memSpill.get, diskSpill.get, peak.get)
+    shufR.get, shufW.get, memSpill.get, diskSpill.get, peak.get, maxShufR.get)
 
   /** Wait for the async listener bus to drain: poll until two consecutive
     * reads 50 ms apart agree (bounded at ~5 s). */

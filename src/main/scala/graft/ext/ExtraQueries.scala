@@ -3245,5 +3245,49 @@ object ExtraQueries {
              |    > n_rows AS capped
              |FROM fin ORDER BY source""".stripMargin),
     ),
+
+    // INCREMENTAL label-propagation communities (q183's maintained form,
+    // the q164 discipline for the mesoscale): co-purchase edges split
+    // into base and delta waves; the base graph's final labels fold the
+    // delta in via bounded re-propagation on the touched ball only
+    // (Graphs.incrementalLabelPropagation — 2R−1-hop BFS ball + the same
+    // argmin recurrence restricted to ball-incident edges). The oracle is
+    // ONE-SHOT batch LPA over ALL edges, so a pass proves incremental ≡
+    // recompute; IncrementalLpaSpec adds random-wave, bridge-merge, and
+    // dag-cycle cases.
+    QueryDef(
+      "q253_incremental_lpa",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val edges = PinnedCache.pin(li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct())
+        val base = edges.where((col("a") + col("b")) % 2 === 0)
+        val delta = edges.where((col("a") + col("b")) % 2 === 1)
+        Graphs.incrementalLabelPropagation(
+            Graphs.labelPropagation(base, rounds = 2), base, delta, rounds = 2)
+          .withColumnRenamed("lab", "label")
+          .orderBy(col("node"))
+      },
+      Some({
+        val round = (i: Int) =>
+          s"""n$i AS (
+             |  SELECT sym.b AS node, l${i - 1}.lab, COUNT(*) AS c
+             |  FROM l${i - 1} JOIN sym ON sym.a = l${i - 1}.node GROUP BY 1, 2),
+             |l$i AS (
+             |  SELECT node, lab FROM (
+             |    SELECT node, lab,
+             |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+             |    FROM n$i) WHERE rn = 1)""".stripMargin
+        s"""WITH e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+           |           FROM lineitem a JOIN lineitem b
+           |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+           |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+           |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
+           |${(1 to 2).map(round).mkString(",\n")}
+           |SELECT node, lab AS label FROM l2 ORDER BY node""".stripMargin
+      }),
+    ),
   )
 }

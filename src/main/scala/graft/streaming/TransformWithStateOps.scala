@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming._
 
 /** Spark-4-native stateful operators on `transformWithState` — keyed value
@@ -1337,6 +1337,140 @@ object TransformWithStateOps {
     implicit val outEnc: Encoder[SlidingHllRow] = Encoders.product[SlidingHllRow]
     ds.groupByKey(_.grp)(Encoders.STRING)
       .transformWithState(new SlidingHllProcessor(windowWeeks),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  final case class HourErr(hr: Long, e: Long)
+  final case class SloBurnRow(hr: Long, err: Long, tot: Long,
+      share_s_ppm: Long, share_l_ppm: Long, burn_s_centi: Long,
+      burn_l_centi: Long, alert: Boolean)
+
+  /** Streaming twin of [[graft.ext.EventFunnel.sloBurnRate]] (q251) — the
+    * multi-window multi-burn SLO monitor AS a continuous query. Exactly
+    * the (key, window) MapState shape: state is the hourly (err, tot)
+    * rollup — hours-cardinality, and PRUNED to the trailing `longW` hours
+    * under event-time-ordered arrival (an older hour can never feed a
+    * future row's trailing window), so state is ≤ longW pairs forever.
+    * Each batch absorbs its rows and re-emits the refreshed q251 row for
+    * every retained hour ≥ the batch's min hour (a trailing window reads
+    * only hours ≤ its own, so earlier rows are final); upsert-by-hr
+    * reconciles bit-exactly with the batch operator over rows seen so
+    * far — same integer chain: share ppm, burn centi, two-threshold
+    * alert. */
+  final class SloBurnProcessor(budgetPpm: Long, shortW: Int, longW: Int,
+      fastCenti: Long, slowCenti: Long)
+      extends StatefulProcessor[Int, HourErr, SloBurnRow] {
+
+    @transient private var counts: MapState[Long, (Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[Long, (Long, Long)]("counts",
+        Encoders.scalaLong, Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[HourErr],
+        timerValues: TimerValues): Iterator[SloBurnRow] = {
+      var minB = Long.MaxValue
+      rows.foreach { r =>
+        val (e, t) = if (counts.containsKey(r.hr)) counts.getValue(r.hr)
+          else (0L, 0L)
+        counts.updateValue(r.hr, (e + r.e, t + 1L))
+        if (r.hr < minB) minB = r.hr
+      }
+      if (minB == Long.MaxValue) return Iterator.empty
+      val state = counts.iterator().toArray.sortBy(_._1)
+      val maxH = state.last._1
+      val out = state.iterator
+        .filter { case (h, _) => h >= minB }
+        .map { case (h, (err, tot)) =>
+          var (errS, totS, errL, totL) = (0L, 0L, 0L, 0L)
+          state.foreach { case (h2, (e2, t2)) =>
+            if (h2 <= h && h2 > h - shortW) { errS += e2; totS += t2 }
+            if (h2 <= h && h2 > h - longW) { errL += e2; totL += t2 }
+          }
+          val shareS = errS * 1000000L / totS
+          val shareL = errL * 1000000L / totL
+          val burnS = shareS * 100L / budgetPpm
+          val burnL = shareL * 100L / budgetPpm
+          SloBurnRow(h, err, tot, shareS, shareL, burnS, burnL,
+            burnS >= fastCenti && burnL >= slowCenti)
+        }.toArray
+      // prune: hours at or below maxH - longW can't feed any trailing
+      // window an event-time-ordered future batch will emit
+      state.foreach { case (h, _) =>
+        if (h <= maxH - longW) counts.removeKey(h)
+      }
+      out.iterator
+    }
+  }
+
+  def streamingSloBurnRate(ds: Dataset[HourErr], budgetPpm: Long,
+      shortW: Int, longW: Int, fastCenti: Long,
+      slowCenti: Long): Dataset[SloBurnRow] = {
+    require(budgetPpm > 0 && shortW >= 1 && longW >= shortW)
+    implicit val outEnc: Encoder[SloBurnRow] = Encoders.product[SloBurnRow]
+    ds.groupByKey(_ => 0)(Encoders.scalaInt)
+      .transformWithState(
+        new SloBurnProcessor(budgetPpm, shortW, longW, fastCenti, slowCenti),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  final case class SrcStatus(source: String, status: String)
+  final case class DiffCountRow(source: String, status: String, n_docs: Long)
+
+  /** Per-(source, status) running counter behind
+    * [[streamingSnapshotDiff]] — one long of state per occupied cell. */
+  final class DiffCountProcessor
+      extends StatefulProcessor[(String, String), SrcStatus, DiffCountRow] {
+
+    @transient private var n: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, String), rows: Iterator[SrcStatus],
+        timerValues: TimerValues): Iterator[DiffCountRow] = {
+      var c = 0L
+      rows.foreach(_ => c += 1L)
+      if (c == 0L) return Iterator.empty
+      val cur = (if (n.exists()) n.get() else 0L) + c
+      n.update(cur)
+      Iterator.single(DiffCountRow(key._1, key._2, cur))
+    }
+  }
+
+  /** Streaming twin of the q227 corpus snapshot diff — the release
+    * provenance report maintained continuously as documents stream in.
+    * The batch form diffs two derived views with a full-outer join; but
+    * each doc's (status) cell is decidable FROM THE DOC ALONE (view
+    * membership from its id hash, content change by digest comparison —
+    * the same Column expressions as q227), so the stream needs no join
+    * at all: a stateless classification followed by a keyed running
+    * count. State = one long per (source, status) cell — a ≤
+    * sources×4-row living report; upsert-by-(source, status) reconciles
+    * with the batch operator over docs seen so far at EVERY batch
+    * boundary, not just the end. */
+  def streamingSnapshotDiff(docs: DataFrame): Dataset[DiffCountRow] = {
+    import org.apache.spark.sql.functions._
+    val h = graft.ext.Sampling.portableHash(col("doc_id"))
+    val in1 = pmod(h, lit(10)) =!= 0
+    val in2 = pmod(h, lit(13)) =!= 0
+    val d1 = md5(col("text"))
+    val d2 = md5(when(pmod(h, lit(7)) === 0,
+      concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+    val classified = docs
+      .where(in1 || in2)
+      .select(col("source"),
+        when(!in1, "added")
+          .when(!in2, "removed")
+          .when(d1 =!= d2, "changed")
+          .otherwise("unchanged").as("status"))
+    implicit val inEnc: Encoder[SrcStatus] = Encoders.product[SrcStatus]
+    implicit val outEnc: Encoder[DiffCountRow] = Encoders.product[DiffCountRow]
+    classified.as[SrcStatus]
+      .groupByKey(r => (r.source, r.status))(
+        Encoders.tuple(Encoders.STRING, Encoders.STRING))
+      .transformWithState(new DiffCountProcessor,
         TimeMode.None(), OutputMode.Update())
   }
 }

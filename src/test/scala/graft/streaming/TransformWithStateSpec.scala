@@ -993,4 +993,110 @@ class TransformWithStateSpec extends AnyFunSuite {
       batch.foreach { case (k, want) => assert(latest(k) == want, s"row $k") }
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streamingSloBurnRate: upsert-by-hr rows equal the batch q251 monitor, mid-stream and final") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{HourErr, SloBurnRow}
+      val epochNs = 1704067200000000000L
+      // event-time-ordered arrival (the priming contract); splits are
+      // deliberately NOT hour-aligned so state carries mid-hour counts
+      val rows = graft.replay.TsNanos.normalize(
+          spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+        .select(expr(s"((ts - ${epochNs}L) - pmod(ts - ${epochNs}L, 3600000000000L))" +
+            " div 3600000000000L").as("hr"),
+          (col("event_type") === "error").cast("long").as("e"))
+        .orderBy(col("hr"))
+        .as[(Long, Long)].collect().toSeq
+        .map(t => HourErr(t._1, t._2))
+
+      def reference(seq: Seq[HourErr]): Map[Long, SloBurnRow] = {
+        val byHr = seq.groupBy(_.hr).map { case (h, es) =>
+          h -> ((es.map(_.e).sum, es.size.toLong))
+        }
+        byHr.map { case (h, (err, tot)) =>
+          def win(w: Int) = {
+            val in = byHr.filter { case (h2, _) => h2 <= h && h2 > h - w }
+            (in.valuesIterator.map(_._1).sum, in.valuesIterator.map(_._2).sum)
+          }
+          val (es, ts) = win(6); val (el, tl) = win(24)
+          val shareS = es * 1000000L / ts; val shareL = el * 1000000L / tl
+          val burnS = shareS * 100L / 200000L; val burnL = shareL * 100L / 200000L
+          h -> SloBurnRow(h, err, tot, shareS, shareL, burnS, burnL,
+            burnS >= 110L && burnL >= 103L)
+        }
+      }
+
+      val latest = scala.collection.mutable.Map[Long, SloBurnRow]()
+      val input = MemoryStream[HourErr]
+      val query = TransformWithStateOps.streamingSloBurnRate(input.toDS(),
+          budgetPpm = 200000L, shortW = 6, longW = 24,
+          fastCenti = 110L, slowCenti = 103L)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[SloBurnRow], _: Long) =>
+          df.collect().foreach(r => latest(r.hr) = r); ()
+        }.start()
+      try {
+        var fed = Seq.empty[HourErr]
+        var checkedMid = false
+        rows.grouped(rows.length / 7 + 1).foreach { b =>
+          input.addData(b: _*); query.processAllAvailable()
+          fed = fed ++ b
+          // MID-stream parity: the upsert view must equal the batch
+          // operator over rows seen so far (the vocab-KL discipline)
+          if (!checkedMid && fed.length >= rows.length / 2) {
+            val want = reference(fed)
+            assert(want.nonEmpty && latest.toMap == want, "mid-stream parity")
+            checkedMid = true
+          }
+        }
+      } finally query.stop()
+
+      // final parity against the DRIVER-GATED batch query itself
+      val batch = graft.SparkEntry.queries("q251_slo_burn_rate")(
+          spark, "/root/testdata/sf0.001")
+        .collect().map(r => r.getLong(0) -> SloBurnRow(r.getLong(0),
+          r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getBoolean(7))).toMap
+      assert(batch.nonEmpty && latest.toMap == batch)
+      assert(latest.valuesIterator.exists(_.alert) ||
+        latest.valuesIterator.forall(!_.alert)) // shape sanity only
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("streamingSnapshotDiff: running (source, status) counts equal the batch q227 diff across splits") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.DiffCountRow
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("source"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+      val latest = scala.collection.mutable.Map[(String, String), Long]()
+      val input = MemoryStream[(Long, String, String)]
+      val query = TransformWithStateOps.streamingSnapshotDiff(
+          input.toDF().toDF("doc_id", "source", "text"))
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[DiffCountRow], _: Long) =>
+          df.collect().foreach(r => latest((r.source, r.status)) = r.n_docs); ()
+        }.start()
+      try {
+        // arrival order must not matter — shuffle, then split unevenly
+        scala.util.Random.shuffle(docs).grouped(docs.length / 4 + 1).foreach { b =>
+          input.addData(b: _*); query.processAllAvailable()
+        }
+      } finally query.stop()
+
+      val batch = graft.SparkEntry.queries("q227_snapshot_diff")(
+          spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(batch.nonEmpty && latest.toMap == batch)
+      assert(batch.keysIterator.map(_._2).toSet.size >= 3,
+        "diff must be non-degenerate (several statuses realized)")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
