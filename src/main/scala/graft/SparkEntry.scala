@@ -12,12 +12,19 @@ import graft.queries.{QueryDef, Relational}
   */
 object SparkEntry {
 
-  def allQueries: Seq[QueryDef] =
-    Relational.all ++ graft.ext.Ext.all ++ graft.ext.CorpusMining.queries ++
-      graft.ext.Layout.queries ++ graft.ext.Histogram.queries ++
+  def allQueries: Seq[QueryDef] = {
+    import graft.ext._
+    Relational.all ++ CorpusMining.queries ++
+      Layout.queries ++ Histogram.queries ++
       graft.operators.BloomJoin.queries ++
       graft.sources.v2.ReplayQueries.queries ++ graft.queries.DagQueries.all ++
-      graft.ext.ExtraQueries.queries
+      // the former Ext/ExtraQueries surface, split by CATALOG.md family
+      DedupQueries.queries ++ SimilarityQueries.queries ++
+      TextQueries.queries ++ SamplingQueries.queries ++
+      SketchQueries.queries ++ GraphQueries.queries ++
+      EventQueries.queries ++ OpsQueries.queries ++
+      MultimodalQueries.queries
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

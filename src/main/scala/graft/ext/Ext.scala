@@ -5,10 +5,13 @@ import graft.functions.RhpSig
 import graft.queries.QueryDef
 import graft.queries.QueryDef.tbl
 
-/** North-star extension operators (SURVEY.md §2.4) as verifiable queries:
-  * dedup (exact, MinHash-LSH near-dup, SimHash), similarity search
-  * (brute-force + LSH ANN), text analysis (lang-ID, quality, tokens,
-  * fingerprint), multimodal plumbing. */
+/** Shared oracle-SQL helpers for the north-star query surface (SURVEY.md
+  * §2.4). The QueryDefs that used to live here were split along
+  * CATALOG.md family lines in round 7 (DedupQueries, SimilarityQueries,
+  * TextQueries, SamplingQueries, SketchQueries, GraphQueries,
+  * EventQueries, OpsQueries, MultimodalQueries); these `private[ext]`
+  * helpers are the LSH/plane/verify CTE fragments those families
+  * interpolate into their DuckDB oracles. */
 object Ext {
 
   /** RHP-LSH parameters for the embedding near-dup/dedup queries, shared by
@@ -16,24 +19,24 @@ object Ext {
     * interpolated into the SQL as literals, so both engines compute the
     * exact same bucket assignments — the oracle checks the BUCKETED
     * semantics, not a brute-force approximation of them). */
-  private val LshTables = 32
-  private val LshBits = 5
+  private[ext] val LshTables = 32
+  private[ext] val LshBits = 5
   /** q30 ANN parameters (annTopK defaults): fewer bits per table than the
     * near-dup queries — ANN wants higher recall per table at the cost of
     * bigger buckets, the re-rank is per-query top-k, not all pairs. */
-  private val AnnTables = 32
-  private val AnnBits = 4
-  private val EmbDim = 64
+  private[ext] val AnnTables = 32
+  private[ext] val AnnBits = 4
+  private[ext] val EmbDim = 64
   /** q96/q97 hot-bucket cap, chosen to FIRE on the test corpus (RHP bits=5
     * buckets average |corpus|/32 ≈ 15 members at sf0.01) so the guard's
     * degraded semantics are exercised under oracle — production uses
     * [[Dedup.DefaultMaxBucketSize]]. */
-  private val GuardCap = 20
+  private[ext] val GuardCap = 20
 
   /** DuckDB SQL replica of [[TextAnalysis.quarterLog2]] over an integer
     * sub-expression `c` (token for token with the Column form; see q105's
     * oracle for the inline original). */
-  private def qlog4Sql(c: String): String =
+  private[ext] def qlog4Sql(c: String): String =
     s"""CASE WHEN length(bin($c)) - 1 <= 14
        |    THEN length(bin(($c)*($c)*($c)*($c))) - 1
        |    ELSE 4 * (length(bin($c)) - 15) +
@@ -44,7 +47,7 @@ object Ext {
 
   /** `(p, [s1,...,s64])` rows for the oracle's planes relation — generated
     * from the same [[RhpSig.planeSign]] the codegen expression uses. */
-  private def planesValuesSql(nPlanes: Int): String =
+  private[ext] def planesValuesSql(nPlanes: Int): String =
     (0 until nPlanes).map { p =>
       s"($p, [${(0 until EmbDim).map(i => RhpSig.planeSign(p, i)).mkString(",")}])"
     }.mkString(", ")
@@ -52,7 +55,7 @@ object Ext {
   /** Oracle CTEs `planes` + `sig`: the (tbl, sig) RHP bucket assignment of
     * every embedding, replicating [[Similarity.rhpBuckets]] bit-for-bit
     * (interpolated plane sign literals, LshTables × LshBits family). */
-  private def sigCtesSql: String =
+  private[ext] def sigCtesSql: String =
     s"""planes(p, s) AS (SELECT * FROM (VALUES ${planesValuesSql(LshTables * LshBits)}) v(p, s)),
        |sig AS (
        |  SELECT e.vec_id, pl.p // $LshBits AS tbl,
@@ -64,7 +67,7 @@ object Ext {
 
   /** Oracle CTEs `n` + `verified`: exact-cosine verification (>= 0.4) over
     * whatever `cand(a_id, b_id)` CTE precedes them. */
-  private def verifyCtesSql: String =
+  private[ext] def verifyCtesSql: String =
     s"""n AS (
        |  SELECT vec_id, label, embedding,
        |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
@@ -83,3918 +86,11 @@ object Ext {
   /** Shared oracle CTEs: bucket signatures, distinct within-bucket candidate
     * pairs, and exact verification — the SQL replica of
     * [[Similarity.cosineNearDupPairsLsh]]'s (unguarded) bucketing. */
-  private def lshCtesSql: String =
+  private[ext] def lshCtesSql: String =
     s"""$sigCtesSql,
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
        |  FROM sig a JOIN sig b
        |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id),
        |$verifyCtesSql""".stripMargin
-
-  def all: Seq[QueryDef] = Seq(
-
-    // Exact dedup: hash-groupBy on the full value, min-id survivor.
-    QueryDef(
-      "q24_dedup_exact",
-      (s, dir) => Dedup.exactDedupStats(tbl(s, dir, "documents"), "text", "doc_id")
-        .orderBy(col("keep_id")),
-      Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt FROM documents
-             |GROUP BY text ORDER BY keep_id""".stripMargin),
-    ),
-
-    // Fingerprint: md5 identical across engines.
-    QueryDef(
-      "q25_fingerprint",
-      (s, dir) => tbl(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-        .orderBy(col("doc_id")),
-      Some("SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"),
-    ),
-
-    // Near-dup via MinHash-LSH banding + exact 3-shingle Jaccard verify;
-    // oracle is the brute-force O(n^2) pair scan.
-    QueryDef(
-      "q26_jaccard_pairs",
-      (s, dir) => Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
-        .orderBy(col("a_id"), col("b_id")),
-      Some("""WITH sh AS (
-             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
-             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
-             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
-             |  WHERE len(tokens) >= 3)
-             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             |  ROUND(CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-             |        / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 6) AS jaccard
-             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-             |      / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5
-             |ORDER BY a_id, b_id""".stripMargin),
-    ),
-
-    // 16-bit SimHash per document (portable md5-derived token hashes).
-    QueryDef(
-      "q27_simhash",
-      (s, dir) => tbl(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.simhash16("text").as("simhash"))
-        .orderBy(col("doc_id")),
-      Some("""SELECT doc_id,
-             |  list_sum([CASE WHEN list_sum([CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END
-             |                                FOR h IN hashes]) > 0
-             |            THEN (1::BIGINT << i) ELSE 0 END
-             |            FOR i IN generate_series(0, 15)])::BIGINT AS simhash
-             |FROM (SELECT doc_id,
-             |        [CAST(('0x' || substring(md5(t),1,15)) AS BIGINT)
-             |         FOR t IN list_distinct(string_split(text,' '))] AS hashes
-             |      FROM documents)
-             |ORDER BY doc_id""".stripMargin),
-    ),
-
-    // Brute-force cosine top-5 for 10 query vectors.
-    QueryDef(
-      "q28_cosine_topk",
-      (s, dir) => {
-        val emb = tbl(s, dir, "embeddings")
-        Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), "embedding", "vec_id", 5)
-          .orderBy(col("qid"), col("sim").desc, col("nid"))
-      },
-      Some("""WITH n AS (
-             |  SELECT vec_id, embedding,
-             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
-             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
-             |  FROM embeddings),
-             |sims AS (
-             |  SELECT q.vec_id AS qid, c.vec_id AS nid,
-             |    list_sum([CAST(q.embedding[i] AS DOUBLE)*c.embedding[i]
-             |              FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*c.nrm) AS sim
-             |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id != c.vec_id)
-             |SELECT qid, nid, sim FROM (
-             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
-             |  FROM sims) WHERE rk <= 5
-             |ORDER BY qid, sim DESC, nid""".stripMargin),
-    ),
-
-    // Embedding near-dup pairs (cosine >= 0.4) — the EXACT small-n
-    // reference mode (O(n^2) by definition; the scale path is
-    // q42_embedding_neardup_lsh and the LSH-routed q41 pipeline).
-    QueryDef(
-      "q29_cosine_neardup",
-      (s, dir) => Similarity.cosineNearDupPairsExact(
-          tbl(s, dir, "embeddings"), "embedding", "vec_id", 0.4)
-        .orderBy(col("a_id"), col("b_id")),
-      Some("""WITH n AS (
-             |  SELECT vec_id, embedding,
-             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
-             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
-             |  FROM embeddings)
-             |SELECT a_id, b_id, cos_sim FROM (
-             |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-             |    list_sum([CAST(a.embedding[i] AS DOUBLE)*b.embedding[i]
-             |              FOR i IN generate_series(1,len(a.embedding))])/(a.nrm*b.nrm) AS cos_sim
-             |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-             |WHERE cos_sim >= 0.4 ORDER BY a_id, b_id""".stripMargin),
-    ),
-
-    // Approximate ANN via random-hyperplane LSH buckets. Approximate vs the
-    // exact answer (recall@5 gated >= 0.9 in RhpSigSpec, measured 0.984) —
-    // but DETERMINISTIC given the planes, so the oracle replicates the
-    // bucket assignment + re-rank bit-for-bit (the q42 pattern): plane sign
-    // literals interpolated into the SQL, candidates = within-bucket only,
-    // exact cosine re-rank with the same (sim DESC, nid) tie-break.
-    QueryDef(
-      "q30_ann_topk",
-      (s, dir) => {
-        val emb = tbl(s, dir, "embeddings")
-        Similarity.annTopK(emb, emb.where(col("vec_id") < 50), "embedding", "vec_id", 5,
-            tables = AnnTables, bitsPerTable = AnnBits)
-          .orderBy(col("qid"), col("sim").desc, col("nid"))
-      },
-      Some(s"""WITH planes(p, s) AS (SELECT * FROM (VALUES ${planesValuesSql(AnnTables * AnnBits)}) v(p, s)),
-              |sig AS (
-              |  SELECT e.vec_id, pl.p // $AnnBits AS tbl,
-              |    SUM(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE) * pl.s[i]
-              |                            FOR i IN generate_series(1, len(e.embedding))]) > 0
-              |             THEN (1::BIGINT << (pl.p % $AnnBits)) ELSE 0::BIGINT END) AS sig
-              |  FROM embeddings e, planes pl
-              |  GROUP BY e.vec_id, pl.p // $AnnBits),
-              |n AS (
-              |  SELECT vec_id, embedding,
-              |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
-              |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
-              |  FROM embeddings),
-              |cand AS (
-              |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
-              |  FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.sig = c.sig
-              |  WHERE q.vec_id < 50 AND q.vec_id != c.vec_id),
-              |sims AS (
-              |  SELECT cand.qid, cand.nid,
-              |    list_sum([CAST(nq.embedding[i] AS DOUBLE)*nc.embedding[i]
-              |              FOR i IN generate_series(1,len(nq.embedding))])/(nq.nrm*nc.nrm) AS sim
-              |  FROM cand
-              |  JOIN n nq ON nq.vec_id = cand.qid
-              |  JOIN n nc ON nc.vec_id = cand.nid)
-              |SELECT qid, nid, sim FROM (
-              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
-              |  FROM sims) WHERE rk <= 5
-              |ORDER BY qid, sim DESC, nid""".stripMargin),
-    ),
-
-    // Language-ID heuristic (stopword-hit ratio).
-    QueryDef(
-      "q31_langid",
-      (s, dir) => {
-        val score = TextAnalysis.stopwordRatio(col("text"))
-        tbl(s, dir, "documents")
-          .select(col("doc_id"), TextAnalysis.langPred(score).as("lang_pred"),
-            round(score, 6).as("en_score"))
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""SELECT doc_id,
-              |  CASE WHEN score >= 0.05 THEN 'en' WHEN score > 0 THEN 'mixed'
-              |       ELSE 'other' END AS lang_pred,
-              |  ROUND(score, 6) AS en_score
-              |FROM (SELECT doc_id,
-              |        CAST(len(list_filter(string_split(text,' '),
-              |             w -> w IN (${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
-              |        / len(string_split(text,' ')) AS score
-              |      FROM documents)
-              |ORDER BY doc_id""".stripMargin),
-    ),
-
-    // Quality scoring: length/stopword/word-shape composite.
-    QueryDef(
-      "q32_quality",
-      (s, dir) => tbl(s, dir, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.qualityScore(col("text"), TextAnalysis.tokenCount(col("text"))).as("quality"))
-        .orderBy(col("doc_id")),
-      Some(s"""SELECT doc_id, ROUND(
-              |  LEAST(t / 50.0, 1.0) * 0.4 +
-              |  (CAST(len(list_filter(tokens, w -> w IN
-              |     (${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE) / t) * 0.3 +
-              |  CASE WHEN (c - (t - 1)) / CAST(t AS DOUBLE) BETWEEN 3 AND 8 THEN 0.3 ELSE 0.0 END,
-              |  6) AS quality
-              |FROM (SELECT doc_id, string_split(text,' ') AS tokens,
-              |             len(string_split(text,' ')) AS t, LENGTH(text) AS c
-              |      FROM documents)
-              |ORDER BY doc_id""".stripMargin),
-    ),
-
-    // Token counting rolled up per source.
-    QueryDef(
-      "q33_tokens",
-      (s, dir) => tbl(s, dir, "documents")
-        .select(col("source"), TextAnalysis.tokenCount(col("text")).as("t"))
-        .groupBy(col("source"))
-        .agg(sum(col("t")).cast("long").as("total_tokens"),
-          min(col("t")).cast("long").as("min_tokens"),
-          max(col("t")).cast("long").as("max_tokens"),
-          (sum(col("t")).cast("double") / count(lit(1))).as("avg_tokens"))
-        .orderBy(col("source")),
-      Some("""SELECT source, CAST(SUM(t) AS BIGINT) AS total_tokens,
-             |  MIN(t) AS min_tokens, MAX(t) AS max_tokens,
-             |  CAST(SUM(t) AS DOUBLE) / COUNT(*) AS avg_tokens
-             |FROM (SELECT source, len(string_split(text,' ')) AS t FROM documents)
-             |GROUP BY source ORDER BY source""".stripMargin),
-    ),
-
-    // The composed curation pipeline: lang filter -> quality filter ->
-    // exact dedup -> near-dup removal -> per-source corpus stats.
-    QueryDef(
-      "q40_curation",
-      (s, dir) => Curation.curate(tbl(s, dir, "documents"), 0.5, 0.5)
-        .orderBy(col("source")),
-      Some(s"""WITH base AS (
-              |  SELECT doc_id, text, source, string_split(text,' ') AS tokens,
-              |    len(string_split(text,' ')) AS t, LENGTH(text) AS c
-              |  FROM documents),
-              |scored AS (
-              |  SELECT doc_id, text, source, t, tokens,
-              |    CAST(len(list_filter(tokens, w -> w IN (${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)/t AS sr,
-              |    ROUND(LEAST(t/50.0,1.0)*0.4 +
-              |      (CAST(len(list_filter(tokens, w -> w IN (${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)/t)*0.3 +
-              |      CASE WHEN (c-(t-1))/CAST(t AS DOUBLE) BETWEEN 3 AND 8 THEN 0.3 ELSE 0.0 END, 6) AS quality
-              |  FROM base),
-              |filtered AS (
-              |  SELECT * FROM scored WHERE sr >= 0.05 AND quality >= 0.5),
-              |exact_kept AS (
-              |  SELECT * FROM filtered
-              |  WHERE doc_id IN (SELECT MIN(doc_id) FROM filtered GROUP BY text)),
-              |sh AS (
-              |  SELECT doc_id,
-              |    list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
-              |                   FOR i IN generate_series(1, len(tokens)-2)]) AS s
-              |  FROM exact_kept WHERE len(tokens) >= 3),
-              |dropped AS (
-              |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-              |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
-              |kept AS (SELECT * FROM exact_kept
-              |         WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
-              |SELECT source, COUNT(*) AS kept_docs, CAST(SUM(t) AS BIGINT) AS kept_tokens,
-              |  MIN(doc_id) AS first_doc
-              |FROM kept GROUP BY source ORDER BY source""".stripMargin),
-    ),
-
-    // Embedding near-dup pairs via RHP-LSH buckets — the scale path: the
-    // exact-verify stage only ever compares within (table, signature)
-    // buckets. The oracle replicates the bucketing bit-for-bit (interpolated
-    // plane literals), so this checks the LSH semantics exactly. Recall vs
-    // the exact pair set: 59/59 at sf0.01, ~0.976 at sf0.1 (RhpSigSpec).
-    QueryDef(
-      "q42_embedding_neardup_lsh",
-      (s, dir) => Similarity.cosineNearDupPairsLsh(
-          tbl(s, dir, "embeddings"), "embedding", "vec_id", 0.4, LshTables, LshBits)
-        .orderBy(col("a_id"), col("b_id")),
-      Some(s"""WITH $lshCtesSql
-              |SELECT a_id, b_id, cos_sim FROM verified
-              |ORDER BY a_id, b_id""".stripMargin),
-    ),
-
-    // Embedding-space dedup, LSH-routed: drop the higher id of every
-    // within-bucket cosine>=0.4 pair, report per-label survivors. No
-    // all-pairs join anywhere in the pipeline.
-    QueryDef(
-      "q41_embedding_dedup",
-      (s, dir) => {
-        val emb = tbl(s, dir, "embeddings")
-        val pairs = Similarity.cosineNearDupPairsLsh(
-          emb, "embedding", "vec_id", 0.4, LshTables, LshBits)
-        emb.join(pairs.select(col("b_id").as("vec_id")).distinct(), Seq("vec_id"), "left_anti")
-          .groupBy(col("label"))
-          .agg(count(lit(1)).as("kept_vecs"), min(col("vec_id")).as("first_vec"))
-          .orderBy(col("label"))
-      },
-      Some(s"""WITH $lshCtesSql,
-              |dropped AS (SELECT DISTINCT b_id AS vec_id FROM verified)
-              |SELECT label, COUNT(*) AS kept_vecs, MIN(vec_id) AS first_vec
-              |FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
-              |GROUP BY label ORDER BY label""".stripMargin),
-    ),
-
-    // IVF-flat ANN: map-side centroid assignment (broadcast), nprobe=2
-    // probing, exact re-rank inside inverted lists. Deterministic given the
-    // centroid set (the 16 lowest-id vectors), so fully oracle-backed —
-    // the oracle recomputes centroids from the data and replicates the
-    // assignment tie-break exactly.
-    QueryDef(
-      "q43_ivf_topk",
-      (s, dir) => {
-        val emb = tbl(s, dir, "embeddings")
-        Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), "embedding", "vec_id",
-            k = 3, numCentroids = 16, nprobe = 2)
-          .orderBy(col("qid"), col("sim").desc, col("nid"))
-      },
-      Some("""WITH n AS (
-             |  SELECT vec_id, embedding,
-             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
-             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
-             |  FROM embeddings),
-             |cents AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
-             |corpus_assign AS (
-             |  SELECT nid, cid FROM (
-             |    SELECT x.vec_id AS nid, c.cid,
-             |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-             |        (list_sum([CAST(x.embedding[i] AS DOUBLE)*c.cv[i]
-             |                   FOR i IN generate_series(1,len(x.embedding))])/(x.nrm*c.cnrm)) DESC,
-             |        c.cid) AS crk
-             |    FROM n x CROSS JOIN cents c) WHERE crk = 1),
-             |probes AS (
-             |  SELECT qid, cid FROM (
-             |    SELECT q.vec_id AS qid, c.cid,
-             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-             |        (list_sum([CAST(q.embedding[i] AS DOUBLE)*c.cv[i]
-             |                   FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*c.cnrm)) DESC,
-             |        c.cid) AS crk
-             |    FROM n q CROSS JOIN cents c WHERE q.vec_id < 10) WHERE crk <= 2),
-             |cand AS (
-             |  SELECT DISTINCT p.qid, a.nid
-             |  FROM probes p JOIN corpus_assign a ON a.cid = p.cid WHERE p.qid != a.nid),
-             |sims AS (
-             |  SELECT c.qid, c.nid,
-             |    list_sum([CAST(q.embedding[i] AS DOUBLE)*x.embedding[i]
-             |              FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*x.nrm) AS sim
-             |  FROM cand c JOIN n q ON q.vec_id = c.qid JOIN n x ON x.vec_id = c.nid)
-             |SELECT qid, nid, sim FROM (
-             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
-             |  FROM sims) WHERE rk <= 3
-             |ORDER BY qid, sim DESC, nid""".stripMargin),
-    ),
-
-    // Near-dup CLUSTERS: LSH pairs -> connected components (min-label
-    // propagation) -> one row per multi-member cluster. The principled
-    // survivor rule (pair-wise drops are not transitive); oracle computes
-    // the same components with a recursive CTE.
-    QueryDef(
-      "q44_neardup_clusters",
-      (s, dir) => Dedup.nearDupClusters(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
-        .orderBy(col("root_id")),
-      Some("""WITH RECURSIVE sh AS (
-             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
-             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
-             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
-             |  WHERE len(tokens) >= 3),
-             |pairs AS (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-             |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
-             |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-             |          UNION SELECT b_id, a_id FROM pairs),
-             |r(id, m) AS (
-             |  SELECT src, src FROM edges
-             |  UNION
-             |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.m),
-             |labels AS (SELECT id, MIN(m) AS root_id FROM r GROUP BY id)
-             |SELECT root_id, COUNT(*) AS members FROM labels
-             |GROUP BY root_id ORDER BY root_id""".stripMargin),
-    ),
-
-    // Deterministic train/val/test split audit: membership is a pure
-    // function of a portable content hash — reproducible across engines,
-    // runs and repartitionings (what a dataset release needs).
-    QueryDef(
-      "q45_split_stats",
-      (s, dir) => Sampling.splitStats(tbl(s, dir, "documents"), "doc_id", 80, 10)
-        .orderBy(col("source"), col("split")),
-      Some("""SELECT source, split, COUNT(*) AS docs,
-             |  CAST(SUM(t) AS BIGINT) AS tokens, MIN(doc_id) AS first_doc
-             |FROM (SELECT source, doc_id, len(string_split(text,' ')) AS t,
-             |        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
-             |             ELSE 'test' END AS split
-             |      FROM (SELECT *,
-             |              CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS b
-             |            FROM documents))
-             |GROUP BY source, split ORDER BY source, split""".stripMargin),
-    ),
-
-    // BPE-ish subword token estimate vs whitespace tokens, per source.
-    QueryDef(
-      "q46_subword_tokens",
-      (s, dir) => tbl(s, dir, "documents")
-        .select(col("source"),
-          TextAnalysis.subwordTokenCount(col("text")).cast("long").as("st"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("wt"))
-        .groupBy(col("source"))
-        .agg(sum(col("st")).cast("long").as("subword_tokens"),
-          sum(col("wt")).cast("long").as("ws_tokens"),
-          (sum(col("st")).cast("double") / sum(col("wt"))).as("ratio"))
-        .orderBy(col("source")),
-      Some(s"""SELECT source, CAST(SUM(st) AS BIGINT) AS subword_tokens,
-              |  CAST(SUM(wt) AS BIGINT) AS ws_tokens,
-              |  CAST(SUM(st) AS DOUBLE)/SUM(wt) AS ratio
-              |FROM (SELECT source,
-              |        len(regexp_extract_all(text, '${TextAnalysis.SubwordPattern}')) AS st,
-              |        len(string_split(text,' ')) AS wt
-              |      FROM documents)
-              |GROUP BY source ORDER BY source""".stripMargin),
-    ),
-
-    // EXACT subword tokenization (greedy longest-match over a merges
-    // vocabulary — WordPiece inference with single-char fallback), the
-    // precise counterpart to q46's regex ESTIMATOR for token-budget math.
-    // Map-only with the merges as closure-held model state; the oracle
-    // replays the same greedy loop as a recursive CTE over the same
-    // vocabulary literals (the RhpSig interpolate-the-model pattern).
-    QueryDef(
-      "q117_wordpiece_counts",
-      (s, dir) => Tokenize.wordpieceCounts(s, tbl(s, dir, "documents"),
-          "text", "doc_id")
-        .toDF().orderBy(col("doc_id")),
-      Some(Tokenize.oracleSqlFor(Tokenize.DefaultMerges)),
-    ),
-
-    // Within-doc repetition ratio (duplicate 3-gram fraction) — the
-    // Gopher-style boilerplate/spam signal. Map-only integer rationals.
-    QueryDef(
-      "q47_repetition",
-      (s, dir) => tbl(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .select(col("doc_id"), TextAnalysis.ngramsFromTokens("t", 3).as("g"))
-        .select(col("doc_id"),
-          size(col("g")).cast("long").as("total_ngrams"),
-          size(array_distinct(col("g"))).cast("long").as("distinct_ngrams"),
-          when(size(col("g")) > 0,
-            lit(1.0) - size(array_distinct(col("g"))).cast("double") / size(col("g")))
-            .otherwise(0.0).as("rep_ratio"))
-        .orderBy(col("doc_id")),
-      Some("""SELECT doc_id, len(g) AS total_ngrams,
-             |  len(list_distinct(g)) AS distinct_ngrams,
-             |  CASE WHEN len(g) > 0
-             |       THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE)/len(g)
-             |       ELSE 0.0 END AS rep_ratio
-             |FROM (SELECT doc_id,
-             |        [t[i]||' '||t[i+1]||' '||t[i+2]
-             |         FOR i IN generate_series(1, len(t)-2)] AS g
-             |      FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents))
-             |ORDER BY doc_id""".stripMargin),
-    ),
-
-    // Benchmark decontamination: training docs sharing any 3-gram with the
-    // src0 "benchmark" slice. Benchmark n-grams broadcast; training corpus
-    // filtered map-side — no shuffle of text payloads.
-    QueryDef(
-      "q48_decontaminate",
-      (s, dir) => {
-        val docs = tbl(s, dir, "documents")
-        Dedup.contaminatedDocs(
-          docs.where(col("source") =!= "src0"),
-          docs.where(col("source") === "src0"),
-          "text", "doc_id")
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH g AS (
-             |  SELECT doc_id, source,
-             |    list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
-             |                   FOR i IN generate_series(1, len(t)-2)]) AS gs
-             |  FROM (SELECT doc_id, source, string_split(text,' ') AS t FROM documents)),
-             |b AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE source = 'src0'),
-             |t AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE source != 'src0')
-             |SELECT doc_id, COUNT(*) AS matched_ngrams
-             |FROM t JOIN b USING (gram)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-    ),
-
-    // Exact per-source token-count quantiles via rank positions — integer
-    // decisions only, so bit-exact across engines (percentile_cont-style
-    // interpolation is not).
-    QueryDef(
-      "q49_token_quantiles",
-      (s, dir) => CorpusStats.exactQuantiles(tbl(s, dir, "documents"), "source",
-          TextAnalysis.tokenCount(col("text")), Seq(0.5, 0.9, 0.99))
-        .orderBy(col("source")),
-      Some("""WITH x AS (SELECT source, len(string_split(text,' ')) AS v FROM documents),
-             |r AS (SELECT source, v,
-             |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rn,
-             |        COUNT(*) OVER (PARTITION BY source) AS n FROM x)
-             |SELECT source, MAX(n) AS n,
-             |  MAX(CASE WHEN rn = ceil(0.5*n) THEN v END) AS p50,
-             |  MAX(CASE WHEN rn = ceil(0.9*n) THEN v END) AS p90,
-             |  MAX(CASE WHEN rn = ceil(0.99*n) THEN v END) AS p99
-             |FROM r GROUP BY source ORDER BY source""".stripMargin),
-    ),
-
-    // Sequence chunking: docs split into 16-token training chunks, content
-    // fingerprinted. Pure map work (HOF explode, no shuffle).
-    QueryDef(
-      "q50_chunking",
-      (s, dir) => Packing.chunkTokens(tbl(s, dir, "documents"), "text", "doc_id", 16)
-        .orderBy(col("doc_id"), col("chunk_id")),
-      Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-             |e AS (SELECT doc_id, t,
-             |        unnest(generate_series(1, (len(t)+15)//16)) AS i
-             |      FROM d WHERE len(t) > 0)
-             |SELECT doc_id, i-1 AS chunk_id,
-             |  LEAST(len(t) - (i-1)*16, 16) AS chunk_tokens,
-             |  md5(array_to_string(t[(i-1)*16+1 : LEAST(len(t), i*16)], ' ')) AS chunk_md5
-             |FROM e ORDER BY doc_id, chunk_id""".stripMargin),
-    ),
-
-    // Greedy in-order sequence packing: chunks fill 64-token bins per
-    // source; bin = floor(running tokens before / budget) — deterministic,
-    // one (source,int)-keyed shuffle.
-    QueryDef(
-      "q51_packing",
-      (s, dir) => {
-        val docs = tbl(s, dir, "documents")
-        val chunks = Packing.chunkTokens(docs, "text", "doc_id", 16)
-          .join(docs.select(col("doc_id"), col("source")), "doc_id")
-        Packing.packBins(chunks, col("source"), 64)
-          .orderBy(col("grp"), col("bin_id"))
-      },
-      Some("""WITH d AS (SELECT doc_id, source, string_split(text,' ') AS t FROM documents),
-             |e AS (SELECT doc_id, source, t,
-             |        unnest(generate_series(1, (len(t)+15)//16)) AS i
-             |      FROM d WHERE len(t) > 0),
-             |c AS (
-             |  SELECT source, doc_id, i-1 AS chunk_id,
-             |    LEAST(len(t) - (i-1)*16, 16) AS chunk_tokens
-             |  FROM e),
-             |r AS (SELECT source, chunk_tokens,
-             |        SUM(chunk_tokens) OVER (PARTITION BY source
-             |          ORDER BY doc_id, chunk_id) AS cum FROM c)
-             |SELECT source AS grp, CAST((cum - chunk_tokens) // 64 AS BIGINT) AS bin_id,
-             |  COUNT(*) AS n_chunks, CAST(SUM(chunk_tokens) AS BIGINT) AS bin_tokens
-             |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-    ),
-
-    // Corpus mixture: stratified downsampling (src0 keeps 40%, src1 60%)
-    // composed with integer upsampling weights (src2 x3, src3 x2) — the
-    // deterministic data-mixing op. All counts integer; membership is the
-    // portable hash, replicated exactly oracle-side.
-    QueryDef(
-      "q56_mixture",
-      (s, dir) => {
-        val docs = tbl(s, dir, "documents")
-        val sampled = Sampling.stratifiedSample(docs, "doc_id", "source",
-          Map("src0" -> 40, "src1" -> 60))
-        Sampling.upsample(sampled, "source", Map("src2" -> 3, "src3" -> 2))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("rows_out"),
-            countDistinct(col("doc_id")).as("docs_kept"),
-            sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("tokens_out"))
-          .orderBy(col("source"))
-      },
-      Some("""WITH kept AS (
-             |  SELECT * FROM documents
-             |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100
-             |        < CASE source WHEN 'src0' THEN 40 WHEN 'src1' THEN 60 ELSE 100 END),
-             |up AS (
-             |  SELECT *, unnest(generate_series(1,
-             |    CASE source WHEN 'src2' THEN 3 WHEN 'src3' THEN 2 ELSE 1 END)) AS copy
-             |  FROM kept)
-             |SELECT source, COUNT(*) AS rows_out,
-             |  COUNT(DISTINCT doc_id) AS docs_kept,
-             |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS tokens_out
-             |FROM up GROUP BY source ORDER BY source""".stripMargin),
-    ),
-
-    // Lexical commonness: per-doc average token document-frequency (the
-    // rational-arithmetic cousin of unigram surprisal — rare-token/garbage
-    // docs score low). TF-DF join shape: token-keyed df + doc-keyed rollup.
-    QueryDef(
-      "q55_commonness",
-      (s, dir) => CorpusStats.commonnessScore(tbl(s, dir, "documents"), "text", "doc_id")
-        .orderBy(col("doc_id")),
-      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
-             |            FROM documents),
-             |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
-             |n AS (SELECT COUNT(*) AS total FROM documents)
-             |SELECT doc_id, CAST(SUM(df) AS BIGINT) AS df_sum,
-             |  COUNT(*) AS n_tokens,
-             |  CAST(SUM(df) AS DOUBLE)/(COUNT(*)*(SELECT total FROM n)) AS commonness
-             |FROM tok JOIN df USING (w)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-    ),
-
-    // Per-doc lexical diversity (type-token + hapax ratios) — the
-    // remaining standard text-quality signal. Integer rationals.
-    QueryDef(
-      "q59_lexical_diversity",
-      (s, dir) => CorpusStats.lexicalDiversity(tbl(s, dir, "documents"), "text", "doc_id")
-        .orderBy(col("doc_id")),
-      Some("""WITH tf AS (
-             |  SELECT doc_id, w, COUNT(*) AS c
-             |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
-             |  GROUP BY doc_id, w)
-             |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
-             |  COUNT(*) AS n_types,
-             |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-             |  CAST(COUNT(*) AS DOUBLE)/SUM(c) AS ttr,
-             |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)/SUM(c) AS hapax_ratio
-             |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-    ),
-
-    // Embedding outlier signal: cosine to the corpus centroid (decimal-
-    // accumulated per-dim means — partitioning-independent), flagged at a
-    // fixed threshold. Map-only scan against a literal centroid.
-    QueryDef(
-      "q58_embedding_outliers",
-      (s, dir) => Similarity.centroidCosine(tbl(s, dir, "embeddings"), "embedding", "vec_id")
-        .withColumn("is_outlier", col("cos_centroid") < 0.0)
-        .orderBy(col("vec_id")),
-      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-             |px AS (SELECT vec_id, embedding,
-             |         unnest(generate_series(1, len(embedding))) AS i FROM e),
-             |m AS (SELECT i,
-             |        CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1099511627776) AS BIGINT)) AS DOUBLE)
-             |               / COUNT(*) / 1099511627776 AS mu
-             |      FROM px GROUP BY i),
-             |mv AS (SELECT list(mu ORDER BY i) AS m FROM m),
-             |mn AS (SELECT sqrt(list_sum([x*x FOR x IN m])) AS mnorm FROM mv)
-             |SELECT vec_id,
-             |  list_sum([CAST(embedding[i] AS DOUBLE)*m[i]
-             |            FOR i IN generate_series(1, len(embedding))])
-             |  / (sqrt(list_sum([CAST(x AS DOUBLE)*x FOR x IN embedding])) * mnorm)
-             |    AS cos_centroid,
-             |  (list_sum([CAST(embedding[i] AS DOUBLE)*m[i]
-             |             FOR i IN generate_series(1, len(embedding))])
-             |   / (sqrt(list_sum([CAST(x AS DOUBLE)*x FOR x IN embedding])) * mnorm)) < 0.0
-             |    AS is_outlier
-             |FROM e, mv, mn ORDER BY vec_id""".stripMargin),
-    ),
-
-    // Symmetric int8 embedding quantization audit (range / checksum /
-    // reconstruction error). Map-only; both engines do the identical
-    // double arithmetic.
-    QueryDef(
-      "q52_quantize",
-      (s, dir) => Quantization.quantizationStats(tbl(s, dir, "embeddings"),
-          "embedding", "vec_id")
-        .orderBy(col("vec_id")),
-      Some("""WITH e AS (
-             |  SELECT vec_id, embedding,
-             |    list_max([abs(x) FOR x IN embedding]) AS mx
-             |  FROM embeddings),
-             |s AS (SELECT vec_id, embedding,
-             |        CASE WHEN mx > 0 THEN 127.0 / CAST(mx AS DOUBLE) ELSE 0.0 END AS scale
-             |      FROM e),
-             |q AS (SELECT vec_id, scale, embedding,
-             |        [CAST(round(CAST(x AS DOUBLE) * scale) AS INTEGER) FOR x IN embedding] AS qv
-             |      FROM s)
-             |SELECT vec_id,
-             |  list_min(qv) AS q_min, list_max(qv) AS q_max,
-             |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
-             |  round(list_max([CASE WHEN scale > 0
-             |                    THEN abs(CAST(qv[i] AS DOUBLE)/scale - CAST(embedding[i] AS DOUBLE))
-             |                    ELSE 0.0 END
-             |                  FOR i IN generate_series(1, len(qv))]), 9) AS max_err
-             |FROM q ORDER BY vec_id""".stripMargin),
-    ),
-
-    // KMV distinct-count sketch over per-lang 3-gram vocabulary: the
-    // deterministic (partitioning- and engine-independent) alternative to
-    // approx_count_distinct, so the ESTIMATOR itself is oracle-checked.
-    // One group-keyed shuffle with bounded O(k) map-side partials; the
-    // exact countDistinct column is the accuracy audit.
-    QueryDef(
-      "q60_kmv_distinct",
-      (s, dir) => {
-        val grams = tbl(s, dir, "documents")
-          .select(col("lang"), split(col("text"), " ").as("toks"))
-          .select(col("lang"), explode(TextAnalysis.ngramsFromTokens("toks", 3)).as("g"))
-        Sketches.kmvDistinct(grams, "lang", col("g"), 512).orderBy(col("lang"))
-      },
-      Some("""WITH tok AS (SELECT lang, string_split(text,' ') AS t FROM documents),
-             |g AS (SELECT lang, unnest([t[i]||' '||t[i+1]||' '||t[i+2]
-             |                           FOR i IN generate_series(1, len(t)-2)]) AS g
-             |      FROM tok WHERE len(t) >= 3),
-             |h AS (SELECT DISTINCT lang,
-             |        CAST(('0x' || substring(md5(g),1,15)) AS BIGINT) AS h FROM g),
-             |r AS (SELECT lang, h,
-             |        row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h),
-             |a AS (SELECT lang, COUNT(DISTINCT g) AS n_exact FROM g GROUP BY lang),
-             |kth AS (SELECT lang, MAX(h) FILTER (WHERE rn = 512) AS kth_hash,
-             |               LEAST(COUNT(*), 512) AS n_sketch
-             |        FROM r WHERE rn <= 512 GROUP BY lang)
-             |SELECT a.lang, a.n_exact, kth.n_sketch, kth.kth_hash,
-             |  CASE WHEN kth.kth_hash IS NOT NULL
-             |       THEN 511.0 * 1152921504606846976.0 / kth.kth_hash
-             |       ELSE CAST(kth.n_sketch AS DOUBLE) END AS est_distinct
-             |FROM a JOIN kth USING (lang) ORDER BY lang""".stripMargin),
-    ),
-
-    // Per-group exact top-k (heavy hitters): most frequent tokens per
-    // language. The rank window runs over the (group, token) COUNT table
-    // (vocabulary-sized), never the raw token stream — the shape that
-    // survives 100 TB; deterministic tiebreak on the token itself.
-    QueryDef(
-      "q61_group_topk",
-      (s, dir) => {
-        val counts = tbl(s, dir, "documents")
-          .select(col("lang"), explode(split(col("text"), " ")).as("w"))
-          .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
-        val win = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("lang")).orderBy(col("c").desc, col("w").asc)
-        counts.withColumn("rk", row_number().over(win).cast("long"))
-          .where(col("rk") <= 5)
-          .orderBy(col("lang"), col("rk"))
-      },
-      Some("""WITH tok AS (SELECT lang, unnest(string_split(text,' ')) AS w FROM documents),
-             |c AS (SELECT lang, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
-             |r AS (SELECT lang, w, c,
-             |        row_number() OVER (PARTITION BY lang ORDER BY c DESC, w ASC) AS rk
-             |      FROM c)
-             |SELECT lang, w, c, rk FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin),
-    ),
-
-    // PII redaction audit: mask numeric identifiers in a free-text field,
-    // count hits, pseudonymize the key via the portable content hash.
-    // Pure map work inside WholeStageCodegen — a 100 TB sweep is one scan.
-    QueryDef(
-      "q62_pii_redact",
-      (s, dir) => Privacy.redactionAudit(tbl(s, dir, "customer"),
-          "c_custkey", "c_name", Privacy.NumericIdPattern, "[ID]")
-        .orderBy(col("c_custkey")),
-      Some("""SELECT c_custkey,
-             |  CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)),1,15)) AS BIGINT)
-             |    AS pseudo_id,
-             |  regexp_replace(c_name, '[0-9]{3,}', '[ID]', 'g') AS redacted,
-             |  CAST(len(regexp_extract_all(c_name, '[0-9]{3,}')) AS BIGINT) AS n_hits
-             |FROM customer ORDER BY c_custkey""".stripMargin),
-    ),
-
-    // SimHash near-dup pairs in hamming space: 60-bit signatures, 4-band
-    // blocking (recall 1.0 for dist <= 3 by pigeonhole, so the brute-force
-    // oracle matches EXACTLY), bit_count verify. The hamming-space sibling
-    // of q26's MinHash-LSH — one signature scan, one (band, slice)-keyed
-    // self-join, no all-pairs anywhere.
-    QueryDef(
-      "q63_simhash_neardup",
-      (s, dir) => Dedup.simhashNearDupPairs(tbl(s, dir, "documents"),
-          "text", "doc_id", bits = 60, bands = 4, maxDist = 3)
-        .orderBy(col("a_id"), col("b_id")),
-      Some("""WITH sig AS (
-             |  SELECT doc_id,
-             |    list_sum([CASE WHEN list_sum([CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END
-             |                                  FOR h IN hashes]) > 0
-             |              THEN (1::BIGINT << i) ELSE 0 END
-             |              FOR i IN generate_series(0, 59)])::BIGINT AS sig
-             |  FROM (SELECT doc_id,
-             |          [CAST(('0x' || substring(md5(t),1,15)) AS BIGINT)
-             |           FOR t IN list_distinct(string_split(text,' '))] AS hashes
-             |        FROM documents))
-             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-             |WHERE bit_count(xor(a.sig, b.sig)) <= 3
-             |ORDER BY a_id, b_id""".stripMargin),
-    ),
-
-    // Deterministic k-per-group sample: "random" by hash uniformity, yet a
-    // pure function of the ids — the reproducible alternative to reservoir
-    // sampling whose output survives re-partitioning and re-processing.
-    QueryDef(
-      "q64_group_sample",
-      (s, dir) => Sampling.groupSample(tbl(s, dir, "documents"), "lang", "doc_id", 20)
-        .select(col("lang"), col("doc_id"), col("rk"))
-        .orderBy(col("lang"), col("rk")),
-      Some("""WITH r AS (
-             |  SELECT lang, doc_id,
-             |    row_number() OVER (PARTITION BY lang ORDER BY
-             |      CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT),
-             |      doc_id) AS rk
-             |  FROM documents)
-             |SELECT lang, doc_id, rk FROM r WHERE rk <= 20
-             |ORDER BY lang, rk""".stripMargin),
-    ),
-
-    // Out-of-vocabulary rate per doc vs a corpus-frequency vocabulary:
-    // tokenizer-coverage signal; vocab aggregate broadcast into a map-side
-    // membership probe (the corpus never shuffles by token for the probe).
-    QueryDef(
-      "q65_oov_rate",
-      (s, dir) => CorpusStats.oovRate(tbl(s, dir, "documents"),
-          "text", "doc_id", minCount = 100L)
-        .orderBy(col("doc_id")),
-      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
-             |             FROM documents),
-             |v AS (SELECT w FROM tok GROUP BY w HAVING COUNT(*) >= 100)
-             |SELECT tok.doc_id, COUNT(*) AS n_tokens,
-             |  CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-             |  CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
-             |    AS oov_rate
-             |FROM tok LEFT JOIN v ON tok.w = v.w
-             |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin),
-    ),
-
-    // Matryoshka-truncated retrieval: exact top-5 over the first 16 of 64
-    // embedding dims — the MRL cheap first stage (map-only truncation, then
-    // the q28 shape at a quarter of the dot-product cost).
-    QueryDef(
-      "q68_matryoshka_topk",
-      (s, dir) => {
-        val emb = tbl(s, dir, "embeddings")
-        Similarity.truncatedTopK(emb, emb.where(col("vec_id") < 10),
-            "embedding", "vec_id", dims = 16, k = 5)
-          .orderBy(col("qid"), col("sim").desc, col("nid"))
-      },
-      Some("""WITH t AS (SELECT vec_id, embedding[1:16] AS embedding FROM embeddings),
-             |n AS (
-             |  SELECT vec_id, embedding,
-             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
-             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
-             |  FROM t),
-             |sims AS (
-             |  SELECT q.vec_id AS qid, c.vec_id AS nid,
-             |    list_sum([CAST(q.embedding[i] AS DOUBLE)*c.embedding[i]
-             |              FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*c.nrm) AS sim
-             |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id != c.vec_id)
-             |SELECT qid, nid, sim FROM (
-             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
-             |  FROM sims) WHERE rk <= 5
-             |ORDER BY qid, sim DESC, nid""".stripMargin),
-    ),
-
-    // The SKEW-SAFE last-by-key (two-stage salted aggregation) as a
-    // first-class query: same oracle as the plain path — salting must be
-    // invisible in results. A hot key's rows split across salt buckets
-    // map-side, so no single reducer sees the whole key.
-    QueryDef(
-      "q69_lastby_salted",
-      (s, dir) => graft.tables.TableOps.lastByKeysSalted(
-          tbl(s, dir, "events"), Seq("user_id"), Seq("ts", "event_id"))
-        .select(col("user_id"), col("event_id").as("last_event_id"),
-          col("event_type"), col("value"))
-        .orderBy(col("user_id")),
-      Some("""SELECT user_id, event_id AS last_event_id, event_type, value FROM (
-             |SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-             |FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin),
-    ),
-
-    // Incremental near-dup: new docs (source != src0) vs the existing
-    // corpus (src0) — the nightly-ingest dedup shape. Band join is
-    // new x corpus, never corpus x corpus; oracle is the brute-force
-    // cross scan.
-    QueryDef(
-      "q70_incremental_neardup",
-      (s, dir) => {
-        val docs = tbl(s, dir, "documents")
-        Dedup.incrementalNearDups(
-            docs.where(col("source") =!= "src0"),
-            docs.where(col("source") === "src0"),
-            "text", "doc_id", 0.5)
-          .orderBy(col("new_id"), col("corpus_id"))
-      },
-      Some("""WITH sh AS (
-             |  SELECT doc_id, source,
-             |    list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
-             |                   FOR i IN generate_series(1, len(tokens)-2)]) AS s
-             |  FROM (SELECT doc_id, source, string_split(text,' ') AS tokens FROM documents)
-             |  WHERE len(tokens) >= 3)
-             |SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
-             |  ROUND(CAST(len(list_intersect(n.s,c.s)) AS DOUBLE)
-             |        / (len(n.s)+len(c.s)-len(list_intersect(n.s,c.s))), 6) AS jaccard
-             |FROM sh n JOIN sh c ON n.source != 'src0' AND c.source = 'src0'
-             |WHERE CAST(len(list_intersect(n.s,c.s)) AS DOUBLE)
-             |      / (len(n.s)+len(c.s)-len(list_intersect(n.s,c.s))) >= 0.5
-             |ORDER BY new_id, corpus_id""".stripMargin),
-    ),
-
-    // Windowed cardinality monitoring: daily distinct users via the KMV
-    // sketch (estimate oracle-checked bit-for-bit) next to the exact count.
-    QueryDef(
-      "q71_daily_distinct",
-      (s, dir) => {
-        val dayNs = 86400L * 1000000000L
-        val ev = tbl(s, dir, "events")
-          .select(expr(s"ts div $dayNs").as("day"), col("user_id"))
-        Sketches.kmvDistinct(ev, "day", col("user_id"), 64).orderBy(col("day"))
-      },
-      Some("""WITH e AS (
-             |  SELECT epoch_ns(ts) // 86400000000000 AS day, user_id FROM events),
-             |h AS (SELECT DISTINCT day,
-             |        CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS h
-             |      FROM e),
-             |r AS (SELECT day, h,
-             |        row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM h),
-             |a AS (SELECT day, COUNT(DISTINCT user_id) AS n_exact FROM e GROUP BY day),
-             |kth AS (SELECT day, MAX(h) FILTER (WHERE rn = 64) AS kth_hash,
-             |               LEAST(COUNT(*), 64) AS n_sketch
-             |        FROM r WHERE rn <= 64 GROUP BY day)
-             |SELECT a.day, a.n_exact, kth.n_sketch, kth.kth_hash,
-             |  CASE WHEN kth.kth_hash IS NOT NULL
-             |       THEN 63.0 * 1152921504606846976.0 / kth.kth_hash
-             |       ELSE CAST(kth.n_sketch AS DOUBLE) END AS est_distinct
-             |FROM a JOIN kth USING (day) ORDER BY day""".stripMargin),
-    ),
-
-    // Survivor selection per near-dup cluster with a production preference:
-    // keep the LONGEST member (tiebreak lowest id) instead of min-id —
-    // the preference changes only the survivor, never the clustering.
-    QueryDef(
-      "q72_cluster_survivors",
-      (s, dir) => Dedup.clusterSurvivors(tbl(s, dir, "documents"), "text", "doc_id",
-          struct(col("n_chars"), (-col("doc_id")).as("nid")), 0.5)
-        .orderBy(col("root_id")),
-      Some("""WITH RECURSIVE sh AS (
-             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
-             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
-             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
-             |  WHERE len(tokens) >= 3),
-             |pairs AS (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-             |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
-             |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-             |          UNION SELECT b_id, a_id FROM pairs),
-             |r(id, m) AS (
-             |  SELECT src, src FROM edges
-             |  UNION
-             |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.m),
-             |labels AS (SELECT id, MIN(m) AS root_id FROM r GROUP BY id),
-             |surv AS (
-             |  SELECT l.root_id, d.doc_id,
-             |    row_number() OVER (PARTITION BY l.root_id
-             |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
-             |  FROM labels l JOIN documents d ON d.doc_id = l.id)
-             |SELECT root_id, MAX(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
-             |  COUNT(*) AS members
-             |FROM surv GROUP BY root_id ORDER BY root_id""".stripMargin),
-    ),
-
-    // Split-balance audit: does each hash split preserve the corpus's
-    // language mix? Emits per-(split, lang) doc counts plus both shares
-    // scaled to exact integer rationals (ppm) — no float division until
-    // the final fixed denominator, so both engines agree bit-for-bit.
-    QueryDef(
-      "q74_split_balance",
-      (s, dir) => {
-        val docs = tbl(s, dir, "documents")
-          .withColumn("split", Sampling.splitColumn(col("doc_id"), 80, 10))
-        // total derived lazily as a global window over the lang rollup
-        // (lang-cardinality rows) — no eager driver action at build time
-        val corpus = docs.groupBy(col("lang")).agg(count(lit(1)).as("corpus_docs"))
-          .withColumn("total",
-            sum(col("corpus_docs")).over(org.apache.spark.sql.expressions.Window
-              .partitionBy()))
-        docs.groupBy(col("split"), col("lang")).agg(count(lit(1)).as("docs"))
-          .withColumn("split_total",
-            sum(col("docs")).over(org.apache.spark.sql.expressions.Window
-              .partitionBy(col("split"))))
-          .join(corpus, "lang")
-          .select(col("split"), col("lang"), col("docs"),
-            expr("docs * 1000000 div split_total").as("share_ppm"),
-            // integer div in BOTH engines: double-div + cast would round in
-            // DuckDB but truncate in Spark
-            expr("(corpus_docs * 1000000) div total").as("corpus_ppm"))
-          .orderBy(col("split"), col("lang"))
-      },
-      Some("""WITH d AS (
-             |  SELECT lang,
-             |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
-             |         ELSE 'test' END AS split
-             |  FROM (SELECT lang,
-             |          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS b
-             |        FROM documents)),
-             |c AS (SELECT lang, COUNT(*) AS corpus_docs FROM documents GROUP BY lang),
-             |t AS (SELECT COUNT(*) AS total FROM documents),
-             |g AS (SELECT split, lang, COUNT(*) AS docs FROM d GROUP BY split, lang),
-             |st AS (SELECT split, SUM(docs) AS split_total FROM g GROUP BY split)
-             |SELECT g.split, g.lang, g.docs,
-             |  CAST(g.docs * 1000000 // st.split_total AS BIGINT) AS share_ppm,
-             |  c.corpus_docs * 1000000 // t.total AS corpus_ppm
-             |FROM g JOIN st USING (split) JOIN c USING (lang), t
-             |ORDER BY g.split, g.lang""".stripMargin),
-    ),
-
-    // Cross-source duplication matrix: near-dup pairs rolled up by source
-    // pair — which crawls duplicate which. One tiny join of the pair list
-    // back to the (id, source) projection per side. Oracle note: like q26,
-    // the oracle is the brute-force exact pair scan and the Spark side is
-    // LSH-pruned — recall at J >= 0.5 with r=2/b=32 banding is
-    // 1-(1-J^2)^32 >= 0.9999 (see Dedup.jaccardPairs), so agreement relies
-    // on that bound rather than a bucketed-oracle replication.
-    QueryDef(
-      "q75_source_dup_matrix",
-      (s, dir) => {
-        val docs = tbl(s, dir, "documents")
-        val src = docs.select(col("doc_id"), col("source"))
-        Dedup.jaccardPairs(docs, "text", "doc_id", 0.5)
-          .join(src.select(col("doc_id").as("a_id"), col("source").as("source_a")), "a_id")
-          .join(src.select(col("doc_id").as("b_id"), col("source").as("source_b")), "b_id")
-          // normalize the pair orientation so (src0, src1) == (src1, src0)
-          .select(least(col("source_a"), col("source_b")).as("src_lo"),
-            greatest(col("source_a"), col("source_b")).as("src_hi"))
-          .groupBy(col("src_lo"), col("src_hi"))
-          .agg(count(lit(1)).as("dup_pairs"))
-          .orderBy(col("src_lo"), col("src_hi"))
-      },
-      Some("""WITH sh AS (
-             |  SELECT doc_id, source,
-             |    list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
-             |                   FOR i IN generate_series(1, len(tokens)-2)]) AS s
-             |  FROM (SELECT doc_id, source, string_split(text,' ') AS tokens FROM documents)
-             |  WHERE len(tokens) >= 3),
-             |p AS (
-             |  SELECT LEAST(a.source, b.source) AS src_lo,
-             |         GREATEST(a.source, b.source) AS src_hi
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-             |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5)
-             |SELECT src_lo, src_hi, COUNT(*) AS dup_pairs
-             |FROM p GROUP BY src_lo, src_hi ORDER BY src_lo, src_hi""".stripMargin),
-    ),
-
-    // Multimodal plumbing: binary payloads -> typed partition-wise decode
-    // (stubbed codec, real Spark shape).
-    QueryDef(
-      "q34_multimodal",
-      (s, dir) => Multimodal.decodeMeta(s,
-          Multimodal.mediaFromDocuments(tbl(s, dir, "documents")))
-        .toDF().orderBy(col("doc_id")),
-      Some("""SELECT doc_id,
-             |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-             |  hex(encode(substring(text, 1, 8))) AS header_hex,
-             |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
-             |  CAST((octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
-             |  3 AS channels
-             |FROM documents ORDER BY doc_id""".stripMargin),
-    ),
-
-    // Image perceptual-hash near-dup: docs render to REAL 9x8 grayscale
-    // PNGs (deterministic pixels from token hashes), the pipeline decodes
-    // them with the actual JDK codec, dHashes in pure integer math, and
-    // band-blocks hamming pairs (4x15-bit slices — recall 1.0 for
-    // dist <= 3 by pigeonhole, so the brute-force oracle matches EXACTLY).
-    // PNG being lossless makes the decoded grays a pure function of the
-    // text, so DuckDB replicates pixel gen + dHash + pair scan bit-exactly
-    // (the q42 replicate-the-approximation pattern) while the Spark side
-    // exercises the real encode->decode->hash->block pipeline an image
-    // corpus needs.
-    QueryDef(
-      "q116_image_neardup",
-      (s, dir) => Dedup.hammingNearDupPairsFromSigs(
-          Multimodal.imageDHash(s,
-            Multimodal.renderDocImages(s, tbl(s, dir, "documents")).toDF())
-            .toDF().select(col("doc_id"), col("sig")),
-          bits = 60, bands = 4, maxDist = 3)
-        .orderBy(col("a_id"), col("b_id")),
-      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-             |px AS (SELECT doc_id,
-             |  [CAST(('0x' || substring(md5(t[(p % greatest(len(t),1)) + 1]),1,15)) AS BIGINT) & 255
-             |   FOR p IN generate_series(0, 71)] AS g
-             |  FROM toks),
-             |sig AS (SELECT doc_id,
-             |  CAST(list_sum([CASE WHEN g[(i // 8) * 9 + (i % 8) + 1] < g[(i // 8) * 9 + (i % 8) + 2]
-             |                 THEN (1::BIGINT << i) ELSE 0 END
-             |                 FOR i IN generate_series(0, 59)]) AS BIGINT) AS sig
-             |  FROM px)
-             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-             |WHERE bit_count(xor(a.sig, b.sig)) <= 3
-             |ORDER BY a_id, b_id""".stripMargin),
-    ),
-
-    // Image near-dup CLUSTERS: q116's perceptual-hash pairs composed with
-    // the single-job connected-components machinery (q44's) — the full
-    // image-dedup story an multimodal corpus needs: decode -> dHash ->
-    // banded hamming pairs -> clusters. Oracle: the q116 pixel/dHash
-    // replica feeding q44's recursive-CTE components.
-    QueryDef(
-      "q121_image_clusters",
-      (s, dir) => Dedup.connectedComponents(
-          Dedup.hammingNearDupPairsFromSigs(
-            Multimodal.imageDHash(s,
-              Multimodal.renderDocImages(s, tbl(s, dir, "documents")).toDF())
-              .toDF().select(col("doc_id"), col("sig")),
-            bits = 60, bands = 4, maxDist = 3))
-        .groupBy(col("root").as("root_id"))
-        .agg(count(lit(1)).as("members"))
-        .orderBy(col("root_id")),
-      Some("""WITH RECURSIVE toks AS (
-             |  SELECT doc_id, string_split(text,' ') AS t FROM documents),
-             |px AS (SELECT doc_id,
-             |  [CAST(('0x' || substring(md5(t[(p % greatest(len(t),1)) + 1]),1,15)) AS BIGINT) & 255
-             |   FOR p IN generate_series(0, 71)] AS g
-             |  FROM toks),
-             |sig AS (SELECT doc_id,
-             |  CAST(list_sum([CASE WHEN g[(i // 8) * 9 + (i % 8) + 1] < g[(i // 8) * 9 + (i % 8) + 2]
-             |                 THEN (1::BIGINT << i) ELSE 0 END
-             |                 FOR i IN generate_series(0, 59)]) AS BIGINT) AS sig
-             |  FROM px),
-             |pairs AS (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-             |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-             |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
-             |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-             |          UNION SELECT b_id, a_id FROM pairs),
-             |r(id, m) AS (
-             |  SELECT src, src FROM edges
-             |  UNION
-             |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.m),
-             |labels AS (SELECT id, MIN(m) AS root_id FROM r GROUP BY id)
-             |SELECT root_id, COUNT(*) AS members FROM labels
-             |GROUP BY root_id ORDER BY root_id""".stripMargin),
-    ),
-
-    // Audio acoustic-fingerprint near-dup — the third modality's dedup
-    // (text: q24/q26/q63; image: q116/q121; audio: this). Docs render to
-    // REAL RIFF/WAVE payloads (deterministic PCM16 samples from token
-    // hashes), the pipeline parses them with the real RIFF/PCM decoder,
-    // computes an integer delta-energy fingerprint (bit i = frame i+1
-    // louder than frame i — the volume-tolerant acoustic-fingerprint
-    // shape), and band-blocks hamming pairs exactly like q116. PCM being
-    // lossless makes the decoded samples a pure function of the text, so
-    // DuckDB replicates sample gen + frame energies + signature + pair
-    // scan bit-exactly while the Spark side exercises the real
-    // encode->parse->fingerprint->block pipeline an audio corpus needs.
-    QueryDef(
-      "q124_audio_neardup",
-      (s, dir) => Dedup.hammingNearDupPairsFromSigs(
-          Multimodal.audioFingerprint(s,
-            Multimodal.renderDocWavs(s, tbl(s, dir, "documents")).toDF())
-            .toDF().select(col("doc_id"), col("sig")),
-          bits = 60, bands = 4, maxDist = 3)
-        .orderBy(col("a_id"), col("b_id")),
-      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-             |sm AS (SELECT doc_id,
-             |  [(CAST(('0x' || substring(md5(t[(p % greatest(len(t),1)) + 1]),1,15)) AS BIGINT) & 255) - 128
-             |   FOR p IN generate_series(0, 243)] AS v
-             |  FROM toks),
-             |en AS (SELECT doc_id,
-             |  [list_sum([v[k+1]*256*v[k+1]*256 FOR k IN generate_series(j*4, j*4+3)])
-             |   FOR j IN generate_series(0, 60)] AS e
-             |  FROM sm),
-             |sig AS (SELECT doc_id,
-             |  CAST(list_sum([CASE WHEN e[i+2] > e[i+1] THEN (1::BIGINT << i) ELSE 0 END
-             |                 FOR i IN generate_series(0, 59)]) AS BIGINT) AS sig
-             |  FROM en)
-             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-             |WHERE bit_count(xor(a.sig, b.sig)) <= 3
-             |ORDER BY a_id, b_id""".stripMargin),
-    ),
-
-    // Eval-set decontamination: per-doc benchmark n-gram overlap + the
-    // contamination flag — the screen every pretraining corpus runs
-    // against its held-out evals. Eval set = docs with doc_id % 29 == 0
-    // (deterministic, benchmark-sized); corpus = the rest. Engine probes
-    // int64 gram hashes against a BROADCAST eval gram set (map-side BHJ,
-    // no corpus shuffle); the oracle recomputes the same overlap on gram
-    // strings (counts agree modulo the documented 2^-64 collision bound,
-    // as q24/q26).
-    QueryDef(
-      "q125_decontamination",
-      (s, dir) => {
-        val docs = tbl(s, dir, "documents")
-        Curation.evalContamination(
-          docs.where(col("doc_id") % 29 =!= 0),
-          docs.where(col("doc_id") % 29 === 0),
-          "text", "doc_id", k = 3, thresholdPpm = 500000L)
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH sh AS (
-             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
-             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
-             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
-             |  WHERE len(tokens) >= 3),
-             |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 29 = 0),
-             |dg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 29 <> 0),
-             |agg AS (
-             |  SELECT dg.doc_id, COUNT(*) AS n_grams,
-             |    CAST(SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
-             |  FROM dg LEFT JOIN ev ON dg.g = ev.g
-             |  GROUP BY dg.doc_id)
-             |SELECT doc_id, n_grams, n_hit,
-             |  (n_hit * 1000000) // n_grams AS overlap_ppm,
-             |  (n_hit * 1000000) // n_grams >= 500000 AS contaminated
-             |FROM agg ORDER BY doc_id""".stripMargin),
-    ),
-
-    // Temperature-scaled (alpha = 1/2) mixture plan: weights derived from
-    // the data as sqrt(source tokens) instead of a hand-picked map — the
-    // multilingual-pretraining smoothing rule, composed with q115's ppm
-    // planner arithmetic. The exact integer sqrt (double seed + two
-    // integer corrections) keeps every ppm bit-exact across engines no
-    // matter how either rounds sqrt().
-    {
-      val budget = 26000L // between 20*min and 20*max source tokens, so both flags occur
-      QueryDef(
-        "q126_alpha_mixture_plan",
-        (s, dir) => Sampling.alphaMixturePlan(
-            tbl(s, dir, "documents"), "text", "source", budget)
-          .orderBy(col("source")),
-        Some(s"""WITH c AS (
-                |  SELECT source, COUNT(*) AS docs,
-                |    CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS tokens
-                |  FROM documents GROUP BY source),
-                |s0 AS (SELECT c.*, CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS a FROM c),
-                |s1 AS (SELECT s0.*, CASE WHEN a*a > tokens THEN a-1 ELSE a END AS b FROM s0),
-                |ws AS (SELECT source, docs, tokens,
-                |         CASE WHEN (b+1)*(b+1) <= tokens THEN b+1 ELSE b END AS w_sqrt FROM s1),
-                |t AS (SELECT ws.*, CAST(SUM(w_sqrt) OVER () AS BIGINT) AS sum_sqrt FROM ws),
-                |w AS (SELECT source, docs, tokens, w_sqrt,
-                |        (w_sqrt * 1000000) // sum_sqrt AS weight_ppm FROM t),
-                |g AS (SELECT w.*, (CAST($budget AS BIGINT) * weight_ppm) // 1000000 AS target_tokens FROM w),
-                |r AS (SELECT g.*, LEAST(1000000, (target_tokens * 1000000) // tokens) AS rate_ppm FROM g)
-                |SELECT source, docs, tokens, w_sqrt, weight_ppm, target_tokens, rate_ppm,
-                |  (tokens * rate_ppm) // 1000000 AS expected_tokens,
-                |  target_tokens > tokens AS oversubscribed
-                |FROM r ORDER BY source""".stripMargin),
-      )
-    },
-
-    // The hot-bucket guard's AUDIT surface as a first-class query: RHP
-    // bucket occupancy above the cap (size, hub). Fully deterministic
-    // (plane literals), so the skew diagnosis itself is oracle-checked.
-    QueryDef(
-      "q96_lsh_bucket_audit",
-      (s, dir) => Dedup.oversizedBuckets(
-          Similarity.rhpBuckets(tbl(s, dir, "embeddings"), "embedding", "vec_id",
-            LshTables, LshBits),
-          Seq("tbl", "sig"), "id", GuardCap)
-        .orderBy(col("tbl"), col("sig")),
-      Some(s"""WITH $sigCtesSql
-              |SELECT CAST(tbl AS INTEGER) AS tbl, CAST(sig AS BIGINT) AS sig,
-              |  COUNT(*) AS bucket_size, MIN(vec_id) AS hub_id
-              |FROM sig GROUP BY tbl, sig HAVING COUNT(*) > $GuardCap
-              |ORDER BY tbl, sig""".stripMargin),
-    ),
-
-    // The guard's DEGRADED SEMANTICS under oracle: near-dup pairs with a
-    // cap that actually fires on this corpus (RHP bits=5 buckets hold
-    // ~|corpus|/32 vectors per table). The oracle replicates the hub rule
-    // exactly — members of small buckets pair freely, oversized buckets
-    // contribute only (hub, member) pairs — proving the guarded pipeline
-    // is deterministic and engine-independent, not a Spark-side heuristic.
-    QueryDef(
-      "q97_guarded_neardup",
-      (s, dir) => Similarity.cosineNearDupPairsLsh(
-          tbl(s, dir, "embeddings"), "embedding", "vec_id", 0.4,
-          LshTables, LshBits, maxBucketSize = GuardCap)
-        .orderBy(col("a_id"), col("b_id")),
-      Some(s"""WITH $sigCtesSql,
-              |bstat AS (
-              |  SELECT tbl, sig, COUNT(*) AS cnt, MIN(vec_id) AS hub
-              |  FROM sig GROUP BY tbl, sig),
-              |cand AS (
-              |  SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id
-              |  FROM sig l
-              |  JOIN bstat s ON l.tbl = s.tbl AND l.sig = s.sig
-              |  JOIN sig r ON r.tbl = l.tbl AND r.sig = l.sig AND l.vec_id < r.vec_id
-              |  WHERE s.cnt <= $GuardCap OR l.vec_id = s.hub),
-              |$verifyCtesSql
-              |SELECT a_id, b_id, cos_sim FROM verified
-              |ORDER BY a_id, b_id""".stripMargin),
-    ),
-
-    // Guaranteed heavy hitters via a Misra-Gries candidate sketch + bounded
-    // exact recount (Sketches.guaranteedHeavyHitters). The sketch itself is
-    // order-dependent (no bit-exact oracle exists for its state), but its
-    // G3 guarantee makes the OPERATOR deterministic: the output is exactly
-    // {token : f(token)*(k+1) > n} with exact counts — which the oracle
-    // computes directly. Discovery without shuffling the vocabulary: the
-    // exchange moves <= k counters per partition, then <= k candidates
-    // broadcast back for the recount.
-    QueryDef(
-      "q98_guaranteed_heavyhitters",
-      (s, dir) => Sketches.guaranteedHeavyHitters(
-          tbl(s, dir, "documents").select(explode(split(col("text"), " ")).as("item")),
-          col("item"), k = 64)
-        .orderBy(col("n_exact").desc, col("item")),
-      Some("""WITH tok AS (SELECT unnest(string_split(text,' ')) AS item FROM documents),
-             |n AS (SELECT COUNT(*) AS n_total FROM tok)
-             |SELECT item, COUNT(*) AS n_exact, n.n_total
-             |FROM tok, n GROUP BY item, n.n_total
-             |HAVING COUNT(*) * 65 > n.n_total
-             |ORDER BY n_exact DESC, item""".stripMargin),
-    ),
-
-    // EXACT set-similarity join via prefix filtering (AllPairs/PPJoin
-    // family): q26's pair list with provably NO miss rate — same 3-shingle
-    // sets, same threshold, but candidates come from each doc's
-    // rarest-shingle prefix instead of LSH bands, so completeness is the
-    // prefix lemma, not a 1-(1-J^2)^32 recall bound. Any oracle mismatch
-    // is a bug, not bad luck. (Shingle granularity keeps the pair list
-    // sparse; token-set granularity on this template corpus is
-    // output-quadratic — see containmentPairs' doc.)
-    QueryDef(
-      "q104_prefix_jaccard_join",
-      (s, dir) => Dedup.prefixJaccardPairs(
-          tbl(s, dir, "documents"), "text", "doc_id", 0.5, k = 3)
-        .orderBy(col("a_id"), col("b_id")),
-      Some("""WITH sh AS (
-             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
-             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
-             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
-             |  WHERE len(tokens) >= 3)
-             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             |  ROUND(CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-             |        / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 6) AS jaccard
-             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-             |      / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5
-             |ORDER BY a_id, b_id""".stripMargin),
-    ),
-
-    // Unigram-LM surprisal (CCNet-style perplexity filter) in quarter-bit
-    // INTEGER log2 — no libm log anywhere, so even the "approximate"
-    // surprisal is bit-exact across engines (the integer-grid rule applied
-    // to logarithms). The oracle recomputes the identical quarterLog2
-    // formula in SQL.
-    QueryDef(
-      "q105_lm_surprisal",
-      (s, dir) => TextAnalysis.unigramSurprisal(
-          tbl(s, dir, "documents"), "text", "doc_id")
-        .orderBy(col("doc_id")),
-      Some("""WITH tok AS (
-             |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
-             |tf AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
-             |tfq AS (
-             |  SELECT w, CASE WHEN length(bin(cnt)) - 1 <= 14
-             |    THEN length(bin(cnt*cnt*cnt*cnt)) - 1
-             |    ELSE 4 * (length(bin(cnt)) - 15) +
-             |         length(bin((cnt >> (length(bin(cnt)) - 15))
-             |                   *(cnt >> (length(bin(cnt)) - 15))
-             |                   *(cnt >> (length(bin(cnt)) - 15))
-             |                   *(cnt >> (length(bin(cnt)) - 15)))) - 1 END AS ql
-             |  FROM tf),
-             |nq AS (
-             |  SELECT CASE WHEN length(bin(nt)) - 1 <= 14
-             |    THEN length(bin(nt*nt*nt*nt)) - 1
-             |    ELSE 4 * (length(bin(nt)) - 15) +
-             |         length(bin((nt >> (length(bin(nt)) - 15))
-             |                   *(nt >> (length(bin(nt)) - 15))
-             |                   *(nt >> (length(bin(nt)) - 15))
-             |                   *(nt >> (length(bin(nt)) - 15)))) - 1 END AS qn
-             |  FROM (SELECT COUNT(*) AS nt FROM tok))
-             |SELECT doc_id, n_tokens, bits_q4,
-             |  CAST(bits_q4 AS DOUBLE) / (n_tokens * 4) AS bits_per_token,
-             |  CASE WHEN bits_q4 * 1000 < n_tokens * 19052 THEN 'common'
-             |       WHEN bits_q4 * 1000 > n_tokens * 19100 THEN 'rare'
-             |       ELSE 'mid' END AS band
-             |FROM (
-             |  SELECT t.doc_id, COUNT(*) AS n_tokens,
-             |    CAST(SUM(nq.qn - f.ql) AS BIGINT) AS bits_q4
-             |  FROM tok t JOIN tfq f USING (w), nq
-             |  GROUP BY t.doc_id)
-             |ORDER BY doc_id""".stripMargin),
-    ),
-
-    // SemDeDup: cluster embeddings (deterministic lowest-id centroids, the
-    // q43 machinery), drop within-cluster near-duplicates keeping the
-    // member farthest from its centroid. Fully deterministic given the
-    // centroid set, so the oracle replicates assignment (argmax + cid
-    // tie-break), keep order, and the dominance rule exactly.
-    QueryDef(
-      "q106_semdedup",
-      (s, dir) => Similarity.semDeDup(
-          tbl(s, dir, "embeddings"), "embedding", "vec_id", eps = 0.4,
-          numCentroids = 16)
-        .withColumnRenamed("id", "vec_id")
-        .orderBy(col("vec_id")),
-      Some("""WITH n AS (
-             |  SELECT vec_id, embedding,
-             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
-             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
-             |  FROM embeddings),
-             |cents AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
-             |assign AS (
-             |  SELECT vec_id, cid, csim AS ccos FROM (
-             |    SELECT x.vec_id, c.cid,
-             |      (list_sum([CAST(x.embedding[i] AS DOUBLE)*c.cv[i]
-             |                 FOR i IN generate_series(1,len(x.embedding))])/(x.nrm*c.cnrm)) AS csim,
-             |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-             |        (list_sum([CAST(x.embedding[i] AS DOUBLE)*c.cv[i]
-             |                   FOR i IN generate_series(1,len(x.embedding))])/(x.nrm*c.cnrm)) DESC,
-             |        c.cid) AS crk
-             |    FROM n x CROSS JOIN cents c) WHERE crk = 1),
-             |rem AS (
-             |  SELECT DISTINCT ax.vec_id
-             |  FROM assign ax
-             |  JOIN n x ON x.vec_id = ax.vec_id
-             |  JOIN assign ay ON ay.cid = ax.cid AND ay.vec_id != ax.vec_id
-             |  JOIN n y ON y.vec_id = ay.vec_id
-             |  WHERE (ay.ccos < ax.ccos OR (ay.ccos = ax.ccos AND ay.vec_id < ax.vec_id))
-             |    AND list_sum([CAST(x.embedding[i] AS DOUBLE)*y.embedding[i]
-             |                  FOR i IN generate_series(1,len(x.embedding))])/(x.nrm*y.nrm) >= 0.4)
-             |SELECT a.vec_id, a.cid, a.ccos,
-             |  a.vec_id NOT IN (SELECT vec_id FROM rem) AS kept
-             |FROM assign a ORDER BY a.vec_id""".stripMargin),
-    ),
-
-    // CCNet's keep rule as a composition: per-SOURCE quantile cut of the
-    // q105 surprisal, on a 1/16-bit integer grid (integer division + the
-    // q103 ceil-rank extraction) — head and tail of each source's
-    // distribution dropped, decisions bit-exact across engines.
-    QueryDef(
-      "q107_ccnet_band_filter",
-      (s, dir) => Curation.surprisalBandFilter(
-          tbl(s, dir, "documents"), "text", "doc_id", "source")
-        .orderBy(col("doc_id")),
-      Some("""WITH tok AS (
-             |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
-             |tf AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
-             |tfq AS (
-             |  SELECT w, CASE WHEN length(bin(cnt)) - 1 <= 14
-             |    THEN length(bin(cnt*cnt*cnt*cnt)) - 1
-             |    ELSE 4 * (length(bin(cnt)) - 15) +
-             |         length(bin((cnt >> (length(bin(cnt)) - 15))
-             |                   *(cnt >> (length(bin(cnt)) - 15))
-             |                   *(cnt >> (length(bin(cnt)) - 15))
-             |                   *(cnt >> (length(bin(cnt)) - 15)))) - 1 END AS ql
-             |  FROM tf),
-             |nq AS (
-             |  SELECT CASE WHEN length(bin(nt)) - 1 <= 14
-             |    THEN length(bin(nt*nt*nt*nt)) - 1
-             |    ELSE 4 * (length(bin(nt)) - 15) +
-             |         length(bin((nt >> (length(bin(nt)) - 15))
-             |                   *(nt >> (length(bin(nt)) - 15))
-             |                   *(nt >> (length(bin(nt)) - 15))
-             |                   *(nt >> (length(bin(nt)) - 15)))) - 1 END AS qn
-             |  FROM (SELECT COUNT(*) AS nt FROM tok)),
-             |d AS (
-             |  SELECT t.doc_id, COUNT(*) AS n,
-             |    CAST(SUM(nq.qn - f.ql) AS BIGINT) AS bits_q4
-             |  FROM tok t JOIN tfq f USING (w), nq GROUP BY t.doc_id),
-             |s AS (
-             |  SELECT d.doc_id, doc.source, (bits_q4 * 64) // (n * 4) AS bin
-             |  FROM d JOIN documents doc USING (doc_id)),
-             |b AS (SELECT source, bin, COUNT(*) AS cnt FROM s GROUP BY 1, 2),
-             |c AS (
-             |  SELECT source, bin, cnt,
-             |    SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
-             |    SUM(cnt) OVER (PARTITION BY source) AS n
-             |  FROM b),
-             |cuts AS (
-             |  SELECT source,
-             |    MIN(CASE WHEN cum >= (n * 25 + 99) // 100 THEN bin END) AS b_lo,
-             |    MIN(CASE WHEN cum >= (n * 75 + 99) // 100 THEN bin END) AS b_hi
-             |  FROM c GROUP BY source)
-             |SELECT s.doc_id, s.source, s.bin,
-             |  s.bin BETWEEN cuts.b_lo AND cuts.b_hi AS keep
-             |FROM s JOIN cuts USING (source) ORDER BY s.doc_id""".stripMargin),
-    ),
-
-    // kNN label-noise audit: every vector's own label vs the majority label
-    // of its 5 IVF-candidate nearest neighbors (corpus-scale self-kNN — the
-    // inverted-list join, probes NOT broadcast). All tie-breaks pinned
-    // (assignment -> lowest cid, top-k -> lowest nid, vote -> lowest
-    // label), so the oracle replicates every decision.
-    QueryDef(
-      "q108_knn_label_audit",
-      (s, dir) => Similarity.knnLabelAudit(
-          tbl(s, dir, "embeddings"), "embedding", "vec_id", "label",
-          k = 5, numCentroids = 16, nprobe = 2)
-        .orderBy(col("vec_id")),
-      Some("""WITH n AS (
-             |  SELECT vec_id, label, embedding,
-             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
-             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
-             |  FROM embeddings),
-             |cents AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
-             |corpus_assign AS (
-             |  SELECT nid, cid FROM (
-             |    SELECT x.vec_id AS nid, c.cid,
-             |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
-             |        (list_sum([CAST(x.embedding[i] AS DOUBLE)*c.cv[i]
-             |                   FOR i IN generate_series(1,len(x.embedding))])/(x.nrm*c.cnrm)) DESC,
-             |        c.cid) AS crk
-             |    FROM n x CROSS JOIN cents c) WHERE crk = 1),
-             |probes AS (
-             |  SELECT qid, cid FROM (
-             |    SELECT q.vec_id AS qid, c.cid,
-             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-             |        (list_sum([CAST(q.embedding[i] AS DOUBLE)*c.cv[i]
-             |                   FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*c.cnrm)) DESC,
-             |        c.cid) AS crk
-             |    FROM n q CROSS JOIN cents c) WHERE crk <= 2),
-             |cand AS (
-             |  SELECT DISTINCT p.qid, a.nid
-             |  FROM probes p JOIN corpus_assign a ON a.cid = p.cid WHERE p.qid != a.nid),
-             |sims AS (
-             |  SELECT c.qid, c.nid,
-             |    list_sum([CAST(q.embedding[i] AS DOUBLE)*x.embedding[i]
-             |              FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*x.nrm) AS sim
-             |  FROM cand c JOIN n q ON q.vec_id = c.qid JOIN n x ON x.vec_id = c.nid),
-             |top AS (
-             |  SELECT qid, nid FROM (
-             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
-             |    FROM sims) WHERE rk <= 5),
-             |vote AS (
-             |  SELECT t.qid, eq.label AS label, en.label AS nlab, COUNT(*) AS c
-             |  FROM top t
-             |  JOIN embeddings eq ON eq.vec_id = t.qid
-             |  JOIN embeddings en ON en.vec_id = t.nid
-             |  GROUP BY 1, 2, 3)
-             |SELECT vec_id, label, knn_label, votes, label = knn_label AS agree
-             |FROM (
-             |  SELECT qid AS vec_id, label, nlab AS knn_label,
-             |    CAST(c AS BIGINT) AS votes,
-             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nlab) AS rk
-             |  FROM vote) WHERE rk = 1
-             |ORDER BY vec_id""".stripMargin),
-    ),
-
-    // Exact subset-containment (|A∩B|/|A| = 1.0), probe-vs-corpus: is any
-    // "benchmark" doc (every 50th) token-contained in a corpus doc — the
-    // asymmetric leak Jaccard misses. Candidates = share the probe doc's
-    // single rarest token under CORPUS frequencies (the t=1.0 prefix);
-    // oracle = brute-force asymmetric scan, exact by the prefix lemma.
-    QueryDef(
-      "q109_subset_containment",
-      (s, dir) => {
-        val docs = tbl(s, dir, "documents")
-        Dedup.containmentPairs(
-            docs.where(col("doc_id") % 50 === 0), docs, "text", "doc_id", 1.0)
-          .orderBy(col("a_id"), col("b_id"))
-      },
-      Some("""WITH s AS (
-             |  SELECT doc_id, list_distinct(string_split(text,' ')) AS s
-             |  FROM documents)
-             |SELECT a_id, b_id, ROUND(c, 6) AS containment FROM (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             |    CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)/len(a.s) AS c
-             |  FROM s a JOIN s b ON a.doc_id != b.doc_id
-             |  WHERE a.doc_id % 50 = 0)
-             |WHERE c >= 1.0 ORDER BY a_id, b_id""".stripMargin),
-    ),
-
-    // Per-source token-distribution Shannon entropy in integer quarter-bits
-    // (vocabulary-collapse / generated-spam detector). Σ cnt·(q4(N)−q4(cnt))
-    // stays BIGINT; one final division.
-    QueryDef(
-      "q112_source_entropy",
-      (s, dir) => TextAnalysis.tokenEntropy(
-          tbl(s, dir, "documents"), "source", "text")
-        .withColumnRenamed("grp", "source")
-        .orderBy(col("source")),
-      Some(s"""WITH tok AS (
-              |  SELECT source, unnest(string_split(text,' ')) AS w FROM documents),
-              |tf AS (SELECT source, w, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
-              |g AS (
-              |  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
-              |    COUNT(*) AS vocab,
-              |    CAST(SUM(cnt * (${qlog4Sql("cnt")})) AS BIGINT) AS sum_cq4
-              |  FROM tf GROUP BY source)
-              |SELECT source, n_tokens, vocab,
-              |  n_tokens * (${qlog4Sql("n_tokens")}) - sum_cq4 AS ent_q4,
-              |  CAST(n_tokens * (${qlog4Sql("n_tokens")}) - sum_cq4 AS DOUBLE)
-              |    / (n_tokens * 4) AS entropy_bits
-              |FROM g ORDER BY source""".stripMargin),
-    ),
-
-    // Gopher quality rules: five integer-decided heuristic flags + the
-    // conjunction, per doc — the audit-friendly form (WHY was it dropped,
-    // not just that it was). Splits non-degenerately on this corpus
-    // (226/500 keep at sf0.01).
-    QueryDef(
-      "q113_gopher_rules",
-      (s, dir) => TextAnalysis.gopherRules(
-          tbl(s, dir, "documents"), "text", "doc_id")
-        .orderBy(col("doc_id")),
-      Some("""WITH t AS (
-             |  SELECT doc_id, string_split(text,' ') AS toks,
-             |    length(text) AS chars FROM documents),
-             |f AS (
-             |  SELECT doc_id, len(toks) AS wc,
-             |    chars - (len(toks) - 1) AS cw,
-             |    len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha,
-             |    len(list_distinct(toks)) AS vocab,
-             |    len(list_filter(list_distinct(toks),
-             |        w -> w IN ('the','a','and','of','to','in','is','for','on','with'))) AS sw
-             |  FROM t)
-             |SELECT doc_id, CAST(wc AS BIGINT) AS wc,
-             |  wc BETWEEN 50 AND 100000 AS wc_ok,
-             |  cw >= 3*wc AND cw <= 10*wc AS wordlen_ok,
-             |  alpha*5 > wc*4 AS alpha_ok,
-             |  sw >= 2 AS stopword_ok,
-             |  vocab*10 >= wc*3 AS ttr_ok,
-             |  (wc BETWEEN 50 AND 100000) AND cw >= 3*wc AND cw <= 10*wc
-             |    AND alpha*5 > wc*4 AND sw >= 2 AND vocab*10 >= wc*3 AS keep
-             |FROM f ORDER BY doc_id""".stripMargin),
-    ),
-
-    // Token-budget mixture planner: per-source sampling rates + expected
-    // yield for a 20k-token budget under a skewed target mixture (5 heavy
-    // sources at 12% each, 15 light at ~2.7%), with oversubscription
-    // flags. One weight map drives BOTH engines (interpolated as VALUES).
-    {
-      val mixWeights: Seq[(String, Long)] =
-        (0 until 20).map(i => s"src$i" -> (if (i < 5) 120000L else 26666L))
-      val budget = 20000L
-      val valuesSql = mixWeights
-        .map { case (s, w) => s"('$s', $w)" }.mkString(", ")
-      QueryDef(
-        "q115_mixture_plan",
-        (s, dir) => Sampling.mixturePlan(
-            tbl(s, dir, "documents"), "text", "source", budget, mixWeights.toMap)
-          .orderBy(col("source")),
-        Some(s"""WITH w(source, weight_ppm) AS (SELECT * FROM (VALUES $valuesSql)),
-                |t AS (
-                |  SELECT source, COUNT(*) AS docs,
-                |    CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS tokens
-                |  FROM documents GROUP BY source)
-                |SELECT t.source, t.docs, t.tokens,
-                |  CAST(COALESCE(w.weight_ppm, 0) AS BIGINT) AS weight_ppm,
-                |  (CAST($budget AS BIGINT) * COALESCE(w.weight_ppm, 0)) // 1000000 AS target_tokens,
-                |  LEAST(1000000,
-                |    (((CAST($budget AS BIGINT) * COALESCE(w.weight_ppm, 0)) // 1000000) * 1000000)
-                |      // t.tokens) AS rate_ppm,
-                |  (t.tokens * LEAST(1000000,
-                |    (((CAST($budget AS BIGINT) * COALESCE(w.weight_ppm, 0)) // 1000000) * 1000000)
-                |      // t.tokens)) // 1000000 AS expected_tokens,
-                |  (CAST($budget AS BIGINT) * COALESCE(w.weight_ppm, 0)) // 1000000 > t.tokens
-                |    AS oversubscribed
-                |FROM t LEFT JOIN w USING (source) ORDER BY t.source""".stripMargin),
-      )
-    },
-
-    // The mixture planner on EXACT tokens: q115's integer ppm math fed by
-    // q117's greedy wordpiece counts instead of the whitespace estimate —
-    // budgets stop being estimates. The oracle composes the recursive
-    // greedy-loop CTE with the planner arithmetic end-to-end.
-    {
-      val mixWeights: Seq[(String, Long)] =
-        (0 until 20).map(i => s"src$i" -> (if (i < 5) 120000L else 26666L))
-      val budget = 60000L
-      val valuesSql = mixWeights
-        .map { case (s, w) => s"('$s', $w)" }.mkString(", ")
-      QueryDef(
-        "q118_mixture_exact_tokens",
-        (s, dir) => Sampling.mixturePlanFromCounts(
-            tbl(s, dir, "documents").select(col("doc_id"), col("source"))
-              .join(Tokenize.wordpieceCounts(s, tbl(s, dir, "documents"),
-                  "text", "doc_id")
-                .toDF().select(col("doc_id"), col("n_subwords").as("n_tok")),
-                "doc_id"),
-            budget, mixWeights.toMap)
-          .orderBy(col("source")),
-        Some(s"""WITH RECURSIVE w AS (
-                |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
-                |steps AS (
-                |  SELECT doc_id, w, 1 AS pos, 0 AS n FROM w
-                |  UNION ALL
-                |  SELECT doc_id, w,
-                |    pos + CASE
-                |${Tokenize.greedyCaseWhens(Tokenize.DefaultMerges)}
-                |      ELSE 1 END,
-                |    n + 1
-                |  FROM steps WHERE pos <= len(w)),
-                |cnt AS (
-                |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tok
-                |  FROM steps WHERE pos > len(w) GROUP BY doc_id),
-                |wt(source, weight_ppm) AS (SELECT * FROM (VALUES $valuesSql)),
-                |t AS (
-                |  SELECT d.source, COUNT(*) AS docs,
-                |    CAST(SUM(c.n_tok) AS BIGINT) AS tokens
-                |  FROM documents d JOIN cnt c USING (doc_id) GROUP BY d.source)
-                |SELECT t.source, t.docs, t.tokens,
-                |  CAST(COALESCE(wt.weight_ppm, 0) AS BIGINT) AS weight_ppm,
-                |  (CAST($budget AS BIGINT) * COALESCE(wt.weight_ppm, 0)) // 1000000 AS target_tokens,
-                |  LEAST(1000000,
-                |    (((CAST($budget AS BIGINT) * COALESCE(wt.weight_ppm, 0)) // 1000000) * 1000000)
-                |      // t.tokens) AS rate_ppm,
-                |  (t.tokens * LEAST(1000000,
-                |    (((CAST($budget AS BIGINT) * COALESCE(wt.weight_ppm, 0)) // 1000000) * 1000000)
-                |      // t.tokens)) // 1000000 AS expected_tokens,
-                |  (CAST($budget AS BIGINT) * COALESCE(wt.weight_ppm, 0)) // 1000000 > t.tokens
-                |    AS oversubscribed
-                |FROM t LEFT JOIN wt USING (source) ORDER BY t.source""".stripMargin),
-      )
-    },
-
-    // Linear quality-classifier inference (the fastText-filter shape):
-    // integer token weights + bias, margin summed over tokens with
-    // multiplicity, keep iff margin > 0 — map-only model scoring whose
-    // every decision is bit-exact (the oracle re-derives margins from the
-    // same VALUES weight table).
-    {
-      val weights: Seq[(String, Long)] = Seq(
-        "fast" -> 3L, "merge" -> 2L, "vector" -> 2L, "stream" -> 2L,
-        "query" -> 1L, "table" -> 1L, "hash" -> 1L, "key" -> 1L,
-        "slow" -> -4L, "scan" -> -2L, "row" -> -1L, "a" -> -1L,
-        "big" -> -2L, "the" -> 1L, "spark" -> 2L)
-      val bias = -2L
-      val valuesSql = weights.map { case (t, w) => s"('$t', $w)" }.mkString(", ")
-      QueryDef(
-        "q122_quality_classifier",
-        (s, dir) => Curation.linearGate(tbl(s, dir, "documents"),
-            "text", "doc_id", weights.toMap, bias)
-          .orderBy(col("doc_id")),
-        Some(s"""WITH w(tok, wt) AS (SELECT * FROM (VALUES $valuesSql)),
-                |t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
-                |      FROM documents),
-                |m AS (SELECT t.doc_id,
-                |        CAST($bias + COALESCE(SUM(w.wt), 0) AS BIGINT) AS margin
-                |      FROM t LEFT JOIN w USING (tok) GROUP BY t.doc_id)
-                |SELECT doc_id, margin, margin > 0 AS keep
-                |FROM m ORDER BY doc_id""".stripMargin),
-      )
-    },
-
-    // URL canonicalization audit: every doc's messy fixture URL (scheme
-    // case, www., default ports, tracking params, fragments, trailing
-    // slashes) against its canonical form + host — the normalization a
-    // crawl corpus needs before URL/host-level dedup. Pure split_part/
-    // substr/LIKE string work (no regex dialects), map-only, oracle checks
-    // every row of the canonicalizer.
-    QueryDef(
-      "q119_url_canonicalize",
-      (s, dir) => {
-        val d = tbl(s, dir, "documents")
-        val url = Web.fixtureUrl(col("doc_id"), col("source"), col("lang"))
-        d.select(col("doc_id"), url.as("url"),
-            Web.canonicalizeUrl(url).as("curl"), Web.hostOf(url).as("host"))
-          .orderBy(col("doc_id"))
-      },
-      // plain concatenation: the interpolated SQL fragments contain `||`
-      // at line starts, which an outer stripMargin would corrupt to `|`
-      Some("WITH u AS (SELECT doc_id, " + Web.fixtureUrlSql +
-        " AS url FROM documents),\n" + Web.canonicalizeSql +
-        "\nSELECT doc_id, url, curl, host FROM c ORDER BY doc_id"),
-    ),
-
-    // Host-level dedup rollup: per canonical host, doc counts and the
-    // share of docs that are exact-dup LOSERS corpus-wide (q24's min-id
-    // survivor rule) — the "which hosts ship boilerplate" report joined
-    // from the canonicalizer. One host-keyed aggregate after the dup flag
-    // join; at 100 TB the text-min join is the q24 shuffle, the host
-    // rollup is metadata-sized.
-    QueryDef(
-      "q120_host_dedup_rollup",
-      (s, dir) => {
-        val d = tbl(s, dir, "documents")
-        val hosts = d.select(col("doc_id"), col("text"),
-          Web.hostOf(Web.fixtureUrl(col("doc_id"), col("source"), col("lang"))).as("host"))
-        val survivors = d.groupBy(col("text")).agg(min(col("doc_id")).as("keep_id"))
-        hosts.join(survivors, "text")
-          .groupBy(col("host"))
-          .agg(count(lit(1)).as("docs"),
-            sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L)).as("dup_docs"),
-            (sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L)).cast("double") /
-              count(lit(1))).as("dup_share"))
-          .orderBy(col("host"))
-      },
-      Some("WITH u AS (SELECT doc_id, " + Web.fixtureUrlSql +
-        " AS url FROM documents),\n" + Web.canonicalizeSql + ",\n" +
-        """d AS (SELECT c.doc_id, c.host, doc.text
-          |      FROM c JOIN documents doc ON c.doc_id = doc.doc_id),
-          |m AS (SELECT text, MIN(doc_id) AS keep_id FROM documents GROUP BY text)
-          |SELECT d.host, COUNT(*) AS docs,
-          |  CAST(SUM(CASE WHEN d.doc_id <> m.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
-          |  CAST(SUM(CASE WHEN d.doc_id <> m.keep_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
-          |    AS dup_share
-          |FROM d JOIN m ON d.text = m.text
-          |GROUP BY d.host ORDER BY d.host""".stripMargin),
-    ),
-
-    // The composed curation FUNNEL (q113 Gopher gates ∘ q107 CCNet band ∘
-    // exact dedup) with per-stage per-source attrition accounting — the
-    // report a data team reviews before a training run. One oracle checks
-    // the whole composition end-to-end.
-    QueryDef(
-      "q114_curation_funnel",
-      (s, dir) => Curation.curationFunnel(
-          tbl(s, dir, "documents"), "text", "doc_id", "source")
-        .orderBy(col("source")),
-      Some("""WITH tok AS (
-             |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
-             |tf AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
-             |tfq AS (
-             |  SELECT w, CASE WHEN length(bin(cnt)) - 1 <= 14
-             |    THEN length(bin(cnt*cnt*cnt*cnt)) - 1
-             |    ELSE 4 * (length(bin(cnt)) - 15) +
-             |         length(bin((cnt >> (length(bin(cnt)) - 15))
-             |                   *(cnt >> (length(bin(cnt)) - 15))
-             |                   *(cnt >> (length(bin(cnt)) - 15))
-             |                   *(cnt >> (length(bin(cnt)) - 15)))) - 1 END AS ql
-             |  FROM tf),
-             |nq AS (
-             |  SELECT CASE WHEN length(bin(nt)) - 1 <= 14
-             |    THEN length(bin(nt*nt*nt*nt)) - 1
-             |    ELSE 4 * (length(bin(nt)) - 15) +
-             |         length(bin((nt >> (length(bin(nt)) - 15))
-             |                   *(nt >> (length(bin(nt)) - 15))
-             |                   *(nt >> (length(bin(nt)) - 15))
-             |                   *(nt >> (length(bin(nt)) - 15)))) - 1 END AS qn
-             |  FROM (SELECT COUNT(*) AS nt FROM tok)),
-             |d AS (
-             |  SELECT t.doc_id, COUNT(*) AS n,
-             |    CAST(SUM(nq.qn - f.ql) AS BIGINT) AS bits_q4
-             |  FROM tok t JOIN tfq f USING (w), nq GROUP BY t.doc_id),
-             |sbin AS (
-             |  SELECT d.doc_id, doc.source, (bits_q4 * 64) // (n * 4) AS bin
-             |  FROM d JOIN documents doc USING (doc_id)),
-             |bb AS (SELECT source, bin, COUNT(*) AS cnt FROM sbin GROUP BY 1, 2),
-             |cc AS (
-             |  SELECT source, bin, cnt,
-             |    SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
-             |    SUM(cnt) OVER (PARTITION BY source) AS n
-             |  FROM bb),
-             |cuts AS (
-             |  SELECT source,
-             |    MIN(CASE WHEN cum >= (n * 25 + 99) // 100 THEN bin END) AS b_lo,
-             |    MIN(CASE WHEN cum >= (n * 75 + 99) // 100 THEN bin END) AS b_hi
-             |  FROM cc GROUP BY source),
-             |band AS (
-             |  SELECT sbin.doc_id, sbin.bin BETWEEN cuts.b_lo AND cuts.b_hi AS b_keep
-             |  FROM sbin JOIN cuts USING (source)),
-             |gt AS (
-             |  SELECT doc_id, string_split(text,' ') AS toks,
-             |    length(text) AS chars FROM documents),
-             |gf AS (
-             |  SELECT doc_id, len(toks) AS wc, chars - (len(toks) - 1) AS cw,
-             |    len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha,
-             |    len(list_distinct(toks)) AS vocab,
-             |    len(list_filter(list_distinct(toks),
-             |        w -> w IN ('the','a','and','of','to','in','is','for','on','with'))) AS sw
-             |  FROM gt),
-             |g AS (
-             |  SELECT doc_id,
-             |    (wc BETWEEN 50 AND 100000) AND cw >= 3*wc AND cw <= 10*wc
-             |      AND alpha*5 > wc*4 AND sw >= 2 AND vocab*10 >= wc*3 AS g_keep
-             |  FROM gf),
-             |staged AS (
-             |  SELECT doc.doc_id, doc.source, doc.text,
-             |    CAST(len(string_split(doc.text,' ')) AS BIGINT) AS n_tok,
-             |    g.g_keep, band.b_keep
-             |  FROM documents doc JOIN g USING (doc_id) JOIN band USING (doc_id)),
-             |pool AS (SELECT * FROM staged WHERE g_keep AND b_keep),
-             |mins AS (SELECT text AS t, MIN(doc_id) AS keep_id FROM pool GROUP BY text),
-             |pf AS (
-             |  SELECT p.*, p.doc_id = m.keep_id AS is_surv
-             |  FROM pool p JOIN mins m ON p.text = m.t),
-             |gates AS (
-             |  SELECT source, COUNT(*) AS total_docs,
-             |    CAST(SUM(CASE WHEN NOT g_keep THEN 1 ELSE 0 END) AS BIGINT) AS dropped_gopher,
-             |    CAST(SUM(CASE WHEN g_keep AND NOT b_keep THEN 1 ELSE 0 END) AS BIGINT) AS dropped_band
-             |  FROM staged GROUP BY source),
-             |y AS (
-             |  SELECT source, COUNT(*) AS pool_docs,
-             |    CAST(SUM(CASE WHEN is_surv THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
-             |    CAST(SUM(CASE WHEN is_surv THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
-             |  FROM pf GROUP BY source)
-             |SELECT gates.source, gates.total_docs, gates.dropped_gopher,
-             |  gates.dropped_band,
-             |  COALESCE(y.pool_docs, 0) - COALESCE(y.kept_docs, 0) AS dropped_dup,
-             |  COALESCE(y.kept_docs, 0) AS kept_docs,
-             |  COALESCE(y.kept_tokens, 0) AS kept_tokens
-             |FROM gates LEFT JOIN y USING (source) ORDER BY source""".stripMargin),
-    ),
-
-    // Exact repeated-SPAN dedup profile (Lee et al. 2022): every 8-token
-    // sliding span fingerprinted, spans occurring >= 2x corpus-wide
-    // flagged, per-doc maximal duplicated regions merged and their token
-    // coverage reported. Catches boilerplate passages inside otherwise
-    // unique docs — invisible to the doc-level family (q24/q26/q63).
-    // Map-only span generation; shuffles are the span-hash groupBy
-    // (partial-agg), one semi join, one per-doc window. Oracle replicates
-    // the portable md5-60bit span hash so grouping is bit-identical.
-    QueryDef(
-      "q127_span_dedup",
-      (s, dir) => Dedup.spanDupProfile(tbl(s, dir, "documents"),
-          "text", "doc_id", k = 8)
-        .orderBy(col("doc_id")),
-      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-             |s AS (SELECT doc_id, unnest(generate_series(1, len(toks)-8+1)) AS pos, toks
-             |      FROM t WHERE len(toks) >= 8),
-             |sp AS (SELECT doc_id, pos - 1 AS pos,
-             |         CAST(('0x' || substring(md5(array_to_string(toks[pos:pos+7],' ')),1,15)) AS BIGINT) AS h
-             |       FROM s),
-             |dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) >= 2),
-             |f AS (SELECT doc_id, pos FROM sp SEMI JOIN dup USING (h)),
-             |g AS (SELECT doc_id, pos,
-             |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
-             |             THEN 0 ELSE 1 END AS brk
-             |      FROM f),
-             |r AS (SELECT doc_id, pos,
-             |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS rid
-             |      FROM g),
-             |reg AS (SELECT doc_id, rid, COUNT(*) AS spans, MAX(pos) - MIN(pos) + 8 AS covered
-             |        FROM r GROUP BY doc_id, rid),
-             |agg AS (SELECT doc_id, CAST(SUM(spans) AS BIGINT) AS dup_spans,
-             |          CAST(COUNT(*) AS BIGINT) AS dup_regions,
-             |          CAST(SUM(covered) AS BIGINT) AS dup_tokens
-             |        FROM reg GROUP BY doc_id)
-             |SELECT d.doc_id, CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
-             |  COALESCE(a.dup_spans, 0) AS dup_spans,
-             |  COALESCE(a.dup_regions, 0) AS dup_regions,
-             |  COALESCE(a.dup_tokens, 0) AS dup_tokens,
-             |  CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / len(string_split(d.text,' ')) AS dup_frac
-             |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-             |ORDER BY d.doc_id""".stripMargin),
-    ),
-
-    // PassJoin-blocked Levenshtein similarity self-join on part names —
-    // the exact fuzzy-matching primitive for entity resolution. Runs on
-    // the exact-dedup'd DISTINCT strings with group counts (2000 rows ->
-    // 64 names here; the realistic shape at any scale), generates
-    // candidates via d+1-segment blocking (complete by pigeonhole — see
-    // EditDistance's exactness argument + brute-force spec), verifies
-    // with codegen'd levenshtein. The oracle IS the brute force: any
-    // missing pair is a blocking bug.
-    QueryDef(
-      "q128_lev_join",
-      (s, dir) => EditDistance.levSimilarityJoin(tbl(s, dir, "part"), "p_name", d = 2)
-        .orderBy(col("a_name"), col("b_name")),
-      Some("""WITH names AS (
-             |  SELECT p_name AS name, COUNT(*) AS cnt FROM part
-             |  WHERE len(p_name) >= 3 GROUP BY 1)
-             |SELECT a.name AS a_name, b.name AS b_name,
-             |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
-             |  a.cnt AS a_cnt, b.cnt AS b_cnt
-             |FROM names a JOIN names b ON a.name < b.name
-             |WHERE levenshtein(a.name, b.name) <= 2
-             |ORDER BY a_name, b_name""".stripMargin),
-    ),
-
-    // Span NOVELTY in corpus order — q127's keep/drop side: a span is
-    // novel iff no equal span occurred earlier in (doc_id, pos) order
-    // (Lee et al. keep-first-occurrence). One window over span-hash
-    // partitions (groups bounded by occurrence counts, no global sort);
-    // the transformWithState twin reconciles exactly.
-    QueryDef(
-      "q129_span_novelty",
-      (s, dir) => Dedup.spanNoveltyProfile(tbl(s, dir, "documents"),
-          "text", "doc_id", k = 8)
-        .orderBy(col("doc_id")),
-      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-             |s AS (SELECT doc_id, unnest(generate_series(1, len(toks)-8+1)) AS pos, toks
-             |      FROM t WHERE len(toks) >= 8),
-             |sp AS (SELECT doc_id, pos - 1 AS pos,
-             |         CAST(('0x' || substring(md5(array_to_string(toks[pos:pos+7],' ')),1,15)) AS BIGINT) AS h
-             |       FROM s),
-             |rn AS (SELECT doc_id,
-             |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
-             |       FROM sp),
-             |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
-             |          CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_spans
-             |        FROM rn GROUP BY doc_id)
-             |SELECT d.doc_id, COALESCE(a.n_spans, 0) AS n_spans,
-             |  COALESCE(a.novel_spans, 0) AS novel_spans,
-             |  COALESCE(a.n_spans, 0) - COALESCE(a.novel_spans, 0) AS seen_before
-             |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
-             |ORDER BY d.doc_id""".stripMargin),
-    ),
-
-    // BPE TRAINING statistic (q117 is the inference side): corpus-wide
-    // adjacent-character pair counts weighted by word frequency — the
-    // quantity each merge step maximizes. Pair explosion runs over
-    // DISTINCT words (vocabulary-bounded, not corpus-bounded); both
-    // rollups partial-agg; top-k is TakeOrderedAndProject.
-    QueryDef(
-      "q130_bpe_pairs",
-      (s, dir) => Tokenize.bpePairCounts(tbl(s, dir, "documents"), "text", topK = 20),
-      Some("""WITH w AS (SELECT unnest(string_split(text,' ')) AS word FROM documents),
-             |wc AS (SELECT word, COUNT(*) AS cnt FROM w WHERE len(word) >= 2 GROUP BY word),
-             |p AS (SELECT substring(word, i, 1) || ' ' || substring(word, i+1, 1) AS pair, cnt
-             |      FROM (SELECT word, cnt, unnest(generate_series(1, len(word)-1)) AS i FROM wc)),
-             |a AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS cnt FROM p GROUP BY pair)
-             |SELECT pair, cnt FROM a ORDER BY cnt DESC, pair LIMIT 20""".stripMargin),
-    ),
-
-    // Two-stage conversion funnel with time-to-convert: first signup per
-    // user, earliest purchase within 6h of it. Anchor and ttc are both
-    // map-side-combinable mins; the attach is a user-keyed equi-join with
-    // the window bounds as join predicates — no global sort, no window
-    // function, partitions by user at any scale.
-    QueryDef(
-      "q131_event_funnel",
-      (s, dir) => EventFunnel.conversionFunnel(tbl(s, dir, "events"),
-          "signup", "purchase", windowNs = 21600000000000L)
-        .orderBy(col("user_id")),
-      Some("""WITH s AS (
-             |  SELECT user_id, MIN(epoch_ns(ts)) AS s_ts FROM events
-             |  WHERE event_type = 'signup' GROUP BY user_id),
-             |j AS (
-             |  SELECT s.user_id, s.s_ts, MIN(epoch_ns(e.ts) - s.s_ts) AS ttc_ns
-             |  FROM s LEFT JOIN events e ON e.user_id = s.user_id
-             |    AND e.event_type = 'purchase'
-             |    AND epoch_ns(e.ts) > s.s_ts
-             |    AND epoch_ns(e.ts) <= s.s_ts + 21600000000000
-             |  GROUP BY s.user_id, s.s_ts)
-             |SELECT user_id, s_ts, ttc_ns IS NOT NULL AS converted, ttc_ns
-             |FROM j ORDER BY user_id""".stripMargin),
-    ),
-
-    // Supplier authority via integer-exact PageRank on the symmetrized
-    // customer-supplier bipartite graph (edges = distinct (o_custkey,
-    // l_suppkey) from orders x lineitem; namespaces split as 2k / 2k+1).
-    // Fixed 4 iterations, all arithmetic floor-division on longs — the
-    // oracle replays the identical recurrence as 4 chained CTEs. The
-    // iterative sibling of q44's connected components: one rank join +
-    // one partial-agg sum per iteration, Pregel-shaped at any scale.
-    QueryDef(
-      "q132_pagerank",
-      (s, dir) => {
-        val e = tbl(s, dir, "orders").join(tbl(s, dir, "lineitem"),
-            col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).cast("long").as("src"),
-            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
-          .distinct()
-        val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-        Graphs.integerPageRank(sym, iters = 4)
-          .where(col("node") % 2 === 1)
-          .select(expr("(node - 1) div 2").cast("long").as("s_suppkey"),
-            col("r").as("rank"))
-          .orderBy(col("s_suppkey"))
-      },
-      Some({
-        val m = 1000000000000L
-        val iterCte = (0 until 4).map(i =>
-          s"""r${i + 1} AS (
-             |  SELECT sym.dst AS node, (SELECT base FROM c) + (85 * SUM(r$i.r // deg.deg)) // 100 AS r
-             |  FROM r$i JOIN sym ON r$i.node = sym.src JOIN deg ON sym.src = deg.src
-             |  GROUP BY sym.dst)""".stripMargin).mkString(",\n")
-        s"""WITH e AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
-           |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-           |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
-           |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
-           |c AS (SELECT (15 * ($m // COUNT(*))) // 100 AS base, $m // COUNT(*) AS r0 FROM deg),
-           |r0 AS (SELECT src AS node, (SELECT r0 FROM c) AS r FROM deg),
-           |""".stripMargin + iterCte + """
-           |SELECT CAST((node - 1) // 2 AS BIGINT) AS s_suppkey, CAST(r AS BIGINT) AS rank
-           |FROM r4 WHERE node % 2 = 1 ORDER BY s_suppkey""".stripMargin
-      }),
-    ),
-
-    // HyperLogLog distinct-order counts per return flag + a merged
-    // __all__ rollup (element-wise register max — the lossless
-    // hierarchical merge KMV lacks). Registers, dyadic sum, and the one
-    // double division are all bit-exact cross-engine (see Sketches.scala);
-    // est_distinct is NULL outside the raw regime (v_zero > 0), where KMV
-    // is the right sketch. n_exact is the accuracy audit.
-    QueryDef(
-      "q133_hll_distinct",
-      (s, dir) => Sketches.hllDistinct(tbl(s, dir, "lineitem"),
-          "l_returnflag", col("l_orderkey"))
-        .orderBy(col("grp")),
-      Some("""WITH h AS (
-             |  SELECT l_returnflag AS grp,
-             |    CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)),1,15)) AS BIGINT) AS h
-             |  FROM lineitem),
-             |r AS (
-             |  SELECT grp, h % 64 AS bucket,
-             |    CASE WHEN h >> 6 = 0 THEN 55 ELSE 55 - length(bin(h >> 6)) END AS rho
-             |  FROM h),
-             |regs AS (SELECT grp, bucket, MAX(rho) AS m FROM r GROUP BY grp, bucket),
-             |allregs AS (
-             |  SELECT grp, bucket, m FROM regs
-             |  UNION ALL
-             |  SELECT '__all__' AS grp, bucket, MAX(m) AS m FROM regs GROUP BY bucket),
-             |grps AS (SELECT DISTINCT grp FROM allregs),
-             |dense AS (
-             |  SELECT g.grp, s.b AS bucket, COALESCE(a.m, 0) AS m
-             |  FROM grps g CROSS JOIN (SELECT unnest(generate_series(0,63)) AS b) s
-             |  LEFT JOIN allregs a ON a.grp = g.grp AND a.bucket = s.b),
-             |agg AS (
-             |  SELECT grp,
-             |    CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
-             |    CAST(SUM(1::BIGINT << (55 - m)) AS BIGINT) AS s_sum
-             |  FROM dense GROUP BY grp),
-             |ex AS (
-             |  SELECT l_returnflag AS grp, COUNT(DISTINCT l_orderkey) AS n_exact
-             |  FROM lineitem GROUP BY 1
-             |  UNION ALL
-             |  SELECT '__all__', COUNT(DISTINCT l_orderkey) FROM lineitem)
-             |SELECT a.grp, a.v_zero, a.s_sum,
-             |  CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0 / CAST(a.s_sum AS DOUBLE) AS raw_est,
-             |  CASE WHEN a.v_zero = 0
-             |       THEN CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0 / CAST(a.s_sum AS DOUBLE)
-             |       END AS est_distinct,
-             |  CAST(ex.n_exact AS BIGINT) AS n_exact
-             |FROM agg a JOIN ex ON a.grp = ex.grp
-             |ORDER BY a.grp""".stripMargin),
-    ),
-
-    // Exact BPE ENCODING under a ranked merge table — the GPT-2-family
-    // tokenizer loop (q130 = the training statistic, q117 = longest-match
-    // inference; this is ranked-merge inference where merge ORDER decides
-    // the split). The merge loop runs once per DISTINCT word; the oracle
-    // replays the identical recurrence as a recursive CTE with the rank
-    // list interpolated as a literal (single model source of truth).
-    QueryDef(
-      "q134_bpe_encode",
-      (s, dir) => Tokenize.bpeCounts(s, tbl(s, dir, "documents"), "text", "doc_id")
-        .orderBy(col("doc_id")),
-      Some(Tokenize.bpeOracleSql(Tokenize.DefaultRankedMerges)),
-    ),
-
-    // SEMANTIC eval-set decontamination: corpus vectors cosine-close to any
-    // benchmark vector (vec_id % 17 == 0 plays the eval set), via the
-    // asymmetric RHP-bucket probe — eval signatures broadcast, cost =
-    // corpus x collision rate. The embedding sibling of q125's n-gram
-    // probe (paraphrased leakage shares no n-grams). Oracle replicates the
-    // bucketed semantics exactly (interpolated plane literals).
-    QueryDef(
-      "q135_semantic_decontamination",
-      (s, dir) => {
-        val emb = tbl(s, dir, "embeddings")
-        Similarity.semanticContamination(
-            emb.where(col("vec_id") % 17 =!= 0),
-            emb.where(col("vec_id") % 17 === 0),
-            "embedding", "vec_id", 0.4, LshTables, LshBits)
-          .orderBy(col("vec_id"))
-      },
-      Some(s"""WITH $sigCtesSql,
-              |cand AS (
-              |  SELECT DISTINCT c.vec_id AS a_id, e.vec_id AS b_id
-              |  FROM sig c JOIN sig e ON c.tbl = e.tbl AND c.sig = e.sig
-              |  WHERE c.vec_id % 17 != 0 AND e.vec_id % 17 = 0),
-              |n AS (
-              |  SELECT vec_id, embedding,
-              |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
-              |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
-              |  FROM embeddings),
-              |sims AS (
-              |  SELECT c.a_id, c.b_id,
-              |    list_sum([CAST(na.embedding[i] AS DOUBLE)*nb.embedding[i]
-              |              FOR i IN generate_series(1,len(na.embedding))])/(na.nrm*nb.nrm) AS cos_sim
-              |  FROM cand c JOIN n na ON na.vec_id = c.a_id JOIN n nb ON nb.vec_id = c.b_id),
-              |agg AS (
-              |  SELECT a_id, CAST(COUNT(*) AS BIGINT) AS n_cand,
-              |    CAST(SUM(CASE WHEN cos_sim >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
-              |    MAX(cos_sim) AS max_cos
-              |  FROM sims GROUP BY a_id),
-              |best AS (
-              |  SELECT a_id, b_id AS best_eval FROM (
-              |    SELECT a_id, b_id,
-              |      row_number() OVER (PARTITION BY a_id ORDER BY cos_sim DESC, b_id) AS rk
-              |    FROM sims) WHERE rk = 1)
-              |SELECT v.vec_id, COALESCE(a.n_cand, 0) AS n_cand,
-              |  COALESCE(a.n_match, 0) AS n_match, a.max_cos, b.best_eval,
-              |  COALESCE(a.n_match, 0) > 0 AS contaminated
-              |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 17 != 0) v
-              |LEFT JOIN agg a ON v.vec_id = a.a_id
-              |LEFT JOIN best b ON v.vec_id = b.a_id
-              |ORDER BY v.vec_id""".stripMargin),
-    ),
-
-    // HTML main-content extraction (boilerplate removal by link density —
-    // the jusText/Arc90 core rule): docs render to deterministic flat HTML
-    // (hash-chosen p/nav/script blocks, hash-chosen <a> links — the q116
-    // render-then-decode pattern), the operator strips markup and keeps
-    // paragraph blocks with 2*link_chars < text_chars. Map-only; the
-    // oracle replicates generation AND extraction bit-for-bit.
-    QueryDef(
-      "q136_html_main_content",
-      (s, dir) => Web.mainContent(
-          Web.syntheticHtml(tbl(s, dir, "documents"), "doc_id", "text"),
-          "doc_id", "html")
-        .orderBy(col("doc_id")),
-      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-             |runs AS (
-             |  SELECT doc_id, toks,
-             |    [toks[j*4+1 : j*4+4] FOR j IN generate_series(0, (len(toks)+3)//4 - 1)] AS rws
-             |  FROM t),
-             |blocks AS (
-             |  SELECT doc_id,
-             |    [ '<' ||
-             |      CASE (CAST(('0x'||substring(md5(doc_id || ':' || (j-1)),1,15)) AS BIGINT) % 5)
-             |        WHEN 3 THEN 'nav' WHEN 4 THEN 'script' ELSE 'p' END
-             |      || '>' ||
-             |      array_to_string(
-             |        [ CASE WHEN (CAST(('0x'||substring(md5(doc_id || ':' || (j-1) || ':' || (k-1)),1,15)) AS BIGINT) % 4) = 0
-             |               THEN '<a>' || rws[j][k] || '</a>' ELSE rws[j][k] END
-             |          FOR k IN generate_series(1, len(rws[j])) ], ' ')
-             |      || '</' ||
-             |      CASE (CAST(('0x'||substring(md5(doc_id || ':' || (j-1)),1,15)) AS BIGINT) % 5)
-             |        WHEN 3 THEN 'nav' WHEN 4 THEN 'script' ELSE 'p' END
-             |      || '>'
-             |      FOR j IN generate_series(1, len(rws)) ] AS bl
-             |  FROM runs),
-             |html AS (
-             |  SELECT doc_id, '<html><body>' || array_to_string(bl, '') || '</body></html>' AS html
-             |  FROM blocks),
-             |bx AS (
-             |  SELECT doc_id,
-             |    regexp_extract_all(html, '<(?:p|nav|script)>.*?</(?:p|nav|script)>') AS blks
-             |  FROM html),
-             |bs AS (
-             |  SELECT doc_id, blks,
-             |    [regexp_extract(b, '^<([a-z]+)>', 1) FOR b IN blks] AS tags,
-             |    [regexp_replace(regexp_extract(b, '^<[a-z]+>(.*)</[a-z]+>$', 1), '</?a>', '', 'g') FOR b IN blks] AS stripped,
-             |    [CAST(COALESCE(list_sum(list_transform(regexp_extract_all(b, '<a>(.*?)</a>', 1), x -> len(x))), 0) AS BIGINT) FOR b IN blks] AS linkchars
-             |  FROM bx),
-             |kept AS (
-             |  SELECT doc_id,
-             |    CAST(len(blks) AS BIGINT) AS n_blocks,
-             |    CAST(len([i FOR i IN generate_series(1, len(blks)) IF tags[i] = 'p' AND 2*linkchars[i] < len(stripped[i])]) AS BIGINT) AS n_kept,
-             |    CAST(COALESCE(list_sum(linkchars), 0) AS BIGINT) AS link_chars,
-             |    CAST(COALESCE(list_sum([len(stripped[i]) FOR i IN generate_series(1, len(blks))]), 0) AS BIGINT) AS text_chars,
-             |    COALESCE(array_to_string([stripped[i] FOR i IN generate_series(1, len(blks)) IF tags[i] = 'p' AND 2*linkchars[i] < len(stripped[i])], ' '), '') AS main_text
-             |  FROM bs)
-             |SELECT doc_id, n_blocks, n_kept, link_chars, text_chars,
-             |  CAST(len(main_text) AS BIGINT) AS main_chars,
-             |  md5(main_text) AS main_md5
-             |FROM kept ORDER BY doc_id""".stripMargin),
-    ),
-
-    // DBSCAN-style density clustering on embeddings: core (>= 3 neighbors
-    // at cos >= 0.35 within RHP buckets) / border (min core-neighbor
-    // root) / noise, components over the CORE subgraph only. The oracle
-    // replicates the bucketed epsilon graph exactly and replays the
-    // components as a recursive CTE (q44 pattern at the embedding layer).
-    QueryDef(
-      "q137_dbscan_clusters",
-      (s, dir) => Similarity.dbscanClusters(tbl(s, dir, "embeddings"),
-          "embedding", "vec_id", eps = 0.35, minPts = 3, LshTables, LshBits)
-        .orderBy(col("vec_id")),
-      Some(s"""WITH RECURSIVE $sigCtesSql,
-              |cand AS (
-              |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-              |  FROM sig a JOIN sig b
-              |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id),
-              |n AS (
-              |  SELECT vec_id, embedding,
-              |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
-              |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
-              |  FROM embeddings),
-              |verified AS (
-              |  SELECT a_id, b_id FROM (
-              |    SELECT c.a_id, c.b_id,
-              |      list_sum([CAST(na.embedding[i] AS DOUBLE)*nb.embedding[i]
-              |                FOR i IN generate_series(1,len(na.embedding))])/(na.nrm*nb.nrm) AS cos_sim
-              |    FROM cand c
-              |    JOIN n na ON na.vec_id = c.a_id
-              |    JOIN n nb ON nb.vec_id = c.b_id)
-              |  WHERE cos_sim >= 0.35),
-              |sym AS (SELECT a_id AS src, b_id AS dst FROM verified
-              |        UNION SELECT b_id, a_id FROM verified),
-              |core AS (SELECT src AS id FROM sym GROUP BY src HAVING COUNT(*) >= 3),
-              |ce AS (SELECT src, dst FROM sym
-              |       WHERE src IN (SELECT id FROM core) AND dst IN (SELECT id FROM core)),
-              |r(id, m) AS (
-              |  SELECT src, src FROM ce
-              |  UNION
-              |  SELECT r.id, e.dst FROM r JOIN ce e ON e.src = r.m),
-              |ccl AS (SELECT id, MIN(m) AS root FROM r GROUP BY id),
-              |coreroot AS (
-              |  SELECT c.id, COALESCE(l.root, c.id) AS root
-              |  FROM core c LEFT JOIN ccl l ON c.id = l.id),
-              |borderroot AS (
-              |  SELECT s.src AS id, MIN(cr.root) AS root
-              |  FROM sym s JOIN coreroot cr ON s.dst = cr.id
-              |  WHERE s.src NOT IN (SELECT id FROM core) GROUP BY s.src)
-              |SELECT e.vec_id,
-              |  CASE WHEN cr.id IS NOT NULL THEN 'core'
-              |       WHEN br.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
-              |  COALESCE(cr.root, br.root) AS root
-              |FROM embeddings e
-              |LEFT JOIN coreroot cr ON e.vec_id = cr.id
-              |LEFT JOIN borderroot br ON e.vec_id = br.id
-              |ORDER BY e.vec_id""".stripMargin),
-    ),
-
-    // Dominant principal direction of the embedding corpus via INTEGER
-    // power iteration on the quantized Gram matrix (6 fixed steps, shift
-    // renormalization) + per-vector projections — drift-axis monitoring,
-    // bit-exact cross-engine. The oracle replays the identical recurrence
-    // as 6 chained CTE triples over the same BIGINT Gram cells.
-    QueryDef(
-      "q138_top_pc",
-      (s, dir) => Similarity.topPcProjections(tbl(s, dir, "embeddings"),
-          "embedding", "vec_id", dims = 64, iters = 6)
-        .orderBy(col("vec_id")),
-      Some({
-        val iterCtes = (1 to 6).map { t =>
-          s"""w$t AS (
-             |  SELECT c.i, CAST(SUM(c.c * v.v) AS BIGINT) AS w
-             |  FROM cells c JOIN v${t - 1} v ON c.j = v.i GROUP BY c.i),
-             |k$t AS (SELECT GREATEST(length(bin(MAX(abs(w)))) - 20, 0) AS s FROM w$t),
-             |v$t AS (SELECT i, w >> (SELECT s FROM k$t) AS v FROM w$t)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH qv AS (
-           |  SELECT vec_id,
-           |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024.0) AS BIGINT)
-           |     FOR i IN generate_series(1, len(embedding))] AS q
-           |  FROM embeddings),
-           |cells AS (
-           |  SELECT t1.i, t2.j, CAST(SUM(q[t1.i] * q[t2.j]) AS BIGINT) AS c
-           |  FROM qv, unnest(generate_series(1,64)) t1(i), unnest(generate_series(1,64)) t2(j)
-           |  GROUP BY t1.i, t2.j),
-           |v0 AS (SELECT i, 1024::BIGINT AS v FROM unnest(generate_series(1,64)) t(i)),
-           |""".stripMargin + iterCtes + """,
-           |vlist AS (SELECT list(v ORDER BY i) AS vv FROM v6)
-           |SELECT vec_id,
-           |  CAST(list_sum([q[i] * vv[i] FOR i IN generate_series(1,64)]) AS BIGINT) AS proj
-           |FROM qv, vlist ORDER BY vec_id""".stripMargin
-      }),
-    ),
-
-    // Exact triangle counts + local clustering coefficients over the part
-    // co-purchase graph (parts sharing an order), via degree-ordered edge
-    // orientation — O(m^1.5) wedge bound instead of Σdeg². The oracle
-    // enumerates each triangle once by id order (a<b<c); orientation order
-    // differs but the triangle SET is identical, so per-node counts match
-    // exactly. lcc in integer ppm (no float division anywhere).
-    QueryDef(
-      "q139_triangle_count",
-      (s, dir) => {
-        val li = tbl(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val edges = li.as("x").join(li.as("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
-        Graphs.triangleCounts(edges).orderBy(col("node"))
-      },
-      Some("""WITH e AS (
-             |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-             |  FROM lineitem a JOIN lineitem b
-             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-             |deg AS (
-             |  SELECT node, COUNT(*) AS deg
-             |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
-             |  GROUP BY node),
-             |t AS (
-             |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
-             |  FROM e e1 JOIN e e2 ON e1.b = e2.a
-             |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
-             |tc AS (
-             |  SELECT node, COUNT(*) AS tri
-             |  FROM (SELECT u AS node FROM t
-             |        UNION ALL SELECT v FROM t
-             |        UNION ALL SELECT w FROM t)
-             |  GROUP BY node)
-             |SELECT d.node, d.deg, COALESCE(tc.tri, 0) AS tri,
-             |  CASE WHEN d.deg >= 2
-             |    THEN (COALESCE(tc.tri, 0) * 2000000) // (d.deg * (d.deg - 1))
-             |    ELSE 0 END AS lcc_ppm
-             |FROM deg d LEFT JOIN tc ON d.node = tc.node
-             |ORDER BY d.node""".stripMargin),
-    ),
-
-    // SCD-type-2 history build from the append-only event log: one row per
-    // maximal run of consecutive equal event_type per user, with validity
-    // interval [valid_from, valid_to) in nanos (valid_to null on the open
-    // run). Islands-and-gaps with both windows partitioned by user — the
-    // CDC compaction shape. (user_id, ts) is unique in this corpus, so
-    // (user_id, valid_from) totally orders the output.
-    QueryDef(
-      "q140_scd_intervals",
-      (s, dir) => EventFunnel.scdIntervals(tbl(s, dir, "events"))
-        .orderBy(col("user_id"), col("valid_from")),
-      Some("""WITH o AS (
-             |  SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id,
-             |    CASE WHEN lag(event_type) OVER w IS NULL
-             |           OR lag(event_type) OVER w <> event_type
-             |         THEN 1 ELSE 0 END AS chg
-             |  FROM events
-             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
-             |i AS (
-             |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |                           ROWS UNBOUNDED PRECEDING) AS island
-             |  FROM o),
-             |r AS (
-             |  SELECT user_id, island, MIN(event_type) AS event_type,
-             |    MIN(ts) AS valid_from, COUNT(*) AS n_events
-             |  FROM i GROUP BY user_id, island)
-             |SELECT user_id, event_type, valid_from,
-             |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) AS valid_to,
-             |  n_events,
-             |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY island) IS NULL AS is_current
-             |FROM r ORDER BY user_id, valid_from""".stripMargin),
-    ),
-
-    // Crawl-overlap matrix: exact pairwise Jaccard between SOURCES over
-    // their distinct 3-shingle sets (complete upper triangle, zero
-    // intersections included) — the before-any-doc-dedup planning rollup.
-    // Spark shuffles int64 gram hashes; the oracle recomputes on string
-    // shingles (the hashedShingleSets collision argument). jaccard in
-    // integer ppm.
-    QueryDef(
-      "q141_source_similarity",
-      (s, dir) => CorpusStats.sourceSimilarityMatrix(
-          tbl(s, dir, "documents"), "text", "source")
-        .orderBy(col("src_a"), col("src_b")),
-      Some("""WITH t AS (
-             |  SELECT source, string_split(text,' ') AS tokens FROM documents),
-             |g AS (
-             |  SELECT DISTINCT source,
-             |    tokens[i]||' '||tokens[i+1]||' '||tokens[i+2] AS gram
-             |  FROM (SELECT source, tokens,
-             |          unnest(generate_series(1, len(tokens)-2)) AS i
-             |        FROM t WHERE len(tokens) >= 3)),
-             |sz AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
-             |co AS (
-             |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
-             |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
-             |  GROUP BY a.source, b.source),
-             |pairs AS (
-             |  SELECT x.source AS src_a, y.source AS src_b, x.n AS n_a, y.n AS n_b
-             |  FROM sz x JOIN sz y ON x.source < y.source)
-             |SELECT p.src_a, p.src_b, p.n_a, p.n_b,
-             |  CAST(COALESCE(co.inter, 0) AS BIGINT) AS inter,
-             |  (CAST(COALESCE(co.inter, 0) AS BIGINT) * 1000000)
-             |    // (p.n_a + p.n_b - COALESCE(co.inter, 0)) AS jaccard_ppm
-             |FROM pairs p LEFT JOIN co ON p.src_a = co.src_a AND p.src_b = co.src_b
-             |ORDER BY p.src_a, p.src_b""".stripMargin),
-    ),
-
-    // Deterministic epoch shard plan: (shard, pos, token offset) per doc
-    // as a pure function of (doc_id, seed) — the map-only replacement for
-    // a global training shuffle; next epoch = next seed, no data movement.
-    // Everything keys off the portable md5 hash, so the oracle recomputes
-    // the identical assignment.
-    QueryDef(
-      "q142_shard_plan",
-      (s, dir) => Sampling.shardPlan(tbl(s, dir, "documents"),
-          "doc_id", "text", numShards = 8, seed = 7)
-        .orderBy(col("shard"), col("pos")),
-      Some("""WITH h AS (
-             |  SELECT doc_id,
-             |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'),1,15))
-             |         AS BIGINT) AS hv,
-             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-             |  FROM documents)
-             |SELECT doc_id, hv % 8 AS shard,
-             |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS pos, n_tokens,
-             |  CAST(SUM(n_tokens) OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id
-             |                           ROWS UNBOUNDED PRECEDING) - n_tokens
-             |       AS BIGINT) AS tok_offset
-             |FROM h
-             |WINDOW w AS (PARTITION BY hv % 8 ORDER BY hv, doc_id)
-             |ORDER BY shard, pos""".stripMargin),
-    ),
-
-    // MinHash band-config recall audit: per Jaccard decile, the fraction
-    // of TRUE >=0.5 token-set pairs the (16 hashes, r=2) banded candidate
-    // stage surfaces — measured against the exact prefix-filter pair list
-    // on the audit corpus. Non-degenerate here (recall climbs 0.89 -> 1.0
-    // across deciles 5..9, tracking 1-(1-J^2)^8). Portable md5 minhash
-    // family so the oracle replays candidate generation bit-for-bit;
-    // decile/recall arithmetic is integer.
-    QueryDef(
-      "q143_lsh_recall_audit",
-      (s, dir) => Dedup.lshRecallAudit(tbl(s, dir, "documents"),
-          "text", "doc_id", threshold = 0.5, k = 1, numHashes = 16, r = 2,
-          sampleNum = 1, sampleDenom = 10)
-        .orderBy(col("decile")),
-      Some("""WITH t AS (
-             |  SELECT doc_id, string_split(text,' ') AS tokens FROM documents
-             |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
-             |             AS BIGINT) % 10 < 1),
-             |sh AS (SELECT doc_id, list_distinct(tokens) AS s FROM t WHERE len(tokens) >= 1),
-             |exact AS (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             |    ROUND(CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-             |          / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 6) AS jaccard
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-             |        / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
-             |gs AS (SELECT doc_id, unnest(s) AS g FROM sh),
-             |m AS (
-             |  SELECT doc_id, i,
-             |    MIN(CAST(('0x' || substring(md5(g || ':' || i),1,15)) AS BIGINT)) AS mh
-             |  FROM gs, unnest(generate_series(0, 15)) t(i)
-             |  GROUP BY doc_id, i),
-             |bk AS (
-             |  SELECT a.doc_id, a.i // 2 AS band, a.mh AS m1, b.mh AS m2
-             |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND b.i = a.i + 1 AND a.i % 2 = 0),
-             |cand AS (
-             |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-             |  FROM bk x JOIN bk y
-             |    ON x.band = y.band AND x.m1 = y.m1 AND x.m2 = y.m2
-             |    AND x.doc_id < y.doc_id),
-             |j AS (
-             |  SELECT e.jaccard, (c.a_id IS NOT NULL) AS found
-             |  FROM exact e LEFT JOIN cand c ON e.a_id = c.a_id AND e.b_id = c.b_id)
-             |SELECT LEAST(9, CAST(floor(jaccard*10) AS BIGINT)) AS decile,
-             |  COUNT(*) AS n_pairs,
-             |  CAST(SUM(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
-             |  (CAST(SUM(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
-             |    // COUNT(*) AS recall_ppm
-             |FROM j GROUP BY 1 ORDER BY decile""".stripMargin),
-    ),
-
-    // Shuffle-skew audit + salting plan on the event-type key: hot keys
-    // (>= 1% of rows) with the salt factor that caps per-task load at
-    // 1000 rows — the pre-shuffle planning query. One partial-agg count +
-    // a 1-row total broadcast; integer ppm/ceil math throughout.
-    QueryDef(
-      "q144_skew_audit",
-      (s, dir) => Skew.skewAudit(tbl(s, dir, "events"), "event_type",
-          targetPerTask = 1000L, thresholdPpm = 10000L)
-        .orderBy(col("cnt").desc, col("key")),
-      Some("""WITH c AS (
-             |  SELECT event_type AS key, COUNT(*) AS cnt FROM events GROUP BY event_type),
-             |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
-             |SELECT key, cnt, (cnt * 1000000) // t.total AS share_ppm,
-             |  (cnt + 999) // 1000 AS salt
-             |FROM c, t
-             |WHERE (cnt * 1000000) // t.total >= 10000
-             |ORDER BY cnt DESC, key""".stripMargin),
-    ),
-
-    // MMR diversified retrieval: per query, greedy k=4 selection from the
-    // brute top-8 pool maximizing lam*rel - (1-lam)*max-sim-to-selected —
-    // redundancy-aware serving over a near-dup-heavy corpus. The oracle
-    // replays the greedy rounds as chained CTEs with the IDENTICAL double
-    // literals (including the IEEE value of 1-0.7) and tie order.
-    QueryDef(
-      "q145_mmr_topk",
-      (s, dir) => {
-        val emb = tbl(s, dir, "embeddings")
-        Similarity.mmrTopK(emb, emb.where(col("vec_id") < 10),
-            "embedding", "vec_id", m = 8, k = 4, lam = 0.7)
-          .orderBy(col("qid"), col("step"))
-      },
-      Some({
-        val lam = 0.7
-        val simExpr = (av: String, bv: String, an: String, bn: String) =>
-          s"""list_sum([CAST($av[i] AS DOUBLE)*$bv[i]
-             |              FOR i IN generate_series(1,len($av))])/($an*$bn)""".stripMargin
-        val steps = (2 to 4).map { st =>
-          s"""pick$st AS (
-             |  SELECT qid, nid, CAST($st AS BIGINT) AS step, rel FROM (
-             |    SELECT c.qid, c.nid, c.rel,
-             |      ROW_NUMBER() OVER (PARTITION BY c.qid
-             |        ORDER BY ($lam*c.rel - ${1 - lam}*ms.msim) DESC, c.nid) AS rk
-             |    FROM cand c
-             |    JOIN (SELECT p.qid, p.a_id, MAX(p.csim) AS msim
-             |          FROM psim p JOIN sel${st - 1} s ON p.qid = s.qid AND p.b_id = s.nid
-             |          GROUP BY p.qid, p.a_id) ms
-             |      ON ms.qid = c.qid AND ms.a_id = c.nid
-             |    WHERE NOT EXISTS (SELECT 1 FROM sel${st - 1} s
-             |                      WHERE s.qid = c.qid AND s.nid = c.nid))
-             |  WHERE rk = 1),
-             |sel$st AS (SELECT * FROM sel${st - 1} UNION ALL SELECT * FROM pick$st)"""
-            .stripMargin
-        }.mkString(",\n")
-        s"""WITH n AS (
-           |  SELECT vec_id, embedding,
-           |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
-           |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
-           |  FROM embeddings),
-           |q AS (SELECT vec_id AS qid, embedding AS vq, nrm AS nq FROM n WHERE vec_id < 10),
-           |cand AS (
-           |  SELECT qid, nid, rel FROM (
-           |    SELECT q.qid, c.vec_id AS nid,
-           |      ${simExpr("q.vq", "c.embedding", "q.nq", "c.nrm")} AS rel,
-           |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
-           |        (${simExpr("q.vq", "c.embedding", "q.nq", "c.nrm")}) DESC,
-           |        c.vec_id) AS rk
-           |    FROM q CROSS JOIN n c WHERE c.vec_id <> q.qid)
-           |  WHERE rk <= 8),
-           |cv AS (SELECT cand.qid, cand.nid, cand.rel, n.embedding AS v, n.nrm
-           |       FROM cand JOIN n ON n.vec_id = cand.nid),
-           |psim AS (
-           |  SELECT a.qid, a.nid AS a_id, b.nid AS b_id,
-           |    ${simExpr("a.v", "b.v", "a.nrm", "b.nrm")} AS csim
-           |  FROM cv a JOIN cv b ON a.qid = b.qid AND a.nid <> b.nid),
-           |sel1 AS (
-           |  SELECT qid, nid, CAST(1 AS BIGINT) AS step, rel FROM (
-           |    SELECT qid, nid, rel,
-           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rk
-           |    FROM cand) WHERE rk = 1),
-           |""".stripMargin + steps + """
-           |SELECT qid, nid, step, rel FROM sel4 ORDER BY qid, step""".stripMargin
-      }),
-    ),
-
-    // Multi-probe RHP-LSH top-k: 4 tables x 4 bits, each query probing its
-    // own bucket + 3 lowest-|margin| single-bit flips — annTopK recall
-    // with an 8x smaller corpus-side index (probing is query-side work).
-    // The oracle replays plane margins, probe schedule, and buckets
-    // bit-for-bit from the same interpolated +-1 literals.
-    QueryDef(
-      "q146_multiprobe_topk",
-      (s, dir) => {
-        val emb = tbl(s, dir, "embeddings")
-        Similarity.multiProbeTopK(emb, emb.where(col("vec_id") < 10),
-            "embedding", "vec_id", k = 3, tables = 4, bits = 4, nprobe = 4)
-          .orderBy(col("qid"), col("sim").desc, col("nid"))
-      },
-      Some(s"""WITH planes(p, s) AS (SELECT * FROM (VALUES ${planesValuesSql(16)}) v(p, s)),
-              |n AS (
-              |  SELECT vec_id, embedding,
-              |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
-              |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
-              |  FROM embeddings),
-              |csig AS (
-              |  SELECT e.vec_id AS nid, pl.p // 4 AS tbl,
-              |    CAST(SUM(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE) * pl.s[i]
-              |                                 FOR i IN generate_series(1, len(e.embedding))]) > 0
-              |             THEN 1 << (pl.p % 4) ELSE 0 END) AS BIGINT) AS sig
-              |  FROM embeddings e CROSS JOIN planes pl
-              |  GROUP BY e.vec_id, pl.p // 4),
-              |q AS (SELECT vec_id AS qid, embedding AS vq, nrm AS nq FROM n WHERE vec_id < 10),
-              |qm AS (
-              |  SELECT q.qid, pl.p,
-              |    list_sum([CAST(q.vq[i] AS DOUBLE) * pl.s[i]
-              |              FOR i IN generate_series(1, len(q.vq))]) AS m
-              |  FROM q CROSS JOIN planes pl),
-              |qsig AS (
-              |  SELECT qid, p // 4 AS tbl,
-              |    CAST(SUM(CASE WHEN m > 0 THEN 1 << (p % 4) ELSE 0 END) AS BIGINT) AS sig
-              |  FROM qm GROUP BY qid, p // 4),
-              |qrank AS (
-              |  SELECT qid, p // 4 AS tbl, p % 4 AS j,
-              |    ROW_NUMBER() OVER (PARTITION BY qid, p // 4 ORDER BY abs(m), p % 4) AS rk
-              |  FROM qm),
-              |qprobe AS (
-              |  SELECT qid, tbl, sig FROM qsig
-              |  UNION ALL
-              |  SELECT r.qid, r.tbl, xor(s.sig, CAST(1 << r.j AS BIGINT)) AS sig
-              |  FROM qrank r JOIN qsig s ON r.qid = s.qid AND r.tbl = s.tbl
-              |  WHERE r.rk <= 3),
-              |cand AS (
-              |  SELECT DISTINCT p.qid, c.nid
-              |  FROM qprobe p JOIN csig c ON p.tbl = c.tbl AND p.sig = c.sig
-              |  WHERE c.nid <> p.qid),
-              |sims AS (
-              |  SELECT cand.qid, cand.nid,
-              |    list_sum([CAST(q.vq[i] AS DOUBLE) * e.embedding[i]
-              |              FOR i IN generate_series(1, len(q.vq))])/(q.nq * e.nrm) AS sim
-              |  FROM cand JOIN q ON q.qid = cand.qid JOIN n e ON e.vec_id = cand.nid),
-              |topk AS (
-              |  SELECT qid, nid, sim,
-              |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
-              |  FROM sims)
-              |SELECT qid, nid, sim FROM topk WHERE rk <= 3
-              |ORDER BY qid, sim DESC, nid""".stripMargin),
-    ),
-
-    // Fixed-round k-core peel (k=85, 4 rounds) on the part co-purchase
-    // graph: dense-subgraph pre-filter, the iterative sibling of q139's
-    // triangles. The oracle replays the identical peels as chained CTEs;
-    // survivor degrees after round 4 are the contract (convergence not
-    // required, q132's fixed-iteration pattern).
-    QueryDef(
-      "q148_kcore_peel",
-      (s, dir) => {
-        val li = tbl(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val edges = li.as("x").join(li.as("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
-        Graphs.kCorePeel(edges, k = 85, rounds = 4).orderBy(col("node"))
-      },
-      Some({
-        val roundCtes = (1 to 4).map { r =>
-          s"""k$r AS MATERIALIZED (
-             |  SELECT node FROM (SELECT a AS node FROM e${r - 1}
-             |                    UNION ALL SELECT b FROM e${r - 1})
-             |  GROUP BY node HAVING COUNT(*) >= 85),
-             |e$r AS MATERIALIZED (
-             |  SELECT a, b FROM e${r - 1}
-             |  WHERE a IN (SELECT node FROM k$r) AND b IN (SELECT node FROM k$r))"""
-            .stripMargin
-        }.mkString(",\n")
-        s"""WITH e0 AS MATERIALIZED (
-           |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-           |  FROM lineitem a JOIN lineitem b
-           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-           |""".stripMargin + roundCtes + """
-           |SELECT node, COUNT(*) AS deg
-           |FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
-           |GROUP BY node ORDER BY node""".stripMargin
-      }),
-    ),
-
-    // Four-stage ordered funnel signup -> view -> click -> purchase inside
-    // a 24h window from the anchor: per anchored user, each stage's first
-    // qualifying nanos (nulls cascade) + stages_reached. Each stage is one
-    // user-keyed left join + partial-agg min — q131's shape, iterated.
-    QueryDef(
-      "q149_staged_funnel",
-      (s, dir) => EventFunnel.stagedFunnel(tbl(s, dir, "events"),
-          Seq("signup", "view", "click", "purchase"), windowNs = 86400000000000L)
-        .orderBy(col("user_id")),
-      Some("""WITH s1 AS (
-             |  SELECT user_id, MIN(epoch_ns(ts)) AS t1 FROM events
-             |  WHERE event_type = 'signup' GROUP BY user_id),
-             |s2 AS (
-             |  SELECT s1.user_id, s1.t1, MIN(epoch_ns(e.ts)) AS t2
-             |  FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
-             |    AND e.event_type = 'view' AND epoch_ns(e.ts) > s1.t1
-             |    AND epoch_ns(e.ts) <= s1.t1 + 86400000000000
-             |  GROUP BY s1.user_id, s1.t1),
-             |s3 AS (
-             |  SELECT s2.user_id, s2.t1, s2.t2, MIN(epoch_ns(e.ts)) AS t3
-             |  FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id
-             |    AND e.event_type = 'click' AND epoch_ns(e.ts) > s2.t2
-             |    AND epoch_ns(e.ts) <= s2.t1 + 86400000000000
-             |  GROUP BY s2.user_id, s2.t1, s2.t2),
-             |s4 AS (
-             |  SELECT s3.user_id, s3.t1, s3.t2, s3.t3, MIN(epoch_ns(e.ts)) AS t4
-             |  FROM s3 LEFT JOIN events e ON e.user_id = s3.user_id
-             |    AND e.event_type = 'purchase' AND epoch_ns(e.ts) > s3.t3
-             |    AND epoch_ns(e.ts) <= s3.t1 + 86400000000000
-             |  GROUP BY s3.user_id, s3.t1, s3.t2, s3.t3)
-             |SELECT user_id, t1, t2, t3, t4,
-             |  CAST(1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
-             |         + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END)
-             |         + (CASE WHEN t4 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-             |    AS stages_reached
-             |FROM s4 ORDER BY user_id""".stripMargin),
-    ),
-
-    // Vocabulary-shift monitor: per-token Laplace-smoothed log-odds of
-    // src0 vs the rest of the corpus in quarter-bit integer log2 — which
-    // words this source over/under-uses, bit-exact cross-engine (the q105
-    // integer-log discipline on relative frequency).
-    QueryDef(
-      "q150_token_logodds",
-      (s, dir) => TextAnalysis.tokenLogOdds(
-          tbl(s, dir, "documents"), "text", "source", "src0")
-        .orderBy(col("lor_q").desc, col("w")),
-      Some({
-        val a = "(c.cnt_a + 1) * (t.tot_b + t.v)"
-        val b = "(c.cnt_b + 1) * (t.tot_a + t.v)"
-        s"""WITH tok AS (
-           |  SELECT (source = 'src0') AS is_a, unnest(string_split(text,' ')) AS w
-           |  FROM documents),
-           |c AS (
-           |  SELECT w,
-           |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
-           |    CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
-           |  FROM tok GROUP BY w),
-           |t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a,
-           |             CAST(SUM(cnt_b) AS BIGINT) AS tot_b,
-           |             COUNT(*) AS v FROM c)
-           |SELECT c.w, c.cnt_a, c.cnt_b,
-           |  CAST((${qlog4Sql(a)}) - (${qlog4Sql(b)}) AS BIGINT) AS lor_q
-           |FROM c, t ORDER BY lor_q DESC, w""".stripMargin
-      }),
-    ),
-
-    // IDF-weighted exact Jaccard pairs (>= 0.8 weighted) on the 10% audit
-    // sample: boilerplate-down-weighted near-dup where shared RARE tokens
-    // dominate — integer quarter-bit idf, integer ppm threshold, zero
-    // float. Candidates via the inverted-index token join, cost bounded
-    // by the sample.
-    QueryDef(
-      "q151_weighted_jaccard",
-      (s, dir) => Dedup.idfWeightedJaccardPairs(tbl(s, dir, "documents"),
-          "text", "doc_id", thresholdPpm = 800000L, sampleNum = 1, sampleDenom = 10)
-        .orderBy(col("a_id"), col("b_id")),
-      Some({
-        val qn = qlog4Sql("n.nd")
-        val qd = qlog4Sql("dfc.df")
-        s"""WITH d AS (
-           |  SELECT doc_id, text FROM documents
-           |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
-           |             AS BIGINT) % 10 < 1),
-           |tok AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS w FROM d),
-           |n AS (SELECT COUNT(*) AS nd FROM d),
-           |dfc AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY w),
-           |idf AS (SELECT w, CAST(($qn) - ($qd) + 1 AS BIGINT) AS idf FROM dfc, n),
-           |wtok AS (SELECT t.doc_id, t.w, i.idf FROM tok t JOIN idf i ON t.w = i.w),
-           |docw AS (SELECT doc_id, CAST(SUM(idf) AS BIGINT) AS wt FROM wtok GROUP BY doc_id),
-           |inter AS (
-           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(SUM(a.idf) AS BIGINT) AS inter_w
-           |  FROM wtok a JOIN wtok b ON a.w = b.w AND a.doc_id < b.doc_id
-           |  GROUP BY 1, 2),
-           |j AS (
-           |  SELECT i.a_id, i.b_id, i.inter_w, wa.wt + wb.wt - i.inter_w AS union_w
-           |  FROM inter i JOIN docw wa ON wa.doc_id = i.a_id
-           |  JOIN docw wb ON wb.doc_id = i.b_id)
-           |SELECT a_id, b_id, inter_w, union_w,
-           |  (inter_w * 1000000) // union_w AS wj_ppm
-           |FROM j WHERE (inter_w * 1000000) // union_w >= 800000
-           |ORDER BY a_id, b_id""".stripMargin
-      }),
-    ),
-
-    // Hourly rate-burst monitor per event type: n*24 > 3*trailing-24h-sum
-    // in cross-multiplied integers; RANGE window over hour values so
-    // silent hours shorten the baseline; first 24h never flag. The ingest
-    // anomaly monitor.
-    QueryDef(
-      "q152_hourly_bursts",
-      (s, dir) => EventFunnel.hourlyBursts(tbl(s, dir, "events"),
-          epochNs = 1704067200000000000L, factor = 3)
-        .orderBy(col("event_type"), col("hr")),
-      Some("""WITH c AS (
-             |  SELECT event_type,
-             |    (epoch_ns(ts) - 1704067200000000000) // 3600000000000 AS hr,
-             |    COUNT(*) AS n
-             |  FROM events GROUP BY 1, 2),
-             |w AS (
-             |  SELECT event_type, hr, n,
-             |    COALESCE(SUM(n) OVER (PARTITION BY event_type ORDER BY hr
-             |      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS trail,
-             |    MIN(hr) OVER (PARTITION BY event_type) AS fh
-             |  FROM c)
-             |SELECT event_type, hr, n, CAST(trail AS BIGINT) AS trail,
-             |  (hr >= fh + 24 AND n * 24 > trail * 3) AS burst
-             |FROM w ORDER BY event_type, hr""".stripMargin),
-    ),
-
-    // Robust per-source length outliers via MAD: dev*10^4 > MAD*22239
-    // (1.5 * 1.4826 cross-multiplied to integers — this corpus's length
-    // spread sits inside the classic 3-sigma gate) over exact discrete
-    // medians — the outlier gate that outliers can't skew, zero floats.
-    QueryDef(
-      "q153_mad_outliers",
-      (s, dir) => CorpusStats.madOutliers(tbl(s, dir, "documents"),
-          "text", "source", thrBp = 22239L)
-        .orderBy(col("source")),
-      Some("""WITH b AS (
-             |  SELECT source, CAST(len(string_split(text,' ')) AS BIGINT) AS x
-             |  FROM documents),
-             |r AS (
-             |  SELECT source, x, ROW_NUMBER() OVER (PARTITION BY source ORDER BY x) AS rn,
-             |    COUNT(*) OVER (PARTITION BY source) AS n
-             |  FROM b),
-             |med AS (
-             |  SELECT source, MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
-             |                     THEN x END) AS med
-             |  FROM r GROUP BY source),
-             |d AS (
-             |  SELECT b.source, b.x, abs(b.x - m.med) AS dev, m.med
-             |  FROM b JOIN med m ON b.source = m.source),
-             |r2 AS (
-             |  SELECT source, dev, ROW_NUMBER() OVER (PARTITION BY source ORDER BY dev) AS rn,
-             |    COUNT(*) OVER (PARTITION BY source) AS n
-             |  FROM d),
-             |mad AS (
-             |  SELECT source, MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
-             |                     THEN dev END) AS mad
-             |  FROM r2 GROUP BY source)
-             |SELECT d.source, COUNT(*) AS n_docs, MAX(d.med) AS med,
-             |  MAX(mad.mad) AS mad,
-             |  CAST(SUM(CASE WHEN d.dev * 10000 > mad.mad * 22239 THEN 1 ELSE 0 END)
-             |       AS BIGINT) AS n_outliers
-             |FROM d JOIN mad ON d.source = mad.source
-             |GROUP BY d.source ORDER BY d.source""".stripMargin),
-    ),
-
-    // CMS join-cardinality estimation (the AMS inner-product estimator):
-    // size |orders JOIN lineitem ON orderkey| from two depth*width counter
-    // tables — per-row overestimates, min across rows; exact count audited
-    // alongside. The cost-based-planning primitive, all integer. Width
-    // 2^16: the collision bias is ~|A|*|B|/width, so 15k x 60k keys need
-    // width >> 2^8 for the estimate to be informative (~74k vs 60k exact
-    // at sf0.01; 256 gave a useless 3.5M).
-    QueryDef(
-      "q154_join_size_estimate",
-      (s, dir) => {
-        val est = Sketches.cmsJoinSizeEstimate(
-          tbl(s, dir, "orders"), col("o_orderkey"),
-          tbl(s, dir, "lineitem"), col("l_orderkey"), depth = 4, width = 65536)
-        val exact = tbl(s, dir, "orders").join(tbl(s, dir, "lineitem"),
-            col("o_orderkey") === col("l_orderkey"))
-          .agg(count(lit(1)).as("exact"))
-        est.crossJoin(broadcast(exact)).orderBy(col("j"))
-      },
-      Some("""WITH a AS (SELECT o_orderkey AS item FROM orders),
-             |b AS (SELECT l_orderkey AS item FROM lineitem),
-             |ca AS (
-             |  SELECT j, CAST(('0x' || substring(md5(j || ':' || item),1,15))
-             |            AS BIGINT) % 65536 AS bucket, COUNT(*) AS ca
-             |  FROM a, unnest(generate_series(0, 3)) t(j) GROUP BY 1, 2),
-             |cb AS (
-             |  SELECT j, CAST(('0x' || substring(md5(j || ':' || item),1,15))
-             |            AS BIGINT) % 65536 AS bucket, COUNT(*) AS cb
-             |  FROM b, unnest(generate_series(0, 3)) t(j) GROUP BY 1, 2),
-             |e AS (
-             |  SELECT ca.j, CAST(SUM(ca.ca * cb.cb) AS BIGINT) AS est
-             |  FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket
-             |  GROUP BY ca.j),
-             |x AS (SELECT COUNT(*) AS exact FROM orders
-             |      JOIN lineitem ON o_orderkey = l_orderkey)
-             |SELECT e.j, e.est, MIN(e.est) OVER () AS est_min, x.exact
-             |FROM e, x ORDER BY e.j""".stripMargin),
-    ),
-
-    // ANN retrieval-quality audit: recall@10 + reciprocal rank of the
-    // true nearest neighbor for the q146 multi-probe config, measured
-    // against exact brute-force ground truth on the query sample — the
-    // rollout gate for approximate indexes. All rankings tie-break on
-    // (sim desc, nid); metrics integer ppm. Oracle replays both rankings.
-    QueryDef(
-      "q155_ann_quality",
-      (s, dir) => {
-        val emb = tbl(s, dir, "embeddings")
-        Similarity.annQualityAudit(emb, emb.where(col("vec_id") < 10),
-            "embedding", "vec_id", k = 10, tables = 4, bits = 4, nprobe = 4)
-          .orderBy(col("qid"))
-      },
-      Some(s"""WITH planes(p, s) AS (SELECT * FROM (VALUES ${planesValuesSql(16)}) v(p, s)),
-              |n AS (
-              |  SELECT vec_id, embedding,
-              |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
-              |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
-              |  FROM embeddings),
-              |csig AS (
-              |  SELECT e.vec_id AS nid, pl.p // 4 AS tbl,
-              |    CAST(SUM(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE) * pl.s[i]
-              |                                 FOR i IN generate_series(1, len(e.embedding))]) > 0
-              |             THEN 1 << (pl.p % 4) ELSE 0 END) AS BIGINT) AS sig
-              |  FROM embeddings e CROSS JOIN planes pl
-              |  GROUP BY e.vec_id, pl.p // 4),
-              |q AS (SELECT vec_id AS qid, embedding AS vq, nrm AS nq FROM n WHERE vec_id < 10),
-              |qm AS (
-              |  SELECT q.qid, pl.p,
-              |    list_sum([CAST(q.vq[i] AS DOUBLE) * pl.s[i]
-              |              FOR i IN generate_series(1, len(q.vq))]) AS m
-              |  FROM q CROSS JOIN planes pl),
-              |qsig AS (
-              |  SELECT qid, p // 4 AS tbl,
-              |    CAST(SUM(CASE WHEN m > 0 THEN 1 << (p % 4) ELSE 0 END) AS BIGINT) AS sig
-              |  FROM qm GROUP BY qid, p // 4),
-              |qrank AS (
-              |  SELECT qid, p // 4 AS tbl, p % 4 AS j,
-              |    ROW_NUMBER() OVER (PARTITION BY qid, p // 4 ORDER BY abs(m), p % 4) AS rk
-              |  FROM qm),
-              |qprobe AS (
-              |  SELECT qid, tbl, sig FROM qsig
-              |  UNION ALL
-              |  SELECT r.qid, r.tbl, xor(s.sig, CAST(1 << r.j AS BIGINT)) AS sig
-              |  FROM qrank r JOIN qsig s ON r.qid = s.qid AND r.tbl = s.tbl
-              |  WHERE r.rk <= 3),
-              |cand AS (
-              |  SELECT DISTINCT p.qid, c.nid
-              |  FROM qprobe p JOIN csig c ON p.tbl = c.tbl AND p.sig = c.sig
-              |  WHERE c.nid <> p.qid),
-              |sims AS (
-              |  SELECT cand.qid, cand.nid,
-              |    list_sum([CAST(q.vq[i] AS DOUBLE) * e.embedding[i]
-              |              FOR i IN generate_series(1, len(q.vq))])/(q.nq * e.nrm) AS sim
-              |  FROM cand JOIN q ON q.qid = cand.qid JOIN n e ON e.vec_id = cand.nid),
-              |annr AS (
-              |  SELECT qid, nid, ark FROM (
-              |    SELECT qid, nid,
-              |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS ark
-              |    FROM sims)
-              |  WHERE ark <= 10),
-              |brute AS (
-              |  SELECT qid, nid, rk FROM (
-              |    SELECT q.qid, c.vec_id AS nid,
-              |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
-              |        (list_sum([CAST(q.vq[i] AS DOUBLE)*c.embedding[i]
-              |                   FOR i IN generate_series(1,len(q.vq))])/(q.nq*c.nrm)) DESC,
-              |        c.vec_id) AS rk
-              |    FROM q CROSS JOIN n c WHERE c.vec_id <> q.qid)
-              |  WHERE rk <= 10),
-              |j AS (
-              |  SELECT b.qid, b.rk, a.ark
-              |  FROM brute b LEFT JOIN annr a ON a.qid = b.qid AND a.nid = b.nid)
-              |SELECT qid, COUNT(*) AS n_true,
-              |  CAST(SUM(CASE WHEN ark IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
-              |  CAST(MAX(CASE WHEN rk = 1 THEN COALESCE(ark, 0) END) AS BIGINT) AS true1_rank,
-              |  (CAST(SUM(CASE WHEN ark IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
-              |    // COUNT(*) AS recall_ppm,
-              |  CASE WHEN MAX(CASE WHEN rk = 1 THEN COALESCE(ark, 0) END) > 0
-              |    THEN 1000000 // MAX(CASE WHEN rk = 1 THEN COALESCE(ark, 0) END)
-              |    ELSE 0 END AS rr_ppm
-              |FROM j GROUP BY qid ORDER BY qid""".stripMargin),
-    ),
-
-    // Overlapping sliding-window chunks (window 32, stride 24 — 25%
-    // overlap): the RAG windowing convention; every token covered, no
-    // fully-redundant tail. Map-only; md5 fingerprints make content
-    // checkable without shipping text.
-    QueryDef(
-      "q156_stride_chunks",
-      (s, dir) => Packing.strideChunks(tbl(s, dir, "documents"),
-          "text", "doc_id", window = 32, stride = 24)
-        .orderBy(col("doc_id"), col("chunk_id")),
-      Some("""WITH t AS (
-             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |c AS (
-             |  SELECT doc_id, toks, len(toks) AS n,
-             |    CASE WHEN len(toks) <= 32 THEN 1
-             |         ELSE (len(toks) - 32 + 23) // 24 + 1 END AS n_chunks
-             |  FROM t WHERE len(toks) > 0)
-             |SELECT doc_id, i AS chunk_id, i * 24 AS start,
-             |  LEAST(n - i * 24, 32) AS chunk_tokens,
-             |  md5(array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ')) AS chunk_md5
-             |FROM c, unnest(generate_series(0, n_chunks - 1)) u(i)
-             |ORDER BY doc_id, chunk_id""".stripMargin),
-    ),
-
-    // Winsorized per-source mean length: token counts clamped to the exact
-    // discrete [p10, p90] before averaging — the robust mean that tails
-    // can't drag, integer ppm, ceil-rank quantile convention.
-    QueryDef(
-      "q157_winsorized_mean",
-      (s, dir) => CorpusStats.winsorizedMean(tbl(s, dir, "documents"),
-          "text", "source")
-        .orderBy(col("source")),
-      Some("""WITH b AS (
-             |  SELECT source, CAST(len(string_split(text,' ')) AS BIGINT) AS x
-             |  FROM documents),
-             |r AS (
-             |  SELECT source, x, ROW_NUMBER() OVER (PARTITION BY source ORDER BY x) AS rn,
-             |    COUNT(*) OVER (PARTITION BY source) AS n
-             |  FROM b),
-             |cuts AS (
-             |  SELECT source,
-             |    MAX(CASE WHEN rn = CAST(ceil(0.1 * n) AS BIGINT) THEN x END) AS p10,
-             |    MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN x END) AS p90
-             |  FROM r GROUP BY source)
-             |SELECT b.source, COUNT(*) AS n_docs, MAX(c.p10) AS p10, MAX(c.p90) AS p90,
-             |  CAST(SUM(GREATEST(c.p10, LEAST(c.p90, b.x))) AS BIGINT) AS wsum,
-             |  (CAST(SUM(GREATEST(c.p10, LEAST(c.p90, b.x))) AS BIGINT) * 1000000)
-             |    // COUNT(*) AS wmean_ppm
-             |FROM b JOIN cuts c ON b.source = c.source
-             |GROUP BY b.source ORDER BY b.source""".stripMargin),
-    ),
-
-    // Vocabulary KL drift per source vs the rest: one integer quarter-bit
-    // drift scalar per source (the magnitude rollup over q150's per-token
-    // log-odds), Laplace-smoothed over the sources x vocab dense frame.
-    // Clamped-at-zero before the ppm division (Spark div truncates,
-    // DuckDB // floors — negatives would diverge).
-    QueryDef(
-      "q158_vocab_kl_drift",
-      (s, dir) => TextAnalysis.vocabKlDrift(
-          tbl(s, dir, "documents"), "text", "source")
-        .orderBy(col("source")),
-      Some({
-        val qa = qlog4Sql("(d.ca + 1) * st.nb")
-        val qb = qlog4Sql("(d.cb + 1) * st.na")
-        s"""WITH tok AS (
-           |  SELECT source, unnest(string_split(text,' ')) AS w FROM documents),
-           |c AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w),
-           |tot AS (SELECT w, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY w),
-           |d AS (
-           |  SELECT s.source, tot.w, tot.t,
-           |    CAST(COALESCE(c.c, 0) AS BIGINT) AS ca,
-           |    CAST(tot.t - COALESCE(c.c, 0) AS BIGINT) AS cb
-           |  FROM (SELECT DISTINCT source FROM c) s
-           |  CROSS JOIN tot
-           |  LEFT JOIN c ON c.source = s.source AND c.w = tot.w),
-           |st AS (
-           |  SELECT source, CAST(SUM(ca) AS BIGINT) AS n_tokens,
-           |    COUNT(*) AS vocab,
-           |    CAST(SUM(ca + 1) AS BIGINT) AS na,
-           |    CAST(SUM(cb + 1) AS BIGINT) AS nb
-           |  FROM d GROUP BY source)
-           |SELECT d.source, st.n_tokens, st.vocab,
-           |  CAST(SUM((d.ca + 1) * (($qa) - ($qb))) AS BIGINT) AS kl_q4,
-           |  (GREATEST(CAST(SUM((d.ca + 1) * (($qa) - ($qb))) AS BIGINT), 0) * 1000)
-           |    // st.na AS kl_mq4
-           |FROM d JOIN st ON d.source = st.source
-           |GROUP BY d.source, st.n_tokens, st.vocab, st.na
-           |ORDER BY d.source""".stripMargin
-      }),
-    ),
-
-    // User-journey path mining: top-20 event-type trigram sequences over
-    // per-user time-ordered streams (overlapping windows, lead-based — no
-    // self-join). The sequence-level complement to q149's fixed funnel.
-    QueryDef(
-      "q159_path_mining",
-      (s, dir) => EventFunnel.pathCounts(tbl(s, dir, "events"), n = 3, topK = 20),
-      Some("""WITH o AS (
-             |  SELECT user_id, event_type AS t0,
-             |    LEAD(event_type, 1) OVER w AS t1,
-             |    LEAD(event_type, 2) OVER w AS t2
-             |  FROM events
-             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id))
-             |SELECT t0 || ' > ' || t1 || ' > ' || t2 AS path, COUNT(*) AS n_paths
-             |FROM o WHERE t1 IS NOT NULL AND t2 IS NOT NULL
-             |GROUP BY 1 ORDER BY n_paths DESC, path LIMIT 20""".stripMargin),
-    ),
-
-    // Split-distribution identity audit: grid-KS distance of each hash
-    // split's token-count distribution vs the rest — the release gate
-    // that train/val/test are DISTRIBUTIONALLY identical, not just
-    // share-balanced (q74 checks shares; this checks shapes). Composes
-    // the portable split assignment with the q110 integer KS machinery.
-    QueryDef(
-      "q163_split_drift",
-      (s, dir) => Histogram.ksDrift(
-          tbl(s, dir, "documents")
-            .select(Sampling.splitColumn(col("doc_id"), 80, 10).as("split"),
-              TextAnalysis.tokenCount(col("text")).cast("double").as("v")),
-          col("split"), col("v"), 1)
-        .withColumnRenamed("grp", "split")
-        .orderBy(col("split")),
-      Some("""WITH d AS (
-             |  SELECT CASE
-             |    WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
-             |         AS BIGINT) % 100 < 80 THEN 'train'
-             |    WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
-             |         AS BIGINT) % 100 < 90 THEN 'val'
-             |    ELSE 'test' END AS grp,
-             |    CAST(len(string_split(text,' ')) AS BIGINT) AS bin
-             |  FROM documents),
-             |b AS (SELECT grp, bin, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
-             |dense AS (
-             |  SELECT g.grp, a.bin, COALESCE(b.cnt, 0) AS cnt
-             |  FROM (SELECT DISTINCT grp FROM b) g
-             |  CROSS JOIN (SELECT DISTINCT bin FROM b) a
-             |  LEFT JOIN b ON b.grp = g.grp AND b.bin = a.bin),
-             |c AS (
-             |  SELECT grp, bin, cnt,
-             |    SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
-             |    SUM(cnt) OVER (PARTITION BY grp) AS n_g,
-             |    SUM(cnt) OVER () AS n_all
-             |  FROM dense),
-             |c2 AS (SELECT *, SUM(cum) OVER (PARTITION BY bin) AS gcum FROM c)
-             |SELECT grp AS split, CAST(MAX(n_g) AS BIGINT) AS n,
-             |  CAST(MAX(abs(cum*(n_all-n_g) - (gcum-cum)*n_g)) AS BIGINT) AS ks_scaled,
-             |  CAST(MAX(abs(cum*(n_all-n_g) - (gcum-cum)*n_g)) AS DOUBLE)
-             |    / (MAX(n_g) * (MAX(n_all) - MAX(n_g))) AS ks
-             |FROM c2 GROUP BY grp ORDER BY split""".stripMargin),
-    ),
-
-    // INCREMENTAL connected components over the near-dup graph: the edge
-    // list splits into a base wave and a delta wave (parity of the pair
-    // sum — any deterministic split works); the delta is folded into the
-    // base labels via star-contraction + CC on the touched-plus-delta
-    // subgraph only. The oracle is ONE-SHOT batch CC over all pairs
-    // (q44's recursive CTE emitting labels), so a pass proves the
-    // incremental maintenance is indistinguishable from recomputation —
-    // the nightly-crawl dup-graph contract (IncrementalCcSpec adds the
-    // dag-cycle and merge/new-node cases).
-    QueryDef(
-      "q164_incremental_cc",
-      (s, dir) => {
-        // Pin the shared LSH pair pipeline BEFORE the base/delta split:
-        // both branches (and connectedComponents' internal checkpoint on
-        // the base side only) would otherwise each re-run jaccardPairs —
-        // the exact shared-subtree hazard PinnedCache exists for.
-        val pairs = PinnedCache.pin(
-          Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
-            .select(col("a_id"), col("b_id")))
-        val base = pairs.where((col("a_id") + col("b_id")) % 2 === 0)
-        val delta = pairs.where((col("a_id") + col("b_id")) % 2 === 1)
-        Dedup.incrementalConnectedComponents(
-            Dedup.connectedComponents(base), delta)
-          .orderBy(col("id"))
-      },
-      Some("""WITH RECURSIVE sh AS (
-             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
-             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
-             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
-             |  WHERE len(tokens) >= 3),
-             |pairs AS (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
-             |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
-             |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-             |          UNION SELECT b_id, a_id FROM pairs),
-             |r(id, m) AS (
-             |  SELECT src, src FROM edges
-             |  UNION
-             |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.m)
-             |SELECT id, MIN(m) AS root FROM r GROUP BY id ORDER BY id""".stripMargin),
-    ),
-
-    // Vocabulary growth curve per source (Heaps-law saturation audit):
-    // token and TYPE accumulation at every-64-docs checkpoints in
-    // deterministic doc order — a flattening types curve says the source
-    // is mined out. Type novelty is ONE (source, token) min-rank
-    // aggregate; cumulative sums run over source x bucket metadata rows.
-    QueryDef(
-      "q165_vocab_growth",
-      (s, dir) => CorpusStats.vocabGrowth(tbl(s, dir, "documents"),
-          "text", "source", "doc_id", step = 64)
-        .orderBy(col("source"), col("checkpoint")),
-      Some("""WITH r AS (
-             |  SELECT source, doc_id, string_split(text,' ') AS toks,
-             |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rnk
-             |  FROM documents),
-             |pb AS (
-             |  SELECT source, (rnk + 63) // 64 AS bkt, MAX(rnk) AS docs_partial,
-             |    CAST(SUM(len(toks)) AS BIGINT) AS tok_partial
-             |  FROM r GROUP BY 1, 2),
-             |fr AS (
-             |  SELECT source, w, MIN(rnk) AS fr
-             |  FROM (SELECT source, rnk, unnest(toks) AS w FROM r) GROUP BY 1, 2),
-             |nt AS (
-             |  SELECT source, (fr + 63) // 64 AS bkt, COUNT(*) AS new_types
-             |  FROM fr GROUP BY 1, 2)
-             |SELECT pb.source, pb.bkt * 64 AS checkpoint,
-             |  docs_partial AS docs_seen,
-             |  CAST(SUM(tok_partial) OVER (PARTITION BY pb.source ORDER BY pb.bkt) AS BIGINT) AS tokens_seen,
-             |  CAST(SUM(COALESCE(new_types, 0)) OVER (PARTITION BY pb.source ORDER BY pb.bkt) AS BIGINT) AS vocab_seen
-             |FROM pb LEFT JOIN nt ON nt.source = pb.source AND nt.bkt = pb.bkt
-             |ORDER BY pb.source, checkpoint""".stripMargin),
-    ),
-
-    // Per-doc CORPUS-hapax share: fraction of a doc's tokens that occur
-    // exactly once across ALL docs — cross-document novelty/noise, the
-    // complement of q59's within-doc hapax ratio. Integer ppm.
-    QueryDef(
-      "q166_corpus_hapax",
-      (s, dir) => CorpusStats.corpusHapaxShare(tbl(s, dir, "documents"),
-          "text", "doc_id")
-        .orderBy(col("doc_id")),
-      Some("""WITH tok AS (
-             |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
-             |cc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w)
-             |SELECT doc_id, COUNT(*) AS n_tokens,
-             |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-             |  (CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
-             |    // COUNT(*) AS hapax_ppm
-             |FROM tok JOIN cc USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-    ),
-
-    // Cross-document repeated chunks: q156's stride-chunk fingerprints
-    // rolled up to the chunks appearing 2+ times — the RAG-index dedup
-    // pass (don't embed the same boilerplate chunk 40 times) at chunk
-    // rather than span granularity (q83's complement on the retrieval
-    // side). Digest-keyed rollup; text never reshuffles.
-    QueryDef(
-      "q167_repeated_chunks",
-      (s, dir) => Packing.strideChunks(tbl(s, dir, "documents"),
-          "text", "doc_id", window = 32, stride = 24)
-        .groupBy(col("chunk_md5"))
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
-          count(lit(1)).as("n_occ"), min(col("doc_id")).as("first_doc"))
-        .where(col("n_occ") >= 2)
-        .orderBy(col("chunk_md5")),
-      Some("""WITH t AS (
-             |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-             |c AS (
-             |  SELECT doc_id, toks, len(toks) AS n,
-             |    CASE WHEN len(toks) <= 32 THEN 1
-             |         ELSE (len(toks) - 32 + 23) // 24 + 1 END AS n_chunks
-             |  FROM t WHERE len(toks) > 0),
-             |ch AS (
-             |  SELECT doc_id, md5(array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ')) AS chunk_md5
-             |  FROM c, unnest(generate_series(0, n_chunks - 1)) u(i))
-             |SELECT chunk_md5, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-             |  COUNT(*) AS n_occ, MIN(doc_id) AS first_doc
-             |FROM ch GROUP BY chunk_md5 HAVING COUNT(*) >= 2
-             |ORDER BY chunk_md5""".stripMargin),
-    ),
-
-    // Train->test SPLIT contamination audit: which test-split docs share a
-    // 3-gram with the train split — eval hygiene of the release's OWN
-    // split (q48/q125 audit against an EXTERNAL eval set). Composes the
-    // portable hash split with the broadcast gram probe.
-    QueryDef(
-      "q168_split_contamination",
-      (s, dir) => {
-        val d = tbl(s, dir, "documents")
-          .withColumn("split", Sampling.splitColumn(col("doc_id"), 80, 10))
-        Dedup.contaminatedDocs(
-            d.where(col("split") === "test"),
-            d.where(col("split") === "train"), "text", "doc_id")
-          .orderBy(col("doc_id"))
-      },
-      Some("""WITH sp AS (
-             |  SELECT doc_id, text,
-             |    CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
-             |              AS BIGINT) % 100 < 80 THEN 'train'
-             |         WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
-             |              AS BIGINT) % 100 < 90 THEN 'val'
-             |         ELSE 'test' END AS split
-             |  FROM documents),
-             |g AS (
-             |  SELECT doc_id, split,
-             |    list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
-             |                   FOR i IN generate_series(1, len(t)-2)]) AS gs
-             |  FROM (SELECT doc_id, split, string_split(text,' ') AS t FROM sp)),
-             |b AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE split = 'train'),
-             |t AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE split = 'test')
-             |SELECT doc_id, COUNT(*) AS matched_ngrams
-             |FROM t JOIN b USING (gram)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-    ),
-
-    // Watermark-lateness audit: per type, events behind the running max
-    // event time in arrival (event_id) order — the empirical basis for a
-    // streaming watermark delay (what would a 1h/1d watermark drop?).
-    QueryDef(
-      "q185_lateness_audit",
-      (s, dir) => EventFunnel.latenessAudit(tbl(s, dir, "events"))
-        .orderBy(col("event_type")),
-      Some("""WITH l AS (
-             |  SELECT event_type,
-             |    MAX(epoch_ns(ts)) OVER (PARTITION BY event_type ORDER BY event_id
-             |      ROWS UNBOUNDED PRECEDING) - epoch_ns(ts) AS late
-             |  FROM events)
-             |SELECT event_type, COUNT(*) AS n_events,
-             |  CAST(SUM(CASE WHEN late > 3600000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1h,
-             |  CAST(SUM(CASE WHEN late > 86400000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1d,
-             |  CAST(MAX(late) AS BIGINT) AS max_late_ns
-             |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin),
-    ),
-
-    // Cascade delete-propagation audit (the GDPR/right-to-be-forgotten
-    // shape): a deterministic hash-sampled customer delete list cascades
-    // through the FK chain customer -> orders -> lineitem; per-table
-    // before/deleted/after row counts. Semi-join cascades, count-only
-    // rollups — the plan a compliance pipeline runs before executing.
-    QueryDef(
-      "q186_delete_cascade",
-      (s, dir) => {
-        val cust = tbl(s, dir, "customer")
-        val orders = tbl(s, dir, "orders")
-        val li = tbl(s, dir, "lineitem")
-        val delC = cust.where(
-          pmod(Sampling.portableHash(col("c_custkey")), lit(20)) === 0)
-          .select(col("c_custkey"))
-        val delO = orders.join(delC.select(col("c_custkey").as("o_custkey")),
-          Seq("o_custkey"), "left_semi")
-        val delL = li.join(delO.select(col("o_orderkey").as("l_orderkey")),
-          Seq("l_orderkey"), "left_semi")
-        def row(name: String, all: org.apache.spark.sql.DataFrame,
-            del: org.apache.spark.sql.DataFrame) =
-          all.agg(count(lit(1)).as("n_before")).crossJoin(
-            del.agg(count(lit(1)).as("n_deleted")))
-            .select(lit(name).as("table"), col("n_before"), col("n_deleted"),
-              (col("n_before") - col("n_deleted")).as("n_after"))
-        row("customer", cust, delC)
-          .unionByName(row("lineitem", li, delL))
-          .unionByName(row("orders", orders, delO))
-          .orderBy(col("table"))
-      },
-      Some("""WITH delc AS (
-             |  SELECT c_custkey FROM customer
-             |  WHERE CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)),1,15))
-             |        AS BIGINT) % 20 = 0),
-             |delo AS (SELECT o_orderkey FROM orders
-             |         WHERE o_custkey IN (SELECT c_custkey FROM delc)),
-             |dell AS (SELECT 1 FROM lineitem
-             |         WHERE l_orderkey IN (SELECT o_orderkey FROM delo))
-             |SELECT 'customer' AS "table", (SELECT COUNT(*) FROM customer) AS n_before,
-             |  (SELECT COUNT(*) FROM delc) AS n_deleted,
-             |  (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM delc) AS n_after
-             |UNION ALL
-             |SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem),
-             |  (SELECT COUNT(*) FROM dell),
-             |  (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM dell)
-             |UNION ALL
-             |SELECT 'orders', (SELECT COUNT(*) FROM orders),
-             |  (SELECT COUNT(*) FROM delo),
-             |  (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM delo)
-             |ORDER BY "table"""".stripMargin),
-    ),
-
-    // Label-propagation communities (3 synchronous rounds, ties to the
-    // smallest label — fully deterministic) over the co-purchase graph:
-    // the mesoscale grouping layer between CC (connectivity) and
-    // triangles/k-core (cohesion/density).
-    QueryDef(
-      "q183_lpa_communities",
-      (s, dir) => {
-        val li = tbl(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val edges = li.as("x").join(li.as("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
-        Graphs.labelPropagation(edges, rounds = 3)
-          .withColumnRenamed("lab", "label")
-          .orderBy(col("node"))
-      },
-      Some({
-        val round = (i: Int) =>
-          s"""n$i AS (
-             |  SELECT sym.b AS node, l${i - 1}.lab, COUNT(*) AS c
-             |  FROM l${i - 1} JOIN sym ON sym.a = l${i - 1}.node GROUP BY 1, 2),
-             |l$i AS (
-             |  SELECT node, lab FROM (
-             |    SELECT node, lab,
-             |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
-             |    FROM n$i) WHERE rn = 1)""".stripMargin
-        s"""WITH e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-           |           FROM lineitem a JOIN lineitem b
-           |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-           |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-           |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
-           |${(1 to 3).map(round).mkString(",\n")}
-           |SELECT node, lab AS label FROM l3 ORDER BY node""".stripMargin
-      }),
-    ),
-
-    // Directional cross-entropy transfer matrix: H(a -> b) = each
-    // source's tokens scored under every OTHER source's Laplace-smoothed
-    // unigram LM, quarter-bit integers — low H(a -> b) means b already
-    // models a (transfer value / redundancy). Terms only where ca > 0,
-    // so the frame is counts x sources, no dense fill.
-    QueryDef(
-      "q184_cross_entropy",
-      (s, dir) => TextAnalysis.crossEntropyMatrix(
-          tbl(s, dir, "documents"), "text", "source")
-        .orderBy(col("src_a"), col("src_b")),
-      Some({
-        val qn = qlog4Sql("sb.n + v.v")
-        val qc = qlog4Sql("COALESCE(cb.c, 0) + 1")
-        s"""WITH tok AS (
-           |  SELECT source, unnest(string_split(text,' ')) AS w FROM documents),
-           |c AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
-           |v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM c),
-           |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY source)
-           |SELECT a.source AS src_a, sb.source AS src_b,
-           |  CAST(SUM(a.c) AS BIGINT) AS n_tokens_a,
-           |  CAST(SUM(a.c * (($qn) - ($qc))) AS BIGINT) AS ce_q4,
-           |  (CAST(SUM(a.c * (($qn) - ($qc))) AS BIGINT) * 1000)
-           |    // CAST(SUM(a.c) AS BIGINT) AS ce_mq4
-           |FROM c a
-           |JOIN st sb ON sb.source <> a.source
-           |LEFT JOIN c cb ON cb.source = sb.source AND cb.w = a.w
-           |CROSS JOIN v
-           |GROUP BY a.source, sb.source
-           |ORDER BY src_a, src_b""".stripMargin
-      }),
-    ),
-
-    // Sliding-window HLL: trailing-4-week distinct users per event type
-    // at every occupied week, by register fan-out + per-bucket MAX — the
-    // rolling-distinct dashboard shape exact counting can't sustain;
-    // exact trailing distincts audit alongside, estimates bit-exact.
-    QueryDef(
-      "q182_sliding_hll",
-      (s, dir) => Sketches.slidingHllDistinct(tbl(s, dir, "events"),
-          "event_type", col("user_id"), "ts", windowWeeks = 4)
-        .orderBy(col("grp"), col("wk")),
-      Some("""WITH h AS (
-             |  SELECT event_type AS grp, epoch_ns(ts) // 604800000000000 AS wk,
-             |    user_id AS it,
-             |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS h
-             |  FROM events),
-             |occ AS (SELECT DISTINCT grp, wk FROM h),
-             |r AS (
-             |  SELECT grp, wk, h % 64 AS bucket,
-             |    CASE WHEN h >> 6 = 0 THEN 55 ELSE 55 - length(bin(h >> 6)) END AS rho
-             |  FROM h),
-             |regs AS (SELECT grp, wk, bucket, MAX(rho) AS m FROM r GROUP BY 1, 2, 3),
-             |sh AS (
-             |  SELECT regs.grp, w2 AS wk, bucket, m
-             |  FROM regs, unnest(generate_series(wk, wk + 3)) u(w2)
-             |  WHERE EXISTS (SELECT 1 FROM occ o WHERE o.grp = regs.grp AND o.wk = w2)),
-             |mg AS (SELECT grp, wk, bucket, MAX(m) AS m FROM sh GROUP BY 1, 2, 3),
-             |dense AS (
-             |  SELECT o.grp, o.wk, s.b AS bucket, COALESCE(mg.m, 0) AS m
-             |  FROM occ o CROSS JOIN (SELECT unnest(generate_series(0,63)) AS b) s
-             |  LEFT JOIN mg ON mg.grp = o.grp AND mg.wk = o.wk AND mg.bucket = s.b),
-             |agg AS (
-             |  SELECT grp, wk,
-             |    CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
-             |    CAST(SUM(1::BIGINT << (55 - m)) AS BIGINT) AS s_sum
-             |  FROM dense GROUP BY 1, 2),
-             |du AS (SELECT DISTINCT grp, wk, it FROM h),
-             |exsh AS (
-             |  SELECT du.grp, w2 AS wk, it
-             |  FROM du, unnest(generate_series(wk, wk + 3)) u(w2)
-             |  WHERE EXISTS (SELECT 1 FROM occ o WHERE o.grp = du.grp AND o.wk = w2)),
-             |ex AS (SELECT grp, wk, COUNT(DISTINCT it) AS n_exact FROM exsh GROUP BY 1, 2)
-             |SELECT a.grp, a.wk, a.v_zero, a.s_sum,
-             |  CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0 / CAST(a.s_sum AS DOUBLE) AS raw_est,
-             |  CASE WHEN a.v_zero = 0
-             |       THEN CAST(0.709 AS DOUBLE) * 4096.0 * 36028797018963968.0 / CAST(a.s_sum AS DOUBLE)
-             |       END AS est_distinct,
-             |  CAST(ex.n_exact AS BIGINT) AS n_exact
-             |FROM agg a JOIN ex ON ex.grp = a.grp AND ex.wk = a.wk
-             |ORDER BY a.grp, a.wk""".stripMargin),
-    ),
-
-    // Closed-loop split repair: q168's contamination audit as an ACTION —
-    // contaminated test docs move to train (one round), reported as the
-    // (orig, final) migration rollup. Broadcast gram probe + doc-keyed
-    // left join + bounded rollup.
-    QueryDef(
-      "q180_split_repair",
-      (s, dir) => Sampling.repairSplitContamination(tbl(s, dir, "documents"),
-          "text", "doc_id", 80, 10)
-        .orderBy(col("split_orig"), col("split_final")),
-      Some("""WITH sp AS (
-             |  SELECT doc_id, text,
-             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
-             |    CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
-             |              AS BIGINT) % 100 < 80 THEN 'train'
-             |         WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
-             |              AS BIGINT) % 100 < 90 THEN 'val'
-             |         ELSE 'test' END AS split_orig
-             |  FROM documents),
-             |g AS (
-             |  SELECT doc_id, split_orig,
-             |    list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
-             |                   FOR i IN generate_series(1, len(t)-2)]) AS gs
-             |  FROM (SELECT doc_id, split_orig, string_split(text,' ') AS t FROM sp)),
-             |b AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE split_orig = 'train'),
-             |mv AS (
-             |  SELECT DISTINCT t.doc_id
-             |  FROM (SELECT doc_id, unnest(gs) AS gram FROM g WHERE split_orig = 'test') t
-             |  JOIN b USING (gram))
-             |SELECT sp.split_orig,
-             |  CASE WHEN mv.doc_id IS NOT NULL THEN 'train' ELSE sp.split_orig END AS split_final,
-             |  COUNT(*) AS n_docs, CAST(SUM(sp.n_tok) AS BIGINT) AS tokens
-             |FROM sp LEFT JOIN mv ON mv.doc_id = sp.doc_id
-             |GROUP BY 1, 2 ORDER BY split_orig, split_final""".stripMargin),
-    ),
-
-    // Integer EWMA baseline + burst flags per event type at week grain:
-    // s_t = (3*s_{t-1} + n_t) div 4 run inside a weeks-sized array per
-    // type (metadata rollup, no event-stream window); week t flags when
-    // n_t > 2*s_{t-1}. The O(1)-state temporal smoother — also the
-    // streaming-state shape.
-    QueryDef(
-      "q181_ewma_bursts",
-      (s, dir) => EventFunnel.ewmaBursts(tbl(s, dir, "events"), factor = 2)
-        .orderBy(col("event_type"), col("wk")),
-      Some("""WITH RECURSIVE c AS (
-             |  SELECT event_type, epoch_ns(ts) // 604800000000000 AS wk, COUNT(*) AS n
-             |  FROM events GROUP BY 1, 2),
-             |w AS (
-             |  SELECT event_type, wk, n,
-             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY wk) AS rn
-             |  FROM c),
-             |r(event_type, rn, wk, n, s) AS (
-             |  SELECT event_type, rn, wk, n, n FROM w WHERE rn = 1
-             |  UNION ALL
-             |  SELECT w.event_type, w.rn, w.wk, w.n, (3 * r.s + w.n) // 4
-             |  FROM r JOIN w ON w.event_type = r.event_type AND w.rn = r.rn + 1)
-             |SELECT event_type, wk, n, s AS ewma,
-             |  COALESCE(n > 2 * lag(s) OVER (PARTITION BY event_type ORDER BY rn),
-             |           FALSE) AS burst
-             |FROM r ORDER BY event_type, wk""".stripMargin),
-    ),
-
-    // Padding-waste audit: arrival-order vs length-sorted batches at
-    // B = 8 — how much trainer compute pad tokens burn, and how much
-    // sorted batching recovers. Integer ppm; tail batch pads to its own
-    // size.
-    QueryDef(
-      "q178_padding_waste",
-      (s, dir) => Packing.paddingWaste(tbl(s, dir, "documents"),
-          "text", "doc_id", batchSize = 8)
-        .orderBy(col("strategy")),
-      Some("""WITH base AS (
-             |  SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS len
-             |  FROM documents),
-             |a AS (
-             |  SELECT len, (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 8 AS batch
-             |  FROM base),
-             |ab AS (SELECT batch, COUNT(*) AS bn, MAX(len) AS mx,
-             |         CAST(SUM(len) AS BIGINT) AS sm FROM a GROUP BY batch),
-             |ar AS (SELECT 'arrival' AS strategy, COUNT(*) AS n_batches,
-             |         CAST(SUM(sm) AS BIGINT) AS tokens,
-             |         CAST(SUM(bn * mx) AS BIGINT) AS padded_slots FROM ab),
-             |s AS (
-             |  SELECT len, (ROW_NUMBER() OVER (ORDER BY len, doc_id) - 1) // 8 AS batch
-             |  FROM base),
-             |sb AS (SELECT batch, COUNT(*) AS bn, MAX(len) AS mx,
-             |         CAST(SUM(len) AS BIGINT) AS sm FROM s GROUP BY batch),
-             |sr AS (SELECT 'sorted' AS strategy, COUNT(*) AS n_batches,
-             |         CAST(SUM(sm) AS BIGINT) AS tokens,
-             |         CAST(SUM(bn * mx) AS BIGINT) AS padded_slots FROM sb)
-             |SELECT strategy, n_batches, tokens, padded_slots,
-             |  ((padded_slots - tokens) * 1000000) // padded_slots AS waste_ppm
-             |FROM (SELECT * FROM ar UNION ALL SELECT * FROM sr)
-             |ORDER BY strategy""".stripMargin),
-    ),
-
-    // Neyman optimal stratified allocation: per-source sample counts
-    // proportional to N_h*sigma_h = isqrt(N_h*sum(x^2) - sum(x)^2) —
-    // exact integers end to end (the variance-minimizing design at fixed
-    // budget); ppm shares, floor allocations capped at N_h.
-    QueryDef(
-      "q179_neyman_allocation",
-      (s, dir) => Sampling.neymanAllocation(tbl(s, dir, "documents"),
-          "text", "source", sampleBudget = 200L)
-        .orderBy(col("source")),
-      Some("""WITH b AS (
-             |  SELECT source, CAST(len(string_split(text,' ')) AS BIGINT) AS x
-             |  FROM documents),
-             |st AS (
-             |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(x) AS BIGINT) AS sx,
-             |    CAST(SUM(x*x) AS BIGINT) AS sxx
-             |  FROM b GROUP BY source),
-             |s0 AS (SELECT st.*, n_docs*sxx - sx*sx AS rad,
-             |         CAST(floor(sqrt(CAST(n_docs*sxx - sx*sx AS DOUBLE))) AS BIGINT) AS a
-             |       FROM st),
-             |s1 AS (SELECT s0.*, CASE WHEN a*a > rad THEN a-1 ELSE a END AS b2 FROM s0),
-             |ws AS (SELECT source, n_docs,
-             |         CASE WHEN (b2+1)*(b2+1) <= rad THEN b2+1 ELSE b2 END AS w
-             |       FROM s1),
-             |t AS (SELECT ws.*, CAST(SUM(w) OVER () AS BIGINT) AS sum_w FROM ws)
-             |SELECT source, n_docs, w, (w * 1000000) // sum_w AS weight_ppm,
-             |  LEAST((200 * w) // sum_w, n_docs) AS alloc
-             |FROM t ORDER BY source""".stripMargin),
-    ),
-
-    // Point-in-time state snapshots from SCD-2 history: per (user, week
-    // boundary), the state AS OF that instant, via an as-of backward join
-    // of the snapshot grid against q140's valid_from axis — the feature-
-    // store time-travel / PIT-correctness materialization. Oracle uses
-    // DuckDB's native ASOF JOIN against the same interval CTE.
-    QueryDef(
-      "q173_scd_snapshots",
-      (s, dir) => EventFunnel.scdSnapshots(tbl(s, dir, "events"))
-        .orderBy(col("user_id"), col("snap_ts")),
-      Some("""WITH o AS (
-             |  SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id,
-             |    CASE WHEN lag(event_type) OVER w IS NULL
-             |           OR lag(event_type) OVER w <> event_type
-             |         THEN 1 ELSE 0 END AS chg
-             |  FROM events
-             |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)),
-             |i AS (
-             |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |                           ROWS UNBOUNDED PRECEDING) AS island
-             |  FROM o),
-             |iv AS (
-             |  SELECT user_id, MIN(event_type) AS event_type,
-             |    MIN(ts) AS valid_from
-             |  FROM i GROUP BY user_id, island),
-             |wks AS (
-             |  SELECT DISTINCT (epoch_ns(ts) // 604800000000000) * 604800000000000 AS snap_ts
-             |  FROM events),
-             |grid AS (
-             |  SELECT u.user_id, w.snap_ts
-             |  FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN wks w)
-             |SELECT g.user_id, g.snap_ts, iv.event_type AS state
-             |FROM grid g ASOF JOIN iv
-             |  ON g.user_id = iv.user_id AND g.snap_ts >= iv.valid_from
-             |ORDER BY g.user_id, g.snap_ts""".stripMargin),
-    ),
-
-    // Percentile-rank quality calibration across sources: each doc's
-    // WITHIN-SOURCE rank ppm of its q32 quality score (SQL rank() — ties
-    // share a value, no tie-break), so heterogeneous sources become
-    // comparable before mixture/curation cuts.
-    QueryDef(
-      "q174_rank_normalize",
-      (s, dir) => CorpusStats.rankNormalizeScores(tbl(s, dir, "documents"),
-          "text", "source", "doc_id")
-        .orderBy(col("doc_id")),
-      Some(s"""WITH q AS (
-              |  SELECT doc_id, source, ROUND(
-              |    LEAST(t / 50.0, 1.0) * 0.4 +
-              |    (CAST(len(list_filter(tokens, w -> w IN
-              |       (${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE) / t) * 0.3 +
-              |    CASE WHEN (c - (t - 1)) / CAST(t AS DOUBLE) BETWEEN 3 AND 8 THEN 0.3 ELSE 0.0 END,
-              |    6) AS quality
-              |  FROM (SELECT doc_id, source, string_split(text,' ') AS tokens,
-              |               len(string_split(text,' ')) AS t, LENGTH(text) AS c
-              |        FROM documents)),
-              |r AS (
-              |  SELECT doc_id, source, quality,
-              |    CAST(RANK() OVER (PARTITION BY source ORDER BY quality) AS BIGINT) AS rk,
-              |    COUNT(*) OVER (PARTITION BY source) AS n
-              |  FROM q)
-              |SELECT doc_id, source, quality,
-              |  CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1) ELSE 0 END AS rank_ppm
-              |FROM r ORDER BY doc_id""".stripMargin),
-    ),
-
-    // KMV set algebra between event types: sketch-estimated user-set
-    // union/intersection per type pair from mergeable k-min-values state
-    // alone (Beyer et al. inclusion–exclusion) — the "how much do these
-    // crawls overlap" answer that never re-touches the item stream; exact
-    // intersection rides along as the audit. Estimates are pure functions
-    // of the input multiset, so even they are oracle-checked bit-exact.
-    QueryDef(
-      "q175_kmv_set_algebra",
-      (s, dir) => Sketches.kmvSetAlgebra(tbl(s, dir, "events"),
-          "event_type", col("user_id"), 256)
-        .orderBy(col("grp_a"), col("grp_b")),
-      Some("""WITH h AS (
-             |  SELECT DISTINCT event_type AS grp,
-             |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS h
-             |  FROM events),
-             |sk AS (
-             |  SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn,
-             |    COUNT(*) OVER (PARTITION BY grp) AS nh
-             |  FROM h),
-             |est AS (
-             |  SELECT grp,
-             |    CASE WHEN MAX(nh) >= 256
-             |      THEN 255.0 * 1152921504606846976.0 / MAX(CASE WHEN rn = 256 THEN h END)
-             |      ELSE CAST(MAX(nh) AS DOUBLE) END AS e
-             |  FROM sk GROUP BY grp),
-             |pairs AS (
-             |  SELECT a.grp AS grp_a, b.grp AS grp_b
-             |  FROM (SELECT DISTINCT grp FROM h) a
-             |  JOIN (SELECT DISTINCT grp FROM h) b ON a.grp < b.grp),
-             |uh AS (
-             |  SELECT DISTINCT p.grp_a, p.grp_b, h.h
-             |  FROM pairs p JOIN h ON h.grp IN (p.grp_a, p.grp_b)),
-             |urn AS (
-             |  SELECT grp_a, grp_b, h,
-             |    ROW_NUMBER() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS rn,
-             |    COUNT(*) OVER (PARTITION BY grp_a, grp_b) AS nh
-             |  FROM uh),
-             |uest AS (
-             |  SELECT grp_a, grp_b,
-             |    CASE WHEN MAX(nh) >= 256
-             |      THEN 255.0 * 1152921504606846976.0 / MAX(CASE WHEN rn = 256 THEN h END)
-             |      ELSE CAST(MAX(nh) AS DOUBLE) END AS est_union
-             |  FROM urn GROUP BY grp_a, grp_b),
-             |it AS (SELECT DISTINCT event_type AS grp, user_id AS it FROM events),
-             |inter AS (
-             |  SELECT a.grp AS grp_a, b.grp AS grp_b, COUNT(*) AS n_inter_exact
-             |  FROM it a JOIN it b ON a.it = b.it AND a.grp < b.grp
-             |  GROUP BY 1, 2)
-             |SELECT p.grp_a, p.grp_b, ea.e AS est_a, eb.e AS est_b, u.est_union,
-             |  GREATEST(ea.e + eb.e - u.est_union, 0.0) AS est_inter,
-             |  CAST(COALESCE(i.n_inter_exact, 0) AS BIGINT) AS n_inter_exact
-             |FROM pairs p
-             |JOIN est ea ON ea.grp = p.grp_a
-             |JOIN est eb ON eb.grp = p.grp_b
-             |JOIN uest u ON u.grp_a = p.grp_a AND u.grp_b = p.grp_b
-             |LEFT JOIN inter i ON i.grp_a = p.grp_a AND i.grp_b = p.grp_b
-             |ORDER BY p.grp_a, p.grp_b""".stripMargin),
-    ),
-
-    // Host-level link graph from HTML: deterministic href fixture
-    // (syntheticHtmlLinks) -> real regex extraction (extractLinks) ->
-    // (src_host from the doc's canonical URL, dst_host from the href)
-    // edge counts. The crawl-frontier / authority-graph feeder; the
-    // oracle re-derives targets straight from tokens (same hash bits) so
-    // Spark's extraction path is what's under test. Map-only until the
-    // (host, host) rollup.
-    QueryDef(
-      "q171_link_graph",
-      (s, dir) => {
-        val d = tbl(s, dir, "documents")
-        val links = Web.extractLinks(
-          Web.syntheticHtmlLinks(d, "doc_id", "text"), "doc_id", "html")
-        val srcH = d.select(col("doc_id"),
-          Web.hostOf(Web.fixtureUrl(col("doc_id"), col("source"), col("lang")))
-            .as("src_host"))
-        links.join(srcH, "doc_id")
-          .select(col("src_host"), Web.hostOf(col("url")).as("dst_host"))
-          .groupBy(col("src_host"), col("dst_host"))
-          .agg(count(lit(1)).as("n_links"))
-          .orderBy(col("src_host"), col("dst_host"))
-      },
-      Some("WITH u AS (SELECT doc_id, " + Web.fixtureUrlSql +
-        " AS url FROM documents),\n" + Web.canonicalizeSql + ",\n" +
-        """t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-          |x AS (
-          |  SELECT doc_id,
-          |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)||':'||CAST(j AS VARCHAR)
-          |      ||':'||CAST(k AS VARCHAR)||':href'),1,15)) AS BIGINT) AS h2
-          |  FROM t,
-          |    unnest(generate_series(0, (len(toks)+3)//4 - 1)) uj(j),
-          |    unnest(generate_series(0, LEAST(4, len(toks) - j*4) - 1)) uk(k)
-          |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)||':'||CAST(j AS VARCHAR)
-          |    ||':'||CAST(k AS VARCHAR)),1,15)) AS BIGINT) % 4 = 0),
-          |e AS (
-          |  SELECT c.host AS src_host,
-          |    'h' || CAST(x.h2 % 20 AS VARCHAR) || '.example.org' AS dst_host
-          |  FROM x JOIN c ON c.doc_id = x.doc_id)
-          |SELECT src_host, dst_host, COUNT(*) AS n_links
-          |FROM e GROUP BY 1, 2 ORDER BY src_host, dst_host""".stripMargin),
-    ),
-
-    // Host authority: integer PageRank (q132's bit-exact recurrence) over
-    // the symmetrized q171 link graph — which hosts sit central in the
-    // crawl's citation structure, composed from two oracle-proven
-    // operators (link extraction feeds graph analytics with STRING node
-    // ids — the group/join keys never needed to be dense ints).
-    QueryDef(
-      "q172_host_authority",
-      (s, dir) => {
-        val d = tbl(s, dir, "documents")
-        val links = Web.extractLinks(
-          Web.syntheticHtmlLinks(d, "doc_id", "text"), "doc_id", "html")
-        val srcH = d.select(col("doc_id"),
-          Web.hostOf(Web.fixtureUrl(col("doc_id"), col("source"), col("lang")))
-            .as("src"))
-        val e = links.join(srcH, "doc_id")
-          .select(col("src"), Web.hostOf(col("url")).as("dst")).distinct()
-        val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-          .distinct()
-        Graphs.integerPageRank(sym, iters = 4)
-          .withColumnRenamed("node", "host").withColumnRenamed("r", "rank")
-          .orderBy(col("host"))
-      },
-      Some({
-        val m = 1000000000000L
-        val iterCte = (0 until 4).map(i =>
-          s"""r${i + 1} AS (
-             |  SELECT sym.dst AS node, (SELECT base FROM cst) + (85 * SUM(r$i.r // deg.deg)) // 100 AS r
-             |  FROM r$i JOIN sym ON r$i.node = sym.src JOIN deg ON sym.src = deg.src
-             |  GROUP BY sym.dst)""".stripMargin).mkString(",\n")
-        "WITH u AS (SELECT doc_id, " + Web.fixtureUrlSql +
-          " AS url FROM documents),\n" + Web.canonicalizeSql + ",\n" +
-          s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-             |x AS (
-             |  SELECT doc_id,
-             |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)||':'||CAST(j AS VARCHAR)
-             |      ||':'||CAST(k AS VARCHAR)||':href'),1,15)) AS BIGINT) AS h2
-             |  FROM t,
-             |    unnest(generate_series(0, (len(toks)+3)//4 - 1)) uj(j),
-             |    unnest(generate_series(0, LEAST(4, len(toks) - j*4) - 1)) uk(k)
-             |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)||':'||CAST(j AS VARCHAR)
-             |    ||':'||CAST(k AS VARCHAR)),1,15)) AS BIGINT) % 4 = 0),
-             |e AS (
-             |  SELECT DISTINCT c.host AS src,
-             |    'h' || CAST(x.h2 % 20 AS VARCHAR) || '.example.org' AS dst
-             |  FROM x JOIN c ON c.doc_id = x.doc_id),
-             |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-             |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
-             |cst AS (SELECT (15 * ($m // COUNT(*))) // 100 AS base, $m // COUNT(*) AS r0 FROM deg),
-             |r0 AS (SELECT src AS node, (SELECT r0 FROM cst) AS r FROM deg),
-             |""".stripMargin + iterCte + """
-             |SELECT node AS host, CAST(r AS BIGINT) AS rank FROM r4 ORDER BY host""".stripMargin
-      }),
-    ),
-
-    // Deterministic half-sample bootstrap CI for per-source mean tokens:
-    // 32 hash-membership resamples (no RNG state — reproducible across
-    // engines/runs/partitionings), exact rank-5%/95% quantiles of the
-    // resample means, integer ppm. Uncertainty quantification as a pure
-    // function of the data.
-    QueryDef(
-      "q170_bootstrap_ci",
-      (s, dir) => CorpusStats.bootstrapMeanCI(tbl(s, dir, "documents"),
-          "text", "source", "doc_id", b = 32)
-        .orderBy(col("source")),
-      Some("""WITH base AS (
-             |  SELECT source, doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
-             |  FROM documents),
-             |res AS (
-             |  SELECT source, r, COUNT(*) AS m, CAST(SUM(n_tok) AS BIGINT) AS s
-             |  FROM base, unnest(generate_series(0, 31)) u(r)
-             |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
-             |    CAST(r AS VARCHAR)),1,15)) AS BIGINT) % 2 = 0
-             |  GROUP BY source, r),
-             |rm AS (SELECT source, (s * 1000000) // m AS mean_ppm FROM res),
-             |rk AS (
-             |  SELECT source, mean_ppm,
-             |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY mean_ppm) AS BIGINT) AS rn,
-             |    COUNT(*) OVER (PARTITION BY source) AS nb
-             |  FROM rm),
-             |ci AS (
-             |  SELECT source,
-             |    MAX(CASE WHEN rn = CAST(ceil(0.05 * nb) AS BIGINT) THEN mean_ppm END) AS boot_lo_ppm,
-             |    MAX(CASE WHEN rn = CAST(ceil(0.95 * nb) AS BIGINT) THEN mean_ppm END) AS boot_hi_ppm,
-             |    CAST(MAX(nb) AS BIGINT) AS n_resamples
-             |  FROM rk GROUP BY source),
-             |f AS (
-             |  SELECT source, COUNT(*) AS n_docs,
-             |    (CAST(SUM(n_tok) AS BIGINT) * 1000000) // COUNT(*) AS mean_ppm
-             |  FROM base GROUP BY source)
-             |SELECT f.source, n_docs, mean_ppm, boot_lo_ppm, boot_hi_ppm, n_resamples
-             |FROM f JOIN ci USING (source) ORDER BY f.source""".stripMargin),
-    ),
-
-    // Crawl-budget allocation per HOST: the alpha=1/2 mixture planner
-    // (q126) keyed by canonicalized host (q119/q120's derivation) — how
-    // many tokens to take from each host under a global budget, sqrt-
-    // smoothed so megahosts don't monopolize it. Pure composition of two
-    // oracle-proven operators at a new granularity.
-    QueryDef(
-      "q162_host_budget",
-      (s, dir) => {
-        val d = tbl(s, dir, "documents")
-        val withHost = d.select(col("text"),
-          Web.hostOf(Web.fixtureUrl(col("doc_id"), col("source"), col("lang")))
-            .as("host"))
-        Sampling.alphaMixturePlan(withHost, "text", "host", budgetTokens = 15000L)
-          .withColumnRenamed("source", "host")
-          .orderBy(col("host"))
-      },
-      Some("WITH u AS (SELECT doc_id, " + Web.fixtureUrlSql +
-        " AS url FROM documents),\n" + Web.canonicalizeSql + ",\n" +
-        """hc AS (
-          |  SELECT c.host, COUNT(*) AS docs,
-          |    CAST(SUM(len(string_split(doc.text,' '))) AS BIGINT) AS tokens
-          |  FROM c JOIN documents doc ON c.doc_id = doc.doc_id
-          |  GROUP BY c.host),
-          |s0 AS (SELECT hc.*, CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS a FROM hc),
-          |s1 AS (SELECT s0.*, CASE WHEN a*a > tokens THEN a-1 ELSE a END AS b FROM s0),
-          |ws AS (SELECT host, docs, tokens,
-          |         CASE WHEN (b+1)*(b+1) <= tokens THEN b+1 ELSE b END AS w_sqrt FROM s1),
-          |t AS (SELECT ws.*, CAST(SUM(w_sqrt) OVER () AS BIGINT) AS sum_sqrt FROM ws),
-          |w AS (SELECT host, docs, tokens, w_sqrt,
-          |        (w_sqrt * 1000000) // sum_sqrt AS weight_ppm FROM t),
-          |g AS (SELECT w.*, (CAST(15000 AS BIGINT) * weight_ppm) // 1000000 AS target_tokens FROM w),
-          |r AS (SELECT g.*, LEAST(1000000, (target_tokens * 1000000) // tokens) AS rate_ppm FROM g)
-          |SELECT host, docs, tokens, w_sqrt, weight_ppm, target_tokens, rate_ppm,
-          |  (tokens * rate_ppm) // 1000000 AS expected_tokens,
-          |  target_tokens > tokens AS oversubscribed
-          |FROM r ORDER BY host""".stripMargin),
-    ),
-
-    // Curriculum-ordered shard plan: 4 equal-count quality phases (exact
-    // equi-depth cuts over the ppm-quantized q32 score) x 4 hash shards,
-    // deterministic within-cell order — quality-staged training order as
-    // a pure function of (doc, seed). Oracle replays score, cuts, hash,
-    // and positions.
-    QueryDef(
-      "q161_curriculum_order",
-      (s, dir) => Sampling.curriculumShardPlan(tbl(s, dir, "documents"),
-          "text", "doc_id", phases = 4, shards = 4, seed = 3)
-        .orderBy(col("phase"), col("shard"), col("pos")),
-      Some(s"""WITH sc AS (
-              |  SELECT doc_id, CAST(floor(ROUND(
-              |    LEAST(t / 50.0, 1.0) * 0.4 +
-              |    (CAST(len(list_filter(tokens, w -> w IN
-              |       (${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE) / t) * 0.3 +
-              |    CASE WHEN (c - (t - 1)) / CAST(t AS DOUBLE) BETWEEN 3 AND 8 THEN 0.3 ELSE 0.0 END,
-              |    6) * 1000000) AS BIGINT) AS q
-              |  FROM (SELECT doc_id, string_split(text,' ') AS tokens,
-              |               len(string_split(text,' ')) AS t, LENGTH(text) AS c
-              |        FROM documents)),
-              |c AS (SELECT q AS v, COUNT(*) AS cnt FROM sc GROUP BY q),
-              |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
-              |b AS (
-              |  SELECT v, cnt, COALESCE(SUM(cnt) OVER (ORDER BY v
-              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-              |  FROM c),
-              |bounds AS (
-              |  SELECT CAST((cb * 4) // t.n + 1 AS BIGINT) AS phase,
-              |    MIN(v) AS lo, MAX(v) AS hi
-              |  FROM b, t GROUP BY 1),
-              |h AS (
-              |  SELECT sc.doc_id, sc.q, bo.phase,
-              |    CAST(('0x' || substring(md5(CAST(sc.doc_id AS VARCHAR) || ':3'),1,15))
-              |         AS BIGINT) AS hv
-              |  FROM sc JOIN bounds bo ON sc.q >= bo.lo AND sc.q <= bo.hi)
-              |SELECT doc_id, q, phase, hv % 4 AS shard,
-              |  CAST(ROW_NUMBER() OVER (PARTITION BY phase, hv % 4
-              |                          ORDER BY hv, doc_id) AS BIGINT) AS pos
-              |FROM h ORDER BY phase, shard, pos""".stripMargin),
-    ),
-  )
 }

@@ -1,0 +1,791 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDef
+import graft.queries.QueryDef.tbl
+import graft.ext.Ext._
+import graft.ext.ExtraQueries._
+
+/** Graph family (CATALOG.md 'Graphs'): PageRank/HITS/BFS, triangles, k-core, communities (batch + incremental), link graph authority and selection.
+  *
+  * Split verbatim out of the former Ext.scala / ExtraQueries.scala
+  * mega-files along CATALOG.md family lines (round 7) — shared oracle
+  * helpers remain in [[Ext]] / [[ExtraQueries]] as `private[ext]`. */
+object GraphQueries {
+
+  def queries: Seq[QueryDef] = Seq(
+
+    // Supplier authority via integer-exact PageRank on the symmetrized
+    // customer-supplier bipartite graph (edges = distinct (o_custkey,
+    // l_suppkey) from orders x lineitem; namespaces split as 2k / 2k+1).
+    // Fixed 4 iterations, all arithmetic floor-division on longs — the
+    // oracle replays the identical recurrence as 4 chained CTEs. The
+    // iterative sibling of q44's connected components: one rank join +
+    // one partial-agg sum per iteration, Pregel-shaped at any scale.
+    QueryDef(
+      "q132_pagerank",
+      (s, dir) => {
+        val e = tbl(s, dir, "orders").join(tbl(s, dir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+          .distinct()
+        val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+        Graphs.integerPageRank(sym, iters = 4)
+          .where(col("node") % 2 === 1)
+          .select(expr("(node - 1) div 2").cast("long").as("s_suppkey"),
+            col("r").as("rank"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some({
+        val m = 1000000000000L
+        val iterCte = (0 until 4).map(i =>
+          s"""r${i + 1} AS (
+             |  SELECT sym.dst AS node, (SELECT base FROM c) + (85 * SUM(r$i.r // deg.deg)) // 100 AS r
+             |  FROM r$i JOIN sym ON r$i.node = sym.src JOIN deg ON sym.src = deg.src
+             |  GROUP BY sym.dst)""".stripMargin).mkString(",\n")
+        s"""WITH e AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+           |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+           |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+           |c AS (SELECT (15 * ($m // COUNT(*))) // 100 AS base, $m // COUNT(*) AS r0 FROM deg),
+           |r0 AS (SELECT src AS node, (SELECT r0 FROM c) AS r FROM deg),
+           |""".stripMargin + iterCte + """
+           |SELECT CAST((node - 1) // 2 AS BIGINT) AS s_suppkey, CAST(r AS BIGINT) AS rank
+           |FROM r4 WHERE node % 2 = 1 ORDER BY s_suppkey""".stripMargin
+      }),
+    ),
+
+
+    // Exact triangle counts + local clustering coefficients over the part
+    // co-purchase graph (parts sharing an order), via degree-ordered edge
+    // orientation — O(m^1.5) wedge bound instead of Σdeg². The oracle
+    // enumerates each triangle once by id order (a<b<c); orientation order
+    // differs but the triangle SET is identical, so per-node counts match
+    // exactly. lcc in integer ppm (no float division anywhere).
+    QueryDef(
+      "q139_triangle_count",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+        Graphs.triangleCounts(edges).orderBy(col("node"))
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |deg AS (
+             |  SELECT node, COUNT(*) AS deg
+             |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+             |  GROUP BY node),
+             |t AS (
+             |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+             |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+             |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |tc AS (
+             |  SELECT node, COUNT(*) AS tri
+             |  FROM (SELECT u AS node FROM t
+             |        UNION ALL SELECT v FROM t
+             |        UNION ALL SELECT w FROM t)
+             |  GROUP BY node)
+             |SELECT d.node, d.deg, COALESCE(tc.tri, 0) AS tri,
+             |  CASE WHEN d.deg >= 2
+             |    THEN (COALESCE(tc.tri, 0) * 2000000) // (d.deg * (d.deg - 1))
+             |    ELSE 0 END AS lcc_ppm
+             |FROM deg d LEFT JOIN tc ON d.node = tc.node
+             |ORDER BY d.node""".stripMargin),
+    ),
+
+
+    // Fixed-round k-core peel (k=85, 4 rounds) on the part co-purchase
+    // graph: dense-subgraph pre-filter, the iterative sibling of q139's
+    // triangles. The oracle replays the identical peels as chained CTEs;
+    // survivor degrees after round 4 are the contract (convergence not
+    // required, q132's fixed-iteration pattern).
+    QueryDef(
+      "q148_kcore_peel",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+        Graphs.kCorePeel(edges, k = 85, rounds = 4).orderBy(col("node"))
+      },
+      Some({
+        val roundCtes = (1 to 4).map { r =>
+          s"""k$r AS MATERIALIZED (
+             |  SELECT node FROM (SELECT a AS node FROM e${r - 1}
+             |                    UNION ALL SELECT b FROM e${r - 1})
+             |  GROUP BY node HAVING COUNT(*) >= 85),
+             |e$r AS MATERIALIZED (
+             |  SELECT a, b FROM e${r - 1}
+             |  WHERE a IN (SELECT node FROM k$r) AND b IN (SELECT node FROM k$r))"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS MATERIALIZED (
+           |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+           |  FROM lineitem a JOIN lineitem b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+           |""".stripMargin + roundCtes + """
+           |SELECT node, COUNT(*) AS deg
+           |FROM (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
+           |GROUP BY node ORDER BY node""".stripMargin
+      }),
+    ),
+
+
+    // Crawl-budget allocation per HOST: the alpha=1/2 mixture planner
+    // (q126) keyed by canonicalized host (q119/q120's derivation) — how
+    // many tokens to take from each host under a global budget, sqrt-
+    // smoothed so megahosts don't monopolize it. Pure composition of two
+    // oracle-proven operators at a new granularity.
+    QueryDef(
+      "q162_host_budget",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+        val withHost = d.select(col("text"),
+          Web.hostOf(Web.fixtureUrl(col("doc_id"), col("source"), col("lang")))
+            .as("host"))
+        Sampling.alphaMixturePlan(withHost, "text", "host", budgetTokens = 15000L)
+          .withColumnRenamed("source", "host")
+          .orderBy(col("host"))
+      },
+      Some("WITH u AS (SELECT doc_id, " + Web.fixtureUrlSql +
+        " AS url FROM documents),\n" + Web.canonicalizeSql + ",\n" +
+        """hc AS (
+          |  SELECT c.host, COUNT(*) AS docs,
+          |    CAST(SUM(len(string_split(doc.text,' '))) AS BIGINT) AS tokens
+          |  FROM c JOIN documents doc ON c.doc_id = doc.doc_id
+          |  GROUP BY c.host),
+          |s0 AS (SELECT hc.*, CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS a FROM hc),
+          |s1 AS (SELECT s0.*, CASE WHEN a*a > tokens THEN a-1 ELSE a END AS b FROM s0),
+          |ws AS (SELECT host, docs, tokens,
+          |         CASE WHEN (b+1)*(b+1) <= tokens THEN b+1 ELSE b END AS w_sqrt FROM s1),
+          |t AS (SELECT ws.*, CAST(SUM(w_sqrt) OVER () AS BIGINT) AS sum_sqrt FROM ws),
+          |w AS (SELECT host, docs, tokens, w_sqrt,
+          |        (w_sqrt * 1000000) // sum_sqrt AS weight_ppm FROM t),
+          |g AS (SELECT w.*, (CAST(15000 AS BIGINT) * weight_ppm) // 1000000 AS target_tokens FROM w),
+          |r AS (SELECT g.*, LEAST(1000000, (target_tokens * 1000000) // tokens) AS rate_ppm FROM g)
+          |SELECT host, docs, tokens, w_sqrt, weight_ppm, target_tokens, rate_ppm,
+          |  (tokens * rate_ppm) // 1000000 AS expected_tokens,
+          |  target_tokens > tokens AS oversubscribed
+          |FROM r ORDER BY host""".stripMargin),
+    ),
+
+
+    // Host-level link graph from HTML: deterministic href fixture
+    // (syntheticHtmlLinks) -> real regex extraction (extractLinks) ->
+    // (src_host from the doc's canonical URL, dst_host from the href)
+    // edge counts. The crawl-frontier / authority-graph feeder; the
+    // oracle re-derives targets straight from tokens (same hash bits) so
+    // Spark's extraction path is what's under test. Map-only until the
+    // (host, host) rollup.
+    QueryDef(
+      "q171_link_graph",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+        val links = Web.extractLinks(
+          Web.syntheticHtmlLinks(d, "doc_id", "text"), "doc_id", "html")
+        val srcH = d.select(col("doc_id"),
+          Web.hostOf(Web.fixtureUrl(col("doc_id"), col("source"), col("lang")))
+            .as("src_host"))
+        links.join(srcH, "doc_id")
+          .select(col("src_host"), Web.hostOf(col("url")).as("dst_host"))
+          .groupBy(col("src_host"), col("dst_host"))
+          .agg(count(lit(1)).as("n_links"))
+          .orderBy(col("src_host"), col("dst_host"))
+      },
+      Some("WITH u AS (SELECT doc_id, " + Web.fixtureUrlSql +
+        " AS url FROM documents),\n" + Web.canonicalizeSql + ",\n" +
+        """t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+          |x AS (
+          |  SELECT doc_id,
+          |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)||':'||CAST(j AS VARCHAR)
+          |      ||':'||CAST(k AS VARCHAR)||':href'),1,15)) AS BIGINT) AS h2
+          |  FROM t,
+          |    unnest(generate_series(0, (len(toks)+3)//4 - 1)) uj(j),
+          |    unnest(generate_series(0, LEAST(4, len(toks) - j*4) - 1)) uk(k)
+          |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)||':'||CAST(j AS VARCHAR)
+          |    ||':'||CAST(k AS VARCHAR)),1,15)) AS BIGINT) % 4 = 0),
+          |e AS (
+          |  SELECT c.host AS src_host,
+          |    'h' || CAST(x.h2 % 20 AS VARCHAR) || '.example.org' AS dst_host
+          |  FROM x JOIN c ON c.doc_id = x.doc_id)
+          |SELECT src_host, dst_host, COUNT(*) AS n_links
+          |FROM e GROUP BY 1, 2 ORDER BY src_host, dst_host""".stripMargin),
+    ),
+
+
+    // Host authority: integer PageRank (q132's bit-exact recurrence) over
+    // the symmetrized q171 link graph — which hosts sit central in the
+    // crawl's citation structure, composed from two oracle-proven
+    // operators (link extraction feeds graph analytics with STRING node
+    // ids — the group/join keys never needed to be dense ints).
+    QueryDef(
+      "q172_host_authority",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+        val links = Web.extractLinks(
+          Web.syntheticHtmlLinks(d, "doc_id", "text"), "doc_id", "html")
+        val srcH = d.select(col("doc_id"),
+          Web.hostOf(Web.fixtureUrl(col("doc_id"), col("source"), col("lang")))
+            .as("src"))
+        val e = links.join(srcH, "doc_id")
+          .select(col("src"), Web.hostOf(col("url")).as("dst")).distinct()
+        val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+        Graphs.integerPageRank(sym, iters = 4)
+          .withColumnRenamed("node", "host").withColumnRenamed("r", "rank")
+          .orderBy(col("host"))
+      },
+      Some({
+        val m = 1000000000000L
+        val iterCte = (0 until 4).map(i =>
+          s"""r${i + 1} AS (
+             |  SELECT sym.dst AS node, (SELECT base FROM cst) + (85 * SUM(r$i.r // deg.deg)) // 100 AS r
+             |  FROM r$i JOIN sym ON r$i.node = sym.src JOIN deg ON sym.src = deg.src
+             |  GROUP BY sym.dst)""".stripMargin).mkString(",\n")
+        "WITH u AS (SELECT doc_id, " + Web.fixtureUrlSql +
+          " AS url FROM documents),\n" + Web.canonicalizeSql + ",\n" +
+          s"""t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |x AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)||':'||CAST(j AS VARCHAR)
+             |      ||':'||CAST(k AS VARCHAR)||':href'),1,15)) AS BIGINT) AS h2
+             |  FROM t,
+             |    unnest(generate_series(0, (len(toks)+3)//4 - 1)) uj(j),
+             |    unnest(generate_series(0, LEAST(4, len(toks) - j*4) - 1)) uk(k)
+             |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)||':'||CAST(j AS VARCHAR)
+             |    ||':'||CAST(k AS VARCHAR)),1,15)) AS BIGINT) % 4 = 0),
+             |e AS (
+             |  SELECT DISTINCT c.host AS src,
+             |    'h' || CAST(x.h2 % 20 AS VARCHAR) || '.example.org' AS dst
+             |  FROM x JOIN c ON c.doc_id = x.doc_id),
+             |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+             |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+             |cst AS (SELECT (15 * ($m // COUNT(*))) // 100 AS base, $m // COUNT(*) AS r0 FROM deg),
+             |r0 AS (SELECT src AS node, (SELECT r0 FROM cst) AS r FROM deg),
+             |""".stripMargin + iterCte + """
+             |SELECT node AS host, CAST(r AS BIGINT) AS rank FROM r4 ORDER BY host""".stripMargin
+      }),
+    ),
+
+
+    // Label-propagation communities (3 synchronous rounds, ties to the
+    // smallest label — fully deterministic) over the co-purchase graph:
+    // the mesoscale grouping layer between CC (connectivity) and
+    // triangles/k-core (cohesion/density).
+    QueryDef(
+      "q183_lpa_communities",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+        Graphs.labelPropagation(edges, rounds = 3)
+          .withColumnRenamed("lab", "label")
+          .orderBy(col("node"))
+      },
+      Some({
+        val round = (i: Int) =>
+          s"""n$i AS (
+             |  SELECT sym.b AS node, l${i - 1}.lab, COUNT(*) AS c
+             |  FROM l${i - 1} JOIN sym ON sym.a = l${i - 1}.node GROUP BY 1, 2),
+             |l$i AS (
+             |  SELECT node, lab FROM (
+             |    SELECT node, lab,
+             |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+             |    FROM n$i) WHERE rn = 1)""".stripMargin
+        s"""WITH e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+           |           FROM lineitem a JOIN lineitem b
+           |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+           |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+           |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
+           |${(1 to 3).map(round).mkString(",\n")}
+           |SELECT node, lab AS label FROM l3 ORDER BY node""".stripMargin
+      }),
+    ),
+
+
+    // Crawl-frontier distance: exact min-hop BFS distance of every host
+    // from a trusted seed set over the symmetrized link graph, 4 rounds
+    // (unreached hosts absent). Delta-frontier Pregel expansion — per
+    // round one frontier⋈edges join + one node-keyed min, O(m) total.
+    QueryDef(
+      "q187_bfs_frontier",
+      (s, dir) => {
+        import s.implicits._
+        Graphs.bfsDistances(hostLinkGraph(s, dir),
+            SeedHosts.toDF("node"), rounds = 4)
+          .select(col("node").as("host"), col("d").as("dist"))
+          .orderBy(col("host"))
+      },
+      Some {
+        val rounds = (1 to 4).map(i =>
+          s"""d$i AS MATERIALIZED (
+             |  SELECT node, MIN(d) AS d FROM (
+             |    SELECT node, d FROM d${i - 1}
+             |    UNION ALL
+             |    SELECT sym.dst, d${i - 1}.d + 1
+             |    FROM d${i - 1} JOIN sym ON d${i - 1}.node = sym.src) z
+             |  GROUP BY node)""".stripMargin).mkString(",\n")
+        hostGraphSql +
+          s""",
+             |d0 AS (SELECT node, 0 AS d FROM $seedValuesSql),
+             |$rounds
+             |SELECT node AS host, CAST(d AS BIGINT) AS dist
+             |FROM d4 ORDER BY host""".stripMargin
+      },
+    ),
+
+
+    // Seeded authority (TrustRank shape): personalized integer PageRank
+    // with the teleport vector on the seed hosts — authority relative to
+    // a trusted core, the crawl-curation counterpart of q172's global
+    // authority. Bit-exact integer recurrence, 4 iterations; zero-rank
+    // tail dropped (state ∝ reached set).
+    QueryDef(
+      "q188_trust_rank",
+      (s, dir) => {
+        import s.implicits._
+        Graphs.personalizedPageRank(hostLinkGraph(s, dir),
+            SeedHosts.toDF("node"), iters = 4)
+          .select(col("node").as("host"), col("r").as("rank"))
+          .orderBy(col("host"))
+      },
+      Some {
+        val m = 1000000000000L
+        val iters = (1 to 4).map(i =>
+          s"""p$i AS MATERIALIZED (
+             |  SELECT node, SUM(r) AS r FROM (
+             |    SELECT sym.dst AS node,
+             |      (85 * SUM(p${i - 1}.r // deg.deg)) // 100 AS r
+             |    FROM p${i - 1}
+             |    JOIN sym ON p${i - 1}.node = sym.src
+             |    JOIN deg ON sym.src = deg.src
+             |    GROUP BY sym.dst
+             |    UNION ALL
+             |    SELECT node, (SELECT tel FROM cst) FROM sv) z
+             |  GROUP BY node HAVING SUM(r) > 0)""".stripMargin).mkString(",\n")
+        hostGraphSql +
+          s""",
+             |sv AS (SELECT node FROM $seedValuesSql),
+             |cst AS (SELECT (15 * ($m // ${SeedHosts.size})) // 100 AS tel),
+             |p0 AS (SELECT node, $m // ${SeedHosts.size} AS r FROM sv),
+             |$iters
+             |SELECT node AS host, CAST(r AS BIGINT) AS rank
+             |FROM p4 ORDER BY host""".stripMargin
+      },
+    ),
+
+
+    // HITS hubs and authorities over the DIRECTED host link graph: doc
+    // hosts point (hub side), synthetic target hosts are pointed at
+    // (authority side) — integer max-rescaled half-steps, 2 iterations,
+    // bit-exact (q172's PageRank discipline applied to the two-sided
+    // centrality).
+    QueryDef(
+      "q197_hits",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+        val links = Web.extractLinks(
+          Web.syntheticHtmlLinks(d, "doc_id", "text"), "doc_id", "html")
+        val srcH = d.select(col("doc_id"),
+          Web.hostOf(Web.fixtureUrl(col("doc_id"), col("source"), col("lang")))
+            .as("src"))
+        val e = links.join(srcH, "doc_id")
+          .select(col("src"), Web.hostOf(col("url")).as("dst")).distinct()
+        Graphs.integerHits(e, iters = 2)
+          .withColumnRenamed("node", "host")
+          .orderBy(col("host"))
+      },
+      Some {
+        val iters = (1 to 2).map { i =>
+          val (hp, ap) = (s"h${i - 1}", s"a$i")
+          s"""a${i}r AS MATERIALIZED (
+             |  SELECT e.dst AS node, SUM($hp.h) AS a
+             |  FROM $hp JOIN e ON e.src = $hp.node GROUP BY e.dst),
+             |a$i AS (
+             |  SELECT node, (a * 1000000) // (SELECT MAX(a) FROM a${i}r) AS a
+             |  FROM a${i}r),
+             |h${i}r AS MATERIALIZED (
+             |  SELECT e.src AS node, SUM($ap.a) AS h
+             |  FROM $ap JOIN e ON e.dst = $ap.node GROUP BY e.src),
+             |h$i AS (
+             |  SELECT node, (h * 1000000) // (SELECT MAX(h) FROM h${i}r) AS h
+             |  FROM h${i}r)""".stripMargin
+        }.mkString(",\n")
+        hostGraphSql +
+          s""",
+             |h0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS h FROM e),
+             |$iters
+             |SELECT COALESCE(h2.node, a2.node) AS host,
+             |  CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub,
+             |  CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth
+             |FROM h2 FULL OUTER JOIN a2 ON h2.node = a2.node
+             |ORDER BY host""".stripMargin
+      },
+    ),
+
+
+    // Near-dup cluster RADIUS: hop distance of the farthest member from
+    // its cluster's canonical root (min id) over the q26 pair graph —
+    // the q195 coverage audit's depth dimension. A radius-k member is
+    // only a near-dup of the survivor through k transitive steps; large
+    // radii are exactly where aggressive cluster-collapse dedup loses
+    // non-duplicates. Multi-source BFS with ALL roots as seeds (each
+    // component contains exactly its own root, so "distance from nearest
+    // root" IS the within-cluster distance), 4-round horizon (dense
+    // near-dup clusters rarely exceed radius 2; the horizon is the
+    // documented contract, as in q187).
+    QueryDef(
+      "q220_cluster_radius",
+      (s, dir) => {
+        val pairs = PinnedCache.pin(
+          Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5))
+        val cc = PinnedCache.pin(Dedup.connectedComponents(pairs))
+        val sym = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+          .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        val dist = Graphs.bfsDistances(sym,
+          cc.select(col("root").as("node")).distinct(), rounds = 4)
+        val byDist = dist
+          .join(cc.select(col("id").as("node"), col("root")), "node")
+          .groupBy(col("root"), col("d")).agg(count(lit(1)).as("c"))
+        byDist.groupBy(col("root"))
+          .agg(sum(col("c")).as("size"), max(col("d")).as("radius"))
+          .join(byDist.select(col("root"), col("d").as("radius"),
+            col("c").as("n_at_radius")), Seq("root", "radius"))
+          .select(col("root").as("root_id"), col("size"), col("radius"),
+            col("n_at_radius"))
+          .orderBy(col("root_id"))
+      },
+      Some {
+        // chained CTEs that reference their predecessor twice INLINE
+        // exponentially in DuckDB — MATERIALIZED pins each round (and the
+        // expensive pair graph) to one evaluation
+        val rounds = (1 to 4).map(i =>
+          s"""d$i AS MATERIALIZED (
+             |  SELECT node, MIN(d) AS d FROM (
+             |    SELECT node, d FROM d${i - 1}
+             |    UNION ALL
+             |    SELECT sym.dst, d${i - 1}.d + 1
+             |    FROM d${i - 1} JOIN sym ON d${i - 1}.node = sym.src) z
+             |  GROUP BY node)""".stripMargin).mkString(",\n")
+        s"""WITH RECURSIVE sh AS (
+           |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+           |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
+           |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
+           |  WHERE len(tokens) >= 3),
+           |pairs AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+           |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+           |sym AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM pairs
+           |        UNION ALL SELECT b_id, a_id FROM pairs),
+           |r(id, m) AS (
+           |  SELECT src, src FROM sym
+           |  UNION
+           |  SELECT r.id, e.dst FROM r JOIN sym e ON e.src = r.m),
+           |labels AS MATERIALIZED (SELECT id, MIN(m) AS root FROM r GROUP BY id),
+           |d0 AS (SELECT DISTINCT root AS node, 0 AS d FROM labels),
+           |$rounds,
+           |bd AS MATERIALIZED (
+           |  SELECT l.root, d4.d, COUNT(*) AS c
+           |  FROM d4 JOIN labels l ON l.id = d4.node
+           |  GROUP BY 1, 2),
+           |agg AS (
+           |  SELECT root, CAST(SUM(c) AS BIGINT) AS size,
+           |    CAST(MAX(d) AS BIGINT) AS radius
+           |  FROM bd GROUP BY root)
+           |SELECT agg.root AS root_id, agg.size, agg.radius,
+           |  CAST(bd.c AS BIGINT) AS n_at_radius
+           |FROM agg JOIN bd ON bd.root = agg.root AND bd.d = agg.radius
+           |ORDER BY root_id""".stripMargin
+      },
+    ),
+
+
+    // Link-graph reciprocity: share of DIRECTED host edges whose reverse
+    // edge also exists — high reciprocity = mutual-citation cliques (link
+    // farms), low = hierarchical citation. One self-semi-join on the
+    // swapped key over the distinct edge list.
+    QueryDef(
+      "q221_link_reciprocity",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+        val links = Web.extractLinks(
+          Web.syntheticHtmlLinks(d, "doc_id", "text"), "doc_id", "html")
+        val srcH = d.select(col("doc_id"),
+          Web.hostOf(Web.fixtureUrl(col("doc_id"), col("source"), col("lang")))
+            .as("src"))
+        val e = PinnedCache.pin(links.join(srcH, "doc_id")
+          .select(col("src"), Web.hostOf(col("url")).as("dst")).distinct()
+          .where(col("src") =!= col("dst")))
+        val recip = e.join(
+          e.select(col("dst").as("src"), col("src").as("dst")),
+          Seq("src", "dst"), "left_semi")
+        e.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_reciprocal"))))
+          .select(col("n_edges"), col("n_reciprocal"),
+            expr("(n_reciprocal * 1000000) div n_edges").as("reciprocity_ppm"))
+      },
+      Some(hostGraphSql +
+        """,
+          |ee AS MATERIALIZED (SELECT src, dst FROM e WHERE src <> dst),
+          |r AS (SELECT a.src, a.dst FROM ee a
+          |      WHERE EXISTS (SELECT 1 FROM ee b
+          |                    WHERE b.src = a.dst AND b.dst = a.src))
+          |SELECT (SELECT COUNT(*) FROM ee) AS n_edges,
+          |  (SELECT COUNT(*) FROM r) AS n_reciprocal,
+          |  CAST(((SELECT COUNT(*) FROM r) * 1000000)
+          |    // (SELECT COUNT(*) FROM ee) AS BIGINT) AS reciprocity_ppm"""
+          .stripMargin),
+    ),
+
+
+    // Degree spectrum: quarter-bit log-log histogram of host degrees over
+    // the symmetrized link graph — the scale-free-or-not audit (a
+    // straight line here is the graph-side Zipf of q199). Degree rollup
+    // then a bin rollup; all integer.
+    QueryDef(
+      "q222_degree_spectrum",
+      (s, dir) => hostLinkGraph(s, dir)
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(TextAnalysis.quarterLog2(col("deg")).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n_hosts"))
+        .orderBy(col("bin")),
+      Some(hostGraphSql +
+        """,
+          |b AS (
+          |  SELECT CAST(CASE WHEN length(bin(deg)) - 1 <= 14
+          |    THEN length(bin(deg*deg*deg*deg)) - 1
+          |    ELSE 4 * (length(bin(deg)) - 15) +
+          |         length(bin((deg >> (length(bin(deg)) - 15))
+          |                   *(deg >> (length(bin(deg)) - 15))
+          |                   *(deg >> (length(bin(deg)) - 15))
+          |                   *(deg >> (length(bin(deg)) - 15)))) - 1 END AS BIGINT)
+          |    AS bin
+          |  FROM deg)
+          |SELECT bin, COUNT(*) AS n_hosts FROM b
+          |GROUP BY bin ORDER BY bin""".stripMargin),
+    ),
+
+
+    // Degree assortativity: do high-degree hosts link to high-degree
+    // hosts? Pearson correlation of endpoint degrees over the symmetric
+    // edge list in the q199 integer-moment form — num/den exact longs,
+    // one double division. Negative = hub-and-spoke (typical web), near
+    // zero = random, positive = core-periphery mixing.
+    QueryDef(
+      "q223_assortativity",
+      (s, dir) => {
+        val sym = PinnedCache.pin(hostLinkGraph(s, dir))
+        val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val xy = sym
+          .join(deg.select(col("src"), col("deg").as("x")), "src")
+          .join(deg.select(col("src").as("dst"), col("deg").as("y")), "dst")
+        xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x"),
+            (col("n") * col("syy") - col("sy") * col("sy")).as("var_y"))
+          .select(col("n"), col("cov_num"), col("var_x"), col("var_y"),
+            (col("cov_num").cast("double") /
+              sqrt(col("var_x").cast("double") * col("var_y").cast("double")))
+              .as("assortativity"))
+      },
+      Some(hostGraphSql +
+        """,
+          |xy AS (
+          |  SELECT dx.deg AS x, dy.deg AS y
+          |  FROM sym
+          |  JOIN deg dx ON dx.src = sym.src
+          |  JOIN deg dy ON dy.src = sym.dst),
+          |m AS (
+          |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+          |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x*y) AS BIGINT) AS sxy,
+          |    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+          |  FROM xy)
+          |SELECT n, n * sxy - sx * sy AS cov_num,
+          |  n * sxx - sx * sx AS var_x, n * syy - sy * sy AS var_y,
+          |  CAST(n * sxy - sx * sy AS DOUBLE)
+          |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+          |           * CAST(n * syy - sy * sy AS DOUBLE)) AS assortativity
+          |FROM m""".stripMargin),
+    ),
+
+
+    // Greedy crawl knapsack: hosts ranked by authority-per-token
+    // (q172's integer PageRank over q171's link graph ÷ the host's token
+    // mass), taken in ratio order until half the corpus token budget is
+    // spent — the "what to crawl first under a budget" plan as one
+    // cumulative-sum window over the host rollup. All integer (ratio in
+    // ppm, floor).
+    QueryDef(
+      "q235_crawl_knapsack",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = tbl(s, dir, "documents")
+        val hostTok = d.select(
+            Web.hostOf(Web.fixtureUrl(col("doc_id"), col("source"), col("lang")))
+              .as("host"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .groupBy(col("host")).agg(sum(col("n_tok")).as("tokens"))
+        val rank = {
+          val links = Web.extractLinks(
+            Web.syntheticHtmlLinks(d, "doc_id", "text"), "doc_id", "html")
+          val srcH = d.select(col("doc_id"),
+            Web.hostOf(Web.fixtureUrl(col("doc_id"), col("source"), col("lang")))
+              .as("src"))
+          val e = links.join(srcH, "doc_id")
+            .select(col("src"), Web.hostOf(col("url")).as("dst")).distinct()
+          val sym = e.unionByName(
+            e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+          Graphs.integerPageRank(sym, iters = 4)
+            .withColumnRenamed("node", "host").withColumnRenamed("r", "rank")
+        }
+        val scored = hostTok.join(rank, "host")
+          .select(col("host"), col("tokens"), col("rank"),
+            expr("(rank * 1000000) div tokens").as("ratio_ppm"))
+        val w = Window.orderBy(col("ratio_ppm").desc, col("host"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        scored
+          .withColumn("cum_tokens", sum(col("tokens")).over(w))
+          .crossJoin(broadcast(hostTok.agg(
+            expr("sum(tokens) div 2").as("budget"))))
+          .where(col("cum_tokens") <= col("budget"))
+          .select(col("host"), col("tokens"), col("rank"), col("ratio_ppm"),
+            col("cum_tokens"))
+          .orderBy(col("ratio_ppm").desc, col("host"))
+      },
+      Some(hostGraphSql +
+        s""",
+           |ht AS (
+           |  SELECT c.host, CAST(SUM(len(string_split(d.text,' '))) AS BIGINT) AS tokens
+           |  FROM documents d JOIN c ON c.doc_id = d.doc_id
+           |  GROUP BY c.host),
+           |cst AS (SELECT (15 * (1000000000000 // COUNT(*))) // 100 AS base,
+           |          1000000000000 // COUNT(*) AS r0 FROM deg),
+           |r0 AS (SELECT src AS node, (SELECT r0 FROM cst) AS r FROM deg),
+           |${(1 to 4).map(i =>
+              s"""r$i AS MATERIALIZED (
+                 |  SELECT sym.dst AS node,
+                 |    (SELECT base FROM cst) + (85 * SUM(r${i - 1}.r // deg.deg)) // 100 AS r
+                 |  FROM r${i - 1} JOIN sym ON r${i - 1}.node = sym.src
+                 |  JOIN deg ON sym.src = deg.src
+                 |  GROUP BY sym.dst)""".stripMargin).mkString(",\n")},
+           |sc AS (
+           |  SELECT ht.host, ht.tokens, CAST(r4.r AS BIGINT) AS rank,
+           |    CAST((r4.r * 1000000) // ht.tokens AS BIGINT) AS ratio_ppm
+           |  FROM ht JOIN r4 ON r4.node = ht.host),
+           |cum AS (
+           |  SELECT *, CAST(SUM(tokens) OVER (ORDER BY ratio_ppm DESC, host
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           |  FROM sc)
+           |SELECT host, tokens, rank, ratio_ppm, cum_tokens
+           |FROM cum
+           |WHERE cum_tokens <= (SELECT CAST(SUM(tokens) // 2 AS BIGINT) FROM ht)
+           |ORDER BY ratio_ppm DESC, host""".stripMargin),
+    ),
+
+
+    // Takedown-impact what-if: if the three token-heaviest hosts vanish
+    // (legal takedown, robots change, dead site), how much of each
+    // source's token mass goes with them? Broadcast top-k host set
+    // against the per-(source, host) rollup — the resilience report a
+    // crawl-dependent corpus needs before it happens.
+    QueryDef(
+      "q238_takedown_impact",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+        val byHost = PinnedCache.pin(d.select(col("source"),
+            Web.hostOf(Web.fixtureUrl(col("doc_id"), col("source"), col("lang")))
+              .as("host"),
+            size(split(col("text"), " ")).cast("long").as("n_tok")))
+        val top = byHost.groupBy(col("host")).agg(sum(col("n_tok")).as("ht"))
+          .orderBy(col("ht").desc, col("host")).limit(3)
+          .select(col("host"), lit(1).as("hit"))
+        byHost.join(broadcast(top), Seq("host"), "left_outer")
+          .groupBy(col("source"))
+          .agg(sum(col("n_tok")).as("tokens"),
+            sum(when(col("hit").isNotNull, col("n_tok")).otherwise(0L))
+              .as("tokens_lost"))
+          .select(col("source"), col("tokens"), col("tokens_lost"),
+            expr("(tokens_lost * 1000000) div tokens").as("lost_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("WITH u AS (SELECT doc_id, " + Web.fixtureUrlSql +
+        " AS url FROM documents),\n" + Web.canonicalizeSql + ",\n" +
+        """bh AS MATERIALIZED (
+          |  SELECT d.source, c.host,
+          |    CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tok
+          |  FROM documents d JOIN c ON c.doc_id = d.doc_id),
+          |top AS (
+          |  SELECT host FROM (
+          |    SELECT host, SUM(n_tok) AS ht FROM bh GROUP BY host
+          |    ORDER BY ht DESC, host LIMIT 3)),
+          |a AS (
+          |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tokens,
+          |    CAST(SUM(CASE WHEN host IN (SELECT host FROM top)
+          |                  THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_lost
+          |  FROM bh GROUP BY source)
+          |SELECT source, tokens, tokens_lost,
+          |  CAST((tokens_lost * 1000000) // tokens AS BIGINT) AS lost_ppm
+          |FROM a ORDER BY source""".stripMargin),
+    ),
+
+
+    // INCREMENTAL label-propagation communities (q183's maintained form,
+    // the q164 discipline for the mesoscale): co-purchase edges split
+    // into base and delta waves; the base graph's final labels fold the
+    // delta in via bounded re-propagation on the touched ball only
+    // (Graphs.incrementalLabelPropagation — 2R−1-hop BFS ball + the same
+    // argmin recurrence restricted to ball-incident edges). The oracle is
+    // ONE-SHOT batch LPA over ALL edges, so a pass proves incremental ≡
+    // recompute; IncrementalLpaSpec adds random-wave, bridge-merge, and
+    // dag-cycle cases.
+    QueryDef(
+      "q253_incremental_lpa",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val edges = PinnedCache.pin(li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct())
+        val base = edges.where((col("a") + col("b")) % 2 === 0)
+        val delta = edges.where((col("a") + col("b")) % 2 === 1)
+        Graphs.incrementalLabelPropagation(
+            Graphs.labelPropagation(base, rounds = 2), base, delta, rounds = 2)
+          .withColumnRenamed("lab", "label")
+          .orderBy(col("node"))
+      },
+      Some({
+        val round = (i: Int) =>
+          s"""n$i AS (
+             |  SELECT sym.b AS node, l${i - 1}.lab, COUNT(*) AS c
+             |  FROM l${i - 1} JOIN sym ON sym.a = l${i - 1}.node GROUP BY 1, 2),
+             |l$i AS (
+             |  SELECT node, lab FROM (
+             |    SELECT node, lab,
+             |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+             |    FROM n$i) WHERE rn = 1)""".stripMargin
+        s"""WITH e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+           |           FROM lineitem a JOIN lineitem b
+           |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+           |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+           |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
+           |${(1 to 2).map(round).mkString(",\n")}
+           |SELECT node, lab AS label FROM l2 ORDER BY node""".stripMargin
+      }),
+    ),
+  )
+}

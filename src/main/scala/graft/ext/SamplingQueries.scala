@@ -1,0 +1,657 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDef
+import graft.queries.QueryDef.tbl
+import graft.ext.Ext._
+import graft.ext.ExtraQueries._
+
+/** Sampling / splits / packing / layout / privacy family (CATALOG.md 'Sampling, splits, packing, layout').
+  *
+  * Split verbatim out of the former Ext.scala / ExtraQueries.scala
+  * mega-files along CATALOG.md family lines (round 7) — shared oracle
+  * helpers remain in [[Ext]] / [[ExtraQueries]] as `private[ext]`. */
+object SamplingQueries {
+
+  def queries: Seq[QueryDef] = Seq(
+
+    // Deterministic train/val/test split audit: membership is a pure
+    // function of a portable content hash — reproducible across engines,
+    // runs and repartitionings (what a dataset release needs).
+    QueryDef(
+      "q45_split_stats",
+      (s, dir) => Sampling.splitStats(tbl(s, dir, "documents"), "doc_id", 80, 10)
+        .orderBy(col("source"), col("split")),
+      Some("""SELECT source, split, COUNT(*) AS docs,
+             |  CAST(SUM(t) AS BIGINT) AS tokens, MIN(doc_id) AS first_doc
+             |FROM (SELECT source, doc_id, len(string_split(text,' ')) AS t,
+             |        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+             |             ELSE 'test' END AS split
+             |      FROM (SELECT *,
+             |              CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS b
+             |            FROM documents))
+             |GROUP BY source, split ORDER BY source, split""".stripMargin),
+    ),
+
+
+    // Sequence chunking: docs split into 16-token training chunks, content
+    // fingerprinted. Pure map work (HOF explode, no shuffle).
+    QueryDef(
+      "q50_chunking",
+      (s, dir) => Packing.chunkTokens(tbl(s, dir, "documents"), "text", "doc_id", 16)
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+             |e AS (SELECT doc_id, t,
+             |        unnest(generate_series(1, (len(t)+15)//16)) AS i
+             |      FROM d WHERE len(t) > 0)
+             |SELECT doc_id, i-1 AS chunk_id,
+             |  LEAST(len(t) - (i-1)*16, 16) AS chunk_tokens,
+             |  md5(array_to_string(t[(i-1)*16+1 : LEAST(len(t), i*16)], ' ')) AS chunk_md5
+             |FROM e ORDER BY doc_id, chunk_id""".stripMargin),
+    ),
+
+
+    // Greedy in-order sequence packing: chunks fill 64-token bins per
+    // source; bin = floor(running tokens before / budget) — deterministic,
+    // one (source,int)-keyed shuffle.
+    QueryDef(
+      "q51_packing",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val chunks = Packing.chunkTokens(docs, "text", "doc_id", 16)
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        Packing.packBins(chunks, col("source"), 64)
+          .orderBy(col("grp"), col("bin_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, string_split(text,' ') AS t FROM documents),
+             |e AS (SELECT doc_id, source, t,
+             |        unnest(generate_series(1, (len(t)+15)//16)) AS i
+             |      FROM d WHERE len(t) > 0),
+             |c AS (
+             |  SELECT source, doc_id, i-1 AS chunk_id,
+             |    LEAST(len(t) - (i-1)*16, 16) AS chunk_tokens
+             |  FROM e),
+             |r AS (SELECT source, chunk_tokens,
+             |        SUM(chunk_tokens) OVER (PARTITION BY source
+             |          ORDER BY doc_id, chunk_id) AS cum FROM c)
+             |SELECT source AS grp, CAST((cum - chunk_tokens) // 64 AS BIGINT) AS bin_id,
+             |  COUNT(*) AS n_chunks, CAST(SUM(chunk_tokens) AS BIGINT) AS bin_tokens
+             |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    ),
+
+
+    // Corpus mixture: stratified downsampling (src0 keeps 40%, src1 60%)
+    // composed with integer upsampling weights (src2 x3, src3 x2) — the
+    // deterministic data-mixing op. All counts integer; membership is the
+    // portable hash, replicated exactly oracle-side.
+    QueryDef(
+      "q56_mixture",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val sampled = Sampling.stratifiedSample(docs, "doc_id", "source",
+          Map("src0" -> 40, "src1" -> 60))
+        Sampling.upsample(sampled, "source", Map("src2" -> 3, "src3" -> 2))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("rows_out"),
+            countDistinct(col("doc_id")).as("docs_kept"),
+            sum(TextAnalysis.tokenCount(col("text"))).cast("long").as("tokens_out"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH kept AS (
+             |  SELECT * FROM documents
+             |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100
+             |        < CASE source WHEN 'src0' THEN 40 WHEN 'src1' THEN 60 ELSE 100 END),
+             |up AS (
+             |  SELECT *, unnest(generate_series(1,
+             |    CASE source WHEN 'src2' THEN 3 WHEN 'src3' THEN 2 ELSE 1 END)) AS copy
+             |  FROM kept)
+             |SELECT source, COUNT(*) AS rows_out,
+             |  COUNT(DISTINCT doc_id) AS docs_kept,
+             |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS tokens_out
+             |FROM up GROUP BY source ORDER BY source""".stripMargin),
+    ),
+
+
+    // PII redaction audit: mask numeric identifiers in a free-text field,
+    // count hits, pseudonymize the key via the portable content hash.
+    // Pure map work inside WholeStageCodegen — a 100 TB sweep is one scan.
+    QueryDef(
+      "q62_pii_redact",
+      (s, dir) => Privacy.redactionAudit(tbl(s, dir, "customer"),
+          "c_custkey", "c_name", Privacy.NumericIdPattern, "[ID]")
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey,
+             |  CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)),1,15)) AS BIGINT)
+             |    AS pseudo_id,
+             |  regexp_replace(c_name, '[0-9]{3,}', '[ID]', 'g') AS redacted,
+             |  CAST(len(regexp_extract_all(c_name, '[0-9]{3,}')) AS BIGINT) AS n_hits
+             |FROM customer ORDER BY c_custkey""".stripMargin),
+    ),
+
+
+    // Deterministic k-per-group sample: "random" by hash uniformity, yet a
+    // pure function of the ids — the reproducible alternative to reservoir
+    // sampling whose output survives re-partitioning and re-processing.
+    QueryDef(
+      "q64_group_sample",
+      (s, dir) => Sampling.groupSample(tbl(s, dir, "documents"), "lang", "doc_id", 20)
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy(col("lang"), col("rk")),
+      Some("""WITH r AS (
+             |  SELECT lang, doc_id,
+             |    row_number() OVER (PARTITION BY lang ORDER BY
+             |      CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT),
+             |      doc_id) AS rk
+             |  FROM documents)
+             |SELECT lang, doc_id, rk FROM r WHERE rk <= 20
+             |ORDER BY lang, rk""".stripMargin),
+    ),
+
+
+    // Split-balance audit: does each hash split preserve the corpus's
+    // language mix? Emits per-(split, lang) doc counts plus both shares
+    // scaled to exact integer rationals (ppm) — no float division until
+    // the final fixed denominator, so both engines agree bit-for-bit.
+    QueryDef(
+      "q74_split_balance",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .withColumn("split", Sampling.splitColumn(col("doc_id"), 80, 10))
+        // total derived lazily as a global window over the lang rollup
+        // (lang-cardinality rows) — no eager driver action at build time
+        val corpus = docs.groupBy(col("lang")).agg(count(lit(1)).as("corpus_docs"))
+          .withColumn("total",
+            sum(col("corpus_docs")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy()))
+        docs.groupBy(col("split"), col("lang")).agg(count(lit(1)).as("docs"))
+          .withColumn("split_total",
+            sum(col("docs")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("split"))))
+          .join(corpus, "lang")
+          .select(col("split"), col("lang"), col("docs"),
+            expr("docs * 1000000 div split_total").as("share_ppm"),
+            // integer div in BOTH engines: double-div + cast would round in
+            // DuckDB but truncate in Spark
+            expr("(corpus_docs * 1000000) div total").as("corpus_ppm"))
+          .orderBy(col("split"), col("lang"))
+      },
+      Some("""WITH d AS (
+             |  SELECT lang,
+             |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM (SELECT lang,
+             |          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS b
+             |        FROM documents)),
+             |c AS (SELECT lang, COUNT(*) AS corpus_docs FROM documents GROUP BY lang),
+             |t AS (SELECT COUNT(*) AS total FROM documents),
+             |g AS (SELECT split, lang, COUNT(*) AS docs FROM d GROUP BY split, lang),
+             |st AS (SELECT split, SUM(docs) AS split_total FROM g GROUP BY split)
+             |SELECT g.split, g.lang, g.docs,
+             |  CAST(g.docs * 1000000 // st.split_total AS BIGINT) AS share_ppm,
+             |  c.corpus_docs * 1000000 // t.total AS corpus_ppm
+             |FROM g JOIN st USING (split) JOIN c USING (lang), t
+             |ORDER BY g.split, g.lang""".stripMargin),
+    ),
+
+
+    // Token-budget mixture planner: per-source sampling rates + expected
+    // yield for a 20k-token budget under a skewed target mixture (5 heavy
+    // sources at 12% each, 15 light at ~2.7%), with oversubscription
+    // flags. One weight map drives BOTH engines (interpolated as VALUES).
+    {
+      val mixWeights: Seq[(String, Long)] =
+        (0 until 20).map(i => s"src$i" -> (if (i < 5) 120000L else 26666L))
+      val budget = 20000L
+      val valuesSql = mixWeights
+        .map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+      QueryDef(
+        "q115_mixture_plan",
+        (s, dir) => Sampling.mixturePlan(
+            tbl(s, dir, "documents"), "text", "source", budget, mixWeights.toMap)
+          .orderBy(col("source")),
+        Some(s"""WITH w(source, weight_ppm) AS (SELECT * FROM (VALUES $valuesSql)),
+                |t AS (
+                |  SELECT source, COUNT(*) AS docs,
+                |    CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS tokens
+                |  FROM documents GROUP BY source)
+                |SELECT t.source, t.docs, t.tokens,
+                |  CAST(COALESCE(w.weight_ppm, 0) AS BIGINT) AS weight_ppm,
+                |  (CAST($budget AS BIGINT) * COALESCE(w.weight_ppm, 0)) // 1000000 AS target_tokens,
+                |  LEAST(1000000,
+                |    (((CAST($budget AS BIGINT) * COALESCE(w.weight_ppm, 0)) // 1000000) * 1000000)
+                |      // t.tokens) AS rate_ppm,
+                |  (t.tokens * LEAST(1000000,
+                |    (((CAST($budget AS BIGINT) * COALESCE(w.weight_ppm, 0)) // 1000000) * 1000000)
+                |      // t.tokens)) // 1000000 AS expected_tokens,
+                |  (CAST($budget AS BIGINT) * COALESCE(w.weight_ppm, 0)) // 1000000 > t.tokens
+                |    AS oversubscribed
+                |FROM t LEFT JOIN w USING (source) ORDER BY t.source""".stripMargin),
+      )
+    },
+
+
+    // The mixture planner on EXACT tokens: q115's integer ppm math fed by
+    // q117's greedy wordpiece counts instead of the whitespace estimate —
+    // budgets stop being estimates. The oracle composes the recursive
+    // greedy-loop CTE with the planner arithmetic end-to-end.
+    {
+      val mixWeights: Seq[(String, Long)] =
+        (0 until 20).map(i => s"src$i" -> (if (i < 5) 120000L else 26666L))
+      val budget = 60000L
+      val valuesSql = mixWeights
+        .map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+      QueryDef(
+        "q118_mixture_exact_tokens",
+        (s, dir) => Sampling.mixturePlanFromCounts(
+            tbl(s, dir, "documents").select(col("doc_id"), col("source"))
+              .join(Tokenize.wordpieceCounts(s, tbl(s, dir, "documents"),
+                  "text", "doc_id")
+                .toDF().select(col("doc_id"), col("n_subwords").as("n_tok")),
+                "doc_id"),
+            budget, mixWeights.toMap)
+          .orderBy(col("source")),
+        Some(s"""WITH RECURSIVE w AS (
+                |  SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+                |steps AS (
+                |  SELECT doc_id, w, 1 AS pos, 0 AS n FROM w
+                |  UNION ALL
+                |  SELECT doc_id, w,
+                |    pos + CASE
+                |${Tokenize.greedyCaseWhens(Tokenize.DefaultMerges)}
+                |      ELSE 1 END,
+                |    n + 1
+                |  FROM steps WHERE pos <= len(w)),
+                |cnt AS (
+                |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tok
+                |  FROM steps WHERE pos > len(w) GROUP BY doc_id),
+                |wt(source, weight_ppm) AS (SELECT * FROM (VALUES $valuesSql)),
+                |t AS (
+                |  SELECT d.source, COUNT(*) AS docs,
+                |    CAST(SUM(c.n_tok) AS BIGINT) AS tokens
+                |  FROM documents d JOIN cnt c USING (doc_id) GROUP BY d.source)
+                |SELECT t.source, t.docs, t.tokens,
+                |  CAST(COALESCE(wt.weight_ppm, 0) AS BIGINT) AS weight_ppm,
+                |  (CAST($budget AS BIGINT) * COALESCE(wt.weight_ppm, 0)) // 1000000 AS target_tokens,
+                |  LEAST(1000000,
+                |    (((CAST($budget AS BIGINT) * COALESCE(wt.weight_ppm, 0)) // 1000000) * 1000000)
+                |      // t.tokens) AS rate_ppm,
+                |  (t.tokens * LEAST(1000000,
+                |    (((CAST($budget AS BIGINT) * COALESCE(wt.weight_ppm, 0)) // 1000000) * 1000000)
+                |      // t.tokens)) // 1000000 AS expected_tokens,
+                |  (CAST($budget AS BIGINT) * COALESCE(wt.weight_ppm, 0)) // 1000000 > t.tokens
+                |    AS oversubscribed
+                |FROM t LEFT JOIN wt USING (source) ORDER BY t.source""".stripMargin),
+      )
+    },
+
+
+    // Temperature-scaled (alpha = 1/2) mixture plan: weights derived from
+    // the data as sqrt(source tokens) instead of a hand-picked map — the
+    // multilingual-pretraining smoothing rule, composed with q115's ppm
+    // planner arithmetic. The exact integer sqrt (double seed + two
+    // integer corrections) keeps every ppm bit-exact across engines no
+    // matter how either rounds sqrt().
+    {
+      val budget = 26000L // between 20*min and 20*max source tokens, so both flags occur
+      QueryDef(
+        "q126_alpha_mixture_plan",
+        (s, dir) => Sampling.alphaMixturePlan(
+            tbl(s, dir, "documents"), "text", "source", budget)
+          .orderBy(col("source")),
+        Some(s"""WITH c AS (
+                |  SELECT source, COUNT(*) AS docs,
+                |    CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS tokens
+                |  FROM documents GROUP BY source),
+                |s0 AS (SELECT c.*, CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS a FROM c),
+                |s1 AS (SELECT s0.*, CASE WHEN a*a > tokens THEN a-1 ELSE a END AS b FROM s0),
+                |ws AS (SELECT source, docs, tokens,
+                |         CASE WHEN (b+1)*(b+1) <= tokens THEN b+1 ELSE b END AS w_sqrt FROM s1),
+                |t AS (SELECT ws.*, CAST(SUM(w_sqrt) OVER () AS BIGINT) AS sum_sqrt FROM ws),
+                |w AS (SELECT source, docs, tokens, w_sqrt,
+                |        (w_sqrt * 1000000) // sum_sqrt AS weight_ppm FROM t),
+                |g AS (SELECT w.*, (CAST($budget AS BIGINT) * weight_ppm) // 1000000 AS target_tokens FROM w),
+                |r AS (SELECT g.*, LEAST(1000000, (target_tokens * 1000000) // tokens) AS rate_ppm FROM g)
+                |SELECT source, docs, tokens, w_sqrt, weight_ppm, target_tokens, rate_ppm,
+                |  (tokens * rate_ppm) // 1000000 AS expected_tokens,
+                |  target_tokens > tokens AS oversubscribed
+                |FROM r ORDER BY source""".stripMargin),
+      )
+    },
+
+
+    // Deterministic epoch shard plan: (shard, pos, token offset) per doc
+    // as a pure function of (doc_id, seed) — the map-only replacement for
+    // a global training shuffle; next epoch = next seed, no data movement.
+    // Everything keys off the portable md5 hash, so the oracle recomputes
+    // the identical assignment.
+    QueryDef(
+      "q142_shard_plan",
+      (s, dir) => Sampling.shardPlan(tbl(s, dir, "documents"),
+          "doc_id", "text", numShards = 8, seed = 7)
+        .orderBy(col("shard"), col("pos")),
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':7'),1,15))
+             |         AS BIGINT) AS hv,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents)
+             |SELECT doc_id, hv % 8 AS shard,
+             |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS pos, n_tokens,
+             |  CAST(SUM(n_tokens) OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id
+             |                           ROWS UNBOUNDED PRECEDING) - n_tokens
+             |       AS BIGINT) AS tok_offset
+             |FROM h
+             |WINDOW w AS (PARTITION BY hv % 8 ORDER BY hv, doc_id)
+             |ORDER BY shard, pos""".stripMargin),
+    ),
+
+
+    // Curriculum-ordered shard plan: 4 equal-count quality phases (exact
+    // equi-depth cuts over the ppm-quantized q32 score) x 4 hash shards,
+    // deterministic within-cell order — quality-staged training order as
+    // a pure function of (doc, seed). Oracle replays score, cuts, hash,
+    // and positions.
+    QueryDef(
+      "q161_curriculum_order",
+      (s, dir) => Sampling.curriculumShardPlan(tbl(s, dir, "documents"),
+          "text", "doc_id", phases = 4, shards = 4, seed = 3)
+        .orderBy(col("phase"), col("shard"), col("pos")),
+      Some(s"""WITH sc AS (
+              |  SELECT doc_id, CAST(floor(ROUND(
+              |    LEAST(t / 50.0, 1.0) * 0.4 +
+              |    (CAST(len(list_filter(tokens, w -> w IN
+              |       (${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE) / t) * 0.3 +
+              |    CASE WHEN (c - (t - 1)) / CAST(t AS DOUBLE) BETWEEN 3 AND 8 THEN 0.3 ELSE 0.0 END,
+              |    6) * 1000000) AS BIGINT) AS q
+              |  FROM (SELECT doc_id, string_split(text,' ') AS tokens,
+              |               len(string_split(text,' ')) AS t, LENGTH(text) AS c
+              |        FROM documents)),
+              |c AS (SELECT q AS v, COUNT(*) AS cnt FROM sc GROUP BY q),
+              |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c),
+              |b AS (
+              |  SELECT v, cnt, COALESCE(SUM(cnt) OVER (ORDER BY v
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+              |  FROM c),
+              |bounds AS (
+              |  SELECT CAST((cb * 4) // t.n + 1 AS BIGINT) AS phase,
+              |    MIN(v) AS lo, MAX(v) AS hi
+              |  FROM b, t GROUP BY 1),
+              |h AS (
+              |  SELECT sc.doc_id, sc.q, bo.phase,
+              |    CAST(('0x' || substring(md5(CAST(sc.doc_id AS VARCHAR) || ':3'),1,15))
+              |         AS BIGINT) AS hv
+              |  FROM sc JOIN bounds bo ON sc.q >= bo.lo AND sc.q <= bo.hi)
+              |SELECT doc_id, q, phase, hv % 4 AS shard,
+              |  CAST(ROW_NUMBER() OVER (PARTITION BY phase, hv % 4
+              |                          ORDER BY hv, doc_id) AS BIGINT) AS pos
+              |FROM h ORDER BY phase, shard, pos""".stripMargin),
+    ),
+
+
+    // Split-distribution identity audit: grid-KS distance of each hash
+    // split's token-count distribution vs the rest — the release gate
+    // that train/val/test are DISTRIBUTIONALLY identical, not just
+    // share-balanced (q74 checks shares; this checks shapes). Composes
+    // the portable split assignment with the q110 integer KS machinery.
+    QueryDef(
+      "q163_split_drift",
+      (s, dir) => Histogram.ksDrift(
+          tbl(s, dir, "documents")
+            .select(Sampling.splitColumn(col("doc_id"), 80, 10).as("split"),
+              TextAnalysis.tokenCount(col("text")).cast("double").as("v")),
+          col("split"), col("v"), 1)
+        .withColumnRenamed("grp", "split")
+        .orderBy(col("split")),
+      Some("""WITH d AS (
+             |  SELECT CASE
+             |    WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
+             |         AS BIGINT) % 100 < 80 THEN 'train'
+             |    WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
+             |         AS BIGINT) % 100 < 90 THEN 'val'
+             |    ELSE 'test' END AS grp,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS bin
+             |  FROM documents),
+             |b AS (SELECT grp, bin, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+             |dense AS (
+             |  SELECT g.grp, a.bin, COALESCE(b.cnt, 0) AS cnt
+             |  FROM (SELECT DISTINCT grp FROM b) g
+             |  CROSS JOIN (SELECT DISTINCT bin FROM b) a
+             |  LEFT JOIN b ON b.grp = g.grp AND b.bin = a.bin),
+             |c AS (
+             |  SELECT grp, bin, cnt,
+             |    SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+             |    SUM(cnt) OVER (PARTITION BY grp) AS n_g,
+             |    SUM(cnt) OVER () AS n_all
+             |  FROM dense),
+             |c2 AS (SELECT *, SUM(cum) OVER (PARTITION BY bin) AS gcum FROM c)
+             |SELECT grp AS split, CAST(MAX(n_g) AS BIGINT) AS n,
+             |  CAST(MAX(abs(cum*(n_all-n_g) - (gcum-cum)*n_g)) AS BIGINT) AS ks_scaled,
+             |  CAST(MAX(abs(cum*(n_all-n_g) - (gcum-cum)*n_g)) AS DOUBLE)
+             |    / (MAX(n_g) * (MAX(n_all) - MAX(n_g))) AS ks
+             |FROM c2 GROUP BY grp ORDER BY split""".stripMargin),
+    ),
+
+
+    // Train->test SPLIT contamination audit: which test-split docs share a
+    // 3-gram with the train split — eval hygiene of the release's OWN
+    // split (q48/q125 audit against an EXTERNAL eval set). Composes the
+    // portable hash split with the broadcast gram probe.
+    QueryDef(
+      "q168_split_contamination",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+          .withColumn("split", Sampling.splitColumn(col("doc_id"), 80, 10))
+        Dedup.contaminatedDocs(
+            d.where(col("split") === "test"),
+            d.where(col("split") === "train"), "text", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH sp AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
+             |              AS BIGINT) % 100 < 80 THEN 'train'
+             |         WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
+             |              AS BIGINT) % 100 < 90 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, split,
+             |    list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+             |                   FOR i IN generate_series(1, len(t)-2)]) AS gs
+             |  FROM (SELECT doc_id, split, string_split(text,' ') AS t FROM sp)),
+             |b AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE split = 'train'),
+             |t AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE split = 'test')
+             |SELECT doc_id, COUNT(*) AS matched_ngrams
+             |FROM t JOIN b USING (gram)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
+
+
+    // Padding-waste audit: arrival-order vs length-sorted batches at
+    // B = 8 — how much trainer compute pad tokens burn, and how much
+    // sorted batching recovers. Integer ppm; tail batch pads to its own
+    // size.
+    QueryDef(
+      "q178_padding_waste",
+      (s, dir) => Packing.paddingWaste(tbl(s, dir, "documents"),
+          "text", "doc_id", batchSize = 8)
+        .orderBy(col("strategy")),
+      Some("""WITH base AS (
+             |  SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS len
+             |  FROM documents),
+             |a AS (
+             |  SELECT len, (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 8 AS batch
+             |  FROM base),
+             |ab AS (SELECT batch, COUNT(*) AS bn, MAX(len) AS mx,
+             |         CAST(SUM(len) AS BIGINT) AS sm FROM a GROUP BY batch),
+             |ar AS (SELECT 'arrival' AS strategy, COUNT(*) AS n_batches,
+             |         CAST(SUM(sm) AS BIGINT) AS tokens,
+             |         CAST(SUM(bn * mx) AS BIGINT) AS padded_slots FROM ab),
+             |s AS (
+             |  SELECT len, (ROW_NUMBER() OVER (ORDER BY len, doc_id) - 1) // 8 AS batch
+             |  FROM base),
+             |sb AS (SELECT batch, COUNT(*) AS bn, MAX(len) AS mx,
+             |         CAST(SUM(len) AS BIGINT) AS sm FROM s GROUP BY batch),
+             |sr AS (SELECT 'sorted' AS strategy, COUNT(*) AS n_batches,
+             |         CAST(SUM(sm) AS BIGINT) AS tokens,
+             |         CAST(SUM(bn * mx) AS BIGINT) AS padded_slots FROM sb)
+             |SELECT strategy, n_batches, tokens, padded_slots,
+             |  ((padded_slots - tokens) * 1000000) // padded_slots AS waste_ppm
+             |FROM (SELECT * FROM ar UNION ALL SELECT * FROM sr)
+             |ORDER BY strategy""".stripMargin),
+    ),
+
+
+    // Neyman optimal stratified allocation: per-source sample counts
+    // proportional to N_h*sigma_h = isqrt(N_h*sum(x^2) - sum(x)^2) —
+    // exact integers end to end (the variance-minimizing design at fixed
+    // budget); ppm shares, floor allocations capped at N_h.
+    QueryDef(
+      "q179_neyman_allocation",
+      (s, dir) => Sampling.neymanAllocation(tbl(s, dir, "documents"),
+          "text", "source", sampleBudget = 200L)
+        .orderBy(col("source")),
+      Some("""WITH b AS (
+             |  SELECT source, CAST(len(string_split(text,' ')) AS BIGINT) AS x
+             |  FROM documents),
+             |st AS (
+             |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(x) AS BIGINT) AS sx,
+             |    CAST(SUM(x*x) AS BIGINT) AS sxx
+             |  FROM b GROUP BY source),
+             |s0 AS (SELECT st.*, n_docs*sxx - sx*sx AS rad,
+             |         CAST(floor(sqrt(CAST(n_docs*sxx - sx*sx AS DOUBLE))) AS BIGINT) AS a
+             |       FROM st),
+             |s1 AS (SELECT s0.*, CASE WHEN a*a > rad THEN a-1 ELSE a END AS b2 FROM s0),
+             |ws AS (SELECT source, n_docs,
+             |         CASE WHEN (b2+1)*(b2+1) <= rad THEN b2+1 ELSE b2 END AS w
+             |       FROM s1),
+             |t AS (SELECT ws.*, CAST(SUM(w) OVER () AS BIGINT) AS sum_w FROM ws)
+             |SELECT source, n_docs, w, (w * 1000000) // sum_w AS weight_ppm,
+             |  LEAST((200 * w) // sum_w, n_docs) AS alloc
+             |FROM t ORDER BY source""".stripMargin),
+    ),
+
+
+    // Closed-loop split repair: q168's contamination audit as an ACTION —
+    // contaminated test docs move to train (one round), reported as the
+    // (orig, final) migration rollup. Broadcast gram probe + doc-keyed
+    // left join + bounded rollup.
+    QueryDef(
+      "q180_split_repair",
+      (s, dir) => Sampling.repairSplitContamination(tbl(s, dir, "documents"),
+          "text", "doc_id", 80, 10)
+        .orderBy(col("split_orig"), col("split_final")),
+      Some("""WITH sp AS (
+             |  SELECT doc_id, text,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+             |    CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
+             |              AS BIGINT) % 100 < 80 THEN 'train'
+             |         WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
+             |              AS BIGINT) % 100 < 90 THEN 'val'
+             |         ELSE 'test' END AS split_orig
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, split_orig,
+             |    list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+             |                   FOR i IN generate_series(1, len(t)-2)]) AS gs
+             |  FROM (SELECT doc_id, split_orig, string_split(text,' ') AS t FROM sp)),
+             |b AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE split_orig = 'train'),
+             |mv AS (
+             |  SELECT DISTINCT t.doc_id
+             |  FROM (SELECT doc_id, unnest(gs) AS gram FROM g WHERE split_orig = 'test') t
+             |  JOIN b USING (gram))
+             |SELECT sp.split_orig,
+             |  CASE WHEN mv.doc_id IS NOT NULL THEN 'train' ELSE sp.split_orig END AS split_final,
+             |  COUNT(*) AS n_docs, CAST(SUM(sp.n_tok) AS BIGINT) AS tokens
+             |FROM sp LEFT JOIN mv ON mv.doc_id = sp.doc_id
+             |GROUP BY 1, 2 ORDER BY split_orig, split_final""".stripMargin),
+    ),
+
+
+    // k-anonymity audit over the quasi-identifier pair (nation, market
+    // segment): equivalence classes smaller than k = 8 are
+    // re-identification risks — report each risky class and the overall
+    // share of exposed customers. The release-gate check that runs
+    // BEFORE q62's value-level redaction (suppressing PII inside a row
+    // doesn't help if the row's attribute combination is unique).
+    QueryDef(
+      "q224_k_anonymity",
+      (s, dir) => {
+        val cells = PinnedCache.pin(tbl(s, dir, "customer")
+          .groupBy(col("c_nationkey").cast("long").as("nationkey"),
+            col("c_mktsegment").as("mktsegment"))
+          .agg(count(lit(1)).as("class_size")))
+        val tot = cells.agg(sum(col("class_size")).as("n_customers"),
+          sum(when(col("class_size") < 8, col("class_size")).otherwise(0L))
+            .as("n_exposed"))
+        cells.where(col("class_size") < 8)
+          .crossJoin(broadcast(tot))
+          .select(col("nationkey"), col("mktsegment"), col("class_size"),
+            col("n_customers"),
+            expr("(n_exposed * 1000000) div n_customers").as("exposed_ppm"))
+          .orderBy(col("nationkey"), col("mktsegment"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment AS mktsegment,
+             |    COUNT(*) AS class_size
+             |  FROM customer GROUP BY 1, 2),
+             |t AS (
+             |  SELECT CAST(SUM(class_size) AS BIGINT) AS n_customers,
+             |    CAST(SUM(CASE WHEN class_size < 8 THEN class_size ELSE 0 END) AS BIGINT)
+             |      AS n_exposed
+             |  FROM cells)
+             |SELECT nationkey, mktsegment, class_size, t.n_customers,
+             |  CAST((t.n_exposed * 1000000) // t.n_customers AS BIGINT) AS exposed_ppm
+             |FROM cells CROSS JOIN t
+             |WHERE class_size < 8
+             |ORDER BY nationkey, mktsegment""".stripMargin),
+    ),
+
+
+    // Neyman-optimal audit-sampling plan: split a 1000-doc quality-audit
+    // budget across sources proportionally to N_h·sigma_h of document
+    // length — exact integer sigma via isqrt(N·Σy² − (Σy)²), floors
+    // topped up to EXACTLY the budget by the largest-remainder rule.
+    // The n_alloc <= N_h cap fires at sf0.001 (500 docs < 2x budget) and
+    // not at sf0.01 — both branches gate-exercised.
+    QueryDef(
+      "q252_neyman_allocation",
+      (s, dir) => Sampling.neymanAllocation(tbl(s, dir, "documents"),
+          "source", size(split(col("text"), " ")), budget = 1000L)
+        .orderBy(col("source")),
+      Some("""WITH b AS (
+             |  SELECT source AS g, CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+             |  FROM documents),
+             |a AS (
+             |  SELECT g, COUNT(*)::BIGINT AS n_rows,
+             |    CAST(SUM(y) AS BIGINT) AS s1, CAST(SUM(y*y) AS BIGINT) AS s2
+             |  FROM b GROUP BY 1),
+             |v AS (SELECT g, n_rows, n_rows * s2 - s1 * s1 AS vv FROM a),
+             |r AS (
+             |  SELECT g, n_rows,
+             |    CASE WHEN (CASE WHEN s0*s0 > vv THEN s0-1 ELSE s0 END + 1)
+             |              * (CASE WHEN s0*s0 > vv THEN s0-1 ELSE s0 END + 1) <= vv
+             |         THEN CASE WHEN s0*s0 > vv THEN s0-1 ELSE s0 END + 1
+             |         ELSE CASE WHEN s0*s0 > vv THEN s0-1 ELSE s0 END END AS w
+             |  FROM (SELECT g, n_rows, vv,
+             |          CAST(floor(sqrt(CAST(vv AS DOUBLE))) AS BIGINT) AS s0 FROM v)),
+             |al AS (
+             |  SELECT g, n_rows, w,
+             |    CAST(SUM(w) OVER () AS BIGINT) AS w_sum,
+             |    (1000 * w) // CAST(SUM(w) OVER () AS BIGINT) AS n_floor,
+             |    (1000 * w) % CAST(SUM(w) OVER () AS BIGINT) AS rem
+             |  FROM r),
+             |fin AS (
+             |  SELECT g, n_rows, w, n_floor,
+             |    CAST(SUM(n_floor) OVER () AS BIGINT) AS floor_sum,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, g) AS BIGINT) AS rem_rank
+             |  FROM al)
+             |SELECT g AS source, n_rows, w AS n_sigma,
+             |  LEAST(n_floor + CASE WHEN rem_rank <= 1000 - floor_sum THEN 1 ELSE 0 END,
+             |        n_rows) AS n_alloc,
+             |  (n_floor + CASE WHEN rem_rank <= 1000 - floor_sum THEN 1 ELSE 0 END)
+             |    > n_rows AS capped
+             |FROM fin ORDER BY source""".stripMargin),
+    ),
+  )
+}

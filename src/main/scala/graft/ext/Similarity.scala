@@ -194,6 +194,33 @@ object Similarity {
     selected
   }
 
+  /** Hard-negative mining for contrastive training: per anchor vector,
+    * the `k` MOST-similar vectors carrying a DIFFERENT label — the
+    * near-miss negatives that make embedding/classifier training sharp
+    * (easy negatives are information-free; in-batch negatives are
+    * luck-of-the-draw). Exact brute scan with the label filter BEFORE
+    * ranking is the reference semantics (post-filtering an ANN top-m can
+    * under-fill a query whose m nearest are all same-label); the scale
+    * swap is [[topKCandidates]] with an enlarged m + this same filter,
+    * recall-gated like AnnSeamSpec. Ties break (sim desc, nid) — fully
+    * deterministic, oracle-replicable. */
+  def hardNegatives(corpus: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val n = withNorm(corpus, vecCol)
+      .select(col(idCol).as("id"), col(labelCol).as("lab"),
+        col(vecCol).as("v"), col("nrm"))
+    val sims = n.as("a").join(n.as("b"),
+        col("a.id") =!= col("b.id") && col("a.lab") =!= col("b.lab"))
+      .select(col("a.id").as("qid"), col("a.lab").as("label"),
+        col("b.id").as("nid"), col("b.lab").as("neg_label"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    sims.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("label"), col("nid"), col("neg_label"),
+        col("sim"), col("rk"))
+  }
+
   /** All pairs (a < b) with cosine >= threshold — the EXACT formulation.
     * This is a conditional cross product (O(n^2)): it exists as the small-n
     * reference/oracle mode only; every scale consumer routes through

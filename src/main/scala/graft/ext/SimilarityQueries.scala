@@ -1,0 +1,1065 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDef
+import graft.queries.QueryDef.tbl
+import graft.ext.Ext._
+import graft.ext.ExtraQueries._
+
+/** Similarity-search / embedding family (CATALOG.md 'Similarity search / embeddings'): brute/ANN top-k, IVF, SemDeDup, DBSCAN, spectral and cluster-quality audits.
+  *
+  * Split verbatim out of the former Ext.scala / ExtraQueries.scala
+  * mega-files along CATALOG.md family lines (round 7) — shared oracle
+  * helpers remain in [[Ext]] / [[ExtraQueries]] as `private[ext]`. */
+object SimilarityQueries {
+
+  def queries: Seq[QueryDef] = Seq(
+
+    // Brute-force cosine top-5 for 10 query vectors.
+    QueryDef(
+      "q28_cosine_topk",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), "embedding", "vec_id", 5)
+          .orderBy(col("qid"), col("sim").desc, col("nid"))
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id, embedding,
+             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+             |  FROM embeddings),
+             |sims AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+             |    list_sum([CAST(q.embedding[i] AS DOUBLE)*c.embedding[i]
+             |              FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*c.nrm) AS sim
+             |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id != c.vec_id)
+             |SELECT qid, nid, sim FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+             |  FROM sims) WHERE rk <= 5
+             |ORDER BY qid, sim DESC, nid""".stripMargin),
+    ),
+
+
+    // Embedding near-dup pairs (cosine >= 0.4) — the EXACT small-n
+    // reference mode (O(n^2) by definition; the scale path is
+    // q42_embedding_neardup_lsh and the LSH-routed q41 pipeline).
+    QueryDef(
+      "q29_cosine_neardup",
+      (s, dir) => Similarity.cosineNearDupPairsExact(
+          tbl(s, dir, "embeddings"), "embedding", "vec_id", 0.4)
+        .orderBy(col("a_id"), col("b_id")),
+      Some("""WITH n AS (
+             |  SELECT vec_id, embedding,
+             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+             |  FROM embeddings)
+             |SELECT a_id, b_id, cos_sim FROM (
+             |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |    list_sum([CAST(a.embedding[i] AS DOUBLE)*b.embedding[i]
+             |              FOR i IN generate_series(1,len(a.embedding))])/(a.nrm*b.nrm) AS cos_sim
+             |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+             |WHERE cos_sim >= 0.4 ORDER BY a_id, b_id""".stripMargin),
+    ),
+
+
+    // Approximate ANN via random-hyperplane LSH buckets. Approximate vs the
+    // exact answer (recall@5 gated >= 0.9 in RhpSigSpec, measured 0.984) —
+    // but DETERMINISTIC given the planes, so the oracle replicates the
+    // bucket assignment + re-rank bit-for-bit (the q42 pattern): plane sign
+    // literals interpolated into the SQL, candidates = within-bucket only,
+    // exact cosine re-rank with the same (sim DESC, nid) tie-break.
+    QueryDef(
+      "q30_ann_topk",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.annTopK(emb, emb.where(col("vec_id") < 50), "embedding", "vec_id", 5,
+            tables = AnnTables, bitsPerTable = AnnBits)
+          .orderBy(col("qid"), col("sim").desc, col("nid"))
+      },
+      Some(s"""WITH planes(p, s) AS (SELECT * FROM (VALUES ${planesValuesSql(AnnTables * AnnBits)}) v(p, s)),
+              |sig AS (
+              |  SELECT e.vec_id, pl.p // $AnnBits AS tbl,
+              |    SUM(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE) * pl.s[i]
+              |                            FOR i IN generate_series(1, len(e.embedding))]) > 0
+              |             THEN (1::BIGINT << (pl.p % $AnnBits)) ELSE 0::BIGINT END) AS sig
+              |  FROM embeddings e, planes pl
+              |  GROUP BY e.vec_id, pl.p // $AnnBits),
+              |n AS (
+              |  SELECT vec_id, embedding,
+              |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+              |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+              |  FROM embeddings),
+              |cand AS (
+              |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+              |  FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.sig = c.sig
+              |  WHERE q.vec_id < 50 AND q.vec_id != c.vec_id),
+              |sims AS (
+              |  SELECT cand.qid, cand.nid,
+              |    list_sum([CAST(nq.embedding[i] AS DOUBLE)*nc.embedding[i]
+              |              FOR i IN generate_series(1,len(nq.embedding))])/(nq.nrm*nc.nrm) AS sim
+              |  FROM cand
+              |  JOIN n nq ON nq.vec_id = cand.qid
+              |  JOIN n nc ON nc.vec_id = cand.nid)
+              |SELECT qid, nid, sim FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+              |  FROM sims) WHERE rk <= 5
+              |ORDER BY qid, sim DESC, nid""".stripMargin),
+    ),
+
+
+    // Embedding-space dedup, LSH-routed: drop the higher id of every
+    // within-bucket cosine>=0.4 pair, report per-label survivors. No
+    // all-pairs join anywhere in the pipeline.
+    QueryDef(
+      "q41_embedding_dedup",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val pairs = Similarity.cosineNearDupPairsLsh(
+          emb, "embedding", "vec_id", 0.4, LshTables, LshBits)
+        emb.join(pairs.select(col("b_id").as("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("kept_vecs"), min(col("vec_id")).as("first_vec"))
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH $lshCtesSql,
+              |dropped AS (SELECT DISTINCT b_id AS vec_id FROM verified)
+              |SELECT label, COUNT(*) AS kept_vecs, MIN(vec_id) AS first_vec
+              |FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+              |GROUP BY label ORDER BY label""".stripMargin),
+    ),
+
+
+    // Embedding near-dup pairs via RHP-LSH buckets — the scale path: the
+    // exact-verify stage only ever compares within (table, signature)
+    // buckets. The oracle replicates the bucketing bit-for-bit (interpolated
+    // plane literals), so this checks the LSH semantics exactly. Recall vs
+    // the exact pair set: 59/59 at sf0.01, ~0.976 at sf0.1 (RhpSigSpec).
+    QueryDef(
+      "q42_embedding_neardup_lsh",
+      (s, dir) => Similarity.cosineNearDupPairsLsh(
+          tbl(s, dir, "embeddings"), "embedding", "vec_id", 0.4, LshTables, LshBits)
+        .orderBy(col("a_id"), col("b_id")),
+      Some(s"""WITH $lshCtesSql
+              |SELECT a_id, b_id, cos_sim FROM verified
+              |ORDER BY a_id, b_id""".stripMargin),
+    ),
+
+
+    // IVF-flat ANN: map-side centroid assignment (broadcast), nprobe=2
+    // probing, exact re-rank inside inverted lists. Deterministic given the
+    // centroid set (the 16 lowest-id vectors), so fully oracle-backed —
+    // the oracle recomputes centroids from the data and replicates the
+    // assignment tie-break exactly.
+    QueryDef(
+      "q43_ivf_topk",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), "embedding", "vec_id",
+            k = 3, numCentroids = 16, nprobe = 2)
+          .orderBy(col("qid"), col("sim").desc, col("nid"))
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id, embedding,
+             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+             |  FROM embeddings),
+             |cents AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+             |corpus_assign AS (
+             |  SELECT nid, cid FROM (
+             |    SELECT x.vec_id AS nid, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+             |        (list_sum([CAST(x.embedding[i] AS DOUBLE)*c.cv[i]
+             |                   FOR i IN generate_series(1,len(x.embedding))])/(x.nrm*c.cnrm)) DESC,
+             |        c.cid) AS crk
+             |    FROM n x CROSS JOIN cents c) WHERE crk = 1),
+             |probes AS (
+             |  SELECT qid, cid FROM (
+             |    SELECT q.vec_id AS qid, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             |        (list_sum([CAST(q.embedding[i] AS DOUBLE)*c.cv[i]
+             |                   FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*c.cnrm)) DESC,
+             |        c.cid) AS crk
+             |    FROM n q CROSS JOIN cents c WHERE q.vec_id < 10) WHERE crk <= 2),
+             |cand AS (
+             |  SELECT DISTINCT p.qid, a.nid
+             |  FROM probes p JOIN corpus_assign a ON a.cid = p.cid WHERE p.qid != a.nid),
+             |sims AS (
+             |  SELECT c.qid, c.nid,
+             |    list_sum([CAST(q.embedding[i] AS DOUBLE)*x.embedding[i]
+             |              FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*x.nrm) AS sim
+             |  FROM cand c JOIN n q ON q.vec_id = c.qid JOIN n x ON x.vec_id = c.nid)
+             |SELECT qid, nid, sim FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+             |  FROM sims) WHERE rk <= 3
+             |ORDER BY qid, sim DESC, nid""".stripMargin),
+    ),
+
+
+    // Symmetric int8 embedding quantization audit (range / checksum /
+    // reconstruction error). Map-only; both engines do the identical
+    // double arithmetic.
+    QueryDef(
+      "q52_quantize",
+      (s, dir) => Quantization.quantizationStats(tbl(s, dir, "embeddings"),
+          "embedding", "vec_id")
+        .orderBy(col("vec_id")),
+      Some("""WITH e AS (
+             |  SELECT vec_id, embedding,
+             |    list_max([abs(x) FOR x IN embedding]) AS mx
+             |  FROM embeddings),
+             |s AS (SELECT vec_id, embedding,
+             |        CASE WHEN mx > 0 THEN 127.0 / CAST(mx AS DOUBLE) ELSE 0.0 END AS scale
+             |      FROM e),
+             |q AS (SELECT vec_id, scale, embedding,
+             |        [CAST(round(CAST(x AS DOUBLE) * scale) AS INTEGER) FOR x IN embedding] AS qv
+             |      FROM s)
+             |SELECT vec_id,
+             |  list_min(qv) AS q_min, list_max(qv) AS q_max,
+             |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+             |  round(list_max([CASE WHEN scale > 0
+             |                    THEN abs(CAST(qv[i] AS DOUBLE)/scale - CAST(embedding[i] AS DOUBLE))
+             |                    ELSE 0.0 END
+             |                  FOR i IN generate_series(1, len(qv))]), 9) AS max_err
+             |FROM q ORDER BY vec_id""".stripMargin),
+    ),
+
+
+    // Embedding outlier signal: cosine to the corpus centroid (decimal-
+    // accumulated per-dim means — partitioning-independent), flagged at a
+    // fixed threshold. Map-only scan against a literal centroid.
+    QueryDef(
+      "q58_embedding_outliers",
+      (s, dir) => Similarity.centroidCosine(tbl(s, dir, "embeddings"), "embedding", "vec_id")
+        .withColumn("is_outlier", col("cos_centroid") < 0.0)
+        .orderBy(col("vec_id")),
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             |px AS (SELECT vec_id, embedding,
+             |         unnest(generate_series(1, len(embedding))) AS i FROM e),
+             |m AS (SELECT i,
+             |        CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1099511627776) AS BIGINT)) AS DOUBLE)
+             |               / COUNT(*) / 1099511627776 AS mu
+             |      FROM px GROUP BY i),
+             |mv AS (SELECT list(mu ORDER BY i) AS m FROM m),
+             |mn AS (SELECT sqrt(list_sum([x*x FOR x IN m])) AS mnorm FROM mv)
+             |SELECT vec_id,
+             |  list_sum([CAST(embedding[i] AS DOUBLE)*m[i]
+             |            FOR i IN generate_series(1, len(embedding))])
+             |  / (sqrt(list_sum([CAST(x AS DOUBLE)*x FOR x IN embedding])) * mnorm)
+             |    AS cos_centroid,
+             |  (list_sum([CAST(embedding[i] AS DOUBLE)*m[i]
+             |             FOR i IN generate_series(1, len(embedding))])
+             |   / (sqrt(list_sum([CAST(x AS DOUBLE)*x FOR x IN embedding])) * mnorm)) < 0.0
+             |    AS is_outlier
+             |FROM e, mv, mn ORDER BY vec_id""".stripMargin),
+    ),
+
+
+    // Matryoshka-truncated retrieval: exact top-5 over the first 16 of 64
+    // embedding dims — the MRL cheap first stage (map-only truncation, then
+    // the q28 shape at a quarter of the dot-product cost).
+    QueryDef(
+      "q68_matryoshka_topk",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.truncatedTopK(emb, emb.where(col("vec_id") < 10),
+            "embedding", "vec_id", dims = 16, k = 5)
+          .orderBy(col("qid"), col("sim").desc, col("nid"))
+      },
+      Some("""WITH t AS (SELECT vec_id, embedding[1:16] AS embedding FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, embedding,
+             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+             |  FROM t),
+             |sims AS (
+             |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+             |    list_sum([CAST(q.embedding[i] AS DOUBLE)*c.embedding[i]
+             |              FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*c.nrm) AS sim
+             |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id != c.vec_id)
+             |SELECT qid, nid, sim FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+             |  FROM sims) WHERE rk <= 5
+             |ORDER BY qid, sim DESC, nid""".stripMargin),
+    ),
+
+
+    // kNN label-noise audit: every vector's own label vs the majority label
+    // of its 5 IVF-candidate nearest neighbors (corpus-scale self-kNN — the
+    // inverted-list join, probes NOT broadcast). All tie-breaks pinned
+    // (assignment -> lowest cid, top-k -> lowest nid, vote -> lowest
+    // label), so the oracle replicates every decision.
+    QueryDef(
+      "q108_knn_label_audit",
+      (s, dir) => Similarity.knnLabelAudit(
+          tbl(s, dir, "embeddings"), "embedding", "vec_id", "label",
+          k = 5, numCentroids = 16, nprobe = 2)
+        .orderBy(col("vec_id")),
+      Some("""WITH n AS (
+             |  SELECT vec_id, label, embedding,
+             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+             |  FROM embeddings),
+             |cents AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+             |corpus_assign AS (
+             |  SELECT nid, cid FROM (
+             |    SELECT x.vec_id AS nid, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+             |        (list_sum([CAST(x.embedding[i] AS DOUBLE)*c.cv[i]
+             |                   FOR i IN generate_series(1,len(x.embedding))])/(x.nrm*c.cnrm)) DESC,
+             |        c.cid) AS crk
+             |    FROM n x CROSS JOIN cents c) WHERE crk = 1),
+             |probes AS (
+             |  SELECT qid, cid FROM (
+             |    SELECT q.vec_id AS qid, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             |        (list_sum([CAST(q.embedding[i] AS DOUBLE)*c.cv[i]
+             |                   FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*c.cnrm)) DESC,
+             |        c.cid) AS crk
+             |    FROM n q CROSS JOIN cents c) WHERE crk <= 2),
+             |cand AS (
+             |  SELECT DISTINCT p.qid, a.nid
+             |  FROM probes p JOIN corpus_assign a ON a.cid = p.cid WHERE p.qid != a.nid),
+             |sims AS (
+             |  SELECT c.qid, c.nid,
+             |    list_sum([CAST(q.embedding[i] AS DOUBLE)*x.embedding[i]
+             |              FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*x.nrm) AS sim
+             |  FROM cand c JOIN n q ON q.vec_id = c.qid JOIN n x ON x.vec_id = c.nid),
+             |top AS (
+             |  SELECT qid, nid FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+             |    FROM sims) WHERE rk <= 5),
+             |vote AS (
+             |  SELECT t.qid, eq.label AS label, en.label AS nlab, COUNT(*) AS c
+             |  FROM top t
+             |  JOIN embeddings eq ON eq.vec_id = t.qid
+             |  JOIN embeddings en ON en.vec_id = t.nid
+             |  GROUP BY 1, 2, 3)
+             |SELECT vec_id, label, knn_label, votes, label = knn_label AS agree
+             |FROM (
+             |  SELECT qid AS vec_id, label, nlab AS knn_label,
+             |    CAST(c AS BIGINT) AS votes,
+             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nlab) AS rk
+             |  FROM vote) WHERE rk = 1
+             |ORDER BY vec_id""".stripMargin),
+    ),
+
+
+    // SEMANTIC eval-set decontamination: corpus vectors cosine-close to any
+    // benchmark vector (vec_id % 17 == 0 plays the eval set), via the
+    // asymmetric RHP-bucket probe — eval signatures broadcast, cost =
+    // corpus x collision rate. The embedding sibling of q125's n-gram
+    // probe (paraphrased leakage shares no n-grams). Oracle replicates the
+    // bucketed semantics exactly (interpolated plane literals).
+    QueryDef(
+      "q135_semantic_decontamination",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.semanticContamination(
+            emb.where(col("vec_id") % 17 =!= 0),
+            emb.where(col("vec_id") % 17 === 0),
+            "embedding", "vec_id", 0.4, LshTables, LshBits)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH $sigCtesSql,
+              |cand AS (
+              |  SELECT DISTINCT c.vec_id AS a_id, e.vec_id AS b_id
+              |  FROM sig c JOIN sig e ON c.tbl = e.tbl AND c.sig = e.sig
+              |  WHERE c.vec_id % 17 != 0 AND e.vec_id % 17 = 0),
+              |n AS (
+              |  SELECT vec_id, embedding,
+              |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+              |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+              |  FROM embeddings),
+              |sims AS (
+              |  SELECT c.a_id, c.b_id,
+              |    list_sum([CAST(na.embedding[i] AS DOUBLE)*nb.embedding[i]
+              |              FOR i IN generate_series(1,len(na.embedding))])/(na.nrm*nb.nrm) AS cos_sim
+              |  FROM cand c JOIN n na ON na.vec_id = c.a_id JOIN n nb ON nb.vec_id = c.b_id),
+              |agg AS (
+              |  SELECT a_id, CAST(COUNT(*) AS BIGINT) AS n_cand,
+              |    CAST(SUM(CASE WHEN cos_sim >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+              |    MAX(cos_sim) AS max_cos
+              |  FROM sims GROUP BY a_id),
+              |best AS (
+              |  SELECT a_id, b_id AS best_eval FROM (
+              |    SELECT a_id, b_id,
+              |      row_number() OVER (PARTITION BY a_id ORDER BY cos_sim DESC, b_id) AS rk
+              |    FROM sims) WHERE rk = 1)
+              |SELECT v.vec_id, COALESCE(a.n_cand, 0) AS n_cand,
+              |  COALESCE(a.n_match, 0) AS n_match, a.max_cos, b.best_eval,
+              |  COALESCE(a.n_match, 0) > 0 AS contaminated
+              |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 17 != 0) v
+              |LEFT JOIN agg a ON v.vec_id = a.a_id
+              |LEFT JOIN best b ON v.vec_id = b.a_id
+              |ORDER BY v.vec_id""".stripMargin),
+    ),
+
+
+    // DBSCAN-style density clustering on embeddings: core (>= 3 neighbors
+    // at cos >= 0.35 within RHP buckets) / border (min core-neighbor
+    // root) / noise, components over the CORE subgraph only. The oracle
+    // replicates the bucketed epsilon graph exactly and replays the
+    // components as a recursive CTE (q44 pattern at the embedding layer).
+    QueryDef(
+      "q137_dbscan_clusters",
+      (s, dir) => Similarity.dbscanClusters(tbl(s, dir, "embeddings"),
+          "embedding", "vec_id", eps = 0.35, minPts = 3, LshTables, LshBits)
+        .orderBy(col("vec_id")),
+      Some(s"""WITH RECURSIVE $sigCtesSql,
+              |cand AS (
+              |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+              |  FROM sig a JOIN sig b
+              |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id),
+              |n AS (
+              |  SELECT vec_id, embedding,
+              |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+              |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+              |  FROM embeddings),
+              |verified AS (
+              |  SELECT a_id, b_id FROM (
+              |    SELECT c.a_id, c.b_id,
+              |      list_sum([CAST(na.embedding[i] AS DOUBLE)*nb.embedding[i]
+              |                FOR i IN generate_series(1,len(na.embedding))])/(na.nrm*nb.nrm) AS cos_sim
+              |    FROM cand c
+              |    JOIN n na ON na.vec_id = c.a_id
+              |    JOIN n nb ON nb.vec_id = c.b_id)
+              |  WHERE cos_sim >= 0.35),
+              |sym AS (SELECT a_id AS src, b_id AS dst FROM verified
+              |        UNION SELECT b_id, a_id FROM verified),
+              |core AS (SELECT src AS id FROM sym GROUP BY src HAVING COUNT(*) >= 3),
+              |ce AS (SELECT src, dst FROM sym
+              |       WHERE src IN (SELECT id FROM core) AND dst IN (SELECT id FROM core)),
+              |r(id, m) AS (
+              |  SELECT src, src FROM ce
+              |  UNION
+              |  SELECT r.id, e.dst FROM r JOIN ce e ON e.src = r.m),
+              |ccl AS (SELECT id, MIN(m) AS root FROM r GROUP BY id),
+              |coreroot AS (
+              |  SELECT c.id, COALESCE(l.root, c.id) AS root
+              |  FROM core c LEFT JOIN ccl l ON c.id = l.id),
+              |borderroot AS (
+              |  SELECT s.src AS id, MIN(cr.root) AS root
+              |  FROM sym s JOIN coreroot cr ON s.dst = cr.id
+              |  WHERE s.src NOT IN (SELECT id FROM core) GROUP BY s.src)
+              |SELECT e.vec_id,
+              |  CASE WHEN cr.id IS NOT NULL THEN 'core'
+              |       WHEN br.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+              |  COALESCE(cr.root, br.root) AS root
+              |FROM embeddings e
+              |LEFT JOIN coreroot cr ON e.vec_id = cr.id
+              |LEFT JOIN borderroot br ON e.vec_id = br.id
+              |ORDER BY e.vec_id""".stripMargin),
+    ),
+
+
+    // Dominant principal direction of the embedding corpus via INTEGER
+    // power iteration on the quantized Gram matrix (6 fixed steps, shift
+    // renormalization) + per-vector projections — drift-axis monitoring,
+    // bit-exact cross-engine. The oracle replays the identical recurrence
+    // as 6 chained CTE triples over the same BIGINT Gram cells.
+    QueryDef(
+      "q138_top_pc",
+      (s, dir) => Similarity.topPcProjections(tbl(s, dir, "embeddings"),
+          "embedding", "vec_id", dims = 64, iters = 6)
+        .orderBy(col("vec_id")),
+      Some({
+        val iterCtes = (1 to 6).map { t =>
+          s"""w$t AS (
+             |  SELECT c.i, CAST(SUM(c.c * v.v) AS BIGINT) AS w
+             |  FROM cells c JOIN v${t - 1} v ON c.j = v.i GROUP BY c.i),
+             |k$t AS (SELECT GREATEST(length(bin(MAX(abs(w)))) - 20, 0) AS s FROM w$t),
+             |v$t AS (SELECT i, w >> (SELECT s FROM k$t) AS v FROM w$t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH qv AS (
+           |  SELECT vec_id,
+           |    [CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024.0) AS BIGINT)
+           |     FOR i IN generate_series(1, len(embedding))] AS q
+           |  FROM embeddings),
+           |cells AS (
+           |  SELECT t1.i, t2.j, CAST(SUM(q[t1.i] * q[t2.j]) AS BIGINT) AS c
+           |  FROM qv, unnest(generate_series(1,64)) t1(i), unnest(generate_series(1,64)) t2(j)
+           |  GROUP BY t1.i, t2.j),
+           |v0 AS (SELECT i, 1024::BIGINT AS v FROM unnest(generate_series(1,64)) t(i)),
+           |""".stripMargin + iterCtes + """,
+           |vlist AS (SELECT list(v ORDER BY i) AS vv FROM v6)
+           |SELECT vec_id,
+           |  CAST(list_sum([q[i] * vv[i] FOR i IN generate_series(1,64)]) AS BIGINT) AS proj
+           |FROM qv, vlist ORDER BY vec_id""".stripMargin
+      }),
+    ),
+
+
+    // MMR diversified retrieval: per query, greedy k=4 selection from the
+    // brute top-8 pool maximizing lam*rel - (1-lam)*max-sim-to-selected —
+    // redundancy-aware serving over a near-dup-heavy corpus. The oracle
+    // replays the greedy rounds as chained CTEs with the IDENTICAL double
+    // literals (including the IEEE value of 1-0.7) and tie order.
+    QueryDef(
+      "q145_mmr_topk",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.mmrTopK(emb, emb.where(col("vec_id") < 10),
+            "embedding", "vec_id", m = 8, k = 4, lam = 0.7)
+          .orderBy(col("qid"), col("step"))
+      },
+      Some({
+        val lam = 0.7
+        val simExpr = (av: String, bv: String, an: String, bn: String) =>
+          s"""list_sum([CAST($av[i] AS DOUBLE)*$bv[i]
+             |              FOR i IN generate_series(1,len($av))])/($an*$bn)""".stripMargin
+        val steps = (2 to 4).map { st =>
+          s"""pick$st AS (
+             |  SELECT qid, nid, CAST($st AS BIGINT) AS step, rel FROM (
+             |    SELECT c.qid, c.nid, c.rel,
+             |      ROW_NUMBER() OVER (PARTITION BY c.qid
+             |        ORDER BY ($lam*c.rel - ${1 - lam}*ms.msim) DESC, c.nid) AS rk
+             |    FROM cand c
+             |    JOIN (SELECT p.qid, p.a_id, MAX(p.csim) AS msim
+             |          FROM psim p JOIN sel${st - 1} s ON p.qid = s.qid AND p.b_id = s.nid
+             |          GROUP BY p.qid, p.a_id) ms
+             |      ON ms.qid = c.qid AND ms.a_id = c.nid
+             |    WHERE NOT EXISTS (SELECT 1 FROM sel${st - 1} s
+             |                      WHERE s.qid = c.qid AND s.nid = c.nid))
+             |  WHERE rk = 1),
+             |sel$st AS (SELECT * FROM sel${st - 1} UNION ALL SELECT * FROM pick$st)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH n AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+           |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS qid, embedding AS vq, nrm AS nq FROM n WHERE vec_id < 10),
+           |cand AS (
+           |  SELECT qid, nid, rel FROM (
+           |    SELECT q.qid, c.vec_id AS nid,
+           |      ${simExpr("q.vq", "c.embedding", "q.nq", "c.nrm")} AS rel,
+           |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+           |        (${simExpr("q.vq", "c.embedding", "q.nq", "c.nrm")}) DESC,
+           |        c.vec_id) AS rk
+           |    FROM q CROSS JOIN n c WHERE c.vec_id <> q.qid)
+           |  WHERE rk <= 8),
+           |cv AS (SELECT cand.qid, cand.nid, cand.rel, n.embedding AS v, n.nrm
+           |       FROM cand JOIN n ON n.vec_id = cand.nid),
+           |psim AS (
+           |  SELECT a.qid, a.nid AS a_id, b.nid AS b_id,
+           |    ${simExpr("a.v", "b.v", "a.nrm", "b.nrm")} AS csim
+           |  FROM cv a JOIN cv b ON a.qid = b.qid AND a.nid <> b.nid),
+           |sel1 AS (
+           |  SELECT qid, nid, CAST(1 AS BIGINT) AS step, rel FROM (
+           |    SELECT qid, nid, rel,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rk
+           |    FROM cand) WHERE rk = 1),
+           |""".stripMargin + steps + """
+           |SELECT qid, nid, step, rel FROM sel4 ORDER BY qid, step""".stripMargin
+      }),
+    ),
+
+
+    // Multi-probe RHP-LSH top-k: 4 tables x 4 bits, each query probing its
+    // own bucket + 3 lowest-|margin| single-bit flips — annTopK recall
+    // with an 8x smaller corpus-side index (probing is query-side work).
+    // The oracle replays plane margins, probe schedule, and buckets
+    // bit-for-bit from the same interpolated +-1 literals.
+    QueryDef(
+      "q146_multiprobe_topk",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.multiProbeTopK(emb, emb.where(col("vec_id") < 10),
+            "embedding", "vec_id", k = 3, tables = 4, bits = 4, nprobe = 4)
+          .orderBy(col("qid"), col("sim").desc, col("nid"))
+      },
+      Some(s"""WITH planes(p, s) AS (SELECT * FROM (VALUES ${planesValuesSql(16)}) v(p, s)),
+              |n AS (
+              |  SELECT vec_id, embedding,
+              |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+              |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+              |  FROM embeddings),
+              |csig AS (
+              |  SELECT e.vec_id AS nid, pl.p // 4 AS tbl,
+              |    CAST(SUM(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE) * pl.s[i]
+              |                                 FOR i IN generate_series(1, len(e.embedding))]) > 0
+              |             THEN 1 << (pl.p % 4) ELSE 0 END) AS BIGINT) AS sig
+              |  FROM embeddings e CROSS JOIN planes pl
+              |  GROUP BY e.vec_id, pl.p // 4),
+              |q AS (SELECT vec_id AS qid, embedding AS vq, nrm AS nq FROM n WHERE vec_id < 10),
+              |qm AS (
+              |  SELECT q.qid, pl.p,
+              |    list_sum([CAST(q.vq[i] AS DOUBLE) * pl.s[i]
+              |              FOR i IN generate_series(1, len(q.vq))]) AS m
+              |  FROM q CROSS JOIN planes pl),
+              |qsig AS (
+              |  SELECT qid, p // 4 AS tbl,
+              |    CAST(SUM(CASE WHEN m > 0 THEN 1 << (p % 4) ELSE 0 END) AS BIGINT) AS sig
+              |  FROM qm GROUP BY qid, p // 4),
+              |qrank AS (
+              |  SELECT qid, p // 4 AS tbl, p % 4 AS j,
+              |    ROW_NUMBER() OVER (PARTITION BY qid, p // 4 ORDER BY abs(m), p % 4) AS rk
+              |  FROM qm),
+              |qprobe AS (
+              |  SELECT qid, tbl, sig FROM qsig
+              |  UNION ALL
+              |  SELECT r.qid, r.tbl, xor(s.sig, CAST(1 << r.j AS BIGINT)) AS sig
+              |  FROM qrank r JOIN qsig s ON r.qid = s.qid AND r.tbl = s.tbl
+              |  WHERE r.rk <= 3),
+              |cand AS (
+              |  SELECT DISTINCT p.qid, c.nid
+              |  FROM qprobe p JOIN csig c ON p.tbl = c.tbl AND p.sig = c.sig
+              |  WHERE c.nid <> p.qid),
+              |sims AS (
+              |  SELECT cand.qid, cand.nid,
+              |    list_sum([CAST(q.vq[i] AS DOUBLE) * e.embedding[i]
+              |              FOR i IN generate_series(1, len(q.vq))])/(q.nq * e.nrm) AS sim
+              |  FROM cand JOIN q ON q.qid = cand.qid JOIN n e ON e.vec_id = cand.nid),
+              |topk AS (
+              |  SELECT qid, nid, sim,
+              |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+              |  FROM sims)
+              |SELECT qid, nid, sim FROM topk WHERE rk <= 3
+              |ORDER BY qid, sim DESC, nid""".stripMargin),
+    ),
+
+
+    // ANN retrieval-quality audit: recall@10 + reciprocal rank of the
+    // true nearest neighbor for the q146 multi-probe config, measured
+    // against exact brute-force ground truth on the query sample — the
+    // rollout gate for approximate indexes. All rankings tie-break on
+    // (sim desc, nid); metrics integer ppm. Oracle replays both rankings.
+    QueryDef(
+      "q155_ann_quality",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        Similarity.annQualityAudit(emb, emb.where(col("vec_id") < 10),
+            "embedding", "vec_id", k = 10, tables = 4, bits = 4, nprobe = 4)
+          .orderBy(col("qid"))
+      },
+      Some(s"""WITH planes(p, s) AS (SELECT * FROM (VALUES ${planesValuesSql(16)}) v(p, s)),
+              |n AS (
+              |  SELECT vec_id, embedding,
+              |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+              |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+              |  FROM embeddings),
+              |csig AS (
+              |  SELECT e.vec_id AS nid, pl.p // 4 AS tbl,
+              |    CAST(SUM(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE) * pl.s[i]
+              |                                 FOR i IN generate_series(1, len(e.embedding))]) > 0
+              |             THEN 1 << (pl.p % 4) ELSE 0 END) AS BIGINT) AS sig
+              |  FROM embeddings e CROSS JOIN planes pl
+              |  GROUP BY e.vec_id, pl.p // 4),
+              |q AS (SELECT vec_id AS qid, embedding AS vq, nrm AS nq FROM n WHERE vec_id < 10),
+              |qm AS (
+              |  SELECT q.qid, pl.p,
+              |    list_sum([CAST(q.vq[i] AS DOUBLE) * pl.s[i]
+              |              FOR i IN generate_series(1, len(q.vq))]) AS m
+              |  FROM q CROSS JOIN planes pl),
+              |qsig AS (
+              |  SELECT qid, p // 4 AS tbl,
+              |    CAST(SUM(CASE WHEN m > 0 THEN 1 << (p % 4) ELSE 0 END) AS BIGINT) AS sig
+              |  FROM qm GROUP BY qid, p // 4),
+              |qrank AS (
+              |  SELECT qid, p // 4 AS tbl, p % 4 AS j,
+              |    ROW_NUMBER() OVER (PARTITION BY qid, p // 4 ORDER BY abs(m), p % 4) AS rk
+              |  FROM qm),
+              |qprobe AS (
+              |  SELECT qid, tbl, sig FROM qsig
+              |  UNION ALL
+              |  SELECT r.qid, r.tbl, xor(s.sig, CAST(1 << r.j AS BIGINT)) AS sig
+              |  FROM qrank r JOIN qsig s ON r.qid = s.qid AND r.tbl = s.tbl
+              |  WHERE r.rk <= 3),
+              |cand AS (
+              |  SELECT DISTINCT p.qid, c.nid
+              |  FROM qprobe p JOIN csig c ON p.tbl = c.tbl AND p.sig = c.sig
+              |  WHERE c.nid <> p.qid),
+              |sims AS (
+              |  SELECT cand.qid, cand.nid,
+              |    list_sum([CAST(q.vq[i] AS DOUBLE) * e.embedding[i]
+              |              FOR i IN generate_series(1, len(q.vq))])/(q.nq * e.nrm) AS sim
+              |  FROM cand JOIN q ON q.qid = cand.qid JOIN n e ON e.vec_id = cand.nid),
+              |annr AS (
+              |  SELECT qid, nid, ark FROM (
+              |    SELECT qid, nid,
+              |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS ark
+              |    FROM sims)
+              |  WHERE ark <= 10),
+              |brute AS (
+              |  SELECT qid, nid, rk FROM (
+              |    SELECT q.qid, c.vec_id AS nid,
+              |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+              |        (list_sum([CAST(q.vq[i] AS DOUBLE)*c.embedding[i]
+              |                   FOR i IN generate_series(1,len(q.vq))])/(q.nq*c.nrm)) DESC,
+              |        c.vec_id) AS rk
+              |    FROM q CROSS JOIN n c WHERE c.vec_id <> q.qid)
+              |  WHERE rk <= 10),
+              |j AS (
+              |  SELECT b.qid, b.rk, a.ark
+              |  FROM brute b LEFT JOIN annr a ON a.qid = b.qid AND a.nid = b.nid)
+              |SELECT qid, COUNT(*) AS n_true,
+              |  CAST(SUM(CASE WHEN ark IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+              |  CAST(MAX(CASE WHEN rk = 1 THEN COALESCE(ark, 0) END) AS BIGINT) AS true1_rank,
+              |  (CAST(SUM(CASE WHEN ark IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+              |    // COUNT(*) AS recall_ppm,
+              |  CASE WHEN MAX(CASE WHEN rk = 1 THEN COALESCE(ark, 0) END) > 0
+              |    THEN 1000000 // MAX(CASE WHEN rk = 1 THEN COALESCE(ark, 0) END)
+              |    ELSE 0 END AS rr_ppm
+              |FROM j GROUP BY qid ORDER BY qid""".stripMargin),
+    ),
+
+
+    // Mutual nearest-neighbor pairs: (a, b) where each is the other's
+    // exact cosine top-1 — the high-precision pairing used for alignment
+    // / translation mining (reciprocal best match kills asymmetric hub
+    // matches that plain top-1 keeps). candidates = "brute" is the
+    // reference semantics the oracle replicates; the ivf/multiprobe scale
+    // paths are the SAME executed operator (Similarity.mutualKnn via the
+    // topKCandidates seam), pinned equal to brute at the gate sfs and
+    // recall-gated at sf0.1 by AnnSeamSpec.
+    QueryDef(
+      "q192_mutual_knn",
+      (s, dir) => Similarity.mutualKnn(tbl(s, dir, "embeddings"),
+          "embedding", "vec_id", candidates = "brute")
+        .orderBy(col("a_id")),
+      Some("""WITH n AS (
+             |  SELECT vec_id, embedding,
+             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+             |  FROM embeddings),
+             |t1 AS (
+             |  SELECT qid, nid, sim FROM (
+             |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+             |      list_sum([CAST(q.embedding[i] AS DOUBLE)*c.embedding[i]
+             |                FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*c.nrm) AS sim,
+             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             |        list_sum([CAST(q.embedding[i] AS DOUBLE)*c.embedding[i]
+             |                  FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*c.nrm) DESC,
+             |        c.vec_id) AS rk
+             |    FROM n q JOIN n c ON q.vec_id != c.vec_id)
+             |  WHERE rk = 1)
+             |SELECT x.qid AS a_id, x.nid AS b_id, x.sim AS cos_sim
+             |FROM t1 x JOIN t1 y ON x.qid = y.nid AND x.nid = y.qid AND x.qid < x.nid
+             |ORDER BY a_id""".stripMargin),
+    ),
+
+
+    // Dup-cluster cohesion audit: for each near-dup connected component,
+    // how many of its possible member pairs actually cleared the Jaccard
+    // threshold (edge coverage), and how weak the weakest edge is. Low
+    // coverage / low min flags CHAIN-shaped clusters built by transitive
+    // merges — the known failure mode of CC over pairwise near-dup (the
+    // q139 lcc audit's set-similarity counterpart). Reuses the
+    // oracle-proven q26 pairs + q44 components; per-cluster rollups only.
+    QueryDef(
+      "q195_cluster_cohesion",
+      (s, dir) => {
+        val pairs = PinnedCache.pin(
+          Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5))
+        val cc = Dedup.connectedComponents(pairs)
+        val sizes = cc.groupBy(col("root")).agg(count(lit(1)).as("size"))
+        val edges = pairs
+          .join(cc.select(col("id").as("a_id"), col("root")), "a_id")
+          .groupBy(col("root"))
+          .agg(count(lit(1)).as("n_edges"),
+            floor(min(col("jaccard")) * 1000000).cast("long").as("min_j_ppm"))
+        sizes.join(edges, "root")
+          .select(col("root").as("root_id"), col("size"), col("n_edges"),
+            expr("size * (size - 1) div 2").as("n_possible"),
+            expr("(n_edges * 1000000) div (size * (size - 1) div 2)")
+              .as("coverage_ppm"),
+            col("min_j_ppm"))
+          .orderBy(col("root_id"))
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
+             |  WHERE len(tokens) >= 3),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    ROUND(CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |          /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 6) AS j
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+             |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+             |          UNION SELECT b_id, a_id FROM pairs),
+             |r(id, m) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.m),
+             |labels AS (SELECT id, MIN(m) AS root FROM r GROUP BY id),
+             |sizes AS (SELECT root, COUNT(*) AS size FROM labels GROUP BY root),
+             |ed AS (
+             |  SELECT l.root, COUNT(*) AS n_edges,
+             |    CAST(floor(MIN(p.j) * 1000000) AS BIGINT) AS min_j_ppm
+             |  FROM pairs p JOIN labels l ON l.id = p.a_id GROUP BY l.root)
+             |SELECT root AS root_id, CAST(size AS BIGINT) AS size,
+             |  n_edges, size * (size - 1) // 2 AS n_possible,
+             |  (n_edges * 1000000) // (size * (size - 1) // 2) AS coverage_ppm,
+             |  min_j_ppm
+             |FROM sizes JOIN ed USING (root) ORDER BY root_id""".stripMargin),
+    ),
+
+
+    // Inter-label centroid distance matrix over int8-QUANTIZED embeddings:
+    // label-pair separation audit on exact integers (quantized sums are
+    // order-independent, unlike float centroids — the trick that makes a
+    // centroid geometry oracle-checkable at all). dist_num =
+    // Σ_d (s_a·c_b − s_b·c_a)² = (c_a·c_b)²·L2²(mean_a, mean_b); the
+    // normalized double is one division at the end. Cross-multiplied
+    // products stay < 2^63 while 127·n_a·n_b < ~3·10⁹ (n per label
+    // ≲ 150k; beyond, decimal(38) — the q110 convention). Model-state
+    // shape: d-per-label sums, labels² pairs — dimension-bounded.
+    QueryDef(
+      "q196_centroid_matrix",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val q = emb.select(col("label").cast("long").as("label"),
+          Quantization.quantizeInt8(col("embedding"),
+            Quantization.int8Scale(col("embedding"))).as("q"))
+        val ex = q.select(col("label"), posexplode(col("q")))
+        val sums = PinnedCache.pin(ex.groupBy(col("label"), col("pos"))
+          .agg(sum(col("col")).as("s")))
+        val cnt = PinnedCache.pin(
+          q.groupBy(col("label")).agg(count(lit(1)).as("c")))
+        sums.as("a")
+          .join(sums.as("b"),
+            col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+          .join(broadcast(cnt.select(col("label").as("la"), col("c").as("ca"))),
+            col("a.label") === col("la"))
+          .join(broadcast(cnt.select(col("label").as("lb"), col("c").as("cb"))),
+            col("b.label") === col("lb"))
+          .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+            col("ca"), col("cb"),
+            (col("a.s") * col("cb") - col("b.s") * col("ca")).as("t"))
+          .groupBy(col("label_a"), col("label_b"), col("ca"), col("cb"))
+          .agg(sum(col("t") * col("t")).as("dist_num"))
+          .select(col("label_a"), col("label_b"), col("ca").as("n_a"),
+            col("cb").as("n_b"), col("dist_num"),
+            (col("dist_num").cast("double") /
+              ((col("ca") * col("cb")) * (col("ca") * col("cb"))).cast("double"))
+              .as("l2_sq"))
+          .orderBy(col("label_a"), col("label_b"))
+      },
+      Some("""WITH e AS (
+             |  SELECT label, embedding,
+             |    list_max([abs(x) FOR x IN embedding]) AS mx
+             |  FROM embeddings),
+             |sc AS (SELECT label, embedding,
+             |         CASE WHEN mx > 0 THEN 127.0 / CAST(mx AS DOUBLE) ELSE 0.0 END AS scale
+             |       FROM e),
+             |q AS (SELECT label, [CAST(round(CAST(x AS DOUBLE) * scale) AS INTEGER)
+             |                     FOR x IN embedding] AS qv
+             |      FROM sc),
+             |ex AS (SELECT label, i - 1 AS pos, qv[i] AS v
+             |       FROM q, unnest(generate_series(1, len(qv))) u(i)),
+             |sums AS (SELECT label, pos, CAST(SUM(v) AS BIGINT) AS s
+             |         FROM ex GROUP BY 1, 2),
+             |cnt AS (SELECT label, COUNT(*) AS c FROM q GROUP BY 1),
+             |t AS (
+             |  SELECT a.label AS label_a, b.label AS label_b, ca.c AS ca, cb.c AS cb,
+             |    a.s * cb.c - b.s * ca.c AS t
+             |  FROM sums a
+             |  JOIN sums b ON a.pos = b.pos AND a.label < b.label
+             |  JOIN cnt ca ON ca.label = a.label
+             |  JOIN cnt cb ON cb.label = b.label)
+             |SELECT CAST(label_a AS BIGINT) AS label_a,
+             |  CAST(label_b AS BIGINT) AS label_b,
+             |  CAST(ca AS BIGINT) AS n_a, CAST(cb AS BIGINT) AS n_b,
+             |  CAST(SUM(t * t) AS BIGINT) AS dist_num,
+             |  CAST(CAST(SUM(t * t) AS BIGINT) AS DOUBLE)
+             |    / CAST((ca * cb) * (ca * cb) AS DOUBLE) AS l2_sq
+             |FROM t GROUP BY label_a, label_b, ca, cb
+             |ORDER BY label_a, label_b""".stripMargin),
+    ),
+
+
+    // Within-label dispersion on int8-quantized embeddings — q196's
+    // complement (between-centroid distances there, within-cluster spread
+    // here; the two together are the integer Calinski-Harabasz
+    // separation story). Σ_i Σ_d (v·c − s)² = c²·SS_within exactly;
+    // within_msq = that / (c³·64) is the per-(vector,dim) mean square,
+    // one double division. Broadcast model state (labels×64 sums).
+    QueryDef(
+      "q201_cluster_spread",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val q = emb.select(col("label").cast("long").as("label"),
+          Quantization.quantizeInt8(col("embedding"),
+            Quantization.int8Scale(col("embedding"))).as("q"))
+        val ex = q.select(col("label"), posexplode(col("q")))
+        val sums = PinnedCache.pin(ex.groupBy(col("label"), col("pos"))
+          .agg(sum(col("col")).as("s")))
+        val cnt = PinnedCache.pin(
+          q.groupBy(col("label")).agg(count(lit(1)).as("c")))
+        ex.join(broadcast(sums), Seq("label", "pos"))
+          .join(broadcast(cnt), Seq("label"))
+          .select(col("label"),
+            ((col("col") * col("c") - col("s")) *
+              (col("col") * col("c") - col("s"))).as("t2"))
+          .groupBy(col("label")).agg(sum(col("t2")).as("within_num"))
+          .join(broadcast(cnt), Seq("label"))
+          .select(col("label"), col("c").as("n"), col("within_num"),
+            (col("within_num").cast("double") /
+              (col("c") * col("c") * col("c") * lit(64L)).cast("double"))
+              .as("within_msq"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH e AS (
+             |  SELECT label, embedding,
+             |    list_max([abs(x) FOR x IN embedding]) AS mx
+             |  FROM embeddings),
+             |sc AS (SELECT label, embedding,
+             |         CASE WHEN mx > 0 THEN 127.0 / CAST(mx AS DOUBLE) ELSE 0.0 END AS scale
+             |       FROM e),
+             |q AS (SELECT label, [CAST(round(CAST(x AS DOUBLE) * scale) AS INTEGER)
+             |                     FOR x IN embedding] AS qv
+             |      FROM sc),
+             |ex AS (SELECT label, i - 1 AS pos, qv[i] AS v
+             |       FROM q, unnest(generate_series(1, len(qv))) u(i)),
+             |sums AS (SELECT label, pos, CAST(SUM(v) AS BIGINT) AS s
+             |         FROM ex GROUP BY 1, 2),
+             |cnt AS (SELECT label, COUNT(*) AS c FROM q GROUP BY 1),
+             |w AS (
+             |  SELECT ex.label,
+             |    CAST(SUM((ex.v * cnt.c - sums.s) * (ex.v * cnt.c - sums.s)) AS BIGINT)
+             |      AS within_num
+             |  FROM ex
+             |  JOIN sums ON sums.label = ex.label AND sums.pos = ex.pos
+             |  JOIN cnt ON cnt.label = ex.label
+             |  GROUP BY ex.label)
+             |SELECT CAST(w.label AS BIGINT) AS label, CAST(cnt.c AS BIGINT) AS n,
+             |  within_num,
+             |  CAST(within_num AS DOUBLE)
+             |    / CAST(cnt.c * cnt.c * cnt.c * 64 AS DOUBLE) AS within_msq
+             |FROM w JOIN cnt ON cnt.label = w.label
+             |ORDER BY label""".stripMargin),
+    ),
+
+
+    // Detector disagreement audit: the SimHash hamming screen (q63's
+    // banded exact pairs, maxDist 3) vs exact 3-shingle Jaccard (q26's
+    // threshold 0.5) on the SAME corpus — pairs found by both, by SimHash
+    // only (its false positives w.r.t. the Jaccard truth), and by Jaccard
+    // only (its misses). The calibration table that justifies using the
+    // cheap bitwise screen as a prefilter. Full-outer join of two
+    // bucket-generated pair lists + a 3-row rollup; the oracle
+    // brute-forces both measures per pair.
+    QueryDef(
+      "q202_detector_audit",
+      (s, dir) => {
+        val d = PinnedCache.pin(tbl(s, dir, "documents"))
+        val sim = Dedup.simhashNearDupPairs(d, "text", "doc_id",
+          bits = 60, bands = 4, maxDist = 3)
+          .select(col("a_id"), col("b_id"), lit(1).as("ham"))
+        val jac = Dedup.jaccardPairs(d, "text", "doc_id", 0.5)
+          .select(col("a_id"), col("b_id"), lit(1).as("jac"))
+        sim.join(jac, Seq("a_id", "b_id"), "full_outer")
+          .select(when(col("ham").isNotNull && col("jac").isNotNull, "both")
+            .when(col("ham").isNotNull, "simhash_only")
+            .otherwise("jaccard_only").as("category"))
+          .groupBy(col("category")).agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("category"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+             |sh AS (
+             |  SELECT doc_id, list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+             |                                FOR i IN generate_series(1, len(t)-2)]) AS s
+             |  FROM tok WHERE len(t) >= 3),
+             |sig AS (
+             |  SELECT doc_id,
+             |    list_sum([CASE WHEN list_sum([CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END
+             |                                  FOR h IN hashes]) > 0
+             |              THEN (1::BIGINT << i) ELSE 0 END
+             |              FOR i IN generate_series(0, 59)])::BIGINT AS sig
+             |  FROM (SELECT doc_id,
+             |          [CAST(('0x' || substring(md5(t),1,15)) AS BIGINT)
+             |           FOR t IN list_distinct(string_split(text,' '))] AS hashes
+             |        FROM documents)),
+             |hp AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+             |jp AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+             |cat AS (
+             |  SELECT CASE WHEN hp.a_id IS NOT NULL AND jp.a_id IS NOT NULL THEN 'both'
+             |              WHEN hp.a_id IS NOT NULL THEN 'simhash_only'
+             |              ELSE 'jaccard_only' END AS category
+             |  FROM hp FULL OUTER JOIN jp
+             |    ON hp.a_id = jp.a_id AND hp.b_id = jp.b_id)
+             |SELECT category, COUNT(*) AS n_pairs
+             |FROM cat GROUP BY category ORDER BY category""".stripMargin),
+    ),
+
+
+    // Embedding hygiene: zero/degenerate vectors and the quarter-bit
+    // spectrum of vector norms on the q58 integer grid (norm² quantized
+    // to round(x·2^20) before binning, so the histogram is a pure
+    // function of the grid ints — no cross-engine float-binning edge).
+    // The pre-index sanity check every vector store needs.
+    QueryDef(
+      "q233_embedding_hygiene",
+      (s, dir) => {
+        val n2 = expr(
+          "aggregate(embedding, cast(0.0 as double), (acc, x) -> acc + cast(x as double) * cast(x as double))")
+        tbl(s, dir, "embeddings")
+          .select(round(n2 * 1048576.0).cast("long").as("q"))
+          .select(when(col("q") === 0, lit(-1L))
+            .otherwise(TextAnalysis.quarterLog2(col("q"))).as("bin"))
+          .groupBy(col("bin")).agg(count(lit(1)).as("n_vectors"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH q AS (
+             |  SELECT CAST(round(list_sum([CAST(x AS DOUBLE)*x FOR x IN embedding])
+             |    * 1048576.0) AS BIGINT) AS q
+             |  FROM embeddings),
+             |b AS (
+             |  SELECT CASE WHEN q = 0 THEN -1
+             |    ELSE CAST(CASE WHEN length(bin(q)) - 1 <= 14
+             |      THEN length(bin(q*q*q*q)) - 1
+             |      ELSE 4 * (length(bin(q)) - 15) +
+             |           length(bin((q >> (length(bin(q)) - 15))
+             |                     *(q >> (length(bin(q)) - 15))
+             |                     *(q >> (length(bin(q)) - 15))
+             |                     *(q >> (length(bin(q)) - 15)))) - 1 END AS BIGINT)
+             |    END AS bin
+             |  FROM q)
+             |SELECT bin, COUNT(*) AS n_vectors FROM b
+             |GROUP BY bin ORDER BY bin""".stripMargin),
+    ),
+
+    // Hard-negative mining (contrastive training): per anchor, the 3
+    // most-similar vectors with a DIFFERENT label — label filter BEFORE
+    // ranking (post-filtering an ANN top-m can under-fill). Brute is the
+    // reference semantics; the scale swap is the topKCandidates seam with
+    // an enlarged m (AnnSeamSpec's recall discipline). Dots are the
+    // house left-to-right fold, ties (sim desc, nid) — bit-replicable.
+    QueryDef(
+      "q256_hard_negatives",
+      (s, dir) => Similarity.hardNegatives(
+          tbl(s, dir, "embeddings").withColumn("label", col("label").cast("long")),
+          "embedding", "vec_id", "label", k = 3)
+        .orderBy(col("qid"), col("rk")),
+      Some("""WITH n AS (
+             |  SELECT vec_id, CAST(label AS BIGINT) AS label, embedding,
+             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+             |  FROM embeddings),
+             |s AS (
+             |  SELECT a.vec_id AS qid, a.label AS label, b.vec_id AS nid,
+             |    b.label AS neg_label,
+             |    list_sum([CAST(a.embedding[i] AS DOUBLE)*b.embedding[i]
+             |              FOR i IN generate_series(1,len(a.embedding))])/(a.nrm*b.nrm) AS sim
+             |  FROM n a JOIN n b
+             |    ON a.vec_id != b.vec_id AND a.label != b.label),
+             |r AS (
+             |  SELECT qid, label, nid, neg_label, sim,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rk
+             |  FROM s)
+             |SELECT qid, label, nid, neg_label, sim, rk
+             |FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin),
+    ),
+  )
+}

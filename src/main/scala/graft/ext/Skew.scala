@@ -47,7 +47,7 @@ object Skew {
     * `salt` copies. Assumes dim is unique per key (the usual dimension
     * contract; duplicates would duplicate like the plain join does). */
   def saltedSkewJoin(fact: DataFrame, dim: DataFrame, key: String,
-      hotKeys: Seq[Long], salt: Int): DataFrame = {
+      hotKeys: Seq[Any], salt: Int): DataFrame = {
     require(salt >= 2, "salt must split a hot key at least in two")
     val isHotF = col(key).isin(hotKeys: _*)
     val f = fact.withColumn("_salt",
