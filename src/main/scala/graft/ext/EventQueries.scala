@@ -917,5 +917,67 @@ object EventQueries {
              |  CAST(SUM(mon_c) AS BIGINT) AS rev_c
              |FROM t GROUP BY 1, 2, 3 ORDER BY r_t, f_t, m_t""".stripMargin),
     ),
+
+    // U-shaped (position-based) MULTI-touch attribution — the standard
+    // complement to q205's last-touch: each user's first purchase is the
+    // conversion; the non-purchase events strictly before it (total
+    // (ts, event_id) order) are the touch path; credit in integer ppm:
+    // a single touch takes 1e6, otherwise first and last take 400000
+    // each and the middles split 200000 by floor division (the
+    // remainder is deliberately unassigned — exact-integer convention).
+    // Per-user windows only; the rollup is one partial agg.
+    QueryDef(
+      "q257_multitouch_attribution",
+      (s, dir) => {
+        val ev = tbl(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        val conv = ev.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(min(struct(col("ts"), col("event_id"))).as("c"))
+          .select(col("user_id"), col("c.ts").as("c_ts"), col("c.event_id").as("c_id"))
+        val touches = ev.join(conv, "user_id")
+          .where(col("event_type") =!= "purchase" &&
+            (col("ts") < col("c_ts") ||
+              (col("ts") === col("c_ts") && col("event_id") < col("c_id"))))
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+        touches
+          .withColumn("rk", row_number().over(wOrd).cast("long"))
+          .withColumn("n", count(lit(1)).over(wAll).cast("long"))
+          .withColumn("credit_ppm",
+            when(col("n") === 1, 1000000L)
+              .when(col("rk") === 1 || col("rk") === col("n"), 400000L)
+              .otherwise(expr("200000L div (n - 2)")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_touches"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("credit_ppm")).as("credit_ppm_sum"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH c2 AS (
+             |  SELECT user_id, ts AS c_ts, event_id AS c_id FROM (
+             |    SELECT user_id, epoch_ns(ts) AS ts, event_id,
+             |      ROW_NUMBER() OVER (PARTITION BY user_id
+             |        ORDER BY epoch_ns(ts), event_id) AS rn
+             |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+             |touch AS (
+             |  SELECT e.user_id, e.event_type, epoch_ns(e.ts) AS ts, e.event_id
+             |  FROM events e JOIN c2 USING (user_id)
+             |  WHERE e.event_type <> 'purchase'
+             |    AND (epoch_ns(e.ts) < c2.c_ts
+             |         OR (epoch_ns(e.ts) = c2.c_ts AND e.event_id < c2.c_id))),
+             |r AS (
+             |  SELECT user_id, event_type,
+             |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk,
+             |    COUNT(*) OVER (PARTITION BY user_id) AS n
+             |  FROM touch)
+             |SELECT event_type, COUNT(*)::BIGINT AS n_touches,
+             |  COUNT(DISTINCT user_id)::BIGINT AS n_users,
+             |  CAST(SUM(CASE WHEN n = 1 THEN 1000000
+             |                WHEN rk = 1 OR rk = n THEN 400000
+             |                ELSE 200000 // (n - 2) END) AS BIGINT) AS credit_ppm_sum
+             |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin),
+    ),
   )
 }

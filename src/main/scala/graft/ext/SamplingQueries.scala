@@ -653,5 +653,54 @@ object SamplingQueries {
              |    > n_rows AS capped
              |FROM fin ORDER BY source""".stripMargin),
     ),
+
+    // Z-ORDER layout audit: interleave the low 16 bits of (user, day)
+    // into a Morton z-value, cut the curve into 4096-cell ranges (the
+    // file/row-group analog), and measure per-range extents of BOTH
+    // dimensions — the locality statistic that predicts min/max-stats
+    // pruning effectiveness for two-column predicates (the lakehouse
+    // OPTIMIZE ZORDER decision input; a linear sort keys one dimension
+    // perfectly and leaves the other unbounded). Pure integer bit
+    // arithmetic, 32 literal terms interpolated identically into the
+    // oracle; the audit itself is one partial-agg rollup over occupied
+    // ranges.
+    QueryDef(
+      "q259_zorder_audit",
+      (s, dir) => {
+        def bits(c: org.apache.spark.sql.Column, off: Int) =
+          (0 until 16).map(k => shiftleft(shiftright(c, k).bitwiseAND(lit(1L)),
+            2 * k + off): org.apache.spark.sql.Column).reduce(_ + _)
+        val ev = tbl(s, dir, "events").select(
+          pmod(col("user_id"), lit(65536L)).as("u"),
+          pmod(expr("ts div 86400000000000"), lit(65536L)).as("d"))
+        ev.withColumn("z", bits(col("u"), 0) + bits(col("d"), 1))
+          .groupBy(expr("z div 4096").as("bucket"))
+          .agg(count(lit(1)).as("c"),
+            (max(col("u")) - min(col("u")) + 1).as("ue"),
+            (max(col("d")) - min(col("d")) + 1).as("de"))
+          .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_buckets"),
+            max(col("c")).as("max_bucket_rows"),
+            sum(col("ue")).as("sum_u_extent"), sum(col("de")).as("sum_d_extent"))
+      },
+      Some({
+        def bitsSql(c: String, off: Int): String = (0 until 16).map(k =>
+          s"((($c >> $k) & 1) << ${2 * k + off})").mkString(" + ")
+        s"""WITH e AS (
+           |  SELECT user_id % 65536 AS u,
+           |    (epoch_ns(ts) // 86400000000000) % 65536 AS d
+           |  FROM events),
+           |z AS (SELECT u, d, ${bitsSql("u", 0)} + ${bitsSql("d", 1)} AS z FROM e),
+           |per AS (
+           |  SELECT z // 4096 AS bucket, COUNT(*)::BIGINT AS c,
+           |    MAX(u) - MIN(u) + 1 AS ue, MAX(d) - MIN(d) + 1 AS de
+           |  FROM z GROUP BY 1)
+           |SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+           |  COUNT(*)::BIGINT AS n_buckets,
+           |  CAST(MAX(c) AS BIGINT) AS max_bucket_rows,
+           |  CAST(SUM(ue) AS BIGINT) AS sum_u_extent,
+           |  CAST(SUM(de) AS BIGINT) AS sum_d_extent
+           |FROM per""".stripMargin
+      }),
+    ),
   )
 }

@@ -1133,5 +1133,79 @@ object TextQueries {
              |FROM per GROUP BY source, lang
              |ORDER BY source, lang""".stripMargin),
     ),
+
+    // Longest INTRA-document repeat: per doc, the max n-gram length that
+    // occurs at least twice — the self-plagiarism/boilerplate depth
+    // signal q47's repeated-share ratios can't see (a doc can have low
+    // repeat SHARE but one long verbatim block). Every n-gram of every
+    // length is fingerprinted in O(1) from two prefix sums: with
+    // h < 2^40 and 1-based positions, fp(i..j) = (P2(j) − P2(i−1)) −
+    // (i−1)·(P1(j) − P1(i−1)) = Σ (k−i+1)·h_k — position-weighted, so
+    // order matters, and bounded < 2^54 (ANSI-safe; the oracle carries
+    // the identical arithmetic, so fingerprint semantics are exactly
+    // replicated). The (i−1, j) pair frame is len²/2 O(1)-wide rows per
+    // doc — the whole scan is one doc-keyed self-join plus one partial
+    // agg, no per-gram token slicing anywhere (the rule-10 HOF trap
+    // never fires).
+    QueryDef(
+      "q258_max_repeat",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("p"))
+        val d = tbl(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val pre = d
+          .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "tok")))
+          .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
+            pmod(Sampling.portableHash(col("tok")), lit(1099511627776L)).as("h"))
+          .select(col("doc_id"), col("p"),
+            sum(col("h")).over(w).as("p1"),
+            sum(col("p") * col("h")).over(w).as("p2"))
+        val rows = pre.unionByName(d.select(col("doc_id"), lit(0L).as("p"),
+          lit(0L).as("p1"), lit(0L).as("p2")))
+        val dups = rows.as("a").join(rows.as("b"),
+            col("a.doc_id") === col("b.doc_id") && col("b.p") > col("a.p"))
+          .select(col("a.doc_id").as("doc_id"),
+            (col("b.p") - col("a.p")).as("n"),
+            ((col("b.p2") - col("a.p2")) -
+              col("a.p") * (col("b.p1") - col("a.p1"))).as("fp"))
+          .groupBy(col("doc_id"), col("n"), col("fp")).agg(count(lit(1)).as("c"))
+          .where(col("c") >= 2)
+          .groupBy(col("doc_id")).agg(max(col("n")).as("max_repeat"))
+        d.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+          .join(dups, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("max_repeat"), lit(0L)).as("max_repeat"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, CAST(p AS BIGINT) AS p,
+             |    CAST(('0x' || substring(md5(toks[p]),1,15)) AS BIGINT)
+             |      % 1099511627776 AS h
+             |  FROM (SELECT doc_id, toks,
+             |          unnest(generate_series(1, len(toks))) AS p
+             |        FROM (SELECT doc_id, string_split(text,' ') AS toks
+             |              FROM documents))),
+             |pre AS (
+             |  SELECT doc_id, p,
+             |    CAST(SUM(h) OVER (PARTITION BY doc_id ORDER BY p) AS BIGINT) AS p1,
+             |    CAST(SUM(p*h) OVER (PARTITION BY doc_id ORDER BY p) AS BIGINT) AS p2
+             |  FROM t),
+             |rws AS (SELECT * FROM pre
+             |        UNION ALL SELECT doc_id, 0, 0, 0 FROM documents),
+             |g AS (
+             |  SELECT a.doc_id, b.p - a.p AS n,
+             |    (b.p2 - a.p2) - a.p*(b.p1 - a.p1) AS fp
+             |  FROM rws a JOIN rws b ON a.doc_id = b.doc_id AND b.p > a.p),
+             |dup AS (
+             |  SELECT doc_id, CAST(MAX(n) AS BIGINT) AS max_repeat FROM (
+             |    SELECT doc_id, n, fp FROM g GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2)
+             |  GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
+             |  COALESCE(dup.max_repeat, 0) AS max_repeat
+             |FROM documents d LEFT JOIN dup USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 }
