@@ -1182,5 +1182,70 @@ object DedupQueries {
              |GROUP BY 1, 2 HAVING COUNT(*) >= 2
              |ORDER BY a_id, b_id""".stripMargin),
     ),
+
+    // Near-dup pair ALIGNMENT audit: for every verified Jaccard pair,
+    // the longest common token prefix and suffix — tells a curator
+    // whether duplicates are head/tail boilerplate wraps (long lcp/lcs,
+    // mid-doc divergence) or shuffled rewrites (short both). Arrays are
+    // bound as named columns and indexed with element_at (O(1) per
+    // probe; the rule-10 re-evaluation trap never fires because nothing
+    // re-derives the array per element); the suffix is capped at
+    // min-len − lcp so the two spans never overlap. Exact, integer,
+    // oracle-replicated via list comprehensions.
+    QueryDef(
+      "q260_dup_align",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val pairs = Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
+          .select(col("a_id"), col("b_id"))
+        pairs
+          .join(d.select(col("doc_id").as("a_id"), col("toks").as("ta")), "a_id")
+          .join(d.select(col("doc_id").as("b_id"), col("toks").as("tb")), "b_id")
+          .withColumn("la", size(col("ta")).cast("long"))
+          .withColumn("lb", size(col("tb")).cast("long"))
+          .withColumn("m", least(col("la"), col("lb")))
+          .withColumn("lcp", coalesce(
+            array_min(expr(
+              "filter(transform(sequence(1, int(m)), i -> IF(ta[i-1] = tb[i-1], -1, i)), x -> x > 0)"))
+              .cast("long") - 1L,
+            col("m")))
+          .withColumn("lcs_raw", coalesce(
+            array_min(expr(
+              "filter(transform(sequence(1, int(m)), i -> IF(ta[int(la)-i] = tb[int(lb)-i], -1, i)), x -> x > 0)"))
+              .cast("long") - 1L,
+            col("m")))
+          .select(col("a_id"), col("b_id"), col("la"), col("lb"), col("lcp"),
+            least(col("lcs_raw"), col("m") - col("lcp")).as("lcs"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, toks,
+             |    list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+             |                   FOR i IN generate_series(1, len(toks)-2)]) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+             |  WHERE len(toks) >= 3),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    a.toks AS ta, b.toks AS tb
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+             |x AS (
+             |  SELECT a_id, b_id,
+             |    CAST(len(ta) AS BIGINT) AS la, CAST(len(tb) AS BIGINT) AS lb,
+             |    CAST(LEAST(len(ta), len(tb)) AS BIGINT) AS m, ta, tb
+             |  FROM pairs),
+             |y AS (
+             |  SELECT a_id, b_id, la, lb, m,
+             |    COALESCE(list_min([i FOR i IN generate_series(1, CAST(m AS INTEGER))
+             |                       IF ta[i] <> tb[i]]) - 1, m) AS lcp,
+             |    COALESCE(list_min([i FOR i IN generate_series(1, CAST(m AS INTEGER))
+             |                       IF ta[la - i + 1] <> tb[lb - i + 1]]) - 1, m) AS lcs_raw
+             |  FROM x)
+             |SELECT a_id, b_id, la, lb, CAST(lcp AS BIGINT) AS lcp,
+             |  CAST(LEAST(lcs_raw, m - lcp) AS BIGINT) AS lcs
+             |FROM y ORDER BY a_id, b_id""".stripMargin),
+    ),
   )
 }

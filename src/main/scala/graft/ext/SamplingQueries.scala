@@ -702,5 +702,152 @@ object SamplingQueries {
            |FROM per""".stripMargin
       }),
     ),
+
+    // CONSISTENT-HASHING shard map audit: 4 shards × 16 virtual nodes on
+    // a 60-bit ring (vnode position = portable hash of 'vn:'||v, doc
+    // position likewise; owner = the vnode at the smallest clockwise
+    // distance, shard = v div 16). The audit measures balance AND the
+    // scale-out contract: adding shard 4 (16 new vnodes, existing vnodes
+    // untouched) must remap only the ring arcs the new vnodes capture —
+    // ~1/5 of docs — where a mod-N scheme would remap ~4/5. Owner lookup
+    // is a broadcast join against the vnode table (metadata-sized model
+    // state); everything else is one partial-agg rollup. All integer,
+    // bit-exact in the oracle.
+    QueryDef(
+      "q261_shard_ring",
+      (s, dir) => {
+        val ring = s.range(80).select(col("id").as("v"),
+          Sampling.portableHash(concat(lit("vn:"), col("id"))).as("vpos"),
+          expr("id div 16").as("shard"))
+        val docs = tbl(s, dir, "documents")
+          .select(col("doc_id"), Sampling.portableHash(col("doc_id")).as("dpos"))
+        def owner(nShards: Int) = docs
+          .crossJoin(broadcast(ring.where(col("shard") < nShards)))
+          .groupBy(col("doc_id"))
+          .agg(min_by(col("shard"),
+            struct(pmod(col("vpos") - col("dpos"), lit(1152921504606846976L)).as("dist"),
+              col("v").as("v"))).as("shard"))
+        val before = owner(4).withColumnRenamed("shard", "s_before")
+        val after = owner(5).withColumnRenamed("shard", "s_after")
+        val j = before.join(after, "doc_id")
+        j.groupBy(col("s_before").as("shard"))
+          .agg(count(lit(1)).as("n_before"),
+            sum(when(col("s_after") =!= col("s_before"), 1L).otherwise(0L))
+              .as("n_moved_out"))
+          .join(j.groupBy(col("s_after").as("shard"))
+              .agg(count(lit(1)).as("n_after")),
+            Seq("shard"), "full_outer")
+          .select(col("shard"), coalesce(col("n_before"), lit(0L)).as("n_before"),
+            coalesce(col("n_after"), lit(0L)).as("n_after"),
+            coalesce(col("n_moved_out"), lit(0L)).as("n_moved_out"))
+          .orderBy(col("shard"))
+      },
+      Some("""WITH ring AS (
+             |  SELECT v, CAST(('0x' || substring(md5('vn:' || CAST(v AS VARCHAR)),1,15))
+             |           AS BIGINT) AS vpos, v // 16 AS shard
+             |  FROM range(80) t(v)),
+             |docs AS (
+             |  SELECT doc_id, CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
+             |           AS BIGINT) AS dpos
+             |  FROM documents),
+             |ob AS (
+             |  SELECT doc_id, shard AS s_before FROM (
+             |    SELECT d.doc_id, r.shard,
+             |      ROW_NUMBER() OVER (PARTITION BY d.doc_id ORDER BY
+             |        ((r.vpos - d.dpos) % 1152921504606846976
+             |         + 1152921504606846976) % 1152921504606846976, r.v) AS rn
+             |    FROM docs d CROSS JOIN ring r WHERE r.shard < 4) WHERE rn = 1),
+             |oa AS (
+             |  SELECT doc_id, shard AS s_after FROM (
+             |    SELECT d.doc_id, r.shard,
+             |      ROW_NUMBER() OVER (PARTITION BY d.doc_id ORDER BY
+             |        ((r.vpos - d.dpos) % 1152921504606846976
+             |         + 1152921504606846976) % 1152921504606846976, r.v) AS rn
+             |    FROM docs d CROSS JOIN ring r WHERE r.shard < 5) WHERE rn = 1),
+             |j AS (SELECT ob.doc_id, s_before, s_after FROM ob JOIN oa USING (doc_id)),
+             |b AS (SELECT s_before AS shard, COUNT(*)::BIGINT AS n_before,
+             |        CAST(SUM(CASE WHEN s_after <> s_before THEN 1 ELSE 0 END)
+             |             AS BIGINT) AS n_moved_out
+             |      FROM j GROUP BY 1),
+             |a AS (SELECT s_after AS shard, COUNT(*)::BIGINT AS n_after
+             |      FROM j GROUP BY 1)
+             |SELECT COALESCE(b.shard, a.shard) AS shard,
+             |  COALESCE(n_before, 0) AS n_before, COALESCE(n_after, 0) AS n_after,
+             |  COALESCE(n_moved_out, 0) AS n_moved_out
+             |FROM b FULL OUTER JOIN a ON a.shard = b.shard
+             |ORDER BY shard""".stripMargin),
+    ),
+
+    // Stratified split PLAN with exact global quota: a 10% validation
+    // budget (floor of N/10) allocated across (source, lang) strata by
+    // largest remainder (the q252 rule — floors first, +1 to the largest
+    // remainders until the budget is spent EXACTLY), then assigned
+    // within each stratum to the docs with the smallest portable id
+    // hash. val_id_sum witnesses the exact assignment, so the oracle
+    // checks WHICH docs were picked, not just how many. Stratum windows
+    // run over the stratum ROLLUP only; the assignment rank is
+    // stratum-keyed.
+    QueryDef(
+      "q262_stratified_split",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = tbl(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            Sampling.portableHash(col("doc_id")).as("h"))
+        val strata = d.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"))
+        val tot = strata.agg(sum(col("n_docs")).as("n"),
+          expr("sum(n_docs) div 10").as("budget"))
+        val alloc = strata.crossJoin(broadcast(tot))
+          .withColumn("fl", expr("(budget * n_docs) div n"))
+          .withColumn("rem", expr("(budget * n_docs) % n"))
+          .withColumn("fsum", sum(col("fl")).over(Window.partitionBy(lit(0))))
+          .withColumn("rrk", row_number().over(
+            Window.orderBy(col("rem").desc, col("source"), col("lang"))).cast("long"))
+          .withColumn("n_val",
+            col("fl") + when(col("rrk") <= col("budget") - col("fsum"), 1L).otherwise(0L))
+        val ranked = d.withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"), col("lang"))
+            .orderBy(col("h"), col("doc_id"))).cast("long"))
+        ranked.join(alloc.select(col("source"), col("lang"), col("n_docs"), col("n_val")),
+            Seq("source", "lang"))
+          .groupBy(col("source"), col("lang"))
+          .agg(max(col("n_docs")).as("n_docs"), max(col("n_val")).as("n_val"),
+            sum(when(col("rk") <= col("n_val"), col("doc_id")).otherwise(0L))
+              .as("val_id_sum"))
+          .orderBy(col("source"), col("lang"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, lang,
+             |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+             |  FROM documents),
+             |st AS (SELECT source, lang, COUNT(*)::BIGINT AS n_docs FROM d GROUP BY 1, 2),
+             |tt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+             |         CAST(SUM(n_docs) AS BIGINT) // 10 AS budget FROM st),
+             |al AS (
+             |  SELECT source, lang, n_docs,
+             |    (budget * n_docs) // n AS fl, (budget * n_docs) % n AS rem,
+             |    CAST(SUM((budget * n_docs) // n) OVER () AS BIGINT) AS fsum,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY (budget * n_docs) % n DESC,
+             |      source, lang) AS BIGINT) AS rrk,
+             |    budget
+             |  FROM st CROSS JOIN tt),
+             |q AS (
+             |  SELECT source, lang, n_docs,
+             |    CAST(fl + CASE WHEN rrk <= budget - fsum THEN 1 ELSE 0 END AS BIGINT)
+             |      AS n_val
+             |  FROM al),
+             |r AS (
+             |  SELECT doc_id, source, lang,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY source, lang
+             |      ORDER BY h, doc_id) AS BIGINT) AS rk
+             |  FROM d)
+             |SELECT r.source AS source, r.lang AS lang,
+             |  MAX(q.n_docs) AS n_docs, MAX(q.n_val) AS n_val,
+             |  CAST(SUM(CASE WHEN rk <= n_val THEN doc_id ELSE 0 END) AS BIGINT)
+             |    AS val_id_sum
+             |FROM r JOIN q ON q.source = r.source AND q.lang = r.lang
+             |GROUP BY 1, 2 ORDER BY r.source, r.lang""".stripMargin),
+    ),
   )
 }
