@@ -1415,6 +1415,80 @@ object TransformWithStateOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class TouchEvent(user_id: Long, event_type: String, ts: Long,
+      event_id: Long)
+  final case class TouchCredit(user_id: Long, event_type: String,
+      n_touches: Long, credit_ppm_sum: Long)
+
+  /** Streaming twin of the q257 U-shaped multi-touch attribution — the
+    * conversion-triggered finalization shape: per user, pre-conversion
+    * touches BUFFER in keyed state; the first 'purchase' replays the
+    * buffered path through the exact batch credit rule (single touch
+    * 1e6; first/last 400000; middles 200000 floor-divided), emits one
+    * final row per touched event type, and collapses state to a
+    * converted flag — append semantics, nothing re-emits. Post-
+    * conversion events cost one flag read. Under event-time-ordered
+    * arrival (the priming contract; in-batch ties resolved by the same
+    * (ts, event_id) total order) emissions equal the batch operator
+    * over any prefix. State bound: converted users hold one boolean;
+    * unconverted users hold their touch path (production would add a
+    * TTL horizon — the credit rule itself needs the full path). */
+  final class MultitouchProcessor
+      extends StatefulProcessor[Long, TouchEvent, TouchCredit] {
+
+    @transient private var converted: ValueState[Boolean] = _
+    @transient private var touches: ListState[(String, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      converted = getHandle.getValueState[Boolean]("converted",
+        Encoders.scalaBoolean, TTLConfig.NONE)
+      touches = getHandle.getListState[(String, Long, Long)]("touches",
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[TouchEvent],
+        timerValues: TimerValues): Iterator[TouchCredit] = {
+      if (converted.exists() && converted.get()) return Iterator.empty
+      val batch = rows.toArray.sortBy(r => (r.ts, r.event_id))
+      val out = Array.newBuilder[TouchCredit]
+      var done = false
+      batch.foreach { r =>
+        if (!done) {
+          if (r.event_type == "purchase") {
+            val path = touches.get().toArray
+            val n = path.length.toLong
+            if (n > 0) {
+              val credits = path.zipWithIndex.map { case ((tp, _, _), i) =>
+                val rk = i + 1L
+                val c = if (n == 1) 1000000L
+                  else if (rk == 1L || rk == n) 400000L
+                  else 200000L / (n - 2L)
+                (tp, c)
+              }
+              credits.groupBy(_._1).toArray.sortBy(_._1).foreach { case (tp, cs) =>
+                out += TouchCredit(key, tp, cs.length.toLong, cs.map(_._2).sum)
+              }
+            }
+            converted.update(true)
+            touches.clear()
+            done = true
+          } else {
+            touches.appendValue((r.event_type, r.ts, r.event_id))
+          }
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  def streamingMultitouch(ds: Dataset[TouchEvent]): Dataset[TouchCredit] = {
+    implicit val outEnc: Encoder[TouchCredit] = Encoders.product[TouchCredit]
+    ds.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new MultitouchProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   final case class SrcStatus(source: String, status: String)
   final case class DiffCountRow(source: String, status: String, n_docs: Long)
 

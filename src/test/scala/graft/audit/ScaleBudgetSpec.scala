@@ -187,6 +187,32 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0)
   }
 
+  test("q253 incremental LPA: ball-bounded re-propagation, no raw-graph blowup") {
+    val b = measure("q253_incremental_lpa")
+    // BFS ball + restricted LPA over ball-incident edges: node-keyed
+    // partials over the co-purchase graph — MBs, not the join-fanout
+    // raw stream
+    assert(b.shuffleWriteBytes < 48 * MB,
+      s"incremental LPA shuffled beyond the touched subgraph: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q253 spilled")
+  }
+
+  test("q254 salted join: hot-key scatter adds only replication-sized shuffle") {
+    val b = measure("q254_salted_join")
+    assert(b.shuffleWriteBytes < 8 * MB,
+      s"salted join shuffled beyond the keyed fact: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q254 spilled")
+  }
+
+  test("q258 longest repeat: O(1)-wide prefix-pair rows, no token payload in the self-join") {
+    val b = measure("q258_max_repeat")
+    // len²/2 numeric rows per doc (~190k at sf0.01) through one doc-keyed
+    // self-join + partial agg; shuffling gram TEXT instead would be 10x
+    assert(b.shuffleWriteBytes < 32 * MB,
+      s"repeat scan shuffled token payloads: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q258 spilled")
+  }
+
   test("per-task peak execution memory stays executor-slot-sized across the pinned families") {
     // at 100 TB an executor slot has ~1-4 GB of execution memory; a task
     // peaking far above that on sf0.01 inputs signals driver-ish state

@@ -1066,6 +1066,83 @@ class TransformWithStateSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streamingMultitouch: conversion-triggered credits equal the batch q257 attribution, mid-stream and final") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{TouchCredit, TouchEvent}
+      // event-time order across batches (the priming contract); deliberately
+      // uneven splits so conversions land mid-batch and cross-batch paths
+      val rows = graft.replay.TsNanos.normalize(
+          spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .as[(Long, String, Long, Long)].collect().toSeq
+        .map(t => TouchEvent(t._1, t._2, t._3, t._4))
+
+      def batchRef(seq: Seq[TouchEvent]): Map[String, (Long, Long, Long)] = {
+        val byUser = seq.groupBy(_.user_id)
+        val perUser = byUser.toSeq.flatMap { case (uid, es) =>
+          val sorted = es.sortBy(r => (r.ts, r.event_id))
+          sorted.find(_.event_type == "purchase").toSeq.flatMap { conv =>
+            val path = sorted.takeWhile(r =>
+              (r.ts, r.event_id) != (conv.ts, conv.event_id))
+              .filter(_.event_type != "purchase")
+            val n = path.length.toLong
+            path.zipWithIndex.map { case (r, i) =>
+              val rk = i + 1L
+              val c = if (n == 1) 1000000L
+                else if (rk == 1L || rk == n) 400000L
+                else 200000L / (n - 2L)
+              (uid, r.event_type, c)
+            }
+          }
+        }
+        perUser.groupBy(_._2).map { case (tp, cs) =>
+          tp -> ((cs.size.toLong, cs.map(_._1).distinct.size.toLong,
+            cs.map(_._3).sum))
+        }
+      }
+
+      val got = scala.collection.mutable.ArrayBuffer[TouchCredit]()
+      val input = MemoryStream[TouchEvent]
+      val query = TransformWithStateOps.streamingMultitouch(input.toDS())
+        .writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[TouchCredit], _: Long) =>
+          got ++= df.collect(); ()
+        }.start()
+      try {
+        var fed = Seq.empty[TouchEvent]
+        var checkedMid = false
+        rows.grouped(rows.length / 5 + 1).foreach { b =>
+          input.addData(b: _*); query.processAllAvailable()
+          fed = fed ++ b
+          def agg = got.groupBy(_.event_type).map { case (tp, cs) =>
+            tp -> ((cs.map(_.n_touches).sum, cs.map(_.user_id).distinct.size.toLong,
+              cs.map(_.credit_ppm_sum).sum))
+          }
+          if (!checkedMid && fed.length >= rows.length / 2) {
+            val want = batchRef(fed)
+            assert(want.nonEmpty && agg == want, "mid-stream parity")
+            checkedMid = true
+          }
+        }
+      } finally query.stop()
+
+      // final parity against the DRIVER-GATED batch query itself
+      val batch = graft.SparkEntry.queries("q257_multitouch_attribution")(
+          spark, "/root/testdata/sf0.001")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val fin = got.groupBy(_.event_type).map { case (tp, cs) =>
+        tp -> ((cs.map(_.n_touches).sum, cs.map(_.user_id).distinct.size.toLong,
+          cs.map(_.credit_ppm_sum).sum))
+      }
+      assert(batch.nonEmpty && fin == batch)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streamingSnapshotDiff: running (source, status) counts equal the batch q227 diff across splits") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
