@@ -1247,5 +1247,76 @@ object DedupQueries {
              |  CAST(LEAST(lcs_raw, m - lcp) AS BIGINT) AS lcs
              |FROM y ORDER BY a_id, b_id""".stripMargin),
     ),
+
+    // Dedup THRESHOLD retention curve: how many documents survive
+    // cluster-collapse at Jaccard cutoffs 0.90..0.99 (the corpus's occupied band
+    // — its near-dups are tight rewrites, so the informative knee sits
+    // high) — the tuning table a
+    // curator reads before committing to a dedup threshold (too loose
+    // destroys data, too tight leaves duplicates; the knee is
+    // data-dependent). The pair pipeline runs ONCE at the loosest
+    // cutoff (pinned); each cutoff filters the ppm-quantized pair list
+    // and re-clusters the (tiny) filtered graph. survivors = N −
+    // (members − clusters), the min-id-survivor contract.
+    QueryDef(
+      "q264_dedup_threshold_curve",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val pairs = PinnedCache.pin(
+          Dedup.jaccardPairs(docs, "text", "doc_id", 0.5)
+            .select(col("a_id"), col("b_id"),
+              round(col("jaccard") * 1000000).cast("long").as("j_ppm")))
+        val total = docs.agg(count(lit(1)).as("n_docs"))
+        val per = Seq(900000L, 960000L, 970000L, 980000L, 990000L).map { t =>
+          val e = pairs.where(col("j_ppm") >= t).select(col("a_id"), col("b_id"))
+          val agg = Dedup.connectedComponents(e)
+            .agg(count(lit(1)).as("n_members"),
+              countDistinct(col("root")).as("n_clusters"))
+          e.agg(count(lit(1)).as("n_pairs")).crossJoin(agg)
+            .select(lit(t).as("t_ppm"), col("n_pairs"), col("n_members"),
+              col("n_clusters"))
+        }.reduce(_ unionByName _)
+        per.crossJoin(broadcast(total))
+          .select(col("t_ppm"), col("n_pairs"), col("n_members"), col("n_clusters"),
+            (col("n_docs") - (col("n_members") - col("n_clusters"))).as("n_survivors"))
+          .orderBy(col("t_ppm"))
+      },
+      Some({
+        val perT = Seq(900000L, 960000L, 970000L, 980000L, 990000L).map { t =>
+          s"""e$t AS MATERIALIZED (
+             |  SELECT a_id AS src, b_id AS dst FROM pp WHERE j_ppm >= $t
+             |  UNION SELECT b_id, a_id FROM pp WHERE j_ppm >= $t),
+             |r$t(id, m) AS (
+             |  SELECT src, src FROM e$t
+             |  UNION
+             |  SELECT r.id, e.dst FROM r$t r JOIN e$t e ON e.src = r.m),
+             |s$t AS (SELECT id, MIN(m) AS root FROM r$t GROUP BY id)""".stripMargin
+        }.mkString(",\n")
+        val rows = Seq(900000L, 960000L, 970000L, 980000L, 990000L).map { t =>
+          s"""SELECT CAST($t AS BIGINT) AS t_ppm,
+             |  (SELECT COUNT(*) FROM pp WHERE j_ppm >= $t)::BIGINT AS n_pairs,
+             |  (SELECT COUNT(*) FROM s$t)::BIGINT AS n_members,
+             |  (SELECT COUNT(DISTINCT root) FROM s$t)::BIGINT AS n_clusters,
+             |  (SELECT COUNT(*) FROM documents)::BIGINT
+             |    - (SELECT COUNT(*) FROM s$t)
+             |    + (SELECT COUNT(DISTINCT root) FROM s$t) AS n_survivors""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH RECURSIVE sh AS MATERIALIZED (
+           |  SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+           |                                FOR i IN generate_series(1, len(toks)-2)]) AS s
+           |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+           |  WHERE len(toks) >= 3),
+           |pp AS MATERIALIZED (
+           |  SELECT a_id, b_id, CAST(ROUND(ROUND(jac, 6) * 1000000) AS BIGINT) AS j_ppm
+           |  FROM (
+           |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |      CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+           |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) AS jac
+           |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+           |  WHERE jac >= 0.5),
+           |$perT
+           |SELECT * FROM ($rows) ORDER BY t_ppm""".stripMargin
+      }),
+    ),
   )
 }

@@ -745,24 +745,26 @@ object GraphQueries {
 
 
     // INCREMENTAL label-propagation communities (q183's maintained form,
-    // the q164 discipline for the mesoscale): co-purchase edges split
-    // into base and delta waves; the base graph's final labels fold the
-    // delta in via bounded re-propagation on the touched ball only
+    // the q164 discipline for the mesoscale) on the workload it exists
+    // for: the NEAR-DUP graph a nightly crawl maintains. The pair list
+    // splits into a base wave and a delta wave (pair-sum parity — the
+    // q164 split); the base graph's final labels fold the delta in via
+    // bounded re-propagation on the touched ball only
     // (Graphs.incrementalLabelPropagation — 2R−1-hop BFS ball + the same
-    // argmin recurrence restricted to ball-incident edges). The oracle is
-    // ONE-SHOT batch LPA over ALL edges, so a pass proves incremental ≡
+    // argmin recurrence restricted to ball-incident edges; on this
+    // sparse graph the ball IS the delta's neighborhood, unlike a dense
+    // co-purchase graph where it would cover everything). The oracle is
+    // ONE-SHOT batch LPA over ALL pairs, so a pass proves incremental ≡
     // recompute; IncrementalLpaSpec adds random-wave, bridge-merge, and
     // dag-cycle cases.
     QueryDef(
       "q253_incremental_lpa",
       (s, dir) => {
-        val li = tbl(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val edges = PinnedCache.pin(li.as("x").join(li.as("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct())
-        val base = edges.where((col("a") + col("b")) % 2 === 0)
-        val delta = edges.where((col("a") + col("b")) % 2 === 1)
+        val pairs = PinnedCache.pin(
+          Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
+            .select(col("a_id").as("a"), col("b_id").as("b")))
+        val base = pairs.where((col("a") + col("b")) % 2 === 0)
+        val delta = pairs.where((col("a") + col("b")) % 2 === 1)
         Graphs.incrementalLabelPropagation(
             Graphs.labelPropagation(base, rounds = 2), base, delta, rounds = 2)
           .withColumnRenamed("lab", "label")
@@ -778,10 +780,17 @@ object GraphQueries {
              |    SELECT node, lab,
              |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
              |    FROM n$i) WHERE rn = 1)""".stripMargin
-        s"""WITH e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
-           |           FROM lineitem a JOIN lineitem b
-           |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-           |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        s"""WITH sh AS (
+           |  SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+           |                                FOR i IN generate_series(1, len(toks)-2)]) AS s
+           |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+           |  WHERE len(toks) >= 3),
+           |e AS MATERIALIZED (
+           |  SELECT a.doc_id AS a, b.doc_id AS b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+           |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+           |sym AS MATERIALIZED (SELECT a, b FROM e UNION SELECT b, a FROM e),
            |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
            |${(1 to 2).map(round).mkString(",\n")}
            |SELECT node, lab AS label FROM l2 ORDER BY node""".stripMargin

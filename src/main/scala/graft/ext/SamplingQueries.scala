@@ -849,5 +849,67 @@ object SamplingQueries {
              |FROM r JOIN q ON q.source = r.source AND q.lang = r.lang
              |GROUP BY 1, 2 ORDER BY r.source, r.lang""".stripMargin),
     ),
+
+    // Mixture ANNEALING schedule: 4 training phases interpolating the
+    // per-source token distribution from NATURAL (phase 0) to fully
+    // QUALITY-WEIGHTED (phase 3) — the standard end-of-training
+    // upsample-the-good-stuff recipe, as an exact-integer plan. Doc
+    // quality rides the q174 ppm scoring; the blend
+    // (1e6−α)·tokens + α·(quality-weighted tokens) stays < 2^58, and
+    // shares floor to ppm after a documented 1e6 down-scale. One doc
+    // rollup + a phases×sources literal expansion (metadata-sized).
+    QueryDef(
+      "q263_anneal_schedule",
+      (s, dir) => {
+        val t = TextAnalysis
+        val d = tbl(s, dir, "documents")
+          .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+          .withColumn("q_ppm",
+            round(t.qualityScore(col("text"), t.tokenCount(col("text"))) * 1000000)
+              .cast("long"))
+        val src = d.groupBy(col("source"))
+          .agg(sum(col("n_tok")).as("tok"),
+            sum(col("n_tok") * col("q_ppm")).as("qtok"))
+        val phases = s.range(4).select(col("id").as("phase"),
+          (col("id") * 333333L + when(col("id") === 3, 1L).otherwise(0L)).as("alpha"))
+        val blended = src.crossJoin(broadcast(phases))
+          .withColumn("bw",
+            expr("((1000000 - alpha) * tok * 1000000 + alpha * qtok) div 1000000"))
+        blended
+          .withColumn("bw_sum", sum(col("bw")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("phase"))))
+          .select(col("phase"), col("source"), col("tok"),
+            expr("(bw * 1000000) div bw_sum").as("share_ppm"))
+          .orderBy(col("phase"), col("source"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT source, CAST(t AS BIGINT) AS n_tok,
+              |    CAST(ROUND(ROUND(
+              |      LEAST(t / 50.0, 1.0) * 0.4 +
+              |      (CAST(len(list_filter(toks, w -> w IN
+              |         (${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE) / t) * 0.3 +
+              |      CASE WHEN (c - (t - 1)) / CAST(t AS DOUBLE) BETWEEN 3 AND 8
+              |           THEN 0.3 ELSE 0.0 END, 6) * 1000000) AS BIGINT) AS q_ppm
+              |  FROM (SELECT source, string_split(text,' ') AS toks,
+              |               len(string_split(text,' ')) AS t, LENGTH(text) AS c
+              |        FROM documents)),
+              |src AS (
+              |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tok,
+              |    CAST(SUM(n_tok * q_ppm) AS BIGINT) AS qtok
+              |  FROM d GROUP BY 1),
+              |ph AS (SELECT v AS phase,
+              |         CAST(v * 333333 + CASE WHEN v = 3 THEN 1 ELSE 0 END AS BIGINT)
+              |           AS alpha
+              |       FROM range(4) t(v)),
+              |bl AS (
+              |  SELECT phase, source, tok,
+              |    ((1000000 - alpha) * tok * 1000000 + alpha * qtok) // 1000000 AS bw
+              |  FROM src CROSS JOIN ph),
+              |ws AS (SELECT *, CAST(SUM(bw) OVER (PARTITION BY phase) AS BIGINT)
+              |         AS bw_sum FROM bl)
+              |SELECT CAST(phase AS BIGINT) AS phase, source, tok,
+              |  (bw * 1000000) // bw_sum AS share_ppm
+              |FROM ws ORDER BY phase, source""".stripMargin),
+    ),
   )
 }

@@ -748,5 +748,58 @@ object SketchQueries {
              |  END AS err_ppm
              |FROM fin ORDER BY ga, gb""".stripMargin),
     ),
+
+    // IMPORTANCE-WEIGHTED evaluation: re-estimate mean document quality
+    // under a UNIFORM-over-sources target distribution from the natural
+    // (source-skewed) sample — w(source) = target share / natural share,
+    // the inverse-propensity estimate every domain-shifted eval needs.
+    // Exact integer end-to-end: shares in ppm, weights in ppm-of-ppm,
+    // the two estimates as floor-ppm ratios of BIGINT sums (bounds
+    // < 5e17, ANSI-safe). One doc rollup; sources are metadata.
+    QueryDef(
+      "q265_importance_weighted_eval",
+      (s, dir) => {
+        val t = TextAnalysis
+        val d = tbl(s, dir, "documents")
+          .select(col("source"),
+            round(t.qualityScore(col("text"), t.tokenCount(col("text"))) * 1000000)
+              .cast("long").as("q_ppm"))
+        val src = d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_s"), sum(col("q_ppm")).as("qs"))
+        val tot = src.agg(sum(col("n_s")).as("n"),
+          count(lit(1)).as("n_sources"))
+        src.crossJoin(broadcast(tot))
+          .withColumn("natural_ppm", expr("(n_s * 1000000) div n"))
+          .withColumn("w_ppm",
+            expr("((1000000 div n_sources) * 1000000) div natural_ppm"))
+          .agg(max(col("n")).as("n_docs"), max(col("n_sources")).as("n_sources"),
+            expr("sum(qs) div max(n)").as("est_natural_ppm"),
+            expr("sum((qs div n_s) * w_ppm) div sum(w_ppm)").as("est_weighted_ppm"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT source, CAST(ROUND(ROUND(
+              |    LEAST(t / 50.0, 1.0) * 0.4 +
+              |    (CAST(len(list_filter(toks, w -> w IN
+              |       (${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE) / t) * 0.3 +
+              |    CASE WHEN (c - (t - 1)) / CAST(t AS DOUBLE) BETWEEN 3 AND 8
+              |         THEN 0.3 ELSE 0.0 END, 6) * 1000000) AS BIGINT) AS q_ppm
+              |  FROM (SELECT source, string_split(text,' ') AS toks,
+              |               len(string_split(text,' ')) AS t, LENGTH(text) AS c
+              |        FROM documents)),
+              |src AS (SELECT source, COUNT(*)::BIGINT AS n_s,
+              |          CAST(SUM(q_ppm) AS BIGINT) AS qs FROM d GROUP BY 1),
+              |tt AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+              |         COUNT(*)::BIGINT AS n_sources FROM src),
+              |w AS (
+              |  SELECT n, n_sources, n_s, qs,
+              |    ((1000000 // n_sources) * 1000000)
+              |      // ((n_s * 1000000) // n) AS w_ppm
+              |  FROM src CROSS JOIN tt)
+              |SELECT MAX(n) AS n_docs, MAX(n_sources) AS n_sources,
+              |  CAST(SUM(qs) // MAX(n) AS BIGINT) AS est_natural_ppm,
+              |  CAST(SUM((qs // n_s) * w_ppm) // SUM(w_ppm) AS BIGINT)
+              |    AS est_weighted_ppm
+              |FROM w""".stripMargin),
+    ),
   )
 }
