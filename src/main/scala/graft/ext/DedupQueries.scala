@@ -1318,5 +1318,69 @@ object DedupQueries {
            |SELECT * FROM ($rows) ORDER BY t_ppm""".stripMargin
       }),
     ),
+
+    // Survivor-quality REGRET: the min-id survivor rule (q24/q44's
+    // deterministic contract) is cheap but quality-blind — per near-dup
+    // cluster, how much quality (q174 ppm scoring) the kept doc gives up
+    // vs the best member. The table that justifies (or rejects) the
+    // keep-highest-quality strategy (q72) on real data: regret 0 means
+    // min-id is free; a fat tail means survivors should be chosen by
+    // quality. One CC + one cluster-keyed rollup.
+    QueryDef(
+      "q266_survivor_regret",
+      (s, dir) => {
+        val t = TextAnalysis
+        val d = tbl(s, dir, "documents")
+        val q = d.select(col("doc_id"),
+          round(t.qualityScore(col("text"), t.tokenCount(col("text"))) * 1000000)
+            .cast("long").as("q_ppm"))
+        val cc = Dedup.connectedComponents(
+          Dedup.jaccardPairs(d, "text", "doc_id", 0.5)
+            .select(col("a_id"), col("b_id")))
+        cc.join(q, cc("id") === q("doc_id"))
+          .groupBy(col("root"))
+          .agg(count(lit(1)).as("n_members"),
+            max(when(col("id") === col("root"), col("q_ppm"))).as("q_survivor_ppm"),
+            max(col("q_ppm")).as("q_best_ppm"))
+          .select(col("root"), col("n_members"), col("q_survivor_ppm"),
+            col("q_best_ppm"),
+            (col("q_best_ppm") - col("q_survivor_ppm")).as("regret_ppm"))
+          .orderBy(col("root"))
+      },
+      Some(s"""WITH RECURSIVE sh AS (
+              |  SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+              |                                FOR i IN generate_series(1, len(toks)-2)]) AS s
+              |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+              |  WHERE len(toks) >= 3),
+              |pairs AS MATERIALIZED (
+              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+              |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+              |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              |          UNION SELECT b_id, a_id FROM pairs),
+              |r(id, m) AS (
+              |  SELECT src, src FROM edges
+              |  UNION
+              |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.m),
+              |cc AS (SELECT id, MIN(m) AS root FROM r GROUP BY id),
+              |q AS (
+              |  SELECT doc_id, CAST(ROUND(ROUND(
+              |    LEAST(t / 50.0, 1.0) * 0.4 +
+              |    (CAST(len(list_filter(toks, w -> w IN
+              |       (${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE) / t) * 0.3 +
+              |    CASE WHEN (c - (t - 1)) / CAST(t AS DOUBLE) BETWEEN 3 AND 8
+              |         THEN 0.3 ELSE 0.0 END, 6) * 1000000) AS BIGINT) AS q_ppm
+              |  FROM (SELECT doc_id, string_split(text,' ') AS toks,
+              |               len(string_split(text,' ')) AS t, LENGTH(text) AS c
+              |        FROM documents))
+              |SELECT root, COUNT(*)::BIGINT AS n_members,
+              |  CAST(MAX(CASE WHEN id = root THEN q_ppm END) AS BIGINT) AS q_survivor_ppm,
+              |  CAST(MAX(q_ppm) AS BIGINT) AS q_best_ppm,
+              |  CAST(MAX(q_ppm) - MAX(CASE WHEN id = root THEN q_ppm END) AS BIGINT)
+              |    AS regret_ppm
+              |FROM cc JOIN q ON q.doc_id = cc.id
+              |GROUP BY root ORDER BY root""".stripMargin),
+    ),
   )
 }

@@ -979,5 +979,43 @@ object EventQueries {
              |                ELSE 200000 // (n - 2) END) AS BIGINT) AS credit_ppm_sum
              |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin),
     ),
+
+    // FRESHNESS-decayed volume: per event type, the half-life-weighted
+    // event mass (weight halves per week of age from the stream's max
+    // event time — exact integer: 1e6 div 2^age_weeks, zero past 20
+    // weeks) next to the raw count. The "how much of this source is
+    // recent" signal recency-sensitive mixtures weigh by; the decay is
+    // shift arithmetic so both engines floor identically. One global
+    // 1-row max broadcast + one partial-agg rollup.
+    QueryDef(
+      "q267_freshness_decay",
+      (s, dir) => {
+        val ev = tbl(s, dir, "events").select(col("event_type"), col("ts"))
+        val mx = ev.agg(max(col("ts")).as("max_ts"))
+        ev.crossJoin(broadcast(mx))
+          .withColumn("age", expr("(max_ts - ts) div 604800000000000"))
+          .withColumn("w_ppm",
+            expr("case when age <= 20 then 1000000 div shiftleft(1L, int(age)) " +
+              "else 0L end"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum(col("w_ppm")).as("w_sum"),
+            expr("sum(w_ppm) div count(1)").as("w_avg_ppm"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH m AS (SELECT MAX(epoch_ns(ts)) AS max_ts FROM events),
+             |w AS (
+             |  SELECT event_type,
+             |    (m.max_ts - epoch_ns(ts)) // 604800000000000 AS age
+             |  FROM events CROSS JOIN m),
+             |w2 AS (
+             |  SELECT event_type,
+             |    CASE WHEN age <= 20 THEN 1000000 // (1::BIGINT << CAST(age AS INTEGER))
+             |         ELSE 0 END AS w_ppm
+             |  FROM w)
+             |SELECT event_type, COUNT(*)::BIGINT AS n_events,
+             |  CAST(SUM(w_ppm) AS BIGINT) AS w_sum,
+             |  CAST(SUM(w_ppm) // COUNT(*) AS BIGINT) AS w_avg_ppm
+             |FROM w2 GROUP BY 1 ORDER BY event_type""".stripMargin),
+    ),
   )
 }

@@ -796,5 +796,64 @@ object GraphQueries {
            |SELECT node, lab AS label FROM l2 ORDER BY node""".stripMargin
       }),
     ),
+
+    // 3-TRUSS peel of the near-dup graph (fixed 3 rounds, the
+    // integerPageRank fixed-iteration contract): an edge survives a
+    // round iff it closes at least one triangle in the current graph —
+    // the cohesion tier between connectivity (CC) and density (k-core):
+    // truss edges are duplicate relations CORROBORATED by a third
+    // witness, the high-precision subset a cautious dedup collapses
+    // first. Per round: one adjacency join pair + an edge-keyed partial
+    // count; reported support is the final round's evaluation. Rounds
+    // flatten lineage via localCheckpoint (the q132/q183 discipline).
+    QueryDef(
+      "q268_ktruss",
+      (s, dir) => {
+        val pairs = PinnedCache.pin(
+          Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
+            .select(col("a_id").as("a"), col("b_id").as("b")))
+        var e = pairs
+        var lastSup: org.apache.spark.sql.DataFrame = null
+        for (_ <- 1 to 3) {
+          val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+          val sup = e.toDF("ea", "eb")
+            .join(sym.toDF("pa", "pb"), col("pa") === col("ea"))
+            .join(sym.toDF("qa", "qb"),
+              col("qa") === col("eb") && col("qb") === col("pb"))
+            .groupBy(col("ea"), col("eb")).agg(count(lit(1)).as("support"))
+            .where(col("support") >= 1)
+          lastSup = sup.localCheckpoint(true)
+          e = lastSup.select(col("ea").as("a"), col("eb").as("b"))
+        }
+        lastSup.select(col("ea").as("a"), col("eb").as("b"), col("support"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some({
+        val rounds = (1 to 3).map { i =>
+          s"""sym$i AS MATERIALIZED (
+             |  SELECT a, b FROM e${i - 1} UNION SELECT b, a FROM e${i - 1}),
+             |sup$i AS MATERIALIZED (
+             |  SELECT x.a, x.b, COUNT(*) AS sup
+             |  FROM e${i - 1} x
+             |  JOIN sym$i p ON p.a = x.a
+             |  JOIN sym$i q ON q.a = x.b AND q.b = p.b
+             |  GROUP BY 1, 2),
+             |e$i AS MATERIALIZED (SELECT a, b FROM sup$i WHERE sup >= 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH sh AS (
+           |  SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+           |                                FOR i IN generate_series(1, len(toks)-2)]) AS s
+           |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+           |  WHERE len(toks) >= 3),
+           |e0 AS MATERIALIZED (
+           |  SELECT a.doc_id AS a, b.doc_id AS b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+           |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+           |$rounds
+           |SELECT a, b, CAST(sup AS BIGINT) AS support
+           |FROM sup3 WHERE sup >= 1 ORDER BY a, b""".stripMargin
+      }),
+    ),
   )
 }

@@ -648,6 +648,47 @@ object Relational {
              |JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY n_name ORDER BY n_name""".stripMargin),
     ),
+
+    // TPC-H Q8-flavored MARKET SHARE: per (region, order month), every
+    // nation's share of its region's order revenue, in exact integer ppm
+    // over cents (cents quantize via round-then-cast on both sides — the
+    // q225 rule). The classic multi-join star (orders → customer →
+    // nation → region) with a region-month window over the ROLLUP only;
+    // all three dimension tables broadcast (they are catalog-sized at
+    // any scale factor — the plan never shuffles the fact for the
+    // joins, only for the (region, month, nation) partial agg).
+    QueryDef(
+      "q269_market_share",
+      (s, dir) => {
+        val rev = tbl(s, dir, "orders")
+          .join(broadcast(tbl(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+          .join(broadcast(tbl(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(tbl(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+          .groupBy($"r_name", month($"o_orderdate").cast("long").as("o_month"),
+            $"n_name")
+          .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev_c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"r_name", $"o_month")
+        rev.withColumn("region_rev_c", sum($"rev_c").over(w))
+          .select($"r_name", $"o_month", $"n_name", $"rev_c",
+            expr("(rev_c * 1000000) div region_rev_c").as("share_ppm"))
+          .orderBy($"r_name", $"o_month", $"n_name")
+      },
+      Some("""WITH rev AS (
+             |  SELECT r_name, CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS o_month,
+             |    n_name,
+             |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+             |  FROM orders
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  GROUP BY 1, 2, 3)
+             |SELECT r_name, o_month, n_name, rev_c,
+             |  (rev_c * 1000000)
+             |    // CAST(SUM(rev_c) OVER (PARTITION BY r_name, o_month) AS BIGINT)
+             |    AS share_ppm
+             |FROM rev ORDER BY r_name, o_month, n_name""".stripMargin),
+    ),
   )
 
   // Sugar: $"..." without importing spark.implicits per closure.
