@@ -201,8 +201,12 @@ object Similarity {
     * luck-of-the-draw). Exact brute scan with the label filter BEFORE
     * ranking is the reference semantics (post-filtering an ANN top-m can
     * under-fill a query whose m nearest are all same-label); the scale
-    * swap is [[topKCandidates]] with an enlarged m + this same filter,
-    * recall-gated like AnnSeamSpec. Ties break (sim desc, nid) — fully
+    * swap is [[topKCandidates]] with a DEEP m + this same filter.
+    * Measured caveat (AnnSeamSpec): hard negatives sit at mid-cosine,
+    * where LSH collision probability decays — the swap's recall is
+    * 0.987-0.997 under the strong config at the gate sfs (gated >= 0.98),
+    * not the exact-equality the near-neighbor consumers get; equality
+    * needs ~4x the tables. Ties break (sim desc, nid) — fully
     * deterministic, oracle-replicable. */
   def hardNegatives(corpus: DataFrame, vecCol: String, idCol: String,
       labelCol: String, k: Int): DataFrame = {

@@ -67,6 +67,45 @@ class AnnSeamSpec extends AnyFunSuite {
     assert(ivf == brute, "complete-probe IVF must equal the exhaustive scan")
   }
 
+  test("hard negatives via oversampled ANN candidates reproduce brute at the gate sfs") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the q256 scaladoc's "enlarged m + label filter" swap, executed —
+    // with its measured physics. A top-16 cut is NOT enough (label-
+    // clustered corpora put many same-label vectors ahead of the nearest
+    // negatives), so the swap keeps the candidate stage DEEP (m = 200 ≈
+    // the whole bucket-collision set) and label-filters BEFORE the rank
+    // cut. Even then a few hard negatives are genuine LSH misses: they
+    // sit at MID-cosine (~0.3), where bucket-collision probability
+    // decays steeply — unlike near-dup/top-1 workloads, hard-negative
+    // mining stresses ANN recall at depth. Measured 0.9967 at sf0.001 and
+    // 0.9873 at sf0.01 under the strong config; the gate pins >= 0.98,
+    // and equality would need ~4x the tables — the documented trade.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val e = emb(sf).withColumn("label", col("label").cast("long"))
+      val brute = rows(Similarity.hardNegatives(e, "embedding", "vec_id", "label", 3))
+      PinnedCache.releaseAll()
+      val labels = e.select(col("vec_id"), col("label"))
+      val ann = Similarity.topKCandidates(e, e, "embedding", "vec_id", 200,
+          "multiprobe", selfSet = true, Strong)
+        .join(labels.select(col("vec_id").as("qid"), col("label")), "qid")
+        .join(labels.select(col("vec_id").as("nid"), col("label").as("neg_label")), "nid")
+        .where(col("label") =!= col("neg_label"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("qid"), col("label"), col("nid"), col("neg_label"),
+          col("sim"), col("rk"))
+      val got = rows(ann)
+      PinnedCache.releaseAll()
+      val missedN = (brute -- got).size
+      val recall = (brute.size - missedN).toDouble / brute.size
+      assert(brute.size == 1500, s"$sf: degenerate ground truth ${brute.size}")
+      assert(recall >= 0.98,
+        f"$sf: ANN hard-negative recall $recall%.4f below the 0.98 gate ($missedN missed)")
+    }
+  }
+
   test("recall gate at sf0.1: multiprobe mutual-kNN pair recall >= 0.97") {
     val e = emb("sf0.1")
     def pairs(df: DataFrame) =

@@ -581,4 +581,18 @@ class PlanSpec extends AnyFunSuite {
       "second window pass must reuse the first's exchange and sort")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q269: the dimension star broadcasts — the fact shuffles only as rollup partials") {
+    val p = plan("q269_market_share")
+    assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "no fact-sized join shuffle in the star")
+    assert(p.contains("partial"), "rollup must have a map-side partial stage")
+  }
+
+  test("q254: the salted join keys on (key, _salt) with no cartesian anywhere") {
+    val p = plan("q254_salted_join")
+    assert(p.contains("_salt"), "salt key must reach the join")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
