@@ -1017,5 +1017,106 @@ object EventQueries {
              |  CAST(SUM(w_ppm) // COUNT(*) AS BIGINT) AS w_avg_ppm
              |FROM w2 GROUP BY 1 ORDER BY event_type""".stripMargin),
     ),
+
+    // Referential-CONFORMANCE audit: orphan foreign keys across the
+    // star — the data-quality gate every warehouse load runs before
+    // anything downstream trusts a join (an orphan silently drops rows
+    // in inner joins and fabricates nulls in outer ones). One
+    // broadcast-anti-join per edge (key sets are dimension-sized),
+    // rolled into a (relation, fk) violation table.
+    QueryDef(
+      "q270_fk_conformance",
+      (s, dir) => {
+        def audit(rel: String, fk: String, fact: org.apache.spark.sql.DataFrame,
+            factKey: String, dimKeys: org.apache.spark.sql.DataFrame) =
+          fact.select(col(factKey).as("k"))
+            .join(broadcast(dimKeys.toDF("k")), Seq("k"), "left_anti")
+            .agg(count(lit(1)).as("n_orphan_rows"),
+              countDistinct(col("k")).as("n_orphan_keys"))
+            .select(lit(rel).as("relation"), lit(fk).as("fk"),
+              col("n_orphan_rows"), col("n_orphan_keys"))
+        val orders = tbl(s, dir, "orders")
+        val cust = tbl(s, dir, "customer")
+        val li = tbl(s, dir, "lineitem")
+        val nat = tbl(s, dir, "nation")
+        audit("lineitem", "l_orderkey", li, "l_orderkey",
+            orders.select(col("o_orderkey")))
+          .unionByName(audit("orders", "o_custkey", orders, "o_custkey",
+            cust.select(col("c_custkey"))))
+          .unionByName(audit("customer", "c_nationkey", cust, "c_nationkey",
+            nat.select(col("n_nationkey"))))
+          .unionByName(audit("events", "user_id", tbl(s, dir, "events"),
+            "user_id", cust.select(col("c_custkey"))))
+          .orderBy(col("relation"), col("fk"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'lineitem' AS relation, 'l_orderkey' AS fk,
+             |    COUNT(*)::BIGINT AS n_orphan_rows,
+             |    COUNT(DISTINCT l_orderkey)::BIGINT AS n_orphan_keys
+             |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+             |  UNION ALL
+             |  SELECT 'orders', 'o_custkey', COUNT(*)::BIGINT,
+             |    COUNT(DISTINCT o_custkey)::BIGINT
+             |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+             |  UNION ALL
+             |  SELECT 'customer', 'c_nationkey', COUNT(*)::BIGINT,
+             |    COUNT(DISTINCT c_nationkey)::BIGINT
+             |  FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+             |  UNION ALL
+             |  SELECT 'events', 'user_id', COUNT(*)::BIGINT,
+             |    COUNT(DISTINCT user_id)::BIGINT
+             |  FROM events WHERE user_id NOT IN (SELECT c_custkey FROM customer))
+             |ORDER BY relation, fk""".stripMargin),
+    ),
+
+    // Spend MOBILITY matrix: customer spend terciles in the first vs
+    // second half of the order window (midpoint = integer mean of the
+    // min/max order epoch — one 1-row broadcast), crossed into the 3×3
+    // transition matrix over customers active in BOTH halves. The
+    // diagonal mass is revenue stickiness; heavy off-diagonals mean
+    // churn-and-replace. NTILE with the custkey tiebreaker (bit-equal
+    // floor distribution in both engines); cents-exact spend.
+    QueryDef(
+      "q273_spend_mobility",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = tbl(s, dir, "orders").select(col("o_custkey"),
+          expr("unix_micros(cast(o_orderdate as timestamp))").as("ts"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val mid = o.agg(expr("(min(ts) + max(ts)) div 2").as("mid"))
+        val spend = o.crossJoin(broadcast(mid))
+          .withColumn("half", when(col("ts") <= col("mid"), 1L).otherwise(2L))
+          .groupBy(col("o_custkey"), col("half")).agg(sum(col("cents")).as("sp"))
+        val t = spend.withColumn("t", ntile(3).over(
+          Window.partitionBy(col("half")).orderBy(col("sp"), col("o_custkey")))
+          .cast("long"))
+        t.where(col("half") === 1L)
+          .select(col("o_custkey"), col("t").as("t_h1"))
+          .join(t.where(col("half") === 2L)
+            .select(col("o_custkey"), col("t").as("t_h2")), "o_custkey")
+          .groupBy(col("t_h1"), col("t_h2"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("t_h1"), col("t_h2"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey, epoch_us(o_orderdate) AS ts,
+             |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |m AS (SELECT (MIN(ts) + MAX(ts)) // 2 AS mid FROM o),
+             |sp AS (
+             |  SELECT o_custkey,
+             |    CASE WHEN ts <= m.mid THEN 1 ELSE 2 END AS half,
+             |    SUM(cents) AS spv
+             |  FROM o CROSS JOIN m GROUP BY 1, 2),
+             |t AS (
+             |  SELECT o_custkey, half,
+             |    CAST(NTILE(3) OVER (PARTITION BY half ORDER BY spv, o_custkey)
+             |         AS BIGINT) AS t
+             |  FROM sp)
+             |SELECT a.t AS t_h1, b.t AS t_h2, COUNT(*)::BIGINT AS n_customers
+             |FROM t a JOIN t b ON a.o_custkey = b.o_custkey
+             |  AND a.half = 1 AND b.half = 2
+             |GROUP BY 1, 2 ORDER BY t_h1, t_h2""".stripMargin),
+    ),
   )
 }

@@ -855,5 +855,83 @@ object GraphQueries {
            |FROM sup3 WHERE sup >= 1 ORDER BY a, b""".stripMargin
       }),
     ),
+
+    // MODULARITY decomposition of the LPA communities (q253's quality
+    // scorecard): per community — nodes, internal edges e_c, degree sum
+    // d_c, and the Newman contribution NUMERATOR 4·m·e_c − d_c², all
+    // exact BIGINTs with NO division anywhere (the numerator can be
+    // negative, and floor-vs-truncate semantics diverge across engines
+    // on negatives — so the scalar Q = Σ num / 4m² is left to the
+    // reader as a ratio of the emitted integers). m rides along as a
+    // 1-row broadcast.
+    QueryDef(
+      "q272_community_stats",
+      (s, dir) => {
+        val pairs = PinnedCache.pin(
+          Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
+            .select(col("a_id").as("a"), col("b_id").as("b")))
+        val lab = PinnedCache.pin(Graphs.labelPropagation(pairs, rounds = 2))
+        val m = pairs.agg(count(lit(1)).as("m"))
+        val withLab = pairs
+          .join(lab.select(col("node").as("a"), col("lab").as("la")), "a")
+          .join(lab.select(col("node").as("b"), col("lab").as("lb")), "b")
+        val eIn = withLab.where(col("la") === col("lb"))
+          .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_in"))
+        val deg = pairs.select(col("a").as("node"))
+          .unionByName(pairs.select(col("b").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        val dSum = lab.join(deg, "node")
+          .groupBy(col("lab").as("label"))
+          .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_sum"))
+        dSum.join(eIn, Seq("label"), "left_outer")
+          .crossJoin(broadcast(m))
+          .select(col("label"), col("n_nodes"),
+            coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"), col("m"),
+            (lit(4L) * col("m") * coalesce(col("e_in"), lit(0L))
+              - col("d_sum") * col("d_sum")).as("q_num"))
+          .orderBy(col("label"))
+      },
+      Some({
+        val round = (i: Int) =>
+          s"""n$i AS (
+             |  SELECT sym.b AS node, l${i - 1}.lab, COUNT(*) AS c
+             |  FROM l${i - 1} JOIN sym ON sym.a = l${i - 1}.node GROUP BY 1, 2),
+             |l$i AS (
+             |  SELECT node, lab FROM (
+             |    SELECT node, lab,
+             |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+             |    FROM n$i) WHERE rn = 1)""".stripMargin
+        s"""WITH sh AS (
+           |  SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+           |                                FOR i IN generate_series(1, len(toks)-2)]) AS s
+           |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+           |  WHERE len(toks) >= 3),
+           |e AS MATERIALIZED (
+           |  SELECT a.doc_id AS a, b.doc_id AS b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+           |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+           |sym AS MATERIALIZED (SELECT a, b FROM e UNION SELECT b, a FROM e),
+           |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
+           |${(1 to 2).map(round).mkString(",\n")},
+           |mm AS (SELECT COUNT(*)::BIGINT AS m FROM e),
+           |wl AS (
+           |  SELECT la.lab AS la, lb.lab AS lb
+           |  FROM e JOIN l2 la ON la.node = e.a JOIN l2 lb ON lb.node = e.b),
+           |ein AS (SELECT la AS label, COUNT(*)::BIGINT AS e_in
+           |        FROM wl WHERE la = lb GROUP BY 1),
+           |deg AS (
+           |  SELECT a AS node, COUNT(*)::BIGINT AS deg FROM sym GROUP BY 1),
+           |ds AS (
+           |  SELECT l2.lab AS label, COUNT(*)::BIGINT AS n_nodes,
+           |    CAST(SUM(deg.deg) AS BIGINT) AS d_sum
+           |  FROM l2 JOIN deg ON deg.node = l2.node GROUP BY 1)
+           |SELECT ds.label, ds.n_nodes, COALESCE(ein.e_in, 0) AS e_in,
+           |  ds.d_sum, mm.m,
+           |  4 * mm.m * COALESCE(ein.e_in, 0) - ds.d_sum * ds.d_sum AS q_num
+           |FROM ds LEFT JOIN ein ON ein.label = ds.label CROSS JOIN mm
+           |ORDER BY ds.label""".stripMargin
+      }),
+    ),
   )
 }

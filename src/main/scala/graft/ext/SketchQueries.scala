@@ -801,5 +801,85 @@ object SketchQueries {
               |    AS est_weighted_ppm
               |FROM w""".stripMargin),
     ),
+
+    // Table statistics PROFILE (the ANALYZE TABLE analog a CBO feeds on):
+    // per lineitem column — null count, exact distinct count, numeric
+    // min/max (null for strings) and lexicographic min/max (null for
+    // numerics), the timestamp column as epoch micros. Each column is
+    // its own pruned single-column scan (ReadSchema carries exactly one
+    // field — the profiler costs one column's IO per column, never a
+    // full-width pass), partial-agg'd; the profile table itself is
+    // metadata.
+    QueryDef(
+      "q271_table_profile",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+        def num(name: String, c: org.apache.spark.sql.Column) =
+          li.select(c.as("v")).agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col("v")).as("n_distinct"),
+            min(col("v")).cast("double").as("min_num"),
+            max(col("v")).cast("double").as("max_num"))
+          .select(lit(name).as("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_num"), col("max_num"),
+            lit(null).cast("string").as("min_str"),
+            lit(null).cast("string").as("max_str"))
+        def str(name: String) =
+          li.select(col(name).as("v")).agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col("v")).as("n_distinct"),
+            min(col("v")).as("min_str"), max(col("v")).as("max_str"))
+          .select(lit(name).as("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), lit(null).cast("double").as("min_num"),
+            lit(null).cast("double").as("max_num"), col("min_str"), col("max_str"))
+        num("l_quantity", col("l_quantity"))
+          .unionByName(num("l_extendedprice", col("l_extendedprice")))
+          .unionByName(num("l_discount", col("l_discount")))
+          .unionByName(num("l_shipdate",
+            expr("unix_micros(cast(l_shipdate as timestamp))")))
+          .unionByName(str("l_returnflag"))
+          .unionByName(str("l_linestatus"))
+          .orderBy(col("col_name"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'l_quantity' AS col_name, COUNT(*)::BIGINT AS n_rows,
+             |    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |    COUNT(DISTINCT l_quantity)::BIGINT AS n_distinct,
+             |    CAST(MIN(l_quantity) AS DOUBLE) AS min_num,
+             |    CAST(MAX(l_quantity) AS DOUBLE) AS max_num,
+             |    NULL AS min_str, NULL AS max_str FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_extendedprice', COUNT(*)::BIGINT,
+             |    CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    COUNT(DISTINCT l_extendedprice)::BIGINT,
+             |    CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
+             |    NULL, NULL FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_discount', COUNT(*)::BIGINT,
+             |    CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    COUNT(DISTINCT l_discount)::BIGINT,
+             |    CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
+             |    NULL, NULL FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_shipdate', COUNT(*)::BIGINT,
+             |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    COUNT(DISTINCT l_shipdate)::BIGINT,
+             |    CAST(MIN(epoch_us(l_shipdate)) AS DOUBLE),
+             |    CAST(MAX(epoch_us(l_shipdate)) AS DOUBLE),
+             |    NULL, NULL FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_returnflag', COUNT(*)::BIGINT,
+             |    CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    COUNT(DISTINCT l_returnflag)::BIGINT, NULL, NULL,
+             |    MIN(l_returnflag), MAX(l_returnflag) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_linestatus', COUNT(*)::BIGINT,
+             |    CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    COUNT(DISTINCT l_linestatus)::BIGINT, NULL, NULL,
+             |    MIN(l_linestatus), MAX(l_linestatus) FROM lineitem)
+             |ORDER BY col_name""".stripMargin),
+    ),
   )
 }
