@@ -1207,5 +1207,85 @@ object TextQueries {
              |FROM documents d LEFT JOIN dup USING (doc_id)
              |ORDER BY doc_id""".stripMargin),
     ),
+
+    // SKIP-GRAM co-occurrence counts (window ±2) — the raw statistic
+    // word2vec/GloVe-style embedding training consumes: directed
+    // (center, context) pair counts within a 2-token window, top 30 by
+    // count with a total tie order. One positional self-join per doc
+    // (each token meets ≤4 partners — linear in corpus tokens), then a
+    // partial-agg count; TakeOrderedAndProject ships the top-30 heads.
+    QueryDef(
+      "q274_skipgram_counts",
+      (s, dir) => {
+        val t = tbl(s, dir, "documents")
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+        t.toDF("doc_id", "pa", "ta")
+          .join(t.toDF("doc_id", "pb", "tb"), "doc_id")
+          .where(col("pb") =!= col("pa") &&
+            abs(col("pb") - col("pa")) <= 2)
+          .groupBy(col("ta").as("center"), col("tb").as("context"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("center"), col("context"))
+          .limit(30)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, p, toks[p] AS tok
+             |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS p
+             |        FROM (SELECT doc_id, string_split(text,' ') AS toks
+             |              FROM documents)))
+             |SELECT a.tok AS center, b.tok AS context, COUNT(*)::BIGINT AS cnt
+             |FROM t a JOIN t b ON a.doc_id = b.doc_id
+             |  AND b.p <> a.p AND ABS(b.p - a.p) <= 2
+             |GROUP BY 1, 2 ORDER BY cnt DESC, center, context LIMIT 30""".stripMargin),
+    ),
+
+    // NEGATIVE-SAMPLING table (unigram^0.75): per token, the word2vec
+    // noise-distribution weight count^(3/4) = isqrt(isqrt(count³)) —
+    // EXACT integer 4th root of the cube via two chained exact isqrt
+    // corrections (the q126/q252 kernel, composed), so the smoothed
+    // distribution is bit-identical cross-engine with zero libm. Shares
+    // floor to ppm over the weight total. Overflow bound: count³ < 2^62
+    // needs count < 1.6M — document the decimal(38) switch beyond.
+    QueryDef(
+      "q275_negative_sampling",
+      (s, dir) => {
+        import graft.ext.Sampling.isqrt
+        val counts = tbl(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val w = counts.withColumn("w", isqrt(isqrt(col("c") * col("c") * col("c"))))
+        w.crossJoin(broadcast(w.agg(sum(col("w")).as("w_sum"))))
+          .select(col("tok"), col("c"), col("w"),
+            expr("(w * 1000000) div w_sum").as("share_ppm"))
+          .orderBy(col("tok"))
+      },
+      Some("""WITH c AS (
+             |  SELECT tok, COUNT(*)::BIGINT AS c
+             |  FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents)
+             |  GROUP BY 1),
+             |c3 AS (SELECT tok, c, c*c*c AS x,
+             |         CAST(floor(sqrt(CAST(c*c*c AS DOUBLE))) AS BIGINT) AS s0
+             |       FROM c),
+             |r1 AS (
+             |  SELECT tok, c,
+             |    CASE WHEN (CASE WHEN s0*s0 > x THEN s0-1 ELSE s0 END + 1)
+             |              * (CASE WHEN s0*s0 > x THEN s0-1 ELSE s0 END + 1) <= x
+             |         THEN CASE WHEN s0*s0 > x THEN s0-1 ELSE s0 END + 1
+             |         ELSE CASE WHEN s0*s0 > x THEN s0-1 ELSE s0 END END AS y
+             |  FROM c3),
+             |r2 AS (SELECT tok, c, y,
+             |         CAST(floor(sqrt(CAST(y AS DOUBLE))) AS BIGINT) AS s0
+             |       FROM r1),
+             |w AS (
+             |  SELECT tok, c,
+             |    CASE WHEN (CASE WHEN s0*s0 > y THEN s0-1 ELSE s0 END + 1)
+             |              * (CASE WHEN s0*s0 > y THEN s0-1 ELSE s0 END + 1) <= y
+             |         THEN CASE WHEN s0*s0 > y THEN s0-1 ELSE s0 END + 1
+             |         ELSE CASE WHEN s0*s0 > y THEN s0-1 ELSE s0 END END AS w
+             |  FROM r2),
+             |t AS (SELECT *, CAST(SUM(w) OVER () AS BIGINT) AS w_sum FROM w)
+             |SELECT tok, c, w, (w * 1000000) // w_sum AS share_ppm
+             |FROM t ORDER BY tok""".stripMargin),
+    ),
   )
 }
