@@ -1287,5 +1287,116 @@ object TextQueries {
              |SELECT tok, c, w, (w * 1000000) // w_sum AS share_ppm
              |FROM t ORDER BY tok""".stripMargin),
     ),
+
+    // SPAN-CORRUPTION plan (T5-style denoising prep): per doc, the
+    // deterministic ~15% token mask (position masked iff the portable
+    // hash of doc_id:position lands under 15/100) summarized as the
+    // maximal-run SPAN schedule — span count, masked total, longest
+    // span — via the islands trick (p − rank over masked positions is
+    // constant within a run). The augmentation plan is a pure function
+    // of ids, so every epoch/engine regenerates the identical schedule
+    // (reproducible training), and the oracle replays it bit-for-bit.
+    QueryDef(
+      "q276_span_corruption_plan",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = tbl(s, dir, "documents")
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        val pos = d.select(col("doc_id"), col("n_tokens"),
+            explode(sequence(lit(1L), col("n_tokens"))).as("p"))
+          .where(pmod(Sampling.portableHash(
+            concat(col("doc_id"), lit(":"), col("p"))), lit(100)) < 15)
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        val spans = pos
+          .withColumn("isl", col("p") - row_number().over(w))
+          .groupBy(col("doc_id"), col("isl")).agg(count(lit(1)).as("len"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"), sum(col("len")).as("n_masked"),
+            max(col("len")).as("max_span_len"))
+        d.select(col("doc_id"), col("n_tokens"))
+          .join(spans, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("max_span_len"), lit(0L)).as("max_span_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |pos AS (
+             |  SELECT doc_id, CAST(p AS BIGINT) AS p
+             |  FROM (SELECT doc_id, unnest(generate_series(1, CAST(n_tokens AS INTEGER))) AS p
+             |        FROM d)
+             |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'
+             |          || CAST(p AS VARCHAR)),1,15)) AS BIGINT) % 100 < 15),
+             |isl AS (
+             |  SELECT doc_id,
+             |    p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS g
+             |  FROM pos),
+             |runs AS (
+             |  SELECT doc_id, g, COUNT(*)::BIGINT AS len
+             |  FROM isl GROUP BY 1, 2),
+             |sp AS (
+             |  SELECT doc_id, COUNT(*)::BIGINT AS n_spans,
+             |    CAST(SUM(len) AS BIGINT) AS n_masked,
+             |    CAST(MAX(len) AS BIGINT) AS max_span_len
+             |  FROM runs GROUP BY 1)
+             |SELECT d.doc_id, d.n_tokens,
+             |  COALESCE(sp.n_masked, 0) AS n_masked,
+             |  COALESCE(sp.n_spans, 0) AS n_spans,
+             |  COALESCE(sp.max_span_len, 0) AS max_span_len
+             |FROM d LEFT JOIN sp USING (doc_id) ORDER BY doc_id""".stripMargin),
+    ),
+
+    // CHI-SQUARE independence scan (lang × length tercile): the
+    // categorical-association screen ("is document length independent of
+    // language?") in EXACT integers — per cell, the scaled statistic
+    // term (N·O − R·C)²·1e6 div (N·R·C); the 2-engine floor convention
+    // makes even the chi-square terms hash-comparable. Length terciles
+    // by NTILE with doc_id tiebreak (a global window over the doc
+    // metadata frame — at scale swap in the q147 equi-depth bounds for
+    // the bucketing; the statistic itself is rollup-sized).
+    QueryDef(
+      "q277_chi_square",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = tbl(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("len"))
+          .withColumn("lt", ntile(3).over(
+            Window.orderBy(col("len"), col("doc_id"))).cast("long"))
+        val cells = d.groupBy(col("lang"), col("lt")).agg(count(lit(1)).as("o"))
+        val r = d.groupBy(col("lang")).agg(count(lit(1)).as("r"))
+        val c = d.groupBy(col("lt")).agg(count(lit(1)).as("cc"))
+        val n = d.agg(count(lit(1)).as("n"))
+        cells.join(r, "lang").join(c, "lt").crossJoin(broadcast(n))
+          // the squared term × 1e6 passes 2^63 once N·O reaches ~3e6, so
+          // the numerator rides decimal(38) (the Sketches q250 pattern —
+          // DuckDB mirrors in HUGEINT); the quotient is back in BIGINT
+          .select(col("lang"), col("lt"), col("o"), col("r"), col("cc"), col("n"),
+            expr("cast((cast((n * o - r * cc) as decimal(38,0)) * (n * o - r * cc)" +
+              " * 1000000) div (n * r * cc) as bigint)")
+              .as("chi2_term_ppm"))
+          .orderBy(col("lang"), col("lt"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS len
+             |  FROM documents),
+             |t AS (
+             |  SELECT doc_id, lang,
+             |    CAST(NTILE(3) OVER (ORDER BY len, doc_id) AS BIGINT) AS lt
+             |  FROM d),
+             |cells AS (SELECT lang, lt, COUNT(*)::BIGINT AS o FROM t GROUP BY 1, 2),
+             |r AS (SELECT lang, COUNT(*)::BIGINT AS r FROM t GROUP BY 1),
+             |c AS (SELECT lt, COUNT(*)::BIGINT AS cc FROM t GROUP BY 1),
+             |n AS (SELECT COUNT(*)::BIGINT AS n FROM t)
+             |SELECT cells.lang, cells.lt, o, r.r, c.cc, n.n,
+             |  CAST(((n.n * o - r.r * c.cc)::HUGEINT * (n.n * o - r.r * c.cc)
+             |        * 1000000) // (n.n * r.r * c.cc) AS BIGINT) AS chi2_term_ppm
+             |FROM cells JOIN r USING (lang) JOIN c USING (lt) CROSS JOIN n
+             |ORDER BY lang, lt""".stripMargin),
+    ),
   )
 }
