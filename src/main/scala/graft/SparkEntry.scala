@@ -23,7 +23,7 @@ object SparkEntry {
       TextQueries.queries ++ SamplingQueries.queries ++
       SketchQueries.queries ++ GraphQueries.queries ++
       EventQueries.queries ++ OpsQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ EvalQueries.queries ++ EvalQueries2.queries
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

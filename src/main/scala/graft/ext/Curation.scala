@@ -12,6 +12,21 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** The demo linear-model weights shared by q122 (inference) and the
+    * q278/q279 evaluation queries (AUC, calibration) — integer weights so
+    * every margin is bit-exact across engines. Order is fixed: the oracle
+    * interpolates these as a VALUES table. */
+  val DemoWeights: Seq[(String, Long)] = Seq(
+    "fast" -> 3L, "merge" -> 2L, "vector" -> 2L, "stream" -> 2L,
+    "query" -> 1L, "table" -> 1L, "hash" -> 1L, "key" -> 1L,
+    "slow" -> -4L, "scan" -> -2L, "row" -> -1L, "a" -> -1L,
+    "big" -> -2L, "the" -> 1L, "spark" -> 2L)
+  val DemoBias: Long = -2L
+
+  /** `WITH`-fragment SQL for [[DemoWeights]] as a VALUES table. */
+  def demoWeightsValuesSql: String =
+    DemoWeights.map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+
   /** Deterministic near-dup survivor rule: a doc is dropped iff it is the
     * higher id of SOME qualifying pair (keep-the-oldest policy). */
   def removeNearDups(docs: DataFrame, threshold: Double): DataFrame = {

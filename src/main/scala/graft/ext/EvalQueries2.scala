@@ -1,0 +1,208 @@
+package graft.ext
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDef
+import graft.queries.QueryDef.tbl
+
+/** Second slice of the evaluation family (q284+): rater agreement (Cohen's
+  * kappa), exact-Gini decision-stump training, Kaplan-Meier time-to-event
+  * with administrative censoring. Same exact-arithmetic discipline as
+  * [[EvalQueries]]; float appears only in the KM survival product, as a
+  * left-to-right IEEE fold replicated op-for-op by the oracle's recursive
+  * CTE (the house double-fold rule, DEVNOTES rule 4). */
+object EvalQueries2 {
+
+  def queries: Seq[QueryDef] = Seq(
+
+    // Cohen's kappa between the metadata `lang` column and q31's stopword
+    // language detector, binarized to en/not-en, per source — the scalar
+    // agreement summary of q230's confusion matrix (raw agreement is
+    // inflated by chance; kappa subtracts it). Exact rational over the
+    // 2×2 cells: kappa = (N(a+d) − [(a+b)(a+c)+(c+d)(b+d)]) /
+    // (N² − [...]), emitted as a truncating-div ppm (numerator can be
+    // negative; Spark `div` and DuckDB `//` both truncate toward zero).
+    // Map-only detection + one rollup; decimal(38,0) carries N².
+    QueryDef(
+      "q284_lang_kappa",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+          .select(col("source"),
+            (col("lang") === "en").cast("int").as("r1"),
+            (TextAnalysis.langPred(TextAnalysis.stopwordRatio(col("text"))) === "en")
+              .cast("int").as("r2"))
+        d.groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("r1") === 1 && col("r2") === 1, 1L).otherwise(0L)).as("cell_a"),
+            sum(when(col("r1") === 1 && col("r2") === 0, 1L).otherwise(0L)).as("cell_b"),
+            sum(when(col("r1") === 0 && col("r2") === 1, 1L).otherwise(0L)).as("cell_c"),
+            sum(when(col("r1") === 0 && col("r2") === 0, 1L).otherwise(0L)).as("cell_d"))
+          .select(col("source"), col("n"),
+            col("cell_a"), col("cell_b"), col("cell_c"), col("cell_d"),
+            expr("""cast((cast(n as decimal(38,0))*(cell_a+cell_d)
+                   |  - ((cell_a+cell_b)*(cell_a+cell_c) + (cell_c+cell_d)*(cell_b+cell_d))) * 1000000
+                   |  div nullif(cast(n as decimal(38,0))*n
+                   |  - ((cell_a+cell_b)*(cell_a+cell_c) + (cell_c+cell_d)*(cell_b+cell_d)), 0)
+                   |  as bigint)""".stripMargin).as("kappa_ppm"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (
+              |  SELECT source,
+              |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS r1,
+              |    CASE WHEN CAST(len(list_filter(string_split(text,' '),
+              |           w -> w IN (${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+              |           / len(string_split(text,' ')) >= 0.05 THEN 1 ELSE 0 END AS r2
+              |  FROM documents),
+              |m AS (SELECT source, COUNT(*) AS n,
+              |    CAST(SUM(CASE WHEN r1=1 AND r2=1 THEN 1 ELSE 0 END) AS BIGINT) AS cell_a,
+              |    CAST(SUM(CASE WHEN r1=1 AND r2=0 THEN 1 ELSE 0 END) AS BIGINT) AS cell_b,
+              |    CAST(SUM(CASE WHEN r1=0 AND r2=1 THEN 1 ELSE 0 END) AS BIGINT) AS cell_c,
+              |    CAST(SUM(CASE WHEN r1=0 AND r2=0 THEN 1 ELSE 0 END) AS BIGINT) AS cell_d
+              |  FROM d GROUP BY source)
+              |SELECT source, n, cell_a, cell_b, cell_c, cell_d,
+              |  CAST((CAST(n AS HUGEINT)*(cell_a+cell_d)
+              |    - ((cell_a+cell_b)*(cell_a+cell_c) + (cell_c+cell_d)*(cell_b+cell_d))) * 1000000
+              |    // NULLIF(CAST(n AS HUGEINT)*n
+              |    - ((cell_a+cell_b)*(cell_a+cell_c) + (cell_c+cell_d)*(cell_b+cell_d)), 0) AS BIGINT) AS kappa_ppm
+              |FROM m ORDER BY source""".stripMargin),
+    ),
+
+
+    // Decision-stump training at corpus scale: the exact best threshold on
+    // n_chars for predicting lang = 'en' by weighted Gini impurity — the
+    // split-finding inner loop of every tree learner, run as one pass.
+    // Candidate thresholds = DISTINCT feature values (vocabulary-bounded);
+    // left/right class counts via one cumulative window over that distinct
+    // frame (never the corpus); impurities as e6-scaled exact integers
+    // over decimal(38,0) squares (per-side truncating division — the same
+    // deterministic quantization both engines apply). Deterministic
+    // argmin: min (split_ppm, t). Output: the chosen stump + its gain.
+    QueryDef(
+      "q285_decision_stump",
+      (s, dir) => {
+        val sc = tbl(s, dir, "documents")
+          .select(col("n_chars").as("x"), (col("lang") === "en").cast("long").as("pos"))
+        val dv = sc.groupBy("x")
+          .agg(count(lit(1)).as("cnt"), sum("pos").as("cp"))
+        val wOrd = Window.orderBy("x")
+        val tot = sc.agg(count(lit(1)).as("n"), sum("pos").as("p"))
+        val cand = dv
+          .select(col("x").as("t"),
+            sum("cnt").over(wOrd).as("nl"),
+            sum("cp").over(wOrd).as("pl"))
+          .crossJoin(broadcast(tot))
+          .where(col("nl") < col("n"))
+          .select(col("t"), col("nl"), col("pl"),
+            (col("n") - col("nl")).as("nr"), (col("p") - col("pl")).as("pr"),
+            col("n"), col("p"))
+        val imp = cand.select(col("t"), col("nl"), col("nr"), col("n"),
+          expr("""(cast(nl as decimal(38,0))*nl - cast(pl as decimal(38,0))*pl
+                 | - cast(nl-pl as decimal(38,0))*(nl-pl)) * 1000000
+                 | div (cast(nl as decimal(38,0))*nl)""".stripMargin).as("gl"),
+          expr("""(cast(nr as decimal(38,0))*nr - cast(pr as decimal(38,0))*pr
+                 | - cast(nr-pr as decimal(38,0))*(nr-pr)) * 1000000
+                 | div (cast(nr as decimal(38,0))*nr)""".stripMargin).as("gr"),
+          expr("""cast((cast(n as decimal(38,0))*n - cast(p as decimal(38,0))*p
+                 | - cast(n-p as decimal(38,0))*(n-p)) * 1000000
+                 | div (cast(n as decimal(38,0))*n) as bigint)""".stripMargin).as("base_ppm"))
+          .select(col("t"), col("base_ppm"),
+            expr("cast((nl*gl + nr*gr) div n as bigint)").as("split_ppm"))
+        imp.orderBy(col("split_ppm"), col("t")).limit(1)
+          .select(col("t").as("best_threshold"), col("base_ppm"), col("split_ppm"),
+            (col("base_ppm") - col("split_ppm")).as("gain_ppm"))
+      },
+      Some("""WITH s AS (SELECT n_chars AS x, CASE WHEN lang='en' THEN 1 ELSE 0 END AS pos FROM documents),
+             |tot AS (SELECT COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS p FROM s),
+             |dv AS (SELECT x, COUNT(*) AS cnt, CAST(SUM(pos) AS BIGINT) AS cp FROM s GROUP BY x),
+             |cum AS (SELECT x, SUM(cnt) OVER (ORDER BY x) AS nl,
+             |          CAST(SUM(cp) OVER (ORDER BY x) AS BIGINT) AS pl FROM dv),
+             |cand AS (
+             |  SELECT c.x AS t, c.nl, c.pl, tot.n - c.nl AS nr, tot.p - c.pl AS pr, tot.n AS n, tot.p AS p
+             |  FROM cum c CROSS JOIN tot WHERE c.nl < tot.n),
+             |imp AS (
+             |  SELECT t, nl, nr, n,
+             |    (CAST(nl AS HUGEINT)*nl - CAST(pl AS HUGEINT)*pl - CAST(nl-pl AS HUGEINT)*(nl-pl)) * 1000000
+             |      // (CAST(nl AS HUGEINT)*nl) AS gl,
+             |    (CAST(nr AS HUGEINT)*nr - CAST(pr AS HUGEINT)*pr - CAST(nr-pr AS HUGEINT)*(nr-pr)) * 1000000
+             |      // (CAST(nr AS HUGEINT)*nr) AS gr,
+             |    CAST((CAST(n AS HUGEINT)*n - CAST(p AS HUGEINT)*p - CAST(n-p AS HUGEINT)*(n-p)) * 1000000
+             |      // (CAST(n AS HUGEINT)*n) AS BIGINT) AS base_ppm
+             |  FROM cand),
+             |w AS (SELECT t, base_ppm, CAST((nl*gl + nr*gr) // n AS BIGINT) AS split_ppm FROM imp)
+             |SELECT t AS best_threshold, base_ppm, split_ppm, base_ppm - split_ppm AS gain_ppm
+             |FROM w ORDER BY split_ppm, t LIMIT 1""".stripMargin),
+    ),
+
+
+    // Kaplan-Meier time-to-first-purchase with ADMINISTRATIVE CENSORING:
+    // observation window = corpus days [0, 3]; users entering later are
+    // excluded, users whose first purchase lands after the window are
+    // censored at day 3 (the estimator's whole point — dropping them
+    // would bias conversion latency DOWN). Risk sets via one suffix-sum
+    // window over the per-day event table (≤ window-length rows); the
+    // survival curve is the ordered product Π(1 − dᵗ/nᵗ) as a
+    // left-to-right double fold, replicated op-for-op (one divide, one
+    // multiply per step) by the oracle's recursive CTE. Heavy lifting
+    // (per-user rollup) partial-aggregates; everything after is
+    // constant-sized.
+    QueryDef(
+      "q286_kaplan_meier",
+      (s, dir) => {
+        val day = 86400000000000L
+        val u = tbl(s, dir, "events")
+          .groupBy("user_id")
+          .agg(min(call_function("div", col("ts"), lit(day))).as("f"),
+            min(when(col("event_type") === "purchase",
+              call_function("div", col("ts"), lit(day)))).as("fp"))
+        val d0 = u.agg(min("f").as("d0"))
+        val lf = u.crossJoin(broadcast(d0))
+          .select((col("f") - col("d0")).as("fr"),
+            (col("fp") - col("d0")).as("fpr"))
+          .where(col("fr") <= 3)
+          .select(
+            when(col("fpr").isNotNull && col("fpr") <= 3, col("fpr") - col("fr"))
+              .otherwise(lit(3L) - col("fr")).as("t"),
+            when(col("fpr").isNotNull && col("fpr") <= 3, 0L).otherwise(1L).as("cens"))
+        val ev = lf.groupBy("t")
+          .agg(sum(lit(1L) - col("cens")).as("d"), sum("cens").as("c"))
+        val rs = ev.withColumn("n_t",
+          sum(col("d") + col("c")).over(Window.orderBy(col("t").desc)))
+        // ordered survival product over the ≤4-row curve: collect sorted,
+        // prefix-fold per index (O(T²) on a constant-sized frame)
+        rs.agg(sort_array(collect_list(struct(col("t"), col("d"), col("c"), col("n_t"))))
+            .as("curve"))
+          .select(explode(expr(
+            """transform(curve, (row, i) ->
+              |  named_struct('t', row.t, 'd', row.d, 'c', row.c, 'n_t', row.n_t,
+              |    'survival',
+              |    aggregate(slice(curve, 1, i + 1), cast(1.0 as double),
+              |      (acc, r) -> acc * ((cast(r.n_t as double) - cast(r.d as double)) / cast(r.n_t as double)))))""".stripMargin)).as("r"))
+          .select(col("r.t").as("t"), col("r.d").as("d"), col("r.c").as("c"),
+            col("r.n_t").as("n_t"), col("r.survival").as("survival"))
+          .orderBy("t")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    MIN(epoch_ns(ts) // 86400000000000) AS f,
+             |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 86400000000000 END) AS fp
+             |  FROM events GROUP BY user_id),
+             |mn AS (SELECT MIN(f) AS d0 FROM u),
+             |w AS (SELECT f - d0 AS fr, fp - d0 AS fpr FROM u CROSS JOIN mn WHERE f - d0 <= 3),
+             |lf AS (SELECT CASE WHEN fpr IS NOT NULL AND fpr <= 3 THEN fpr - fr ELSE 3 - fr END AS t,
+             |              CASE WHEN fpr IS NOT NULL AND fpr <= 3 THEN 0 ELSE 1 END AS cens FROM w),
+             |ev AS (SELECT t, CAST(SUM(1 - cens) AS BIGINT) AS d, CAST(SUM(cens) AS BIGINT) AS c FROM lf GROUP BY t),
+             |rs AS (SELECT t, d, c, CAST(SUM(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS n_t FROM ev),
+             |idx AS (SELECT *, row_number() OVER (ORDER BY t) AS rn FROM rs),
+             |km AS (
+             |  WITH RECURSIVE k AS (
+             |    SELECT t, d, c, n_t, 1.0::DOUBLE * ((CAST(n_t AS DOUBLE) - CAST(d AS DOUBLE)) / CAST(n_t AS DOUBLE)) AS survival, rn
+             |    FROM idx WHERE rn = 1
+             |    UNION ALL
+             |    SELECT r.t, r.d, r.c, r.n_t,
+             |      k.survival * ((CAST(r.n_t AS DOUBLE) - CAST(r.d AS DOUBLE)) / CAST(r.n_t AS DOUBLE)), r.rn
+             |    FROM k JOIN idx r ON r.rn = k.rn + 1)
+             |  SELECT * FROM k)
+             |SELECT t, d, c, n_t, survival FROM km ORDER BY t""".stripMargin),
+    ),
+  )
+}

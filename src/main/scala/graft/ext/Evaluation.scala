@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-arithmetic evaluation statistics (the measurement layer behind the
+  * q278–q283 family): rank-sum AUC, two-proportion z², covariance signs,
+  * Benford χ². Everything is integer/rational so results are bit-exact
+  * across engines and partitionings — see EvalQueries for the operator
+  * framing and the DuckDB twins.
+  */
+object Evaluation {
+
+  /** Exact tie-corrected Mann-Whitney ROC-AUC per group. Input columns:
+    * `grp` (grouping), `score` (long), `pos` (int 0/1 label). With average
+    * ranks doubled to stay integral: auc = (2R⁺ − n⁺(n⁺+1)) / (2n⁺n⁻).
+    * Output: grp, n_pos, n_neg, auc_num, auc_den, auc_ppm (truncating
+    * div, null when a class is empty). The rank window partitions by
+    * group — frames are per-group, never global. */
+  def rankSumAuc(scored: DataFrame): DataFrame = {
+    val r = scored.select(col("grp"), col("pos"),
+      rank().over(Window.partitionBy("grp").orderBy("score"))
+        .cast("long").as("rk"),
+      count(lit(1)).over(Window.partitionBy("grp", "score")).as("ties"))
+    r.groupBy("grp")
+      .agg(sum("pos").as("n_pos"),
+        sum(lit(1) - col("pos")).as("n_neg"),
+        sum(when(col("pos") === 1, lit(2L) * col("rk") + col("ties") - 1L)
+          .otherwise(0L)).as("r2_pos"))
+      .select(col("grp"), col("n_pos"), col("n_neg"),
+        (col("r2_pos") - col("n_pos") * (col("n_pos") + 1L)).as("auc_num"),
+        (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den"),
+        expr("(r2_pos - n_pos*(n_pos+1)) * 1000000 div nullif(2*n_pos*n_neg, 0)")
+          .as("auc_ppm"))
+  }
+
+  /** Pooled two-proportion z² in exact ppm over a per-group contingency
+    * frame (columns n1, c1, n2, c2): z² = N·(c₁n₂ − c₂n₁)² / (C(N−C)n₁n₂).
+    * decimal(38,0) products keep it exact to ~10^18-trial groups; the
+    * numerator is a square so trunc == floor. Null when degenerate. */
+  def withZ2Ppm(contingency: DataFrame): DataFrame =
+    contingency
+      .withColumn("z2_ppm",
+        expr("""cast(case when (c1+c2) = 0 or (c1+c2) = (n1+n2) or n1 = 0 or n2 = 0
+               |  then null
+               |  else (cast(n1+n2 as decimal(38,0)) * (c1*n2 - c2*n1) * (c1*n2 - c2*n1) * 1000000)
+               |       div (cast(c1+c2 as decimal(38,0)) * ((n1+n2)-(c1+c2)) * n1 * n2)
+               |  end as bigint)""".stripMargin))
+      .withColumn("flagged", coalesce(col("z2_ppm") > 4000000L, lit(false)))
+
+  /** Exact covariance sign + per-pair magnitude for (grp, x, y) rows via
+    * the moment identity n·Σxy − Σx·Σy over decimal(38,0). `keys` empty =
+    * pooled. cov_pp = sign·(|cov| div n²) — bounded by max|x·y|, so the
+    * emitted scale is row-count-invariant. */
+  def covSigns(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val g = if (keys.isEmpty) df.groupBy() else df.groupBy(keys.map(col): _*)
+    g.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"))
+      .withColumn("cov",
+        expr("cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy"))
+      .select((keys.map(col) :+ col("n") :+
+        signum(col("cov")).cast("long").as("sgn") :+
+        expr("cast(sign(cov) as bigint) * cast(abs(cov) div (cast(n as decimal(38,0)) * n) as bigint)")
+          .as("cov_pp")): _*)
+  }
+
+  /** Benford first-significant-digit ppm expectations, d = 1..9
+    * (precomputed log₁₀(1+1/d) — fixed literals both engines share). */
+  val BenfordPpm: Seq[Long] = Seq(301030L, 176091L, 124939L, 96910L,
+    79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /** Benford χ² audit per group over (grp, cents BIGINT) rows: first digit
+    * off the decimal-string head, digits densified 1..9, χ² accumulated as
+    * an exact e6-scaled integer (per-digit truncating division) and
+    * compared against the df=8 α=0.05 critical value 15.507. */
+  def benfordAudit(df: DataFrame): DataFrame = {
+    val counts = df
+      .select(col("grp"),
+        substring(col("cents").cast("string"), 1, 1).cast("long").as("dig"))
+      .groupBy("grp", "dig").agg(count(lit(1)).as("n_d"))
+    val grid = counts.select("grp").distinct()
+      .select(col("grp"), explode(sequence(lit(1L), lit(9L))).as("dig"))
+    grid.join(counts, Seq("grp", "dig"), "left")
+      .select(col("grp"), col("dig"),
+        coalesce(col("n_d"), lit(0L)).as("n_d"),
+        element_at(typedLit(BenfordPpm), col("dig").cast("int")).as("e_d"))
+      .withColumn("n", sum("n_d").over(Window.partitionBy("grp")))
+      .select(col("grp"), col("n"), col("n_d"), col("dig"),
+        expr("""cast((cast(n_d as decimal(38,0))*1000000 - cast(n as decimal(38,0))*e_d)
+               | * (cast(n_d as decimal(38,0))*1000000 - cast(n as decimal(38,0))*e_d)
+               | div (cast(n as decimal(38,0)) * e_d) as bigint)""".stripMargin).as("term"))
+      .groupBy("grp").agg(max("n").as("n_rows"),
+        sum(when(col("dig") === 1, col("n_d")).otherwise(0L)).as("n_digit1"),
+        sum("term").as("chi2_e6"))
+      .withColumn("benford_ok", col("chi2_e6") <= 15507000L)
+  }
+}

@@ -488,13 +488,9 @@ object TextQueries {
     // every decision is bit-exact (the oracle re-derives margins from the
     // same VALUES weight table).
     {
-      val weights: Seq[(String, Long)] = Seq(
-        "fast" -> 3L, "merge" -> 2L, "vector" -> 2L, "stream" -> 2L,
-        "query" -> 1L, "table" -> 1L, "hash" -> 1L, "key" -> 1L,
-        "slow" -> -4L, "scan" -> -2L, "row" -> -1L, "a" -> -1L,
-        "big" -> -2L, "the" -> 1L, "spark" -> 2L)
-      val bias = -2L
-      val valuesSql = weights.map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+      val weights = Curation.DemoWeights
+      val bias = Curation.DemoBias
+      val valuesSql = Curation.demoWeightsValuesSql
       QueryDef(
         "q122_quality_classifier",
         (s, dir) => Curation.linearGate(tbl(s, dir, "documents"),
