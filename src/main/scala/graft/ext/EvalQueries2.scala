@@ -204,5 +204,170 @@ object EvalQueries2 {
              |  SELECT * FROM k)
              |SELECT t, d, c, n_t, survival FROM km ORDER BY t""".stripMargin),
     ),
+
+
+    // CUPED variance-reduced A/B readout: outcome y = post-period purchase
+    // count (days > 6), covariate x = pre-period activity (events in days
+    // 0–6), arms by user hash. θ = pooled cov(x,y)/var(x) kept as an
+    // exact rational (moment identities over decimal(38,0)); adjusted
+    // lift = (ȳ₁−ȳ₂) − θ(x̄₁−x̄₂) emitted as one e6 floor-division over
+    // the common denominator n₁n₂·θden — no intermediate float ever. Also
+    // reports ρ²: the exact variance-reduction fraction CUPED buys. One
+    // per-user rollup then a single-row reduce; the per-user stage
+    // partial-aggregates and nothing here shuffles more than the user key.
+    QueryDef(
+      "q287_cuped_lift",
+      (s, dir) => {
+        val day = 86400000000000L
+        val ev = tbl(s, dir, "events")
+        val d0 = ev.agg(min(call_function("div", col("ts"), lit(day))).as("d0"))
+        val u = ev.crossJoin(broadcast(d0))
+          .select(col("user_id"),
+            (call_function("div", col("ts"), lit(day)) - col("d0")).as("rd"),
+            (col("event_type") === "purchase").cast("long").as("is_p"))
+          .groupBy("user_id")
+          .agg(sum(when(col("rd") <= 6, 1L).otherwise(0L)).as("x"),
+            sum(when(col("rd") > 6, col("is_p")).otherwise(0L)).as("y"))
+          .select(pmod(Sampling.portableHash(col("user_id")), lit(2)).as("arm"),
+            col("x"), col("y"))
+        u.groupBy()
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+            sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+            sum(expr("cast(y as decimal(38,0)) * y")).as("syy"),
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sx1"),
+            sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sy1"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+            sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("sx2"),
+            sum(when(col("arm") === 1, col("y")).otherwise(0L)).as("sy2"))
+          .select(col("n1"), col("n2"),
+            expr("""(cast(sy1 as decimal(38,0))*n2 - cast(sy2 as decimal(38,0))*n1) * 1000000
+                   | div (cast(n1 as decimal(38,0))*n2)""".stripMargin).as("diff_raw_e6"),
+            expr("""((cast(sy1 as decimal(38,0))*n2 - cast(sy2 as decimal(38,0))*n1)
+                   |   * (cast(n as decimal(38,0))*sxx - cast(sx as decimal(38,0))*sx)
+                   | - (cast(n as decimal(38,0))*sxy - cast(sx as decimal(38,0))*sy)
+                   |   * (cast(sx1 as decimal(38,0))*n2 - cast(sx2 as decimal(38,0))*n1)) * 1000000
+                   | div (cast(n1 as decimal(38,0))*n2
+                   |   * (cast(n as decimal(38,0))*sxx - cast(sx as decimal(38,0))*sx))""".stripMargin)
+              .as("diff_cuped_e6"),
+            expr("""(cast(n as decimal(38,0))*sxy - cast(sx as decimal(38,0))*sy) * 1000000
+                   | div (cast(n as decimal(38,0))*sxx - cast(sx as decimal(38,0))*sx)""".stripMargin)
+              .as("theta_ppm"),
+            expr("""(cast(n as decimal(38,0))*sxy - cast(sx as decimal(38,0))*sy)
+                   | * (cast(n as decimal(38,0))*sxy - cast(sx as decimal(38,0))*sy) * 1000000
+                   | div ((cast(n as decimal(38,0))*sxx - cast(sx as decimal(38,0))*sx)
+                   |   * (cast(n as decimal(38,0))*syy - cast(sy as decimal(38,0))*sy))""".stripMargin)
+              .as("var_reduction_ppm"))
+      },
+      Some("""WITH d0 AS (SELECT MIN(epoch_ns(ts) // 86400000000000) AS d0 FROM events),
+             |u AS (
+             |  SELECT user_id,
+             |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 2 AS arm,
+             |    CAST(SUM(CASE WHEN epoch_ns(ts) // 86400000000000 - d0.d0 <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             |    CAST(SUM(CASE WHEN epoch_ns(ts) // 86400000000000 - d0.d0 > 6
+             |              AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+             |  FROM events CROSS JOIN d0 GROUP BY user_id),
+             |m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             |        SUM(CAST(x AS HUGEINT)*x) AS sxx, SUM(CAST(x AS HUGEINT)*y) AS sxy, SUM(CAST(y AS HUGEINT)*y) AS syy,
+             |        CAST(SUM(CASE WHEN arm=0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |        CAST(SUM(CASE WHEN arm=0 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+             |        CAST(SUM(CASE WHEN arm=0 THEN y ELSE 0 END) AS BIGINT) AS sy1,
+             |        CAST(SUM(CASE WHEN arm=1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |        CAST(SUM(CASE WHEN arm=1 THEN x ELSE 0 END) AS BIGINT) AS sx2,
+             |        CAST(SUM(CASE WHEN arm=1 THEN y ELSE 0 END) AS BIGINT) AS sy2
+             |      FROM u),
+             |t AS (SELECT *, CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS tnum,
+             |        CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS tden,
+             |        CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy AS yvar
+             |      FROM m)
+             |SELECT n1, n2,
+             |  CAST((CAST(sy1 AS HUGEINT)*n2 - CAST(sy2 AS HUGEINT)*n1) * 1000000
+             |    // (CAST(n1 AS HUGEINT)*n2) AS BIGINT) AS diff_raw_e6,
+             |  CAST(((CAST(sy1 AS HUGEINT)*n2 - CAST(sy2 AS HUGEINT)*n1) * tden
+             |    - tnum * (CAST(sx1 AS HUGEINT)*n2 - CAST(sx2 AS HUGEINT)*n1)) * 1000000
+             |   // (CAST(n1 AS HUGEINT)*n2*tden) AS BIGINT) AS diff_cuped_e6,
+             |  CAST(tnum * 1000000 // tden AS BIGINT) AS theta_ppm,
+             |  CAST(tnum * tnum * 1000000 // (tden * yvar) AS BIGINT) AS var_reduction_ppm
+             |FROM t""".stripMargin),
+    ),
+
+
+    // Sequential-peeking audit: what a daily-peeking experimenter would
+    // have concluded — cumulative two-proportion z² per day, for the real
+    // A/A assignment AND a deterministically planted +5%-on-arm-1 effect
+    // (hash-injected synthetic conversions), with each scenario's first
+    // crossing day. The A/A row should never cross (assignment-hash
+    // health); the injected row shows detection latency. Day rollup →
+    // 30-row cumulative window → z² — constant-sized after the first
+    // partial-agg.
+    QueryDef(
+      "q288_peeking_audit",
+      (s, dir) => {
+        val day = 86400000000000L
+        val base = tbl(s, dir, "events")
+          .select(call_function("div", col("ts"), lit(day)).as("day"),
+            pmod(Sampling.portableHash(col("user_id")), lit(2)).as("arm"),
+            (col("event_type") === "purchase").cast("long").as("conv"),
+            (col("event_type") === "purchase" ||
+              (pmod(Sampling.portableHash(col("user_id")), lit(2)) === 1 &&
+                pmod(Sampling.portableHash(col("event_id")), lit(20)) === 0))
+              .cast("long").as("conv_inj"))
+        def scenario(name: String, convCol: String) = {
+          val g = base.groupBy("day")
+            .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("dn1"),
+              sum(when(col("arm") === 0, col(convCol)).otherwise(0L)).as("dc1"),
+              sum(when(col("arm") === 1, 1L).otherwise(0L)).as("dn2"),
+              sum(when(col("arm") === 1, col(convCol)).otherwise(0L)).as("dc2"))
+          val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+          g.select(lit(name).as("scenario"), col("day"),
+            sum("dn1").over(w).as("n1"), sum("dc1").over(w).as("c1"),
+            sum("dn2").over(w).as("n2"), sum("dc2").over(w).as("c2"))
+        }
+        val z = Evaluation.withZ2Ppm(
+          scenario("aa", "conv").unionAll(scenario("injected", "conv_inj")))
+        z.withColumn("first_cross_day",
+            min(when(col("flagged"), col("day")))
+              .over(Window.partitionBy("scenario")))
+          .orderBy("scenario", "day")
+      },
+      Some("""WITH e AS (
+             |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+             |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 2 AS arm,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv,
+             |    CASE WHEN event_type = 'purchase'
+             |          OR (CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 2 = 1
+             |              AND CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)),1,15)) AS BIGINT) % 20 = 0)
+             |         THEN 1 ELSE 0 END AS conv_inj
+             |  FROM events),
+             |g AS (SELECT day,
+             |   CAST(SUM(CASE WHEN arm=0 THEN 1 ELSE 0 END) AS BIGINT) AS dn1,
+             |   CAST(SUM(CASE WHEN arm=0 THEN conv ELSE 0 END) AS BIGINT) AS dc1a,
+             |   CAST(SUM(CASE WHEN arm=0 THEN conv_inj ELSE 0 END) AS BIGINT) AS dc1b,
+             |   CAST(SUM(CASE WHEN arm=1 THEN 1 ELSE 0 END) AS BIGINT) AS dn2,
+             |   CAST(SUM(CASE WHEN arm=1 THEN conv ELSE 0 END) AS BIGINT) AS dc2a,
+             |   CAST(SUM(CASE WHEN arm=1 THEN conv_inj ELSE 0 END) AS BIGINT) AS dc2b
+             | FROM e GROUP BY day),
+             |s AS (
+             |  SELECT 'aa' AS scenario, day,
+             |    CAST(SUM(dn1) OVER w AS BIGINT) AS n1, CAST(SUM(dc1a) OVER w AS BIGINT) AS c1,
+             |    CAST(SUM(dn2) OVER w AS BIGINT) AS n2, CAST(SUM(dc2a) OVER w AS BIGINT) AS c2
+             |  FROM g WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+             |  UNION ALL
+             |  SELECT 'injected' AS scenario, day,
+             |    CAST(SUM(dn1) OVER w2 AS BIGINT) AS n1, CAST(SUM(dc1b) OVER w2 AS BIGINT) AS c1,
+             |    CAST(SUM(dn2) OVER w2 AS BIGINT) AS n2, CAST(SUM(dc2b) OVER w2 AS BIGINT) AS c2
+             |  FROM g WINDOW w2 AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+             |z AS (SELECT scenario, day, n1, c1, n2, c2,
+             |  CASE WHEN (c1+c2) = 0 OR (c1+c2) = (n1+n2) OR n1 = 0 OR n2 = 0 THEN NULL
+             |    ELSE CAST(CAST(n1+n2 AS HUGEINT)*(c1*n2 - c2*n1)*(c1*n2 - c2*n1)*1000000
+             |         // (CAST(c1+c2 AS HUGEINT)*((n1+n2)-(c1+c2))*n1*n2) AS BIGINT)
+             |    END AS z2_ppm
+             | FROM s),
+             |f AS (SELECT *, COALESCE(z2_ppm > 4000000, FALSE) AS flagged FROM z)
+             |SELECT scenario, day, n1, c1, n2, c2, z2_ppm, flagged,
+             |  MIN(CASE WHEN flagged THEN day END) OVER (PARTITION BY scenario) AS first_cross_day
+             |FROM f ORDER BY scenario, day""".stripMargin),
+    ),
   )
 }

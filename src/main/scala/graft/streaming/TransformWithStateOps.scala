@@ -1415,6 +1415,75 @@ object TransformWithStateOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class AaEvent(day: Long, arm: Long, conv: Long)
+  final case class AaRow(day: Long, n1: Long, c1: Long, n2: Long, c2: Long,
+      z2_ppm: Option[Long], flagged: Boolean)
+
+  /** Streaming twin of the q280 A/A experiment-calibration monitor: the
+    * per-day two-arm contingency lives as (day -> n1,c1,n2,c2) MapState —
+    * days are independent (no cross-day window), so each batch touches
+    * only its own days' counters and re-emits the refreshed q280 row for
+    * exactly those days; upsert-by-day reconciles with the batch operator
+    * over rows seen so far. z² is the same exact rational as
+    * [[graft.ext.Evaluation.withZ2Ppm]], computed in BigInt (numerator is
+    * a square, so BigInt truncation == the decimal(38,0) `div`). State =
+    * four longs per active day, forever bounded by the day cardinality. */
+  final class AaTestProcessor(critPpm: Long)
+      extends StatefulProcessor[Int, AaEvent, AaRow] {
+
+    @transient private var counts: MapState[Long, (Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[Long, (Long, Long, Long, Long)]("counts",
+        Encoders.scalaLong,
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[AaEvent],
+        timerValues: TimerValues): Iterator[AaRow] = {
+      val touched = scala.collection.mutable.Set[Long]()
+      rows.foreach { r =>
+        val (n1, c1, n2, c2) =
+          if (counts.containsKey(r.day)) counts.getValue(r.day)
+          else (0L, 0L, 0L, 0L)
+        val upd =
+          if (r.arm == 0) (n1 + 1L, c1 + r.conv, n2, c2)
+          else (n1, c1, n2 + 1L, c2 + r.conv)
+        counts.updateValue(r.day, upd)
+        touched += r.day
+      }
+      touched.toArray.sorted.iterator.map { d =>
+        val (n1, c1, n2, c2) = counts.getValue(d)
+        val z2 = AaTestProcessor.z2Ppm(n1, c1, n2, c2)
+        AaRow(d, n1, c1, n2, c2, z2, z2.exists(_ > critPpm))
+      }
+    }
+  }
+
+  object AaTestProcessor {
+    /** JVM mirror of [[graft.ext.Evaluation.withZ2Ppm]]'s exact rational:
+      * z²·10⁶ = N(c₁n₂−c₂n₁)²·10⁶ / (C(N−C)n₁n₂), truncating division
+      * (numerator ≥ 0). None when degenerate. */
+    def z2Ppm(n1: Long, c1: Long, n2: Long, c2: Long): Option[Long] = {
+      val C = c1 + c2; val N = n1 + n2
+      if (C == 0L || C == N || n1 == 0L || n2 == 0L) None
+      else {
+        val d = BigInt(c1) * n2 - BigInt(c2) * n1
+        Some((BigInt(N) * d * d * 1000000 / (BigInt(C) * (N - C) * n1 * n2)).toLong)
+      }
+    }
+  }
+
+  /** See [[AaTestProcessor]]; critPpm = z²·10⁶ alert threshold (q280 uses
+    * 4·10⁶ — |z| > 2). */
+  def streamingAaTest(ds: Dataset[AaEvent], critPpm: Long): Dataset[AaRow] = {
+    implicit val outEnc: Encoder[AaRow] = Encoders.product[AaRow]
+    ds.groupByKey(_ => 0)(Encoders.scalaInt)
+      .transformWithState(new AaTestProcessor(critPpm),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class TouchEvent(user_id: Long, event_type: String, ts: Long,
       event_id: Long)
   final case class TouchCredit(user_id: Long, event_type: String,

@@ -1066,6 +1066,65 @@ class TransformWithStateSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streamingAaTest: upsert-by-day rows equal the batch q280 monitor, mid-stream and final") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{AaEvent, AaRow, AaTestProcessor}
+      // same assignment/classification columns as q280, arbitrary arrival
+      // order (days are independent; splits deliberately cross days)
+      val rows = graft.replay.TsNanos.normalize(
+          spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+        .select(expr("ts div 86400000000000").as("day"),
+          pmod(graft.ext.Sampling.portableHash(col("user_id")), lit(2))
+            .cast("long").as("arm"),
+          (col("event_type") === "purchase").cast("long").as("conv"))
+        .as[(Long, Long, Long)].collect().toSeq
+        .map(t => AaEvent(t._1, t._2, t._3))
+
+      def reference(seq: Seq[AaEvent]): Map[Long, AaRow] =
+        seq.groupBy(_.day).map { case (d, es) =>
+          val n1 = es.count(_.arm == 0L).toLong
+          val c1 = es.filter(_.arm == 0L).map(_.conv).sum
+          val n2 = es.count(_.arm == 1L).toLong
+          val c2 = es.filter(_.arm == 1L).map(_.conv).sum
+          val z2 = AaTestProcessor.z2Ppm(n1, c1, n2, c2)
+          d -> AaRow(d, n1, c1, n2, c2, z2, z2.exists(_ > 4000000L))
+        }
+
+      val latest = scala.collection.mutable.Map[Long, AaRow]()
+      val input = MemoryStream[AaEvent]
+      val query = TransformWithStateOps.streamingAaTest(input.toDS(), 4000000L)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[AaRow], _: Long) =>
+          df.collect().foreach(r => latest(r.day) = r); ()
+        }.start()
+      try {
+        var fed = Seq.empty[AaEvent]
+        var checkedMid = false
+        rows.grouped(rows.length / 5 + 1).foreach { b =>
+          input.addData(b: _*); query.processAllAvailable()
+          fed = fed ++ b
+          if (!checkedMid && fed.length >= rows.length / 2) {
+            val want = reference(fed)
+            assert(want.nonEmpty && latest.toMap == want, "mid-stream parity")
+            checkedMid = true
+          }
+        }
+      } finally query.stop()
+
+      // final parity against the DRIVER-GATED batch query itself
+      val batch = graft.SparkEntry.queries("q280_aa_test")(
+          spark, "/root/testdata/sf0.001")
+        .collect().map(r => r.getLong(0) -> AaRow(r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)), r.getBoolean(6)))
+        .toMap
+      assert(batch.nonEmpty && latest.toMap == batch)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streamingMultitouch: conversion-triggered credits equal the batch q257 attribution, mid-stream and final") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
