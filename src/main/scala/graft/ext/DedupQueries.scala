@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.queries.QueryDef
 import graft.queries.QueryDef.tbl
@@ -1381,6 +1382,75 @@ object DedupQueries {
               |    AS regret_ppm
               |FROM cc JOIN q ON q.doc_id = cc.id
               |GROUP BY root ORDER BY root""".stripMargin),
+    ),
+
+    // Content-defined chunking (the Rabin/FastCDC shape) + chunk-level
+    // dedup accounting per source: a token position closes a chunk iff the
+    // position-weighted fingerprint of the 3-token window ending there is
+    // ≡ 0 mod 16 (expected chunk ≈ 16 tokens; boundaries depend only on
+    // CONTENT, so shared passages chunk identically regardless of offset —
+    // the property fixed-stride chunking lacks). Window fingerprints are
+    // O(1) from the q258 prefix-sum identity; each chunk's content
+    // fingerprint needs only its own group's Σh, Σp·h, min p — one
+    // doc-keyed window pass plus one (doc, chunk) rollup, all partial-agg.
+    // h < 2^40 keeps every product ANSI-safe to ~16k-token docs (the
+    // decimal(38) switch is the documented escape).
+    QueryDef(
+      "q289_cdc_chunks",
+      (s, dir) => {
+        val wDoc = Window.partitionBy("doc_id").orderBy("p")
+        val w3 = wDoc.rowsBetween(-2, 0)
+        val t = tbl(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+          .select(col("doc_id"), col("source"), (col("p0") + 1).cast("long").as("p"),
+            pmod(Sampling.portableHash(col("tok")), lit(1099511627776L)).as("h"))
+        val bnd = t.select(col("doc_id"), col("source"), col("p"), col("h"),
+          when(col("p") >= 3 &&
+            pmod(sum(col("p") * col("h")).over(w3) -
+              (col("p") - 3) * sum(col("h")).over(w3), lit(16L)) === 0, 1L)
+            .otherwise(0L).as("bnd"))
+        val ch = bnd.select(col("doc_id"), col("source"), col("p"), col("h"),
+          coalesce(sum("bnd").over(wDoc.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)).as("cid"))
+        val chunks = ch.groupBy(col("doc_id"), col("source"), col("cid"))
+          .agg(count(lit(1)).as("len"),
+            (sum(col("p") * col("h")) - (min("p") - 1) * sum("h")).as("fpc"))
+        chunks.groupBy("source")
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct(struct(col("len"), col("fpc"))).as("n_distinct"),
+            sum("len").as("tokens"))
+          .select(col("source"), col("n_chunks"), col("n_distinct"), col("tokens"),
+            expr("(n_chunks - n_distinct) * 1000000 div n_chunks").as("dup_ppm"),
+            expr("tokens * 1000 div n_chunks").as("mean_len_ppk"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, CAST(p AS BIGINT) AS p,
+             |    CAST(('0x' || substring(md5(toks[p]),1,15)) AS BIGINT) % 1099511627776 AS h
+             |  FROM (SELECT doc_id, source, toks, unnest(generate_series(1, len(toks))) AS p
+             |        FROM (SELECT doc_id, source, string_split(text,' ') AS toks FROM documents))),
+             |fp AS (
+             |  SELECT doc_id, source, p, h,
+             |    CASE WHEN p >= 3 AND
+             |      (CAST(SUM(p*h) OVER w3 AS BIGINT) - (p-3)*CAST(SUM(h) OVER w3 AS BIGINT)) % 16 = 0
+             |    THEN 1 ELSE 0 END AS bnd
+             |  FROM t WINDOW w3 AS (PARTITION BY doc_id ORDER BY p ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)),
+             |ch AS (
+             |  SELECT doc_id, source, p, h,
+             |    COALESCE(CAST(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY p
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cid
+             |  FROM fp),
+             |agg AS (
+             |  SELECT doc_id, source, cid, COUNT(*) AS len,
+             |    CAST(SUM(p*h) AS BIGINT) - (MIN(p)-1)*CAST(SUM(h) AS BIGINT) AS fpc
+             |  FROM ch GROUP BY 1, 2, 3)
+             |SELECT source, COUNT(*) AS n_chunks,
+             |  COUNT(DISTINCT (len, fpc)) AS n_distinct,
+             |  CAST(SUM(len) AS BIGINT) AS tokens,
+             |  CAST((COUNT(*) - COUNT(DISTINCT (len, fpc))) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm,
+             |  CAST(CAST(SUM(len) AS BIGINT) * 1000 // COUNT(*) AS BIGINT) AS mean_len_ppk
+             |FROM agg GROUP BY source ORDER BY source""".stripMargin),
     ),
   )
 }

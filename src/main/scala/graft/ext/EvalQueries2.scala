@@ -369,5 +369,6 @@ object EvalQueries2 {
              |  MIN(CASE WHEN flagged THEN day END) OVER (PARTITION BY scenario) AS first_cross_day
              |FROM f ORDER BY scenario, day""".stripMargin),
     ),
+
   )
 }

@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.queries.QueryDef
 import graft.queries.QueryDef.tbl
@@ -910,6 +911,51 @@ object SamplingQueries {
               |SELECT CAST(phase AS BIGINT) AS phase, source, tok,
               |  (bw * 1000000) // bw_sum AS share_ppm
               |FROM ws ORDER BY phase, source""".stripMargin),
+    ),
+
+    // Snake-order (boustrophedon) shard balancing — the distributed
+    // approximation of LPT bin packing: docs ranked by weight (n_chars)
+    // descending, dealt into 8 shards forward then backward per round so
+    // heavy items spread and light items backfill. Per-shard load plus
+    // signed ppm deviation from the ideal equal split. One global rank
+    // (at 100 TB: rank hierarchically — per-partition rank + cumulative
+    // partition offsets, the q246 two-level pattern); everything after is
+    // an 8-group rollup.
+    QueryDef(
+      "q290_snake_shards",
+      (s, dir) => {
+        val W = 8L
+        val r = tbl(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+          .withColumn("r",
+            row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id")))
+              .cast("long") - 1L)
+          .select(col("doc_id"), col("n_chars"),
+            when(pmod(call_function("div", col("r"), lit(W)), lit(2L)) === 0,
+              pmod(col("r"), lit(W)))
+              .otherwise(lit(W - 1) - pmod(col("r"), lit(W))).as("shard"))
+        val shards = r.groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("weight"))
+        val tot = shards.agg(sum("weight").as("total"))
+        shards.crossJoin(broadcast(tot))
+          .select(col("shard"), col("n_docs"), col("weight"),
+            expr(s"(weight * $W - total) * 1000000 div total").as("dev_ppm"))
+          .orderBy("shard")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, n_chars,
+             |    row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS r
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, n_chars,
+             |    CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END AS shard
+             |  FROM r),
+             |g AS (SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS weight
+             |      FROM sh GROUP BY shard),
+             |tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS total FROM g)
+             |SELECT shard, n_docs, weight,
+             |  CAST((weight * 8 - total) * 1000000 // total AS BIGINT) AS dev_ppm
+             |FROM g CROSS JOIN tot ORDER BY shard""".stripMargin),
     ),
   )
 }

@@ -156,6 +156,55 @@ class EvaluationSpec extends AnyFunSuite {
       case Array(a, b) => b <= a; case _ => true })
   }
 
+  test("q289 CDC chunking is shift-invariant: a shared passage dedups across different offsets") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cdc").toString
+    // a long shared passage behind two different-length prefixes: interior
+    // chunk boundaries depend only on content, so the shared chunks must
+    // fingerprint identically at both offsets (the property fixed-stride
+    // chunking lacks)
+    val shared = (1 to 120).map(i => s"w${i % 37}tok$i").mkString(" ")
+    val doc1 = "alpha beta " + shared
+    val doc2 = "gamma delta epsilon zeta eta theta iota " + shared
+    val ctrl = (1 to 120).map(i => s"u${i}x").mkString(" ") // no repeats
+    Seq((1L, doc1, "en", "shifted", doc1.length.toLong),
+        (2L, doc2, "en", "shifted", doc2.length.toLong),
+        (3L, ctrl, "en", "control", ctrl.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("q289_cdc_chunks")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_distinct"))).toMap
+    val (n, distinct) = out("shifted")
+    assert(n - distinct >= 2, s"expected >=2 duplicate shared chunks, got n=$n distinct=$distinct")
+    val (nc, dc) = out("control")
+    assert(nc == dc, "control source with unique tokens must have no duplicate chunks")
+  }
+
+  test("q290 snake sharding matches the hand rule and balances counts within one doc") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("snake").toString
+    val docs = (0 until 37).map(i =>
+      (i.toLong, s"t$i", "en", "s", (1000 - i * 7).toLong))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("q290_snake_shards")(spark, dir)
+      .collect().map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("weight"))).toMap
+    // hand rule: rank by weight desc (weights strictly decreasing by id)
+    val hand = docs.sortBy(d => (-d._5, d._1)).zipWithIndex
+      .map { case (d, r) =>
+        val s = if ((r / 8) % 2 == 0) r % 8 else 7 - (r % 8)
+        (s.toLong, d._5)
+      }
+    val handAgg = hand.groupBy(_._1).map { case (s, xs) =>
+      s -> ((xs.size.toLong, xs.map(_._2).sum)) }
+    assert(out == handAgg)
+    // count balance: every shard holds floor or ceil of N/8
+    val sizes = out.valuesIterator.map(_._1).toSeq
+    assert(sizes.max - sizes.min <= 1)
+  }
+
   test("benfordAudit densifies missing digits (zero counts contribute n*e_d ppm each)") {
     import spark.implicits._
     // only digit 1 present: every other digit contributes its full
