@@ -275,6 +275,49 @@ object DagQueries {
       .orderBy(col("source"))
   }
 
+  /** The q280 A/A experiment monitor maintained incrementally through dag
+    * cycles — the evaluation family's third execution form (batch q280,
+    * streaming AaTestProcessor, and this): per-day two-arm contingency
+    * counters merged per cycle, z² derived ONCE from the final state via
+    * the same exact-rational select ([[graft.ext.Evaluation.withZ2Ppm]]).
+    * Slices split by event_id range, deliberately NOT day-aligned, so
+    * counter merges land mid-day. Must be indistinguishable from the
+    * one-shot batch derivation. */
+  private def dagAaTest(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ev = tbl(s, dir, "events")
+    val dag = new Dag
+    val source = dag.sourceStream(SparkBatch(s.emptyDataFrame, 0), name = "events")
+    var counters: DataFrame = null // (day, n1, c1, n2, c2)
+    val state = dag.state(source) { b: SparkBatch =>
+      val slice = b.df
+        .select(expr("ts div 86400000000000").as("day"),
+          pmod(graft.ext.Sampling.portableHash(col("user_id")), lit(2)).as("arm"),
+          (col("event_type") === "purchase").cast("long").as("conv"))
+        .groupBy("day")
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c1"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c2"))
+      counters = (if (counters == null) slice
+        else counters.unionByName(slice).groupBy("day")
+          .agg(sum("n1").as("n1"), sum("c1").as("c1"),
+            sum("n2").as("n2"), sum("c2").as("c2")))
+        .localCheckpoint(eager = true)
+      counters
+    }
+    dag.sink("aa", state)
+    val bounds = ev.agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi")).head
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (hi - lo) / 4 + 1)
+    for (k <- 0 until 4) {
+      source.setStream(SparkBatch(
+        ev.where(col("event_id") >= lo + k * width &&
+          col("event_id") < lo + (k + 1) * width), 1))
+      dag.execute()
+    }
+    graft.ext.Evaluation.withZ2Ppm(state.getValue).orderBy(col("day"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef(
       "q35_dag_wordcount",
@@ -316,6 +359,32 @@ object DagQueries {
              |  CAST((lt.top_docs * 1000000) // b.n_docs AS BIGINT) AS top_lang_ppm,
              |  CAST((b.n_tokens * 1000000) // b.n_docs AS BIGINT) AS mean_tokens_ppm
              |FROM b JOIN lt USING (source) ORDER BY b.source""".stripMargin),
+    ),
+    QueryDef(
+      "q291_dag_aa_test",
+      dagAaTest,
+      // q280's one-shot oracle verbatim: the 4-cycle counter merge must be
+      // indistinguishable from the batch derivation
+      Some("""WITH e AS (
+             |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+             |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 2 AS arm,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+             |  FROM events),
+             |g AS (SELECT day,
+             |   CAST(SUM(CASE WHEN arm=0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |   CAST(SUM(CASE WHEN arm=0 THEN conv ELSE 0 END) AS BIGINT) AS c1,
+             |   CAST(SUM(CASE WHEN arm=1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |   CAST(SUM(CASE WHEN arm=1 THEN conv ELSE 0 END) AS BIGINT) AS c2
+             | FROM e GROUP BY day),
+             |z AS (SELECT day, n1, c1, n2, c2,
+             |  CASE WHEN (c1+c2) = 0 OR (c1+c2) = (n1+n2) OR n1 = 0 OR n2 = 0 THEN NULL
+             |    ELSE CAST(CAST(n1+n2 AS HUGEINT)*(c1*n2 - c2*n1)*(c1*n2 - c2*n1)*1000000
+             |         // (CAST(c1+c2 AS HUGEINT)*((n1+n2)-(c1+c2))*n1*n2) AS BIGINT)
+             |    END AS z2_ppm
+             | FROM g)
+             |SELECT day, n1, c1, n2, c2, z2_ppm,
+             |  COALESCE(z2_ppm > 4000000, FALSE) AS flagged
+             |FROM z ORDER BY day""".stripMargin),
     ),
     QueryDef(
       "q160_dag_scd",
