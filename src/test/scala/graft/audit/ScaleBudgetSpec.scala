@@ -212,6 +212,40 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q258 spilled")
   }
 
+  test("q278 rank-sum AUC: per-source windows shuffle scored rows once, margins not text") {
+    val b = measure("q278_classifier_auc")
+    // (source, margin, pos) triples through one source-keyed exchange; the
+    // document text must be gone before the window sort
+    assert(b.shuffleWriteBytes < 2 * MB,
+      s"AUC shuffled doc payloads: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q278 spilled")
+  }
+
+  test("q280 A/A monitor: one conditional-sum rollup — day partials only") {
+    val b = measure("q280_aa_test")
+    // 30 day-rows × map partials; raw event rows through the exchange
+    // would be input-sized (MBs)
+    assert(b.shuffleWriteBytes < 256 * 1024,
+      s"A/A rollup lost map-side combine: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q280 spilled")
+  }
+
+  test("q287 CUPED: per-user moments then a single-row reduce — no raw-event second pass") {
+    val b = measure("q287_cuped_lift")
+    assert(b.shuffleWriteBytes < 4 * MB,
+      s"CUPED shuffled beyond user partials: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q287 spilled")
+  }
+
+  test("q289 CDC chunking: token hashes cross the doc-keyed exchange once, chunks partial-agg") {
+    val b = measure("q289_cdc_chunks")
+    // (doc, p, h) longs through one window exchange + (doc, chunk) rollup;
+    // token strings in the shuffle would multiply this
+    assert(b.shuffleWriteBytes < 8 * MB,
+      s"CDC shuffled token text: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q289 spilled")
+  }
+
   test("per-task peak execution memory stays executor-slot-sized across the pinned families") {
     // at 100 TB an executor slot has ~1-4 GB of execution memory; a task
     // peaking far above that on sf0.01 inputs signals driver-ish state
