@@ -370,5 +370,79 @@ object EvalQueries2 {
              |FROM f ORDER BY scenario, day""".stripMargin),
     ),
 
+
+    // Isotonic (PAV) recalibration of the q279 reliability bins — the
+    // standard fix when a classifier's scores rank well (q278) but
+    // mis-calibrate (q279): the exact monotone-non-decreasing fit via the
+    // minimax identity iso_i = max_{j≤i} min_{k≥i} rate(j..k), evaluated
+    // RELATIONALLY over the constant-cardinality bin frame (T³ tiny rows;
+    // scale-free once the corpus rolls up). Interval rates compare by the
+    // exact quantized key rate·10¹⁸ (two distinct fractions with
+    // denominators ≤ 10⁹ differ by ≥ 10⁻¹⁸, so the key ordering IS the
+    // rational ordering — the documented bound); decimal(38,0) carries
+    // the 10²⁷-sized products. iso_ppm = key div 10¹² is exactly
+    // floor(rate·10⁶).
+    QueryDef(
+      "q292_isotonic_calibration",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val m = Curation.linearGate(docs, "text", "doc_id",
+            Curation.DemoWeights.toMap, Curation.DemoBias)
+          .join(docs.select(col("doc_id"),
+            (col("lang") === "en").cast("long").as("pos")), Seq("doc_id"))
+          .select(
+            call_function("div", col("margin") - pmod(col("margin"), lit(5L)), lit(5L))
+              .as("bin"), col("pos"))
+        val idx = m.groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+          .withColumn("i", row_number().over(Window.orderBy("bin")).cast("long"))
+        val pre = idx.select(col("i"), col("bin"), col("n"), col("n_pos"),
+          sum("n").over(Window.orderBy("i")).as("cn"),
+          sum("n_pos").over(Window.orderBy("i")).as("cp"))
+        val pre0 = pre.select(col("i"), col("cn"), col("cp"))
+          .unionByName(idx.sparkSession.range(1).select(
+            lit(0L).as("i"), lit(0L).as("cn"), lit(0L).as("cp")))
+        val fr = pre0.as("lo").join(pre0.as("hi"), col("hi.i") > col("lo.i"))
+          .select((col("lo.i") + 1L).as("j"), col("hi.i").as("k"),
+            expr("""cast(cast(hi.cp - lo.cp as decimal(38,0)) * 1000000000000000000
+                   | div (hi.cn - lo.cn) as decimal(38,0))""".stripMargin).as("key"))
+        val innerMin = pre.select(col("i"))
+          .join(fr, col("j") <= col("i") && col("k") >= col("i"))
+          .groupBy(col("i"), col("j")).agg(min("key").as("mn"))
+        val iso = innerMin.groupBy("i").agg(max("mn").as("iso_key"))
+        pre.join(iso, Seq("i"))
+          .select(col("bin"), col("n"), col("n_pos"),
+            expr("n_pos * 1000000 div n").as("obs_ppm"),
+            expr("cast(iso_key div 1000000000000 as bigint)").as("iso_ppm"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH w(tok, wt) AS (SELECT * FROM (VALUES ${Curation.demoWeightsValuesSql})),
+              |t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+              |m AS (SELECT t.doc_id, CAST(${Curation.DemoBias} + COALESCE(SUM(w.wt),0) AS BIGINT) AS margin
+              |      FROM t LEFT JOIN w USING (tok) GROUP BY t.doc_id),
+              |s AS (SELECT CAST(floor(m.margin / 5.0) AS BIGINT) AS bin,
+              |        CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+              |      FROM m JOIN documents d USING (doc_id)),
+              |b AS (SELECT bin, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos FROM s GROUP BY bin),
+              |idx AS (SELECT bin, n, n_pos, row_number() OVER (ORDER BY bin) AS i FROM b),
+              |pre AS (SELECT i, bin, n, n_pos,
+              |         CAST(SUM(n) OVER (ORDER BY i) AS BIGINT) AS cn,
+              |         CAST(SUM(n_pos) OVER (ORDER BY i) AS BIGINT) AS cp
+              |       FROM idx),
+              |pre0 AS (SELECT i, cn, cp FROM pre UNION ALL SELECT 0, 0, 0),
+              |fr AS (
+              |  SELECT lo.i + 1 AS j, hi.i AS k,
+              |    CAST(CAST(hi.cp - lo.cp AS HUGEINT) * 1000000000000000000 // (hi.cn - lo.cn) AS HUGEINT) AS key
+              |  FROM pre0 lo JOIN pre0 hi ON hi.i > lo.i),
+              |inner_min AS (
+              |  SELECT p.i, f.j, MIN(f.key) AS mn
+              |  FROM pre p JOIN fr f ON f.j <= p.i AND f.k >= p.i
+              |  GROUP BY p.i, f.j),
+              |iso AS (SELECT i, MAX(mn) AS iso_key FROM inner_min GROUP BY i)
+              |SELECT p.bin, p.n, p.n_pos, p.n_pos*1000000 // p.n AS obs_ppm,
+              |  CAST(iso.iso_key // 1000000000000 AS BIGINT) AS iso_ppm
+              |FROM pre p JOIN iso ON iso.i = p.i ORDER BY p.bin""".stripMargin),
+    ),
+
   )
 }

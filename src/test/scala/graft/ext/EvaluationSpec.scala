@@ -205,6 +205,33 @@ class EvaluationSpec extends AnyFunSuite {
     assert(sizes.max - sizes.min <= 1)
   }
 
+  test("q292 isotonic fit is monotone and equals the classic PAV stack algorithm") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q292_isotonic_calibration")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("bin"))
+    val iso = out.map(_.getAs[Long]("iso_ppm"))
+    assert(iso.sliding(2).forall { case Array(a, b) => a <= b; case _ => true },
+      s"not monotone: ${iso.mkString(",")}")
+    // classic PAV: pool adjacent violators on (n, n_pos), exact rationals
+    case class Pool(n: BigInt, p: BigInt)
+    val stack = scala.collection.mutable.Stack[Pool]()
+    out.foreach { r =>
+      var cur = Pool(BigInt(r.getAs[Long]("n")), BigInt(r.getAs[Long]("n_pos")))
+      // violator iff rate(top) > rate(cur): p1/n1 > p2/n2 <=> p1*n2 > p2*n1
+      while (stack.nonEmpty && stack.top.p * cur.n > cur.p * stack.top.n) {
+        val t = stack.pop(); cur = Pool(t.n + cur.n, t.p + cur.p)
+      }
+      stack.push(cur)
+    }
+    val pav = stack.toSeq.reverse.flatMap(p =>
+      Seq.fill((p.n).toInt)((p.p * 1000000 / p.n).toLong))
+    // expand per-bin by n and compare bin-level values
+    val expanded = out.zip(out.scanLeft(0L)((acc, r) => acc + r.getAs[Long]("n")).init)
+      .map { case (r, off) => pav(off.toInt) } // value at the bin's first unit
+    assert(iso.toSeq == expanded.toSeq,
+      s"minimax ${iso.mkString(",")} != PAV ${expanded.mkString(",")}")
+  }
+
   test("benfordAudit densifies missing digits (zero counts contribute n*e_d ppm each)") {
     import spark.implicits._
     // only digit 1 present: every other digit contributes its full
