@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.queries.QueryDef
 import graft.queries.QueryDef.tbl
@@ -1117,6 +1118,142 @@ object EventQueries {
              |FROM t a JOIN t b ON a.o_custkey = b.o_custkey
              |  AND a.half = 1 AND b.half = 2
              |GROUP BY 1, 2 ORDER BY t_h1, t_h2""".stripMargin),
+    ),
+    // Markov removal-effect attribution — the chain-based complement to
+    // last-touch (q184-style) and U-shaped (q257): journeys truncated at
+    // first purchase become a (state -> state) transition-count matrix
+    // with start/conv/null absorption; per-channel credit = the drop in
+    // absorbing conversion probability when transitions INTO that channel
+    // redirect to null (denominators stay the base out-counts — the
+    // standard removal semantics). The absorption fixed point runs as 20
+    // value-iteration rounds in exact ppm integers (truncating div each
+    // round — both engines quantize identically, so the oracle's
+    // recursive CTE replays it bit-for-bit). Everything after the one
+    // event-table rollup is constant-sized (|types|^2 rows x 5
+    // scenarios); the Scala loop drives ~100 tiny jobs, each
+    // localCheckpoint-bounded — corpus scale only touches the first
+    // window pass.
+    QueryDef(
+      "q293_markov_attribution",
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        val wU = Window.partitionBy("user_id")
+        val wSeq = wU.orderBy(col("ts"), col("event_id"))
+        val ev = tbl(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("fp_ts",
+            min(when(col("event_type") === "purchase", col("ts"))).over(wU))
+          .where(col("fp_ts").isNull || col("ts") <= col("fp_ts"))
+        val seq0 = ev.select(col("user_id"), col("event_type").as("cur"),
+          lead(col("event_type"), 1).over(wSeq).as("nxt"),
+          row_number().over(wSeq).as("rn"))
+        val trans = PinnedCache.pin(
+          seq0.where(col("rn") === 1)
+            .select(lit("start").as("s"),
+              when(col("cur") === "purchase", "conv").otherwise(col("cur")).as("d"))
+            .unionByName(seq0.where(col("cur") =!= "purchase")
+              .select(col("cur").as("s"),
+                when(col("nxt") === "purchase", "conv")
+                  .when(col("nxt").isNull, "null").otherwise(col("nxt")).as("d")))
+            .groupBy("s", "d").agg(count(lit(1)).as("cnt")))
+        val outd = trans.groupBy("s").agg(sum("cnt").as("outc"))
+        val scen = s.range(1).select(explode(typedLit(Seq(
+          "base", "no_view", "no_click", "no_signup", "no_error"))).as("scenario"))
+        val strans = trans.crossJoin(scen)
+          .where(!(col("scenario") === concat(lit("no_"), col("s"))))
+          .select(col("scenario"), col("s"),
+            when(col("scenario") === concat(lit("no_"), col("d")), "null")
+              .otherwise(col("d")).as("d"), col("cnt"))
+          .groupBy("scenario", "s", "d").agg(sum("cnt").as("cnt"))
+          .join(outd, Seq("s"))
+        val states = trans.select(col("s").as("state")).distinct()
+          .unionByName(s.range(1).select(lit("conv").as("state")))
+          .unionByName(s.range(1).select(lit("null").as("state")))
+        val grid = PinnedCache.pin(states.crossJoin(scen))
+        val stransP = PinnedCache.pin(strans)
+        var v: DataFrame = grid.select(col("scenario"), col("state"),
+          when(col("state") === "conv", 1000000L).otherwise(0L).as("vp"))
+        for (t <- 1 to 20) {
+          val step = stransP
+            .join(v.select(col("scenario"), col("state").as("d"), col("vp")),
+              Seq("scenario", "d"))
+            .groupBy(col("scenario"), col("s"))
+            .agg(expr("sum(cnt * vp) div min(outc)").as("tv"))
+          v = grid.join(step,
+              grid("scenario") === step("scenario") && grid("state") === step("s"),
+              "left_outer")
+            .select(grid("scenario"), grid("state"),
+              when(grid("state") === "conv", 1000000L)
+                .when(grid("state") === "null", 0L)
+                .otherwise(coalesce(col("tv"), lit(0L))).as("vp"))
+          if (t % 5 == 0) v = v.localCheckpoint(eager = true)
+        }
+        val fin = v.where(col("state") === "start")
+          .select(col("scenario"), col("vp"))
+        val base = fin.where(col("scenario") === "base")
+          .select(col("vp").as("pb"))
+        fin.crossJoin(broadcast(base))
+          .select(col("scenario"), col("vp").as("p_conv_ppm"), col("pb").as("base_ppm"),
+            when(col("scenario") === "base", 0L)
+              .otherwise(expr("(pb - vp) * 1000000 div nullif(pb, 0)"))
+              .as("removal_effect_ppm"))
+          .orderBy("scenario")
+      },
+      Some("""WITH RECURSIVE j AS (
+             |  SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id,
+             |    MIN(CASE WHEN event_type='purchase' THEN epoch_ns(ts) END)
+             |      OVER (PARTITION BY user_id) AS fp_ts
+             |  FROM events),
+             |e AS (
+             |  SELECT user_id, event_type, ts, event_id FROM j
+             |  WHERE fp_ts IS NULL OR ts <= fp_ts),
+             |seq AS (
+             |  SELECT user_id, event_type AS cur, ts, event_id,
+             |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM e),
+             |trans0 AS (
+             |  SELECT 'start' AS s, CASE WHEN cur='purchase' THEN 'conv' ELSE cur END AS d, COUNT(*) AS cnt
+             |  FROM seq WHERE rn = 1 GROUP BY 1, 2
+             |  UNION ALL
+             |  SELECT cur AS s,
+             |    CASE WHEN nxt = 'purchase' THEN 'conv' WHEN nxt IS NULL THEN 'null' ELSE nxt END AS d,
+             |    COUNT(*) AS cnt
+             |  FROM seq WHERE cur <> 'purchase' GROUP BY 1, 2),
+             |trans AS (SELECT s, d, CAST(SUM(cnt) AS BIGINT) AS cnt FROM trans0 GROUP BY s, d),
+             |outd AS (SELECT s, CAST(SUM(cnt) AS BIGINT) AS outc FROM trans GROUP BY s),
+             |scen(scenario) AS (SELECT * FROM (VALUES ('base'), ('no_view'), ('no_click'), ('no_signup'), ('no_error'))),
+             |strans AS (
+             |  SELECT sc.scenario, t.s,
+             |    CASE WHEN sc.scenario = 'no_' || t.d THEN 'null' ELSE t.d END AS d,
+             |    t.cnt
+             |  FROM trans t CROSS JOIN scen sc
+             |  WHERE NOT (sc.scenario = 'no_' || t.s)),
+             |strans2 AS (SELECT scenario, s, d, CAST(SUM(cnt) AS BIGINT) AS cnt FROM strans GROUP BY 1,2,3),
+             |states AS (SELECT DISTINCT s FROM trans UNION SELECT 'conv' UNION SELECT 'null'),
+             |v AS (
+             |    SELECT sc.scenario, st.s AS state,
+             |      CAST(CASE WHEN st.s = 'conv' THEN 1000000 ELSE 0 END AS BIGINT) AS vp, 0 AS t
+             |    FROM states st CROSS JOIN scen sc
+             |    UNION ALL
+             |    SELECT v.scenario, v.state,
+             |      CASE WHEN v.state = 'conv' THEN 1000000
+             |           WHEN v.state = 'null' THEN 0
+             |           ELSE COALESCE((
+             |             SELECT CAST(SUM(t2.cnt * vv.vp) // MIN(o.outc) AS BIGINT)
+             |             FROM strans2 t2
+             |             JOIN v vv ON vv.scenario = v.scenario AND vv.state = t2.d AND vv.t = v.t
+             |             JOIN outd o ON o.s = t2.s
+             |             WHERE t2.scenario = v.scenario AND t2.s = v.state), 0)
+             |      END AS vp,
+             |      v.t + 1
+             |    FROM v WHERE v.t < 20),
+             |fin AS (SELECT scenario, vp FROM v WHERE t = 20 AND state = 'start'),
+             |base AS (SELECT vp AS pb FROM fin WHERE scenario = 'base')
+             |SELECT f.scenario, f.vp AS p_conv_ppm, base.pb AS base_ppm,
+             |  CASE WHEN f.scenario = 'base' THEN 0
+             |       ELSE (base.pb - f.vp) * 1000000 // NULLIF(base.pb, 0) END AS removal_effect_ppm
+             |FROM fin f CROSS JOIN base ORDER BY f.scenario""".stripMargin),
     ),
   )
 }
