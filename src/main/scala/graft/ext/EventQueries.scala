@@ -1255,5 +1255,86 @@ object EventQueries {
              |       ELSE (base.pb - f.vp) * 1000000 // NULLIF(base.pb, 0) END AS removal_effect_ppm
              |FROM fin f CROSS JOIN base ORDER BY f.scenario""".stripMargin),
     ),
+    // Exact Shapley-value revenue attribution over touched-channel
+    // coalitions: each user's pre-conversion touchset (4 non-purchase
+    // channels -> a 4-bit mask) carries their purchase revenue as the
+    // coalition worth; with the standard cumulative characteristic
+    // function v(S) = SUM w(T) over T SUBSETOF S, the Shapley value
+    // collapses to the closed form phi_c = SUM over T containing c of
+    // w(T)/|T| — ONE pass over the 15 nonempty masks, no permutation
+    // enumeration. Exactness: common denominator 12 = lcm(1..4), so
+    // phi*12 is an integer (emitted as phi_x12_cents; efficiency
+    // SUM phi = attributed revenue holds by construction). Corpus scale
+    // touches only the per-user rollup; everything after is a 15-row
+    // frame.
+    QueryDef(
+      "q294_shapley_attribution",
+      (s, dir) => {
+        val wU = Window.partitionBy("user_id")
+        val u = tbl(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+          .withColumn("fp_ts",
+            min(when(col("event_type") === "purchase", col("ts"))).over(wU))
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("event_type") === "purchase",
+              round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("rev"),
+            sum_distinct(
+              when(col("event_type") === "view" &&
+                (col("fp_ts").isNull || col("ts") < col("fp_ts")), 1L)
+              .when(col("event_type") === "click" &&
+                (col("fp_ts").isNull || col("ts") < col("fp_ts")), 2L)
+              .when(col("event_type") === "signup" &&
+                (col("fp_ts").isNull || col("ts") < col("fp_ts")), 4L)
+              .when(col("event_type") === "error" &&
+                (col("fp_ts").isNull || col("ts") < col("fp_ts")), 8L)
+              .otherwise(0L)).as("mask"))
+        val sized = u.where(col("mask") > 0)
+          .groupBy("mask").agg(sum("rev").as("w"))
+          .withColumn("sz", expr(
+            "cast((mask % 2) + (mask div 2) % 2 + (mask div 4) % 2 + (mask div 8) % 2 as bigint)"))
+        val ch = s.range(1).select(explode(typedLit(Seq(
+          ("view", 1L), ("click", 2L), ("signup", 4L), ("error", 8L)))).as("c"))
+          .select(col("c._1").as("channel"), col("c._2").as("bit"))
+        val phi = sized.join(ch, expr("(mask div bit) % 2 = 1"))
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_touchsets"),
+            sum(col("w") * expr("12 div sz")).as("phi_x12_cents"))
+        val tot = phi.agg(sum("phi_x12_cents").as("t"))
+        phi.crossJoin(broadcast(tot))
+          .select(col("channel"), col("n_touchsets"), col("phi_x12_cents"),
+            expr("phi_x12_cents * 1000000 div t").as("share_ppm"))
+          .orderBy("channel")
+      },
+      Some("""WITH j AS (
+             |  SELECT user_id, event_type, epoch_ns(ts) AS ts, value,
+             |    MIN(CASE WHEN event_type='purchase' THEN epoch_ns(ts) END)
+             |      OVER (PARTITION BY user_id) AS fp_ts
+             |  FROM events),
+             |u AS (
+             |  SELECT user_id,
+             |    CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(round(value*100,0) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev,
+             |    CAST(SUM(DISTINCT CASE
+             |      WHEN event_type='view'   AND (fp_ts IS NULL OR ts < fp_ts) THEN 1
+             |      WHEN event_type='click'  AND (fp_ts IS NULL OR ts < fp_ts) THEN 2
+             |      WHEN event_type='signup' AND (fp_ts IS NULL OR ts < fp_ts) THEN 4
+             |      WHEN event_type='error'  AND (fp_ts IS NULL OR ts < fp_ts) THEN 8
+             |      ELSE 0 END) AS BIGINT) AS mask
+             |  FROM j GROUP BY user_id),
+             |vs AS (SELECT mask, CAST(SUM(rev) AS BIGINT) AS w FROM u WHERE mask > 0 GROUP BY mask),
+             |sized AS (SELECT mask, w,
+             |    CAST((mask % 2) + (mask // 2) % 2 + (mask // 4) % 2 + (mask // 8) % 2 AS BIGINT) AS sz
+             |  FROM vs),
+             |ch(channel, bit) AS (SELECT * FROM (VALUES ('view', 1), ('click', 2), ('signup', 4), ('error', 8))),
+             |phi AS (
+             |  SELECT ch.channel, COUNT(*) AS n_touchsets,
+             |    CAST(SUM(sized.w * (12 // sized.sz)) AS BIGINT) AS phi_x12_cents
+             |  FROM sized JOIN ch ON (sized.mask // ch.bit) % 2 = 1
+             |  GROUP BY ch.channel),
+             |tot AS (SELECT CAST(SUM(phi_x12_cents) AS BIGINT) AS t FROM phi)
+             |SELECT channel, n_touchsets, phi_x12_cents,
+             |  phi_x12_cents * 1000000 // tot.t AS share_ppm
+             |FROM phi CROSS JOIN tot ORDER BY channel""".stripMargin),
+    ),
   )
 }
