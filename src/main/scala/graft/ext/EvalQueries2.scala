@@ -444,5 +444,88 @@ object EvalQueries2 {
               |FROM pre p JOIN iso ON iso.i = p.i ORDER BY p.bin""".stripMargin),
     ),
 
+
+    // Mann-Whitney rank-sum A/B test on per-user spend, per market
+    // segment — the NONPARAMETRIC member of the experimentation toolkit
+    // (q280 tests proportions, q287 means; this tests stochastic
+    // dominance, robust to spend's heavy tail). Doubled average ranks
+    // keep the tie-corrected statistic integral (2U₁ = 2R₁ − n₁(n₁+1));
+    // the tie-corrected variance folds into one exact rational:
+    // z²·10⁶ = (2U₁−n₁n₂)²·3n(n−1)·10⁶ div (n₁n₂·[(n+1)n(n−1) − Σ(t³−t)]).
+    // decimal(38,0) carries the products exactly to ~3·10⁵ users per
+    // segment (beyond, pre-bucket spend — the documented switch). One
+    // user rollup, one segment-keyed window pass, two rollups.
+    QueryDef(
+      "q295_mann_whitney",
+      (s, dir) => {
+        val u = tbl(s, dir, "events")
+          .groupBy("user_id")
+          .agg(sum(when(col("event_type") === "purchase",
+            round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("spend"))
+          .select(col("user_id"),
+            pmod(Sampling.portableHash(col("user_id")), lit(2)).as("arm"), col("spend"))
+        val g = u.join(
+          tbl(s, dir, "customer").select(col("c_custkey").as("user_id"),
+            col("c_mktsegment").as("grp")), Seq("user_id"))
+        val r = g.select(col("grp"), col("arm"),
+          rank().over(Window.partitionBy("grp").orderBy("spend")).cast("long").as("rk"),
+          count(lit(1)).over(Window.partitionBy("grp", "spend")).as("ties"))
+        val t3 = g.groupBy("grp", "spend").agg(count(lit(1)).as("t"))
+          .groupBy("grp")
+          .agg(sum(col("t") * col("t") * col("t") - col("t")).as("t3"))
+        val m = r.groupBy("grp")
+          .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+            sum(when(col("arm") === 0, lit(2L) * col("rk") + col("ties") - 1L)
+              .otherwise(0L)).as("r2_1"))
+        m.join(t3, Seq("grp"))
+          .select(col("grp"), col("n1"), col("n2"),
+            (col("r2_1") - col("n1") * (col("n1") + 1L) - col("n1") * col("n2")).as("d2"),
+            col("t3"))
+          .withColumn("z2_ppm", expr(
+            """cast(cast(d2 as decimal(38,0))*d2 * 3*(n1+n2)*(n1+n2-1) * 1000000
+              | div nullif(cast(n1 as decimal(38,0))*n2
+              |   * ((n1+n2+1)*cast(n1+n2 as decimal(38,0))*(n1+n2-1) - t3), 0)
+              | as bigint)""".stripMargin))
+          .withColumn("significant", coalesce(col("z2_ppm") > 4000000L, lit(false)))
+          .orderBy("grp")
+      },
+      Some("""WITH u AS (
+             |  SELECT e.user_id,
+             |    CAST(('0x' || substring(md5(CAST(e.user_id AS VARCHAR)),1,15)) AS BIGINT) % 2 AS arm,
+             |    CAST(SUM(CASE WHEN e.event_type='purchase' THEN CAST(round(e.value*100,0) AS BIGINT) ELSE 0 END) AS BIGINT) AS spend
+             |  FROM events e GROUP BY e.user_id),
+             |g AS (
+             |  SELECT c.c_mktsegment AS grp, u.arm, u.spend
+             |  FROM u JOIN customer c ON u.user_id = c.c_custkey),
+             |r AS (
+             |  SELECT grp, arm, spend,
+             |    rank() OVER (PARTITION BY grp ORDER BY spend) AS rk,
+             |    COUNT(*) OVER (PARTITION BY grp, spend) AS ties
+             |  FROM g),
+             |ties AS (
+             |  SELECT grp, CAST(SUM(t*t*t - t) AS BIGINT) AS t3
+             |  FROM (SELECT grp, spend, COUNT(*) AS t FROM g GROUP BY 1, 2) GROUP BY grp),
+             |m AS (
+             |  SELECT grp,
+             |    CAST(SUM(CASE WHEN arm=0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(SUM(CASE WHEN arm=1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |    CAST(SUM(CASE WHEN arm=0 THEN 2*rk + ties - 1 ELSE 0 END) AS BIGINT) AS r2_1
+             |  FROM r GROUP BY grp),
+             |z AS (
+             |  SELECT m.grp, n1, n2,
+             |    r2_1 - n1*(n1+1) - n1*n2 AS d2, t3
+             |  FROM m JOIN ties ON ties.grp = m.grp),
+             |f AS (
+             |  SELECT grp, n1, n2, d2, t3,
+             |    CAST(CAST(d2 AS HUGEINT)*d2 * 3*(n1+n2)*(n1+n2-1) * 1000000
+             |      // NULLIF(CAST(n1 AS HUGEINT)*n2
+             |        * ((n1+n2+1)*CAST(n1+n2 AS HUGEINT)*(n1+n2-1) - t3), 0) AS BIGINT) AS z2_ppm
+             |  FROM z)
+             |SELECT grp, n1, n2, d2, t3, z2_ppm,
+             |  COALESCE(z2_ppm > 4000000, FALSE) AS significant
+             |FROM f ORDER BY grp""".stripMargin),
+    ),
+
   )
 }
