@@ -527,5 +527,54 @@ object EvalQueries2 {
              |FROM f ORDER BY grp""".stripMargin),
     ),
 
+
+    // Sample-ratio-mismatch (SRM) detector — the assignment-health
+    // guardrail every experiment platform runs before trusting a readout:
+    // χ²(1 df) of observed arm counts vs the designed 50/50 split,
+    // per day over DISTINCT daily users and overall over DISTINCT users
+    // (NOT user-days: heavy users repeat across days, and rolling up
+    // user-days is the classic false-alarm unit mismatch — probed here,
+    // it flags a phantom SRM). χ²·10⁶ = (n₁−n₂)²·10⁶ div (n₁+n₂), exact;
+    // gate = 3.841 (α=0.05, 1 df). Two distinct rollups, both
+    // partial-agg; decimal is the documented escape past ~10⁹ units.
+    QueryDef(
+      "q296_srm_detector",
+      (s, dir) => {
+        val a = tbl(s, dir, "events")
+          .select(col("user_id"),
+            pmod(Sampling.portableHash(col("user_id")), lit(2)).as("arm"),
+            call_function("div", col("ts"), lit(86400000000000L)).as("day"))
+        val perDay = a.select(col("day"), col("user_id"), col("arm")).distinct()
+          .groupBy("day")
+          .agg(sum(lit(1L) - col("arm")).as("n1"), sum("arm").as("n2"))
+        val overall = a.select(col("user_id"), col("arm")).distinct()
+          .agg(sum(lit(1L) - col("arm")).as("n1"), sum("arm").as("n2"))
+          .select(lit(-1L).as("day"), col("n1"), col("n2"))
+        perDay.unionByName(overall)
+          .select(col("day"), col("n1"), col("n2"),
+            expr("(n1-n2)*(n1-n2) * 1000000 div (n1+n2)").as("chi2_ppm"))
+          .withColumn("srm", col("chi2_ppm") > 3841000L)
+          .orderBy("day")
+      },
+      Some("""WITH a AS (
+             |  SELECT user_id,
+             |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 2 AS arm,
+             |    epoch_ns(ts) // 86400000000000 AS day
+             |  FROM events),
+             |e AS (SELECT DISTINCT day, user_id, arm FROM a),
+             |perday AS (
+             |  SELECT day, CAST(SUM(1-arm) AS BIGINT) AS n1, CAST(SUM(arm) AS BIGINT) AS n2
+             |  FROM e GROUP BY day),
+             |overall AS (
+             |  SELECT CAST(-1 AS BIGINT) AS day,
+             |    CAST(SUM(1-arm) AS BIGINT) AS n1, CAST(SUM(arm) AS BIGINT) AS n2
+             |  FROM (SELECT DISTINCT user_id, arm FROM a)),
+             |g AS (SELECT * FROM perday UNION ALL SELECT * FROM overall)
+             |SELECT day, n1, n2,
+             |  (n1-n2)*(n1-n2) * 1000000 // (n1+n2) AS chi2_ppm,
+             |  (n1-n2)*(n1-n2) * 1000000 // (n1+n2) > 3841000 AS srm
+             |FROM g ORDER BY day""".stripMargin),
+    ),
+
   )
 }

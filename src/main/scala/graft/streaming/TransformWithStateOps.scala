@@ -1484,6 +1484,62 @@ object TransformWithStateOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming twin of the q288 peeking audit's cumulative z² (the 'aa'
+    * scenario as a continuous monitor): per-day contingency DELTAS live in
+    * MapState; each batch re-derives the prefix-cumulative z² for every
+    * day ≥ the batch's min touched day (a prefix window reads all days ≤
+    * its own, so later batches invalidate every later day's row — the
+    * inverse of SloBurn's trailing-window finality). Upsert-by-day equals
+    * the batch prefix derivation over rows seen so far. State is one
+    * 4-long tuple per day, bounded by day cardinality; prefixes need the
+    * full day history, so nothing prunes (days, not events). */
+  final class PeekingProcessor(critPpm: Long)
+      extends StatefulProcessor[Int, AaEvent, AaRow] {
+
+    @transient private var deltas: MapState[Long, (Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      deltas = getHandle.getMapState[Long, (Long, Long, Long, Long)]("deltas",
+        Encoders.scalaLong,
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[AaEvent],
+        timerValues: TimerValues): Iterator[AaRow] = {
+      var minDay = Long.MaxValue
+      rows.foreach { r =>
+        val (n1, c1, n2, c2) =
+          if (deltas.containsKey(r.day)) deltas.getValue(r.day)
+          else (0L, 0L, 0L, 0L)
+        deltas.updateValue(r.day,
+          if (r.arm == 0) (n1 + 1L, c1 + r.conv, n2, c2)
+          else (n1, c1, n2 + 1L, c2 + r.conv))
+        if (r.day < minDay) minDay = r.day
+      }
+      if (minDay == Long.MaxValue) return Iterator.empty
+      val state = deltas.iterator().toArray.sortBy(_._1)
+      var (n1, c1, n2, c2) = (0L, 0L, 0L, 0L)
+      val out = Array.newBuilder[AaRow]
+      state.foreach { case (d, (dn1, dc1, dn2, dc2)) =>
+        n1 += dn1; c1 += dc1; n2 += dn2; c2 += dc2
+        if (d >= minDay) {
+          val z2 = AaTestProcessor.z2Ppm(n1, c1, n2, c2)
+          out += AaRow(d, n1, c1, n2, c2, z2, z2.exists(_ > critPpm))
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** See [[PeekingProcessor]]. */
+  def streamingPeekingAudit(ds: Dataset[AaEvent], critPpm: Long): Dataset[AaRow] = {
+    implicit val outEnc: Encoder[AaRow] = Encoders.product[AaRow]
+    ds.groupByKey(_ => 0)(Encoders.scalaInt)
+      .transformWithState(new PeekingProcessor(critPpm),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class TouchEvent(user_id: Long, event_type: String, ts: Long,
       event_id: Long)
   final case class TouchCredit(user_id: Long, event_type: String,

@@ -1125,6 +1125,66 @@ class TransformWithStateSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streamingPeekingAudit: cumulative rows equal the q288 'aa' prefix derivation, mid-stream and final") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{AaEvent, AaRow, AaTestProcessor}
+      val rows = graft.replay.TsNanos.normalize(
+          spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+        .select(expr("ts div 86400000000000").as("day"),
+          pmod(graft.ext.Sampling.portableHash(col("user_id")), lit(2))
+            .cast("long").as("arm"),
+          (col("event_type") === "purchase").cast("long").as("conv"))
+        .orderBy("day") // event-time order: later batches only touch later days
+        .as[(Long, Long, Long)].collect().toSeq
+        .map(t => AaEvent(t._1, t._2, t._3))
+
+      def reference(seq: Seq[AaEvent]): Map[Long, AaRow] = {
+        val byDay = seq.groupBy(_.day).toSeq.sortBy(_._1)
+        var (n1, c1, n2, c2) = (0L, 0L, 0L, 0L)
+        byDay.map { case (d, es) =>
+          n1 += es.count(_.arm == 0L); c1 += es.filter(_.arm == 0L).map(_.conv).sum
+          n2 += es.count(_.arm == 1L); c2 += es.filter(_.arm == 1L).map(_.conv).sum
+          val z2 = AaTestProcessor.z2Ppm(n1, c1, n2, c2)
+          d -> AaRow(d, n1, c1, n2, c2, z2, z2.exists(_ > 4000000L))
+        }.toMap
+      }
+
+      val latest = scala.collection.mutable.Map[Long, AaRow]()
+      val input = MemoryStream[AaEvent]
+      val query = TransformWithStateOps.streamingPeekingAudit(input.toDS(), 4000000L)
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[AaRow], _: Long) =>
+          df.collect().foreach(r => latest(r.day) = r); ()
+        }.start()
+      try {
+        var fed = Seq.empty[AaEvent]
+        var checkedMid = false
+        rows.grouped(rows.length / 6 + 1).foreach { b =>
+          input.addData(b: _*); query.processAllAvailable()
+          fed = fed ++ b
+          if (!checkedMid && fed.length >= rows.length / 2) {
+            val want = reference(fed)
+            assert(want.nonEmpty && latest.toMap == want, "mid-stream parity")
+            checkedMid = true
+          }
+        }
+      } finally query.stop()
+
+      // final parity against the DRIVER-GATED q288 'aa' scenario rows
+      val batch = graft.SparkEntry.queries("q288_peeking_audit")(
+          spark, "/root/testdata/sf0.001")
+        .where(col("scenario") === "aa")
+        .collect().map(r => r.getLong(1) -> AaRow(r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) None else Some(r.getLong(6)), r.getBoolean(7)))
+        .toMap
+      assert(batch.nonEmpty && latest.toMap == batch)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streamingMultitouch: conversion-triggered credits equal the batch q257 attribution, mid-stream and final") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
