@@ -576,5 +576,67 @@ object EvalQueries2 {
              |FROM g ORDER BY day""".stripMargin),
     ),
 
+
+    // Minimum-detectable-effect table — the power-planning readout next
+    // to q280's test and q296's health check: at each day's accumulated
+    // sample (cumulative arm sizes, pooled conversion rate), the absolute
+    // effect detectable at α=0.05 / 80% power,
+    // MDE = (z₀.₉₇₅+z₀.₈)·√(p(1−p)(1/n₁+1/n₂)) with the z-sum as the
+    // fixed literal 2.8016. All integer: the radicand floor-assembles on
+    // decimal(38,0) rails and the exact isqrt (double seed + two integer
+    // corrections — the q126 recipe, replicated in the oracle) takes the
+    // root, so MDE_ppm is bit-equal across engines. One day rollup + a
+    // 30-row cumulative window.
+    QueryDef(
+      "q297_mde_table",
+      (s, dir) => {
+        val g = tbl(s, dir, "events")
+          .select(call_function("div", col("ts"), lit(86400000000000L)).as("day"),
+            pmod(Sampling.portableHash(col("user_id")), lit(2)).as("arm"),
+            (col("event_type") === "purchase").cast("long").as("conv"))
+          .groupBy("day")
+          .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("dn1"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("dn2"),
+            sum("conv").as("dc"))
+        val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        val cum = g.select(col("day"),
+          sum("dn1").over(w).as("n1"), sum("dn2").over(w).as("n2"),
+          sum("dc").over(w).as("c"))
+        cum.select(col("day"), col("n1"), col("n2"),
+            expr("c * 1000000 div (n1+n2)").as("p_ppm"),
+            expr("""cast((cast(784896256 as decimal(38,0)) * c * ((n1+n2) - c) * (n1+n2) * 10000)
+                   | div (cast(n1+n2 as decimal(38,0)) * (n1+n2) * n1 * n2) as bigint)""".stripMargin)
+              .as("rad"))
+          .withColumn("mde_ppm", Sampling.isqrt(col("rad")))
+          .drop("rad")
+          .orderBy("day")
+      },
+      Some("""WITH e AS (
+             |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+             |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 2 AS arm,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+             |  FROM events),
+             |g AS (SELECT day,
+             |   CAST(SUM(CASE WHEN arm=0 THEN 1 ELSE 0 END) AS BIGINT) AS dn1,
+             |   CAST(SUM(CASE WHEN arm=1 THEN 1 ELSE 0 END) AS BIGINT) AS dn2,
+             |   CAST(SUM(conv) AS BIGINT) AS dc
+             | FROM e GROUP BY day),
+             |cum AS (SELECT day,
+             |   CAST(SUM(dn1) OVER w AS BIGINT) AS n1,
+             |   CAST(SUM(dn2) OVER w AS BIGINT) AS n2,
+             |   CAST(SUM(dc) OVER w AS BIGINT) AS c
+             | FROM g WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+             |r AS (SELECT day, n1, n2,
+             |   c * 1000000 // (n1+n2) AS p_ppm,
+             |   CAST((CAST(784896256 AS HUGEINT) * c * ((n1+n2) - c) * (n1+n2) * 10000)
+             |     // (CAST(n1+n2 AS HUGEINT) * (n1+n2) * n1 * n2) AS BIGINT) AS rad
+             | FROM cum),
+             |s0 AS (SELECT r.*, CAST(floor(sqrt(CAST(rad AS DOUBLE))) AS BIGINT) AS a FROM r),
+             |s1 AS (SELECT s0.*, CASE WHEN a*a > rad THEN a-1 ELSE a END AS b FROM s0)
+             |SELECT day, n1, n2, p_ppm,
+             |  CASE WHEN (b+1)*(b+1) <= rad THEN b+1 ELSE b END AS mde_ppm
+             |FROM s1 ORDER BY day""".stripMargin),
+    ),
+
   )
 }
