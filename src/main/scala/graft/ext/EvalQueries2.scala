@@ -7,7 +7,9 @@ import graft.queries.QueryDef.tbl
 
 /** Second slice of the evaluation family (q284+): rater agreement (Cohen's
   * kappa), exact-Gini decision-stump training, Kaplan-Meier time-to-event
-  * with administrative censoring. Same exact-arithmetic discipline as
+  * with administrative censoring, CUPED, the sequential-peeking audit,
+  * isotonic recalibration, the Mann-Whitney rank test, SRM detection, and
+  * the MDE power table. Same exact-arithmetic discipline as
   * [[EvalQueries]]; float appears only in the KM survival product, as a
   * left-to-right IEEE fold replicated op-for-op by the oracle's recursive
   * CTE (the house double-fold rule, DEVNOTES rule 4). */
