@@ -640,5 +640,69 @@ object EvalQueries2 {
              |FROM s1 ORDER BY day""".stripMargin),
     ),
 
+
+    // Difference-in-differences on per-user spend: pre/post (corpus day
+    // 15 boundary) × hash arm, DiD = (Δ̄ treated) − (Δ̄ control) on cell
+    // means — the causal-adjustment workhorse when assignment isn't
+    // random in time. One exact floor-division over the four-cell common
+    // denominator n₁₁n₁₀n₀₁n₀₀ (decimal(38,0) rails), emitted in
+    // centi-cents. One user-period rollup, a 4-row pivot, one row out.
+    QueryDef(
+      "q298_diff_in_diff",
+      (s, dir) => {
+        val ev = tbl(s, dir, "events")
+        val d0 = ev.agg(min(call_function("div", col("ts"), lit(86400000000000L)))
+          .as("d0"))
+        val u = ev.crossJoin(broadcast(d0))
+          .select(col("user_id"),
+            pmod(Sampling.portableHash(col("user_id")), lit(2)).as("arm"),
+            when(call_function("div", col("ts"), lit(86400000000000L)) - col("d0") < 15, 0L)
+              .otherwise(1L).as("period"),
+            when(col("event_type") === "purchase",
+              round(col("value") * 100, 0).cast("long")).otherwise(0L).as("cents"))
+        val cell = u.groupBy("arm", "period")
+          .agg(countDistinct("user_id").as("n"), sum("cents").as("s"))
+        cell.groupBy()
+          .agg(
+            max(when(col("arm") === 1 && col("period") === 1, col("n"))).as("n11"),
+            max(when(col("arm") === 1 && col("period") === 1, col("s"))).as("s11"),
+            max(when(col("arm") === 1 && col("period") === 0, col("n"))).as("n10"),
+            max(when(col("arm") === 1 && col("period") === 0, col("s"))).as("s10"),
+            max(when(col("arm") === 0 && col("period") === 1, col("n"))).as("n01"),
+            max(when(col("arm") === 0 && col("period") === 1, col("s"))).as("s01"),
+            max(when(col("arm") === 0 && col("period") === 0, col("n"))).as("n00"),
+            max(when(col("arm") === 0 && col("period") === 0, col("s"))).as("s00"))
+          .select(col("n11"), col("n10"), col("n01"), col("n00"),
+            expr("""cast(((cast(s11 as decimal(38,0))*n10 - cast(s10 as decimal(38,0))*n11)
+                   |    * (cast(n01 as decimal(38,0))*n00)
+                   |  - (cast(s01 as decimal(38,0))*n00 - cast(s00 as decimal(38,0))*n01)
+                   |    * (cast(n11 as decimal(38,0))*n10)) * 100
+                   | div (cast(n11 as decimal(38,0))*n10*n01*n00) as bigint)""".stripMargin)
+              .as("did_centicents"))
+      },
+      Some("""WITH d0 AS (SELECT MIN(epoch_ns(ts) // 86400000000000) AS d0 FROM events),
+             |u AS (
+             |  SELECT user_id,
+             |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 2 AS arm,
+             |    CASE WHEN epoch_ns(ts) // 86400000000000 - d0.d0 < 15 THEN 0 ELSE 1 END AS period,
+             |    CASE WHEN event_type='purchase' THEN CAST(round(value*100,0) AS BIGINT) ELSE 0 END AS cents
+             |  FROM events CROSS JOIN d0),
+             |cell AS (
+             |  SELECT arm, period, COUNT(DISTINCT user_id) AS n, CAST(SUM(cents) AS BIGINT) AS s
+             |  FROM u GROUP BY arm, period),
+             |w AS (
+             |  SELECT
+             |    MAX(CASE WHEN arm=1 AND period=1 THEN n END) AS n11, MAX(CASE WHEN arm=1 AND period=1 THEN s END) AS s11,
+             |    MAX(CASE WHEN arm=1 AND period=0 THEN n END) AS n10, MAX(CASE WHEN arm=1 AND period=0 THEN s END) AS s10,
+             |    MAX(CASE WHEN arm=0 AND period=1 THEN n END) AS n01, MAX(CASE WHEN arm=0 AND period=1 THEN s END) AS s01,
+             |    MAX(CASE WHEN arm=0 AND period=0 THEN n END) AS n00, MAX(CASE WHEN arm=0 AND period=0 THEN s END) AS s00
+             |  FROM cell)
+             |SELECT n11, n10, n01, n00,
+             |  CAST(((CAST(s11 AS HUGEINT)*n10 - CAST(s10 AS HUGEINT)*n11) * (CAST(n01 AS HUGEINT)*n00)
+             |      - (CAST(s01 AS HUGEINT)*n00 - CAST(s00 AS HUGEINT)*n01) * (CAST(n11 AS HUGEINT)*n10)) * 100
+             |    // (CAST(n11 AS HUGEINT)*n10*n01*n00) AS BIGINT) AS did_centicents
+             |FROM w""".stripMargin),
+    ),
+
   )
 }

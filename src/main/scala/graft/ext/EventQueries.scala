@@ -1128,15 +1128,16 @@ object EventQueries {
     // standard removal semantics). The absorption fixed point runs as 20
     // value-iteration rounds in exact ppm integers (truncating div each
     // round — both engines quantize identically, so the oracle's
-    // recursive CTE replays it bit-for-bit). Everything after the one
-    // event-table rollup is constant-sized (|types|^2 rows x 5
-    // scenarios); the Scala loop drives ~100 tiny jobs, each
-    // localCheckpoint-bounded — corpus scale only touches the first
-    // window pass.
+    // recursive CTE replays it bit-for-bit). Corpus scale touches ONLY
+    // the one distributed rollup that builds the transition counts; the
+    // matrix itself is MODEL STATE (≤ (|types|+1)² ≈ 49 rows, bounded by
+    // the type vocabulary, not the data), so the fixed point runs
+    // driver-side in Long arithmetic — the greedyCover/limit(1)
+    // precedent; pushing 100 constant-sized jobs through the scheduler
+    // measured 7 s of pure overhead at any sf.
     QueryDef(
       "q293_markov_attribution",
       (s, dir) => {
-        import org.apache.spark.sql.DataFrame
         val wU = Window.partitionBy("user_id")
         val wSeq = wU.orderBy(col("ts"), col("event_id"))
         val ev = tbl(s, dir, "events")
@@ -1147,7 +1148,7 @@ object EventQueries {
         val seq0 = ev.select(col("user_id"), col("event_type").as("cur"),
           lead(col("event_type"), 1).over(wSeq).as("nxt"),
           row_number().over(wSeq).as("rn"))
-        val trans = PinnedCache.pin(
+        val trans: Array[(String, String, Long)] =
           seq0.where(col("rn") === 1)
             .select(lit("start").as("s"),
               when(col("cur") === "purchase", "conv").otherwise(col("cur")).as("d"))
@@ -1155,48 +1156,43 @@ object EventQueries {
               .select(col("cur").as("s"),
                 when(col("nxt") === "purchase", "conv")
                   .when(col("nxt").isNull, "null").otherwise(col("nxt")).as("d")))
-            .groupBy("s", "d").agg(count(lit(1)).as("cnt")))
-        val outd = trans.groupBy("s").agg(sum("cnt").as("outc"))
-        val scen = s.range(1).select(explode(typedLit(Seq(
-          "base", "no_view", "no_click", "no_signup", "no_error"))).as("scenario"))
-        val strans = trans.crossJoin(scen)
-          .where(!(col("scenario") === concat(lit("no_"), col("s"))))
-          .select(col("scenario"), col("s"),
-            when(col("scenario") === concat(lit("no_"), col("d")), "null")
-              .otherwise(col("d")).as("d"), col("cnt"))
-          .groupBy("scenario", "s", "d").agg(sum("cnt").as("cnt"))
-          .join(outd, Seq("s"))
-        val states = trans.select(col("s").as("state")).distinct()
-          .unionByName(s.range(1).select(lit("conv").as("state")))
-          .unionByName(s.range(1).select(lit("null").as("state")))
-        val grid = PinnedCache.pin(states.crossJoin(scen))
-        val stransP = PinnedCache.pin(strans)
-        var v: DataFrame = grid.select(col("scenario"), col("state"),
-          when(col("state") === "conv", 1000000L).otherwise(0L).as("vp"))
-        for (t <- 1 to 20) {
-          val step = stransP
-            .join(v.select(col("scenario"), col("state").as("d"), col("vp")),
-              Seq("scenario", "d"))
-            .groupBy(col("scenario"), col("s"))
-            .agg(expr("sum(cnt * vp) div min(outc)").as("tv"))
-          v = grid.join(step,
-              grid("scenario") === step("scenario") && grid("state") === step("s"),
-              "left_outer")
-            .select(grid("scenario"), grid("state"),
-              when(grid("state") === "conv", 1000000L)
-                .when(grid("state") === "null", 0L)
-                .otherwise(coalesce(col("tv"), lit(0L))).as("vp"))
-          if (t % 5 == 0) v = v.localCheckpoint(eager = true)
+            .groupBy("s", "d").agg(count(lit(1)).as("cnt"))
+            .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val outc = trans.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._3).sum }
+        val scenarios = Seq("base", "no_view", "no_click", "no_signup", "no_error")
+        val states = (trans.map(_._1).toSet ++ Set("conv", "null")).toSeq.sorted
+        val results = scenarios.map { sc =>
+          // removal: the channel's own rows drop; transitions INTO it -> null
+          val st = trans.filter { case (src, _, _) => sc != s"no_$src" }
+            .map { case (src, d, cnt) =>
+              (src, if (sc == s"no_$d") "null" else d, cnt) }
+            .groupBy(t => (t._1, t._2))
+            .map { case ((src, d), xs) => (src, d, xs.map(_._3).sum) }.toSeq
+          var v: Map[String, Long] =
+            states.map(x => x -> (if (x == "conv") 1000000L else 0L)).toMap
+          for (_ <- 1 to 20) {
+            val upd = st.groupBy(_._1).map { case (src, xs) =>
+              // BigInt products: cnt·vp can reach 10^18 at trillion-event
+              // corpora; the quotient is back under 10^6
+              src -> (xs.map { case (_, d, cnt) => BigInt(cnt) * v(d) }.sum /
+                outc(src)).toLong
+            }
+            v = states.map(x => x -> (x match {
+              case "conv" => 1000000L
+              case "null" => 0L
+              case other  => upd.getOrElse(other, 0L)
+            })).toMap
+          }
+          (sc, v("start"))
         }
-        val fin = v.where(col("state") === "start")
-          .select(col("scenario"), col("vp"))
-        val base = fin.where(col("scenario") === "base")
-          .select(col("vp").as("pb"))
-        fin.crossJoin(broadcast(base))
-          .select(col("scenario"), col("vp").as("p_conv_ppm"), col("pb").as("base_ppm"),
-            when(col("scenario") === "base", 0L)
-              .otherwise(expr("(pb - vp) * 1000000 div nullif(pb, 0)"))
-              .as("removal_effect_ppm"))
+        val pb = results.find(_._1 == "base").get._2
+        import s.implicits._
+        results.map { case (sc, vp) =>
+          (sc, vp, pb,
+            if (sc == "base") Some(0L)
+            else if (pb == 0L) None // mirrors the oracle's NULLIF
+            else Some((BigInt(pb - vp) * 1000000 / pb).toLong))
+        }.toDF("scenario", "p_conv_ppm", "base_ppm", "removal_effect_ppm")
           .orderBy("scenario")
       },
       Some("""WITH RECURSIVE j AS (
