@@ -852,4 +852,33 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
   }
+
+  /** Content-defined chunk frame (the q289 CDC core): token positions
+    * hashed to 40-bit portable hashes, a chunk closes at any position
+    * whose 3-token position-weighted window fingerprint is ≡ 0 mod 16,
+    * and each chunk carries the order-sensitive content fingerprint
+    * fpc = Σp·h − (start−1)·Σh. Returns (doc_id, source, cid, len, fpc).
+    * Shared by the batch rollup (q289) and the streaming chunker twin
+    * (CdcChunkProcessor parity). */
+  def cdcChunks(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy("doc_id").orderBy("p")
+    val w3 = wDoc.rowsBetween(-2, 0)
+    val t = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), col("source"), (col("p0") + 1).cast("long").as("p"),
+        pmod(Sampling.portableHash(col("tok")), lit(1099511627776L)).as("h"))
+    val bnd = t.select(col("doc_id"), col("source"), col("p"), col("h"),
+      when(col("p") >= 3 &&
+        pmod(sum(col("p") * col("h")).over(w3) -
+          (col("p") - 3) * sum(col("h")).over(w3), lit(16L)) === 0, 1L)
+        .otherwise(0L).as("bnd"))
+    bnd.select(col("doc_id"), col("source"), col("p"), col("h"),
+        coalesce(sum("bnd").over(wDoc.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("cid"))
+      .groupBy(col("doc_id"), col("source"), col("cid"))
+      .agg(count(lit(1)).as("len"),
+        (sum(col("p") * col("h")) - (min("p") - 1) * sum("h")).as("fpc"))
+  }
 }

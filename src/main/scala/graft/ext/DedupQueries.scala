@@ -1398,25 +1398,7 @@ object DedupQueries {
     QueryDef(
       "q289_cdc_chunks",
       (s, dir) => {
-        val wDoc = Window.partitionBy("doc_id").orderBy("p")
-        val w3 = wDoc.rowsBetween(-2, 0)
-        val t = tbl(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
-          .select(col("doc_id"), col("source"), (col("p0") + 1).cast("long").as("p"),
-            pmod(Sampling.portableHash(col("tok")), lit(1099511627776L)).as("h"))
-        val bnd = t.select(col("doc_id"), col("source"), col("p"), col("h"),
-          when(col("p") >= 3 &&
-            pmod(sum(col("p") * col("h")).over(w3) -
-              (col("p") - 3) * sum(col("h")).over(w3), lit(16L)) === 0, 1L)
-            .otherwise(0L).as("bnd"))
-        val ch = bnd.select(col("doc_id"), col("source"), col("p"), col("h"),
-          coalesce(sum("bnd").over(wDoc.rowsBetween(Window.unboundedPreceding, -1)),
-            lit(0L)).as("cid"))
-        val chunks = ch.groupBy(col("doc_id"), col("source"), col("cid"))
-          .agg(count(lit(1)).as("len"),
-            (sum(col("p") * col("h")) - (min("p") - 1) * sum("h")).as("fpc"))
-        chunks.groupBy("source")
+        Dedup.cdcChunks(tbl(s, dir, "documents")).groupBy("source")
           .agg(count(lit(1)).as("n_chunks"),
             countDistinct(struct(col("len"), col("fpc"))).as("n_distinct"),
             sum("len").as("tokens"))

@@ -1540,6 +1540,75 @@ object TransformWithStateOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class CdcToken(doc_id: Long, p: Long, h: Long)
+  final case class CdcChunk(doc_id: Long, cid: Long, len: Long, fpc: Long,
+      open: Boolean)
+
+  /** Streaming twin of the q289 content-defined chunker
+    * ([[graft.ext.Dedup.cdcChunks]]) — the ingestion-side shape: tokens
+    * stream per document; a chunk CLOSES the moment its boundary token
+    * arrives (3-token window fingerprint ≡ 0 mod 16, computed from the
+    * two retained trailing hashes — O(1) state per doc, no token
+    * buffering) and emits a final row; the still-open tail chunk re-emits
+    * provisionally each batch (open = true), so closed ∪ open always
+    * equals the batch chunk frame over tokens seen so far. Requires
+    * per-doc position-ordered arrival (in-batch rows are sorted here;
+    * cross-batch order is the priming contract). State: seven longs per
+    * in-flight document, kept until the doc's stream ends (production
+    * would TTL on a document-complete marker). */
+  final class CdcChunkProcessor
+      extends StatefulProcessor[Long, CdcToken, CdcChunk] {
+
+    // (lastH2, lastH1, pos, chunkStart, sumH, sumPH, cid)
+    @transient private var st: ValueState[(Long, Long, Long, Long, (Long, Long, Long))] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long, Long, (Long, Long, Long))]("cdc",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong,
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[CdcToken],
+        timerValues: TimerValues): Iterator[CdcChunk] = {
+      var (h2, h1, pos, start, (sumH, sumPH, cid)) =
+        if (st.exists()) st.get() else (0L, 0L, 0L, 1L, (0L, 0L, 0L))
+      val out = Array.newBuilder[CdcChunk]
+      rows.toArray.sortBy(_.p).foreach { tk =>
+        require(tk.p == pos + 1, s"doc $key: token ${tk.p} after $pos")
+        pos = tk.p
+        sumH += tk.h; sumPH += pos * tk.h
+        val isBoundary = pos >= 3 && {
+          val s1 = h2 + h1 + tk.h
+          val s2 = (pos - 2) * h2 + (pos - 1) * h1 + pos * tk.h
+          val fp = s2 - (pos - 3) * s1
+          // fp is non-negative by construction (position-weighted sums of
+          // non-negative hashes over the window)
+          fp % 16L == 0L
+        }
+        if (isBoundary) {
+          out += CdcChunk(key, cid, pos - start + 1,
+            sumPH - (start - 1) * sumH, open = false)
+          cid += 1; start = pos + 1; sumH = 0L; sumPH = 0L
+        }
+        h2 = h1; h1 = tk.h
+      }
+      st.update((h2, h1, pos, start, (sumH, sumPH, cid)))
+      if (pos >= start) // provisional open tail
+        out += CdcChunk(key, cid, pos - start + 1,
+          sumPH - (start - 1) * sumH, open = true)
+      out.result().iterator
+    }
+  }
+
+  /** See [[CdcChunkProcessor]]. */
+  def streamingCdcChunks(ds: Dataset[CdcToken]): Dataset[CdcChunk] = {
+    implicit val outEnc: Encoder[CdcChunk] = Encoders.product[CdcChunk]
+    ds.groupByKey(_.doc_id)(Encoders.scalaLong)
+      .transformWithState(new CdcChunkProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class TouchEvent(user_id: Long, event_type: String, ts: Long,
       event_id: Long)
   final case class TouchCredit(user_id: Long, event_type: String,

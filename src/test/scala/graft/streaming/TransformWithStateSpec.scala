@@ -1185,6 +1185,50 @@ class TransformWithStateSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streamingCdcChunks: closed ∪ open chunks equal the batch cdcChunks frame, mid-stream and final") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{CdcChunk, CdcToken}
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      // the same tokenization/hash pipeline the batch operator uses
+      val tokens = docs
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
+          pmod(graft.ext.Sampling.portableHash(col("tok")), lit(1099511627776L)).as("h"))
+        .orderBy(col("doc_id"), col("p")) // per-doc position order (priming contract)
+        .as[(Long, Long, Long)].collect().toSeq
+        .map(t => CdcToken(t._1, t._2, t._3))
+
+      val latest = scala.collection.mutable.Map[(Long, Long), CdcChunk]()
+      val input = MemoryStream[CdcToken]
+      val query = TransformWithStateOps.streamingCdcChunks(input.toDS())
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[CdcChunk], _: Long) =>
+          df.collect().foreach(r => latest((r.doc_id, r.cid)) = r); ()
+        }.start()
+      try {
+        // splits deliberately land mid-document and mid-chunk
+        tokens.grouped(tokens.length / 7 + 1).foreach { b =>
+          input.addData(b: _*); query.processAllAvailable()
+        }
+      } finally query.stop()
+
+      // final parity against the batch chunk frame (len AND fingerprint)
+      val batch = graft.ext.Dedup.cdcChunks(docs)
+        .select(col("doc_id"), col("cid"), col("len"), col("fpc"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+      val streamed = latest.map { case (k, c) => k -> ((c.len, c.fpc)) }.toMap
+      assert(batch.nonEmpty && streamed == batch)
+      // every closed chunk ends on a boundary; only tail chunks are open
+      val opens = latest.valuesIterator.filter(_.open).map(_.doc_id).toSeq
+      assert(opens.distinct.size == opens.size, "at most one open chunk per doc")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streamingMultitouch: conversion-triggered credits equal the batch q257 attribution, mid-stream and final") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
