@@ -704,5 +704,157 @@ object EvalQueries2 {
              |FROM w""".stripMargin),
     ),
 
+
+    // Deterministic hash-bootstrap CI on the per-user-spend A/B lift:
+    // 32 half-sample resamples (membership = hash(user·64 + b) parity —
+    // pure function of (user, resample), so the whole CI is replayable),
+    // per-resample mean difference in centi-cents, CI = the 2nd/31st
+    // order statistics (a ~94% percentile interval). The resample
+    // explosion is a bounded ×32 on the per-USER frame (already rolled
+    // up), not on events; order statistics run over 32 rows.
+    QueryDef(
+      "q299_bootstrap_ci",
+      (s, dir) => {
+        val u = tbl(s, dir, "events")
+          .groupBy("user_id")
+          .agg(sum(when(col("event_type") === "purchase",
+            round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("spend"))
+          .select(col("user_id"),
+            pmod(Sampling.portableHash(col("user_id")), lit(2)).as("arm"), col("spend"))
+        val r = u.select(col("user_id"), col("arm"), col("spend"),
+            explode(sequence(lit(0L), lit(31L))).as("bs"))
+          .withColumn("inb",
+            (pmod(Sampling.portableHash(col("user_id") * 64 + col("bs")), lit(2)) === 0)
+              .cast("long"))
+        val g = r.groupBy("bs")
+          .agg(sum(when(col("arm") === 0 && col("inb") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("arm") === 0 && col("inb") === 1, col("spend")).otherwise(0L)).as("s1"),
+            sum(when(col("arm") === 1 && col("inb") === 1, 1L).otherwise(0L)).as("n2"),
+            sum(when(col("arm") === 1 && col("inb") === 1, col("spend")).otherwise(0L)).as("s2"))
+          .select(col("bs"), expr(
+            """cast((cast(s1 as decimal(38,0))*n2 - cast(s2 as decimal(38,0))*n1) * 100
+              | div nullif(cast(n1 as decimal(38,0))*n2, 0) as bigint)""".stripMargin)
+            .as("diff_cc"))
+        val o = g.select(col("bs"), col("diff_cc"),
+          row_number().over(Window.orderBy(col("diff_cc"), col("bs"))).as("rk"))
+        o.agg(
+          min(when(col("rk") === 2, col("diff_cc"))).as("ci_lo_cc"),
+          min(when(col("rk") === 31, col("diff_cc"))).as("ci_hi_cc"),
+          min(when(col("rk") === 16, col("diff_cc"))).as("med_lo_cc"),
+          count(lit(1)).as("n_resamples"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 2 AS arm,
+             |    CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(round(value*100,0) AS BIGINT) ELSE 0 END) AS BIGINT) AS spend
+             |  FROM events GROUP BY user_id),
+             |b AS (SELECT unnest(generate_series(0, 31)) AS bs),
+             |r AS (
+             |  SELECT b.bs, u.arm, u.spend,
+             |    CASE WHEN CAST(('0x' || substring(md5(CAST(u.user_id * 64 + b.bs AS VARCHAR)),1,15)) AS BIGINT) % 2 = 0
+             |         THEN 1 ELSE 0 END AS inb
+             |  FROM u CROSS JOIN b),
+             |g AS (
+             |  SELECT bs,
+             |    CAST(SUM(CASE WHEN arm=0 AND inb=1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(SUM(CASE WHEN arm=0 AND inb=1 THEN spend ELSE 0 END) AS BIGINT) AS s1,
+             |    CAST(SUM(CASE WHEN arm=1 AND inb=1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |    CAST(SUM(CASE WHEN arm=1 AND inb=1 THEN spend ELSE 0 END) AS BIGINT) AS s2
+             |  FROM r GROUP BY bs),
+             |d AS (
+             |  SELECT bs, CAST((CAST(s1 AS HUGEINT)*n2 - CAST(s2 AS HUGEINT)*n1) * 100
+             |    // NULLIF(CAST(n1 AS HUGEINT)*n2, 0) AS BIGINT) AS diff_cc
+             |  FROM g),
+             |o AS (SELECT bs, diff_cc, row_number() OVER (ORDER BY diff_cc, bs) AS rk FROM d)
+             |SELECT
+             |  MIN(CASE WHEN rk = 2 THEN diff_cc END) AS ci_lo_cc,
+             |  MIN(CASE WHEN rk = 31 THEN diff_cc END) AS ci_hi_cc,
+             |  MIN(CASE WHEN rk = 16 THEN diff_cc END) AS med_lo_cc,
+             |  COUNT(*) AS n_resamples
+             |FROM o""".stripMargin),
+    ),
+
+
+    // The composed experiment scorecard — the family's curate(): ONE
+    // decision row from the guardrail + readout + power chain: overall
+    // SRM check (q296's distinct-user χ²), overall two-proportion z²
+    // (q280's statistic on the full window), the MDE at the achieved
+    // sample (q297's isqrt radicand), and the verdict the pieces imply
+    // (invalid on SRM; else effect / no-effect-above-MDE). Demonstrates
+    // the operators composing declaratively: three rollups over one
+    // event scan, joined broadcast-style, zero iteration.
+    QueryDef(
+      "q300_experiment_scorecard",
+      (s, dir) => {
+        val base = tbl(s, dir, "events")
+          .select(col("user_id"),
+            pmod(Sampling.portableHash(col("user_id")), lit(2)).as("arm"),
+            (col("event_type") === "purchase").cast("long").as("conv"))
+        val users = base.select(col("user_id"), col("arm")).distinct()
+          .agg(sum(lit(1L) - col("arm")).as("u1"), sum("arm").as("u2"))
+          .select(col("u1"), col("u2"),
+            expr("(u1-u2)*(u1-u2) * 1000000 div (u1+u2)").as("srm_chi2_ppm"))
+        val contingency = base.groupBy()
+          .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c1"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+            sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c2"))
+          .transform(Evaluation.withZ2Ppm)
+        contingency.crossJoin(broadcast(users))
+          .withColumn("rad", expr(
+            """cast((cast(784896256 as decimal(38,0)) * (c1+c2) * ((n1+n2) - (c1+c2)) * (n1+n2) * 10000)
+              | div (cast(n1+n2 as decimal(38,0)) * (n1+n2) * n1 * n2) as bigint)""".stripMargin))
+          .withColumn("mde_ppm", Sampling.isqrt(col("rad")))
+          .withColumn("lift_ppm",
+            expr("""c1 * 1000000 div n1 - c2 * 1000000 div n2"""))
+          .withColumn("srm", col("srm_chi2_ppm") > 3841000L)
+          .withColumn("verdict",
+            when(col("srm"), "invalid_srm")
+              .when(col("flagged"), "effect")
+              .otherwise("no_effect_above_mde"))
+          .select(col("u1"), col("u2"), col("srm_chi2_ppm"), col("srm"),
+            col("n1"), col("c1"), col("n2"), col("c2"), col("z2_ppm"),
+            col("flagged"), col("lift_ppm"), col("mde_ppm"), col("verdict"))
+      },
+      Some("""WITH a AS (
+             |  SELECT user_id,
+             |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 2 AS arm,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+             |  FROM events),
+             |us AS (
+             |  SELECT CAST(SUM(1-arm) AS BIGINT) AS u1, CAST(SUM(arm) AS BIGINT) AS u2,
+             |    CAST((SUM(1-arm)-SUM(arm))*(SUM(1-arm)-SUM(arm)) * 1000000
+             |      // (SUM(1-arm)+SUM(arm)) AS BIGINT) AS srm_chi2_ppm
+             |  FROM (SELECT DISTINCT user_id, arm FROM a)),
+             |g AS (SELECT
+             |   CAST(SUM(CASE WHEN arm=0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |   CAST(SUM(CASE WHEN arm=0 THEN conv ELSE 0 END) AS BIGINT) AS c1,
+             |   CAST(SUM(CASE WHEN arm=1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |   CAST(SUM(CASE WHEN arm=1 THEN conv ELSE 0 END) AS BIGINT) AS c2
+             | FROM a),
+             |z AS (SELECT g.*, us.*,
+             |  CASE WHEN (c1+c2) = 0 OR (c1+c2) = (n1+n2) OR n1 = 0 OR n2 = 0 THEN NULL
+             |    ELSE CAST(CAST(n1+n2 AS HUGEINT)*(c1*n2 - c2*n1)*(c1*n2 - c2*n1)*1000000
+             |         // (CAST(c1+c2 AS HUGEINT)*((n1+n2)-(c1+c2))*n1*n2) AS BIGINT)
+             |    END AS z2_ppm,
+             |  CAST((CAST(784896256 AS HUGEINT) * (c1+c2) * ((n1+n2) - (c1+c2)) * (n1+n2) * 10000)
+             |    // (CAST(n1+n2 AS HUGEINT) * (n1+n2) * n1 * n2) AS BIGINT) AS rad
+             | FROM g CROSS JOIN us),
+             |s0 AS (SELECT z.*, CAST(floor(sqrt(CAST(rad AS DOUBLE))) AS BIGINT) AS sa FROM z),
+             |s1 AS (SELECT s0.*, CASE WHEN sa*sa > rad THEN sa-1 ELSE sa END AS sb FROM s0),
+             |f AS (SELECT s1.*,
+             |  COALESCE(z2_ppm > 4000000, FALSE) AS flagged,
+             |  CASE WHEN (sb+1)*(sb+1) <= rad THEN sb+1 ELSE sb END AS mde_ppm,
+             |  c1 * 1000000 // n1 - c2 * 1000000 // n2 AS lift_ppm,
+             |  srm_chi2_ppm > 3841000 AS srm
+             | FROM s1)
+             |SELECT u1, u2, srm_chi2_ppm, srm, n1, c1, n2, c2, z2_ppm, flagged,
+             |  lift_ppm, mde_ppm,
+             |  CASE WHEN srm THEN 'invalid_srm'
+             |       WHEN flagged THEN 'effect'
+             |       ELSE 'no_effect_above_mde' END AS verdict
+             |FROM f""".stripMargin),
+    ),
+
   )
 }
