@@ -595,4 +595,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("_salt"), "salt key must reach the join")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q278: AUC joins broadcast and windows partition by source (no global sort)") {
+    val p = plan("q278_classifier_auc")
+    assert(p.contains("BroadcastHashJoin"), "margin-label join must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    // both rank windows must be keyed by source — a partition-less window
+    // here would funnel the corpus through one task
+    assert(p.contains("windowspecdefinition(grp#") ||
+      p.contains("windowspecdefinition(source#"),
+      "windows must partition by source")
+  }
+
+  test("q280: the A/A rollup partial-aggregates map-side") {
+    val p = plan("q280_aa_test")
+    assert(p.contains("partial_sum"), "conditional sums must have a partial stage")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q285: stump cumsums run over the DISTINCT-value frame, total broadcast") {
+    val p = plan("q285_decision_stump")
+    assert(p.contains("TakeOrderedAndProject"), "argmin is a top-1, not a global sort")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row total joins broadcast")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "the distinct-value rollup partial-aggregates")
+  }
+
+  test("q289: CDC chunk rollup partial-aggregates after one doc-keyed window pass") {
+    val p = plan("q289_cdc_chunks")
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+    assert(!p.contains("CartesianProduct"))
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).nonEmpty,
+      "the window exchange must key by doc_id")
+  }
 }
