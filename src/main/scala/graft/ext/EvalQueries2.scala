@@ -856,5 +856,109 @@ object EvalQueries2 {
              |FROM f""".stripMargin),
     ),
 
+
+    // Event-study readout (the parallel-trends diagnostic behind q298's
+    // DiD): the per-day arm gap in mean per-user purchase cents, indexed
+    // relative to the day-15 boundary — pre-boundary gaps hovering near
+    // zero is what LICENSES the DiD reading; a pre-trend kills it. One
+    // (day, arm) rollup with distinct-user denominators, a 30-row pivot,
+    // exact centi-cent gaps.
+    QueryDef(
+      "q301_event_study",
+      (s, dir) => {
+        val ev = tbl(s, dir, "events")
+        val d0 = ev.agg(min(call_function("div", col("ts"), lit(86400000000000L)))
+          .as("d0"))
+        val e = ev.crossJoin(broadcast(d0))
+          .select(
+            (call_function("div", col("ts"), lit(86400000000000L)) - col("d0")).as("rd"),
+            pmod(Sampling.portableHash(col("user_id")), lit(2)).as("arm"),
+            col("user_id"),
+            when(col("event_type") === "purchase",
+              round(col("value") * 100, 0).cast("long")).otherwise(0L).as("cents"))
+        val g = e.groupBy("rd", "arm")
+          .agg(countDistinct("user_id").as("n"), sum("cents").as("s"))
+        g.groupBy("rd")
+          .agg(max(when(col("arm") === 1, col("n"))).as("n1"),
+            max(when(col("arm") === 1, col("s"))).as("s1"),
+            max(when(col("arm") === 0, col("n"))).as("n0"),
+            max(when(col("arm") === 0, col("s"))).as("s0"))
+          .select(col("rd"), (col("rd") - 15L).as("rel_day"), col("n1"), col("n0"),
+            expr("""cast((cast(s1 as decimal(38,0))*n0 - cast(s0 as decimal(38,0))*n1) * 100
+                   | div nullif(cast(n1 as decimal(38,0))*n0, 0) as bigint)""".stripMargin)
+              .as("gap_cc"))
+          .orderBy("rd")
+      },
+      Some("""WITH d0 AS (SELECT MIN(epoch_ns(ts) // 86400000000000) AS d0 FROM events),
+             |e AS (
+             |  SELECT epoch_ns(ts) // 86400000000000 - d0.d0 AS rd,
+             |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 2 AS arm,
+             |    user_id,
+             |    CASE WHEN event_type='purchase' THEN CAST(round(value*100,0) AS BIGINT) ELSE 0 END AS cents
+             |  FROM events CROSS JOIN d0),
+             |g AS (
+             |  SELECT rd, arm, COUNT(DISTINCT user_id) AS n, CAST(SUM(cents) AS BIGINT) AS s
+             |  FROM e GROUP BY rd, arm),
+             |p AS (
+             |  SELECT rd,
+             |    MAX(CASE WHEN arm=1 THEN n END) AS n1, MAX(CASE WHEN arm=1 THEN s END) AS s1,
+             |    MAX(CASE WHEN arm=0 THEN n END) AS n0, MAX(CASE WHEN arm=0 THEN s END) AS s0
+             |  FROM g GROUP BY rd)
+             |SELECT rd, rd - 15 AS rel_day, n1, n0,
+             |  CAST((CAST(s1 AS HUGEINT)*n0 - CAST(s0 AS HUGEINT)*n1) * 100
+             |    // NULLIF(CAST(n1 AS HUGEINT)*n0, 0) AS BIGINT) AS gap_cc
+             |FROM p ORDER BY rd""".stripMargin),
+    ),
+
+
+    // Quantile treatment effects: the A/B lift at the p25/p50/p75/p90
+    // of per-user spend — where mean lifts (q287) hide who moved,
+    // quantile gaps show whether the treatment shifted the tail or the
+    // median. Exact type-1 quantiles (k-th order statistic,
+    // k = ⌈q·n⌉ via integer ceil-div) per arm from one rank window;
+    // zero interpolation, zero floats.
+    QueryDef(
+      "q302_quantile_effects",
+      (s, dir) => {
+        val u = tbl(s, dir, "events")
+          .groupBy("user_id")
+          .agg(sum(when(col("event_type") === "purchase",
+            round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("spend"))
+          .select(col("user_id"),
+            pmod(Sampling.portableHash(col("user_id")), lit(2)).as("arm"), col("spend"))
+        val r = u.select(col("arm"), col("spend"),
+          row_number().over(Window.partitionBy("arm").orderBy(col("spend"), col("user_id")))
+            .cast("long").as("rk"),
+          count(lit(1)).over(Window.partitionBy("arm")).as("n"))
+        val qs = s.range(1).select(explode(typedLit(Seq(25L, 50L, 75L, 90L))).as("q_pct"))
+        val k = r.crossJoin(broadcast(qs))
+          .where(col("rk") === expr("(q_pct * n + 99) div 100"))
+        k.groupBy("q_pct")
+          .agg(max(when(col("arm") === 1, col("spend"))).as("q_treat"),
+            max(when(col("arm") === 0, col("spend"))).as("q_ctrl"))
+          .withColumn("qte_cents", col("q_treat") - col("q_ctrl"))
+          .orderBy("q_pct")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 2 AS arm,
+             |    CAST(SUM(CASE WHEN event_type='purchase' THEN CAST(round(value*100,0) AS BIGINT) ELSE 0 END) AS BIGINT) AS spend
+             |  FROM events GROUP BY user_id),
+             |r AS (SELECT arm, spend,
+             |        row_number() OVER (PARTITION BY arm ORDER BY spend, user_id) AS rk,
+             |        COUNT(*) OVER (PARTITION BY arm) AS n
+             |      FROM u),
+             |qs(q_pct) AS (SELECT * FROM (VALUES (25), (50), (75), (90))),
+             |k AS (SELECT qs.q_pct, r.arm, r.spend
+             |      FROM r CROSS JOIN qs WHERE r.rk = (qs.q_pct * r.n + 99) // 100),
+             |p AS (SELECT q_pct,
+             |    MAX(CASE WHEN arm=1 THEN spend END) AS q_treat,
+             |    MAX(CASE WHEN arm=0 THEN spend END) AS q_ctrl
+             |  FROM k GROUP BY q_pct)
+             |SELECT CAST(q_pct AS BIGINT) AS q_pct, q_treat, q_ctrl,
+             |  q_treat - q_ctrl AS qte_cents
+             |FROM p ORDER BY q_pct""".stripMargin),
+    ),
+
   )
 }
