@@ -960,5 +960,91 @@ object EvalQueries2 {
              |FROM p ORDER BY q_pct""".stripMargin),
     ),
 
+
+    // Covariate balance table (standardized mean differences) — the
+    // diagnostic run before trusting any observational/experimental
+    // comparison: per covariate, SMD = |x̄₁−x̄₂| / √((v₁+v₂)/2) with the
+    // 0.1 rule of thumb as the balance gate. With population variances
+    // the (n₁n₂)² denominators CANCEL: SMD² = 2D²/(A·n₂² + B·n₁²) where
+    // D = S₁n₂−S₂n₁, A = n₁ΣX₁²−S₁², B = n₂ΣX₂²−S₂² — one exact
+    // decimal(38,0) fraction per covariate, rooted by the exact isqrt.
+    // One user rollup, a 4-covariate unpivot, a 4-row reduce.
+    QueryDef(
+      "q303_covariate_balance",
+      (s, dir) => {
+        val u = tbl(s, dir, "events")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+            sum(when(col("event_type") === "purchase",
+              round(col("value") * 100, 0).cast("long")).otherwise(0L)).as("spend"))
+          .join(tbl(s, dir, "customer").select(col("c_custkey").as("user_id"),
+            round(col("c_acctbal") * 100, 0).cast("long").as("acctbal")), Seq("user_id"))
+          .select(pmod(Sampling.portableHash(col("user_id")), lit(2)).as("arm"),
+            col("n_events"), col("n_errors"), col("spend"), col("acctbal"))
+        val long = u.select(col("arm"), explode(array(
+          struct(lit("n_events").as("covariate"), col("n_events").as("x")),
+          struct(lit("n_errors").as("covariate"), col("n_errors").as("x")),
+          struct(lit("spend_cents").as("covariate"), col("spend").as("x")),
+          struct(lit("acctbal_cents").as("covariate"), col("acctbal").as("x")))).as("c"))
+          .select(col("arm"), col("c.covariate").as("covariate"), col("c.x").as("x"))
+        long.groupBy("covariate")
+          .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("s1"),
+            sum(when(col("arm") === 0, expr("cast(x as decimal(38,0)) * x"))).as("sxx1"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+            sum(when(col("arm") === 1, col("x")).otherwise(0L)).as("s2"),
+            sum(when(col("arm") === 1, expr("cast(x as decimal(38,0)) * x"))).as("sxx2"))
+          .select(col("covariate"), col("n1"), col("n2"),
+            expr("""cast(2000000 * (cast(s1 as decimal(38,0))*n2 - cast(s2 as decimal(38,0))*n1)
+                   |   * (cast(s1 as decimal(38,0))*n2 - cast(s2 as decimal(38,0))*n1)
+                   | div nullif((cast(n1 as decimal(38,0))*sxx1 - cast(s1 as decimal(38,0))*s1) * n2 * n2
+                   |   + (cast(n2 as decimal(38,0))*sxx2 - cast(s2 as decimal(38,0))*s2) * n1 * n1, 0)
+                   | as bigint)""".stripMargin).as("rad"))
+          .withColumn("smd_milli", Sampling.isqrt(col("rad")))
+          .withColumn("balanced", col("smd_milli") < 100L)
+          .drop("rad")
+          .orderBy("covariate")
+      },
+      Some("""WITH u AS (
+             |  SELECT e.user_id,
+             |    CAST(('0x' || substring(md5(CAST(e.user_id AS VARCHAR)),1,15)) AS BIGINT) % 2 AS arm,
+             |    COUNT(*) AS n_events,
+             |    CAST(SUM(CASE WHEN e.event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+             |    CAST(SUM(CASE WHEN e.event_type='purchase' THEN CAST(round(e.value*100,0) AS BIGINT) ELSE 0 END) AS BIGINT) AS spend
+             |  FROM events e GROUP BY e.user_id),
+             |j AS (SELECT u.*, CAST(round(c.c_acctbal*100,0) AS BIGINT) AS acctbal
+             |      FROM u JOIN customer c ON u.user_id = c.c_custkey),
+             |lng AS (
+             |  SELECT arm, 'n_events' AS covariate, CAST(n_events AS BIGINT) AS x FROM j
+             |  UNION ALL SELECT arm, 'n_errors', n_errors FROM j
+             |  UNION ALL SELECT arm, 'spend_cents', spend FROM j
+             |  UNION ALL SELECT arm, 'acctbal_cents', acctbal FROM j),
+             |m AS (
+             |  SELECT covariate,
+             |    CAST(SUM(CASE WHEN arm=0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(SUM(CASE WHEN arm=0 THEN x ELSE 0 END) AS BIGINT) AS s1,
+             |    SUM(CASE WHEN arm=0 THEN CAST(x AS HUGEINT)*x ELSE 0 END) AS sxx1,
+             |    CAST(SUM(CASE WHEN arm=1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |    CAST(SUM(CASE WHEN arm=1 THEN x ELSE 0 END) AS BIGINT) AS s2,
+             |    SUM(CASE WHEN arm=1 THEN CAST(x AS HUGEINT)*x ELSE 0 END) AS sxx2
+             |  FROM lng GROUP BY covariate),
+             |d AS (
+             |  SELECT covariate, n1, n2,
+             |    CAST(s1 AS HUGEINT)*n2 - CAST(s2 AS HUGEINT)*n1 AS dd,
+             |    (CAST(n1 AS HUGEINT)*sxx1 - CAST(s1 AS HUGEINT)*s1) * n2 * n2
+             |      + (CAST(n2 AS HUGEINT)*sxx2 - CAST(s2 AS HUGEINT)*s2) * n1 * n1 AS den
+             |  FROM m),
+             |r AS (SELECT covariate, n1, n2,
+             |    CAST(2000000 * dd * dd // NULLIF(den, 0) AS BIGINT) AS rad
+             |  FROM d),
+             |s0 AS (SELECT r.*, CAST(floor(sqrt(CAST(rad AS DOUBLE))) AS BIGINT) AS a FROM r),
+             |s1 AS (SELECT s0.*, CASE WHEN a*a > rad THEN a-1 ELSE a END AS b FROM s0)
+             |SELECT covariate, n1, n2,
+             |  CASE WHEN (b+1)*(b+1) <= rad THEN b+1 ELSE b END AS smd_milli,
+             |  CASE WHEN (b+1)*(b+1) <= rad THEN b+1 ELSE b END < 100 AS balanced
+             |FROM s1 ORDER BY covariate""".stripMargin),
+    ),
+
   )
 }
