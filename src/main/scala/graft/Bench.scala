@@ -31,27 +31,44 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
-    val results = selected.map { case (name, fn) =>
-      val times = (0 until reps).map { _ =>
-        // reps stay independent/cold: operators that cache internally
-        // (e.g. the LSH shingle sets) must not hand rep 2 a warm cache;
-        // releaseAll also clears the pinned-frame registry
-        graft.ext.PinnedCache.releaseAll()
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        // Write to the noop sink so the MEASURED plan is the VERIFIED plan:
-        // under a bare count() Catalyst prunes projections and drops
-        // top-level sorts (TakeOrderedAndProject, window projections),
-        // understating cost.
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable =>
-          // a failed query must be VISIBLE in driver logs, not a silent ~0s
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    // INTERLEAVED passes (round-8 lesson): reps used to run back-to-back
+    // per query, so one multi-second ambient-load window landed on BOTH
+    // reps of the same query and min() couldn't reject it — the r8 driver
+    // window manufactured 19 phantom regressions that way (the contiguous
+    // q205–q219 block, every one re-measured clean). Now the FULL query
+    // list runs once per pass, then again: the same query's reps are
+    // separated by an entire pass (~minutes), so the min decorrelates
+    // from any one load spike. /proc/loadavg is snapshotted per rep into
+    // the detail file as an adjudication aid.
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(' ').head.toDouble
+      catch { case _: Throwable => -1.0 }
+    val detail = scala.collection.mutable.LinkedHashMap.empty[String,
+      scala.collection.mutable.ArrayBuffer[(Double, Double)]]
+    for (_ <- 0 until reps; (name, fn) <- selected) {
+      // reps stay independent/cold: operators that cache internally
+      // (e.g. the LSH shingle sets) must not hand rep 2 a warm cache;
+      // releaseAll also clears the pinned-frame registry
+      graft.ext.PinnedCache.releaseAll()
+      spark.catalog.clearCache()
+      val la = loadavg()
+      val t0 = System.nanoTime()
+      // Write to the noop sink so the MEASURED plan is the VERIFIED plan:
+      // under a bare count() Catalyst prunes projections and drops
+      // top-level sorts (TakeOrderedAndProject, window projections),
+      // understating cost.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable =>
+        // a failed query must be VISIBLE in driver logs, not a silent ~0s
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> times.min
-    }.toMap
+      val t = (System.nanoTime() - t0) / 1e9
+      detail.getOrElseUpdate(name,
+        scala.collection.mutable.ArrayBuffer.empty) += ((t, la))
+    }
+    val results: Map[String, Double] =
+      detail.map { case (name, ts) => name -> ts.map(_._1).min }.toMap
     // ONE compact line that MUST fit the driver's ~2000-char tail capture.
     // Four rounds of BENCH_r0N.json ended "parsed": null; by r6 the cause
     // was pure size (252 queries x ~12 bytes ≈ 3 KB front-truncated the
@@ -96,6 +113,23 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullLine + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
+    // Per-rep adjudication detail: every pass's (seconds, loadavg-at-start)
+    // per query, so a suspicious BENCH value can be attributed to ambient
+    // load without a re-measure session (the r8 judge had to re-bench 8
+    // queries by hand). Self-evidencing metadata per ADVICE r8: timestamp.
+    try {
+      val ts = java.time.Instant.now().toString
+      val rows = detail.map { case (name, rs) =>
+        val repsJson = rs.map { case (t, la) =>
+          s"""{"sec":${s3(t)},"load":${s3(la)}}""" }.mkString("[", ",", "]")
+        s"""  "${shortKey(name)}": $repsJson"""
+      }.mkString(",\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outFile.stripSuffix(".json") + "_detail.json"),
+        s"""{"ts":"$ts","sf":"$sfDir","reps":$reps,"interleaved":true,\n"queries":{\n$rows\n}}\n""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write detail: ${e.getMessage}")
     }
     println(line)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {

@@ -480,13 +480,30 @@ object Dedup {
     val sorted = PinnedCache.pin(rarestFirstSets(elementSets(df, textCol, idCol, k)))
     val prefixes = sorted
       .select(col("doc_id"), col("n"),
-        explode(slice(col("toks"), lit(1),
-          (col("n") - ceil(col("n") * threshold).cast("int") + 1))).as("tok"))
+        posexplode(slice(col("toks"), lit(1),
+          (col("n") - ceil(col("n") * threshold).cast("int") + 1))))
+      .withColumnRenamed("col", "tok")
+    // PPJoin's POSITIONAL filter on top of the prefix + length filters:
+    // for the FIRST prefix token two similar sets share (at 0-based sorted
+    // positions pa, pb), every shared token sits at or after those
+    // positions, so overlap <= 1 + min(|a|-pa-1, |b|-pb-1). A true pair
+    // needs overlap >= alpha = ceil(t/(1+t)·(|a|+|b|)), so its first
+    // shared occurrence always passes — pruning LATER occurrences of the
+    // same pair (where the bound understates overlap) is harmless because
+    // the candidate set is distinct()-ed: one surviving occurrence keeps
+    // the pair. Zero false negatives preserved; verify volume drops on
+    // pairs that share only deep-prefix tokens. The 1e-9 slack keeps a
+    // float ceil() at an exact integer boundary from rounding UP and
+    // over-pruning (alpha is exact rational t/(1+t)·(na+nb)).
+    val alphaFrac = threshold / (1.0 + threshold)
     val candidates = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.n"), col("b.n")).cast("double") >=
-            greatest(col("a.n"), col("b.n")) * threshold)
+            greatest(col("a.n"), col("b.n")) * threshold &&
+          (lit(1) + least(col("a.n") - col("a.pos") - 1,
+            col("b.n") - col("b.pos") - 1)).cast("double") >=
+            ceil((col("a.n") + col("b.n")) * lit(alphaFrac) - lit(1e-9)))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
     candidates

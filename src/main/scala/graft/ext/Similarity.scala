@@ -172,26 +172,42 @@ object Similarity {
         col("b.nid").as("b_id"),
         (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("csim")))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
-    var selected = cands.withColumn("score", col("rel"))
+    // The selection frame is MODEL STATE — at most queries×k (qid, nid,
+    // step, rel) rows — so each step's pick is COLLECTED and re-planted as
+    // a LocalRelation (the q293 value-iteration precedent). The previous
+    // formulation re-derived `selected` AND `remaining` as growing Catalyst
+    // plans, roughly doubling analyzed-plan size per step: harmless at
+    // k = 4, but at k ≈ 15+ the ANALYZER became the bottleneck. Now every
+    // step's distributed work (maxSim over pinned pairSims + the window
+    // pick) joins against a constant-depth local frame; values round-trip
+    // through collect() exactly (longs/doubles bit-preserved), so results
+    // are bit-identical to the chained-plan form (MmrSpec pins k = 20).
+    val spark = corpus.sparkSession
+    val first = cands.withColumn("score", col("rel"))
       .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
       .select(col("qid"), col("nid"), lit(1L).as("step"), col("rel"))
-    var remaining = cands
-      .join(selected.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
+    val schema = first.schema
+    val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    rows ++= first.collect()
+    def selectedLocal: DataFrame = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows.toSeq).asJava), schema)
     for (step <- 2 to k) {
+      val sel = selectedLocal
       val maxSim = pairSims
-        .join(selected.select(col("qid"), col("nid").as("b_id")), Seq("qid", "b_id"))
+        .join(sel.select(col("qid"), col("nid").as("b_id")), Seq("qid", "b_id"))
         .groupBy(col("qid"), col("a_id"))
         .agg(max(col("csim")).as("msim"))
         .select(col("qid"), col("a_id").as("nid"), col("msim"))
-      val pick = remaining.join(maxSim, Seq("qid", "nid"))
+      val pick = cands
+        .join(sel.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
+        .join(maxSim, Seq("qid", "nid"))
         .withColumn("score", lit(lam) * col("rel") - lit(1 - lam) * col("msim"))
         .withColumn("rk", row_number().over(w)).where(col("rk") === 1)
         .select(col("qid"), col("nid"), lit(step.toLong).as("step"), col("rel"))
-      selected = selected.unionByName(pick)
-      remaining = remaining
-        .join(pick.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
+      rows ++= pick.collect()
     }
-    selected
+    selectedLocal
   }
 
   /** Hard-negative mining for contrastive training: per anchor vector,

@@ -1293,7 +1293,11 @@ object TransformWithStateOps {
         timerValues: TimerValues): Iterator[SlidingHllRow] = {
       var minB = Long.MaxValue
       rows.foreach { r =>
-        val k = (r.wk, r.h % 64)
+        // floorMod, not %: the batch twin buckets by pmod(h, 64). h is
+        // contractually the NON-NEGATIVE 60-bit portable hash (where the
+        // two agree), but a stray negative hash must not land in a bucket
+        // the 0..63 estimator loop silently never reads.
+        val k = (r.wk, java.lang.Math.floorMod(r.h, 64L))
         val rho = graft.ext.Sketches.hllRhoJvm(r.h).toLong
         val cur = if (regs.containsKey(k)) regs.getValue(k) else 0L
         if (rho > cur) regs.updateValue(k, rho)

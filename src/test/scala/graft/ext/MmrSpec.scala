@@ -52,6 +52,35 @@ class MmrSpec extends AnyFunSuite {
     }
   }
 
+  test("mmrTopK k=20: constant-depth plans keep deep selection tractable") {
+    // The r8 verdict flagged the old chained-plan greedy loop: plan size
+    // ~doubled per step, so the ANALYZER (driver CPU, not the cluster) was
+    // the k >= 15 bottleneck. The collected-selection form must run a
+    // k = 20 selection comfortably, and greedy selection is PREFIX-STABLE:
+    // the first 4 steps of the k = 20 run must equal the k = 4 run
+    // bit-for-bit (same pool, same pairwise sims, same tie rule) — which
+    // also pins the refactor bit-identical on q145's k = 4 configuration.
+    val emb = graft.queries.QueryDef.tbl(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.where(col("vec_id") < 3)
+    val t0 = System.nanoTime()
+    val deep = Similarity.mmrTopK(emb, q, "embedding", "vec_id", m = 24, k = 20)
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 90.0, s"k=20 MMR took $secs s — analyzer blow-up is back")
+    val byQ = deep.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 3L).toSet)
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_.getLong(1)).distinct.length == 20, s"q$qid distinct picks")
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to 20L), s"q$qid steps")
+    }
+    val shallow = Similarity.mmrTopK(emb, q, "embedding", "vec_id", m = 24, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val deepPrefix = deep.filter(_.getLong(2) <= 4L)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(deepPrefix == shallow, "greedy prefix-stability (bit-exact rel)")
+  }
+
   test("skewAudit: exact shares, ceil salts, threshold filter") {
     val df = (Seq.fill(700)("hot") ++ Seq.fill(295)("warm") ++ Seq.fill(5)("cold"))
       .toDF("k")

@@ -1339,4 +1339,105 @@ class TransformWithStateSpec extends AnyFunSuite {
         "diff must be non-degenerate (several statuses realized)")
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  // ---------------------------------------------------------------------
+  // State-row CEILINGS (the r8 interval-join eviction discipline applied
+  // to the long-window twins): each twin's doc comment claims a bounded
+  // state shape — these assertions make the claims listener-verified
+  // regression tests. Each run feeds >= 3x the twin's window length in
+  // event-time-ordered batches and reads numRowsTotal from the final
+  // query progress; an unpruned implementation fails by construction.
+  // ---------------------------------------------------------------------
+
+  private def finalStateRows[T](input: MemoryStream[T], batches: Seq[Seq[T]],
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Long = {
+    val query = start
+    try {
+      batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    } finally query.stop()
+  }
+
+  test("streamingSloBurnRate state stays <= longW hours across a 4x-window feed") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.HourErr
+      // 96 hours = 4x the 24 h long window, 10 rows/hour, hour-ordered
+      val rows = (0L until 96L).flatMap(h =>
+        (0 until 10).map(i => HourErr(h, if ((h + i) % 7 == 0) 1L else 0L)))
+      val input = MemoryStream[HourErr]
+      val n = finalStateRows(input, rows.grouped(120).toSeq,
+        TransformWithStateOps.streamingSloBurnRate(input.toDS(),
+            budgetPpm = 200000L, shortW = 6, longW = 24,
+            fastCenti = 110L, slowCenti = 103L)
+          .writeStream.outputMode("update")
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            TransformWithStateOps.SloBurnRow], _: Long) => df.collect(); () }
+          .start())
+      // pruned contract: hours <= maxH - longW are removed, so <= 24 map
+      // entries survive; unpruned state would hold all 96 fed hours
+      // exact pruned shape is 24 trailing hours; a lower bound of 20 also
+      // proves numRowsTotal counts MAP ENTRIES (a keys-only metric would
+      // report 1 and silently weaken this ceiling into a tautology)
+      assert(n >= 20L, s"state metric must count map entries: $n")
+      assert(n <= 30L, s"SloBurn state must be <= longW hours (+slack): $n rows vs 96 hours fed")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("streamingSlidingHll state stays <= windowWeeks x 64 registers across a 4x-window feed") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.WeekHash
+      // 16 weeks = 4x the 4-week window, 200 distinct hashes/week so every
+      // week occupies (nearly) all 64 buckets; week-ordered batches
+      val rnd = new scala.util.Random(42)
+      // >>> 4: in-contract 60-bit NON-NEGATIVE hashes (portableHash's range)
+      val rows = (0L until 16L).flatMap(w =>
+        (0 until 200).map(_ => WeekHash("g", w, rnd.nextLong() >>> 4)))
+      val input = MemoryStream[WeekHash]
+      val n = finalStateRows(input, rows.grouped(500).toSeq,
+        TransformWithStateOps.streamingSlidingHll(input.toDS(), windowWeeks = 4)
+          .writeStream.outputMode("update")
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            TransformWithStateOps.SlidingHllRow], _: Long) => df.collect(); () }
+          .start())
+      // pruned contract: weeks <= maxW - windowWeeks drop, so <= 4x64 = 256
+      // registers survive; unpruned state would hold ~16x64 ≈ 1000
+      // pruned shape is ~4x64 = 256 occupied registers (200 hashes/week
+      // fills nearly all 64 buckets); >= 180 proves entry-level counting
+      assert(n >= 180L, s"state metric must count map entries: $n")
+      assert(n <= 300L, s"SlidingHll state must be <= windowWeeks*64 (+slack): $n rows")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("streamingPeekingAudit state is DAY-bounded, not event-bounded") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.AaEvent
+      // Peeking's prefix windows legitimately keep EVERY day (nothing
+      // prunes — the doc-comment contract), so its ceiling is the day
+      // CARDINALITY: 30 days x 40 events = 1200 events must leave ~30
+      // state rows, not 1200.
+      val rnd = new scala.util.Random(7)
+      val rows = (0L until 30L).flatMap(d =>
+        (0 until 40).map(i => AaEvent(d, i % 2, if (rnd.nextInt(5) == 0) 1L else 0L)))
+      val input = MemoryStream[AaEvent]
+      val n = finalStateRows(input, rows.grouped(150).toSeq,
+        TransformWithStateOps.streamingPeekingAudit(input.toDS(), critPpm = 4000000L)
+          .writeStream.outputMode("update")
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            TransformWithStateOps.AaRow], _: Long) => df.collect(); () }
+          .start())
+      // exact shape is one tuple per day = 30; >= 30 proves entry-level
+      // counting, <= 36 proves event volume never leaks into state
+      assert(n >= 30L, s"state metric must count map entries: $n")
+      assert(n <= 36L, s"Peeking state must track day cardinality (30), got $n for 1200 events")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
