@@ -856,6 +856,70 @@ object GraphQueries {
       }),
     ),
 
+    // INCREMENTAL PageRank (q132's maintained form — the last batch-only
+    // graph operator with a nightly story, closing the q164/q253
+    // discipline): authority ranks over the symmetrized NEAR-DUP graph,
+    // maintained through a delta wave by recomputing only the delta's
+    // forward influence cone (Graphs.incrementalPageRank — forward ball
+    // radius R + backward dependency ball radius R−1, the same integer
+    // recurrence restricted to ball-incident edges with GLOBAL degrees).
+    // The base/delta split retains each node's minimum incident pair in
+    // the base (row_number by either endpoint), so the base src set
+    // equals the union's and the INCREMENTAL path executes (a new-src
+    // delta would fall back to batch — r0 = M div N is global). The
+    // oracle is ONE-SHOT batch PageRank over ALL pairs, so a pass proves
+    // incremental ≡ recompute; IncrementalPageRankSpec adds random-wave,
+    // cycle-graph (ball off-by-one sensitive), and fallback cases.
+    QueryDef(
+      "q304_incremental_pagerank",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val pairs = PinnedCache.pin(
+          Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
+            .select(col("a_id").as("a"), col("b_id").as("b")))
+        val marked = pairs
+          .withColumn("ra", row_number().over(
+            Window.partitionBy(col("a")).orderBy(col("b"))))
+          .withColumn("rb", row_number().over(
+            Window.partitionBy(col("b")).orderBy(col("a"))))
+        val isBase = col("ra") === 1 || col("rb") === 1 ||
+          (col("a") + col("b")) % 3 =!= 0
+        val base = PinnedCache.pin(marked.where(isBase).select(col("a"), col("b")))
+        val delta = marked.where(!isBase).select(col("a"), col("b"))
+        def sym(e: org.apache.spark.sql.DataFrame) =
+          e.select(col("a").as("src"), col("b").as("dst"))
+            .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+        Graphs.incrementalPageRank(
+            Graphs.integerPageRank(sym(base), iters = 4),
+            sym(base), sym(delta), iters = 4)
+          .orderBy(col("node"))
+      },
+      Some({
+        val m = 1000000000000L
+        val iterCte = (0 until 4).map(i =>
+          s"""r${i + 1} AS (
+             |  SELECT sym.dst AS node, (SELECT base FROM c) + (85 * SUM(r$i.r // deg.deg)) // 100 AS r
+             |  FROM r$i JOIN sym ON r$i.node = sym.src JOIN deg ON sym.src = deg.src
+             |  GROUP BY sym.dst)""".stripMargin).mkString(",\n")
+        s"""WITH sh AS (
+           |  SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+           |                                FOR i IN generate_series(1, len(toks)-2)]) AS s
+           |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+           |  WHERE len(toks) >= 3),
+           |e AS MATERIALIZED (
+           |  SELECT a.doc_id AS a, b.doc_id AS b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+           |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+           |sym AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b AS src, a AS dst FROM e),
+           |deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+           |c AS (SELECT (15 * ($m // COUNT(*))) // 100 AS base, $m // COUNT(*) AS r0 FROM deg),
+           |r0 AS (SELECT src AS node, (SELECT r0 FROM c) AS r FROM deg),
+           |""".stripMargin + iterCte + """
+           |SELECT node, CAST(r AS BIGINT) AS r FROM r4 ORDER BY node""".stripMargin
+      }),
+    ),
+
     // MODULARITY decomposition of the LPA communities (q253's quality
     // scorecard): per community — nodes, internal edges e_c, degree sum
     // d_c, and the Newman contribution NUMERATOR 4·m·e_c − d_c², all

@@ -356,6 +356,109 @@ object Graphs {
       .unionByName(recomputed)
   }
 
+  /** INCREMENTAL PageRank — the q164/q253 "incremental ≡ recompute"
+    * discipline applied to the last batch-only graph operator with a
+    * nightly-maintenance story: given the base graph's final ranks
+    * (= [[integerPageRank]](baseEdges, iters)) and a DISJOINT
+    * `deltaEdges` wave, produce ranks IDENTICAL to re-running the batch
+    * operator over base ∪ delta, recomputing only the delta's forward
+    * influence cone.
+    *
+    * Exactness argument (fixed `iters` = R, integer recurrence): a
+    * changed input at round t is either a new in-edge or a changed
+    * out-degree — both anchored at delta ENDPOINTS — and changes
+    * propagate strictly FORWARD along out-edges, one hop per round. So
+    * r_R(v) can differ from the base run only if v lies within R forward
+    * hops of a delta endpoint (the `take` ball). Recomputing take-ball
+    * values exactly needs, by downward induction, the FULL in-edge set
+    * of every node within R−1 BACKWARD hops of the ball (round-(R−t)
+    * values are consumed only for nodes at backward depth ≤ t; depth-R
+    * nodes contribute through their exact r_0 init alone, and any
+    * corruption of their later values flows only into rounds the take
+    * ball never reads). The restricted run therefore replays the SAME
+    * recurrence over edges whose dst lies in the (R−1)-hop backward
+    * ball, with the GLOBAL out-degrees and the GLOBAL r_0 = M div N —
+    * one linear pass each, no iteration. No approximation anywhere;
+    * IncrementalPageRankSpec pins equality against the one-shot batch
+    * run per wave (including an off-by-one-sensitive cycle graph).
+    *
+    * GLOBALITY GUARD: r_0 and the teleport constant divide by N = the
+    * src-node count, so a delta that introduces a NEW src node shifts
+    * every node's teleport share — there is no locality to exploit and
+    * the operator falls back to the batch recurrence (exactness over
+    * cleverness; the spec pins the fallback path too). Since
+    * src(base) ⊆ src(base ∪ delta), a count comparison decides set
+    * equality.
+    *
+    * Scale shape: both balls grow by frontier joins (cost ∝ the touched
+    * region, the bfsDistances plan); the re-iteration shuffles only
+    * ball-incident edges. On the sparse near-dup graphs this maintains
+    * nightly (q304), the cone is the delta's neighborhood, not the
+    * corpus. Requires in-degree ≥ 1 everywhere (the [[integerPageRank]]
+    * contract; symmetrized graphs qualify) and base ∩ delta = ∅ (edge
+    * multiplicity feeds degree counts). */
+  def incrementalPageRank(prevRanks: DataFrame, baseEdges: DataFrame,
+      deltaEdges: DataFrame, iters: Int,
+      mass: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iterations must be in [1,50], got $iters")
+    val bE = baseEdges.toDF("src", "dst")
+    val dE = deltaEdges.toDF("src", "dst")
+    val all = PinnedCache.pin(bE.unionByName(dE))
+    val deg = PinnedCache.pin(
+      all.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val n = deg.count()
+    require(n > 0, "empty graph")
+    if (bE.select(col("src")).distinct().count() != n)
+      return integerPageRank(all, iters, mass)
+    val r0 = mass / n
+    val base = (15L * r0) / 100L
+    val seeds = dE.select(col("src").as("node"))
+      .unionByName(dE.select(col("dst").as("node"))).distinct()
+    // forward influence ball: nodes within `iters` hops DOWNSTREAM of a
+    // delta endpoint — the only ranks that can differ from the base run
+    var fwd = seeds.withColumn("d", lit(0L)).localCheckpoint(true)
+    for (i <- 1 to iters) {
+      val frontier = fwd.where(col("d") === (i - 1).toLong)
+        .select(col("node").as("src"))
+      fwd = fwd.unionByName(
+          all.join(frontier, "src")
+            .select(col("dst").as("node"), lit(i.toLong).as("d")))
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+    }
+    val take = PinnedCache.pin(fwd.select(col("node")))
+    // dependency ball: in-edges of nodes within iters-1 hops UPSTREAM of
+    // the take ball feed the restricted recurrence; deeper nodes enter
+    // through their exact r_0 init only
+    var bwd = take.withColumn("d", lit(0L)).localCheckpoint(true)
+    for (i <- 1 until iters) {
+      val frontier = bwd.where(col("d") === (i - 1).toLong)
+        .select(col("node").as("dst"))
+      bwd = bwd.unionByName(
+          all.join(frontier, "dst")
+            .select(col("src").as("node"), lit(i.toLong).as("d")))
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+    }
+    val subEdges = all.join(bwd.select(col("node").as("dst")), "dst")
+      .select(col("src"), col("dst"))
+    // the SAME recurrence as integerPageRank, with GLOBAL deg and r0
+    val withDeg = PinnedCache.pin(subEdges.join(deg, "src"))
+    var ranks = withDeg.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(r0)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      ranks = withDeg
+        .join(ranks.select(col("node").as("src"), col("r")), "src")
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+        .select(col("node"), (lit(base) + expr("(85 * s) div 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    prevRanks.toDF("node", "r")
+      .join(take, Seq("node"), "left_anti")
+      .unionByName(ranks.join(take, Seq("node")))
+  }
+
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 20, "rounds in [1,20]")
     val e = edges.toDF("a", "b")
