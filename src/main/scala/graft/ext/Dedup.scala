@@ -538,6 +538,35 @@ object Dedup {
     * quadratic in the sample, so the sample bounds the cost while the
     * per-decile recall estimate stays unbiased (pair inclusion is
     * independent of J). */
+  /** Portable-family MinHash signatures over a sets frame `(doc_id, s)`:
+    * one `m$i` column per hash, min over [[Sampling.portableHash]] of
+    * `element:":":i` — the md5 family the DuckDB oracle can replay
+    * bit-for-bit (the audit path; production uses the codegen xxhash64
+    * family in [[minhashSignatures]]). */
+  private[ext] def portableMinhashSigs(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.select(col("doc_id") +: (0 until numHashes).map(i =>
+      array_min(transform(col("s"),
+        g => Sampling.portableHash(concat(g, lit(":" + i))))).as(s"m$i")): _*)
+
+  /** Banded LSH candidate pairs from a [[portableMinhashSigs]] frame:
+    * band b = the r-tuple (m_{br}..m_{br+r-1}); two docs are candidates
+    * iff some band's full tuple collides. Struct equality on the tuple —
+    * the shuffle keys on (band, tuple), so a 100 TB corpus buckets
+    * without any all-pairs stage. */
+  private[ext] def bandCandidates(sigs: DataFrame, numHashes: Int, r: Int): DataFrame = {
+    require(numHashes % r == 0, "numHashes must be a multiple of r")
+    val bands = numHashes / r
+    val bandArr = array((0 until bands).map(b =>
+      struct((0 until r).map(j => col(s"m${b * r + j}").as(s"v$j")): _*)): _*)
+    val keyed = sigs.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "key")))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
   def lshRecallAudit(df: DataFrame, textCol: String, idCol: String,
       threshold: Double, k: Int = 3, numHashes: Int = 16, r: Int = 2,
       sampleNum: Int = 1, sampleDenom: Int = 1): DataFrame = {
@@ -547,19 +576,7 @@ object Dedup {
       else Sampling.deterministicSample(df, idCol, sampleNum, sampleDenom)
     val exact = prefixJaccardPairs(audit, textCol, idCol, threshold, k)
     val sh = shingleSets(audit, textCol, idCol, k)
-    val sigs = sh.select(col("doc_id") +: (0 until numHashes).map(i =>
-      array_min(transform(col("s"),
-        g => Sampling.portableHash(concat(g, lit(":" + i))))).as(s"m$i")): _*)
-    val bands = numHashes / r
-    val bandArr = array((0 until bands).map(b =>
-      struct((0 until r).map(j => col(s"m${b * r + j}").as(s"v$j")): _*)): _*)
-    val keyed = sigs.select(col("doc_id"), posexplode(bandArr).as(Seq("band", "key")))
-    val cand = keyed.as("a")
-      .join(keyed.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
+    val cand = bandCandidates(portableMinhashSigs(sh, numHashes), numHashes, r)
     exact
       .join(cand.withColumn("found", lit(true)), Seq("a_id", "b_id"), "left")
       .withColumn("found", coalesce(col("found"), lit(false)))
@@ -568,6 +585,99 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("found"), 1L).otherwise(0L)).as("n_found"))
       .withColumn("recall_ppm", expr("(n_found * 1000000) div n_pairs"))
+  }
+
+  /** Dedup CONFIG ADVISOR — the one table a 100 TB dedup run consults
+    * before committing to a (threshold, band-shape) configuration:
+    * for every candidate Jaccard cutoff × every (bands, rowsPerBand)
+    * split of the MinHash signature, on the audit sample,
+    *
+    *   (t_ppm, bands, rows_per_band, n_true_pairs, n_found, recall_ppm,
+    *    n_survivors, docs_removed, chars_saved)
+    *
+    * i.e. EMPIRICAL candidate-stage recall against the exact pair list
+    * ([[lshRecallAudit]]'s measurement, generalized over band shapes on
+    * ONE shared signature frame), joined with the retention curve
+    * (survivors after min-id cluster collapse at the cutoff — the q264
+    * discipline) and the storage projection (chars reclaimed from
+    * non-survivors — the q244 discipline). The curator reads one row per
+    * config and picks the loosest cutoff whose recall and survivor
+    * counts are both acceptable.
+    *
+    * Cost discipline: the quadratic exact stage runs once at the LOOSEST
+    * cutoff on the deterministic sample ([[Sampling.deterministicSample]]
+    * — pair inclusion independent of J, so per-config recall is
+    * unbiased); signatures are computed ONCE and re-banded per shape
+    * (banding is a projection, not a rehash); clustering runs per cutoff
+    * on the tiny filtered pair graph. Everything downstream of the
+    * pinned frames is single-row aggregates, so the combo fan-out is
+    * free. Per-decile recall transfers to the production corpus because
+    * banded min-wise recall depends only on J and the band shape
+    * (1−(1−J^r)^b), not corpus size. */
+  def dedupConfigAdvisor(df: DataFrame, textCol: String, idCol: String,
+      charsCol: String, thresholdsPpm: Seq[Long], rowsPerBand: Seq[Int],
+      numHashes: Int = 16, k: Int = 1,
+      sampleNum: Int = 1, sampleDenom: Int = 1): DataFrame = {
+    require(thresholdsPpm.nonEmpty && rowsPerBand.nonEmpty, "need configs")
+    require(thresholdsPpm.forall(t => t >= 1 && t <= 1000000), "t in ppm")
+    rowsPerBand.foreach(r => require(numHashes % r == 0, s"numHashes % $r != 0"))
+    val audit = PinnedCache.pin(
+      if (sampleDenom <= 1) df
+      else Sampling.deterministicSample(df, idCol, sampleNum, sampleDenom))
+    val minT = thresholdsPpm.min
+    // exact ground truth ONCE at the loosest cutoff, ppm-quantized so the
+    // per-cutoff filters are integer (the q264 idiom)
+    val exact = PinnedCache.pin(
+      prefixJaccardPairs(audit, textCol, idCol, minT / 1e6, k)
+        .select(col("a_id"), col("b_id"),
+          round(col("jaccard") * 1000000).cast("long").as("j_ppm")))
+    val sigs = PinnedCache.pin(
+      portableMinhashSigs(shingleSets(audit, textCol, idCol, k), numHashes))
+    val docs = audit.select(col(idCol).as("doc_id"),
+      col(charsCol).cast("long").as("n_chars"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    // ONE conditional-sum scan covers every cutoff's true-pair count (and,
+    // per band shape, ONE semi-joined scan covers every cutoff's found
+    // count) — the combo fan-out costs selects on pinned 1-row frames,
+    // not jobs per (t, shape)
+    def perCutoffCounts(pairs: DataFrame, prefix: String): DataFrame = {
+      val aggs = thresholdsPpm.map(t =>
+        sum(when(col("j_ppm") >= t, 1L).otherwise(0L)).as(s"${prefix}_$t"))
+      pairs.agg(aggs.head, aggs.tail: _*)
+    }
+    val nTrue = PinnedCache.pin(perCutoffCounts(exact, "nt"))
+    // per-cutoff retention stats (independent of band shape): one CC on
+    // the tiny filtered graph; docs_removed = members − clusters = the
+    // non-root rows; survivors/savings from the non-survivor id set
+    val perT: Map[Long, DataFrame] = thresholdsPpm.map { t =>
+      val e = exact.where(col("j_ppm") >= t).select(col("a_id"), col("b_id"))
+      val cc = PinnedCache.pin(connectedComponents(e))
+      val nonSurv = cc.where(col("id") =!= col("root"))
+        .select(col("id").as("doc_id"))
+      val row = nonSurv.agg(count(lit(1)).as("docs_removed"))
+        .crossJoin(docs.join(nonSurv, Seq("doc_id"), "left_semi")
+          .agg(coalesce(sum(col("n_chars")), lit(0L)).as("chars_saved")))
+        .crossJoin(total)
+      t -> PinnedCache.pin(row)
+    }.toMap
+    rowsPerBand.map { r =>
+      val cand = bandCandidates(sigs, numHashes, r)
+      val found = PinnedCache.pin(perCutoffCounts(
+        exact.join(cand, Seq("a_id", "b_id"), "left_semi"), "nf"))
+      thresholdsPpm.map { t =>
+        nTrue.select(col(s"nt_$t").as("n_true_pairs"))
+          .crossJoin(found.select(col(s"nf_$t").as("n_found")))
+          .crossJoin(perT(t))
+          .select(lit(t).as("t_ppm"),
+            lit((numHashes / r).toLong).as("bands"),
+            lit(r.toLong).as("rows_per_band"),
+            col("n_true_pairs"), col("n_found"),
+            when(col("n_true_pairs") > 0,
+              expr("(n_found * 1000000) div n_true_pairs")).as("recall_ppm"),
+            (col("n_docs") - col("docs_removed")).as("n_survivors"),
+            col("docs_removed"), col("chars_saved"))
+      }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
   }
 
   /** IDF-weighted exact Jaccard pairs: similarity that DOWN-WEIGHTS

@@ -1434,5 +1434,92 @@ object DedupQueries {
              |  CAST(CAST(SUM(len) AS BIGINT) * 1000 // COUNT(*) AS BIGINT) AS mean_len_ppk
              |FROM agg GROUP BY source ORDER BY source""".stripMargin),
     ),
+
+
+    // Dedup CONFIG ADVISOR (the r9-verdict composition): per candidate
+    // Jaccard cutoff × MinHash band shape, ONE table with the empirical
+    // candidate-stage recall (q143's measurement generalized over band
+    // shapes on a single pinned signature frame), the survivor count
+    // after min-id cluster collapse (q264) and the chars reclaimed from
+    // non-survivors (q244) — the row a curator reads before committing a
+    // 100 TB run. Unigram sets on the 1/10 audit sample (the q143
+    // discipline: exact ground truth is quadratic, so it runs on the
+    // sample; banded recall depends only on J and the shape, so it
+    // transfers). Integer/ppm arithmetic end to end; recall is NULL when
+    // a cutoff has no true pairs (CASE-guarded in both engines).
+    QueryDef(
+      "q305_dedup_config_advisor",
+      (s, dir) => Dedup.dedupConfigAdvisor(tbl(s, dir, "documents"),
+          "text", "doc_id", "n_chars",
+          thresholdsPpm = Seq(500000L, 700000L, 900000L, 960000L),
+          rowsPerBand = Seq(2, 4), numHashes = 16, k = 1,
+          sampleNum = 1, sampleDenom = 10)
+        .orderBy(col("t_ppm"), col("rows_per_band")),
+      Some({
+        val ts = Seq(500000L, 700000L, 900000L, 960000L)
+        val rs = Seq(2, 4)
+        val candCtes = rs.map { r =>
+          s"""bk$r AS (
+             |  SELECT doc_id, i // $r AS band,
+             |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+             |  FROM m GROUP BY doc_id, i // $r),
+             |cand$r AS MATERIALIZED (
+             |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+             |  FROM bk$r x JOIN bk$r y
+             |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)""".stripMargin
+        }.mkString(",\n")
+        val ccCtes = ts.map { t =>
+          s"""e$t AS MATERIALIZED (
+             |  SELECT a_id AS src, b_id AS dst FROM pp WHERE j_ppm >= $t
+             |  UNION SELECT b_id, a_id FROM pp WHERE j_ppm >= $t),
+             |r$t(id, lab) AS (
+             |  SELECT src, src FROM e$t
+             |  UNION
+             |  SELECT r.id, e.dst FROM r$t r JOIN e$t e ON e.src = r.lab),
+             |s$t AS MATERIALIZED (SELECT id, MIN(lab) AS root FROM r$t GROUP BY id)""".stripMargin
+        }.mkString(",\n")
+        val rows = (for (t <- ts; r <- rs) yield {
+          val nt = s"(SELECT COUNT(*) FROM pp WHERE j_ppm >= $t)"
+          val nf = s"""(SELECT COUNT(*) FROM pp p JOIN cand$r c
+                      |     ON p.a_id = c.a_id AND p.b_id = c.b_id
+                      |     WHERE p.j_ppm >= $t)""".stripMargin
+          val rem = s"(SELECT COUNT(*) FROM s$t WHERE id <> root)"
+          s"""SELECT CAST($t AS BIGINT) AS t_ppm,
+             |  CAST(${16 / r} AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+             |  $nt::BIGINT AS n_true_pairs, $nf::BIGINT AS n_found,
+             |  CASE WHEN $nt > 0 THEN ($nf * 1000000) // $nt ELSE NULL END AS recall_ppm,
+             |  (SELECT COUNT(*) FROM t0)::BIGINT - $rem AS n_survivors,
+             |  $rem::BIGINT AS docs_removed,
+             |  COALESCE((SELECT CAST(SUM(d.n_chars) AS BIGINT)
+             |            FROM s$t l JOIN t0 d ON d.doc_id = l.id
+             |            WHERE l.id <> l.root), 0) AS chars_saved""".stripMargin
+        }).mkString("\nUNION ALL\n")
+        s"""WITH RECURSIVE t0 AS MATERIALIZED (
+           |  SELECT doc_id, n_chars, string_split(text,' ') AS tokens FROM documents
+           |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
+           |             AS BIGINT) % 10 < 1),
+           |sh AS MATERIALIZED (
+           |  SELECT doc_id, list_distinct(tokens) AS s FROM t0 WHERE len(tokens) >= 1),
+           |pp AS MATERIALIZED (
+           |  SELECT a_id, b_id, CAST(ROUND(ROUND(jac, 6) * 1000000) AS BIGINT) AS j_ppm
+           |  FROM (
+           |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |      CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+           |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) AS jac
+           |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+           |  WHERE jac >= 0.5),
+           |gs AS (SELECT doc_id, unnest(s) AS g FROM sh),
+           |m AS MATERIALIZED (
+           |  SELECT doc_id, i,
+           |    MIN(CAST(('0x' || substring(md5(g || ':' || i),1,15)) AS BIGINT)) AS mh
+           |  FROM gs, unnest(generate_series(0, 15)) hh(i)
+           |  GROUP BY doc_id, i),
+           |$candCtes,
+           |$ccCtes
+           |SELECT * FROM (
+           |$rows
+           |) ORDER BY t_ppm, rows_per_band""".stripMargin
+      }),
+    ),
   )
 }

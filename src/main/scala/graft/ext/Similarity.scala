@@ -154,7 +154,15 @@ object Similarity {
     * Determinism: rel and csim use the engine-wide left-to-right fold
     * convention; the score combines them with the SAME double literals the
     * oracle interpolates (including the IEEE value of 1−lam), and ties
-    * break on (score desc, nid) — bit-reproducible cross-engine. */
+    * break on (score desc, nid) — bit-reproducible cross-engine.
+    *
+    * EXECUTION CONTRACT: unlike the other operators here, this one runs
+    * EAGERLY — each of the k greedy steps collect()s its picks (model
+    * state, ≤ queries×1 rows per step, ≤ queries×k total) and the return
+    * value is a driver-local relation, not a lazy distributed plan. Do
+    * not compose it expecting deferred execution; the distributed work
+    * (candidate gen, pair sims, per-step argmax) still runs on the
+    * cluster. */
   def mmrTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, m: Int, k: Int, lam: Double = 0.7,
       candidates: String = "brute", ann: AnnParams = AnnParams()): DataFrame = {

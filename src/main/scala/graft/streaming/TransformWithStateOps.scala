@@ -664,7 +664,12 @@ object TransformWithStateOps {
     override def handleInputRows(key: String, rows: Iterator[GroupHash],
         timerValues: TimerValues): Iterator[HllReport] = {
       rows.foreach { r =>
-        val b = r.h % 64
+        // floorMod, not %: the batch twin buckets by pmod(h, 64). h is
+        // contractually the NON-NEGATIVE 60-bit portable hash (where the
+        // two agree), but a stray negative hash must not land in a bucket
+        // the 0..63 estimator loop silently never reads (the
+        // SlidingHllProcessor fix, applied here for consistency).
+        val b = java.lang.Math.floorMod(r.h, 64L)
         val rho = graft.ext.Sketches.hllRhoJvm(r.h).toLong
         val cur = if (regs.containsKey(b)) regs.getValue(b) else 0L
         if (rho > cur) regs.updateValue(b, rho)
