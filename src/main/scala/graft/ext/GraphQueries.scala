@@ -997,5 +997,100 @@ object GraphQueries {
            |ORDER BY ds.label""".stripMargin
       }),
     ),
+
+    // INCREMENTAL triangle counts (q139's maintained form — the
+    // q164/q253/q304 discipline applied to the radius-1 cohesion audit):
+    // per-node (deg, tri, lcc_ppm) over the near-dup graph, maintained
+    // through a delta wave by recomputing only the delta's radius-1
+    // region (Graphs.incrementalTriangleCounts — affected = delta
+    // endpoints ∪ wedge-closed common neighbors, recompute on the
+    // ball-induced subgraph, everything else passes through verbatim).
+    // Unlike q304 there is NO globality guard to dodge: triangles are
+    // purely local, so any deterministic base/delta split exercises the
+    // incremental path. The oracle is ONE-SHOT batch triangle counting
+    // over ALL pairs (q139's enumeration by id order), so a pass proves
+    // incremental ≡ recompute; IncrementalTrianglesSpec adds random-wave,
+    // wedge-close, new-node, and dag-cycle cases.
+    QueryDef(
+      "q306_incremental_triangles",
+      (s, dir) => {
+        val pairs = PinnedCache.pin(
+          Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
+            .select(col("a_id").as("a"), col("b_id").as("b")))
+        val base = PinnedCache.pin(
+          pairs.where((col("a") + col("b")) % 3 =!= 0))
+        val delta = pairs.where((col("a") + col("b")) % 3 === 0)
+        Graphs.incrementalTriangleCounts(
+            Graphs.triangleCounts(base), base, delta)
+          .orderBy(col("node"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+             |                                FOR i IN generate_series(1, len(toks)-2)]) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+             |  WHERE len(toks) >= 3),
+             |e AS MATERIALIZED (
+             |  SELECT a.doc_id AS a, b.doc_id AS b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+             |deg AS (
+             |  SELECT node, COUNT(*) AS deg
+             |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+             |  GROUP BY node),
+             |t AS (
+             |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+             |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+             |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |tc AS (
+             |  SELECT node, COUNT(*) AS tri
+             |  FROM (SELECT u AS node FROM t
+             |        UNION ALL SELECT v FROM t
+             |        UNION ALL SELECT w FROM t)
+             |  GROUP BY node)
+             |SELECT d.node, d.deg, COALESCE(tc.tri, 0) AS tri,
+             |  CASE WHEN d.deg >= 2
+             |    THEN (COALESCE(tc.tri, 0) * 2000000) // (d.deg * (d.deg - 1))
+             |    ELSE 0 END AS lcc_ppm
+             |FROM deg d LEFT JOIN tc ON d.node = tc.node
+             |ORDER BY d.node""".stripMargin),
+    ),
+
+    // HARMONIC centrality on the host link graph — the DISTANCE-based
+    // centrality tier closing the centrality triptych (eigen: q172/q188/
+    // q197; cohesion: q139/q220; distance: this). All hosts as seeds =
+    // the exact hop-4-bounded value (on a 100 TB link graph, seeds are a
+    // deterministic sample and the estimate scales by N/|seeds| — the
+    // operator contract); labeled multi-source BFS advances every seed
+    // in the SAME per-round join. Integer ppm contributions (10^6 div d)
+    // — disconnected hosts contribute 0, never poison an average.
+    QueryDef(
+      "q307_harmonic_centrality",
+      (s, dir) => {
+        val g = PinnedCache.pin(hostLinkGraph(s, dir))
+        Graphs.harmonicCentrality(g, g.select(col("src")).distinct(), rounds = 4)
+          .select(col("node").as("host"), col("harmonic_ppm"), col("n_reached"))
+          .orderBy(col("host"))
+      },
+      Some {
+        val rounds = (1 to 4).map(i =>
+          s"""h$i AS MATERIALIZED (
+             |  SELECT seed, node, MIN(d) AS d FROM (
+             |    SELECT seed, node, d FROM h${i - 1}
+             |    UNION ALL
+             |    SELECT h${i - 1}.seed, sym.dst, h${i - 1}.d + 1
+             |    FROM h${i - 1} JOIN sym ON h${i - 1}.node = sym.src) z
+             |  GROUP BY seed, node)""".stripMargin).mkString(",\n")
+        hostGraphSql +
+          s""",
+             |h0 AS (SELECT src AS seed, src AS node, 0 AS d
+             |       FROM (SELECT DISTINCT src FROM sym)),
+             |$rounds
+             |SELECT node AS host,
+             |  CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_ppm,
+             |  COUNT(*)::BIGINT AS n_reached
+             |FROM h4 WHERE d >= 1 GROUP BY node ORDER BY host""".stripMargin
+      },
+    ),
   )
 }

@@ -177,6 +177,70 @@ object Graphs {
           expr("(tri * 2000000) div (deg * (deg - 1))")).otherwise(lit(0L)))
   }
 
+  /** INCREMENTAL triangle counts — the q164/q253/q304 "incremental ≡
+    * recompute" discipline applied to [[triangleCounts]]: given the base
+    * graph's output and a DISJOINT `deltaEdges` wave (both undirected
+    * `(a, b)`, a < b, deduplicated, base ∩ delta = ∅), produce
+    * (node, deg, tri, lcc_ppm) IDENTICAL to re-running the batch operator
+    * over base ∪ delta, recomputing only the delta's radius-1 region.
+    *
+    * Exactness argument: triangles are RADIUS-1 objects. A node's row
+    * changes only if (a) it is a delta endpoint (degree changes; possibly
+    * new triangles through the new edge) or (b) a new triangle passes
+    * through it — and every new triangle contains a delta edge (u, v)
+    * plus a third vertex w adjacent to BOTH u and v in the union, so its
+    * vertices all lie in AFFECTED = endpoints(delta) ∪ {common union-
+    * neighbors of delta-edge endpoints}. For any affected node x, every
+    * triangle through x lives inside {x} ∪ N(x) ⊆ BALL = AFFECTED ∪
+    * N(AFFECTED), and the union-induced subgraph on BALL contains all of
+    * N(x) and every edge among N(x) — so the batch recurrence on that
+    * subgraph reproduces x's (deg, tri) EXACTLY, and only affected rows
+    * are taken from it; everything else passes through from `prevCounts`
+    * verbatim. No approximation anywhere; IncrementalTrianglesSpec pins
+    * equality against the one-shot batch run (random waves, wedge-close
+    * deltas, new-node deltas, dag-cycle maintenance).
+    *
+    * Scale shape: AFFECTED is built by one wedge-close join (delta ⋈
+    * adjacency, semi-join pruned — NO neighbors(u) × neighbors(v)
+    * blowup), the ball by one more adjacency hop, and the recompute runs
+    * the O(m_sub^1.5) oriented counting on ball-incident edges only —
+    * cost ∝ the touched region, not the corpus. The nightly dup-graph
+    * audit (q139's shape) maintains in the delta's neighborhood.
+    * Inherits [[triangleCounts]]'s node < 2^32 packing contract. */
+  def incrementalTriangleCounts(prevCounts: DataFrame, baseEdges: DataFrame,
+      deltaEdges: DataFrame): DataFrame = {
+    def norm(df: DataFrame) = df.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val bE = norm(baseEdges)
+    val dE = norm(deltaEdges)
+    val all = PinnedCache.pin(bE.unionByName(dE))
+    // symmetric adjacency (u, w): one frame serves the wedge close, the
+    // ball hop, and nothing else touches the full corpus
+    val nbrs = PinnedCache.pin(
+      all.select(col("a").as("u"), col("b").as("w"))
+        .unionByName(all.select(col("b").as("u"), col("a").as("w"))))
+    val ends = dE.select(col("a").as("node"))
+      .unionByName(dE.select(col("b").as("node"))).distinct()
+    // common neighbors of each delta edge's endpoints: (a, b, w ~ a),
+    // semi-joined on (b, w) ~ adjacency — the wedge-close plan
+    val cn = dE.join(nbrs.select(col("u").as("a"), col("w")), "a")
+      .join(nbrs.select(col("u").as("b"), col("w")), Seq("b", "w"), "left_semi")
+      .select(col("w").as("node"))
+    val affected = PinnedCache.pin(ends.unionByName(cn).distinct())
+    val ball = affected.unionByName(
+        nbrs.join(affected.select(col("node").as("u")), "u")
+          .select(col("w").as("node")))
+      .distinct()
+    val ballA = PinnedCache.pin(ball)
+    val sub = all
+      .join(ballA.select(col("node").as("a")), Seq("a"), "left_semi")
+      .join(ballA.select(col("node").as("b")), Seq("b"), "left_semi")
+    val recomputed = triangleCounts(sub).join(affected, Seq("node"))
+    prevCounts.toDF("node", "deg", "tri", "lcc_ppm")
+      .join(affected, Seq("node"), "left_anti")
+      .unionByName(recomputed)
+  }
+
   /** HITS hubs-and-authorities in exact integer arithmetic over a
     * DIRECTED edge list `(src, dst)`: the complementary centrality to
     * [[integerPageRank]] (good hubs point at good authorities; good
@@ -244,6 +308,48 @@ object Graphs {
         .localCheckpoint(true)
     }
     dist
+  }
+
+  /** Sampled HARMONIC centrality — the distance-based centrality tier
+    * (closeness family), complementing the eigen tier ([[integerPageRank]],
+    * [[integerHits]]) and the cohesion tier ([[triangleCounts]]):
+    * harmonic(v) = Σ_{s ∈ seeds, 1 ≤ d(s,v) ≤ rounds} (10^6 div d(s,v)),
+    * in exact integer ppm (floor division on non-negative longs — no
+    * float, engine-portable). Harmonic (not classic closeness) because it
+    * handles disconnected graphs gracefully: unreachable seeds contribute
+    * 0 instead of poisoning an average. Hop-bounded and seed-sampled —
+    * both standard: contributions decay as 1/d so the tail beyond a few
+    * hops is noise, and seed sampling is the textbook estimator (pass all
+    * nodes as seeds for the exact hop-bounded value on small graphs, a
+    * deterministic sample on 100 TB link graphs; the estimate scales by
+    * N/|seeds|). Node ids are opaque (string hosts work).
+    *
+    * Plan: LABELED multi-source BFS — [[bfsDistances]]'s delta-frontier
+    * expansion with (seed, node) composite keys, so ALL seeds advance in
+    * the SAME per-round join (one edges⋈frontier shuffle per round, not
+    * one BFS per seed); state is the reached (seed, node, d) set, bounded
+    * by |seeds|·|ball|. Returns (node, harmonic_ppm, n_reached) for nodes
+    * reached by ≥1 seed at d ≥ 1. */
+  def harmonicCentrality(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
+    val e = PinnedCache.pin(edges.toDF("src", "dst"))
+    var dist = seeds.toDF("seed").distinct()
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val frontier = dist.where(col("d") === (r - 1).toLong)
+        .select(col("seed"), col("node").as("src"))
+      dist = dist.unionByName(
+          e.join(frontier, "src")
+            .select(col("seed"), col("dst").as("node"), lit(r.toLong).as("d")))
+        .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+    }
+    dist.where(col("d") >= 1L)
+      .groupBy(col("node"))
+      .agg(sum(expr("cast(1000000 as bigint) div d")).as("harmonic_ppm"),
+        count(lit(1)).as("n_reached"))
   }
 
   /** Personalized PageRank: [[integerPageRank]]'s exact-integer recurrence

@@ -246,6 +246,49 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q289 spilled")
   }
 
+  test("q304 incremental PageRank: ball-bounded re-iteration over the sparse dup graph") {
+    val b = measure("q304_incremental_pagerank")
+    // the LSH pair pipeline + base PR (the proof obligation) dominate; the
+    // forward/backward balls and the restricted recurrence add only
+    // node-keyed partials over the touched region
+    // measured 0.4 MB at sf0.01
+    assert(b.shuffleWriteBytes < 2 * MB,
+      s"incremental PR shuffled beyond the touched subgraph: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q304 spilled")
+  }
+
+  test("q305 dedup advisor: sample-bounded exact stage, signature-sized band joins") {
+    val b = measure("q305_dedup_config_advisor")
+    // unigram sets on the 1/10 audit sample; the quadratic exact stage and
+    // both band joins shuffle ids/signatures, never document text, and the
+    // per-cutoff stats are conditional sums over ONE pinned pair frame
+    // measured 0.1 MB at sf0.01
+    assert(b.shuffleWriteBytes < 1 * MB,
+      s"advisor shuffled beyond the audit sample: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q305 spilled")
+  }
+
+  test("q306 incremental triangles: radius-1 region recount over the dup graph") {
+    val b = measure("q306_incremental_triangles")
+    // pair pipeline + base triangle count dominate (the proof obligation);
+    // the wedge-close affected set, ball hop, and sub-count add oriented
+    // wedges over ball-incident edges only
+    // measured 0.4 MB at sf0.01
+    assert(b.shuffleWriteBytes < 2 * MB,
+      s"incremental triangles shuffled beyond the ball: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q306 spilled")
+  }
+
+  test("q307 harmonic centrality: labeled frontier state, (seed,node)-keyed rounds") {
+    val b = measure("q307_harmonic_centrality")
+    // link extraction + per-round (seed, node, d) partials over the host
+    // graph; the labeled BFS state is |seeds|x|ball| longs, not documents
+    // measured 6.5 MB at sf0.01 (the all-hosts seed set is the heavy case)
+    assert(b.shuffleWriteBytes < 32 * MB,
+      s"harmonic BFS shuffled beyond labeled frontiers: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q307 spilled")
+  }
+
   test("per-task peak execution memory stays executor-slot-sized across the pinned families") {
     // at 100 TB an executor slot has ~1-4 GB of execution memory; a task
     // peaking far above that on sf0.01 inputs signals driver-ish state
