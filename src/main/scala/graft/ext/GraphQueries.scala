@@ -1092,5 +1092,62 @@ object GraphQueries {
              |FROM h4 WHERE d >= 1 GROUP BY node ORDER BY host""".stripMargin
       },
     ),
+
+    // INCREMENTAL k-core peel (q148's maintained form — the density
+    // tier's entry in the incremental family: CC q164, LPA q253, PR
+    // q304, triangles q306): survivor degrees after 3 peels at k=2 over
+    // the near-dup graph, maintained through a delta wave by re-peeling
+    // only the delta's 2R-hop ball (Graphs.incrementalKCorePeel — edges
+    // at distance ≥ R from a delta endpoint keep their base survival
+    // VERBATIM; the peel recurrence replays on the ball-induced
+    // subgraph, and the corruption margin of the 2R boundary never
+    // reaches a taken edge). Edge additions only RESCUE nodes from
+    // peeling, so the nightly dup-graph maintenance touches the delta's
+    // neighborhood. The oracle is ONE-SHOT chained peels over ALL pairs
+    // (q148's CTE ladder at k=2), so a pass proves incremental ≡
+    // recompute; IncrementalKCoreSpec adds random-wave, rescue-cascade
+    // (survival flips R−1 hops from the delta), new-node, and dag-cycle
+    // cases.
+    QueryDef(
+      "q308_incremental_kcore",
+      (s, dir) => {
+        val pairs = PinnedCache.pin(
+          Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
+            .select(col("a_id").as("a"), col("b_id").as("b")))
+        val base = PinnedCache.pin(
+          pairs.where((col("a") + col("b")) % 3 =!= 0))
+        val delta = pairs.where((col("a") + col("b")) % 3 === 0)
+        Graphs.incrementalKCorePeel(
+            Graphs.kCorePeelEdges(base, k = 2, rounds = 3), base, delta,
+            k = 2, rounds = 3)
+          .orderBy(col("node"))
+      },
+      Some({
+        val roundCtes = (1 to 3).map { r =>
+          s"""k$r AS MATERIALIZED (
+             |  SELECT node FROM (SELECT a AS node FROM e${r - 1}
+             |                    UNION ALL SELECT b FROM e${r - 1})
+             |  GROUP BY node HAVING COUNT(*) >= 2),
+             |e$r AS MATERIALIZED (
+             |  SELECT a, b FROM e${r - 1}
+             |  WHERE a IN (SELECT node FROM k$r) AND b IN (SELECT node FROM k$r))"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH sh AS (
+           |  SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+           |                                FOR i IN generate_series(1, len(toks)-2)]) AS s
+           |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+           |  WHERE len(toks) >= 3),
+           |e0 AS MATERIALIZED (
+           |  SELECT a.doc_id AS a, b.doc_id AS b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+           |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+           |$roundCtes
+           |SELECT node, COUNT(*) AS deg
+           |FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+           |GROUP BY node ORDER BY node""".stripMargin
+      }),
+    ),
   )
 }

@@ -70,7 +70,16 @@ object Graphs {
     * pre-filter before clique-ish analysis (triangles, [[triangleCounts]])
     * because it provably contains every subgraph of min-degree k while
     * being computable in linear rounds. */
-  def kCorePeel(edges: DataFrame, k: Int, rounds: Int,
+  /** (node, deg) over an undirected `(a, b)` edge frame. */
+  private def undirDegrees(df: DataFrame): DataFrame =
+    df.select(col("a").as("node")).unionAll(df.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /** [[kCorePeel]]'s surviving EDGE set after `rounds` peels — exposed so
+    * incremental maintenance ([[incrementalKCorePeel]]) can carry the
+    * edge state forward between waves (degrees alone don't determine the
+    * next peel). */
+  def kCorePeelEdges(edges: DataFrame, k: Int, rounds: Int,
       eager: Boolean = true): DataFrame = {
     require(k >= 1 && rounds >= 1 && rounds <= 50, "k >= 1, rounds in [1,50]")
     def flatten(df: DataFrame): DataFrame =
@@ -79,16 +88,104 @@ object Graphs {
     // count + both semi-joins), and callers pass join+distinct pipelines
     var e = flatten(edges.toDF("a", "b")
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b")))
-    def degrees(df: DataFrame): DataFrame =
-      df.select(col("a").as("node")).unionAll(df.select(col("b").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     for (_ <- 1 to rounds) {
-      val keep = degrees(e).where(col("deg") >= k).select(col("node"))
+      val keep = undirDegrees(e).where(col("deg") >= k).select(col("node"))
       e = flatten(e
         .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("node").as("b")), Seq("b"), "left_semi"))
     }
-    degrees(e)
+    // USING-joins front their key, so the loop leaves columns as (b, a);
+    // restore the (a, b) contract for edge-set consumers
+    e.select(col("a"), col("b"))
+  }
+
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int,
+      eager: Boolean = true): DataFrame =
+    undirDegrees(kCorePeelEdges(edges, k, rounds, eager))
+
+  /** INCREMENTAL k-core peel — the fourth graph tier's maintained form,
+    * closing the incremental family (connectivity q164, communities
+    * q253, authority q304, cohesion q306, density: this): given the base
+    * graph's surviving edge set (= [[kCorePeelEdges]](base, k, rounds))
+    * and a DISJOINT `deltaEdges` wave (undirected `(a, b)`, a < b,
+    * deduplicated, base ∩ delta = ∅), produce survivor degrees IDENTICAL
+    * to re-running [[kCorePeel]] over base ∪ delta, re-peeling only the
+    * delta's neighborhood.
+    *
+    * Exactness argument (fixed `rounds` = R): define an edge's distance
+    * as the min hop distance of its endpoints to a delta endpoint in the
+    * union graph. Round-1 keep-degrees differ from the base run only at
+    * delta endpoints (dist 0), so round-1 edge survival changes only for
+    * dist-0 edges; inductively, round-r survival changes only for edges
+    * of dist ≤ r−1, so edges with dist ≥ R keep their base survival
+    * VERBATIM (the pass-through anti-join). For the dist ≤ R−1 edges,
+    * the same peel recurrence runs on the union subgraph induced by the
+    * 2R-hop ball: a taken edge's endpoints sit at dist ≤ R, their
+    * round-R survival depends on neighborhoods to dist ≤ 2R−1 — all
+    * fully present — and the only corruption (round-1 degree undercount
+    * of dist-2R boundary nodes, whose ball-external edges are cut)
+    * propagates one hop per round, reaching dist 2R − (R−1) = R+1 > R
+    * after R rounds: never a taken endpoint. No approximation anywhere;
+    * IncrementalKCoreSpec pins equality against the one-shot batch run
+    * (random waves, a rescue-cascade chain, new-node deltas, dag-cycle
+    * maintenance).
+    *
+    * Scale shape: the ball grows by frontier joins (bfsDistances' plan,
+    * cost ∝ touched region); the re-peel shuffles ball-incident edges
+    * only. Edge additions can only RESCUE nodes from peeling (degrees
+    * grow), so nightly dup-graph maintenance touches the delta's
+    * neighborhood, not the corpus. */
+  def incrementalKCorePeel(prevSurviving: DataFrame, baseEdges: DataFrame,
+      deltaEdges: DataFrame, k: Int, rounds: Int): DataFrame =
+    undirDegrees(incrementalKCorePeelEdges(
+      prevSurviving, baseEdges, deltaEdges, k, rounds))
+
+  /** [[incrementalKCorePeel]]'s surviving EDGE set — what a maintenance
+    * loop carries into the next wave as `prevSurviving`. */
+  def incrementalKCorePeelEdges(prevSurviving: DataFrame, baseEdges: DataFrame,
+      deltaEdges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 10, "k >= 1, rounds in [1,10]")
+    def norm(df: DataFrame) = df.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val bE = norm(baseEdges)
+    val dE = norm(deltaEdges)
+    val all = PinnedCache.pin(bE.unionByName(dE))
+    val nbrs = PinnedCache.pin(
+      all.select(col("a").as("u"), col("b").as("w"))
+        .unionByName(all.select(col("b").as("u"), col("a").as("w"))))
+    val seeds = dE.select(col("a").as("node"))
+      .unionByName(dE.select(col("b").as("node"))).distinct()
+    // node distances to the nearest delta endpoint, up to 2R hops
+    var ball = seeds.withColumn("d", lit(0L)).localCheckpoint(true)
+    for (i <- 1 to 2 * rounds) {
+      val frontier = ball.where(col("d") === (i - 1).toLong)
+        .select(col("node").as("u"))
+      ball = ball.unionByName(
+          nbrs.join(frontier, "u").select(col("w").as("node"), lit(i.toLong).as("d")))
+        .groupBy(col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+    }
+    val ballAll = ball.select(col("node"))
+    // taken edges: dist ≤ R−1 ⟺ either endpoint within R−1 hops
+    val takeN = PinnedCache.pin(
+      ball.where(col("d") <= (rounds - 1).toLong).select(col("node")))
+    // re-select (a, b): the USING-joins front their key, and the batch
+    // operator renames POSITIONALLY via toDF
+    val sub = all
+      .join(ballAll.select(col("node").as("a")), Seq("a"), "left_semi")
+      .join(ballAll.select(col("node").as("b")), Seq("b"), "left_semi")
+      .select(col("a"), col("b"))
+    val subSurv = kCorePeelEdges(sub, k, rounds)
+    val recomputed = subSurv
+      .join(takeN.select(col("node").as("a")), Seq("a"), "left_semi")
+      .unionByName(subSurv
+        .join(takeN.select(col("node").as("b")), Seq("b"), "left_semi"))
+      .distinct()
+    val passThrough = norm(prevSurviving)
+      .join(takeN.select(col("node").as("a")), Seq("a"), "left_anti")
+      .join(takeN.select(col("node").as("b")), Seq("b"), "left_anti")
+    // (a, b) order restored — the USING-joins above front their key
+    passThrough.unionByName(recomputed).select(col("a"), col("b"))
   }
 
   /** Exact per-node triangle counts + local clustering coefficients over an
@@ -232,9 +329,12 @@ object Graphs {
           .select(col("w").as("node")))
       .distinct()
     val ballA = PinnedCache.pin(ball)
+    // re-select (a, b): the USING-joins front their key, and the batch
+    // operator renames POSITIONALLY via toDF
     val sub = all
       .join(ballA.select(col("node").as("a")), Seq("a"), "left_semi")
       .join(ballA.select(col("node").as("b")), Seq("b"), "left_semi")
+      .select(col("a"), col("b"))
     val recomputed = triangleCounts(sub).join(affected, Seq("node"))
     prevCounts.toDF("node", "deg", "tri", "lcc_ppm")
       .join(affected, Seq("node"), "left_anti")

@@ -289,6 +289,15 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q307 spilled")
   }
 
+  test("q308 incremental k-core: 2R-ball re-peel over the dup graph") {
+    val b = measure("q308_incremental_kcore")
+    // pair pipeline + base peel dominate (the proof obligation); the ball
+    // BFS and restricted re-peel move node-keyed partials only
+    assert(b.shuffleWriteBytes < 2 * MB,
+      s"incremental k-core shuffled beyond the ball: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q308 spilled")
+  }
+
   test("per-task peak execution memory stays executor-slot-sized across the pinned families") {
     // at 100 TB an executor slot has ~1-4 GB of execution memory; a task
     // peaking far above that on sf0.01 inputs signals driver-ish state
