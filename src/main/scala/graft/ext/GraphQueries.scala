@@ -1149,5 +1149,47 @@ object GraphQueries {
            |GROUP BY node ORDER BY node""".stripMargin
       }),
     ),
+
+    // Hop-distance HISTOGRAM + effective diameter on the host link graph
+    // (q307's labeled-BFS substrate, read as a distribution instead of a
+    // per-node score): per d in 1..4, how many (seed, node) pairs sit at
+    // exactly d hops, with exact-integer cumulative ppm — the smallest d
+    // with cum_ppm >= 900000 IS the 90th-percentile effective diameter,
+    // the crawl-graph health number (shrinking diameter = densifying
+    // link spam; growing = fragmenting crawl). All hosts as seeds =
+    // exact; at 100 TB the seed sample is the knob (the exact primitive
+    // ANF/HyperANF sketches approximate). The cumulative window runs
+    // over a <= 4-row frame — model state, never data-sized.
+    QueryDef(
+      "q309_distance_histogram",
+      (s, dir) => {
+        val g = PinnedCache.pin(hostLinkGraph(s, dir))
+        Graphs.distanceHistogram(g, g.select(col("src")).distinct(), rounds = 4)
+          .orderBy(col("d"))
+      },
+      Some {
+        val rounds = (1 to 4).map(i =>
+          s"""h$i AS MATERIALIZED (
+             |  SELECT seed, node, MIN(d) AS d FROM (
+             |    SELECT seed, node, d FROM h${i - 1}
+             |    UNION ALL
+             |    SELECT h${i - 1}.seed, sym.dst, h${i - 1}.d + 1
+             |    FROM h${i - 1} JOIN sym ON h${i - 1}.node = sym.src) z
+             |  GROUP BY seed, node)""".stripMargin).mkString(",\n")
+        hostGraphSql +
+          s""",
+             |h0 AS (SELECT src AS seed, src AS node, 0 AS d
+             |       FROM (SELECT DISTINCT src FROM sym)),
+             |$rounds,
+             |hist AS (
+             |  SELECT CAST(d AS BIGINT) AS d, COUNT(*)::BIGINT AS n_pairs
+             |  FROM h4 WHERE d >= 1 GROUP BY d)
+             |SELECT d, n_pairs,
+             |  CAST(SUM(n_pairs) OVER (ORDER BY d) AS BIGINT) AS cum_pairs,
+             |  (CAST(SUM(n_pairs) OVER (ORDER BY d) AS BIGINT) * 1000000)
+             |    // CAST((SELECT SUM(n_pairs) FROM hist) AS BIGINT) AS cum_ppm
+             |FROM hist ORDER BY d""".stripMargin
+      },
+    ),
   )
 }

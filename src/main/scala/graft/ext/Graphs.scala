@@ -149,10 +149,14 @@ object Graphs {
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
     val bE = norm(baseEdges)
     val dE = norm(deltaEdges)
-    val all = PinnedCache.pin(bE.unionByName(dE))
-    val nbrs = PinnedCache.pin(
-      all.select(col("a").as("u"), col("b").as("w"))
-        .unionByName(all.select(col("b").as("u"), col("a").as("w"))))
+    // eager localCheckpoints (not just pins) — nbrs feeds every one of
+    // the 2R ball rounds and all feeds nbrs + the induced subgraph, so
+    // without a lineage cut each reference re-embeds the caller's whole
+    // pair-pipeline plan (the incrementalTriangleCounts lesson)
+    val all = bE.unionByName(dE).localCheckpoint(true)
+    val nbrs = all.select(col("a").as("u"), col("b").as("w"))
+      .unionByName(all.select(col("b").as("u"), col("a").as("w")))
+      .localCheckpoint(true)
     val seeds = dE.select(col("a").as("node"))
       .unionByName(dE.select(col("b").as("node"))).distinct()
     // node distances to the nearest delta endpoint, up to 2R hops
@@ -167,8 +171,8 @@ object Graphs {
     }
     val ballAll = ball.select(col("node"))
     // taken edges: dist ≤ R−1 ⟺ either endpoint within R−1 hops
-    val takeN = PinnedCache.pin(
-      ball.where(col("d") <= (rounds - 1).toLong).select(col("node")))
+    val takeN = ball.where(col("d") <= (rounds - 1).toLong)
+      .select(col("node")).localCheckpoint(true)
     // re-select (a, b): the USING-joins front their key, and the batch
     // operator renames POSITIONALLY via toDF
     val sub = all
@@ -310,12 +314,18 @@ object Graphs {
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
     val bE = norm(baseEdges)
     val dE = norm(deltaEdges)
-    val all = PinnedCache.pin(bE.unionByName(dE))
-    // symmetric adjacency (u, w): one frame serves the wedge close, the
-    // ball hop, and nothing else touches the full corpus
-    val nbrs = PinnedCache.pin(
-      all.select(col("a").as("u"), col("b").as("w"))
-        .unionByName(all.select(col("b").as("u"), col("a").as("w"))))
+    // eager localCheckpoints, not just pins: every frame below is
+    // referenced several times (nbrs 3x, sub 3x inside triangleCounts'
+    // orientation), and without a lineage cut each reference re-embeds
+    // the caller's whole pair-pipeline plan — the ANALYZER, not the data,
+    // became the cost (measured: 256-edge dup graph, 38 s before /
+    // 2 s after; the q293/q304 flat-lineage discipline)
+    val all = bE.unionByName(dE).localCheckpoint(true)
+    // symmetric adjacency (u, w): one frame serves the wedge close and
+    // the ball hop, and nothing else touches the full corpus
+    val nbrs = all.select(col("a").as("u"), col("b").as("w"))
+      .unionByName(all.select(col("b").as("u"), col("a").as("w")))
+      .localCheckpoint(true)
     val ends = dE.select(col("a").as("node"))
       .unionByName(dE.select(col("b").as("node"))).distinct()
     // common neighbors of each delta edge's endpoints: (a, b, w ~ a),
@@ -323,18 +333,18 @@ object Graphs {
     val cn = dE.join(nbrs.select(col("u").as("a"), col("w")), "a")
       .join(nbrs.select(col("u").as("b"), col("w")), Seq("b", "w"), "left_semi")
       .select(col("w").as("node"))
-    val affected = PinnedCache.pin(ends.unionByName(cn).distinct())
-    val ball = affected.unionByName(
+    val affected = ends.unionByName(cn).distinct().localCheckpoint(true)
+    val ballA = affected.unionByName(
         nbrs.join(affected.select(col("node").as("u")), "u")
           .select(col("w").as("node")))
-      .distinct()
-    val ballA = PinnedCache.pin(ball)
+      .distinct().localCheckpoint(true)
     // re-select (a, b): the USING-joins front their key, and the batch
     // operator renames POSITIONALLY via toDF
     val sub = all
       .join(ballA.select(col("node").as("a")), Seq("a"), "left_semi")
       .join(ballA.select(col("node").as("b")), Seq("b"), "left_semi")
       .select(col("a"), col("b"))
+      .localCheckpoint(true)
     val recomputed = triangleCounts(sub).join(affected, Seq("node"))
     prevCounts.toDF("node", "deg", "tri", "lcc_ppm")
       .join(affected, Seq("node"), "left_anti")
@@ -431,6 +441,19 @@ object Graphs {
     * by |seeds|·|ball|. Returns (node, harmonic_ppm, n_reached) for nodes
     * reached by ≥1 seed at d ≥ 1. */
   def harmonicCentrality(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame =
+    labeledBfs(edges, seeds, rounds)
+      .where(col("d") >= 1L)
+      .groupBy(col("node"))
+      .agg(sum(expr("cast(1000000 as bigint) div d")).as("harmonic_ppm"),
+        count(lit(1)).as("n_reached"))
+
+  /** Labeled multi-source BFS: exact min-hop (seed, node, d) for every
+    * seed-reached node within `rounds` hops — ALL seeds advance in the
+    * SAME per-round edges⋈frontier join (state |seeds|·|ball|, the
+    * [[bfsDistances]] delta-frontier plan with a composite key). Shared
+    * substrate of [[harmonicCentrality]] and [[distanceHistogram]]. */
+  private[ext] def labeledBfs(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
     val e = PinnedCache.pin(edges.toDF("src", "dst"))
@@ -446,10 +469,35 @@ object Graphs {
         .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d"))
         .localCheckpoint(true)
     }
-    dist.where(col("d") >= 1L)
-      .groupBy(col("node"))
-      .agg(sum(expr("cast(1000000 as bigint) div d")).as("harmonic_ppm"),
-        count(lit(1)).as("n_reached"))
+    dist
+  }
+
+  /** Pairwise hop-distance HISTOGRAM from `seeds` (d in 1..rounds), with
+    * exact-integer cumulative shares: (d, n_pairs, cum_pairs, cum_ppm).
+    * The crawl/link-graph health readout behind the "effective diameter"
+    * number — the smallest d whose cum_ppm ≥ 900000 is the 90th-
+    * percentile effective diameter (read off the table; no float, no
+    * interpolation). All-nodes seeding gives the exact hop-bounded
+    * distribution on small graphs; on a 100 TB link graph seeds are a
+    * deterministic sample (the textbook ANF/HyperANF setting — this is
+    * the exact small-seed-set primitive those sketches approximate).
+    *
+    * One [[labeledBfs]] + a d-keyed count + a ≤rounds-row cumulative
+    * window (single-partition by construction — the frame is
+    * rounds-sized model state, never data-sized). */
+  def distanceHistogram(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = labeledBfs(edges, seeds, rounds)
+      .where(col("d") >= 1L)
+      .groupBy(col("d")).agg(count(lit(1)).as("n_pairs"))
+    val total = hist.agg(sum(col("n_pairs")).as("total"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum_pairs", sum(col("n_pairs")).over(w))
+      .crossJoin(broadcast(total))
+      .select(col("d"), col("n_pairs"), col("cum_pairs"),
+        expr("(cum_pairs * 1000000) div total").as("cum_ppm"))
   }
 
   /** Personalized PageRank: [[integerPageRank]]'s exact-integer recurrence

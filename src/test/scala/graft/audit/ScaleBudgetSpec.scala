@@ -298,6 +298,15 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q308 spilled")
   }
 
+  test("q309 distance histogram: labeled frontiers + a rounds-sized cumulative window") {
+    val b = measure("q309_distance_histogram")
+    // same labeled-BFS substrate as q307; the cumulative window runs over
+    // a <= rounds-row frame (model state), adding nothing to the exchange
+    assert(b.shuffleWriteBytes < 32 * MB,
+      s"distance histogram shuffled beyond labeled frontiers: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q309 spilled")
+  }
+
   test("per-task peak execution memory stays executor-slot-sized across the pinned families") {
     // at 100 TB an executor slot has ~1-4 GB of execution memory; a task
     // peaking far above that on sf0.01 inputs signals driver-ish state

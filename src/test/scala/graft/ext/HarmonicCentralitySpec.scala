@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -70,6 +71,37 @@ class HarmonicCentralitySpec extends AnyFunSuite {
     // sampled seeds: only sampled sources contribute
     val sampled = got(g, Seq(1L), 4)
     assert(sampled == Map(2L -> ((1000000L, 1L)), 3L -> ((500000L, 1L))))
+  }
+
+  test("distance histogram matches brute distances; cum_ppm ends at exactly 10^6") {
+    val rnd = new scala.util.Random(71)
+    val edges = Seq.fill(90)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(e => e._1 != e._2).map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val adj = (edges ++ edges.map(_.swap)).groupMap(_._1)(_._2)
+    val R = 3
+    val bruteD = nodes.flatMap { s =>
+      var d = Map(s -> 0); var frontier = Set(s)
+      for (r <- 1 to R) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Nil)).filterNot(d.contains)
+        d ++= frontier.map(_ -> r); ()
+      }
+      d.values.filter(_ >= 1)
+    }
+    val wantHist = bruteD.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = bruteD.size.toLong
+    val got = Graphs.distanceHistogram(
+        (edges ++ edges.map(_.swap)).distinct.toDF("src", "dst"),
+        nodes.toDF("seed"), R)
+      .orderBy(col("d")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(r => r._1 -> r._2).toMap == wantHist.map { case (k, v) => k.toLong -> v })
+    var cum = 0L
+    for ((d, n, c, ppm) <- got) {
+      cum += n
+      assert(c == cum && ppm == cum * 1000000L / total, s"d=$d")
+    }
+    assert(got.last._4 == 1000000L, "cumulative share must end at exactly 10^6")
   }
 
   test("random graph equals brute oracle (two seeds sets)") {
