@@ -1,8 +1,126 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  // explicit ROOT locale: the default-locale f"%.3f" emits "1,234" under a
+  // comma-decimal locale, producing invalid JSON (ADVICE r9)
+  private def s3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  private def shortKey(name: String): String = name.takeWhile(_ != '_')
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    // optional local-iteration filter: comma-separated query-name substrings
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+
+    // FRESH-JVM CHUNKS (r9 verdict item 2's optional half): a 300-query
+    // single-JVM session accumulates old-gen pressure that min-of-reps
+    // samples but cannot reject — r9 recorded q139 at 16.4 s in-suite
+    // (one 78 s rep) vs 8.5 s solo, same code. Chunking bounds the churn
+    // any query can inherit to <= chunkEvery predecessors: the parent
+    // spawns one child JVM per chunk (same module opens/heap via the
+    // parent's own JVM args, same classpath) and merges the chunk files.
+    // Any spawn failure falls back to the classic single-JVM path.
+    val chunkEvery = sys.env.getOrElse("SPARK_GRAFT_FORK_EVERY", "120").toInt
+    val isChild = sys.env.contains("SPARK_GRAFT_CHUNK_CHILD")
+    if (!isChild && chunkEvery > 0 && selected.size > chunkEvery) {
+      runChunked(selected.map(_._1), chunkEvery, sfDir, reps, outFile) match {
+        case Some((resultsMs, detailRows, n)) =>
+          emit(resultsMs, detailRows, n, reps, sfDir, outFile)
+          return
+        case None =>
+          System.err.println("[bench] chunk spawn failed; falling back to in-process")
+      }
+    }
+    val (results, detail) = runInProcess(selected, sfDir, reps)
+    val resultsMs = results.map { case (k, v) => shortKey(k) -> Math.round(v * 1000) }
+    val detailRows = detail.map { case (name, rs) =>
+      val repsJson = rs.map { case (t, la, gc) =>
+        s"""{"sec":${s3(t)},"load":${s3(la)},"gc_ms":$gc}""" }.mkString("[", ",", "]")
+      s"""  "${shortKey(name)}": $repsJson"""
+    }.toSeq
+    emit(resultsMs, detailRows, results.size, reps, sfDir, outFile)
+  }
+
+  /** Spawn one child JVM per chunk of query names; each child runs the
+    * classic in-process path over exactly its names and writes its own
+    * out/detail files, which the parent splices. Returns None if any
+    * child cannot be started or leaves no output (→ caller falls back). */
+  private def runChunked(names: Seq[String], chunkEvery: Int, sfDir: String,
+      reps: Int, outFile: String): Option[(Map[String, Long], Seq[String], Int)] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cp = System.getProperty("java.class.path")
+    val nChunks = (names.size + chunkEvery - 1) / chunkEvery
+    val chunks = names.grouped((names.size + nChunks - 1) / nChunks).toSeq
+    val resultsMs = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val detailRows = scala.collection.mutable.ArrayBuffer.empty[String]
+    // no non-local returns here: a `return` inside the loop body would
+    // desugar to NonLocalReturnControl and be swallowed by our own catch
+    def runOne(chunk: Seq[String], i: Int): Boolean =
+      try {
+        val childOut = java.nio.file.Files
+          .createTempFile(s"graft_bench_chunk$i", ".json").toString
+        val log = java.io.File.createTempFile(s"graft_bench_chunk$i", ".log")
+        val pb = new ProcessBuilder(
+          (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava)
+        // child stdout/stderr go to a log file, NOT this process's stdout:
+        // the driver's tail capture must only ever see the PARENT's merged
+        // final line, never a chunk's
+        pb.redirectOutput(log)
+        pb.redirectErrorStream(true)
+        val env = pb.environment()
+        env.put("SPARK_GRAFT_CHUNK_CHILD", "1")
+        env.put("SPARK_GRAFT_ONLY", chunk.mkString(","))
+        env.put("SPARK_GRAFT_BENCH_OUT", childOut)
+        val rc = pb.start().waitFor()
+        val line = java.nio.file.Files.readString(java.nio.file.Paths.get(childOut))
+        if (rc != 0 || line.isEmpty) {
+          System.err.println(s"[bench] chunk $i rc=$rc out=${line.length}B " +
+            s"log=${log.getAbsolutePath}")
+          false
+        } else {
+          // child line: {"metric":...,"queries":{"q01":526,...},...} — keys
+          // and integer values only inside the braces (we wrote it)
+          """"queries":\{([^}]*)\}""".r.findFirstMatchIn(line).map(_.group(1)) match {
+            case None => false
+            case Some(qs) =>
+              qs.split(',').filter(_.nonEmpty).foreach { kv =>
+                val Array(k, v) = kv.split(':')
+                resultsMs.put(k.stripPrefix("\"").stripSuffix("\""), v.toLong): Unit
+              }
+              // child detail: rows sit between the "queries":{ line and the }}
+              val det = java.nio.file.Files.readString(
+                java.nio.file.Paths.get(childOut.stripSuffix(".json") + "_detail.json"))
+              val start = det.indexOf("\"queries\":{\n")
+              val end = det.lastIndexOf("\n}}")
+              if (start < 0 || end <= start) false
+              else {
+                detailRows += det.substring(start + "\"queries\":{\n".length, end)
+                true
+              }
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] chunk $i failed: ${e.getMessage}")
+          false
+      }
+    val allOk = chunks.zipWithIndex.forall { case (c, i) => runOne(c, i) }
+    if (allOk) Some((resultsMs.toMap, detailRows.toSeq, resultsMs.size)) else None
+  }
+
+  private def runInProcess(selected: Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)], sfDir: String, reps: Int)
+      : (Map[String, Double], scala.collection.mutable.LinkedHashMap[String,
+          scala.collection.mutable.ArrayBuffer[(Double, Double, Long)]]) = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkEntry.configure(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,11 +144,6 @@ object Bench {
     // min-of-REPS per query: this VM shows multi-second ambient-load spikes
     // that land on random queries (measured: the same query 1.2 s and
     // 12.5 s across back-to-back runs); the min is the reproducible cost.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
-    // optional local-iteration filter: comma-separated query-name substrings
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
     // INTERLEAVED passes (round-8 lesson): reps used to run back-to-back
     // per query, so one multi-second ambient-load window landed on BOTH
     // reps of the same query and min() couldn't reject it — the r8 driver
@@ -79,8 +192,16 @@ object Bench {
       detail.getOrElseUpdate(name,
         scala.collection.mutable.ArrayBuffer.empty) += ((t, la, gc))
     }
-    val results: Map[String, Double] =
-      detail.map { case (name, ts) => name -> ts.map(_._1).min }.toMap
+    spark.stop()
+    (detail.map { case (name, ts) => name -> ts.map(_._1).min }.toMap, detail)
+  }
+
+  /** Write the out/detail files and print the self-limiting final line —
+    * shared by the merged-chunks path and the classic in-process path.
+    * `resultsMs` is keyed by the `qNN` short id; `detailRows` are
+    * pre-rendered `"qNN": [...]` JSON rows. */
+  private def emit(resultsMs: Map[String, Long], detailRows: Seq[String],
+      n: Int, reps: Int, sfDir: String, outFile: String): Unit = {
     // ONE compact line that MUST fit the driver's ~2000-char tail capture.
     // Four rounds of BENCH_r0N.json ended "parsed": null; by r6 the cause
     // was pure size (252 queries x ~12 bytes ≈ 3 KB front-truncated the
@@ -90,25 +211,19 @@ object Bench {
     // byte budget. The COMPLETE per-query dict goes to BENCH_local.json
     // (committed every round) — `file` points there and `n` records how
     // many queries the total covers.
-    // explicit ROOT locale: the default-locale f"%.3f" emits "1,234" under a
-    // comma-decimal locale, producing invalid JSON (ADVICE r9)
-    def s3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def shortKey(name: String): String = name.takeWhile(_ != '_')
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val entries = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + shortKey(k) + "\":" + Math.round(v * 1000) }
+    val total = resultsMs.values.sum / 1000.0
+    val entries = resultsMs.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
     val fullQs = entries.mkString("{", ",", "}")
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
-    def mkLine(qs: String, n: Int): String =
+    def mkLine(qs: String): String =
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","n":$n,"qunit":"ms","queries":$qs,"file":"$outFile","sf":"$sfDir"}"""
-    val fullLine = mkLine(fullQs, results.size)
+    val fullLine = mkLine(fullQs)
     // tail line: slowest-first entries until the byte budget is hit; sbt's
     // own trailing "[success] Total time..." line costs ~90 chars of window.
     val budget = sys.env.getOrElse("SPARK_GRAFT_LINE_BUDGET", "1700").toInt
-    val bySlow = results.toSeq.sortBy(-_._2)
-      .map { case (k, v) => "\"" + shortKey(k) + "\":" + Math.round(v * 1000) }
-    val fixedLen = mkLine("{}", results.size).length
+    val bySlow = resultsMs.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+    val fixedLen = mkLine("{}").length
     val keep = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = fixedLen
     bySlow.foreach { e =>
@@ -117,7 +232,7 @@ object Bench {
     }
     val line =
       if (fullLine.length <= budget) fullLine
-      else mkLine(keep.mkString("{", ",", "}"), results.size)
+      else mkLine(keep.mkString("{", ",", "}"))
     // three redundancy layers for the driver's tail capture, whose r4/r5
     // parses came back null even with the line present:
     // (1) persist the JSON to a file (durable regardless of capture),
@@ -134,17 +249,13 @@ object Bench {
     // attributed to ambient load OR single-JVM heap pressure without a
     // re-measure session (the r8 judge had to re-bench 8 queries by hand;
     // the r9 judge re-benched 6 to separate the two). Self-evidencing
-    // metadata per ADVICE r8: timestamp.
+    // metadata per ADVICE r8: timestamp. gc_ms resets per chunk JVM, so
+    // under chunking it also bounds how much churn a rep can inherit.
     try {
       val ts = java.time.Instant.now().toString
-      val rows = detail.map { case (name, rs) =>
-        val repsJson = rs.map { case (t, la, gc) =>
-          s"""{"sec":${s3(t)},"load":${s3(la)},"gc_ms":$gc}""" }.mkString("[", ",", "]")
-        s"""  "${shortKey(name)}": $repsJson"""
-      }.mkString(",\n")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outFile.stripSuffix(".json") + "_detail.json"),
-        s"""{"ts":"$ts","sf":"$sfDir","reps":$reps,"interleaved":true,\n"queries":{\n$rows\n}}\n""")
+        s"""{"ts":"$ts","sf":"$sfDir","reps":$reps,"interleaved":true,\n"queries":{\n${detailRows.mkString(",\n")}\n}}\n""")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write detail: ${e.getMessage}")
     }
@@ -153,6 +264,5 @@ object Bench {
       System.out.println(line)
       System.out.flush()
     }))
-    spark.stop()
   }
 }
