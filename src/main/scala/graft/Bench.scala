@@ -12,9 +12,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     // optional local-iteration filter: comma-separated query-name substrings
+    // (convenience for hand runs). Chunk CHILDREN match full names EXACTLY:
+    // the parent dispatches complete names, and substring matching would
+    // silently run a query in two chunks if one name ever became a prefix
+    // of another (ADVICE r10 — the invariant was real but unchecked).
+    val isChild = sys.env.contains("SPARK_GRAFT_CHUNK_CHILD")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .filter { case (name, _) => only.forall(pats =>
+        if (isChild) pats.contains(name) else pats.exists(name.contains)) }
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
 
     // FRESH-JVM CHUNKS (r9 verdict item 2's optional half): a 300-query
@@ -26,7 +32,6 @@ object Bench {
     // parent's own JVM args, same classpath) and merges the chunk files.
     // Any spawn failure falls back to the classic single-JVM path.
     val chunkEvery = sys.env.getOrElse("SPARK_GRAFT_FORK_EVERY", "120").toInt
-    val isChild = sys.env.contains("SPARK_GRAFT_CHUNK_CHILD")
     if (!isChild && chunkEvery > 0 && selected.size > chunkEvery) {
       runChunked(selected.map(_._1), chunkEvery, sfDir, reps, outFile) match {
         case Some((resultsMs, detailRows, n)) =>

@@ -641,8 +641,12 @@ object Dedup {
     // count) — the combo fan-out costs selects on pinned 1-row frames,
     // not jobs per (t, shape)
     def perCutoffCounts(pairs: DataFrame, prefix: String): DataFrame = {
+      // coalesce: on an EMPTY exact frame (a sparse audit sample) sum()
+      // returns NULL while the oracle's COUNT(*) subqueries return 0 —
+      // the ADVICE r10 cross-engine latent mismatch
       val aggs = thresholdsPpm.map(t =>
-        sum(when(col("j_ppm") >= t, 1L).otherwise(0L)).as(s"${prefix}_$t"))
+        coalesce(sum(when(col("j_ppm") >= t, 1L).otherwise(0L)), lit(0L))
+          .as(s"${prefix}_$t"))
       pairs.agg(aggs.head, aggs.tail: _*)
     }
     val nTrue = PinnedCache.pin(perCutoffCounts(exact, "nt"))
@@ -674,10 +678,34 @@ object Dedup {
             col("n_true_pairs"), col("n_found"),
             when(col("n_true_pairs") > 0,
               expr("(n_found * 1000000) div n_true_pairs")).as("recall_ppm"),
+            expr(analyticRecallSql(t, numHashes / r, r, "div"))
+              .cast("long").as("analytic_recall_ppm"),
             (col("n_docs") - col("docs_removed")).as("n_survivors"),
             col("docs_removed"), col("chars_saved"))
       }.reduce(_ unionByName _)
     }.reduce(_ unionByName _)
+  }
+
+  /** Closed-form banded-recall floor 1 − (1 − (t/10⁶)^r)^b at the cutoff
+    * itself, in ppm FIXED POINT: every power step floors ((x·y) div 10⁶ on
+    * non-negative longs ≤ 10⁶, products ≤ 10¹² < 2⁶³), so both engines
+    * reproduce the value bit-for-bit from the same expression shape
+    * (Spark `div` / DuckDB `//`). This is the extrapolation column next
+    * to the advisor's EMPIRICAL recall: banded min-wise inclusion for a
+    * pair at Jaccard exactly J is 1−(1−J^r)^b, monotone increasing in J,
+    * so evaluating it AT the cutoff lower-bounds the expected recall of
+    * the ≥-cutoff pair population — the number a curator can carry past
+    * the audit sample's band (the empirical column is the sample
+    * measurement; this is the model it converges to from above). */
+  private[ext] def analyticRecallSql(tPpm: Long, bands: Int, rowsPerBand: Int,
+      floorDiv: String): String = {
+    def powPpm(base: String, n: Int): String =
+      (2 to n).foldLeft(base)((acc, _) => s"(($acc * $base) $floorDiv 1000000)")
+    val cast = if (floorDiv == "div") s"${tPpm}L" else s"CAST($tPpm AS BIGINT)"
+    val pr = powPpm(cast, rowsPerBand)
+    val one = if (floorDiv == "div") "1000000L" else "CAST(1000000 AS BIGINT)"
+    val qb = powPpm(s"($one - $pr)", bands)
+    s"($one - $qb)"
   }
 
   /** IDF-weighted exact Jaccard pairs: similarity that DOWN-WEIGHTS

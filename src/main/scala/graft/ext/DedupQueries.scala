@@ -1446,7 +1446,12 @@ object DedupQueries {
     // discipline: exact ground truth is quadratic, so it runs on the
     // sample; banded recall depends only on J and the shape, so it
     // transfers). Integer/ppm arithmetic end to end; recall is NULL when
-    // a cutoff has no true pairs (CASE-guarded in both engines).
+    // a cutoff has no true pairs (CASE-guarded in both engines). The
+    // analytic_recall_ppm column is the closed-form 1−(1−(t/10⁶)^r)^b
+    // floor in fixed-point ppm (identical floor-div chain in both
+    // engines) — the extrapolation model a curator carries past the
+    // audit sample's band; DedupAdvisorSpec pins it against the exact
+    // per-pair expectation within binomial noise.
     QueryDef(
       "q305_dedup_config_advisor",
       (s, dir) => Dedup.dedupConfigAdvisor(tbl(s, dir, "documents"),
@@ -1484,10 +1489,12 @@ object DedupQueries {
                       |     ON p.a_id = c.a_id AND p.b_id = c.b_id
                       |     WHERE p.j_ppm >= $t)""".stripMargin
           val rem = s"(SELECT COUNT(*) FROM s$t WHERE id <> root)"
+          val an = Dedup.analyticRecallSql(t, 16 / r, r, "//")
           s"""SELECT CAST($t AS BIGINT) AS t_ppm,
              |  CAST(${16 / r} AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
              |  $nt::BIGINT AS n_true_pairs, $nf::BIGINT AS n_found,
              |  CASE WHEN $nt > 0 THEN ($nf * 1000000) // $nt ELSE NULL END AS recall_ppm,
+             |  $an::BIGINT AS analytic_recall_ppm,
              |  (SELECT COUNT(*) FROM t0)::BIGINT - $rem AS n_survivors,
              |  $rem::BIGINT AS docs_removed,
              |  COALESCE((SELECT CAST(SUM(d.n_chars) AS BIGINT)

@@ -11,21 +11,30 @@ import graft.queries.QueryDef.tbl
   * — see [[Ext]] for the file map. */
 object ExtraQueries {
 
-  /** Symmetrized host-level link graph (q171/q172's derivation): the
-    * deterministic href fixture rendered per doc, REAL regex link
-    * extraction, src host from the doc's canonicalized fixture URL, dst
-    * host from the href — distinct (src, dst) edges plus their mirror.
-    * Map-only until the distinct; node ids are strings (group/join keys
-    * never need dense ints). */
+  /** Symmetrized host-level link graph (q171/q172's edge set): src host
+    * from the doc's canonicalized fixture URL, dst hosts from the href
+    * fixture — distinct (src, dst) edges plus their mirror. Map-only
+    * until the distinct; node ids are strings (group/join keys never
+    * need dense ints).
+    *
+    * Derivation: DIRECT from token indices ([[Web.fixtureLinkHosts]]) —
+    * the href fixture's link targets are a pure hash function of
+    * (doc_id, run, word-slot), so the graph-tier consumers (q187/q188/
+    * q220–q222/q307/q309 and the composition queries) skip the HTML
+    * render + regex re-extraction that q171/q172 exist to exercise.
+    * Bit-identical to extractLinks(syntheticHtmlLinks(…)) by
+    * construction — same md5 bits, same (j, k) ranges — and pinned so
+    * by HostLinkGraphSpec against the rendered path. The render+regex
+    * pipeline itself stays under test in q171/q172, whose oracles
+    * re-derive targets from tokens exactly like this. */
   private[ext] def hostLinkGraph(s: SparkSession, dir: String): DataFrame = {
     val d = tbl(s, dir, "documents")
-    val links = Web.extractLinks(
-      Web.syntheticHtmlLinks(d, "doc_id", "text"), "doc_id", "html")
+    val links = Web.fixtureLinkHosts(d, "doc_id", "text")
     val srcH = d.select(col("doc_id"),
       Web.hostOf(Web.fixtureUrl(col("doc_id"), col("source"), col("lang")))
         .as("src"))
     val e = links.join(srcH, "doc_id")
-      .select(col("src"), Web.hostOf(col("url")).as("dst")).distinct()
+      .select(col("src"), col("dst")).distinct()
     e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
   }

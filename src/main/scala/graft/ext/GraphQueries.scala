@@ -1191,5 +1191,66 @@ object GraphQueries {
              |FROM hist ORDER BY d""".stripMargin
       },
     ),
+
+    // INCREMENTAL HITS (q197's maintained form — the eigen tier's SECOND
+    // maintained operator, completing the incremental family: CC q164,
+    // LPA q253, PR q304, triangles q306, k-core q308, HITS this): hub/
+    // authority ranks over the DIRECTED near-dup pair graph (a_id → b_id,
+    // a < b), maintained through a delta wave by replaying the recurrence
+    // only on the delta's (4R−2)-hop neighborhood with the base run's
+    // STORED rescale maxes as divisors (Graphs.incrementalHits). The
+    // globality guard: HITS divides every half-step by a GLOBAL max, so
+    // the incremental path runs only when ball-local evidence plus the
+    // (max, n_attainers) trace PROVES the max unchanged — otherwise batch
+    // fallback (exactness over cleverness, q304's new-src discipline).
+    // Unlike PageRank there is no 1/N teleport, so new nodes are local
+    // and need no guard. The oracle is ONE-SHOT batch HITS over ALL
+    // pairs, so a pass proves incremental ≡ recompute; IncrementalHitsSpec
+    // adds random-wave/boundary/fallback-poison/dag-cycle cases.
+    QueryDef(
+      "q310_incremental_hits",
+      (s, dir) => {
+        val pairs = PinnedCache.pin(
+          Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
+            .select(col("a_id").as("src"), col("b_id").as("dst")))
+        val isBase = (col("src") + col("dst")) % 3 =!= 0
+        val base = PinnedCache.pin(pairs.where(isBase))
+        val delta = pairs.where(!isBase)
+        val (prevRanks, trace) = Graphs.integerHitsTrace(base, iters = 3)
+        Graphs.incrementalHits(prevRanks, trace, base, delta, iters = 3)
+          .orderBy(col("node"))
+      },
+      Some({
+        val iterCte = (1 to 3).map(i =>
+          s"""a${i}r AS (
+             |  SELECT e.b AS node, CAST(SUM(h.h) AS BIGINT) AS a
+             |  FROM h${i - 1} h JOIN e ON e.a = h.node GROUP BY e.b),
+             |a$i AS MATERIALIZED (
+             |  SELECT node, (a * 1000000) // (SELECT MAX(a) FROM a${i}r) AS a
+             |  FROM a${i}r),
+             |h${i}r AS (
+             |  SELECT e.a AS node, CAST(SUM(x.a) AS BIGINT) AS h
+             |  FROM a$i x JOIN e ON e.b = x.node GROUP BY e.a),
+             |h$i AS MATERIALIZED (
+             |  SELECT node, (h * 1000000) // (SELECT MAX(h) FROM h${i}r) AS h
+             |  FROM h${i}r)""".stripMargin).mkString(",\n")
+        s"""WITH sh AS (
+           |  SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+           |                                FOR i IN generate_series(1, len(toks)-2)]) AS s
+           |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+           |  WHERE len(toks) >= 3),
+           |e AS MATERIALIZED (
+           |  SELECT a.doc_id AS a, b.doc_id AS b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+           |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+           |h0 AS (SELECT DISTINCT a AS node, CAST(1000000 AS BIGINT) AS h FROM e),
+           |$iterCte
+           |SELECT COALESCE(h.node, a.node) AS node,
+           |  COALESCE(h.h, 0)::BIGINT AS hub, COALESCE(a.a, 0)::BIGINT AS auth
+           |FROM h3 h FULL OUTER JOIN a3 a ON h.node = a.node
+           |ORDER BY node""".stripMargin
+      }),
+    ),
   )
 }

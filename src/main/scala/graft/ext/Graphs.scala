@@ -392,6 +392,219 @@ object Graphs {
       .na.fill(0L, Seq("hub", "auth"))
   }
 
+  /** One half-step of the [[integerHits]] rescale trace: the global MAX of
+    * the UNSCALED sums and how many nodes attain it. `side` is "a" (auth
+    * half-step) or "h" (hub half-step); steps are ordered a1, h1, a2, h2…
+    * — 2·iters rows total, statistic-cardinality MODEL STATE (the house
+    * collect rule), and exactly the evidence [[incrementalHits]] needs to
+    * decide whether a delta's influence stays local: values outside the
+    * touched ball change ONLY through these divisors. */
+  final case class HitsMax(step: Int, side: String, mx: Long, nAt: Long)
+
+  /** [[integerHits]] plus its per-half-step rescale TRACE — bit-identical
+    * ranks (same joins, same floor divisions; the max is collected and
+    * re-injected as a literal instead of broadcast-crossJoined), plus the
+    * 2·iters [[HitsMax]] rows a later [[incrementalHits]] call consumes.
+    * The extra cost is two scalar aggregates per half-step on node-keyed
+    * frames. */
+  def integerHitsTrace(edges: DataFrame, iters: Int,
+      scale: Long = 1000000L): (DataFrame, Seq[HitsMax]) = {
+    require(iters >= 1 && iters <= 50, s"iterations must be in [1,50], got $iters")
+    val e = PinnedCache.pin(edges.toDF("src", "dst").distinct())
+    var hub = e.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(scale)).localCheckpoint(true)
+    var auth = e.sparkSession.emptyDataFrame
+    val trace = scala.collection.mutable.ArrayBuffer.empty[HitsMax]
+    def maxAndCount(raw: DataFrame, c: String): (Long, Long) = {
+      val mx = raw.agg(max(col(c))).collect().head.getLong(0)
+      (mx, raw.where(col(c) === mx).count())
+    }
+    for (i <- 1 to iters) {
+      val a0 = e.join(hub.select(col("node").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
+        .localCheckpoint(true)
+      val (mxA, nA) = maxAndCount(a0, "a")
+      trace += HitsMax(i, "a", mxA, nA)
+      auth = a0.select(col("node"), expr(s"(a * ${scale}L) div ${mxA}L").as("a"))
+        .localCheckpoint(true)
+      val h0 = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
+        .localCheckpoint(true)
+      val (mxH, nH) = maxAndCount(h0, "h")
+      trace += HitsMax(i, "h", mxH, nH)
+      hub = h0.select(col("node"), expr(s"(h * ${scale}L) div ${mxH}L").as("h"))
+        .localCheckpoint(true)
+    }
+    val ranks = hub.select(col("node"), col("h").as("hub"))
+      .join(auth.select(col("node"), col("a").as("auth")), Seq("node"), "full_outer")
+      .na.fill(0L, Seq("hub", "auth"))
+    (ranks, trace.toSeq)
+  }
+
+  /** INCREMENTAL HITS — the q304 discipline applied to the eigen tier's
+    * second maintained form: given the base graph's final (node, hub,
+    * auth) AND its rescale trace (both from [[integerHitsTrace]]) and a
+    * DISJOINT additive `deltaEdges` wave, produce ranks IDENTICAL to
+    * re-running the batch operator over base ∪ delta, recomputing only
+    * the delta's neighborhood.
+    *
+    * Exactness argument (fixed `iters` = R, 2R half-steps): influence
+    * moves one UNDIRECTED hop per half-step (hub(u) feeds auth(v) along
+    * u→v; auth(v) feeds hub(u) back along the same edge), and hub_0 = S
+    * uniformly (HITS has no 1/N term — unlike PageRank, NEW nodes are
+    * local). So, PROVIDED every half-step's global rescale max is
+    * unchanged, the raw sums and scaled values that differ from the base
+    * run after k half-steps lie within k−1 undirected hops of a delta
+    * endpoint — the final values within the (2R−1)-hop `take` ball.
+    * Recomputing the take ball exactly needs edges incident to nodes
+    * within 2R−1 FURTHER hops (a node at dependency depth j is exact for
+    * half-steps ≤ 2R−j; depth-2R nodes enter through their exact
+    * hub_0 = S init alone), over which the SAME recurrence replays with
+    * the STORED maxes as divisors — no global aggregate.
+    *
+    * GLOBALITY GUARD (the max-rescale twin of q304's new-src fallback):
+    * every half-step divides by the global max of the raw sums, so ANY
+    * max shift changes every node's scaled value and locality dies. The
+    * guard decides each half-step's new max from ball-local evidence
+    * plus the trace: raw sums outside the take ball equal the base
+    * run's, so m_new = max(m_out, maxRawInBall_new) where m_out (the
+    * outside max) = m_base iff some base attainer lies OUTSIDE the ball
+    * (attainers-in-ball count < n_at from the trace). The incremental
+    * path proceeds only when m_new provably equals m_base:
+    *   - maxRawInBall_new == m_base → equal (outside can only tie), OR
+    *   - maxRawInBall_new < m_base AND attainers-in-ball < n_at →
+    *     outside still attains m_base;
+    * anything else (a new higher max, or the old max's attainers all
+    * inside the touched ball) falls back to the batch recurrence over
+    * base ∪ delta — exactness over cleverness. The attainer count per
+    * half-step comes from a restricted replay of the BASE run over the
+    * same subgraph (exact there by the dependency argument), so the
+    * guard needs no stored per-node history — just the 2R (max, n_at)
+    * trace rows.
+    *
+    * Scale shape: one undirected ball growth (frontier joins with the
+    * settled/frontier split, cost ∝ touched region), two restricted
+    * replays over ball-incident edges, and 2R scalar aggregates. On the
+    * sparse near-dup graphs this maintains nightly, the ball is the
+    * delta's neighborhood. Requires base ∩ delta = ∅ and delta =
+    * ADDITIONS only (edge multiplicity feeds the sums). */
+  def incrementalHits(prevRanks: DataFrame, prevTrace: Seq[HitsMax],
+      baseEdges: DataFrame, deltaEdges: DataFrame, iters: Int,
+      scale: Long = 1000000L): DataFrame =
+    incrementalHitsTrace(prevRanks, prevTrace, baseEdges, deltaEdges,
+      iters, scale)._1
+
+  /** [[incrementalHits]] plus the MAINTAINED trace for the union graph —
+    * what a nightly maintainer carries to the next wave. On the
+    * incremental path the guard has proven every max unchanged, so only
+    * the attainer counts move: n_at' = n_at − (base attainers inside the
+    * ball) + (new attainers inside the ball), both already measured by
+    * the restricted replays (outside the ball raw sums are unchanged).
+    * On the fallback path the trace is recomputed by the batch run. */
+  def incrementalHitsTrace(prevRanks: DataFrame, prevTrace: Seq[HitsMax],
+      baseEdges: DataFrame, deltaEdges: DataFrame, iters: Int,
+      scale: Long = 1000000L): (DataFrame, Seq[HitsMax]) = {
+    require(iters >= 1 && iters <= 50, s"iterations must be in [1,50], got $iters")
+    require(prevTrace.size == 2 * iters, "trace must carry 2*iters half-steps")
+    val bE = PinnedCache.pin(baseEdges.toDF("src", "dst").distinct())
+    val dE = PinnedCache.pin(deltaEdges.toDF("src", "dst").distinct())
+    val all = PinnedCache.pin(bE.unionByName(dE))
+    // undirected adjacency for influence/dependency ball growth
+    val undirected = PinnedCache.pin(
+      all.unionByName(all.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    val seeds = dE.select(col("src").as("node"))
+      .unionByName(dE.select(col("dst").as("node"))).distinct()
+    // one ball, two radii: take = 2R-1 (where finals can change),
+    // region = 4R-2 (whose incident edges the restricted replays need)
+    val takeRadius = 2 * iters - 1
+    val regionRadius = 4 * iters - 2
+    var frontier = seeds.withColumn("d", lit(0L)).localCheckpoint(true)
+    var ball = frontier
+    for (r <- 1 to regionRadius) {
+      val cand = undirected
+        .join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+      frontier = cand.join(ball, Seq("node"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("d")).localCheckpoint(true)
+      ball = ball.unionByName(frontier)
+    }
+    val take = PinnedCache.pin(
+      ball.where(col("d") <= takeRadius.toLong).select(col("node")))
+    val region = ball.select(col("node"))
+    // edges with EITHER endpoint in the region: every region node keeps
+    // its FULL in/out edge set (column order re-pinned after USING joins)
+    def incident(e: DataFrame) = PinnedCache.pin(
+      e.join(region.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .select(col("src"), col("dst"))
+        .unionByName(
+          e.join(region.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+            .select(col("src"), col("dst")))
+        .distinct())
+    val subNew = incident(all)
+    val subBase = subNew.join(dE, Seq("src", "dst"), "left_anti")
+      .select(col("src"), col("dst"))
+    // restricted replay with the STORED maxes as divisors; returns final
+    // (hub, auth) plus per-half-step ball-local evidence
+    def replay(e0: DataFrame): (DataFrame, DataFrame, Seq[(Long, Long)]) = {
+      val e = PinnedCache.pin(e0)
+      var hub = e.select(col("src").as("node")).distinct()
+        .withColumn("h", lit(scale)).localCheckpoint(true)
+      var auth = e.sparkSession.emptyDataFrame
+      val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      def ballStats(raw: DataFrame, c: String, mBase: Long): (Long, Long) = {
+        val inT = raw.join(take, Seq("node"), "left_semi").localCheckpoint(true)
+        val mx = inT.agg(coalesce(max(col(c)), lit(0L))).collect().head.getLong(0)
+        (mx, inT.where(col(c) === mBase).count())
+      }
+      for (i <- 1 to iters) {
+        val tA = prevTrace(2 * (i - 1))
+        val a0 = e.join(hub.select(col("node").as("src"), col("h")), "src")
+          .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
+          .localCheckpoint(true)
+        stats += ballStats(a0, "a", tA.mx)
+        auth = a0.select(col("node"), expr(s"(a * ${scale}L) div ${tA.mx}L").as("a"))
+          .localCheckpoint(true)
+        val tH = prevTrace(2 * (i - 1) + 1)
+        val h0 = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
+          .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
+          .localCheckpoint(true)
+        stats += ballStats(h0, "h", tH.mx)
+        hub = h0.select(col("node"), expr(s"(h * ${scale}L) div ${tH.mx}L").as("h"))
+          .localCheckpoint(true)
+      }
+      (hub, auth, stats.toSeq)
+    }
+    val (_, _, baseStats) = replay(subBase)
+    val (newHub, newAuth, newStats) = replay(subNew)
+    // the guard: every half-step's new global max must provably equal the
+    // stored one; otherwise every outside value's divisor shifts → batch
+    val localOk = prevTrace.indices.forall { k =>
+      val t = prevTrace(k)
+      val newMaxInBall = newStats(k)._1
+      val baseAttainersInBall = baseStats(k)._2
+      newMaxInBall == t.mx || (newMaxInBall < t.mx && baseAttainersInBall < t.nAt)
+    }
+    if (!localOk) integerHitsTrace(all, iters, scale)
+    else {
+      val recomputed = newHub.select(col("node"), col("h").as("hub"))
+        .join(newAuth.select(col("node"), col("a").as("auth")),
+          Seq("node"), "full_outer")
+        .na.fill(0L, Seq("hub", "auth"))
+        .join(take, Seq("node"), "left_semi")
+        .select(col("node"), col("hub"), col("auth"))
+      val ranks = prevRanks.toDF("node", "hub", "auth")
+        .join(take, Seq("node"), "left_anti")
+        .select(col("node"), col("hub"), col("auth"))
+        .unionByName(recomputed)
+      val newTrace = prevTrace.indices.map { k =>
+        val t = prevTrace(k)
+        t.copy(nAt = t.nAt - baseStats(k)._2 + newStats(k)._2)
+      }
+      (ranks, newTrace)
+    }
+  }
+
   /** Multi-source BFS over a directed edge list `(src, dst)`: exact
     * min-hop distance from a seed set, after `rounds` expansion rounds
     * (nodes further than `rounds` hops are absent — the fixed-iteration
@@ -399,25 +612,32 @@ object Graphs {
     * trusted core" is naturally hop-bounded anyway). Node ids are opaque
     * (string hosts work — the [[integerPageRank]]/q172 convention).
     *
-    * Delta-frontier expansion: round r only expands nodes first reached
-    * at distance r−1 (any shorter path would have found them earlier), so
-    * per-round cost is one edges⋈frontier join + one node-keyed min — the
-    * Pregel BFS plan, total work O(Σ frontier out-degree) = O(m) across
-    * all rounds, not O(m·rounds). Lineage flattened per round. */
+    * Delta-frontier expansion with the settled/frontier split (the
+    * [[labeledBfs]] plan, single node key): round r only expands nodes
+    * first reached at distance r−1, dedupes the expansion, and anti-joins
+    * it against the settled set — only NEW nodes are aggregated and
+    * checkpointed per round (exact by BFS monotonicity: any later sight
+    * of a settled node has d ≥ its settled d). Total shuffled work
+    * O(Σ frontier out-degree) = O(m) across all rounds, and the settled
+    * set is scanned, never re-aggregated. Lineage flattened per round. */
   def bfsDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 50, "rounds in [1,50]")
     val e = PinnedCache.pin(edges.toDF("src", "dst"))
-    var dist = seeds.toDF("node").distinct()
+    var frontier = seeds.toDF("node").distinct()
       .withColumn("d", lit(0L)).localCheckpoint(true)
+    var settled = frontier
     for (r <- 1 to rounds) {
-      val frontier = dist.where(col("d") === (r - 1))
-      dist = dist.unionByName(
-        e.join(frontier.select(col("node").as("src"), col("d")), "src")
-          .select(col("dst").as("node"), (col("d") + 1).as("d")))
-        .groupBy(col("node")).agg(min(col("d")).as("d"))
+      val candidates = e
+        .join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node"))
+        .distinct()
+      frontier = candidates
+        .join(settled, Seq("node"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("d"))
         .localCheckpoint(true)
+      settled = settled.unionByName(frontier)
     }
-    dist
+    settled
   }
 
   /** Sampled HARMONIC centrality — the distance-based centrality tier
@@ -452,24 +672,40 @@ object Graphs {
     * seed-reached node within `rounds` hops — ALL seeds advance in the
     * SAME per-round edges⋈frontier join (state |seeds|·|ball|, the
     * [[bfsDistances]] delta-frontier plan with a composite key). Shared
-    * substrate of [[harmonicCentrality]] and [[distanceHistogram]]. */
+    * substrate of [[harmonicCentrality]] and [[distanceHistogram]].
+    *
+    * Settled/frontier split: each round shuffles only the NEW frontier
+    * expansion — candidates are deduped within the round, then anti-
+    * joined against the accumulated settled set (a union of the per-
+    * round checkpointed frontiers; the anti-join SCANS settled but the
+    * settled rows are never re-aggregated or re-checkpointed). Exact by
+    * BFS monotonicity: a (seed, node) pair is discovered first at its
+    * minimum distance, and every later candidate for a settled pair has
+    * d ≥ the settled d — so dropping it via the anti-join is verbatim
+    * pass-through, and min(d) is needed only WITHIN a round (where all
+    * candidates share d = r, so distinct suffices). The old plan re-ran
+    * groupBy(seed, node).min(d) over the FULL settled set every round —
+    * O(rounds · settled) shuffle for the same output. */
   private[ext] def labeledBfs(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
     val e = PinnedCache.pin(edges.toDF("src", "dst"))
-    var dist = seeds.toDF("seed").distinct()
+    var frontier = seeds.toDF("seed").distinct()
       .select(col("seed"), col("seed").as("node"), lit(0L).as("d"))
       .localCheckpoint(true)
+    var settled = frontier
     for (r <- 1 to rounds) {
-      val frontier = dist.where(col("d") === (r - 1).toLong)
-        .select(col("seed"), col("node").as("src"))
-      dist = dist.unionByName(
-          e.join(frontier, "src")
-            .select(col("seed"), col("dst").as("node"), lit(r.toLong).as("d")))
-        .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d"))
+      val candidates = e
+        .join(frontier.select(col("seed"), col("node").as("src")), "src")
+        .select(col("seed"), col("dst").as("node"))
+        .distinct()
+      frontier = candidates
+        .join(settled, Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(r.toLong).as("d"))
         .localCheckpoint(true)
+      settled = settled.unionByName(frontier)
     }
-    dist
+    settled
   }
 
   /** Pairwise hop-distance HISTOGRAM from `seeds` (d in 1..rounds), with

@@ -252,6 +252,34 @@ object Web {
           .as("html"))
   }
 
+  /** The [[syntheticHtmlLinks]] fixture's link TARGET HOSTS derived
+    * DIRECTLY from token indices — one `(doc_id, dst)` row per selected
+    * word slot, bit-identical to hostOf over
+    * extractLinks(syntheticHtmlLinks(df)) by construction: the href
+    * fixture selects slot (j, k) when hash(doc_id:j:k) % 4 = 0 and
+    * targets host h{hash(doc_id:j:k:href) % nHosts}.example.org — a pure
+    * function of doc_id and the token COUNT, so no HTML string is ever
+    * built and no regex runs. This is the cheap fixture path for the
+    * graph-tier queries whose subject is the graph, not the extraction;
+    * the render+regex pipeline stays under test in q171/q172.
+    * HostLinkGraphSpec pins equality of the two derivations. */
+  def fixtureLinkHosts(df: DataFrame, idCol: String, textCol: String,
+      nHosts: Int = 20): DataFrame = {
+    val selHash = hashExprSql(
+      "concat(cast(doc_id as string), ':', cast(j as string), ':', cast(k as string))")
+    val hrefHash = hashExprSql(
+      "concat(cast(doc_id as string), ':', cast(j as string), ':', cast(k as string), ':href')")
+    df.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).as("n"))
+      .select(col("doc_id"), explode(expr(
+        s"""flatten(transform(sequence(0, (n + 3) div 4 - 1), j ->
+           |  filter(transform(sequence(0, least(4, n - j * 4) - 1), k ->
+           |    case when $selHash % 4 = 0
+           |      then concat('h', cast($hrefHash % $nHosts as string), '.example.org')
+           |      else null end),
+           |    x -> x is not null)))""".stripMargin)).as("dst"))
+  }
+
   /** Outbound links from an HTML column: one `(doc_id, url)` row per
     * href attribute. Map-only regex extraction — the crawl-frontier /
     * link-graph feeder. */
