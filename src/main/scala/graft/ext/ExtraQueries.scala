@@ -62,6 +62,25 @@ object ExtraQueries {
         |sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src)""".stripMargin
 
+  /** [[hostGraphSql]] + all-hosts labeled BFS to 4 hops, ending in CTE
+    * `h4` (seed, node, d) — the shared substrate of the q307/q309/q311
+    * oracles (the one-shot recompute the incremental form must equal). */
+  private[ext] val hostBfs4Sql: String = {
+    val rounds = (1 to 4).map(i =>
+      s"""h$i AS MATERIALIZED (
+         |  SELECT seed, node, MIN(d) AS d FROM (
+         |    SELECT seed, node, d FROM h${i - 1}
+         |    UNION ALL
+         |    SELECT h${i - 1}.seed, sym.dst, h${i - 1}.d + 1
+         |    FROM h${i - 1} JOIN sym ON h${i - 1}.node = sym.src) z
+         |  GROUP BY seed, node)""".stripMargin).mkString(",\n")
+    hostGraphSql +
+      s""",
+         |h0 AS (SELECT src AS seed, src AS node, 0 AS d
+         |       FROM (SELECT DISTINCT src FROM sym)),
+         |$rounds""".stripMargin
+  }
+
   /** Seed hosts for the traversal/trust queries: two synthetic hub hosts
     * from the href fixture's 20-host target space. */
   private[ext] val SeedHosts = Seq("h0.example.org", "h1.example.org")

@@ -1072,25 +1072,12 @@ object GraphQueries {
           .select(col("node").as("host"), col("harmonic_ppm"), col("n_reached"))
           .orderBy(col("host"))
       },
-      Some {
-        val rounds = (1 to 4).map(i =>
-          s"""h$i AS MATERIALIZED (
-             |  SELECT seed, node, MIN(d) AS d FROM (
-             |    SELECT seed, node, d FROM h${i - 1}
-             |    UNION ALL
-             |    SELECT h${i - 1}.seed, sym.dst, h${i - 1}.d + 1
-             |    FROM h${i - 1} JOIN sym ON h${i - 1}.node = sym.src) z
-             |  GROUP BY seed, node)""".stripMargin).mkString(",\n")
-        hostGraphSql +
-          s""",
-             |h0 AS (SELECT src AS seed, src AS node, 0 AS d
-             |       FROM (SELECT DISTINCT src FROM sym)),
-             |$rounds
-             |SELECT node AS host,
-             |  CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_ppm,
-             |  COUNT(*)::BIGINT AS n_reached
-             |FROM h4 WHERE d >= 1 GROUP BY node ORDER BY host""".stripMargin
-      },
+      Some(hostBfs4Sql +
+        """
+          |SELECT node AS host,
+          |  CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_ppm,
+          |  COUNT(*)::BIGINT AS n_reached
+          |FROM h4 WHERE d >= 1 GROUP BY node ORDER BY host""".stripMargin),
     ),
 
     // INCREMENTAL k-core peel (q148's maintained form — the density
@@ -1167,29 +1154,16 @@ object GraphQueries {
         Graphs.distanceHistogram(g, g.select(col("src")).distinct(), rounds = 4)
           .orderBy(col("d"))
       },
-      Some {
-        val rounds = (1 to 4).map(i =>
-          s"""h$i AS MATERIALIZED (
-             |  SELECT seed, node, MIN(d) AS d FROM (
-             |    SELECT seed, node, d FROM h${i - 1}
-             |    UNION ALL
-             |    SELECT h${i - 1}.seed, sym.dst, h${i - 1}.d + 1
-             |    FROM h${i - 1} JOIN sym ON h${i - 1}.node = sym.src) z
-             |  GROUP BY seed, node)""".stripMargin).mkString(",\n")
-        hostGraphSql +
-          s""",
-             |h0 AS (SELECT src AS seed, src AS node, 0 AS d
-             |       FROM (SELECT DISTINCT src FROM sym)),
-             |$rounds,
-             |hist AS (
-             |  SELECT CAST(d AS BIGINT) AS d, COUNT(*)::BIGINT AS n_pairs
-             |  FROM h4 WHERE d >= 1 GROUP BY d)
-             |SELECT d, n_pairs,
-             |  CAST(SUM(n_pairs) OVER (ORDER BY d) AS BIGINT) AS cum_pairs,
-             |  (CAST(SUM(n_pairs) OVER (ORDER BY d) AS BIGINT) * 1000000)
-             |    // CAST((SELECT SUM(n_pairs) FROM hist) AS BIGINT) AS cum_ppm
-             |FROM hist ORDER BY d""".stripMargin
-      },
+      Some(hostBfs4Sql +
+        """,
+          |hist AS (
+          |  SELECT CAST(d AS BIGINT) AS d, COUNT(*)::BIGINT AS n_pairs
+          |  FROM h4 WHERE d >= 1 GROUP BY d)
+          |SELECT d, n_pairs,
+          |  CAST(SUM(n_pairs) OVER (ORDER BY d) AS BIGINT) AS cum_pairs,
+          |  (CAST(SUM(n_pairs) OVER (ORDER BY d) AS BIGINT) * 1000000)
+          |    // CAST((SELECT SUM(n_pairs) FROM hist) AS BIGINT) AS cum_ppm
+          |FROM hist ORDER BY d""".stripMargin),
     ),
 
     // INCREMENTAL HITS (q197's maintained form — the eigen tier's SECOND
@@ -1250,6 +1224,105 @@ object GraphQueries {
            |  COALESCE(h.h, 0)::BIGINT AS hub, COALESCE(a.a, 0)::BIGINT AS auth
            |FROM h3 h FULL OUTER JOIN a3 a ON h.node = a.node
            |ORDER BY node""".stripMargin
+      }),
+    ),
+
+    // INCREMENTAL harmonic centrality (q307's maintained form — the
+    // DISTANCE tier joins the incremental family: CC q164, LPA q253, PR
+    // q304, triangles q306, k-core q308, HITS q310, distances this): the
+    // settled (seed, node, d) labeled-BFS state over the host link graph,
+    // maintained through an additive edge wave by relaxing ONLY improving
+    // pairs (Graphs.incrementalLabeledBfs — injection relaxes each delta
+    // edge once from the base-settled state; Bellman-Ford-on-improvements
+    // converges in ≤ R iterations because distances only decrease and
+    // improving paths have ≤ R hops; unimproved pairs pass through
+    // VERBATIM). Additions can only shorten distances, so the nightly
+    // crawl-growth maintenance touches the improvement region, not the
+    // pair universe. The oracle is the ONE-SHOT all-hosts labeled BFS
+    // over ALL edges (q307's exact SQL), so a pass proves incremental ≡
+    // recompute; IncrementalLabeledBfsSpec adds shortcut-cascade,
+    // chained-delta, reachability-flip, and dag-cycle cases.
+    QueryDef(
+      "q311_incremental_harmonic",
+      (s, dir) => {
+        val g = PinnedCache.pin(hostLinkGraph(s, dir))
+        val seeds = g.select(col("src")).distinct()
+        val isBase = pmod(hash(col("src"), col("dst")), lit(5)) =!= 0
+        val base = PinnedCache.pin(g.where(isBase))
+        val delta = g.where(!isBase)
+        val prev = Graphs.labeledBfs(base, seeds, rounds = 4)
+        Graphs.incrementalLabeledBfs(prev, base, delta, rounds = 4)
+          .where(col("d") >= 1L)
+          .groupBy(col("node"))
+          .agg(sum(expr("cast(1000000 as bigint) div d")).as("harmonic_ppm"),
+            count(lit(1)).as("n_reached"))
+          .select(col("node").as("host"), col("harmonic_ppm"), col("n_reached"))
+          .orderBy(col("host"))
+      },
+      Some(hostBfs4Sql +
+        """
+          |SELECT node AS host,
+          |  CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_ppm,
+          |  COUNT(*)::BIGINT AS n_reached
+          |FROM h4 WHERE d >= 1 GROUP BY node ORDER BY host""".stripMargin),
+    ),
+
+    // Seed-sampled BETWEENNESS centrality on the host link graph — the
+    // PATH-VOLUME tier completing the centrality stack (eigen q172/q188,
+    // distance q307, cohesion q220): how much shortest-path traffic from
+    // the trusted hub seeds flows THROUGH each host — the chokepoint /
+    // traffic-broker readout a crawl curator reads next to authority and
+    // closeness. Exact-integer Brandes, hop-4-bounded (the q307
+    // truncation contract): forward labeled BFS with exact path COUNTS
+    // (settled/frontier split), then the per-level dependency ladder
+    //   δ'(v) = Σ_{v→w, level+1} (σ(v)·(10⁶+δ'(w))) div σ(w)
+    // in ppm fixed point — floor per term, summed over a set, so both
+    // engines replay it bit-for-bit. Seed sampling is the textbook
+    // estimator (2 trusted hubs here; a deterministic sample at 100 TB).
+    QueryDef(
+      "q312_betweenness_centrality",
+      (s, dir) => {
+        import s.implicits._
+        val g = PinnedCache.pin(hostLinkGraph(s, dir))
+        Graphs.betweennessCentrality(g, SeedHosts.toDF("seed"), rounds = 4)
+          .select(col("node").as("host"), col("bc_ppm"), col("n_seeds_through"))
+          .orderBy(col("host"))
+      },
+      Some({
+        val fwd = (1 to 4).map(i =>
+          s"""f$i AS MATERIALIZED (
+             |  SELECT f.seed, sym.dst AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+             |  FROM f${i - 1} f JOIN sym ON sym.src = f.node
+             |  WHERE NOT EXISTS (SELECT 1 FROM c${i - 1} c
+             |                    WHERE c.seed = f.seed AND c.node = sym.dst)
+             |  GROUP BY 1, 2),
+             |c$i AS (SELECT seed, node FROM c${i - 1}
+             |        UNION ALL SELECT seed, node FROM f$i)""".stripMargin)
+          .mkString(",\n")
+        val bwd = (3 to 1 by -1).map(r =>
+          s"""b$r AS MATERIALIZED (
+             |  SELECT f.seed, f.node,
+             |    COALESCE((SELECT CAST(SUM((f.sigma * (1000000 + b.dd)) // fw.sigma) AS BIGINT)
+             |              FROM sym e
+             |              JOIN f${r + 1} fw ON fw.seed = f.seed AND fw.node = e.dst
+             |              JOIN b${r + 1} b ON b.seed = fw.seed AND b.node = fw.node
+             |              WHERE e.src = f.node), 0) AS dd
+             |  FROM f$r f)""".stripMargin).mkString(",\n")
+        hostGraphSql +
+          s""",
+             |f0 AS (SELECT node AS seed, node, CAST(1 AS BIGINT) AS sigma
+             |       FROM $seedValuesSql),
+             |c0 AS (SELECT seed, node FROM f0),
+             |$fwd,
+             |b4 AS (SELECT seed, node, CAST(0 AS BIGINT) AS dd FROM f4),
+             |$bwd
+             |SELECT node AS host, CAST(SUM(dd) AS BIGINT) AS bc_ppm,
+             |  (COUNT(*) FILTER (WHERE dd > 0))::BIGINT AS n_seeds_through
+             |FROM (SELECT seed, node, dd FROM b1
+             |      UNION ALL SELECT seed, node, dd FROM b2
+             |      UNION ALL SELECT seed, node, dd FROM b3
+             |      UNION ALL SELECT seed, node, dd FROM b4)
+             |GROUP BY node ORDER BY host""".stripMargin
       }),
     ),
   )

@@ -708,6 +708,166 @@ object Graphs {
     settled
   }
 
+  /** INCREMENTAL labeled BFS — the q304/q306/q308/q310 maintenance
+    * discipline applied to the DISTANCE tier: given the base graph's
+    * settled (seed, node, d) set (= [[labeledBfs]](baseEdges, seeds,
+    * rounds)) and a DISJOINT additive `deltaEdges` wave, produce the set
+    * IDENTICAL to re-running [[labeledBfs]] over base ∪ delta with the
+    * SAME seed set — relaxing only pairs whose distance improves.
+    *
+    * Exactness argument (edge ADDITIONS, fixed hop bound R): distances
+    * only DECREASE, and every improved pair's new shortest ≤R-hop path
+    * crosses a delta edge. Injection relaxes each delta edge once from
+    * the base-settled state ((s, u, d) ⋈ (u→w) → candidate (s, w, d+1));
+    * the loop then relaxes the union edge set from the improved frontier
+    * only — Bellman-Ford restricted to improvements, which converges in
+    * ≤ R iterations because an improving path has ≤ R hops and each
+    * iteration extends the settled prefix of such a path by one hop
+    * (injection uses base distances for the prefix BEFORE the first
+    * delta edge, which later iterations re-improve if that prefix itself
+    * shortens — the chained-delta case). Pairs with no improving path
+    * keep their base rows VERBATIM (anti-join pass-through). No
+    * approximation; IncrementalLabeledBfsSpec pins equality per wave.
+    *
+    * Scale shape: the settled set is SCANNED, never rewritten — one
+    * node-keyed forward ball from the delta dsts ([[bfsDistances]], cost
+    * ∝ the touched region) prefilters it to the only pairs improvements
+    * can touch (every candidate's node lies within `rounds` forward hops
+    * of a delta dst), improvement comparisons join against that slice
+    * plus the (small) accumulated improvement set, and the one full-
+    * settled anti-join happens once at the END (output-sized anyway).
+    * The hop bound caps candidate d at R, so state never exceeds the
+    * |seeds|·|ball| bound of the batch operator. Requires base ∩ delta
+    * = ∅ and the seed set unchanged. */
+  def incrementalLabeledBfs(prevDist: DataFrame, baseEdges: DataFrame,
+      deltaEdges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
+    val bE = baseEdges.toDF("src", "dst")
+    val dE = PinnedCache.pin(deltaEdges.toDF("src", "dst").distinct())
+    val all = PinnedCache.pin(bE.unionByName(dE).distinct())
+    val settled = PinnedCache.pin(prevDist.toDF("seed", "node", "d"))
+    // every candidate node sits within `rounds` FORWARD hops of a delta
+    // dst, so this slice of settled is the only state improvements can
+    // compare against — the full set is never reshuffled per iteration
+    val ballNodes = bfsDistances(all, dE.select(col("dst")), rounds)
+      .select(col("node"))
+    val relevant = PinnedCache.pin(
+      settled.join(ballNodes, Seq("node"), "left_semi")
+        .select(col("seed"), col("node"), col("d")))
+    def improvesOn(cands: DataFrame, best: DataFrame): DataFrame =
+      cands.join(best.select(col("seed"), col("node"), col("d").as("d_old")),
+          Seq("seed", "node"), "left_outer")
+        .where(col("d_old").isNull || col("d") < col("d_old"))
+        .select(col("seed"), col("node"), col("d"))
+    // injection: relax every delta edge once from the base-settled state
+    var frontier = improvesOn(
+      settled.join(dE.select(col("src").as("node"), col("dst")), "node")
+        .select(col("seed"), col("dst").as("node"), (col("d") + 1L).as("d"))
+        .where(col("d") <= rounds.toLong)
+        .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d")),
+      relevant).localCheckpoint(true)
+    var improved = frontier
+    for (_ <- 1 to rounds) {
+      val cands = all
+        .join(frontier.select(col("seed"), col("node").as("src"), col("d")), "src")
+        .select(col("seed"), col("dst").as("node"), (col("d") + 1L).as("d"))
+        .where(col("d") <= rounds.toLong)
+        .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d"))
+      // an improvement must beat BOTH the base state and any earlier
+      // improvement of the same pair (a pair can improve twice when a
+      // shorter chain lands later — the chained-delta case)
+      frontier = improvesOn(improvesOn(cands, relevant), improved)
+        .localCheckpoint(true)
+      improved = improved.unionByName(frontier)
+        .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+    }
+    settled
+      .join(improved.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti")
+      .select(col("seed"), col("node"), col("d"))
+      .unionByName(improved)
+  }
+
+  /** Seed-sampled, hop-bounded BETWEENNESS centrality in exact integer
+    * arithmetic — the PATH-VOLUME tier completing the centrality stack
+    * (eigen: [[integerPageRank]]/[[integerHits]]; distance:
+    * [[harmonicCentrality]]; cohesion: [[triangleCounts]]): how much
+    * shortest-path traffic from the seed sample flows THROUGH each node.
+    * The Brandes decomposition, hop-bounded at `rounds` (pairs further
+    * apart contribute nothing — the [[harmonicCentrality]] truncation
+    * contract) and seeded by a sample (the textbook estimator; all nodes
+    * = exact on small graphs, a deterministic sample on 100 TB link
+    * graphs).
+    *
+    * Forward phase: labeled BFS with PATH COUNTS — σ(s, w) at level r =
+    * Σ over predecessors v at level r−1 of σ(s, v), with the
+    * settled/frontier split ([[labeledBfs]]) so only new pairs shuffle;
+    * shortest-path counts are exact longs (no float). Backward phase:
+    * dependency accumulation per level, deepest first —
+    *   δ'(s, v) = Σ_{v→w, d(w) = d(v)+1} (σ(s,v) · (10⁶ + δ'(s,w))) div σ(s,w)
+    * in ppm fixed point with FLOOR division per (v, w) term; terms are
+    * summed over a set (order-free), so the value is engine-portable,
+    * and the oracle replays the identical ladder in SQL. Returns
+    * (node, bc_ppm, n_seeds_through) over nodes at levels 1..rounds−1
+    * (level-`rounds` nodes have no in-bound successors: δ' = 0).
+    * bc_ppm = Σ_s δ'(s, node) — classic Brandes betweenness × 10⁶,
+    * restricted to ≤rounds-hop pairs from the seed set.
+    *
+    * Overflow bound: σ ≤ maxDeg^rounds and δ' ≤ 10⁶·(pairs downstream);
+    * each term σ·(10⁶+δ') must stay under 2⁶³ — holds for the
+    * hop-4-bounded host/dup graphs by orders of magnitude (documented,
+    * as with [[integerHits]] sums). */
+  def betweennessCentrality(edges: DataFrame, seeds: DataFrame,
+      rounds: Int, scale: Long = 1000000L): DataFrame = {
+    require(rounds >= 2 && rounds <= 10, "rounds in [2,10]")
+    // distinct: σ counts PATHS, so a duplicated edge row would double-count
+    val e = PinnedCache.pin(edges.toDF("src", "dst").distinct())
+    // forward: per-level (seed, node, sigma), settled/frontier split
+    var frontier = seeds.toDF("seed").distinct()
+      .select(col("seed"), col("seed").as("node"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    var settledKeys = frontier.select(col("seed"), col("node"))
+    for (_ <- 1 to rounds) {
+      val cand = e
+        .join(frontier.select(col("seed"), col("node").as("src"), col("sigma")), "src")
+        .groupBy(col("seed"), col("dst").as("node")).agg(sum(col("sigma")).as("sigma"))
+      frontier = cand
+        .join(settledKeys, Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), col("sigma"))
+        .localCheckpoint(true)
+      levels += frontier
+      settledKeys = settledKeys.unionByName(frontier.select(col("seed"), col("node")))
+    }
+    // backward: δ' per level, deepest level first (it has no successors)
+    var dep = levels(rounds).select(col("seed"), col("node"), lit(0L).as("dd"))
+    val perLevel = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- (rounds - 1) to 1 by -1) {
+      val cur = levels(r)
+      val succ = levels(r + 1)
+        .join(dep, Seq("seed", "node"))
+        .select(col("seed"), col("node").as("dst"),
+          col("sigma").as("sigma_w"), col("dd").as("dd_w"))
+      val contrib = cur
+        .join(e.select(col("src").as("node"), col("dst")), "node")
+        .join(succ, Seq("seed", "dst"))
+        .select(col("seed"), col("node"),
+          expr(s"(sigma * (${scale}L + dd_w)) div sigma_w").as("term"))
+        .groupBy(col("seed"), col("node")).agg(sum(col("term")).as("dd"))
+      dep = cur.select(col("seed"), col("node"))
+        .join(contrib, Seq("seed", "node"), "left_outer")
+        .select(col("seed"), col("node"), coalesce(col("dd"), lit(0L)).as("dd"))
+        .localCheckpoint(true)
+      perLevel += dep
+    }
+    (perLevel :+ levels(rounds)
+        .select(col("seed"), col("node"), lit(0L).as("dd")))
+      .reduce(_ unionByName _)
+      .groupBy(col("node"))
+      .agg(sum(col("dd")).as("bc_ppm"),
+        count(when(col("dd") > 0L, 1L)).as("n_seeds_through"))
+  }
+
   /** Pairwise hop-distance HISTOGRAM from `seeds` (d in 1..rounds), with
     * exact-integer cumulative shares: (d, n_pairs, cum_pairs, cum_ppm).
     * The crawl/link-graph health readout behind the "effective diameter"

@@ -307,6 +307,37 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q309 spilled")
   }
 
+  test("q310 incremental HITS: ball-restricted replays, node-keyed partials only") {
+    val b = measure("q310_incremental_hits")
+    // pair pipeline + base HITS-with-trace dominate (the proof obligation);
+    // the undirected ball growth and the TWO restricted replays (base for
+    // attainer counts, union for new values) move node-keyed partials over
+    // ball-incident edges only — never documents or shingle sets
+    assert(b.shuffleWriteBytes < 4 * MB,
+      s"incremental HITS shuffled beyond the ball: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q310 spilled")
+  }
+
+  test("q311 incremental harmonic: injection + improvement-only relaxation rounds") {
+    val b = measure("q311_incremental_harmonic")
+    // base labeled BFS (the proof obligation) dominates; the maintenance
+    // adds one settled⋈delta injection join plus per-iteration shuffles of
+    // the IMPROVED pairs only — (seed, node, d) longs, never documents
+    assert(b.shuffleWriteBytes < 48 * MB,
+      s"incremental BFS shuffled beyond improvements: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q311 spilled")
+  }
+
+  test("q312 betweenness: path-count frontiers + per-level dependency joins only") {
+    val b = measure("q312_betweenness_centrality")
+    // 2-seed Brandes: forward (seed, node, sigma) frontiers with the
+    // settled/frontier split, then per-level (sigma, dd) joins — state is
+    // seeds×ball longs, never documents
+    assert(b.shuffleWriteBytes < 32 * MB,
+      s"betweenness shuffled beyond labeled frontiers: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q312 spilled")
+  }
+
   test("per-task peak execution memory stays executor-slot-sized across the pinned families") {
     // at 100 TB an executor slot has ~1-4 GB of execution memory; a task
     // peaking far above that on sf0.01 inputs signals driver-ish state
