@@ -1250,7 +1250,7 @@ object GraphQueries {
         val isBase = pmod(hash(col("src"), col("dst")), lit(5)) =!= 0
         val base = PinnedCache.pin(g.where(isBase))
         val delta = g.where(!isBase)
-        val prev = Graphs.labeledBfs(base, seeds, rounds = 4)
+        val prev = Graphs.multiSourceBfs(base, seeds, rounds = 4)
         Graphs.incrementalLabeledBfs(prev, base, delta, rounds = 4)
           .where(col("d") >= 1L)
           .groupBy(col("node"))

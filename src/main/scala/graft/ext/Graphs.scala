@@ -654,15 +654,16 @@ object Graphs {
     * deterministic sample on 100 TB link graphs; the estimate scales by
     * N/|seeds|). Node ids are opaque (string hosts work).
     *
-    * Plan: LABELED multi-source BFS — [[bfsDistances]]'s delta-frontier
-    * expansion with (seed, node) composite keys, so ALL seeds advance in
-    * the SAME per-round join (one edges⋈frontier shuffle per round, not
-    * one BFS per seed); state is the reached (seed, node, d) set, bounded
-    * by |seeds|·|ball|. Returns (node, harmonic_ppm, n_reached) for nodes
-    * reached by ≥1 seed at d ≥ 1. */
+    * Plan: bitmask multi-source BFS ([[multiSourceBfs]] — node-keyed
+    * mask words with map-side-combinable bit_or, so ALL seeds advance in
+    * the SAME per-round join and the per-round shuffle is
+    * |edges|·⌈seeds/64⌉ words, not |seeds|·|ball| candidate pairs; the
+    * round-11 upgrade over the pair-keyed [[labeledBfs]], which remains
+    * the incremental substrate). Returns (node, harmonic_ppm, n_reached)
+    * for nodes reached by ≥1 seed at d ≥ 1. */
   def harmonicCentrality(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame =
-    labeledBfs(edges, seeds, rounds)
+    multiSourceBfs(edges, seeds, rounds)
       .where(col("d") >= 1L)
       .groupBy(col("node"))
       .agg(sum(expr("cast(1000000 as bigint) div d")).as("harmonic_ppm"),
@@ -671,8 +672,12 @@ object Graphs {
   /** Labeled multi-source BFS: exact min-hop (seed, node, d) for every
     * seed-reached node within `rounds` hops — ALL seeds advance in the
     * SAME per-round edges⋈frontier join (state |seeds|·|ball|, the
-    * [[bfsDistances]] delta-frontier plan with a composite key). Shared
-    * substrate of [[harmonicCentrality]] and [[distanceHistogram]].
+    * [[bfsDistances]] delta-frontier plan with a composite key). The
+    * pair-keyed formulation; [[multiSourceBfs]] produces the same rows
+    * from a node-keyed bitmask plan and is what the batch readouts
+    * ([[harmonicCentrality]], [[distanceHistogram]]) use — this one
+    * remains the reference twin ([[multiSourceBfs]]'s spec pins
+    * equality) and the [[incrementalLabeledBfs]] contract anchor.
     *
     * Settled/frontier split: each round shuffles only the NEW frontier
     * expansion — candidates are deduped within the round, then anti-
@@ -706,6 +711,69 @@ object Graphs {
       settled = settled.unionByName(frontier)
     }
     settled
+  }
+
+  /** Bitmask MULTI-SOURCE BFS — [[labeledBfs]]'s output from a node-keyed
+    * plan (the textbook MS-BFS layout): seeds get dense bit indices
+    * (sorted order — deterministic), per-node reachability is a sparse
+    * set of (node, word, mask) longs, and one round is
+    *
+    *   edges ⋈ masks → groupBy(dst, word).bit_or(mask) → full-outer
+    *   merge with the previous masks; NEW bits (prop & ~old) decode to
+    *   (seed, node, d = r) rows.
+    *
+    * Why it beats the pair-keyed plan for ALL-NODES seeding: the
+    * per-round shuffle is |edges|·⌈seeds/64⌉ mask words with map-side
+    * combinable bit_or — the q307/q309 host graph moves ~0.5M words per
+    * round instead of ~10M (seed, node) candidate pairs, and the state
+    * re-materialized per round is node×words, not |seeds|·|ball| pairs.
+    * Emitted (seed, node, d) rows are appended per round and never
+    * reshuffled. Exact: a bit first turns on at exactly the pair's
+    * min-hop distance (bit OR is the frontier union), pinned ≡
+    * [[labeledBfs]] by MultiSourceBfsSpec. The seed-index table is
+    * model-state sized (seeds are all nodes on small graphs, a
+    * deterministic sample at 100 TB — the operator contract). Bit 63's
+    * sign does not matter: only &, |, ~, != 0 touch the masks. */
+  def multiSourceBfs(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
+    import org.apache.spark.sql.expressions.Window
+    val e = PinnedCache.pin(edges.toDF("src", "dst"))
+    val idx = PinnedCache.pin(seeds.toDF("seed").distinct()
+      .select(col("seed"),
+        (row_number().over(Window.orderBy(col("seed"))) - 1)
+          .cast("long").as("i")))
+    var reached = idx.select(col("seed").as("node"),
+        expr("i div 64").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(i % 64 as int))").as("m"))
+      .localCheckpoint(true)
+    val pairChunks = scala.collection.mutable.ArrayBuffer(
+      idx.select(col("seed"), col("seed").as("node"), lit(0L).as("d")))
+    for (r <- 1 to rounds) {
+      val prop = e
+        .join(reached.select(col("node").as("src"), col("w"), col("m")), "src")
+        .groupBy(col("dst").as("node"), col("w"))
+        .agg(expr("bit_or(m)").as("pm"))
+      val merged = reached.select(col("node"), col("w"), col("m").as("om"))
+        .join(prop, Seq("node", "w"), "full_outer")
+        .select(col("node"), col("w"),
+          (coalesce(col("om"), lit(0L)).bitwiseOR(coalesce(col("pm"), lit(0L))))
+            .as("m"),
+          (coalesce(col("pm"), lit(0L))
+            .bitwiseAND(expr("~coalesce(om, cast(0 as bigint))"))).as("nb"))
+        .localCheckpoint(true)
+      reached = merged.select(col("node"), col("w"), col("m"))
+      pairChunks += merged.where(col("nb") =!= 0L)
+        .select(col("node"), explode(expr(
+          """filter(transform(sequence(0, 63), b ->
+            |  case when (nb & shiftleft(cast(1 as bigint), b)) != 0
+            |    then b end), x -> x is not null)""".stripMargin)).as("b"),
+          col("w"))
+        .select((col("w") * 64L + col("b")).as("i"), col("node"))
+        .join(idx, "i")
+        .select(col("seed"), col("node"), lit(r.toLong).as("d"))
+    }
+    pairChunks.reduce(_ unionByName _)
   }
 
   /** INCREMENTAL labeled BFS — the q304/q306/q308/q310 maintenance
@@ -878,13 +946,13 @@ object Graphs {
     * deterministic sample (the textbook ANF/HyperANF setting — this is
     * the exact small-seed-set primitive those sketches approximate).
     *
-    * One [[labeledBfs]] + a d-keyed count + a ≤rounds-row cumulative
+    * One [[multiSourceBfs]] + a d-keyed count + a ≤rounds-row cumulative
     * window (single-partition by construction — the frame is
     * rounds-sized model state, never data-sized). */
   def distanceHistogram(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = labeledBfs(edges, seeds, rounds)
+    val hist = multiSourceBfs(edges, seeds, rounds)
       .where(col("d") >= 1L)
       .groupBy(col("d")).agg(count(lit(1)).as("n_pairs"))
     val total = hist.agg(sum(col("n_pairs")).as("total"))

@@ -279,13 +279,14 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q306 spilled")
   }
 
-  test("q307 harmonic centrality: labeled frontier state, (seed,node)-keyed rounds") {
+  test("q307 harmonic centrality: node-keyed MS-BFS mask words, not candidate pairs") {
     val b = measure("q307_harmonic_centrality")
-    // link extraction + per-round (seed, node, d) partials over the host
-    // graph; the labeled BFS state is |seeds|x|ball| longs, not documents
-    // measured 6.5 MB at sf0.01 (the all-hosts seed set is the heavy case)
-    assert(b.shuffleWriteBytes < 32 * MB,
-      s"harmonic BFS shuffled beyond labeled frontiers: shufW=${b.shuffleWriteBytes}")
+    // bitmask multi-source BFS: per-round shuffle is |edges|*ceil(seeds/64)
+    // bit_or-combinable mask words — measured 0.4 MB at sf0.01 (the old
+    // pair-keyed plan moved 6.5 MB; a regression back to (seed, node)
+    // candidate shuffling trips this)
+    assert(b.shuffleWriteBytes < 4 * MB,
+      s"harmonic BFS shuffled beyond mask words: shufW=${b.shuffleWriteBytes}")
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q307 spilled")
   }
 
@@ -298,12 +299,12 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q308 spilled")
   }
 
-  test("q309 distance histogram: labeled frontiers + a rounds-sized cumulative window") {
+  test("q309 distance histogram: MS-BFS mask words + a rounds-sized cumulative window") {
     val b = measure("q309_distance_histogram")
-    // same labeled-BFS substrate as q307; the cumulative window runs over
-    // a <= rounds-row frame (model state), adding nothing to the exchange
-    assert(b.shuffleWriteBytes < 32 * MB,
-      s"distance histogram shuffled beyond labeled frontiers: shufW=${b.shuffleWriteBytes}")
+    // same MS-BFS substrate as q307 (measured 0.4 MB at sf0.01); the
+    // cumulative window runs over a <= rounds-row frame (model state)
+    assert(b.shuffleWriteBytes < 4 * MB,
+      s"distance histogram shuffled beyond mask words: shufW=${b.shuffleWriteBytes}")
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q309 spilled")
   }
 
@@ -323,7 +324,8 @@ class ScaleBudgetSpec extends AnyFunSuite {
     // base labeled BFS (the proof obligation) dominates; the maintenance
     // adds one settled⋈delta injection join plus per-iteration shuffles of
     // the IMPROVED pairs only — (seed, node, d) longs, never documents
-    assert(b.shuffleWriteBytes < 48 * MB,
+    // measured 5.9 MB at sf0.01 (base MS-BFS + pair-keyed maintenance)
+    assert(b.shuffleWriteBytes < 24 * MB,
       s"incremental BFS shuffled beyond improvements: shufW=${b.shuffleWriteBytes}")
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q311 spilled")
   }
