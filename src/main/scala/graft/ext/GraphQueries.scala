@@ -1325,5 +1325,117 @@ object GraphQueries {
              |GROUP BY node ORDER BY host""".stripMargin
       }),
     ),
+
+    // MODULARITY of the LPA communities (q183's assignment, scored): the
+    // quality readout that closes the community tier — per community,
+    // Newman Q_c = e_c/m − (deg_c/2m)² in integer ppm (one floor
+    // division per community, dividend shifted non-negative so Spark
+    // `div` ≡ DuckDB `//` — Graphs.modularityByCommunity documents the
+    // trunc-vs-floor hazard and the +4m²·10⁶ shift). A curator reads
+    // this next to the assignment itself: high-Q communities are real
+    // mesoscale structure worth stratifying by; near-zero/negative ones
+    // are noise. The oracle replays q183's LPA CTE ladder verbatim and
+    // scores it with the identical shifted division.
+    QueryDef(
+      "q313_modularity",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val edges = PinnedCache.pin(li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct())
+        // rounds = 2: the 3-round assignment collapses this dense graph to
+        // ~3 giant communities (a 3-row readout); 2 rounds keep ~40 — the
+        // mesoscale grain a curator actually scores
+        Graphs.modularityByCommunity(edges,
+            Graphs.labelPropagation(edges, rounds = 2))
+          .orderBy(col("label"))
+      },
+      Some({
+        val round = (i: Int) =>
+          s"""n$i AS (
+             |  SELECT sym.b AS node, l${i - 1}.lab, COUNT(*) AS c
+             |  FROM l${i - 1} JOIN sym ON sym.a = l${i - 1}.node GROUP BY 1, 2),
+             |l$i AS (
+             |  SELECT node, lab FROM (
+             |    SELECT node, lab,
+             |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+             |    FROM n$i) WHERE rn = 1)""".stripMargin
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+           |  FROM lineitem a JOIN lineitem b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+           |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+           |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
+           |${(1 to 2).map(round).mkString(",\n")},
+           |deg AS (SELECT a AS node, COUNT(*) AS deg FROM sym GROUP BY a),
+           |m AS (SELECT COUNT(*) AS m FROM e),
+           |bylab AS (
+           |  SELECT l2.lab, COUNT(*) AS n_nodes, SUM(deg.deg) AS deg_sum
+           |  FROM deg JOIN l2 ON l2.node = deg.node GROUP BY l2.lab),
+           |intra AS (
+           |  SELECT la.lab, COUNT(*) AS intra_edges
+           |  FROM e JOIN l2 la ON la.node = e.a JOIN l2 lb ON lb.node = e.b
+           |  WHERE la.lab = lb.lab GROUP BY la.lab)
+           |SELECT b.lab AS label, CAST(b.n_nodes AS BIGINT) AS n_nodes,
+           |  CAST(b.deg_sum AS BIGINT) AS deg_sum,
+           |  CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+           |  CAST((1000000*(4*m.m*COALESCE(i.intra_edges, 0) - b.deg_sum*b.deg_sum)
+           |        + 4000000*m.m*m.m) // (4*m.m*m.m) - 1000000 AS BIGINT) AS q_ppm
+           |FROM bylab b LEFT JOIN intra i ON i.lab = b.lab, m
+           |ORDER BY label""".stripMargin
+      }),
+    ),
+
+    // DETERMINISTIC random-walk corpus over the host link graph — the
+    // DeepWalk/node2vec training-data generator (graph-embedding walks
+    // are a first-class training-data product, same as packed token
+    // sequences): 2 walks × 4 hops from every host, hop choice = a pure
+    // hash of (origin, walk, step, cur) mod degree
+    // (Graphs.randomWalks), so the corpus is bit-reproducible with NO
+    // RNG state and the oracle replays every trajectory as a 4-CTE
+    // ladder over the same ROW_NUMBER-indexed adjacency. Per hop the
+    // engine joins |walks| rows against the indexed adjacency — never a
+    // neighbor-list materialization, embarrassingly parallel over walks
+    // at any scale.
+    QueryDef(
+      "q314_random_walks",
+      (s, dir) => {
+        val g = PinnedCache.pin(hostLinkGraph(s, dir))
+        Graphs.randomWalks(g, g.select(col("src").as("origin")).distinct(),
+            walksPerNode = 2, steps = 4)
+          .select(col("origin"), col("walk"), col("step"), col("node"))
+          .orderBy(col("origin"), col("walk"), col("step"))
+      },
+      Some({
+        // single line: a continuation margin here would be re-stripped by
+        // the enclosing templates' stripMargin (nested-interpolation hazard)
+        val h = (stepLit: String) =>
+          "CAST(('0x' || substring(md5(origin||':'||CAST(walk AS VARCHAR)" +
+            s"||':'||$stepLit||':'||cur),1,15)) AS BIGINT)"
+        val hops = (1 to 4).map(i =>
+          s"""w$i AS MATERIALIZED (
+             |  SELECT origin, walk, adj.dst AS cur
+             |  FROM w${i - 1} JOIN adj ON adj.src = w${i - 1}.cur
+             |    AND adj.idx = ${h(s"'$i'")} % adj.deg)""".stripMargin)
+          .mkString(",\n")
+        val readout = (0 to 4).map(i =>
+          s"SELECT origin, CAST(walk AS BIGINT) AS walk, CAST($i AS BIGINT) AS step, cur AS node FROM w$i")
+          .mkString("\nUNION ALL\n")
+        hostGraphSql +
+          s""",
+             |adj AS MATERIALIZED (
+             |  SELECT src, dst,
+             |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+             |    COUNT(*) OVER (PARTITION BY src) AS deg
+             |  FROM sym),
+             |w0 AS (SELECT src AS origin, w AS walk, src AS cur
+             |       FROM (SELECT DISTINCT src FROM sym),
+             |            unnest(generate_series(0, 1)) t(w)),
+             |$hops
+             |$readout
+             |ORDER BY origin, walk, step""".stripMargin
+      }),
+    ),
   )
 }

@@ -1177,6 +1177,110 @@ object Graphs {
       .unionByName(ranks.join(take, Seq("node")))
   }
 
+  /** Integer-ppm MODULARITY readout of a community assignment — the
+    * quality scalar a curator reads next to the assignment itself (did
+    * LPA/CC produce real mesoscale structure, or noise?). For undirected
+    * edges `(a, b)` (each edge once, either orientation) and `labels`
+    * (node, lab), the per-community contribution to Newman modularity
+    *   Q_c = e_c/m − (deg_c / 2m)²  =  (4m·e_c − deg_c²) / (4m²)
+    * in parts-per-million. Exactness: ONE floor division per community
+    * — but Q_c can be negative and Spark `div` truncates while DuckDB
+    * `//` floors (the [[TextAnalysis.vocabKlDrift]] hazard), so the
+    * dividend is shifted by +4m²·10⁶ (≥ the worst case deg_c² = (2m)²,
+    * making it non-negative, where floor ≡ trunc) and 10⁶ is subtracted
+    * back after the division — exact because (x + n·d) div d = x div d
+    * + n. Overflow bound: 10⁶·4m·e_c ≤ 4·10⁶·m² needs m ≲ 1.5·10⁶
+    * edges; past that, run per-community terms in DECIMAL or rescale
+    * ppm → ppb-of-m.
+    *
+    * Shape: one degree aggregate, one label join + community rollup, one
+    * intra-edge join + rollup, one 1-row m broadcast — all partial-agg
+    * friendly, output is community-sized. Communities whose edges all
+    * cross the boundary report intra_edges = 0 (LEFT join + coalesce). */
+  def modularityByCommunity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val lab = labels.toDF("node", "lab")
+      .select(col("node").cast("long").as("node"), col("lab").cast("long").as("lab"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val byLab = deg.join(lab, "node")
+      .groupBy(col("lab"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val intra = e
+      .join(lab.select(col("node").as("a"), col("lab").as("la")), "a")
+      .join(lab.select(col("node").as("b"), col("lab").as("lb")), "b")
+      .where(col("la") === col("lb"))
+      .groupBy(col("la").as("lab")).agg(count(lit(1)).as("intra_edges"))
+    byLab.join(intra, Seq("lab"), "left")
+      .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("q_ppm", expr(
+        """(1000000L * (4L * m * intra_edges - deg_sum * deg_sum)
+          | + 4000000L * m * m) div (4L * m * m) - 1000000L""".stripMargin))
+      .select(col("lab").as("label"), col("n_nodes"), col("deg_sum"),
+        col("intra_edges"), col("q_ppm"))
+  }
+
+  /** Portable 60-bit hash — identical in Spark and DuckDB
+    * (`CAST(('0x'||substring(md5(x),1,15)) AS BIGINT)`); the
+    * [[CorpusMining]] recipe, here driving walk-step choices. */
+  private def hash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DETERMINISTIC random-walk corpus (the DeepWalk/node2vec
+    * training-data generator): `walksPerNode` walks of `steps` hops from
+    * each origin, where hop `s` of walk `w` at node `cur` moves to the
+    * neighbor whose rank (by dst order) equals
+    *   hash60(origin:w:s:cur) mod deg(cur)
+    * — a pure hash function of the walk coordinate, so the corpus is
+    * bit-identical across engines, runs, and partitionings (no RNG
+    * state; the house seeded-fixture discipline applied to sampling a
+    * TRAJECTORY instead of a row set). Returns (origin, walk, step,
+    * node) including step 0 = the origin itself; a walk that reaches a
+    * node with no outgoing edges TERMINATES (its later steps are simply
+    * absent — the join drops them; on a symmetrized graph every reached
+    * node has deg ≥ 1 and all walks run full length).
+    *
+    * Shape: the adjacency index (src, dst, idx, deg) is built once
+    * (one window over the edge list) and eagerly checkpointed; each hop
+    * is ONE equi-join of the walk frontier against it, keyed by (cur,
+    * idx) — |walks| rows per hop regardless of graph size, the standard
+    * distributed walk-corpus plan (embarrassingly parallel over walks,
+    * never materializes neighbor lists). */
+  def randomWalks(edges: DataFrame, origins: DataFrame, walksPerNode: Int,
+      steps: Int): DataFrame = {
+    require(walksPerNode >= 1 && walksPerNode <= 64, "walksPerNode in [1,64]")
+    require(steps >= 1 && steps <= 20, "steps in [1,20]")
+    import org.apache.spark.sql.expressions.Window
+    val wAdj = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val adj = edges.toDF("src", "dst")
+      .select(col("src"), col("dst"),
+        (row_number().over(wAdj) - 1).cast("long").as("idx"),
+        count(lit(1)).over(Window.partitionBy(col("src"))).as("deg"))
+      .localCheckpoint(true)
+    var state = origins.toDF("origin")
+      .select(col("origin"),
+        explode(array((0 until walksPerNode).map(w => lit(w.toLong)): _*)).as("walk"))
+      .withColumn("cur", col("origin"))
+      .localCheckpoint(true)
+    var out = state.select(col("origin"), col("walk"),
+      lit(0L).as("step"), col("cur").as("node"))
+    for (s <- 1 to steps) {
+      val key = concat(col("origin"), lit(":"), col("walk").cast("string"),
+        lit(":"), lit(s.toString), lit(":"), col("cur"))
+      state = state
+        .join(adj, col("cur") === col("src") &&
+          col("idx") === hash60(key) % col("deg"))
+        .select(col("origin"), col("walk"), col("dst").as("cur"))
+        .localCheckpoint(true)
+      out = out.unionByName(state.select(col("origin"), col("walk"),
+        lit(s.toLong).as("step"), col("cur").as("node")))
+    }
+    out
+  }
+
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 20, "rounds in [1,20]")
     val e = edges.toDF("a", "b")

@@ -363,4 +363,62 @@ object Sampling {
       least(col("n_alloc"), col("n_rows")).as("n_alloc"),
       (col("n_alloc") > col("n_rows")).as("capped"))
   }
+
+  /** DSIR-style importance-weighted data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document in the raw pool by its hashed-n-gram
+    * log-likelihood ratio between a TARGET distribution (fit on the
+    * exemplar rows `isTarget` marks — the high-quality slice you want
+    * more of) and the RAW distribution (fit on the whole pool), then
+    * keep the `take` highest-weighted docs. Features are unigrams hashed
+    * into `buckets` bins (the paper's hashed-n-gram model — the hash IS
+    * the feature map, so the vocabularies are fixed-size at any corpus
+    * scale); both distributions are Laplace-smoothed.
+    *
+    * Weight, in [[TextAnalysis.quarterLog2]] integer quarter-bits (the
+    * q105 no-libm discipline, so the statistic is bit-exact
+    * cross-engine):
+    *   w(doc) = Σ_tokens q4((cnt_t(b)+1)·(N_r+B)) − q4((cnt_r(b)+1)·(N_t+B))
+    * — each term the quarter-bit log of p_target(b)/p_raw(b) with the
+    * normalizers cross-multiplied INSIDE the log so everything stays a
+    * product of longs. Selection is deterministic top-`take` by
+    * (weight desc, id asc) — the paper samples Gumbel-perturbed weights;
+    * the deterministic variant is the reproducible-pipeline form (rank
+    * order is the contract, like [[TextAnalysis.vocabKlDrift]]).
+    *
+    * Shape: one token explode → bucket-keyed count (B rows, broadcast
+    * back), one doc-keyed rollup, and the selection boundary as a
+    * top-`take` (TakeOrderedAndProject — k rows per partition, never a
+    * global sort) broadcast back as a membership flag — the heavy phase
+    * is map-side-combinable counting; nothing document-sized ever
+    * shuffles twice. Overflow: cnt·N < 2^63 holds to ~3·10⁹ tokens (the
+    * tokenLogOdds bound); shard the counts past that. Returns ALL pool
+    * rows: (doc id, n_tokens, weight_q4, selected). */
+  def dsirSelection(docs: DataFrame, textCol: String, idCol: String,
+      isTarget: Column, buckets: Int, take: Int): DataFrame = {
+    require(buckets >= 2 && take >= 1)
+    val tok = docs.select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+        explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .withColumn("b", pmod(portableHash(col("w")), lit(buckets)))
+    val pinned = PinnedCache.pin(tok.select(col("doc_id"), col("is_t"), col("b")))
+    val counts = pinned.groupBy(col("b")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("cnt_t"),
+      count(lit(1)).as("cnt_r"))
+    val totals = counts.agg(sum(col("cnt_t")).as("nt"), sum(col("cnt_r")).as("nr"))
+    val scored = counts.crossJoin(broadcast(totals))
+      .withColumn("term_q4",
+        TextAnalysis.quarterLog2((col("cnt_t") + 1) * (col("nr") + buckets)) -
+          TextAnalysis.quarterLog2((col("cnt_r") + 1) * (col("nt") + buckets)))
+      .select(col("b"), col("term_q4"))
+    val perDoc = PinnedCache.pin(pinned
+      .join(broadcast(scored), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("term_q4")).as("weight_q4")))
+    val top = perDoc
+      .orderBy(col("weight_q4").desc, col("doc_id")).limit(take)
+      .select(col("doc_id"), lit(true).as("sel"))
+    perDoc.join(broadcast(top), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("weight_q4"),
+        coalesce(col("sel"), lit(false)).as("selected"))
+  }
 }

@@ -957,5 +957,54 @@ object SamplingQueries {
              |  CAST((weight * 8 - total) * 1000000 // total AS BIGINT) AS dev_ppm
              |FROM g CROSS JOIN tot ORDER BY shard""".stripMargin),
     ),
+
+    // DSIR importance-weighted selection (Xie et al. 2023): score every
+    // doc by its hashed-unigram log-likelihood ratio between the
+    // lang='en' target slice and the whole pool (256 hash buckets,
+    // Laplace-smoothed, quarter-bit integer log2 — the q105 no-libm
+    // discipline so weights are bit-exact cross-engine), then flag the
+    // deterministic top-100 by (weight desc, id). The scale plan:
+    // bucket counts broadcast back to the token stream (B = 256 rows),
+    // one doc rollup, selection boundary via top-k + broadcast
+    // membership flag — never a global sort (Sampling.dsirSelection).
+    // The oracle replays the identical quarterLog2 CASE formula.
+    QueryDef(
+      "q315_dsir_selection",
+      (s, dir) => Sampling.dsirSelection(tbl(s, dir, "documents"),
+          "text", "doc_id", col("lang") === "en", buckets = 256, take = 100)
+        .orderBy(col("doc_id")),
+      Some({
+        val ql = (x: String) =>
+          s"""CASE WHEN length(bin($x)) - 1 <= 14
+             |    THEN length(bin($x*$x*$x*$x)) - 1
+             |    ELSE 4 * (length(bin($x)) - 15) +
+             |         length(bin(($x >> (length(bin($x)) - 15))
+             |                   *($x >> (length(bin($x)) - 15))
+             |                   *($x >> (length(bin($x)) - 15))
+             |                   *($x >> (length(bin($x)) - 15)))) - 1 END""".stripMargin
+        s"""WITH tok AS (
+           |  SELECT doc_id, is_t,
+           |    CAST(('0x' || substring(md5(w),1,15)) AS BIGINT) % 256 AS b
+           |  FROM (SELECT doc_id, lang = 'en' AS is_t,
+           |               unnest(string_split(text,' ')) AS w FROM documents)),
+           |cnt AS (
+           |  SELECT b, CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t,
+           |    COUNT(*) AS cnt_r
+           |  FROM tok GROUP BY b),
+           |tot AS (SELECT CAST(SUM(cnt_t) AS BIGINT) AS nt,
+           |               CAST(SUM(cnt_r) AS BIGINT) AS nr FROM cnt),
+           |args AS (SELECT b, (cnt_t + 1) * (nr + 256) AS xa,
+           |                (cnt_r + 1) * (nt + 256) AS xb FROM cnt, tot),
+           |sc AS (SELECT b, (${ql("xa")}) - (${ql("xb")}) AS term_q4 FROM args),
+           |pd AS (
+           |  SELECT tok.doc_id, COUNT(*) AS n_tokens,
+           |    CAST(SUM(sc.term_q4) AS BIGINT) AS weight_q4
+           |  FROM tok JOIN sc USING (b) GROUP BY tok.doc_id),
+           |top AS (SELECT doc_id FROM pd ORDER BY weight_q4 DESC, doc_id LIMIT 100)
+           |SELECT doc_id, n_tokens, weight_q4,
+           |  doc_id IN (SELECT doc_id FROM top) AS selected
+           |FROM pd ORDER BY doc_id""".stripMargin
+      }),
+    ),
   )
 }

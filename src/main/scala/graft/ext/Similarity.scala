@@ -218,6 +218,61 @@ object Similarity {
     selectedLocal
   }
 
+  /** Greedy k-CENTER coreset selection (the Gonzalez max-min farthest-
+    * point traversal — a 2-approximation of the optimal k-center cover):
+    * pick the lowest-id point, then k−1 times the point FARTHEST (in
+    * cosine distance 1−cos) from everything selected so far, ties by
+    * ascending id. The returned `gap` of each pick is the covering
+    * radius the coreset had BEFORE that pick — the classic data-
+    * selection readout (how much diversity each additional exemplar
+    * buys; used for coreset-based training-data subsetting the way DSIR
+    * is used for distribution matching).
+    *
+    * Determinism: distances are the engine-wide left-to-right double
+    * fold; min-over-centers and max-argmax are order-free comparisons;
+    * ties break on id — bit-reproducible cross-engine.
+    *
+    * EXECUTION CONTRACT: eager, like [[mmrTopK]] — each round collects
+    * its ONE pick (model state) and re-plants it as a LocalRelation, so
+    * the distributed per-round work (a |points| × |selected| broadcast
+    * cross + a point-keyed min + a top-1) runs against a constant-depth
+    * plan. k rounds of one pass each = O(k·n) distances, the textbook
+    * schedule; the k centers are always driver-small. If k exceeds the
+    * point count the traversal just stops early (fewer rows back). */
+  def kCenterCoreset(df: DataFrame, vecCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, "k in [1,1000]")
+    val spark = df.sparkSession
+    val pts = graft.ext.PinnedCache.pin(withNorm(df, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("nrm")))
+    val first = pts.orderBy(col("id")).limit(1)
+      .select(col("id"), col("v"), col("nrm"),
+        lit(1L).as("step"), lit(0.0).as("gap"))
+    val schema = first.schema
+    val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    rows ++= first.collect()
+    def centersLocal: DataFrame = spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows.toSeq).asJava), schema)
+    for (step <- 2 to k) {
+      val ctr = centersLocal
+        .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      val mind = pts
+        .join(ctr.select(col("cid")), col("id") === col("cid"), "left_anti")
+        .crossJoin(broadcast(ctr))
+        .select(col("id"),
+          (lit(1.0) - dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+            .as("dist"))
+        .groupBy(col("id")).agg(min(col("dist")).as("gap"))
+      val pick = mind.join(pts, "id")
+        .orderBy(col("gap").desc, col("id")).limit(1)
+        .select(col("id"), col("v"), col("nrm"),
+          lit(step.toLong).as("step"), col("gap"))
+      rows ++= pick.collect()
+    }
+    centersLocal.select(col("step"), col("id").as("center_id"), col("gap"))
+  }
+
   /** Hard-negative mining for contrastive training: per anchor vector,
     * the `k` MOST-similar vectors carrying a DIFFERENT label — the
     * near-miss negatives that make embedding/classifier training sharp

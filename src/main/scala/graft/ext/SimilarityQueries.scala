@@ -1061,5 +1061,51 @@ object SimilarityQueries {
              |SELECT qid, label, nid, neg_label, sim, rk
              |FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin),
     ),
+
+    // Greedy k-center coreset over the embedding corpus (the Gonzalez
+    // farthest-point traversal, k=8): the diversity-first data-selection
+    // op — each pick's `gap` is the covering radius before that pick,
+    // the curve a curator reads to size an exemplar budget. Eager
+    // model-state rounds (the q145 MMR contract); the oracle replays the
+    // greedy trajectory as 7 chained CTEs with the identical
+    // left-to-right double fold and (gap desc, id) tie order.
+    QueryDef(
+      "q316_kcenter_coreset",
+      (s, dir) => Similarity.kCenterCoreset(tbl(s, dir, "embeddings"),
+          "embedding", "vec_id", k = 8)
+        .orderBy(col("step")),
+      Some({
+        val simExpr = (av: String, bv: String, an: String, bn: String) =>
+          s"""list_sum([CAST($av[i] AS DOUBLE)*$bv[i]
+             |              FOR i IN generate_series(1,len($av))])/($an*$bn)""".stripMargin
+        // MATERIALIZED everywhere: each s_t is referenced twice by p_{t+1}
+        // (join + NOT IN) — inlining would re-evaluate the whole chain
+        // exponentially
+        val steps = (2 to 8).map { st =>
+          s"""p$st AS MATERIALIZED (
+             |  SELECT vec_id, CAST($st AS BIGINT) AS step, gap FROM (
+             |    SELECT p.vec_id,
+             |      MIN(1.0 - ${simExpr("p.embedding", "c.embedding", "p.nrm", "c.nrm")}) AS gap
+             |    FROM n p, s${st - 1} s, n c
+             |    WHERE c.vec_id = s.vec_id
+             |      AND p.vec_id NOT IN (SELECT vec_id FROM s${st - 1})
+             |    GROUP BY p.vec_id)
+             |  ORDER BY gap DESC, vec_id LIMIT 1),
+             |s$st AS MATERIALIZED (
+             |  SELECT * FROM s${st - 1} UNION ALL SELECT * FROM p$st)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH n AS MATERIALIZED (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+           |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+           |  FROM embeddings),
+           |s1 AS MATERIALIZED (
+           |  SELECT vec_id, CAST(1 AS BIGINT) AS step, 0.0 AS gap
+           |  FROM n WHERE vec_id = (SELECT MIN(vec_id) FROM n)),
+           |$steps
+           |SELECT step, vec_id AS center_id, gap FROM s8 ORDER BY step""".stripMargin
+      }),
+    ),
   )
 }

@@ -330,6 +330,43 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q311 spilled")
   }
 
+  test("q313 modularity: community rollups shuffle graph-sized longs, 1-row m broadcast") {
+    val b = measure("q313_modularity")
+    // the LPA rounds dominate (the q183 band); the modularity stage adds
+    // two label joins + community-sized rollups — nothing document-sized
+    assert(b.shuffleWriteBytes < 64 * MB,
+      s"modularity shuffled beyond label state: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q313 spilled")
+  }
+
+  test("q314 random walks: per-hop frontier joins are walk-count sized") {
+    val b = measure("q314_random_walks")
+    // |walks| rows join the indexed adjacency per hop — the corpus never
+    // shuffles; a regressed plan materializing neighbor lists per walk
+    // would be |walks|·deg sized
+    assert(b.shuffleWriteBytes < 4 * MB,
+      s"walks shuffled beyond frontiers: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q314 spilled")
+  }
+
+  test("q315 DSIR selection: bucket counts broadcast back; one doc rollup; top-k boundary") {
+    val b = measure("q315_dsir_selection")
+    // the token stream shuffles once (doc-keyed rollup of (b, term) longs);
+    // the 256-bucket model and the top-100 flag travel as broadcasts
+    assert(b.shuffleWriteBytes < 2 * MB,
+      s"DSIR shuffled beyond the doc rollup: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q315 spilled")
+  }
+
+  test("q316 k-center: per-round point-keyed min against a broadcast center set") {
+    val b = measure("q316_kcenter_coreset")
+    // k rounds × (|points| distance rows → point-keyed min + top-1);
+    // centers are collected model state — never a point×point matrix
+    assert(b.shuffleWriteBytes < 2 * MB,
+      s"k-center shuffled beyond point mins: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q316 spilled")
+  }
+
   test("q312 betweenness: path-count frontiers + per-level dependency joins only") {
     val b = measure("q312_betweenness_centrality")
     // 2-seed Brandes: forward (seed, node, sigma) frontiers with the
