@@ -1437,5 +1437,131 @@ object GraphQueries {
              |ORDER BY origin, walk, step""".stripMargin
       }),
     ),
+
+    // DETERMINISTIC node2vec walks over the host link graph — the
+    // SECOND-ORDER walk corpus (q314's biased sibling): return weight
+    // 250 (p=4, discourage backtracking), common-neighbor 1000, in-out
+    // 500 (q=2, mild DFS lean) in milli-units; the hop lands where the
+    // walk-coordinate hash falls in the neighbor's cumulative-weight
+    // slot (Graphs.node2vecWalks). Step 1 is uniform (no predecessor).
+    // The oracle replays fan-out, prev-adjacency test, cumulative
+    // window, and slot pick bit-for-bit as a 4-CTE ladder.
+    QueryDef(
+      "q317_node2vec_walks",
+      (s, dir) => {
+        val g = PinnedCache.pin(hostLinkGraph(s, dir))
+        Graphs.node2vecWalks(g, g.select(col("src").as("origin")).distinct(),
+            walksPerNode = 2, steps = 4, retW = 250, comW = 1000, outW = 500)
+          .select(col("origin"), col("walk"), col("step"), col("node"))
+          .orderBy(col("origin"), col("walk"), col("step"))
+      },
+      Some({
+        val h = (stepLit: String) =>
+          "CAST(('0x' || substring(md5(origin||':'||CAST(walk AS VARCHAR)" +
+            s"||':'||$stepLit||':'||cur),1,15)) AS BIGINT)"
+        val hop = (i: Int) => {
+          val wt =
+            if (i == 1) "1"
+            else
+              """CASE WHEN adj.dst = w.prev THEN 250
+                |         WHEN EXISTS (SELECT 1 FROM sym x
+                |                      WHERE x.src = w.prev AND x.dst = adj.dst)
+                |         THEN 1000 ELSE 500 END""".stripMargin
+          s"""c$i AS MATERIALIZED (
+             |  SELECT w.origin, w.walk, w.prev, w.cur, adj.dst, $wt AS wt
+             |  FROM w${i - 1} w JOIN sym adj ON adj.src = w.cur),
+             |w$i AS MATERIALIZED (
+             |  SELECT origin, walk, cur AS prev, dst AS cur FROM (
+             |    SELECT *, SUM(wt) OVER (PARTITION BY origin, walk ORDER BY dst) AS cum,
+             |      SUM(wt) OVER (PARTITION BY origin, walk) AS tot
+             |    FROM c$i) z
+             |  WHERE (${h(s"'$i'")}) % tot >= cum - wt
+             |    AND (${h(s"'$i'")}) % tot < cum)""".stripMargin
+        }
+        val readout = (0 to 4).map(i =>
+          s"SELECT origin, CAST(walk AS BIGINT) AS walk, CAST($i AS BIGINT) AS step, cur AS node FROM w$i")
+          .mkString("\nUNION ALL\n")
+        hostGraphSql +
+          s""",
+             |w0 AS (SELECT src AS origin, w AS walk, src AS prev, src AS cur
+             |       FROM (SELECT DISTINCT src FROM sym),
+             |            unnest(generate_series(0, 1)) t(w)),
+             |${(1 to 4).map(hop).mkString(",\n")}
+             |$readout
+             |ORDER BY origin, walk, step""".stripMargin
+      }),
+    ),
+
+    // INCREMENTAL modularity (q313's maintained form — the QUALITY
+    // readout joins the incremental family: CC q164, LPA q253, PR q304,
+    // triangles q306, k-core q308, HITS q310, distances q311) on the
+    // near-dup graph nightly workload: labels maintained by
+    // incrementalLabelPropagation (q253, proven ≡ batch), stats
+    // recounted ONLY for communities touched by relabeling or delta
+    // edges, every other community's (n_nodes, deg_sum, intra_edges)
+    // passing through VERBATIM; the global edge total m re-scales
+    // q_ppm for all rows as a broadcast-scalar map (the q304 1/N
+    // globality shape — documented at Graphs.incrementalModularity).
+    // The oracle is the ONE-SHOT batch modularity over ALL pairs with
+    // batch-LPA labels, so a pass proves maintained ≡ recompute;
+    // IncrementalModularitySpec adds poison-verbatim, label-migration,
+    // new-node, and m-globality cases.
+    QueryDef(
+      "q318_incremental_modularity",
+      (s, dir) => {
+        val pairs = PinnedCache.pin(
+          Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
+            .select(col("a_id").as("a"), col("b_id").as("b")))
+        val base = PinnedCache.pin(pairs.where((col("a") + col("b")) % 2 === 0))
+        val delta = pairs.where((col("a") + col("b")) % 2 === 1)
+        val prevLabels = Graphs.labelPropagation(base, rounds = 2)
+        val newLabels = Graphs.incrementalLabelPropagation(
+          prevLabels, base, delta, rounds = 2)
+        Graphs.incrementalModularity(
+            Graphs.modularityByCommunity(base, prevLabels),
+            prevLabels, newLabels, base, delta)
+          .orderBy(col("label"))
+      },
+      Some({
+        val round = (i: Int) =>
+          s"""n$i AS (
+             |  SELECT sym.b AS node, l${i - 1}.lab, COUNT(*) AS c
+             |  FROM l${i - 1} JOIN sym ON sym.a = l${i - 1}.node GROUP BY 1, 2),
+             |l$i AS (
+             |  SELECT node, lab FROM (
+             |    SELECT node, lab,
+             |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+             |    FROM n$i) WHERE rn = 1)""".stripMargin
+        s"""WITH sh AS (
+           |  SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+           |                                FOR i IN generate_series(1, len(toks)-2)]) AS s
+           |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+           |  WHERE len(toks) >= 3),
+           |e AS MATERIALIZED (
+           |  SELECT a.doc_id AS a, b.doc_id AS b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+           |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+           |sym AS MATERIALIZED (SELECT a, b FROM e UNION SELECT b, a FROM e),
+           |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
+           |${(1 to 2).map(round).mkString(",\n")},
+           |deg AS (SELECT a AS node, COUNT(*) AS deg FROM sym GROUP BY a),
+           |m AS (SELECT COUNT(*) AS m FROM e),
+           |bylab AS (
+           |  SELECT l2.lab, COUNT(*) AS n_nodes, SUM(deg.deg) AS deg_sum
+           |  FROM deg JOIN l2 ON l2.node = deg.node GROUP BY l2.lab),
+           |intra AS (
+           |  SELECT la.lab, COUNT(*) AS intra_edges
+           |  FROM e JOIN l2 la ON la.node = e.a JOIN l2 lb ON lb.node = e.b
+           |  WHERE la.lab = lb.lab GROUP BY la.lab)
+           |SELECT b.lab AS label, CAST(b.n_nodes AS BIGINT) AS n_nodes,
+           |  CAST(b.deg_sum AS BIGINT) AS deg_sum,
+           |  CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+           |  CAST((1000000*(4*m.m*COALESCE(i.intra_edges, 0) - b.deg_sum*b.deg_sum)
+           |        + 4000000*m.m*m.m) // (4*m.m*m.m) - 1000000 AS BIGINT) AS q_ppm
+           |FROM bylab b LEFT JOIN intra i ON i.lab = b.lab, m
+           |ORDER BY label""".stripMargin
+      }),
+    ),
   )
 }

@@ -1216,9 +1216,83 @@ object Graphs {
     byLab.join(intra, Seq("lab"), "left")
       .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
       .crossJoin(broadcast(m))
-      .withColumn("q_ppm", expr(
-        """(1000000L * (4L * m * intra_edges - deg_sum * deg_sum)
-          | + 4000000L * m * m) div (4L * m * m) - 1000000L""".stripMargin))
+      .withColumn("q_ppm", shiftedQppm)
+      .select(col("lab").as("label"), col("n_nodes"), col("deg_sum"),
+        col("intra_edges"), col("q_ppm"))
+  }
+
+  /** The floor-safe ppm division shared by [[modularityByCommunity]] and
+    * [[incrementalModularity]] (expects columns m, intra_edges, deg_sum). */
+  private def shiftedQppm: org.apache.spark.sql.Column = expr(
+    """(1000000L * (4L * m * intra_edges - deg_sum * deg_sum)
+      | + 4000000L * m * m) div (4L * m * m) - 1000000L""".stripMargin)
+
+  /** INCREMENTAL [[modularityByCommunity]] — the quality readout joins
+    * the incremental family (CC q164, LPA q253, PR q304, triangles q306,
+    * k-core q308, HITS q310, distances q311): given the base stats, the
+    * base and maintained label assignments (the latter from
+    * [[incrementalLabelPropagation]], proven ≡ batch), and an additive
+    * edge wave, recount (n_nodes, deg_sum, intra_edges) ONLY for the
+    * AFFECTED communities — the labels (old and new) of any relabeled
+    * node plus the labels of delta-edge endpoints; every other
+    * community's stats pass through VERBATIM (anti-join, never
+    * recomputed). Soundness: deg_sum moves only via delta edges
+    * (endpoints' labels are affected), intra_edges via delta edges or
+    * membership changes, n_nodes via membership changes or new nodes
+    * (delta endpoints) — so unaffected stats are exactly the base stats.
+    *
+    * GLOBALITY note (the q304 1/N shape): the edge total m enters every
+    * community's Q_c, so q_ppm is re-evaluated for ALL rows — but that
+    * is a broadcast-scalar map over community-COUNT rows; the
+    * graph-sized work (degree/intra recount) is pruned to the affected
+    * communities' subgraph, cost ∝ touched region. */
+  def incrementalModularity(prevStats: DataFrame, prevLabels: DataFrame,
+      newLabels: DataFrame, baseEdges: DataFrame,
+      deltaEdges: DataFrame): DataFrame = {
+    def norm(df: DataFrame) = df.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    def labs(df: DataFrame) = df.toDF("node", "lab")
+      .select(col("node").cast("long").as("node"), col("lab").cast("long").as("lab"))
+    val base = norm(baseEdges)
+    val delta = norm(deltaEdges).localCheckpoint(true)
+    val full = base.unionByName(delta).distinct().localCheckpoint(true)
+    val prevL = labs(prevLabels)
+    val newL = labs(newLabels).localCheckpoint(true)
+    val changed = newL.as("n")
+      .join(prevL.as("p"), col("n.node") === col("p.node"), "full")
+      .where(col("p.lab").isNull || col("n.lab").isNull ||
+        col("p.lab") =!= col("n.lab"))
+    val deltaEnds = delta.select(col("a").as("node"))
+      .unionByName(delta.select(col("b").as("node"))).distinct()
+      .join(newL, "node").select(col("lab"))
+    val affected = changed.select(col("n.lab").as("lab"))
+      .unionByName(changed.select(col("p.lab").as("lab")))
+      .where(col("lab").isNotNull)
+      .unionByName(deltaEnds)
+      .distinct().localCheckpoint(true)
+    val affNodes = newL.join(affected, Seq("lab"), "left_semi")
+      .localCheckpoint(true)
+    val sym = full.unionByName(full.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.join(affNodes.select(col("node").as("a")), Seq("a"), "left_semi")
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val byLab = deg.join(affNodes, "node")
+      .groupBy(col("lab"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val intra = full
+      .join(affNodes.select(col("node").as("a"), col("lab").as("la")), "a")
+      .join(affNodes.select(col("node").as("b"), col("lab").as("lb")), "b")
+      .where(col("la") === col("lb"))
+      .groupBy(col("la").as("lab")).agg(count(lit(1)).as("intra_edges"))
+    val recount = byLab.join(intra, Seq("lab"), "left")
+      .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+    val verbatim = prevStats
+      .select(col("label").as("lab"), col("n_nodes"), col("deg_sum"),
+        col("intra_edges"))
+      .join(affected, Seq("lab"), "left_anti")
+    val m = full.agg(count(lit(1)).as("m"))
+    verbatim.unionByName(recount)
+      .crossJoin(broadcast(m))
+      .withColumn("q_ppm", shiftedQppm)
       .select(col("lab").as("label"), col("n_nodes"), col("deg_sum"),
         col("intra_edges"), col("q_ppm"))
   }
@@ -1275,6 +1349,72 @@ object Graphs {
           col("idx") === hash60(key) % col("deg"))
         .select(col("origin"), col("walk"), col("dst").as("cur"))
         .localCheckpoint(true)
+      out = out.unionByName(state.select(col("origin"), col("walk"),
+        lit(s.toLong).as("step"), col("cur").as("node")))
+    }
+    out
+  }
+
+  /** DETERMINISTIC node2vec walks (Grover & Leskovec 2016) — the
+    * SECOND-ORDER biased sibling of [[randomWalks]]: from `cur` with
+    * predecessor `prev`, each neighbor is weighted `retW` if it IS prev
+    * (the return bias, 1/p·1000), `comW` if it is also a neighbor of
+    * prev (distance-1 from prev — BFS-ish), else `outW` (distance-2 —
+    * DFS-ish, 1/q·1000); the hop lands where
+    *   hash60(origin:walk:step:cur) mod Σweights
+    * falls in the neighbor's cumulative-weight slot (neighbors in dst
+    * order). Step 1 has no predecessor and is uniform (all weights
+    * equal). Same determinism contract as [[randomWalks]]: a pure hash
+    * of the walk coordinate — no RNG state, bit-identical across
+    * engines/partitionings, sink walks terminate. Edges must be
+    * DISTINCT (duplicate adjacency rows would double weight slots).
+    *
+    * Shape: per hop, the walk frontier joins the edge list once for the
+    * neighbor fan-out, once (left) against it for the prev-adjacency
+    * test, then a (origin, walk)-keyed cumulative window picks ONE slot
+    * — |frontier|·deg(cur) candidate rows per hop, the unavoidable
+    * second-order footprint; the edge list itself never re-shuffles
+    * (checkpointed once). Weights are int milli-units: Σ ≤ deg·1000,
+    * no overflow anywhere near 2^63. */
+  def node2vecWalks(edges: DataFrame, origins: DataFrame, walksPerNode: Int,
+      steps: Int, retW: Int, comW: Int, outW: Int): DataFrame = {
+    require(walksPerNode >= 1 && walksPerNode <= 64, "walksPerNode in [1,64]")
+    require(steps >= 1 && steps <= 20, "steps in [1,20]")
+    require(retW >= 1 && comW >= 1 && outW >= 1, "weights are positive ints")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val wCum = Window.partitionBy(col("origin"), col("walk")).orderBy(col("dst"))
+    val wTot = Window.partitionBy(col("origin"), col("walk"))
+    def pick(cands: DataFrame, step: Int): DataFrame = {
+      val key = concat(col("origin"), lit(":"), col("walk").cast("string"),
+        lit(":"), lit(step.toString), lit(":"), col("cur"))
+      cands
+        .withColumn("cum", sum(col("wt")).over(wCum))
+        .withColumn("tot", sum(col("wt")).over(wTot))
+        .withColumn("r", hash60(key) % col("tot"))
+        .where(col("r") >= col("cum") - col("wt") && col("r") < col("cum"))
+        .select(col("origin"), col("walk"), col("cur").as("prev"),
+          col("dst").as("cur"))
+    }
+    var state = origins.toDF("origin")
+      .select(col("origin"),
+        explode(array((0 until walksPerNode).map(w => lit(w.toLong)): _*)).as("walk"))
+      .withColumn("prev", col("origin")).withColumn("cur", col("origin"))
+      .localCheckpoint(true)
+    var out = state.select(col("origin"), col("walk"),
+      lit(0L).as("step"), col("cur").as("node"))
+    for (s <- 1 to steps) {
+      val fan = state.join(e, col("cur") === col("src"))
+      val cands =
+        if (s == 1) fan.withColumn("wt", lit(1L))
+        else fan
+          .join(e.select(col("src").as("c_src"), col("dst").as("c_dst")),
+            col("prev") === col("c_src") && col("dst") === col("c_dst"), "left")
+          .withColumn("wt",
+            when(col("dst") === col("prev"), retW.toLong)
+              .when(col("c_src").isNotNull, comW.toLong)
+              .otherwise(outW.toLong))
+      state = pick(cands, s).localCheckpoint(true)
       out = out.unionByName(state.select(col("origin"), col("walk"),
         lit(s.toLong).as("step"), col("cur").as("node")))
     }

@@ -367,6 +367,25 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q316 spilled")
   }
 
+  test("q317 node2vec: per-hop candidate fan-out is frontier×degree, edges checkpointed once") {
+    val b = measure("q317_node2vec_walks")
+    // |walks|·deg(cur) weighted candidates per hop + the (origin, walk)
+    // cumulative window — the unavoidable second-order footprint; the
+    // graph itself never re-shuffles
+    assert(b.shuffleWriteBytes < 16 * MB,
+      s"node2vec shuffled beyond hop candidates: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q317 spilled")
+  }
+
+  test("q318 incremental modularity: recount pruned to affected communities") {
+    val b = measure("q318_incremental_modularity")
+    // LSH pair gen + base/incremental LPA dominate (the q253 band); the
+    // maintained-stats stage adds semi-join-pruned rollups only
+    assert(b.shuffleWriteBytes < 4 * MB,
+      s"incremental modularity shuffled beyond the touched region: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q318 spilled")
+  }
+
   test("q312 betweenness: path-count frontiers + per-level dependency joins only") {
     val b = measure("q312_betweenness_centrality")
     // 2-seed Brandes: forward (seed, node, sigma) frontiers with the
