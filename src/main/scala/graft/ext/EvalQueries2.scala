@@ -1046,5 +1046,122 @@ object EvalQueries2 {
              |FROM s1 ORDER BY covariate""".stripMargin),
     ),
 
+    // Unbiased pass@k (the Codex estimator — THE sampling-eval statistic
+    // for generation pipelines): per user-task, n = attempts (events),
+    // c = successes (purchases), pass@k = 1 − C(n−c,k)/C(n,k) for
+    // k ∈ {1,3,5} in STEPWISE ppm floor-division (overflow-free at any
+    // n, unlike the closed-form falling-factorial product —
+    // Evaluation.passAtK documents the < k-ulp deterministic floor).
+    // The oracle replays the identical nested expression.
+    QueryDef(
+      "q319_pass_at_k",
+      (s, dir) => Evaluation.passAtK(tbl(s, dir, "events"),
+          "user_id", col("event_type") === "purchase", Seq(1, 3, 5))
+        .withColumnRenamed("task", "user_id")
+        .orderBy(col("user_id")),
+      Some({
+        val ratio = (k: Int) => (0 until k).foldLeft("1000000") { (acc, i) =>
+          s"(($acc * (n - c - $i)) // (n - $i))"
+        }
+        s"""WITH t AS (
+           |  SELECT user_id, COUNT(*) AS n,
+           |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c
+           |  FROM events GROUP BY user_id HAVING COUNT(*) >= 5)
+           |SELECT user_id, n, c,
+           |  CAST(1000000 - ${ratio(1)} AS BIGINT) AS pass1_ppm,
+           |  CAST(1000000 - ${ratio(3)} AS BIGINT) AS pass3_ppm,
+           |  CAST(1000000 - ${ratio(5)} AS BIGINT) AS pass5_ppm
+           |FROM t ORDER BY user_id""".stripMargin
+      }),
+    ),
+
+    // Bradley–Terry source ratings from pairwise quality matches among
+    // NEAR-DUPLICATE documents (the RLHF-preference machinery applied to
+    // curation): when two sources publish near-identical content, the
+    // longer copy "wins" the pair (ties to the smaller doc_id's source);
+    // 4 MM rounds in integer fixed point rate every source by its win
+    // pattern — the transitive strength readout a curator uses to pick
+    // canonical copies, where raw win-rate is confounded by WHO each
+    // source happens to collide with. Exact: floor per pair-term + one
+    // floor per player per round (Evaluation.bradleyTerry); the oracle
+    // replays the 4 rounds as chained CTEs over the same match table.
+    QueryDef(
+      "q320_bradley_terry",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val pairs = PinnedCache.pin(
+          Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
+            .select(col("a_id"), col("b_id")))
+        val m = pairs
+          .join(d.select(col("doc_id").as("a_id"), col("source").as("sa"),
+            col("n_chars").as("ca")), "a_id")
+          .join(d.select(col("doc_id").as("b_id"), col("source").as("sb"),
+            col("n_chars").as("cb")), "b_id")
+          .where(col("sa") =!= col("sb"))
+          .select(
+            when(col("ca") > col("cb"), col("sa"))
+              .when(col("cb") > col("ca"), col("sb"))
+              .otherwise(when(col("a_id") < col("b_id"), col("sa"))
+                .otherwise(col("sb"))).as("winner"),
+            when(col("ca") > col("cb"), col("sb"))
+              .when(col("cb") > col("ca"), col("sa"))
+              .otherwise(when(col("a_id") < col("b_id"), col("sb"))
+                .otherwise(col("sa"))).as("loser"))
+        Evaluation.bradleyTerry(m, iters = 4)
+          .withColumnRenamed("player", "source")
+          .orderBy(col("source"))
+      },
+      Some({
+        val round = (i: Int) =>
+          s"""d$i AS MATERIALIZED (
+             |  SELECT g.p, CAST(SUM((g.n_pq * 1000000000000)
+             |    // GREATEST(rp.r + rq.r, 1)) AS BIGINT) AS denom
+             |  FROM g JOIN r${i - 1} rp ON rp.p = g.p
+             |         JOIN r${i - 1} rq ON rq.p = g.q
+             |  GROUP BY g.p),
+             |r$i AS MATERIALIZED (
+             |  SELECT pl.p, CAST((pl.w * 1000000000000) // d$i.denom AS BIGINT) AS r
+             |  FROM pl JOIN d$i ON d$i.p = pl.p)""".stripMargin
+        s"""WITH sh AS (
+           |  SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+           |                                FOR i IN generate_series(1, len(toks)-2)]) AS s
+           |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+           |  WHERE len(toks) >= 3),
+           |e0 AS MATERIALIZED (
+           |  SELECT a.doc_id AS a, b.doc_id AS b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+           |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+           |mt AS MATERIALIZED (
+           |  SELECT CASE WHEN da.n_chars > db.n_chars THEN da.source
+           |              WHEN db.n_chars > da.n_chars THEN db.source
+           |              ELSE (CASE WHEN e0.a < e0.b THEN da.source ELSE db.source END)
+           |         END AS winner,
+           |         CASE WHEN da.n_chars > db.n_chars THEN db.source
+           |              WHEN db.n_chars > da.n_chars THEN da.source
+           |              ELSE (CASE WHEN e0.a < e0.b THEN db.source ELSE da.source END)
+           |         END AS loser
+           |  FROM e0 JOIN documents da ON da.doc_id = e0.a
+           |          JOIN documents db ON db.doc_id = e0.b
+           |  WHERE da.source <> db.source),
+           |g AS MATERIALIZED (
+           |  SELECT p, q, COUNT(*) AS n_pq FROM (
+           |    SELECT winner AS p, loser AS q FROM mt
+           |    UNION ALL SELECT loser AS p, winner AS q FROM mt)
+           |  GROUP BY p, q),
+           |pl AS MATERIALIZED (
+           |  SELECT p, CAST(COALESCE(w.w, 0) AS BIGINT) AS w
+           |  FROM (SELECT DISTINCT p FROM g)
+           |  LEFT JOIN (SELECT winner AS wp, COUNT(*) AS w FROM mt GROUP BY winner) w
+           |    ON w.wp = p),
+           |r0 AS (SELECT p, CAST(1000000 AS BIGINT) AS r FROM pl),
+           |${(1 to 4).map(round).mkString(",\n")},
+           |gm AS (SELECT p, CAST(SUM(n_pq) AS BIGINT) AS games FROM g GROUP BY p)
+           |SELECT pl.p AS source, gm.games, pl.w AS wins, r4.r AS rating_ppm
+           |FROM pl JOIN r4 ON r4.p = pl.p JOIN gm ON gm.p = pl.p
+           |ORDER BY source""".stripMargin
+      }),
+    ),
   )
 }

@@ -95,4 +95,85 @@ object Evaluation {
         sum("term").as("chi2_e6"))
       .withColumn("benford_ok", col("chi2_e6") <= 15507000L)
   }
+
+  /** Unbiased pass@k (Chen et al. 2021, the Codex estimator): per task
+    * with n attempts and c successes, 1 − C(n−c,k)/C(n,k), evaluated as
+    * the falling-factorial ratio in STEPWISE ppm floor-division —
+    *   ratio₀ = 10⁶;  ratioᵢ₊₁ = (ratioᵢ · (n−c−i)) div (n−i)
+    * — left-to-right, so it never overflows (each step ≤ 10⁶·n, vs the
+    * closed-form product which blows past 2⁶³ at n ≈ 500, k = 5) and
+    * replays in SQL as one nested expression. When n−c < k a zero factor
+    * kills the ratio and pass@k = 10⁶ exactly (a success is guaranteed
+    * in every k-subset). The stepwise floor under-reads the true ratio
+    * by < k ulps — deterministic, identical wherever it runs (the
+    * integer-grid rule). Tasks with n < max(ks) attempts are dropped
+    * (the estimator requires n ≥ k).
+    *
+    * Shape: ONE task-keyed count rollup (map-side combinable), then
+    * arithmetic per task row. */
+  def passAtK(attempts: DataFrame, taskCol: String, success: Column,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1) && ks == ks.sorted, "ks ascending, >= 1")
+    val agg = attempts.groupBy(col(taskCol).as("task"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("c"))
+      .where(col("n") >= ks.max)
+    ks.foldLeft(agg) { (df, k) =>
+      val ratio = (0 until k).foldLeft("1000000L") { (acc, i) =>
+        s"(($acc * (n - c - $i)) div (n - $i))"
+      }
+      df.withColumn(s"pass${k}_ppm", expr(s"1000000L - $ratio"))
+    }
+  }
+
+  /** Bradley–Terry ratings from pairwise match outcomes via the MM
+    * (minorization-maximization) algorithm, `iters` fixed synchronous
+    * rounds in integer fixed point: with ratings r in ppm (r₀ = 10⁶),
+    *   denom_p = Σ_q (n_pq · 10¹²) div max(r_p + r_q, 1)
+    *   r_p'    = (W_p · 10¹²) div denom_p
+    * — floor per pair-term, summed over a set, one final floor: every
+    * round is bit-exact cross-engine (the q312 floor-div-per-term
+    * recipe). The max(·,1) guard keeps a pair of winless players (both
+    * ratings → 0) from dividing by zero — deterministic in both
+    * engines. Winless players rate 0 after round 1; undefeated players
+    * grow until their opponents' mass bounds them (fixed iterations,
+    * rank order is the contract — the integerPageRank discipline; BT is
+    * scale-invariant so no normalization round).
+    *
+    * Input: (winner, loser) match rows. Output: (player, games, wins,
+    * rating_ppm). Shape: one pair-keyed count + one player-keyed wins
+    * rollup, then per round ONE join of the pair table against the
+    * rating vector + a player-keyed sum — Pregel-shaped, pair-table
+    * sized, model-state small at any corpus scale. */
+  def bradleyTerry(matches: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 20, "iters in [1,20]")
+    val m = matches.toDF("winner", "loser")
+    val games = m.select(col("winner").as("p"), col("loser").as("q"))
+      .unionByName(m.select(col("loser").as("p"), col("winner").as("q")))
+      .groupBy(col("p"), col("q")).agg(count(lit(1)).as("n_pq"))
+      .localCheckpoint(true)
+    val wins = m.groupBy(col("winner").as("p")).agg(count(lit(1)).as("w"))
+    val players = games.select(col("p")).distinct()
+      .join(wins, Seq("p"), "left")
+      .withColumn("w", coalesce(col("w"), lit(0L)))
+      .localCheckpoint(true)
+    var r = players.select(col("p"), lit(1000000L).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val denom = games
+        .join(r.select(col("p"), col("r").as("rp")), "p")
+        .join(r.select(col("p").as("q"), col("r").as("rq")), "q")
+        .withColumn("term",
+          expr("(n_pq * 1000000000000L) div greatest(rp + rq, 1L)"))
+        .groupBy(col("p")).agg(sum(col("term")).as("denom"))
+      r = players.join(denom, "p")
+        .withColumn("r", expr("(w * 1000000000000L) div denom"))
+        .select(col("p"), col("r"))
+        .localCheckpoint(true)
+    }
+    players.join(r, "p")
+      .join(games.groupBy(col("p")).agg(sum(col("n_pq")).as("games")), "p")
+      .select(col("p").as("player"), col("games"), col("w").as("wins"),
+        col("r").as("rating_ppm"))
+  }
 }

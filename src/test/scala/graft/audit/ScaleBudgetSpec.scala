@@ -367,6 +367,24 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q316 spilled")
   }
 
+  test("q319 pass@k: one task-keyed count rollup, arithmetic per task row") {
+    val b = measure("q319_pass_at_k")
+    // (task, n, c) partials only — the event stream shuffles once as
+    // count pairs, never as rows
+    assert(b.shuffleWriteBytes < 1 * MB,
+      s"pass@k shuffled beyond task counts: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q319 spilled")
+  }
+
+  test("q320 Bradley-Terry: pair-table-sized MM rounds over the dup-graph matches") {
+    val b = measure("q320_bradley_terry")
+    // LSH pair gen dominates (the q26 band); the MM rounds move
+    // (source, source, long) rows — model-state sized
+    assert(b.shuffleWriteBytes < 2 * MB,
+      s"BT shuffled beyond the match table: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q320 spilled")
+  }
+
   test("q317 node2vec: per-hop candidate fan-out is frontier×degree, edges checkpointed once") {
     val b = measure("q317_node2vec_walks")
     // |walks|·deg(cur) weighted candidates per hop + the (origin, walk)
