@@ -629,4 +629,23 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).nonEmpty,
       "the window exchange must key by doc_id")
   }
+
+  test("q315: DSIR selection boundary is a top-k + broadcast flag, never a global sort") {
+    val p = plan("q315_dsir_selection")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the take-100 boundary must plan as per-partition heads")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "the 256-bucket model and the membership flag both broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  // q314/q317 (walk operators) checkpoint per hop, so their final plans
+  // are unions over checkpoint scans — nothing to pin here; their real
+  // traffic is asserted by ScaleBudgetSpec instead.
+
+  test("q319: pass@k is one map-side-combinable rollup, no joins at all") {
+    val p = plan("q319_pass_at_k")
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+    assert(!p.contains("Join"), "pure rollup + per-row arithmetic")
+  }
 }
