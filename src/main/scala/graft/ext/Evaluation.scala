@@ -111,6 +111,18 @@ object Evaluation {
     *
     * Shape: ONE task-keyed count rollup (map-side combinable), then
     * arithmetic per task row. */
+  /** JVM replica of [[passAtK]]'s stepwise recurrence, pinned bit-equal to
+    * the Column/SQL form (PassAtKSpec) — the streaming twin recomputes
+    * reports driver-free inside a StatefulProcessor (the quarterLog2Jvm
+    * one-formula-two-runtimes discipline). Scala `/` on non-negative longs
+    * is the same floor the engines' `div`/`//` compute. */
+  def passAtKPpmJvm(n: Long, c: Long, k: Int): Long = {
+    var ratio = 1000000L
+    var i = 0
+    while (i < k) { ratio = ratio * (n - c - i) / (n - i); i += 1 }
+    1000000L - ratio
+  }
+
   def passAtK(attempts: DataFrame, taskCol: String, success: Column,
       ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1) && ks == ks.sorted, "ks ascending, >= 1")

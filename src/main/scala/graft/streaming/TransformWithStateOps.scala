@@ -104,6 +104,49 @@ object TransformWithStateOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class TaskAttempt(task: Long, ok: Boolean)
+  final case class PassAtKReport(task: Long, n: Long, c: Long,
+      pass1_ppm: Long, pass3_ppm: Long, pass5_ppm: Long)
+
+  /** Continuous pass@k — the streaming twin of
+    * [[graft.ext.Evaluation.passAtK]] at ks = (1, 3, 5): per task TWO
+    * longs of ValueState (attempts, successes — constant size forever);
+    * every micro-batch re-emits the report for touched tasks once
+    * n ≥ 5 (the batch operator's n ≥ max(ks) filter, so final state ≡
+    * the batch frame). The stepwise ppm recurrence is shared via
+    * [[graft.ext.Evaluation.passAtKPpmJvm]] — one formula, two runtimes
+    * (the quarterLog2Jvm discipline); TransformWithStateSpec pins the
+    * twin across batch splits. */
+  final class PassAtKProcessor
+      extends StatefulProcessor[Long, TaskAttempt, PassAtKReport] {
+
+    @transient private var nc: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      nc = getHandle.getValueState[(Long, Long)](
+        "nc", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TaskAttempt],
+        timerValues: TimerValues): Iterator[PassAtKReport] = {
+      var (n, c) = if (nc.exists()) nc.get() else (0L, 0L)
+      rows.foreach { r => n += 1L; if (r.ok) c += 1L }
+      nc.update((n, c))
+      if (n >= 5L)
+        Iterator.single(PassAtKReport(key, n, c,
+          graft.ext.Evaluation.passAtKPpmJvm(n, c, 1),
+          graft.ext.Evaluation.passAtKPpmJvm(n, c, 3),
+          graft.ext.Evaluation.passAtKPpmJvm(n, c, 5)))
+      else Iterator.empty
+    }
+  }
+
+  def passAtKStream(ds: Dataset[TaskAttempt]): Dataset[PassAtKReport] = {
+    implicit val outEnc: Encoder[PassAtKReport] = Encoders.product[PassAtKReport]
+    ds.groupByKey(_.task)(Encoders.scalaLong)
+      .transformWithState(new PassAtKProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class SourceGram(src: String, g: String)
   final case class BoilerCand(source: String, gram: String, lb: Long, n: Long)
 

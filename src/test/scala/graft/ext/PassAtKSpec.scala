@@ -68,4 +68,10 @@ class PassAtKSpec extends AnyFunSuite {
     }
     assert(out.keySet == byTask.keySet)
   }
+
+  test("passAtKPpmJvm (the streaming twin's kernel) matches the Column form on a sweep") {
+    for (n <- 1L to 40L; c <- 0L to n; k <- Seq(1, 3, 5) if n >= k)
+      assert(Evaluation.passAtKPpmJvm(n, c, k) == stepwise(n, c, k),
+        s"n=$n c=$c k=$k")
+  }
 }

@@ -1440,4 +1440,42 @@ class TransformWithStateSpec extends AnyFunSuite {
       assert(n <= 36L, s"Peeking state must track day cardinality (30), got $n for 1200 events")
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("passAtKStream: final emissions equal the batch q319 frame across batch splits") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{PassAtKReport, TaskAttempt}
+      val rnd = new scala.util.Random(67)
+      // tasks of varied sizes, some below the n >= 5 gate mid-stream and
+      // crossing it in a later batch; one task never crosses
+      val rows: Seq[TaskAttempt] = (0L until 20L).flatMap { t =>
+        val n = if (t == 19L) 3 else 4 + rnd.nextInt(30)
+        Seq.fill(n)(TaskAttempt(t, rnd.nextInt(4) == 0))
+      }
+      val shuffled = rnd.shuffle(rows)
+
+      val latest = scala.collection.mutable.Map[Long, PassAtKReport]()
+      val input = MemoryStream[TaskAttempt]
+      val query = TransformWithStateOps.passAtKStream(input.toDS())
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[PassAtKReport], _: Long) =>
+          df.collect().foreach(r => latest(r.task) = r); ()
+        }.start()
+      try {
+        shuffled.grouped(90).foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      } finally query.stop()
+
+      val expected = graft.ext.Evaluation.passAtK(
+          rows.toDF("task", "ok"), "task", col("ok"), Seq(1, 3, 5))
+        .collect()
+        .map(r => r.getLong(0) -> PassAtKReport(r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+      assert(latest.toMap == expected,
+        "streaming final state must equal the batch operator")
+      assert(!latest.contains(19L), "below-gate tasks never emit")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
