@@ -881,5 +881,31 @@ object SketchQueries {
              |    MIN(l_linestatus), MAX(l_linestatus) FROM lineitem)
              |ORDER BY col_name""".stripMargin),
     ),
+
+    // EXACT daily distinct users via bitmask packing (q71's exact
+    // sibling for BOUNDED id domains — Sketches.bitmapDistinct): ids
+    // pack 64-per-long into (day, id div 64) bit_or words, one
+    // bit_count sum per day — a 64× exchange reduction over shuffling
+    // distinct (day, user) pairs in the dense regime. The oracle is the
+    // INDEPENDENT derivation (COUNT(DISTINCT user_id) + distinct word
+    // count), so a pass proves the bitmap math exact rather than
+    // replaying it.
+    QueryDef(
+      "q321_bitmap_distinct",
+      (s, dir) => {
+        val dayNs = 86400L * 1000000000L
+        val ev = tbl(s, dir, "events")
+          .select(expr(s"ts div $dayNs").as("day"), col("user_id"))
+        Sketches.bitmapDistinct(ev, "day", col("user_id"))
+          .withColumnRenamed("grp", "day")
+          .withColumnRenamed("n_distinct", "n_users")
+          .orderBy(col("day"))
+      },
+      Some("""WITH e AS (
+             |  SELECT epoch_ns(ts) // 86400000000000 AS day, user_id FROM events)
+             |SELECT day, COUNT(DISTINCT user_id)::BIGINT AS n_users,
+             |  COUNT(DISTINCT user_id // 64)::BIGINT AS n_words
+             |FROM e GROUP BY day ORDER BY day""".stripMargin),
+    ),
   )
 }

@@ -578,4 +578,29 @@ object Sketches {
         when(col("v_zero") === 0, rawEst).as("est_distinct"),
         col("n_exact"))
   }
+
+  /** EXACT distinct count over a BOUNDED non-negative integer id domain
+    * via bitmask packing — the multiSourceBfs value-packing lesson as a
+    * reusable aggregate: ids pack 64-per-long into (group, id div 64)
+    * words combined with a map-side `bit_or`, then one `bit_count` sum
+    * per group. Where `count(distinct id)` shuffles every distinct
+    * (group, id) PAIR (8 bytes per id), this shuffles ⌈occupied-domain/64⌉
+    * words per group — a 64× exchange reduction in the dense regime
+    * (bounded user/item id spaces, the dashboard-DAU shape), and both
+    * phases stay partial-agg combinable. Bit 63 is safe: only bit_or /
+    * bit_count touch the words (the MultiSourceBfsSpec sign-bit rule).
+    * For UNBOUNDED or sparse domains use [[hllDistinct]]/[[kmvDistinct]]
+    * — a bitmap over a sparse range holds one id per word and the
+    * packing buys nothing. Output: (grp, n_distinct, n_words). */
+  def bitmapDistinct(df: DataFrame, groupCol: String, id: Column): DataFrame = {
+    val words = df
+      .select(col(groupCol).as("grp"), id.cast("long").as("id"))
+      .select(col("grp"), expr("id div 64").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(id % 64 as int))").as("bit"))
+      .groupBy(col("grp"), col("w"))
+      .agg(expr("bit_or(bit)").as("mask"))
+    words.groupBy(col("grp"))
+      .agg(sum(expr("bit_count(mask)")).cast("long").as("n_distinct"),
+        count(lit(1)).as("n_words"))
+  }
 }

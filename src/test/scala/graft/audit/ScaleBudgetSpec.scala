@@ -367,6 +367,15 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q316 spilled")
   }
 
+  test("q321 bitmap distinct: 64-packed words cross the wire, not (day, user) pairs") {
+    val b = measure("q321_bitmap_distinct")
+    // ~3 words/day × 30 days of (grp, w, mask) longs; the pair-shuffling
+    // count-distinct equivalent moves 64× the id payload
+    assert(b.shuffleWriteBytes < 256 * 1024,
+      s"bitmap distinct lost the word packing: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q321 spilled")
+  }
+
   test("q319 pass@k: one task-keyed count rollup, arithmetic per task row") {
     val b = measure("q319_pass_at_k")
     // (task, n, c) partials only — the event stream shuffles once as
