@@ -1492,6 +1492,38 @@ object GraphQueries {
       }),
     ),
 
+    // Integer KATZ centrality on the host link graph — the eigen tier's
+    // attenuated-walk member next to PageRank (q172, degree-normalized)
+    // and HITS (q197, max-rescaled): every incoming walk counts,
+    // geometrically damped by length (α = 1/8), so high-in-degree hubs
+    // AND hubs-of-hubs both surface without the PR deg-division or the
+    // HITS global rescale. Fixed 4 iterations, one floor per node per
+    // round (Graphs.integerKatz); the oracle replays the recurrence as
+    // 4 chained CTEs.
+    QueryDef(
+      "q322_katz_centrality",
+      (s, dir) => Graphs.integerKatz(hostLinkGraph(s, dir), iters = 4)
+        .select(col("node").as("host"), col("r").as("katz"))
+        .orderBy(col("host")),
+      Some({
+        val rounds = (1 to 4).map(i =>
+          s"""r$i AS MATERIALIZED (
+             |  SELECT n.node, 1000000 + COALESCE(x.s, 0) // 8 AS r
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT sym.dst AS node, SUM(r${i - 1}.r) AS s
+             |    FROM r${i - 1} JOIN sym ON sym.src = r${i - 1}.node
+             |    GROUP BY sym.dst) x ON x.node = n.node)""".stripMargin)
+          .mkString(",\n")
+        hostGraphSql +
+          s""",
+             |nodes AS (SELECT DISTINCT src AS node FROM sym),
+             |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+             |$rounds
+             |SELECT node AS host, CAST(r AS BIGINT) AS katz
+             |FROM r4 ORDER BY host""".stripMargin
+      }),
+    ),
+
     // INCREMENTAL modularity (q313's maintained form — the QUALITY
     // readout joins the incremental family: CC q164, LPA q253, PR q304,
     // triangles q306, k-core q308, HITS q310, distances q311) on the

@@ -1177,6 +1177,42 @@ object Graphs {
       .unionByName(ranks.join(take, Seq("node")))
   }
 
+  /** Integer KATZ centrality — the eigen tier's attenuated-walk member
+    * (PageRank normalizes by out-degree; HITS rescales by the max; Katz
+    * counts ALL incoming walks, geometrically damped by length):
+    *   r₀(v) = 10⁶;  r_{t+1}(v) = 10⁶ + (Σ_{u→v} r_t(u)) div alphaDen
+    * — α = 1/alphaDen, one floor per NODE per round (sum first, divide
+    * once — order-free), so the fixed-iteration result is bit-identical
+    * across engines and replays as chained CTEs (the [[integerPageRank]]
+    * discipline; fixed small iters, rank order is the contract — Katz
+    * formally converges only for α < 1/λmax, but the truncated sum is a
+    * deterministic statistic regardless). Nodes with no in-edges keep
+    * the base injection 10⁶. Overflow: r grows ≤ ×(deg_max/alphaDen)
+    * per round — 4 rounds at deg_max ≈ 10³, alphaDen 8 stays ~10¹⁴.
+    *
+    * Shape: per round one rank-onto-edges join + one dst-keyed
+    * map-side-combinable sum — Pregel-shaped, like [[integerPageRank]]
+    * minus the degree join. */
+  def integerKatz(edges: DataFrame, iters: Int, alphaDen: Long = 8L): DataFrame = {
+    require(iters >= 1 && iters <= 20, "iters in [1,20]")
+    require(alphaDen >= 2, "alphaDen >= 2")
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var r = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val in = e.join(r.select(col("node").as("src"), col("r")), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("r")).as("s"))
+      r = nodes.join(in, Seq("node"), "left")
+        .withColumn("r", lit(1000000L) +
+          expr(s"coalesce(s, 0L) div ${alphaDen}L"))
+        .select(col("node"), col("r"))
+        .localCheckpoint(true)
+    }
+    r
+  }
+
   /** Integer-ppm MODULARITY readout of a community assignment — the
     * quality scalar a curator reads next to the assignment itself (did
     * LPA/CC produce real mesoscale structure, or noise?). For undirected

@@ -367,6 +367,13 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q316 spilled")
   }
 
+  test("q322 Katz: per-round rank join + dst-keyed combinable sum, PageRank's band minus the degree join") {
+    val b = measure("q322_katz_centrality")
+    assert(b.shuffleWriteBytes < 4 * MB,
+      s"Katz exchange not partial-agg bounded: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q322 spilled")
+  }
+
   test("q321 bitmap distinct: 64-packed words cross the wire, not (day, user) pairs") {
     val b = measure("q321_bitmap_distinct")
     // ~3 words/day × 30 days of (grp, w, mask) longs; the pair-shuffling
