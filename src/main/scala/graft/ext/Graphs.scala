@@ -1258,10 +1258,18 @@ object Graphs {
   }
 
   /** The floor-safe ppm division shared by [[modularityByCommunity]] and
-    * [[incrementalModularity]] (expects columns m, intra_edges, deg_sum). */
+    * [[incrementalModularity]] (expects columns m, intra_edges, deg_sum).
+    * The documented overflow bound (m ≲ 1.5·10⁶ edges) is ENFORCED with
+    * raise_error: past it Spark's non-ANSI arithmetic would wrap
+    * silently while DuckDB errors — corruption must be loud on both
+    * sides. */
   private def shiftedQppm: org.apache.spark.sql.Column = expr(
-    """(1000000L * (4L * m * intra_edges - deg_sum * deg_sum)
-      | + 4000000L * m * m) div (4L * m * m) - 1000000L""".stripMargin)
+    """case when m >= 1500000L then
+      |  cast(raise_error('modularity q_ppm: m >= 1.5e6 overflows the ppm shift — rescale to ppb-of-m or use decimal') as bigint)
+      |else
+      |  (1000000L * (4L * m * intra_edges - deg_sum * deg_sum)
+      |   + 4000000L * m * m) div (4L * m * m) - 1000000L
+      |end""".stripMargin)
 
   /** INCREMENTAL [[modularityByCommunity]] — the quality readout joins
     * the incremental family (CC q164, LPA q253, PR q304, triangles q306,
@@ -1333,11 +1341,11 @@ object Graphs {
         col("intra_edges"), col("q_ppm"))
   }
 
-  /** Portable 60-bit hash — identical in Spark and DuckDB
-    * (`CAST(('0x'||substring(md5(x),1,15)) AS BIGINT)`); the
-    * [[CorpusMining]] recipe, here driving walk-step choices. */
+  /** Portable 60-bit hash driving walk-step choices — delegates to
+    * [[Sampling.portableHash]] (ONE copy of the engine-portability-
+    * critical recipe; the extra string cast is a no-op on these keys). */
   private def hash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    Sampling.portableHash(c)
 
   /** DETERMINISTIC random-walk corpus (the DeepWalk/node2vec
     * training-data generator): `walksPerNode` walks of `steps` hops from
@@ -1365,7 +1373,10 @@ object Graphs {
     require(steps >= 1 && steps <= 20, "steps in [1,20]")
     import org.apache.spark.sql.expressions.Window
     val wAdj = Window.partitionBy(col("src")).orderBy(col("dst"))
-    val adj = edges.toDF("src", "dst")
+    // distinct FIRST: a duplicate (src, dst) row would inflate deg and
+    // give that neighbor two idx slots — silently diverging from the
+    // hash-mod-degree-over-distinct-neighbors contract
+    val adj = edges.toDF("src", "dst").distinct()
       .select(col("src"), col("dst"),
         (row_number().over(wAdj) - 1).cast("long").as("idx"),
         count(lit(1)).over(Window.partitionBy(col("src"))).as("deg"))
@@ -1418,7 +1429,9 @@ object Graphs {
     require(steps >= 1 && steps <= 20, "steps in [1,20]")
     require(retW >= 1 && comW >= 1 && outW >= 1, "weights are positive ints")
     import org.apache.spark.sql.expressions.Window
-    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    // distinct enforced (not just documented): duplicate adjacency rows
+    // would double that neighbor's weight slot
+    val e = edges.toDF("src", "dst").distinct().localCheckpoint(true)
     val wCum = Window.partitionBy(col("origin"), col("walk")).orderBy(col("dst"))
     val wTot = Window.partitionBy(col("origin"), col("walk"))
     def pick(cands: DataFrame, step: Int): DataFrame = {

@@ -254,7 +254,8 @@ object Similarity {
     def centersLocal: DataFrame = spark.createDataFrame(
       new java.util.ArrayList(scala.jdk.CollectionConverters
         .SeqHasAsJava(rows.toSeq).asJava), schema)
-    for (step <- 2 to k) {
+    var exhausted = false
+    for (step <- 2 to k if !exhausted) {
       val ctr = centersLocal
         .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
       val mind = pts
@@ -268,7 +269,10 @@ object Similarity {
         .orderBy(col("gap").desc, col("id")).limit(1)
         .select(col("id"), col("v"), col("nrm"),
           lit(step.toLong).as("step"), col("gap"))
-      rows ++= pick.collect()
+      val got = pick.collect()
+      // every point selected: stop — k-n further rounds would each run
+      // the full distributed pass just to collect nothing
+      if (got.isEmpty) exhausted = true else rows ++= got
     }
     centersLocal.select(col("step"), col("id").as("center_id"), col("gap"))
   }
