@@ -1524,6 +1524,49 @@ object GraphQueries {
       }),
     ),
 
+    // INCREMENTAL Katz (q322's maintained form — the eigen tier's
+    // CLEANEST incremental member, completing the family: CC q164, LPA
+    // q253, PR q304, triangles q306, k-core q308, HITS q310, distances
+    // q311, modularity q318, Katz this): no 1/N, no global rescale —
+    // a new edge's influence enters at its dst and travels one hop per
+    // iteration, so nodes beyond the (iters−1)-forward ball keep base
+    // rank VERBATIM and the recurrence replays only over edges into
+    // the ball, reading boundary inputs from the stored base
+    // TRAJECTORY (Graphs.incrementalKatz). The oracle is the ONE-SHOT
+    // batch Katz over ALL edges (q322's SQL), so a pass proves
+    // maintained ≡ recompute; IncrementalKatzSpec adds poison-verbatim,
+    // exact-radius, and new-node cases.
+    QueryDef(
+      "q323_incremental_katz",
+      (s, dir) => {
+        val g = PinnedCache.pin(hostLinkGraph(s, dir))
+        val isBase = pmod(hash(col("src"), col("dst")), lit(5)) =!= 0
+        val base = PinnedCache.pin(g.where(isBase))
+        val delta = g.where(!isBase)
+        Graphs.incrementalKatz(
+            Graphs.integerKatzTrace(base, iters = 4), base, delta, iters = 4)
+          .select(col("node").as("host"), col("r").as("katz"))
+          .orderBy(col("host"))
+      },
+      Some({
+        val rounds = (1 to 4).map(i =>
+          s"""r$i AS MATERIALIZED (
+             |  SELECT n.node, 1000000 + COALESCE(x.s, 0) // 8 AS r
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT sym.dst AS node, SUM(r${i - 1}.r) AS s
+             |    FROM r${i - 1} JOIN sym ON sym.src = r${i - 1}.node
+             |    GROUP BY sym.dst) x ON x.node = n.node)""".stripMargin)
+          .mkString(",\n")
+        hostGraphSql +
+          s""",
+             |nodes AS (SELECT DISTINCT src AS node FROM sym),
+             |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+             |$rounds
+             |SELECT node AS host, CAST(r AS BIGINT) AS katz
+             |FROM r4 ORDER BY host""".stripMargin
+      }),
+    ),
+
     // INCREMENTAL modularity (q313's maintained form — the QUALITY
     // readout joins the incremental family: CC q164, LPA q253, PR q304,
     // triangles q306, k-core q308, HITS q310, distances q311) on the

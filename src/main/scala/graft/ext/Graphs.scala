@@ -1213,6 +1213,93 @@ object Graphs {
     r
   }
 
+  /** [[integerKatz]] returning the full TRAJECTORY (node, t, r) for
+    * t = 0..iters — the stored state [[incrementalKatz]] replays its
+    * boundary inputs from (the [[integerHitsTrace]] pattern: batch runs
+    * persist what maintenance needs). iters·|nodes| rows. */
+  def integerKatzTrace(edges: DataFrame, iters: Int,
+      alphaDen: Long = 8L): DataFrame = {
+    require(iters >= 1 && iters <= 20, "iters in [1,20]")
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var r = nodes.withColumn("r", lit(1000000L))
+    var out = r.withColumn("t", lit(0L))
+    for (t <- 1 to iters) {
+      val in = e.join(r.select(col("node").as("src"), col("r")), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("r")).as("s"))
+      r = nodes.join(in, Seq("node"), "left")
+        .withColumn("r", lit(1000000L) +
+          expr(s"coalesce(s, 0L) div ${alphaDen}L"))
+        .select(col("node"), col("r"))
+        .localCheckpoint(true)
+      out = out.unionByName(r.withColumn("t", lit(t.toLong)))
+    }
+    out.select(col("node"), col("t"), col("r"))
+  }
+
+  /** INCREMENTAL [[integerKatz]] — the eigen tier's CLEANEST maintained
+    * form (no 1/N like PageRank q304, no global max-rescale like HITS
+    * q310: the Katz recurrence is purely local, so the ball argument
+    * has no globality guard at all). A new edge (a, b) can change
+    * r_t(v) only if v lies within t−1 FORWARD hops of b — influence
+    * enters at b on iteration 1 and travels one edge per iteration —
+    * so the affected set is the forward ball of radius iters−1 from
+    * the delta dst endpoints over the FULL graph (settled/frontier
+    * expansion), plus any node absent from the base trace (new nodes).
+    * Everything else keeps its final base rank VERBATIM (anti-join);
+    * the recurrence replays restricted to edges INTO affected nodes,
+    * reading unaffected in-neighbor values per iteration from the
+    * stored base TRAJECTORY (exact by induction: a node unaffected at
+    * radius t has r_t ≡ base r_t). Cost ∝ the delta's downstream
+    * neighborhood — the nightly link-graph maintenance shape. */
+  def incrementalKatz(prevTrace: DataFrame, baseEdges: DataFrame,
+      deltaEdges: DataFrame, iters: Int, alphaDen: Long = 8L): DataFrame = {
+    require(iters >= 1 && iters <= 20, "iters in [1,20]")
+    def norm(df: DataFrame) = df.toDF("src", "dst")
+    val base = norm(baseEdges)
+    val delta = norm(deltaEdges).localCheckpoint(true)
+    val full = base.unionByName(delta).distinct().localCheckpoint(true)
+    val trace = prevTrace.toDF("node", "t", "r").localCheckpoint(true)
+    val fullNodes = full.select(col("src").as("node"))
+      .unionByName(full.select(col("dst").as("node"))).distinct()
+    val newNodes = fullNodes
+      .join(trace.select(col("node")).distinct(), Seq("node"), "left_anti")
+    var aff = delta.select(col("dst").as("node")).distinct()
+      .unionByName(newNodes).distinct().localCheckpoint(true)
+    var frontier = aff
+    for (_ <- 1 until iters) {
+      frontier = full
+        .join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(aff, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      aff = aff.unionByName(frontier).localCheckpoint(true)
+    }
+    // edges INTO the affected region — the only recurrence that replays
+    val affIn = full
+      .join(aff.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .localCheckpoint(true)
+    var rAff = aff.withColumn("r", lit(1000000L))
+    for (t <- 1 to iters) {
+      val srcVals = rAff.select(col("node").as("src"), col("r"))
+        .unionByName(trace.where(col("t") === (t - 1).toLong)
+          .select(col("node").as("src"), col("r"))
+          .join(aff.select(col("node").as("src")), Seq("src"), "left_anti"))
+      val in = affIn.join(srcVals, "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("r")).as("s"))
+      rAff = aff.join(in, Seq("node"), "left")
+        .withColumn("r", lit(1000000L) +
+          expr(s"coalesce(s, 0L) div ${alphaDen}L"))
+        .select(col("node"), col("r"))
+        .localCheckpoint(true)
+    }
+    trace.where(col("t") === iters.toLong).select(col("node"), col("r"))
+      .join(aff, Seq("node"), "left_anti")
+      .unionByName(rAff)
+  }
+
   /** Integer-ppm MODULARITY readout of a community assignment — the
     * quality scalar a curator reads next to the assignment itself (did
     * LPA/CC produce real mesoscale structure, or noise?). For undirected

@@ -374,6 +374,15 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q322 spilled")
   }
 
+  test("q323 incremental Katz: ball-restricted replay + trace reads, proof-obligation query") {
+    val b = measure("q323_incremental_katz")
+    // base trace (iters×nodes longs) + forward-ball expansion + the
+    // restricted recurrence — node-keyed partials throughout
+    assert(b.shuffleWriteBytes < 4 * MB,
+      s"incremental Katz shuffled beyond ball + trace state: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q323 spilled")
+  }
+
   test("q321 bitmap distinct: 64-packed words cross the wire, not (day, user) pairs") {
     val b = measure("q321_bitmap_distinct")
     // ~3 words/day × 30 days of (grp, w, mask) longs; the pair-shuffling
