@@ -1121,7 +1121,7 @@ object EvalQueries2 {
              |         JOIN r${i - 1} rq ON rq.p = g.q
              |  GROUP BY g.p),
              |r$i AS MATERIALIZED (
-             |  SELECT pl.p, CAST((pl.w * 1000000000000) // d$i.denom AS BIGINT) AS r
+             |  SELECT pl.p, CAST((pl.w * 1000000000000) // GREATEST(d$i.denom, 1) AS BIGINT) AS r
              |  FROM pl JOIN d$i ON d$i.p = pl.p)""".stripMargin
         s"""WITH sh AS (
            |  SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]

@@ -142,15 +142,23 @@ object Evaluation {
     * (minorization-maximization) algorithm, `iters` fixed synchronous
     * rounds in integer fixed point: with ratings r in ppm (r₀ = 10⁶),
     *   denom_p = Σ_q (n_pq · 10¹²) div max(r_p + r_q, 1)
-    *   r_p'    = (W_p · 10¹²) div denom_p
+    *   r_p'    = (W_p · 10¹²) div max(denom_p, 1)
     * — floor per pair-term, summed over a set, one final floor: every
     * round is bit-exact cross-engine (the q312 floor-div-per-term
-    * recipe). The max(·,1) guard keeps a pair of winless players (both
-    * ratings → 0) from dividing by zero — deterministic in both
-    * engines. Winless players rate 0 after round 1; undefeated players
-    * grow until their opponents' mass bounds them (fixed iterations,
-    * rank order is the contract — the integerPageRank discipline; BT is
-    * scale-invariant so no normalization round).
+    * recipe). BOTH max(·,1) guards matter: the inner one keeps a pair
+    * of winless players (both ratings → 0) from dividing by zero, and
+    * the OUTER one covers the dual blow-up — undefeated players can
+    * roughly double per round, so near the iters cap r_p + r_q can
+    * exceed n_pq·10¹², flooring EVERY pair-term of a player to 0 and
+    * making denom_p itself 0 (which Spark would turn into a silent
+    * NULL while DuckDB errors — the loud-corruption discipline says
+    * neither: the guard makes both engines deterministic and equal,
+    * rating the player at W_p·10¹², the same "unbounded strength"
+    * reading the limit justifies). Winless players rate 0 after round
+    * 1; undefeated players grow until their opponents' mass bounds
+    * them (fixed iterations, rank order is the contract — the
+    * integerPageRank discipline; BT is scale-invariant so no
+    * normalization round).
     *
     * Input: (winner, loser) match rows. Output: (player, games, wins,
     * rating_ppm). Shape: one pair-keyed count + one player-keyed wins
@@ -179,7 +187,7 @@ object Evaluation {
           expr("(n_pq * 1000000000000L) div greatest(rp + rq, 1L)"))
         .groupBy(col("p")).agg(sum(col("term")).as("denom"))
       r = players.join(denom, "p")
-        .withColumn("r", expr("(w * 1000000000000L) div denom"))
+        .withColumn("r", expr("(w * 1000000000000L) div greatest(denom, 1L)"))
         .select(col("p"), col("r"))
         .localCheckpoint(true)
     }

@@ -797,63 +797,124 @@ object Graphs {
     * keep their base rows VERBATIM (anti-join pass-through). No
     * approximation; IncrementalLabeledBfsSpec pins equality per wave.
     *
-    * Scale shape: the settled set is SCANNED, never rewritten — one
-    * node-keyed forward ball from the delta dsts ([[bfsDistances]], cost
-    * ∝ the touched region) prefilters it to the only pairs improvements
-    * can touch (every candidate's node lies within `rounds` forward hops
-    * of a delta dst), improvement comparisons join against that slice
-    * plus the (small) accumulated improvement set, and the one full-
-    * settled anti-join happens once at the END (output-sized anyway).
-    * The hop bound caps candidate d at R, so state never exceeds the
-    * |seeds|·|ball| bound of the batch operator. Requires base ∩ delta
+    * Scale shape (round-12: the [[multiSourceBfs]] bitmask lesson
+    * applied to the MAINTAINED side): the settled set is SCANNED, never
+    * rewritten — one node-keyed forward ball from the delta dsts
+    * ([[bfsDistances]], cost ∝ the touched region) prefilters it to the
+    * only pairs improvements can touch (every candidate's node lies
+    * within `rounds` forward hops of a delta dst). That slice and the
+    * improvement state are then carried as ≤R MASK LAYERS — for each d,
+    * (node, word, mask) of seeds at distance d — so injection,
+    * relaxation (edges ⋈ frontier → bit_or, map-side combinable), and
+    * the two improvement tests (AND-NOT against the cumulative ≤d
+    * layers of the base slice and of the accumulated improvements) all
+    * move ⌈seeds/64⌉-packed words, not (seed, node, d) pair rows — a
+    * ~64× exchange reduction in the dense all-seeds regime. Exactness
+    * is the same monotone-improvement argument in mask form: a bit
+    * passes the layer-d AND-NOT exactly when d < its best known
+    * distance (cumulative layers encode "distance ≤ d"; exact layers
+    * are disjoint per (node, seed), so bit_or = union). A re-improved
+    * pair may transiently sit in two layers; the single output-sized
+    * decode at the END takes min(d) per pair (the old groupBy-min,
+    * deferred). The one full-settled anti-join happens once at the END
+    * (output-sized anyway). The hop bound caps candidate d at R, so
+    * state never exceeds the node×words×R bound. Requires base ∩ delta
     * = ∅ and the seed set unchanged. */
   def incrementalLabeledBfs(prevDist: DataFrame, baseEdges: DataFrame,
       deltaEdges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
+    import org.apache.spark.sql.expressions.Window
     val bE = baseEdges.toDF("src", "dst")
     val dE = PinnedCache.pin(deltaEdges.toDF("src", "dst").distinct())
     val all = PinnedCache.pin(bE.unionByName(dE).distinct())
     val settled = PinnedCache.pin(prevDist.toDF("seed", "node", "d"))
+    // dense seed-bit index over the (unchanged) seed universe — the
+    // multiSourceBfs convention: sorted order, deterministic
+    val idx = PinnedCache.pin(settled.select(col("seed")).distinct()
+      .select(col("seed"),
+        (row_number().over(Window.orderBy(col("seed"))) - 1)
+          .cast("long").as("i")))
+    // (seed, node, d) pairs → exact mask layers (node, w, d, m); exact
+    // layers for one (node, seed) are disjoint across d, so bit_or = ∪
+    def toLayers(pairs: DataFrame): DataFrame = pairs
+      .join(idx, "seed")
+      .select(col("node"), expr("i div 64").as("w"), col("d"),
+        expr("shiftleft(cast(1 as bigint), cast(i % 64 as int))").as("bit"))
+      .groupBy(col("node"), col("w"), col("d"))
+      .agg(expr("bit_or(bit)").as("m"))
+    // cumulative form: for every d' in d..R, bits with distance ≤ d'
+    def cumulate(layers: DataFrame): DataFrame = layers
+      .select(col("node"), col("w"),
+        explode(sequence(col("d"), lit(rounds.toLong))).as("d"), col("m"))
+      .groupBy(col("node"), col("w"), col("d"))
+      .agg(expr("bit_or(m)").as("cum"))
+    // drop candidate bits whose best known distance in `cum` is ≤ d —
+    // i.e. keep exactly the bits for which layer-d is an IMPROVEMENT
+    def minusCum(cands: DataFrame, cum: DataFrame): DataFrame = cands
+      .join(cum, Seq("node", "w", "d"), "left_outer")
+      .select(col("node"), col("w"), col("d"),
+        col("m").bitwiseAND(expr("~coalesce(cum, cast(0 as bigint))")).as("m"))
+      .where(col("m") =!= 0L)
+    // self-prune: a bit present at two layers of the same frame keeps
+    // only its smallest d (the deferred groupBy-min, applied early so
+    // stale copies don't propagate)
+    def selfPrune(layers: DataFrame): DataFrame = {
+      val less = layers
+        .where(col("d") < rounds.toLong)
+        .select(col("node"), col("w"),
+          explode(sequence(col("d") + 1L, lit(rounds.toLong))).as("d"), col("m"))
+        .groupBy(col("node"), col("w"), col("d"))
+        .agg(expr("bit_or(m)").as("cum"))
+      minusCum(layers, less)
+    }
     // every candidate node sits within `rounds` FORWARD hops of a delta
     // dst, so this slice of settled is the only state improvements can
     // compare against — the full set is never reshuffled per iteration
     val ballNodes = bfsDistances(all, dE.select(col("dst")), rounds)
       .select(col("node"))
-    val relevant = PinnedCache.pin(
-      settled.join(ballNodes, Seq("node"), "left_semi")
-        .select(col("seed"), col("node"), col("d")))
-    def improvesOn(cands: DataFrame, best: DataFrame): DataFrame =
-      cands.join(best.select(col("seed"), col("node"), col("d").as("d_old")),
-          Seq("seed", "node"), "left_outer")
-        .where(col("d_old").isNull || col("d") < col("d_old"))
-        .select(col("seed"), col("node"), col("d"))
+    val baseCum = PinnedCache.pin(cumulate(toLayers(
+      settled.join(ballNodes, Seq("node"), "left_semi"))))
     // injection: relax every delta edge once from the base-settled state
-    var frontier = improvesOn(
+    val injected = toLayers(
       settled.join(dE.select(col("src").as("node"), col("dst")), "node")
         .select(col("seed"), col("dst").as("node"), (col("d") + 1L).as("d"))
-        .where(col("d") <= rounds.toLong)
-        .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d")),
-      relevant).localCheckpoint(true)
-    var improved = frontier
+        .where(col("d") <= rounds.toLong))
+    var frontier = selfPrune(minusCum(injected, baseCum)).localCheckpoint(true)
+    var imp = frontier
     for (_ <- 1 to rounds) {
-      val cands = all
-        .join(frontier.select(col("seed"), col("node").as("src"), col("d")), "src")
-        .select(col("seed"), col("dst").as("node"), (col("d") + 1L).as("d"))
+      val prop = all
+        .join(frontier.select(col("node").as("src"), col("w"), col("d"),
+          col("m")), "src")
+        .select(col("dst").as("node"), col("w"), (col("d") + 1L).as("d"), col("m"))
         .where(col("d") <= rounds.toLong)
-        .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d"))
+        .groupBy(col("node"), col("w"), col("d"))
+        .agg(expr("bit_or(m)").as("m"))
       // an improvement must beat BOTH the base state and any earlier
       // improvement of the same pair (a pair can improve twice when a
       // shorter chain lands later — the chained-delta case)
-      frontier = improvesOn(improvesOn(cands, relevant), improved)
+      frontier = selfPrune(minusCum(minusCum(prop, baseCum), cumulate(imp)))
         .localCheckpoint(true)
-      improved = improved.unionByName(frontier)
-        .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d"))
+      imp = imp.unionByName(frontier)
+        .groupBy(col("node"), col("w"), col("d"))
+        .agg(expr("bit_or(m)").as("m"))
         .localCheckpoint(true)
     }
+    // decode bits → (seed, node) with min d per pair — ONE output-sized
+    // pass (a re-improved bit can sit in two layers; min resolves it)
+    val improvedPairs = imp
+      .select(col("node"), col("w"), col("d"),
+        explode(expr(
+          """filter(transform(sequence(0, 63), b ->
+            |  case when (m & shiftleft(cast(1 as bigint), b)) != 0
+            |    then b end), x -> x is not null)""".stripMargin)).as("b"))
+      .select((col("w") * 64L + col("b")).as("i"), col("node"), col("d"))
+      .join(idx, "i")
+      .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d"))
     settled
-      .join(improved.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti")
+      .join(improvedPairs.select(col("seed"), col("node")),
+        Seq("seed", "node"), "left_anti")
       .select(col("seed"), col("node"), col("d"))
-      .unionByName(improved)
+      .unionByName(improvedPairs)
   }
 
   /** Seed-sampled, hop-bounded BETWEENNESS centrality in exact integer
@@ -1312,9 +1373,11 @@ object Graphs {
     * dividend is shifted by +4m²·10⁶ (≥ the worst case deg_c² = (2m)²,
     * making it non-negative, where floor ≡ trunc) and 10⁶ is subtracted
     * back after the division — exact because (x + n·d) div d = x div d
-    * + n. Overflow bound: 10⁶·4m·e_c ≤ 4·10⁶·m² needs m ≲ 1.5·10⁶
-    * edges; past that, run per-community terms in DECIMAL or rescale
-    * ppm → ppb-of-m.
+    * + n. Overflow bound: the shifted dividend is maximized at
+    * deg_c = 2·e_c, e_c = m/2 (4m·e_c − deg_c² ≤ m² there), giving
+    * 10⁶·m² + 4·10⁶·m² = 5·10⁶·m², which stays under 2⁶³ only for
+    * m ≤ 1 358 000 = ⌊√(2⁶³/5·10⁶)⌋; past that, run per-community
+    * terms in DECIMAL or rescale ppm → ppb-of-m.
     *
     * Shape: one degree aggregate, one label join + community rollup, one
     * intra-edge join + rollup, one 1-row m broadcast — all partial-agg
@@ -1346,13 +1409,14 @@ object Graphs {
 
   /** The floor-safe ppm division shared by [[modularityByCommunity]] and
     * [[incrementalModularity]] (expects columns m, intra_edges, deg_sum).
-    * The documented overflow bound (m ≲ 1.5·10⁶ edges) is ENFORCED with
-    * raise_error: past it Spark's non-ANSI arithmetic would wrap
-    * silently while DuckDB errors — corruption must be loud on both
-    * sides. */
+    * The documented overflow bound (m ≤ 1 358 000 edges — the worst-case
+    * shifted dividend is 5·10⁶·m² at deg_c = 2·e_c, e_c = m/2, and
+    * ⌊√(2⁶³/5·10⁶)⌋ = 1 358 200) is ENFORCED with raise_error: past it
+    * Spark's non-ANSI arithmetic would wrap silently while DuckDB
+    * errors — corruption must be loud on both sides. */
   private def shiftedQppm: org.apache.spark.sql.Column = expr(
-    """case when m >= 1500000L then
-      |  cast(raise_error('modularity q_ppm: m >= 1.5e6 overflows the ppm shift — rescale to ppb-of-m or use decimal') as bigint)
+    """case when m >= 1358000L then
+      |  cast(raise_error('modularity q_ppm: m >= 1.358e6 overflows the ppm shift — rescale to ppb-of-m or use decimal') as bigint)
       |else
       |  (1000000L * (4L * m * intra_edges - deg_sum * deg_sum)
       |   + 4000000L * m * m) div (4L * m * m) - 1000000L
@@ -1450,10 +1514,14 @@ object Graphs {
     *
     * Shape: the adjacency index (src, dst, idx, deg) is built once
     * (one window over the edge list) and eagerly checkpointed; each hop
-    * is ONE equi-join of the walk frontier against it, keyed by (cur,
-    * idx) — |walks| rows per hop regardless of graph size, the standard
-    * distributed walk-corpus plan (embarrassingly parallel over walks,
-    * never materializes neighbor lists). */
+    * is TWO equi-joins — frontier → (src, deg) degree table (node-keyed,
+    * |walks| rows out) to compute the chosen rank `ridx = hash60 mod
+    * deg` ON the frontier, then frontier → adjacency on the composite
+    * key (cur, ridx) = (src, idx). Because ridx is a frontier-side
+    * column, BOTH conditions are extractable equi-keys: the hop probe
+    * carries |walks| rows, never the Σ deg(cur) residual-filter fan-out
+    * a deg-on-the-build-side predicate would force. Embarrassingly
+    * parallel over walks; neighbor lists are never materialized. */
   def randomWalks(edges: DataFrame, origins: DataFrame, walksPerNode: Int,
       steps: Int): DataFrame = {
     require(walksPerNode >= 1 && walksPerNode <= 64, "walksPerNode in [1,64]")
@@ -1468,7 +1536,11 @@ object Graphs {
         (row_number().over(wAdj) - 1).cast("long").as("idx"),
         count(lit(1)).over(Window.partitionBy(col("src"))).as("deg"))
       .localCheckpoint(true)
-    var state = origins.toDF("origin")
+    val degT = adj.select(col("src").as("d_src"), col("deg")).distinct()
+      .localCheckpoint(true)
+    // distinct origins: a duplicated origin row would emit duplicate
+    // (origin, walk) state rows and duplicate corpus rows
+    var state = origins.toDF("origin").distinct()
       .select(col("origin"),
         explode(array((0 until walksPerNode).map(w => lit(w.toLong)): _*)).as("walk"))
       .withColumn("cur", col("origin"))
@@ -1476,17 +1548,26 @@ object Graphs {
     var out = state.select(col("origin"), col("walk"),
       lit(0L).as("step"), col("cur").as("node"))
     for (s <- 1 to steps) {
-      val key = concat(col("origin"), lit(":"), col("walk").cast("string"),
-        lit(":"), lit(s.toString), lit(":"), col("cur"))
-      state = state
-        .join(adj, col("cur") === col("src") &&
-          col("idx") === hash60(key) % col("deg"))
-        .select(col("origin"), col("walk"), col("dst").as("cur"))
-        .localCheckpoint(true)
+      state = walkHop(state, degT, adj, s).localCheckpoint(true)
       out = out.unionByName(state.select(col("origin"), col("walk"),
         lit(s.toLong).as("step"), col("cur").as("node")))
     }
     out
+  }
+
+  /** One [[randomWalks]] hop, uncheckpointed — package-visible so the
+    * plan spec can pin the two-equi-join shape (degree join → ridx on
+    * the frontier → composite-key adjacency join, NO pmod residual in
+    * any join condition — the O(|walks|) contract). */
+  private[ext] def walkHop(state: DataFrame, degT: DataFrame,
+      adj: DataFrame, s: Int): DataFrame = {
+    val key = concat(col("origin"), lit(":"), col("walk").cast("string"),
+      lit(":"), lit(s.toString), lit(":"), col("cur"))
+    state
+      .join(degT, col("cur") === col("d_src"))
+      .withColumn("ridx", hash60(key) % col("deg"))
+      .join(adj, col("cur") === col("src") && col("ridx") === col("idx"))
+      .select(col("origin"), col("walk"), col("dst").as("cur"))
   }
 
   /** DETERMINISTIC node2vec walks (Grover & Leskovec 2016) — the
@@ -1532,7 +1613,11 @@ object Graphs {
         .select(col("origin"), col("walk"), col("cur").as("prev"),
           col("dst").as("cur"))
     }
-    var state = origins.toDF("origin")
+    // distinct origins: a duplicated origin row would create duplicate
+    // (origin, walk) state rows, and the (origin, walk)-keyed cumulative
+    // window would then double-count tied dst candidates (tot doubled,
+    // overlapping slots) — walks silently vanish or fork
+    var state = origins.toDF("origin").distinct()
       .select(col("origin"),
         explode(array((0 until walksPerNode).map(w => lit(w.toLong)): _*)).as("walk"))
       .withColumn("prev", col("origin")).withColumn("cur", col("origin"))

@@ -591,10 +591,19 @@ object Sketches {
     * bit_count touch the words (the MultiSourceBfsSpec sign-bit rule).
     * For UNBOUNDED or sparse domains use [[hllDistinct]]/[[kmvDistinct]]
     * — a bitmap over a sparse range holds one id per word and the
-    * packing buys nothing. Output: (grp, n_distinct, n_words). */
+    * packing buys nothing. The non-negative domain is ENFORCED with
+    * raise_error (the shiftedQppm loud-corruption discipline): a
+    * negative id would make `id % 64` negative, handing shiftleft a
+    * negative shift count while `id div 64` floors — silently wrong
+    * counts instead of a loud failure. Output: (grp, n_distinct,
+    * n_words). */
   def bitmapDistinct(df: DataFrame, groupCol: String, id: Column): DataFrame = {
     val words = df
       .select(col(groupCol).as("grp"), id.cast("long").as("id"))
+      .select(col("grp"),
+        expr("case when id < 0L then cast(raise_error(" +
+          "'bitmapDistinct: negative id outside the documented non-negative domain') as bigint) " +
+          "else id end").as("id"))
       .select(col("grp"), expr("id div 64").as("w"),
         expr("shiftleft(cast(1 as bigint), cast(id % 64 as int))").as("bit"))
       .groupBy(col("grp"), col("w"))

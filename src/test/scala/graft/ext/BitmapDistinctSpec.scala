@@ -34,6 +34,15 @@ class BitmapDistinctSpec extends AnyFunSuite {
     assert(got("a") == ((3L, 2L)))
   }
 
+  test("negative id fails loudly (raise_error), not silently wrong") {
+    // Unguarded, id = -1 would give `id % 64` = -1 (negative shift
+    // count into shiftleft) and a floored `id div 64` word — silently
+    // wrong counts. The domain contract is enforced instead.
+    val ex = intercept[Exception] { run(Seq(("a", 3L), ("a", -1L))) }
+    assert((ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse(""))
+      .contains("negative id"))
+  }
+
   test("duplication and partitioning invariance: bit_or is idempotent") {
     val rows = Seq.fill(50)(("x", 7L)) ++ Seq(("x", 8L))
     assert(run(rows) == Map("x" -> ((2L, 1L))))

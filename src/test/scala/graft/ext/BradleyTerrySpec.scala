@@ -34,7 +34,7 @@ class BradleyTerrySpec extends AnyFunSuite {
         val denom = npq.collect { case ((`p`, q), n) =>
           n * 1000000000000L / math.max(r(p) + r(q), 1L)
         }.sum
-        p -> wins.getOrElse(p, 0L) * 1000000000000L / denom
+        p -> wins.getOrElse(p, 0L) * 1000000000000L / math.max(denom, 1L)
       }.toMap
     }
     players.map { p =>
@@ -61,6 +61,26 @@ class BradleyTerrySpec extends AnyFunSuite {
     assert(out("a")._3 > out("b")._3 && out("b")._3 > out("c")._3)
     assert(out("c")._3 == 0L, "winless player collapses to 0")
     assert(out("a") == ((5L, 5L, out("a")._3)) && out("b")._1 == 10L)
+  }
+
+  test("denom guard: unguarded div-by-zero is non-deterministic cross-config; the guard is total") {
+    // Ratings can at most double per MM round (r_p' <= r_p + max_q r_q),
+    // so after t rounds max rating <= 2^t * 1e6; near the iters = 20 cap
+    // rp + rq can brush n_pq * 1e12 and floor EVERY pair-term of a
+    // player to 0 -> denom = 0. Unguarded, that divides by zero —
+    // NULL under non-ANSI Spark, an error under ANSI Spark (this
+    // session's default) and DuckDB: three behaviors for one formula.
+    // The guard makes it total and deterministic everywhere: w * 1e12
+    // (the "unbounded strength" limit), identity whenever denom >= 1.
+    val row = Seq((3L, 0L)).toDF("w", "denom")
+    intercept[Exception] {
+      row.selectExpr("(w * 1000000000000L) div denom").collect()
+    }
+    assert(row.selectExpr("(w * 1000000000000L) div greatest(denom, 1L)")
+      .collect()(0).getLong(0) == 3000000000000L)
+    val ok = Seq((3L, 5L)).toDF("w", "denom")
+    assert(ok.selectExpr("(w * 1000000000000L) div greatest(denom, 1L)")
+      .collect()(0).getLong(0) == 600000000000L)
   }
 
   test("a symmetric cycle rates everyone equally") {

@@ -62,6 +62,23 @@ class ModularitySpec extends AnyFunSuite {
     assert(out(0L) == ((2L, 2L, 1L, 0L)))
   }
 
+  test("overflow guard fires at m >= 1_358_000 (5e6*m^2 > 2^63 past that)") {
+    // Worst-case shifted dividend is 5e6*m^2 (deg_c = 2*e_c, e_c = m/2),
+    // so the guard must trip at floor(sqrt(2^63/5e6)) = 1_358_200 — NOT
+    // the naive 1.5e6 bound, under which m in [1.358e6, 1.5e6) would
+    // wrap silently in Spark while the DuckDB oracle errors.
+    assert(5.0e6 * 1358000.0 * 1358000.0 < math.pow(2, 63)) // below: safe
+    assert(5.0e6 * 1358300.0 * 1358300.0 > math.pow(2, 63)) // above: wraps
+    val edges = spark.range(1358000L)
+      .selectExpr("id as a", "id + 1 as b")
+    val labels = spark.range(1358001L).selectExpr("id as node", "0L as lab")
+    val ex = intercept[Exception] {
+      Graphs.modularityByCommunity(edges, labels).collect()
+    }
+    assert(ex.getMessage.contains("overflows the ppm shift")
+      || ex.getCause != null && ex.getCause.getMessage.contains("overflows the ppm shift"))
+  }
+
   test("random graph + random labels: frame equals an exact JVM replica") {
     val rnd = new scala.util.Random(31)
     val edges = Seq.fill(220)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))

@@ -121,6 +121,21 @@ class Node2vecWalksSpec extends AnyFunSuite {
     assert(n2v == rw)
   }
 
+  test("duplicated origin rows produce the identical corpus (distinct enforced)") {
+    // Unguarded, a duplicate origin row would double every (origin,
+    // walk) state row, the cumulative window would then double tot with
+    // overlapping slots, and the slot pick could match 0 or 2 rows —
+    // walks silently vanishing or forking.
+    val edges = sym(Seq(("a", "b"), ("b", "c"), ("c", "a")))
+    val once = run(edges, Seq("a", "b"), 2, 3, 250, 1000, 500)
+    val duped = Graphs.node2vecWalks(edges.toDF("src", "dst"),
+        Seq("a", "a", "b", "a").toDF("origin"), 2, 3, 250, 1000, 500)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(duped.toSet == once)
+    assert(duped.length == duped.distinct.length, "no duplicate corpus rows")
+  }
+
   test("sink termination and partitioning invariance") {
     val edges = Seq(("a", "b"), ("b", "c")) // directed; c is a sink
     assert(run(edges, Seq("a"), 1, 5, 250, 1000, 500) ==

@@ -93,6 +93,46 @@ class RandomWalksSpec extends AnyFunSuite {
     assert(got == Set(("a", 0L, 0L, "a"), ("a", 0L, 1L, "b"), ("a", 0L, 2L, "c")))
   }
 
+  test("duplicated origin rows produce the identical corpus (distinct enforced)") {
+    val edges = sym(Seq(("a", "b"), ("b", "c"), ("c", "a")))
+    val once = run(edges, Seq("a", "b"), walks = 2, steps = 3)
+    val duped = Graphs.randomWalks(edges.toDF("src", "dst"),
+        Seq("a", "a", "b", "a").toDF("origin"), 2, 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(duped.toSet == once)
+    assert(duped.length == duped.distinct.length, "no duplicate corpus rows")
+  }
+
+  test("hop plan: two equi joins, no pmod residual in any join condition (O(|walks|) probe)") {
+    // The chosen rank ridx = hash60 % deg is computed ON the frontier
+    // after a node-keyed degree join, so the adjacency join is a pure
+    // composite-key equi join — the per-hop intermediate is |walks|
+    // rows, never the Σ deg(cur) fan-out a build-side pmod residual
+    // would force.
+    import org.apache.spark.sql.functions.{col, count, expr, lit, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val edges = sym(Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")))
+    val wAdj = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val adj = edges.toDF("src", "dst").distinct()
+      .select(col("src"), col("dst"),
+        (row_number().over(wAdj) - 1).cast("long").as("idx"),
+        count(lit(1)).over(Window.partitionBy(col("src"))).as("deg"))
+    val degT = adj.select(col("src").as("d_src"), col("deg")).distinct()
+    val state = Seq(("a", 0L), ("b", 0L)).toDF("origin", "walk")
+      .withColumn("cur", col("origin"))
+    val hop = Graphs.walkHop(state, degT, adj, s = 1)
+    val plan = hop.queryExecution.executedPlan.toString
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.size == 2, s"expected exactly two joins, got:\n$plan")
+    assert(joinLines.forall(l => !l.contains("pmod")),
+      s"hash-mod must live in a Project, not a join condition:\n$plan")
+    assert(joinLines.exists(l => l.contains("idx")),
+      s"adjacency join must carry idx as an equi key:\n$plan")
+    // and the hop output is correct: one next-node per (origin, walk)
+    assert(hop.collect().length == 2)
+  }
+
   test("partitioning invariance: repartitioned edges produce the identical corpus") {
     val rnd = new scala.util.Random(23)
     val edges = sym(Seq.fill(40)((s"h${rnd.nextInt(9)}", s"h${rnd.nextInt(9)}"))
