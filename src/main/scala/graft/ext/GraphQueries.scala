@@ -13,6 +13,48 @@ import graft.ext.ExtraQueries._
   * helpers remain in [[Ext]] / [[ExtraQueries]] as `private[ext]`. */
 object GraphQueries {
 
+  /** One-shot hop-4 Brandes betweenness over the FULL host graph from
+    * the [[ExtraQueries.SeedHosts]] seeds — the shared oracle of q312
+    * (batch) and q324 (maintained form ≡ this recompute, the q322/q323
+    * convention). Forward σ ladder with the settled/frontier split,
+    * then the per-level ppm dependency ladder with floor per term. */
+  private lazy val hostBetweenness4Sql: String = {
+    val fwd = (1 to 4).map(i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT f.seed, sym.dst AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+         |  FROM f${i - 1} f JOIN sym ON sym.src = f.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM c${i - 1} c
+         |                    WHERE c.seed = f.seed AND c.node = sym.dst)
+         |  GROUP BY 1, 2),
+         |c$i AS (SELECT seed, node FROM c${i - 1}
+         |        UNION ALL SELECT seed, node FROM f$i)""".stripMargin)
+      .mkString(",\n")
+    val bwd = (3 to 1 by -1).map(r =>
+      s"""b$r AS MATERIALIZED (
+         |  SELECT f.seed, f.node,
+         |    COALESCE((SELECT CAST(SUM((f.sigma * (1000000 + b.dd)) // fw.sigma) AS BIGINT)
+         |              FROM sym e
+         |              JOIN f${r + 1} fw ON fw.seed = f.seed AND fw.node = e.dst
+         |              JOIN b${r + 1} b ON b.seed = fw.seed AND b.node = fw.node
+         |              WHERE e.src = f.node), 0) AS dd
+         |  FROM f$r f)""".stripMargin).mkString(",\n")
+    hostGraphSql +
+      s""",
+         |f0 AS (SELECT node AS seed, node, CAST(1 AS BIGINT) AS sigma
+         |       FROM $seedValuesSql),
+         |c0 AS (SELECT seed, node FROM f0),
+         |$fwd,
+         |b4 AS (SELECT seed, node, CAST(0 AS BIGINT) AS dd FROM f4),
+         |$bwd
+         |SELECT node AS host, CAST(SUM(dd) AS BIGINT) AS bc_ppm,
+         |  (COUNT(*) FILTER (WHERE dd > 0))::BIGINT AS n_seeds_through
+         |FROM (SELECT seed, node, dd FROM b1
+         |      UNION ALL SELECT seed, node, dd FROM b2
+         |      UNION ALL SELECT seed, node, dd FROM b3
+         |      UNION ALL SELECT seed, node, dd FROM b4)
+         |GROUP BY node ORDER BY host""".stripMargin
+  }
+
   def queries: Seq[QueryDef] = Seq(
 
     // Supplier authority via integer-exact PageRank on the symmetrized
@@ -1288,42 +1330,7 @@ object GraphQueries {
           .select(col("node").as("host"), col("bc_ppm"), col("n_seeds_through"))
           .orderBy(col("host"))
       },
-      Some({
-        val fwd = (1 to 4).map(i =>
-          s"""f$i AS MATERIALIZED (
-             |  SELECT f.seed, sym.dst AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
-             |  FROM f${i - 1} f JOIN sym ON sym.src = f.node
-             |  WHERE NOT EXISTS (SELECT 1 FROM c${i - 1} c
-             |                    WHERE c.seed = f.seed AND c.node = sym.dst)
-             |  GROUP BY 1, 2),
-             |c$i AS (SELECT seed, node FROM c${i - 1}
-             |        UNION ALL SELECT seed, node FROM f$i)""".stripMargin)
-          .mkString(",\n")
-        val bwd = (3 to 1 by -1).map(r =>
-          s"""b$r AS MATERIALIZED (
-             |  SELECT f.seed, f.node,
-             |    COALESCE((SELECT CAST(SUM((f.sigma * (1000000 + b.dd)) // fw.sigma) AS BIGINT)
-             |              FROM sym e
-             |              JOIN f${r + 1} fw ON fw.seed = f.seed AND fw.node = e.dst
-             |              JOIN b${r + 1} b ON b.seed = fw.seed AND b.node = fw.node
-             |              WHERE e.src = f.node), 0) AS dd
-             |  FROM f$r f)""".stripMargin).mkString(",\n")
-        hostGraphSql +
-          s""",
-             |f0 AS (SELECT node AS seed, node, CAST(1 AS BIGINT) AS sigma
-             |       FROM $seedValuesSql),
-             |c0 AS (SELECT seed, node FROM f0),
-             |$fwd,
-             |b4 AS (SELECT seed, node, CAST(0 AS BIGINT) AS dd FROM f4),
-             |$bwd
-             |SELECT node AS host, CAST(SUM(dd) AS BIGINT) AS bc_ppm,
-             |  (COUNT(*) FILTER (WHERE dd > 0))::BIGINT AS n_seeds_through
-             |FROM (SELECT seed, node, dd FROM b1
-             |      UNION ALL SELECT seed, node, dd FROM b2
-             |      UNION ALL SELECT seed, node, dd FROM b3
-             |      UNION ALL SELECT seed, node, dd FROM b4)
-             |GROUP BY node ORDER BY host""".stripMargin
-      }),
+      Some(hostBetweenness4Sql),
     ),
 
     // MODULARITY of the LPA communities (q183's assignment, scored): the
@@ -1637,6 +1644,41 @@ object GraphQueries {
            |FROM bylab b LEFT JOIN intra i ON i.lab = b.lab, m
            |ORDER BY label""".stripMargin
       }),
+    ),
+
+    // INCREMENTAL betweenness (q312's maintained form — the TENTH
+    // maintained member, completing the centrality tier: CC q164, LPA
+    // q253, PR q304, triangles q306, k-core q308, HITS q310, distances
+    // q311, modularity q318, Katz q323, betweenness this): hop-≤R
+    // Brandes is a plain PER-SEED sum over each seed's forward BFS DAG
+    // — no 1/N, no max-rescale, no global coupling — and a delta edge
+    // (u, v) is visible to seed s's DAG iff s reaches u within R−1
+    // hops in the union graph (only then can it shorten a distance,
+    // add a parallel shortest path that raises σ, or enter the
+    // dependency ladder). So the maintained form recomputes ONLY the
+    // seeds in the reverse (R−1)-ball of the delta srcs and passes
+    // every other seed's stored (seed, node, δ') trace rows through
+    // VERBATIM (Graphs.incrementalBetweenness). The oracle is the
+    // ONE-SHOT batch Brandes over ALL edges (q312's SQL), so a pass
+    // proves maintained ≡ recompute; IncrementalBetweennessSpec adds
+    // chained-wave, ball-boundary-poison, σ-only-delta, dag-cycle, and
+    // isolated-seed cases.
+    QueryDef(
+      "q324_incremental_betweenness",
+      (s, dir) => {
+        import s.implicits._
+        val g = PinnedCache.pin(hostLinkGraph(s, dir))
+        val seeds = SeedHosts.toDF("seed")
+        val isBase = pmod(hash(col("src"), col("dst")), lit(5)) =!= 0
+        val base = PinnedCache.pin(g.where(isBase))
+        val delta = g.where(!isBase)
+        Graphs.incrementalBetweenness(
+            Graphs.betweennessTrace(base, seeds, rounds = 4),
+            base, delta, seeds, rounds = 4)
+          .select(col("node").as("host"), col("bc_ppm"), col("n_seeds_through"))
+          .orderBy(col("host"))
+      },
+      Some(hostBetweenness4Sql),
     ),
   )
 }

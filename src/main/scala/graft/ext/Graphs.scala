@@ -947,6 +947,23 @@ object Graphs {
     * hop-4-bounded host/dup graphs by orders of magnitude (documented,
     * as with [[integerHits]] sums). */
   def betweennessCentrality(edges: DataFrame, seeds: DataFrame,
+      rounds: Int, scale: Long = 1000000L): DataFrame =
+    rollupBetweenness(betweennessTrace(edges, seeds, rounds, scale))
+
+  /** The final per-node rollup shared by [[betweennessCentrality]] and
+    * [[incrementalBetweenness]]: bc_ppm = Σ_s δ'(s, node), seeds-through
+    * = count of seeds with positive dependency. */
+  private def rollupBetweenness(trace: DataFrame): DataFrame =
+    trace.groupBy(col("node"))
+      .agg(sum(col("dd")).as("bc_ppm"),
+        count(when(col("dd") > 0L, 1L)).as("n_seeds_through"))
+
+  /** [[betweennessCentrality]]'s pre-rollup PER-PAIR dependency frame
+    * (seed, node, dd) — the stored state of the maintained form
+    * ([[incrementalBetweenness]]): betweenness is a plain per-seed sum
+    * (no global coupling), so maintenance can pass an untouched seed's
+    * rows through VERBATIM and the rollup re-aggregates. */
+  def betweennessTrace(edges: DataFrame, seeds: DataFrame,
       rounds: Int, scale: Long = 1000000L): DataFrame = {
     require(rounds >= 2 && rounds <= 10, "rounds in [2,10]")
     // distinct: σ counts PATHS, so a duplicated edge row would double-count
@@ -992,9 +1009,69 @@ object Graphs {
     (perLevel :+ levels(rounds)
         .select(col("seed"), col("node"), lit(0L).as("dd")))
       .reduce(_ unionByName _)
-      .groupBy(col("node"))
-      .agg(sum(col("dd")).as("bc_ppm"),
-        count(when(col("dd") > 0L, 1L)).as("n_seeds_through"))
+  }
+
+  /** INCREMENTAL [[betweennessCentrality]] — the TENTH maintained form,
+    * completing the centrality tier (CC q164, LPA q253, PR q304,
+    * triangles q306, k-core q308, HITS q310, distances q311, modularity
+    * q318, Katz q323): given the stored per-pair dependency trace
+    * (= [[betweennessTrace]](baseEdges, seeds, rounds)) and a DISJOINT
+    * additive `deltaEdges` wave, produce the rollup IDENTICAL to
+    * re-running the batch operator over base ∪ delta with the same
+    * seeds.
+    *
+    * Exactness argument: the hop-≤R Brandes value for seed s depends
+    * ONLY on s's forward BFS DAG (levels + σ) — betweenness is a plain
+    * per-seed sum with NO global coupling (no 1/N, no max-rescale: the
+    * q304/q310 globality audit comes up empty). A delta edge (u, v) is
+    * visible to seed s's DAG iff s reaches u within R−1 hops in the
+    * UNION graph (only then can the edge carry a ≤R-hop path — whether
+    * it shortens a distance, adds a parallel shortest path that raises
+    * σ, or enters the dependency ladder). So: affected seeds = the
+    * REVERSE (R−1)-ball of the delta srcs over the union graph ∩ the
+    * seed set; their traces are recomputed by the batch operator
+    * restricted to those seeds; every other seed's rows pass through
+    * VERBATIM (seed-keyed anti-join — scanned once, never recomputed).
+    *
+    * Scale shape: the reverse ball is one [[bfsDistances]] over
+    * flipped edges (cost ∝ touched region); recompute cost ∝ affected
+    * seeds × their forward DAGs — the within-seed work IS the batch
+    * plan (settled/frontier split, level-keyed dependency joins); the
+    * pass-through is one trace-sized anti-join at the end. Requires
+    * base ∩ delta = ∅ and the seed set unchanged (passed explicitly:
+    * a seed ISOLATED in the base graph has no trace rows at all, so
+    * the set cannot be recovered from the trace once a delta connects
+    * it). */
+  def incrementalBetweenness(prevTrace: DataFrame, baseEdges: DataFrame,
+      deltaEdges: DataFrame, seeds: DataFrame, rounds: Int,
+      scale: Long = 1000000L): DataFrame =
+    rollupBetweenness(incrementalBetweennessTrace(
+      prevTrace, baseEdges, deltaEdges, seeds, rounds, scale))
+
+  /** [[incrementalBetweenness]]'s MAINTAINED trace — what a maintenance
+    * pipeline stores for the next wave (the [[incrementalHitsTrace]]
+    * convention: trace in, trace out, chainable). */
+  def incrementalBetweennessTrace(prevTrace: DataFrame, baseEdges: DataFrame,
+      deltaEdges: DataFrame, seeds: DataFrame, rounds: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(rounds >= 2 && rounds <= 10, "rounds in [2,10]")
+    val bE = baseEdges.toDF("src", "dst")
+    val dE = PinnedCache.pin(deltaEdges.toDF("src", "dst").distinct())
+    val all = PinnedCache.pin(bE.unionByName(dE).distinct())
+    val trace = PinnedCache.pin(prevTrace.toDF("seed", "node", "dd"))
+    // a delta edge (u, v) is visible to seed s iff d_union(s, u) ≤ R−1:
+    // reverse-BFS from the delta srcs over FLIPPED union edges
+    val reverseBall = bfsDistances(
+      all.select(col("dst").as("src"), col("src").as("dst")),
+      dE.select(col("src").as("node")), rounds - 1)
+      .select(col("node"))
+    val affectedSeeds = PinnedCache.pin(
+      seeds.toDF("seed").distinct()
+        .join(reverseBall.select(col("node").as("seed")), Seq("seed"), "left_semi"))
+    val recomputed = betweennessTrace(all, affectedSeeds, rounds, scale)
+    trace.join(affectedSeeds, Seq("seed"), "left_anti")
+      .select(col("seed"), col("node"), col("dd"))
+      .unionByName(recomputed)
   }
 
   /** Pairwise hop-distance HISTOGRAM from `seeds` (d in 1..rounds), with

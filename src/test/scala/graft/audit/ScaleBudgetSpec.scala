@@ -331,6 +331,17 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q311 spilled")
   }
 
+  test("q324 incremental betweenness: reverse-ball seed pruning + per-seed DAG recompute") {
+    val b = measure("q324_incremental_betweenness")
+    // base trace (the proof obligation) + one reverse-ball BFS + the
+    // affected seeds' forward/backward ladders; the pass-through is a
+    // seed-keyed anti-join over the trace, never recomputed
+    // measured 0.5 MB at sf0.01
+    assert(b.shuffleWriteBytes < 2 * MB,
+      s"incremental betweenness shuffled beyond affected DAGs: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q324 spilled")
+  }
+
   test("q313 modularity: community rollups shuffle graph-sized longs, 1-row m broadcast") {
     val b = measure("q313_modularity")
     // the LPA rounds dominate (the q183 band); the modularity stage adds
