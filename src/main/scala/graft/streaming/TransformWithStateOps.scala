@@ -147,6 +147,65 @@ object TransformWithStateOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class GroupId(grp: String, id: Long)
+  final case class DistinctCount(grp: String, n_distinct: Long, n_words: Long)
+
+  /** Continuous exact distinct over a BOUNDED non-negative id domain —
+    * the streaming twin of [[graft.ext.Sketches.bitmapDistinct]] (the
+    * dashboard-DAU shape): per group, `MapState[word → mask]` holds the
+    * same 64-packed `bit_or` words the batch aggregate shuffles, and a
+    * (n_distinct, n_words) ValueState pair is maintained by DELTAS —
+    * each batch ORs the incoming bits per touched word and adds
+    * `bit_count(new & ~old)`, so cost per batch ∝ touched words, state
+    * ∝ ⌈occupied-domain/64⌉ forever, and the running counter is
+    * bit-for-bit the batch readout at every prefix (not just at the
+    * end). The non-negative domain contract is enforced loudly (the
+    * batch op's raise_error, here an IllegalArgumentException).
+    * TransformWithStateSpec pins the twin across batch splits. */
+  final class BitmapDistinctProcessor
+      extends StatefulProcessor[String, GroupId, DistinctCount] {
+
+    @transient private var words: MapState[Long, Long] = _
+    @transient private var tot: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      words = getHandle.getMapState[Long, Long](
+        "words", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      tot = getHandle.getValueState[(Long, Long)](
+        "tot", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[GroupId],
+        timerValues: TimerValues): Iterator[DistinctCount] = {
+      val incoming = scala.collection.mutable.Map.empty[Long, Long]
+      rows.foreach { r =>
+        require(r.id >= 0L,
+          s"bitmapDistinct stream: negative id ${r.id} outside the documented non-negative domain")
+        val w = r.id / 64L
+        incoming(w) = incoming.getOrElse(w, 0L) | (1L << (r.id % 64L).toInt)
+      }
+      var (nd, nw) = if (tot.exists()) tot.get() else (0L, 0L)
+      incoming.foreach { case (w, m) =>
+        val old = if (words.containsKey(w)) words.getValue(w) else 0L
+        val added = m & ~old
+        if (added != 0L) {
+          words.updateValue(w, old | m)
+          nd += java.lang.Long.bitCount(added).toLong
+          if (old == 0L) nw += 1L
+        }
+      }
+      tot.update((nd, nw))
+      Iterator.single(DistinctCount(key, nd, nw))
+    }
+  }
+
+  def streamingBitmapDistinct(ds: Dataset[GroupId]): Dataset[DistinctCount] = {
+    implicit val outEnc: Encoder[DistinctCount] = Encoders.product[DistinctCount]
+    ds.groupByKey(_.grp)(Encoders.STRING)
+      .transformWithState(new BitmapDistinctProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class SourceGram(src: String, g: String)
   final case class BoilerCand(source: String, gram: String, lb: Long, n: Long)
 

@@ -88,6 +88,46 @@ class TransformWithStateSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streamingBitmapDistinct: running counter equals the batch bitmap at EVERY batch prefix") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{DistinctCount, GroupId}
+      val rnd = new scala.util.Random(59)
+      val rows: Seq[GroupId] = Seq.fill(1500)(
+        GroupId(s"g${rnd.nextInt(3)}", rnd.nextInt(400).toLong)) ++
+        Seq(GroupId("g0", 63L), GroupId("g0", 64L)) // word boundary + sign bit
+      val latest = scala.collection.mutable.Map[String, DistinctCount]()
+      val input = MemoryStream[GroupId]
+      val query = TransformWithStateOps.streamingBitmapDistinct(input.toDS())
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[DistinctCount], _: Long) =>
+          df.collect().foreach(r => latest(r.grp) = r); ()
+        }.start()
+      try {
+        var prefix = Seq.empty[GroupId]
+        rows.grouped(400).foreach { b =>
+          input.addData(b: _*); query.processAllAvailable()
+          prefix = prefix ++ b
+          // the running counter is the batch readout at EVERY prefix,
+          // not only at the end — the online-≡-batch contract
+          val batch = graft.ext.Sketches.bitmapDistinct(
+              prefix.toDF("g", "id"), "g", col("id"))
+            .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+          batch.foreach { case (g, (nd, nw)) =>
+            assert(latest(g) == DistinctCount(g, nd, nw), s"prefix mismatch for $g")
+          }
+        }
+      } finally query.stop()
+      // and the final state equals an exact countDistinct
+      val want = rows.groupBy(_.grp).map { case (g, xs) =>
+        g -> xs.map(_.id).distinct.size.toLong
+      }
+      want.foreach { case (g, nd) => assert(latest(g).n_distinct == nd, g) }
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streamingBloomDedup: repeats always flagged; per-key flag multisets match the seen-set model") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
