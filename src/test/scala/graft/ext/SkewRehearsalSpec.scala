@@ -134,6 +134,60 @@ class SkewRehearsalSpec extends AnyFunSuite {
     assert(b.diskSpillBytes == 0, "hub CC spilled to disk")
   }
 
+  test("walk operators under hub-degree skew: first-order immune, node2vec bounded per walk-visit") {
+    // Zipf-extreme rehearsal for the walk generators (round-12 item):
+    // one hub of degree 20k, spokes of degree 1 — every walk's first
+    // hop lands ON the hub, the worst case for both operators at once.
+    // randomWalks (two-equi-join hop, the r12 reshape): the hop probe
+    // carries |walks| rows and the hub's degree row is ONE broadcastable
+    // row — deg(hub) NEVER materializes, so the shuffle is walk-count
+    // sized regardless of hub degree (structural immunity).
+    // node2vecWalks: the second-order bias needs the full neighbor
+    // fan-out, so a walk AT the hub costs deg(hub) candidate rows — the
+    // inherent footprint — but candidates shard by (origin, walk): the
+    // per-task bound is deg(hub) rows PER WALK-VISIT (not walks×deg in
+    // one task), which is what keeps the 1000-executor straggler story
+    // bounded: one window partition per walk, each ≤ deg(hub).
+    val spokes = 20000L
+    val hubEdges = spark.range(1, spokes + 1)
+      .select(lit(0L).cast("string").as("src"), col("id").cast("string").as("dst"))
+    val edges = hubEdges.unionByName(
+      hubEdges.select(col("dst").as("src"), col("src").as("dst")))
+    val origins = spark.range(1, 33).select(col("id").cast("string").as("origin"))
+
+    val (rwCount, brw) = TaskBudgetListener.measure(spark) {
+      Graphs.randomWalks(edges, origins, walksPerNode = 2, steps = 3).count()
+    }
+    info(s"randomWalks hub: ${brw.pretty}")
+    // 32 origins x 2 walks x 4 steps (incl. step 0), all full length
+    assert(rwCount == 32L * 2L * 4L, s"walk corpus wrong size: $rwCount")
+    // adjacency indexing shuffles the 40k-edge graph once (~sub-MB);
+    // per-hop state is 64 walk rows — a deg-fanout regression would read
+    // walks x 20k rows through the exchanges instead
+    assert(brw.shuffleWriteBytes < 8 * MB,
+      s"first-order hop fanned out by hub degree: shufW=${brw.shuffleWriteBytes}")
+    assert(brw.memorySpillBytes == 0 && brw.diskSpillBytes == 0, "randomWalks spilled")
+
+    val (nvCount, bnv) = TaskBudgetListener.measure(spark) {
+      Graphs.node2vecWalks(edges, origins, walksPerNode = 2, steps = 3,
+        retW = 250, comW = 1000, outW = 500).count()
+    }
+    info(s"node2vec hub:   ${bnv.pretty}")
+    assert(nvCount == 32L * 2L * 4L, s"node2vec corpus wrong size: $nvCount")
+    // the hub visit costs 64 walks x 20k candidates ≈ 1.3M rows through
+    // the cumulative windows — the documented second-order footprint;
+    // the assertion is on the SHARDING: no single task may concentrate
+    // the whole fan-out (walks spread across window partitions), and
+    // nothing spills
+    assert(bnv.maxTaskShuffleShare < 0.35,
+      f"hub fan-out concentrated in one task: ${bnv.maxTaskShuffleShare}%.2f")
+    assert(bnv.memorySpillBytes == 0 && bnv.diskSpillBytes == 0, "node2vec spilled")
+    // and the footprint ratio documents WHY node2vec costs more under
+    // hubs: second-order moves >= 5x the first-order bytes here
+    assert(bnv.shuffleWriteBytes > brw.shuffleWriteBytes,
+      "scenario lost its point: node2vec should pay the fan-out randomWalks avoids")
+  }
+
   test("guarded bucket pairs star-split an oversized (boilerplate) bucket instead of going quadratic") {
     // one 3000-member bucket + 50 small ones; unguarded within-bucket
     // pairing would emit 3000*2999/2 ≈ 4.5M candidates from the hot
