@@ -55,6 +55,40 @@ object GraphQueries {
          |GROUP BY node ORDER BY host""".stripMargin
   }
 
+  /** Host-graph deterministic walk corpus (2 walks × 4 hops from every
+    * host, hash-mod-degree hop rule) as a CTE chain ending in `corpus`
+    * (origin, walk, step, node) — the shared substrate of the q314
+    * readout and the q325 skip-gram rollup. */
+  private lazy val hostWalkCorpusSql: String = {
+    // single line: a continuation margin here would be re-stripped by
+    // the enclosing templates' stripMargin (nested-interpolation hazard)
+    val h = (stepLit: String) =>
+      "CAST(('0x' || substring(md5(origin||':'||CAST(walk AS VARCHAR)" +
+        s"||':'||$stepLit||':'||cur),1,15)) AS BIGINT)"
+    val hops = (1 to 4).map(i =>
+      s"""w$i AS MATERIALIZED (
+         |  SELECT origin, walk, adj.dst AS cur
+         |  FROM w${i - 1} JOIN adj ON adj.src = w${i - 1}.cur
+         |    AND adj.idx = ${h(s"'$i'")} % adj.deg)""".stripMargin)
+      .mkString(",\n")
+    val readout = (0 to 4).map(i =>
+      s"SELECT origin, CAST(walk AS BIGINT) AS walk, CAST($i AS BIGINT) AS step, cur AS node FROM w$i")
+      .mkString("\n  UNION ALL\n  ")
+    hostGraphSql +
+      s""",
+         |adj AS MATERIALIZED (
+         |  SELECT src, dst,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+         |    COUNT(*) OVER (PARTITION BY src) AS deg
+         |  FROM sym),
+         |w0 AS (SELECT src AS origin, w AS walk, src AS cur
+         |       FROM (SELECT DISTINCT src FROM sym),
+         |            unnest(generate_series(0, 1)) t(w)),
+         |$hops,
+         |corpus AS MATERIALIZED (
+         |  $readout)""".stripMargin
+  }
+
   def queries: Seq[QueryDef] = Seq(
 
     // Supplier authority via integer-exact PageRank on the symmetrized
@@ -1414,35 +1448,8 @@ object GraphQueries {
           .select(col("origin"), col("walk"), col("step"), col("node"))
           .orderBy(col("origin"), col("walk"), col("step"))
       },
-      Some({
-        // single line: a continuation margin here would be re-stripped by
-        // the enclosing templates' stripMargin (nested-interpolation hazard)
-        val h = (stepLit: String) =>
-          "CAST(('0x' || substring(md5(origin||':'||CAST(walk AS VARCHAR)" +
-            s"||':'||$stepLit||':'||cur),1,15)) AS BIGINT)"
-        val hops = (1 to 4).map(i =>
-          s"""w$i AS MATERIALIZED (
-             |  SELECT origin, walk, adj.dst AS cur
-             |  FROM w${i - 1} JOIN adj ON adj.src = w${i - 1}.cur
-             |    AND adj.idx = ${h(s"'$i'")} % adj.deg)""".stripMargin)
-          .mkString(",\n")
-        val readout = (0 to 4).map(i =>
-          s"SELECT origin, CAST(walk AS BIGINT) AS walk, CAST($i AS BIGINT) AS step, cur AS node FROM w$i")
-          .mkString("\nUNION ALL\n")
-        hostGraphSql +
-          s""",
-             |adj AS MATERIALIZED (
-             |  SELECT src, dst,
-             |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
-             |    COUNT(*) OVER (PARTITION BY src) AS deg
-             |  FROM sym),
-             |w0 AS (SELECT src AS origin, w AS walk, src AS cur
-             |       FROM (SELECT DISTINCT src FROM sym),
-             |            unnest(generate_series(0, 1)) t(w)),
-             |$hops
-             |$readout
-             |ORDER BY origin, walk, step""".stripMargin
-      }),
+      Some(hostWalkCorpusSql +
+        "\nSELECT origin, walk, step, node FROM corpus ORDER BY origin, walk, step"),
     ),
 
     // DETERMINISTIC node2vec walks over the host link graph — the
@@ -1679,6 +1686,137 @@ object GraphQueries {
           .orderBy(col("host"))
       },
       Some(hostBetweenness4Sql),
+    ),
+
+    // SKIP-GRAM pair counts over the q314 walk corpus — the word2vec
+    // training table DeepWalk actually trains on (the walk corpus is
+    // the intermediate; THIS is the training-data product): for every
+    // walk, every node pair within 2 steps of each other contributes
+    // one (center, context) observation (Graphs.skipGramPairs — one
+    // offset explode + one exact-key self-join + one combinable count,
+    // no range residual). The oracle replays the corpus CTE (shared
+    // with q314) and a |step-distance| self-join.
+    QueryDef(
+      "q325_skipgram_pairs",
+      (s, dir) => {
+        val g = PinnedCache.pin(hostLinkGraph(s, dir))
+        Graphs.skipGramPairs(
+            Graphs.randomWalks(g, g.select(col("src").as("origin")).distinct(),
+              walksPerNode = 2, steps = 4),
+            window = 2)
+          .orderBy(col("center"), col("context"))
+      },
+      Some(hostWalkCorpusSql +
+        """
+          |SELECT a.node AS center, b.node AS context,
+          |  COUNT(*)::BIGINT AS cnt
+          |FROM corpus a JOIN corpus b
+          |  ON a.origin = b.origin AND a.walk = b.walk
+          | AND abs(a.step - b.step) BETWEEN 1 AND 2
+          |GROUP BY 1, 2 ORDER BY center, context""".stripMargin),
+    ),
+
+    // k-TRUSS of the near-duplicate pair graph — the EDGE-level
+    // cohesion readout completing the node-level tier (k-core q186,
+    // triangles q139/q220): 2 peel rounds of "drop edges in fewer than
+    // k−2 triangles" at k = 3, support counted from each edge's
+    // LOWER-degree endpoint (the arboricity-bounded wedge join —
+    // Graphs.kTrussEdges). On the dup graph this is the CLUSTER-CORE
+    // detector a curator wants: true duplicate groups are near-cliques
+    // whose edges all carry triangle support, while a spurious
+    // borderline-jaccard pair linking two unrelated groups sits in no
+    // triangle and is peeled — canonical-selection then runs on the
+    // truss, not the raw pair list. Oracle: q318's shingle-jaccard
+    // pair CTE + per-round common-neighbor recount + the
+    // final-subgraph support readout.
+    QueryDef(
+      "q326_ktruss",
+      (s, dir) => {
+        val pairs = PinnedCache.pin(
+          Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
+            .select(col("a_id").as("a"), col("b_id").as("b")))
+        Graphs.kTrussEdges(pairs, k = 3, rounds = 2)
+          .orderBy(col("a"), col("b"))
+      },
+      Some({
+        val round = (i: Int) =>
+          s"""p$i AS MATERIALIZED (
+             |  SELECT e.a, e.b,
+             |    (SELECT COUNT(*) FROM s${i - 1} x JOIN s${i - 1} y ON x.b = y.b
+             |     WHERE x.a = e.a AND y.a = e.b) AS sup
+             |  FROM e${i - 1} e),
+             |e$i AS MATERIALIZED (SELECT a, b FROM p$i WHERE sup >= 1),
+             |s$i AS (SELECT a, b FROM e$i UNION ALL SELECT b, a FROM e$i)""".stripMargin
+        s"""WITH sh AS (
+           |  SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+           |                                FOR i IN generate_series(1, len(toks)-2)]) AS s
+           |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+           |  WHERE len(toks) >= 3),
+           |e0 AS MATERIALIZED (
+           |  SELECT a.doc_id AS a, b.doc_id AS b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+           |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+           |s0 AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+           |${(1 to 2).map(round).mkString(",\n")}
+           |SELECT e.a, e.b,
+           |  (SELECT COUNT(*) FROM s2 x JOIN s2 y ON x.b = y.b
+           |   WHERE x.a = e.a AND y.a = e.b)::BIGINT AS support
+           |FROM e2 e ORDER BY a, b""".stripMargin
+      }),
+    ),
+
+    // One integer LOUVAIN move pass refining the q183-style LPA labels
+    // on the host graph — the community tier becomes propose (LPA) →
+    // score (modularity q313) → IMPROVE (this): every node moves to
+    // the neighboring community maximizing the cross-multiplied gain
+    // score 2m·k_in(c) − k_i·(Σtot(c) − [c=cur]·k_i), ties to the
+    // smaller label, all integer (Graphs.modularityGainMove — no
+    // division, engine-exact). Demo starts from SINGLETONS (the
+    // classic Louvain level-1 first sweep). The oracle replays degree/
+    // tot/k_in and the argmax with the identical tie-break.
+    QueryDef(
+      "q327_modularity_move",
+      (s, dir) => {
+        val g = PinnedCache.pin(hostLinkGraph(s, dir))
+        // hostLinkGraph is SYMMETRIC; the operator wants each undirected
+        // edge once (the q313 convention) — canonicalize before passing
+        val und = g.where(col("src") < col("dst"))
+        val singles = g.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("lab"))
+        Graphs.modularityGainMove(und, singles)
+          .select(col("node").as("host"), col("lab").as("community"))
+          .orderBy(col("host"))
+      },
+      Some(hostGraphSql +
+        """,
+          |sym2 AS (SELECT src, dst FROM sym WHERE src <> dst),
+          |m AS (SELECT COUNT(*) AS m FROM sym2 WHERE src < dst),
+          |degt AS (SELECT src AS node, COUNT(*) AS ki FROM sym2 GROUP BY src),
+          |lab AS (SELECT src AS node, src AS lab FROM (SELECT DISTINCT src FROM sym2)),
+          |tot AS (SELECT lab.lab, SUM(degt.ki) AS tot
+          |        FROM degt JOIN lab ON lab.node = degt.node GROUP BY lab.lab),
+          |kin AS (SELECT sym2.src AS node, lab.lab AS c, COUNT(*) AS kin
+          |        FROM sym2 JOIN lab ON lab.node = sym2.dst GROUP BY 1, 2),
+          |cand AS (
+          |  SELECT node, c, kin FROM kin
+          |  UNION
+          |  SELECT lab.node, lab.lab AS c, COALESCE(kin.kin, 0) AS kin
+          |  FROM lab LEFT JOIN kin ON kin.node = lab.node AND kin.c = lab.lab),
+          |scored AS (
+          |  SELECT cand.node, cand.c,
+          |    2 * m.m * cand.kin
+          |      - degt.ki * (tot.tot - CASE WHEN cand.c = lab.lab
+          |                                  THEN degt.ki ELSE 0 END) AS score
+          |  FROM cand
+          |  JOIN lab ON lab.node = cand.node
+          |  JOIN degt ON degt.node = cand.node
+          |  JOIN tot ON tot.lab = cand.c, m)
+          |SELECT node AS host, c AS community FROM (
+          |  SELECT node, c,
+          |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY score DESC, c) AS rn
+          |  FROM scored) WHERE rn = 1
+          |ORDER BY host""".stripMargin),
     ),
   )
 }

@@ -1569,6 +1569,78 @@ object Graphs {
         col("intra_edges"), col("q_ppm"))
   }
 
+  /** One synchronous LOUVAIN-STYLE greedy move pass in exact integer
+    * arithmetic — the community-REFINEMENT member of the community tier
+    * ([[labelPropagation]] proposes, [[modularityByCommunity]] scores,
+    * this IMPROVES): every node simultaneously moves to the candidate
+    * community (its own, or any neighbor's) maximizing the modularity
+    * gain. Candidates are compared by the cross-multiplied integer
+    * score
+    *   score(i → c) = 2m·k_i,in(c) − k_i·(Σtot(c) − [c = cur_i]·k_i)
+    * which orders candidate targets exactly as Newman ΔQ does (the
+    * removal-from-own-community term is constant across targets, and
+    * 2m² > 0 scales ΔQ monotonically) — no division anywhere, so both
+    * engines agree bit-for-bit. Ties break to the SMALLER community
+    * label; labeled nodes absent from the edge list are excluded
+    * (degree comes from edges — the [[modularityByCommunity]]
+    * convention).
+    *
+    * SYNCHRONOUS caveat (stated, not hidden): all nodes move
+    * simultaneously — the standard distributed-Louvain compromise
+    * (sequential moves are provably monotone in Q but serialize the
+    * whole graph through one decision order). A synchronous sweep can
+    * OSCILLATE — two adjacent nodes may swap into each other's
+    * communities, and a sweep from singletons can lower Q — so the
+    * operator's contract is REFINEMENT PROPOSAL, not guaranteed
+    * ascent: from a near-converged assignment (LPA output, a previous
+    * sweep's majority) a single mislabeled node moves home and Q
+    * strictly improves (the spec pins exactly that), while from
+    * singletons the sweep is the classic first-iteration shuffle whose
+    * quality the [[modularityByCommunity]] readout (q313) adjudicates.
+    * Alternate sweeps with LPA or re-score per sweep at scale.
+    *
+    * Overflow bound: 2m·k_i,in ≤ 4m² and k_i·Σtot ≤ 4m², so scores
+    * stay under 2⁶³ for m ≤ 1.5·10⁹ edges — five decimal orders past
+    * the [[modularityByCommunity]] ppm guard; no guard needed.
+    *
+    * Shape: one neighbor-label join + (node, lab) rollup for k_i,in,
+    * one community-sized Σtot rollup (broadcastable), one argmax via a
+    * single struct-min aggregate — Pregel-shaped, no all-pairs
+    * anything. */
+  def modularityGainMove(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.toDF("a", "b")
+    val lab = PinnedCache.pin(labels.toDF("node", "lab"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("ki"))
+    val tot = deg.join(lab, "node")
+      .groupBy(col("lab")).agg(sum(col("ki")).as("tot"))
+    // k_i,in(c) for every neighboring community c of i
+    val kin = sym
+      .join(lab.select(col("node").as("b"), col("lab").as("c")), "b")
+      .groupBy(col("a").as("node"), col("c")).agg(count(lit(1)).as("kin"))
+    // the stay-put candidate: k_i,in(cur) if any neighbor shares the
+    // label, else 0 — full-outer against kin restricted to c = cur
+    val curCand = lab.select(col("node"), col("lab").as("c"))
+      .join(kin, Seq("node", "c"), "left_outer")
+      .select(col("node"), col("c"), coalesce(col("kin"), lit(0L)).as("kin"))
+    val cands = kin.unionByName(curCand)
+      .groupBy(col("node"), col("c")).agg(max(col("kin")).as("kin"))
+    cands
+      .join(lab.select(col("node"), col("lab").as("cur")), "node")
+      .join(deg, "node")
+      .join(tot.select(col("lab").as("c"), col("tot")), "c")
+      .crossJoin(broadcast(m))
+      .select(col("node"), col("c"),
+        (lit(2L) * col("m") * col("kin") -
+          col("ki") * (col("tot") -
+            when(col("c") === col("cur"), col("ki")).otherwise(lit(0L))))
+          .as("score"))
+      .groupBy(col("node"))
+      .agg(min(struct((-col("score")).as("ns"), col("c").as("c"))).as("s"))
+      .select(col("node"), col("s.c").as("lab"))
+  }
+
   /** Portable 60-bit hash driving walk-step choices — delegates to
     * [[Sampling.portableHash]] (ONE copy of the engine-portability-
     * critical recipe; the extra string cast is a no-op on these keys). */
@@ -1717,6 +1789,95 @@ object Graphs {
         lit(s.toLong).as("step"), col("cur").as("node")))
     }
     out
+  }
+
+  /** SKIP-GRAM (center, context) pair counts from a walk corpus — the
+    * word2vec-style training table that [[randomWalks]]/[[node2vecWalks]]
+    * corpora exist to feed (DeepWalk trains skip-gram ON the walks; this
+    * is that materialization as data): for every walk, every ordered
+    * node pair within `window` steps of each other (either direction,
+    * excluding distance 0) contributes one observation; output is
+    * (center, context, cnt). Deterministic — a pure function of the
+    * (already deterministic) corpus.
+    *
+    * Shape: the corpus explodes into 2·window offset probes (cheap —
+    * corpus rows × 2w) and ONE equi-join back to itself on the exact
+    * (origin, walk, step) key — no range residual, no per-walk
+    * collect_list; then one map-side-combinable count. Walks that
+    * terminated early (sinks) contribute only their existing steps —
+    * the join drops the rest, same as the corpus itself. */
+  def skipGramPairs(corpus: DataFrame, window: Int): DataFrame = {
+    require(window >= 1 && window <= 10, "window in [1,10]")
+    val c = PinnedCache.pin(corpus.toDF("origin", "walk", "step", "node"))
+    val offsets = (-window to window).filter(_ != 0)
+    c.select(col("origin"), col("walk"), col("node").as("center"),
+        col("step"),
+        explode(array(offsets.map(o => lit(o.toLong)): _*)).as("off"))
+      .select(col("origin"), col("walk"), col("center"),
+        (col("step") + col("off")).as("step"))
+      .join(c.select(col("origin"), col("walk"), col("step"),
+        col("node").as("context")), Seq("origin", "walk", "step"))
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Fixed-round k-TRUSS peel over an undirected edge list `(a, b)` —
+    * the EDGE-level cohesion tier completing the node-level
+    * [[kCorePeel]] and the per-node [[triangleCounts]]: each round
+    * computes every surviving edge's SUPPORT (the number of triangles
+    * through it = common neighbors of its endpoints) and drops edges
+    * with support < k−2; `rounds` fixed synchronous rounds (the
+    * [[kCorePeel]] fixed-iteration contract — run to the graph's truss
+    * peel depth for the converged k-truss; the readout reports support
+    * recomputed on the FINAL surviving subgraph, which after an
+    * unconverged last peel may be below k−2 for some edges, exactly as
+    * [[kCorePeel]]'s degrees may be). Output: (a, b, support) with
+    * a < b canonical.
+    *
+    * Shape per round: support is counted from each edge's
+    * LOWER-DEGREE endpoint — one wedge join fanning Σ_e min(deg(a),
+    * deg(b)) candidate rows (the O(α·m) arboricity bound, the same
+    * orientation discipline as [[triangleCounts]]) closed by one
+    * edge-keyed semi-join; never Σ deg and never all-pairs. The peel
+    * itself is one support filter + semi-join. Overflow-free: supports
+    * and degrees are counts ≤ m. */
+  def kTrussEdges(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && k <= 10, "k in [3,10]")
+    require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
+    val e = edges.toDF("a", "b")
+    var cur = e
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    def supportOf(es: DataFrame): DataFrame = {
+      val sym = es.unionByName(es.select(col("b").as("a"), col("a").as("b")))
+      val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("deg"))
+      // probe from the lower-degree endpoint (ties by node): the wedge
+      // fan-out is min(deg(a), deg(b)) per edge — the arboricity bound
+      val oriented = es
+        .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+        .select(col("a"), col("b"),
+          when(struct(col("da"), col("a")) <= struct(col("db"), col("b")),
+            col("a")).otherwise(col("b")).as("p"),
+          when(struct(col("da"), col("a")) <= struct(col("db"), col("b")),
+            col("b")).otherwise(col("a")).as("o"))
+      oriented
+        .join(sym.select(col("a").as("p"), col("b").as("c")), "p")
+        .join(sym.select(col("a").as("o"), col("b").as("c")),
+          Seq("o", "c"), "left_semi")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    }
+    for (_ <- 1 to rounds) {
+      cur = cur
+        .join(supportOf(cur).where(col("support") >= (k - 2).toLong),
+          Seq("a", "b"), "left_semi")
+        .localCheckpoint(true)
+    }
+    cur.join(supportOf(cur), Seq("a", "b"), "left_outer")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
   }
 
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {

@@ -342,6 +342,36 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q324 spilled")
   }
 
+  test("q325 skip-gram pairs: offset explode + exact-key self-join, corpus-sized") {
+    val b = measure("q325_skipgram_pairs")
+    // corpus x 2w probe rows through ONE equi-join + one combinable
+    // count — never a range join, never per-walk collect_list
+    // measured 0.6 MB at sf0.01
+    assert(b.shuffleWriteBytes < 2 * MB,
+      s"skip-gram shuffled beyond corpus x offsets: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q325 spilled")
+  }
+
+  test("q326 k-truss: arboricity-bounded wedge support, never all-pairs") {
+    val b = measure("q326_ktruss")
+    // the jaccard pair gen dominates (the q318/q320 band); each truss
+    // round probes from the lower-degree endpoint — min(deg) fan-out
+    // measured 0.4 MB at sf0.01
+    assert(b.shuffleWriteBytes < 2 * MB,
+      s"k-truss shuffled beyond wedges: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q326 spilled")
+  }
+
+  test("q327 modularity move: neighbor-label rollup + community-sized tot, one argmax") {
+    val b = measure("q327_modularity_move")
+    // one sym x labels join + (node, lab) rollup, a community-sized tot
+    // rollup, one struct-min aggregate — Pregel-shaped, no all-pairs
+    // measured 0.4 MB at sf0.01
+    assert(b.shuffleWriteBytes < 2 * MB,
+      s"modularity move shuffled beyond label state: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q327 spilled")
+  }
+
   test("q313 modularity: community rollups shuffle graph-sized longs, 1-row m broadcast") {
     val b = measure("q313_modularity")
     // the LPA rounds dominate (the q183 band); the modularity stage adds
