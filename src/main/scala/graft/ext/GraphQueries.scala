@@ -1716,6 +1716,34 @@ object GraphQueries {
           |GROUP BY 1, 2 ORDER BY center, context""".stripMargin),
     ),
 
+    // INCREMENTAL walk corpus (q314's maintained form — the ELEVENTH
+    // maintained member, and the first over a training-data PRODUCT
+    // rather than a statistic): a deterministic hash walk re-reads
+    // only the out-adjacency of nodes it stands on, so an additive
+    // edge wave touches exactly the walks that visit a delta SRC at a
+    // hop step — those origins re-walk on the union graph, every other
+    // origin's corpus rows pass through VERBATIM
+    // (Graphs.incrementalRandomWalks). The oracle is the ONE-SHOT
+    // corpus over ALL edges (q314's shared CTE), so a pass proves
+    // maintained ≡ recompute; IncrementalRandomWalksSpec adds poison-
+    // verbatim, sink-unsinking, and dst-only-precision cases.
+    QueryDef(
+      "q328_incremental_walks",
+      (s, dir) => {
+        val g = PinnedCache.pin(hostLinkGraph(s, dir))
+        val isBase = pmod(hash(col("src"), col("dst")), lit(5)) =!= 0
+        val base = PinnedCache.pin(g.where(isBase))
+        val delta = g.where(!isBase)
+        val origins = g.select(col("src").as("origin")).distinct()
+        Graphs.incrementalRandomWalks(
+            Graphs.randomWalks(base, origins, walksPerNode = 2, steps = 4),
+            base, delta, walksPerNode = 2, steps = 4)
+          .orderBy(col("origin"), col("walk"), col("step"))
+      },
+      Some(hostWalkCorpusSql +
+        "\nSELECT origin, walk, step, node FROM corpus ORDER BY origin, walk, step"),
+    ),
+
     // k-TRUSS of the near-duplicate pair graph — the EDGE-level
     // cohesion readout completing the node-level tier (k-core q186,
     // triangles q139/q220): 2 peel rounds of "drop edges in fewer than

@@ -1704,6 +1704,53 @@ object Graphs {
     out
   }
 
+  /** INCREMENTAL [[randomWalks]] — the walk-CORPUS maintained form
+    * (the q304/q311/q324 discipline applied to a training-data
+    * PRODUCT, not a statistic): given the stored corpus for the base
+    * graph and an additive `deltaEdges` wave, produce the corpus
+    * IDENTICAL to re-running [[randomWalks]] over base ∪ delta.
+    *
+    * Exactness argument: a hop from `cur` reads ONLY cur's out-
+    * adjacency (the sorted distinct dst list and its size feed the
+    * hash-mod-degree pick), and adjacency changes only for the SRC
+    * endpoints of delta edges — so a walk whose trajectory never
+    * stands on a delta src at any step it hops from (step < steps,
+    * including a sink-terminated walk's last stand) makes bit-identical
+    * choices on the union graph and its stored rows pass through
+    * VERBATIM. Walks that do touch a delta src are re-walked on the
+    * union graph. Granularity is the ORIGIN (all its walks re-walk
+    * together): an untouched walk of a touched origin recomputes to
+    * exactly its stored rows (hash choices are per-(origin, walk)
+    * coordinate, independent across walks), so origin-keyed maintenance
+    * is still bit-exact while keeping the replay one [[randomWalks]]
+    * call.
+    *
+    * Scale shape: touched detection is one corpus⋈delta-srcs semi-join
+    * (corpus scanned once, never rewritten); the replay costs
+    * |touched origins| · walks · steps — cost ∝ the touched region.
+    * Requires base ∩ delta = ∅ and the same (walksPerNode, steps). */
+  def incrementalRandomWalks(prevCorpus: DataFrame, baseEdges: DataFrame,
+      deltaEdges: DataFrame, walksPerNode: Int, steps: Int): DataFrame = {
+    val corpus = PinnedCache.pin(
+      prevCorpus.toDF("origin", "walk", "step", "node"))
+    val dE = PinnedCache.pin(deltaEdges.toDF("src", "dst").distinct())
+    val all = baseEdges.toDF("src", "dst").unionByName(dE)
+    // a walk is touched iff it STANDS ON a delta src at a step it hops
+    // from — i.e. any step < steps (a full-length walk's last row only
+    // receives; a truncated walk's last row was a sink, and a delta
+    // edge out of it un-sinks the walk, so it counts — which it does:
+    // its step is < steps exactly because the walk terminated early)
+    val touchedOrigins = corpus
+      .where(col("step") < steps.toLong)
+      .join(dE.select(col("src").as("node")), Seq("node"), "left_semi")
+      .select(col("origin")).distinct()
+    val replayed = randomWalks(all, touchedOrigins, walksPerNode, steps)
+    corpus
+      .join(touchedOrigins, Seq("origin"), "left_anti")
+      .select(col("origin"), col("walk"), col("step"), col("node"))
+      .unionByName(replayed)
+  }
+
   /** One [[randomWalks]] hop, uncheckpointed — package-visible so the
     * plan spec can pin the two-equi-join shape (degree join → ridx on
     * the frontier → composite-key adjacency join, NO pmod residual in

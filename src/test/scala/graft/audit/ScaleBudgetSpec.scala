@@ -352,6 +352,16 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q325 spilled")
   }
 
+  test("q328 incremental walks: touched-origin semi-join + replay, corpus never rewritten") {
+    val b = measure("q328_incremental_walks")
+    // base corpus gen (the proof obligation) dominates; maintenance adds
+    // one corpus x delta-srcs semi-join and a touched-origins replay
+    // measured 0.5 MB at sf0.01
+    assert(b.shuffleWriteBytes < 2 * MB,
+      s"incremental walks shuffled beyond the touched region: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q328 spilled")
+  }
+
   test("q326 k-truss: arboricity-bounded wedge support, never all-pairs") {
     val b = measure("q326_ktruss")
     // the jaccard pair gen dominates (the q318/q320 band); each truss
