@@ -1794,6 +1794,62 @@ object GraphQueries {
       }),
     ),
 
+    // INCREMENTAL k-truss (q326's maintained form — the TWELFTH
+    // maintained member, the edge-cohesion one): membership divergence
+    // spreads at most one node-hop per peel round from the delta
+    // endpoints, so the maintained replay recomputes only edges with
+    // an endpoint inside the (R+1)-ball, reads each round's
+    // out-of-ball survivor context from the stored peel TRAJECTORY
+    // (Graphs.kTrussTrace — the q323 trajectory-replay convention),
+    // and passes the stored final (a, b, support) rows outside the
+    // ball through VERBATIM (Graphs.incrementalKTruss). The oracle is
+    // the ONE-SHOT batch truss over ALL pairs (q326's SQL), so a pass
+    // proves maintained ≡ recompute; IncrementalKTrussSpec adds
+    // phantom-edge poison, resurrection-cascade, and distance-
+    // precision cases.
+    QueryDef(
+      "q329_incremental_ktruss",
+      (s, dir) => {
+        val pairs = PinnedCache.pin(
+          Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
+            .select(col("a_id").as("a"), col("b_id").as("b")))
+        val isBase = pmod(hash(col("a"), col("b")), lit(5)) =!= 0
+        val base = PinnedCache.pin(pairs.where(isBase))
+        val delta = pairs.where(!isBase)
+        Graphs.incrementalKTruss(
+            Graphs.kTrussTrace(base, k = 3, rounds = 2),
+            Graphs.kTrussEdges(base, k = 3, rounds = 2),
+            base, delta, k = 3, rounds = 2)
+          .orderBy(col("a"), col("b"))
+      },
+      Some({
+        val round = (i: Int) =>
+          s"""p$i AS MATERIALIZED (
+             |  SELECT e.a, e.b,
+             |    (SELECT COUNT(*) FROM s${i - 1} x JOIN s${i - 1} y ON x.b = y.b
+             |     WHERE x.a = e.a AND y.a = e.b) AS sup
+             |  FROM e${i - 1} e),
+             |e$i AS MATERIALIZED (SELECT a, b FROM p$i WHERE sup >= 1),
+             |s$i AS (SELECT a, b FROM e$i UNION ALL SELECT b, a FROM e$i)""".stripMargin
+        s"""WITH sh AS (
+           |  SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+           |                                FOR i IN generate_series(1, len(toks)-2)]) AS s
+           |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+           |  WHERE len(toks) >= 3),
+           |e0 AS MATERIALIZED (
+           |  SELECT a.doc_id AS a, b.doc_id AS b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+           |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+           |s0 AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+           |${(1 to 2).map(round).mkString(",\n")}
+           |SELECT e.a, e.b,
+           |  (SELECT COUNT(*) FROM s2 x JOIN s2 y ON x.b = y.b
+           |   WHERE x.a = e.a AND y.a = e.b)::BIGINT AS support
+           |FROM e2 e ORDER BY a, b""".stripMargin
+      }),
+    ),
+
     // One integer LOUVAIN move pass refining the q183-style LPA labels
     // on the host graph — the community tier becomes propose (LPA) →
     // score (modularity q313) → IMPROVE (this): every node moves to

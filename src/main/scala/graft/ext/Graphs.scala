@@ -1889,42 +1889,144 @@ object Graphs {
     * itself is one support filter + semi-join. Overflow-free: supports
     * and degrees are counts ≤ m. */
   def kTrussEdges(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    require(k >= 3 && k <= 10, "k in [3,10]")
-    require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
-    val e = edges.toDF("a", "b")
-    var cur = e
+    val t = kTrussTrace(edges, k, rounds)
+    val fin = t.where(col("round") === rounds.toLong)
+      .select(col("a"), col("b"))
+    fin.join(edgeSupport(fin, fin), Seq("a", "b"), "left_outer")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** Canonical (a < b, no loops, distinct) form of an edge frame. */
+  private def canonicalEdges(edges: DataFrame): DataFrame =
+    edges.toDF("a", "b")
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .where(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true)
-    def supportOf(es: DataFrame): DataFrame = {
-      val sym = es.unionByName(es.select(col("b").as("a"), col("a").as("b")))
-      val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("deg"))
-      // probe from the lower-degree endpoint (ties by node): the wedge
-      // fan-out is min(deg(a), deg(b)) per edge — the arboricity bound
-      val oriented = es
-        .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
-        .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
-        .select(col("a"), col("b"),
-          when(struct(col("da"), col("a")) <= struct(col("db"), col("b")),
-            col("a")).otherwise(col("b")).as("p"),
-          when(struct(col("da"), col("a")) <= struct(col("db"), col("b")),
-            col("b")).otherwise(col("a")).as("o"))
-      oriented
-        .join(sym.select(col("a").as("p"), col("b").as("c")), "p")
-        .join(sym.select(col("a").as("o"), col("b").as("c")),
-          Seq("o", "c"), "left_semi")
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
-    }
-    for (_ <- 1 to rounds) {
+
+  /** Triangle SUPPORT of every `targets` edge counted within the
+    * `context` graph (both canonical (a, b) frames; targets ⊆ context
+    * for the truss semantics): wedges probe from each target edge's
+    * LOWER-degree endpoint — Σ min(deg a, deg b) candidate rows, the
+    * arboricity bound — closed by one edge-keyed semi-join against the
+    * context. Shared by [[kTrussTrace]] (targets = context = the
+    * survivors) and [[incrementalKTrussTrace]] (targets = the affected
+    * ball, context = ball survivors ∪ stored out-of-ball rows). */
+  private def edgeSupport(targets: DataFrame, context: DataFrame): DataFrame = {
+    val sym = context.unionByName(
+      context.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("deg"))
+    val oriented = targets
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"),
+        when(struct(col("da"), col("a")) <= struct(col("db"), col("b")),
+          col("a")).otherwise(col("b")).as("p"),
+        when(struct(col("da"), col("a")) <= struct(col("db"), col("b")),
+          col("b")).otherwise(col("a")).as("o"))
+    oriented
+      .join(sym.select(col("a").as("p"), col("b").as("c")), "p")
+      .join(sym.select(col("a").as("o"), col("b").as("c")),
+        Seq("o", "c"), "left_semi")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+  }
+
+  /** [[kTrussEdges]]'s full peel TRAJECTORY — (round, a, b) survivor
+    * rows for round 0 (the canonical input) through `rounds` — the
+    * stored state of the maintained form ([[incrementalKTruss]]), the
+    * [[integerKatzTrace]] convention: maintenance replays only the
+    * affected region and reads out-of-region per-round membership from
+    * this trace. */
+  def kTrussTrace(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && k <= 10, "k in [3,10]")
+    require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
+    var cur = canonicalEdges(edges).localCheckpoint(true)
+    val chunks = scala.collection.mutable.ArrayBuffer(
+      cur.select(lit(0L).as("round"), col("a"), col("b")))
+    for (r <- 1 to rounds) {
       cur = cur
-        .join(supportOf(cur).where(col("support") >= (k - 2).toLong),
+        .join(edgeSupport(cur, cur).where(col("support") >= (k - 2).toLong),
+          Seq("a", "b"), "left_semi")
+        .localCheckpoint(true)
+      chunks += cur.select(lit(r.toLong).as("round"), col("a"), col("b"))
+    }
+    chunks.reduce(_ unionByName _)
+  }
+
+  /** INCREMENTAL [[kTrussEdges]] — the TWELFTH maintained form, the
+    * edge-cohesion member (CC q164, LPA q253, PR q304, triangles q306,
+    * k-core q308, HITS q310, distances q311, modularity q318, Katz
+    * q323, betweenness q324, walks q328, truss this): given the stored
+    * peel TRAJECTORY (= [[kTrussTrace]](baseEdges, k, rounds)), the
+    * stored final readout (= [[kTrussEdges]] output), and a DISJOINT
+    * additive `deltaEdges` wave, produce the (a, b, support) frame
+    * IDENTICAL to re-running the batch operator over base ∪ delta.
+    *
+    * Exactness argument (induction on rounds): an edge's round-r
+    * membership diverges from the base run only if its support at
+    * round r−1 diverges, which requires a DIVERGENT or DELTA wedge
+    * edge sharing one of its endpoints — so divergence spreads at most
+    * ONE node-hop per round from the delta endpoints, and after R
+    * rounds every divergent edge has an endpoint within R hops (the
+    * final support readout probes one more adjacency step: R+1). The
+    * maintained replay therefore recomputes only edges with an
+    * endpoint inside the (R+1)-ball of the delta endpoints, reading
+    * each round's OUT-OF-BALL survivor context from the stored
+    * trajectory (membership there is unchanged — the induction), and
+    * passes the stored final (a, b, support) rows outside the ball
+    * through VERBATIM. Additions are monotone (support only grows), so
+    * the replay can only resurrect, never kill, out-of-ball edges —
+    * consistent with pass-through.
+    *
+    * Scale shape: one node ball BFS (cost ∝ touched region), per round
+    * one ball-restricted wedge probe (Σ min-degree over BALL edges
+    * only) against a context built by scanning — never rewriting — the
+    * stored trajectory, and one trace-sized anti-join per round. The
+    * full-graph wedge volume is never re-paid. Requires base ∩ delta
+    * = ∅ and the same (k, rounds). */
+  def incrementalKTruss(prevTrace: DataFrame, prevOut: DataFrame,
+      baseEdges: DataFrame, deltaEdges: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 3 && k <= 10, "k in [3,10]")
+    require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
+    val dE = PinnedCache.pin(canonicalEdges(deltaEdges))
+    val allE = PinnedCache.pin(
+      canonicalEdges(baseEdges).unionByName(dE).distinct())
+    val trace = PinnedCache.pin(prevTrace.toDF("round", "a", "b"))
+    val out = PinnedCache.pin(prevOut.toDF("a", "b", "support"))
+    val sym = allE.unionByName(allE.select(col("b").as("a"), col("a").as("b")))
+    val ballNodes = PinnedCache.pin(bfsDistances(sym,
+      dE.select(col("a").as("node"))
+        .unionByName(dE.select(col("b").as("node"))).distinct(),
+      rounds + 1).select(col("node")))
+    val affected = PinnedCache.pin(
+      allE.join(ballNodes.select(col("node").as("a")), Seq("a"), "left_semi")
+        .unionByName(
+          allE.join(ballNodes.select(col("node").as("b")), Seq("b"), "left_semi")
+            .select(col("a"), col("b")))
+        .distinct())
+    var curA = affected.localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val outOfBall = trace.where(col("round") === (r - 1).toLong)
+        .select(col("a"), col("b"))
+        .join(affected, Seq("a", "b"), "left_anti")
+      val ctx = curA.unionByName(outOfBall)
+      curA = curA
+        .join(edgeSupport(curA, ctx).where(col("support") >= (k - 2).toLong),
           Seq("a", "b"), "left_semi")
         .localCheckpoint(true)
     }
-    cur.join(supportOf(cur), Seq("a", "b"), "left_outer")
+    val passThrough = trace.where(col("round") === rounds.toLong)
+      .select(col("a"), col("b"))
+      .join(affected, Seq("a", "b"), "left_anti")
+    val finalSet = curA.unionByName(passThrough)
+    val inBallOut = curA
+      .join(edgeSupport(curA, finalSet), Seq("a", "b"), "left_outer")
       .select(col("a"), col("b"),
         coalesce(col("support"), lit(0L)).as("support"))
+    out.join(affected, Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"), col("support"))
+      .unionByName(inBallOut)
   }
 
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {

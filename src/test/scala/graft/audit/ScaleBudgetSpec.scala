@@ -362,6 +362,18 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q328 spilled")
   }
 
+  test("q329 incremental k-truss: ball-restricted wedges, trajectory-scanned context") {
+    val b = measure("q329_incremental_ktruss")
+    // base trace + readout (the proof obligation) dominate; maintenance
+    // adds the node ball BFS, per-round BALL-edge wedges against a
+    // context scanned from the stored trajectory, and trace-sized
+    // anti-joins — never a full-graph wedge re-pay
+    // measured 0.4 MB at sf0.01
+    assert(b.shuffleWriteBytes < 2 * MB,
+      s"incremental truss shuffled beyond the ball: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q329 spilled")
+  }
+
   test("q326 k-truss: arboricity-bounded wedge support, never all-pairs") {
     val b = measure("q326_ktruss")
     // the jaccard pair gen dominates (the q318/q320 band); each truss
