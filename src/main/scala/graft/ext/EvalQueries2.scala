@@ -1163,5 +1163,85 @@ object EvalQueries2 {
            |ORDER BY source""".stripMargin
       }),
     ),
+
+    // WILSON lower confidence bound (z = 2, integer-exact) on per-user
+    // purchase rate — THE small-n rate-ranking fix: raw rate puts a
+    // 1-for-1 user above a 95-for-100 one; ranking by the Wilson LOWER
+    // bound orders users by the rate their evidence supports
+    // (Evaluation.wilsonLowerBound: one 1e12-scaled floored radicand,
+    // one exact integer sqrt — the q287 MDE recipe — one final floor;
+    // n > 6000 raises loudly). The oracle replays the identical chain
+    // with the s0/s1 floor-sqrt correction ladder.
+    QueryDef(
+      "q330_wilson_rate_rank",
+      (s, dir) => {
+        val g = tbl(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+        Evaluation.wilsonLowerBound(g, "n", "p")
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, COUNT(*) AS n,
+             |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p
+             |  FROM events GROUP BY user_id),
+             |r AS (SELECT user_id, n, p,
+             |    (p * 1000000) // n AS rate_ppm,
+             |    (p * (n - p) * 1000000000000) // n + 1000000000000 AS rad
+             |  FROM g),
+             |s0 AS (SELECT r.*, CAST(floor(sqrt(CAST(rad AS DOUBLE))) AS BIGINT) AS a FROM r),
+             |s1 AS (SELECT s0.*, CASE WHEN a*a > rad THEN a-1 ELSE a END AS b FROM s0),
+             |s2 AS (SELECT s1.*, CASE WHEN (b+1)*(b+1) <= rad THEN b+1 ELSE b END AS rt FROM s1)
+             |SELECT user_id, n, p, CAST(rate_ppm AS BIGINT) AS rate_ppm,
+             |  CAST(((p + 2) * 1000000 - 2 * rt) // (n + 4) AS BIGINT) AS wilson_lb_ppm
+             |FROM s2 ORDER BY user_id""".stripMargin),
+    ),
+
+    // KRIPPENDORFF's alpha (nominal, m = 3) over three deterministic
+    // document labelers — the inter-annotator statistic generalizing
+    // q284's two-rater kappa, here reading how SENSITIVE a length-based
+    // quality gate is to its threshold: annotators = the same
+    // "long-document" rule at cutoffs 200/250/300 chars; low alpha
+    // says the gate's verdicts are threshold-artifacts, high alpha
+    // says the corpus separates cleanly (Evaluation.krippendorffAlpha:
+    // without-replacement chance disagreement — the alpha-vs-Fleiss
+    // correction — in two-stage floored ppm, all guards loud). The
+    // oracle replays the pair-count chains.
+    QueryDef(
+      "q331_krippendorff_alpha",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+        val ann = Seq(200L, 250L, 300L).map(t =>
+          d.select(col("doc_id").as("unit"), lit(s"cut$t").as("annotator"),
+            when(col("n_chars") >= t, "long").otherwise("short").as("label")))
+          .reduce(_ unionByName _)
+        Evaluation.krippendorffAlpha(ann, m = 3)
+      },
+      Some("""WITH ann AS (
+             |  SELECT doc_id AS unit, 'cut200' AS annotator,
+             |    CASE WHEN n_chars >= 200 THEN 'long' ELSE 'short' END AS label FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, 'cut250',
+             |    CASE WHEN n_chars >= 250 THEN 'long' ELSE 'short' END FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, 'cut300',
+             |    CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END FROM documents),
+             |pu AS (
+             |  SELECT unit, SUM(nuc * (nuc - 1)) AS agree2
+             |  FROM (SELECT unit, label, COUNT(*) AS nuc FROM ann GROUP BY unit, label)
+             |  GROUP BY unit),
+             |tot AS (SELECT COUNT(*) AS n_units, SUM(6 - agree2) AS dis2 FROM pu),
+             |bl AS (SELECT SUM(nc) AS nn, SUM(nc * (nc - 1)) AS same2
+             |       FROM (SELECT label, COUNT(*) AS nc FROM ann GROUP BY label)),
+             |r AS (
+             |  SELECT CAST(n_units AS BIGINT) AS n_units, CAST(nn AS BIGINT) AS n_annotations,
+             |    CAST((dis2 * 1000000) // (n_units * 6) AS BIGINT) AS do_ppm,
+             |    CAST(1000000 - (same2 * 1000000) // (nn * (nn - 1)) AS BIGINT) AS de_ppm
+             |  FROM tot, bl)
+             |SELECT n_units, n_annotations, do_ppm, de_ppm,
+             |  CAST(1000000 - (do_ppm * 1000000) // de_ppm AS BIGINT) AS alpha_ppm
+             |FROM r""".stripMargin),
+    ),
   )
 }

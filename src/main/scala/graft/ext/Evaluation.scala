@@ -165,6 +165,86 @@ object Evaluation {
     * rollup, then per round ONE join of the pair table against the
     * rating vector + a player-keyed sum — Pregel-shaped, pair-table
     * sized, model-state small at any corpus scale. */
+  /** WILSON lower confidence bound on a success rate at z = 2 (the
+    * ~95.45% bound, chosen because z² = 4 keeps every term integer) —
+    * THE small-n rate-ranking fix: sorting groups by raw success rate
+    * puts a 1/1 group above a 95/100 one; sorting by the Wilson LOWER
+    * bound ranks by the rate the evidence actually supports.
+    *   lb = (p + 2 − 2·√(p(n−p)/n + 1)) / (n + 4)
+    * in exact integer ppm: the radicand is scaled by 10¹² and floored
+    * once (S = (p(n−p)·10¹²) div n + 10¹²), the square root is the
+    * exact floor integer sqrt ([[Sampling.isqrt]] — the q287/q297 MDE
+    * recipe), and the final division floors once — a deterministic
+    * ≤2-ulp-of-ppm quantization both engines replay bit-for-bit.
+    * Overflow rail: p(n−p)·10¹² needs p(n−p) < 9.2·10⁶, ENFORCED with
+    * raise_error at n > 6000 (p(n−p) ≤ n²/4 = 9·10⁶) — the
+    * loud-corruption discipline; groups that big should rank by raw
+    * rate anyway (the bound converges to it). Input: one row per
+    * (group) with counts; use [[wilsonLowerBound]](df, n, p) on an
+    * aggregated frame. Output adds (rate_ppm, wilson_lb_ppm). */
+  def wilsonLowerBound(counts: DataFrame, nCol: String, pCol: String): DataFrame = {
+    val s = expr(
+      s"""case when $nCol > 6000L then
+         |  cast(raise_error('wilsonLowerBound: n > 6000 overflows the 1e12 radicand shift — use the decimal path') as bigint)
+         |else ($pCol * ($nCol - $pCol) * 1000000000000L) div $nCol + 1000000000000L
+         |end""".stripMargin)
+    counts
+      .withColumn("rate_ppm", expr(s"($pCol * 1000000L) div $nCol"))
+      .withColumn("wilson_root", Sampling.isqrt(s))
+      .withColumn("wilson_lb_ppm",
+        expr(s"(($pCol + 2L) * 1000000L - 2L * wilson_root) div ($nCol + 4L)"))
+      .drop("wilson_root")
+  }
+
+  /** KRIPPENDORFF's alpha (nominal data, FIXED raters-per-unit m) — the
+    * inter-annotator agreement statistic that generalizes the q284
+    * Cohen kappa beyond two annotators: alpha = 1 − Do/De with
+    *   Do = disagreeing annotator pairs / all within-unit pairs
+    *   De = 1 − Σ_c N_c(N_c−1) / (N(N−1))   (chance disagreement,
+    *        pairs drawn WITHOUT replacement from all N annotations —
+    *        the Krippendorff correction that distinguishes alpha from
+    *        Fleiss' kappa at small N)
+    * computed in two-stage integer ppm (do_ppm and de_ppm each floor
+    * once, the ratio floors once — deterministic ≤3-ulp quantization,
+    * replayed identically by the oracle; the single-rail alternative
+    * 10⁶·D·N(N−1) overflows 2⁶³ at corpus scale). De = 0 (every
+    * annotation the same label) raises loudly — alpha is undefined
+    * there, and a silent NULL/zero would read as a verdict. Input:
+    * (unit, annotator, label) rows, exactly m raters per unit.
+    * Output: 1 row (n_units, n_annotations, do_ppm, de_ppm,
+    * alpha_ppm). */
+  def krippendorffAlpha(annotations: DataFrame, m: Int): DataFrame = {
+    require(m >= 2 && m <= 64, "m raters in [2,64]")
+    val a = annotations.toDF("unit", "annotator", "label")
+    val perUnitLabel = a.groupBy(col("unit"), col("label"))
+      .agg(count(lit(1)).as("nuc"))
+    // within-unit agreeing pairs: Σ_c C(n_uc, 2); total pairs: C(m,2)/unit
+    val perUnit = perUnitLabel.groupBy(col("unit"))
+      .agg(sum(col("nuc") * (col("nuc") - 1L)).as("agree2"),
+        sum(col("nuc")).as("mu"))
+    // the m-raters-per-unit guard is FOLDED into the aggregated column
+    // (a free-standing projected guard would be pruned by the optimizer)
+    val totals = perUnit
+      .select((col("agree2") +
+        when(col("mu") =!= m.toLong,
+          expr(s"cast(raise_error('krippendorffAlpha: a unit has != $m annotations') as bigint)"))
+          .otherwise(lit(0L))).as("agree2"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(lit(m.toLong) * (lit(m.toLong) - 1L) - col("agree2")).as("dis2"))
+    val byLabel = a.groupBy(col("label")).agg(count(lit(1)).as("nc"))
+      .agg(sum(col("nc")).as("nn"), sum(col("nc") * (col("nc") - 1L)).as("same2"))
+    totals.crossJoin(broadcast(byLabel))
+      .select(col("n_units"), col("nn").as("n_annotations"),
+        expr(s"(dis2 * 1000000L) div (n_units * ${m.toLong} * ${(m - 1).toLong})")
+          .as("do_ppm"),
+        expr("""case when nn * (nn - 1L) = same2 then
+                |  cast(raise_error('krippendorffAlpha: De = 0 (all annotations identical) — alpha undefined') as bigint)
+                |else 1000000L - (same2 * 1000000L) div (nn * (nn - 1L)) end"""
+          .stripMargin).as("de_ppm"))
+      .withColumn("alpha_ppm",
+        expr("1000000L - (do_ppm * 1000000L) div de_ppm"))
+  }
+
   def bradleyTerry(matches: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 20, "iters in [1,20]")
     val m = matches.toDF("winner", "loser")
