@@ -147,6 +147,48 @@ object TransformWithStateOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class RateEvent(key: Long, ok: Boolean)
+  final case class WilsonReport(key: Long, n: Long, p: Long,
+      rate_ppm: Long, wilson_lb_ppm: Long)
+
+  /** Continuous Wilson lower-bound rate ranking — the streaming twin of
+    * [[graft.ext.Evaluation.wilsonLowerBound]] (z = 2): per key TWO
+    * longs of ValueState (trials, successes), every micro-batch
+    * re-emitting the touched keys' reports through the SAME integer
+    * chain as the batch op (1e12-scaled floored radicand →
+    * [[graft.ext.Sampling.isqrtJvm]] → one floor — one formula, two
+    * runtimes, the passAtKPpmJvm discipline), so the live leaderboard
+    * at every prefix equals the batch frame on the same rows. The
+    * n > 6000 overflow rail throws, matching the batch raise_error. */
+  final class WilsonProcessor
+      extends StatefulProcessor[Long, RateEvent, WilsonReport] {
+
+    @transient private var np: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      np = getHandle.getValueState[(Long, Long)](
+        "np", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[RateEvent],
+        timerValues: TimerValues): Iterator[WilsonReport] = {
+      var (n, p) = if (np.exists()) np.get() else (0L, 0L)
+      rows.foreach { r => n += 1L; if (r.ok) p += 1L }
+      np.update((n, p))
+      require(n <= 6000L,
+        s"wilson stream: n = $n > 6000 overflows the 1e12 radicand shift")
+      val s = p * (n - p) * 1000000000000L / n + 1000000000000L
+      val lb = ((p + 2L) * 1000000L - 2L * graft.ext.Sampling.isqrtJvm(s)) / (n + 4L)
+      Iterator.single(WilsonReport(key, n, p, p * 1000000L / n, lb))
+    }
+  }
+
+  def streamingWilson(ds: Dataset[RateEvent]): Dataset[WilsonReport] = {
+    implicit val outEnc: Encoder[WilsonReport] = Encoders.product[WilsonReport]
+    ds.groupByKey(_.key)(Encoders.scalaLong)
+      .transformWithState(new WilsonProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class GroupId(grp: String, id: Long)
   final case class DistinctCount(grp: String, n_distinct: Long, n_words: Long)
 

@@ -88,6 +88,43 @@ class TransformWithStateSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streamingWilson: per-key bound equals the batch operator at EVERY batch prefix") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{RateEvent, WilsonReport}
+      val rnd = new scala.util.Random(67)
+      val rows: Seq[RateEvent] = Seq.fill(900)(
+        RateEvent(rnd.nextInt(5).toLong, rnd.nextInt(3) > 0))
+      val latest = scala.collection.mutable.Map[Long, WilsonReport]()
+      val input = MemoryStream[RateEvent]
+      val query = TransformWithStateOps.streamingWilson(input.toDS())
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[WilsonReport], _: Long) =>
+          df.collect().foreach(r => latest(r.key) = r); ()
+        }.start()
+      try {
+        var prefix = Seq.empty[RateEvent]
+        rows.grouped(300).foreach { b =>
+          input.addData(b: _*); query.processAllAvailable()
+          prefix = prefix ++ b
+          val batch = graft.ext.Evaluation.wilsonLowerBound(
+              prefix.map(r => (r.key, if (r.ok) 1L else 0L)).toDF("key", "ok")
+                .groupBy(col("key"))
+                .agg(count(lit(1)).as("n"), sum(col("ok")).as("p")),
+              "n", "p")
+            .collect()
+            .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+            .toMap
+          batch.foreach { case (k, (n, p, rate, lb)) =>
+            assert(latest(k) == WilsonReport(k, n, p, rate, lb), s"prefix mismatch key $k")
+          }
+        }
+      } finally query.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streamingBitmapDistinct: running counter equals the batch bitmap at EVERY batch prefix") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
