@@ -1850,6 +1850,32 @@ object GraphQueries {
       }),
     ),
 
+    // DEGREE ASSORTATIVITY of the host link graph — the one-row
+    // structural readout next to q221 reciprocity and q309's effective
+    // diameter: do hub hosts link to other hubs (positive, community-
+    // like) or to leaves (negative, broadcast-like)? Exact: over the
+    // symmetrized edge list both endpoint-degree marginals coincide,
+    // so Pearson r is a pure RATIONAL (no sqrt) — one shifted floor
+    // division on decimal(38,0) rails (Graphs.degreeAssortativity).
+    QueryDef(
+      "q332_degree_assortativity",
+      (s, dir) => Graphs.degreeAssortativity(hostLinkGraph(s, dir)),
+      Some(hostGraphSql +
+        """,
+          |dg AS (SELECT src AS n, COUNT(*) AS deg FROM sym GROUP BY src),
+          |agg AS (
+          |  SELECT COUNT(*) AS m,
+          |    SUM(CAST(dx.deg AS HUGEINT)) AS sx,
+          |    SUM(CAST(dx.deg AS HUGEINT) * dx.deg) AS sxx,
+          |    SUM(CAST(dx.deg AS HUGEINT) * dy.deg) AS sxy
+          |  FROM sym JOIN dg dx ON dx.n = sym.src JOIN dg dy ON dy.n = sym.dst)
+          |SELECT CAST(m AS BIGINT) AS n_sym_edges,
+          |  CAST((1000000 * (m * sxy - sx * sx)
+          |        + 1000000 * (m * sxx - sx * sx)) // (m * sxx - sx * sx)
+          |       - 1000000 AS BIGINT) AS r_ppm
+          |FROM agg""".stripMargin),
+    ),
+
     // One integer LOUVAIN move pass refining the q183-style LPA labels
     // on the host graph — the community tier becomes propose (LPA) →
     // score (modularity q313) → IMPROVE (this): every node moves to

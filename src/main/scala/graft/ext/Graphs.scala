@@ -1641,6 +1641,45 @@ object Graphs {
       .select(col("node"), col("s.c").as("lab"))
   }
 
+  /** DEGREE ASSORTATIVITY in exact integer ppm — the one-row graph-
+    * health readout next to [[distanceHistogram]] and q221 reciprocity:
+    * the Pearson correlation between the endpoint degrees of an edge
+    * (positive = hubs link hubs, social-graph-like; negative = hubs
+    * link leaves, web/biology-like — THE structural signal for whether
+    * a link graph's hubs are a community or a broadcast layer).
+    *
+    * Exactness: over the SYMMETRIZED edge list the two endpoint-degree
+    * marginals are IDENTICAL, so σx = σy and
+    *   r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)
+    * is an exact RATIONAL — no square root at all (the usual Pearson
+    * sqrt only appears when the marginals differ). One floor division
+    * with the +10⁶·denominator shift (|r| ≤ 1 keeps the shifted
+    * dividend non-negative, where Spark trunc ≡ DuckDB floor — the
+    * [[modularityByCommunity]] shift discipline); all products ride
+    * decimal(38,0) rails (the withZ2Ppm convention) so no overflow at
+    * any graph size. A degree-regular graph (zero variance) raises
+    * loudly — r is undefined there, and a silent NULL would read as a
+    * verdict. Output: (n_sym_edges, r_ppm). */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("a", "b")
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("deg"))
+    sym
+      .join(deg.select(col("n").as("a"), col("deg").as("dx")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("dy")), "b")
+      .agg(count(lit(1)).as("m"),
+        sum(col("dx").cast("decimal(38,0)")).as("sx"),
+        sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxy"))
+      .select(col("m").as("n_sym_edges"),
+        expr("""case when m * sxx - sx * sx = 0 then
+                |  cast(raise_error('degreeAssortativity: degree-regular graph — r undefined (zero variance)') as bigint)
+                |else cast((1000000 * (m * sxy - sx * sx)
+                |     + 1000000 * (m * sxx - sx * sx)) div (m * sxx - sx * sx)
+                |     - 1000000 as bigint) end""".stripMargin).as("r_ppm"))
+  }
+
   /** Portable 60-bit hash driving walk-step choices — delegates to
     * [[Sampling.portableHash]] (ONE copy of the engine-portability-
     * critical recipe; the extra string cast is a no-op on these keys). */
