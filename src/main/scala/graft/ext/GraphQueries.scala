@@ -1850,6 +1850,95 @@ object GraphQueries {
       }),
     ),
 
+    // STRONGLY connected components of the goods-flow graph — the
+    // DIRECTED component tier (q44/q164's CC is undirected, where SCC
+    // is the question that actually needs direction): suppliers ship
+    // to customers (s → c for every distinct pair), RETURNED items
+    // flow back (c → s where l_returnflag = 'R'), and an SCC is a
+    // circular-flow community — the set of parties mutually entangled
+    // by shipments and returns (namespaces split 2c / 2s+1, the q132
+    // convention). Fixed-round FW-BW coloring with trimming
+    // (Graphs.stronglyConnectedComponents): assignments are sound at
+    // any budget, leftovers are FLAGGED settled=false, and the oracle
+    // replays the identical trim/color/backward schedule — so the
+    // check verifies the exact fixed-round semantics, converged or
+    // not.
+    QueryDef(
+      "q333_scc_goods_flow",
+      (s, dir) => {
+        val oli = tbl(s, dir, "orders").join(tbl(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        val ship = oli.select((col("l_suppkey") * 2 + 1).cast("long").as("src"),
+          (col("o_custkey") * 2).cast("long").as("dst")).distinct()
+        val ret = oli.where(col("l_returnflag") === "R")
+          .select((col("o_custkey") * 2).cast("long").as("src"),
+            (col("l_suppkey") * 2 + 1).cast("long").as("dst")).distinct()
+        Graphs.stronglyConnectedComponents(
+            ship.unionByName(ret), outerRounds = 2, innerRounds = 6)
+          .orderBy(col("node"))
+      },
+      Some({
+        val inner = 6
+        def fRounds(o: Int) = (1 to inner).map(i =>
+          s"""f${o}_$i AS MATERIALIZED (
+             |  SELECT f.node, LEAST(f.f, COALESCE(p.pf, f.f)) AS f
+             |  FROM f${o}_${i - 1} f LEFT JOIN (
+             |    SELECT sub$o.dst AS node, MIN(x.f) AS pf
+             |    FROM sub$o JOIN f${o}_${i - 1} x ON x.node = sub$o.src
+             |    GROUP BY sub$o.dst) p ON p.node = f.node)""".stripMargin)
+          .mkString(",\n")
+        def bRounds(o: Int) = (1 to inner).map(j =>
+          s"""b${o}_$j AS MATERIALIZED (
+             |  SELECT node, f FROM b${o}_${j - 1}
+             |  UNION
+             |  SELECT fx.node, fx.f
+             |  FROM sub$o JOIN b${o}_${j - 1} b ON b.node = sub$o.dst
+             |  JOIN f${o}_$inner fx ON fx.node = sub$o.src
+             |  WHERE fx.f = b.f)""".stripMargin).mkString(",\n")
+        def round(o: Int) =
+          s"""sub0_$o AS MATERIALIZED (
+             |  SELECT e.src, e.dst FROM e
+             |  WHERE e.src IN (SELECT node FROM u$o)
+             |    AND e.dst IN (SELECT node FROM u$o)),
+             |triv_$o AS MATERIALIZED (
+             |  SELECT node FROM u$o
+             |  WHERE node NOT IN (SELECT dst FROM sub0_$o)
+             |     OR node NOT IN (SELECT src FROM sub0_$o)),
+             |uu$o AS (SELECT node FROM u$o
+             |         WHERE node NOT IN (SELECT node FROM triv_$o)),
+             |sub$o AS MATERIALIZED (
+             |  SELECT src, dst FROM sub0_$o
+             |  WHERE src IN (SELECT node FROM uu$o)
+             |    AND dst IN (SELECT node FROM uu$o)),
+             |f${o}_0 AS (SELECT node, node AS f FROM uu$o),
+             |${fRounds(o)},
+             |b${o}_0 AS (SELECT node, f FROM f${o}_$inner WHERE node = f),
+             |${bRounds(o)},
+             |a$o AS (SELECT node, f FROM b${o}_$inner),
+             |u${o + 1} AS (SELECT node FROM uu$o
+             |              WHERE node NOT IN (SELECT node FROM a$o))""".stripMargin
+        s"""WITH oli AS (
+           |  SELECT o_custkey, l_suppkey, l_returnflag
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |e AS MATERIALIZED (
+           |  SELECT DISTINCT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst FROM oli
+           |  UNION
+           |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM oli WHERE l_returnflag = 'R'),
+           |u1 AS (SELECT DISTINCT node FROM
+           |  (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+           |${round(1)},
+           |${round(2)}
+           |SELECT CAST(node AS BIGINT) AS node, CAST(scc AS BIGINT) AS scc, settled FROM (
+           |  SELECT node, node AS scc, TRUE AS settled FROM triv_1
+           |  UNION ALL SELECT node, f, TRUE FROM a1
+           |  UNION ALL SELECT node, node, TRUE FROM triv_2
+           |  UNION ALL SELECT node, f, TRUE FROM a2
+           |  UNION ALL SELECT node, node, FALSE FROM u3)
+           |ORDER BY node""".stripMargin
+      }),
+    ),
+
     // DEGREE ASSORTATIVITY of the host link graph — the one-row
     // structural readout next to q221 reciprocity and q309's effective
     // diameter: do hub hosts link to other hubs (positive, community-

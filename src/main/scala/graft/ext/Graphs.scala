@@ -1641,6 +1641,100 @@ object Graphs {
       .select(col("node"), col("s.c").as("lab"))
   }
 
+  /** Fixed-round STRONGLY connected components over a DIRECTED edge
+    * list — the directed sibling the component tier was missing (CC
+    * q44/q164 is undirected): the distributed COLORING algorithm
+    * (FW-BW peeling, the standard Pregel-family SCC).
+    * Per outer round, on the still-unassigned subgraph:
+    *   1. TRIM: a node with in-degree 0 or out-degree 0 in the
+    *      subgraph can sit in no cycle — assign it its own singleton
+    *      SCC (the standard FW-BW trimming that eats the DAG-like
+    *      periphery web graphs are mostly made of);
+    *   2. forward MIN-label fixpoint f (innerRounds hops) on the
+    *      non-trivial remainder: f(v) = the smallest id reaching v;
+    *   3. roots r = {v : f(v) = v}; backward reach from each root
+    *      along REVERSED edges restricted to its own color
+    *      (settled/frontier split — only new nodes shuffle);
+    *   4. every backward-reached v is provably in SCC(f(v)) — r
+    *      reaches v (f(v) = r) and v reaches r through nodes of color
+    *      r — so assign scc = f(v) and remove.
+    * Assignments are SOUND at any round budget (a trimmed node is
+    * provably acyclic-positioned; each colored group is a subset of a
+    * true SCC containing its root); COMPLETENESS is the
+    * fixed-iteration contract ([[kCorePeel]]/[[labelPropagation]]):
+    * with innerRounds ≥ the reach diameter and outerRounds ≥ the
+    * peel depth every node settles; leftover nodes are returned with
+    * settled = false and scc = themselves, NEVER silently mislabeled
+    * (an under-budgeted run is visible in the output, and the oracle
+    * replays the identical schedule). Output: (node, scc, settled).
+    *
+    * Shape per inner round: one edges⋈frontier join + min rollup
+    * (map-side combinable) — O(m) per round like [[integerPageRank]];
+    * the subgraph restriction is two semi-joins per outer round; no
+    * all-pairs anything. */
+  def stronglyConnectedComponents(edges: DataFrame, outerRounds: Int,
+      innerRounds: Int): DataFrame = {
+    require(outerRounds >= 1 && outerRounds <= 5, "outerRounds in [1,5]")
+    require(innerRounds >= 1 && innerRounds <= 10, "innerRounds in [1,10]")
+    val e = PinnedCache.pin(edges.toDF("src", "dst")
+      .where(col("src") =!= col("dst")).distinct())
+    var unassigned = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to outerRounds) {
+      val sub0 = e
+        .join(unassigned.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(unassigned.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")).localCheckpoint(true)
+      // TRIM: in-degree-0 or out-degree-0 nodes are singleton SCCs
+      val trivial = unassigned
+        .join(sub0.select(col("dst").as("node")), Seq("node"), "left_anti")
+        .unionByName(unassigned
+          .join(sub0.select(col("src").as("node")), Seq("node"), "left_anti"))
+        .distinct().localCheckpoint(true)
+      done += trivial.select(col("node"), col("node").as("scc"),
+        lit(true).as("settled"))
+      unassigned = unassigned
+        .join(trivial, Seq("node"), "left_anti").localCheckpoint(true)
+      val sub = sub0
+        .join(trivial.select(col("node").as("src")), Seq("src"), "left_anti")
+        .join(trivial.select(col("node").as("dst")), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst")).localCheckpoint(true)
+      var f = unassigned.select(col("node"), col("node").as("f"))
+        .localCheckpoint(true)
+      for (_ <- 1 to innerRounds) {
+        val prop = sub
+          .join(f.select(col("node").as("src"), col("f")), "src")
+          .groupBy(col("dst").as("node")).agg(min(col("f")).as("pf"))
+        f = f.join(prop, Seq("node"), "left_outer")
+          .select(col("node"),
+            least(col("f"), coalesce(col("pf"), col("f"))).as("f"))
+          .localCheckpoint(true)
+      }
+      var frontier = f.where(col("node") === col("f")).localCheckpoint(true)
+      var reached = frontier
+      for (_ <- 1 to innerRounds) {
+        val cand = sub
+          .join(frontier.select(col("node").as("dst"), col("f").as("bf")), "dst")
+          .select(col("src").as("node"), col("bf")).distinct()
+          .join(f, "node").where(col("f") === col("bf"))
+          .select(col("node"), col("f"))
+        frontier = cand
+          .join(reached, Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        reached = reached.unionByName(frontier)
+      }
+      done += reached.select(col("node"), col("f").as("scc"), lit(true).as("settled"))
+      unassigned = unassigned
+        .join(reached.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+    }
+    done.reduce(_ unionByName _)
+      .unionByName(unassigned.select(col("node"), col("node").as("scc"),
+        lit(false).as("settled")))
+  }
+
   /** DEGREE ASSORTATIVITY in exact integer ppm — the one-row graph-
     * health readout next to [[distanceHistogram]] and q221 reciprocity:
     * the Pearson correlation between the endpoint degrees of an edge

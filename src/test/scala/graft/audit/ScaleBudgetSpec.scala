@@ -374,6 +374,17 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q329 spilled")
   }
 
+  test("q333 SCC: per-round O(m) min-label joins, trim anti-joins, never all-pairs") {
+    val b = measure("q333_scc_goods_flow")
+    // 2 outer x (trim + 6 fwd min-label + 6 colored backward) rounds,
+    // each one edges-frontier join + combinable rollup on the
+    // goods-flow graph — the integerPageRank per-round shape
+    // measured 0.9 MB at sf0.01
+    assert(b.shuffleWriteBytes < 4 * MB,
+      s"SCC shuffled beyond per-round label state: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q333 spilled")
+  }
+
   test("q326 k-truss: arboricity-bounded wedge support, never all-pairs") {
     val b = measure("q326_ktruss")
     // the jaccard pair gen dominates (the q318/q320 band); each truss
