@@ -1850,6 +1850,69 @@ object GraphQueries {
       }),
     ),
 
+    // EDGE betweenness on the host link graph — the per-LINK sibling
+    // of q312 and the Girvan–Newman splitting signal: the top edge is
+    // the bridge whose removal best separates link communities, the
+    // chokepoint-LINK readout a crawl curator reads next to the
+    // chokepoint-node one. Same exact-integer Brandes ladder, hop-4,
+    // seed-sampled; per level the per-edge floor-div term is captured
+    // BEFORE its per-node rollup, including the seeds' own level-0
+    // out-edges (Graphs.edgeBetweenness; EdgeBetweennessSpec pins the
+    // node-consistency invariant). The oracle replays the ladder with
+    // per-edge term CTEs.
+    QueryDef(
+      "q334_edge_betweenness",
+      (s, dir) => {
+        import s.implicits._
+        val g = PinnedCache.pin(hostLinkGraph(s, dir))
+        Graphs.edgeBetweenness(g, SeedHosts.toDF("seed"), rounds = 4)
+          .orderBy(col("src"), col("dst"))
+      },
+      Some({
+        val fwd = (1 to 4).map(i =>
+          s"""f$i AS MATERIALIZED (
+             |  SELECT f.seed, sym.dst AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+             |  FROM f${i - 1} f JOIN sym ON sym.src = f.node
+             |  WHERE NOT EXISTS (SELECT 1 FROM c${i - 1} c
+             |                    WHERE c.seed = f.seed AND c.node = sym.dst)
+             |  GROUP BY 1, 2),
+             |c$i AS (SELECT seed, node FROM c${i - 1}
+             |        UNION ALL SELECT seed, node FROM f$i)""".stripMargin)
+          .mkString(",\n")
+        val bwd = (3 to 0 by -1).map { r =>
+          val terms =
+            s"""t$r AS MATERIALIZED (
+               |  SELECT f.seed, f.node AS src, e.dst,
+               |    CAST((f.sigma * (1000000 + b.dd)) // fw.sigma AS BIGINT) AS term
+               |  FROM f$r f JOIN sym e ON e.src = f.node
+               |  JOIN f${r + 1} fw ON fw.seed = f.seed AND fw.node = e.dst
+               |  JOIN b${r + 1} b ON b.seed = f.seed AND b.node = e.dst)""".stripMargin
+          if (r == 0) terms
+          else terms + s""",
+               |b$r AS MATERIALIZED (
+               |  SELECT f.seed, f.node,
+               |    COALESCE((SELECT CAST(SUM(term) AS BIGINT) FROM t$r
+               |              WHERE t$r.seed = f.seed AND t$r.src = f.node), 0) AS dd
+               |  FROM f$r f)""".stripMargin
+        }.mkString(",\n")
+        hostGraphSql +
+          s""",
+             |f0 AS (SELECT node AS seed, node, CAST(1 AS BIGINT) AS sigma
+             |       FROM $seedValuesSql),
+             |c0 AS (SELECT seed, node FROM f0),
+             |$fwd,
+             |b4 AS (SELECT seed, node, CAST(0 AS BIGINT) AS dd FROM f4),
+             |$bwd
+             |SELECT src, dst, CAST(SUM(term) AS BIGINT) AS ebc_ppm,
+             |  (COUNT(*) FILTER (WHERE term > 0))::BIGINT AS n_seeds_through
+             |FROM (SELECT seed, src, dst, term FROM t3
+             |      UNION ALL SELECT seed, src, dst, term FROM t2
+             |      UNION ALL SELECT seed, src, dst, term FROM t1
+             |      UNION ALL SELECT seed, src, dst, term FROM t0)
+             |GROUP BY src, dst ORDER BY src, dst""".stripMargin
+      }),
+    ),
+
     // STRONGLY connected components of the goods-flow graph — the
     // DIRECTED component tier (q44/q164's CC is undirected, where SCC
     // is the question that actually needs direction): suppliers ship

@@ -1074,6 +1074,72 @@ object Graphs {
       .unionByName(recomputed)
   }
 
+  /** EDGE betweenness centrality — [[betweennessCentrality]]'s per-LINK
+    * sibling and the Girvan–Newman splitting signal: how much
+    * shortest-path traffic from the seed sample flows OVER each edge
+    * (the top edge is the bridge whose removal best separates
+    * communities — the chokepoint-LINK readout a curator reads next to
+    * the chokepoint-node one). Same exact-integer Brandes ladder, hop-
+    * bounded and seed-sampled: per level the per-edge term
+    *   ebc(s, v→w) = (σ(s,v) · (10⁶ + δ'(s,w))) div σ(s,w)
+    * is captured BEFORE its per-node rollup (one frame serves both the
+    * edge accumulation and the node dependency update), including the
+    * seed's own level-0 out-edges (the node form excludes sources by
+    * convention; edges incident to a source carry real traffic).
+    * Cross-consistency: summing a node's outgoing edge values at
+    * levels ≥ 1 reproduces its node δ' exactly (EdgeBetweennessSpec
+    * pins it). Output: (src, dst, ebc_ppm, n_seeds_through) over edges
+    * on ≥ 1 counted shortest path. */
+  def edgeBetweenness(edges: DataFrame, seeds: DataFrame,
+      rounds: Int, scale: Long = 1000000L): DataFrame = {
+    require(rounds >= 2 && rounds <= 10, "rounds in [2,10]")
+    val e = PinnedCache.pin(edges.toDF("src", "dst").distinct())
+    var frontier = seeds.toDF("seed").distinct()
+      .select(col("seed"), col("seed").as("node"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    var settledKeys = frontier.select(col("seed"), col("node"))
+    for (_ <- 1 to rounds) {
+      val cand = e
+        .join(frontier.select(col("seed"), col("node").as("src"), col("sigma")), "src")
+        .groupBy(col("seed"), col("dst").as("node")).agg(sum(col("sigma")).as("sigma"))
+      frontier = cand
+        .join(settledKeys, Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), col("sigma"))
+        .localCheckpoint(true)
+      levels += frontier
+      settledKeys = settledKeys.unionByName(frontier.select(col("seed"), col("node")))
+    }
+    var dep = levels(rounds).select(col("seed"), col("node"), lit(0L).as("dd"))
+    val edgeChunks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def levelTerms(r: Int): DataFrame = {
+      val succ = levels(r + 1)
+        .join(dep, Seq("seed", "node"))
+        .select(col("seed"), col("node").as("dst"),
+          col("sigma").as("sigma_w"), col("dd").as("dd_w"))
+      levels(r)
+        .join(e.select(col("src").as("node"), col("dst")), "node")
+        .join(succ, Seq("seed", "dst"))
+        .select(col("seed"), col("node"), col("dst"),
+          expr(s"(sigma * (${scale}L + dd_w)) div sigma_w").as("term"))
+        .localCheckpoint(true)
+    }
+    for (r <- (rounds - 1) to 1 by -1) {
+      val terms = levelTerms(r)
+      edgeChunks += terms
+      dep = levels(r).select(col("seed"), col("node"))
+        .join(terms.groupBy(col("seed"), col("node")).agg(sum(col("term")).as("dd")),
+          Seq("seed", "node"), "left_outer")
+        .select(col("seed"), col("node"), coalesce(col("dd"), lit(0L)).as("dd"))
+        .localCheckpoint(true)
+    }
+    edgeChunks += levelTerms(0)
+    edgeChunks.reduce(_ unionByName _)
+      .groupBy(col("node").as("src"), col("dst"))
+      .agg(sum(col("term")).as("ebc_ppm"),
+        count(when(col("term") > 0L, 1L)).as("n_seeds_through"))
+  }
+
   /** Pairwise hop-distance HISTOGRAM from `seeds` (d in 1..rounds), with
     * exact-integer cumulative shares: (d, n_pairs, cum_pairs, cum_ppm).
     * The crawl/link-graph health readout behind the "effective diameter"

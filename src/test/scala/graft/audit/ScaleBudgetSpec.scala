@@ -385,6 +385,16 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q333 spilled")
   }
 
+  test("q334 edge betweenness: seeds x ball terms, never edge-squared") {
+    val b = measure("q334_edge_betweenness")
+    // the q312 ladder with per-edge term capture — the level-term frame
+    // serves both the edge rollup and the node dependency update
+    // measured 0.5 MB at sf0.01
+    assert(b.shuffleWriteBytes < 2 * MB,
+      s"edge betweenness shuffled beyond ladder terms: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q334 spilled")
+  }
+
   test("q326 k-truss: arboricity-bounded wedge support, never all-pairs") {
     val b = measure("q326_ktruss")
     // the jaccard pair gen dominates (the q318/q320 band); each truss
