@@ -89,6 +89,55 @@ object GraphQueries {
          |  $readout)""".stripMargin
   }
 
+  /** Hop-4 per-EDGE Brandes over the full host graph from the
+    * [[ExtraQueries.SeedHosts]] seeds, as a CTE chain ending in `ebc`
+    * (src, dst, ebc_ppm, n_seeds_through) — shared by q334 (the
+    * readout) and q335 (the Girvan–Newman split that consumes it). */
+  private lazy val hostEdgeBetweennessSql: String = {
+    val fwd = (1 to 4).map(i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT f.seed, sym.dst AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+         |  FROM f${i - 1} f JOIN sym ON sym.src = f.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM c${i - 1} c
+         |                    WHERE c.seed = f.seed AND c.node = sym.dst)
+         |  GROUP BY 1, 2),
+         |c$i AS (SELECT seed, node FROM c${i - 1}
+         |        UNION ALL SELECT seed, node FROM f$i)""".stripMargin)
+      .mkString(",\n")
+    val bwd = (3 to 0 by -1).map { r =>
+      val terms =
+        s"""t$r AS MATERIALIZED (
+           |  SELECT f.seed, f.node AS src, e.dst,
+           |    CAST((f.sigma * (1000000 + b.dd)) // fw.sigma AS BIGINT) AS term
+           |  FROM f$r f JOIN sym e ON e.src = f.node
+           |  JOIN f${r + 1} fw ON fw.seed = f.seed AND fw.node = e.dst
+           |  JOIN b${r + 1} b ON b.seed = f.seed AND b.node = e.dst)""".stripMargin
+      if (r == 0) terms
+      else terms + s""",
+           |b$r AS MATERIALIZED (
+           |  SELECT f.seed, f.node,
+           |    COALESCE((SELECT CAST(SUM(term) AS BIGINT) FROM t$r
+           |              WHERE t$r.seed = f.seed AND t$r.src = f.node), 0) AS dd
+           |  FROM f$r f)""".stripMargin
+    }.mkString(",\n")
+    hostGraphSql +
+      s""",
+         |f0 AS (SELECT node AS seed, node, CAST(1 AS BIGINT) AS sigma
+         |       FROM $seedValuesSql),
+         |c0 AS (SELECT seed, node FROM f0),
+         |$fwd,
+         |b4 AS (SELECT seed, node, CAST(0 AS BIGINT) AS dd FROM f4),
+         |$bwd,
+         |ebc AS MATERIALIZED (
+         |  SELECT src, dst, CAST(SUM(term) AS BIGINT) AS ebc_ppm,
+         |    (COUNT(*) FILTER (WHERE term > 0))::BIGINT AS n_seeds_through
+         |  FROM (SELECT seed, src, dst, term FROM t3
+         |        UNION ALL SELECT seed, src, dst, term FROM t2
+         |        UNION ALL SELECT seed, src, dst, term FROM t1
+         |        UNION ALL SELECT seed, src, dst, term FROM t0)
+         |  GROUP BY src, dst)""".stripMargin
+  }
+
   def queries: Seq[QueryDef] = Seq(
 
     // Supplier authority via integer-exact PageRank on the symmetrized
@@ -1868,49 +1917,53 @@ object GraphQueries {
         Graphs.edgeBetweenness(g, SeedHosts.toDF("seed"), rounds = 4)
           .orderBy(col("src"), col("dst"))
       },
-      Some({
-        val fwd = (1 to 4).map(i =>
-          s"""f$i AS MATERIALIZED (
-             |  SELECT f.seed, sym.dst AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
-             |  FROM f${i - 1} f JOIN sym ON sym.src = f.node
-             |  WHERE NOT EXISTS (SELECT 1 FROM c${i - 1} c
-             |                    WHERE c.seed = f.seed AND c.node = sym.dst)
-             |  GROUP BY 1, 2),
-             |c$i AS (SELECT seed, node FROM c${i - 1}
-             |        UNION ALL SELECT seed, node FROM f$i)""".stripMargin)
-          .mkString(",\n")
-        val bwd = (3 to 0 by -1).map { r =>
-          val terms =
-            s"""t$r AS MATERIALIZED (
-               |  SELECT f.seed, f.node AS src, e.dst,
-               |    CAST((f.sigma * (1000000 + b.dd)) // fw.sigma AS BIGINT) AS term
-               |  FROM f$r f JOIN sym e ON e.src = f.node
-               |  JOIN f${r + 1} fw ON fw.seed = f.seed AND fw.node = e.dst
-               |  JOIN b${r + 1} b ON b.seed = f.seed AND b.node = e.dst)""".stripMargin
-          if (r == 0) terms
-          else terms + s""",
-               |b$r AS MATERIALIZED (
-               |  SELECT f.seed, f.node,
-               |    COALESCE((SELECT CAST(SUM(term) AS BIGINT) FROM t$r
-               |              WHERE t$r.seed = f.seed AND t$r.src = f.node), 0) AS dd
-               |  FROM f$r f)""".stripMargin
-        }.mkString(",\n")
-        hostGraphSql +
-          s""",
-             |f0 AS (SELECT node AS seed, node, CAST(1 AS BIGINT) AS sigma
-             |       FROM $seedValuesSql),
-             |c0 AS (SELECT seed, node FROM f0),
-             |$fwd,
-             |b4 AS (SELECT seed, node, CAST(0 AS BIGINT) AS dd FROM f4),
-             |$bwd
-             |SELECT src, dst, CAST(SUM(term) AS BIGINT) AS ebc_ppm,
-             |  (COUNT(*) FILTER (WHERE term > 0))::BIGINT AS n_seeds_through
-             |FROM (SELECT seed, src, dst, term FROM t3
-             |      UNION ALL SELECT seed, src, dst, term FROM t2
-             |      UNION ALL SELECT seed, src, dst, term FROM t1
-             |      UNION ALL SELECT seed, src, dst, term FROM t0)
-             |GROUP BY src, dst ORDER BY src, dst""".stripMargin
-      }),
+      Some(hostEdgeBetweennessSql +
+        "\nSELECT src, dst, ebc_ppm, n_seeds_through FROM ebc ORDER BY src, dst"),
+    ),
+
+    // GIRVAN–NEWMAN one-split composition — the q334 signal USED: drop
+    // the single undirected edge carrying the most shortest-path
+    // traffic (directional values summed per pair, ties to the
+    // smallest pair) and read the connected components of what
+    // remains — does the top bridge actually separate link
+    // communities? Composes edgeBetweenness → 1-row broadcast argmax
+    // → anti-filter → the q44 min-label CC. The oracle replays the
+    // ladder, the argmax, and components via a recursive
+    // transitive-closure CTE.
+    QueryDef(
+      "q335_girvan_newman_split",
+      (s, dir) => {
+        import s.implicits._
+        val g = PinnedCache.pin(hostLinkGraph(s, dir))
+        val und = Graphs.edgeBetweenness(g, SeedHosts.toDF("seed"), rounds = 4)
+          .select(least(col("src"), col("dst")).as("u"),
+            greatest(col("src"), col("dst")).as("v"), col("ebc_ppm"))
+          .groupBy(col("u"), col("v")).agg(sum(col("ebc_ppm")).as("score"))
+        val top = und.orderBy(col("score").desc, col("u"), col("v")).limit(1)
+          .select(col("u").as("tu"), col("v").as("tv"))
+        val kept = g.crossJoin(broadcast(top))
+          .where(!(least(col("src"), col("dst")) === col("tu") &&
+            greatest(col("src"), col("dst")) === col("tv")))
+          .select(col("src").as("a_id"), col("dst").as("b_id"))
+        Dedup.connectedComponents(kept)
+          .select(col("id").as("host"), col("root").as("community"))
+          .orderBy(col("host"))
+      },
+      Some("WITH RECURSIVE" + (hostEdgeBetweennessSql +
+        """,
+          |u2 AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+          |              SUM(ebc_ppm) AS score
+          |       FROM ebc GROUP BY 1, 2),
+          |top AS (SELECT u, v FROM u2 ORDER BY score DESC, u, v LIMIT 1),
+          |kept AS (SELECT src, dst FROM sym
+          |         WHERE NOT (LEAST(src, dst) = (SELECT u FROM top)
+          |                AND GREATEST(src, dst) = (SELECT v FROM top))),
+          |r(id, m) AS (
+          |  SELECT src, src FROM kept
+          |  UNION
+          |  SELECT r.id, k.dst FROM r JOIN kept k ON k.src = r.m)
+          |SELECT id AS host, MIN(m) AS community FROM r
+          |GROUP BY id ORDER BY host""".stripMargin).stripPrefix("WITH")),
     ),
 
     // STRONGLY connected components of the goods-flow graph — the

@@ -395,6 +395,16 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q334 spilled")
   }
 
+  test("q335 GN split: ladder + 1-row broadcast argmax + CC, no all-pairs") {
+    val b = measure("q335_girvan_newman_split")
+    // edge betweenness (q334's band) + a TakeOrdered 1-row argmax
+    // broadcast-filtered into min-label CC rounds
+    // measured 1.1 MB at sf0.01
+    assert(b.shuffleWriteBytes < 4 * MB,
+      s"GN split shuffled beyond ladder + CC label state: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q335 spilled")
+  }
+
   test("q326 k-truss: arboricity-bounded wedge support, never all-pairs") {
     val b = measure("q326_ktruss")
     // the jaccard pair gen dominates (the q318/q320 band); each truss
