@@ -1921,6 +1921,33 @@ object GraphQueries {
         "\nSELECT src, dst, ebc_ppm, n_seeds_through FROM ebc ORDER BY src, dst"),
     ),
 
+    // INCREMENTAL edge betweenness (q334's maintained form — the
+    // THIRTEENTH maintained member, closing the betweenness pair with
+    // q324): per-link values are a plain per-seed sum over each seed's
+    // forward DAG, so the q324 reverse-(R−1)-ball seed pruning
+    // transfers verbatim — affected seeds recompute, every other
+    // seed's stored (seed, edge, term) rows pass through
+    // (Graphs.incrementalEdgeBetweenness). Oracle = q334's one-shot
+    // SQL; IncrementalEdgeBetweennessSpec adds poison-verbatim and the
+    // maintained-node cross-consistency invariant.
+    QueryDef(
+      "q336_incremental_edge_betweenness",
+      (s, dir) => {
+        import s.implicits._
+        val g = PinnedCache.pin(hostLinkGraph(s, dir))
+        val seeds = SeedHosts.toDF("seed")
+        val isBase = pmod(hash(col("src"), col("dst")), lit(5)) =!= 0
+        val base = PinnedCache.pin(g.where(isBase))
+        val delta = g.where(!isBase)
+        Graphs.incrementalEdgeBetweenness(
+            Graphs.edgeBetweennessTrace(base, seeds, rounds = 4),
+            base, delta, seeds, rounds = 4)
+          .orderBy(col("src"), col("dst"))
+      },
+      Some(hostEdgeBetweennessSql +
+        "\nSELECT src, dst, ebc_ppm, n_seeds_through FROM ebc ORDER BY src, dst"),
+    ),
+
     // GIRVAN–NEWMAN one-split composition — the q334 signal USED: drop
     // the single undirected edge carrying the most shortest-path
     // traffic (directional values summed per pair, ties to the

@@ -1091,6 +1091,22 @@ object Graphs {
     * pins it). Output: (src, dst, ebc_ppm, n_seeds_through) over edges
     * on ≥ 1 counted shortest path. */
   def edgeBetweenness(edges: DataFrame, seeds: DataFrame,
+      rounds: Int, scale: Long = 1000000L): DataFrame =
+    rollupEdgeBetweenness(edgeBetweennessTrace(edges, seeds, rounds, scale))
+
+  /** The per-edge rollup shared by [[edgeBetweenness]] and
+    * [[incrementalEdgeBetweenness]]. */
+  private def rollupEdgeBetweenness(trace: DataFrame): DataFrame =
+    trace.groupBy(col("node").as("src"), col("dst"))
+      .agg(sum(col("term")).as("ebc_ppm"),
+        count(when(col("term") > 0L, 1L)).as("n_seeds_through"))
+
+  /** [[edgeBetweenness]]'s pre-rollup PER-(seed, edge) term frame
+    * (seed, node, dst, term) — the stored state of the maintained form
+    * ([[incrementalEdgeBetweenness]]): like the node form, per-LINK
+    * betweenness is a plain per-seed sum over each seed's forward DAG,
+    * so maintenance passes untouched seeds' rows through verbatim. */
+  def edgeBetweennessTrace(edges: DataFrame, seeds: DataFrame,
       rounds: Int, scale: Long = 1000000L): DataFrame = {
     require(rounds >= 2 && rounds <= 10, "rounds in [2,10]")
     val e = PinnedCache.pin(edges.toDF("src", "dst").distinct())
@@ -1135,9 +1151,43 @@ object Graphs {
     }
     edgeChunks += levelTerms(0)
     edgeChunks.reduce(_ unionByName _)
-      .groupBy(col("node").as("src"), col("dst"))
-      .agg(sum(col("term")).as("ebc_ppm"),
-        count(when(col("term") > 0L, 1L)).as("n_seeds_through"))
+  }
+
+  /** INCREMENTAL [[edgeBetweenness]] — the THIRTEENTH maintained form,
+    * closing the betweenness pair (node q324, edge this): the q324
+    * argument transfers VERBATIM — per-link values are a plain
+    * per-seed sum over each seed's forward BFS DAG, and a delta edge
+    * (u, v) is visible to seed s's DAG iff s reaches u within R−1
+    * hops on the union graph — so recompute the reverse-(R−1)-ball
+    * seeds, pass every other seed's stored (seed, node, dst, term)
+    * rows through verbatim, and re-roll. Same explicit-seed-set and
+    * disjointness contract as [[incrementalBetweennessTrace]]. */
+  def incrementalEdgeBetweenness(prevTrace: DataFrame, baseEdges: DataFrame,
+      deltaEdges: DataFrame, seeds: DataFrame, rounds: Int,
+      scale: Long = 1000000L): DataFrame =
+    rollupEdgeBetweenness(incrementalEdgeBetweennessTrace(
+      prevTrace, baseEdges, deltaEdges, seeds, rounds, scale))
+
+  /** [[incrementalEdgeBetweenness]]'s MAINTAINED trace (chainable). */
+  def incrementalEdgeBetweennessTrace(prevTrace: DataFrame,
+      baseEdges: DataFrame, deltaEdges: DataFrame, seeds: DataFrame,
+      rounds: Int, scale: Long = 1000000L): DataFrame = {
+    require(rounds >= 2 && rounds <= 10, "rounds in [2,10]")
+    val bE = baseEdges.toDF("src", "dst")
+    val dE = PinnedCache.pin(deltaEdges.toDF("src", "dst").distinct())
+    val all = PinnedCache.pin(bE.unionByName(dE).distinct())
+    val trace = PinnedCache.pin(prevTrace.toDF("seed", "node", "dst", "term"))
+    val reverseBall = bfsDistances(
+      all.select(col("dst").as("src"), col("src").as("dst")),
+      dE.select(col("src").as("node")), rounds - 1)
+      .select(col("node"))
+    val affectedSeeds = PinnedCache.pin(
+      seeds.toDF("seed").distinct()
+        .join(reverseBall.select(col("node").as("seed")), Seq("seed"), "left_semi"))
+    val recomputed = edgeBetweennessTrace(all, affectedSeeds, rounds, scale)
+    trace.join(affectedSeeds, Seq("seed"), "left_anti")
+      .select(col("seed"), col("node"), col("dst"), col("term"))
+      .unionByName(recomputed)
   }
 
   /** Pairwise hop-distance HISTOGRAM from `seeds` (d in 1..rounds), with

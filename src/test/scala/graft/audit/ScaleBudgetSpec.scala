@@ -405,6 +405,17 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q335 spilled")
   }
 
+  test("q336 incremental edge betweenness: reverse-ball seed pruning over the edge trace") {
+    val b = measure("q336_incremental_edge_betweenness")
+    // base edge trace (the proof obligation) + one reverse-ball BFS +
+    // affected seeds' ladders; the pass-through is one seed-keyed
+    // anti-join over the edge-term trace
+    // measured 0.7 MB at sf0.01
+    assert(b.shuffleWriteBytes < 2 * MB,
+      s"incremental edge betweenness shuffled beyond affected DAGs: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q336 spilled")
+  }
+
   test("q326 k-truss: arboricity-bounded wedge support, never all-pairs") {
     val b = measure("q326_ktruss")
     // the jaccard pair gen dominates (the q318/q320 band); each truss
