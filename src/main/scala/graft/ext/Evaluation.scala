@@ -207,7 +207,10 @@ object Evaluation {
     * computed in two-stage integer ppm (do_ppm and de_ppm each floor
     * once, the ratio floors once — deterministic ≤3-ulp quantization,
     * replayed identically by the oracle; the single-rail alternative
-    * 10⁶·D·N(N−1) overflows 2⁶³ at corpus scale). De = 0 (every
+    * 10⁶·D·N(N−1) overflows 2⁶³ at corpus scale). Remaining rail:
+    * same2·10⁶ ≤ N²·10⁶ stays under 2⁶³ for N ≤ 3·10⁶ annotations
+    * (= 10⁶ units at m = 3); past that, lift Σ N_c(N_c−1) onto
+    * decimal(38,0) (the withZ2Ppm convention). De = 0 (every
     * annotation the same label) raises loudly — alpha is undefined
     * there, and a silent NULL/zero would read as a verdict. Input:
     * (unit, annotator, label) rows, exactly m raters per unit.
