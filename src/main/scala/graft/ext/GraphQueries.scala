@@ -1702,6 +1702,67 @@ object GraphQueries {
       }),
     ),
 
+    // CONDUCTANCE of the q313 communities — the SECOND standard
+    // community-quality readout, answering the question modularity
+    // doesn't: not "is the inside denser than chance" but "how LEAKY
+    // is the boundary" — φ(c) = cut/min(vol, 2m−vol) in exact integer
+    // ppm, one non-negative floor division per community
+    // (Graphs.conductanceByCommunity). Same co-purchase graph and
+    // 2-round LPA labels as q313, so a curator reads Q and φ side by
+    // side; the oracle replays the LPA ladder and the boundary
+    // rollups.
+    QueryDef(
+      "q337_conductance",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val edges = PinnedCache.pin(li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct())
+        Graphs.conductanceByCommunity(edges,
+            Graphs.labelPropagation(edges, rounds = 2))
+          .orderBy(col("label"))
+      },
+      Some({
+        val round = (i: Int) =>
+          s"""n$i AS (
+             |  SELECT sym.b AS node, l${i - 1}.lab, COUNT(*) AS c
+             |  FROM l${i - 1} JOIN sym ON sym.a = l${i - 1}.node GROUP BY 1, 2),
+             |l$i AS (
+             |  SELECT node, lab FROM (
+             |    SELECT node, lab,
+             |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+             |    FROM n$i) WHERE rn = 1)""".stripMargin
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+           |  FROM lineitem a JOIN lineitem b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+           |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+           |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
+           |${(1 to 2).map(round).mkString(",\n")},
+           |deg AS (SELECT a AS node, COUNT(*) AS deg FROM sym GROUP BY a),
+           |m AS (SELECT COUNT(*) AS m FROM e),
+           |bylab AS (
+           |  SELECT l2.lab, COUNT(*) AS n_nodes, SUM(deg.deg) AS vol
+           |  FROM deg JOIN l2 ON l2.node = deg.node GROUP BY l2.lab),
+           |sided AS (
+           |  SELECT la.lab AS la, lb.lab AS lb
+           |  FROM e JOIN l2 la ON la.node = e.a JOIN l2 lb ON lb.node = e.b
+           |  WHERE la.lab <> lb.lab),
+           |cut AS (
+           |  SELECT lab, COUNT(*) AS cut FROM (
+           |    SELECT la AS lab FROM sided UNION ALL SELECT lb FROM sided)
+           |  GROUP BY lab)
+           |SELECT b.lab AS label, CAST(b.n_nodes AS BIGINT) AS n_nodes,
+           |  CAST(b.vol AS BIGINT) AS vol,
+           |  CAST(COALESCE(c.cut, 0) AS BIGINT) AS cut,
+           |  CAST((COALESCE(c.cut, 0) * 1000000)
+           |       // LEAST(b.vol, 2 * m.m - b.vol) AS BIGINT) AS phi_ppm
+           |FROM bylab b LEFT JOIN cut c ON c.lab = b.lab, m
+           |ORDER BY label""".stripMargin
+      }),
+    ),
+
     // INCREMENTAL betweenness (q312's maintained form — the TENTH
     // maintained member, completing the centrality tier: CC q164, LPA
     // q253, PR q304, triangles q306, k-core q308, HITS q310, distances

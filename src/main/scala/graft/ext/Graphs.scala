@@ -1600,6 +1600,50 @@ object Graphs {
         col("intra_edges"), col("q_ppm"))
   }
 
+  /** Integer-ppm CONDUCTANCE per community — the SECOND standard
+    * community-quality readout next to [[modularityByCommunity]] (the
+    * two answer different questions: modularity scores internal density
+    * against a random-graph null; conductance scores the BOUNDARY —
+    * how leaky the community is):
+    *   φ(c) = cut_c / min(vol_c, 2m − vol_c)
+    * where vol_c = Σ deg over members and cut_c = edges with exactly
+    * one endpoint in c, in parts-per-million with ONE floor division
+    * per community (dividend non-negative, so Spark trunc ≡ DuckDB
+    * floor — no shift needed, unlike the modularity Q which can go
+    * negative). A community spanning the WHOLE graph (min = 0) raises
+    * loudly — φ is undefined there, and a silent 0 would read as
+    * "perfectly tight". Labeled nodes absent from the edge list are
+    * excluded (degree comes from edges — the house convention).
+    * Output: (label, n_nodes, vol, cut, phi_ppm). */
+  def conductanceByCommunity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val lab = labels.toDF("node", "lab")
+      .select(col("node").cast("long").as("node"), col("lab").cast("long").as("lab"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val byLab = deg.join(lab, "node")
+      .groupBy(col("lab"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("vol"))
+    val sided = e
+      .join(lab.select(col("node").as("a"), col("lab").as("la")), "a")
+      .join(lab.select(col("node").as("b"), col("lab").as("lb")), "b")
+      .where(col("la") =!= col("lb"))
+    val cut = sided.select(col("la").as("lab"))
+      .unionByName(sided.select(col("lb").as("lab")))
+      .groupBy(col("lab")).agg(count(lit(1)).as("cut"))
+    byLab.join(cut, Seq("lab"), "left")
+      .withColumn("cut", coalesce(col("cut"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .withColumn("phi_ppm", expr(
+        """case when least(vol, 2L * m - vol) = 0L then
+          |  cast(raise_error('conductanceByCommunity: community spans the whole graph - phi undefined') as bigint)
+          |else (cut * 1000000L) div least(vol, 2L * m - vol) end""".stripMargin))
+      .select(col("lab").as("label"), col("n_nodes"), col("vol"),
+        col("cut"), col("phi_ppm"))
+  }
+
   /** The floor-safe ppm division shared by [[modularityByCommunity]] and
     * [[incrementalModularity]] (expects columns m, intra_edges, deg_sum).
     * The documented overflow bound (m ≤ 1 358 000 edges — the worst-case

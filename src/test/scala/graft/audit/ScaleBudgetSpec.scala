@@ -436,6 +436,15 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q327 spilled")
   }
 
+  test("q337 conductance: boundary rollups ride the q313 LPA band") {
+    val b = measure("q337_conductance")
+    // the 2-round LPA dominates (q313's band); conductance adds two
+    // label joins + a cut rollup + a 1-row m broadcast
+    assert(b.shuffleWriteBytes < 64 * MB,
+      s"conductance shuffled beyond label state: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q337 spilled")
+  }
+
   test("q313 modularity: community rollups shuffle graph-sized longs, 1-row m broadcast") {
     val b = measure("q313_modularity")
     // the LPA rounds dominate (the q183 band); the modularity stage adds
