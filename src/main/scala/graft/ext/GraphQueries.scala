@@ -1763,6 +1763,79 @@ object GraphQueries {
       }),
     ),
 
+    // INCREMENTAL conductance (q337's maintained form — the FOURTEENTH
+    // maintained member, twin to q318 over the boundary readout): on
+    // the near-dup nightly workload, labels maintained by
+    // incrementalLabelPropagation (q253, proven ≡ batch), stats
+    // (n_nodes, vol, cut) recounted ONLY for communities touched by
+    // relabeling or delta edges, every other community passing through
+    // VERBATIM; the global m re-scales phi for all rows as a
+    // broadcast-scalar map (the q304/q318 globality shape). The oracle
+    // is the ONE-SHOT batch conductance over ALL pairs with batch-LPA
+    // labels; IncrementalConductanceSpec adds poison-verbatim,
+    // m-globality, and third-community cut-precision cases.
+    QueryDef(
+      "q338_incremental_conductance",
+      (s, dir) => {
+        val pairs = PinnedCache.pin(
+          Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
+            .select(col("a_id").as("a"), col("b_id").as("b")))
+        val base = PinnedCache.pin(pairs.where((col("a") + col("b")) % 2 === 0))
+        val delta = pairs.where((col("a") + col("b")) % 2 === 1)
+        val prevLabels = Graphs.labelPropagation(base, rounds = 2)
+        val newLabels = Graphs.incrementalLabelPropagation(
+          prevLabels, base, delta, rounds = 2)
+        Graphs.incrementalConductance(
+            Graphs.conductanceByCommunity(base, prevLabels),
+            prevLabels, newLabels, base, delta)
+          .orderBy(col("label"))
+      },
+      Some({
+        val round = (i: Int) =>
+          s"""n$i AS (
+             |  SELECT sym.b AS node, l${i - 1}.lab, COUNT(*) AS c
+             |  FROM l${i - 1} JOIN sym ON sym.a = l${i - 1}.node GROUP BY 1, 2),
+             |l$i AS (
+             |  SELECT node, lab FROM (
+             |    SELECT node, lab,
+             |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+             |    FROM n$i) WHERE rn = 1)""".stripMargin
+        s"""WITH sh AS (
+           |  SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+           |                                FOR i IN generate_series(1, len(toks)-2)]) AS s
+           |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+           |  WHERE len(toks) >= 3),
+           |e AS MATERIALIZED (
+           |  SELECT a.doc_id AS a, b.doc_id AS b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+           |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+           |sym AS MATERIALIZED (SELECT a, b FROM e UNION SELECT b, a FROM e),
+           |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
+           |${(1 to 2).map(round).mkString(",\n")},
+           |deg AS (SELECT a AS node, COUNT(*) AS deg FROM sym GROUP BY a),
+           |m AS (SELECT COUNT(*) AS m FROM e),
+           |bylab AS (
+           |  SELECT l2.lab, COUNT(*) AS n_nodes, SUM(deg.deg) AS vol
+           |  FROM deg JOIN l2 ON l2.node = deg.node GROUP BY l2.lab),
+           |sided AS (
+           |  SELECT la.lab AS la, lb.lab AS lb
+           |  FROM e JOIN l2 la ON la.node = e.a JOIN l2 lb ON lb.node = e.b
+           |  WHERE la.lab <> lb.lab),
+           |cut AS (
+           |  SELECT lab, COUNT(*) AS cut FROM (
+           |    SELECT la AS lab FROM sided UNION ALL SELECT lb FROM sided)
+           |  GROUP BY lab)
+           |SELECT b.lab AS label, CAST(b.n_nodes AS BIGINT) AS n_nodes,
+           |  CAST(b.vol AS BIGINT) AS vol,
+           |  CAST(COALESCE(c.cut, 0) AS BIGINT) AS cut,
+           |  CAST((COALESCE(c.cut, 0) * 1000000)
+           |       // LEAST(b.vol, 2 * m.m - b.vol) AS BIGINT) AS phi_ppm
+           |FROM bylab b LEFT JOIN cut c ON c.lab = b.lab, m
+           |ORDER BY label""".stripMargin
+      }),
+    ),
+
     // INCREMENTAL betweenness (q312's maintained form — the TENTH
     // maintained member, completing the centrality tier: CC q164, LPA
     // q253, PR q304, triangles q306, k-core q308, HITS q310, distances

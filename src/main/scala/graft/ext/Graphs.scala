@@ -1644,6 +1644,86 @@ object Graphs {
         col("cut"), col("phi_ppm"))
   }
 
+  /** INCREMENTAL [[conductanceByCommunity]] — the FOURTEENTH maintained
+    * form, twin to [[incrementalModularity]] over the boundary readout:
+    * given the base stats, the base and maintained label assignments,
+    * and an additive edge wave, recount (n_nodes, vol, cut) ONLY for
+    * the AFFECTED communities — the labels (old and new) of any
+    * relabeled node plus the labels of delta-edge endpoints; every
+    * other community's stats pass through VERBATIM. Soundness for the
+    * CUT column (the one new argument vs modularity): an edge whose
+    * relabeled endpoint moves c1 → c2 changes cross-status only for
+    * c1, c2, or the other endpoint's own community when it IS c1/c2 —
+    * all in the affected set; for any third community the edge's
+    * one-endpoint-inside status is unchanged. GLOBALITY (the q304/q318
+    * 1/N shape): the edge total m enters every φ via 2m − vol, so
+    * phi_ppm re-evaluates for ALL rows — a broadcast-scalar map over
+    * community-count rows; the graph-sized recount stays pruned. */
+  def incrementalConductance(prevStats: DataFrame, prevLabels: DataFrame,
+      newLabels: DataFrame, baseEdges: DataFrame,
+      deltaEdges: DataFrame): DataFrame = {
+    def norm(df: DataFrame) = df.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    def labs(df: DataFrame) = df.toDF("node", "lab")
+      .select(col("node").cast("long").as("node"), col("lab").cast("long").as("lab"))
+    val base = norm(baseEdges)
+    val delta = norm(deltaEdges).localCheckpoint(true)
+    val full = base.unionByName(delta).distinct().localCheckpoint(true)
+    val prevL = labs(prevLabels)
+    val newL = labs(newLabels).localCheckpoint(true)
+    val changed = newL.as("n")
+      .join(prevL.as("p"), col("n.node") === col("p.node"), "full")
+      .where(col("p.lab").isNull || col("n.lab").isNull ||
+        col("p.lab") =!= col("n.lab"))
+    val deltaEnds = delta.select(col("a").as("node"))
+      .unionByName(delta.select(col("b").as("node"))).distinct()
+      .join(newL, "node").select(col("lab"))
+    val affected = changed.select(col("n.lab").as("lab"))
+      .unionByName(changed.select(col("p.lab").as("lab")))
+      .where(col("lab").isNotNull)
+      .unionByName(deltaEnds)
+      .distinct().localCheckpoint(true)
+    val affNodes = newL.join(affected, Seq("lab"), "left_semi")
+      .localCheckpoint(true)
+    val sym = full.unionByName(full.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.join(affNodes.select(col("node").as("a")), Seq("a"), "left_semi")
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val byLab = deg.join(affNodes, "node")
+      .groupBy(col("lab"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("vol"))
+    // cut recount: only edges with >= 1 endpoint in an affected
+    // community can contribute, but the OTHER endpoint's label comes
+    // from the full assignment
+    val incident = full
+      .join(affNodes.select(col("node").as("a")), Seq("a"), "left_semi")
+      .unionByName(full
+        .join(affNodes.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b")))
+      .distinct()
+    val sided = incident
+      .join(newL.select(col("node").as("a"), col("lab").as("la")), "a")
+      .join(newL.select(col("node").as("b"), col("lab").as("lb")), "b")
+      .where(col("la") =!= col("lb"))
+    val cut = sided.select(col("la").as("lab"))
+      .unionByName(sided.select(col("lb").as("lab")))
+      .join(affected, Seq("lab"), "left_semi")
+      .groupBy(col("lab")).agg(count(lit(1)).as("cut"))
+    val recount = byLab.join(cut, Seq("lab"), "left")
+      .withColumn("cut", coalesce(col("cut"), lit(0L)))
+    val verbatim = prevStats
+      .select(col("label").as("lab"), col("n_nodes"), col("vol"), col("cut"))
+      .join(affected, Seq("lab"), "left_anti")
+    val m = full.agg(count(lit(1)).as("m"))
+    verbatim.unionByName(recount)
+      .crossJoin(broadcast(m))
+      .withColumn("phi_ppm", expr(
+        """case when least(vol, 2L * m - vol) = 0L then
+          |  cast(raise_error('conductanceByCommunity: community spans the whole graph - phi undefined') as bigint)
+          |else (cut * 1000000L) div least(vol, 2L * m - vol) end""".stripMargin))
+      .select(col("lab").as("label"), col("n_nodes"), col("vol"),
+        col("cut"), col("phi_ppm"))
+  }
+
   /** The floor-safe ppm division shared by [[modularityByCommunity]] and
     * [[incrementalModularity]] (expects columns m, intra_edges, deg_sum).
     * The documented overflow bound (m ≤ 1 358 000 edges — the worst-case

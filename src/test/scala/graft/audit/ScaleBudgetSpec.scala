@@ -445,6 +445,16 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q337 spilled")
   }
 
+  test("q338 incremental conductance: recount pruned to affected communities") {
+    val b = measure("q338_incremental_conductance")
+    // pair gen + base LPA dominate (the q318 band); the maintenance adds
+    // semi-join-pruned recounts and a broadcast-scalar phi rescale
+    // measured 0.4 MB at sf0.01
+    assert(b.shuffleWriteBytes < 2 * MB,
+      s"incremental conductance shuffled beyond affected communities: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q338 spilled")
+  }
+
   test("q313 modularity: community rollups shuffle graph-sized longs, 1-row m broadcast") {
     val b = measure("q313_modularity")
     // the LPA rounds dominate (the q183 band); the modularity stage adds
