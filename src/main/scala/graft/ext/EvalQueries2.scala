@@ -1170,8 +1170,8 @@ object EvalQueries2 {
     // bound orders users by the rate their evidence supports
     // (Evaluation.wilsonLowerBound: one 1e12-scaled floored radicand,
     // one exact integer sqrt — the q287 MDE recipe — one final floor;
-    // n > 6000 raises loudly). The oracle replays the identical chain
-    // with the s0/s1 floor-sqrt correction ladder.
+    // decimal(38,0) rails, loud only past n = 6e12). The oracle replays
+    // the identical chain on HUGEINT with the s0/s1 correction ladder.
     QueryDef(
       "q330_wilson_rate_rank",
       (s, dir) => {
@@ -1187,14 +1187,15 @@ object EvalQueries2 {
              |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p
              |  FROM events GROUP BY user_id),
              |r AS (SELECT user_id, n, p,
-             |    (p * 1000000) // n AS rate_ppm,
-             |    (p * (n - p) * 1000000000000) // n + 1000000000000 AS rad
+             |    (CAST(p AS HUGEINT) * 1000000) // n AS rate_ppm,
+             |    (CAST(p AS HUGEINT) * (n - p) * 1000000000000) // n
+             |      + 1000000000000 AS rad
              |  FROM g),
              |s0 AS (SELECT r.*, CAST(floor(sqrt(CAST(rad AS DOUBLE))) AS BIGINT) AS a FROM r),
-             |s1 AS (SELECT s0.*, CASE WHEN a*a > rad THEN a-1 ELSE a END AS b FROM s0),
-             |s2 AS (SELECT s1.*, CASE WHEN (b+1)*(b+1) <= rad THEN b+1 ELSE b END AS rt FROM s1)
+             |s1 AS (SELECT s0.*, CASE WHEN CAST(a AS HUGEINT)*a > rad THEN a-1 ELSE a END AS b FROM s0),
+             |s2 AS (SELECT s1.*, CASE WHEN CAST(b+1 AS HUGEINT)*(b+1) <= rad THEN b+1 ELSE b END AS rt FROM s1)
              |SELECT user_id, n, p, CAST(rate_ppm AS BIGINT) AS rate_ppm,
-             |  CAST(((p + 2) * 1000000 - 2 * rt) // (n + 4) AS BIGINT) AS wilson_lb_ppm
+             |  CAST(((CAST(p AS HUGEINT) + 2) * 1000000 - 2 * rt) // (n + 4) AS BIGINT) AS wilson_lb_ppm
              |FROM s2 ORDER BY user_id""".stripMargin),
     ),
 
@@ -1242,6 +1243,63 @@ object EvalQueries2 {
              |SELECT n_units, n_annotations, do_ppm, de_ppm,
              |  CAST(1000000 - (do_ppm * 1000000) // de_ppm AS BIGINT) AS alpha_ppm
              |FROM r""".stripMargin),
+    ),
+
+    // KENDALL's tau-a between two quality signals on a deterministic
+    // 5% document sample — do char-length and whitespace token count
+    // ORDER the corpus the same way (they should, strongly — a tau far
+    // from 1e6 would flag a tokenizer artifact)? Exact integer
+    // concordance, no sqrt (Evaluation.kendallTauA); the O(n²) pair
+    // cost is the operator's stated contract, paid here on the q109
+    // deterministic md5 sample — the at-scale recipe. The oracle
+    // replays sample, pairs, signs, and the shifted floor.
+    QueryDef(
+      "q343_kendall_tau",
+      (s, dir) => Evaluation.kendallTauA(
+        Sampling.deterministicSample(tbl(s, dir, "documents"), "doc_id", 1, 20)
+          .select(col("doc_id").as("id"), col("n_chars").as("x"),
+            size(split(col("text"), " ")).cast("long").as("y"))),
+      Some("""WITH smp AS (
+             |  SELECT doc_id AS id, n_chars AS x,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+             |  FROM documents
+             |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))
+             |        AS BIGINT) % 20 < 1),
+             |agg AS (
+             |  SELECT COUNT(*) AS np,
+             |    CAST(SUM(CAST(SIGN(p.x - q.x) AS BIGINT)
+             |             * CAST(SIGN(p.y - q.y) AS BIGINT)) AS HUGEINT) AS s
+             |  FROM smp p JOIN smp q ON p.id < q.id),
+             |n1 AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM smp)
+             |SELECT CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+             |  CAST(((s + n * (n - 1) // 2) * 1000000)
+             |       // (n * (n - 1) // 2) - 1000000 AS BIGINT) AS tau_a_ppm
+             |FROM agg, n1""".stripMargin),
+    ),
+
+    // SIMPSON diversity of languages per source — the exact-rational
+    // concentration readout a mixture planner reads next to the q115
+    // weights (a source with simpson ≈ 0 is one language; higher
+    // spreads): 1e6 − Σc²·1e6 div N², one floor on decimal rails, no
+    // logs (Evaluation.simpsonDiversity — Shannon entropy would not be
+    // engine-exact). The oracle replays the two rollups.
+    QueryDef(
+      "q344_simpson_diversity",
+      (s, dir) => Evaluation.simpsonDiversity(
+          tbl(s, dir, "documents"), "source", "lang")
+        .orderBy(col("grp")),
+      Some("""WITH c AS (
+             |  SELECT source AS grp, lang AS cat, COUNT(*) AS c
+             |  FROM documents GROUP BY 1, 2),
+             |g AS (
+             |  SELECT grp, SUM(c) AS n_rows, COUNT(*) AS n_categories,
+             |    SUM(CAST(c AS HUGEINT) * c) AS c2
+             |  FROM c GROUP BY grp)
+             |SELECT grp, CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST(n_categories AS BIGINT) AS n_categories,
+             |  CAST(1000000 - (c2 * 1000000)
+             |       // (CAST(n_rows AS HUGEINT) * n_rows) AS BIGINT) AS simpson_ppm
+             |FROM g ORDER BY grp""".stripMargin),
     ),
   )
 }

@@ -138,6 +138,107 @@ object Evaluation {
     }
   }
 
+  /** WILSON lower confidence bound on a success rate at z = 2 (the
+    * ~95.45% bound, chosen because z² = 4 keeps every term integer) —
+    * THE small-n rate-ranking fix: sorting groups by raw success rate
+    * puts a 1/1 group above a 95/100 one; sorting by the Wilson LOWER
+    * bound ranks by the rate the evidence actually supports.
+    *   lb = (p + 2 − 2·√(p(n−p)/n + 1)) / (n + 4)
+    * in exact integer ppm: the radicand is scaled by 10¹² and floored
+    * once (S = (p(n−p)·10¹²) div n + 10¹²), the square root is the
+    * exact floor integer sqrt ([[Sampling.isqrtDec]] — the q287/q297
+    * MDE recipe lifted to decimal), and the final division floors once
+    * — a deterministic ≤2-ulp-of-ppm quantization both engines replay
+    * bit-for-bit. Every product rides decimal(38,0) rails (the
+    * degreeAssortativity convention; the oracle rides HUGEINT), so the
+    * only ceiling left is the decimal domain itself: p(n−p)·10¹² needs
+    * p(n−p) < 10²⁶, ENFORCED with raise_error at n > 6·10¹²
+    * (p(n−p) ≤ n²/4 = 9·10²⁵ there, also inside [[Sampling.isqrtDec]]'s
+    * exactness domain) — loud, but six orders past any physical
+    * per-group trial count, where the pre-r13 long rail raised at a
+    * routine n = 6000. The radicand's intermediate floor division runs
+    * remainder-first ((x − x % n) / n — exact because the numerator is
+    * a multiple of n and the integer quotient fits decimal(38,6)),
+    * since Spark's `div` narrows to long and S itself can exceed 2⁶³.
+    * Input: one row per (group) with counts; use
+    * [[wilsonLowerBound]](df, n, p) on an aggregated frame. Output adds
+    * (rate_ppm, wilson_lb_ppm). */
+  def wilsonLowerBound(counts: DataFrame, nCol: String, pCol: String): DataFrame = {
+    val nd = s"cast($nCol as decimal(38,0))"
+    val pd = s"cast($pCol as decimal(38,0))"
+    val prod = s"($pd * ($nd - $pd) * 1000000000000)"
+    val s = expr(
+      s"""case when $nCol > 6000000000000L then
+         |  cast(raise_error('wilsonLowerBound: n > 6e12 overflows the decimal(38,0) radicand — split the group') as decimal(38,0))
+         |else cast(($prod - $prod % $nd) / $nd + 1000000000000 as decimal(38,0))
+         |end""".stripMargin)
+    counts
+      .withColumn("rate_ppm", expr(s"($pd * 1000000) div $nd"))
+      .withColumn("wilson_root", Sampling.isqrtDec(s))
+      .withColumn("wilson_lb_ppm",
+        expr(s"(($pd + 2) * 1000000 - 2 * wilson_root) div ($nd + 4)"))
+      .drop("wilson_root")
+  }
+
+  /** KRIPPENDORFF's alpha (nominal data, FIXED raters-per-unit m) — the
+    * inter-annotator agreement statistic that generalizes the q284
+    * Cohen kappa beyond two annotators: alpha = 1 − Do/De with
+    *   Do = disagreeing annotator pairs / all within-unit pairs
+    *   De = 1 − Σ_c N_c(N_c−1) / (N(N−1))   (chance disagreement,
+    *        pairs drawn WITHOUT replacement from all N annotations —
+    *        the Krippendorff correction that distinguishes alpha from
+    *        Fleiss' kappa at small N)
+    * computed in two-stage integer ppm (do_ppm and de_ppm each floor
+    * once, the ratio floors once — deterministic ≤3-ulp quantization,
+    * replayed identically by the oracle; the single-rail alternative
+    * 10⁶·D·N(N−1) overflows 2⁶³ at corpus scale). The annotation-sized
+    * products (Σ N_c(N_c−1), N(N−1), dis2·10⁶) ride decimal(38,0)
+    * rails (the withZ2Ppm convention; DuckDB's SUM already promotes to
+    * HUGEINT), so there is no long ceiling at any corpus size. De = 0
+    * (every annotation the same label) raises loudly — alpha is
+    * undefined there, and a silent NULL/zero would read as a verdict;
+    * EMPTY input raises the same way (both divisors are 0 there — a
+    * silent NULL row would read as a measurement). Input:
+    * (unit, annotator, label) rows, exactly m raters per unit.
+    * Output: 1 row (n_units, n_annotations, do_ppm, de_ppm,
+    * alpha_ppm). */
+  def krippendorffAlpha(annotations: DataFrame, m: Int): DataFrame = {
+    require(m >= 2 && m <= 64, "m raters in [2,64]")
+    val a = annotations.toDF("unit", "annotator", "label")
+    val perUnitLabel = a.groupBy(col("unit"), col("label"))
+      .agg(count(lit(1)).as("nuc"))
+    // within-unit agreeing pairs: Σ_c C(n_uc, 2); total pairs: C(m,2)/unit
+    val perUnit = perUnitLabel.groupBy(col("unit"))
+      .agg(sum(col("nuc") * (col("nuc") - 1L)).as("agree2"),
+        sum(col("nuc")).as("mu"))
+    // the m-raters-per-unit guard is FOLDED into the aggregated column
+    // (a free-standing projected guard would be pruned by the optimizer)
+    val totals = perUnit
+      .select((col("agree2") +
+        when(col("mu") =!= m.toLong,
+          expr(s"cast(raise_error('krippendorffAlpha: a unit has != $m annotations') as bigint)"))
+          .otherwise(lit(0L))).as("agree2"))
+      .agg(count(lit(1)).as("n_units"),
+        sum((lit(m.toLong) * (lit(m.toLong) - 1L) - col("agree2"))
+          .cast("decimal(38,0)")).as("dis2"))
+    val byLabel = a.groupBy(col("label")).agg(count(lit(1)).as("nc"))
+      .agg(sum(col("nc")).as("nn"),
+        sum(col("nc").cast("decimal(38,0)") * (col("nc") - 1L)).as("same2"))
+    totals.crossJoin(broadcast(byLabel))
+      .select(col("n_units"), col("nn").as("n_annotations"),
+        expr(s"""case when n_units = 0 then
+                |  cast(raise_error('krippendorffAlpha: empty input - alpha undefined') as bigint)
+                |else (dis2 * 1000000) div (cast(n_units as decimal(38,0)) * ${m.toLong * (m - 1)})
+                |end""".stripMargin)
+          .as("do_ppm"),
+        expr("""case when cast(nn as decimal(38,0)) * (nn - 1L) = same2 then
+                |  cast(raise_error('krippendorffAlpha: De = 0 (all annotations identical) — alpha undefined') as bigint)
+                |else 1000000L - (same2 * 1000000) div (cast(nn as decimal(38,0)) * (nn - 1L)) end"""
+          .stripMargin).as("de_ppm"))
+      .withColumn("alpha_ppm",
+        expr("1000000L - (do_ppm * 1000000L) div de_ppm"))
+  }
+
   /** Bradley–Terry ratings from pairwise match outcomes via the MM
     * (minorization-maximization) algorithm, `iters` fixed synchronous
     * rounds in integer fixed point: with ratings r in ppm (r₀ = 10⁶),
@@ -165,89 +266,6 @@ object Evaluation {
     * rollup, then per round ONE join of the pair table against the
     * rating vector + a player-keyed sum — Pregel-shaped, pair-table
     * sized, model-state small at any corpus scale. */
-  /** WILSON lower confidence bound on a success rate at z = 2 (the
-    * ~95.45% bound, chosen because z² = 4 keeps every term integer) —
-    * THE small-n rate-ranking fix: sorting groups by raw success rate
-    * puts a 1/1 group above a 95/100 one; sorting by the Wilson LOWER
-    * bound ranks by the rate the evidence actually supports.
-    *   lb = (p + 2 − 2·√(p(n−p)/n + 1)) / (n + 4)
-    * in exact integer ppm: the radicand is scaled by 10¹² and floored
-    * once (S = (p(n−p)·10¹²) div n + 10¹²), the square root is the
-    * exact floor integer sqrt ([[Sampling.isqrt]] — the q287/q297 MDE
-    * recipe), and the final division floors once — a deterministic
-    * ≤2-ulp-of-ppm quantization both engines replay bit-for-bit.
-    * Overflow rail: p(n−p)·10¹² needs p(n−p) < 9.2·10⁶, ENFORCED with
-    * raise_error at n > 6000 (p(n−p) ≤ n²/4 = 9·10⁶) — the
-    * loud-corruption discipline; groups that big should rank by raw
-    * rate anyway (the bound converges to it). Input: one row per
-    * (group) with counts; use [[wilsonLowerBound]](df, n, p) on an
-    * aggregated frame. Output adds (rate_ppm, wilson_lb_ppm). */
-  def wilsonLowerBound(counts: DataFrame, nCol: String, pCol: String): DataFrame = {
-    val s = expr(
-      s"""case when $nCol > 6000L then
-         |  cast(raise_error('wilsonLowerBound: n > 6000 overflows the 1e12 radicand shift — use the decimal path') as bigint)
-         |else ($pCol * ($nCol - $pCol) * 1000000000000L) div $nCol + 1000000000000L
-         |end""".stripMargin)
-    counts
-      .withColumn("rate_ppm", expr(s"($pCol * 1000000L) div $nCol"))
-      .withColumn("wilson_root", Sampling.isqrt(s))
-      .withColumn("wilson_lb_ppm",
-        expr(s"(($pCol + 2L) * 1000000L - 2L * wilson_root) div ($nCol + 4L)"))
-      .drop("wilson_root")
-  }
-
-  /** KRIPPENDORFF's alpha (nominal data, FIXED raters-per-unit m) — the
-    * inter-annotator agreement statistic that generalizes the q284
-    * Cohen kappa beyond two annotators: alpha = 1 − Do/De with
-    *   Do = disagreeing annotator pairs / all within-unit pairs
-    *   De = 1 − Σ_c N_c(N_c−1) / (N(N−1))   (chance disagreement,
-    *        pairs drawn WITHOUT replacement from all N annotations —
-    *        the Krippendorff correction that distinguishes alpha from
-    *        Fleiss' kappa at small N)
-    * computed in two-stage integer ppm (do_ppm and de_ppm each floor
-    * once, the ratio floors once — deterministic ≤3-ulp quantization,
-    * replayed identically by the oracle; the single-rail alternative
-    * 10⁶·D·N(N−1) overflows 2⁶³ at corpus scale). Remaining rail:
-    * same2·10⁶ ≤ N²·10⁶ stays under 2⁶³ for N ≤ 3·10⁶ annotations
-    * (= 10⁶ units at m = 3); past that, lift Σ N_c(N_c−1) onto
-    * decimal(38,0) (the withZ2Ppm convention). De = 0 (every
-    * annotation the same label) raises loudly — alpha is undefined
-    * there, and a silent NULL/zero would read as a verdict. Input:
-    * (unit, annotator, label) rows, exactly m raters per unit.
-    * Output: 1 row (n_units, n_annotations, do_ppm, de_ppm,
-    * alpha_ppm). */
-  def krippendorffAlpha(annotations: DataFrame, m: Int): DataFrame = {
-    require(m >= 2 && m <= 64, "m raters in [2,64]")
-    val a = annotations.toDF("unit", "annotator", "label")
-    val perUnitLabel = a.groupBy(col("unit"), col("label"))
-      .agg(count(lit(1)).as("nuc"))
-    // within-unit agreeing pairs: Σ_c C(n_uc, 2); total pairs: C(m,2)/unit
-    val perUnit = perUnitLabel.groupBy(col("unit"))
-      .agg(sum(col("nuc") * (col("nuc") - 1L)).as("agree2"),
-        sum(col("nuc")).as("mu"))
-    // the m-raters-per-unit guard is FOLDED into the aggregated column
-    // (a free-standing projected guard would be pruned by the optimizer)
-    val totals = perUnit
-      .select((col("agree2") +
-        when(col("mu") =!= m.toLong,
-          expr(s"cast(raise_error('krippendorffAlpha: a unit has != $m annotations') as bigint)"))
-          .otherwise(lit(0L))).as("agree2"))
-      .agg(count(lit(1)).as("n_units"),
-        sum(lit(m.toLong) * (lit(m.toLong) - 1L) - col("agree2")).as("dis2"))
-    val byLabel = a.groupBy(col("label")).agg(count(lit(1)).as("nc"))
-      .agg(sum(col("nc")).as("nn"), sum(col("nc") * (col("nc") - 1L)).as("same2"))
-    totals.crossJoin(broadcast(byLabel))
-      .select(col("n_units"), col("nn").as("n_annotations"),
-        expr(s"(dis2 * 1000000L) div (n_units * ${m.toLong} * ${(m - 1).toLong})")
-          .as("do_ppm"),
-        expr("""case when nn * (nn - 1L) = same2 then
-                |  cast(raise_error('krippendorffAlpha: De = 0 (all annotations identical) — alpha undefined') as bigint)
-                |else 1000000L - (same2 * 1000000L) div (nn * (nn - 1L)) end"""
-          .stripMargin).as("de_ppm"))
-      .withColumn("alpha_ppm",
-        expr("1000000L - (do_ppm * 1000000L) div de_ppm"))
-  }
-
   def bradleyTerry(matches: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 20, "iters in [1,20]")
     val m = matches.toDF("winner", "loser")
@@ -279,4 +297,55 @@ object Evaluation {
       .select(col("p").as("player"), col("games"), col("w").as("wins"),
         col("r").as("rating_ppm"))
   }
+
+  /** KENDALL's tau-a between two per-row signals — the exact rank-
+    * concordance readout (do two quality signals ORDER the corpus the
+    * same way?) that, unlike Spearman's rho, needs NO square root:
+    *   tau_a = (concordant − discordant) / (n(n−1)/2)
+    * with ties counting as neither, so S = Σ_{i<j} sign(x_i−x_j) ·
+    * sign(y_i−y_j) is an exact integer and the single floor division
+    * runs on the (+denominator)-shifted dividend (tau ∈ [−1, 1] keeps
+    * it non-negative; Spark trunc ≡ DuckDB floor — the modularity
+    * shift), decimal(38,0) rails. Input: (id, x, y) rows with DISTINCT
+    * ids (the pair join keys on id order). Output: 1 row (n, s,
+    * tau_a_ppm). COST IS O(n²) PAIRS — stated, not hidden: this is the
+    * exact-verification shape (the q104 discipline); at corpus scale
+    * run it on a [[Sampling.deterministicSample]] (the q343 query
+    * does), or trust the estimator literature and bucket. n < 2 raises
+    * (no pairs — a NULL would read as a verdict). */
+  def kendallTauA(rows: DataFrame): DataFrame = {
+    val r = rows.toDF("id", "x", "y").localCheckpoint(true)
+    val n = r.count() // model-state action on the checkpoint (loud below)
+    require(n >= 2, s"kendallTauA: n = $n < 2 — no pairs to score")
+    val n2 = n * (n - 1) / 2
+    val pairs = r.as("p").join(r.as("q"), col("p.id") < col("q.id"))
+      .select((signum(col("p.x") - col("q.x")).cast("long") *
+        signum(col("p.y") - col("q.y")).cast("long")).as("t"))
+    pairs.agg(coalesce(sum(col("t")), lit(0L)).as("s"))
+      .select(lit(n).as("n"), col("s"),
+        expr(s"""cast(((cast(s as decimal(38,0)) + ${n2}L) * 1000000)
+                |div ${n2}L - 1000000 as bigint)""".stripMargin)
+          .as("tau_a_ppm"))
+  }
+
+  /** SIMPSON diversity 1 − Σ p_c² per group — the exact-rational
+    * concentration readout for corpus mixing (how dominated is each
+    * source by one language / one domain / one label?; 0 = one
+    * category, → 10⁶ = evenly spread). Integer ppm with ONE floor
+    * division on decimal(38,0) rails:
+    *   simpson_ppm = 10⁶ − (Σ c_i²·10⁶) div N²
+    * (non-negative dividend, trunc ≡ floor; no sqrt, no logs — unlike
+    * Shannon entropy this diversity index is exactly portable).
+    * Output: (group, n_rows, n_categories, simpson_ppm). */
+  def simpsonDiversity(df: DataFrame, groupCol: String,
+      catCol: String): DataFrame = df
+    .groupBy(col(groupCol).as("grp"), col(catCol).as("cat"))
+    .agg(count(lit(1)).as("c"))
+    .groupBy(col("grp"))
+    .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_categories"),
+      sum(col("c").cast("decimal(38,0)") * col("c")).as("c2"))
+    .select(col("grp"), col("n_rows"), col("n_categories"),
+      expr("""cast(1000000 - (c2 * 1000000)
+             |div (cast(n_rows as decimal(38,0)) * n_rows) as bigint)"""
+        .stripMargin).as("simpson_ppm"))
 }

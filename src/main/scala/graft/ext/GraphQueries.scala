@@ -1470,8 +1470,10 @@ object GraphQueries {
            |SELECT b.lab AS label, CAST(b.n_nodes AS BIGINT) AS n_nodes,
            |  CAST(b.deg_sum AS BIGINT) AS deg_sum,
            |  CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
-           |  CAST((1000000*(4*m.m*COALESCE(i.intra_edges, 0) - b.deg_sum*b.deg_sum)
-           |        + 4000000*m.m*m.m) // (4*m.m*m.m) - 1000000 AS BIGINT) AS q_ppm
+           |  CAST((1000000*(4*CAST(m.m AS HUGEINT)*COALESCE(i.intra_edges, 0)
+           |                 - CAST(b.deg_sum AS HUGEINT)*b.deg_sum)
+           |        + 4000000*CAST(m.m AS HUGEINT)*m.m)
+           |       // (4*CAST(m.m AS HUGEINT)*m.m) - 1000000 AS BIGINT) AS q_ppm
            |FROM bylab b LEFT JOIN intra i ON i.lab = b.lab, m
            |ORDER BY label""".stripMargin
       }),
@@ -1695,8 +1697,10 @@ object GraphQueries {
            |SELECT b.lab AS label, CAST(b.n_nodes AS BIGINT) AS n_nodes,
            |  CAST(b.deg_sum AS BIGINT) AS deg_sum,
            |  CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
-           |  CAST((1000000*(4*m.m*COALESCE(i.intra_edges, 0) - b.deg_sum*b.deg_sum)
-           |        + 4000000*m.m*m.m) // (4*m.m*m.m) - 1000000 AS BIGINT) AS q_ppm
+           |  CAST((1000000*(4*CAST(m.m AS HUGEINT)*COALESCE(i.intra_edges, 0)
+           |                 - CAST(b.deg_sum AS HUGEINT)*b.deg_sum)
+           |        + 4000000*CAST(m.m AS HUGEINT)*m.m)
+           |       // (4*CAST(m.m AS HUGEINT)*m.m) - 1000000 AS BIGINT) AS q_ppm
            |FROM bylab b LEFT JOIN intra i ON i.lab = b.lab, m
            |ORDER BY label""".stripMargin
       }),
@@ -1756,7 +1760,7 @@ object GraphQueries {
            |SELECT b.lab AS label, CAST(b.n_nodes AS BIGINT) AS n_nodes,
            |  CAST(b.vol AS BIGINT) AS vol,
            |  CAST(COALESCE(c.cut, 0) AS BIGINT) AS cut,
-           |  CAST((COALESCE(c.cut, 0) * 1000000)
+           |  CAST((CAST(COALESCE(c.cut, 0) AS HUGEINT) * 1000000)
            |       // LEAST(b.vol, 2 * m.m - b.vol) AS BIGINT) AS phi_ppm
            |FROM bylab b LEFT JOIN cut c ON c.lab = b.lab, m
            |ORDER BY label""".stripMargin
@@ -1829,7 +1833,7 @@ object GraphQueries {
            |SELECT b.lab AS label, CAST(b.n_nodes AS BIGINT) AS n_nodes,
            |  CAST(b.vol AS BIGINT) AS vol,
            |  CAST(COALESCE(c.cut, 0) AS BIGINT) AS cut,
-           |  CAST((COALESCE(c.cut, 0) * 1000000)
+           |  CAST((CAST(COALESCE(c.cut, 0) AS HUGEINT) * 1000000)
            |       // LEAST(b.vol, 2 * m.m - b.vol) AS BIGINT) AS phi_ppm
            |FROM bylab b LEFT JOIN cut c ON c.lab = b.lab, m
            |ORDER BY label""".stripMargin
@@ -2135,11 +2139,13 @@ object GraphQueries {
     // circular-flow community — the set of parties mutually entangled
     // by shipments and returns (namespaces split 2c / 2s+1, the q132
     // convention). Fixed-round FW-BW coloring with trimming
-    // (Graphs.stronglyConnectedComponents): assignments are sound at
-    // any budget, leftovers are FLAGGED settled=false, and the oracle
-    // replays the identical trim/color/backward schedule — so the
-    // check verifies the exact fixed-round semantics, converged or
-    // not.
+    // (Graphs.stronglyConnectedComponents): colored removal is GATED
+    // on the two closed-form convergence predicates, so a settled
+    // group is EXACTLY one true SCC (never a merge or a split);
+    // under-budget leftovers come back settled=false. The oracle
+    // replays the identical trim/color/backward schedule INCLUDING
+    // the gate (the same two NOT EXISTS) — so the check verifies the
+    // exact gated semantics, converged or not.
     QueryDef(
       "q333_scc_goods_flow",
       (s, dir) => {
@@ -2191,7 +2197,18 @@ object GraphQueries {
              |${fRounds(o)},
              |b${o}_0 AS (SELECT node, f FROM f${o}_$inner WHERE node = f),
              |${bRounds(o)},
-             |a$o AS (SELECT node, f FROM b${o}_$inner),
+             |conv$o AS (SELECT
+             |  (NOT EXISTS (SELECT 1 FROM sub$o s
+             |     JOIN f${o}_$inner fu ON fu.node = s.src
+             |     JOIN f${o}_$inner fv ON fv.node = s.dst
+             |     WHERE fu.f < fv.f))
+             |  AND (NOT EXISTS (SELECT 1 FROM sub$o s
+             |     JOIN b${o}_$inner bv ON bv.node = s.dst
+             |     JOIN f${o}_$inner fu ON fu.node = s.src
+             |     WHERE fu.f = bv.f
+             |       AND s.src NOT IN (SELECT node FROM b${o}_$inner))) AS ok),
+             |a$o AS (SELECT node, f FROM b${o}_$inner
+             |        WHERE (SELECT ok FROM conv$o)),
              |u${o + 1} AS (SELECT node FROM uu$o
              |              WHERE node NOT IN (SELECT node FROM a$o))""".stripMargin
         s"""WITH oli AS (
@@ -2293,6 +2310,186 @@ object GraphQueries {
           |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY score DESC, c) AS rn
           |  FROM scored) WHERE rn = 1
           |ORDER BY host""".stripMargin),
+    ),
+
+    // DETERMINISTIC adjacency cap at maxDeg = 3 on the host graph — the
+    // hub pre-step the walk tier's skew story promises (SCALE.md): a
+    // hub's adjacency is capped to the maxDeg neighbors ranked smallest
+    // by (portableHash(src:dst), dst) BEFORE walking, bounding
+    // node2vec's |frontier|·deg(cur) candidate fan-out per walk-visit
+    // to |frontier|·maxDeg regardless of hub degree
+    // (Graphs.capAdjacency; CapAdjacencySpec pins capped ≡ uncapped
+    // when maxDeg covers the true max degree, SkewRehearsalSpec pins
+    // the flat budget as the hub grows). Pure hash ranking — the
+    // oracle replays it with the same md5-prefix cast.
+    QueryDef(
+      "q339_capped_adjacency",
+      (s, dir) => Graphs.capAdjacency(hostLinkGraph(s, dir), maxDeg = 3)
+        .orderBy(col("src"), col("dst")),
+      Some(hostGraphSql +
+        """,
+          |rk AS (SELECT src, dst,
+          |  ROW_NUMBER() OVER (PARTITION BY src
+          |    ORDER BY CAST(('0x' || substring(md5(src||':'||dst),1,15)) AS BIGINT),
+          |             dst) AS rk
+          |  FROM sym)
+          |SELECT src, dst FROM rk WHERE rk <= 3 ORDER BY src, dst""".stripMargin),
+    ),
+
+    // LINK PREDICTION over the host graph — the candidate-edge table a
+    // recommender ranks: for every non-adjacent host pair at distance
+    // 2, common-neighbor count + the Resource-Allocation index
+    // Σ 1e6 div deg(z) over shared neighbors (Graphs.
+    // linkPredictionScores — integer-exact, one floor per shared
+    // neighbor; RA needs no log, unlike Adamic-Adar). The oracle
+    // replays the wedge join + anti-join + floored rollup.
+    QueryDef(
+      "q340_link_prediction",
+      (s, dir) => Graphs.linkPredictionScores(
+          hostLinkGraph(s, dir).where(col("src") < col("dst"))
+            .select(col("src").as("a"), col("dst").as("b")))
+        .orderBy(col("u"), col("v")),
+      Some(hostGraphSql +
+        """,
+          |und AS (SELECT src AS a, dst AS b FROM sym WHERE src < dst),
+          |dg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src),
+          |w AS (
+          |  SELECT x.src AS u, y.dst AS v, x.dst AS z
+          |  FROM sym x JOIN sym y ON x.dst = y.src AND x.src < y.dst),
+          |cand AS (
+          |  SELECT u, v, z FROM w
+          |  WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.a = w.u AND e.b = w.v))
+          |SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn,
+          |  CAST(SUM(1000000 // dg.deg) AS BIGINT) AS ra_ppm
+          |FROM cand JOIN dg ON dg.node = cand.z
+          |GROUP BY u, v ORDER BY u, v""".stripMargin),
+    ),
+
+    // RICH-CLUB coefficient ladder over the host graph — WHERE on the
+    // degree spectrum do hubs close ranks (the curve reading next to
+    // q332's one-number assortativity): φ(k) = 2·E_k·1e6 div
+    // (N_k·(N_k−1)) over nodes with deg > k, thresholds with clubs of
+    // < 2 members omitted (Graphs.richClub, decimal rails). The oracle
+    // replays the per-k club restriction.
+    QueryDef(
+      "q341_rich_club",
+      (s, dir) => Graphs.richClub(
+          hostLinkGraph(s, dir).where(col("src") < col("dst"))
+            .select(col("src").as("a"), col("dst").as("b")),
+          Seq(1, 2, 4, 8, 16))
+        .orderBy(col("k")),
+      Some(hostGraphSql +
+        """,
+          |und AS (SELECT src AS a, dst AS b FROM sym WHERE src < dst),
+          |dg AS (SELECT node, COUNT(*) AS deg FROM (
+          |  SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+          |  GROUP BY node),
+          |ks AS (SELECT unnest([1, 2, 4, 8, 16]) AS k),
+          |club AS (SELECT k, node FROM ks JOIN dg ON dg.deg > k),
+          |nk AS (SELECT k, COUNT(*) AS n_club FROM club GROUP BY k),
+          |ek AS (
+          |  SELECT ks.k, COUNT(*) AS e_club
+          |  FROM ks JOIN und ON TRUE
+          |  JOIN dg da ON da.node = und.a JOIN dg db ON db.node = und.b
+          |  WHERE da.deg > ks.k AND db.deg > ks.k GROUP BY ks.k)
+          |SELECT CAST(nk.k AS BIGINT) AS k, nk.n_club,
+          |  CAST(COALESCE(ek.e_club, 0) AS BIGINT) AS e_club,
+          |  CAST((2 * CAST(COALESCE(ek.e_club, 0) AS HUGEINT) * 1000000)
+          |       // (CAST(nk.n_club AS HUGEINT) * (nk.n_club - 1)) AS BIGINT)
+          |    AS phi_ppm
+          |FROM nk LEFT JOIN ek ON ek.k = nk.k
+          |WHERE nk.n_club >= 2 ORDER BY k""".stripMargin),
+    ),
+
+    // INCREMENTAL degree assortativity (q332's maintained form — the
+    // FIFTEENTH maintained member, and the only SCALAR one): state is
+    // the four sufficient statistics (Σdeg, Σdeg², Σdeg³, Σ_sym
+    // deg·deg); node sums update closed-form from the delta endpoints'
+    // degree changes, the edge sum from the 1-ball's incident terms —
+    // base is scanned, never exchanged (Graphs.
+    // incrementalAssortativity; the r13 shuffle discipline). The
+    // oracle is q332's ONE-SHOT batch SQL over ALL edges, so a pass
+    // proves maintained ≡ recompute.
+    QueryDef(
+      "q342_incremental_assortativity",
+      (s, dir) => {
+        val und = PinnedCache.pin(
+          hostLinkGraph(s, dir).where(col("src") < col("dst"))
+            .select(col("src").as("a"), col("dst").as("b")))
+        val isBase = pmod(hash(col("a"), col("b")), lit(5)) =!= 0
+        val base = und.where(isBase)
+        val delta = und.where(!isBase)
+        Graphs.incrementalAssortativity(
+          Graphs.degreeAssortativityStats(base), base, delta)
+      },
+      Some(hostGraphSql +
+        """,
+          |dg AS (SELECT src AS n, COUNT(*) AS deg FROM sym GROUP BY src),
+          |agg AS (
+          |  SELECT COUNT(*) AS m,
+          |    SUM(CAST(dx.deg AS HUGEINT)) AS sx,
+          |    SUM(CAST(dx.deg AS HUGEINT) * dx.deg) AS sxx,
+          |    SUM(CAST(dx.deg AS HUGEINT) * dy.deg) AS sxy
+          |  FROM sym JOIN dg dx ON dx.n = sym.src JOIN dg dy ON dy.n = sym.dst)
+          |SELECT CAST(m AS BIGINT) AS n_sym_edges,
+          |  CAST((1000000 * (m * sxy - sx * sx)
+          |        + 1000000 * (m * sxx - sx * sx)) // (m * sxx - sx * sx)
+          |       - 1000000 AS BIGINT) AS r_ppm
+          |FROM agg""".stripMargin),
+    ),
+
+    // RAND INDEX between the 2-round and 3-round LPA assignments of
+    // the co-purchase graph — the partition-STABILITY readout a
+    // curator wants before stratifying by community (did one more
+    // round refine the mesoscale structure or churn it?): exact
+    // pair-agreement via the contingency identity in doubled pair
+    // units, one floor division on decimal rails (Graphs.randIndex —
+    // contingency-sized state, no pair enumeration). The oracle
+    // replays the LPA ladders to rounds 2 and 3 and the identity.
+    QueryDef(
+      "q345_rand_index",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val edges = PinnedCache.pin(li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct())
+        Graphs.randIndex(
+          Graphs.labelPropagation(edges, rounds = 2),
+          Graphs.labelPropagation(edges, rounds = 3))
+      },
+      Some({
+        val round = (i: Int) =>
+          s"""n$i AS (
+             |  SELECT sym.b AS node, l${i - 1}.lab, COUNT(*) AS c
+             |  FROM l${i - 1} JOIN sym ON sym.a = l${i - 1}.node GROUP BY 1, 2),
+             |l$i AS (
+             |  SELECT node, lab FROM (
+             |    SELECT node, lab,
+             |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+             |    FROM n$i) WHERE rn = 1)""".stripMargin
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+           |  FROM lineitem a JOIN lineitem b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+           |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+           |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
+           |${(1 to 3).map(round).mkString(",\n")},
+           |cont AS (
+           |  SELECT l2.lab AS la, l3.lab AS lb, COUNT(*) AS nij
+           |  FROM l2 JOIN l3 ON l2.node = l3.node GROUP BY 1, 2),
+           |tot AS (SELECT CAST(SUM(nij) AS HUGEINT) AS n,
+           |               SUM(CAST(nij AS HUGEINT) * (nij - 1)) AS s11_2
+           |        FROM cont),
+           |ma AS (SELECT SUM(CAST(ai AS HUGEINT) * (ai - 1)) AS sa_2 FROM (
+           |  SELECT la, SUM(nij) AS ai FROM cont GROUP BY la)),
+           |mb AS (SELECT SUM(CAST(bj AS HUGEINT) * (bj - 1)) AS sb_2 FROM (
+           |  SELECT lb, SUM(nij) AS bj FROM cont GROUP BY lb))
+           |SELECT CAST(n AS BIGINT) AS n_nodes,
+           |  CAST(((n * (n - 1) - sa_2 - sb_2 + 2 * s11_2) * 1000000)
+           |       // (n * (n - 1)) AS BIGINT) AS ri_ppm
+           |FROM tot, ma, mb""".stripMargin
+      }),
     ),
   )
 }

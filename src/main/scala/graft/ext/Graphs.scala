@@ -623,18 +623,22 @@ object Graphs {
   def bfsDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 50, "rounds in [1,50]")
     val e = PinnedCache.pin(edges.toDF("src", "dst"))
-    var frontier = seeds.toDF("node").distinct()
-      .withColumn("d", lit(0L)).localCheckpoint(true)
+    // frontier/settled are localCheckpoint-ed, which ERASES stats — the
+    // planning-time broadcast hint (gated on the actual row count) keeps
+    // every e⋈frontier a scan of e instead of a full-edge exchange per
+    // round (the hintIfSmall rationale; measured on MaintenanceCostSpec)
+    var frontier = hintIfSmall(seeds.toDF("node").distinct()
+      .withColumn("d", lit(0L)).localCheckpoint(true))
     var settled = frontier
     for (r <- 1 to rounds) {
       val candidates = e
         .join(frontier.select(col("node").as("src")), "src")
         .select(col("dst").as("node"))
         .distinct()
-      frontier = candidates
+      frontier = hintIfSmall(candidates
         .join(settled, Seq("node"), "left_anti")
         .select(col("node"), lit(r.toLong).as("d"))
-        .localCheckpoint(true)
+        .localCheckpoint(true))
       settled = settled.unionByName(frontier)
     }
     settled
@@ -695,19 +699,21 @@ object Graphs {
       rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
     val e = PinnedCache.pin(edges.toDF("src", "dst"))
-    var frontier = seeds.toDF("seed").distinct()
+    // hinted frontiers: e⋈frontier stays a scan of e, never a full-edge
+    // exchange per round (hintIfSmall — checkpoints erase stats)
+    var frontier = hintIfSmall(seeds.toDF("seed").distinct()
       .select(col("seed"), col("seed").as("node"), lit(0L).as("d"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     var settled = frontier
     for (r <- 1 to rounds) {
       val candidates = e
         .join(frontier.select(col("seed"), col("node").as("src")), "src")
         .select(col("seed"), col("dst").as("node"))
         .distinct()
-      frontier = candidates
+      frontier = hintIfSmall(candidates
         .join(settled, Seq("seed", "node"), "left_anti")
         .select(col("seed"), col("node"), lit(r.toLong).as("d"))
-        .localCheckpoint(true)
+        .localCheckpoint(true))
       settled = settled.unionByName(frontier)
     }
     settled
@@ -825,8 +831,13 @@ object Graphs {
     require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
     import org.apache.spark.sql.expressions.Window
     val bE = baseEdges.toDF("src", "dst")
-    val dE = PinnedCache.pin(deltaEdges.toDF("src", "dst").distinct())
-    val all = PinnedCache.pin(bE.unionByName(dE).distinct())
+    val dE = hintIfSmall(deltaEdges.toDF("src", "dst").distinct()
+      .localCheckpoint(true))
+    // NO full-graph distinct (the r13 incrementalKatz finding): every
+    // consumer of the edge set here is duplicate-IMMUNE — bit_or layers
+    // and BFS reachability are idempotent — so base ∪ delta is only
+    // ever SCANNED, never exchanged
+    val all = PinnedCache.pin(bE.unionByName(dE))
     val settled = PinnedCache.pin(prevDist.toDF("seed", "node", "d"))
     // dense seed-bit index over the (unchanged) seed universe — the
     // multiSourceBfs convention: sorted order, deterministic
@@ -870,8 +881,8 @@ object Graphs {
     // every candidate node sits within `rounds` FORWARD hops of a delta
     // dst, so this slice of settled is the only state improvements can
     // compare against — the full set is never reshuffled per iteration
-    val ballNodes = bfsDistances(all, dE.select(col("dst")), rounds)
-      .select(col("node"))
+    val ballNodes = hintIfSmall(bfsDistances(all, dE.select(col("dst")), rounds)
+      .select(col("node")).localCheckpoint(true))
     val baseCum = PinnedCache.pin(cumulate(toLayers(
       settled.join(ballNodes, Seq("node"), "left_semi"))))
     // injection: relax every delta edge once from the base-settled state
@@ -879,7 +890,8 @@ object Graphs {
       settled.join(dE.select(col("src").as("node"), col("dst")), "node")
         .select(col("seed"), col("dst").as("node"), (col("d") + 1L).as("d"))
         .where(col("d") <= rounds.toLong))
-    var frontier = selfPrune(minusCum(injected, baseCum)).localCheckpoint(true)
+    var frontier = hintIfSmall(
+      selfPrune(minusCum(injected, baseCum)).localCheckpoint(true))
     var imp = frontier
     for (_ <- 1 to rounds) {
       val prop = all
@@ -892,8 +904,9 @@ object Graphs {
       // an improvement must beat BOTH the base state and any earlier
       // improvement of the same pair (a pair can improve twice when a
       // shorter chain lands later — the chained-delta case)
-      frontier = selfPrune(minusCum(minusCum(prop, baseCum), cumulate(imp)))
-        .localCheckpoint(true)
+      frontier = hintIfSmall(
+        selfPrune(minusCum(minusCum(prop, baseCum), cumulate(imp)))
+          .localCheckpoint(true))
       imp = imp.unionByName(frontier)
         .groupBy(col("node"), col("w"), col("d"))
         .agg(expr("bit_or(m)").as("m"))
@@ -910,8 +923,9 @@ object Graphs {
       .select((col("w") * 64L + col("b")).as("i"), col("node"), col("d"))
       .join(idx, "i")
       .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d"))
+      .localCheckpoint(true)
     settled
-      .join(improvedPairs.select(col("seed"), col("node")),
+      .join(hintIfSmall(improvedPairs).select(col("seed"), col("node")),
         Seq("seed", "node"), "left_anti")
       .select(col("seed"), col("node"), col("d"))
       .unionByName(improvedPairs)
@@ -1507,34 +1521,57 @@ object Graphs {
     * reading unaffected in-neighbor values per iteration from the
     * stored base TRAJECTORY (exact by induction: a node unaffected at
     * radius t has r_t ≡ base r_t). Cost ∝ the delta's downstream
-    * neighborhood — the nightly link-graph maintenance shape. */
+    * neighborhood — the nightly link-graph maintenance shape.
+    *
+    * SHUFFLE SHAPE (r13, measured by MaintenanceCostSpec): the graph is
+    * never re-shuffled. The old plan opened with
+    * `(base ∪ delta).distinct()` — a full-graph exchange that made
+    * "maintenance" shuffle 2× the RECOMPUTE at 1M edges. Now base is
+    * only ever SCANNED: ball expansion and the edges-into-ball
+    * restriction join against the frontier/ball (localCheckpoint-ed,
+    * so AQE sees exact small sizes and broadcasts), the base∩delta
+    * dedup happens AFTER ball restriction (only ball edges are ever
+    * re-aggregated, so duplicates elsewhere cannot affect the output),
+    * and new-node detection probes the trace with the broadcast delta
+    * endpoints instead of distinct-ing the full node set. Shuffled
+    * bytes ∝ ball; input scans ∝ graph (iters cached scans — the part
+    * no maintenance can avoid without an index). */
   def incrementalKatz(prevTrace: DataFrame, baseEdges: DataFrame,
       deltaEdges: DataFrame, iters: Int, alphaDen: Long = 8L): DataFrame = {
     require(iters >= 1 && iters <= 20, "iters in [1,20]")
     def norm(df: DataFrame) = df.toDF("src", "dst")
     val base = norm(baseEdges)
-    val delta = norm(deltaEdges).localCheckpoint(true)
-    val full = base.unionByName(delta).distinct().localCheckpoint(true)
+    val delta = norm(deltaEdges).distinct().localCheckpoint(true)
+    val union = base.unionByName(delta) // scanned below, never shuffled
     val trace = prevTrace.toDF("node", "t", "r").localCheckpoint(true)
-    val fullNodes = full.select(col("src").as("node"))
-      .unionByName(full.select(col("dst").as("node"))).distinct()
-    val newNodes = fullNodes
-      .join(trace.select(col("node")).distinct(), Seq("node"), "left_anti")
-    var aff = delta.select(col("dst").as("node")).distinct()
-      .unionByName(newNodes).distinct().localCheckpoint(true)
+    // a node is new iff it touches a delta edge and is absent from the
+    // trace: probe the trace's t=0 slice with the (small, broadcast)
+    // delta endpoints — no full-node-set distinct
+    val deltaEnds = hintIfSmall(delta.select(col("src").as("node"))
+      .unionByName(delta.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true))
+    val knownEnds = trace.where(col("t") === 0L).select(col("node"))
+      .join(deltaEnds, Seq("node"), "left_semi")
+    val newNodes = deltaEnds.join(knownEnds, Seq("node"), "left_anti")
+    var aff = hintIfSmall(delta.select(col("dst").as("node")).distinct()
+      .unionByName(newNodes).distinct().localCheckpoint(true))
     var frontier = aff
     for (_ <- 1 until iters) {
-      frontier = full
+      frontier = hintIfSmall(union
         .join(frontier.select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
         .join(aff, Seq("node"), "left_anti")
-        .localCheckpoint(true)
-      aff = aff.unionByName(frontier).localCheckpoint(true)
+        .localCheckpoint(true))
+      aff = hintIfSmall(aff.unionByName(frontier).localCheckpoint(true))
     }
-    // edges INTO the affected region — the only recurrence that replays
-    val affIn = full
+    // edges INTO the affected region — the only recurrence that replays;
+    // the base-vs-delta dedup happens HERE, on the ball-local edge set
+    // (edges outside the ball are never re-aggregated, so duplicates
+    // there cannot affect the output)
+    val affIn = hintIfSmall(union
       .join(aff.select(col("node").as("dst")), Seq("dst"), "left_semi")
-      .localCheckpoint(true)
+      .distinct()
+      .localCheckpoint(true))
     var rAff = aff.withColumn("r", lit(1000000L))
     for (t <- 1 to iters) {
       val srcVals = rAff.select(col("node").as("src"), col("r"))
@@ -1543,11 +1580,11 @@ object Graphs {
           .join(aff.select(col("node").as("src")), Seq("src"), "left_anti"))
       val in = affIn.join(srcVals, "src")
         .groupBy(col("dst").as("node")).agg(sum(col("r")).as("s"))
-      rAff = aff.join(in, Seq("node"), "left")
+      rAff = hintIfSmall(aff.join(in, Seq("node"), "left")
         .withColumn("r", lit(1000000L) +
           expr(s"coalesce(s, 0L) div ${alphaDen}L"))
         .select(col("node"), col("r"))
-        .localCheckpoint(true)
+        .localCheckpoint(true))
     }
     trace.where(col("t") === iters.toLong).select(col("node"), col("r"))
       .join(aff, Seq("node"), "left_anti")
@@ -1566,11 +1603,17 @@ object Graphs {
     * dividend is shifted by +4m²·10⁶ (≥ the worst case deg_c² = (2m)²,
     * making it non-negative, where floor ≡ trunc) and 10⁶ is subtracted
     * back after the division — exact because (x + n·d) div d = x div d
-    * + n. Overflow bound: the shifted dividend is maximized at
-    * deg_c = 2·e_c, e_c = m/2 (4m·e_c − deg_c² ≤ m² there), giving
-    * 10⁶·m² + 4·10⁶·m² = 5·10⁶·m², which stays under 2⁶³ only for
-    * m ≤ 1 358 000 = ⌊√(2⁶³/5·10⁶)⌋; past that, run per-community
-    * terms in DECIMAL or rescale ppm → ppb-of-m.
+    * + n. The division rides decimal(38,0) rails (see [[shiftedQppm]]):
+    * the worst-case shifted dividend 5·10⁶·m² stays inside 38 digits
+    * for m ≤ ~1.4·10¹⁵ edges — no overflow ceiling at any physical
+    * graph size (the oracle rides HUGEINT for the same reason).
+    *
+    * CONTRACT: `edges` must be CANONICAL — distinct rows, each
+    * undirected edge in exactly ONE orientation, no self-loops. m, deg
+    * and intra count input rows verbatim (no internal dedup — that is
+    * what lets [[incrementalModularity]]'s base ∪ delta `distinct()`
+    * reproduce this readout exactly; a duplicated or double-oriented
+    * input silently diverges between the batch and maintained forms).
     *
     * Shape: one degree aggregate, one label join + community rollup, one
     * intra-edge join + rollup, one 1-row m broadcast — all partial-agg
@@ -1614,6 +1657,12 @@ object Graphs {
     * loudly — φ is undefined there, and a silent 0 would read as
     * "perfectly tight". Labeled nodes absent from the edge list are
     * excluded (degree comes from edges — the house convention).
+    * CONTRACT: `edges` must be CANONICAL — distinct rows, each
+    * undirected edge in exactly ONE orientation, no self-loops. m, vol
+    * and cut count input rows verbatim (no internal dedup — that is
+    * what lets [[incrementalConductance]]'s base ∪ delta `distinct()`
+    * reproduce this readout exactly; a duplicated or double-oriented
+    * input silently diverges between the batch and maintained forms).
     * Output: (label, n_nodes, vol, cut, phi_ppm). */
   def conductanceByCommunity(edges: DataFrame, labels: DataFrame): DataFrame = {
     val e = edges.toDF("a", "b")
@@ -1639,7 +1688,7 @@ object Graphs {
       .withColumn("phi_ppm", expr(
         """case when least(vol, 2L * m - vol) = 0L then
           |  cast(raise_error('conductanceByCommunity: community spans the whole graph - phi undefined') as bigint)
-          |else (cut * 1000000L) div least(vol, 2L * m - vol) end""".stripMargin))
+          |else (cast(cut as decimal(38,0)) * 1000000) div least(vol, 2L * m - vol) end""".stripMargin))
       .select(col("lab").as("label"), col("n_nodes"), col("vol"),
         col("cut"), col("phi_ppm"))
   }
@@ -1666,9 +1715,18 @@ object Graphs {
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
     def labs(df: DataFrame) = df.toDF("node", "lab")
       .select(col("node").cast("long").as("node"), col("lab").cast("long").as("lab"))
-    val base = norm(baseEdges)
-    val delta = norm(deltaEdges).localCheckpoint(true)
-    val full = base.unionByName(delta).distinct().localCheckpoint(true)
+    val base = norm(baseEdges).localCheckpoint(true)
+    val delta = hintIfSmall(norm(deltaEdges).distinct().localCheckpoint(true))
+    // NO full-graph distinct (the r13 incrementalKatz finding): base is
+    // canonical by [[conductanceByCommunity]]'s contract, delta is
+    // distinct-ed above, and the base∩delta dedup happens AFTER the
+    // ball restriction (`incident` below — the only place union rows
+    // are COUNTED); the global edge total is three cheap counts, not a
+    // full exchange: m = |base| + |delta| − |base ∩ delta| (the overlap
+    // probe scans base against the broadcast delta)
+    val union = base.unionByName(delta)
+    val mTotal = base.count() + delta.count() -
+      base.join(delta, Seq("a", "b"), "left_semi").count()
     val prevL = labs(prevLabels)
     val newL = labs(newLabels).localCheckpoint(true)
     val changed = newL.as("n")
@@ -1678,28 +1736,34 @@ object Graphs {
     val deltaEnds = delta.select(col("a").as("node"))
       .unionByName(delta.select(col("b").as("node"))).distinct()
       .join(newL, "node").select(col("lab"))
-    val affected = changed.select(col("n.lab").as("lab"))
+    val affected = hintIfSmall(changed.select(col("n.lab").as("lab"))
       .unionByName(changed.select(col("p.lab").as("lab")))
       .where(col("lab").isNotNull)
       .unionByName(deltaEnds)
-      .distinct().localCheckpoint(true)
-    val affNodes = newL.join(affected, Seq("lab"), "left_semi")
-      .localCheckpoint(true)
-    val sym = full.unionByName(full.select(col("b").as("a"), col("a").as("b")))
-    val deg = sym.join(affNodes.select(col("node").as("a")), Seq("a"), "left_semi")
+      .distinct().localCheckpoint(true))
+    val affNodes = hintIfSmall(newL.join(affected, Seq("lab"), "left_semi")
+      .localCheckpoint(true))
+    // edges with >= 1 endpoint in an affected community — the ONLY rows
+    // recounting aggregates over; dedup of base∩delta overlap happens
+    // here, on the ball-local set (≡ restricting the old full-distinct
+    // list, since distinct and a row predicate commute)
+    val incident = hintIfSmall(union
+      .join(affNodes.select(col("node").as("a")), Seq("a"), "left_semi")
+      .unionByName(union
+        .join(affNodes.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b")))
+      .distinct().localCheckpoint(true))
+    // every edge at an affected node is incident, so degrees recount
+    // from the incident set alone
+    val symInc = incident
+      .unionByName(incident.select(col("b").as("a"), col("a").as("b")))
+    val deg = symInc.join(affNodes.select(col("node").as("a")), Seq("a"), "left_semi")
       .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
     val byLab = deg.join(affNodes, "node")
       .groupBy(col("lab"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("vol"))
-    // cut recount: only edges with >= 1 endpoint in an affected
-    // community can contribute, but the OTHER endpoint's label comes
-    // from the full assignment
-    val incident = full
-      .join(affNodes.select(col("node").as("a")), Seq("a"), "left_semi")
-      .unionByName(full
-        .join(affNodes.select(col("node").as("b")), Seq("b"), "left_semi")
-        .select(col("a"), col("b")))
-      .distinct()
+    // cut recount: the OTHER endpoint's label comes from the full
+    // assignment
     val sided = incident
       .join(newL.select(col("node").as("a"), col("lab").as("la")), "a")
       .join(newL.select(col("node").as("b"), col("lab").as("lb")), "b")
@@ -1713,31 +1777,34 @@ object Graphs {
     val verbatim = prevStats
       .select(col("label").as("lab"), col("n_nodes"), col("vol"), col("cut"))
       .join(affected, Seq("lab"), "left_anti")
-    val m = full.agg(count(lit(1)).as("m"))
     verbatim.unionByName(recount)
-      .crossJoin(broadcast(m))
+      .withColumn("m", lit(mTotal))
       .withColumn("phi_ppm", expr(
         """case when least(vol, 2L * m - vol) = 0L then
-          |  cast(raise_error('conductanceByCommunity: community spans the whole graph - phi undefined') as bigint)
-          |else (cut * 1000000L) div least(vol, 2L * m - vol) end""".stripMargin))
+          |  cast(raise_error('incrementalConductance: community spans the whole graph - phi undefined') as bigint)
+          |else (cast(cut as decimal(38,0)) * 1000000) div least(vol, 2L * m - vol) end""".stripMargin))
       .select(col("lab").as("label"), col("n_nodes"), col("vol"),
         col("cut"), col("phi_ppm"))
   }
 
   /** The floor-safe ppm division shared by [[modularityByCommunity]] and
     * [[incrementalModularity]] (expects columns m, intra_edges, deg_sum).
-    * The documented overflow bound (m ≤ 1 358 000 edges — the worst-case
-    * shifted dividend is 5·10⁶·m² at deg_c = 2·e_c, e_c = m/2, and
-    * ⌊√(2⁶³/5·10⁶)⌋ = 1 358 200) is ENFORCED with raise_error: past it
-    * Spark's non-ANSI arithmetic would wrap silently while DuckDB
-    * errors — corruption must be loud on both sides. */
+    * All products ride decimal(38,0) rails (the [[degreeAssortativity]]
+    * convention — the oracle rides HUGEINT), so there is NO long-overflow
+    * ceiling: the worst-case shifted dividend 5·10⁶·m² (at deg_c = 2·e_c,
+    * e_c = m/2) stays inside 38 digits for m ≤ ~1.4·10¹⁵ edges — three
+    * orders past a 100 TB link graph (~10¹²). The +4m²·10⁶ shift keeps
+    * the dividend non-negative (Q_c ≥ −1), so Spark decimal `div`
+    * (trunc) ≡ DuckDB `//` (floor); the quotient is a shifted ppm
+    * ≤ 2·10⁶, safely inside `div`'s long result type. (The pre-r13 long
+    * rail raised at m ≥ 1.358e6 — loud but a toy-size ceiling; decimal
+    * keeps the loudness irrelevant by removing the overflow.) */
   private def shiftedQppm: org.apache.spark.sql.Column = expr(
-    """case when m >= 1358000L then
-      |  cast(raise_error('modularity q_ppm: m >= 1.358e6 overflows the ppm shift — rescale to ppb-of-m or use decimal') as bigint)
-      |else
-      |  (1000000L * (4L * m * intra_edges - deg_sum * deg_sum)
-      |   + 4000000L * m * m) div (4L * m * m) - 1000000L
-      |end""".stripMargin)
+    """(1000000 * (4 * cast(m as decimal(38,0)) * intra_edges
+      |            - cast(deg_sum as decimal(38,0)) * deg_sum)
+      | + 4000000 * cast(m as decimal(38,0)) * cast(m as decimal(38,0)))
+      |div (4 * cast(m as decimal(38,0)) * cast(m as decimal(38,0)))
+      |- 1000000""".stripMargin)
 
   /** INCREMENTAL [[modularityByCommunity]] — the quality readout joins
     * the incremental family (CC q164, LPA q253, PR q304, triangles q306,
@@ -1765,9 +1832,18 @@ object Graphs {
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
     def labs(df: DataFrame) = df.toDF("node", "lab")
       .select(col("node").cast("long").as("node"), col("lab").cast("long").as("lab"))
-    val base = norm(baseEdges)
-    val delta = norm(deltaEdges).localCheckpoint(true)
-    val full = base.unionByName(delta).distinct().localCheckpoint(true)
+    val base = norm(baseEdges).localCheckpoint(true)
+    val delta = hintIfSmall(norm(deltaEdges).distinct().localCheckpoint(true))
+    // NO full-graph distinct (the r13 incrementalKatz finding; the
+    // incrementalConductance reshape mirrored here): base is canonical
+    // by [[modularityByCommunity]]'s contract, and the base∩delta dedup
+    // happens on the ball-local `incident` set — the only rows the
+    // recount aggregates. m = |base| + |delta| − |base ∩ delta| via
+    // three cheap counts (the overlap probe scans base against the
+    // broadcast delta)
+    val union = base.unionByName(delta)
+    val mTotal = base.count() + delta.count() -
+      base.join(delta, Seq("a", "b"), "left_semi").count()
     val prevL = labs(prevLabels)
     val newL = labs(newLabels).localCheckpoint(true)
     val changed = newL.as("n")
@@ -1777,20 +1853,29 @@ object Graphs {
     val deltaEnds = delta.select(col("a").as("node"))
       .unionByName(delta.select(col("b").as("node"))).distinct()
       .join(newL, "node").select(col("lab"))
-    val affected = changed.select(col("n.lab").as("lab"))
+    val affected = hintIfSmall(changed.select(col("n.lab").as("lab"))
       .unionByName(changed.select(col("p.lab").as("lab")))
       .where(col("lab").isNotNull)
       .unionByName(deltaEnds)
-      .distinct().localCheckpoint(true)
-    val affNodes = newL.join(affected, Seq("lab"), "left_semi")
-      .localCheckpoint(true)
-    val sym = full.unionByName(full.select(col("b").as("a"), col("a").as("b")))
-    val deg = sym.join(affNodes.select(col("node").as("a")), Seq("a"), "left_semi")
+      .distinct().localCheckpoint(true))
+    val affNodes = hintIfSmall(newL.join(affected, Seq("lab"), "left_semi")
+      .localCheckpoint(true))
+    // every edge at an affected node (degrees and intra-edges of
+    // affected communities only ever touch these rows)
+    val incident = hintIfSmall(union
+      .join(affNodes.select(col("node").as("a")), Seq("a"), "left_semi")
+      .unionByName(union
+        .join(affNodes.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b")))
+      .distinct().localCheckpoint(true))
+    val symInc = incident
+      .unionByName(incident.select(col("b").as("a"), col("a").as("b")))
+    val deg = symInc.join(affNodes.select(col("node").as("a")), Seq("a"), "left_semi")
       .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
     val byLab = deg.join(affNodes, "node")
       .groupBy(col("lab"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
-    val intra = full
+    val intra = incident
       .join(affNodes.select(col("node").as("a"), col("lab").as("la")), "a")
       .join(affNodes.select(col("node").as("b"), col("lab").as("lb")), "b")
       .where(col("la") === col("lb"))
@@ -1801,9 +1886,8 @@ object Graphs {
       .select(col("label").as("lab"), col("n_nodes"), col("deg_sum"),
         col("intra_edges"))
       .join(affected, Seq("lab"), "left_anti")
-    val m = full.agg(count(lit(1)).as("m"))
     verbatim.unionByName(recount)
-      .crossJoin(broadcast(m))
+      .withColumn("m", lit(mTotal))
       .withColumn("q_ppm", shiftedQppm)
       .select(col("lab").as("label"), col("n_nodes"), col("deg_sum"),
         col("intra_edges"), col("q_ppm"))
@@ -1839,9 +1923,11 @@ object Graphs {
     * quality the [[modularityByCommunity]] readout (q313) adjudicates.
     * Alternate sweeps with LPA or re-score per sweep at scale.
     *
-    * Overflow bound: 2m·k_i,in ≤ 4m² and k_i·Σtot ≤ 4m², so scores
-    * stay under 2⁶³ for m ≤ 1.5·10⁹ edges — five decimal orders past
-    * the [[modularityByCommunity]] ppm guard; no guard needed.
+    * Overflow: 2m·k_i,in ≤ 4m² and k_i·Σtot ≤ 4m², so the scores ride
+    * decimal(38,0) rails (the [[degreeAssortativity]] convention) —
+    * inside 38 digits for m ≤ 1.5·10¹⁸ edges, i.e. no ceiling at any
+    * physical graph size; the score is compare-only (argmax input,
+    * never output), so the decimal lift changes no result bit.
     *
     * Shape: one neighbor-label join + (node, lab) rollup for k_i,in,
     * one community-sized Σtot rollup (broadcastable), one argmax via a
@@ -1872,8 +1958,8 @@ object Graphs {
       .join(tot.select(col("lab").as("c"), col("tot")), "c")
       .crossJoin(broadcast(m))
       .select(col("node"), col("c"),
-        (lit(2L) * col("m") * col("kin") -
-          col("ki") * (col("tot") -
+        (lit(2L) * col("m").cast("decimal(38,0)") * col("kin") -
+          col("ki").cast("decimal(38,0)") * (col("tot") -
             when(col("c") === col("cur"), col("ki")).otherwise(lit(0L))))
           .as("score"))
       .groupBy(col("node"))
@@ -1898,20 +1984,37 @@ object Graphs {
     *   4. every backward-reached v is provably in SCC(f(v)) — r
     *      reaches v (f(v) = r) and v reaches r through nodes of color
     *      r — so assign scc = f(v) and remove.
-    * Assignments are SOUND at any round budget (a trimmed node is
-    * provably acyclic-positioned; each colored group is a subset of a
-    * true SCC containing its root); COMPLETENESS is the
-    * fixed-iteration contract ([[kCorePeel]]/[[labelPropagation]]):
-    * with innerRounds ≥ the reach diameter and outerRounds ≥ the
-    * peel depth every node settles; leftover nodes are returned with
-    * settled = false and scc = themselves, NEVER silently mislabeled
-    * (an under-budgeted run is visible in the output, and the oracle
-    * replays the identical schedule). Output: (node, scc, settled).
+    * Colored-group removal is GATED on two closed-form convergence
+    * predicates over the final state (no extra rounds needed):
+    * forward converged ⟺ no edge (u,v) in the subgraph has
+    * f(u) < f(v) (one more relax round would change nothing), and
+    * backward converged ⟺ no unreached u has an edge into a reached
+    * v of u's own color (the next frontier is empty). When BOTH hold,
+    * each colored group is EXACTLY one true SCC (group ⊆ SCC(root) by
+    * the color-restricted path argument; SCC(root) ⊆ group because at
+    * the true fixpoint every member carries f = root — the root is the
+    * SCC's minimum reaching member — and reaches the root within the
+    * color). When either fails, NOTHING colored is removed that round:
+    * an under-budgeted run can neither MERGE nor SPLIT a true SCC —
+    * its members simply come back settled = false, scc = themselves
+    * (trim removals stay sound at any budget: a trimmed node is
+    * provably acyclic-positioned, and since every prior removal is a
+    * complete SCC, in/out-degree 0 in the remaining subgraph certifies
+    * a singleton). The oracle replays the identical schedule INCLUDING
+    * the gate (the same two NOT EXISTS predicates). Completeness is
+    * the fixed-iteration contract ([[kCorePeel]]/[[labelPropagation]]):
+    * with innerRounds ≥ the reach diameter and outerRounds ≥ the peel
+    * depth every node settles. Output: (node, scc, settled).
     *
     * Shape per inner round: one edges⋈frontier join + min rollup
     * (map-side combinable) — O(m) per round like [[integerPageRank]];
     * the subgraph restriction is two semi-joins per outer round; no
-    * all-pairs anything. */
+    * all-pairs anything. Early exits are 1-row driver checks (the
+    * model-state pattern): outer rounds stop when everything settled
+    * or no progress is possible; inner loops stop at the fixpoint /
+    * empty frontier — a converged graph pays only the rounds it needs,
+    * and the exits are result-invariant (skipped rounds would have
+    * been no-ops), so the fixed-schedule oracle still matches. */
   def stronglyConnectedComponents(edges: DataFrame, outerRounds: Int,
       innerRounds: Int): DataFrame = {
     require(outerRounds >= 1 && outerRounds <= 5, "outerRounds in [1,5]")
@@ -1921,8 +2024,15 @@ object Graphs {
     var unassigned = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
-    val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (_ <- 1 to outerRounds) {
+    val done = scala.collection.mutable.ArrayBuffer[DataFrame](
+      // schema template so the final reduce is total even when the
+      // loop exits immediately (empty edge input)
+      unassigned.limit(0).select(col("node"), col("node").as("scc"),
+        lit(true).as("settled")))
+    var outer = 0
+    var progress = true
+    while (outer < outerRounds && progress && !unassigned.isEmpty) {
+      outer += 1
       val sub0 = e
         .join(unassigned.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(unassigned.select(col("node").as("dst")), Seq("dst"), "left_semi")
@@ -1941,34 +2051,70 @@ object Graphs {
         .join(trivial.select(col("node").as("src")), Seq("src"), "left_anti")
         .join(trivial.select(col("node").as("dst")), Seq("dst"), "left_anti")
         .select(col("src"), col("dst")).localCheckpoint(true)
+      // forward min-label relaxation, fixpoint-exited (a chg marker
+      // rides the already-checkpointed frame — no second join)
       var f = unassigned.select(col("node"), col("node").as("f"))
         .localCheckpoint(true)
-      for (_ <- 1 to innerRounds) {
+      var fwdConverged = false
+      var fr = 0
+      while (fr < innerRounds && !fwdConverged) {
+        fr += 1
         val prop = sub
           .join(f.select(col("node").as("src"), col("f")), "src")
           .groupBy(col("dst").as("node")).agg(min(col("f")).as("pf"))
-        f = f.join(prop, Seq("node"), "left_outer")
+        val f2 = f.join(prop, Seq("node"), "left_outer")
           .select(col("node"),
-            least(col("f"), coalesce(col("pf"), col("f"))).as("f"))
+            least(col("f"), coalesce(col("pf"), col("f"))).as("f"),
+            (coalesce(col("pf"), col("f")) < col("f")).as("chg"))
           .localCheckpoint(true)
+        fwdConverged = f2.where(col("chg")).isEmpty
+        f = f2.select(col("node"), col("f"))
       }
+      if (!fwdConverged)
+        // budget exhausted mid-change: the closed-form fixpoint test —
+        // converged iff no edge could still lower its dst's label
+        fwdConverged = sub
+          .join(f.select(col("node").as("src"), col("f").as("fu")), "src")
+          .join(f.select(col("node").as("dst"), col("f").as("fv")), "dst")
+          .where(col("fu") < col("fv")).isEmpty
       var frontier = f.where(col("node") === col("f")).localCheckpoint(true)
       var reached = frontier
-      for (_ <- 1 to innerRounds) {
-        val cand = sub
+      var bwdConverged = false
+      var br = 0
+      def nextFrontier(): DataFrame = {
+        val r0 = reached
+        sub
           .join(frontier.select(col("node").as("dst"), col("f").as("bf")), "dst")
           .select(col("src").as("node"), col("bf")).distinct()
           .join(f, "node").where(col("f") === col("bf"))
           .select(col("node"), col("f"))
-        frontier = cand
-          .join(reached, Seq("node"), "left_anti")
+          .join(r0, Seq("node"), "left_anti")
           .localCheckpoint(true)
+      }
+      while (br < innerRounds && !bwdConverged) {
+        br += 1
+        frontier = nextFrontier()
+        bwdConverged = frontier.isEmpty
         reached = reached.unionByName(frontier)
       }
-      done += reached.select(col("node"), col("f").as("scc"), lit(true).as("settled"))
-      unassigned = unassigned
-        .join(reached.select(col("node")), Seq("node"), "left_anti")
-        .localCheckpoint(true)
+      if (!bwdConverged)
+        // every edge into an older frontier was already probed the round
+        // after its head joined, so one more (empty) frontier from the
+        // LAST one is exactly the full no-unreached-candidate predicate
+        bwdConverged = nextFrontier().isEmpty
+      if (fwdConverged && bwdConverged) {
+        done += reached.select(col("node"), col("f").as("scc"),
+          lit(true).as("settled"))
+        unassigned = unassigned
+          .join(reached.select(col("node")), Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        progress = true
+      } else {
+        // nothing colored may settle; without trim progress the next
+        // round would replay this one verbatim — stop (result-equal:
+        // the oracle's remaining fixed rounds are no-ops there too)
+        progress = !trivial.isEmpty
+      }
     }
     done.reduce(_ unionByName _)
       .unionByName(unassigned.select(col("node"), col("node").as("scc"),
@@ -1994,7 +2140,16 @@ object Graphs {
     * any graph size. A degree-regular graph (zero variance) raises
     * loudly — r is undefined there, and a silent NULL would read as a
     * verdict. Output: (n_sym_edges, r_ppm). */
-  def degreeAssortativity(edges: DataFrame): DataFrame = {
+  def degreeAssortativity(edges: DataFrame): DataFrame =
+    assortativityReadout(degreeAssortativityStats(edges))
+
+  /** The four exact sufficient statistics behind [[degreeAssortativity]]
+    * — (m = Σ_v deg(v) = |sym edges|, sx = Σ_v deg², sxx = Σ_v deg³,
+    * sxy = Σ_sym deg(a)·deg(b)), all on decimal(38,0) rails. This IS
+    * the maintainable model state: [[incrementalAssortativity]] updates
+    * these four scalars under an edge wave without re-reading the
+    * graph-sized joins. */
+  def degreeAssortativityStats(edges: DataFrame): DataFrame = {
     val e = edges.toDF("a", "b")
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
@@ -2006,12 +2161,210 @@ object Graphs {
         sum(col("dx").cast("decimal(38,0)")).as("sx"),
         sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxx"),
         sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxy"))
-      .select(col("m").as("n_sym_edges"),
-        expr("""case when m * sxx - sx * sx = 0 then
-                |  cast(raise_error('degreeAssortativity: degree-regular graph — r undefined (zero variance)') as bigint)
-                |else cast((1000000 * (m * sxy - sx * sx)
-                |     + 1000000 * (m * sxx - sx * sx)) div (m * sxx - sx * sx)
-                |     - 1000000 as bigint) end""".stripMargin).as("r_ppm"))
+  }
+
+  /** Shared readout (m, sx, sxx, sxy) → (n_sym_edges, r_ppm): the one
+    * shifted floor division of the [[degreeAssortativity]] doc. */
+  private def assortativityReadout(stats: DataFrame): DataFrame = stats
+    .select(col("m").as("n_sym_edges"),
+      expr("""case when m * sxx - sx * sx = 0 then
+              |  cast(raise_error('degreeAssortativity: degree-regular graph — r undefined (zero variance)') as bigint)
+              |else cast((1000000 * (m * sxy - sx * sx)
+              |     + 1000000 * (m * sxx - sx * sx)) div (m * sxx - sx * sx)
+              |     - 1000000 as bigint) end""".stripMargin).as("r_ppm"))
+
+  /** INCREMENTAL [[degreeAssortativity]] — the FIFTEENTH maintained
+    * form, and the family's only SCALAR one: the state is the four
+    * sufficient statistics of [[degreeAssortativityStats]], and the
+    * node sums update CLOSED-FORM from touched-degree changes alone —
+    * m = Σ deg, sx = Σ deg², sxx = Σ deg³ move only where a degree
+    * moves (the delta's endpoints), and the edge sum
+    * sxy = Σ_sym deg(a)·deg(b) moves only on edges INCIDENT to a
+    * touched endpoint (both old and new degrees of the 1-ball are two
+    * cheap scans of base against the broadcast touched set) plus the
+    * new edges' own terms. The r13 shuffle discipline throughout: base
+    * is scanned, never exchanged; every derived frame is ball-sized
+    * and hint-gated; the delta is deduped against base via the
+    * scan-side overlap probe. CONTRACT: base is canonical (distinct,
+    * one orientation, no self-loops — the [[conductanceByCommunity]]
+    * convention); delta may overlap base (deduped here). Output ≡
+    * [[degreeAssortativity]] on base ∪ delta (the oracle proves it). */
+  def incrementalAssortativity(prevStats: DataFrame, baseEdges: DataFrame,
+      deltaEdges: DataFrame): DataFrame = {
+    // key-type-agnostic (the batch stats op takes string hosts too):
+    // every use is a join/count, never arithmetic on the node ids
+    def norm(df: DataFrame) = df.toDF("a", "b")
+    val base = norm(baseEdges).localCheckpoint(true)
+    val delta0 = hintIfSmall(norm(deltaEdges).distinct().localCheckpoint(true))
+    val overlap = hintIfSmall(base.join(delta0, Seq("a", "b"), "left_semi")
+      .localCheckpoint(true))
+    val dEff = hintIfSmall(delta0.join(overlap, Seq("a", "b"), "left_anti")
+      .localCheckpoint(true))
+    val touched = hintIfSmall(dEff.select(col("a").as("node"))
+      .unionByName(dEff.select(col("b").as("node"))).distinct()
+      .localCheckpoint(true))
+    // base edges whose deg(a)·deg(b) term moves (>= 1 touched endpoint)
+    val incident = hintIfSmall(base
+      .join(touched.select(col("node").as("a")), Seq("a"), "left_semi")
+      .unionByName(base
+        .join(touched.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b")))
+      .distinct().localCheckpoint(true))
+    val ball = hintIfSmall(incident.select(col("a").as("node"))
+      .unionByName(incident.select(col("b").as("node")))
+      .unionByName(touched.select(col("node")))
+      .distinct().localCheckpoint(true))
+    // old degrees of ball nodes: two scans of base; new nodes get 0
+    val degOld = base
+      .join(ball.select(col("node").as("a")), Seq("a"), "left_semi")
+      .select(col("a").as("node"))
+      .unionByName(base
+        .join(ball.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d0"))
+    val dDelta = dEff.select(col("a").as("node"))
+      .unionByName(dEff.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dd"))
+    val degs = hintIfSmall(degOld.join(dDelta, Seq("node"), "full")
+      .select(col("node"), coalesce(col("d0"), lit(0L)).as("d0"),
+        (coalesce(col("d0"), lit(0L)) + coalesce(col("dd"), lit(0L))).as("d1"))
+      .localCheckpoint(true))
+    val nodeDelta = degs.join(touched, Seq("node"), "left_semi")
+      .agg(coalesce(sum(col("d1") - col("d0")), lit(0L)).as("dm"),
+        coalesce(sum(col("d1").cast("decimal(38,0)") * col("d1")
+          - col("d0").cast("decimal(38,0)") * col("d0")),
+          lit(0L).cast("decimal(38,0)")).as("dsx"),
+        coalesce(sum(col("d1").cast("decimal(38,0)") * col("d1") * col("d1")
+          - col("d0").cast("decimal(38,0)") * col("d0") * col("d0")),
+          lit(0L).cast("decimal(38,0)")).as("dsxx"))
+    val incTerm = incident
+      .join(degs.select(col("node").as("a"), col("d0").as("a0"),
+        col("d1").as("a1")), "a")
+      .join(degs.select(col("node").as("b"), col("d0").as("b0"),
+        col("d1").as("b1")), "b")
+      .agg(coalesce(sum(col("a1").cast("decimal(38,0)") * col("b1")
+        - col("a0").cast("decimal(38,0)") * col("b0")),
+        lit(0L).cast("decimal(38,0)")).as("ti"))
+    val newTerm = dEff
+      .join(degs.select(col("node").as("a"), col("d1").as("a1")), "a")
+      .join(degs.select(col("node").as("b"), col("d1").as("b1")), "b")
+      .agg(coalesce(sum(col("a1").cast("decimal(38,0)") * col("b1")),
+        lit(0L).cast("decimal(38,0)")).as("tn"))
+    val stats = prevStats.toDF("m", "sx", "sxx", "sxy")
+      .crossJoin(broadcast(nodeDelta))
+      .crossJoin(broadcast(incTerm))
+      .crossJoin(broadcast(newTerm))
+      .select((col("m") + col("dm")).as("m"),
+        (col("sx") + col("dsx")).cast("decimal(38,0)").as("sx"),
+        (col("sxx") + col("dsxx")).cast("decimal(38,0)").as("sxx"),
+        (col("sxy") + lit(2) * (col("ti") + col("tn")))
+          .cast("decimal(38,0)").as("sxy"))
+    assortativityReadout(stats)
+  }
+
+  /** Link-prediction scores for every NON-adjacent pair at distance 2 —
+    * the candidate-edge table a recommender or knowledge-graph
+    * completion pass ranks: cn = |N(u) ∩ N(v)| (common neighbors) and
+    * the Resource-Allocation index Σ_z 10⁶ div deg(z) over the shared
+    * neighbors z (Zhou-Lü-Zhang 2009 — RA beats Adamic-Adar's 1/log
+    * AND stays integer-exact: one floor per shared neighbor, summed —
+    * engine-portable, no transcendental). Input: CANONICAL undirected
+    * edges (a < b, distinct). Output: (u, v, cn, ra_ppm) with u < v,
+    * only pairs with >= 1 shared neighbor and no existing edge.
+    *
+    * Shape: one wedge self-join through the shared neighbor (the
+    * [[triangleCounts]] wedge volume, O(Σ deg²) candidates — cap hubs
+    * with [[capAdjacency]] first on skewed graphs; the standard
+    * link-prediction practice), one anti-join against the edge list,
+    * one (u, v) rollup. Wedge centers have deg >= 2 by construction,
+    * so the RA division never sees zero. */
+  def linkPredictionScores(edges: DataFrame): DataFrame = {
+    val e = PinnedCache.pin(edges.toDF("a", "b"))
+    val sym = PinnedCache.pin(
+      e.unionByName(e.select(col("b").as("a"), col("a").as("b"))))
+    val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val wedges = sym.as("x").join(sym.as("y"),
+        col("x.b") === col("y.a") && col("x.a") < col("y.b"))
+      .select(col("x.a").as("u"), col("y.b").as("v"), col("x.b").as("z"))
+    wedges
+      .join(e.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"),
+        "left_anti")
+      .join(deg.select(col("node").as("z"), col("deg")), "z")
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000L div deg")).as("ra_ppm"))
+  }
+
+  /** RICH-CLUB coefficients φ(k) = (2·E_k·10⁶) div (N_k·(N_k−1)) for a
+    * ladder of degree thresholds k — the hub-interconnection readout
+    * next to [[degreeAssortativity]] (assortativity is the one-number
+    * correlation; the rich-club curve says WHERE on the degree spectrum
+    * hubs close ranks): N_k = nodes with deg > k, E_k = edges with both
+    * endpoints in that club. Exact integer ppm on decimal(38,0) rails;
+    * thresholds whose club has < 2 members are OMITTED (φ undefined —
+    * an absent row is honest where a NULL would read as a value).
+    * Input: canonical undirected edges. Shape per k: two broadcast-able
+    * semi-joins + one count — the ladder shares one degree rollup. */
+  def richClub(edges: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks == ks.sorted && ks.forall(_ >= 1),
+      "ks ascending, >= 1")
+    val e = PinnedCache.pin(edges.toDF("a", "b"))
+    val deg = PinnedCache.pin(e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg")))
+    ks.map { k =>
+      val club = deg.where(col("deg") > k.toLong).select(col("node"))
+      val ek = e
+        .join(club.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(club.select(col("node").as("b")), Seq("b"), "left_semi")
+      club.agg(count(lit(1)).as("n_club"))
+        .crossJoin(broadcast(ek.agg(count(lit(1)).as("e_club"))))
+        .select(lit(k.toLong).as("k"), col("n_club"), col("e_club"),
+          expr("""(2 * cast(e_club as decimal(38,0)) * 1000000)
+                 |div (cast(n_club as decimal(38,0)) * (n_club - 1))"""
+            .stripMargin).as("phi_ppm"))
+        .where(col("n_club") >= 2L)
+    }.reduce(_ unionByName _)
+  }
+
+  /** RAND INDEX between two label assignments of the SAME node set —
+    * the partition-agreement readout for clustering stability (is the
+    * LPA assignment at rounds+1 the same mesoscale structure, or did
+    * the communities churn? are the dedup clusters stable across a
+    * threshold bump?): RI = (agreeing pairs) / C(n,2), where a pair
+    * agrees when both assignments put it together or both apart. Exact
+    * via the contingency identity in DOUBLED pair units (x·(x−1) =
+    * 2·C(x,2) keeps everything integral):
+    *   agree2 = n(n−1) − Σ_i a_i(a_i−1) − Σ_j b_j(b_j−1) + 2·Σ_ij n_ij(n_ij−1)
+    * with one floor division, decimal(38,0) rails. Node sets must
+    * match EXACTLY — raised loudly (a silent inner join would score
+    * only the intersection and read as a verdict). Shape: one join on
+    * node, one contingency rollup + two marginal rollups — contingency-
+    * sized state, no pair enumeration anywhere. */
+  def randIndex(labelsA: DataFrame, labelsB: DataFrame): DataFrame = {
+    val a = labelsA.toDF("node", "la").localCheckpoint(true)
+    val b = labelsB.toDF("node", "lb").localCheckpoint(true)
+    val j = a.join(b, "node").localCheckpoint(true)
+    val (na, nb, n) = (a.count(), b.count(), j.count())
+    require(na == n && nb == n,
+      s"randIndex: node sets differ (|A| = $na, |B| = $nb, |A ∩ B| = $n)")
+    require(n >= 2, s"randIndex: n = $n < 2 — no pairs to score")
+    val cont = j.groupBy(col("la"), col("lb")).agg(count(lit(1)).as("nij"))
+      .localCheckpoint(true)
+    val s11 = cont.agg(coalesce(sum(col("nij").cast("decimal(38,0)")
+      * (col("nij") - 1)), lit(0L).cast("decimal(38,0)")).as("s11_2"))
+    val sa = cont.groupBy(col("la")).agg(sum(col("nij")).as("ai"))
+      .agg(coalesce(sum(col("ai").cast("decimal(38,0)") * (col("ai") - 1)),
+        lit(0L).cast("decimal(38,0)")).as("sa_2"))
+    val sb = cont.groupBy(col("lb")).agg(sum(col("nij")).as("bj"))
+      .agg(coalesce(sum(col("bj").cast("decimal(38,0)") * (col("bj") - 1)),
+        lit(0L).cast("decimal(38,0)")).as("sb_2"))
+    s11.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .select(lit(n).as("n_nodes"),
+        expr(s"""((cast($n as decimal(38,0)) * ${n - 1} - sa_2 - sb_2
+                 | + 2 * s11_2) * 1000000)
+                 |div (cast($n as decimal(38,0)) * ${n - 1})""".stripMargin)
+          .as("ri_ppm"))
   }
 
   /** Portable 60-bit hash driving walk-step choices — delegates to
@@ -2019,6 +2372,49 @@ object Graphs {
     * critical recipe; the extra string cast is a no-op on these keys). */
   private def hash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     Sampling.portableHash(c)
+
+  /** Broadcast-hint an already-materialized model-state frame when it is
+    * ACTUALLY small. `localCheckpoint` erases precise stats (the
+    * LogicalRDD reports the default size), so without the hint Spark
+    * plans SortMergeJoin and PAYS the big side's exchange before AQE's
+    * runtime conversion can see the real size — measured 2× the full
+    * recompute's shuffle on incrementalKatz at 1M edges
+    * (MaintenanceCostSpec). The count is a cheap action over
+    * already-materialized partitions; above the threshold the frame is
+    * returned unhinted — ball-sized state IS graph-sized on an expander,
+    * and force-broadcasting what might not fit trades a shuffle for an
+    * OOM. */
+  private def hintIfSmall(df: DataFrame, maxRows: Long = 2000000L): DataFrame =
+    if (df.count() <= maxRows) broadcast(df) else df
+
+  /** Deterministic ADJACENCY CAP — the hub pre-step for the walk tier:
+    * [[node2vecWalks]]'s second-order fan-out is |frontier|·deg(cur),
+    * so one 10⁷-degree hub makes that key's candidate list the
+    * straggler at ANY partitioning (the SkewRehearsalSpec finding;
+    * [[randomWalks]] itself is structurally immune after the
+    * composite-key reshape). Keeps, per src, the `maxDeg` neighbors
+    * ranked smallest by (portableHash(src:dst), dst) — a pure function
+    * of the edge: no RNG, engine-portable ([[Sampling.portableHash]],
+    * replayed in DuckDB as the md5-prefix cast), stable under
+    * partitioning, and independent across sources (adding edges at
+    * OTHER sources never changes a hub's kept set). On a graph whose
+    * max degree is already ≤ maxDeg the output IS the input edge set —
+    * the cap is an OPT-IN pre-step; walk operators stay exact when it
+    * is off, and under the cap they run on the capped graph exactly
+    * (determinism contract unchanged — the capped graph is itself
+    * deterministic). Shape: distinct + ONE src-keyed window (the same
+    * shuffle the walk adjacency index pays anyway); output (src, dst). */
+  def capAdjacency(edges: DataFrame, maxDeg: Int): DataFrame = {
+    require(maxDeg >= 1, "maxDeg >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val rank = Sampling.portableHash(concat(col("src").cast("string"),
+      lit(":"), col("dst").cast("string")))
+    val w = Window.partitionBy(col("src")).orderBy(rank, col("dst"))
+    edges.toDF("src", "dst").distinct()
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= maxDeg)
+      .select(col("src"), col("dst"))
+  }
 
   /** DETERMINISTIC random-walk corpus (the DeepWalk/node2vec
     * training-data generator): `walksPerNode` walks of `steps` hops from

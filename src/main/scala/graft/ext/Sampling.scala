@@ -149,6 +149,31 @@ object Sampling {
     when((s1 + 1) * (s1 + 1) <= n, s1 + 1).otherwise(s1)
   }
 
+  /** [[isqrt]] lifted to DECIMAL(38,0) radicands (result still a long):
+    * the same seed-then-correct ladder, with the two exact comparisons
+    * run in decimal so s² never touches long arithmetic. Exact for any
+    * n < 10²⁶: there the true root is < 10¹³, the double seed is within
+    * one of it (double carries ~15.9 significant digits, so the seed's
+    * absolute error is ≤ root·2.3e−16 < 0.003, plus the ±1 the floor/
+    * sqrt rounding can add), and the ±1 corrections do the rest. Callers
+    * above 10²⁶ must rail loudly BEFORE calling (the [[Evaluation]]
+    * wilsonLowerBound discipline). */
+  def isqrtDec(n: Column): Column = {
+    val s0 = floor(sqrt(n.cast("double"))).cast("long")
+    val s0d = s0.cast("decimal(38,0)")
+    val s1 = when(s0d * s0d > n, s0 - 1).otherwise(s0)
+    val s1d = s1.cast("decimal(38,0)")
+    when((s1d + lit(1)) * (s1d + lit(1)) <= n, s1 + 1).otherwise(s1)
+  }
+
+  /** JVM replica of [[isqrtDec]], pinned bit-equal to the Column form;
+    * used by the streaming Wilson twin. Same n < 10²⁶ domain. */
+  def isqrtDecJvm(n: BigInt): Long = {
+    val s0 = math.floor(math.sqrt(n.toDouble)).toLong
+    val s1 = if (BigInt(s0) * s0 > n) s0 - 1 else s0
+    if (BigInt(s1 + 1) * (s1 + 1) <= n) s1 + 1 else s1
+  }
+
   /** Temperature-scaled mixture plan (alpha = 1/2): instead of hand-picked
     * target weights, each source's weight is proportional to
     * sqrt(its token count) — the standard smoothing that upsamples small

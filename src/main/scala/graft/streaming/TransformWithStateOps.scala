@@ -156,10 +156,11 @@ object TransformWithStateOps {
     * longs of ValueState (trials, successes), every micro-batch
     * re-emitting the touched keys' reports through the SAME integer
     * chain as the batch op (1e12-scaled floored radicand →
-    * [[graft.ext.Sampling.isqrtJvm]] → one floor — one formula, two
-    * runtimes, the passAtKPpmJvm discipline), so the live leaderboard
-    * at every prefix equals the batch frame on the same rows. The
-    * n > 6000 overflow rail throws, matching the batch raise_error. */
+    * [[graft.ext.Sampling.isqrtDecJvm]] → one floor — one formula, two
+    * runtimes, the passAtKPpmJvm discipline, BigInt mirroring the batch
+    * op's decimal(38,0) rails), so the live leaderboard at every prefix
+    * equals the batch frame on the same rows. The n > 6·10¹² decimal-
+    * domain rail throws, matching the batch raise_error. */
   final class WilsonProcessor
       extends StatefulProcessor[Long, RateEvent, WilsonReport] {
 
@@ -174,11 +175,13 @@ object TransformWithStateOps {
       var (n, p) = if (np.exists()) np.get() else (0L, 0L)
       rows.foreach { r => n += 1L; if (r.ok) p += 1L }
       np.update((n, p))
-      require(n <= 6000L,
-        s"wilson stream: n = $n > 6000 overflows the 1e12 radicand shift")
-      val s = p * (n - p) * 1000000000000L / n + 1000000000000L
-      val lb = ((p + 2L) * 1000000L - 2L * graft.ext.Sampling.isqrtJvm(s)) / (n + 4L)
-      Iterator.single(WilsonReport(key, n, p, p * 1000000L / n, lb))
+      require(n <= 6000000000000L,
+        s"wilson stream: n = $n > 6e12 overflows the decimal(38,0) radicand")
+      val s = BigInt(p) * (n - p) * 1000000000000L / n + 1000000000000L
+      val lb = ((BigInt(p) + 2) * 1000000 -
+        2 * graft.ext.Sampling.isqrtDecJvm(s)) / (n + 4)
+      Iterator.single(WilsonReport(key, n, p,
+        (BigInt(p) * 1000000 / n).toLong, lb.toLong))
     }
   }
 

@@ -1,0 +1,145 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.audit.TaskBudgetListener
+
+/** MAINTENANCE-ONLY cost, separated from proof-harness cost (round-12
+  * verdict item 3): the oracle-paired incremental queries (q310/q311/
+  * q318/q323/q324/q329/q336/q338) deliberately run "base recompute +
+  * maintained form + equality" in ONE plan, so BENCH can't show the
+  * claim the 100 TB story rests on — that applying a delta costs ∝ the
+  * TOUCHED REGION, not ∝ the graph. This spec times the maintained
+  * form ALONE (base state built and localCheckpoint-ed OUTSIDE the
+  * measured window) against the one-shot batch recompute on the same
+  * full edge set, with listener-asserted bytes.
+  *
+  * Two findings this measurement forced, both now part of the
+  * contract:
+  *   1. The claim is about the BALL, not the delta. On an expander
+  *      (1M-edge random graph, avg degree 10) a radius-3 ball from
+  *      even a 0.1 % delta is the WHOLE graph — maintenance honestly
+  *      degenerates to recompute + overhead there. The rehearsal graph
+  *      is therefore a RING FOREST (100k disjoint 10-node rings — the
+  *      near-dup-component shape nightly maintenance actually sees),
+  *      where balls stay inside their components.
+  *   2. incrementalKatz used to OPEN with `(base ∪ delta).distinct()`
+  *      — a full-graph exchange that made maintenance shuffle 2× the
+  *      recompute at any delta (measured 131 MB vs 65 MB). Fixed in
+  *      r13: base is now only scanned; shuffles are ball-sized (the
+  *      assertion below would catch a regression).
+  *
+  * Asserted: Katz maintenance shuffle-write ≪ recompute shuffle-write
+  * and bytes grow with the delta; BFS/conductance maintenance bytes
+  * grow with the delta (their batch recomputes are already
+  * output-bounded / one-pass — for those families the maintained form
+  * buys label/trace reuse, not shuffle; stated, not hidden). Wall ms
+  * ride `info` lines feeding SCALE.md's maintenance-only table. */
+class MaintenanceCostSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** 100k disjoint directed 10-node rings: edge i → next-in-ring. */
+  private def ringForest(nNodes: Long): DataFrame =
+    spark.range(nNodes).select(col("id").as("src"),
+      (col("id") - col("id") % 10 + (col("id") + 1) % 10).as("dst"))
+
+  private def timed[A](a: => A): (Long, graft.audit.BudgetSnapshot) = {
+    val t0 = System.nanoTime()
+    val (_, b) = TaskBudgetListener.measure(spark)(a)
+    ((System.nanoTime() - t0) / 1000000L, b)
+  }
+
+  /** base = ~99.5 % of edges; two delta waves of ~0.125 % and ~0.5 %. */
+  private def split(all: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val c0 = col(all.columns(0))
+    val c1 = col(all.columns(1))
+    val base = all.where(pmod(hash(c0, c1), lit(200)) =!= 0)
+      .localCheckpoint(true)
+    val rest = all.where(pmod(hash(c0, c1), lit(200)) === 0)
+    val dSmall = rest.where(pmod(hash(c1, c0), lit(4)) === 0)
+      .localCheckpoint(true)
+    val dBig = rest.localCheckpoint(true)
+    (base, dSmall, dBig)
+  }
+
+  test("incremental Katz, 1M-edge ring forest: ball-sized shuffle beats the full recompute") {
+    val all = ringForest(1000000L).localCheckpoint(true)
+    val (base, dSmall, dBig) = split(all)
+    val trace = Graphs.integerKatzTrace(base, iters = 4).localCheckpoint(true)
+
+    val (msR, bR) = timed(noop(Graphs.integerKatz(all, iters = 4)))
+    val (msS, bS) = timed(noop(
+      Graphs.incrementalKatz(trace, base, dSmall, iters = 4)))
+    val (msB, bB) = timed(noop(
+      Graphs.incrementalKatz(trace, base, dBig, iters = 4)))
+    info(s"katz recompute:    ${msR}ms ${bR.pretty}")
+    info(s"katz maint 0.125%: ${msS}ms ${bS.pretty}")
+    info(s"katz maint 0.5%:   ${msB}ms ${bB.pretty}")
+    assert(bS.shuffleWriteBytes * 2 < bR.shuffleWriteBytes,
+      s"small-delta maintenance (${bS.shuffleWriteBytes}) not well below recompute (${bR.shuffleWriteBytes})")
+    assert(bB.shuffleWriteBytes * 2 < bR.shuffleWriteBytes,
+      s"big-delta maintenance (${bB.shuffleWriteBytes}) not well below recompute (${bR.shuffleWriteBytes})")
+    assert(bS.shuffleWriteBytes <= bB.shuffleWriteBytes,
+      "maintenance bytes must grow with the delta (touched-region proportionality)")
+  }
+
+  test("incremental labeled BFS, ring forest: bytes track the delta (batch BFS is already output-bounded)") {
+    val all = ringForest(1000000L).localCheckpoint(true)
+    val (base, dSmall, dBig) = split(all)
+    // 40 seeds in 40 different rings
+    val seeds = (0L until 40L).map(_ * 10L).toDF("seed").localCheckpoint(true)
+    val prev = Graphs.labeledBfs(base, seeds, rounds = 4).localCheckpoint(true)
+
+    val (msR, bR) = timed(noop(Graphs.labeledBfs(all, seeds, rounds = 4)))
+    val (msS, bS) = timed(noop(
+      Graphs.incrementalLabeledBfs(prev, base, dSmall, rounds = 4)))
+    val (msB, bB) = timed(noop(
+      Graphs.incrementalLabeledBfs(prev, base, dBig, rounds = 4)))
+    info(s"bfs recompute:    ${msR}ms ${bR.pretty}")
+    info(s"bfs maint 0.125%: ${msS}ms ${bS.pretty}")
+    info(s"bfs maint 0.5%:   ${msB}ms ${bB.pretty}")
+    // labeled BFS recompute is output-bounded (seeds × radius-4 balls),
+    // so maintenance cannot beat it on shuffle — the maintained form's
+    // value is trace reuse; what must hold is delta-proportionality
+    assert(bS.shuffleWriteBytes <= bB.shuffleWriteBytes)
+  }
+
+  test("incremental conductance, ring forest: recount bytes track the delta (readout recompute is one pass)") {
+    val all = ringForest(1000000L)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().localCheckpoint(true)
+    val (base, dSmall, dBig) = split(all)
+    val prevLabels = Graphs.labelPropagation(base, rounds = 2).localCheckpoint(true)
+    val prevStats = Graphs.conductanceByCommunity(base, prevLabels)
+      .localCheckpoint(true)
+    def newLabels(d: DataFrame): DataFrame =
+      Graphs.incrementalLabelPropagation(prevLabels, base, d, rounds = 2)
+        .localCheckpoint(true)
+    val nlS = newLabels(dSmall)
+    val nlB = newLabels(dBig)
+    val batchLabels = Graphs.labelPropagation(all, rounds = 2).localCheckpoint(true)
+
+    val (msR, bR) = timed(noop(
+      Graphs.conductanceByCommunity(all, batchLabels)))
+    val (msS, bS) = timed(noop(
+      Graphs.incrementalConductance(prevStats, prevLabels, nlS, base, dSmall)))
+    val (msB, bB) = timed(noop(
+      Graphs.incrementalConductance(prevStats, prevLabels, nlB, base, dBig)))
+    info(s"conductance recompute:    ${msR}ms ${bR.pretty}")
+    info(s"conductance maint 0.125%: ${msS}ms ${bS.pretty}")
+    info(s"conductance maint 0.5%:   ${msB}ms ${bB.pretty}")
+    // the readout is one partial-agg pass, so full recompute is ALREADY
+    // cheap — the honest verdict for this family: maintain the LABELS,
+    // recount the readout where labels moved; assert proportionality
+    assert(bS.shuffleWriteBytes <= bB.shuffleWriteBytes)
+    info(s"maint/recompute shufW ratio: small=${bS.shuffleWriteBytes.toDouble / math.max(bR.shuffleWriteBytes, 1)} big=${bB.shuffleWriteBytes.toDouble / math.max(bR.shuffleWriteBytes, 1)}")
+  }
+}

@@ -62,21 +62,33 @@ class ModularitySpec extends AnyFunSuite {
     assert(out(0L) == ((2L, 2L, 1L, 0L)))
   }
 
-  test("overflow guard fires at m >= 1_358_000 (5e6*m^2 > 2^63 past that)") {
-    // Worst-case shifted dividend is 5e6*m^2 (deg_c = 2*e_c, e_c = m/2),
-    // so the guard must trip at floor(sqrt(2^63/5e6)) = 1_358_200 — NOT
-    // the naive 1.5e6 bound, under which m in [1.358e6, 1.5e6) would
-    // wrap silently in Spark while the DuckDB oracle errors.
-    assert(5.0e6 * 1358000.0 * 1358000.0 < math.pow(2, 63)) // below: safe
-    assert(5.0e6 * 1358300.0 * 1358300.0 > math.pow(2, 63)) // above: wraps
-    val edges = spark.range(1358000L)
-      .selectExpr("id as a", "id + 1 as b")
-    val labels = spark.range(1358001L).selectExpr("id as node", "0L as lab")
-    val ex = intercept[Exception] {
-      Graphs.modularityByCommunity(edges, labels).collect()
+  test("decimal rails: exact at and past the old m >= 1_358_000 long ceiling") {
+    // The pre-r13 long path wrapped at 5e6*m^2 > 2^63 (m >= 1_358_200)
+    // and raised from 1_358_000; the decimal(38,0) rail must compute
+    // EXACTLY there — a 1.4M-edge chain sits past BOTH the old raise
+    // and the old wrap point. Alternating labels: every edge crosses.
+    assert(5.0e6 * 1400000.0 * 1400000.0 > math.pow(2, 63)) // old path wrapped here
+    val m = 1400000L
+    val edges = spark.range(m).selectExpr("id as a", "id + 1 as b")
+    val labels = spark.range(m + 1)
+      .selectExpr("id as node", "cast(id % 2 as long) as lab")
+    val out = Graphs.modularityByCommunity(edges, labels)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // BigInt replica of the one shifted floor division per community
+    def q(intra: Long, degSum: Long): Long = {
+      val bm = BigInt(m)
+      ((BigInt(1000000) * (4 * bm * intra - BigInt(degSum) * degSum)
+        + BigInt(4000000) * bm * bm) / (4 * bm * bm) - 1000000).toLong
     }
-    assert(ex.getMessage.contains("overflows the ppm shift")
-      || ex.getCause != null && ex.getCause.getMessage.contains("overflows the ppm shift"))
+    // chain 0-1-...-1400000: ends have deg 1 (both even — m is even),
+    // middles deg 2; intra = 0 for both communities
+    val expected = Map(
+      0L -> ((m / 2 + 1, m, 0L, q(0L, m))),
+      1L -> ((m / 2, m, 0L, q(0L, m))))
+    assert(out == expected)
+    assert(q(0L, m) == -250000L) // 0 - (m/2m)^2 = -1/4 exactly
   }
 
   test("random graph + random labels: frame equals an exact JVM replica") {

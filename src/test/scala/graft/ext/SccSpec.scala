@@ -4,13 +4,16 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
 
-/** [[Graphs.stronglyConnectedComponents]] — fixed-round FW-BW coloring.
-  * Pins exact agreement with a JVM Kosaraju ground truth when rounds
-  * suffice (settled groups keyed by their minimum member), SOUNDNESS
-  * under deliberately under-budgeted rounds (every settled group is a
-  * subset of one true SCC — never a merge across SCCs), the hand
-  * cases (two cycles + one-way bridge stay separate; a DAG is all
-  * singletons), and partitioning invariance. */
+/** [[Graphs.stronglyConnectedComponents]] — fixed-round FW-BW coloring
+  * with convergence-GATED colored removal. Pins exact agreement with a
+  * JVM Kosaraju ground truth when rounds suffice (settled groups keyed
+  * by their minimum member), EXACTNESS under deliberately
+  * under-budgeted rounds (every settled group equals one full true SCC
+  * — never a merge, never a split; the 5-cycle-at-innerRounds-1 case
+  * that the ungated algorithm would shatter into singletons comes back
+  * settled = false instead), the hand cases (two cycles + one-way
+  * bridge stay separate; a DAG is all singletons), and partitioning
+  * invariance. */
 class SccSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -65,20 +68,42 @@ class SccSpec extends AnyFunSuite {
     }
   }
 
-  test("soundness under tiny budgets: settled groups never merge two true SCCs") {
+  test("exactness under tiny budgets: settled groups are FULL true SCCs (no merge, no split)") {
     val rnd = new scala.util.Random(73)
     val edges = Seq.fill(70)((s"m${rnd.nextInt(14)}", s"m${rnd.nextInt(14)}"))
       .filter(e => e._1 != e._2).distinct
     val truth = kosaraju(edges)
     val got = run(edges, outer = 1, inner = 2) // deliberately starved
-    got.collect { case (v, (s, true)) => (v, s) }
-      .groupBy(_._2).foreach { case (_, members) =>
-        val trueSccs = members.map(m => truth(m._1)).toSet
-        assert(trueSccs.size == 1,
-          s"a settled group spans true SCCs $trueSccs: $members")
-      }
+    val settled = got.collect { case (v, (s, true)) => (v, s) }
+    // removal is convergence-gated: every settled node carries its TRUE
+    // Kosaraju id, and its whole true SCC settled with it — a settled
+    // group can neither merge two SCCs nor ship a fragment of one
+    settled.foreach { case (v, s) =>
+      assert(s == truth(v), s"$v settled with $s, Kosaraju says ${truth(v)}")
+    }
+    val settledNodes = settled.map(_._1).toSet
+    settledNodes.foreach { v =>
+      val scc = truth.collect { case (u, r) if r == truth(v) => u }.toSet
+      assert(scc.subsetOf(settledNodes),
+        s"true SCC of $v settled only partially: ${scc -- settledNodes} missing")
+    }
     // and under-budgeting is VISIBLE, not silent: leftovers say so
     assert(got.forall { case (v, (s, settled)) => settled || s == v })
+  }
+
+  test("a 5-cycle at innerRounds = 1 settles NOTHING (the gate refuses the split)") {
+    // the forward fixpoint needs 4 relax rounds here; an ungated removal
+    // would ship root n0 as a singleton settled=true — a silent SPLIT of
+    // the one true SCC. The gate leaves all five settled=false instead.
+    val edges = Seq(("n0", "n1"), ("n1", "n2"), ("n2", "n3"), ("n3", "n4"),
+      ("n4", "n0"))
+    val got = run(edges, outer = 1, inner = 1)
+    assert(got.size == 5)
+    assert(got.forall { case (v, (s, settled)) => !settled && s == v },
+      s"expected everything unsettled, got $got")
+    // with budget the same cycle settles as ONE group under its minimum
+    val full = run(edges, outer = 1, inner = 5)
+    assert(full.forall { case (_, (s, settled)) => settled && s == "n0" })
   }
 
   test("two 3-cycles joined by a ONE-WAY bridge are separate SCCs") {

@@ -188,6 +188,43 @@ class SkewRehearsalSpec extends AnyFunSuite {
       "scenario lost its point: node2vec should pay the fan-out randomWalks avoids")
   }
 
+  test("capAdjacency flattens node2vec's hub fan-out (the SCALE.md pre-step)") {
+    // the promised opt-in pre-step: cap the hub's adjacency BEFORE
+    // walking. Per walk-visit the candidate list is then <= maxDeg
+    // instead of deg(hub), so growing the hub 4x moves the walk's
+    // shuffle only by the linear edge-list scan (the cap output still
+    // carries one row per spoke), never by walks x deg(hub) candidates.
+    def hubGraph(spokes: Long): DataFrame = {
+      val h = spark.range(1, spokes + 1)
+        .select(lit(0L).cast("string").as("src"), col("id").cast("string").as("dst"))
+      h.unionByName(h.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    val origins = spark.range(1, 33).select(col("id").cast("string").as("origin"))
+    def walkBytes(spokes: Long, maxDeg: Option[Int]): Long = {
+      val g = maxDeg.map(Graphs.capAdjacency(hubGraph(spokes), _))
+        .getOrElse(hubGraph(spokes))
+        .localCheckpoint(true) // measure the WALK, not the cap/build
+      val (n, b) = TaskBudgetListener.measure(spark) {
+        Graphs.node2vecWalks(g, origins, walksPerNode = 2, steps = 3,
+          retW = 250, comW = 1000, outW = 500).count()
+      }
+      // every node keeps out-degree >= 1 under the cap (spokes have one
+      // edge; the hub keeps maxDeg), so all walks still run full length
+      assert(n == 32L * 2L * 4L, s"corpus wrong size at $spokes/$maxDeg: $n")
+      b.shuffleWriteBytes
+    }
+    val u20 = walkBytes(20000, None)
+    val c20 = walkBytes(20000, Some(64))
+    val c5 = walkBytes(5000, Some(64))
+    info(s"node2vec shufW: uncapped20k=$u20 capped20k=$c20 capped5k=$c5")
+    // the cap removes the deg(hub) candidate fan-out outright...
+    assert(c20 * 3 < u20,
+      s"cap did not flatten the fan-out: capped=$c20 uncapped=$u20")
+    // ...and what remains grows sub-linearly in hub degree (4x hub,
+    // < 3x bytes — the residual is the edge-list scan, not the fan-out)
+    assert(c20 < c5 * 3, s"capped walk still tracks hub degree: $c5 -> $c20")
+  }
+
   test("guarded bucket pairs star-split an oversized (boilerplate) bucket instead of going quadratic") {
     // one 3000-member bucket + 50 small ones; unguarded within-bucket
     // pairing would emit 3000*2999/2 ≈ 4.5M candidates from the hot

@@ -20,8 +20,8 @@ class WilsonKrippendorffSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
 
   private def wilsonJvm(n: Long, p: Long): Long = {
-    val s = p * (n - p) * 1000000000000L / n + 1000000000000L
-    ((p + 2L) * 1000000L - 2L * Sampling.isqrtJvm(s)) / (n + 4L)
+    val s = BigInt(p) * (n - p) * 1000000000000L / n + 1000000000000L
+    (((BigInt(p) + 2) * 1000000 - 2 * Sampling.isqrtDecJvm(s)) / (n + 4)).toLong
   }
 
   test("wilson: matches the JVM replica across a grid of counts") {
@@ -31,6 +31,26 @@ class WilsonKrippendorffSpec extends AnyFunSuite {
     rows.distinct.foreach { case (g, n, p) =>
       assert(got(g) == ((p * 1000000L / n, wilsonJvm(n, p))), s"$g")
     }
+  }
+
+  test("wilson: exact PAST the old n > 6000 long rail (decimal rails)") {
+    // the pre-r13 long path raised at n > 6000 (p(n-p)*1e12 wrapped);
+    // the decimal(38,0) rail must be bit-exact at billions of trials —
+    // including n-p small, p small, and the n^2/4 worst-case radicand
+    val rows = Seq(
+      ("a", 6001L, 3000L), ("b", 1000000L, 999999L),
+      ("c", 4000000000L, 2000000000L), ("d", 4000000000L, 1234567890L),
+      ("e", 999999999999L, 499999999999L), ("f", 6000000000000L, 3000000000000L))
+    val got = wilson(rows)
+    rows.foreach { case (g, n, p) =>
+      assert(got(g) == (((BigInt(p) * 1000000 / n).toLong, wilsonJvm(n, p))), s"$g")
+    }
+  }
+
+  test("wilson: n > 6e12 fails loudly (the decimal(38,0) radicand rail)") {
+    val ex = intercept[Exception] { wilson(Seq(("x", 6000000000001L, 3000L))) }
+    assert((ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse(""))
+      .contains("overflows"))
   }
 
   test("wilson: 1/1 ranks BELOW 95/100 by the lower bound (the fix it exists for)") {
@@ -43,12 +63,6 @@ class WilsonKrippendorffSpec extends AnyFunSuite {
     val got = wilson(Seq(("a", 10L, 8L), ("b", 100L, 80L), ("c", 1000L, 800L)))
     assert(got("a")._2 < got("b")._2 && got("b")._2 < got("c")._2)
     assert(got("c")._2 < 800000L, "the bound approaches the rate from below")
-  }
-
-  test("wilson: n > 6000 fails loudly (the 1e12 radicand shift rail)") {
-    val ex = intercept[Exception] { wilson(Seq(("x", 6001L, 3000L))) }
-    assert((ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse(""))
-      .contains("overflows"))
   }
 
   private def alpha(rows: Seq[(Long, String, String)], m: Int)
@@ -97,5 +111,11 @@ class WilsonKrippendorffSpec extends AnyFunSuite {
     val ex = intercept[Exception] { alpha(rows, 2) }
     assert((ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse(""))
       .contains("undefined"))
+  }
+
+  test("krippendorff: EMPTY input fails loudly, not a silent NULL row") {
+    val ex = intercept[Exception] { alpha(Seq.empty[(Long, String, String)], 2) }
+    assert((ex.getMessage + Option(ex.getCause).map(_.getMessage).getOrElse(""))
+      .contains("empty input"))
   }
 }

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.ext.Graphs
+
+/** Top-level so the streaming encoder can instantiate it (an inner case
+  * class would need the test instance as its outer scope). */
+final case class EdgeRow(a: Long, b: Long)
+
+/** STREAM-OF-DELTAS graph maintenance (round-12 verdict item 6): the
+  * maintained graph forms all verify as one-shot batch replays; this
+  * suite drives incremental LPA + incremental conductance through a
+  * REAL Structured Streaming foreachBatch loop — one delta wave per
+  * micro-batch, model state (base edges, labels, per-community stats)
+  * carried across batches and each wave applied with the SAME
+  * incremental operators the oracle-paired queries use — and pins that
+  * the final readout equals the ONE-SHOT batch readout on the full
+  * edge set across ≥3 different split schedules (the reference's
+  * delta-driven-IVM pattern — pyarrow_concepts.py:131-191's
+  * sink-consistency contract — applied to the graph tier).
+  *
+  * Soundness of the induction: incrementalLabelPropagation's contract
+  * is maintained ≡ batch-LPA(base ∪ delta) for ANY base/delta split,
+  * and incrementalConductance's is maintained ≡ the batch readout of
+  * base ∪ delta under the new labels — so wave-by-wave application is
+  * split-schedule-invariant, which is exactly what this suite pins. */
+class GraphIvmStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Two dense 30-node clusters + a few bridges — communities survive
+    * 2-round LPA, so conductance's whole-graph guard never trips. */
+  private lazy val edges: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(71)
+    def cluster(lo: Int): Seq[(Long, Long)] =
+      Seq.fill(300)((lo + rnd.nextInt(30), lo + rnd.nextInt(30)))
+        .collect { case (x, y) if x != y =>
+          (math.min(x, y).toLong, math.max(x, y).toLong) }
+    val bridges = Seq.fill(8)((rnd.nextInt(30).toLong, (30 + rnd.nextInt(30)).toLong))
+    (cluster(0) ++ cluster(30) ++ bridges).distinct
+  }
+
+  private def readStats(df: DataFrame): Map[Long, (Long, Long, Long, Long)] =
+    df.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+  /** Prime batch state on the head wave, then stream the remaining
+    * waves through foreachBatch, maintaining (base, labels, stats). */
+  private def runStream(head: Seq[(Long, Long)],
+      waves: Seq[Seq[(Long, Long)]]): Map[Long, (Long, Long, Long, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    var base = head.toDF("a", "b").localCheckpoint(true)
+    var labels = Graphs.labelPropagation(base, rounds = 2).localCheckpoint(true)
+    var stats = Graphs.conductanceByCommunity(base, labels).localCheckpoint(true)
+    val input = MemoryStream[EdgeRow]
+    val query = input.toDS().writeStream.outputMode("append")
+      .foreachBatch { (df: Dataset[EdgeRow], _: Long) =>
+        val rows = df.collect()
+        if (rows.nonEmpty) {
+          val delta = rows.map(e => (e.a, e.b)).toSeq.toDF("a", "b")
+            .localCheckpoint(true)
+          val nl = Graphs.incrementalLabelPropagation(labels, base, delta,
+            rounds = 2).localCheckpoint(true)
+          val ns = Graphs.incrementalConductance(stats, labels, nl, base, delta)
+            .localCheckpoint(true)
+          base = base.unionByName(delta).distinct().localCheckpoint(true)
+          labels = nl
+          stats = ns
+        }
+        ()
+      }.start()
+    try waves.foreach { w =>
+      input.addData(w.map(e => EdgeRow(e._1, e._2)): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    readStats(stats)
+  }
+
+  test("foreachBatch delta waves equal the one-shot batch readout across 3 split schedules") {
+    val batch = readStats(Graphs.conductanceByCommunity(
+      edges.toDF("a", "b"), Graphs.labelPropagation(edges.toDF("a", "b"), rounds = 2)))
+    assert(batch.nonEmpty)
+
+    val n = edges.size
+    // three genuinely different schedules: one big wave; three even
+    // waves; seven uneven waves (including a 1-edge wave)
+    val schedules = Seq(
+      (edges.take(n / 3), Seq(edges.drop(n / 3))),
+      (edges.take(n / 4), edges.drop(n / 4).grouped(n / 4 + 1).toSeq),
+      (edges.take(20),
+        Seq(edges.slice(20, 21), edges.slice(21, 100), edges.slice(100, 101),
+          edges.slice(101, 300), edges.slice(300, 310), edges.slice(310, 311),
+          edges.drop(311))))
+    schedules.zipWithIndex.foreach { case ((head, waves), i) =>
+      val got = runStream(head, waves)
+      assert(got == batch,
+        s"schedule $i (${waves.size} waves) diverged from the one-shot batch")
+    }
+  }
+}
