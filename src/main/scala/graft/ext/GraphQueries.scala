@@ -217,9 +217,10 @@ object GraphQueries {
              |        UNION ALL SELECT w FROM t)
              |  GROUP BY node)
              |SELECT d.node, d.deg, COALESCE(tc.tri, 0) AS tri,
-             |  CASE WHEN d.deg >= 2
-             |    THEN (COALESCE(tc.tri, 0) * 2000000) // (d.deg * (d.deg - 1))
-             |    ELSE 0 END AS lcc_ppm
+             |  CAST(CASE WHEN d.deg >= 2
+             |    THEN (CAST(COALESCE(tc.tri, 0) AS HUGEINT) * 2000000)
+             |         // (CAST(d.deg AS HUGEINT) * (d.deg - 1))
+             |    ELSE 0 END AS BIGINT) AS lcc_ppm
              |FROM deg d LEFT JOIN tc ON d.node = tc.node
              |ORDER BY d.node""".stripMargin),
     ),
@@ -1174,9 +1175,10 @@ object GraphQueries {
              |        UNION ALL SELECT w FROM t)
              |  GROUP BY node)
              |SELECT d.node, d.deg, COALESCE(tc.tri, 0) AS tri,
-             |  CASE WHEN d.deg >= 2
-             |    THEN (COALESCE(tc.tri, 0) * 2000000) // (d.deg * (d.deg - 1))
-             |    ELSE 0 END AS lcc_ppm
+             |  CAST(CASE WHEN d.deg >= 2
+             |    THEN (CAST(COALESCE(tc.tri, 0) AS HUGEINT) * 2000000)
+             |         // (CAST(d.deg AS HUGEINT) * (d.deg - 1))
+             |    ELSE 0 END AS BIGINT) AS lcc_ppm
              |FROM deg d LEFT JOIN tc ON d.node = tc.node
              |ORDER BY d.node""".stripMargin),
     ),
@@ -2490,6 +2492,41 @@ object GraphQueries {
            |       // (n * (n - 1)) AS BIGINT) AS ri_ppm
            |FROM tot, ma, mb""".stripMargin
       }),
+    ),
+
+    // GLOBAL TRANSITIVITY of the co-purchase graph — the one-row
+    // clique-vs-chain verdict a dup-graph audit reads BEFORE q139's
+    // per-node lcc: 3·triangles/wedges in exact rational ppm
+    // (Graphs.globalTransitivity — both sums on decimal rails). The
+    // oracle replays q139's oriented triangle enumeration and the
+    // wedge rollup.
+    QueryDef(
+      "q346_global_transitivity",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val edges = li.as("x").join(li.as("y"),
+            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+        Graphs.globalTransitivity(edges)
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |deg AS (
+             |  SELECT node, COUNT(*) AS deg
+             |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+             |  GROUP BY node),
+             |t AS (
+             |  SELECT COUNT(*) AS n_tri
+             |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+             |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |w AS (SELECT SUM(CAST(deg AS HUGEINT) * (deg - 1)) AS w2 FROM deg)
+             |SELECT CAST(n_tri AS BIGINT) AS n_triangles,
+             |  CAST((2 * CAST(3 * n_tri AS HUGEINT) * 1000000) // w2 AS BIGINT)
+             |    AS transitivity_ppm
+             |FROM t, w""".stripMargin),
     ),
   )
 }

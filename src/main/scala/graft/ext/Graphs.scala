@@ -275,8 +275,30 @@ object Graphs {
         coalesce(col("tri"), lit(0L)).as("tri"))
       .withColumn("lcc_ppm",
         when(col("deg") >= 2,
-          expr("(tri * 2000000) div (deg * (deg - 1))")).otherwise(lit(0L)))
+          expr("cast((cast(tri as decimal(38,0)) * 2000000)" +
+            " div (cast(deg as decimal(38,0)) * (deg - 1)) as bigint)"))
+          .otherwise(lit(0L)))
   }
+
+  /** GLOBAL TRANSITIVITY — the one-row sibling of [[triangleCounts]]'
+    * per-node lcc: 3·triangles / wedges = Σ_v tri(v) / Σ_v C(deg(v), 2),
+    * exact rational in integer ppm (both sums ride decimal(38,0); one
+    * non-negative floor division — transitivity ∈ [0, 1]). The
+    * clustering readout a dup-graph audit reads FIRST (is the pair list
+    * clique-like or chain-like overall?) before drilling into per-node
+    * lcc. A wedge-free graph (every degree ≤ 1) raises loudly —
+    * transitivity is undefined there. Cost: one [[triangleCounts]] pass
+    * + a 1-row rollup. */
+  def globalTransitivity(edges: DataFrame): DataFrame =
+    triangleCounts(edges)
+      .agg(coalesce(sum(col("tri")), lit(0L)).as("tri3"), // = 3 * triangles
+        coalesce(sum(col("deg").cast("decimal(38,0)") * (col("deg") - 1)),
+          lit(0L).cast("decimal(38,0)")).as("w2")) // = 2 * wedges
+      .select(expr("tri3 div 3").as("n_triangles"),
+        expr("""case when w2 = 0 then
+                |  cast(raise_error('globalTransitivity: no wedges (max degree <= 1) — undefined') as bigint)
+                |else (2 * cast(tri3 as decimal(38,0)) * 1000000) div w2
+                |end""".stripMargin).as("transitivity_ppm"))
 
   /** INCREMENTAL triangle counts — the q164/q253/q304 "incremental ≡
     * recompute" discipline applied to [[triangleCounts]]: given the base
@@ -623,11 +645,14 @@ object Graphs {
   def bfsDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 50, "rounds in [1,50]")
     val e = PinnedCache.pin(edges.toDF("src", "dst"))
-    // frontier/settled are localCheckpoint-ed, which ERASES stats — the
-    // planning-time broadcast hint (gated on the actual row count) keeps
-    // every e⋈frontier a scan of e instead of a full-edge exchange per
-    // round (the hintIfSmall rationale; measured on MaintenanceCostSpec)
-    var frontier = hintIfSmall(seeds.toDF("node").distinct()
+    // frontier/settled are localCheckpoint-ed, which ERASES stats — on
+    // big graphs the planning-time broadcast hint keeps every
+    // e⋈frontier a scan of e instead of a full-edge exchange per round;
+    // on small graphs the hint's count jobs cost more than the
+    // exchanges they avoid, so the whole thing is size-gated
+    // ([[frontierHinter]]; measured both ways)
+    val mh = frontierHinter(e)
+    var frontier = mh(seeds.toDF("node").distinct()
       .withColumn("d", lit(0L)).localCheckpoint(true))
     var settled = frontier
     for (r <- 1 to rounds) {
@@ -635,7 +660,7 @@ object Graphs {
         .join(frontier.select(col("node").as("src")), "src")
         .select(col("dst").as("node"))
         .distinct()
-      frontier = hintIfSmall(candidates
+      frontier = mh(candidates
         .join(settled, Seq("node"), "left_anti")
         .select(col("node"), lit(r.toLong).as("d"))
         .localCheckpoint(true))
@@ -699,9 +724,11 @@ object Graphs {
       rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
     val e = PinnedCache.pin(edges.toDF("src", "dst"))
-    // hinted frontiers: e⋈frontier stays a scan of e, never a full-edge
-    // exchange per round (hintIfSmall — checkpoints erase stats)
-    var frontier = hintIfSmall(seeds.toDF("seed").distinct()
+    // size-gated frontier hints (the [[frontierHinter]] trade): on big
+    // graphs e⋈frontier stays a scan of e, never a full-edge exchange
+    // per round; on small graphs no extra count jobs
+    val mh = frontierHinter(e)
+    var frontier = mh(seeds.toDF("seed").distinct()
       .select(col("seed"), col("seed").as("node"), lit(0L).as("d"))
       .localCheckpoint(true))
     var settled = frontier
@@ -710,7 +737,7 @@ object Graphs {
         .join(frontier.select(col("seed"), col("node").as("src")), "src")
         .select(col("seed"), col("dst").as("node"))
         .distinct()
-      frontier = hintIfSmall(candidates
+      frontier = mh(candidates
         .join(settled, Seq("seed", "node"), "left_anti")
         .select(col("seed"), col("node"), lit(r.toLong).as("d"))
         .localCheckpoint(true))
@@ -831,13 +858,15 @@ object Graphs {
     require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
     import org.apache.spark.sql.expressions.Window
     val bE = baseEdges.toDF("src", "dst")
-    val dE = hintIfSmall(deltaEdges.toDF("src", "dst").distinct()
-      .localCheckpoint(true))
+    val dE0 = deltaEdges.toDF("src", "dst").distinct().localCheckpoint(true)
     // NO full-graph distinct (the r13 incrementalKatz finding): every
     // consumer of the edge set here is duplicate-IMMUNE — bit_or layers
     // and BFS reachability are idempotent — so base ∪ delta is only
     // ever SCANNED, never exchanged
-    val all = PinnedCache.pin(bE.unionByName(dE))
+    val all = PinnedCache.pin(bE.unionByName(dE0))
+    // size-gated hints (the [[frontierHinter]] trade)
+    val mh = frontierHinter(all)
+    val dE = mh(dE0)
     val settled = PinnedCache.pin(prevDist.toDF("seed", "node", "d"))
     // dense seed-bit index over the (unchanged) seed universe — the
     // multiSourceBfs convention: sorted order, deterministic
@@ -881,7 +910,7 @@ object Graphs {
     // every candidate node sits within `rounds` FORWARD hops of a delta
     // dst, so this slice of settled is the only state improvements can
     // compare against — the full set is never reshuffled per iteration
-    val ballNodes = hintIfSmall(bfsDistances(all, dE.select(col("dst")), rounds)
+    val ballNodes = mh(bfsDistances(all, dE.select(col("dst")), rounds)
       .select(col("node")).localCheckpoint(true))
     val baseCum = PinnedCache.pin(cumulate(toLayers(
       settled.join(ballNodes, Seq("node"), "left_semi"))))
@@ -890,7 +919,7 @@ object Graphs {
       settled.join(dE.select(col("src").as("node"), col("dst")), "node")
         .select(col("seed"), col("dst").as("node"), (col("d") + 1L).as("d"))
         .where(col("d") <= rounds.toLong))
-    var frontier = hintIfSmall(
+    var frontier = mh(
       selfPrune(minusCum(injected, baseCum)).localCheckpoint(true))
     var imp = frontier
     for (_ <- 1 to rounds) {
@@ -904,7 +933,7 @@ object Graphs {
       // an improvement must beat BOTH the base state and any earlier
       // improvement of the same pair (a pair can improve twice when a
       // shorter chain lands later — the chained-delta case)
-      frontier = hintIfSmall(
+      frontier = mh(
         selfPrune(minusCum(minusCum(prop, baseCum), cumulate(imp)))
           .localCheckpoint(true))
       imp = imp.unionByName(frontier)
@@ -925,7 +954,7 @@ object Graphs {
       .groupBy(col("seed"), col("node")).agg(min(col("d")).as("d"))
       .localCheckpoint(true)
     settled
-      .join(hintIfSmall(improvedPairs).select(col("seed"), col("node")),
+      .join(mh(improvedPairs).select(col("seed"), col("node")),
         Seq("seed", "node"), "left_anti")
       .select(col("seed"), col("node"), col("d"))
       .unionByName(improvedPairs)
@@ -1544,31 +1573,34 @@ object Graphs {
     val delta = norm(deltaEdges).distinct().localCheckpoint(true)
     val union = base.unionByName(delta) // scanned below, never shuffled
     val trace = prevTrace.toDF("node", "t", "r").localCheckpoint(true)
+    // size-gated hints, decided on the checkpointed trace (∝ node count
+    // × iters — the graph-scale signal this op has cheapest access to)
+    val mh = frontierHinter(trace)
     // a node is new iff it touches a delta edge and is absent from the
     // trace: probe the trace's t=0 slice with the (small, broadcast)
     // delta endpoints — no full-node-set distinct
-    val deltaEnds = hintIfSmall(delta.select(col("src").as("node"))
+    val deltaEnds = mh(delta.select(col("src").as("node"))
       .unionByName(delta.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true))
     val knownEnds = trace.where(col("t") === 0L).select(col("node"))
       .join(deltaEnds, Seq("node"), "left_semi")
     val newNodes = deltaEnds.join(knownEnds, Seq("node"), "left_anti")
-    var aff = hintIfSmall(delta.select(col("dst").as("node")).distinct()
+    var aff = mh(delta.select(col("dst").as("node")).distinct()
       .unionByName(newNodes).distinct().localCheckpoint(true))
     var frontier = aff
     for (_ <- 1 until iters) {
-      frontier = hintIfSmall(union
+      frontier = mh(union
         .join(frontier.select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
         .join(aff, Seq("node"), "left_anti")
         .localCheckpoint(true))
-      aff = hintIfSmall(aff.unionByName(frontier).localCheckpoint(true))
+      aff = mh(aff.unionByName(frontier).localCheckpoint(true))
     }
     // edges INTO the affected region — the only recurrence that replays;
     // the base-vs-delta dedup happens HERE, on the ball-local edge set
     // (edges outside the ball are never re-aggregated, so duplicates
     // there cannot affect the output)
-    val affIn = hintIfSmall(union
+    val affIn = mh(union
       .join(aff.select(col("node").as("dst")), Seq("dst"), "left_semi")
       .distinct()
       .localCheckpoint(true))
@@ -1580,7 +1612,7 @@ object Graphs {
           .join(aff.select(col("node").as("src")), Seq("src"), "left_anti"))
       val in = affIn.join(srcVals, "src")
         .groupBy(col("dst").as("node")).agg(sum(col("r")).as("s"))
-      rAff = hintIfSmall(aff.join(in, Seq("node"), "left")
+      rAff = mh(aff.join(in, Seq("node"), "left")
         .withColumn("r", lit(1000000L) +
           expr(s"coalesce(s, 0L) div ${alphaDen}L"))
         .select(col("node"), col("r"))
@@ -1716,7 +1748,9 @@ object Graphs {
     def labs(df: DataFrame) = df.toDF("node", "lab")
       .select(col("node").cast("long").as("node"), col("lab").cast("long").as("lab"))
     val base = norm(baseEdges).localCheckpoint(true)
-    val delta = hintIfSmall(norm(deltaEdges).distinct().localCheckpoint(true))
+    // size-gated hints (the [[frontierHinter]] trade), decided on base
+    val mh = frontierHinter(base)
+    val delta = mh(norm(deltaEdges).distinct().localCheckpoint(true))
     // NO full-graph distinct (the r13 incrementalKatz finding): base is
     // canonical by [[conductanceByCommunity]]'s contract, delta is
     // distinct-ed above, and the base∩delta dedup happens AFTER the
@@ -1736,18 +1770,18 @@ object Graphs {
     val deltaEnds = delta.select(col("a").as("node"))
       .unionByName(delta.select(col("b").as("node"))).distinct()
       .join(newL, "node").select(col("lab"))
-    val affected = hintIfSmall(changed.select(col("n.lab").as("lab"))
+    val affected = mh(changed.select(col("n.lab").as("lab"))
       .unionByName(changed.select(col("p.lab").as("lab")))
       .where(col("lab").isNotNull)
       .unionByName(deltaEnds)
       .distinct().localCheckpoint(true))
-    val affNodes = hintIfSmall(newL.join(affected, Seq("lab"), "left_semi")
+    val affNodes = mh(newL.join(affected, Seq("lab"), "left_semi")
       .localCheckpoint(true))
     // edges with >= 1 endpoint in an affected community — the ONLY rows
     // recounting aggregates over; dedup of base∩delta overlap happens
     // here, on the ball-local set (≡ restricting the old full-distinct
     // list, since distinct and a row predicate commute)
-    val incident = hintIfSmall(union
+    val incident = mh(union
       .join(affNodes.select(col("node").as("a")), Seq("a"), "left_semi")
       .unionByName(union
         .join(affNodes.select(col("node").as("b")), Seq("b"), "left_semi")
@@ -1833,7 +1867,9 @@ object Graphs {
     def labs(df: DataFrame) = df.toDF("node", "lab")
       .select(col("node").cast("long").as("node"), col("lab").cast("long").as("lab"))
     val base = norm(baseEdges).localCheckpoint(true)
-    val delta = hintIfSmall(norm(deltaEdges).distinct().localCheckpoint(true))
+    // size-gated hints (the [[frontierHinter]] trade), decided on base
+    val mh = frontierHinter(base)
+    val delta = mh(norm(deltaEdges).distinct().localCheckpoint(true))
     // NO full-graph distinct (the r13 incrementalKatz finding; the
     // incrementalConductance reshape mirrored here): base is canonical
     // by [[modularityByCommunity]]'s contract, and the base∩delta dedup
@@ -1853,16 +1889,16 @@ object Graphs {
     val deltaEnds = delta.select(col("a").as("node"))
       .unionByName(delta.select(col("b").as("node"))).distinct()
       .join(newL, "node").select(col("lab"))
-    val affected = hintIfSmall(changed.select(col("n.lab").as("lab"))
+    val affected = mh(changed.select(col("n.lab").as("lab"))
       .unionByName(changed.select(col("p.lab").as("lab")))
       .where(col("lab").isNotNull)
       .unionByName(deltaEnds)
       .distinct().localCheckpoint(true))
-    val affNodes = hintIfSmall(newL.join(affected, Seq("lab"), "left_semi")
+    val affNodes = mh(newL.join(affected, Seq("lab"), "left_semi")
       .localCheckpoint(true))
     // every edge at an affected node (degrees and intra-edges of
     // affected communities only ever touch these rows)
-    val incident = hintIfSmall(union
+    val incident = mh(union
       .join(affNodes.select(col("node").as("a")), Seq("a"), "left_semi")
       .unionByName(union
         .join(affNodes.select(col("node").as("b")), Seq("b"), "left_semi")
@@ -2190,27 +2226,38 @@ object Graphs {
     * convention); delta may overlap base (deduped here). Output ≡
     * [[degreeAssortativity]] on base ∪ delta (the oracle proves it). */
   def incrementalAssortativity(prevStats: DataFrame, baseEdges: DataFrame,
+      deltaEdges: DataFrame): DataFrame =
+    assortativityReadout(
+      incrementalAssortativityStats(prevStats, baseEdges, deltaEdges))
+
+  /** The stats-level half of [[incrementalAssortativity]]: returns the
+    * UPDATED four sufficient statistics (m, sx, sxx, sxy) so a caller
+    * can THREAD them across delta waves (the GraphIvmStreamSpec
+    * foreachBatch loop) instead of re-deriving base stats per wave. */
+  def incrementalAssortativityStats(prevStats: DataFrame, baseEdges: DataFrame,
       deltaEdges: DataFrame): DataFrame = {
     // key-type-agnostic (the batch stats op takes string hosts too):
     // every use is a join/count, never arithmetic on the node ids
     def norm(df: DataFrame) = df.toDF("a", "b")
     val base = norm(baseEdges).localCheckpoint(true)
-    val delta0 = hintIfSmall(norm(deltaEdges).distinct().localCheckpoint(true))
-    val overlap = hintIfSmall(base.join(delta0, Seq("a", "b"), "left_semi")
+    // size-gated hints (the [[frontierHinter]] trade), decided on base
+    val mh = frontierHinter(base)
+    val delta0 = mh(norm(deltaEdges).distinct().localCheckpoint(true))
+    val overlap = mh(base.join(delta0, Seq("a", "b"), "left_semi")
       .localCheckpoint(true))
-    val dEff = hintIfSmall(delta0.join(overlap, Seq("a", "b"), "left_anti")
+    val dEff = mh(delta0.join(overlap, Seq("a", "b"), "left_anti")
       .localCheckpoint(true))
-    val touched = hintIfSmall(dEff.select(col("a").as("node"))
+    val touched = mh(dEff.select(col("a").as("node"))
       .unionByName(dEff.select(col("b").as("node"))).distinct()
       .localCheckpoint(true))
     // base edges whose deg(a)·deg(b) term moves (>= 1 touched endpoint)
-    val incident = hintIfSmall(base
+    val incident = mh(base
       .join(touched.select(col("node").as("a")), Seq("a"), "left_semi")
       .unionByName(base
         .join(touched.select(col("node").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b")))
       .distinct().localCheckpoint(true))
-    val ball = hintIfSmall(incident.select(col("a").as("node"))
+    val ball = mh(incident.select(col("a").as("node"))
       .unionByName(incident.select(col("b").as("node")))
       .unionByName(touched.select(col("node")))
       .distinct().localCheckpoint(true))
@@ -2225,7 +2272,7 @@ object Graphs {
     val dDelta = dEff.select(col("a").as("node"))
       .unionByName(dEff.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("dd"))
-    val degs = hintIfSmall(degOld.join(dDelta, Seq("node"), "full")
+    val degs = mh(degOld.join(dDelta, Seq("node"), "full")
       .select(col("node"), coalesce(col("d0"), lit(0L)).as("d0"),
         (coalesce(col("d0"), lit(0L)) + coalesce(col("dd"), lit(0L))).as("d1"))
       .localCheckpoint(true))
@@ -2250,7 +2297,7 @@ object Graphs {
       .join(degs.select(col("node").as("b"), col("d1").as("b1")), "b")
       .agg(coalesce(sum(col("a1").cast("decimal(38,0)") * col("b1")),
         lit(0L).cast("decimal(38,0)")).as("tn"))
-    val stats = prevStats.toDF("m", "sx", "sxx", "sxy")
+    prevStats.toDF("m", "sx", "sxx", "sxy")
       .crossJoin(broadcast(nodeDelta))
       .crossJoin(broadcast(incTerm))
       .crossJoin(broadcast(newTerm))
@@ -2259,7 +2306,6 @@ object Graphs {
         (col("sxx") + col("dsxx")).cast("decimal(38,0)").as("sxx"),
         (col("sxy") + lit(2) * (col("ti") + col("tn")))
           .cast("decimal(38,0)").as("sxy"))
-    assortativityReadout(stats)
   }
 
   /** Link-prediction scores for every NON-adjacent pair at distance 2 —
@@ -2386,6 +2432,18 @@ object Graphs {
     * OOM. */
   private def hintIfSmall(df: DataFrame, maxRows: Long = 2000000L): DataFrame =
     if (df.count() <= maxRows) broadcast(df) else df
+
+  /** ONE gating decision per operator call for the frontier/ball hints:
+    * each [[hintIfSmall]] costs a count JOB per round (~50 ms of
+    * scheduling), which only amortizes when the scanned side is big
+    * enough that the exchange it avoids dominates — measured +1.4 s on
+    * q312's ~8k-edge host graph (24 pointless count jobs) vs a 122 →
+    * 0.1 MB shuffle cut on the 1M-edge ring forest. Below the threshold
+    * the un-hinted plan's exchanges are a few MB and CHEAPER than the
+    * jobs; above it the jobs are noise against the scans. The count
+    * itself runs once per call on an already-pinned/checkpointed frame. */
+  private def frontierHinter(big: DataFrame): DataFrame => DataFrame =
+    if (big.count() > 500000L) hintIfSmall(_) else identity
 
   /** Deterministic ADJACENCY CAP — the hub pre-step for the walk tier:
     * [[node2vecWalks]]'s second-order fan-out is |frontier|·deg(cur),

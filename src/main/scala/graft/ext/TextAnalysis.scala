@@ -403,4 +403,29 @@ object TextAnalysis {
       .agg(sum(col("ca")).as("n_tokens_a"), sum(col("term")).as("ce_q4"))
       .withColumn("ce_mq4", expr("(ce_q4 * 1000) div n_tokens_a"))
   }
+
+  /** LEXICAL DIVERSITY per group — the vocabulary-richness readout a
+    * curator reads next to [[tokenEntropy]]: per group, token count,
+    * TYPE count (distinct tokens), HAPAX count (types seen exactly
+    * once), type-token ratio and hapax share in exact integer ppm (one
+    * floor each, decimal(38,0) rails — TTR comparisons across sources
+    * of similar size are the honest use; TTR falls with corpus size by
+    * Heaps' law, stated not hidden). A template-generated source shows
+    * LOW ttr and hapax share; scraped natural text sits high. Shape:
+    * one explode + (group, token) rollup + group rollup — all
+    * partial-agg friendly. Output: (grp, n_tokens, n_types, n_hapax,
+    * ttr_ppm, hapax_ppm). */
+  def lexicalDiversity(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = df
+    .select(col(groupCol).as("grp"),
+      explode(tokens(col(textCol))).as("tok"))
+    .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c"))
+    .groupBy(col("grp"))
+    .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+    .select(col("grp"), col("n_tokens"), col("n_types"), col("n_hapax"),
+      expr("(cast(n_types as decimal(38,0)) * 1000000) div n_tokens")
+        .as("ttr_ppm"),
+      expr("(cast(n_hapax as decimal(38,0)) * 1000000) div n_types")
+        .as("hapax_ppm"))
 }

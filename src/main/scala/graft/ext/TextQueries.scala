@@ -1394,5 +1394,34 @@ object TextQueries {
              |FROM cells JOIN r USING (lang) JOIN c USING (lt) CROSS JOIN n
              |ORDER BY lang, lt""".stripMargin),
     ),
+
+    // LEXICAL DIVERSITY per source — vocabulary richness as data:
+    // token/type/hapax counts, type-token ratio and hapax share in
+    // exact integer ppm (TextAnalysis.lexicalDiversity, decimal
+    // rails). A template-y source reads LOW on both; natural scraped
+    // text sits high — the curation signal next to q299's token
+    // entropy. The oracle replays the two rollups.
+    QueryDef(
+      "q347_lexical_diversity",
+      (s, dir) => TextAnalysis.lexicalDiversity(
+          tbl(s, dir, "documents"), "source", "text")
+        .orderBy(col("grp")),
+      Some("""WITH w AS (
+             |  SELECT source AS grp, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |tc AS (SELECT grp, tok, COUNT(*) AS c FROM w GROUP BY 1, 2),
+             |g AS (
+             |  SELECT grp, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+             |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+             |  FROM tc GROUP BY grp)
+             |SELECT grp, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(n_types AS BIGINT) AS n_types,
+             |  CAST(n_hapax AS BIGINT) AS n_hapax,
+             |  CAST((CAST(n_types AS HUGEINT) * 1000000) // n_tokens AS BIGINT)
+             |    AS ttr_ppm,
+             |  CAST((CAST(n_hapax AS HUGEINT) * 1000000) // n_types AS BIGINT)
+             |    AS hapax_ppm
+             |FROM g ORDER BY grp""".stripMargin),
+    ),
   )
 }

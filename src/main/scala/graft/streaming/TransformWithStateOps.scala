@@ -251,6 +251,63 @@ object TransformWithStateOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class CatEvent(grp: String, cat: String)
+  final case class SimpsonReport(grp: String, n_rows: Long,
+      n_categories: Long, simpson_ppm: Long)
+
+  /** Continuous SIMPSON diversity per group — the streaming twin of
+    * [[graft.ext.Evaluation.simpsonDiversity]] (the live mixture-
+    * concentration dashboard): per group `MapState[cat → count]` plus a
+    * (n, n_categories, Σc²) ValueState maintained by DELTAS — a count
+    * moving c → c+k moves Σc² by (c+k)² − c², so cost per batch ∝
+    * touched categories and the emitted ppm is bit-for-bit the batch
+    * readout at every prefix (BigInt at the emit division mirrors the
+    * batch decimal(38,0) rail). Per-group rail: n ≤ 3·10⁹ rows keeps
+    * Σc² ≤ n² under 2⁶³ in state — enforced loudly (split the group
+    * key past that; the batch op itself has no such ceiling). */
+  final class SimpsonProcessor
+      extends StatefulProcessor[String, CatEvent, SimpsonReport] {
+
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var tot: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      tot = getHandle.getValueState[(Long, Long, Long)]("tot",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong), TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[CatEvent],
+        timerValues: TimerValues): Iterator[SimpsonReport] = {
+      val incoming = scala.collection.mutable.Map.empty[String, Long]
+      rows.foreach(r =>
+        incoming(r.cat) = incoming.getOrElse(r.cat, 0L) + 1L)
+      var (n, k, c2) = if (tot.exists()) tot.get() else (0L, 0L, 0L)
+      incoming.foreach { case (cat, add) =>
+        val old = if (counts.containsKey(cat)) counts.getValue(cat) else 0L
+        val nw = old + add
+        counts.updateValue(cat, nw)
+        c2 += nw * nw - old * old
+        n += add
+        if (old == 0L) k += 1L
+      }
+      require(n <= 3000000000L,
+        s"simpson stream: n = $n > 3e9 overflows the long Σc² state — split the group")
+      tot.update((n, k, c2))
+      val ppm = 1000000L - (BigInt(c2) * 1000000 / (BigInt(n) * n)).toLong
+      Iterator.single(SimpsonReport(key, n, k, ppm))
+    }
+  }
+
+  def streamingSimpson(ds: Dataset[CatEvent]): Dataset[SimpsonReport] = {
+    implicit val outEnc: Encoder[SimpsonReport] = Encoders.product[SimpsonReport]
+    ds.groupByKey(_.grp)(Encoders.STRING)
+      .transformWithState(new SimpsonProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class SourceGram(src: String, g: String)
   final case class BoilerCand(source: String, gram: String, lb: Long, n: Long)
 

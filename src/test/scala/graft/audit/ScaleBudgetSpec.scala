@@ -508,6 +508,42 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q323 spilled")
   }
 
+  test("q340 link prediction: wedge candidates rollup to (u, v) partials, no pair materialization past the agg") {
+    val b = measure("q340_link_prediction")
+    // the wedge self-join fans out inside one stage; only (u, v, cn, ra)
+    // partials cross the exchange — a candidate-row shuffle would move
+    // the full wedge volume
+    assert(b.shuffleWriteBytes < 16 * MB,
+      s"link prediction shuffled the wedge fan-out: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q340 spilled")
+  }
+
+  test("q342 incremental assortativity: scalar maintenance — ball-sized frames + four-number state") {
+    val b = measure("q342_incremental_assortativity")
+    // base stats (1 row) + touched/incident/ball frames + degree scans;
+    // nothing graph-sized crosses an exchange
+    assert(b.shuffleWriteBytes < 2 * MB,
+      s"scalar maintenance shuffled the graph: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q342 spilled")
+  }
+
+  test("q345 rand index: contingency-sized agreement state over two LPA ladders") {
+    val b = measure("q345_rand_index")
+    // two LPA label ladders (the q313 per-round rollup band) + one
+    // (la, lb) contingency rollup — never a node-pair enumeration
+    assert(b.shuffleWriteBytes < 48 * MB,
+      s"rand index shuffled beyond the LPA band + contingency: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q345 spilled")
+  }
+
+  test("q346 global transitivity: the oriented-wedge band + a 1-row rollup") {
+    val b = measure("q346_global_transitivity")
+    // triangleCounts' O(m^1.5)-bounded oriented wedges + one scalar agg
+    assert(b.shuffleWriteBytes < 8 * MB,
+      s"transitivity shuffled beyond the triangle band: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q346 spilled")
+  }
+
   test("q321 bitmap distinct: 64-packed words cross the wire, not (day, user) pairs") {
     val b = measure("q321_bitmap_distinct")
     // ~3 words/day × 30 days of (grp, w, mask) longs; the pair-shuffling

@@ -102,4 +102,47 @@ class GraphIvmStreamSpec extends AnyFunSuite {
         s"schedule $i (${waves.size} waves) diverged from the one-shot batch")
     }
   }
+
+  test("scalar form: assortativity stats THREADED across foreachBatch waves equal the one-shot batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val batchR = Graphs.degreeAssortativity(edges.toDF("a", "b"))
+      .collect()(0)
+    val n = edges.size
+    val head = edges.take(n / 2)
+    val waves = edges.drop(n / 2).grouped(n / 8 + 1).toSeq
+    var base = head.toDF("a", "b").localCheckpoint(true)
+    // the four sufficient statistics ARE the carried model state: each
+    // wave applies the closed-form update to the PREVIOUS wave's stats
+    // (never re-derived from the edges), so the final readout proves
+    // the whole chain of updates, not just the last one
+    var stats = Graphs.degreeAssortativityStats(base).localCheckpoint(true)
+    val input = MemoryStream[EdgeRow]
+    val query = input.toDS().writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[EdgeRow], _: Long) =>
+        val rows = df.collect()
+        if (rows.nonEmpty) {
+          val delta = rows.map(e => (e.a, e.b)).toSeq.toDF("a", "b")
+            .localCheckpoint(true)
+          stats = Graphs.incrementalAssortativityStats(stats, base, delta)
+            .localCheckpoint(true)
+          base = base.unionByName(delta).distinct().localCheckpoint(true)
+        }
+        ()
+      }.start()
+    try waves.foreach { w =>
+      input.addData(w.map(e => EdgeRow(e._1, e._2)): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    // readout of the threaded stats == the one-shot batch on all edges
+    val fin = Graphs.degreeAssortativityStats(edges.toDF("a", "b"))
+      .collect()(0)
+    val got = stats.collect()(0)
+    assert(got.getLong(0) == fin.getLong(0))
+    assert(got.getDecimal(1) == fin.getDecimal(1)
+      && got.getDecimal(2) == fin.getDecimal(2)
+      && got.getDecimal(3) == fin.getDecimal(3))
+    val ro = graft.ext.Graphs.degreeAssortativity(edges.toDF("a", "b")).collect()(0)
+    assert((ro.getLong(0), ro.getLong(1)) ==
+      ((batchR.getLong(0), batchR.getLong(1))))
+  }
 }

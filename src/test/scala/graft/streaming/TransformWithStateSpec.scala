@@ -88,6 +88,42 @@ class TransformWithStateSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streamingSimpson: per-group diversity equals the batch operator at EVERY batch prefix") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{CatEvent, SimpsonReport}
+      val rnd = new scala.util.Random(131)
+      val rows = Seq.fill(900)(
+        CatEvent(s"g${rnd.nextInt(4)}", s"c${rnd.nextInt(6)}"))
+      val latest = scala.collection.mutable.Map[String, SimpsonReport]()
+      val input = MemoryStream[CatEvent]
+      val query = TransformWithStateOps.streamingSimpson(input.toDS())
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[SimpsonReport], _: Long) =>
+          df.collect().foreach(r => latest(r.grp) = r); ()
+        }.start()
+      try {
+        var prefix = Seq.empty[CatEvent]
+        rows.grouped(250).foreach { b =>
+          input.addData(b: _*); query.processAllAvailable()
+          prefix = prefix ++ b
+          val batch = graft.ext.Evaluation.simpsonDiversity(
+              prefix.map(e => (e.grp, e.cat)).toDF("g", "c"), "g", "c")
+            .collect()
+            .map(r => r.getString(0) ->
+              SimpsonReport(r.getString(0), r.getLong(1), r.getLong(2),
+                r.getLong(3)))
+            .toMap
+          batch.foreach { case (g, want) =>
+            assert(latest(g) == want, s"prefix mismatch group $g")
+          }
+        }
+      } finally query.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streamingWilson: per-key bound equals the batch operator at EVERY batch prefix") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
