@@ -2528,5 +2528,72 @@ object GraphQueries {
              |    AS transitivity_ppm
              |FROM t, w""".stripMargin),
     ),
+
+    // AVERAGE NEIGHBOR DEGREE curve k_nn(k) of the host graph — the
+    // assortativity SPECTRUM next to q332's one-number r: per degree
+    // class, the mean neighbor degree in exact ppm (one floor per
+    // class; within a class mean-over-edge-ends ≡ mean-of-node-means
+    // exactly, since every member has the same degree —
+    // Graphs.avgNeighborDegree). Rising = assortative; where the curve
+    // bends is what the scalar hides. The oracle replays the join.
+    QueryDef(
+      "q349_avg_neighbor_degree",
+      (s, dir) => Graphs.avgNeighborDegree(
+          hostLinkGraph(s, dir).where(col("src") < col("dst"))
+            .select(col("src").as("a"), col("dst").as("b")))
+        .orderBy(col("deg")),
+      Some(hostGraphSql +
+        """,
+          |dg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src)
+          |SELECT da.deg, CAST(COUNT(DISTINCT sym.src) AS BIGINT) AS n_nodes,
+          |  CAST((SUM(CAST(db.deg AS HUGEINT)) * 1000000) // COUNT(*) AS BIGINT)
+          |    AS knn_ppm
+          |FROM sym JOIN dg da ON da.node = sym.src JOIN dg db ON db.node = sym.dst
+          |GROUP BY da.deg ORDER BY da.deg""".stripMargin),
+    ),
+
+    // INCREMENTAL transitivity (q346's maintained form — the SIXTEENTH
+    // maintained member, by pure COMPOSITION: the readout's two sums
+    // run over the per-node frame incrementalTriangleCounts q306
+    // already maintains, so no new exactness argument). Same nightly
+    // dup-graph wave as q306; the oracle is the ONE-SHOT batch
+    // transitivity over ALL pairs, so a pass proves maintained ≡
+    // recompute.
+    QueryDef(
+      "q348_incremental_transitivity",
+      (s, dir) => {
+        val pairs = PinnedCache.pin(
+          Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
+            .select(col("a_id").as("a"), col("b_id").as("b")))
+        val base = PinnedCache.pin(
+          pairs.where((col("a") + col("b")) % 3 =!= 0))
+        val delta = pairs.where((col("a") + col("b")) % 3 === 0)
+        Graphs.incrementalTransitivity(
+          Graphs.triangleCounts(base), base, delta)
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+             |                                FOR i IN generate_series(1, len(toks)-2)]) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+             |  WHERE len(toks) >= 3),
+             |e AS MATERIALIZED (
+             |  SELECT a.doc_id AS a, b.doc_id AS b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+             |deg AS (
+             |  SELECT node, COUNT(*) AS deg
+             |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+             |  GROUP BY node),
+             |t AS (
+             |  SELECT COUNT(*) AS n_tri
+             |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+             |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |w AS (SELECT SUM(CAST(deg AS HUGEINT) * (deg - 1)) AS w2 FROM deg)
+             |SELECT CAST(n_tri AS BIGINT) AS n_triangles,
+             |  CAST((2 * CAST(3 * n_tri AS HUGEINT) * 1000000) // w2 AS BIGINT)
+             |    AS transitivity_ppm
+             |FROM t, w""".stripMargin),
+    ),
   )
 }

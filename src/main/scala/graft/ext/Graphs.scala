@@ -290,15 +290,32 @@ object Graphs {
     * transitivity is undefined there. Cost: one [[triangleCounts]] pass
     * + a 1-row rollup. */
   def globalTransitivity(edges: DataFrame): DataFrame =
-    triangleCounts(edges)
-      .agg(coalesce(sum(col("tri")), lit(0L)).as("tri3"), // = 3 * triangles
-        coalesce(sum(col("deg").cast("decimal(38,0)") * (col("deg") - 1)),
-          lit(0L).cast("decimal(38,0)")).as("w2")) // = 2 * wedges
-      .select(expr("tri3 div 3").as("n_triangles"),
-        expr("""case when w2 = 0 then
-                |  cast(raise_error('globalTransitivity: no wedges (max degree <= 1) — undefined') as bigint)
-                |else (2 * cast(tri3 as decimal(38,0)) * 1000000) div w2
-                |end""".stripMargin).as("transitivity_ppm"))
+    transitivityReadout(triangleCounts(edges))
+
+  /** The two decimal-rail sums behind [[globalTransitivity]], over any
+    * (node, deg, tri, …) frame — shared with the maintained form. */
+  private def transitivityReadout(perNode: DataFrame): DataFrame = perNode
+    .agg(coalesce(sum(col("tri")), lit(0L)).as("tri3"), // = 3 * triangles
+      coalesce(sum(col("deg").cast("decimal(38,0)") * (col("deg") - 1)),
+        lit(0L).cast("decimal(38,0)")).as("w2")) // = 2 * wedges
+    .select(expr("tri3 div 3").as("n_triangles"),
+      expr("""case when w2 = 0 then
+              |  cast(raise_error('globalTransitivity: no wedges (max degree <= 1) — undefined') as bigint)
+              |else (2 * cast(tri3 as decimal(38,0)) * 1000000) div w2
+              |end""".stripMargin).as("transitivity_ppm"))
+
+  /** INCREMENTAL [[globalTransitivity]] — the SIXTEENTH maintained form,
+    * by pure COMPOSITION: [[incrementalTriangleCounts]] already
+    * maintains the per-node (deg, tri) frame proven ≡ the batch
+    * recount, and the transitivity readout is two sums over exactly
+    * that frame — so maintained-readout ≡ batch-readout follows with NO
+    * new exactness argument (the composition discipline of the q335
+    * Girvan-Newman split). Inherits the triangle form's contract:
+    * canonical a < b edges, delta disjoint from base. */
+  def incrementalTransitivity(prevCounts: DataFrame, baseEdges: DataFrame,
+      deltaEdges: DataFrame): DataFrame =
+    transitivityReadout(
+      incrementalTriangleCounts(prevCounts, baseEdges, deltaEdges))
 
   /** INCREMENTAL triangle counts — the q164/q253/q304 "incremental ≡
     * recompute" discipline applied to [[triangleCounts]]: given the base
@@ -1747,7 +1764,10 @@ object Graphs {
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
     def labs(df: DataFrame) = df.toDF("node", "lab")
       .select(col("node").cast("long").as("node"), col("lab").cast("long").as("lab"))
-    val base = norm(baseEdges).localCheckpoint(true)
+    // base is SCANNED repeatedly (the gate count + semi-joins) — the
+    // caller pins it (every query/spec does); an internal checkpoint
+    // here double-materialized it, measured +2 s on q318's fixture
+    val base = norm(baseEdges)
     // size-gated hints (the [[frontierHinter]] trade), decided on base
     val mh = frontierHinter(base)
     val delta = mh(norm(deltaEdges).distinct().localCheckpoint(true))
@@ -1866,7 +1886,10 @@ object Graphs {
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
     def labs(df: DataFrame) = df.toDF("node", "lab")
       .select(col("node").cast("long").as("node"), col("lab").cast("long").as("lab"))
-    val base = norm(baseEdges).localCheckpoint(true)
+    // base is SCANNED repeatedly (the gate count + semi-joins) — the
+    // caller pins it (every query/spec does); an internal checkpoint
+    // here double-materialized it, measured +2 s on q318's fixture
+    val base = norm(baseEdges)
     // size-gated hints (the [[frontierHinter]] trade), decided on base
     val mh = frontierHinter(base)
     val delta = mh(norm(deltaEdges).distinct().localCheckpoint(true))
@@ -2239,7 +2262,10 @@ object Graphs {
     // key-type-agnostic (the batch stats op takes string hosts too):
     // every use is a join/count, never arithmetic on the node ids
     def norm(df: DataFrame) = df.toDF("a", "b")
-    val base = norm(baseEdges).localCheckpoint(true)
+    // base is SCANNED repeatedly (the gate count + semi-joins) — the
+    // caller pins it (every query/spec does); an internal checkpoint
+    // here double-materialized it, measured +2 s on q318's fixture
+    val base = norm(baseEdges)
     // size-gated hints (the [[frontierHinter]] trade), decided on base
     val mh = frontierHinter(base)
     val delta0 = mh(norm(deltaEdges).distinct().localCheckpoint(true))
@@ -2306,6 +2332,34 @@ object Graphs {
         (col("sxx") + col("dsxx")).cast("decimal(38,0)").as("sxx"),
         (col("sxy") + lit(2) * (col("ti") + col("tn")))
           .cast("decimal(38,0)").as("sxy"))
+  }
+
+  /** AVERAGE NEIGHBOR DEGREE per degree class — the assortativity
+    * SPECTRUM (Pastor-Satorras k_nn(k)) complementing
+    * [[degreeAssortativity]]'s one number: for each degree k, the mean
+    * degree of the neighbors of degree-k nodes, in exact integer ppm
+    * of a degree unit (one floor per class, decimal(38,0) rails —
+    * Σ_nbr deg over a class ≤ m·maxdeg stays inside 38 digits
+    * anywhere). Rising curve = assortative mixing, falling =
+    * hubs-feed-leaves; WHERE it bends is what the scalar r hides.
+    * Input: canonical undirected edges. Output: (deg, n_nodes,
+    * knn_ppm) — knn_ppm = 10⁶·(mean neighbor degree). Shape: one
+    * degree rollup + one sym⋈deg⋈deg join + a (deg)-keyed rollup —
+    * all partial-agg friendly, output is degree-spectrum sized. */
+  def avgNeighborDegree(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("a", "b")
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = PinnedCache.pin(
+      sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg")))
+    sym
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .groupBy(col("da").as("deg"))
+      .agg(countDistinct(col("a")).as("n_nodes"),
+        sum(col("db").cast("decimal(38,0)")).as("snd"),
+        count(lit(1)).as("n_ends"))
+      .select(col("deg"), col("n_nodes"),
+        expr("(snd * 1000000) div n_ends").as("knn_ppm"))
   }
 
   /** Link-prediction scores for every NON-adjacent pair at distance 2 —

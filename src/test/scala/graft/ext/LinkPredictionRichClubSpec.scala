@@ -80,6 +80,31 @@ class LinkPredictionRichClubSpec extends AnyFunSuite {
     assert(!got.contains(4L))
   }
 
+  test("avg neighbor degree: star hand case + JVM replica on random graphs") {
+    // star center 0 with 4 leaves: class deg=4 (center) sees leaves
+    // (deg 1) -> knn = 1e6; class deg=1 (leaves) sees the center -> 4e6
+    val star = (1L to 4L).map(l => (0L, l))
+    val got = Graphs.avgNeighborDegree(star.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(4L -> ((1L, 1000000L)), 1L -> ((4L, 4000000L))))
+
+    val rnd = new scala.util.Random(149)
+    val edges = Seq.fill(120)((rnd.nextInt(22).toLong, rnd.nextInt(22).toLong))
+      .collect { case (x, y) if x != y => (math.min(x, y), math.max(x, y)) }
+      .distinct
+    val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (n, xs) => n -> xs.map(_._2) }
+    val deg = adj.map { case (n, s) => n -> s.size.toLong }
+    val expected = adj.groupBy { case (n, _) => deg(n) }.map { case (k, nodes) =>
+      val ends = nodes.toSeq.flatMap(_._2).map(deg)
+      k -> ((nodes.size.toLong,
+        (BigInt(ends.sum) * 1000000 / ends.size).toLong))
+    }
+    val g2 = Graphs.avgNeighborDegree(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(g2 == expected)
+  }
+
   test("rich club: random graph equals a JVM replica") {
     val rnd = new scala.util.Random(101)
     val edges = Seq.fill(150)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))

@@ -56,6 +56,23 @@ class TransitivityLexicalSpec extends AnyFunSuite {
     assert(trans(edges) == ((tri, expected)))
   }
 
+  test("incremental transitivity: maintained readout equals the one-shot batch across waves") {
+    val rnd = new scala.util.Random(139)
+    for (trial <- 1 to 2) {
+      val all = Seq.fill(130)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .collect { case (x, y) if x != y => (math.min(x, y), math.max(x, y)) }
+        .distinct
+      val (base, delta) = all.partition(e => (e._1 + e._2) % 4 != 0)
+      if (delta.nonEmpty) {
+        val got = Graphs.incrementalTransitivity(
+            Graphs.triangleCounts(base.toDF("a", "b")),
+            base.toDF("a", "b"), delta.toDF("a", "b"))
+          .collect()(0)
+        assert((got.getLong(0), got.getLong(1)) == trans(all), s"trial $trial")
+      }
+    }
+  }
+
   private def lex(rows: Seq[(String, String)]): Map[String, (Long, Long, Long, Long, Long)] =
     TextAnalysis.lexicalDiversity(rows.toDF("g", "t"), "g", "t")
       .collect().map(r => r.getString(0) ->
