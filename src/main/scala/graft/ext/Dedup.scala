@@ -289,6 +289,32 @@ object Dedup {
     untouched.select(col("id"), col("root")).unionByName(merged)
   }
 
+  /** LEAKAGE-SAFE train/val/test split — the dedup-aware assignment a
+    * training pipeline actually needs: hash-bucketing BY DOCUMENT
+    * ([[Sampling.splitColumn]]) LEAKS near-duplicates across the split
+    * boundary (a test doc's near-copy sits in train and the eval reads
+    * as memorization), so the split key here is the dup-CLUSTER root —
+    * every member of a connected near-dup cluster lands in the SAME
+    * split, and documents outside any cluster split by their own id
+    * (≡ their singleton root, so the assignment degenerates to the
+    * plain doc split exactly when there are no duplicates).
+    * Deterministic md5 buckets (the [[Sampling.splitColumn]] recipe) —
+    * stable across runs, engines, partitionings, and corpus GROWTH
+    * restricted to other clusters. Input: the docs frame + a near-dup
+    * pair list (a_id, b_id — q26's shape). Output: (id, root, split).
+    * Shape: one CC pass over the pair graph (pair-sized, not
+    * corpus-sized) + one broadcast-able left join onto the corpus. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "percentages in [0,100], train+val <= 100")
+    val roots = connectedComponents(pairs)
+    docs.select(col(idCol).as("id"))
+      .join(roots, Seq("id"), "left")
+      .withColumn("root", coalesce(col("root"), col("id")))
+      .withColumn("split", Sampling.splitColumn(col("root"), trainPct, valPct))
+  }
+
   /** Near-dup CLUSTERS (not just pairs): LSH pairs -> connected components
     * -> one row per multi-member cluster. Pair-wise "drop the higher id"
     * dedup is not transitive (a~b, b~c with a!~c drops b and c but keeps

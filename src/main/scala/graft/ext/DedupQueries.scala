@@ -1528,5 +1528,50 @@ object DedupQueries {
            |) ORDER BY t_ppm, rows_per_band""".stripMargin
       }),
     ),
+
+    // LEAKAGE-SAFE train/val/test split — the dedup-aware assignment
+    // (r13): the q45 per-document md5 split leaks near-duplicates
+    // across the boundary (a test doc's near-copy trains the model),
+    // so the split key is the near-dup CLUSTER root: every member of
+    // a q44 component lands in the same split, singletons split by
+    // their own id — the assignment degenerates to the plain doc
+    // split exactly when there are no duplicates
+    // (Dedup.leakageSafeSplit). The oracle replays the recursive CC +
+    // the md5 bucket on the root.
+    QueryDef(
+      "q350_leakage_safe_split",
+      (s, dir) => Dedup.leakageSafeSplit(
+          tbl(s, dir, "documents"), "doc_id",
+          Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
+            .select(col("a_id"), col("b_id")),
+          trainPct = 80, valPct = 10)
+        .orderBy(col("id")),
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
+             |  WHERE len(tokens) >= 3),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+             |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+             |          UNION SELECT b_id, a_id FROM pairs),
+             |r(id, m) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.m),
+             |labels AS (SELECT id, MIN(m) AS root FROM r GROUP BY id),
+             |j AS (SELECT d.doc_id AS id, COALESCE(l.root, d.doc_id) AS root
+             |      FROM documents d LEFT JOIN labels l ON l.id = d.doc_id)
+             |SELECT id, root,
+             |  CASE WHEN CAST(('0x' || substring(md5(CAST(root AS VARCHAR)),1,15))
+             |            AS BIGINT) % 100 < 80 THEN 'train'
+             |       WHEN CAST(('0x' || substring(md5(CAST(root AS VARCHAR)),1,15))
+             |            AS BIGINT) % 100 < 90 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM j ORDER BY id""".stripMargin),
+    ),
   )
 }
