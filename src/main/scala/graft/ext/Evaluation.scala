@@ -317,6 +317,11 @@ object Evaluation {
     val r = rows.toDF("id", "x", "y").localCheckpoint(true)
     val n = r.count() // model-state action on the checkpoint (loud below)
     require(n >= 2, s"kendallTauA: n = $n < 2 — no pairs to score")
+    // loud long-rail: n(n−1)/2 wraps past n ≈ 4.29e9 — far beyond the
+    // O(n²) pair join's practical reach, but the repo's discipline is
+    // corruption raises, never wraps (the wilsonLowerBound convention)
+    require(n <= 4000000000L, s"kendallTauA: n = $n > 4e9 — n(n-1)/2 " +
+      "would overflow long; score a Sampling.deterministicSample instead")
     val n2 = n * (n - 1) / 2
     val pairs = r.as("p").join(r.as("q"), col("p.id") < col("q.id"))
       .select((signum(col("p.x") - col("q.x")).cast("long") *

@@ -1661,7 +1661,7 @@ object GraphQueries {
           prevLabels, base, delta, rounds = 2)
         Graphs.incrementalModularity(
             Graphs.modularityByCommunity(base, prevLabels),
-            prevLabels, newLabels, base, delta)
+            prevLabels, newLabels, base, delta, lpaRounds = 2)
           .orderBy(col("label"))
       },
       Some({
@@ -1793,7 +1793,7 @@ object GraphQueries {
           prevLabels, base, delta, rounds = 2)
         Graphs.incrementalConductance(
             Graphs.conductanceByCommunity(base, prevLabels),
-            prevLabels, newLabels, base, delta)
+            prevLabels, newLabels, base, delta, lpaRounds = 2)
           .orderBy(col("label"))
       },
       Some({

@@ -295,13 +295,14 @@ object Graphs {
   /** The two decimal-rail sums behind [[globalTransitivity]], over any
     * (node, deg, tri, …) frame — shared with the maintained form. */
   private def transitivityReadout(perNode: DataFrame): DataFrame = perNode
-    .agg(coalesce(sum(col("tri")), lit(0L)).as("tri3"), // = 3 * triangles
+    .agg(coalesce(sum(col("tri").cast("decimal(38,0)")),
+      lit(0L).cast("decimal(38,0)")).as("tri3"), // = 3 * triangles
       coalesce(sum(col("deg").cast("decimal(38,0)") * (col("deg") - 1)),
         lit(0L).cast("decimal(38,0)")).as("w2")) // = 2 * wedges
-    .select(expr("tri3 div 3").as("n_triangles"),
+    .select(expr("tri3 div 3").as("n_triangles"), // div on decimal → bigint
       expr("""case when w2 = 0 then
               |  cast(raise_error('globalTransitivity: no wedges (max degree <= 1) — undefined') as bigint)
-              |else (2 * cast(tri3 as decimal(38,0)) * 1000000) div w2
+              |else (2 * tri3 * 1000000) div w2
               |end""".stripMargin).as("transitivity_ppm"))
 
   /** INCREMENTAL [[globalTransitivity]] — the SIXTEENTH maintained form,
@@ -1756,10 +1757,25 @@ object Graphs {
     * one-endpoint-inside status is unchanged. GLOBALITY (the q304/q318
     * 1/N shape): the edge total m enters every φ via 2m − vol, so
     * phi_ppm re-evaluates for ALL rows — a broadcast-scalar map over
-    * community-count rows; the graph-sized recount stays pruned. */
+    * community-count rows; the graph-sized recount stays pruned.
+    *
+    * RELABEL DETECTION (r13 verdict item 3): with `lpaRounds = 0`
+    * (arbitrary label changes allowed) the relabel diff is a full-outer
+    * join over the NODE universe — the one remaining node-sized
+    * exchange in this form. When the labels are maintained by
+    * [[incrementalLabelPropagation]] with `rounds = R`, only nodes in
+    * the delta's ≤R-hop union-graph ball can have moved (that operator
+    * takes recomputed labels for exactly `d <= R`; everything else
+    * passes through verbatim) — so passing `lpaRounds = R` restricts
+    * the diff to the ball: a frontier-join BFS (shuffle ∝ ball, scans
+    * hinted via [[frontierHinter]]) plus broadcast semi-joins onto the
+    * two assignments, which then diff at ball size. The ball BFS runs
+    * to R hops only — strictly smaller than the 2R−1 ball the label
+    * maintenance itself already paid for. */
   def incrementalConductance(prevStats: DataFrame, prevLabels: DataFrame,
       newLabels: DataFrame, baseEdges: DataFrame,
-      deltaEdges: DataFrame): DataFrame = {
+      deltaEdges: DataFrame, lpaRounds: Int = 0): DataFrame = {
+    require(lpaRounds >= 0 && lpaRounds <= 10, "lpaRounds in [0,10]")
     def norm(df: DataFrame) = df.toDF("a", "b")
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
     def labs(df: DataFrame) = df.toDF("node", "lab")
@@ -1783,13 +1799,43 @@ object Graphs {
       base.join(delta, Seq("a", "b"), "left_semi").count()
     val prevL = labs(prevLabels)
     val newL = labs(newLabels).localCheckpoint(true)
-    val changed = newL.as("n")
-      .join(prevL.as("p"), col("n.node") === col("p.node"), "full")
-      .where(col("p.lab").isNull || col("n.lab").isNull ||
-        col("p.lab") =!= col("n.lab"))
-    val deltaEnds = delta.select(col("a").as("node"))
+    // delta endpoints: hinted so every join against a node-sized
+    // assignment below is a broadcast SCAN, never an exchange of the
+    // assignment (the r14 reshape — the unhinted version cost a fixed
+    // ~19 MB newL exchange regardless of delta size)
+    val dNodes = mh(delta.select(col("a").as("node"))
       .unionByName(delta.select(col("b").as("node"))).distinct()
-      .join(newL, "node").select(col("lab"))
+      .localCheckpoint(true))
+    val changed = if (lpaRounds == 0) {
+      // arbitrary relabels: the diff must scan the whole assignment
+      newL.as("n")
+        .join(prevL.as("p"), col("n.node") === col("p.node"), "full")
+        .where(col("p.lab").isNull || col("n.lab").isNull ||
+          col("p.lab") =!= col("n.lab"))
+    } else {
+      // LPA-maintained labels: only the delta's <=R-hop ball can move.
+      // BFS over the symmetric union with hinted frontiers — shuffle is
+      // the ball-sized groupBy-min, never a node-universe exchange.
+      val symU = union
+        .unionByName(union.select(col("b").as("a"), col("a").as("b")))
+      var ball = dNodes.withColumn("d", lit(0L)).localCheckpoint(true)
+      for (i <- 1 to lpaRounds) {
+        val frontier = mh(ball.where(col("d") === (i - 1).toLong)
+          .select(col("node").as("a")))
+        ball = ball.unionByName(symU.join(frontier, "a")
+            .select(col("b").as("node"), lit(i.toLong).as("d")))
+          .groupBy(col("node")).agg(min(col("d")).as("d"))
+          .localCheckpoint(true)
+      }
+      val ballN = mh(ball.select(col("node")))
+      newL.join(ballN, Seq("node"), "left_semi").as("n")
+        .join(prevL.join(ballN, Seq("node"), "left_semi").as("p"),
+          col("n.node") === col("p.node"), "full")
+        .where(col("p.lab").isNull || col("n.lab").isNull ||
+          col("p.lab") =!= col("n.lab"))
+    }
+    val deltaEnds = newL.join(dNodes, Seq("node"), "left_semi")
+      .select(col("lab"))
     val affected = mh(changed.select(col("n.lab").as("lab"))
       .unionByName(changed.select(col("p.lab").as("lab")))
       .where(col("lab").isNotNull)
@@ -1817,10 +1863,17 @@ object Graphs {
       .groupBy(col("lab"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("vol"))
     // cut recount: the OTHER endpoint's label comes from the full
-    // assignment
+    // assignment — but only incident-edge ENDPOINTS are ever consulted,
+    // so restrict the assignment to them first (one broadcast-semi scan
+    // of newL); both label joins below then run against a ball-sized
+    // hinted frame instead of exchanging the node universe (r14)
+    val ends = incident.select(col("a").as("node"))
+      .unionByName(incident.select(col("b").as("node"))).distinct()
+    val labInc = mh(newL.join(mh(ends), Seq("node"), "left_semi")
+      .localCheckpoint(true))
     val sided = incident
-      .join(newL.select(col("node").as("a"), col("lab").as("la")), "a")
-      .join(newL.select(col("node").as("b"), col("lab").as("lb")), "b")
+      .join(labInc.select(col("node").as("a"), col("lab").as("la")), "a")
+      .join(labInc.select(col("node").as("b"), col("lab").as("lb")), "b")
       .where(col("la") =!= col("lb"))
     val cut = sided.select(col("la").as("lab"))
       .unionByName(sided.select(col("lb").as("lab")))
@@ -1878,10 +1931,17 @@ object Graphs {
     * community's Q_c, so q_ppm is re-evaluated for ALL rows — but that
     * is a broadcast-scalar map over community-COUNT rows; the
     * graph-sized work (degree/intra recount) is pruned to the affected
-    * communities' subgraph, cost ∝ touched region. */
+    * communities' subgraph, cost ∝ touched region.
+    *
+    * RELABEL DETECTION mirrors [[incrementalConductance]] (r14): pass
+    * `lpaRounds = R` when the labels are maintained by
+    * [[incrementalLabelPropagation]] with `rounds = R` — the relabel
+    * diff then runs ball-restricted (broadcast semi-joins) instead of
+    * full-outer-joining the node universe. */
   def incrementalModularity(prevStats: DataFrame, prevLabels: DataFrame,
       newLabels: DataFrame, baseEdges: DataFrame,
-      deltaEdges: DataFrame): DataFrame = {
+      deltaEdges: DataFrame, lpaRounds: Int = 0): DataFrame = {
+    require(lpaRounds >= 0 && lpaRounds <= 10, "lpaRounds in [0,10]")
     def norm(df: DataFrame) = df.toDF("a", "b")
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
     def labs(df: DataFrame) = df.toDF("node", "lab")
@@ -1905,13 +1965,37 @@ object Graphs {
       base.join(delta, Seq("a", "b"), "left_semi").count()
     val prevL = labs(prevLabels)
     val newL = labs(newLabels).localCheckpoint(true)
-    val changed = newL.as("n")
-      .join(prevL.as("p"), col("n.node") === col("p.node"), "full")
-      .where(col("p.lab").isNull || col("n.lab").isNull ||
-        col("p.lab") =!= col("n.lab"))
-    val deltaEnds = delta.select(col("a").as("node"))
+    // hinted delta endpoints + the optional ball-restricted relabel
+    // diff — the incrementalConductance r14 reshape, verbatim
+    val dNodes = mh(delta.select(col("a").as("node"))
       .unionByName(delta.select(col("b").as("node"))).distinct()
-      .join(newL, "node").select(col("lab"))
+      .localCheckpoint(true))
+    val changed = if (lpaRounds == 0) {
+      newL.as("n")
+        .join(prevL.as("p"), col("n.node") === col("p.node"), "full")
+        .where(col("p.lab").isNull || col("n.lab").isNull ||
+          col("p.lab") =!= col("n.lab"))
+    } else {
+      val symU = union
+        .unionByName(union.select(col("b").as("a"), col("a").as("b")))
+      var ball = dNodes.withColumn("d", lit(0L)).localCheckpoint(true)
+      for (i <- 1 to lpaRounds) {
+        val frontier = mh(ball.where(col("d") === (i - 1).toLong)
+          .select(col("node").as("a")))
+        ball = ball.unionByName(symU.join(frontier, "a")
+            .select(col("b").as("node"), lit(i.toLong).as("d")))
+          .groupBy(col("node")).agg(min(col("d")).as("d"))
+          .localCheckpoint(true)
+      }
+      val ballN = mh(ball.select(col("node")))
+      newL.join(ballN, Seq("node"), "left_semi").as("n")
+        .join(prevL.join(ballN, Seq("node"), "left_semi").as("p"),
+          col("n.node") === col("p.node"), "full")
+        .where(col("p.lab").isNull || col("n.lab").isNull ||
+          col("p.lab") =!= col("n.lab"))
+    }
+    val deltaEnds = newL.join(dNodes, Seq("node"), "left_semi")
+      .select(col("lab"))
     val affected = mh(changed.select(col("n.lab").as("lab"))
       .unionByName(changed.select(col("p.lab").as("lab")))
       .where(col("lab").isNotNull)
@@ -2483,9 +2567,17 @@ object Graphs {
     * already-materialized partitions; above the threshold the frame is
     * returned unhinted — ball-sized state IS graph-sized on an expander,
     * and force-broadcasting what might not fit trades a shuffle for an
-    * OOM. */
-  private def hintIfSmall(df: DataFrame, maxRows: Long = 2000000L): DataFrame =
-    if (df.count() <= maxRows) broadcast(df) else df
+    * OOM. The gate is rows AND estimated bytes (rows × Σ field
+    * defaultSize, ADVICE r13): a near-threshold WIDE frame — e.g. a
+    * labeledBfs (seed, node, d) ball at 2M rows — estimates tens of MB
+    * and must not be force-broadcast under the repo's 2 GB-driver
+    * stress profile just because its row count squeaked under the cap. */
+  private[graft] def hintIfSmall(df: DataFrame,
+      maxRows: Long = 2000000L, maxBytes: Long = 48L << 20): DataFrame = {
+    val rowBytes = df.schema.map(_.dataType.defaultSize.toLong).sum.max(1L)
+    val n = df.count()
+    if (n <= maxRows && n * rowBytes <= maxBytes) broadcast(df) else df
+  }
 
   /** ONE gating decision per operator call for the frontier/ball hints:
     * each [[hintIfSmall]] costs a count JOB per round (~50 ms of

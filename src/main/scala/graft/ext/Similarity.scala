@@ -412,25 +412,41 @@ object Similarity {
     * co-partitioned join. */
   def ivfTopKWith(cents: Seq[(Long, Seq[Float], Double)], corpus: DataFrame,
       queries: DataFrame, vecCol: String, idCol: String, k: Int,
-      nprobe: Int, broadcastProbes: Boolean = true): DataFrame = {
-    // struct(csim, -cid): array_max / descending sort then break ties to the
-    // LOWEST centroid id, matching the oracle's ORDER BY csim DESC, cid.
-    def centSims(nrmCol: Column): Column = array(cents.map { case (cid, cv, cnrm) =>
-      struct((dot(col(vecCol), typedLit(cv)) / (nrmCol * lit(cnrm))).as("csim"),
+      nprobe: Int, broadcastProbes: Boolean = true): DataFrame =
+    ivfRank(ivfAssign(cents, corpus, vecCol, idCol, "nid", 1),
+      ivfAssign(cents, queries, vecCol, idCol, "qid", nprobe),
+      k, broadcastProbes)
+
+  /** Centroid assignment as a pure per-row array expression — ONE
+    * definition shared by the inline path and [[IndexStore]]'s persisted
+    * path, so from-index answers are bit-identical by construction.
+    * struct(csim, -cid): array_max / descending sort then break ties to
+    * the LOWEST centroid id, matching the oracle's ORDER BY csim DESC,
+    * cid. Output: (outId, v_outId, nrm_outId, cid) — `topn` rows per
+    * input row (1 for inverted lists, nprobe for probes). */
+  private[ext] def ivfAssign(cents: Seq[(Long, Seq[Float], Double)],
+      df: DataFrame, vecCol: String, idCol: String, outId: String,
+      topn: Int): DataFrame = {
+    val centSims = array(cents.map { case (cid, cv, cnrm) =>
+      struct((dot(col(vecCol), typedLit(cv)) / (col("nrm") * lit(cnrm))).as("csim"),
         lit(-cid).as("negcid"))
     }: _*)
-    def assign(df: DataFrame, id: String, topn: Int) =
-      withNorm(df, vecCol)
-        .withColumn("probe",
-          explode(slice(reverse(array_sort(centSims(col("nrm")))), 1, topn)))
-        .select(col(idCol).as(id), col(vecCol).as(s"v_$id"), col("nrm").as(s"nrm_$id"),
-          (-col("probe.negcid")).as("cid"))
-    val invertedLists = assign(corpus, "nid", 1)
-    val probes = assign(queries, "qid", nprobe)
-    // Inverted lists PARTITION the corpus (each vector lives in exactly one
-    // list) and a query's probes have distinct cids, so (qid, nid) is
-    // already unique — no dedup needed; project the sim immediately so
-    // nothing after the broadcast join carries vector payloads.
+    withNorm(df, vecCol)
+      .withColumn("probe",
+        explode(slice(reverse(array_sort(centSims)), 1, topn)))
+      .select(col(idCol).as(outId), col(vecCol).as(s"v_$outId"),
+        col("nrm").as(s"nrm_$outId"), (-col("probe.negcid")).as("cid"))
+  }
+
+  /** The probe-join + re-rank half of IVF serving, over any inverted-
+    * list frame shaped (cid, nid, v_nid, nrm_nid) — inline-built or read
+    * back from a persisted index. Inverted lists PARTITION the corpus
+    * (each vector lives in exactly one list) and a query's probes have
+    * distinct cids, so (qid, nid) is already unique — no dedup needed;
+    * the sim projects immediately so nothing after the broadcast join
+    * carries vector payloads. */
+  private[ext] def ivfRank(invertedLists: DataFrame, probes: DataFrame,
+      k: Int, broadcastProbes: Boolean): DataFrame = {
     val probeSide = if (broadcastProbes) broadcast(probes) else probes
     val sims = invertedLists.join(probeSide, Seq("cid"))
       .where(col("qid") =!= col("nid"))

@@ -1107,5 +1107,68 @@ object SimilarityQueries {
            |SELECT step, vec_id AS center_id, gap FROM s8 ORDER BY step""".stripMargin
       }),
     ),
+
+
+    // IVF served from a PERSISTED index (r13 verdict item 4): build →
+    // write (centroids + cid-partitioned inverted lists as parquet) →
+    // read → answer, all in one query — bit-identical to the inline q43
+    // path because assignment/re-rank are the SAME expressions
+    // (Similarity.ivfAssign/ivfRank; IndexStoreSpec pins the round-trip
+    // and the partition-pruned list scan). The oracle is the inline IVF
+    // derivation: if the persisted path diverged by one bit, the hash
+    // would catch it. Different k/nprobe/query-set than q43 so the two
+    // queries pin different plans.
+    QueryDef(
+      "q351_ivf_from_index",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val cents: Array[(Long, Seq[Float], Double)] =
+          Similarity.withNorm(emb.where(col("vec_id") < 16), "embedding")
+            .select(col("vec_id").cast("long"), col("embedding"), col("nrm"))
+            .collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+            .sortBy(_._1)
+        val path = QueryDef.indexRoot(dir) + "/ivf"
+        IndexStore.writeIvfIndex(path, cents, emb, "embedding", "vec_id")
+        IndexStore.ivfTopKFromIndex(s, path,
+            emb.where(col("vec_id") < 12), "embedding", "vec_id",
+            k = 4, nprobe = 2)
+          .orderBy(col("qid"), col("sim").desc, col("nid"))
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id, embedding,
+             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+             |  FROM embeddings),
+             |cents AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+             |corpus_assign AS (
+             |  SELECT nid, cid FROM (
+             |    SELECT x.vec_id AS nid, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+             |        (list_sum([CAST(x.embedding[i] AS DOUBLE)*c.cv[i]
+             |                   FOR i IN generate_series(1,len(x.embedding))])/(x.nrm*c.cnrm)) DESC,
+             |        c.cid) AS crk
+             |    FROM n x CROSS JOIN cents c) WHERE crk = 1),
+             |probes AS (
+             |  SELECT qid, cid FROM (
+             |    SELECT q.vec_id AS qid, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             |        (list_sum([CAST(q.embedding[i] AS DOUBLE)*c.cv[i]
+             |                   FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*c.cnrm)) DESC,
+             |        c.cid) AS crk
+             |    FROM n q CROSS JOIN cents c WHERE q.vec_id < 12) WHERE crk <= 2),
+             |cand AS (
+             |  SELECT DISTINCT p.qid, a.nid
+             |  FROM probes p JOIN corpus_assign a ON a.cid = p.cid WHERE p.qid != a.nid),
+             |sims AS (
+             |  SELECT c.qid, c.nid,
+             |    list_sum([CAST(q.embedding[i] AS DOUBLE)*x.embedding[i]
+             |              FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*x.nrm) AS sim
+             |  FROM cand c JOIN n q ON q.vec_id = c.qid JOIN n x ON x.vec_id = c.nid)
+             |SELECT qid, nid, sim FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+             |  FROM sims) WHERE rk <= 4
+             |ORDER BY qid, sim DESC, nid""".stripMargin),
+    ),
   )
 }

@@ -19,4 +19,11 @@ object QueryDef {
     * both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds). */
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     graft.replay.TsNanos.normalize(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Root for indexes a query persists and re-reads ([[graft.ext.IndexStore]]
+    * — the q351/q352 build→write→read→answer shape). Keyed by the sf dir's
+    * basename so concurrent runs at different scales never collide; writes
+    * use overwrite mode, so re-running a query is idempotent. */
+  def indexRoot(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_index_${new java.io.File(dir).getName}"
 }

@@ -46,6 +46,34 @@ class IncrementalConductanceSpec extends AnyFunSuite {
     }
   }
 
+  test("ball-sized relabel diff (lpaRounds > 0): equal to batch AND to the full-diff path") {
+    // labels genuinely maintained by incrementalLabelPropagation, so the
+    // lpaRounds contract holds; the ball-restricted diff must reproduce
+    // both the one-shot batch readout and the lpaRounds = 0 output
+    for (seed <- Seq(7, 23, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val all = Seq.fill(200)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val base = all.filter(e => (e._1 * 7 + e._2) % 3 != 0)
+      val delta = all.filter(e => (e._1 * 7 + e._2) % 3 == 0)
+      val prevL = Graphs.labelPropagation(frame(base), rounds = 2)
+        .localCheckpoint(true)
+      val newL = Graphs.incrementalLabelPropagation(
+        prevL, frame(base), frame(delta), rounds = 2).localCheckpoint(true)
+      val stats = Graphs.conductanceByCommunity(frame(base), prevL)
+        .localCheckpoint(true)
+      val ballPath = Graphs.incrementalConductance(
+        stats, prevL, newL, frame(base), frame(delta), lpaRounds = 2)
+      val fullPath = Graphs.incrementalConductance(
+        stats, prevL, newL, frame(base), frame(delta))
+      val batch = Graphs.conductanceByCommunity(
+        frame((base ++ delta).distinct), newL)
+      assert(rows(ballPath) == rows(batch), s"seed $seed: ball path != batch")
+      assert(rows(ballPath) == rows(fullPath), s"seed $seed: ball != full diff")
+    }
+  }
+
   test("POISON: an untouched community's stats pass through verbatim") {
     // A (0-3) touched by the delta; B (10-12 triangle) untouched
     val base = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))

@@ -120,5 +120,11 @@ class IncrementalModularitySpec extends AnyFunSuite {
     val batch = Graphs.modularityByCommunity(frame(all),
       Graphs.labelPropagation(frame(all), rounds = 2))
     assert(rows(inc) == rows(batch))
+    // ball-restricted relabel diff (lpaRounds = 2, the r14 reshape):
+    // identical output to both the full-diff path and the batch readout
+    val incBall = Graphs.incrementalModularity(
+      Graphs.modularityByCommunity(frame(base), prevLabels),
+      prevLabels, newLabels, frame(base), frame(delta), lpaRounds = 2)
+    assert(rows(incBall) == rows(batch), "ball path != batch")
   }
 }

@@ -66,7 +66,8 @@ class GraphIvmStreamSpec extends AnyFunSuite {
             .localCheckpoint(true)
           val nl = Graphs.incrementalLabelPropagation(labels, base, delta,
             rounds = 2).localCheckpoint(true)
-          val ns = Graphs.incrementalConductance(stats, labels, nl, base, delta)
+          val ns = Graphs.incrementalConductance(stats, labels, nl, base, delta,
+              lpaRounds = 2)
             .localCheckpoint(true)
           base = base.unionByName(delta).distinct().localCheckpoint(true)
           labels = nl
