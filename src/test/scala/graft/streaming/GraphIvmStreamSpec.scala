@@ -104,6 +104,73 @@ class GraphIvmStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("COMPOSED nightly pipeline on the documents near-dup graph: jaccard pairs -> maintained triangles -> transitivity + conductance readouts, streamed ≡ one-shot, 3 schedules") {
+    implicit val sqlCtx = spark.sqlContext
+    // the REAL nightly input: near-dup pairs from the documents fixture
+    // (q26's pipeline), canonical a < b by construction
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = graft.ext.Dedup.jaccardPairs(docs, "text", "doc_id", 0.5)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(pairs.size >= 20, s"fixture too sparse: ${pairs.size} pairs")
+    val allDf = pairs.toDF("a", "b")
+    val batchCounts = Graphs.triangleCounts(allDf).collect()
+      .map(_.toString).sorted.toSeq
+    val batchTrans = Graphs.globalTransitivity(allDf).collect()(0)
+    val batchStats = readStats(Graphs.conductanceByCommunity(
+      allDf, Graphs.labelPropagation(allDf, rounds = 2)))
+
+    // three disjoint-wave schedules from independent hash formulas
+    val schedules = Seq[((Long, Long)) => Int](
+      e => ((e._1 + e._2) % 4).toInt,
+      e => ((e._1 * 7 + e._2) % 4).toInt,
+      e => ((e._1 * 13 + e._2 * 3) % 4).toInt)
+    schedules.zipWithIndex.foreach { case (h, si) =>
+      val head = pairs.filter(e => h(e) == 0)
+      val waves = (1 to 3).map(w => pairs.filter(e => h(e) == w))
+      var base = head.toDF("a", "b").localCheckpoint(true)
+      var counts = Graphs.triangleCounts(base).localCheckpoint(true)
+      var labels = Graphs.labelPropagation(base, rounds = 2).localCheckpoint(true)
+      var stats = Graphs.conductanceByCommunity(base, labels).localCheckpoint(true)
+      var lastTrans: Option[org.apache.spark.sql.Row] = None
+      val input = MemoryStream[EdgeRow]
+      val query = input.toDS().writeStream.outputMode("append")
+        .foreachBatch { (df: Dataset[EdgeRow], _: Long) =>
+          val rows = df.collect()
+          if (rows.nonEmpty) {
+            val delta = rows.map(e => (e.a, e.b)).toSeq.toDF("a", "b")
+              .localCheckpoint(true)
+            // the COMPOSITION under test: the maintained triangle frame
+            // feeds both the next wave's state and this wave's
+            // transitivity readout; labels/stats ride the same delta
+            val nc = Graphs.incrementalTriangleCounts(counts, base, delta)
+              .localCheckpoint(true)
+            lastTrans = Some(
+              Graphs.incrementalTransitivity(counts, base, delta).collect()(0))
+            val nl = Graphs.incrementalLabelPropagation(labels, base, delta,
+              rounds = 2).localCheckpoint(true)
+            stats = Graphs.incrementalConductance(stats, labels, nl, base,
+              delta, lpaRounds = 2).localCheckpoint(true)
+            base = base.unionByName(delta).localCheckpoint(true)
+            counts = nc
+            labels = nl
+          }
+          ()
+        }.start()
+      try waves.foreach { w =>
+        input.addData(w.map(e => EdgeRow(e._1, e._2)): _*)
+        query.processAllAvailable()
+      } finally query.stop()
+      assert(counts.collect().map(_.toString).sorted.toSeq == batchCounts,
+        s"schedule $si: maintained triangle frame diverged")
+      assert(lastTrans.exists(r => r.getLong(0) == batchTrans.getLong(0) &&
+        r.getLong(1) == batchTrans.getLong(1)),
+        s"schedule $si: transitivity readout $lastTrans != $batchTrans")
+      assert(readStats(stats) == batchStats,
+        s"schedule $si: conductance stats diverged")
+    }
+  }
+
   test("scalar form: assortativity stats THREADED across foreachBatch waves equal the one-shot batch") {
     implicit val sqlCtx = spark.sqlContext
     val batchR = Graphs.degreeAssortativity(edges.toDF("a", "b"))
