@@ -1623,5 +1623,57 @@ object DedupQueries {
              |        / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5)
              |SELECT a_id, b_id, jaccard FROM verified ORDER BY a_id, b_id""".stripMargin),
     ),
+
+    // Nightly MinHash maintenance: index 3/4 of the corpus, APPEND the
+    // remaining quarter (shingles + signatures computed for the DELTA
+    // only — per-doc columns are row-local, so append ≡ full rebuild bit
+    // for bit), then serve near-dup pairs from the updated index. The
+    // oracle replays the full-corpus md5 banding + exact verify with no
+    // notion of the split; different numHashes/threshold than q352 so
+    // the two queries pin different banding plans.
+    QueryDef(
+      "q354_minhash_append",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val path = QueryDef.indexRoot(dir) + "/minhash_app"
+        IndexStore.writeMinhashIndex(path,
+          docs.where(col("doc_id") % 4 =!= 1),
+          "text", "doc_id", numHashes = 12, k = 3)
+        IndexStore.appendToMinhashIndex(path,
+          docs.where(col("doc_id") % 4 === 1),
+          "text", "doc_id", numHashes = 12, k = 3)
+        IndexStore.minhashPairsFromIndex(s, path,
+            numHashes = 12, r = 2, threshold = 0.6)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text,' ') AS tokens FROM documents),
+             |sh AS (
+             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
+             |  FROM t WHERE len(tokens) >= 3),
+             |gs AS (SELECT doc_id, unnest(s) AS g FROM sh),
+             |m AS (
+             |  SELECT doc_id, i,
+             |    MIN(CAST(('0x' || substring(md5(g || ':' || i),1,15)) AS BIGINT)) AS mh
+             |  FROM gs, unnest(generate_series(0, 11)) t(i)
+             |  GROUP BY doc_id, i),
+             |bk AS (
+             |  SELECT a.doc_id, a.i // 2 AS band, a.mh AS m1, b.mh AS m2
+             |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND b.i = a.i + 1 AND a.i % 2 = 0),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+             |  FROM bk x JOIN bk y
+             |    ON x.band = y.band AND x.m1 = y.m1 AND x.m2 = y.m2
+             |    AND x.doc_id < y.doc_id),
+             |verified AS (
+             |  SELECT c.a_id, c.b_id,
+             |    ROUND(CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |          / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 6) AS jaccard
+             |  FROM cand c JOIN sh a ON a.doc_id = c.a_id JOIN sh b ON b.doc_id = c.b_id
+             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.6)
+             |SELECT a_id, b_id, jaccard FROM verified ORDER BY a_id, b_id""".stripMargin),
+    ),
   )
 }

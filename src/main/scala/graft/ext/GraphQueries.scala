@@ -2595,5 +2595,60 @@ object GraphQueries {
              |    AS transitivity_ppm
              |FROM t, w""".stripMargin),
     ),
+
+    // Butterfly (2x2-biclique) census of the order-part BIPARTITE graph
+    // — the cohesion primitive where triangles cannot exist (every cycle
+    // is even): two orders sharing two parts. Wedges form through the
+    // SMALL-degree side (orders hold ~4 parts; parts sit in thousands of
+    // orders — orienting the other way would square the hub degrees);
+    // one self-equi-join + one (r1, r2) rollup + a 1-row decimal-rail
+    // readout, never materializing a butterfly.
+    QueryDef(
+      "q355_butterfly_count",
+      (s, dir) => Graphs.butterflyCount(
+        tbl(s, dir, "lineitem")
+          .select(col("l_orderkey").as("l"), col("l_partkey").as("r"))
+          .distinct()),
+      Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS l, l_partkey AS r FROM lineitem),
+             |w AS (
+             |  SELECT a.r AS r1, b.r AS r2, COUNT(*) AS w
+             |  FROM lp a JOIN lp b ON a.l = b.l AND a.r < b.r
+             |  GROUP BY 1, 2)
+             |SELECT CAST(COALESCE(SUM(CAST(w AS HUGEINT)), 0) AS BIGINT) AS wedges,
+             |  COUNT(*) AS co_pairs,
+             |  CAST(COALESCE(SUM(CAST(w AS HUGEINT) * (w - 1)), 0) // 2 AS BIGINT)
+             |    AS butterflies
+             |FROM w""".stripMargin),
+    ),
+
+    // INCREMENTAL butterflies (the 17th maintained form) on the
+    // order-supplier bipartite graph: build the co-pair frame on 2/3 of
+    // the edges, maintain through the remaining third (wedge-ball
+    // update, cost ∝ touched orders' degrees), read the census off the
+    // maintained frame. Proof obligation: the oracle is the ONE-SHOT
+    // census over ALL edges, so a pass proves maintained ≡ recompute.
+    QueryDef(
+      "q356_incremental_butterfly",
+      (s, dir) => {
+        val edges = PinnedCache.pin(
+          tbl(s, dir, "lineitem")
+            .select(col("l_orderkey").as("l"), col("l_suppkey").as("r"))
+            .distinct())
+        val base = PinnedCache.pin(edges.where((col("l") + col("r")) % 3 =!= 0))
+        val delta = edges.where((col("l") + col("r")) % 3 === 0)
+        Graphs.butterflyReadout(Graphs.incrementalButterflyCopairs(
+          Graphs.butterflyCopairs(base), base, delta))
+      },
+      Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS l, l_suppkey AS r FROM lineitem),
+             |w AS (
+             |  SELECT a.r AS r1, b.r AS r2, COUNT(*) AS w
+             |  FROM lp a JOIN lp b ON a.l = b.l AND a.r < b.r
+             |  GROUP BY 1, 2)
+             |SELECT CAST(COALESCE(SUM(CAST(w AS HUGEINT)), 0) AS BIGINT) AS wedges,
+             |  COUNT(*) AS co_pairs,
+             |  CAST(COALESCE(SUM(CAST(w AS HUGEINT) * (w - 1)), 0) // 2 AS BIGINT)
+             |    AS butterflies
+             |FROM w""".stripMargin),
+    ),
   )
 }

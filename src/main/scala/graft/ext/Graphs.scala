@@ -318,6 +318,96 @@ object Graphs {
     transitivityReadout(
       incrementalTriangleCounts(prevCounts, baseEdges, deltaEdges))
 
+  // ----------------------------------------------------------- butterflies
+
+  /** Butterfly (2×2-biclique) co-pair frame of a BIPARTITE edge set
+    * (l, r) — the bipartite analog of the triangle machinery: a
+    * butterfly is two left vertices sharing two right vertices, THE
+    * cohesion primitive of user-item / order-part / doc-shingle graphs,
+    * where triangles cannot exist. Per-left wedges: every left vertex
+    * with edges to r1 < r2 contributes one wedge to co-pair (r1, r2);
+    * with w(r1, r2) the wedge count, butterflies = Σ C(w, 2). This
+    * method returns the (r1, r2, w) co-pair frame — the co-occurrence
+    * index (q86's copurchase shape, un-thresholded) and the MAINTAINED
+    * STATE of [[incrementalButterflyCopairs]]; [[butterflyCount]] is
+    * the 1-row census readout.
+    *
+    * Scale shape: ONE self-equi-join on l + one (r1, r2) rollup —
+    * wedge volume Σ_l deg(l)², so orient the small-degree side LEFT
+    * (orders with ~4 parts each, not parts in ~10⁶ orders);
+    * [[capAdjacency]] is the documented pre-step when left degrees are
+    * skewed. Partial aggregation absorbs the wedge stream map-side;
+    * nothing ever materializes the butterfly set itself. */
+  def butterflyCopairs(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("l", "r")
+      .select(col("l").cast("long").as("l"), col("r").cast("long").as("r"))
+    e.as("x").join(e.as("y"),
+        col("x.l") === col("y.l") && col("x.r") < col("y.r"))
+      .groupBy(col("x.r").as("r1"), col("y.r").as("r2"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** 1-row butterfly census over a [[butterflyCopairs]] frame: total
+    * wedges, distinct co-pairs, butterflies = Σ w(w−1)/2. Sums ride
+    * decimal(38,0) (w can reach the left-vertex count, so Σ w² can pass
+    * 2^63 long before any count does); the final casts to long are
+    * ANSI — overflow past 2^63 raises loudly rather than wrapping. */
+  def butterflyReadout(copairs: DataFrame): DataFrame = copairs
+    .agg(coalesce(sum(col("w").cast("decimal(38,0)")),
+        lit(0L).cast("decimal(38,0)")).as("wsum"),
+      count(lit(1)).as("co_pairs"),
+      coalesce(sum(col("w").cast("decimal(38,0)") * (col("w") - 1)),
+        lit(0L).cast("decimal(38,0)")).as("b2"))
+    .select(col("wsum").cast("long").as("wedges"), col("co_pairs"),
+      expr("b2 div 2").cast("long").as("butterflies"))
+
+  /** Butterfly census of a bipartite (l, r) edge set — see
+    * [[butterflyCopairs]] for the method and scale shape. */
+  def butterflyCount(edges: DataFrame): DataFrame =
+    butterflyReadout(butterflyCopairs(edges))
+
+  /** INCREMENTAL butterflies — the SEVENTEENTH maintained form. State =
+    * the co-pair frame w(r1, r2) ([[butterflyCopairs]]) — the
+    * co-occurrence index a recommendation / co-cite pipeline maintains
+    * anyway. A DISJOINT delta of (l, r) edges creates wedges only
+    * inside the left vertices it touches: the new wedges are
+    * (delta ⋈ base-edges-of-touched-l) pairs plus delta-internal pairs
+    * on the same l, so the update semi-join-restricts base to the
+    * delta's left vertices (cost ∝ Σ_{touched l} deg(l)² — the wedge
+    * ball, never the graph), rolls up dw per (r1, r2), and merges
+    * w' = w + dw by full-outer on the pair key. Exactness is the
+    * wedge-multiset decomposition: wedges(base ∪ delta) = wedges(base)
+    * ⊎ wedges(≥1 delta edge), and both edges of a wedge share l, so
+    * every new wedge is produced exactly once (base⋈delta pairs
+    * ordered r≠r'; delta-internal pairs r < r''). Contract: edges
+    * deduplicated, base ∩ delta = ∅ (the triangle form's contract).
+    * Readout: [[butterflyReadout]] over the maintained frame ≡ the
+    * batch census, by composition. */
+  def incrementalButterflyCopairs(prevPairs: DataFrame, baseEdges: DataFrame,
+      deltaEdges: DataFrame): DataFrame = {
+    def norm(df: DataFrame) = df.toDF("l", "r")
+      .select(col("l").cast("long").as("l"), col("r").cast("long").as("r"))
+    val bE = norm(baseEdges)
+    val dE = norm(deltaEdges)
+    val hint = frontierHinter(bE)
+    // base edges of the delta's left vertices — the wedge ball
+    val ball = bE.join(hint(dE.select(col("l")).distinct()), Seq("l"), "left_semi")
+    // each (delta, base) wedge once, canonicalized; delta-internal once via <
+    val dxb = dE.as("d").join(hint(ball).as("b"),
+        col("d.l") === col("b.l") && col("d.r") =!= col("b.r"))
+      .select(least(col("d.r"), col("b.r")).as("r1"),
+        greatest(col("d.r"), col("b.r")).as("r2"))
+    val dxd = dE.as("x").join(hint(dE).as("y"),
+        col("x.l") === col("y.l") && col("x.r") < col("y.r"))
+      .select(col("x.r").as("r1"), col("y.r").as("r2"))
+    val dw = dxb.unionByName(dxd).groupBy(col("r1"), col("r2"))
+      .agg(count(lit(1)).as("dw"))
+    prevPairs.toDF("r1", "r2", "w")
+      .join(dw, Seq("r1", "r2"), "full_outer")
+      .select(col("r1"), col("r2"),
+        (coalesce(col("w"), lit(0L)) + coalesce(col("dw"), lit(0L))).as("w"))
+  }
+
   /** INCREMENTAL triangle counts — the q164/q253/q304 "incremental ≡
     * recompute" discipline applied to [[triangleCounts]]: given the base
     * graph's output and a DISJOINT `deltaEdges` wave (both undirected

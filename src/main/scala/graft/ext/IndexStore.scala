@@ -73,6 +73,23 @@ object IndexStore {
       k, broadcastProbes)
   }
 
+  /** Append NEW vectors to a persisted IVF index under FROZEN centroids —
+    * the standard IVF maintenance contract (lists grow nightly; the
+    * coarse quantizer is retrained only on snapshot rebuilds, because
+    * moving a centroid invalidates every list). Assignment is the same
+    * per-row expression as the build ([[Similarity.ivfAssign]] against
+    * the STORED centroid table), so append ≡ full rebuild bit-identically
+    * as long as the centroid table is unchanged — and the delta path
+    * scans ONLY the new rows: existing list files are never read or
+    * rewritten (parquet append adds files inside the touched cid
+    * partitions; IndexStoreSpec pins base files byte-untouched). */
+  def appendToIvfIndex(path: String, newCorpus: DataFrame, vecCol: String,
+      idCol: String): Unit = {
+    val cents = readIvfCentroids(newCorpus.sparkSession, path)
+    Similarity.ivfAssign(cents, newCorpus, vecCol, idCol, "nid", topn = 1)
+      .write.mode("append").partitionBy("cid").parquet(s"$path/invlists")
+  }
+
   // ------------------------------------------------------------ MinHash
 
   /** Build and persist a MinHash index over k-shingle STRING sets: the
@@ -87,6 +104,22 @@ object IndexStore {
     Dedup.portableMinhashSigs(shingles, numHashes)
       .write.mode("overwrite").parquet(s"$path/sigs")
     shingles.write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /** Append NEW documents to a persisted MinHash index. Shingling and
+    * signatures are ROW-LOCAL (each doc's m$i depend only on its own
+    * text), so appending the delta's rows yields an index bit-identical
+    * to a full rebuild over base ∪ delta — the nightly path shingles and
+    * hashes ONLY the delta; existing sig/shingle files are never read or
+    * rewritten. This is the 100 TB asymmetry the persisted seam exists
+    * for: corpus-scan cost ∝ delta, serving cost unchanged. */
+  def appendToMinhashIndex(path: String, newDocs: DataFrame, textCol: String,
+      idCol: String, numHashes: Int, k: Int): Unit = {
+    val shingles = Dedup.shingleSets(newDocs, textCol, idCol, k)
+      .localCheckpoint(true)
+    Dedup.portableMinhashSigs(shingles, numHashes)
+      .write.mode("append").parquet(s"$path/sigs")
+    shingles.write.mode("append").parquet(s"$path/shingles")
   }
 
   /** Near-dup pairs answered ENTIRELY from a persisted MinHash index:

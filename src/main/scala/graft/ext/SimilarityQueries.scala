@@ -1170,5 +1170,68 @@ object SimilarityQueries {
              |  FROM sims) WHERE rk <= 4
              |ORDER BY qid, sim DESC, nid""".stripMargin),
     ),
+
+    // Nightly IVF maintenance: build the index over 2/3 of the corpus,
+    // APPEND the remaining third under frozen centroids, then serve from
+    // the updated index. The oracle is the inline derivation over the
+    // FULL corpus with no notion of the split — so the hash certifies the
+    // append contract itself: append ≡ full rebuild, bit for bit, while
+    // the delta path only ever scanned the new rows (IndexStoreSpec
+    // additionally pins that existing list files are byte-untouched).
+    QueryDef(
+      "q353_ivf_append",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val cents: Array[(Long, Seq[Float], Double)] =
+          Similarity.withNorm(emb.where(col("vec_id") < 12), "embedding")
+            .select(col("vec_id").cast("long"), col("embedding"), col("nrm"))
+            .collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+            .sortBy(_._1)
+        val path = QueryDef.indexRoot(dir) + "/ivf_app"
+        IndexStore.writeIvfIndex(path, cents,
+          emb.where(col("vec_id") % 3 =!= 0), "embedding", "vec_id")
+        IndexStore.appendToIvfIndex(path,
+          emb.where(col("vec_id") % 3 === 0), "embedding", "vec_id")
+        IndexStore.ivfTopKFromIndex(s, path,
+            emb.where(col("vec_id") < 10), "embedding", "vec_id",
+            k = 3, nprobe = 3)
+          .orderBy(col("qid"), col("sim").desc, col("nid"))
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id, embedding,
+             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+             |  FROM embeddings),
+             |cents AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm FROM n WHERE vec_id < 12),
+             |corpus_assign AS (
+             |  SELECT nid, cid FROM (
+             |    SELECT x.vec_id AS nid, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+             |        (list_sum([CAST(x.embedding[i] AS DOUBLE)*c.cv[i]
+             |                   FOR i IN generate_series(1,len(x.embedding))])/(x.nrm*c.cnrm)) DESC,
+             |        c.cid) AS crk
+             |    FROM n x CROSS JOIN cents c) WHERE crk = 1),
+             |probes AS (
+             |  SELECT qid, cid FROM (
+             |    SELECT q.vec_id AS qid, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             |        (list_sum([CAST(q.embedding[i] AS DOUBLE)*c.cv[i]
+             |                   FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*c.cnrm)) DESC,
+             |        c.cid) AS crk
+             |    FROM n q CROSS JOIN cents c WHERE q.vec_id < 10) WHERE crk <= 3),
+             |cand AS (
+             |  SELECT DISTINCT p.qid, a.nid
+             |  FROM probes p JOIN corpus_assign a ON a.cid = p.cid WHERE p.qid != a.nid),
+             |sims AS (
+             |  SELECT c.qid, c.nid,
+             |    list_sum([CAST(q.embedding[i] AS DOUBLE)*x.embedding[i]
+             |              FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*x.nrm) AS sim
+             |  FROM cand c JOIN n q ON q.vec_id = c.qid JOIN n x ON x.vec_id = c.nid)
+             |SELECT qid, nid, sim FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+             |  FROM sims) WHERE rk <= 3
+             |ORDER BY qid, sim DESC, nid""".stripMargin),
+    ),
   )
 }

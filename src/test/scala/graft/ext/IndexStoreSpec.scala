@@ -103,6 +103,73 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 5L)) && pairs.contains((3L, 4L)))
   }
 
+  test("IVF append under frozen centroids: appended index ≡ full rebuild; base list files byte-untouched") {
+    val pathApp = tmpDir("ivfapp")
+    val pathFull = tmpDir("ivffull")
+    val cents = Similarity.trainCentroids(corpus, "embedding", k = 8,
+      iters = 2, idCol = "vec_id")
+    val base = corpus.where(col("vec_id") % 3 =!= 0)
+    val delta = corpus.where(col("vec_id") % 3 === 0)
+    IndexStore.writeIvfIndex(pathApp, cents, base, "embedding", "vec_id")
+    val baseFiles = listParquetFiles(s"$pathApp/invlists")
+    IndexStore.appendToIvfIndex(pathApp, delta, "embedding", "vec_id")
+    // every pre-append file survives with identical size+mtime: the delta
+    // path never read or rewrote existing payload
+    val afterFiles = listParquetFiles(s"$pathApp/invlists")
+    assert(baseFiles.toSet.subsetOf(afterFiles.toSet),
+      "append rewrote or removed base list files")
+    assert(afterFiles.size > baseFiles.size, "append added no files")
+    IndexStore.writeIvfIndex(pathFull, cents, corpus, "embedding", "vec_id")
+    val queries = corpus.where(col("vec_id") < 15)
+    val fromApp = IndexStore.ivfTopKFromIndex(spark, pathApp, queries,
+      "embedding", "vec_id", k = 4, nprobe = 2)
+    val fromFull = IndexStore.ivfTopKFromIndex(spark, pathFull, queries,
+      "embedding", "vec_id", k = 4, nprobe = 2)
+    assert(sortedRows(fromApp) == sortedRows(fromFull))
+  }
+
+  test("MinHash append: appended index ≡ full rebuild; base sig files byte-untouched") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "a completely different document about spark engines"),
+      (4L, "a completely different document about spark engines"),
+      (5L, "the quick brown fox jumps over the lazy dog today"),
+      (6L, "totally unrelated text with no shared shingles at all"),
+    ).toDF("doc_id", "text")
+    val pathApp = tmpDir("mhapp")
+    val pathFull = tmpDir("mhfull")
+    IndexStore.writeMinhashIndex(pathApp, docs.where(col("doc_id") <= 4),
+      "text", "doc_id", numHashes = 16, k = 3)
+    val baseFiles = listParquetFiles(s"$pathApp/sigs")
+    IndexStore.appendToMinhashIndex(pathApp, docs.where(col("doc_id") > 4),
+      "text", "doc_id", numHashes = 16, k = 3)
+    assert(baseFiles.toSet.subsetOf(listParquetFiles(s"$pathApp/sigs").toSet),
+      "append rewrote or removed base sig files")
+    IndexStore.writeMinhashIndex(pathFull, docs, "text", "doc_id",
+      numHashes = 16, k = 3)
+    val fromApp = IndexStore.minhashPairsFromIndex(spark, pathApp,
+      numHashes = 16, r = 2, threshold = 0.5)
+    val fromFull = IndexStore.minhashPairsFromIndex(spark, pathFull,
+      numHashes = 16, r = 2, threshold = 0.5)
+    assert(sortedRows(fromApp) == sortedRows(fromFull))
+    // the cross-split pair (1 base, 5 delta) is served from the merged index
+    val pairs = fromApp.select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L)))
+  }
+
+  /** (relative path, size, mtime) of every parquet data file under dir. */
+  private def listParquetFiles(dir: String): Seq[(String, Long, Long)] = {
+    val root = new java.io.File(dir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(root).filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getAbsolutePath.stripPrefix(root.getAbsolutePath),
+        f.length(), f.lastModified()))
+      .sortBy(_._1)
+  }
+
   test("overwrite idempotence: a second write leaves answers unchanged") {
     val path = tmpDir("rewrite")
     val cents = Similarity.trainCentroids(corpus, "embedding", k = 4,
