@@ -1301,5 +1301,196 @@ object EvalQueries2 {
              |       // (CAST(n_rows AS HUGEINT) * n_rows) AS BIGINT) AS simpson_ppm
              |FROM g ORDER BY grp""".stripMargin),
     ),
+
+    // Spearman's rho between part revenue and part quantity — do the
+    // two size measures RANK parts the same way? (Pearson on raw values
+    // is hostage to the revenue tail; ranks are the robust question.)
+    // Tie-corrected exactly via doubled average ranks over the
+    // distinct-value rollup; integer moments on decimal rails; ONE
+    // double division + sqrt (the q223 discipline) — and unlike
+    // Kendall (q343) there is no O(n^2) pair join, so this is the
+    // rank-correlation form that runs at corpus scale.
+    QueryDef(
+      "q357_spearman",
+      (s, dir) => {
+        val pp = tbl(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("id"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("x"),
+            sum(col("l_quantity").cast("decimal(18,2)")).as("y"))
+        Evaluation.spearmanRho(pp)
+      },
+      Some("""WITH pp AS (
+             |  SELECT l_partkey AS id,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS x,
+             |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS y
+             |  FROM lineitem GROUP BY 1),
+             |rx AS (SELECT id, 2*(RANK() OVER (ORDER BY x))
+             |              + (COUNT(*) OVER (PARTITION BY x)) - 1 AS r2x FROM pp),
+             |ry AS (SELECT id, 2*(RANK() OVER (ORDER BY y))
+             |              + (COUNT(*) OVER (PARTITION BY y)) - 1 AS r2y FROM pp),
+             |j AS (SELECT r2x, r2y FROM rx JOIN ry USING (id)),
+             |m AS (SELECT COUNT(*) AS n,
+             |  SUM(CAST(r2x AS HUGEINT)) AS sx, SUM(CAST(r2y AS HUGEINT)) AS sy,
+             |  SUM(CAST(r2x AS HUGEINT)*r2y) AS sxy,
+             |  SUM(CAST(r2x AS HUGEINT)*r2x) AS sxx,
+             |  SUM(CAST(r2y AS HUGEINT)*r2y) AS syy FROM j)
+             |SELECT CAST(n AS BIGINT) AS n,
+             |  CAST(n*sxy - sx*sy AS DOUBLE)
+             |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) AS rho
+             |FROM m""".stripMargin),
+    ),
+
+    // Rank-biased overlap between the early-period and late-period
+    // part-revenue top-10 — "did the bestseller list change?" asked the
+    // way a ranking comparison should be: top-weighted (rank 1 moves
+    // matter more than rank 10 moves), well-defined on lists that only
+    // partially overlap — exactly where Spearman/Kendall need a common
+    // support. Exact scaled-integer arithmetic (p = 9/10, lcm 2520
+    // clears every /d); only the two top-10 lists are ever ranked.
+    QueryDef(
+      "q358_rbo",
+      (s, dir) => {
+        val cut = to_timestamp(lit("1998-07-01"))
+        def rev(pred: org.apache.spark.sql.Column) =
+          sum(when(pred, col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)")))
+            .otherwise(lit(0).cast("decimal(18,2)")))
+        val scores = tbl(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("id"))
+          .agg(rev(col("l_shipdate") < cut).as("sa"),
+            rev(col("l_shipdate") >= cut).as("sb"))
+        Evaluation.rankBiasedOverlap(scores, "id", "sa", "sb", depth = 10)
+      },
+      Some(s"""WITH s AS (
+             |  SELECT l_partkey AS id,
+             |    SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-07-01'
+             |        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+             |             * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END) AS sa,
+             |    SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-07-01'
+             |        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+             |             * (1 - CAST(l_discount AS DECIMAL(18,2))) ELSE 0 END) AS sb
+             |  FROM lineitem GROUP BY 1),
+             |ta AS (SELECT * FROM (SELECT id,
+             |    ROW_NUMBER() OVER (ORDER BY sa DESC, id) AS ra FROM s) WHERE ra <= 10),
+             |tb AS (SELECT * FROM (SELECT id,
+             |    ROW_NUMBER() OVER (ORDER BY sb DESC, id) AS rb FROM s) WHERE rb <= 10),
+             |co(m, coef) AS (VALUES ${RboCoefs.table(10)
+               .map { case (m, c) => s"($m, ${c}::BIGINT)" }.mkString(", ")}),
+             |j AS (SELECT GREATEST(ra, rb) AS m FROM ta JOIN tb USING (id)),
+             |a AS (SELECT COUNT(*) AS in_both,
+             |        COALESCE(SUM(CAST(coef AS HUGEINT)), 0) AS sc
+             |      FROM j JOIN co USING (m))
+             |SELECT 10 AS depth, CAST(in_both AS BIGINT) AS in_both,
+             |  CAST((sc * 100000) // ${RboCoefs.denom(10)} AS BIGINT) AS rbo_ppm
+             |FROM a""".stripMargin),
+    ),
+
+    // MAP@10 + MRR@10 of brute-force cosine retrieval judged by label
+    // agreement — the retrieval scorecard for an embedding space: does
+    // nearest-by-cosine mean same-class? Relevance = neighbor shares
+    // the query's label; the AP denominator is min(class size - 1, 10).
+    // Exact rational per-query scores (lcm 2520 clears /rank), then
+    // truncating-div query means — deterministic end to end (rank ties
+    // break by nid, so the oracle replays every decision).
+    QueryDef(
+      "q359_map_mrr",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val qs = emb.where(col("vec_id") < 20)
+        val ranked = Similarity.bruteForceTopK(emb, qs, "embedding", "vec_id", 10)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))))
+          .join(emb.select(col("vec_id").as("qid"), col("label").as("qlab")), "qid")
+          .join(emb.select(col("vec_id").as("nid"), col("label").as("nlab")), "nid")
+          .select(col("qid"), col("rank"),
+            when(col("qlab") === col("nlab"), 1L).otherwise(0L).as("rel"))
+        val labCnt = emb.groupBy(col("label")).agg(count(lit(1)).as("lc"))
+        val totalRel = qs.select(col("vec_id").as("qid"), col("label"))
+          .join(broadcast(labCnt), "label")
+          .select(col("qid"), (col("lc") - 1L).as("r_total"))
+        Evaluation.mapMrrAtK(ranked, totalRel, k = 10)
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id, label, embedding,
+             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+             |  FROM embeddings),
+             |ranked AS (
+             |  SELECT qid, rank, rel FROM (
+             |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+             |      CASE WHEN q.label = c.label THEN 1 ELSE 0 END AS rel,
+             |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             |        (list_sum([CAST(q.embedding[i] AS DOUBLE)*c.embedding[i]
+             |                   FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*c.nrm)) DESC,
+             |        c.vec_id) AS rank
+             |    FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id != c.vec_id)
+             |  WHERE rank <= 10),
+             |hits AS (
+             |  SELECT qid, rank, rel,
+             |    SUM(rel) OVER (PARTITION BY qid ORDER BY rank) AS relcnt
+             |  FROM ranked),
+             |perq AS (
+             |  SELECT qid,
+             |    SUM(CASE WHEN rel = 1 THEN (2520 // rank) * relcnt ELSE 0 END) AS apnum,
+             |    MIN(CASE WHEN rel = 1 THEN rank END) AS firstrel
+             |  FROM hits GROUP BY qid),
+             |tot AS (
+             |  SELECT q.vec_id AS qid, lc.c - 1 AS r_total
+             |  FROM embeddings q
+             |  JOIN (SELECT label, COUNT(*) AS c FROM embeddings GROUP BY 1) lc
+             |    ON lc.label = q.label
+             |  WHERE q.vec_id < 20),
+             |scored AS (
+             |  SELECT t.qid, t.r_total, COALESCE(p.apnum, 0) AS apnum, p.firstrel
+             |  FROM tot t LEFT JOIN perq p ON p.qid = t.qid),
+             |agg AS (
+             |  SELECT SUM(CASE WHEN r_total > 0 THEN 1 ELSE 0 END) AS n_queries,
+             |    SUM(CASE WHEN r_total = 0 THEN 1 ELSE 0 END) AS n_undefined,
+             |    SUM(CASE WHEN r_total > 0
+             |        THEN (apnum * 1000000) // (2520 * LEAST(r_total, 10)) ELSE 0 END) AS apsum,
+             |    SUM(CASE WHEN r_total > 0
+             |        THEN COALESCE(1000000 // firstrel, 0) ELSE 0 END) AS rrsum
+             |  FROM scored)
+             |SELECT CAST(n_queries AS BIGINT) AS n_queries,
+             |  CAST(n_undefined AS BIGINT) AS n_undefined,
+             |  CAST(apsum // n_queries AS BIGINT) AS map_ppm,
+             |  CAST(rrsum // n_queries AS BIGINT) AS mrr_ppm
+             |FROM agg""".stripMargin),
+    ),
+
+    // McNemar's paired test: do the cheap length filter (n_chars >= 300)
+    // and the cheap token filter (>= 60 whitespace tokens) make
+    // DIFFERENT mistakes predicting English? Both classifiers score the
+    // SAME documents, so the two-proportion z is invalid — McNemar's
+    // asymmetric-disagreement counts are the correct comparison; exact
+    // integer chi2 ppm on decimal rails, loud raise when b + c = 0.
+    QueryDef(
+      "q360_mcnemar",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+          .select(
+            when((col("n_chars") >= 300) === (col("lang") === "en"), 1L)
+              .otherwise(0L).as("a_ok"),
+            when((size(split(col("text"), " ")) >= 60) === (col("lang") === "en"), 1L)
+              .otherwise(0L).as("b_ok"))
+        Evaluation.mcnemar(d, "a_ok", "b_ok")
+      },
+      Some("""WITH d AS (
+             |  SELECT CASE WHEN (n_chars >= 300) = (lang = 'en') THEN 1 ELSE 0 END AS a_ok,
+             |    CASE WHEN (len(string_split(text, ' ')) >= 60) = (lang = 'en') THEN 1 ELSE 0 END AS b_ok
+             |  FROM documents),
+             |m AS (
+             |  SELECT COUNT(*) AS n,
+             |    SUM(CASE WHEN a_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END) AS b,
+             |    SUM(CASE WHEN a_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END) AS c
+             |  FROM d)
+             |SELECT CAST(n AS BIGINT) AS n, CAST(b AS BIGINT) AS b,
+             |  CAST(c AS BIGINT) AS c,
+             |  CAST(((CAST(b AS HUGEINT) - c) * (b - c) * 1000000)
+             |       // (CAST(b AS HUGEINT) + c) AS BIGINT) AS chi2_ppm
+             |FROM m""".stripMargin),
+    ),
   )
 }

@@ -353,4 +353,168 @@ object Evaluation {
       expr("""cast(1000000 - (c2 * 1000000)
              |div (cast(n_rows as decimal(38,0)) * n_rows) as bigint)"""
         .stripMargin).as("simpson_ppm"))
+
+  /** SPEARMAN's ρ with exact tie correction — the at-scale rank
+    * correlation ([[kendallTauA]]'s O(n²) pair join is the sampled
+    * path; this is two rollups + two joins, linear shuffle). ρ =
+    * Pearson of the value ranks with ties averaged; the doubled-rank
+    * trick keeps ranks integral: r2(v) = 2·|{v' < v}| + ties(v) + 1 =
+    * 2 × the average rank. r2 comes from a cumulative window over the
+    * DISTINCT-VALUE rollup (distinct-value-sized, not row-sized — the
+    * only global ordering in the plan; at row scale the values frame
+    * is the small side and broadcast-joins back), moments ride
+    * decimal(38,0) (Σ r2x·r2y ≤ 4n³ wraps long past n ≈ 1.3e6), and
+    * ONE double division + sqrt produces the readout — the q223
+    * Pearson discipline, so the oracle replays it bit for bit.
+    * Input: (id, x, y) numeric; output 1 row (n, rho). n < 2 or a
+    * zero-variance axis raises loudly (ρ undefined). */
+  def spearmanRho(rows: DataFrame): DataFrame = {
+    val r = rows.toDF("id", "x", "y")
+    def doubledRanks(c: String): DataFrame = {
+      val byV = r.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+      byV.select(col("v"),
+        (lit(2L) * coalesce(sum(col("cnt")).over(w), lit(0L)) +
+          col("cnt") + 1L).as(s"r2$c"))
+    }
+    val withRanks = r
+      .join(broadcast(doubledRanks("x")).withColumnRenamed("v", "x"), Seq("x"))
+      .join(broadcast(doubledRanks("y")).withColumnRenamed("v", "y"), Seq("y"))
+    def d(c: Column) = c.cast("decimal(38,0)")
+    withRanks
+      .agg(count(lit(1)).as("n"), sum(d(col("r2x"))).as("sx"),
+        sum(d(col("r2y"))).as("sy"),
+        sum(d(col("r2x")) * col("r2y")).as("sxy"),
+        sum(d(col("r2x")) * col("r2x")).as("sxx"),
+        sum(d(col("r2y")) * col("r2y")).as("syy"))
+      .select(col("n"),
+        (d(col("n")) * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+        (d(col("n")) * col("sxx") - col("sx") * col("sx")).as("var_x"),
+        (d(col("n")) * col("syy") - col("sy") * col("sy")).as("var_y"))
+      .select(col("n"),
+        expr("""case when n < 2 or var_x = 0 or var_y = 0 then
+                |  cast(raise_error('spearmanRho: undefined (n < 2 or a constant axis)') as double)
+                |else cast(cov_num as double) / sqrt(cast(var_x as double) * cast(var_y as double))
+                |end""".stripMargin).as("rho"))
+  }
+
+  /** RANK-BIASED OVERLAP (truncated RBO_min at `depth`, persistence
+    * p = 9/10) between two rankings of the same item set — the
+    * top-weighted list-similarity measure for comparing rankers
+    * (today's top-10 vs yesterday's; ranker A vs ranker B) where
+    * Kendall/Spearman over-weight the tail. rbo = (1−p) Σ_{d=1..D}
+    * p^{d−1}·|A_d ∩ B_d|/d, computed EXACTLY in scaled integers: an
+    * item in both top-D lists with worse-rank m contributes
+    * coef(m) = Σ_{d=m..D} 9^{d−1}·10^{D−d}·(2520/d) (2520 = lcm 1..10
+    * clears every /d; coefficients are driver-side exact constants),
+    * and rbo_ppm = 10⁵·Σ coef div (10^{D−1}·2520) on decimal(38,0)
+    * rails. Only the two top-D lists are ever ranked (depth-sized
+    * frames — a limit + a depth-row window, never a global sort of
+    * the corpus). Ties break by ascending id: deterministic and
+    * oracle-replayable. Output 1 row: (depth, in_both, rbo_ppm). */
+  def rankBiasedOverlap(df: DataFrame, idCol: String, scoreA: String,
+      scoreB: String, depth: Int = 10): DataFrame = {
+    require(depth >= 1 && depth <= 10, "depth in [1,10] (lcm-scaled exact path)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def top(score: String, out: String): DataFrame = {
+      val t = df.select(col(idCol).as("id"), col(score).as("s"))
+        .orderBy(col("s").desc, col("id")).limit(depth)
+      t.select(col("id"), row_number().over(
+        Window.orderBy(col("s").desc, col("id"))).as(out))
+    }
+    val coefs = RboCoefs.table(depth).toDF("m", "coef")
+    val joined = top(scoreA, "ra").join(top(scoreB, "rb"), Seq("id"))
+      .select(greatest(col("ra"), col("rb")).as("m"))
+      .join(broadcast(coefs), Seq("m"))
+    joined.agg(count(lit(1)).as("in_both"),
+        coalesce(sum(col("coef").cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)")).as("sc"))
+      .select(lit(depth).as("depth"), col("in_both"),
+        expr(s"cast((sc * 100000) div ${RboCoefs.denom(depth)}L as bigint)")
+          .as("rbo_ppm"))
+  }
+
+  /** MAP@k + MRR@k over a ranked retrieval frame — the exact-rational
+    * retrieval scorecard. Input `ranked`: (qid, rank 1-based ≤ k, rel
+    * 0/1) — each query's ranked hit list with binary relevance — and
+    * `totalRel`: (qid, r_total) — relevant items in the corpus (the AP
+    * denominator min(r_total, k)). Per query, scaled integers clear
+    * every /rank with 2520 = lcm(1..10): ap_ppm = 10⁶·Σ_{rank: rel}
+    * (2520/rank)·relcnt@rank div (2520·min(r_total, k)); rr_ppm =
+    * 10⁶ div first-relevant rank (0 when none — a miss scores zero,
+    * never null). Readout: unweighted query means, truncating div
+    * (deterministic, oracle-replayable). Queries with r_total = 0 are
+    * EXCLUDED (AP undefined), counted in n_undefined rather than
+    * silently dropped. Output 1 row: (n_queries, n_undefined, map_ppm,
+    * mrr_ppm). */
+  def mapMrrAtK(ranked: DataFrame, totalRel: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 10, "k in [1,10] (lcm-scaled exact path)")
+    val rk = ranked.toDF("qid", "rank", "rel")
+    val tr = totalRel.toDF("qid", "r_total")
+    val w = Window.partitionBy(col("qid")).orderBy(col("rank"))
+    val perHit = rk.where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("rel"),
+        sum(col("rel")).over(w).as("relcnt"))
+    val perQ = perHit.groupBy(col("qid"))
+      .agg(sum(when(col("rel") === 1,
+          expr("(2520 div rank) * relcnt")).otherwise(0L)).as("apnum"),
+        min(when(col("rel") === 1, col("rank"))).as("firstrel"))
+    val scored = tr.join(perQ, Seq("qid"), "left")
+      .select(col("qid"), col("r_total"),
+        coalesce(col("apnum"), lit(0L)).as("apnum"),
+        col("firstrel"))
+    scored.agg(
+        sum(when(col("r_total") > 0, 1L).otherwise(0L)).as("n_queries"),
+        sum(when(col("r_total") === 0, 1L).otherwise(0L)).as("n_undefined"),
+        coalesce(sum(when(col("r_total") > 0,
+          expr(s"(apnum * 1000000) div (2520 * least(r_total, ${k}L))"))
+          .otherwise(0L)), lit(0L)).as("apsum"),
+        coalesce(sum(when(col("r_total") > 0,
+          coalesce(expr("1000000 div firstrel"), lit(0L))).otherwise(0L)),
+          lit(0L)).as("rrsum"))
+      .select(col("n_queries"), col("n_undefined"),
+        expr("""case when n_queries = 0 then
+                |  cast(raise_error('mapMrrAtK: no scoreable queries') as bigint)
+                |else apsum div n_queries end""".stripMargin).as("map_ppm"),
+        expr("case when n_queries = 0 then 0L else rrsum div n_queries end")
+          .as("mrr_ppm"))
+  }
+
+  /** McNEMAR's paired test on two classifiers against the same truth:
+    * b = A right & B wrong, c = A wrong & B right; the statistic
+    * (b−c)²/(b+c) decides whether the two disagree SYSTEMATICALLY —
+    * the right test when both models score the SAME examples (a
+    * two-proportion z on overlapping data is wrong). Integer-exact:
+    * chi2_ppm = 10⁶·(b−c)² div (b+c), decimal rails; b + c = 0 (the
+    * classifiers never disagree-and-split) raises loudly — the
+    * statistic is undefined, and a silent 0 would read as "no
+    * difference proven". Input: (aCorrect, bCorrect) 0/1 columns.
+    * Output 1 row: (n, b, c, chi2_ppm). */
+  def mcnemar(df: DataFrame, aCorrect: String, bCorrect: String): DataFrame = df
+    .agg(count(lit(1)).as("n"),
+      sum(when(col(aCorrect) === 1 && col(bCorrect) === 0, 1L)
+        .otherwise(0L)).as("b"),
+      sum(when(col(aCorrect) === 0 && col(bCorrect) === 1, 1L)
+        .otherwise(0L)).as("c"))
+    .select(col("n"), col("b"), col("c"),
+      expr("""case when b + c = 0 then
+              |  cast(raise_error('mcnemar: b + c = 0 — statistic undefined (no asymmetric disagreements)') as bigint)
+              |else cast(((cast(b as decimal(38,0)) - c) * (b - c) * 1000000)
+              |          div (cast(b as decimal(38,0)) + c) as bigint)
+              |end""".stripMargin).as("chi2_ppm"))
+}
+
+/** Driver-side exact RBO coefficients (p = 9/10, lcm(1..10) = 2520):
+  * coef(m) = Σ_{d=m..D} 9^{d−1}·10^{D−d}·(2520/d); denom(D) =
+  * 10^{D−1}·2520 — so (1−p)·Σ p^{d−1}·ov_d/d = Σ coef(m_item) / (10·
+  * 10^{D−1}·2520) exactly. Pure integer arithmetic, shared by the
+  * operator and the generated oracle SQL. */
+private[ext] object RboCoefs {
+  private def pow(b: Long, e: Int): Long = (0 until e).foldLeft(1L)((a, _) => a * b)
+  def coef(m: Int, depth: Int): Long =
+    (m to depth).map(dd => pow(9L, dd - 1) * pow(10L, depth - dd) * (2520L / dd)).sum
+  def table(depth: Int): Seq[(Int, Long)] =
+    (1 to depth).map(m => (m, coef(m, depth)))
+  def denom(depth: Int): Long = pow(10L, depth - 1) * 2520L
 }
