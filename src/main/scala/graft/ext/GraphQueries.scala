@@ -2650,5 +2650,36 @@ object GraphQueries {
              |    AS butterflies
              |FROM w""".stripMargin),
     ),
+
+    // Per-part butterfly participation on the order-part graph: which
+    // parts sit deepest in repeated co-purchase bundles? A hub with
+    // many ONE-OFF co-occurrences ranks below a part whose bundles
+    // repeat (w >= 2 pairs are what create butterflies) — the readout
+    // rides the same co-pair frame the maintained form keeps, so a
+    // nightly pipeline gets it for one rollup. Top 20, deterministic
+    // tie-break by part id.
+    QueryDef(
+      "q362_butterfly_participation",
+      (s, dir) => Graphs.butterflyParticipation(Graphs.butterflyCopairs(
+          tbl(s, dir, "lineitem")
+            .select(col("l_orderkey").as("l"), col("l_partkey").as("r"))
+            .distinct()))
+        .orderBy(col("butterflies").desc, col("r")).limit(20),
+      Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS l, l_partkey AS r FROM lineitem),
+             |w AS (
+             |  SELECT a.r AS r1, b.r AS r2, COUNT(*) AS w
+             |  FROM lp a JOIN lp b ON a.l = b.l AND a.r < b.r
+             |  GROUP BY 1, 2),
+             |bo AS (
+             |  SELECT r, COUNT(*) AS partners,
+             |    SUM(CAST(w AS HUGEINT)) AS wsum,
+             |    SUM(CAST(w AS HUGEINT) * (w - 1)) AS b2
+             |  FROM (SELECT r1 AS r, w FROM w UNION ALL SELECT r2, w FROM w)
+             |  GROUP BY r)
+             |SELECT r, CAST(partners AS BIGINT) AS partners,
+             |  CAST(wsum AS BIGINT) AS wedges,
+             |  CAST(b2 // 2 AS BIGINT) AS butterflies
+             |FROM bo ORDER BY butterflies DESC, r LIMIT 20""".stripMargin),
+    ),
   )
 }

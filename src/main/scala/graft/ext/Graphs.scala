@@ -366,6 +366,29 @@ object Graphs {
   def butterflyCount(edges: DataFrame): DataFrame =
     butterflyReadout(butterflyCopairs(edges))
 
+  /** Per-RIGHT-vertex butterfly participation over a
+    * [[butterflyCopairs]] frame: for each right vertex r, the partners
+    * it shares ≥1 left vertex with, its wedge mass Σ w(r, ·), and the
+    * butterflies it sits in Σ_partners C(w, 2) — the bipartite
+    * centrality that ranks parts/items by embeddedness in 2×2 cohesion
+    * (a hub with many one-off co-occurrences ranks BELOW a part in a
+    * tight repeated bundle). One explode-both-ends union + one r-keyed
+    * rollup over the co-pair frame — reuses the maintained state of
+    * [[incrementalButterflyCopairs]], so a nightly pipeline gets this
+    * readout for the cost of a rollup. Decimal rails on both sums. */
+  def butterflyParticipation(copairs: DataFrame): DataFrame = {
+    val p = copairs.toDF("r1", "r2", "w")
+    p.select(col("r1").as("r"), col("w"))
+      .unionByName(p.select(col("r2").as("r"), col("w")))
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("partners"),
+        sum(col("w").cast("decimal(38,0)")).as("wsum"),
+        sum(col("w").cast("decimal(38,0)") * (col("w") - 1)).as("b2"))
+      .select(col("r"), col("partners"),
+        col("wsum").cast("long").as("wedges"),
+        expr("b2 div 2").cast("long").as("butterflies"))
+  }
+
   /** INCREMENTAL butterflies — the SEVENTEENTH maintained form. State =
     * the co-pair frame w(r1, r2) ([[butterflyCopairs]]) — the
     * co-occurrence index a recommendation / co-cite pipeline maintains

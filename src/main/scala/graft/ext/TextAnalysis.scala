@@ -428,4 +428,32 @@ object TextAnalysis {
         .as("ttr_ppm"),
       expr("(cast(n_hapax as decimal(38,0)) * 1000000) div n_types")
         .as("hapax_ppm"))
+
+  /** Chao1 + Good-Turing vocabulary richness per group — "how much
+    * vocabulary have we NOT seen yet?", the corpus-planning readout
+    * behind crawl-more / stop-crawling decisions. With S observed
+    * types, f1 singleton types, f2 doubleton types: chao1 = S +
+    * f1(f1−1)/(2(f2+1)) (the bias-corrected estimator — defined even
+    * when f2 = 0) lower-bounds the true vocabulary size, and the
+    * Good-Turing unseen mass f1/N is the probability the NEXT token
+    * drawn is an unseen type. Exact integers: one truncating div each
+    * on decimal(38,0) rails; no logs, no floats — both estimators are
+    * exactly portable. Same two-rollup partial-agg shape as
+    * [[lexicalDiversity]].
+    * Output: (grp, n_tokens, n_types, f1, f2, chao1, gt_unseen_ppm). */
+  def vocabularyRichness(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = df
+    .select(col(groupCol).as("grp"),
+      explode(tokens(col(textCol))).as("tok"))
+    .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c"))
+    .groupBy(col("grp"))
+    .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+    .select(col("grp"), col("n_tokens"), col("n_types"), col("f1"), col("f2"),
+      (col("n_types") +
+        expr("(cast(f1 as decimal(38,0)) * (f1 - 1)) div (2 * (f2 + 1))"))
+        .as("chao1"),
+      expr("(cast(f1 as decimal(38,0)) * 1000000) div n_tokens")
+        .as("gt_unseen_ppm"))
 }

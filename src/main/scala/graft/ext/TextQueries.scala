@@ -1423,5 +1423,36 @@ object TextQueries {
              |    AS hapax_ppm
              |FROM g ORDER BY grp""".stripMargin),
     ),
+
+    // Chao1 + Good-Turing vocabulary richness per source — the
+    // crawl-planning readout: chao1 lower-bounds the vocabulary a
+    // source would converge to, the Good-Turing mass f1/N is the
+    // chance the next token is NEW. A near-exhausted source (low
+    // unseen mass, chao1 ≈ observed) is done; keep crawling the other
+    // kind. Bias-corrected chao1 so f2 = 0 never divides by zero;
+    // exact truncating integer arithmetic throughout.
+    QueryDef(
+      "q361_vocab_richness",
+      (s, dir) => TextAnalysis.vocabularyRichness(
+          tbl(s, dir, "documents"), "source", "text")
+        .orderBy(col("grp")),
+      Some("""WITH w AS (
+             |  SELECT source AS grp, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |tc AS (SELECT grp, tok, COUNT(*) AS c FROM w GROUP BY 1, 2),
+             |g AS (
+             |  SELECT grp, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+             |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+             |    SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+             |  FROM tc GROUP BY grp)
+             |SELECT grp, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(n_types AS BIGINT) AS n_types,
+             |  CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+             |  CAST(n_types + (CAST(f1 AS HUGEINT) * (f1 - 1)) // (2 * (f2 + 1))
+             |       AS BIGINT) AS chao1,
+             |  CAST((CAST(f1 AS HUGEINT) * 1000000) // n_tokens AS BIGINT)
+             |    AS gt_unseen_ppm
+             |FROM g ORDER BY grp""".stripMargin),
+    ),
   )
 }

@@ -90,6 +90,22 @@ class ButterflySpec extends AnyFunSuite {
     }
   }
 
+  test("participation: per-vertex butterflies sum to 2x the census") {
+    val copairs = Graphs.butterflyCopairs(fixture.toDF("l", "r"))
+    val part = Graphs.butterflyParticipation(copairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (wedges, _, bf) = bruteButterflies(fixture)
+    // every butterfly contains exactly 2 right vertices... it contains 2
+    // co-pair memberships x 1 pair = each butterfly counted once per
+    // BOTH its right vertices -> sum over r = 2 x census; wedge mass
+    // doubles the same way
+    assert(part.values.map(_._3).sum == 2 * bf)
+    assert(part.values.map(_._2).sum == 2 * wedges)
+    // r=13 pairs: (11,13) w=2 via l=3,4 -> 1 butterfly; (12,13) w=2 -> 1;
+    // (10,13) w=1 -> 0. So butterflies(13) = 2
+    assert(part(13L)._3 == 2L)
+  }
+
   test("delta with brand-new left AND right vertices, plus delta-internal wedges") {
     val base = Seq((1L, 10L), (1L, 11L), (2L, 10L))
     // 8/20/21 are new vertices; (8,20),(8,21) wedge is delta-internal

@@ -102,4 +102,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     // monotone in x
     assert(xs.map(byX).sliding(2).forall(p => p.head <= p.last))
   }
+
+  test("vocabularyRichness: hand-computed chao1 + Good-Turing; f2=0 stays defined") {
+    import spark.implicits._
+    // group g1: tokens a a b c  -> N=4 S=3 f1=2 (b,c) f2=1 (a)
+    //   chao1 = 3 + 2*1/(2*2) = 3 + 0 (trunc 2/4) = 3; gt = 2e6/4 = 500000
+    // group g2: all singletons a b c -> f1=3 f2=0
+    //   chao1 = 3 + 3*2/(2*1) = 6; gt = 1000000 (every token unseen-mass)
+    val docs = Seq(("g1", "a a b"), ("g1", "c"), ("g2", "a b c"))
+      .toDF("src", "text")
+    val got = TextAnalysis.vocabularyRichness(docs, "src", "text")
+      .orderBy(col("grp")).collect()
+    val g1 = got(0); val g2 = got(1)
+    assert(g1.getString(0) == "g1" && g1.getLong(1) == 4L && g1.getLong(2) == 3L)
+    assert(g1.getLong(3) == 2L && g1.getLong(4) == 1L)
+    assert(g1.getLong(5) == 3L && g1.getLong(6) == 500000L)
+    assert(g2.getLong(3) == 3L && g2.getLong(4) == 0L)
+    assert(g2.getLong(5) == 6L && g2.getLong(6) == 1000000L)
+  }
 }
