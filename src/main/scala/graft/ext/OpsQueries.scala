@@ -766,5 +766,65 @@ object OpsQueries {
              |   AND (share_l_ppm * 100) // 200000 >= 103) AS alert
              |FROM f ORDER BY hr""".stripMargin),
     ),
+
+    // Degraded-minutes coverage: every error event opens a 5-minute
+    // degradation window; overlapping windows must not double-count
+    // (one incident storm != N x 5 min of degradation), so per UTC day
+    // we take the INTERVAL UNION — gaps-and-islands via a running-max
+    // end sweep, a new island when the next start clears everything
+    // open — and report events, islands, and exact covered time. The
+    // sweep is day-partitioned (window width << day; an island belongs
+    // to its opening day), so at 100 TB each day sorts independently —
+    // never a global sort.
+    QueryDef(
+      "q364_degraded_minutes",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val width = 300000000000L // 5 min in ns
+        val dw = Window.partitionBy(col("day"))
+          .orderBy(col("ts"), col("event_id"))
+        val err = tbl(s, dir, "events")
+          .where(col("event_type") === "error")
+          .select(expr("ts div 86400000000000").as("day"), col("ts"),
+            col("event_id"))
+        err
+          .withColumn("pmax", max(col("ts") + width)
+            .over(dw.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("new_i",
+            when(col("pmax").isNull || col("ts") > col("pmax"), 1L)
+              .otherwise(0L))
+          .withColumn("island", sum(col("new_i")).over(dw))
+          .groupBy(col("day"), col("island"))
+          .agg(count(lit(1)).as("n"), min(col("ts")).as("s"),
+            (max(col("ts")) + width).as("e"))
+          .groupBy(col("day"))
+          .agg(sum(col("n")).as("n_errors"), count(lit(1)).as("n_islands"),
+            sum(col("e") - col("s")).as("covered_ns"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH e AS (
+             |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+             |    epoch_ns(ts) AS ts, event_id
+             |  FROM events WHERE event_type = 'error'),
+             |m AS (
+             |  SELECT day, ts, event_id,
+             |    MAX(ts + 300000000000) OVER (PARTITION BY day
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             |  FROM e),
+             |i AS (
+             |  SELECT day, ts,
+             |    SUM(CASE WHEN pmax IS NULL OR ts > pmax THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY day ORDER BY ts, event_id
+             |        ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM m),
+             |g AS (
+             |  SELECT day, island, COUNT(*) AS n, MIN(ts) AS s,
+             |    MAX(ts) + 300000000000 AS e
+             |  FROM i GROUP BY 1, 2)
+             |SELECT day, CAST(SUM(n) AS BIGINT) AS n_errors,
+             |  COUNT(*) AS n_islands, CAST(SUM(e - s) AS BIGINT) AS covered_ns
+             |FROM g GROUP BY day ORDER BY day""".stripMargin),
+    ),
   )
 }

@@ -112,4 +112,60 @@ object AsofJoin {
         col("r_in.r_ts").as("asof_ts") :+
         col("r_in.r_val").as(s"asof_$valueCol"): _*)
   }
+
+  /** NEAREST as-of (pandas `merge_asof direction='nearest'`): each left
+    * row matches the right row with the CLOSEST timestamp on its key —
+    * the past match winning exact-distance ties (pandas semantics) —
+    * and any match farther than `toleranceNs` dropped to NULL (both
+    * sides, like pandas' `tolerance`). Same union construction as
+    * [[asofJoin]]; ONE partition exchange feeds two sorted window
+    * passes (ascending backward carry + descending forward carry — the
+    * second pass re-sorts, it does not re-shuffle), then a per-row
+    * branchless pick. Numeric timestamps (the repo's long-nanos events
+    * contract) — distance is plain integer subtraction. Same
+    * dedup-right-by-(key, ts) determinism contract. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, valueCol: String, tieCol: String,
+      toleranceNs: Long = Long.MaxValue): DataFrame = {
+    require(toleranceNs >= 0, "toleranceNs >= 0")
+    val leftCols = left.columns
+    val reserved = Seq("side", "r_in", "b_in", "f_in", "asof_ts", s"asof_$valueCol")
+    require(!leftCols.exists(reserved.contains),
+      s"left input must not contain operator-internal columns ${reserved.mkString(", ")}")
+    val dedupRight = right
+      .groupBy(col(keyCol), col(tsCol).as("r_ts"))
+      .agg(max_by(col(valueCol), col(tieCol)).as("r_val"))
+    val rInType = new org.apache.spark.sql.types.StructType()
+      .add("r_ts", dedupRight.schema("r_ts").dataType)
+      .add("r_val", dedupRight.schema("r_val").dataType)
+    val taggedLeft = left
+      .withColumn("side", lit(1))
+      .withColumn("r_in", lit(null).cast(rInType))
+    val taggedRight = dedupRight
+      .select(Seq(col(keyCol), col("r_ts").as(tsCol), lit(0).as("side"),
+        struct(col("r_ts"), col("r_val")).as("r_in")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val unioned = taggedLeft.unionByName(taggedRight)
+    val part = Window.partitionBy(col(keyCol))
+    val wB = part.orderBy(col(tsCol), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = part.orderBy(col(tsCol).desc, col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bd = col(tsCol) - col("b_in.r_ts")   // >= 0 when b_in matched
+    val fd = col("f_in.r_ts") - col(tsCol)   // >= 0 when f_in matched
+    val bOk = col("b_in").isNotNull && bd <= toleranceNs
+    val fOk = col("f_in").isNotNull && fd <= toleranceNs
+    val chosen = when(bOk && (!fOk || bd <= fd), col("b_in"))
+      .when(fOk, col("f_in"))
+      .otherwise(lit(null).cast(rInType))
+    unioned
+      .withColumn("b_in", last(col("r_in"), ignoreNulls = true).over(wB))
+      .withColumn("f_in", last(col("r_in"), ignoreNulls = true).over(wF))
+      .where(col("side") === 1)
+      .withColumn("r_in", chosen)
+      .select(leftCols.map(col) :+
+        col("r_in.r_ts").as("asof_ts") :+
+        col("r_in.r_val").as(s"asof_$valueCol"): _*)
+  }
 }

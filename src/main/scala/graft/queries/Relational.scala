@@ -438,6 +438,64 @@ object Relational {
              |ORDER BY t.event_id""".stripMargin),
     ),
 
+    // NEAREST as-of with tolerance (pandas merge_asof
+    // direction='nearest'): each purchase takes the user's view CLOSEST
+    // in time — past or future, past winning exact ties — and matches
+    // farther than 10 minutes drop to NULL. One exchange, two sorted
+    // window carries, a branchless pick; the oracle composes DuckDB's
+    // two directional ASOF joins with the same tie/tolerance rule.
+    QueryDef(
+      "q363_asof_nearest",
+      (s, dir) => {
+        val ev = tbl(s, dir, "events")
+        val trades = ev.where($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts", $"value")
+        val quotes = ev.where($"event_type" === "view")
+        graft.operators.AsofJoin
+          .asofJoinNearest(trades, quotes, "user_id", "ts", "value",
+            "event_id", toleranceNs = 600000000000L)
+          .select($"event_id", $"user_id", expr("ts div 1000").as("ts_us"),
+            $"value", expr("asof_ts div 1000").as("asof_ts_us"), $"asof_value")
+          .orderBy($"event_id")
+      },
+      Some("""WITH quotes AS (
+             |  SELECT user_id, ts, max_by(value, event_id) AS r_val
+             |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+             |trades AS (
+             |  SELECT event_id, user_id, ts, value
+             |  FROM events WHERE event_type = 'purchase'),
+             |bk AS (
+             |  SELECT t.event_id, q.ts AS b_ts, q.r_val AS b_val
+             |  FROM trades t ASOF LEFT JOIN quotes q
+             |    ON t.user_id = q.user_id AND t.ts >= q.ts),
+             |fw AS (
+             |  SELECT t.event_id, q.ts AS f_ts, q.r_val AS f_val
+             |  FROM trades t ASOF LEFT JOIN quotes q
+             |    ON t.user_id = q.user_id AND t.ts <= q.ts),
+             |j AS (
+             |  SELECT t.event_id, t.user_id, epoch_ns(t.ts) AS ts_ns, t.value,
+             |    epoch_ns(b_ts) AS b_ns, b_val, epoch_ns(f_ts) AS f_ns, f_val
+             |  FROM trades t JOIN bk USING (event_id) JOIN fw USING (event_id)),
+             |p AS (
+             |  SELECT event_id, user_id, ts_ns, value,
+             |    CASE
+             |      WHEN b_ns IS NOT NULL AND ts_ns - b_ns <= 600000000000
+             |        AND (f_ns IS NULL OR f_ns - ts_ns > 600000000000
+             |             OR ts_ns - b_ns <= f_ns - ts_ns) THEN b_ns
+             |      WHEN f_ns IS NOT NULL AND f_ns - ts_ns <= 600000000000 THEN f_ns
+             |    END AS a_ns,
+             |    CASE
+             |      WHEN b_ns IS NOT NULL AND ts_ns - b_ns <= 600000000000
+             |        AND (f_ns IS NULL OR f_ns - ts_ns > 600000000000
+             |             OR ts_ns - b_ns <= f_ns - ts_ns) THEN b_val
+             |      WHEN f_ns IS NOT NULL AND f_ns - ts_ns <= 600000000000 THEN f_val
+             |    END AS a_val
+             |  FROM j)
+             |SELECT event_id, user_id, ts_ns // 1000 AS ts_us, value,
+             |  a_ns // 1000 AS asof_ts_us, a_val AS asof_value
+             |FROM p ORDER BY event_id""".stripMargin),
+    ),
+
     // Bucketed range join: views landing in each purchase's trailing hour,
     // per user — equi-join on (key, time bucket) + residual BETWEEN, not a
     // nested loop. Oracle = DuckDB's plain range join.

@@ -144,6 +144,56 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("nearest: hand semantics — closest wins, backward breaks ties, tolerance nulls") {
+    import spark.implicits._
+    val trades = Seq((1L, 1L, 10L, 0.0), (2L, 1L, 14L, 0.0), (3L, 1L, 100L, 0.0))
+      .toDF("event_id", "k", "ts", "value")
+    val quotes = Seq((101L, 1L, 8L, 8.0), (102L, 1L, 12L, 12.0), (103L, 1L, 16L, 16.0))
+      .toDF("event_id", "k", "ts", "value")
+    val got = AsofJoin.asofJoinNearest(trades, quotes, "k", "ts", "value",
+        "event_id", toleranceNs = 10L)
+      .collect().map(r => r.getLong(0) -> Option(r.get(5))).toMap
+    assert(got(1L).contains(8.0))  // dist 2 both ways -> backward wins
+    assert(got(2L).contains(12.0)) // 12 at dist 2 beats 16 at dist 2? no: dist(14,12)=2 dist(14,16)=2 -> backward
+    assert(got(3L).isEmpty)        // nearest (16) at dist 84 > tolerance 10
+  }
+
+  test("nearest property: agrees with the naive closest-within-tolerance formulation") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val rowGen = Gen.listOfN(18, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 9L),
+      Gen.choose(0, 99).map(_.toDouble)))
+    (0 until 10).foreach { i =>
+      Gen.zip(rowGen, rowGen).apply(Gen.Parameters.default, Seed(i.toLong)).foreach {
+        case (ts0, qs0) =>
+          val trades = ts0.zipWithIndex.map { case ((k, ts, v), j) => (j.toLong, k, ts, v) }
+            .toDF("event_id", "k", "ts", "value")
+          val quotes = qs0.zipWithIndex.map { case ((k, ts, v), j) => (100L + j, k, ts, v) }
+            .toDF("event_id", "k", "ts", "value")
+          val tol = 3L
+          val fast = AsofJoin.asofJoinNearest(trades, quotes, "k", "ts", "value",
+              "event_id", toleranceNs = tol)
+            .select(col("event_id"), col("asof_value")).collect()
+            .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+          // naive: dedup (k, ts) by max event_id, then per trade the
+          // closest within tolerance, backward winning distance ties
+          val dq = quotes.groupBy(col("k"), col("ts").as("r_ts"))
+            .agg(max_by(col("value"), col("event_id")).as("r_val"))
+          val naive = trades.as("t")
+            .join(dq.as("q"), col("t.k") === col("q.k") &&
+              abs(col("q.r_ts") - col("t.ts")) <= tol, "left")
+            .groupBy(col("t.event_id").as("event_id"))
+            .agg(max_by(col("q.r_val"),
+              struct((-abs(col("q.r_ts") - col("t.ts"))).as("nd"),
+                when(col("q.r_ts") <= col("t.ts"), 1).otherwise(0).as("bk")))
+              .as("nv"))
+            .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+          assert(fast == naive, s"seed $i")
+      }
+    }
+  }
+
   test("agrees with the naive O(T*Q) formulation on the events table") {
     import spark.implicits._
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
