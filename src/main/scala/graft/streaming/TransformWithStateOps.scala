@@ -308,6 +308,53 @@ object TransformWithStateOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class PairedOutcome(grp: String, aOk: Int, bOk: Int)
+  final case class McNemarReport(grp: String, n: Long, b: Long, c: Long,
+      chi2_ppm: Long)
+
+  /** Continuous McNEMAR per group — the streaming twin of
+    * [[graft.ext.Evaluation.mcnemar]] (the live A-vs-B classifier
+    * monitor): state is THREE scalar counters (n, b, c) maintained by
+    * deltas — the cheapest twin in the file (O(1) state, cost ∝ batch
+    * rows) — and the emitted chi2 matches the batch operator at every
+    * prefix (BigInt at the emit division mirrors the batch
+    * decimal(38,0) rail; both truncate a non-negative dividend). While
+    * b + c = 0 the statistic is undefined: the BATCH operator raises,
+    * but a stream must stay alive while disagreements have not yet
+    * arrived, so the twin emits the explicit −1 sentinel until the
+    * first asymmetric disagreement lands (spec-pinned both ways). */
+  final class McNemarProcessor
+      extends StatefulProcessor[String, PairedOutcome, McNemarReport] {
+
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("nbc",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[PairedOutcome],
+        timerValues: TimerValues): Iterator[McNemarReport] = {
+      var (n, b, c) = if (st.exists()) st.get() else (0L, 0L, 0L)
+      rows.foreach { r =>
+        n += 1L
+        if (r.aOk == 1 && r.bOk == 0) b += 1L
+        else if (r.aOk == 0 && r.bOk == 1) c += 1L
+      }
+      st.update((n, b, c))
+      val chi2 = if (b + c == 0L) -1L
+        else ((BigInt(b) - c).pow(2) * 1000000 / (BigInt(b) + c)).toLong
+      Iterator.single(McNemarReport(key, n, b, c, chi2))
+    }
+  }
+
+  def streamingMcNemar(ds: Dataset[PairedOutcome]): Dataset[McNemarReport] = {
+    implicit val outEnc: Encoder[McNemarReport] = Encoders.product[McNemarReport]
+    ds.groupByKey(_.grp)(Encoders.STRING)
+      .transformWithState(new McNemarProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class SourceGram(src: String, g: String)
   final case class BoilerCand(source: String, gram: String, lb: Long, n: Long)
 

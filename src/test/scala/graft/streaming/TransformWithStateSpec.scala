@@ -124,6 +124,43 @@ class TransformWithStateSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streamingMcNemar: per-group counts equal the batch operator at every prefix; -1 sentinel until first disagreement") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import TransformWithStateOps.{PairedOutcome, McNemarReport}
+      val latest = scala.collection.mutable.Map[String, McNemarReport]()
+      val input = MemoryStream[PairedOutcome]
+      val query = TransformWithStateOps.streamingMcNemar(input.toDS())
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[McNemarReport], _: Long) =>
+          df.collect().foreach(r => latest(r.grp) = r); ()
+        }.start()
+      try {
+        // wave 1: only agreements -> statistic undefined, sentinel -1
+        // (the batch operator RAISES here — the stream stays alive)
+        input.addData(PairedOutcome("m", 1, 1), PairedOutcome("m", 0, 0))
+        query.processAllAvailable()
+        assert(latest("m") == McNemarReport("m", 2L, 0L, 0L, -1L))
+        // waves 2..3: adversarial mixed outcomes; compare each prefix
+        // against the batch operator once b + c > 0
+        val rnd = new scala.util.Random(41)
+        var prefix = Seq((1, 1), (0, 0))
+        (1 to 2).foreach { _ =>
+          val wave = Seq.fill(200)((rnd.nextInt(2), rnd.nextInt(2)))
+          input.addData(wave.map { case (a, b) => PairedOutcome("m", a, b) }: _*)
+          query.processAllAvailable()
+          prefix = prefix ++ wave
+          val want = graft.ext.Evaluation.mcnemar(
+              prefix.toDF("a_ok", "b_ok"), "a_ok", "b_ok").head
+          assert(latest("m") == McNemarReport("m", want.getLong(0),
+            want.getLong(1), want.getLong(2), want.getLong(3)))
+        }
+      } finally query.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streamingWilson: per-key bound equals the batch operator at EVERY batch prefix") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
