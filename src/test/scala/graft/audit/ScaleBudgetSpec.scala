@@ -600,6 +600,42 @@ class ScaleBudgetSpec extends AnyFunSuite {
     assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q312 spilled")
   }
 
+  test("q355 butterfly census: co-pair partials cross the wire, never a butterfly materialization") {
+    val b = measure("q355_butterfly_count")
+    // one order-keyed wedge self-join + (r1, r2) rollup partials + a
+    // 1-row readout; materializing Σ C(w,2) butterflies would be
+    // combinatorially larger than the co-pair frame
+    assert(b.shuffleWriteBytes < 8 * MB, // measured 1.7 MB
+      s"butterfly shuffled beyond co-pair partials: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q355 spilled")
+  }
+
+  test("q357 spearman: distinct-value rank frames broadcast back; moments ride 1-row partials") {
+    val b = measure("q357_spearman")
+    // part rollup partials + two distinct-value rollups; the rank
+    // frames broadcast-join back so no row-sized exchange follows
+    assert(b.shuffleWriteBytes < 1 * MB, // measured 0.1 MB
+      s"spearman shuffled row-sized rank frames: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q357 spilled")
+  }
+
+  test("q359 map/mrr: broadcast query set — shuffle is the qid-windowed candidate frame") {
+    val b = measure("q359_map_mrr")
+    // 20 queries broadcast against the corpus; only (qid, nid, sim)
+    // candidates shuffle to the per-qid rank window, then 1-row means
+    assert(b.shuffleWriteBytes < 1 * MB, // measured < 0.1 MB
+      s"map/mrr shuffled vector payloads: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q359 spilled")
+  }
+
+  test("q364 degraded minutes: day-keyed sweep rows only — no global sort") {
+    val b = measure("q364_degraded_minutes")
+    // error events keyed by day for the islands sweep + island partials
+    assert(b.shuffleWriteBytes < 1 * MB, // measured < 0.1 MB
+      s"interval union shuffled beyond day-keyed events: shufW=${b.shuffleWriteBytes}")
+    assert(b.memorySpillBytes == 0 && b.diskSpillBytes == 0, "q364 spilled")
+  }
+
   test("per-task peak execution memory stays executor-slot-sized across the pinned families") {
     // at 100 TB an executor slot has ~1-4 GB of execution memory; a task
     // peaking far above that on sf0.01 inputs signals driver-ish state
