@@ -90,6 +90,28 @@ object IndexStore {
       .write.mode("append").partitionBy("cid").parquet(s"$path/invlists")
   }
 
+  /** IVF index HEALTH from a persisted index: per-list sizes, corpus
+    * share, and an over-target flag (list > 2× the balanced share) —
+    * the maintenance readout that decides when appends have skewed the
+    * lists enough to warrant a centroid retrain/split. Reads ONLY the
+    * `cid` PARTITION column of the inverted lists, so on a 100 TB index
+    * this touches directory metadata plus row counts, never vector
+    * payloads (column pruning on a partition column reads zero data
+    * pages). Integer-exact shares; output ordered by cid.
+    * Output: (cid, n, share_ppm, over_target). */
+  def ivfIndexHealth(spark: SparkSession, path: String): DataFrame = {
+    val nCents = readIvfCentroids(spark, path).size.toLong
+    val perList = spark.read.parquet(s"$path/invlists")
+      .select(col("cid").cast("long").as("cid"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    val total = perList.agg(coalesce(sum(col("n")), lit(0L)).as("total"))
+    perList.crossJoin(broadcast(total))
+      .select(col("cid"), col("n"),
+        expr("(cast(n as decimal(38,0)) * 1000000) div total").as("share_ppm"),
+        (col("n") * nCents > lit(2L) * col("total")).as("over_target"))
+      .orderBy(col("cid"))
+  }
+
   // ------------------------------------------------------------ MinHash
 
   /** Build and persist a MinHash index over k-shingle STRING sets: the

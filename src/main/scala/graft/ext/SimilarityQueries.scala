@@ -1233,5 +1233,50 @@ object SimilarityQueries {
              |  FROM sims) WHERE rk <= 3
              |ORDER BY qid, sim DESC, nid""".stripMargin),
     ),
+
+    // IVF index health after an append wave: per-list sizes, shares,
+    // and the over-target flag (> 2x the balanced share) — the
+    // maintenance readout deciding when appends have skewed the lists
+    // enough to retrain the coarse quantizer. Reads ONLY the cid
+    // partition column of the stored lists (zero vector payload I/O).
+    // The oracle re-derives every list size from the assignment rule.
+    QueryDef(
+      "q366_ivf_index_health",
+      (s, dir) => {
+        val emb = tbl(s, dir, "embeddings")
+        val cents: Array[(Long, Seq[Float], Double)] =
+          Similarity.withNorm(emb.where(col("vec_id") < 16), "embedding")
+            .select(col("vec_id").cast("long"), col("embedding"), col("nrm"))
+            .collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+            .sortBy(_._1)
+        val path = QueryDef.indexRoot(dir) + "/ivf_health"
+        IndexStore.writeIvfIndex(path, cents,
+          emb.where(col("vec_id") % 2 === 0), "embedding", "vec_id")
+        IndexStore.appendToIvfIndex(path,
+          emb.where(col("vec_id") % 2 =!= 0), "embedding", "vec_id")
+        IndexStore.ivfIndexHealth(s, path)
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id, embedding,
+             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+             |  FROM embeddings),
+             |cents AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+             |assign AS (
+             |  SELECT nid, cid FROM (
+             |    SELECT x.vec_id AS nid, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+             |        (list_sum([CAST(x.embedding[i] AS DOUBLE)*c.cv[i]
+             |                   FOR i IN generate_series(1,len(x.embedding))])/(x.nrm*c.cnrm)) DESC,
+             |        c.cid) AS crk
+             |    FROM n x CROSS JOIN cents c) WHERE crk = 1),
+             |pl AS (SELECT cid, COUNT(*) AS n FROM assign GROUP BY cid),
+             |t AS (SELECT SUM(n) AS total FROM pl)
+             |SELECT cid, CAST(n AS BIGINT) AS n,
+             |  CAST((CAST(n AS HUGEINT) * 1000000) // total AS BIGINT) AS share_ppm,
+             |  (n * 16 > 2 * total) AS over_target
+             |FROM pl, t ORDER BY cid""".stripMargin),
+    ),
   )
 }

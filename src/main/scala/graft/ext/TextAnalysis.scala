@@ -442,10 +442,40 @@ object TextAnalysis {
     * [[lexicalDiversity]].
     * Output: (grp, n_tokens, n_types, f1, f2, chao1, gt_unseen_ppm). */
   def vocabularyRichness(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    richnessFromCounts(tokenCounts(df, groupCol, textCol))
+
+  /** The (grp, tok, c) token-count frame behind [[vocabularyRichness]]
+    * — and the MAINTAINED STATE of [[incrementalTokenCounts]]: the
+    * rollup a streaming corpus accountant keeps instead of re-scanning
+    * the archive nightly. */
+  def tokenCounts(df: DataFrame, groupCol: String,
       textCol: String): DataFrame = df
     .select(col(groupCol).as("grp"),
       explode(tokens(col(textCol))).as("tok"))
     .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c"))
+
+  /** INCREMENTAL token counts: merge a DELTA of new documents into a
+    * maintained (grp, tok, c) frame — counts are a pure monoid, so the
+    * merged frame is bit-identical to re-rolling base ∪ delta while
+    * only the delta is ever tokenized (cost ∝ delta text + touched
+    * vocabulary; the archive is never re-read). Richness readouts
+    * ([[richnessFromCounts]]) over the maintained frame ≡ the batch
+    * operator, by composition — the corpus-accounting analog of the
+    * graph family's maintained forms. Contract: delta documents are
+    * NEW (an updated document must be retracted upstream first). */
+  def incrementalTokenCounts(prevCounts: DataFrame, deltaDf: DataFrame,
+      groupCol: String, textCol: String): DataFrame = prevCounts
+    .toDF("grp", "tok", "c")
+    .join(tokenCounts(deltaDf, groupCol, textCol)
+      .withColumnRenamed("c", "dc"), Seq("grp", "tok"), "full_outer")
+    .select(col("grp"), col("tok"),
+      (coalesce(col("c"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("c"))
+
+  /** Chao1/Good-Turing readout over a (grp, tok, c) frame — shared by
+    * the one-shot and maintained paths. */
+  def richnessFromCounts(counts: DataFrame): DataFrame = counts
+    .toDF("grp", "tok", "c")
     .groupBy(col("grp"))
     .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
       sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),

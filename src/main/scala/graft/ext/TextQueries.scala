@@ -1454,5 +1454,43 @@ object TextQueries {
              |    AS gt_unseen_ppm
              |FROM g ORDER BY grp""".stripMargin),
     ),
+
+    // INCREMENTAL vocabulary richness — the corpus-accounting analog of
+    // the graph family's maintained forms: the (source, token, count)
+    // frame is maintained by a document DELTA (only the delta is
+    // tokenized; the archive is never re-read) and the Chao1/
+    // Good-Turing readout runs over the maintained frame. Proof
+    // obligation: the oracle is the ONE-SHOT richness over ALL
+    // documents, so a pass proves maintained ≡ recompute.
+    QueryDef(
+      "q365_incremental_vocab",
+      (s, dir) => {
+        val docs = PinnedCache.pin(tbl(s, dir, "documents"))
+        val base = docs.where(col("doc_id") % 3 =!= 0)
+        val delta = docs.where(col("doc_id") % 3 === 0)
+        TextAnalysis.richnessFromCounts(
+            TextAnalysis.incrementalTokenCounts(
+              TextAnalysis.tokenCounts(base, "source", "text"),
+              delta, "source", "text"))
+          .orderBy(col("grp"))
+      },
+      Some("""WITH w AS (
+             |  SELECT source AS grp, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |tc AS (SELECT grp, tok, COUNT(*) AS c FROM w GROUP BY 1, 2),
+             |g AS (
+             |  SELECT grp, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+             |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+             |    SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+             |  FROM tc GROUP BY grp)
+             |SELECT grp, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(n_types AS BIGINT) AS n_types,
+             |  CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+             |  CAST(n_types + (CAST(f1 AS HUGEINT) * (f1 - 1)) // (2 * (f2 + 1))
+             |       AS BIGINT) AS chao1,
+             |  CAST((CAST(f1 AS HUGEINT) * 1000000) // n_tokens AS BIGINT)
+             |    AS gt_unseen_ppm
+             |FROM g ORDER BY grp""".stripMargin),
+    ),
   )
 }

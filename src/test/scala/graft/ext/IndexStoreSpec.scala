@@ -170,6 +170,23 @@ class IndexStoreSpec extends AnyFunSuite {
       .sortBy(_._1)
   }
 
+  test("ivfIndexHealth: shares are exact, flags fire only past 2x the balanced share") {
+    val path = tmpDir("health")
+    // 4 centroids; skew the corpus onto centroid 0 by writing the
+    // centroids as corpus members too (each list holds its centroid)
+    val cents = Similarity.trainCentroids(corpus, "embedding", k = 4,
+      iters = 2, idCol = "vec_id")
+    IndexStore.writeIvfIndex(path, cents, corpus, "embedding", "vec_id")
+    val h = IndexStore.ivfIndexHealth(spark, path).collect()
+    val total = h.map(_.getLong(1)).sum
+    assert(total == 200L) // every corpus vector in exactly one list
+    // shares are exact truncating ppm of the true counts
+    h.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) * 1000000L / total)
+      assert(r.getBoolean(3) == (r.getLong(1) * 4 > 2 * total))
+    }
+  }
+
   test("overwrite idempotence: a second write leaves answers unchanged") {
     val path = tmpDir("rewrite")
     val cents = Similarity.trainCentroids(corpus, "embedding", k = 4,

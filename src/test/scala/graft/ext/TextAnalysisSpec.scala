@@ -120,4 +120,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(g2.getLong(3) == 3L && g2.getLong(4) == 0L)
     assert(g2.getLong(5) == 6L && g2.getLong(6) == 1000000L)
   }
+
+  test("incrementalTokenCounts: maintained frame ≡ one-shot across 3 wave schedules") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps")
+    val docs = (0L until 60L).map(i => (i, s"s${i % 3}",
+      Seq.fill(1 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val all = docs.toDF("doc_id", "src", "text")
+    val batch = TextAnalysis.richnessFromCounts(
+      TextAnalysis.tokenCounts(all, "src", "text"))
+      .collect().map(_.toString).sorted.toSeq
+    Seq(2L, 7L, 13L).foreach { h =>
+      var counts = TextAnalysis.tokenCounts(
+        all.where(col("doc_id") * h % 4 === 0), "src", "text")
+        .localCheckpoint(true)
+      (1L to 3L).foreach { wv =>
+        counts = TextAnalysis.incrementalTokenCounts(counts,
+          all.where(col("doc_id") * h % 4 === wv), "src", "text")
+          .localCheckpoint(true)
+      }
+      val got = TextAnalysis.richnessFromCounts(counts.where(col("c") > 0))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == batch, s"schedule x$h diverged")
+    }
+  }
 }
