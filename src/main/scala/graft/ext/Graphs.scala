@@ -389,6 +389,79 @@ object Graphs {
         expr("b2 div 2").cast("long").as("butterflies"))
   }
 
+  // -------------------------------------------------------------- HyperANF
+
+  /** Per-V linear-counting estimates in MILLI-units: floor(1000 · m ·
+    * ln(m/V)) for V = 1..64, precomputed ONCE in Scala so the Spark
+    * plan and the generated oracle SQL carry the SAME integer literals
+    * — ln never executes in either engine. */
+  private[ext] val hyperAnfLinMilli: Seq[(Int, Long)] = (1 to 64).map(v =>
+    v -> math.floor(1000.0 * 64.0 * math.log(64.0 / v)).toLong)
+
+  /** HyperANF neighborhood function — the 100 TB-SCALE twin of q309's
+    * EXACT distance histogram (whose all-seeds MS-BFS holds seeds ×
+    * nodes state): each node carries a 64-register HLL of its t-ball,
+    * one register-max merge along edges per round, so state is nodes ×
+    * ≤64 small ints FOREVER and a round is ONE equi-join + ONE
+    * (node, bucket) max rollup — partial-agg absorbed map-side, cost
+    * ∝ edges · occupied-registers, never pairs. The same portable
+    * md5-register family as q133 ([[Sketches.hllRho]]), so the oracle
+    * replays every register bit.
+    *
+    * Readout per round, from the SPARSE frame (absent bucket ⇒ m = 0,
+    * so s_sum = Σ 2^(55−m) + (64 − occupied)·2^55 — no dense fill):
+    * per-node ball-size estimate in milli-units — the HLL raw
+    * estimate (the q133 literal fold, floored) when all 64 registers
+    * are hit, linear counting m·ln(m/V) via the PRECOMPUTED integer
+    * table [[hyperAnfLinMilli]] otherwise (ln never runs in-engine) —
+    * then ONE integer sum: N(t) ≈ Σ_v |B(v, t)|. Estimates are
+    * approximate (±~13 % at m = 64, the operator's honest contract —
+    * q309 is the exact path when seeds × nodes fits); every BIT is
+    * deterministic and oracle-replayable. HyperAnfSpec additionally
+    * pins register-set ≡ registers-of-the-exact-ball per node.
+    * Output: (t, n_nodes, n_saturated, sum_est_milli), t = 1..rounds. */
+  def hyperAnf(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 6, "rounds in [1,6]")
+    val e = edges.toDF("a", "b")
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    val h = Sampling.portableHash(col("node"))
+    var regs = sym.select(col("a").as("node")).distinct()
+      .select(col("node"), pmod(h, lit(64L)).as("bucket"),
+        Sketches.hllRho(h).as("m"))
+      .localCheckpoint(true)
+    val linMap = typedLit(hyperAnfLinMilli.toMap)
+    def readout(t: Int): DataFrame = regs
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("occ"),
+        sum(expr("shiftleft(1L, 55 - m)")).as("s_occ"))
+      .select(col("node"), (lit(64L) - col("occ")).as("v_zero"),
+        (col("s_occ") + (lit(64L) - col("occ")) * expr("shiftleft(1L, 55)"))
+          .as("s_sum"))
+      .select(col("node"),
+        when(col("v_zero") > 0,
+          element_at(linMap, col("v_zero").cast("int")))
+          .otherwise(floor(lit(1000.0) *
+            (lit(0.709) * lit(4096.0) * lit(3.6028797018963968e16) /
+              col("s_sum").cast("double"))).cast("long")).as("est_milli"),
+        col("v_zero"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("v_zero") === 0, 1L).otherwise(0L)).as("n_saturated"),
+        sum(col("est_milli")).as("sum_est_milli"))
+      .select(lit(t).as("t"), col("n_nodes"), col("n_saturated"),
+        col("sum_est_milli"))
+    val outs = (1 to rounds).map { t =>
+      regs = regs
+        .unionByName(sym
+          .join(regs.withColumnRenamed("node", "b"), "b")
+          .select(col("a").as("node"), col("bucket"), col("m")))
+        .groupBy(col("node"), col("bucket")).agg(max(col("m")).as("m"))
+        .localCheckpoint(true)
+      readout(t)
+    }
+    outs.reduce(_.unionByName(_)).orderBy(col("t"))
+  }
+
   /** INCREMENTAL butterflies — the SEVENTEENTH maintained form. State =
     * the co-pair frame w(r1, r2) ([[butterflyCopairs]]) — the
     * co-occurrence index a recommendation / co-cite pipeline maintains
