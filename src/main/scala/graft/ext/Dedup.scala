@@ -315,6 +315,25 @@ object Dedup {
       .withColumn("split", Sampling.splitColumn(col("root"), trainPct, valPct))
   }
 
+  /** Leakage-safe GROUP k-FOLD — [[leakageSafeSplit]]'s cross-validation
+    * sibling: fold = portable-hash(near-dup cluster ROOT) mod k, so a
+    * document and its near-copies can NEVER land in different folds —
+    * the train-on-folds≠i / eval-on-fold-i contract breaks the moment a
+    * near-copy crosses folds, and a plain per-id fold hash breaks it
+    * wherever the corpus has duplicates. Degenerates to the plain
+    * id-hash k-fold exactly when dup-free. Same shape as the split:
+    * one pair-sized CC pass + one left join onto the corpus.
+    * Output: (id, root, fold ∈ [0, k)). */
+  def groupKFold(docs: DataFrame, idCol: String, pairs: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 100, "k in [2,100]")
+    val roots = connectedComponents(pairs)
+    docs.select(col(idCol).as("id"))
+      .join(roots, Seq("id"), "left")
+      .withColumn("root", coalesce(col("root"), col("id")))
+      .withColumn("fold", Sampling.foldColumn(col("root"), k))
+  }
+
   /** Near-dup CLUSTERS (not just pairs): LSH pairs -> connected components
     * -> one row per multi-member cluster. Pair-wise "drop the higher id"
     * dedup is not transitive (a~b, b~c with a!~c drops b and c but keeps

@@ -1574,6 +1574,43 @@ object DedupQueries {
              |FROM j ORDER BY id""".stripMargin),
     ),
 
+    // Leakage-safe GROUP k-fold (q350's cross-validation sibling):
+    // fold = hash(near-dup cluster root) mod 5, so near-copies never
+    // straddle a CV train/eval boundary; dup-free documents fold by
+    // their own id. Same pair-sized CC + corpus left-join shape.
+    QueryDef(
+      "q368_group_kfold",
+      (s, dir) => Dedup.groupKFold(
+          tbl(s, dir, "documents"), "doc_id",
+          Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
+            .select(col("a_id"), col("b_id")),
+          k = 5)
+        .orderBy(col("id")),
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, list_distinct([tokens[i]||' '||tokens[i+1]||' '||tokens[i+2]
+             |                                FOR i IN generate_series(1, len(tokens)-2)]) AS s
+             |  FROM (SELECT doc_id, string_split(text,' ') AS tokens FROM documents)
+             |  WHERE len(tokens) >= 3),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+             |        /(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) >= 0.5),
+             |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+             |          UNION SELECT b_id, a_id FROM pairs),
+             |r(id, m) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.m),
+             |labels AS (SELECT id, MIN(m) AS root FROM r GROUP BY id),
+             |j AS (SELECT d.doc_id AS id, COALESCE(l.root, d.doc_id) AS root
+             |      FROM documents d LEFT JOIN labels l ON l.id = d.doc_id)
+             |SELECT id, root,
+             |  CAST(('0x' || substring(md5(CAST(root AS VARCHAR)),1,15))
+             |       AS BIGINT) % 5 AS fold
+             |FROM j ORDER BY id""".stripMargin),
+    ),
+
 
     // Near-dup pairs answered ENTIRELY from a PERSISTED MinHash index
     // (r13 verdict item 4, the dedup half of q351): the query builds the

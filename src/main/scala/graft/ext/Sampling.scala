@@ -37,6 +37,12 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** Deterministic k-fold assignment: fold = portable-hash(id) mod k —
+    * stable across runs, engines, and partitionings (the
+    * [[splitColumn]] recipe with k buckets instead of named splits). */
+  def foldColumn(idCol: Column, k: Int): Column =
+    pmod(portableHash(idCol), lit(k.toLong))
+
   /** Per-group deterministic downsampling at different rates — stratified
     * corpus rebalancing. `keepPct` maps group value -> percentage kept
     * (groups absent from the map keep 100%). Membership is the same

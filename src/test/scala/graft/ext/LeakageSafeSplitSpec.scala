@@ -67,4 +67,30 @@ class LeakageSafeSplitSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
     (1L to 40L).foreach(i => assert(rep(i) == after(i)))
   }
+
+  test("groupKFold: no cluster straddles folds; dup-free ≡ plain id folds; folds in [0,k)") {
+    val rnd = new scala.util.Random(77)
+    val ids = (1L to 150L)
+    val pairs = Seq.fill(80)((rnd.nextInt(70).toLong + 1, rnd.nextInt(70).toLong + 1))
+      .collect { case (x, y) if x != y => (math.min(x, y), math.max(x, y)) }
+      .distinct
+    val got = Dedup.groupKFold(ids.toDF("doc_id"), "doc_id",
+        pairs.toDF("a_id", "b_id"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall(t => t._3 >= 0L && t._3 < 5L))
+    // every member of a cluster shares its root's fold
+    val byId = got.map(t => t._1 -> t).toMap
+    got.groupBy(_._2).foreach { case (root, members) =>
+      assert(members.map(_._3).toSet.size == 1, s"cluster $root straddles folds")
+    }
+    // dup-free: identical to the plain per-id fold hash
+    val plain = Dedup.groupKFold((1L to 50L).toDF("doc_id"), "doc_id",
+        Seq.empty[(Long, Long)].toDF("a_id", "b_id"), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val direct = (1L to 50L).toDF("doc_id")
+      .select(col("doc_id"), Sampling.foldColumn(col("doc_id"), 5).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 50L).foreach(i => assert(plain(i) == direct(i)))
+    assert(byId.nonEmpty)
+  }
 }
