@@ -2689,50 +2689,78 @@ object GraphQueries {
     // q133 portable-register family plus a PRECOMPUTED linear-counting
     // table so ln never executes in either engine. Every register bit
     // and every floored estimate is oracle-replayed.
+    // INCREMENTAL HyperANF (the 18th maintained form): the register
+    // TRACE is built on 2/3 of the host edges, then maintained through
+    // the remaining third by diff propagation — previous-round diffs
+    // through base edges + delta-endpoint registers through delta
+    // edges; the stored trace is scanned/semi-joined, never re-run.
+    // Proof obligation: the oracle is the ONE-SHOT full-graph census,
+    // so a pass proves maintained-trace readout ≡ recompute bit for
+    // bit (every register included — the readout hashes them all).
+    QueryDef(
+      "q369_incremental_hyperanf",
+      (s, dir) => {
+        val g = PinnedCache.pin(hostLinkGraph(s, dir))
+        val base = PinnedCache.pin(
+          g.where(col("src") < col("dst") &&
+            (length(col("src")) + length(col("dst"))) % 3 =!= 0))
+        val delta = g.where(col("src") < col("dst") &&
+          (length(col("src")) + length(col("dst"))) % 3 === 0)
+        Graphs.hyperAnfFromTrace(Graphs.incrementalHyperAnfTrace(
+          Graphs.hyperAnfTrace(base, rounds = 3), base, delta))
+      },
+      Some(hyperAnfOracle),
+    ),
+
     QueryDef(
       "q367_hyperanf",
       (s, dir) => Graphs.hyperAnf(hostLinkGraph(s, dir), rounds = 3),
-      Some {
-        val lin = Graphs.hyperAnfLinMilli
-          .map { case (v, m) => s"($v, ${m}::BIGINT)" }.mkString(", ")
-        def round(prev: String, cur: String) =
-          s"""$cur AS (SELECT node, bucket, MAX(m) AS m FROM (
-             |    SELECT * FROM $prev UNION ALL
-             |    SELECT s.src AS node, r.bucket, r.m
-             |    FROM sym s JOIN $prev r ON r.node = s.dst) GROUP BY 1, 2)"""
-            .stripMargin
-        def readout(t: Int, cur: String) =
-          s"""p$t AS (SELECT node, 64 - COUNT(*) AS v_zero,
-             |    SUM(1::BIGINT << (55 - m))
-             |      + (64 - COUNT(*)) * (1::BIGINT << 55) AS s_sum
-             |  FROM $cur GROUP BY node),
-             |e$t AS (SELECT p.node, p.v_zero,
-             |    CASE WHEN p.v_zero > 0 THEN l.milli
-             |      ELSE CAST(FLOOR(1000.0 * (0.709 * 4096.0 * 3.6028797018963968e16
-             |                                / p.s_sum)) AS BIGINT) END AS est_milli
-             |  FROM p$t p LEFT JOIN lin l ON l.v = p.v_zero),
-             |rd$t AS (SELECT $t AS t, COUNT(*)::BIGINT AS n_nodes,
-             |    SUM(CASE WHEN v_zero = 0 THEN 1 ELSE 0 END)::BIGINT AS n_saturated,
-             |    SUM(est_milli)::BIGINT AS sum_est_milli
-             |  FROM e$t)""".stripMargin
-        hostGraphSql +
-          s""",
-             |lin(v, milli) AS (VALUES $lin),
-             |n0 AS (SELECT DISTINCT src AS node FROM sym),
-             |h0 AS (SELECT node,
-             |  CAST(('0x' || substring(md5(node),1,15)) AS BIGINT) AS h FROM n0),
-             |r0 AS (SELECT node, h % 64 AS bucket,
-             |  CASE WHEN h >> 6 = 0 THEN 55
-             |    ELSE 55 - length(bin(h >> 6)) END AS m FROM h0),
-             |${round("r0", "r1")},
-             |${round("r1", "r2")},
-             |${round("r2", "r3")},
-             |${readout(1, "r1")},
-             |${readout(2, "r2")},
-             |${readout(3, "r3")}
-             |SELECT * FROM rd1 UNION ALL SELECT * FROM rd2
-             |UNION ALL SELECT * FROM rd3 ORDER BY t""".stripMargin
-      },
+      Some(hyperAnfOracle),
     ),
   )
+
+  /** Full-graph HyperANF census over the host graph in DuckDB — shared
+    * by q367 (one-shot) and q369 (maintained-trace proof obligation):
+    * both must hash-match THIS derivation. */
+  private lazy val hyperAnfOracle: String = {
+    val lin = Graphs.hyperAnfLinMilli
+      .map { case (v, m) => s"($v, ${m}::BIGINT)" }.mkString(", ")
+    def round(prev: String, cur: String) =
+      s"""$cur AS (SELECT node, bucket, MAX(m) AS m FROM (
+         |    SELECT * FROM $prev UNION ALL
+         |    SELECT s.src AS node, r.bucket, r.m
+         |    FROM sym s JOIN $prev r ON r.node = s.dst) GROUP BY 1, 2)"""
+        .stripMargin
+    def readout(t: Int, cur: String) =
+      s"""p$t AS (SELECT node, 64 - COUNT(*) AS v_zero,
+         |    SUM(1::BIGINT << (55 - m))
+         |      + (64 - COUNT(*)) * (1::BIGINT << 55) AS s_sum
+         |  FROM $cur GROUP BY node),
+         |e$t AS (SELECT p.node, p.v_zero,
+         |    CASE WHEN p.v_zero > 0 THEN l.milli
+         |      ELSE CAST(FLOOR(1000.0 * (0.709 * 4096.0 * 3.6028797018963968e16
+         |                                / p.s_sum)) AS BIGINT) END AS est_milli
+         |  FROM p$t p LEFT JOIN lin l ON l.v = p.v_zero),
+         |rd$t AS (SELECT $t AS t, COUNT(*)::BIGINT AS n_nodes,
+         |    SUM(CASE WHEN v_zero = 0 THEN 1 ELSE 0 END)::BIGINT AS n_saturated,
+         |    SUM(est_milli)::BIGINT AS sum_est_milli
+         |  FROM e$t)""".stripMargin
+    hostGraphSql +
+      s""",
+         |lin(v, milli) AS (VALUES $lin),
+         |n0 AS (SELECT DISTINCT src AS node FROM sym),
+         |h0 AS (SELECT node,
+         |  CAST(('0x' || substring(md5(node),1,15)) AS BIGINT) AS h FROM n0),
+         |r0 AS (SELECT node, h % 64 AS bucket,
+         |  CASE WHEN h >> 6 = 0 THEN 55
+         |    ELSE 55 - length(bin(h >> 6)) END AS m FROM h0),
+         |${round("r0", "r1")},
+         |${round("r1", "r2")},
+         |${round("r2", "r3")},
+         |${readout(1, "r1")},
+         |${readout(2, "r2")},
+         |${readout(3, "r3")}
+         |SELECT * FROM rd1 UNION ALL SELECT * FROM rd2
+         |UNION ALL SELECT * FROM rd3 ORDER BY t""".stripMargin
+  }
 }

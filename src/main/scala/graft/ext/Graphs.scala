@@ -420,46 +420,173 @@ object Graphs {
     * deterministic and oracle-replayable. HyperAnfSpec additionally
     * pins register-set ≡ registers-of-the-exact-ball per node.
     * Output: (t, n_nodes, n_saturated, sum_est_milli), t = 1..rounds. */
-  def hyperAnf(edges: DataFrame, rounds: Int = 3): DataFrame = {
-    require(rounds >= 1 && rounds <= 6, "rounds in [1,6]")
+  def hyperAnf(edges: DataFrame, rounds: Int = 3): DataFrame =
+    hyperAnfFromTrace(hyperAnfTrace(edges, rounds))
+
+  /** Symmetrized, self-loop-free, deduplicated edge frame — the graph
+    * both HyperANF paths propagate along. */
+  private def hyperAnfSym(edges: DataFrame): DataFrame = {
     val e = edges.toDF("a", "b")
-    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .where(col("a") =!= col("b")).distinct()
+  }
+
+  /** Fresh singleton registers for a node frame (`node` column). */
+  private def hyperAnfSeed(nodes: DataFrame): DataFrame = {
     val h = Sampling.portableHash(col("node"))
-    var regs = sym.select(col("a").as("node")).distinct()
-      .select(col("node"), pmod(h, lit(64L)).as("bucket"),
-        Sketches.hllRho(h).as("m"))
+    nodes.select(col("node"), pmod(h, lit(64L)).as("bucket"),
+      Sketches.hllRho(h).as("m"))
+  }
+
+  /** One propagation step: every node receives its neighbors' registers
+    * (receiver `a` ← sender `b` along the symmetric edge frame). */
+  private def hyperAnfPropagate(sym: DataFrame, regs: DataFrame): DataFrame =
+    sym.join(regs.withColumnRenamed("node", "b"), "b")
+      .select(col("a").as("node"), col("bucket"), col("m"))
+
+  /** The HyperANF register TRACE — regs after round 0 (singletons) ..
+    * round `rounds`, each frame (node, bucket, m) checkpointed. This IS
+    * the maintained state of [[incrementalHyperAnfTrace]]: at 100 TB
+    * the trace is the artifact a nightly persists (nodes × ≤64 small
+    * ints per round) so the next delta never re-propagates the whole
+    * graph. */
+  def hyperAnfTrace(edges: DataFrame, rounds: Int = 3): Seq[DataFrame] = {
+    require(rounds >= 1 && rounds <= 6, "rounds in [1,6]")
+    val sym = hyperAnfSym(edges).localCheckpoint(true)
+    var regs = hyperAnfSeed(sym.select(col("a").as("node")).distinct())
       .localCheckpoint(true)
+    regs +: (1 to rounds).map { _ =>
+      regs = regs.unionByName(hyperAnfPropagate(sym, regs))
+        .groupBy(col("node"), col("bucket")).agg(max(col("m")).as("m"))
+        .localCheckpoint(true)
+      regs
+    }
+  }
+
+  /** Per-node ball estimate over one register frame: (node, v_zero,
+    * est_milli) — linear counting via the precomputed table while any
+    * register is empty, the q133 raw-estimate literal fold once all 64
+    * are hit. Shared by the one-shot and maintained readouts (the
+    * q367/q369 oracles replay it bit for bit). */
+  private def hyperAnfNodeEst(regs: DataFrame): DataFrame = {
     val linMap = typedLit(hyperAnfLinMilli.toMap)
-    def readout(t: Int): DataFrame = regs
-      .groupBy(col("node"))
+    regs.groupBy(col("node"))
       .agg(count(lit(1)).as("occ"),
         sum(expr("shiftleft(1L, 55 - m)")).as("s_occ"))
       .select(col("node"), (lit(64L) - col("occ")).as("v_zero"),
         (col("s_occ") + (lit(64L) - col("occ")) * expr("shiftleft(1L, 55)"))
           .as("s_sum"))
-      .select(col("node"),
+      .select(col("node"), col("v_zero"),
         when(col("v_zero") > 0,
           element_at(linMap, col("v_zero").cast("int")))
           .otherwise(floor(lit(1000.0) *
             (lit(0.709) * lit(4096.0) * lit(3.6028797018963968e16) /
-              col("s_sum").cast("double"))).cast("long")).as("est_milli"),
-        col("v_zero"))
-      .agg(count(lit(1)).as("n_nodes"),
-        sum(when(col("v_zero") === 0, 1L).otherwise(0L)).as("n_saturated"),
-        sum(col("est_milli")).as("sum_est_milli"))
-      .select(lit(t).as("t"), col("n_nodes"), col("n_saturated"),
-        col("sum_est_milli"))
-    val outs = (1 to rounds).map { t =>
-      regs = regs
-        .unionByName(sym
-          .join(regs.withColumnRenamed("node", "b"), "b")
-          .select(col("a").as("node"), col("bucket"), col("m")))
-        .groupBy(col("node"), col("bucket")).agg(max(col("m")).as("m"))
-        .localCheckpoint(true)
-      readout(t)
-    }
-    outs.reduce(_.unionByName(_)).orderBy(col("t"))
+              col("s_sum").cast("double"))).cast("long")).as("est_milli"))
+  }
+
+  /** The q367 output read off a register trace: one census row per
+    * round t = 1..R. */
+  def hyperAnfFromTrace(trace: Seq[DataFrame]): DataFrame =
+    trace.tail.zipWithIndex.map { case (regs, i) =>
+      hyperAnfNodeEst(regs)
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(when(col("v_zero") === 0, 1L).otherwise(0L)).as("n_saturated"),
+          sum(col("est_milli")).as("sum_est_milli"))
+        .select(lit(i + 1).as("t"), col("n_nodes"), col("n_saturated"),
+          col("sum_est_milli"))
+    }.reduce(_.unionByName(_)).orderBy(col("t"))
+
+  /** INCREMENTAL HyperANF — the EIGHTEENTH maintained form: update the
+    * register trace for a DISJOINT edge delta by propagating register
+    * DIFFS, never re-running the R rounds over the whole graph.
+    *
+    * Exactness (induction over rounds): write the new round-k frame as
+    * regs'_k = merge(regs_k, d_k) with d_k = entries strictly above
+    * the stored trace. The batch recurrence regs'_k =
+    * merge(regs'_{k−1}, P_new(regs'_{k−1})) expands, using P_new =
+    * P_base ∪ P_delta and merge(regs_{k−1}, P_base(regs_{k−1})) =
+    * regs_k (the stored trace), to
+    *   regs'_k = merge(regs_k, d_{k−1}, P_base(d_{k−1}),
+    *                   P_delta(regs'_{k−1})),
+    * so the only NEW mass each round flows from (a) the previous
+    * round's diffs through base edges, (b) the previous full frame
+    * restricted to DELTA ENDPOINTS through delta edges, (c) brand-new
+    * nodes' singletons (the round-0 diff). Register max is an
+    * idempotent commutative monoid, so merging candidates that turn
+    * out not to exceed the trace is harmless — d_k is re-derived by
+    * comparison against the stored round-k frame, which also retires
+    * diffs the base graph catches up to one round later.
+    *
+    * Scale shape: every candidate frame is DIFF/ball-sized (broadcast-
+    * hinted when small); the stored trace is only SCANNED — semi-joined
+    * down to delta endpoints for (b) and left-joined against
+    * candidate-keyed diffs for the comparison — never exchanged. The
+    * returned trace shares every untouched register row with the input
+    * verbatim (merge is a ball-sized full-outer per round).
+    * Contract: delta disjoint from base, both deduplicated undirected
+    * pairs. IncrementalHyperAnfSpec pins trace ≡ batch per round
+    * across schedules; [[hyperAnfFromTrace]] over the result ≡ the
+    * one-shot census (the q369 oracle). */
+  def incrementalHyperAnfTrace(trace: Seq[DataFrame], baseEdges: DataFrame,
+      deltaEdges: DataFrame): Seq[DataFrame] = {
+    val rounds = trace.size - 1
+    require(rounds >= 1, "trace must hold round 0 plus >= 1 round")
+    // the maintained-form contract (deduplicated canonical pairs, like
+    // every incremental operator here) lets base symmetrize WITHOUT the
+    // distinct — map-side only, so the repeated per-round uses never
+    // exchange the graph (hyperAnfSym's dedup would re-shuffle all of
+    // base on every action; measured 2/3 of the maintenance bytes)
+    val eB = baseEdges.toDF("a", "b")
+    val symB = eB
+      .unionByName(eB.select(col("b").as("a"), col("a").as("b")))
+      .where(col("a") =!= col("b"))
+    val symD = hyperAnfSym(deltaEdges).localCheckpoint(true)
+    val hint = frontierHinter(symB)
+    val dEnds = symD.select(col("a").as("node")).distinct().localCheckpoint(true)
+    def norm(df: DataFrame) = df.toDF("node", "bucket", "m")
+    // round-0 diff: singletons of nodes the base graph has never seen.
+    // Membership against the node-sized trace head goes semi-then-anti
+    // (scan the trace, broadcast only dEnds-sized frames) — a direct
+    // anti-join would exchange the whole node universe
+    val knownEnds = norm(trace.head).select(col("node"))
+      .join(hint(dEnds), Seq("node"), "left_semi").distinct()
+    val newNodes = dEnds.join(hint(knownEnds), Seq("node"), "left_anti")
+    var d = hyperAnfSeed(newNodes).localCheckpoint(true)
+    val newTrace = Seq(trace.head.unionByName(d).localCheckpoint(true)) ++
+      (1 to rounds).map { k =>
+        // regs'_{k-1} at delta endpoints = merge(trace(k-1)|dEnds, d|dEnds)
+        val primeAtEnds = norm(trace(k - 1))
+          .join(hint(dEnds), Seq("node"), "left_semi")
+          .unionByName(d.join(hint(dEnds), Seq("node"), "left_semi"))
+        val cand = d
+          .unionByName(hyperAnfPropagate(symB, hint(d)))
+          .unionByName(hyperAnfPropagate(symD, primeAtEnds))
+          .groupBy(col("node"), col("bucket")).agg(max(col("m")).as("m"))
+          .localCheckpoint(true)
+        // compare against the stored round-k frame WITHOUT exchanging it:
+        // restrict the trace to candidate keys by broadcast semi-join
+        // (scan-only), then broadcast the restricted side into the left
+        // join — a direct left join would SortMergeJoin the node-sized
+        // checkpoint-blinded trace (the r13 lesson)
+        val traceAtCand = norm(trace(k))
+          .join(hint(cand.select(col("node"), col("bucket"))),
+            Seq("node", "bucket"), "left_semi")
+        d = cand
+          .join(hint(traceAtCand.withColumnRenamed("m", "old_m")),
+            Seq("node", "bucket"), "left")
+          .where(col("old_m").isNull || col("m") > col("old_m"))
+          .select(col("node"), col("bucket"), col("m"))
+          .localCheckpoint(true)
+        // merged round-k frame: untouched rows verbatim via a broadcast
+        // ANTI-join (d.m > old m by construction, so d rows override) —
+        // a full-outer here would SortMergeJoin and exchange the
+        // node-sized trace, the exact shape the r13 reshape removed
+        norm(trace(k))
+          .join(hint(d), Seq("node", "bucket"), "left_anti")
+          .unionByName(d)
+          .localCheckpoint(true)
+      }
+    newTrace
   }
 
   /** INCREMENTAL butterflies — the SEVENTEENTH maintained form. State =

@@ -90,6 +90,31 @@ class MaintenanceCostSpec extends AnyFunSuite {
       "maintenance bytes must grow with the delta (touched-region proportionality)")
   }
 
+  test("incremental HyperANF, ring forest: diff-propagation shuffle far below the full re-run") {
+    val all = ringForest(1000000L)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().localCheckpoint(true)
+    val (base, dSmall, dBig) = split(all)
+    val trace = Graphs.hyperAnfTrace(base, rounds = 2)
+
+    val (msR, bR) = timed(noop(
+      Graphs.hyperAnfTrace(all, rounds = 2).last))
+    val (msS, bS) = timed(noop(
+      Graphs.incrementalHyperAnfTrace(trace, base, dSmall).last))
+    val (msB, bB) = timed(noop(
+      Graphs.incrementalHyperAnfTrace(trace, base, dBig).last))
+    info(s"hyperanf recompute:    ${msR}ms ${bR.pretty}")
+    info(s"hyperanf maint 0.125%: ${msS}ms ${bS.pretty}")
+    info(s"hyperanf maint 0.5%:   ${msB}ms ${bB.pretty}")
+    // recompute re-propagates EVERY node's registers through every edge
+    // each round; maintenance only moves diffs + delta-endpoint frames
+    assert(bS.shuffleWriteBytes * 10 < bR.shuffleWriteBytes,
+      s"small-delta maintenance (${bS.shuffleWriteBytes}) not >=10x below recompute (${bR.shuffleWriteBytes})")
+    assert(bS.shuffleWriteBytes <= bB.shuffleWriteBytes,
+      "maintenance bytes must grow with the delta")
+  }
+
   test("incremental labeled BFS, ring forest: bytes track the delta (batch BFS is already output-bounded)") {
     val all = ringForest(1000000L).localCheckpoint(true)
     val (base, dSmall, dBig) = split(all)
