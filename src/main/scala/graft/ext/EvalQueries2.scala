@@ -1460,6 +1460,59 @@ object EvalQueries2 {
              |FROM agg""".stripMargin),
     ),
 
+    // Precision/recall threshold sweep over cosine pair scores judged
+    // by label agreement — q359's scorecard asks "how good is the
+    // ranking?"; this asks the OPERATING-POINT question: at which
+    // similarity cutoff does same-class retrieval hit the target
+    // precision? Thresholds in integer basis points (identical double
+    // re-derivation in both engines); NULL precision when a cutoff
+    // predicts nothing — an honest no-operating-point.
+    QueryDef(
+      "q370_pr_curve",
+      (s, dir) => {
+        val n = Similarity.withNorm(tbl(s, dir, "embeddings"), "embedding")
+        val q = n.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("v_q"),
+            col("nrm").as("nrm_q"), col("label").as("qlab"))
+        val scored = n.crossJoin(broadcast(q))
+          .where(col("qid") =!= col("vec_id"))
+          .select(
+            (Similarity.dot(col("v_q"), col("embedding")) /
+              (col("nrm_q") * col("nrm"))).as("score"),
+            when(col("qlab") === col("label"), 1L).otherwise(0L).as("pos"))
+        Evaluation.prCurve(scored, Seq(-1000, 0, 500, 1000, 2000))
+      },
+      Some("""WITH n AS (
+             |  SELECT vec_id, label, embedding,
+             |    sqrt(list_sum([CAST(embedding[i] AS DOUBLE)*embedding[i]
+             |                   FOR i IN generate_series(1,len(embedding))])) AS nrm
+             |  FROM embeddings),
+             |s AS (
+             |  SELECT CASE WHEN q.label = c.label THEN 1 ELSE 0 END AS pos,
+             |    list_sum([CAST(q.embedding[i] AS DOUBLE)*c.embedding[i]
+             |              FOR i IN generate_series(1,len(q.embedding))])/(q.nrm*c.nrm) AS score
+             |  FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id != c.vec_id),
+             |th(theta_bp) AS (VALUES (-1000), (0), (500), (1000), (2000)),
+             |x AS (SELECT theta_bp, pos,
+             |        score >= CAST(theta_bp AS DOUBLE)/10000.0 AS pred
+             |      FROM s CROSS JOIN th),
+             |g AS (
+             |  SELECT theta_bp,
+             |    SUM(CASE WHEN pos = 1 AND pred THEN 1 ELSE 0 END) AS tp,
+             |    SUM(CASE WHEN pos = 0 AND pred THEN 1 ELSE 0 END) AS fp,
+             |    SUM(CASE WHEN pos = 1 AND NOT pred THEN 1 ELSE 0 END) AS fn
+             |  FROM x GROUP BY 1)
+             |SELECT theta_bp, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+             |  CAST(fn AS BIGINT) AS fn,
+             |  CAST(CASE WHEN tp + fp > 0
+             |    THEN (CAST(tp AS HUGEINT) * 1000000) // (tp + fp) END AS BIGINT)
+             |    AS precision_ppm,
+             |  CAST(CASE WHEN tp + fn > 0
+             |    THEN (CAST(tp AS HUGEINT) * 1000000) // (tp + fn) END AS BIGINT)
+             |    AS recall_ppm
+             |FROM g ORDER BY theta_bp""".stripMargin),
+    ),
+
     // McNemar's paired test: do the cheap length filter (n_chars >= 300)
     // and the cheap token filter (>= 60 whitespace tokens) make
     // DIFFERENT mistakes predicting English? Both classifiers score the

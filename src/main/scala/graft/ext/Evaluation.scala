@@ -481,6 +481,37 @@ object Evaluation {
           .as("mrr_ppm"))
   }
 
+  /** PRECISION/RECALL curve over a scored pair frame — the threshold
+    * sweep that turns a similarity scorer into an operating point
+    * ("ship near-dup review at θ = ?"). Input: (score double, pos 0/1).
+    * Thresholds ride as integer BASIS POINTS (θ = bp/10⁴ — the double
+    * literal re-derives identically in the oracle, no float-literal
+    * drift); one |θ|-way map-side fan-out + one rollup — partial
+    * aggregation absorbs the fan-out before the exchange, so the wire
+    * carries |θ| count rows. precision_ppm is NULL when nothing is
+    * predicted positive at θ (an honest "no operating point", not a 0);
+    * recall's denominator (total positives) never changes with θ.
+    * Output: (theta_bp, tp, fp, fn, precision_ppm, recall_ppm). */
+  def prCurve(scored: DataFrame, thetaBps: Seq[Int]): DataFrame = {
+    require(thetaBps.nonEmpty && thetaBps == thetaBps.sorted,
+      "thresholds: non-empty, ascending basis points")
+    val s = scored.toDF("score", "pos")
+    s.select(col("score"), col("pos"),
+        explode(typedLit(thetaBps)).as("theta_bp"))
+      .withColumn("pred",
+        col("score") >= col("theta_bp").cast("double") / 10000.0)
+      .groupBy(col("theta_bp"))
+      .agg(sum(when(col("pos") === 1 && col("pred"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pos") === 0 && col("pred"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("pos") === 1 && !col("pred"), 1L).otherwise(0L)).as("fn"))
+      .select(col("theta_bp"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          expr("(tp * 1000000) div (tp + fp)")).as("precision_ppm"),
+        when(col("tp") + col("fn") > 0,
+          expr("(tp * 1000000) div (tp + fn)")).as("recall_ppm"))
+      .orderBy(col("theta_bp"))
+  }
+
   /** McNEMAR's paired test on two classifiers against the same truth:
     * b = A right & B wrong, c = A wrong & B right; the statistic
     * (b−c)²/(b+c) decides whether the two disagree SYSTEMATICALLY —

@@ -84,6 +84,25 @@ class RankingMetricsSpec extends AnyFunSuite {
     assert(row.getLong(3) == 500000L) // (10^6 + 0) / 2
   }
 
+  test("prCurve: hand-computed counts, NULL precision at an empty cutoff, recall monotone") {
+    // scores: pos at 0.9, 0.6; neg at 0.8, 0.1
+    val scored = Seq((0.9, 1L), (0.6, 1L), (0.8, 0L), (0.1, 0L))
+      .toDF("score", "pos")
+    val rows = Evaluation.prCurve(scored, Seq(0, 7000, 8500, 9500))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), Option(r.get(4)), Option(r.get(5))))
+      .toMap
+    assert(rows(0) == ((2L, 2L, 0L, Some(500000L), Some(1000000L))))
+    assert(rows(7000) == ((1L, 1L, 1L, Some(500000L), Some(500000L))))
+    assert(rows(8500) == ((1L, 0L, 1L, Some(1000000L), Some(500000L))))
+    // nothing clears 0.95: precision NULL (no operating point), recall 0
+    assert(rows(9500) == ((0L, 0L, 2L, None, Some(0L))))
+    // recall never increases as the threshold rises
+    val recalls = Evaluation.prCurve(scored, Seq(0, 7000, 8500, 9500))
+      .orderBy(col("theta_bp")).collect().map(r => r.getLong(1) + r.getLong(3))
+    assert(recalls.toSet.size == 1) // tp + fn constant: denominator fixed
+  }
+
   test("mcnemar: exact chi2 ppm and the loud b+c=0 raise") {
     // b=5, c=2 -> chi2 = 9/7 -> 1285714 ppm
     val d = (Seq.fill(5)((1L, 0L)) ++ Seq.fill(2)((0L, 1L)) ++
