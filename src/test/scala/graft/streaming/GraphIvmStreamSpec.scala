@@ -171,6 +171,40 @@ class GraphIvmStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("bipartite form: butterfly co-pairs maintained through foreachBatch waves equal the one-shot batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val all = (0 until 400).map(_ =>
+      (rnd.nextInt(40).toLong, 100L + rnd.nextInt(25))).distinct
+    val batchPairs = Graphs.butterflyCopairs(all.toDF("l", "r"))
+      .collect().map(_.toString).sorted.toSeq
+    val batchCensus = Graphs.butterflyCount(all.toDF("l", "r")).head.toString
+    val head = all.filter(e => (e._1 + e._2) % 4 == 0)
+    val waves = (1 to 3).map(w => all.filter(e => (e._1 + e._2) % 4 == w))
+    var base = head
+    var pairs = Graphs.butterflyCopairs(head.toDF("l", "r")).localCheckpoint(true)
+    val input = MemoryStream[EdgeRow]
+    val query = input.toDS().writeStream.outputMode("append")
+      .foreachBatch { (df: Dataset[EdgeRow], _: Long) =>
+        val rows = df.collect()
+        if (rows.nonEmpty) {
+          val delta = rows.map(e => (e.a, e.b)).toSeq
+          pairs = Graphs.incrementalButterflyCopairs(pairs,
+            base.toDF("l", "r"), delta.toDF("l", "r")).localCheckpoint(true)
+          base = base ++ delta
+        }
+        ()
+      }.start()
+    try waves.foreach { w =>
+      input.addData(w.map(e => EdgeRow(e._1, e._2)): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(pairs.collect().map(_.toString).sorted.toSeq == batchPairs,
+      "streamed co-pair frame diverged from one-shot")
+    assert(Graphs.butterflyReadout(pairs).head.toString == batchCensus,
+      "streamed census diverged")
+  }
+
   test("scalar form: assortativity stats THREADED across foreachBatch waves equal the one-shot batch") {
     implicit val sqlCtx = spark.sqlContext
     val batchR = Graphs.degreeAssortativity(edges.toDF("a", "b"))
