@@ -42,9 +42,28 @@ object SparkEntry {
 
   /** Session settings every entry point needs: ns-precision parquet (events
     * table) read as long nanos — Spark has no TIMESTAMP(NANOS) type — and
-    * UTC everywhere. */
+    * UTC everywhere.
+    *
+    * The four tuning knobs below are env-parameterised (optimization-guide
+    * §2.2/§3.1/§9 levers; see OPTIMIZATION_r14.md for the A/B numbers that
+    * picked the defaults). All are scale-adaptive, not local-mode hacks:
+    * AQE coalescing sizes post-shuffle partitions from measured bytes
+    * (parallelismFirst=false honours the advisory target, the documented
+    * recommendation), and shuffled-hash join replaces sort-merge only when
+    * a per-partition build side provably fits under the local-map
+    * threshold at runtime. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
+    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "64m"))
+    .config("spark.sql.join.preferSortMergeJoin",
+      sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "true"))
+    .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+      sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP", "0"))
+    .config("spark.sql.autoBroadcastJoinThreshold",
+      sys.env.getOrElse("SPARK_GRAFT_AUTO_BROADCAST", "64m"))
 }

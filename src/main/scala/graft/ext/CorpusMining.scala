@@ -385,9 +385,10 @@ object CorpusMining {
     require(minSup >= 2, "minSup >= 2 (1 would emit every basket triple)")
     val b = PinnedCache.pin(baskets
       .select(col(basketCol).as("ok"), col(itemCol).as("pk")).distinct())
-    val orderPairs = PinnedCache.pin(b.as("x").join(b.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.ok").as("ok"), col("x.pk").as("p1"), col("y.pk").as("p2")))
+    // single-shuffle per-basket pair expansion (guide §2.3/§2.4 — see
+    // Graphs.basketPairsPerBasket; identical pair multiset to the old
+    // b ⋈ b self-join since b is per-basket distinct)
+    val orderPairs = PinnedCache.pin(Graphs.basketPairsPerBasket(b))
     val fpairs = PinnedCache.pin(orderPairs.groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("n")).where(col("n") >= minSup)
       .select(col("p1"), col("p2")))
@@ -420,9 +421,8 @@ object CorpusMining {
       .select(col(basketCol).as("ok"), col(itemCol).as("pk")).distinct())
     val nBaskets = b.select(col("ok")).distinct().count()
     val itemSup = b.groupBy(col("pk")).agg(count(lit(1)).as("cs"))
-    val pairSup = PinnedCache.pin(b.as("x").join(b.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("p1"), col("y.pk").as("p2"))
+    val pairSup = PinnedCache.pin(Graphs.basketPairsPerBasket(b)
+      .groupBy(col("p1"), col("p2"))
       .agg(count(lit(1)).as("ps")).where(col("ps") >= minSup))
     val triples = PinnedCache.pin(
       frequentTriples(baskets, basketCol, itemCol, minSup))

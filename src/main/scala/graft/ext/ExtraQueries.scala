@@ -33,10 +33,18 @@ object ExtraQueries {
     val srcH = d.select(col("doc_id"),
       Web.hostOf(Web.fixtureUrl(col("doc_id"), col("source"), col("lang")))
         .as("src"))
-    val e = links.join(srcH, "doc_id")
-      .select(col("src"), col("dst")).distinct()
-    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    // ONE distinct instead of two (guide §2.4): canonicalize each link to
+    // (min, max) BEFORE the dedup, then emit both orientations from the
+    // deduplicated canonical set — (src<dst) rows and their reverses are
+    // disjoint by construction and self-loops appear exactly once, so the
+    // union needs no second full-graph distinct. The produced edge SET is
+    // identical to distinct(e ∪ reverse(e)) of the raw links.
+    val canon = links.join(srcH, "doc_id")
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst")).distinct()
+    canon.unionByName(
+      canon.where(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst")))
   }
 
   /** DuckDB replica of [[hostLinkGraph]]: CTE chain ending in `sym`

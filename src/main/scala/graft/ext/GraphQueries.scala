@@ -193,9 +193,7 @@ object GraphQueries {
       (s, dir) => {
         val li = tbl(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val edges = li.as("x").join(li.as("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+        val edges = Graphs.basketPairs(li)
         Graphs.triangleCounts(edges).orderBy(col("node"))
       },
       Some("""WITH e AS (
@@ -236,9 +234,7 @@ object GraphQueries {
       (s, dir) => {
         val li = tbl(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val edges = li.as("x").join(li.as("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+        val edges = Graphs.basketPairs(li)
         Graphs.kCorePeel(edges, k = 85, rounds = 4).orderBy(col("node"))
       },
       Some({
@@ -410,10 +406,8 @@ object GraphQueries {
       (s, dir) => {
         val li = tbl(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val edges = li.as("x").join(li.as("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
-        Graphs.labelPropagation(edges, rounds = 3)
+        val edges = Graphs.basketPairs(li)
+        Graphs.labelPropagation(edges, rounds = 3, canonicalInput = true)
           .withColumnRenamed("lab", "label")
           .orderBy(col("node"))
       },
@@ -892,7 +886,7 @@ object GraphQueries {
         val base = pairs.where((col("a") + col("b")) % 2 === 0)
         val delta = pairs.where((col("a") + col("b")) % 2 === 1)
         Graphs.incrementalLabelPropagation(
-            Graphs.labelPropagation(base, rounds = 2), base, delta, rounds = 2)
+            Graphs.labelPropagation(base, rounds = 2, canonicalInput = true), base, delta, rounds = 2)
           .withColumnRenamed("lab", "label")
           .orderBy(col("node"))
       },
@@ -1060,7 +1054,7 @@ object GraphQueries {
         val pairs = PinnedCache.pin(
           Dedup.jaccardPairs(tbl(s, dir, "documents"), "text", "doc_id", 0.5)
             .select(col("a_id").as("a"), col("b_id").as("b")))
-        val lab = PinnedCache.pin(Graphs.labelPropagation(pairs, rounds = 2))
+        val lab = PinnedCache.pin(Graphs.labelPropagation(pairs, rounds = 2, canonicalInput = true))
         val m = pairs.agg(count(lit(1)).as("m"))
         val withLab = pairs
           .join(lab.select(col("node").as("a"), col("lab").as("la")), "a")
@@ -1433,14 +1427,12 @@ object GraphQueries {
       (s, dir) => {
         val li = tbl(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val edges = PinnedCache.pin(li.as("x").join(li.as("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct())
+        val edges = PinnedCache.pin(Graphs.basketPairs(li))
         // rounds = 2: the 3-round assignment collapses this dense graph to
         // ~3 giant communities (a 3-row readout); 2 rounds keep ~40 — the
         // mesoscale grain a curator actually scores
         Graphs.modularityByCommunity(edges,
-            Graphs.labelPropagation(edges, rounds = 2))
+            Graphs.labelPropagation(edges, rounds = 2, canonicalInput = true))
           .orderBy(col("label"))
       },
       Some({
@@ -1656,7 +1648,7 @@ object GraphQueries {
             .select(col("a_id").as("a"), col("b_id").as("b")))
         val base = PinnedCache.pin(pairs.where((col("a") + col("b")) % 2 === 0))
         val delta = pairs.where((col("a") + col("b")) % 2 === 1)
-        val prevLabels = Graphs.labelPropagation(base, rounds = 2)
+        val prevLabels = Graphs.labelPropagation(base, rounds = 2, canonicalInput = true)
         val newLabels = Graphs.incrementalLabelPropagation(
           prevLabels, base, delta, rounds = 2)
         Graphs.incrementalModularity(
@@ -1722,11 +1714,9 @@ object GraphQueries {
       (s, dir) => {
         val li = tbl(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val edges = PinnedCache.pin(li.as("x").join(li.as("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct())
+        val edges = PinnedCache.pin(Graphs.basketPairs(li))
         Graphs.conductanceByCommunity(edges,
-            Graphs.labelPropagation(edges, rounds = 2))
+            Graphs.labelPropagation(edges, rounds = 2, canonicalInput = true))
           .orderBy(col("label"))
       },
       Some({
@@ -1788,7 +1778,7 @@ object GraphQueries {
             .select(col("a_id").as("a"), col("b_id").as("b")))
         val base = PinnedCache.pin(pairs.where((col("a") + col("b")) % 2 === 0))
         val delta = pairs.where((col("a") + col("b")) % 2 === 1)
-        val prevLabels = Graphs.labelPropagation(base, rounds = 2)
+        val prevLabels = Graphs.labelPropagation(base, rounds = 2, canonicalInput = true)
         val newLabels = Graphs.incrementalLabelPropagation(
           prevLabels, base, delta, rounds = 2)
         Graphs.incrementalConductance(
@@ -2453,12 +2443,10 @@ object GraphQueries {
       (s, dir) => {
         val li = tbl(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val edges = PinnedCache.pin(li.as("x").join(li.as("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct())
+        val edges = PinnedCache.pin(Graphs.basketPairs(li))
         Graphs.randIndex(
-          Graphs.labelPropagation(edges, rounds = 2),
-          Graphs.labelPropagation(edges, rounds = 3))
+          Graphs.labelPropagation(edges, rounds = 2, canonicalInput = true),
+          Graphs.labelPropagation(edges, rounds = 3, canonicalInput = true))
       },
       Some({
         val round = (i: Int) =>
@@ -2505,9 +2493,7 @@ object GraphQueries {
       (s, dir) => {
         val li = tbl(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val edges = li.as("x").join(li.as("y"),
-            col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+        val edges = Graphs.basketPairs(li)
         Graphs.globalTransitivity(edges)
       },
       Some("""WITH e AS (
@@ -2714,7 +2700,8 @@ object GraphQueries {
 
     QueryDef(
       "q367_hyperanf",
-      (s, dir) => Graphs.hyperAnf(hostLinkGraph(s, dir), rounds = 3),
+      (s, dir) => Graphs.hyperAnf(hostLinkGraph(s, dir), rounds = 3,
+        inputSymmetric = true),
       Some(hyperAnfOracle),
     ),
   )

@@ -24,6 +24,41 @@ import org.apache.spark.sql.functions._
   * constant (rank ordering stabilizes long before values converge). */
 object Graphs {
 
+  /** DISTINCT co-occurrence pairs (a < b) of items sharing a basket — the
+    * co-purchase / co-occurrence edge derivation shared by the graph-tier
+    * queries (q139/q148/q183/q313/q337/q345/q346 and the basket miners).
+    *
+    * Single-shuffle shape (optimization guide §2.3 "aggregate before you
+    * shuffle" + §2.4 "remove shuffles outright"): ONE hash exchange of the
+    * (basket, item) rows builds each basket's sorted distinct item array
+    * (per-group state O(basket size)), pairs expand IN-PARTITION from the
+    * sorted array, and the same global distinct as before closes it. The
+    * self-join formulation this replaces scanned the input twice and
+    * exchanged it twice (both join sides) before the identical distinct.
+    * Pair VOLUME is unchanged — Σ C(k, 2) either way, and a mega-basket
+    * blows up both formulations identically (cap upstream where basket
+    * sizes are unbounded; TPC-H orders are ≤ 7 lineitems); what changes
+    * is input-exchange count (2 → 1) and the join machinery (gone).
+    * Output sets are IDENTICAL: pairs (x, y), x < y, of distinct items
+    * within a basket — sort_array + (i < j) expansion enumerates exactly
+    * the x < y pairs the join's `x.pk < y.pk` predicate kept. */
+  def basketPairs(items: DataFrame): DataFrame =
+    basketPairsPerBasket(items)
+      .select(col("p1").as("a"), col("p2").as("b")).distinct()
+
+  /** Per-basket variant of [[basketPairs]]: (ok, p1 < p2) with one row per
+    * (basket, pair) — the support-counting shape of the basket miners
+    * (q176/q177). Input rows are deduplicated per basket first (the
+    * self-join formulation operated on distinct (ok, pk) rows too). */
+  def basketPairsPerBasket(items: DataFrame): DataFrame =
+    items.toDF("ok", "pk")
+      .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("s"))
+      .select(col("ok"), explode(expr(
+        """flatten(transform(s, (x, i) ->
+          |  transform(slice(s, i + 2, size(s) - i - 1),
+          |            y -> named_struct('p1', x, 'p2', y))))""".stripMargin)).as("p"))
+      .select(col("ok"), col("p.p1").as("p1"), col("p.p2").as("p2"))
+
   /** PageRank over a directed edge list `(src, dst)` in which EVERY node
     * has in-degree >= 1 (a symmetrized undirected graph qualifies —
     * otherwise in-degree-0 nodes drop out after one iteration). Returns
@@ -251,9 +286,11 @@ object Graphs {
         .localCheckpoint(true)
     }
     // orientation order uses the PEELED degrees (any total order is
-    // correct; the peeled one gives the tighter O(sqrt(m)) out-degree)
-    val ord = degrees(pe).select(col("node"),
-      (col("deg") * 4294967296L + col("node")).as("ord"))
+    // correct; the peeled one gives the tighter O(sqrt(m)) out-degree);
+    // with no peel, pe == e so the PINNED deg frame is reused instead of
+    // re-running the union+aggregate over 2|E| rows (guide §2.4)
+    val ord = (if (peelRounds == 0) deg else degrees(pe))
+      .select(col("node"), (col("deg") * 4294967296L + col("node")).as("ord"))
     val oriented = PinnedCache.pin(pe
       .join(ord.select(col("node").as("a"), col("ord").as("oa")), "a")
       .join(ord.select(col("node").as("b"), col("ord").as("ob")), "b")
@@ -420,8 +457,15 @@ object Graphs {
     * deterministic and oracle-replayable. HyperAnfSpec additionally
     * pins register-set ≡ registers-of-the-exact-ball per node.
     * Output: (t, n_nodes, n_saturated, sum_est_milli), t = 1..rounds. */
-  def hyperAnf(edges: DataFrame, rounds: Int = 3): DataFrame =
-    hyperAnfFromTrace(hyperAnfTrace(edges, rounds))
+  /** `inputSymmetric = true` asserts `edges` is ALREADY the symmetric
+    * deduplicated frame (both orientations present, distinct — the
+    * [[ExtraQueries.hostLinkGraph]] contract): the symmetrize-then-
+    * distinct pass is skipped outright — double-symmetrizing an already
+    * symmetric frame costs a full 2|E|-row exchange to dedup right back
+    * to the input (guide §2.4). */
+  def hyperAnf(edges: DataFrame, rounds: Int = 3,
+      inputSymmetric: Boolean = false): DataFrame =
+    hyperAnfFromTrace(hyperAnfTrace(edges, rounds, inputSymmetric))
 
   /** Symmetrized, self-loop-free, deduplicated edge frame — the graph
     * both HyperANF paths propagate along. */
@@ -450,9 +494,12 @@ object Graphs {
     * the trace is the artifact a nightly persists (nodes × ≤64 small
     * ints per round) so the next delta never re-propagates the whole
     * graph. */
-  def hyperAnfTrace(edges: DataFrame, rounds: Int = 3): Seq[DataFrame] = {
+  def hyperAnfTrace(edges: DataFrame, rounds: Int = 3,
+      inputSymmetric: Boolean = false): Seq[DataFrame] = {
     require(rounds >= 1 && rounds <= 6, "rounds in [1,6]")
-    val sym = hyperAnfSym(edges).localCheckpoint(true)
+    val sym = (if (inputSymmetric)
+        edges.toDF("a", "b").where(col("a") =!= col("b"))
+      else hyperAnfSym(edges)).localCheckpoint(true)
     var regs = hyperAnfSeed(sym.select(col("a").as("node")).distinct())
       .localCheckpoint(true)
     regs +: (1 to rounds).map { _ =>
@@ -3315,12 +3362,25 @@ object Graphs {
       .unionByName(inBallOut)
   }
 
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+  /** `canonicalInput = true` asserts `edges` is already CANONICAL —
+    * distinct rows, a < b, no self-loops (the [[basketPairs]] /
+    * jaccard-pair contract every caller in this repo satisfies). Then
+    * e ∪ reverse(e) is duplicate-free by construction and the full-graph
+    * `distinct()` exchange is skipped outright (guide §2.4 "a distinct on
+    * data that is already unique"); the per-round vote multiset is
+    * unchanged. The symmetric frame is additionally hash-partitioned by
+    * the join key `a` ONCE before the checkpoint, so every round's
+    * sym ⋈ labels join reuses that partitioning instead of re-exchanging
+    * the (static) edge frame per round (§2.4 "two operations keyed the
+    * same way can share one exchange"). */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      canonicalInput: Boolean = false): DataFrame = {
     require(rounds >= 1 && rounds <= 20, "rounds in [1,20]")
     val e = edges.toDF("a", "b")
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint(true)
+    val sym0 = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val sym = (if (canonicalInput) sym0 else sym0.distinct())
+      .repartition(col("a")).localCheckpoint(true)
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("lab", col("node")).localCheckpoint(true)
     for (_ <- 1 to rounds) {
