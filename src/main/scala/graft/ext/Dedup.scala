@@ -208,6 +208,8 @@ object Dedup {
     * lineage stays flat. Returns `(id, root)` for every node that appears
     * in an edge; `root` is the component's minimum id — the canonical
     * "keep the oldest" dedup survivor. */
+  private val ccObsId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def connectedComponents(edges: DataFrame): DataFrame = {
     val sym = edges
       .select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -230,7 +232,12 @@ object Dedup {
       // side). The previous formulation ran a second per-round job that
       // re-JOINED the new and old label sets — a full extra shuffle per
       // round, pure overhead at scale.
-      val obs = org.apache.spark.sql.Observation(s"cc_round_$round")
+      // unique per INVOCATION, not just per round: observed metrics are
+      // matched by name on query-completion events, so two concurrent CC
+      // ladders (DriverPar callers) with identical names could read each
+      // other's round counts
+      val obs = org.apache.spark.sql.Observation(
+        s"cc_round_${round}_${ccObsId.incrementAndGet()}")
       val updated = labels
         .join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"), col("root").as("_old"),
@@ -698,17 +705,22 @@ object Dedup {
     // per-cutoff retention stats (independent of band shape): one CC on
     // the tiny filtered graph; docs_removed = members − clusters = the
     // non-root rows; survivors/savings from the non-survivor id set
-    val perT: Map[Long, DataFrame] = thresholdsPpm.map { t =>
-      val e = exact.where(col("j_ppm") >= t).select(col("a_id"), col("b_id"))
-      val cc = PinnedCache.pin(connectedComponents(e))
-      val nonSurv = cc.where(col("id") =!= col("root"))
-        .select(col("id").as("doc_id"))
-      val row = nonSurv.agg(count(lit(1)).as("docs_removed"))
-        .crossJoin(docs.join(nonSurv, Seq("doc_id"), "left_semi")
-          .agg(coalesce(sum(col("n_chars")), lit(0L)).as("chars_saved")))
-        .crossJoin(total)
-      t -> PinnedCache.pin(row)
-    }.toMap
+    // the per-cutoff CC ladders are INDEPENDENT and latency-bound (tiny
+    // filtered graphs, one eager checkpoint per round) — build them on
+    // concurrent driver threads so their rounds overlap (§2.6 /
+    // [[DriverPar]]); same frames, same results, same reduce order
+    val perT: Map[Long, DataFrame] =
+      DriverPar.map(df.sparkSession, thresholdsPpm) { t =>
+        val e = exact.where(col("j_ppm") >= t).select(col("a_id"), col("b_id"))
+        val cc = PinnedCache.pin(connectedComponents(e))
+        val nonSurv = cc.where(col("id") =!= col("root"))
+          .select(col("id").as("doc_id"))
+        val row = nonSurv.agg(count(lit(1)).as("docs_removed"))
+          .crossJoin(docs.join(nonSurv, Seq("doc_id"), "left_semi")
+            .agg(coalesce(sum(col("n_chars")), lit(0L)).as("chars_saved")))
+          .crossJoin(total)
+        t -> PinnedCache.pin(row)
+      }.toMap
     rowsPerBand.map { r =>
       val cand = bandCandidates(sigs, numHashes, r)
       val found = PinnedCache.pin(perCutoffCounts(

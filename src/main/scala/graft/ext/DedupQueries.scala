@@ -1268,7 +1268,11 @@ object DedupQueries {
             .select(col("a_id"), col("b_id"),
               round(col("jaccard") * 1000000).cast("long").as("j_ppm")))
         val total = docs.agg(count(lit(1)).as("n_docs"))
-        val per = Seq(900000L, 960000L, 970000L, 980000L, 990000L).map { t =>
+        // the five per-cutoff CC ladders are independent — overlap their
+        // eager rounds on driver threads (§2.6 / DriverPar); identical
+        // frames, identical union order
+        val per = DriverPar.map(s, Seq(900000L, 960000L, 970000L,
+            980000L, 990000L)) { t =>
           val e = pairs.where(col("j_ppm") >= t).select(col("a_id"), col("b_id"))
           val agg = Dedup.connectedComponents(e)
             .agg(count(lit(1)).as("n_members"),

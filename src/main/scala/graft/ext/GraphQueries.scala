@@ -1995,9 +1995,14 @@ object GraphQueries {
         val isBase = pmod(hash(col("a"), col("b")), lit(5)) =!= 0
         val base = PinnedCache.pin(pairs.where(isBase))
         val delta = pairs.where(!isBase)
+        // ONE batch peel: the stored trajectory and the stored final
+        // readout both derive from the same kTrussTrace run (they are
+        // deterministic functions of it) — before r15 this paid the
+        // full-graph peel twice (kTrussEdges re-ran the trace internally)
+        val trace = PinnedCache.pin(Graphs.kTrussTrace(base, k = 3, rounds = 2))
         Graphs.incrementalKTruss(
-            Graphs.kTrussTrace(base, k = 3, rounds = 2),
-            Graphs.kTrussEdges(base, k = 3, rounds = 2),
+            trace,
+            Graphs.kTrussEdgesFromTrace(trace, rounds = 2),
             base, delta, k = 3, rounds = 2)
           .orderBy(col("a"), col("b"))
       },
@@ -2444,9 +2449,12 @@ object GraphQueries {
         val li = tbl(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         val edges = PinnedCache.pin(Graphs.basketPairs(li))
-        Graphs.randIndex(
-          Graphs.labelPropagation(edges, rounds = 2, canonicalInput = true),
-          Graphs.labelPropagation(edges, rounds = 3, canonicalInput = true))
+        // one 3-round ladder; rounds 2 and 3 are read off its trajectory
+        // (synchronous LPA: the round-2 prefix of the 3-round run IS the
+        // 2-round run bit-for-bit) — before r15 this ran 2+3 = 5 rounds
+        val lp = Graphs.labelPropagationTrace(edges, rounds = 3,
+          canonicalInput = true)
+        Graphs.randIndex(lp(1), lp(2))
       },
       Some({
         val round = (i: Int) =>

@@ -49,10 +49,27 @@ object Graphs {
   /** Per-basket variant of [[basketPairs]]: (ok, p1 < p2) with one row per
     * (basket, pair) — the support-counting shape of the basket miners
     * (q176/q177). Input rows are deduplicated per basket first (the
-    * self-join formulation operated on distinct (ok, pk) rows too). */
-  def basketPairsPerBasket(items: DataFrame): DataFrame =
+    * self-join formulation operated on distinct (ok, pk) rows too).
+    *
+    * `maxBasketSize` is a MEMORY GUARD, not a tuning knob: the expansion
+    * materializes all C(k, 2) pair structs of a basket inside one row
+    * before the explode, so an unbounded mega-basket concentrates O(k²)
+    * bytes in one task where the old self-join streamed (ADVICE r14).
+    * A basket above the cap fails LOUDLY (assert_true names the basket)
+    * instead of OOM-ing the executor; callers with genuinely huge
+    * baskets must cap upstream (the capAdjacency discipline). 10⁴ items
+    * ⇒ ~5·10⁷ pair structs ≈ the practical single-task ceiling; every
+    * basket family in this repo is orders of magnitude below it. */
+  def basketPairsPerBasket(items: DataFrame,
+      maxBasketSize: Int = 10000): DataFrame =
     items.toDF("ok", "pk")
       .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("s"))
+      .where(coalesce(expr(
+        s"""assert_true(size(s) <= $maxBasketSize,
+           |  concat('basketPairsPerBasket: basket ', cast(ok as string),
+           |         ' has ', cast(size(s) as string),
+           |         ' items > maxBasketSize $maxBasketSize — cap upstream'))"""
+          .stripMargin), lit(true)))
       .select(col("ok"), explode(expr(
         """flatten(transform(s, (x, i) ->
           |  transform(slice(s, i + 2, size(s) - i - 1),
@@ -70,7 +87,16 @@ object Graphs {
     // callers often pass a join+distinct pipeline that must not run twice
     val e = PinnedCache.pin(edges)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val withDeg = PinnedCache.pin(e.join(deg, "src"))
+    // withDeg is joined on src once per iteration; when the deg join
+    // broadcasts, its output carries NO useful partitioning, so every
+    // iteration re-exchanged the static edge frame. One explicit
+    // hash-partition before the pin lets all `iters` joins reuse it
+    // (guide §2.4; the labelPropagation idiom). Size-gated like
+    // [[pinLadderEdges]]: tiny graphs broadcast per-iteration anyway and
+    // the upfront exchange would be pure overhead.
+    val withDeg0 = e.join(deg, "src")
+    val withDeg = PinnedCache.pin(
+      if (e.count() >= 32768L) withDeg0.repartition(col("src")) else withDeg0)
     val n = deg.count()
     require(n > 0, "empty graph")
     val r0 = mass / n
@@ -772,16 +798,25 @@ object Graphs {
       scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iterations must be in [1,50], got $iters")
     val e = PinnedCache.pin(edges.toDF("src", "dst").distinct())
+    // the auth half-step joins e on src, the hub half-step on dst —
+    // each once per iteration. Two pinned pre-partitioned orientations
+    // let all 2·iters joins reuse one exchange each instead of
+    // re-exchanging the static edge frame per half-step (guide §2.4;
+    // cost: the edge frame is cached twice — edge-sized, spillable).
+    // Size-gated like pinLadderEdges: tiny graphs broadcast anyway.
+    val eBig = e.count() >= 32768L
+    val eS = if (eBig) PinnedCache.pin(e.repartition(col("src"))) else e
+    val eD = if (eBig) PinnedCache.pin(e.repartition(col("dst"))) else e
     var hub = e.select(col("src").as("node")).distinct()
       .withColumn("h", lit(scale)).localCheckpoint(true)
     var auth = e.sparkSession.emptyDataFrame
     for (_ <- 1 to iters) {
-      val a0 = e.join(hub.select(col("node").as("src"), col("h")), "src")
+      val a0 = eS.join(hub.select(col("node").as("src"), col("h")), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
       auth = a0.crossJoin(broadcast(a0.agg(max(col("a")).as("mx"))))
         .select(col("node"), expr(s"(a * ${scale}L) div mx").as("a"))
         .localCheckpoint(true)
-      val h0 = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
+      val h0 = eD.join(auth.select(col("node").as("dst"), col("a")), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
       hub = h0.crossJoin(broadcast(h0.agg(max(col("h")).as("mx"))))
         .select(col("node"), expr(s"(h * ${scale}L) div mx").as("h"))
@@ -811,6 +846,10 @@ object Graphs {
       scale: Long = 1000000L): (DataFrame, Seq[HitsMax]) = {
     require(iters >= 1 && iters <= 50, s"iterations must be in [1,50], got $iters")
     val e = PinnedCache.pin(edges.toDF("src", "dst").distinct())
+    // two pinned pre-partitioned orientations — the [[integerHits]] trade
+    val eBig = e.count() >= 32768L
+    val eS = if (eBig) PinnedCache.pin(e.repartition(col("src"))) else e
+    val eD = if (eBig) PinnedCache.pin(e.repartition(col("dst"))) else e
     var hub = e.select(col("src").as("node")).distinct()
       .withColumn("h", lit(scale)).localCheckpoint(true)
     var auth = e.sparkSession.emptyDataFrame
@@ -820,14 +859,14 @@ object Graphs {
       (mx, raw.where(col(c) === mx).count())
     }
     for (i <- 1 to iters) {
-      val a0 = e.join(hub.select(col("node").as("src"), col("h")), "src")
+      val a0 = eS.join(hub.select(col("node").as("src"), col("h")), "src")
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
         .localCheckpoint(true)
       val (mxA, nA) = maxAndCount(a0, "a")
       trace += HitsMax(i, "a", mxA, nA)
       auth = a0.select(col("node"), expr(s"(a * ${scale}L) div ${mxA}L").as("a"))
         .localCheckpoint(true)
-      val h0 = e.join(auth.select(col("node").as("dst"), col("a")), "dst")
+      val h0 = eD.join(auth.select(col("node").as("dst"), col("a")), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
         .localCheckpoint(true)
       val (mxH, nH) = maxAndCount(h0, "h")
@@ -953,9 +992,14 @@ object Graphs {
       var auth = e.sparkSession.emptyDataFrame
       val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       def ballStats(raw: DataFrame, c: String, mBase: Long): (Long, Long) = {
-        val inT = raw.join(take, Seq("node"), "left_semi").localCheckpoint(true)
-        val mx = inT.agg(coalesce(max(col(c)), lit(0L))).collect().head.getLong(0)
-        (mx, inT.where(col(c) === mBase).count())
+        // ONE action per half-step: max and attainer count ride the same
+        // ball-restricted aggregate (was: checkpoint + two jobs — 3
+        // driver round-trips per half-step on a latency-bound path)
+        val row = raw.join(take, Seq("node"), "left_semi")
+          .agg(coalesce(max(col(c)), lit(0L)).as("mx"),
+            coalesce(sum(when(col(c) === mBase, 1L)), lit(0L)).as("n_at"))
+          .collect().head
+        (row.getLong(0), row.getLong(1))
       }
       for (i <- 1 to iters) {
         val tA = prevTrace(2 * (i - 1))
@@ -975,8 +1019,11 @@ object Graphs {
       }
       (hub, auth, stats.toSeq)
     }
-    val (_, _, baseStats) = replay(subBase)
-    val (newHub, newAuth, newStats) = replay(subNew)
+    // the two restricted replays are INDEPENDENT 2·iters-half-step
+    // ladders — overlap them on driver threads (§2.6 / [[DriverPar]]);
+    // same frames, same stats, deterministic order
+    val Seq((_, _, baseStats), (newHub, newAuth, newStats)) =
+      DriverPar.map(bE.sparkSession, Seq(subBase, subNew))(replay)
     // the guard: every half-step's new global max must provably equal the
     // stored one; otherwise every outside value's divisor shifts → batch
     val localOk = prevTrace.indices.forall { k =>
@@ -1022,14 +1069,13 @@ object Graphs {
     * set is scanned, never re-aggregated. Lineage flattened per round. */
   def bfsDistances(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 50, "rounds in [1,50]")
-    val e = PinnedCache.pin(edges.toDF("src", "dst"))
     // frontier/settled are localCheckpoint-ed, which ERASES stats — on
     // big graphs the planning-time broadcast hint keeps every
     // e⋈frontier a scan of e instead of a full-edge exchange per round;
-    // on small graphs the hint's count jobs cost more than the
-    // exchanges they avoid, so the whole thing is size-gated
-    // ([[frontierHinter]]; measured both ways)
-    val mh = frontierHinter(e)
+    // on small graphs the edge frame is pinned pre-partitioned by the
+    // join key instead, so the per-round join re-exchanges only the
+    // frontier ([[pinLadderEdges]]; measured both ways)
+    val (e, mh) = pinLadderEdges(edges.toDF("src", "dst"), "src")
     var frontier = mh(seeds.toDF("node").distinct()
       .withColumn("d", lit(0L)).localCheckpoint(true))
     var settled = frontier
@@ -1101,11 +1147,10 @@ object Graphs {
   private[ext] def labeledBfs(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
-    val e = PinnedCache.pin(edges.toDF("src", "dst"))
-    // size-gated frontier hints (the [[frontierHinter]] trade): on big
-    // graphs e⋈frontier stays a scan of e, never a full-edge exchange
-    // per round; on small graphs no extra count jobs
-    val mh = frontierHinter(e)
+    // size-gated edge pin (the [[pinLadderEdges]] trade): on big graphs
+    // e⋈frontier stays a scan of e via frontier hints; on small graphs
+    // e is pinned pre-partitioned by src so rounds reuse one exchange
+    val (e, mh) = pinLadderEdges(edges.toDF("src", "dst"), "src")
     var frontier = mh(seeds.toDF("seed").distinct()
       .select(col("seed"), col("seed").as("node"), lit(0L).as("d"))
       .localCheckpoint(true))
@@ -1149,7 +1194,11 @@ object Graphs {
       rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 10, "rounds in [1,10]")
     import org.apache.spark.sql.expressions.Window
-    val e = PinnedCache.pin(edges.toDF("src", "dst"))
+    // per-round propagation joins e on src every round — same gated pin
+    // as the pair-keyed ladders ([[pinLadderEdges]]); mask frames are
+    // node×words sized, so the big-graph plan keeps its un-hinted shape
+    // (the hinter is discarded — no behavior change above the gate)
+    val (e, _) = pinLadderEdges(edges.toDF("src", "dst"), "src")
     val idx = PinnedCache.pin(seeds.toDF("seed").distinct()
       .select(col("seed"),
         (row_number().over(Window.orderBy(col("seed"))) - 1)
@@ -1241,9 +1290,10 @@ object Graphs {
     // consumer of the edge set here is duplicate-IMMUNE — bit_or layers
     // and BFS reachability are idempotent — so base ∪ delta is only
     // ever SCANNED, never exchanged
-    val all = PinnedCache.pin(bE.unionByName(dE0))
-    // size-gated hints (the [[frontierHinter]] trade)
-    val mh = frontierHinter(all)
+    // relaxation joins `all` on src every iteration — gated pin
+    // ([[pinLadderEdges]]): small graphs pre-partition by src, big
+    // graphs keep the frontier hints
+    val (all, mh) = pinLadderEdges(bE.unionByName(dE0), "src")
     val dE = mh(dE0)
     val settled = PinnedCache.pin(prevDist.toDF("seed", "node", "d"))
     // dense seed-bit index over the (unchanged) seed universe — the
@@ -1299,7 +1349,17 @@ object Graphs {
         .where(col("d") <= rounds.toLong))
     var frontier = mh(
       selfPrune(minusCum(injected, baseCum)).localCheckpoint(true))
-    var imp = frontier
+    // improvement state carried TWO ways, each maintained incrementally
+    // (r15): `impChunks` accumulates the raw per-round layers for the
+    // single decode at the END (min(d) there resolves re-improved bits),
+    // and `cumImp` is the CUMULATIVE ≤d mask the improvement test needs —
+    // merged per round from the new frontier's cumulate alone (cumulate
+    // distributes over bit_or union), instead of re-exploding and
+    // re-aggregating the ENTIRE improvement set every round (was:
+    // cumulate(imp) + a full imp groupBy per round — O(R·|imp|) exchange
+    // volume for state the previous round already aggregated).
+    val impChunks = scala.collection.mutable.ArrayBuffer(frontier)
+    var cumImp = cumulate(frontier).localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val prop = all
         .join(frontier.select(col("node").as("src"), col("w"), col("d"),
@@ -1312,13 +1372,17 @@ object Graphs {
       // improvement of the same pair (a pair can improve twice when a
       // shorter chain lands later — the chained-delta case)
       frontier = mh(
-        selfPrune(minusCum(minusCum(prop, baseCum), cumulate(imp)))
+        selfPrune(minusCum(minusCum(prop, baseCum), cumImp))
           .localCheckpoint(true))
-      imp = imp.unionByName(frontier)
-        .groupBy(col("node"), col("w"), col("d"))
-        .agg(expr("bit_or(m)").as("m"))
+      impChunks += frontier
+      cumImp = cumImp.withColumnRenamed("cum", "oc")
+        .join(cumulate(frontier), Seq("node", "w", "d"), "full_outer")
+        .select(col("node"), col("w"), col("d"),
+          (coalesce(col("oc"), lit(0L))
+            .bitwiseOR(coalesce(col("cum"), lit(0L)))).as("cum"))
         .localCheckpoint(true)
     }
+    val imp = impChunks.reduce(_ unionByName _)
     // decode bits → (seed, node) with min d per pair — ONE output-sized
     // pass (a re-improved bit can sit in two layers; min resolves it)
     val improvedPairs = imp
@@ -1387,8 +1451,11 @@ object Graphs {
   def betweennessTrace(edges: DataFrame, seeds: DataFrame,
       rounds: Int, scale: Long = 1000000L): DataFrame = {
     require(rounds >= 2 && rounds <= 10, "rounds in [2,10]")
-    // distinct: σ counts PATHS, so a duplicated edge row would double-count
-    val e = PinnedCache.pin(edges.toDF("src", "dst").distinct())
+    // distinct: σ counts PATHS, so a duplicated edge row would double-count.
+    // Both the forward σ joins and the backward contrib join key e by src
+    // (renamed node), so the small-graph pin pre-partitions by src once
+    // ([[pinLadderEdges]]; hinter discarded — level frames are pair-sized)
+    val (e, _) = pinLadderEdges(edges.toDF("src", "dst").distinct(), "src")
     // forward: per-level (seed, node, sigma), settled/frontier split
     var frontier = seeds.toDF("seed").distinct()
       .select(col("seed"), col("seed").as("node"), lit(1L).as("sigma"))
@@ -2951,6 +3018,42 @@ object Graphs {
   private def frontierHinter(big: DataFrame): DataFrame => DataFrame =
     if (big.count() > 500000L) hintIfSmall(_) else identity
 
+  /** Pin an edge frame for a per-round JOIN LADDER and decide the
+    * frontier-hint policy in the same size gate (guide §2.4 "two
+    * operations keyed the same way can share one exchange"):
+    *
+    *  - SMALL graphs (≤ the [[frontierHinter]] gate): hash-partition the
+    *    frame by `key` ONCE before the pin, so every round's
+    *    edges ⋈ frontier join reuses that partitioning instead of
+    *    re-exchanging the static edge frame per round — the
+    *    labelPropagation idiom (r14 change 4; a cached frame's
+    *    outputPartitioning survives InMemoryTableScan). No hints: below
+    *    the gate the hint's per-round count jobs cost more than the
+    *    KB-size exchanges they would avoid (measured, frontierHinter
+    *    doc).
+    *  - BIG graphs: the per-round joins broadcast the frontier instead
+    *    (the returned hinter), so the edge side is never exchanged at
+    *    all and an upfront repartition would be a pure extra full-graph
+    *    exchange — skipped.
+    *
+    * Returns (pinned edge frame, frontier hinter). Results are
+    * partitioning-independent; only the plan changes. */
+  private def pinLadderEdges(e: DataFrame, key: String)
+      : (DataFrame, DataFrame => DataFrame) = {
+    val raw = PinnedCache.pin(e)
+    val n = raw.count()
+    // LOW gate (measured, r15 subset A/B): ball-probe ladders over TINY
+    // graphs (the incremental forms' ≤few-k-edge balls — katz/truss/
+    // betweenness maintenance) lost 20–30% to the repartition + second
+    // cache materialization, because their per-round joins broadcast the
+    // sub-64m edge side anyway; below the gate the r13 plain-pin plan is
+    // kept byte-identical. Between the gates the pre-partition wins
+    // (q187/q220/q307/q309: 1.16–1.40× same-window).
+    if (n > 500000L) (raw, hintIfSmall(_))
+    else if (n < 32768L) (raw, identity)
+    else (PinnedCache.pin(raw.repartition(col(key))), identity)
+  }
+
   /** Deterministic ADJACENCY CAP — the hub pre-step for the walk tier:
     * [[node2vecWalks]]'s second-order fan-out is |frontier|·deg(cur),
     * so one 10⁷-degree hub makes that key's candidate list the
@@ -3221,10 +3324,22 @@ object Graphs {
     * edge-keyed semi-join; never Σ deg and never all-pairs. The peel
     * itself is one support filter + semi-join. Overflow-free: supports
     * and degrees are counts ≤ m. */
-  def kTrussEdges(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val t = kTrussTrace(edges, k, rounds)
-    val fin = t.where(col("round") === rounds.toLong)
-      .select(col("a"), col("b"))
+  def kTrussEdges(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    kTrussEdgesFromTrace(kTrussTrace(edges, k, rounds), rounds)
+
+  /** [[kTrussEdges]]'s final (a, b, support) readout off an
+    * ALREADY-COMPUTED [[kTrussTrace]] — so a maintenance pipeline that
+    * stores both the trajectory and the final readout (q329's shape)
+    * runs the batch peel ONCE and derives both, instead of paying two
+    * full peels for identical state (guide §2.4 — the computation is
+    * deterministic, so trace-then-readout ≡ recompute bit-for-bit).
+    * The surviving-round slice is checkpointed before the support
+    * probe, which scans it three ways (targets + both sym orientations)
+    * and would otherwise re-scan the whole unioned trace each time. */
+  def kTrussEdgesFromTrace(trace: DataFrame, rounds: Int): DataFrame = {
+    val fin = trace.toDF("round", "a", "b")
+      .where(col("round") === rounds.toLong)
+      .select(col("a"), col("b")).localCheckpoint(true)
     fin.join(edgeSupport(fin, fin), Seq("a", "b"), "left_outer")
       .select(col("a"), col("b"),
         coalesce(col("support"), lit(0L)).as("support"))
@@ -3374,7 +3489,19 @@ object Graphs {
     * the (static) edge frame per round (§2.4 "two operations keyed the
     * same way can share one exchange"). */
   def labelPropagation(edges: DataFrame, rounds: Int,
-      canonicalInput: Boolean = false): DataFrame = {
+      canonicalInput: Boolean = false): DataFrame =
+    labelPropagationTrace(edges, rounds, canonicalInput).last
+
+  /** [[labelPropagation]]'s full per-round trajectory: labels after
+    * rounds 1..`rounds`, each eagerly checkpointed. Synchronous LPA's
+    * round-r labels are a pure function of the round-(r−1) state (same
+    * inits, same argmin tie rule), so `trace(r-1)` IS
+    * `labelPropagation(edges, r)` bit-for-bit — a consumer comparing
+    * several round counts (q345's rand index over rounds 2 and 3) runs
+    * ONE ladder and reads two prefixes instead of recomputing the shared
+    * prefix (guide §2.4; OPTIMIZATION_r14 "not yet optimized" item 5). */
+  def labelPropagationTrace(edges: DataFrame, rounds: Int,
+      canonicalInput: Boolean = false): Seq[DataFrame] = {
     require(rounds >= 1 && rounds <= 20, "rounds in [1,20]")
     val e = edges.toDF("a", "b")
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
@@ -3389,7 +3516,7 @@ object Graphs {
       .localCheckpoint(true)
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("lab", col("node")).localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    (1 to rounds).map { _ =>
       labels = sym
         .join(labels.select(col("node").as("a"), col("lab")), "a")
         .groupBy(col("b").as("node"), col("lab")).agg(count(lit(1)).as("cnt"))
@@ -3398,7 +3525,7 @@ object Graphs {
         .agg(min(struct((-col("cnt")).as("nc"), col("lab").as("lab"))).as("s"))
         .select(col("node"), col("s.lab").as("lab"))
         .localCheckpoint(true)
+      labels
     }
-    labels
   }
 }
